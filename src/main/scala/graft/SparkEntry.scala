@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's public operator surface: one entry per
+  * implemented operator family from SURVEY.md §2 (reference parity) plus the
+  * LLM-data-pipeline extensions. Every entry with SQL-expressible semantics
+  * has a matching `oracleSql` row (DuckDB-dialect ANSI SQL over the same
+  * parquet fixtures); non-SQL-expressible ops (LSH, language-ID heuristics,
+  * ML) are rows-only checked by the driver.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    operators.Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Relational.queries ++
+      operators.TimeJoins.queries ++
+      functions.Json.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    operators.Relational.oracle ++
+      operators.TimeJoins.oracle ++
+      functions.Json.oracle
 }

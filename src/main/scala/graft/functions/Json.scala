@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semi-structured / JSON surface — weather-feed parity (SURVEY.md §2.7 F2-F6).
+  *
+  * The reference keeps a raw JSON payload in a VARIANT column and extracts
+  * typed fields from a nested struct + array-of-struct payload
+  * (`/root/reference/dags/weather_realtime_etl.py:116-124,140`). Here that is
+  * `from_json` with an explicit schema (codegen-friendly, no UDFs) and
+  * `get_json_object` for path extraction; oracle comparison is on extracted
+  * typed fields, never raw JSON bytes (SURVEY.md §7 hard-part 4).
+  */
+object Json {
+
+  /** OpenWeather-shaped payload schema
+    * (`/root/reference/dags/weather_realtime_etl.py:118-121`). */
+  val weatherSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("main", StructType(Seq(
+      StructField("temp", DoubleType),
+      StructField("humidity", IntegerType)))),
+    StructField("weather", ArrayType(StructType(Seq(
+      StructField("description", StringType)))))))
+
+  /** Parse a nested payload and project the reference's typed weather row
+    * (city/temp_f/weather_desc/humidity_pct — DDL `weather_realtime_etl.py:52-64`). */
+  def weatherParse(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val payload =
+      """{"name":"New York","main":{"temp":61.2,"humidity":78},
+        |"weather":[{"description":"light rain"}]}""".stripMargin.replace("\n", "")
+    s.range(1).select(from_json(lit(payload), weatherSchema).as("j"))
+      .select(
+        $"j.name".as("city"),
+        $"j.main.temp".as("temp_f"),
+        $"j.weather".getItem(0).getField("description").as("weather_desc"),
+        $"j.main.humidity".as("humidity_pct"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // path extraction over a real distributed column
+    "q_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+    // typed from_json over the same column, aggregated per event_type
+    "q_json_typed" -> ((s, d) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, d)
+        .select(col("event_type"), from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+    }),
+    "q_json_weather" -> ((s, _) => weatherParse(s)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_json_typed" ->
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_json_weather" ->
+      """SELECT 'New York' AS city, CAST(61.2 AS DOUBLE) AS temp_f,
+        |       'light rain' AS weather_desc, CAST(78 AS INTEGER) AS humidity_pct""".stripMargin,
+  )
+}

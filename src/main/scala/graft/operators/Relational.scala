@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch relational core — reference parity per SURVEY.md §2/§7 Phase 0-1.
+  *
+  * The reference's whole Spark job is scan → project/rename/cast → null-drop →
+  * positive-value filters → cap (`/root/reference/dags/etl_spark_historical.py:178-195`),
+  * plus a MERGE-style dedup-append into the fact table (`:302-333`) and a small
+  * set of analyst verification queries (`/root/reference/readme.md:149-187`).
+  * Here those semantics are re-expressed on the driver fixtures (`lineitem` as
+  * the trips analog, per FIXTURES.md §B) as declarative DataFrame plans so
+  * Catalyst does pruning/pushdown and AQE picks join strategies.
+  *
+  * Money arithmetic is done in DECIMAL(18,2/4) — the fixture doubles are exact
+  * 2-decimal values, so decimal sums are bit-exact across engines (no
+  * float-summation-order drift against the DuckDB oracle).
+  */
+object Relational {
+  private val D2 = DecimalType(18, 2)
+  private val D4 = DecimalType(18, 4)
+  private def dec2(c: Column): Column = c.cast(D2)
+
+  /** Cleaned-trips contract (P1-P4): project/rename/cast, drop null keys,
+    * positive distance+amount. Mirrors
+    * `/root/reference/dags/etl_spark_historical.py:182-193`. `trip_id`/`leg_no`
+    * keep the natural key so downstream queries stay deterministic.
+    */
+  def cleanTrips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(
+        $"l_orderkey".as("trip_id"),
+        $"l_linenumber".as("leg_no"),
+        $"l_shipdate".as("pickup_ts"),
+        $"l_partkey".cast("int").as("pickup_zone_id"),
+        $"l_suppkey".cast("int").as("dropoff_zone_id"),
+        $"l_linenumber".cast("int").as("passenger_count"),
+        $"l_quantity".cast("double").as("trip_distance"),
+        $"l_extendedprice".cast("double").as("total_amount"))
+      .na.drop(Seq("pickup_ts", "pickup_zone_id", "dropoff_zone_id"))
+      .filter($"trip_distance" > 0 && $"total_amount" > 0)
+  }
+
+  private val cleanSql =
+    """SELECT l_orderkey AS trip_id, l_linenumber AS leg_no, l_shipdate AS pickup_ts,
+      | CAST(l_partkey AS INTEGER) AS pickup_zone_id, CAST(l_suppkey AS INTEGER) AS dropoff_zone_id,
+      | CAST(l_linenumber AS INTEGER) AS passenger_count, l_quantity AS trip_distance,
+      | l_extendedprice AS total_amount
+      |FROM lineitem
+      |WHERE l_shipdate IS NOT NULL AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+      |  AND l_quantity > 0 AND l_extendedprice > 0""".stripMargin
+
+  /** MERGE WHEN NOT MATCHED THEN INSERT (J1) as left-anti join + unionByName —
+    * `/root/reference/dags/etl_spark_historical.py:302-333`. Key includes the
+    * float columns the reference compares for exact equality (`:310-311`);
+    * safe because values round-trip binary-identically. Null-rejecting equi
+    * keys → Catalyst picks hash/sort-merge; AQE broadcasts if a side is small.
+    */
+  def dedupAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val fact = li.filter($"l_orderkey" % 4 =!= 0)    // prior load: 3/4 of rows
+    val stg = li                                     // re-load of the full batch
+    val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_shipdate")
+    fact.unionByName(stg.join(fact, keys, "left_anti"))
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+  }
+
+  private val dedupAppendSql =
+    """WITH fact AS (SELECT * FROM lineitem WHERE l_orderkey % 4 <> 0),
+      |appended AS (
+      |  SELECT * FROM fact
+      |  UNION ALL
+      |  SELECT * FROM lineitem s WHERE NOT EXISTS (
+      |    SELECT 1 FROM fact f
+      |    WHERE f.l_orderkey = s.l_orderkey AND f.l_linenumber = s.l_linenumber
+      |      AND f.l_suppkey = s.l_suppkey AND f.l_quantity = s.l_quantity
+      |      AND f.l_extendedprice = s.l_extendedprice AND f.l_shipdate = s.l_shipdate))
+      |SELECT l_returnflag, count(*) AS n FROM appended GROUP BY l_returnflag""".stripMargin
+
+  /** TPC-H Q1-shaped pricing summary — the flagship hash aggregation
+    * (map-side partial agg + single shuffle on the 2 grouping keys). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = lit(1).cast(D2)
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec2($"l_quantity")).cast(D2).as("sum_qty"),
+        sum(dec2($"l_extendedprice")).cast(D2).as("sum_base_price"),
+        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount"))).cast(D4).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+  }
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_discount), 6) AS avg_disc,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue per nation: the implied "demand by dimension" analytics
+    * (`/root/reference/readme.md:135-136`) as a C⨝O⨝L⨝N join chain.
+    * `nation` is explicitly broadcast (25 rows); AQE broadcasts `customer`
+    * at test scale, sort-merge at 100 TB where it exceeds the threshold. */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = lit(1).cast(D2)
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount"))).cast(D4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val revenueByNationSql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clean_trips" -> ((s, d) => cleanTrips(s, d)),
+    "q_clean_count" -> ((s, d) => cleanTrips(s, d).agg(count(lit(1)).as("n_rows"))),
+    "q_date_range" -> ((s, d) => {
+      // A3: MIN/MAX over pickup timestamps (/root/reference/readme.md:163-166)
+      cleanTrips(s, d).agg(
+        min(col("pickup_ts")).as("min_pickup"),
+        max(col("pickup_ts")).as("max_pickup"))
+    }),
+    "q_preview" -> ((s, d) => {
+      // L2 `SELECT * LIMIT 20` preview, made deterministic via natural-key sort
+      cleanTrips(s, d).orderBy(col("trip_id"), col("leg_no")).limit(20)
+    }),
+    "q_topk_orders" -> ((s, d) => {
+      // L3 top-k by sort (/root/reference/readme.md:178-187) → TakeOrderedAndProject
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .limit(10)
+    }),
+    "q_dedup_append" -> ((s, d) => dedupAppend(s, d)),
+    "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
+    "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
+    "q_cust_no_orders" -> ((s, d) => {
+      // left-anti (NOT EXISTS) — J1's core primitive standalone
+      val c = Tables.customer(s, d)
+      c.join(Tables.orders(s, d), c("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q_cust_big_orders" -> ((s, d) => {
+      // left-semi (EXISTS): customers with at least one >300k order
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+    "q_intersect_buyers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.intersect(y96)
+    }),
+    "q_except_buyers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.except(y96)
+    }),
+    "q_window_running" -> ((s, d) => {
+      // running aggregates per supplier — unique (shipdate, orderkey, linenumber)
+      // ordering keeps the frame deterministic for the oracle
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        sum(dec2(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(D2).as("run_qty"))
+    }),
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), lag(col("l_shipdate"), 1).over(w)).as("days_since_prev"),
+        dense_rank().over(Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))).as("ship_rank"))
+    }),
+    "q_distinct_parts" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))),
+    "q_string_ops" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"))),
+    "q_date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"))),
+    "q_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
+  )
+
+  /** S2→S3: headered single-file CSV export (`coalesce(1)` — explicitly only
+    * for single-file export, never in wide plans) then FAILFAST re-read with
+    * the reference's null-literal contract
+    * (`/root/reference/dags/etl_spark_historical.py:76-82,199-207,295`). */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    Tables.nation(s, dir).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true").option("mode", "FAILFAST")
+      .option("nullValue", "").csv(tmp)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_clean_trips" -> cleanSql,
+    "q_clean_count" -> s"SELECT count(*) AS n_rows FROM ($cleanSql) t",
+    "q_date_range" -> s"SELECT min(pickup_ts) AS min_pickup, max(pickup_ts) AS max_pickup FROM ($cleanSql) t",
+    "q_preview" -> s"SELECT * FROM ($cleanSql) t ORDER BY trip_id, leg_no LIMIT 20",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_dedup_append" -> dedupAppendSql,
+    "q1_pricing" -> pricingSummarySql,
+    "q_revenue_by_nation" -> revenueByNationSql,
+    "q_cust_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_cust_big_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+    "q_intersect_buyers" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996""".stripMargin,
+    "q_except_buyers" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+    "q_window_lag" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(date_diff('day', LAG(l_shipdate, 1) OVER w, l_shipdate) AS INTEGER) AS days_since_prev,
+        | CAST(DENSE_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS INTEGER) AS ship_rank
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+    "q_distinct_parts" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag",
+    "q_string_ops" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper, substr(p_type, 1, 5) AS type_prefix,
+        | CAST(length(p_name) AS INTEGER) AS name_len, p_brand || '-' || p_type AS brand_type
+        |FROM part""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+        | CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mon, count(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_csv_roundtrip" -> "SELECT * FROM nation",
+  )
+}

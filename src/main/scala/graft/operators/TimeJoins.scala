@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-keyed joins — the reference's declared trips⨝weather capability:
+  * "joined (trips + weather) by time and zone in dbt models"
+  * (`/root/reference/readme.md:135-136`), SURVEY.md §2.4 J2.
+  *
+  * Two scale-aware shapes:
+  *  - bucket equi-join: truncate both sides to a common grain and equi-join —
+  *    a plain shuffled hash join Catalyst/AQE can optimize (and broadcast when
+  *    one side aggregates small, as a per-day observation table does);
+  *  - as-of join: "latest observation at or before this event" expressed as a
+  *    single partitioned sort + running `last(ignoreNulls)` window — one
+  *    shuffle on the partition key, no range cross-product, scales linearly
+  *    with rows per key (vs the naive O(n·m) inequality join).
+  */
+object TimeJoins {
+  private val D2 = DecimalType(18, 2)
+
+  /** Day-bucket equi-join: shipments (trips analog) ⨝ per-day order stats
+    * (weather-observation analog), then aggregate per day. */
+  def dayBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ship = Tables.lineitem(s, dir)
+      .select(date_trunc("day", $"l_shipdate").as("day_ts"), $"l_quantity")
+    val orderDay = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", $"o_orderdate").as("day_ts"))
+      .agg(
+        sum($"o_totalprice".cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+    ship.join(orderDay, "day_ts")
+      .groupBy($"day_ts")
+      .agg(
+        count(lit(1)).as("n_ship"),
+        sum($"l_quantity".cast(D2)).cast(D2).as("sum_qty"),
+        max($"n_orders").as("n_orders"),
+        max($"sum_price").as("sum_price"))
+  }
+
+  private val dayBucketJoinSql =
+    """WITH ship AS (
+      |  SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day_ts, l_quantity FROM lineitem),
+      |od AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day_ts,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+      |         count(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT s.day_ts, count(*) AS n_ship,
+      |       CAST(SUM(CAST(s.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |       max(od.n_orders) AS n_orders, max(od.sum_price) AS sum_price
+      |FROM ship s JOIN od USING (day_ts) GROUP BY s.day_ts""".stripMargin
+
+  /** As-of join within the `events` stream: for every purchase, the timestamp
+    * of the most recent prior error by the same user. One shuffle on
+    * `user_id`, one sort per partition — the idiomatic Spark as-of plan. */
+  def asofLastError(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"event_type" === "purchase" || $"event_type" === "error")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("err_ts", when($"event_type" === "error", $"ts"))
+      .withColumn("last_error_ts", last($"err_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("purchase_ts"), $"last_error_ts")
+  }
+
+  private val asofLastErrorSql =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |       CAST(e.ts AS TIMESTAMP) AS last_error_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
+
+  /** Hourly demand per event type — the "demand per zone-hour" flagship grain
+    * (`/root/reference/readme.md:136`): tumbling-window style hash agg. */
+  def demandByHour(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast(D2).as("sum_value"))
+  }
+
+  private val demandByHourSql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+      |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_join_day" -> ((s, d) => dayBucketJoin(s, d)),
+    "q_asof_last_error" -> ((s, d) => asofLastError(s, d)),
+    "q_demand_by_hour" -> ((s, d) => demandByHour(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_time_join_day" -> dayBucketJoinSql,
+    "q_asof_last_error" -> asofLastErrorSql,
+    "q_demand_by_hour" -> demandByHourSql,
+  )
+}

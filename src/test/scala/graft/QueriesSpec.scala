@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide SparkSession, UTC, AQE on). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every registered query runs on sf0.001 without error") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name returned negative count")
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("cleanTrips enforces the cleaning contract (P3/P4)") {
+    val df = operators.Relational.cleanTrips(spark, sf)
+    val bad = df.filter(
+      col("pickup_ts").isNull || col("pickup_zone_id").isNull ||
+        col("dropoff_zone_id").isNull ||
+        col("trip_distance") <= 0 || col("total_amount") <= 0)
+    assert(bad.count() == 0)
+  }
+
+  test("dedupAppend is idempotent (J1 MERGE semantics, readme.md:30)") {
+    // appending the full staging batch over a 3/4 fact leaves exactly the
+    // full batch: per-flag counts equal raw lineitem per-flag counts
+    val appended = operators.Relational.dedupAppend(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val raw = Tables.lineitem(spark, sf).count()
+    assert(appended == raw, s"appended=$appended raw=$raw")
+  }
+
+  test("asof join: matched error never later than the purchase") {
+    val df = operators.TimeJoins.asofLastError(spark, sf)
+    val bad = df.filter(col("last_error_ts") > col("purchase_ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("csv roundtrip preserves nation exactly (S2/S3)") {
+    val rt = operators.Relational.csvRoundtrip(spark, sf)
+      .orderBy("n_nationkey").collect().toSeq
+    val orig = Tables.nation(spark, sf)
+      .orderBy("n_nationkey").collect().toSeq
+    assert(rt == orig)
+  }
+}
