@@ -21,12 +21,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.TimeJoins.queries ++
-      functions.Json.queries
+      functions.Json.queries ++
+      operators.TextAnalysis.queries ++
+      operators.DedupOps.queries ++
+      operators.SimilarityOps.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.TimeJoins.oracle ++
-      functions.Json.oracle
+      functions.Json.oracle ++
+      operators.TextAnalysis.oracle ++
+      operators.DedupOps.oracle ++
+      operators.SimilarityOps.oracle ++
+      operators.Multimodal.oracle
 }

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (driver mandate;
+  * SURVEY.md §7 Phase 6): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale posture: every near-dup variant avoids the O(n²) all-pairs join —
+  * MinHash banding and SimHash banding turn it into equi-joins on band keys
+  * (shuffle-partitionable, skew-safe because band values are hashes); the
+  * brute-force Jaccard variant exists as the oracle-checkable baseline and is
+  * blocked by `lang` to bound the pair count.
+  */
+object DedupOps {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** 3-token shingle set per document (distinct, order-insensitive). */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    array_distinct(transform(
+      sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+  }
+
+  /** Sorted distinct 64-bit hashes of the shingle set. Pairwise work happens
+    * on these, never on strings: hashing is done once per document, and the
+    * per-pair intersection is the zero-allocation `sorted_intersect_count`
+    * merge scan. Hash collisions (~|sh|²/2⁶⁴) are negligible, so Jaccard on
+    * hashes equals Jaccard on the strings — which is what the oracle checks. */
+  private def hashedShingles(c: Column): Column =
+    array_sort(array_distinct(transform(shingles(c), x => xxhash64(x))))
+
+  /** |A∩B| / (|A|+|B|-|A∩B|) over sorted hashed shingle arrays. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.ArrayOps.sortedIntersectCount(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Exact dedup by content hash: one hash-groupBy, no joins. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"text")
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_id"))
+      .select(md5($"text").as("text_hash"), $"n_copies", $"keep_id")
+  }
+
+  /** Brute-force n-gram Jaccard near-dup, blocked by language: the
+    * oracle-checkable baseline. The `lang` equi-key bounds pairs to
+    * (n/langs)² per partition; at real scale the MinHash variant below
+    * replaces it. */
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    graft.functions.ArrayOps.register(s)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", hashedShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val a = docs.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = docs.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("lang"))
+      .filter($"doc_a" < $"doc_b")
+      // size-ratio upper bound: jaccard <= min(|A|,|B|)/max(|A|,|B|) — prunes
+      // hopeless pairs before the O(n) intersect; never removes a true pair
+      .filter(least(size($"sh_a"), size($"sh_b")).cast("double")
+        >= lit(threshold) * greatest(size($"sh_a"), size($"sh_b")))
+      .select($"lang", $"doc_a", $"doc_b",
+        round(jaccard($"sh_a", $"sh_b"), 6).as("jacc"))
+      .filter($"jacc" > threshold)
+  }
+
+  /** MinHash + LSH banding near-dup:
+    * shingle → 32 minhash permutations (xxhash64 with permutation index as
+    * seed column) → 16 bands × 2 rows → equi-join on (band, band_hash) →
+    * exact-Jaccard verification of candidates only. The only shuffles are the
+    * band-key join and a distinct — no all-pairs comparison anywhere.
+    * Deterministic (hash-based permutations, no RNG). Rows-only check: LSH
+    * recall is probabilistic, no SQL oracle reproduces it. */
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    graft.functions.ArrayOps.register(s)
+    val numPerm = 32
+    val rowsPerBand = 2
+    val numBands = numPerm / rowsPerBand
+
+    // Hashed shingle sets are reused by four plan branches (both band-join
+    // sides, both verification sides) — persist the small per-doc table
+    // instead of recomputing the shingling 4×. ~0.5 KB/doc: fits memory at
+    // any realistic docs-per-executor; spills to disk otherwise.
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", hashedShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Signatures via explode + 32 min-aggregates: one shuffle on doc_id,
+    // fully codegen'd — no nested array HOFs, no 32 intermediate arrays/row.
+    // Shingles were hashed to longs once; permutations re-hash the long
+    // (cheap) rather than the string.
+    val minAggs = (0 until numPerm).map(p => min(xxhash64($"h", lit(p))).as(s"m$p"))
+    val sig = docs
+      .select($"doc_id", explode($"sh").as("h"))
+      .groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+
+    // Band keys straight from the 32 signature columns (2 rows/band).
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(col(s"m${rowsPerBand * b}"), col(s"m${rowsPerBand * b + 1}")).as("bh"))
+    }
+    val bands = sig.select($"doc_id", explode(array(bandCols: _*)).as("e"))
+      .select($"doc_id", $"e.band", $"e.bh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val candidates = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+
+    candidates
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b", round(jaccard($"sh_a", $"sh_b"), 6).as("jacc"))
+      .filter($"jacc" > threshold)
+  }
+
+  /** SimHash: 64-bit signature per document from per-token xxhash64 bit
+    * votes (explode → one hash-agg on doc_id with 64 codegen'd conditional
+    * sums), then banded hamming-distance candidates (4 bands × 16 bits →
+    * equi-join) with `bit_count(xor) <= maxHamming` verification. Rows-only
+    * check (Spark-specific hashing). */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    import s.implicits._
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sigBits = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    val sigs = Tables.documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+      .groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id", sigBits.reduce(_.bitwiseOR(_)).as("simhash"))
+
+    // per-band 16-bit slices via static shifts (shift amounts must be literals)
+    val sliced = sigs.select($"doc_id", $"simhash",
+      explode(array(
+        struct(lit(0).as("band"), $"simhash".bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(1).as("band"), shiftrightunsigned($"simhash", 16).bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(2).as("band"), shiftrightunsigned($"simhash", 32).bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(3).as("band"), shiftrightunsigned($"simhash", 48).bitwiseAND(lit(0xFFFFL)).as("bv")))).as("e"))
+      .select($"doc_id", $"simhash", $"e.band", $"e.bv")
+
+    sliced.as("x").join(sliced.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup over `embeddings.embedding` using the native
+    * `cosine_sim` expression. Brute-force pair join (broadcast nested-loop on
+    * the small side) — the oracle baseline; LSH-bucketed ANN lives in
+    * SimilarityOps for the scale path. */
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+    a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        round(VectorOps.cosineSim($"v_a", $"v_b"), 6).as("cos_sim"))
+      .filter($"cos_sim" > threshold)
+  }
+
+  private val shingleSql =
+    """list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) => exactDedup(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "q_minhash_pairs" -> ((s, d) => minhashLsh(s, d)),
+    "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "q_embed_neardup" -> ((s, d) => embeddingNearDup(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY text""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $shingleSql AS sh
+         |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+         |  WHERE len(t) >= 3)
+         |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jacc
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) > 0.3""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4""".stripMargin,
+    // q_minhash_pairs / q_simhash_pairs: rows-only (probabilistic LSH recall,
+    // Spark-specific hash permutations)
+  )
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings.embedding`
+  * column (driver mandate; SURVEY.md §7 Phase 6).
+  *
+  * Two paths:
+  *  - `knnBruteForce`: exact top-k per query via the codegen'd `cosine_sim`
+  *    expression + a per-query top-k window. The correctness baseline the
+  *    DuckDB oracle can reproduce.
+  *  - `knnLsh`: sign-random-projection LSH — deterministic ±1 hyperplanes
+  *    derived from a hash of (plane, dim), bucket on the signature prefix,
+  *    exact re-rank only within the bucket. The 100 TB path: candidate
+  *    generation is an equi-join on bucket id, never an all-pairs product.
+  */
+object SimilarityOps {
+
+  /** Exact brute-force top-k: queries × candidates via broadcast of the
+    * (small) query side, ranked per query. Ranking uses the 6-dp-rounded
+    * similarity with vec_id tiebreak so Spark and the oracle agree even at
+    * float boundaries. */
+  def knnBruteForce(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val scored = c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"cand_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
+  /** Deterministic ±1 hyperplane weights for plane `p`: a pure function of
+    * (p, dim) — reproducible across runs, no RNG state to ship. */
+  private def planeWeights(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+      if ((h & 1) == 0) 1.0 else -1.0
+    }
+
+  /** Sign-random-projection LSH ANN: 8-bit signature (8 hyperplanes) →
+    * bucket equi-join → exact cosine re-rank within bucket. Recall is
+    * probabilistic → rows-only check. */
+  def knnLsh(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+
+    def signature(v: Column): Column =
+      (0 until nPlanes).map { p =>
+        val w = typedlit(planeWeights(p, dims))
+        val dot = aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", signature($"embedding").as("bucket"))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"bucket")
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"), $"bucket")
+
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"cand_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
+    "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_knn_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, cand_id, cos_sim,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    // q_knn_lsh: rows-only (probabilistic bucketing)
+  )
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, document fingerprinting, language-ID (driver mandate;
+  * SURVEY.md §7 Phase 6). All per-document work is row-local — codegen'd
+  * higher-order functions over a token array, no UDFs, no shuffles — so it
+  * scales embarrassingly-parallel to 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization shared by every text operator (and mirrored as
+    * `regexp_split_to_array(trim(text), '\s+')` in the oracle SQL). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  private val StopWords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Per-language keyword profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcastable everywhere. */
+  private val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "is", "en" -> "small",
+    "es" -> "el", "es" -> "de", "es" -> "la", "es" -> "y", "es" -> "rapido",
+    "de" -> "der", "de" -> "und", "de" -> "die", "de" -> "ist", "de" -> "klein",
+    "fr" -> "le", "fr" -> "et", "fr" -> "la", "fr" -> "est", "fr" -> "petit",
+    "zh" -> "shi", "zh" -> "de", "zh" -> "he", "zh" -> "da", "zh" -> "xiao")
+
+  /** Token counts per document (whitespace tokenizer). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", size(tokens($"text")).as("n_tokens"), $"n_chars")
+  }
+
+  /** Quality scoring: token count, average token length, stopword ratio,
+    * punctuation ratio, and a composite score — the usual cheap pre-filters
+    * before expensive dedup/training stages. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("double")
+    val nPunct = length(regexp_replace($"text", "[^.,!?;:]", "")).cast("double")
+    val nonWs = length(regexp_replace($"text", "\\s", "")).cast("double")
+    Tables.documents(s, dir).select(
+      $"doc_id", $"lang",
+      size(toks).as("n_tokens"),
+      round(nonWs / nTok, 6).as("avg_token_len"),
+      round(nStop / nTok, 6).as("stopword_ratio"),
+      round(nPunct / $"n_chars".cast("double"), 6).as("punct_ratio"),
+      round((lit(1.0) - nStop / nTok) * least(nTok, lit(200.0)) / 200.0, 6).as("quality_score"))
+  }
+
+  /** Canonical fingerprint: md5 over lowercased, whitespace-normalized
+    * tokens — the exact-dedup key that survives formatting differences. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      md5(concat_ws(" ", transform(tokens($"text"), lower(_)))).as("fp"))
+  }
+
+  /** Rolling (shift-xor) hash over per-token xxhash64 values — an
+    * order-sensitive 64-bit document fingerprint built from bitwise ops only
+    * (no arithmetic overflow under ANSI mode). Not SQL-oracle-expressible
+    * (xxhash64 seed/impl is Spark-specific) → rows-only check. */
+  def rollingHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = transform(tokens($"text"), t => xxhash64(t))
+    val rolled = aggregate(hashes, lit(0L),
+      (acc, h) => shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
+    Tables.documents(s, dir).select($"doc_id", rolled.as("rolling_fp"))
+  }
+
+  /** Language-ID heuristic: explode tokens, broadcast-join the keyword
+    * profiles, count hits per (doc, lang), argmax via `max_by` with a
+    * deterministic tiebreak. One narrow explode + broadcast join + one
+    * shuffle on doc_id — scales linearly in tokens. Rows-only (heuristic has
+    * no SQL oracle). */
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profile = LangProfiles.toDF("cand_lang", "word")
+    val hits = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens(lower($"text"))).as("word"))
+      .join(broadcast(profile), "word")
+      .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("n_hits"))
+      .groupBy($"doc_id")
+      .agg(max_by($"cand_lang", struct($"n_hits", $"cand_lang")).as("pred_lang"),
+        max($"n_hits").as("n_hits"))
+    Tables.documents(s, dir).select($"doc_id", $"lang")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"pred_lang", lit("und")).as("pred_lang"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+  }
+
+  private val tokSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats" -> ((s, d) => tokenStats(s, d)),
+    "q_text_quality" -> ((s, d) => qualityScore(s, d)),
+    "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
+    "q_rolling_hash" -> ((s, d) => rollingHash(s, d)),
+    "q_lang_id" -> ((s, d) => languageId(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_token_stats" ->
+      s"""SELECT doc_id, lang, CAST(len($tokSql) AS INTEGER) AS n_tokens, n_chars
+         |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, text, $tokSql AS toks FROM documents)
+         |SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens,
+         | round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+         | round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+         | round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_chars, 6) AS punct_ratio,
+         | round((1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks))
+         |       * least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0, 6) AS quality_score
+         |FROM t""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         | md5(array_to_string(list_transform($tokSql, x -> lower(x)), ' ')) AS fp
+         |FROM documents""".stripMargin,
+    // q_rolling_hash, q_lang_id: rows-only (Spark-specific hashing / heuristic)
+  )
+}

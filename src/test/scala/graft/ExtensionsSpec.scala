@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("cosine_sim expression: known values, zero-norm safety") {
+    import spark.implicits._
+    functions.VectorOps.register(spark)
+    val df = Seq(
+      (Array(1.0f, 0f, 0f), Array(1.0f, 0f, 0f), 1.0),
+      (Array(1.0f, 0f, 0f), Array(0f, 1.0f, 0f), 0.0),
+      (Array(1.0f, 2f, 0f), Array(0f, 0f, 0f), 0.0), // zero norm -> 0, not NaN
+      (Array(3.0f, 4f, 0f), Array(6.0f, 8f, 0f), 1.0)
+    ).toDF("a", "b", "expected")
+    val bad = df.filter(
+      abs(functions.VectorOps.cosineSim($"a", $"b") - $"expected") > 1e-12)
+    assert(bad.count() == 0)
+    // interpreted path must agree with codegen path
+    val viaSql = spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 0.9922778767136677) < 1e-12)
+  }
+
+  test("sorted_intersect_count: merge scan matches array_intersect") {
+    import spark.implicits._
+    functions.ArrayOps.register(spark)
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(-5L, 0L, 2L), Seq(-5L, 2L, 8L))
+    ).toDF("a", "b")
+    val bad = df.filter(
+      functions.ArrayOps.sortedIntersectCount($"a", $"b")
+        =!= size(array_intersect($"a", $"b")))
+    assert(bad.count() == 0)
+  }
+
+  test("minhash LSH pairs are a subset of (and here equal to) brute-force truth") {
+    // at sf0.001 the lang-unblocked truth is small enough to compute directly
+    val mh = operators.DedupOps.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force without lang blocking = ground truth
+    import spark.implicits._
+    functions.ArrayOps.register(spark)
+    val bf = operators.DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every lang-blocked true pair must be found by LSH (high-recall config)
+    assert(bf.subsetOf(mh), s"LSH missed ${bf -- mh}")
+  }
+
+  test("simhash: identical docs have hamming 0 to themselves (sanity)") {
+    val pairs = operators.DedupOps.simhashPairs(spark, sf)
+    assert(pairs.filter(col("hamming") < 0 || col("hamming") > 8).count() == 0)
+  }
+
+  test("knn: brute-force top-k has exactly k rows per query, ranked") {
+    val k = operators.SimilarityOps.knnBruteForce(spark, sf, k = 5, nQueries = 3)
+    val counts = k.groupBy("query_id").count().collect()
+    assert(counts.length == 3 && counts.forall(_.getLong(1) == 5))
+    val badRank = k.filter(col("rank") < 1 || col("rank") > 5)
+    assert(badRank.count() == 0)
+  }
+
+  test("blob features: deterministic stub decode, n_bytes matches payload") {
+    val f = operators.Multimodal.blobFeatures(spark, sf)
+    val bad = f.filter(col("n_bytes") <= 0 || col("mean_byte") <= 0)
+    assert(bad.count() == 0)
+    // run twice -> identical checksums (determinism)
+    val a = f.orderBy("doc_id").collect().map(_.checksum).toSeq
+    val b = operators.Multimodal.blobFeatures(spark, sf)
+      .orderBy("doc_id").collect().map(_.checksum).toSeq
+    assert(a == b)
+  }
+}
