@@ -25,7 +25,9 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.DedupOps.queries ++
       operators.SimilarityOps.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      streaming.StreamingOps.queries ++
+      ml.Forecast.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +38,7 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.DedupOps.oracle ++
       operators.SimilarityOps.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      streaming.StreamingOps.oracle ++
+      ml.Forecast.oracle
 }

@@ -1,0 +1,91 @@
+package graft.ml
+
+import graft.Tables
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MLlib pipelines — the "prediction" the reference promises but never ships
+  * (`/root/reference/readme.md:134-137`: fact tables "power simple
+  * forecasting"; SURVEY.md §7 Phase 5).
+  *
+  * Two estimators over the fixture analogs:
+  *  - fare regression: `l_extendedprice ~ quantity, discount, tax` via
+  *    `VectorAssembler` + `LinearRegression` (the trips fare-model shape);
+  *  - demand forecast: events-per-(hour-of-day, weekday, type) via
+  *    `StringIndexer`→`OneHotEncoder`→`GBTRegressor` (the demand-per-zone-hour
+  *    model `readme.md:136` implies).
+  *
+  * Fixed seeds everywhere; queries return one metrics row (rows-only check —
+  * training is not SQL-expressible). Correctness is asserted as metric bounds
+  * in ScalaTest, not oracle hashes (SURVEY.md §5).
+  */
+object Forecast {
+
+  /** Linear fare model; returns one row of split sizes + RMSE/R².
+    *
+    * The fixture columns are mutually independent (verified: all pairwise
+    * correlations ≈ 0), so the label is the reference's revenue formula
+    * `extendedprice * (1 - discount)` — a real relationship the pipeline must
+    * recover (R² ≈ 1 asserted in tests) rather than noise it can't. */
+  def fareRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables.lineitem(s, dir)
+      .select($"l_extendedprice", $"l_discount",
+        ($"l_extendedprice" * $"l_discount").as("price_disc"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("label"))
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+
+    val pipeline = new Pipeline().setStages(Array(
+      new VectorAssembler()
+        .setInputCols(Array("l_extendedprice", "l_discount", "price_disc"))
+        .setOutputCol("features"),
+      new LinearRegression()
+        .setMaxIter(20).setRegParam(0.01).setSolver("l-bfgs")))
+    val model = pipeline.fit(train)
+    val pred = model.transform(test)
+
+    val rmse = new RegressionEvaluator().setMetricName("rmse").evaluate(pred)
+    val r2 = new RegressionEvaluator().setMetricName("r2").evaluate(pred)
+    Seq((train.count(), test.count(), rmse, r2))
+      .toDF("n_train", "n_test", "rmse", "r2")
+  }
+
+  /** GBT demand forecast on hourly event counts; returns one metrics row. */
+  def demandForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).cast("double").as("label"))
+      .select($"label", $"event_type",
+        hour($"hour_ts").cast("double").as("hod"),
+        dayofweek($"hour_ts").cast("double").as("dow"))
+    val Array(train, test) = hourly.randomSplit(Array(0.8, 0.2), seed = 42)
+
+    val pipeline = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol("event_type").setOutputCol("type_ix")
+        .setStringOrderType("alphabetAsc"),
+      new OneHotEncoder().setInputCol("type_ix").setOutputCol("type_oh"),
+      new VectorAssembler()
+        .setInputCols(Array("hod", "dow", "type_oh")).setOutputCol("features"),
+      new GBTRegressor().setMaxIter(10).setMaxDepth(4).setSeed(42)))
+    val model = pipeline.fit(train)
+    val pred = model.transform(test)
+
+    val rmse = new RegressionEvaluator().setMetricName("rmse").evaluate(pred)
+    val mae = new RegressionEvaluator().setMetricName("mae").evaluate(pred)
+    Seq((train.count(), test.count(), rmse, mae))
+      .toDF("n_train", "n_test", "rmse", "mae")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_fare_lr" -> ((s, d) => fareRegression(s, d)),
+    "q_ml_demand_gbt" -> ((s, d) => demandForecast(s, d)),
+  )
+
+  /** Training is not SQL-expressible — both entries are rows-only. */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.8 / §7 Phase 4).
+  *
+  * The reference's streaming shape is a scheduled micro-batch append — one
+  * weather observation per hourly cron firing
+  * (`/root/reference/dags/weather_realtime_etl.py:29`, `readme.md:190`) with
+  * no late data by construction. Here that becomes real Structured Streaming:
+  * a file source replayed with `Trigger.AvailableNow` (the exact semantics of
+  * a scheduled catch-up micro-batch), event-time tumbling/sliding windows,
+  * `withWatermark` bounds, and streaming dedup. Batch-equivalent SQL provides
+  * the oracle for every streaming query.
+  *
+  * Scale posture: windowed aggregation state is bounded by the watermark;
+  * `AvailableNow` chunks the backlog instead of one giant batch; the memory
+  * sink is a test harness detail — production would be a parquet/Kafka sink
+  * with checkpointing.
+  */
+object StreamingOps {
+
+  /** Physical schema of events.parquet as the reader sees it (`ts` surfaces
+    * as nanosecond longs under `nanosAsLong`; converted right after read). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val D2 = DecimalType(18, 2)
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory basePath; the fixture is a single
+    // file, so address it as a glob — glob resolution uses the parent
+    // directory as the base path
+    s.readStream.schema(rawSchema)
+      .parquet(s"$dir/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a streaming aggregate to a memory sink with AvailableNow and
+    * return the result table (complete mode — all windows). */
+  private def runToMemory(s: SparkSession, df: DataFrame, prefix: String): DataFrame = {
+    val name = prefix + "_" + java.util.UUID.randomUUID().toString.substring(0, 8)
+    val q = df.writeStream.outputMode("complete").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark — the
+    * streaming twin of `TimeJoins.demandByHour`; the batch query is its
+    * oracle. */
+  def hourlyWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast(D2).as("sum_value"))
+      .select($"window.start".as("hour_ts"), $"event_type", $"n", $"sum_value")
+    runToMemory(s, agg, "graft_hourly")
+  }
+
+  /** Sliding windows: 2-hour length, 1-hour slide — each event lands in two
+    * windows; the oracle reproduces that with a 2-way UNION ALL of shifted
+    * hour buckets. */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast(D2).as("sum_value"))
+      .select($"window.start".as("win_start"), $"n", $"sum_value")
+    runToMemory(s, agg, "graft_sliding")
+  }
+
+  /** Streaming dedup on event_id within the watermark, then a global count —
+    * the reference's idempotent-append guarantee, streamed. */
+  def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy().agg(count(lit(1)).as("n_events"))
+    runToMemory(s, agg, "graft_dedup")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
+    "q_stream_sliding" -> ((s, d) => slidingWindow(s, d)),
+    "q_stream_dedup" -> ((s, d) => streamingDedupCount(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH w AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, value FROM events
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR, value FROM events)
+        |SELECT win_start, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM w GROUP BY 1""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT count(DISTINCT event_id) AS n_events FROM events",
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingMlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming hourly window equals batch demand-by-hour") {
+    val stream = streaming.StreamingOps.hourlyWindow(spark, sf)
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    val batch = operators.TimeJoins.demandByHour(spark, sf)
+      .withColumnRenamed("hour_ts", "hour_ts")
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("watermark drops late rows in append mode (§2.8 late-data semantics)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val agg = ms.toDF().toDF("secs", "k")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("k"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("graft_wm_test").start()
+    try {
+      ms.addData((600L, "a"), (660L, "a")) // window [600,900) : 2 rows
+      q.processAllAvailable()
+      ms.addData((4000L, "b")) // watermark -> 4000-600=3400 closes [600,900)
+      q.processAllAvailable()
+      ms.addData((610L, "a")) // late beyond watermark: must be dropped
+      q.processAllAvailable()
+      ms.addData((8000L, "b")) // push watermark past [3900,4200)
+      q.processAllAvailable()
+      val rows = spark.table("graft_wm_test")
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("ws").getTime / 1000, r.getString(1), r.getLong(2)))
+      // the closed [600,900) window for "a" counts exactly the 2 on-time rows
+      assert(rows.contains((600L, "a", 2L)), s"got ${rows.toSeq}")
+      assert(!rows.exists { case (ws, k, n) => ws == 600L && k == "a" && n == 3L })
+    } finally q.stop()
+  }
+
+  test("streaming dedup count equals distinct event count") {
+    val n = streaming.StreamingOps.streamingDedupCount(spark, sf)
+      .collect()(0).getLong(0)
+    val expected = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(n == expected)
+  }
+
+  test("fare regression recovers the revenue formula (R² ≈ 1)") {
+    val row = ml.Forecast.fareRegression(spark, sf).collect()(0)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 > 0.999, s"r2=$r2")
+  }
+
+  test("GBT demand forecast trains and predicts within sane bounds") {
+    val row = ml.Forecast.demandForecast(spark, sf).collect()(0)
+    val rmse = row.getAs[Double]("rmse")
+    assert(row.getAs[Long]("n_train") > 0 && rmse > 0 && rmse < 10, s"rmse=$rmse")
+  }
+}
