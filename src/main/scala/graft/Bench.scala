@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session before timing: JIT, codegen cache, FS metadata —
+    // otherwise the alphabetically-first query absorbs ~8s of startup cost
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    } catch { case _: Throwable => () }
+
     // optional comma-separated filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -26,6 +26,7 @@ object SparkEntry {
       operators.DedupOps.queries ++
       operators.SimilarityOps.queries ++
       operators.Multimodal.queries ++
+      operators.OlapExtras.queries ++
       streaming.StreamingOps.queries ++
       ml.Forecast.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.DedupOps.oracle ++
       operators.SimilarityOps.oracle ++
       operators.Multimodal.oracle ++
+      operators.OlapExtras.oracle ++
       streaming.StreamingOps.oracle ++
       ml.Forecast.oracle
 }

@@ -119,11 +119,19 @@ object DedupOps {
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
 
-    candidates
+    val result = candidates
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .select($"doc_a", $"doc_b", round(jaccard($"sh_a", $"sh_b"), 6).as("jacc"))
       .filter($"jacc" > threshold)
+
+    // materialize the (small) pair list and release the intermediates now —
+    // leaked persisted blocks otherwise pile up across queries and strangle
+    // storage memory for the rest of the session
+    val out = result.localCheckpoint(true)
+    docs.unpersist(false)
+    bands.unpersist(false)
+    out
   }
 
   /** SimHash: 64-bit signature per document from per-token xxhash64 bit
