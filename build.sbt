@@ -24,7 +24,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Spark whole-stage codegen churns enough JIT'd classes across a long
+  // session that the default 240MB code cache silently flushes hot methods
+  // (10-40x slowdowns late in a run); give it real headroom.
+  "-XX:ReservedCodeCacheSize=2g",
+  // shuffle/spill dirs on RAM-backed tmpfs: the VM's root disk throttles
+  // under sustained IO and stalls whole stages (observed 40x degradations)
+  "-Dspark.local.dir=/dev/shm",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * forecasting"; SURVEY.md §7 Phase 5).
   *
   * Two estimators over the fixture analogs:
-  *  - fare regression: `l_extendedprice ~ quantity, discount, tax` via
+  *  - fare regression: revenue ~ price/discount features via
   *    `VectorAssembler` + `LinearRegression` (the trips fare-model shape);
   *  - demand forecast: events-per-(hour-of-day, weekday, type) via
   *    `StringIndexer`→`OneHotEncoder`→`GBTRegressor` (the demand-per-zone-hour
@@ -44,7 +44,7 @@ object Forecast {
         .setInputCols(Array("l_extendedprice", "l_discount", "price_disc"))
         .setOutputCol("features"),
       new LinearRegression()
-        .setMaxIter(20).setRegParam(0.01).setSolver("l-bfgs")))
+        .setRegParam(0.01).setSolver("normal")))
     val model = pipeline.fit(train)
     val pred = model.transform(test)
 

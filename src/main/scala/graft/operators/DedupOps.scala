@@ -60,9 +60,14 @@ object DedupOps {
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", hashedShingles($"text").as("sh"))
       .filter(size($"sh") > 0)
+    // deterministic plan: broadcast the (small) build side and spread the
+    // probe side across all cores — the fixture is a single parquet split, so
+    // without the repartition a broadcast join would run the whole O(pairs)
+    // scan on one task (observed: 16s vs 480s bimodality)
     val a = docs.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+      .repartition($"doc_a")
     val b = docs.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    a.join(b, Seq("lang"))
+    a.join(broadcast(b), Seq("lang"))
       .filter($"doc_a" < $"doc_b")
       // size-ratio upper bound: jaccard <= min(|A|,|B|)/max(|A|,|B|) — prunes
       // hopeless pairs before the O(n) intersect; never removes a true pair
@@ -178,9 +183,13 @@ object DedupOps {
     import s.implicits._
     VectorOps.register(s)
     val e = Tables.embeddings(s, dir)
+    // repartition the probe side for parallelism (single-split fixture) and
+    // broadcast the build side: inequality-only condition → nested loop,
+    // which must not run on one task
     val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+      .repartition($"id_a")
     val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
-    a.join(b, $"id_a" < $"id_b")
+    a.join(broadcast(b), $"id_a" < $"id_b")
       .select($"id_a", $"id_b",
         round(VectorOps.cosineSim($"v_a", $"v_b"), 6).as("cos_sim"))
       .filter($"cos_sim" > threshold)
