@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.OlapExtras.queries ++
       streaming.StreamingOps.queries ++
+      streaming.Sessionize.queries ++
       ml.Forecast.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.OlapExtras.oracle ++
       streaming.StreamingOps.oracle ++
+      streaming.Sessionize.oracle ++
       ml.Forecast.oracle
 }

@@ -227,7 +227,8 @@ object Relational {
     * the reference's null-literal contract
     * (`/root/reference/dags/etl_spark_historical.py:76-82,199-207,295`). */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      java.lang.ProcessHandle.current().pid()
     Tables.nation(s, dir).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(tmp)
     s.read

