@@ -31,6 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuffle/spill dirs on RAM-backed tmpfs: the VM's root disk throttles
   // under sustained IO and stalls whole stages (observed 40x degradations)
   "-Dspark.local.dir=/dev/shm",
+  "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
+  "-Dderby.system.home=/tmp/graft-derby",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: registers graft's native expressions at session build
+  * time, so a user can adopt the library with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` and call
+  * `cosine_sim` / `sorted_intersect_count` from SQL without any imperative
+  * registration call. (The `functions.VectorOps.register` path still works
+  * for sessions built without extensions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => functions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[functions.SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => functions.SortedIntersectCount(exprs(0), exprs(1))))
+  }
+}

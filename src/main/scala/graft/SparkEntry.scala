@@ -27,6 +27,7 @@ object SparkEntry {
       operators.SimilarityOps.queries ++
       operators.Multimodal.queries ++
       operators.OlapExtras.queries ++
+      operators.ScaleOps.queries ++
       streaming.StreamingOps.queries ++
       streaming.Sessionize.queries ++
       ml.Forecast.queries
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.SimilarityOps.oracle ++
       operators.Multimodal.oracle ++
       operators.OlapExtras.oracle ++
+      operators.ScaleOps.oracle ++
       streaming.StreamingOps.oracle ++
       streaming.Sessionize.oracle ++
       ml.Forecast.oracle

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-technique operators: the shuffle-management patterns a 100 TB
+  * deployment leans on — salting for skewed keys, partition-pruned scans,
+  * and bucketed co-located joins. Each is oracle-checked (the technique must
+  * not change the answer) and its plan property is asserted in ScalaTest
+  * (salt spreads the shuffle, pruning reaches the scan, bucketing removes
+  * the exchange).
+  */
+object ScaleOps {
+  private val D2 = DecimalType(18, 2)
+
+  /** Two-phase salted aggregation over a skewed key: phase 1 aggregates
+    * (key, salt) — spreading each hot key over `salts` reducers — phase 2
+    * merges the partials per key. Same answer as a direct groupBy; the plan
+    * has two exchanges but no hot partition. */
+  def saltedAgg(s: SparkSession, dir: String, salts: Int = 16): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(salts)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value".cast(D2)).as("ps"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), sum($"ps").cast(D2).as("sum_value"))
+  }
+
+  /** Partitioned write + pruned read: orders written partitioned by year,
+    * then scanned with a partition predicate — only the matching directory
+    * is read (`PartitionFilters` in the plan, asserted in tests). */
+  def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_" +
+      java.lang.ProcessHandle.current().pid()
+    Tables.orders(s, dir)
+      .withColumn("yr", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("yr").parquet(path)
+    s.read.parquet(path)
+      .filter($"yr" === 1996)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_price"))
+  }
+
+  /** Bucketed co-located join: both sides written bucketed by the join key,
+    * so the sort-merge join needs no shuffle exchange on either side — the
+    * pattern that turns a repeated 100 TB join into a local merge. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pid = java.lang.ProcessHandle.current().pid()
+    val (lt, ot) = (s"graft_li_bkt_$pid", s"graft_ord_bkt_$pid")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    val one = lit(1).cast(D2)
+    s.table(lt).join(s.table(ot), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(($"l_extendedprice".cast(D2) * (one - $"l_discount".cast(D2))))
+          .cast(DecimalType(18, 4)).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> ((s, d) => saltedAgg(s, d)),
+    "q_partitioned_scan" -> ((s, d) => partitionedScan(s, d)),
+    "q_bucketed_join" -> ((s, d) => bucketedJoin(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_partitioned_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+  )
+}

