@@ -77,12 +77,47 @@ object SimilarityOps {
       .filter($"rank" <= k)
   }
 
+  /** Exact top-k via the `top_k_by` TypedImperativeAggregate: one pass,
+    * O(k) state per query, map-side partials — the shuffle carries at most
+    * k pairs per (partition, query) where the window formulation shuffles
+    * and fully sorts every scored row. Same answer as `knnBruteForce`. */
+  def knnTopKAgg(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    graft.functions.TopKAgg.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"cos_sim", $"cand_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("cand_id"), $"col.score".as("cos_sim"),
+        ($"pos" + 1).cast("int").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
+    "q_knn_topk_agg" -> ((s, d) => knnTopKAgg(s, d)),
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
   )
 
+  private val knnOracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT query_id, cand_id, cos_sim,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+      |FROM scored
+      |QUALIFY rank <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_knn_topk_agg" -> knnOracleSql,
     "q_knn_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (

@@ -57,6 +57,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs.filter(col("hamming") < 0 || col("hamming") > 8).count() == 0)
   }
 
+  test("top_k_by aggregate equals the window-sort top-k formulation") {
+    val win = operators.SimilarityOps.knnBruteForce(spark, sf, k = 5, nQueries = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val agg = operators.SimilarityOps.knnTopKAgg(spark, sf, k = 5, nQueries = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(agg.nonEmpty && agg == win)
+  }
+
   test("knn: brute-force top-k has exactly k rows per query, ranked") {
     val k = operators.SimilarityOps.knnBruteForce(spark, sf, k = 5, nQueries = 3)
     val counts = k.groupBy("query_id").count().collect()
