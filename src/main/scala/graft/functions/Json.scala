@@ -57,6 +57,19 @@ object Json {
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
     }),
     "q_json_weather" -> ((s, _) => weatherParse(s)),
+    // F5 to_json: serialize a typed struct to JSON, re-parse, extract — the
+    // round-trip must be the identity on the typed fields (oracle checks the
+    // values; JSON text itself is never compared, SURVEY.md §7 hard-part 4)
+    "q_json_roundtrip" -> ((s, d) => {
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("pri", StringType)))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey").as("k"),
+            col("o_orderpriority").as("pri"))).as("j"))
+        .select(col("o_orderkey"), from_json(col("j"), schema).as("p"))
+        .select(col("o_orderkey"), col("p.k").as("k"), col("p.pri").as("pri"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -70,5 +83,7 @@ object Json {
     "q_json_weather" ->
       """SELECT 'New York' AS city, CAST(61.2 AS DOUBLE) AS temp_f,
         |       'light rain' AS weather_desc, CAST(78 AS INTEGER) AS humidity_pct""".stripMargin,
+    "q_json_roundtrip" ->
+      "SELECT o_orderkey, o_orderkey AS k, o_orderpriority AS pri FROM orders",
   )
 }

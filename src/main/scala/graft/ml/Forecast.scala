@@ -81,9 +81,47 @@ object Forecast {
       .toDF("n_train", "n_test", "rmse", "mae")
   }
 
+  /** CrossValidator over the demand LR: 2×2 hyperparameter grid, 3 folds,
+    * fixed seed — model selection machinery on the small hourly aggregate
+    * (SURVEY.md §7 Phase 5). Returns the winning params + metric. */
+  def demandCrossVal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).cast("double").as("label"))
+      .select($"label", $"event_type",
+        hour($"hour_ts").cast("double").as("hod"),
+        dayofweek($"hour_ts").cast("double").as("dow"))
+
+    val lr = new LinearRegression().setSolver("normal")
+    val pipeline = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol("event_type").setOutputCol("type_ix")
+        .setStringOrderType("alphabetAsc"),
+      new OneHotEncoder().setInputCol("type_ix").setOutputCol("type_oh"),
+      new VectorAssembler()
+        .setInputCols(Array("hod", "dow", "type_oh")).setOutputCol("features"),
+      lr))
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 1.0))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new RegressionEvaluator().setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3).setSeed(42)
+    val model = cv.fit(hourly)
+    val best = model.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .stages.last.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    Seq((best.getRegParam, best.getElasticNetParam, model.avgMetrics.min))
+      .toDF("best_reg_param", "best_elastic_net", "cv_rmse")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_fare_lr" -> ((s, d) => fareRegression(s, d)),
     "q_ml_demand_gbt" -> ((s, d) => demandForecast(s, d)),
+    "q_ml_cv" -> ((s, d) => demandCrossVal(s, d)),
   )
 
   /** Training is not SQL-expressible — both entries are rows-only. */

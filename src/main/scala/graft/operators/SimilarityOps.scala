@@ -99,10 +99,62 @@ object SimilarityOps {
         ($"pos" + 1).cast("int").as("rank"))
   }
 
+  /** IVF-style ANN: KMeans partitions the vectors into cells (the "inverted
+    * file"), each query probes its `nProbe` closest centroids, and only
+    * vectors in probed cells are scored exactly (via `cosine_sim`) and
+    * top-k'd (via the `top_k_by` aggregate). Candidate generation is an
+    * equi-join on cell id — at 100 TB the cell assignment is a one-off
+    * batch job and each query touches nProbe/nCells of the data. Rows-only
+    * (cell boundaries are approximate). */
+  def knnIvf(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    VectorOps.register(s)
+    graft.functions.TopKAgg.register(s)
+
+    val ev = Tables.embeddings(s, dir)
+      .withColumn("fv", array_to_vector($"embedding"))
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(ev)
+    val assigned = model.transform(ev)
+      .select($"vec_id", $"embedding", $"cell").persist()
+
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+
+    val q = assigned.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell")
+    val probes = q.crossJoin(broadcast(cents))
+      .select($"query_id", $"qv", $"cell",
+        VectorOps.cosineSim($"qv", $"centroid").as("csim"))
+      .withColumn("pr", row_number().over(w))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"qv", $"cell")
+
+    val out = probes
+      .join(assigned.select($"cell", $"vec_id".as("cand_id"), $"embedding".as("cv")), "cell")
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"), $"cand_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"cos_sim", $"cand_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("cand_id"), $"col.score".as("cos_sim"),
+        ($"pos" + 1).cast("int").as("rank"))
+      .localCheckpoint(true)
+    assigned.unpersist(false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
     "q_knn_topk_agg" -> ((s, d) => knnTopKAgg(s, d)),
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
+    "q_knn_ivf" -> ((s, d) => knnIvf(s, d)),
   )
 
   private val knnOracleSql =

@@ -58,6 +58,25 @@ class StreamingMlSpec extends AnyFunSuite {
     assert(r2 > 0.999, s"r2=$r2")
   }
 
+  test("CrossValidator selects a model and reports finite CV rmse") {
+    val row = ml.Forecast.demandCrossVal(spark, sf).collect()(0)
+    val rmse = row.getAs[Double]("cv_rmse")
+    assert(rmse > 0 && rmse < 10 && !rmse.isNaN, s"cv_rmse=$rmse")
+  }
+
+  test("IVF ANN recall vs brute force is well above the random-probe floor") {
+    val bf = operators.SimilarityOps.knnBruteForce(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.SimilarityOps.knnIvf(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // 4/16 probes over near-random vectors: random subsetting alone would
+    // give ~0.25; centroid-guided probing must do meaningfully better
+    assert(recall >= 0.35, s"recall=$recall")
+  }
+
   test("GBT demand forecast trains and predicts within sane bounds") {
     val row = ml.Forecast.demandForecast(spark, sf).collect()(0)
     val rmse = row.getAs[Double]("rmse")
