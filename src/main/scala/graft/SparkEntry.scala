@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.OlapExtras.queries ++
       operators.ScaleOps.queries ++
+      operators.Composition.queries ++
       streaming.StreamingOps.queries ++
       streaming.Sessionize.queries ++
       ml.Forecast.queries
@@ -44,6 +45,7 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.OlapExtras.oracle ++
       operators.ScaleOps.oracle ++
+      operators.Composition.oracle ++
       streaming.StreamingOps.oracle ++
       streaming.Sessionize.oracle ++
       ml.Forecast.oracle

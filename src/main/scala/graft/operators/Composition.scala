@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Remaining analytics surface + an end-to-end curation pipeline:
+  * exact percentiles, pivot, and the composed quality→dedup flow a
+  * training-data pipeline runs before near-dup removal.
+  */
+object Composition {
+  private val D2 = DecimalType(18, 2)
+
+  /** Exact linear-interpolation percentiles per group — Spark `percentile`
+    * and DuckDB `quantile_cont` share the definition, so values agree to
+    * float precision (rounded to 4dp for the hash compare). */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty"))
+  }
+
+  /** Pivot: order counts per year × priority, with an explicit value list so
+    * the output schema is deterministic. */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("yr"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  /** Curation pipeline: quality-gate → canonical-fingerprint dedup → keep
+    * the lowest doc_id per fingerprint. The deterministic core of a
+    * training-data curation flow (near-dup removal then chains
+    * `DedupOps.minhashLsh` on the survivors). Fully oracle-checkable. */
+  def curate(s: SparkSession, dir: String, minTokens: Int = 30,
+      maxStopRatio: Double = 0.4): DataFrame = {
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val nTok = size(toks).cast("double")
+    val stopRatio =
+      size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in",
+        "is", "on", "for", "with"))).cast("double") / nTok
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_ratio", stopRatio)
+      .filter($"n_tokens" >= minTokens && $"stop_ratio" <= maxStopRatio)
+      .withColumn("fp", md5(concat_ws(" ", transform(toks, lower(_)))))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dupes"),
+        max($"n_tokens").as("n_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> ((s, d) => percentiles(s, d)),
+    "q_pivot" -> ((s, d) => pivotOrders(s, d)),
+    "q_curate" -> ((s, d) => curate(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+        | COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        | COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        | COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        | COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        | COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, len(toks) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |         md5(array_to_string(list_transform(toks, x -> lower(x)), ' ')) AS fp
+        |  FROM t)
+        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dupes,
+        |       CAST(max(n_tokens) AS INTEGER) AS n_tokens
+        |FROM scored
+        |WHERE n_tokens >= 30 AND stop_ratio <= 0.4
+        |GROUP BY fp""".stripMargin,
+  )
+}

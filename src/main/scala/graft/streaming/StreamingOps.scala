@@ -89,10 +89,55 @@ object StreamingOps {
     runToMemory(s, agg, "graft_dedup")
   }
 
+  /** Stream-static join: the streaming feed enriched against a small static
+    * dimension (broadcast — no stream state), then windowed. The canonical
+    * "stream joins a warehouse dim table" shape. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(
+      ("click", "interaction"), ("view", "interaction"),
+      ("purchase", "commerce"), ("signup", "commerce"),
+      ("error", "ops")).toDF("event_type", "category")
+    val agg = eventsStream(s, dir)
+      .join(broadcast(dim), "event_type")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"category")
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast(D2).as("sum_value"))
+      .select($"window.start".as("hour_ts"), $"category", $"n", $"sum_value")
+    runToMemory(s, agg, "graft_stream_static")
+  }
+
+  /** Stream-stream interval self-join: each purchase matched to the same
+    * user's errors in the preceding hour. Watermarks on both sides bound the
+    * join state; append mode emits once the watermark passes. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val purchases = eventsStream(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = eventsStream(s, dir)
+      .filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("error_id"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    val joined = purchases.join(errors,
+      expr("""p_user = e_user AND
+              e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"""))
+      .select($"p_user".as("user_id"), $"purchase_id", $"error_id")
+
+    val name = "graft_ss_join_" + java.util.UUID.randomUUID().toString.substring(0, 8)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
     "q_stream_sliding" -> ((s, d) => slidingWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamingDedupCount(s, d)),
+    "q_stream_static_join" -> ((s, d) => streamStaticJoin(s, d)),
+    "q_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -110,5 +155,19 @@ object StreamingOps {
         |FROM w GROUP BY 1""".stripMargin,
     "q_stream_dedup" ->
       "SELECT count(DISTINCT event_id) AS n_events FROM events",
+    "q_stream_static_join" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('click','interaction'), ('view','interaction'),
+        |  ('purchase','commerce'), ('signup','commerce'), ('error','ops'))
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, category,
+        |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts""".stripMargin,
   )
 }
