@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Benchmark main: runs every registered query on `SPARK_GRAFT_SF_DIR` and
+  * prints ONE JSON line `{"metric","value","unit","queries","sf",...}`.
+  *
+  * Storm hedge: this host suffers episodic hypervisor CPU-steal storms
+  * (~1-2 min, a few times per hour, measured via /proc/stat) that inflate
+  * whatever runs inside them 10-40×. Every measurement records the steal
+  * fraction over its own interval; a query whose best measurement so far was
+  * storm-tainted (steal > 5%) is re-measured in later round-robin passes (up
+  * to 3 retries) while the wall budget lasts, and the per-query MINIMUM is
+  * reported. A clean pass does no re-measurement at all — so the hedge costs
+  * nothing when idle and engages exactly when a storm hits, including inside
+  * the driver's single invocation (the round-1 design spent a fixed 300 s
+  * budget on pass 1 itself and never hedged).
+  */
 object Bench {
+
+  /** (steal jiffies, total jiffies) from the aggregate cpu line. */
+  private def cpuJiffies(): (Long, Long) = {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      (f(7), f.sum)
+    } finally src.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,8 +52,10 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def measure(round: Int, name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    /** One timed run → (secs, ok, steal fraction over the run's interval). */
+    def measure(pass: Int, name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Double) = {
+      val (s0, t0j) = cpuJiffies()
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune computed columns — windows/projections would be
@@ -40,41 +68,51 @@ object Bench {
           false
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] r$round $name%-24s $secs%8.2fs  ok=$ok")
-      secs
+      val (s1, t1j) = cpuJiffies()
+      val steal = if (t1j > t0j) (s1 - s0).toDouble / (t1j - t0j) else 0.0
+      System.err.println(f"[bench] p$pass $name%-24s $secs%8.2fs  ok=$ok steal=${steal * 100}%.1f%%")
+      (secs, ok, steal)
     }
 
-    // two interleaved rounds, per-query minimum: this host suffers episodic
-    // hypervisor CPU-steal storms lasting ~1-2 min (measured via /proc/stat)
-    // that inflate whatever runs inside them 10-40x; interleaving means a
-    // storm covering round 1's tail is hedged by round 2's clean measurement.
-    // Round 2 stops once the wall budget is spent so the driver's timeout is
-    // never at risk — remaining queries keep their round-1 numbers.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toInt
+    val stealTol = 0.05
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
-    val r1 = selected.map { case (n, fn) => n -> measure(1, n, fn) }
-    val r2 = selected.map { case (n, fn) =>
-      n -> (if (elapsed < budget) Some(measure(2, n, fn)) else None)
+
+    val best = mutable.Map[String, Double]()
+    val failed = mutable.LinkedHashSet[String]()
+    // queries still wanting a clean (untainted) measurement
+    val need = mutable.LinkedHashSet(selected.map(_._1): _*)
+    var pass = 1
+    while (need.nonEmpty && pass <= 4 && (pass == 1 || elapsed < budget)) {
+      for ((n, fn) <- selected if need(n) && (pass == 1 || elapsed < budget)) {
+        val (secs, ok, steal) = measure(pass, n, fn)
+        best(n) = math.min(best.getOrElse(n, Double.MaxValue), secs)
+        if (!ok) { failed += n; need -= n } // deterministic failure: don't burn budget
+        else if (steal <= stealTol) need -= n
+      }
+      pass += 1
     }
-    val results = r1.zip(r2).map { case ((n, a), (_, b)) =>
-      n -> math.min(a, b.getOrElse(a))
-    }
+
+    val results = selected.map { case (n, _) => n -> best(n) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // print + flush BEFORE teardown: stdout is fully buffered when
     // redirected, and a hung shutdown would otherwise take the JSON with it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
     // streaming state-store maintenance can make spark.stop() crawl for
     // minutes; stop streams explicitly and bound the shutdown with a watchdog
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    val exitCode = if (failed.nonEmpty) 1 else 0
     val watchdog = new Thread(() => {
-      Thread.sleep(30000); Runtime.getRuntime.halt(0)
+      Thread.sleep(30000); Runtime.getRuntime.halt(exitCode)
     })
     watchdog.setDaemon(true)
     watchdog.start()
     spark.stop()
+    sys.exit(exitCode)
   }
 }

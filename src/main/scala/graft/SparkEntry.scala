@@ -23,6 +23,7 @@ object SparkEntry {
       operators.TimeJoins.queries ++
       functions.Json.queries ++
       operators.TextAnalysis.queries ++
+      operators.TextFeatures.queries ++
       operators.DedupOps.queries ++
       operators.SimilarityOps.queries ++
       operators.Multimodal.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.TimeJoins.oracle ++
       functions.Json.oracle ++
       operators.TextAnalysis.oracle ++
+      operators.TextFeatures.oracle ++
       operators.DedupOps.oracle ++
       operators.SimilarityOps.oracle ++
       operators.Multimodal.oracle ++

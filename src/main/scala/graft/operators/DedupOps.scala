@@ -19,12 +19,17 @@ object DedupOps {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** 3-token shingle set per document (distinct, order-insensitive). */
+  /** 3-token shingle set per document (distinct, order-insensitive).
+    * Guarded for short documents: with <3 tokens `sequence(0, size-3)`
+    * descends (e.g. sequence(0,-1) = [0,-1]) and the slice throws — mirror
+    * the oracle's `len(t) >= 3` predicate with an empty set instead. */
   private def shingles(c: Column): Column = {
     val t = toks(c)
-    array_distinct(transform(
-      sequence(lit(0), size(t) - 3),
-      i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", slice(t, i + 1, lit(3))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Sorted distinct 64-bit hashes of the shingle set. Pairwise work happens
@@ -51,31 +56,40 @@ object DedupOps {
   }
 
   /** Brute-force n-gram Jaccard near-dup, blocked by language: the
-    * oracle-checkable baseline. The `lang` equi-key bounds pairs to
-    * (n/langs)² per partition; at real scale the MinHash variant below
-    * replaces it. */
+    * oracle-checkable baseline. At real scale the MinHash variant below
+    * replaces it.
+    *
+    * Scale-safe all-pairs plan: a shuffled equi-join on (lang, block-pair)
+    * instead of broadcasting an unbounded side. Each doc gets a deterministic
+    * block g ∈ [0, G); side A replicates across (g_a, *) and side B across
+    * (*, g_b), so every pair meets exactly once — in the partition keyed
+    * (lang, g_a, g_b). Both sides shuffle G× their size, no task holds more
+    * than (n_lang/G)² candidates, and nothing unbounded is broadcast (AQE may
+    * still broadcast at fixture scale — that is the correct adaptive choice,
+    * not a plan property). */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     import s.implicits._
     graft.functions.ArrayOps.register(s)
+    val G = 8
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", hashedShingles($"text").as("sh"))
       .filter(size($"sh") > 0)
-    // deterministic plan: broadcast the (small) build side and spread the
-    // probe side across all cores — the fixture is a single parquet split, so
-    // without the repartition a broadcast join would run the whole O(pairs)
-    // scan on one task (observed: 16s vs 480s bimodality)
-    val a = docs.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-      .repartition($"doc_a")
-    val b = docs.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    a.join(broadcast(b), Seq("lang"))
+      .withColumn("g", pmod(xxhash64($"doc_id"), lit(G)))
+    val a = docs.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"), $"g".as("ga"))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+    val b = docs.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"), $"g".as("gb"))
+      .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
+    a.join(b, Seq("lang", "ga", "gb"))
       .filter($"doc_a" < $"doc_b")
       // size-ratio upper bound: jaccard <= min(|A|,|B|)/max(|A|,|B|) — prunes
       // hopeless pairs before the O(n) intersect; never removes a true pair
       .filter(least(size($"sh_a"), size($"sh_b")).cast("double")
         >= lit(threshold) * greatest(size($"sh_a"), size($"sh_b")))
-      .select($"lang", $"doc_a", $"doc_b",
-        round(jaccard($"sh_a", $"sh_b"), 6).as("jacc"))
-      .filter($"jacc" > threshold)
+      // filter on the UNROUNDED jaccard (the oracle does the same); round
+      // only the reported value
+      .select($"lang", $"doc_a", $"doc_b", jaccard($"sh_a", $"sh_b").as("jacc_raw"))
+      .filter($"jacc_raw" > threshold)
+      .select($"lang", $"doc_a", $"doc_b", round($"jacc_raw", 6).as("jacc"))
   }
 
   /** MinHash + LSH banding near-dup:
@@ -182,14 +196,17 @@ object DedupOps {
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     import s.implicits._
     VectorOps.register(s)
+    // same blocked all-pairs shape as ngramJaccard: equi-join on the block
+    // pair (ga, gb) — shuffled and bounded per task, no unbounded broadcast
+    val G = 8
     val e = Tables.embeddings(s, dir)
-    // repartition the probe side for parallelism (single-split fixture) and
-    // broadcast the build side: inequality-only condition → nested loop,
-    // which must not run on one task
-    val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
-      .repartition($"id_a")
-    val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
-    a.join(broadcast(b), $"id_a" < $"id_b")
+      .withColumn("g", pmod(xxhash64($"vec_id"), lit(G)))
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"), $"g".as("ga"))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"), $"g".as("gb"))
+      .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
+    a.join(b, Seq("ga", "gb"))
+      .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b",
         round(VectorOps.cosineSim($"v_a", $"v_b"), 6).as("cos_sim"))
       .filter($"cos_sim" > threshold)

@@ -5,14 +5,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video payloads as opaque `binary`
-  * columns with typed metadata, plus a feature-extraction pass (driver
+  * columns with typed metadata, plus feature-extraction passes (driver
   * mandate; SURVEY.md §7 Phase 6).
   *
-  * The container has no image/audio codec libraries, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (clearly marked below). Everything around it — the
-  * binary payload column, metadata struct schema, partition-preserving
-  * `mapPartitions` batch shape, and the typed output Encoder — is the real
-  * production plumbing a codec would drop into.
+  * Two tiers:
+  *  - `blobFeatures`: byte-level statistics with a STUB decode body (clearly
+  *    marked below) — the plumbing template for codecs this container lacks
+  *    (JPEG/PNG/MP3 need native libs);
+  *  - `imageDecode` / `audioDecode`: REAL codecs for two headerful formats
+  *    that need no external libs — 24-bit BMP and 16-bit PCM WAV. The
+  *    payloads are genuine well-formed files (written by `encodeBmp` /
+  *    `encodeWav` from deterministic doc-derived pixels/samples) and the
+  *    decoders parse the actual headers (magic, dimensions, sample counts)
+  *    and payload bytes. Header fields are oracle-checked; channel/sample
+  *    statistics are round-trip-asserted in ScalaTest.
+  *
+  * All decode work runs in `mapPartitions` — one decoder context per
+  * partition, streaming over rows — the batch shape a Python stack would
+  * express as a Pandas UDF under `mapInPandas`.
   */
 object Multimodal {
 
@@ -87,9 +97,178 @@ object Multimodal {
       math.rint(mean * 1e6) / 1e6, max, checksum)
   }
 
+  // ===== real BMP / WAV codecs (no external libs needed) =====
+
+  /** Image dims derived deterministically from doc length (small on purpose;
+    * the point is real encode/decode, not pixel volume). */
+  private def imgDims(nChars: Long): (Int, Int) =
+    (4 + (nChars % 13).toInt, 4 + (nChars % 11).toInt)
+
+  /** Doc-derived pixel bytes: utf-8 text bytes cycled to length n. */
+  private def cycled(src: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = src(i % src.length); i += 1 }
+    out
+  }
+
+  /** REAL 24-bit BMP writer: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER
+    * (40 B) + bottom-up BGR rows padded to 4-byte boundaries — byte-exact
+    * per the public BMP format spec. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        buf.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR on disk
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decoded image features: header fields + per-channel means. */
+  final case class ImageFeatures(
+      doc_id: Long, img_w: Int, img_h: Int, bpp: Int, n_pixels: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL BMP parser: validates the `BM` magic, reads the pixel-array offset
+    * and BITMAPINFOHEADER dims/bpp, walks the padded bottom-up BGR rows. */
+  def decodeBmp(docId: Long, bytes: Array[Byte]): ImageFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP")
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    require(bpp == 24, s"unsupported bpp=$bpp")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      val row = dataOffset + (h - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < w) {
+        sb += bytes(row + x * 3) & 0xFF
+        sg += bytes(row + x * 3 + 1) & 0xFF
+        sr += bytes(row + x * 3 + 2) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    ImageFeatures(docId, w, h, bpp, w * h,
+      math.rint(sr / n * 1e6) / 1e6,
+      math.rint(sg / n * 1e6) / 1e6,
+      math.rint(sb / n * 1e6) / 1e6)
+  }
+
+  /** documents → real BMP payloads → parsed features, one codec pass per
+    * partition. Header fields (w/h/bpp/n_pixels) are oracle-checked against
+    * the dims formula; channel means are round-trip-asserted in ScalaTest. */
+  def imageDecode(s: SparkSession, dir: String): Dataset[ImageFeatures] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nChars) =>
+          val (w, h) = imgDims(nChars)
+          val bmp = encodeBmp(w, h, cycled(text.getBytes("UTF-8"), w * h * 3))
+          decodeBmp(id, bmp)
+        }
+      }
+  }
+
+  /** REAL 16-bit mono PCM WAV writer: canonical 44-byte RIFF/fmt/data
+    * header + little-endian samples. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decoded audio features: header fields + RMS/peak over PCM samples. */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Int, rms: Double, peak: Int)
+
+  /** REAL WAV parser: validates RIFF/WAVE magic, walks chunks to `fmt ` and
+    * `data`, reads rate + PCM samples. */
+  def decodeWav(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "WAVE",
+      "not a WAV")
+    var pos = 12
+    var rate = 0
+    var dataPos = -1
+    var dataLen = 0
+    while (pos + 8 <= bytes.length && (rate == 0 || dataPos < 0)) {
+      val id = new String(bytes, pos, 4)
+      val len = buf.getInt(pos + 4)
+      if (id == "fmt ") rate = buf.getInt(pos + 12)
+      else if (id == "data") { dataPos = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && dataPos >= 0, "missing fmt/data chunk")
+    val n = dataLen / 2
+    var sumSq = 0.0
+    var peak = 0
+    var i = 0
+    while (i < n) {
+      val v = buf.getShort(dataPos + i * 2).toInt
+      sumSq += v.toDouble * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      i += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+    AudioFeatures(docId, rate, n, math.rint(rms * 1e6) / 1e6, peak)
+  }
+
+  /** documents → real WAV payloads (samples = centered doc bytes × 256,
+    * n_samples = n_chars % 500 + 100) → parsed features. */
+  def audioDecode(s: SparkSession, dir: String): Dataset[AudioFeatures] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nChars) =>
+          val nSamples = (nChars % 500).toInt + 100
+          val src = text.getBytes("UTF-8")
+          val samples = Array.tabulate(nSamples) { i =>
+            (((src(i % src.length) & 0xFF) - 128) * 256).toShort
+          }
+          decodeWav(id, encodeWav(16000, samples))
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_blob_meta" -> ((s, d) => blobMeta(s, d)),
     "q_blob_features" -> ((s, d) => blobFeatures(s, d).toDF()),
+    "q_image_decode" -> ((s, d) => imageDecode(s, d).toDF()
+      .select("doc_id", "img_w", "img_h", "bpp", "n_pixels")),
+    "q_audio_decode" -> ((s, d) => audioDecode(s, d).toDF()
+      .select("doc_id", "sample_rate", "n_samples")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -99,6 +278,19 @@ object Multimodal {
         |       CAST(n_chars % 480 AS INTEGER) AS img_h,
         |       CASE WHEN n_chars % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
         |FROM documents""".stripMargin,
-    // q_blob_features: rows-only (stubbed decoder)
+    // header fields round-trip through the REAL BMP/WAV encode→parse path;
+    // the oracle recomputes them from the deterministic dims/sample formulas
+    "q_image_decode" ->
+      """SELECT doc_id,
+        |       CAST(4 + n_chars % 13 AS INTEGER) AS img_w,
+        |       CAST(4 + n_chars % 11 AS INTEGER) AS img_h,
+        |       CAST(24 AS INTEGER) AS bpp,
+        |       CAST((4 + n_chars % 13) * (4 + n_chars % 11) AS INTEGER) AS n_pixels
+        |FROM documents""".stripMargin,
+    "q_audio_decode" ->
+      """SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+        |       CAST(n_chars % 500 + 100 AS INTEGER) AS n_samples
+        |FROM documents""".stripMargin,
+    // q_blob_features: rows-only (stubbed decoder — byte stats only)
   )
 }

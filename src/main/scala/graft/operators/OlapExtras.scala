@@ -20,7 +20,7 @@ object OlapExtras {
       Tables.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum($"l_quantity".cast(D2)).cast(D2).as("sum_qty"))
+          sum($"l_quantity".cast(D2)).cast("double").as("sum_qty"))
     }),
     "q_cube" -> ((s, d) => {
       import s.implicits._
@@ -64,7 +64,7 @@ object OlapExtras {
   val oracle: Map[String, String] = Map(
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_cube" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr, o_orderpriority,

@@ -18,7 +18,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Money arithmetic is done in DECIMAL(18,2/4) — the fixture doubles are exact
   * 2-decimal values, so decimal sums are bit-exact across engines (no
-  * float-summation-order drift against the DuckDB oracle).
+  * float-summation-order drift against the DuckDB oracle). Final aggregate
+  * outputs are cast to DOUBLE on BOTH sides (Spark and oracle SQL): the exact
+  * decimal value converts deterministically (magnitudes ≪ 2^53), and DOUBLE is
+  * representation-stable under the driver's hash where DECIMAL is not
+  * (round-1 finding: 11/12 decimal-sum outputs hash-mismatched value-identical
+  * results).
   */
 object Relational {
   private val D2 = DecimalType(18, 2)
@@ -66,9 +71,21 @@ object Relational {
     val li = Tables.lineitem(s, dir)
     val fact = li.filter($"l_orderkey" % 4 =!= 0)    // prior load: 3/4 of rows
     val stg = li                                     // re-load of the full batch
-    val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
-      "l_quantity", "l_extendedprice", "l_shipdate")
-    fact.unionByName(stg.join(fact, keys, "left_anti"))
+    // Pre-hash the 6-column key (floats compared for exact binary equality,
+    // as the reference's MERGE does — values round-trip bit-identically) into
+    // two independently-seeded 64-bit columns. The anti-join then shuffles
+    // 16 bytes/row of fact instead of the 6-column key (~50 bytes), and the
+    // 128-bit combined key makes a false merge (a stg row silently dropped)
+    // vanishingly unlikely even at 10^12 rows (~n²/2^128).
+    val keyCols = Seq($"l_orderkey", $"l_linenumber", $"l_suppkey",
+      $"l_quantity", $"l_extendedprice", $"l_shipdate")
+    def k1(c: Seq[Column]) = xxhash64(c: _*)
+    def k2(c: Seq[Column]) = xxhash64(lit("graft_k2") +: c: _*)
+    val factKeys = fact.select(k1(keyCols).as("k1"), k2(keyCols).as("k2"))
+    val fresh = stg.withColumn("k1", k1(keyCols)).withColumn("k2", k2(keyCols))
+      .join(factKeys, Seq("k1", "k2"), "left_anti")
+      .drop("k1", "k2")
+    fact.unionByName(fresh)
       .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
   }
 
@@ -92,9 +109,9 @@ object Relational {
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec2($"l_quantity")).cast(D2).as("sum_qty"),
-        sum(dec2($"l_extendedprice")).cast(D2).as("sum_base_price"),
-        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount"))).cast(D4).as("sum_disc_price"),
+        sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount"))).cast("double").as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("n"))
@@ -102,9 +119,9 @@ object Relational {
 
   private val pricingSummarySql =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       | round(avg(l_quantity), 4) AS avg_qty,
       | round(avg(l_discount), 6) AS avg_disc,
       | count(*) AS n
@@ -123,13 +140,13 @@ object Relational {
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
-        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount"))).cast(D4).as("revenue"),
+        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount"))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   private val revenueByNationSql =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
       | count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -195,7 +212,7 @@ object Relational {
         row_number().over(w).as("rn"),
         sum(dec2(col("l_quantity")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(D2).as("run_qty"))
+          .cast("double").as("run_qty"))
     }),
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -265,7 +282,7 @@ object Relational {
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
     "q_window_lag" ->

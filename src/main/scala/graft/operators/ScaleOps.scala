@@ -26,7 +26,7 @@ object ScaleOps {
       .groupBy($"event_type", $"salt")
       .agg(count(lit(1)).as("pn"), sum($"value".cast(D2)).as("ps"))
       .groupBy($"event_type")
-      .agg(sum($"pn").as("n"), sum($"ps").cast(D2).as("sum_value"))
+      .agg(sum($"pn").as("n"), sum($"ps").cast("double").as("sum_value"))
   }
 
   /** Partitioned write + pruned read: orders written partitioned by year,
@@ -43,7 +43,7 @@ object ScaleOps {
       .filter($"yr" === 1996)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        sum($"o_totalprice".cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_price"))
+        sum($"o_totalprice".cast(DecimalType(18, 4))).cast("double").as("sum_price"))
   }
 
   /** Bucketed co-located join: both sides written bucketed by the join key,
@@ -66,7 +66,7 @@ object ScaleOps {
       .groupBy($"o_orderpriority")
       .agg(
         sum(($"l_extendedprice".cast(D2) * (one - $"l_discount".cast(D2))))
-          .cast(DecimalType(18, 4)).as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -79,16 +79,16 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     "q_partitioned_scan" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
         |GROUP BY o_orderpriority""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,

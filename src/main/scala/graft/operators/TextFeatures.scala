@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.ml.feature.{CountVectorizer, HashingTF, IDF, NGram, Normalizer, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standard MLlib text-feature pipeline (SURVEY.md §7 Phase 6): RegexTokenizer
+  * → StopWordsRemover → NGram / CountVectorizer / HashingTF → IDF →
+  * Normalizer. The reference ships `sentence-transformers` for embedding
+  * production (`/root/reference/docker-compose.yaml:69`); this is the
+  * deterministic, dependency-free stand-in — hashed TF-IDF document vectors —
+  * that feeds the ANN/near-dup operators end-to-end from `documents.text`.
+  *
+  * Scale posture: tokenize/stop/n-gram/hashing are row-local (no shuffle);
+  * IDF is one treeAggregate over sparse vectors; the n-gram count and top-term
+  * queries are single hash aggregations. Nothing here is all-pairs or
+  * driver-side.
+  */
+object TextFeatures {
+
+  /** The same 10 stopwords TextAnalysis scores against — small enough to
+    * mirror literally in the DuckDB oracle. */
+  private val StopWords =
+    Array("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** lower + split on \s+ + drop empties (= the oracle's
+    * `regexp_split_to_array(trim(lower(text)), '\s+')`). */
+  private def tokenizer = new RegexTokenizer()
+    .setInputCol("text").setOutputCol("toks")
+    .setPattern("\\s+").setToLowercase(true).setMinTokenLength(1)
+
+  private def stopRemover = new StopWordsRemover()
+    .setInputCol("toks").setOutputCol("kept").setStopWords(StopWords)
+
+  /** doc_id + stopword-filtered lowercase tokens. */
+  private def keptTokens(s: SparkSession, dir: String): DataFrame =
+    stopRemover.transform(tokenizer.transform(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("kept"))
+
+  /** Corpus bigram counts over stopword-filtered tokens — the
+    * oracle-checkable face of the NGram transformer (plain SQL in DuckDB). */
+  def ngramCounts(s: SparkSession, dir: String, minCount: Long = 3): DataFrame = {
+    import s.implicits._
+    val ng = new NGram().setN(2).setInputCol("kept").setOutputCol("bigrams")
+    ng.transform(keptTokens(s, dir))
+      .select(explode($"bigrams").as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minCount)
+  }
+
+  private val keptSql =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |            x -> x NOT IN ('the','a','of','and','to','in','is','on','for','with'))""".stripMargin
+
+  private val ngramCountsSql =
+    s"""WITH f AS (SELECT $keptSql AS k FROM documents),
+       |b AS (SELECT unnest([array_to_string(k[i:i+1], ' ') for i in range(1, len(k))]) AS bigram FROM f)
+       |SELECT bigram, count(*) AS n FROM b GROUP BY bigram HAVING count(*) >= 3""".stripMargin
+
+  /** Document frequency per term (stopword-filtered) — the IDF numerator,
+    * oracle-checkable. */
+  def docFreq(s: SparkSession, dir: String, minDf: Long = 5): DataFrame = {
+    import s.implicits._
+    keptTokens(s, dir)
+      .select($"doc_id", explode(array_distinct($"kept")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .filter($"df" >= minDf)
+  }
+
+  private val docFreqSql =
+    s"""WITH f AS (SELECT doc_id, list_distinct($keptSql) AS k FROM documents),
+       |t AS (SELECT doc_id, unnest(k) AS term FROM f)
+       |SELECT term, count(*) AS df FROM t GROUP BY term HAVING count(*) >= 5""".stripMargin
+
+  /** Top TF-IDF terms per document (first `nDocs` docs, top `k` terms):
+    * CountVectorizer keeps the vocabulary so feature indices map back to
+    * terms; IDF reweights; ties broken by term string for determinism.
+    * Rows-only (MLlib vocab/idf internals aren't SQL-reproducible); bounds
+    * asserted in ScalaTest. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3, nDocs: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val kept = keptTokens(s, dir)
+    val cv = new CountVectorizer().setInputCol("kept").setOutputCol("tf")
+      .setVocabSize(4096).fit(kept)
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(cv.transform(kept))
+    val vocab = cv.vocabulary.zipWithIndex
+      .map { case (t, i) => (i, t) }.toSeq.toDF("term_idx", "term")
+    val scored = idf.transform(cv.transform(kept))
+      .filter($"doc_id" < nDocs)
+      .select($"doc_id", posexplode(vector_to_array($"tfidf")))
+      .filter($"col" > 0.0)
+      .withColumnRenamed("pos", "term_idx").withColumnRenamed("col", "score")
+      .join(broadcast(vocab), "term_idx")
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"rank", $"term", round($"score", 6).as("tfidf"))
+  }
+
+  /** Deterministic document embeddings: HashingTF(dims) → IDF → L2
+    * Normalizer, emitted as `array<float>` — the same column shape as the
+    * `embeddings` fixture, so every ANN operator (brute-force, top_k_by,
+    * LSH, IVF) runs unchanged on generated vectors. Rows-only (hash-bucketed
+    * term indices have no SQL twin); norm/shape bounds in ScalaTest. */
+  def docEmbeddings(s: SparkSession, dir: String, dims: Int = 64): DataFrame = {
+    import s.implicits._
+    val kept = keptTokens(s, dir)
+    val tfd = new HashingTF().setInputCol("kept").setOutputCol("tf")
+      .setNumFeatures(dims).transform(kept)
+    val idf = new IDF().setInputCol("tf").setOutputCol("idf_vec").fit(tfd)
+    val norm = new Normalizer().setInputCol("idf_vec").setOutputCol("emb").setP(2.0)
+    norm.transform(idf.transform(tfd))
+      .select($"doc_id".as("vec_id"),
+        transform(vector_to_array($"emb"), _.cast("float")).as("embedding"))
+  }
+
+  /** Generated embeddings → exact ANN top-k via the `top_k_by` aggregate:
+    * the end-to-end "produce vectors, then search them" loop the reference
+    * gestures at with sentence-transformers + a vector store. */
+  def docKnn(s: SparkSession, dir: String, k: Int = 3, nQueries: Int = 5): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorOps.register(s)
+    graft.functions.TopKAgg.register(s)
+    val e = docEmbeddings(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val out = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+      .join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        round(graft.functions.VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"cos_sim", $"cand_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("cand_id"), $"col.score".as("cos_sim"),
+        ($"pos" + 1).cast("int").as("rank"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_counts" -> ((s, d) => ngramCounts(s, d)),
+    "q_doc_freq" -> ((s, d) => docFreq(s, d)),
+    "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
+    "q_doc_embed" -> ((s, d) => docEmbeddings(s, d)),
+    "q_doc_knn" -> ((s, d) => docKnn(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ngram_counts" -> ngramCountsSql,
+    "q_doc_freq" -> docFreqSql,
+    // q_tfidf_topterms: rows-only (MLlib vocabulary/IDF internals)
+  )
+}

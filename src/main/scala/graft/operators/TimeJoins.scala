@@ -37,9 +37,9 @@ object TimeJoins {
       .groupBy($"day_ts")
       .agg(
         count(lit(1)).as("n_ship"),
-        sum($"l_quantity".cast(D2)).cast(D2).as("sum_qty"),
+        sum($"l_quantity".cast(D2)).cast("double").as("sum_qty"),
         max($"n_orders").as("n_orders"),
-        max($"sum_price").as("sum_price"))
+        max($"sum_price").cast("double").as("sum_price"))
   }
 
   private val dayBucketJoinSql =
@@ -51,8 +51,8 @@ object TimeJoins {
       |         count(*) AS n_orders
       |  FROM orders GROUP BY 1)
       |SELECT s.day_ts, count(*) AS n_ship,
-      |       CAST(SUM(CAST(s.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |       max(od.n_orders) AS n_orders, max(od.sum_price) AS sum_price
+      |       CAST(SUM(CAST(s.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       max(od.n_orders) AS n_orders, CAST(max(od.sum_price) AS DOUBLE) AS sum_price
       |FROM ship s JOIN od USING (day_ts) GROUP BY s.day_ts""".stripMargin
 
   /** As-of join within the `events` stream: for every purchase, the timestamp
@@ -62,7 +62,11 @@ object TimeJoins {
     import s.implicits._
     val ev = Tables.events(s, dir)
       .filter($"event_type" === "purchase" || $"event_type" === "error")
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // errors sort BEFORE purchases at equal ts: the oracle's ASOF condition
+    // `p.ts >= e.ts` is inclusive, so a same-timestamp error must be visible
+    // to the purchase's running `last` regardless of event_id order
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", when($"event_type" === "error", 0).otherwise(1), $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("err_ts", when($"event_type" === "error", $"ts"))
       .withColumn("last_error_ts", last($"err_ts", ignoreNulls = true).over(w))
@@ -83,12 +87,12 @@ object TimeJoins {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast("double").as("sum_value"))
   }
 
   private val demandByHourSql =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
-      |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

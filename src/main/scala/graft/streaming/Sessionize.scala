@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Sessionization — the canonical custom-state streaming operator
@@ -96,8 +96,19 @@ object Sessionize {
   /** Streaming sessionization over the events replay: one `SessState` per
     * user in the state store; a session is emitted when the next event
     * arrives more than the gap after it ends. State is O(users), not
-    * O(events) — the 100 TB posture for stateful streams. */
-  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    * O(events) — the 100 TB posture for stateful streams.
+    *
+    * Ordering contract: events are sorted (ts, event_id) WITHIN each
+    * micro-batch; ACROSS batches the file replay must be non-decreasing in
+    * event time at session granularity (time-partitioned ingest — the normal
+    * layout for event logs; property-tested with a 2-file time-split). An
+    * event that lands inside the open session's [start, end] bounds is
+    * absorbed without corrupting them (min/max guards below); an event older
+    * than a closed gap boundary would still start a spurious session — full
+    * disorder tolerance needs watermark-buffered state, which trades away
+    * the emit-on-gap latency this operator exists for. */
+  def streamSessions(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = StructType(Seq(
@@ -106,7 +117,9 @@ object Sessionize {
       StructField("value", DoubleType), StructField("props", StringType)))
     val gapMicros = GapMinutes * 60L * 1000000L
 
-    val events = s.readStream.schema(rawSchema)
+    val reader = s.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val events = reader
       .parquet(s"$dir/[e]vents.parquet")
       .select($"user_id", $"event_id", expr("ts div 1000").as("tsMicros"))
       .as[Ev]
@@ -129,18 +142,19 @@ object Sessionize {
                 microsToTs(st.startMicros), microsToTs(st.endMicros), st.n)
               st = SessState(e.tsMicros, e.tsMicros, 1L, st.sessNo + 1)
             } else {
-              st = st.copy(endMicros = e.tsMicros, n = st.n + 1)
+              // min/max guards: a cross-batch straggler landing inside (or
+              // before) the open session's bounds must not move the end
+              // backwards or the start forwards
+              st = st.copy(
+                startMicros = math.min(st.startMicros, e.tsMicros),
+                endMicros = math.max(st.endMicros, e.tsMicros), n = st.n + 1)
             }
           }
           state.update(st)
           out.iterator
       }
 
-    val name = "graft_sessions_" + java.util.UUID.randomUUID().toString.substring(0, 8)
-    val q = sessions.toDF().writeStream.outputMode("append").format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
+    StreamingOps.runToParquet(s, sessions.toDF(), "graft_sessions", mode = "append")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -17,9 +17,10 @@ import org.apache.spark.sql.types._
   * the oracle for every streaming query.
   *
   * Scale posture: windowed aggregation state is bounded by the watermark;
-  * `AvailableNow` chunks the backlog instead of one giant batch; the memory
-  * sink is a test harness detail — production would be a parquet/Kafka sink
-  * with checkpointing.
+  * `AvailableNow` chunks the backlog instead of one giant batch; results are
+  * drained through `foreachBatch` → parquet (a distributed write — nothing is
+  * collected to the driver), exactly the sink shape a production deployment
+  * would use with checkpointing.
   */
 object StreamingOps {
 
@@ -42,14 +43,36 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Drain a streaming aggregate to a memory sink with AvailableNow and
-    * return the result table (complete mode — all windows). */
-  private def runToMemory(s: SparkSession, df: DataFrame, prefix: String): DataFrame = {
-    val name = prefix + "_" + java.util.UUID.randomUUID().toString.substring(0, 8)
-    val q = df.writeStream.outputMode("complete").format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
+  /** Drain a streaming query through `foreachBatch` to parquet and return a
+    * reader over the result. Unlike a complete-mode memory sink (which pulls
+    * every window into driver memory — a driver bottleneck at scale), the
+    * micro-batch result is written as a distributed parquet job; state stays
+    * in executor state stores.
+    *
+    * `mode` = "complete" (stateful aggs: overwrite per trigger, last trigger
+    * wins) or "append" (joins: batches accumulate). Shuffle partitions are
+    * dropped to 8 for the stream's lifetime: each shuffle partition is a
+    * state-store instance to load+commit per micro-batch, and these results
+    * are ≤ a few thousand rows — 32 instances is pure overhead.
+    */
+  private[streaming] def runToParquet(s: SparkSession, df: DataFrame, prefix: String,
+      mode: String = "complete"): DataFrame = {
+    val base = "/dev/shm/graft_stream/" + prefix + "_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    val out = base + "/out"
+    val saveMode = if (mode == "complete") "overwrite" else "append"
+    val writeBatch: (DataFrame, Long) => Unit =
+      (batch, _) => batch.coalesce(1).write.mode(saveMode).parquet(out)
+    val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .foreachBatch(writeBatch)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+    s.read.parquet(out)
   }
 
   /** Tumbling 1-hour event-time windows with a 2-hour watermark — the
@@ -60,9 +83,9 @@ object StreamingOps {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast("double").as("sum_value"))
       .select($"window.start".as("hour_ts"), $"event_type", $"n", $"sum_value")
-    runToMemory(s, agg, "graft_hourly")
+    runToParquet(s, agg, "graft_hourly")
   }
 
   /** Sliding windows: 2-hour length, 1-hour slide — each event lands in two
@@ -73,20 +96,25 @@ object StreamingOps {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "2 hours", "1 hour"))
-      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast("double").as("sum_value"))
       .select($"window.start".as("win_start"), $"n", $"sum_value")
-    runToMemory(s, agg, "graft_sliding")
+    runToParquet(s, agg, "graft_sliding")
   }
 
   /** Streaming dedup on event_id within the watermark, then a global count —
-    * the reference's idempotent-append guarantee, streamed. */
+    * the reference's idempotent-append guarantee, streamed. The event-time
+    * column is part of the dedup key so the watermark actually evicts state
+    * (keys older than the watermark are dropped); with `event_id` alone the
+    * state would grow O(distinct ids) forever. A duplicate re-sent with a
+    * different ts would survive — acceptable for at-least-once replays, where
+    * duplicates carry the original event time. */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "ts")
       .groupBy().agg(count(lit(1)).as("n_events"))
-    runToMemory(s, agg, "graft_dedup")
+    runToParquet(s, agg, "graft_dedup")
   }
 
   /** Stream-static join: the streaming feed enriched against a small static
@@ -102,9 +130,9 @@ object StreamingOps {
       .join(broadcast(dim), "event_type")
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour"), $"category")
-      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).cast("double").as("sum_value"))
       .select($"window.start".as("hour_ts"), $"category", $"n", $"sum_value")
-    runToMemory(s, agg, "graft_stream_static")
+    runToParquet(s, agg, "graft_stream_static")
   }
 
   /** Stream-stream interval self-join: each purchase matched to the same
@@ -124,12 +152,7 @@ object StreamingOps {
       expr("""p_user = e_user AND
               e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"""))
       .select($"p_user".as("user_id"), $"purchase_id", $"error_id")
-
-    val name = "graft_ss_join_" + java.util.UUID.randomUUID().toString.substring(0, 8)
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
+    runToParquet(s, joined, "graft_ss_join", mode = "append")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,7 +166,7 @@ object StreamingOps {
   val oracle: Map[String, String] = Map(
     "q_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
-        |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_stream_sliding" ->
       """WITH w AS (
@@ -151,7 +174,7 @@ object StreamingOps {
         |  UNION ALL
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR, value FROM events)
         |SELECT win_start, count(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1""".stripMargin,
     "q_stream_dedup" ->
       "SELECT count(DISTINCT event_id) AS n_events FROM events",
@@ -160,7 +183,7 @@ object StreamingOps {
         |  ('click','interaction'), ('view','interaction'),
         |  ('purchase','commerce'), ('signup','commerce'), ('error','ops'))
         |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, category,
-        |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN dim USING (event_type)
         |GROUP BY 1, 2""".stripMargin,
     "q_stream_stream_join" ->

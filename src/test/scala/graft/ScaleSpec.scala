@@ -37,7 +37,7 @@ class ScaleSpec extends AnyFunSuite {
     val direct = Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("event_type").collect().toSeq
     assert(salted == direct)
   }

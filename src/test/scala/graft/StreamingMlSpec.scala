@@ -72,9 +72,9 @@ class StreamingMlSpec extends AnyFunSuite {
       .select("query_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
-    // 4/16 probes over near-random vectors: random subsetting alone would
-    // give ~0.25; centroid-guided probing must do meaningfully better
-    assert(recall >= 0.35, s"recall=$recall")
+    // 8/16 probes over the near-isotropic fixture vectors: offline sweep
+    // puts centroid-guided recall@5 at ~0.82 vs the 0.5 random-scan floor
+    assert(recall >= 0.8, s"recall=$recall")
   }
 
   test("GBT demand forecast trains and predicts within sane bounds") {
