@@ -5,16 +5,18 @@ import scala.collection.mutable
 /** Benchmark main: runs every registered query on `SPARK_GRAFT_SF_DIR` and
   * prints ONE JSON line `{"metric","value","unit","queries","sf",...}`.
   *
-  * Storm hedge: this host suffers episodic hypervisor CPU-steal storms
-  * (~1-2 min, a few times per hour, measured via /proc/stat) that inflate
-  * whatever runs inside them 10-40×. Every measurement records the steal
-  * fraction over its own interval; a query whose best measurement so far was
-  * storm-tainted (steal > 5%) is re-measured in later round-robin passes (up
-  * to 3 retries) while the wall budget lasts, and the per-query MINIMUM is
-  * reported. A clean pass does no re-measurement at all — so the hedge costs
-  * nothing when idle and engages exactly when a storm hits, including inside
-  * the driver's single invocation (the round-1 design spent a fixed 300 s
-  * budget on pass 1 itself and never hedged).
+  * Storm hedge: this host suffers episodic hypervisor slow windows that
+  * inflate whatever runs inside them 10-40×. Two observed modes: CPU-steal
+  * storms (visible in /proc/stat; ambient steal idles at 0-15%, storms far
+  * higher) and a stealth mode where steal reads ~0 yet trivial queries take
+  * 30 s+ (measured 2026-08-12: q_distinct_parts 33.6 s at 0.1% steal, 1.1 s
+  * clean). Every measurement is therefore tainted by EITHER steal > 20% OR
+  * wall time > 10 s (no single registered query exceeds 10 s clean at
+  * sf0.1); tainted queries are re-measured in later round-robin passes (≤3
+  * retries) while the wall budget lasts, and the per-query MINIMUM is
+  * reported. A clean pass re-measures nothing — the hedge costs nothing when
+  * idle and engages inside the driver's single invocation (the round-1
+  * design spent a fixed 300 s budget on pass 1 itself and never hedged).
   */
 object Bench {
 
@@ -75,7 +77,8 @@ object Bench {
     }
 
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toInt
-    val stealTol = 0.05
+    val stealTol = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_TOL", "0.20").toDouble
+    val slowSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_SEC", "10").toDouble
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
 
@@ -89,7 +92,7 @@ object Bench {
         val (secs, ok, steal) = measure(pass, n, fn)
         best(n) = math.min(best.getOrElse(n, Double.MaxValue), secs)
         if (!ok) { failed += n; need -= n } // deterministic failure: don't burn budget
-        else if (steal <= stealTol) need -= n
+        else if (steal <= stealTol && secs <= slowSec) need -= n
       }
       pass += 1
     }

@@ -11,24 +11,45 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
 /** Heap buffer: holds at most k (score, id) pairs; the WORST retained pair
-  * (lowest score, then largest id) sits at the top for O(log k) eviction. */
+  * (lowest score, then largest id) sits at index 0 for O(log k) eviction.
+  * Hand-rolled binary heap over parallel primitive arrays — the per-row
+  * `add` is the aggregate's hot path and must not box. */
 final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](math.max(1, k))
+  val ids = new Array[Long](math.max(1, k))
+  var size = 0
+
   // worse(a, b): a ranks below b
   private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 < s2 || (s1 == s2 && i1 > i2)
 
-  val heap = new java.util.PriorityQueue[(Double, Long)](
-    math.max(1, k),
-    (a: (Double, Long), b: (Double, Long)) =>
-      if (worse(a._1, a._2, b._1, b._2)) -1
-      else if (worse(b._1, b._2, a._1, a._2)) 1
-      else 0)
+  private def swap(i: Int, j: Int): Unit = {
+    val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+  }
 
   def add(score: Double, id: Long): Unit = {
-    if (heap.size < k) heap.add((score, id))
-    else {
-      val w = heap.peek()
-      if (worse(w._1, w._2, score, id)) { heap.poll(); heap.add((score, id)) }
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1
+      var i = size - 1 // sift up
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) { swap(i, p); i = p }
+        else i = 0
+      }
+    } else if (k > 0 && worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      var i = 0 // sift down
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+        if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+        if (m == i) done = true
+        else { swap(i, m); i = m }
+      }
     }
   }
 }
@@ -68,12 +89,13 @@ case class TopKByScore(
   }
 
   override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
-    other.heap.forEach(p => buf.add(p._1, p._2))
+    var i = 0
+    while (i < other.size) { buf.add(other.scores(i), other.ids(i)); i += 1 }
     buf
   }
 
   override def eval(buf: TopKBuffer): Any = {
-    val arr = buf.heap.toArray(new Array[(Double, Long)](buf.heap.size))
+    val arr = Array.tabulate(buf.size)(i => (buf.scores(i), buf.ids(i)))
     // best first: score desc, id asc
     val sorted = arr.sortBy { case (s, i) => (-s, i) }
     new GenericArrayData(sorted.map { case (s, i) =>
@@ -82,10 +104,11 @@ case class TopKByScore(
   }
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 4 + buf.heap.size * 16)
+    val bb = ByteBuffer.allocate(4 + 4 + buf.size * 16)
     bb.putInt(buf.k)
-    bb.putInt(buf.heap.size)
-    buf.heap.forEach { p => bb.putDouble(p._1); bb.putLong(p._2) }
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
     bb.array()
   }
 

@@ -61,33 +61,46 @@ object DedupOps {
     *
     * Scale-safe all-pairs plan: a shuffled equi-join on (lang, block-pair)
     * instead of broadcasting an unbounded side. Each doc gets a deterministic
-    * block g ∈ [0, G); side A replicates across (g_a, *) and side B across
-    * (*, g_b), so every pair meets exactly once — in the partition keyed
-    * (lang, g_a, g_b). Both sides shuffle G× their size, no task holds more
-    * than (n_lang/G)² candidates, and nothing unbounded is broadcast (AQE may
-    * still broadcast at fixture scale — that is the correct adaptive choice,
-    * not a plan property). */
+    * block g ∈ [0, G); blocks are paired TRIANGULARLY — side A replicates to
+    * (g, gb) for gb ≥ g, side B to (ga, g) for ga ≤ g — so each unordered
+    * block pair meets exactly once and the join emits each unordered doc pair
+    * once (off-diagonal) or twice (diagonal, halved by the id filter).
+    * Versus the naive G× full replication this halves both the shuffle and
+    * the join output. No task holds more than (n_lang/G)² candidates and
+    * nothing unbounded is broadcast (AQE may still broadcast at fixture
+    * scale — the correct adaptive choice, not a plan property). */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     import s.implicits._
     graft.functions.ArrayOps.register(s)
     val G = 8
     val docs = Tables.documents(s, dir)
+      // cheap precondition (= the oracle's len(t)>=3): filtering on size(sh)
+      // would evaluate the whole shingle pipeline a second time
+      .filter(size(toks($"text")) >= 3)
       .select($"doc_id", $"lang", hashedShingles($"text").as("sh"))
-      .filter(size($"sh") > 0)
       .withColumn("g", pmod(xxhash64($"doc_id"), lit(G)))
     val a = docs.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"), $"g".as("ga"))
-      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+      .withColumn("gb", explode(sequence($"ga", lit(G - 1))))
     val b = docs.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"), $"g".as("gb"))
-      .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
-    a.join(b, Seq("lang", "ga", "gb"))
-      .filter($"doc_a" < $"doc_b")
+      .withColumn("ga", explode(sequence(lit(0), $"gb")))
+    // SHUFFLE_HASH: spread the O(pairs) probe work across the
+    // lang × G(G+1)/2 block keys. A broadcast join here (AQE's pick at
+    // fixture scale, where the single-split probe side is one task) serializes
+    // the whole pair scan; at 100 TB neither side is broadcastable anyway.
+    a.join(b.hint("SHUFFLE_HASH"), Seq("lang", "ga", "gb"))
+      // diagonal blocks see both orientations and self-pairs: keep one
+      .filter($"ga" =!= $"gb" || $"doc_a" < $"doc_b")
       // size-ratio upper bound: jaccard <= min(|A|,|B|)/max(|A|,|B|) — prunes
       // hopeless pairs before the O(n) intersect; never removes a true pair
       .filter(least(size($"sh_a"), size($"sh_b")).cast("double")
         >= lit(threshold) * greatest(size($"sh_a"), size($"sh_b")))
       // filter on the UNROUNDED jaccard (the oracle does the same); round
-      // only the reported value
-      .select($"lang", $"doc_a", $"doc_b", jaccard($"sh_a", $"sh_b").as("jacc_raw"))
+      // only the reported value. Jaccard is symmetric, so off-diagonal pairs
+      // (arbitrary orientation) just canonicalize the id order on output.
+      .select($"lang",
+        least($"doc_a", $"doc_b").as("doc_a"),
+        greatest($"doc_a", $"doc_b").as("doc_b"),
+        jaccard($"sh_a", $"sh_b").as("jacc_raw"))
       .filter($"jacc_raw" > threshold)
       .select($"lang", $"doc_a", $"doc_b", round($"jacc_raw", 6).as("jacc"))
   }
@@ -111,8 +124,8 @@ object DedupOps {
     // instead of recomputing the shingling 4×. ~0.5 KB/doc: fits memory at
     // any realistic docs-per-executor; spills to disk otherwise.
     val docs = Tables.documents(s, dir)
+      .filter(size(toks($"text")) >= 3)
       .select($"doc_id", hashedShingles($"text").as("sh"))
-      .filter(size($"sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Signatures via explode + 32 min-aggregates: one shuffle on doc_id,
@@ -196,18 +209,21 @@ object DedupOps {
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     import s.implicits._
     VectorOps.register(s)
-    // same blocked all-pairs shape as ngramJaccard: equi-join on the block
-    // pair (ga, gb) — shuffled and bounded per task, no unbounded broadcast
+    // same triangular blocked all-pairs shape as ngramJaccard: equi-join on
+    // the block pair (ga ≤ gb) — shuffled and bounded per task, no unbounded
+    // broadcast; cosine is symmetric so ids canonicalize on output
     val G = 8
     val e = Tables.embeddings(s, dir)
       .withColumn("g", pmod(xxhash64($"vec_id"), lit(G)))
     val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"), $"g".as("ga"))
-      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+      .withColumn("gb", explode(sequence($"ga", lit(G - 1))))
     val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"), $"g".as("gb"))
-      .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
-    a.join(b, Seq("ga", "gb"))
-      .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b",
+      .withColumn("ga", explode(sequence(lit(0), $"gb")))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("ga", "gb"))
+      .filter($"ga" =!= $"gb" || $"id_a" < $"id_b")
+      .select(
+        least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b"),
         round(VectorOps.cosineSim($"v_a", $"v_b"), 6).as("cos_sim"))
       .filter($"cos_sim" > threshold)
   }

@@ -140,11 +140,15 @@ object StreamingOps {
     * join state; append mode emits once the watermark passes. */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val purchases = eventsStream(s, dir)
+    // one shared source DF for both sides of the self-join: Spark plans a
+    // single FileStreamSource scanned once per micro-batch, instead of two
+    // sources each listing and reading the input independently
+    val ev = eventsStream(s, dir)
+    val purchases = ev
       .filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
       .withWatermark("p_ts", "2 hours")
-    val errors = eventsStream(s, dir)
+    val errors = ev
       .filter($"event_type" === "error")
       .select($"user_id".as("e_user"), $"event_id".as("error_id"), $"ts".as("e_ts"))
       .withWatermark("e_ts", "2 hours")
