@@ -111,6 +111,9 @@ object Forecast {
       .setEvaluator(new RegressionEvaluator().setMetricName("rmse"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(3).setSeed(42)
+      // fit the 4 grid points concurrently per fold — the fits are tiny
+      // normal-equation solves; serially they just serialize job scheduling
+      .setParallelism(4)
     val model = cv.fit(hourly)
     val best = model.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
       .stages.last.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]

@@ -97,6 +97,44 @@ object TextAnalysis {
         coalesce($"n_hits", lit(0L)).as("n_hits"))
   }
 
+  /** Fixed-size token chunking — the context-window preparation step of an
+    * LLM training pipeline: each document becomes ⌈n/chunkTokens⌉ rows of at
+    * most `chunkTokens` tokens. Row-local (slice + posexplode, no shuffle),
+    * so it scales with the scan. */
+  def chunkDocs(s: SparkSession, dir: String, chunkTokens: Int = 50): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks",
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(toks) - 1) div $chunkTokens")),
+          i => slice($"toks", i * chunkTokens + 1, lit(chunkTokens)))))
+      .select($"doc_id", $"pos".cast("int").as("chunk_no"),
+        concat_ws(" ", $"col").as("chunk_text"),
+        size($"col").as("n_tokens"))
+  }
+
+  /** PII-style redaction: emails and URLs replaced by placeholder tags plus a
+    * caller-supplied sensitive-term list (word-boundary matched), with a
+    * per-document redaction count. Row-local regex work — the standard
+    * pre-training scrub pass. The fixture's synthetic vocabulary contains no
+    * emails/URLs, so the oracle-checked instance redacts fixture terms; the
+    * email/URL patterns ride along in the same pass. */
+  def redactPii(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("customer", "vector")): DataFrame = {
+    import s.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://\\S+"
+    val termRe = terms.mkString("\\b(", "|", ")\\b")
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace($"text", urlRe, "<URL>"), emailRe, "<EMAIL>"),
+      termRe, "<PII>")
+    Tables.documents(s, dir).select(
+      $"doc_id", scrubbed.as("clean_text"),
+      (regexp_count($"text", lit(termRe)) + regexp_count($"text", lit(emailRe))
+        + regexp_count($"text", lit(urlRe))).cast("int").as("n_redacted"))
+  }
+
   private val tokSql = """regexp_split_to_array(trim(text), '\s+')"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,6 +143,8 @@ object TextAnalysis {
     "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q_rolling_hash" -> ((s, d) => rollingHash(s, d)),
     "q_lang_id" -> ((s, d) => languageId(s, d)),
+    "q_chunk_docs" -> ((s, d) => chunkDocs(s, d)),
+    "q_redact_pii" -> ((s, d) => redactPii(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,6 +164,27 @@ object TextAnalysis {
       s"""SELECT doc_id,
          | md5(array_to_string(list_transform($tokSql, x -> lower(x)), ' ')) AS fp
          |FROM documents""".stripMargin,
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |             unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS chunk_no,
+         |             toks
+         |      FROM t)
+         |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+         |       array_to_string(toks[(chunk_no*50+1):(chunk_no*50+50)], ' ') AS chunk_text,
+         |       CAST(len(toks[(chunk_no*50+1):(chunk_no*50+50)]) AS INTEGER) AS n_tokens
+         |FROM c""".stripMargin,
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(customer|vector)\b', '<PII>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|vector)\b'))
+        |     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, 'https?://\S+')) AS INTEGER) AS n_redacted
+        |FROM documents""".stripMargin,
     // q_rolling_hash, q_lang_id: rows-only (Spark-specific hashing / heuristic)
   )
 }
