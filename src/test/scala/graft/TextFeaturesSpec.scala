@@ -53,6 +53,54 @@ class TextFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("triangular blocked near-dup join equals the unblocked all-pairs truth") {
+    import spark.implicits._
+    graft.functions.ArrayOps.register(spark)
+    // unblocked reference: plain lang self-join, same shingle/jaccard pipeline
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(trim($"text"), "\\s+")) >= 3)
+    val truth = operators.DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b", "jacc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every pair is ordered and unique — the triangular scheme emitted each
+    // unordered pair exactly once
+    assert(truth.forall { case (a, b, _) => a < b })
+    val ids = truth.map { case (a, b, _) => (a, b) }
+    assert(ids.size == truth.size)
+    // cross-check a handful of pairs against a direct per-pair computation
+    val sample = truth.take(3)
+    sample.foreach { case (a, b, jacc) =>
+      val Seq(ta, tb) = docs.filter($"doc_id".isin(a, b))
+        .orderBy($"doc_id") // a < b
+        .select($"text").collect().map(_.getString(0)).toSeq
+      def sh(t: String): Set[String] = {
+        val toks = t.trim.split("\\s+")
+        toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val (sa, sb) = (sh(ta), sh(tb))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(jacc - expect) < 1e-6, s"pair ($a,$b): $jacc vs $expect")
+    }
+  }
+
+  test("chunking reassembles to the original token stream") {
+    import spark.implicits._
+    val rows = operators.TextAnalysis.chunkDocs(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == docs.keySet)
+    rows.foreach { case (id, chunks) =>
+      val reassembled = chunks.sortBy(_.getAs[Int]("chunk_no"))
+        .map(_.getAs[String]("chunk_text")).mkString(" ")
+      assert(reassembled == docs(id).trim.split("\\s+").mkString(" "), s"doc $id")
+      // all chunks full-size except possibly the last
+      val sizes = chunks.sortBy(_.getAs[Int]("chunk_no")).map(_.getAs[Int]("n_tokens"))
+      assert(sizes.init.forall(_ == 50) && sizes.last >= 1 && sizes.last <= 50)
+    }
+  }
+
   test("stream sessionization survives a 2-file time-split replay") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_sess_split").toFile.getAbsolutePath
