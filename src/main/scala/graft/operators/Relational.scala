@@ -237,7 +237,22 @@ object Relational {
         .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
         .agg(count(lit(1)).as("n"))),
     "q_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
+    "q_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
   )
+
+  /** JSON-lines export + schema-declared FAILFAST re-read — the second
+    * interchange format after CSV (S2/S3 analog; the reference moves JSON
+    * payloads as strings, `/root/reference/dags/weather_realtime_etl.py:140`).
+    * ORC/Avro connectors are absent from this Spark distribution, so CSV +
+    * JSONL + parquet is the complete available format surface. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip_" +
+      java.lang.ProcessHandle.current().pid()
+    Tables.nation(s, dir).coalesce(1).write.mode("overwrite").json(tmp)
+    s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("mode", "FAILFAST").json(tmp)
+  }
 
   /** S2→S3: headered single-file CSV export (`coalesce(1)` — explicitly only
     * for single-file export, never in wide plans) then FAILFAST re-read with
@@ -302,5 +317,6 @@ object Relational {
         | CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mon, count(*) AS n
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q_csv_roundtrip" -> "SELECT * FROM nation",
+    "q_jsonl_roundtrip" -> "SELECT * FROM nation",
   )
 }
