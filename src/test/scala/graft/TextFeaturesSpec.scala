@@ -83,6 +83,28 @@ class TextFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup pipeline survives documents shorter than a shingle") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // synthetic corpus with 0/1/2-token docs — below the 3-token shingle
+    // width, where an unguarded sequence(0, size-3) slice throws at runtime
+    val tmp = Files.createTempDirectory("graft_short_docs").toFile.getAbsolutePath
+    Seq(
+      (1L, "a", "en", "s", 1L),
+      (2L, "two tokens", "en", "s", 10L),
+      (3L, "exactly three tokens here match nothing else at all", "en", "s", 50L),
+      (4L, "exactly three tokens here match nothing else at all", "en", "s", 50L),
+      (5L, " ", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val jacc = operators.DedupOps.ngramJaccard(spark, tmp).collect()
+    // only the 3↔4 duplicate pair survives; short docs are silently excluded
+    assert(jacc.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((3L, 4L)))
+    assert(jacc.head.getDouble(3) == 1.0)
+    val mh = operators.DedupOps.minhashLsh(spark, tmp).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 4L)))
+  }
+
   test("chunking reassembles to the original token stream") {
     import spark.implicits._
     val rows = operators.TextAnalysis.chunkDocs(spark, sf).collect()
