@@ -157,9 +157,78 @@ object Sessionize {
     StreamingOps.runToParquet(s, sessions.toDF(), "graft_sessions", mode = "append")
   }
 
+  // ---- native session_window variants (compose-built-ins tier) ----
+
+  /** Batch sessionization via the built-in `session_window` aggregate —
+    * the preferred "compose existing ops" form next to the custom-state
+    * `flatMapGroupsWithState` twin above. Window end is exclusive:
+    * last event + gap. */
+  def sessionWindowBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", s"$GapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("sess_start"), $"w.end".as("sess_end"),
+        $"n_events")
+  }
+
+  private val sessionWindowSqlCore =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |         LAG(CAST(ts AS TIMESTAMP), 1) OVER w AS prev_ts
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |                   OR epoch_us(ts) - epoch_us(prev_ts) > ${GapMinutes * 60000000}
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e),
+       |numbered AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+       |  FROM flagged),
+       |sessions AS (
+       |  SELECT user_id, min(ts) AS sess_start,
+       |         max(ts) + INTERVAL ${GapMinutes} MINUTE AS sess_end,
+       |         count(*) AS n_events
+       |  FROM numbered GROUP BY user_id, sess_no)""".stripMargin
+
+  val sessionWindowBatchSql: String =
+    s"""$sessionWindowSqlCore
+       |SELECT user_id, sess_start, sess_end, n_events FROM sessions""".stripMargin
+
+  /** Streaming sessionization via native `session_window` + watermark in
+    * append mode: sessions emit once the event-time watermark passes their
+    * (exclusive) end. The oracle mirrors the emission rule literally:
+    * sess_end < max(ts) - watermark delay. */
+  def sessionWindowStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val agg = s.readStream.schema(rawSchema)
+      .parquet(s"$dir/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy($"user_id", session_window($"ts", s"$GapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("sess_start"), $"w.end".as("sess_end"),
+        $"n_events")
+    StreamingOps.runToParquet(s, agg, "graft_sess_win", mode = "append")
+  }
+
+  val sessionWindowStreamSql: String =
+    s"""$sessionWindowSqlCore
+       |SELECT user_id, sess_start, sess_end, n_events FROM sessions
+       |WHERE sess_end < (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> ((s, d) => batchSessions(s, d)),
     "q_stream_sessions" -> ((s, d) => streamSessions(s, d)),
+    "q_session_window" -> ((s, d) => sessionWindowBatch(s, d)),
+    "q_stream_session_window" -> ((s, d) => sessionWindowStream(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -168,5 +237,7 @@ object Sessionize {
     // sub-µs precision in java.sql.Timestamp (ms) + nanos, so it is checked
     // against the batch query in ScalaTest instead of the SQL oracle
     "q_stream_sessions" -> batchSessionsSql,
+    "q_session_window" -> sessionWindowBatchSql,
+    "q_stream_session_window" -> sessionWindowStreamSql,
   )
 }
