@@ -123,6 +123,29 @@ class TextFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window and custom-state sessionizers agree on session structure") {
+    import spark.implicits._
+    // two independent implementations: native session_window aggregate vs
+    // lag+gap-count window query. Closed sessions must match 1:1 on
+    // (user, start, last-event ts = end - gap, count); session_window also
+    // reports each user's open (last) session, which the batch query withholds.
+    val native = streaming.Sessionize.sessionWindowBatch(spark, sf)
+      .select($"user_id", $"sess_start",
+        ($"sess_end" - expr(s"INTERVAL ${streaming.Sessionize.GapMinutes} MINUTE")).as("last_ts"),
+        $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val custom = streaming.Sessionize.batchSessions(spark, sf)
+      .select($"user_id", $"sess_start", $"sess_end", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    // every closed session from the custom path appears identically natively
+    assert(custom.subsetOf(native), s"${(custom -- native).take(3)}")
+    // the extras are exactly one open session per user
+    val extras = native -- custom
+    val users = native.map(_._1)
+    assert(extras.size == users.size, s"${extras.size} extras vs ${users.size} users")
+    assert(extras.map(_._1) == users)
+  }
+
   test("stream sessionization survives a 2-file time-split replay") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_sess_split").toFile.getAbsolutePath
