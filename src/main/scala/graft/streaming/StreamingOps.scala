@@ -55,8 +55,24 @@ object StreamingOps {
     * state-store instance to load+commit per micro-batch, and these results
     * are ≤ a few thousand rows — 32 instances is pure overhead.
     */
+  /** Delete scratch dirs from finished runs (>1 h old) so repeated
+    * Verify/Bench invocations don't slowly fill /dev/shm. */
+  private def sweepScratch(root: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    val old = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.lastModified() < cutoff)
+    old.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      try rm(d) catch { case _: Throwable => () }
+    }
+  }
+
   private[streaming] def runToParquet(s: SparkSession, df: DataFrame, prefix: String,
       mode: String = "complete"): DataFrame = {
+    sweepScratch(new java.io.File("/dev/shm/graft_stream"))
     val base = "/dev/shm/graft_stream/" + prefix + "_" +
       java.util.UUID.randomUUID().toString.substring(0, 8)
     val out = base + "/out"
