@@ -46,13 +46,19 @@ object DedupOps {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Exact dedup by content hash: one hash-groupBy, no joins. */
+  /** Exact dedup by content hash: one hash-groupBy, no joins. Groups on the
+    * 128-bit md5 rather than the raw text so the shuffle carries 32 bytes +
+    * doc_id per row instead of the whole document — at 100 TB that is the
+    * difference between shuffling hashes and shuffling the corpus. (md5
+    * collision would merge two distinct documents; ~n²/2¹²⁸ — negligible at
+    * any feasible corpus size, and the oracle's GROUP BY text agrees
+    * whenever no collision exists.) */
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .groupBy($"text")
+      .select(md5($"text").as("text_hash"), $"doc_id")
+      .groupBy($"text_hash")
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_id"))
-      .select(md5($"text").as("text_hash"), $"n_copies", $"keep_id")
   }
 
   /** Brute-force n-gram Jaccard near-dup, blocked by language: the
