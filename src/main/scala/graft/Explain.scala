@@ -12,7 +12,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_clean_trips", "q1_pricing", "q_revenue_by_nation",
-        "q_dedup_append", "q_asof_last_error", "q_knn_topk")
+        "q_dedup_append", "q_asof_last_error", "q_knn_topk",
+        "q_ngram_jaccard", "q_ngram_counts", "q_chunk_docs", "q_session_window")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -100,15 +100,16 @@ object DedupOps {
       // hopeless pairs before the O(n) intersect; never removes a true pair
       .filter(least(size($"sh_a"), size($"sh_b")).cast("double")
         >= lit(threshold) * greatest(size($"sh_a"), size($"sh_b")))
-      // filter on the UNROUNDED jaccard (the oracle does the same); round
-      // only the reported value. Jaccard is symmetric, so off-diagonal pairs
-      // (arbitrary orientation) just canonicalize the id order on output.
+      // the jaccard is an exact-integer ratio — bit-identical across engines,
+      // so neither the filter nor the output rounds it (rounding would
+      // introduce half-ulp tie mismatches). Jaccard is symmetric, so
+      // off-diagonal pairs (arbitrary orientation) just canonicalize the id
+      // order on output.
       .select($"lang",
         least($"doc_a", $"doc_b").as("doc_a"),
         greatest($"doc_a", $"doc_b").as("doc_b"),
-        jaccard($"sh_a", $"sh_b").as("jacc_raw"))
-      .filter($"jacc_raw" > threshold)
-      .select($"lang", $"doc_a", $"doc_b", round($"jacc_raw", 6).as("jacc"))
+        jaccard($"sh_a", $"sh_b").as("jacc"))
+      .filter($"jacc" > threshold)
   }
 
   /** MinHash + LSH banding near-dup:
@@ -160,7 +161,9 @@ object DedupOps {
     val result = candidates
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .select($"doc_a", $"doc_b", round(jaccard($"sh_a", $"sh_b"), 6).as("jacc"))
+      // unrounded, same as ngramJaccard — the verification threshold must
+      // agree exactly with the brute-force baseline's
+      .select($"doc_a", $"doc_b", jaccard($"sh_a", $"sh_b").as("jacc"))
       .filter($"jacc" > threshold)
 
     // materialize the (small) pair list and release the intermediates now —
@@ -255,8 +258,8 @@ object DedupOps {
          |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
          |  WHERE len(t) >= 3)
          |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jacc
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
          |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.sh, b.sh))) > 0.3""".stripMargin,

@@ -214,6 +214,21 @@ object Relational {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("run_qty"))
     }),
+    "q_window_ranks" -> ((s, d) => {
+      // distribution window functions (ntile/percent_rank/cume_dist) over the
+      // same unique per-supplier ordering as the other window queries
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).as("quartile"),
+        // NOT rounded: these are single IEEE divisions (k/n), bit-identical
+        // across engines — rounding would INTRODUCE mismatches at half-ulp
+        // ties (Spark rounds half-up, DuckDB half-even: 0.0640625 → .064063
+        // vs .064062)
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -298,6 +313,13 @@ object Relational {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cume
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
     "q_window_lag" ->

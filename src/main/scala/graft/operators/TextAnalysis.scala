@@ -45,13 +45,16 @@ object TextAnalysis {
     val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("double")
     val nPunct = length(regexp_replace($"text", "[^.,!?;:]", "")).cast("double")
     val nonWs = length(regexp_replace($"text", "\\s", "")).cast("double")
+    // ratios are NOT rounded: they are divisions of exact small integers,
+    // bit-identical across engines — rounding would introduce half-ulp tie
+    // mismatches (Spark rounds half-up, DuckDB half-even)
     Tables.documents(s, dir).select(
       $"doc_id", $"lang",
       size(toks).as("n_tokens"),
-      round(nonWs / nTok, 6).as("avg_token_len"),
-      round(nStop / nTok, 6).as("stopword_ratio"),
-      round(nPunct / $"n_chars".cast("double"), 6).as("punct_ratio"),
-      round((lit(1.0) - nStop / nTok) * least(nTok, lit(200.0)) / 200.0, 6).as("quality_score"))
+      (nonWs / nTok).as("avg_token_len"),
+      (nStop / nTok).as("stopword_ratio"),
+      (nPunct / $"n_chars".cast("double")).as("punct_ratio"),
+      ((lit(1.0) - nStop / nTok) * least(nTok, lit(200.0)) / 200.0).as("quality_score"))
   }
 
   /** Canonical fingerprint: md5 over lowercased, whitespace-normalized
@@ -154,11 +157,11 @@ object TextAnalysis {
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars, text, $tokSql AS toks FROM documents)
          |SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens,
-         | round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks), 6) AS avg_token_len,
-         | round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
-         | round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_chars, 6) AS punct_ratio,
-         | round((1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks))
-         |       * least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0, 6) AS quality_score
+         | CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len,
+         | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         | CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+         | (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks))
+         |       * least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0 AS quality_score
          |FROM t""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id,
