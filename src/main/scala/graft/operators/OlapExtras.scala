@@ -28,6 +28,18 @@ object OlapExtras {
         .cube(year($"o_orderdate").as("yr"), $"o_orderpriority")
         .agg(count(lit(1)).as("n"))
     }),
+    // explicit GROUPING SETS with grouping_id — disambiguates a NULL group
+    // value from a rollup-generated total row (SQL-only surface in Spark)
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql("""
+        SELECT year(o_orderdate) AS yr, o_orderpriority,
+               count(*) AS n,
+               CAST(grouping_id(year(o_orderdate), o_orderpriority) AS INT) AS gid
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                                (year(o_orderdate)), ())""")
+    }),
     // Spark 4 VARIANT: parse once, extract typed fields lazily — the engine
     // answer to the reference's PARSE_JSON VARIANT column (SURVEY.md §1.2)
     "q_variant_get" -> ((s, d) => {
@@ -70,6 +82,13 @@ object OlapExtras {
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr, o_orderpriority,
         |       count(*) AS n
         |FROM orders GROUP BY CUBE (yr, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH o AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+        |                  o_orderpriority FROM orders)
+        |SELECT yr, o_orderpriority, count(*) AS n,
+        |       CAST(GROUPING(yr) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+        |FROM o
+        |GROUP BY GROUPING SETS ((yr, o_orderpriority), (yr), ())""".stripMargin,
     "q_variant_get" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,

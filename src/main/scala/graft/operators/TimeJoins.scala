@@ -95,15 +95,39 @@ object TimeJoins {
       |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** As-of join with a staleness tolerance: the matched error must fall
+    * within `toleranceMinutes` before the purchase, else the match is
+    * blanked — the common "don't join against stale observations" variant.
+    * Same single-shuffle window plan as [[asofLastError]]; the tolerance is
+    * a row-local post-filter on the matched timestamp. */
+  def asofWithTolerance(s: SparkSession, dir: String,
+      toleranceMinutes: Long = 60): DataFrame = {
+    import s.implicits._
+    asofLastError(s, dir)
+      .withColumn("last_error_ts",
+        when(unix_micros($"purchase_ts") - unix_micros($"last_error_ts")
+          <= toleranceMinutes * 60L * 1000000L, $"last_error_ts"))
+  }
+
+  private val asofWithToleranceSql =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |       CASE WHEN epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))
+      |                 <= 3600000000 THEN CAST(e.ts AS TIMESTAMP) END AS last_error_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_join_day" -> ((s, d) => dayBucketJoin(s, d)),
     "q_asof_last_error" -> ((s, d) => asofLastError(s, d)),
+    "q_asof_tolerance" -> ((s, d) => asofWithTolerance(s, d)),
     "q_demand_by_hour" -> ((s, d) => demandByHour(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "q_time_join_day" -> dayBucketJoinSql,
     "q_asof_last_error" -> asofLastErrorSql,
+    "q_asof_tolerance" -> asofWithToleranceSql,
     "q_demand_by_hour" -> demandByHourSql,
   )
 }
