@@ -147,8 +147,23 @@ object TextAnalysis {
     "q_rolling_hash" -> ((s, d) => rollingHash(s, d)),
     "q_lang_id" -> ((s, d) => languageId(s, d)),
     "q_chunk_docs" -> ((s, d) => chunkDocs(s, d)),
+    "q_chunk_dedup" -> ((s, d) => chunkDedup(s, d)),
     "q_redact_pii" -> ((s, d) => redactPii(s, d)),
   )
+
+  /** Chunk-granularity exact dedup — the composition a training pipeline
+    * actually runs (documents are chunked to context-window size FIRST, then
+    * deduplicated at chunk level so boilerplate shared across documents is
+    * dropped once). Chunking is row-local; the dedup is one hash-groupBy on
+    * the 128-bit chunk fingerprint (never the chunk text). */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chunkDocs(s, dir)
+      .select(md5($"chunk_text").as("chunk_hash"), $"doc_id", $"n_tokens")
+      .groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_doc"),
+        max($"n_tokens").as("n_tokens"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_token_stats" ->
@@ -177,6 +192,19 @@ object TextAnalysis {
          |       array_to_string(toks[(chunk_no*50+1):(chunk_no*50+50)], ' ') AS chunk_text,
          |       CAST(len(toks[(chunk_no*50+1):(chunk_no*50+50)]) AS INTEGER) AS n_tokens
          |FROM c""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |             unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS chunk_no,
+         |             toks
+         |      FROM t),
+         |ch AS (SELECT doc_id,
+         |              array_to_string(toks[(chunk_no*50+1):(chunk_no*50+50)], ' ') AS chunk_text,
+         |              len(toks[(chunk_no*50+1):(chunk_no*50+50)]) AS n_tokens
+         |       FROM c)
+         |SELECT md5(chunk_text) AS chunk_hash, count(*) AS n_copies,
+         |       min(doc_id) AS keep_doc, CAST(max(n_tokens) AS INTEGER) AS n_tokens
+         |FROM ch GROUP BY md5(chunk_text)""".stripMargin,
     "q_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(
