@@ -175,7 +175,46 @@ object StreamingOps {
     runToParquet(s, joined, "graft_ss_join", mode = "append")
   }
 
+  /** Streaming MERGE (idempotent dedup-append): every micro-batch anti-joins
+    * its rows against the target's accumulated keys and appends only the
+    * fresh ones — the reference's `MERGE WHEN NOT MATCHED THEN INSERT`
+    * (`/root/reference/dags/etl_spark_historical.py:302-333`) in its
+    * production streaming shape. The entire stream is replayed a SECOND time
+    * into the same target (fresh checkpoint, same data): an idempotent merge
+    * must add zero rows, which the oracle verifies by matching the plain
+    * batch aggregate. At scale the anti-join's build side is the target's
+    * key column only, and a real deployment would swap the parquet target
+    * for a transactional table format. */
+  def streamingMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = "/dev/shm/graft_stream/merge_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    val target = base + "/target"
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val fresh =
+        if (new java.io.File(target).exists()) {
+          val existingIds = batch.sparkSession.read.parquet(target).select("event_id")
+          batch.join(existingIds, Seq("event_id"), "left_anti")
+        } else batch
+      fresh.write.mode("append").parquet(target)
+    }
+    def replay(tag: String): Unit = {
+      val q = eventsStream(s, dir).writeStream.outputMode("append")
+        .foreachBatch(mergeBatch)
+        .option("checkpointLocation", s"$base/ckpt_$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replay("first")
+    replay("second") // same data, new checkpoint: must merge to a no-op
+    s.read.parquet(target)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
     "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
     "q_stream_sliding" -> ((s, d) => slidingWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamingDedupCount(s, d)),
@@ -184,6 +223,11 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // double replay must be a no-op: the target equals one clean pass
+    "q_stream_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
         |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
