@@ -164,8 +164,13 @@ object Relational {
         max(col("pickup_ts")).as("max_pickup"))
     }),
     "q_preview" -> ((s, d) => {
-      // L2 `SELECT * LIMIT 20` preview, made deterministic via natural-key sort
-      cleanTrips(s, d).orderBy(col("trip_id"), col("leg_no")).limit(20)
+      // L2 `SELECT * LIMIT 20` preview. The natural key (trip_id, leg_no) is
+      // NOT unique in the fixture (generator reuses orderkeys), so the sort
+      // tiebreaks through every remaining column — otherwise the row at the
+      // LIMIT boundary is engine-dependent
+      cleanTrips(s, d).orderBy(col("trip_id"), col("leg_no"), col("pickup_ts"),
+        col("pickup_zone_id"), col("dropoff_zone_id"), col("passenger_count"),
+        col("trip_distance"), col("total_amount")).limit(20)
     }),
     "q_topk_orders" -> ((s, d) => {
       // L3 top-k by sort (/root/reference/readme.md:178-187) → TakeOrderedAndProject
@@ -203,10 +208,13 @@ object Relational {
       y95.except(y96)
     }),
     "q_window_running" -> ((s, d) => {
-      // running aggregates per supplier — unique (shipdate, orderkey, linenumber)
-      // ordering keeps the frame deterministic for the oracle
+      // running aggregates per supplier. (shipdate, orderkey, linenumber) is
+      // NOT unique at every scale factor (sf0.1 has one full-key tie whose
+      // rows differ in quantity — engine-dependent running sums); the
+      // summed columns join the ordering to make the cumulative total
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
       Tables.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).as("rn"),
@@ -288,7 +296,10 @@ object Relational {
     "q_clean_trips" -> cleanSql,
     "q_clean_count" -> s"SELECT count(*) AS n_rows FROM ($cleanSql) t",
     "q_date_range" -> s"SELECT min(pickup_ts) AS min_pickup, max(pickup_ts) AS max_pickup FROM ($cleanSql) t",
-    "q_preview" -> s"SELECT * FROM ($cleanSql) t ORDER BY trip_id, leg_no LIMIT 20",
+    "q_preview" ->
+      s"""SELECT * FROM ($cleanSql) t
+         |ORDER BY trip_id, leg_no, pickup_ts, pickup_zone_id, dropoff_zone_id,
+         |         passenger_count, trip_distance, total_amount LIMIT 20""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -314,7 +325,7 @@ object Relational {
         | CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice)""".stripMargin,
     "q_window_ranks" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
