@@ -30,6 +30,7 @@ object SparkEntry {
       operators.OlapExtras.queries ++
       operators.ScaleOps.queries ++
       operators.Composition.queries ++
+      operators.CurationOps.queries ++
       streaming.StreamingOps.queries ++
       streaming.Sessionize.queries ++
       ml.Forecast.queries
@@ -48,6 +49,7 @@ object SparkEntry {
       operators.OlapExtras.oracle ++
       operators.ScaleOps.oracle ++
       operators.Composition.oracle ++
+      operators.CurationOps.oracle ++
       streaming.StreamingOps.oracle ++
       streaming.Sessionize.oracle ++
       ml.Forecast.oracle

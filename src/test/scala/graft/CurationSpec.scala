@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the round-3 curation operators (CurationOps). */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("train/test split partitions every doc exactly once, ~80/20") {
+    import spark.implicits._
+    val agg = operators.CurationOps.trainTestSplit(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    val bySplit = agg.groupBy($"split").agg(sum($"n_docs").as("n")).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n")).toMap
+    assert(bySplit.values.sum == nDocs, s"split lost/duplicated docs: $bySplit")
+    val trainFrac = bySplit("train").toDouble / nDocs
+    // md5 is uniform: expected 205/256 ≈ 0.80, generous tolerance at sf0.001
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+  }
+
+  test("split is deterministic: same assignment on repeated runs") {
+    val a = operators.CurationOps.trainTestSplit(spark, sf).collect().toSet
+    val b = operators.CurationOps.trainTestSplit(spark, sf).collect().toSet
+    assert(a == b)
+  }
+
+  test("decontamination never flags benchmark docs and counts are positive") {
+    val rows = operators.CurationOps.decontaminate(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 97 != 0, s"benchmark doc $id flagged as contaminated")
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+  }
+
+  test("bm25 scores are positive, finite, and only for docs containing a term") {
+    import spark.implicits._
+    val scored = operators.CurationOps.bm25Search(spark, sf)
+    val rows = scored.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("bm25")
+      assert(s > 0 && !s.isNaN && !s.isInfinite, s"bm25=$s")
+    }
+    // every scored doc really contains ≥1 query term
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = Tables.documents(spark, sf)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("t"))
+      .filter(Seq("spark", "vector", "merge", "window")
+        .map(t => array_contains($"t", t)).reduce(_ || _))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == withTerm)
+  }
+
+  test("dedup clusters: labels are component minima and respect the pair graph") {
+    import spark.implicits._
+    val labels = operators.CurationOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = operators.DedupOps.ngramJaccard(spark, sf)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.nonEmpty)
+    // every endpoint is labeled; endpoints of an edge share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b), s"unlabeled endpoint ($a,$b)")
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+    // a cluster's label is the min member id
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"cluster $label min is ${members.keys.min}")
+    }
+  }
+
+  test("profile reports one row per orders column with sane stats") {
+    val rows = operators.CurationOps.profile(spark, sf).collect()
+    val nRows = Tables.orders(spark, sf).count()
+    assert(rows.length == Tables.orders(spark, sf).columns.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_nulls") >= 0)
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nd >= 1 && nd <= nRows, s"${r.getAs[String]("col_name")}: $nd")
+    }
+  }
+
+  test("orc roundtrip preserves the aggregate computed on the source") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val viaOrc = operators.CurationOps.orcRoundtrip(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("sum_price"))).toMap
+    val direct = Tables.orders(spark, sf).filter($"o_totalprice" > 1000.0)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("s"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
+    assert(viaOrc == direct)
+  }
+}
