@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[functions.SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => functions.SortedIntersectCount(exprs(0), exprs(1))))
+    // band-join rewrite (inert until spark.graft.bandJoin.width is set)
+    e.injectOptimizerRule(_ => plans.BandJoinRule)
   }
 }

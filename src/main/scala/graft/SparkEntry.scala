@@ -31,6 +31,7 @@ object SparkEntry {
       operators.ScaleOps.queries ++
       operators.Composition.queries ++
       operators.CurationOps.queries ++
+      operators.RangeOps.queries ++
       streaming.StreamingOps.queries ++
       streaming.Sessionize.queries ++
       ml.Forecast.queries
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.ScaleOps.oracle ++
       operators.Composition.oracle ++
       operators.CurationOps.oracle ++
+      operators.RangeOps.oracle ++
       streaming.StreamingOps.oracle ++
       streaming.Sessionize.oracle ++
       ml.Forecast.oracle

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Range/banding operators Spark lacks natively, plus stratified sampling:
+  * a bucketed range join (the scale-safe form of an inequality join), a
+  * fixed-width histogram, and per-stratum reservoir-free sampling.
+  */
+object RangeOps {
+
+  /** Overlapping price bands: 20 bands over [900, 1000), width 10, stride 5
+    * — each part row falls in ≤2 bands, so the join is genuinely 1-to-many.
+    * Band bounds are exact doubles (multiples of 5), so the bucket blocking
+    * below is mathematically exact for every 0.1-granular fixture price. */
+  private def bands(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(20).select(
+      $"id".cast("int").as("band_id"),
+      (lit(900.0) + $"id" * 5.0).as("lo"),
+      (lit(910.0) + $"id" * 5.0).as("hi"))
+  }
+
+  /** Range join via bucket blocking: Spark has no native band/interval join
+    * — a raw `a.join(b, a.x >= b.lo && a.x < b.hi)` plans as
+    * BroadcastNestedLoopJoin (O(n·m), driver-killer once neither side is
+    * small). The scale shape: quantize the join value into fixed-width
+    * buckets, explode each band into the buckets it overlaps (here exactly
+    * 2), equi-join on the bucket key, then verify the exact predicate. The
+    * shuffle carries (row, bucket) pairs — linear, partitionable, and the
+    * per-bucket fanout is bounded by band width / bucket width, independent
+    * of table sizes. The oracle states the plain inequality-join semantics.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 5.0
+    val parts = Tables.part(s, dir)
+      .select($"p_partkey", $"p_retailprice")
+      .withColumn("bkt", floor(($"p_retailprice" - 900.0) / w).cast("int"))
+    val b = bands(s)
+      // band [lo, hi) overlaps buckets floor((lo-900)/w) .. floor((hi-900)/w)-1
+      // (hi is exclusive and both edges are exact multiples of w)
+      .withColumn("bkt", explode(sequence(
+        floor(($"lo" - 900.0) / w).cast("int"),
+        floor(($"hi" - 900.0) / w).cast("int") - 1)))
+    parts.join(broadcast(b), Seq("bkt"))
+      .filter($"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+      .groupBy($"band_id", $"lo", $"hi")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"p_retailprice".cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+  }
+
+  private val rangeJoinSql =
+    """WITH bands AS (
+      |  SELECT CAST(i AS INTEGER) AS band_id,
+      |         CAST(900.0 + i * 5.0 AS DOUBLE) AS lo,
+      |         CAST(910.0 + i * 5.0 AS DOUBLE) AS hi
+      |  FROM range(0, 20) t(i))
+      |SELECT band_id, lo, hi, count(*) AS n_parts,
+      |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part JOIN bands
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band_id, lo, hi""".stripMargin
+
+  /** Fixed-width histogram of order totals: floor-division bucketing, fully
+    * map-side until one small aggregate. Bucket edges (multiples of 50000)
+    * are exact doubles, so both engines bucket identically. */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(floor($"o_totalprice" / 50000.0).cast("int").as("bucket"),
+        $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+  }
+
+  private val histogramSql =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+      |       count(*) AS n, min(o_totalprice) AS min_price,
+      |       max(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** The same band join written NAIVELY — `part ⋈ bands ON lo <= p < hi`,
+    * the plan Spark turns into a BroadcastNestedLoopJoin — but executed with
+    * `BandJoinRule` active, which rewrites it to the bucket-blocked
+    * equi-join automatically. Same oracle as `q_range_join`: the rule must
+    * be semantics-preserving. The width conf and rule stay installed on the
+    * session afterwards (the rule is inert for every other registered query:
+    * all cross-side joins elsewhere carry an equality conjunct). */
+  def bandJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BandJoinRule
+    s.conf.set(graft.plans.BandJoinRule.WidthConf, "5.0")
+    val parts = Tables.part(s, dir).select($"p_partkey", $"p_retailprice")
+    parts.join(bands(s),
+        $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+      .groupBy($"band_id", $"lo", $"hi")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"p_retailprice".cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+  }
+
+  /** Per-stratum Bernoulli sampling (`DataFrameStatFunctions.sampleBy`):
+    * language-stratified downsampling, the rebalancing step of corpus
+    * curation. Seeded → deterministic per Spark version, but the RNG stream
+    * is Spark-specific, so rows-only (no SQL oracle); per-stratum fraction
+    * bounds are asserted in ScalaTest. Scale: row-local Bernoulli draws, no
+    * shuffle at all. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fractions = Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.3,
+      "de" -> 0.3, "fr" -> 0.3)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .stat.sampleBy("lang", fractions, seed = 42L)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> ((s, d) => rangeJoin(s, d)),
+    "q_band_join_auto" -> ((s, d) => bandJoinAuto(s, d)),
+    "q_histogram" -> ((s, d) => histogram(s, d)),
+    "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_range_join" -> rangeJoinSql,
+    "q_band_join_auto" -> rangeJoinSql,
+    "q_histogram" -> histogramSql,
+    // q_stratified_sample: rows-only (Spark-specific seeded RNG stream)
+  )
+}

@@ -29,6 +29,30 @@ object ScaleOps {
       .agg(sum($"pn").as("n"), sum($"ps").cast("double").as("sum_value"))
   }
 
+  /** Salted skew JOIN: the join-side twin of `saltedAgg`. A hot join key
+    * (one supplier with 100× the lineitems) makes one shuffle partition a
+    * straggler; salting splits each fact row across `salts` sub-keys
+    * deterministically (hash of the row's own key, no RNG) and replicates
+    * the small dim side to every salt — the hot key's probe work spreads
+    * over `salts` reducers at the cost of a `salts`× blow-up of the SMALL
+    * side only. Same answer as the unsalted join (which is what the oracle
+    * states). AQE's skew-join handling covers sort-merge cases at runtime;
+    * explicit salting is the plan-level guarantee that also works under
+    * hash shuffle and for aggregation-after-join. */
+  def saltedJoin(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_suppkey", $"l_quantity",
+        pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(salts)).as("salt"))
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey",
+        explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast(D2)).cast("double").as("sum_qty"))
+  }
+
   /** Partitioned write + pruned read: orders written partitioned by year,
     * then scanned with a partition predicate — only the matching directory
     * is read (`PartitionFilters` in the plan, asserted in tests). */
@@ -72,6 +96,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> ((s, d) => saltedAgg(s, d)),
+    "q_salted_join" -> ((s, d) => saltedJoin(s, d)),
     "q_partitioned_scan" -> ((s, d) => partitionedScan(s, d)),
     "q_bucketed_join" -> ((s, d) => bucketedJoin(s, d)),
   )
@@ -81,6 +106,11 @@ object ScaleOps {
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "q_partitioned_scan" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

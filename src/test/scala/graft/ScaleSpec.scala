@@ -42,6 +42,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted join equals direct join and spreads every supplier over salts") {
+    val salted = operators.ScaleOps.saltedJoin(spark, sf)
+      .orderBy("s_nationkey").collect().toSeq
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("s_nationkey").collect().toSeq
+    assert(salted == direct)
+  }
+
   test("extensions class registers native functions for SQL") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
