@@ -121,12 +121,37 @@ object Forecast {
       .toDF("best_reg_param", "best_elastic_net", "cv_rmse")
   }
 
+  /** Categorical encoding via `StringIndexer` (frequencyDesc, alphabetical
+    * tie-break) — surfaced as (value, index, count) so the fitted vocabulary
+    * IS the query result. Unlike model training, the indexer's contract is
+    * fully SQL-expressible (rank by count desc, value asc), so this MLlib
+    * stage gets a real oracle. The one-hot step is determined by the index
+    * and needs no separate check. Fit = one hash-agg over the column;
+    * transform = broadcast-map lookup — both scale-flat. */
+  def featureEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val idx = new StringIndexer().setInputCol("o_orderpriority")
+      .setOutputCol("pidx").setStringOrderType("frequencyDesc").fit(orders)
+    idx.transform(orders)
+      .groupBy($"o_orderpriority", $"pidx".cast("int").as("idx"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_fare_lr" -> ((s, d) => fareRegression(s, d)),
     "q_ml_demand_gbt" -> ((s, d) => demandForecast(s, d)),
     "q_ml_cv" -> ((s, d) => demandCrossVal(s, d)),
+    "q_feature_encode" -> ((s, d) => featureEncode(s, d)),
   )
 
-  /** Training is not SQL-expressible — both entries are rows-only. */
-  val oracle: Map[String, String] = Map.empty
+  /** Model training is not SQL-expressible (rows-only); the StringIndexer
+    * vocabulary is, and gets the one oracle here. */
+  val oracle: Map[String, String] = Map(
+    "q_feature_encode" ->
+      """SELECT o_orderpriority,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS INTEGER) AS idx,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+  )
 }

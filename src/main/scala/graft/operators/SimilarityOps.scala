@@ -158,11 +158,27 @@ object SimilarityOps {
     out
   }
 
+  /** Per-label centroid (average pooling) in LONG form — (label, pos,
+    * avg_val) — the class-prototype computation behind nearest-centroid
+    * classification and IVF coarse quantizers. Long form keeps the output
+    * scalar-typed (array columns break the driver's comparator) and the
+    * plan is explode → one partial-aggregated hash agg: map-side combine
+    * shrinks the shuffle to |labels|×dims rows regardless of corpus size.
+    * avg over floats is order-dependent across engines → round(6). */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", ($"pos" + 1).cast("int").as("pos"))
+      .agg(round(avg($"col"), 6).as("avg_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
     "q_knn_topk_agg" -> ((s, d) => knnTopKAgg(s, d)),
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s, d) => knnIvf(s, d)),
+    "q_embed_centroids" -> ((s, d) => embedCentroids(s, d)),
   )
 
   private val knnOracleSql =
@@ -188,6 +204,11 @@ object SimilarityOps {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+    "q_embed_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos,
+        |       round(avg(embedding[i]), 6) AS avg_val
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i""".stripMargin,
     // q_knn_lsh: rows-only (probabilistic bucketing)
   )
 }

@@ -77,6 +77,25 @@ class StreamingMlSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("string-indexer vocabulary ranks priorities by frequency desc") {
+    val rows = ml.Forecast.featureEncode(spark, sf).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Int]("idx"),
+        r.getAs[Long]("n")))
+    assert(rows.map(_._2).sorted.toSeq == rows.indices.toSeq, "indices not dense")
+    // higher count never gets a higher (worse) index
+    for (a <- rows; b <- rows if a._3 > b._3)
+      assert(a._2 < b._2, s"freq order violated: $a vs $b")
+  }
+
+  test("per-label centroids: one row per (label, pos), values in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val c = operators.SimilarityOps.embedCentroids(spark, sf)
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(c.count() == labels * 64)
+    assert(c.filter(abs(col("avg_val")) > lit(1.0)).isEmpty,
+      "centroid component outside unit-vector bound")
+  }
+
   test("GBT demand forecast trains and predicts within sane bounds") {
     val row = ml.Forecast.demandForecast(spark, sf).collect()(0)
     val rmse = row.getAs[Double]("rmse")
