@@ -117,11 +117,53 @@ object TimeJoins {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
 
+  /** Time-series resampling with gap fill: hourly per-type aggregates on a
+    * dense hour scaffold — missing hours get n=0 and a forward-filled last
+    * observed sum (the "carry the last reading" contract of sensor/metrics
+    * pipelines). Scaffold generation is per-group `sequence(min, max)` — no
+    * driver loop, no cross join against a global calendar; the fill is one
+    * partitioned running `last(ignoreNulls)` window, so the whole op costs
+    * one shuffle on event_type beyond the base aggregate. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D2)).as("sum_v"))
+    val scaffold = hourly.groupBy($"event_type")
+      .agg(min($"hr").as("lo"), max($"hr").as("hi"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy($"event_type").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(hourly, Seq("event_type", "hr"), "left")
+      .select($"event_type", $"hr",
+        coalesce($"n", lit(0L)).as("n"),
+        last($"sum_v", ignoreNulls = true).over(w).cast("double").as("ffill_sum"))
+  }
+
+  private val gapFillSql =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+      |         count(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_v
+      |  FROM events GROUP BY 1, 2),
+      |scaffold AS (
+      |  SELECT event_type,
+      |         unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+      |  FROM hourly GROUP BY event_type)
+      |SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n,
+      |       CAST(last_value(h.sum_v IGNORE NULLS) OVER (
+      |              PARTITION BY s.event_type ORDER BY s.hr
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS ffill_sum
+      |FROM scaffold s
+      |LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_join_day" -> ((s, d) => dayBucketJoin(s, d)),
     "q_asof_last_error" -> ((s, d) => asofLastError(s, d)),
     "q_asof_tolerance" -> ((s, d) => asofWithTolerance(s, d)),
     "q_demand_by_hour" -> ((s, d) => demandByHour(s, d)),
+    "q_gap_fill" -> ((s, d) => gapFill(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -129,5 +171,6 @@ object TimeJoins {
     "q_asof_last_error" -> asofLastErrorSql,
     "q_asof_tolerance" -> asofWithToleranceSql,
     "q_demand_by_hour" -> demandByHourSql,
+    "q_gap_fill" -> gapFillSql,
   )
 }

@@ -73,4 +73,22 @@ class RangeSpec extends AnyFunSuite {
         s"$lang: got $n expect ≈$expect of ${totals(lang)}")
     }
   }
+
+  test("gap fill: dense hour scaffold, zero-filled gaps, non-null forward fill") {
+    import spark.implicits._
+    val g = operators.TimeJoins.gapFill(spark, sf)
+    val perType = g.groupBy($"event_type")
+      .agg(count(lit(1)).as("rows"),
+        min($"hr").as("lo"), max($"hr").as("hi"),
+        sum(when($"n" === 0, 1).otherwise(0)).as("gaps"),
+        sum(when($"ffill_sum".isNull, 1).otherwise(0)).as("null_fills"))
+      .collect()
+    perType.foreach { r =>
+      val hours = (r.getAs[java.sql.Timestamp]("hi").getTime -
+        r.getAs[java.sql.Timestamp]("lo").getTime) / 3600000L + 1
+      assert(r.getAs[Long]("rows") == hours, s"scaffold not dense: $r")
+      assert(r.getAs[Long]("gaps") > 0, s"fixture should have hour gaps: $r")
+      assert(r.getAs[Long]("null_fills") == 0, s"forward fill left nulls: $r")
+    }
+  }
 }
