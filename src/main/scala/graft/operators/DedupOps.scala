@@ -79,7 +79,7 @@ object DedupOps {
     import s.implicits._
     graft.functions.ArrayOps.register(s)
     val G = 8
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
       // cheap precondition (= the oracle's len(t)>=3): filtering on size(sh)
       // would evaluate the whole shingle pipeline a second time
       .filter(size(toks($"text")) >= 3)
@@ -130,7 +130,7 @@ object DedupOps {
     // sides, both verification sides) — persist the small per-doc table
     // instead of recomputing the shingling 4×. ~0.5 KB/doc: fits memory at
     // any realistic docs-per-executor; spills to disk otherwise.
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
       .filter(size(toks($"text")) >= 3)
       .select($"doc_id", hashedShingles($"text").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -34,7 +34,12 @@ object TextFeatures {
   private def stopRemover = new StopWordsRemover()
     .setInputCol("toks").setOutputCol("kept").setStopWords(StopWords)
 
-  /** doc_id + stopword-filtered lowercase tokens. */
+  /** doc_id + stopword-filtered lowercase tokens. NOT spread: the MLlib
+    * fit/transform chain re-evaluates this plan several times per query, so
+    * an extra exchange here multiplies (measured: q_tfidf_topterms 2.8 s →
+    * 5.1 s with a repartition). The tokenizer itself is cheap split work;
+    * the expensive-HOF single-split problem documentsSpread solves doesn't
+    * apply. */
   private def keptTokens(s: SparkSession, dir: String): DataFrame =
     stopRemover.transform(tokenizer.transform(
       Tables.documents(s, dir).select(col("doc_id"), col("text"))))
