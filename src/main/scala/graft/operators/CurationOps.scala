@@ -98,6 +98,38 @@ object CurationOps {
     out
   }
 
+  /** Streaming decontamination: the corpus arrives as a document STREAM
+    * (file source, `AvailableNow` replay = scheduled catch-up micro-batches)
+    * and is flagged incrementally against the same static benchmark shingle
+    * set. The per-batch work is a stateless broadcast stream-static join;
+    * only the per-doc counts are stateful (complete-mode agg, state =
+    * O(flagged docs) — a production deployment would watermark on ingest
+    * time; the bounded replay keeps it exact here). Same oracle as the batch
+    * op: streaming must not change the answer. */
+  def streamingDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    // static side: benchmark shingle hashes, computed once from the batch table
+    val bench = Tables.documents(s, dir)
+      .filter($"doc_id" % 97 === 0 && size(toks($"text")) >= 3)
+      .select(explode(transform(shingles($"text", 3), x => xxhash64(x))).as("h"))
+      .distinct()
+    val stream = s.readStream.schema(docSchema)
+      .parquet(s"$dir/[d]ocuments.parquet")
+      .filter($"doc_id" % 97 =!= 0 && size(toks($"text")) >= 3)
+      .select($"doc_id",
+        explode(transform(shingles($"text", 3), x => xxhash64(x))).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    graft.streaming.StreamingOps.runToParquet(s, stream, "graft_decont")
+  }
+
   private val decontaminateSql =
     """WITH d AS (
       |  SELECT doc_id,
@@ -298,6 +330,7 @@ object CurationOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q_stream_decontaminate" -> ((s, d) => streamingDecontaminate(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_profile" -> ((s, d) => profile(s, d)),
@@ -307,6 +340,7 @@ object CurationOps {
   val oracle: Map[String, String] = Map(
     "q_split_traintest" -> trainTestSplitSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_stream_decontaminate" -> decontaminateSql,
     "q_bm25_search" -> bm25Sql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_profile" -> profileSql,

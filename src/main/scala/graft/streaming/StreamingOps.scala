@@ -70,7 +70,7 @@ object StreamingOps {
     }
   }
 
-  private[streaming] def runToParquet(s: SparkSession, df: DataFrame, prefix: String,
+  private[graft] def runToParquet(s: SparkSession, df: DataFrame, prefix: String,
       mode: String = "complete"): DataFrame = {
     sweepScratch(new java.io.File("/dev/shm/graft_stream"))
     val base = "/dev/shm/graft_stream/" + prefix + "_" +

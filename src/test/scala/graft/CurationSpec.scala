@@ -34,6 +34,14 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination equals the batch operator row-for-row") {
+    val batch = operators.CurationOps.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    val stream = operators.CurationOps.streamingDecontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(stream == batch)
+  }
+
   test("bm25 scores are positive, finite, and only for docs containing a term") {
     import spark.implicits._
     val scored = operators.CurationOps.bm25Search(spark, sf)
