@@ -29,10 +29,18 @@ object TextAnalysis {
     "zh" -> "shi", "zh" -> "de", "zh" -> "he", "zh" -> "da", "zh" -> "xiao")
 
   /** Token counts per document (whitespace tokenizer). */
+  /** GPT-2-style BPE pre-tokenizer regex, restricted to RE2 syntax (no
+    * lookahead) so Spark's Java regex and DuckDB's RE2 count identically:
+    * a token is an optionally-space-prefixed letter run, digit run, or
+    * punctuation run. */
+  private val BpeTokenRe = """ ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"""
+
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", $"lang", size(tokens($"text")).as("n_tokens"), $"n_chars")
+      .select($"doc_id", $"lang", size(tokens($"text")).as("n_tokens"),
+        regexp_count($"text", lit(BpeTokenRe)).cast("int").as("n_bpe_tokens"),
+        $"n_chars")
   }
 
   /** Quality scoring: token count, average token length, stopword ratio,
@@ -140,8 +148,37 @@ object TextAnalysis {
 
   private val tokSql = """regexp_split_to_array(trim(text), '\s+')"""
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality gate:
+    * score each document by the mean negative log corpus-unigram probability
+    * of its tokens (high = surprising/atypical text, the tail a curation
+    * pipeline inspects or drops). A real LM would be a model artifact; the
+    * corpus-unigram LM is the deterministic, SQL-checkable core of the op.
+    *
+    * Plan: one explode→count pass builds the LM (shuffle keyed on token —
+    * bounded by vocabulary, NOT broadcast: vocabularies at corpus scale are
+    * GBs); the scoring pass re-joins tokens to their logprob on the same
+    * key and aggregates per doc. ln differs by ≤1 ulp across engines and the
+    * per-doc mean is order-dependent → round(6). */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens(lower($"text"))).as("tok"))
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    // corpus total as a broadcast singleton (a global window here would
+    // funnel the whole vocabulary through one partition)
+    val total = counts.agg(sum($"c").as("total"))
+    val lm = counts.crossJoin(broadcast(total))
+      .select($"tok",
+        (log($"c".cast("double")) - log($"total".cast("double"))).as("logp"))
+    toks.join(lm, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-$"logp"), 6).as("avg_neg_logprob"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats" -> ((s, d) => tokenStats(s, d)),
+    "q_unigram_logprob" -> ((s, d) => unigramLogprob(s, d)),
     "q_text_quality" -> ((s, d) => qualityScore(s, d)),
     "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q_rolling_hash" -> ((s, d) => rollingHash(s, d)),
@@ -167,7 +204,9 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "q_token_stats" ->
-      s"""SELECT doc_id, lang, CAST(len($tokSql) AS INTEGER) AS n_tokens, n_chars
+      s"""SELECT doc_id, lang, CAST(len($tokSql) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+')) AS INTEGER) AS n_bpe_tokens,
+         |  n_chars
          |FROM documents""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars, text, $tokSql AS toks FROM documents)
@@ -216,6 +255,17 @@ object TextAnalysis {
         |     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |     + len(regexp_extract_all(text, 'https?://\S+')) AS INTEGER) AS n_redacted
         |FROM documents""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |lm AS (
+        |  SELECT tok, ln(CAST(count(*) AS DOUBLE))
+        |            - ln(CAST((SELECT count(*) FROM t) AS DOUBLE)) AS logp
+        |  FROM t GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(-logp), 6) AS avg_neg_logprob
+        |FROM t JOIN lm USING (tok) GROUP BY doc_id""".stripMargin,
     // q_rolling_hash, q_lang_id: rows-only (Spark-specific hashing / heuristic)
   )
 }
