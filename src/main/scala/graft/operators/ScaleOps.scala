@@ -47,7 +47,13 @@ object ScaleOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey",
         explode(sequence(lit(0), lit(salts - 1))).as("salt"))
-    li.join(sup, li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+    // SHUFFLE_HASH: at fixture scale AQE would broadcast the replicated dim,
+    // leaving no shuffle for the salt to spread — but the op exists for the
+    // regime where the dim does NOT fit in memory, so the demonstration (and
+    // its ScalaTest plan assertion) pins the shuffle-join path the salt is
+    // designed for.
+    li.join(sup.hint("SHUFFLE_HASH"),
+        li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
       .groupBy($"s_nationkey")
       .agg(count(lit(1)).as("n_items"),
         sum($"l_quantity".cast(D2)).cast("double").as("sum_qty"))

@@ -43,6 +43,10 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("salted join equals direct join and spreads every supplier over salts") {
+    val plan = operators.ScaleOps.saltedJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("salt"),
+      s"salted join must shuffle on the salted key:\n$plan")
     val salted = operators.ScaleOps.saltedJoin(spark, sf)
       .orderBy("s_nationkey").collect().toSeq
     val direct = Tables.lineitem(spark, sf)
