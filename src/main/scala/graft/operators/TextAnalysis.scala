@@ -176,9 +176,89 @@ object TextAnalysis {
         round(avg(-$"logp"), 6).as("avg_neg_logprob"))
   }
 
+  /** Within-document repetition ratios — the Gopher/RefinedWeb-style
+    * boilerplate detector: fraction of duplicate 2-grams and 3-grams inside
+    * each document (1 − distinct/total). Entirely row-local (HOFs over the
+    * token array, no shuffle, no join) — embarrassingly parallel at any
+    * scale. Ratios are exact integer divisions — NOT rounded (rounding
+    * would introduce half-ulp tie mismatches between engines). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def grams(t: Column, n: Int): Column =
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))
+    def dupRatio(t: Column, n: Int): Column = {
+      val g = grams(t, n)
+      when(size(t) >= n,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val t = tokens(lower($"text"))
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      size(t).as("n_tokens"),
+      dupRatio(t, 2).as("dup_2gram_ratio"),
+      dupRatio(t, 3).as("dup_3gram_ratio"))
+  }
+
+  private val repetitionSql = {
+    def g(n: Int) =
+      s"[array_to_string(t[i:i+${n - 1}], ' ') for i in range(1, len(t) - ${n - 2})]"
+    def ratio(n: Int) =
+      s"""CASE WHEN len(t) >= $n
+         |  THEN 1.0 - CAST(len(list_distinct(${g(n)})) AS DOUBLE) / len(${g(n)})
+         |  ELSE 0.0 END""".stripMargin
+    s"""SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+       |  ${ratio(2)} AS dup_2gram_ratio,
+       |  ${ratio(3)} AS dup_3gram_ratio
+       |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |      FROM documents)""".stripMargin
+  }
+
+  /** Composed keep/drop curation verdict — the rule-stack shape of
+    * Gopher/RefinedWeb quality filtering: minimum length, stopword-ratio
+    * cap, and repetition cap, each surfaced as its own flag plus the
+    * conjunction, so downstream can audit WHY a document was dropped.
+    * Row-local; composes `repetition` with the qualityScore ratios. */
+  def qualityRules(s: SparkSession, dir: String, minTokens: Int = 20,
+      maxStop: Double = 0.5, maxDup2: Double = 0.4): DataFrame = {
+    import s.implicits._
+    val t = tokens(lower($"text"))
+    val nTok = size(t).cast("double")
+    val stopRatio =
+      size(filter(t, x => x.isin(StopWords: _*))).cast("double") / nTok
+    val g2 = transform(sequence(lit(0), size(t) - 2),
+      i => concat_ws(" ", slice(t, i + 1, lit(2))))
+    val dup2 = when(size(t) >= 2,
+      lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2).cast("double"))
+      .otherwise(lit(0.0))
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      (size(t) >= minTokens).as("len_ok"),
+      (stopRatio <= maxStop).as("stop_ok"),
+      (dup2 <= maxDup2).as("rep_ok"))
+      .withColumn("keep", $"len_ok" && $"stop_ok" && $"rep_ok")
+  }
+
+  private val qualityRulesSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |f AS (SELECT doc_id,
+       |  len(t) >= 20 AS len_ok,
+       |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(t) <= 0.5 AS stop_ok,
+       |  (CASE WHEN len(t) >= 2
+       |    THEN 1.0 - CAST(len(list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])) AS DOUBLE)
+       |             / len([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])
+       |    ELSE 0.0 END) <= 0.4 AS rep_ok
+       |  FROM t)
+       |SELECT doc_id, len_ok, stop_ok, rep_ok,
+       |       len_ok AND stop_ok AND rep_ok AS keep
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats" -> ((s, d) => tokenStats(s, d)),
     "q_unigram_logprob" -> ((s, d) => unigramLogprob(s, d)),
+    "q_repetition" -> ((s, d) => repetition(s, d)),
+    "q_quality_rules" -> ((s, d) => qualityRules(s, d)),
     "q_text_quality" -> ((s, d) => qualityScore(s, d)),
     "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q_rolling_hash" -> ((s, d) => rollingHash(s, d)),
@@ -255,6 +335,8 @@ object TextAnalysis {
         |     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |     + len(regexp_extract_all(text, 'https?://\S+')) AS INTEGER) AS n_redacted
         |FROM documents""".stripMargin,
+    "q_repetition" -> repetitionSql,
+    "q_quality_rules" -> qualityRulesSql,
     "q_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

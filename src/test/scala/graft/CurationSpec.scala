@@ -80,6 +80,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition ratios live in [0,1) and rules verdict is the conjunction") {
+    val rep = operators.TextAnalysis.repetition(spark, sf).collect()
+    rep.foreach { r =>
+      val d2 = r.getAs[Double]("dup_2gram_ratio")
+      val d3 = r.getAs[Double]("dup_3gram_ratio")
+      assert(d2 >= 0.0 && d2 < 1.0 && d3 >= 0.0 && d3 < 1.0, r.toString)
+    }
+    val rules = operators.TextAnalysis.qualityRules(spark, sf).collect()
+    rules.foreach { r =>
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("len_ok") && r.getAs[Boolean]("stop_ok")
+          && r.getAs[Boolean]("rep_ok")), r.toString)
+    }
+    assert(rules.exists(_.getAs[Boolean]("keep")), "no doc survives the rules")
+  }
+
   test("profile reports one row per orders column with sane stats") {
     val rows = operators.CurationOps.profile(spark, sf).collect()
     val nRows = Tables.orders(spark, sf).count()
