@@ -90,6 +90,50 @@ class PropertySpec extends AnyFunSuite {
     li.unpersist()
   }
 
+  test("band-join rewrite equals the nested-loop join for random values and bands") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations.contains(plans.BandJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.BandJoinRule
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.chooseNum(-500.0, 500.0))
+      nBands <- Gen.chooseNum(1, 8)
+      lo0 <- Gen.chooseNum(-500.0, 400.0)
+      width <- Gen.chooseNum(1.0, 150.0)
+      stride <- Gen.chooseNum(1.0, 120.0)
+      bucketW <- Gen.oneOf(1.0, 5.0, 25.0, 80.0)
+    } yield (xs, (0 until nBands).map(i => (i, lo0 + i * stride, lo0 + i * stride + width)),
+      bucketW)
+    try check(forAll(gen) { case (xs, bands, bucketW) =>
+      val probe = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+      val bandDf = bands.toDF("band_id", "lo", "hi")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select($"id", $"band_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      spark.conf.set(plans.BandJoinRule.WidthConf, "0")
+      val naive = pairs(probe.join(bandDf, $"x" >= $"lo" && $"x" < $"hi"))
+      spark.conf.set(plans.BandJoinRule.WidthConf, bucketW.toString)
+      val rewritten = pairs(probe.join(bandDf, $"x" >= $"lo" && $"x" < $"hi"))
+      naive == rewritten
+    }) finally spark.conf.set(plans.BandJoinRule.WidthConf, "0")
+  }
+
+  test("hash split is stable under corpus growth: subset assignment never changes") {
+    import spark.implicits._
+    // the md5-prefix rule depends only on the doc's own id — recomputing the
+    // per-doc split on sf0.001 (a subset universe of sf0.01 doc_ids) must
+    // agree with the sf0.01 assignment restricted to those ids
+    def perDoc(sf: String) = Tables.documents(spark, sf)
+      .select($"doc_id",
+        when(substring(md5($"doc_id".cast("string")), 1, 2) < "cd", "train")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = perDoc("/root/testdata/sf0.001")
+    val big = perDoc("/root/testdata/sf0.01")
+    small.foreach { case (id, s) =>
+      assert(big.get(id).forall(_ == s), s"doc $id reassigned: $s -> ${big.get(id)}")
+    }
+  }
+
   test("streaming sessionization equals batch sessionization") {
     val batch = streaming.Sessionize.batchSessions(spark, sf)
       .orderBy("user_id", "sess_no").collect().toSeq
