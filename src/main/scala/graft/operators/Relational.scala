@@ -154,7 +154,74 @@ object Relational {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** Full-outer reconciliation: per-day order counts vs shipment counts,
+    * either side zero-filled — the discrepancy-report join shape (ship
+    * dates extend past order dates, so both null sides genuinely occur).
+    * One shuffle per aggregate; the join keys are the already-aggregated
+    * day rows. */
+  def fullOuterRecon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", $"l_shipdate").as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, Seq("day"), "full_outer")
+      .select($"day", coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_ships", lit(0L)).as("n_ships"))
+  }
+
+  private val fullOuterReconSql =
+    """WITH o AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+      |                  count(*) AS n_orders FROM orders GROUP BY 1),
+      |l AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+      |             count(*) AS n_ships FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(o.day, l.day) AS day,
+      |       COALESCE(n_orders, 0) AS n_orders,
+      |       COALESCE(n_ships, 0) AS n_ships
+      |FROM o FULL OUTER JOIN l ON o.day = l.day""".stripMargin
+
+  /** The engine's SQL entry point: the same catalog the DataFrame API sees,
+    * driven through `spark.sql` over temp views — a user of the reference's
+    * analyst-SQL workflow (`/root/reference/readme.md:149-187`) can run
+    * textual SQL unchanged. TPC-H-Q3-flavored: segment-filtered revenue per
+    * order, exact DECIMAL arithmetic, top-10 ordered by the exact decimal
+    * (deterministic across engines) before the final DOUBLE cast. */
+  def sqlApi(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT o_orderkey, CAST(rev AS DOUBLE) AS revenue, n_items FROM (
+        SELECT o.o_orderkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev,
+               count(*) AS n_items
+        FROM orders_v o
+        JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+        JOIN customer_v c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey)
+      ORDER BY rev DESC, o_orderkey LIMIT 10""")
+  }
+
+  private val sqlApiSql =
+    """SELECT o_orderkey, CAST(rev AS DOUBLE) AS revenue, n_items FROM (
+      |  SELECT o.o_orderkey,
+      |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev,
+      |         count(*) AS n_items
+      |  FROM orders o
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING'
+      |  GROUP BY o.o_orderkey)
+      |ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> ((s, d) => fullOuterRecon(s, d)),
+    "q_sql_api" -> ((s, d) => sqlApi(s, d)),
     "q_clean_trips" -> ((s, d) => cleanTrips(s, d)),
     "q_clean_count" -> ((s, d) => cleanTrips(s, d).agg(count(lit(1)).as("n_rows"))),
     "q_date_range" -> ((s, d) => {
@@ -293,6 +360,8 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_full_outer" -> fullOuterReconSql,
+    "q_sql_api" -> sqlApiSql,
     "q_clean_trips" -> cleanSql,
     "q_clean_count" -> s"SELECT count(*) AS n_rows FROM ($cleanSql) t",
     "q_date_range" -> s"SELECT min(pickup_ts) AS min_pickup, max(pickup_ts) AS max_pickup FROM ($cleanSql) t",
