@@ -8,9 +8,19 @@ import org.apache.spark.sql.SparkSession
   * Usage: Explain <sfDir> [queryName ...]
   */
 object Explain {
+  /** Queries whose construction EXECUTES work (streams, eager checkpoints,
+    * sink round-trips, iterative fixpoints) — explaining them runs the job,
+    * so the ALL sweep skips them; their plans are audited via their specs. */
+  private val eager = Set("q_decontaminate", "q_dedup_clusters", "q_doc_knn",
+    "q_orc_roundtrip", "q_csv_roundtrip", "q_jsonl_roundtrip",
+    "q_partitioned_scan", "q_bucketed_join", "q_json_roundtrip")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val names = if (args.length > 1 && args(1) == "ALL")
+      SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(n => n.startsWith("q_stream") || eager(n))
+    else if (args.length > 1) args.drop(1).toSeq
       else Seq("q_clean_trips", "q1_pricing", "q_revenue_by_nation",
         "q_dedup_append", "q_asof_last_error", "q_knn_topk",
         "q_ngram_jaccard", "q_ngram_counts", "q_chunk_docs", "q_session_window")
