@@ -25,9 +25,19 @@ object TestSpark {
 class QueriesSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("every registered query runs on sf0.001 without error") {
+  test("every registered query runs on sf0.001 without error, scalar columns only") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
+      // the driver's comparator loads outputs into pandas and lexsorts every
+      // column — array/struct/map columns throw there (round-2 q_doc_embed
+      // failure), so no registered query may emit one
+      val nonScalar = df.schema.fields.filter(f =>
+        f.dataType.typeName match {
+          case "array" | "struct" | "map" | "variant" => true
+          case _ => false
+        })
+      assert(nonScalar.isEmpty,
+        s"$name emits non-scalar columns: ${nonScalar.map(_.name).mkString(",")}")
       val n = df.count()
       assert(n >= 0, s"$name returned negative count")
     }
