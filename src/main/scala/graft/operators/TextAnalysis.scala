@@ -193,12 +193,19 @@ object TextAnalysis {
         lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
         .otherwise(lit(0.0))
     }
-    val t = tokens(lower($"text"))
-    Tables.documents(s, dir).select(
-      $"doc_id",
-      size(t).as("n_tokens"),
-      dupRatio(t, 2).as("dup_2gram_ratio"),
-      dupRatio(t, 3).as("dup_3gram_ratio"))
+    // spread: interpreted HOF n-gram building per row on the single-split
+    // fixture would otherwise run one-task (measured 9.8 s vs ~2 s spread).
+    // Tokenize in its OWN projection: CollapseProject refuses to duplicate
+    // non-cheap expressions, so `t` is computed once per row instead of once
+    // per flag expression.
+    val t = $"t"
+    Tables.documentsSpread(s, dir)
+      .select($"doc_id", tokens(lower($"text")).as("t"))
+      .select(
+        $"doc_id",
+        size(t).as("n_tokens"),
+        dupRatio(t, 2).as("dup_2gram_ratio"),
+        dupRatio(t, 3).as("dup_3gram_ratio"))
   }
 
   private val repetitionSql = {
@@ -223,7 +230,8 @@ object TextAnalysis {
   def qualityRules(s: SparkSession, dir: String, minTokens: Int = 20,
       maxStop: Double = 0.5, maxDup2: Double = 0.4): DataFrame = {
     import s.implicits._
-    val t = tokens(lower($"text"))
+    // tokenize once per row (own projection — see repetition())
+    val t = $"t"
     val nTok = size(t).cast("double")
     val stopRatio =
       size(filter(t, x => x.isin(StopWords: _*))).cast("double") / nTok
@@ -232,11 +240,13 @@ object TextAnalysis {
     val dup2 = when(size(t) >= 2,
       lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2).cast("double"))
       .otherwise(lit(0.0))
-    Tables.documents(s, dir).select(
-      $"doc_id",
-      (size(t) >= minTokens).as("len_ok"),
-      (stopRatio <= maxStop).as("stop_ok"),
-      (dup2 <= maxDup2).as("rep_ok"))
+    Tables.documentsSpread(s, dir)
+      .select($"doc_id", tokens(lower($"text")).as("t"))
+      .select(
+        $"doc_id",
+        (size(t) >= minTokens).as("len_ok"),
+        (stopRatio <= maxStop).as("stop_ok"),
+        (dup2 <= maxDup2).as("rep_ok"))
       .withColumn("keep", $"len_ok" && $"stop_ok" && $"rep_ok")
   }
 
