@@ -14,7 +14,84 @@ import org.apache.spark.sql.types.DecimalType
 object OlapExtras {
   private val D2 = DecimalType(18, 2)
 
+  /** SCD Type-2 dimension versioning: two deterministic snapshots of the
+    * customer dimension (base at 2024-01-01; every 7th customer re-snapshot
+    * at 2024-06-01 with a changed balance) merged into validity intervals —
+    * `valid_from`/`valid_to` via `lead` over (custkey, version_ts),
+    * `is_current` where the interval is open. The warehouse temporal-merge
+    * shape: one union + one partitioned window, shuffle keyed on custkey
+    * only. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val base = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_acctbal",
+        lit("2024-01-01 00:00:00").cast("timestamp").as("version_ts"))
+    val update = Tables.customer(s, dir)
+      .filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal"),
+        lit("2024-06-01 00:00:00").cast("timestamp").as("version_ts"))
+    val w = Window.partitionBy($"c_custkey").orderBy($"version_ts")
+    base.union(update)
+      .withColumn("valid_from", $"version_ts")
+      .withColumn("valid_to", lead($"version_ts", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"c_custkey", $"c_acctbal", $"valid_from", $"valid_to", $"is_current")
+  }
+
+  private val scd2Sql =
+    """WITH snaps AS (
+      |  SELECT c_custkey, c_acctbal, TIMESTAMP '2024-01-01 00:00:00' AS version_ts
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 100.0, TIMESTAMP '2024-06-01 00:00:00'
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT c_custkey, c_acctbal, version_ts AS valid_from,
+      |       lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) AS valid_to,
+      |       lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) IS NULL AS is_current
+      |FROM snaps""".stripMargin
+
+  /** Funnel analysis over the event stream: per user, the first view, the
+    * first click AFTER that view, the first purchase AFTER that click —
+    * ordered-sequence semantics, not mere per-type counts. Three stage
+    * aggregates, each joined on user_id (same key → the shuffle partitioning
+    * is reused across stages); output is the one-row stage-count summary. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"v_ts")
+      .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count($"c_ts").as("n_click_after_view"),
+        count($"p_ts").as("n_purchase_after_click"))
+  }
+
+  private val funnelSql =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+      |SELECT count(*) AS n_view,
+      |       count(c_ts) AS n_click_after_view,
+      |       count(p_ts) AS n_purchase_after_click
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> ((s, d) => scd2(s, d)),
+    "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_rollup" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -74,6 +151,8 @@ object OlapExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" -> scd2Sql,
+    "q_funnel" -> funnelSql,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

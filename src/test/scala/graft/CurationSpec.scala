@@ -108,6 +108,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: every updated customer has exactly one open interval") {
+    import spark.implicits._
+    val scd = operators.OlapExtras.scd2(spark, sf)
+    val byKey = scd.groupBy($"c_custkey")
+      .agg(count(lit(1)).as("versions"),
+        sum(when($"is_current", 1).otherwise(0)).as("open"))
+      .collect()
+    byKey.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      assert(r.getAs[Long]("open") == 1, s"customer $k open intervals != 1")
+      val expected = if (k % 7 == 0) 2L else 1L
+      assert(r.getAs[Long]("versions") == expected, s"customer $k versions")
+    }
+  }
+
+  test("funnel stage counts are monotone non-increasing") {
+    val r = operators.OlapExtras.funnel(spark, sf).collect()(0)
+    val (v, c, p) = (r.getAs[Long]("n_view"),
+      r.getAs[Long]("n_click_after_view"), r.getAs[Long]("n_purchase_after_click"))
+    assert(v >= c && c >= p, s"funnel not monotone: $v >= $c >= $p")
+    assert(v > 0)
+  }
+
   test("orc roundtrip preserves the aggregate computed on the source") {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
