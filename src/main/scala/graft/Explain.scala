@@ -13,7 +13,8 @@ object Explain {
     * so the ALL sweep skips them; their plans are audited via their specs. */
   private val eager = Set("q_decontaminate", "q_dedup_clusters", "q_doc_knn",
     "q_orc_roundtrip", "q_csv_roundtrip", "q_jsonl_roundtrip",
-    "q_partitioned_scan", "q_bucketed_join", "q_json_roundtrip")
+    "q_partitioned_scan", "q_bucketed_join", "q_json_roundtrip",
+    "q_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

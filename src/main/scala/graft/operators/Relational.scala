@@ -182,6 +182,32 @@ object Relational {
       |       COALESCE(n_ships, 0) AS n_ships
       |FROM o FULL OUTER JOIN l ON o.day = l.day""".stripMargin
 
+  /** Parquet schema evolution: an old-schema batch and a widened batch land
+    * in the same dataset directory; `mergeSchema` reconciles the footers and
+    * the missing column reads as NULL for old files — the append-only
+    * evolution contract a long-lived 100 TB dataset depends on (per-file
+    * footers make this metadata-only; nothing is rewritten). The aggregate
+    * pins the semantics: every row surfaces, exactly the new-batch rows
+    * carry the added column. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evolution_" +
+      java.lang.ProcessHandle.current().pid()
+    Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+      .coalesce(1).write.mode("append").parquet(tmp)
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+        count($"n_regionkey").as("n_with_region"),
+        countDistinct($"n_nationkey").as("n_keys"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT 2 * count(*) AS n_rows, count(*) AS n_with_region,
+      |       count(DISTINCT n_nationkey) AS n_keys
+      |FROM nation""".stripMargin
+
   /** The engine's SQL entry point: the same catalog the DataFrame API sees,
     * driven through `spark.sql` over temp views — a user of the reference's
     * analyst-SQL workflow (`/root/reference/readme.md:149-187`) can run
@@ -222,6 +248,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_full_outer" -> ((s, d) => fullOuterRecon(s, d)),
     "q_sql_api" -> ((s, d) => sqlApi(s, d)),
+    "q_schema_evolution" -> ((s, d) => schemaEvolution(s, d)),
     "q_clean_trips" -> ((s, d) => cleanTrips(s, d)),
     "q_clean_count" -> ((s, d) => cleanTrips(s, d).agg(count(lit(1)).as("n_rows"))),
     "q_date_range" -> ((s, d) => {
@@ -362,6 +389,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_full_outer" -> fullOuterReconSql,
     "q_sql_api" -> sqlApiSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
     "q_clean_trips" -> cleanSql,
     "q_clean_count" -> s"SELECT count(*) AS n_rows FROM ($cleanSql) t",
     "q_date_range" -> s"SELECT min(pickup_ts) AS min_pickup, max(pickup_ts) AS max_pickup FROM ($cleanSql) t",
