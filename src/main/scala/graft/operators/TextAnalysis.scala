@@ -270,6 +270,7 @@ object TextAnalysis {
     "q_repetition" -> ((s, d) => repetition(s, d)),
     "q_quality_rules" -> ((s, d) => qualityRules(s, d)),
     "q_text_quality" -> ((s, d) => qualityScore(s, d)),
+    "q_topk_quality" -> ((s, d) => topkQualityPerLang(s, d)),
     "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q_rolling_hash" -> ((s, d) => rollingHash(s, d)),
     "q_lang_id" -> ((s, d) => languageId(s, d)),
@@ -277,6 +278,24 @@ object TextAnalysis {
     "q_chunk_dedup" -> ((s, d) => chunkDedup(s, d)),
     "q_redact_pii" -> ((s, d) => redactPii(s, d)),
   )
+
+  /** Group-wise best-documents selection: top-k docs per language by
+    * quality score through the `top_k_by` bounded-heap aggregate — the
+    * "keep the best N per stratum" curation step, executed with O(k) state
+    * per group and map-side partials instead of a full per-group sort
+    * (`functions/TopKAgg.scala`). The quality score is IEEE-exact arithmetic
+    * on integer counts, so both engines rank identically; ties break toward
+    * the smaller doc_id on both sides. */
+  def topkQualityPerLang(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    graft.functions.TopKAgg.register(s)
+    qualityScore(s, dir)
+      .groupBy($"lang")
+      .agg(graft.functions.TopKAgg.topKBy($"quality_score", $"doc_id", k).as("top"))
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).cast("int").as("rank"),
+        $"col.id".as("doc_id"), $"col.score".as("quality_score"))
+  }
 
   /** Chunk-granularity exact dedup — the composition a training pipeline
     * actually runs (documents are chunked to context-window size FIRST, then
@@ -345,6 +364,16 @@ object TextAnalysis {
         |     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |     + len(regexp_extract_all(text, 'https?://\S+')) AS INTEGER) AS n_redacted
         |FROM documents""".stripMargin,
+    "q_topk_quality" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks))
+         |        * least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0 AS quality_score
+         |  FROM t)
+         |SELECT lang,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rank,
+         |       doc_id, quality_score
+         |FROM q QUALIFY rank <= 3""".stripMargin,
     "q_repetition" -> repetitionSql,
     "q_quality_rules" -> qualityRulesSql,
     "q_unigram_logprob" ->
