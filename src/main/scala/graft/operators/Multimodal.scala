@@ -262,7 +262,130 @@ object Multimodal {
       }
   }
 
+  /** Nearest-neighbor RGB resize — the real pixel math of a thumbnailing
+    * pass (source coordinate = floor(dst * src_dim / dst_dim)). */
+  def resizeRgb(w: Int, h: Int, rgb: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        val sx = (x.toLong * w / ow).toInt
+        val sp = (sy * w + sx) * 3
+        val dp = (y * ow + x) * 3
+        out(dp) = rgb(sp); out(dp + 1) = rgb(sp + 1); out(dp + 2) = rgb(sp + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** BMP pixel-array extraction (top-down RGB) for the resize path. */
+  def decodeBmpPixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP")
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val row = dataOffset + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val dp = (y * w + x) * 3
+        rgb(dp + 2) = bytes(row + x * 3)     // B
+        rgb(dp + 1) = bytes(row + x * 3 + 1) // G
+        rgb(dp) = bytes(row + x * 3 + 2)     // R
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  final case class Thumb(doc_id: Long, out_w: Int, out_h: Int, thumb_bytes: Int)
+
+  /** Image RESIZE pipeline (driver mandate: decode / feature-extract /
+    * resize / frame-sample): encode the doc-derived BMP, decode its pixel
+    * array, nearest-neighbor resize to an 8×8 thumbnail, re-encode. The
+    * per-partition mapPartitions shape is the production layout (one codec
+    * context per partition, binary in → binary out); the oracle checks the
+    * output geometry (thumbnail BMP size is format-determined), and specs
+    * assert identity-resize and mean preservation on constant images. */
+  def imageResize(s: SparkSession, dir: String, ow: Int = 8, oh: Int = 8): Dataset[Thumb] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nChars) =>
+          val (w, h) = imgDims(nChars)
+          val bmp = encodeBmp(w, h, cycled(text.getBytes("UTF-8"), w * h * 3))
+          val (dw, dh, rgb) = decodeBmpPixels(bmp)
+          val thumb = encodeBmp(ow, oh, resizeRgb(dw, dh, rgb, ow, oh))
+          Thumb(id, ow, oh, thumb.length)
+        }
+      }
+  }
+
+  /** PCM sample extraction for the frame-sample path. */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Short] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var dataPos = -1
+    var dataLen = 0
+    while (pos + 8 <= bytes.length && dataPos < 0) {
+      val id = new String(bytes, pos, 4)
+      val len = buf.getInt(pos + 4)
+      if (id == "data") { dataPos = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1)
+    }
+    require(dataPos >= 0, "missing data chunk")
+    Array.tabulate(dataLen / 2)(i => buf.getShort(dataPos + i * 2))
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_rms: Double)
+
+  /** Audio FRAME-SAMPLE pipeline: decode PCM, window into 80-sample (5 ms @
+    * 16 kHz) frames, keep every 2nd frame, per-frame RMS — the temporal
+    * subsampling shape video/audio feature extraction uses (decode once,
+    * emit many frames per blob: a one-to-many mapPartitions, no shuffle).
+    * Rows-only (RMS of doc-derived PCM has no SQL twin); the frame-count
+    * formula and RMS bounds are asserted in ScalaTest. */
+  def audioFrameSample(s: SparkSession, dir: String,
+      frameLen: Int = 80, every: Int = 2): Dataset[Frame] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text, nChars) =>
+          val nSamples = (nChars % 500).toInt + 100
+          val src = text.getBytes("UTF-8")
+          val samples = Array.tabulate(nSamples) { i =>
+            (((src(i % src.length) & 0xFF) - 128) * 256).toShort
+          }
+          val pcm = decodeWavSamples(encodeWav(16000, samples))
+          val nFrames = (pcm.length + frameLen - 1) / frameLen
+          (0 until nFrames by every).map { f =>
+            val start = f * frameLen
+            val end = math.min(start + frameLen, pcm.length)
+            var sumSq = 0.0
+            var i = start
+            while (i < end) { val v = pcm(i).toInt; sumSq += v.toDouble * v; i += 1 }
+            Frame(id, f, math.rint(math.sqrt(sumSq / (end - start)) * 1e6) / 1e6)
+          }
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_resize" -> ((s, d) => imageResize(s, d).toDF()),
+    "q_frame_sample" -> ((s, d) => audioFrameSample(s, d).toDF()),
     "q_blob_meta" -> ((s, d) => blobMeta(s, d)),
     "q_blob_features" -> ((s, d) => blobFeatures(s, d).toDF()),
     "q_image_decode" -> ((s, d) => imageDecode(s, d).toDF()
@@ -291,6 +414,13 @@ object Multimodal {
       """SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
         |       CAST(n_chars % 500 + 100 AS INTEGER) AS n_samples
         |FROM documents""".stripMargin,
+    // thumbnail BMP byte size is format-determined: 54-byte headers + 8 rows
+    // of (8*3 padded to 4) = 24 bytes → 54 + 192 = 246 for every doc
+    "q_image_resize" ->
+      """SELECT doc_id, CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+        |       CAST(246 AS INTEGER) AS thumb_bytes
+        |FROM documents""".stripMargin,
     // q_blob_features: rows-only (stubbed decoder — byte stats only)
+    // q_frame_sample: rows-only (RMS of doc-derived PCM; count formula in specs)
   )
 }

@@ -54,4 +54,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.forall(r => r.n_pixels == r.img_w * r.img_h))
     assert(aud.forall(r => r.sample_rate == 16000 && r.peak <= 32768))
   }
+
+  test("nearest-neighbor resize: identity at same dims, mean-exact on constant images") {
+    import operators.Multimodal._
+    val w = 7; val h = 5
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    // identity: resizing to the source dims copies every pixel
+    assert(resizeRgb(w, h, rgb, w, h).toSeq == rgb.toSeq)
+    // constant image: any resize preserves every channel value exactly
+    val const = Array.fill(w * h * 3)(77.toByte)
+    val small = resizeRgb(w, h, const, 3, 2)
+    assert(small.forall(_ == 77.toByte))
+    // thumbnail BMP geometry matches the oracle's constant
+    val thumb = encodeBmp(8, 8, resizeRgb(w, h, rgb, 8, 8))
+    assert(thumb.length == 246)
+    // resized pixels are source pixels (nearest-neighbor never interpolates)
+    val rs = resizeRgb(w, h, rgb, 3, 3)
+    val srcPixels = rgb.grouped(3).map(_.toSeq).toSet
+    assert(rs.grouped(3).map(_.toSeq).forall(srcPixels.contains))
+  }
+
+  test("audio frame sampling: every-2nd-frame count formula and RMS bounds") {
+    val frames = operators.Multimodal.audioFrameSample(spark, sf).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    val nChars = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, fs) =>
+      val nSamples = (nChars(id) % 500).toInt + 100
+      val total = (nSamples + 79) / 80
+      val expected = (total + 1) / 2 // frames 0, 2, 4, ...
+      assert(fs.length == expected, s"doc $id: ${fs.length} != $expected")
+      assert(fs.forall(f => f.frame_idx % 2 == 0))
+      assert(fs.forall(f => f.frame_rms >= 0.0 && f.frame_rms <= 32768.0))
+    }
+    assert(byDoc.size == nChars.size)
+  }
 }
