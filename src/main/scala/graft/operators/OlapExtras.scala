@@ -51,6 +51,69 @@ object OlapExtras {
       |       lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) IS NULL AS is_current
       |FROM snaps""".stripMargin
 
+  /** Cohort retention: users grouped by first-seen week, counted per
+    * activity-week offset — the product-analytics staple. Two aggregates
+    * (first-seen per user; distinct user-weeks) joined on user_id, then one
+    * count-distinct keyed on (cohort, offset); every shuffle is on user_id
+    * or the small cohort grid. Week arithmetic is exact integer day-diffs
+    * divided by 7 — both engines truncate Monday weeks. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val firstSeen = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val active = ev.select($"user_id", date_trunc("week", $"ts").as("act_week"))
+      .distinct()
+    active.join(firstSeen, "user_id")
+      .groupBy($"cohort_week",
+        (datediff($"act_week", $"cohort_week") / 7).cast("int").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH f AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+      |  FROM events)
+      |SELECT f.cohort_week,
+      |       CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INTEGER) AS week_offset,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** RANGE-frame moving window: trailing-7-day shipped quantity per
+    * supplier — a frame defined by the ORDER-BY VALUE (days), not row
+    * position, so gaps in the calendar shrink the frame (vs the rows-frame
+    * running sum of `q_window_running`). Pre-aggregating to one row per
+    * (supplier, day) first keeps the window input minimal; one shuffle on
+    * suppkey. */
+  def rangeFrameWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = Tables.lineitem(s, dir)
+      .groupBy($"l_suppkey",
+        datediff(date_trunc("day", $"l_shipdate"),
+          lit("2024-01-01").cast("date")).as("day_no"))
+      .agg(sum($"l_quantity".cast(D2)).as("qty"))
+    val w = Window.partitionBy($"l_suppkey").orderBy($"day_no")
+      .rangeBetween(-6, 0)
+    daily.select($"l_suppkey", $"day_no",
+      sum($"qty").over(w).cast("double").as("qty_7d"))
+  }
+
+  private val rangeFrameWindowSql =
+    """WITH daily AS (
+      |  SELECT l_suppkey,
+      |         date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', l_shipdate) AS DATE)) AS day_no,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_suppkey, CAST(day_no AS INTEGER) AS day_no,
+      |       CAST(SUM(qty) OVER (PARTITION BY l_suppkey ORDER BY day_no
+      |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+      |FROM daily""".stripMargin
+
   /** Funnel analysis over the event stream: per user, the first view, the
     * first click AFTER that view, the first purchase AFTER that click —
     * ordered-sequence semantics, not mere per-type counts. Three stage
@@ -92,6 +155,8 @@ object OlapExtras {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> ((s, d) => scd2(s, d)),
     "q_funnel" -> ((s, d) => funnel(s, d)),
+    "q_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
+    "q_window_range_frame" -> ((s, d) => rangeFrameWindow(s, d)),
     "q_rollup" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -153,6 +218,8 @@ object OlapExtras {
   val oracle: Map[String, String] = Map(
     "q_scd2" -> scd2Sql,
     "q_funnel" -> funnelSql,
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_window_range_frame" -> rangeFrameWindowSql,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
