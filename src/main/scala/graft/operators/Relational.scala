@@ -295,6 +295,30 @@ object Relational {
       val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
       y95.intersect(y96)
     }),
+    "q_except_all_buyers" -> ((s, d) => {
+      // multiplicity-aware set difference (§2.6 completion): a customer with
+      // 3 orders in 1995 and 1 in 1996 keeps 2 rows — EXCEPT ALL semantics,
+      // planned as a hash aggregation on counts, not a row-wise anti join
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.exceptAll(y96)
+    }),
+    "q_intersect_all_buyers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.intersectAll(y96)
+    }),
+    "q_string_agg" -> ((s, d) => {
+      // ordered list aggregation surfaced as a scalar string (array outputs
+      // break the driver's comparator): sorted distinct statuses per priority
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+          count(lit(1)).as("n"))
+    }),
     "q_except_buyers" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
@@ -413,6 +437,19 @@ object Relational {
       """SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996""".stripMargin,
+    "q_except_all_buyers" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996""".stripMargin,
+    "q_intersect_all_buyers" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_except_buyers" ->
       """SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
         |EXCEPT
