@@ -272,6 +272,53 @@ object CurationOps {
        |FROM r GROUP BY src""".stripMargin
   }
 
+  /** The dedup DECISION: for each near-dup cluster keep the highest-quality
+    * member (quality-score argmax, doc_id-desc tiebreak) — composing
+    * connected components with the quality scorer into the row a pipeline
+    * actually acts on. The per-cluster argmax is a tiny window over the
+    * cluster assignment (clusters ≪ corpus); the quality score is
+    * IEEE-exact, so both engines pick identical winners. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val labels = dedupClusters(s, dir)
+    val quality = TextAnalysis.qualityScore(s, dir)
+      .select($"doc_id", $"quality_score")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id".desc)
+    labels.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .filter($"rn" === 1)
+      .select($"cluster_id", $"doc_id".as("keep_doc"),
+        $"n_members".cast("bigint").as("n_members"), $"quality_score")
+  }
+
+  private val dedupKeepBestSql = {
+    // clusters CTE chain reused from dedupClustersSql; quality expr mirrors
+    // TextAnalysis.qualityScore
+    val base = dedupClustersSql.stripSuffix(
+      "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id\nFROM r GROUP BY src")
+    require(base != dedupClustersSql, "clusters SQL tail changed; fix the reuse")
+    s"""${base.trim},
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM r GROUP BY src),
+       |q AS (
+       |  SELECT doc_id,
+       |    (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks))
+       |          * least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0 AS quality_score
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)),
+       |j AS (
+       |  SELECT l.cluster_id, l.doc_id, q.quality_score,
+       |         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |                            ORDER BY q.quality_score DESC, l.doc_id DESC) AS rn,
+       |         count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+       |  FROM labels l JOIN q ON l.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS keep_doc, n_members, quality_score
+       |FROM j WHERE rn = 1""".stripMargin
+  }
+
   /** Dataset profiling: per-column null count + exact distinct count over
     * `orders`, in ONE aggregate pass (a single expand + hash-agg; the
     * approx_count_distinct variant for 100 TB is `q_approx_distinct`). The
@@ -333,6 +380,7 @@ object CurationOps {
     "q_stream_decontaminate" -> ((s, d) => streamingDecontaminate(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "q_dedup_keep_best" -> ((s, d) => dedupKeepBest(s, d)),
     "q_profile" -> ((s, d) => profile(s, d)),
     "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d)),
   )
@@ -343,6 +391,7 @@ object CurationOps {
     "q_stream_decontaminate" -> decontaminateSql,
     "q_bm25_search" -> bm25Sql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_profile" -> profileSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
   )
