@@ -51,6 +51,33 @@ object OlapExtras {
       |       lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) IS NULL AS is_current
       |FROM snaps""".stripMargin
 
+  /** Share-of-total: per-status revenue and its fraction of the whole. The
+    * naive form is `sum(x) over ()` — an empty-partition window that funnels
+    * every row through ONE task; the scale-safe form computed here derives
+    * the total from the already-aggregated per-group rows via a broadcast
+    * singleton cross join. Shares are exact-decimal ratios cast to double —
+    * a single IEEE division, bit-identical across engines, left unrounded. */
+  def shareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(sum($"o_totalprice".cast(D2)).as("rev"))
+    val total = per.agg(sum($"rev").as("total_rev"))
+    per.join(broadcast(total))
+      .select($"o_orderstatus",
+        $"rev".cast("double").as("revenue"),
+        ($"rev".cast("double") / $"total_rev".cast("double")).as("share"))
+  }
+
+  private val shareOfTotalSql =
+    """WITH per AS (
+      |  SELECT o_orderstatus, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY o_orderstatus),
+      |t AS (SELECT SUM(rev) AS total_rev FROM per)
+      |SELECT o_orderstatus, CAST(rev AS DOUBLE) AS revenue,
+      |       CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS share
+      |FROM per, t""".stripMargin
+
   /** Cohort retention: users grouped by first-seen week, counted per
     * activity-week offset — the product-analytics staple. Two aggregates
     * (first-seen per user; distinct user-weeks) joined on user_id, then one
@@ -157,6 +184,7 @@ object OlapExtras {
     "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "q_window_range_frame" -> ((s, d) => rangeFrameWindow(s, d)),
+    "q_share_of_total" -> ((s, d) => shareOfTotal(s, d)),
     "q_rollup" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -220,6 +248,7 @@ object OlapExtras {
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_window_range_frame" -> rangeFrameWindowSql,
+    "q_share_of_total" -> shareOfTotalSql,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
