@@ -319,6 +319,34 @@ object CurationOps {
        |FROM j WHERE rn = 1""".stripMargin
   }
 
+  /** The END of the curation pipeline: the corpus that actually ships to
+    * training — benchmark docs excluded, contaminated docs anti-joined away,
+    * only quality-rule survivors kept — summarized per language. The anti/
+    * semi joins carry only doc_id sets (never text); every shuffle is keyed
+    * on doc_id. */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val contaminated = decontaminate(s, dir).select($"doc_id")
+    val keepers = TextAnalysis.qualityRules(s, dir)
+      .filter($"keep").select($"doc_id")
+    Tables.documents(s, dir)
+      .filter($"doc_id" % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"))
+  }
+
+  private def cleanCorpusSql(rulesSql: String): String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents d
+       |WHERE d.doc_id % 97 <> 0
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM ($decontaminateSql))
+       |  AND d.doc_id IN (SELECT doc_id FROM ($rulesSql) WHERE keep)
+       |GROUP BY lang""".stripMargin
+
   /** Dataset profiling: per-column null count + exact distinct count over
     * `orders`, in ONE aggregate pass (a single expand + hash-agg; the
     * approx_count_distinct variant for 100 TB is `q_approx_distinct`). The
@@ -381,6 +409,7 @@ object CurationOps {
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_keep_best" -> ((s, d) => dedupKeepBest(s, d)),
+    "q_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "q_profile" -> ((s, d) => profile(s, d)),
     "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d)),
   )
@@ -392,6 +421,7 @@ object CurationOps {
     "q_bm25_search" -> bm25Sql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
+    "q_clean_corpus" -> cleanCorpusSql(TextAnalysis.qualityRulesSql),
     "q_profile" -> profileSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
   )

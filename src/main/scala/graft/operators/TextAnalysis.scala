@@ -250,7 +250,7 @@ object TextAnalysis {
       .withColumn("keep", $"len_ok" && $"stop_ok" && $"rep_ok")
   }
 
-  private val qualityRulesSql =
+  private[operators] val qualityRulesSql =
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
        |f AS (SELECT doc_id,
        |  len(t) >= 20 AS len_ok,
