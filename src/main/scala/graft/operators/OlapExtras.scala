@@ -51,6 +51,54 @@ object OlapExtras {
       |       lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) IS NULL AS is_current
       |FROM snaps""".stripMargin
 
+  /** Event-transition counts — the first-order Markov view of user
+    * behavior: for each user's time-ordered event stream, count
+    * (current_type → next_type) pairs. One `lead` window partitioned by
+    * user (shuffle on user_id, bounded per-user state) + one small hash
+    * aggregate over the 5×5 type grid. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, count(*) AS n
+      |FROM seq WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type""".stripMargin
+
+  /** Key-skew diagnostic: the 10 heaviest join keys with their share of all
+    * rows — the report that decides whether a join needs salting (see
+    * `ScaleOps.saltedJoin`). One hash aggregate + a bounded top-k. */
+  def keySkew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, dir)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+    val total = per.agg(sum($"n").as("total_n"))
+    per.join(broadcast(total))
+      .select($"l_suppkey", $"n",
+        ($"n".cast("double") / $"total_n".cast("double")).as("share"))
+      .orderBy($"n".desc, $"l_suppkey")
+      .limit(10)
+  }
+
+  private val keySkewSql =
+    """WITH per AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey),
+      |t AS (SELECT SUM(n) AS total_n FROM per)
+      |SELECT l_suppkey, n, CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE) AS share
+      |FROM per, t
+      |ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin
+
   /** Share-of-total: per-status revenue and its fraction of the whole. The
     * naive form is `sum(x) over ()` — an empty-partition window that funnels
     * every row through ONE task; the scale-safe form computed here derives
@@ -185,6 +233,8 @@ object OlapExtras {
     "q_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "q_window_range_frame" -> ((s, d) => rangeFrameWindow(s, d)),
     "q_share_of_total" -> ((s, d) => shareOfTotal(s, d)),
+    "q_event_transitions" -> ((s, d) => eventTransitions(s, d)),
+    "q_key_skew" -> ((s, d) => keySkew(s, d)),
     "q_rollup" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -249,6 +299,8 @@ object OlapExtras {
     "q_cohort_retention" -> cohortRetentionSql,
     "q_window_range_frame" -> rangeFrameWindowSql,
     "q_share_of_total" -> shareOfTotalSql,
+    "q_event_transitions" -> eventTransitionsSql,
+    "q_key_skew" -> keySkewSql,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
