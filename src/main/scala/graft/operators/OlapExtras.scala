@@ -51,6 +51,30 @@ object OlapExtras {
       |       lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) IS NULL AS is_current
       |FROM snaps""".stripMargin
 
+  /** Statistical aggregates: per-flag Pearson correlation, sample
+    * stddev/variance, and sample covariance — the moments family. Both
+    * engines use numerically stable single-pass algorithms whose float
+    * results can differ in the last ulps (merge order), so every output is
+    * rounded to 6. */
+  def corrStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(var_samp($"l_discount"), 6).as("var_disc"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 6).as("cov_qty_price"))
+  }
+
+  private val corrStatsSql =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_discount), 6) AS var_disc,
+      |  round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Event-transition counts — the first-order Markov view of user
     * behavior: for each user's time-ordered event stream, count
     * (current_type → next_type) pairs. One `lead` window partitioned by
@@ -235,6 +259,7 @@ object OlapExtras {
     "q_share_of_total" -> ((s, d) => shareOfTotal(s, d)),
     "q_event_transitions" -> ((s, d) => eventTransitions(s, d)),
     "q_key_skew" -> ((s, d) => keySkew(s, d)),
+    "q_corr_stats" -> ((s, d) => corrStats(s, d)),
     "q_rollup" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -301,6 +326,7 @@ object OlapExtras {
     "q_share_of_total" -> shareOfTotalSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_key_skew" -> keySkewSql,
+    "q_corr_stats" -> corrStatsSql,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
