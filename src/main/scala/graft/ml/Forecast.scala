@@ -138,7 +138,54 @@ object Forecast {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group feature scaling — z-score and min-max, the StandardScaler /
+    * MinMaxScaler semantics expressed relationally so they get a real SQL
+    * oracle (MLlib's vector-typed scalers compute the same statistics).
+    *
+    * Determinism: the group mean is an exact DECIMAL sum divided once in
+    * double; the variance uses the exact-decimal sum of DECIMAL(18,2)²
+    * products — the 2dp cast is exact on the money fixtures and the decimal
+    * multiply/sum are exact in both engines (casting the DOUBLE product to
+    * decimal instead would hit the half-up vs half-even rounding split).
+    * Every downstream op (sqrt, subtract, divide) is a deterministic IEEE
+    * double op, so outputs need NO rounding. Plan: one hash agg for the
+    * 3-row stats table, broadcast back over the fact scan. */
+  def featureScale(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val x = $"l_extendedprice"
+    val stats = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast("double").as("sum_x"),
+        sum(x.cast(DecimalType(18, 2)) * x.cast(DecimalType(18, 2)))
+          .cast("double").as("sum_xx"),
+        min(x).as("min_x"), max(x).as("max_x"))
+      .select($"l_returnflag", $"min_x", $"max_x",
+        ($"sum_x" / $"n").as("mean_x"),
+        sqrt(($"sum_xx" - $"sum_x" * $"sum_x" / $"n") / ($"n" - 1)).as("sd_x"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(stats), "l_returnflag")
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        ((x - $"mean_x") / $"sd_x").as("z_score"),
+        ((x - $"min_x") / ($"max_x" - $"min_x")).as("minmax"))
+  }
+
+  private val featureScaleSql =
+    """WITH stats AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_xx,
+      |         min(l_extendedprice) AS min_x, max(l_extendedprice) AS max_x
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+      |       (l.l_extendedprice - sum_x / n) / sqrt((sum_xx - sum_x * sum_x / n) / (n - 1)) AS z_score,
+      |       (l.l_extendedprice - min_x) / (max_x - min_x) AS minmax
+      |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_scale" -> ((s, d) => featureScale(s, d)),
     "q_ml_fare_lr" -> ((s, d) => fareRegression(s, d)),
     "q_ml_demand_gbt" -> ((s, d) => demandForecast(s, d)),
     "q_ml_cv" -> ((s, d) => demandCrossVal(s, d)),
@@ -148,6 +195,7 @@ object Forecast {
   /** Model training is not SQL-expressible (rows-only); the StringIndexer
     * vocabulary is, and gets the one oracle here. */
   val oracle: Map[String, String] = Map(
+    "q_feature_scale" -> featureScaleSql,
     "q_feature_encode" ->
       """SELECT o_orderpriority,
         |       CAST(ROW_NUMBER() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS INTEGER) AS idx,

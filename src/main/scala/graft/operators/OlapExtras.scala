@@ -213,6 +213,87 @@ object OlapExtras {
       |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
       |FROM daily""".stripMargin
 
+  /** Distribution window functions: quartile bucket (`ntile`), relative rank
+    * (`percent_rank`), and cumulative distribution (`cume_dist`) of each
+    * order inside its priority class. The ORDER BY includes the unique
+    * orderkey so every row is its own peer group — both engines then compute
+    * identical exact rationals. One shuffle on the partition key; per-group
+    * state is a sort buffer, bounded by the largest priority class. */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir).select(
+      $"o_orderkey",
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cdist"))
+  }
+
+  private val windowDistributionSql =
+    """SELECT o_orderkey,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
+  /** Wide→long melt (`unpivot`/`UNPIVOT`): a per-status metrics row becomes
+    * one row per (status, metric). The wide input is already aggregated (9
+    * rows), so the melt itself is row-local; averages are exact-decimal sums
+    * divided once in double, bit-identical across engines. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        (sum($"o_totalprice".cast(D2)).cast("double") / count(lit(1))).as("avg_price"),
+        max($"o_totalprice").as("max_price"))
+    wide.unpivot(
+      Array($"o_orderstatus"),
+      Array($"n_orders", $"avg_price", $"max_price"),
+      "metric", "val")
+  }
+
+  private val unpivotMetricsSql =
+    """WITH wide AS (
+      |  SELECT o_orderstatus,
+      |         CAST(count(*) AS DOUBLE) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |         max(o_totalprice) AS max_price
+      |  FROM orders GROUP BY o_orderstatus)
+      |UNPIVOT wide ON n_orders, avg_price, max_price INTO NAME metric VALUE val""".stripMargin
+
+  /** Conditional / selective aggregates: FILTER-style counting (`count_if`),
+    * CASE-guarded sums, boolean any/all (`bool_or`/`bool_and`), and
+    * value-at-argmax (`max_by` / `arg_max`) with a unique ordering key so the
+    * argmax is deterministic in both engines. One hash aggregate, map-side
+    * partials, 3 output rows. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count_if($"l_discount" > 0.05).as("n_disc"),
+        sum(when($"l_tax" > 0.04, $"l_quantity".cast(D2)).otherwise(lit(0).cast(D2)))
+          .cast("double").as("taxed_qty"),
+        bool_or($"l_quantity" > 49).as("any_max_qty"),
+        bool_and($"l_quantity" > 0).as("all_pos"),
+        max_by($"l_linestatus", $"l_orderkey" * 10 + $"l_linenumber").as("last_status"))
+  }
+
+  private val conditionalAggSql =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+      |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN CAST(l_quantity AS DECIMAL(18,2))
+      |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS taxed_qty,
+      |  bool_or(l_quantity > 49) AS any_max_qty,
+      |  bool_and(l_quantity > 0) AS all_pos,
+      |  arg_max(l_linestatus, l_orderkey * 10 + l_linenumber) AS last_status
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Funnel analysis over the event stream: per user, the first view, the
     * first click AFTER that view, the first purchase AFTER that click —
     * ordered-sequence semantics, not mere per-type counts. Three stage
@@ -260,6 +341,9 @@ object OlapExtras {
     "q_event_transitions" -> ((s, d) => eventTransitions(s, d)),
     "q_key_skew" -> ((s, d) => keySkew(s, d)),
     "q_corr_stats" -> ((s, d) => corrStats(s, d)),
+    "q_window_distribution" -> ((s, d) => windowDistribution(s, d)),
+    "q_unpivot" -> ((s, d) => unpivotMetrics(s, d)),
+    "q_conditional_agg" -> ((s, d) => conditionalAgg(s, d)),
     "q_rollup" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -327,6 +411,9 @@ object OlapExtras {
     "q_event_transitions" -> eventTransitionsSql,
     "q_key_skew" -> keySkewSql,
     "q_corr_stats" -> corrStatsSql,
+    "q_window_distribution" -> windowDistributionSql,
+    "q_unpivot" -> unpivotMetricsSql,
+    "q_conditional_agg" -> conditionalAggSql,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

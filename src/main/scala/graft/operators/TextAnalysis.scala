@@ -264,7 +264,82 @@ object TextAnalysis {
        |       len_ok AND stop_ok AND rep_ok AS keep
        |FROM f""".stripMargin
 
+  /** Text normalization — the first pass of every curation pipeline:
+    * control characters to spaces, lowercase, runs of whitespace collapsed
+    * to one space, ends trimmed. Pure row-local regex work (codegen'd
+    * `RegExpReplace`, no shuffle); simple character-class patterns behave
+    * identically in Java regex and DuckDB's RE2. */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = trim(regexp_replace(
+      lower(regexp_replace($"text", "[\\x00-\\x1F]", " ")), "\\s{2,}", " "))
+    Tables.documents(s, dir).select(
+      $"doc_id", norm.as("norm_text"), length(norm).cast("int").as("norm_len"))
+  }
+
+  private val normalizeTextSql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(lower(regexp_replace(text, '[\x00-\x1F]', ' ', 'g')),
+      |       '\s{2,}', ' ', 'g')) AS norm_text,
+      |  CAST(length(trim(regexp_replace(lower(regexp_replace(text, '[\x00-\x1F]', ' ', 'g')),
+      |       '\s{2,}', ' ', 'g'))) AS INTEGER) AS norm_len
+      |FROM documents""".stripMargin
+
+  /** Pointwise mutual information of adjacent token pairs — the corpus
+    * collocation statistic (phrase detection, tokenizer-merge candidates).
+    *
+    * Plan: one pass builds unigram counts (hash agg keyed on token — bounded
+    * by vocabulary), one row-local `arrays_zip(slice,slice)` builds bigrams
+    * with NO self-join (the naive pos/pos+1 equi-self-join would shuffle the
+    * token stream twice), then a hash agg on the pair. Corpus totals ride as
+    * broadcast singletons. Only pairs above `minCount` join back to the
+    * unigram table — a frequency-pruned, vocabulary-sized join, never
+    * corpus-sized. `ln` may differ by 1 ulp across engines → round(6). */
+  def pmiBigrams(s: SparkSession, dir: String, minCount: Int = 20): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documentsSpread(s, dir)
+      .select(tokens(lower($"text")).as("t"))
+    val uni = toks.select(explode($"t").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size($"t") >= 2)
+      .select(explode(arrays_zip(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1))).as("p"))
+      .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
+    val bic = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+    val nUni = uni.agg(sum($"c").as("n_uni"))
+    val nBi = bic.agg(sum($"n_pair").as("n_bi"))
+    bic.filter($"n_pair" >= minCount)
+      .join(uni.select($"tok".as("w1"), $"c".as("c1")), "w1")
+      .join(uni.select($"tok".as("w2"), $"c".as("c2")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select($"w1", $"w2", $"n_pair",
+        round(log(($"n_pair".cast("double") / $"n_bi") /
+          (($"c1".cast("double") / $"n_uni") * ($"c2".cast("double") / $"n_uni"))), 6)
+          .as("pmi"))
+  }
+
+  private val pmiBigramsSql =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |tok AS (SELECT unnest(t) AS tok FROM toks),
+      |bip AS (
+      |  SELECT pair[1] AS w1, pair[2] AS w2
+      |  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pair
+      |        FROM toks WHERE len(t) >= 2)),
+      |uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      |bic AS (SELECT w1, w2, count(*) AS n_pair FROM bip GROUP BY w1, w2),
+      |tot AS (SELECT (SELECT count(*) FROM tok) AS n_uni,
+      |               (SELECT count(*) FROM bip) AS n_bi)
+      |SELECT b.w1, b.w2, b.n_pair,
+      |  round(ln((CAST(b.n_pair AS DOUBLE) / t.n_bi) /
+      |        ((CAST(u1.c AS DOUBLE) / t.n_uni) * (CAST(u2.c AS DOUBLE) / t.n_uni))), 6) AS pmi
+      |FROM bic b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok, tot t
+      |WHERE b.n_pair >= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_normalize_text" -> ((s, d) => normalizeText(s, d)),
+    "q_pmi_bigrams" -> ((s, d) => pmiBigrams(s, d)),
     "q_token_stats" -> ((s, d) => tokenStats(s, d)),
     "q_unigram_logprob" -> ((s, d) => unigramLogprob(s, d)),
     "q_repetition" -> ((s, d) => repetition(s, d)),
@@ -312,6 +387,8 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_normalize_text" -> normalizeTextSql,
+    "q_pmi_bigrams" -> pmiBigramsSql,
     "q_token_stats" ->
       s"""SELECT doc_id, lang, CAST(len($tokSql) AS INTEGER) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+')) AS INTEGER) AS n_bpe_tokens,

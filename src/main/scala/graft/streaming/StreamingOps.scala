@@ -175,6 +175,70 @@ object StreamingOps {
     runToParquet(s, joined, "graft_ss_join", mode = "append")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase row is emitted,
+    * with the matching error when one exists in the preceding hour and NULL
+    * otherwise — "which purchases had NO preceding incident" is the outer
+    * half the inner join can't answer.
+    *
+    * Outer results only materialize once the watermark proves no future
+    * match can arrive, so the source is staged with one far-future sentinel
+    * event PER JOIN SIDE (the production analog: a heartbeat/punctuation
+    * event that closes out the tail of a bounded replay). Each sentinel must
+    * survive its side's event-type filter — watermarks are tracked from the
+    * rows that actually reach the `withWatermark` operator, so a sentinel
+    * filtered out beforehand advances nothing and the tail's outer rows stay
+    * stuck in state. The sentinels carry distinct negative user_ids so they
+    * can never match each other; being each side's max event time they are
+    * themselves never evicted, hence never emitted. Spark's trailing no-data
+    * micro-batch then flushes the remaining state, making the result exactly
+    * equal to the batch LEFT JOIN oracle. Watermarks bound the join state on
+    * both sides. */
+  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sweepScratch(new java.io.File("/dev/shm/graft_stream"))
+    val base = "/dev/shm/graft_stream/louter_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    val staged = base + "/in"
+    val ev = graft.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val sentinels = ev.agg(max($"ts").as("m")).select(
+      explode(array(
+        struct(lit(-1L).as("event_id"), ($"m" + expr("INTERVAL 10 HOURS")).as("ts"),
+          lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props")),
+        struct(lit(-2L).as("event_id"), ($"m" + expr("INTERVAL 10 HOURS")).as("ts"),
+          lit(-2L).as("user_id"), lit("error").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props")))).as("s"))
+      .select($"s.*")
+    ev.unionByName(sentinels).write.parquet(staged)
+    val stagedSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = s.readStream.schema(stagedSchema).parquet(staged)
+    val purchases = stream.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = stream.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("error_id"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    val joined = purchases.join(errors,
+      expr("""p_user = e_user AND
+              e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"""),
+      "left_outer")
+      // Drop the sentinels defensively (never evicted → never emitted, but
+      // the output contract should not depend on that implementation detail).
+      // The guard must reference BOTH join sides: a left-only predicate
+      // (`purchase_id >= 0`) would be pushed below the left side's
+      // EventTimeWatermark into the scan, silently killing the purchase
+      // sentinel — the watermark then stalls 2 h early and the tail's outer
+      // rows never emit. The OR keeps null-extended rows, so the optimizer
+      // can neither push it down nor convert the join to inner.
+      .filter($"purchase_id" >= 0 || $"error_id".isNotNull)
+      .select($"p_user".as("user_id"), $"purchase_id", $"error_id")
+    runToParquet(s, joined, "graft_lo_join", mode = "append")
+  }
+
   /** Streaming MERGE (idempotent dedup-append): every micro-batch anti-joins
     * its rows against the target's accumulated keys and appends only the
     * fresh ones — the reference's `MERGE WHEN NOT MATCHED THEN INSERT`
@@ -220,6 +284,7 @@ object StreamingOps {
     "q_stream_dedup" -> ((s, d) => streamingDedupCount(s, d)),
     "q_stream_static_join" -> ((s, d) => streamStaticJoin(s, d)),
     "q_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
+    "q_stream_left_outer" -> ((s, d) => streamLeftOuterJoin(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -256,5 +321,11 @@ object StreamingOps {
         |  ON p.user_id = e.user_id
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
         | AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts""".stripMargin,
+    "q_stream_left_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p LEFT JOIN events e
+        |  ON p.user_id = e.user_id AND e.event_type = 'error'
+        | AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+        |WHERE p.event_type = 'purchase'""".stripMargin,
   )
 }

@@ -131,6 +131,50 @@ class CurationSpec extends AnyFunSuite {
     assert(v > 0)
   }
 
+  test("window distribution: quartiles 1..4, pct_rank/cdist in [0,1]") {
+    import spark.implicits._
+    val df = operators.OlapExtras.windowDistribution(spark, sf)
+    val bad = df.filter($"quartile" < 1 || $"quartile" > 4 ||
+      $"pct_rank" < 0 || $"pct_rank" > 1 || $"cdist" <= 0 || $"cdist" > 1)
+    assert(bad.count() == 0)
+    assert(df.select("quartile").distinct().count() == 4)
+  }
+
+  test("unpivot melts 3 status rows into 9 (status, metric) rows") {
+    import spark.implicits._
+    val df = operators.OlapExtras.unpivotMetrics(spark, sf)
+    assert(df.count() == 9)
+    assert(df.select($"metric").distinct().count() == 3)
+  }
+
+  test("conditional agg: filtered count never exceeds group count") {
+    import spark.implicits._
+    val per = Tables.lineitem(spark, sf).groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    operators.OlapExtras.conditionalAgg(spark, sf).collect().foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      assert(r.getAs[Long]("n_disc") <= per(flag))
+      assert(r.getAs[Boolean]("all_pos"))
+    }
+  }
+
+  test("normalize_text: no doubled spaces, no uppercase, trimmed") {
+    import spark.implicits._
+    val df = operators.TextAnalysis.normalizeText(spark, sf)
+    val bad = df.filter($"norm_text".contains("  ") ||
+      $"norm_text" =!= lower($"norm_text") || $"norm_text" =!= trim($"norm_text"))
+    assert(bad.count() == 0)
+  }
+
+  test("pmi bigrams: every surviving pair meets the frequency floor; pmi finite") {
+    import spark.implicits._
+    // sf0.001's 50-doc corpus is too small for the default floor — lower it
+    val df = operators.TextAnalysis.pmiBigrams(spark, sf, minCount = 5)
+    assert(df.count() > 0)
+    val bad = df.filter($"n_pair" < 5 || isnan($"pmi") || $"pmi".isNull)
+    assert(bad.count() == 0)
+  }
+
   test("orc roundtrip preserves the aggregate computed on the source") {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType

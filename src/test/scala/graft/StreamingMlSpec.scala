@@ -96,6 +96,39 @@ class StreamingMlSpec extends AnyFunSuite {
       "centroid component outside unit-vector bound")
   }
 
+  test("stream-stream left outer join equals the batch LEFT JOIN") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = streaming.StreamingOps.streamLeftOuterJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    val e = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("error_id"), $"ts".as("e_ts"))
+    val batch = p.join(e, p("user_id") === $"e_user" &&
+        $"e_ts" >= p("p_ts") - expr("INTERVAL 1 HOUR") && $"e_ts" <= p("p_ts"),
+      "left_outer")
+      .select($"user_id", $"purchase_id", $"error_id")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed left-outer result differs from batch LEFT JOIN")
+    assert(streamed.filter($"error_id".isNull).count() > 0,
+      "expected at least one unmatched purchase (outer row)")
+  }
+
+  test("feature scaling: z-scores have ~zero mean and unit variance per group") {
+    import org.apache.spark.sql.functions._
+    val z = ml.Forecast.featureScale(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(avg(col("z_score")).as("m"), stddev_samp(col("z_score")).as("sd"),
+        min(col("minmax")).as("lo"), max(col("minmax")).as("hi"))
+    z.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("sd") - 1.0) < 1e-9)
+      assert(r.getAs[Double]("lo") == 0.0 && r.getAs[Double]("hi") == 1.0)
+    }
+  }
+
   test("GBT demand forecast trains and predicts within sane bounds") {
     val row = ml.Forecast.demandForecast(spark, sf).collect()(0)
     val rmse = row.getAs[Double]("rmse")
