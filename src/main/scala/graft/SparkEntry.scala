@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Composition.queries ++
       operators.CurationOps.queries ++
       operators.RangeOps.queries ++
+      operators.AnalyticsOps.queries ++
       streaming.StreamingOps.queries ++
       streaming.Sessionize.queries ++
       ml.Forecast.queries
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.Composition.oracle ++
       operators.CurationOps.oracle ++
       operators.RangeOps.oracle ++
+      operators.AnalyticsOps.oracle ++
       streaming.StreamingOps.oracle ++
       streaming.Sessionize.oracle ++
       ml.Forecast.oracle
