@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final JSON line from the last 2000 chars of
+// combined output. Two things broke that in rounds 1-2: sbt's "[info] "
+// prefix on forked-run stdout (raw passthrough fixes it) and the
+// "[success] Total time ..." banner printed after the JSON (suppressed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 
 /** Benchmark main: runs every registered query on `SPARK_GRAFT_SF_DIR` and
@@ -128,29 +129,55 @@ object Bench {
     }
 
     val results = selected.map { case (n, _) => n -> best(n) }
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    }.mkString("{", ",", "}")
+    def fmt(v: Double, dp: Int) = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+
+    // Full-precision per-query detail: to stderr (for human logs) and to a
+    // file next to the build (for post-hoc judging) — NOT to the parsed line.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"queries":$detail,"failed":$failedJson,"sf":"$sfDir"}"""
+    System.err.println(s"[bench] detail: $detailJson")
+    try Files.writeString(Paths.get("BENCH_DETAIL.json"), detailJson + "\n")
+    catch { case _: Throwable => () }
+
+    // The driver records only the LAST 2000 chars of combined output and
+    // json-parses the final line — so the parsed line must (a) carry no sbt
+    // prefix (run/outputStrategy := StdoutOutput), (b) stay well under 2000
+    // chars (131 full-precision queries is ~4x that: fold the fast tail into
+    // "others_sec"), and (c) be the last line (showSuccess := false kills the
+    // "[success] Total time" banner; the line is re-printed after teardown in
+    // case late stderr chatter lands between the first print and exit).
+    val lineBudget = 1500
+    val slowestFirst = results.sortBy(-_._2)
+    val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    val keep = entries.scanLeft(0)(_ + _.length + 1).tail
+      .lastIndexWhere(_ <= lineBudget) + 1
+    val qs = entries.take(keep).mkString("{", ",", "}")
+    val othersSec = slowestFirst.drop(keep).map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"queries":$qs,"others_n":${results.size - keep},"others_sec":${fmt(othersSec, 3)},"failed":$failedJson,"sf":"$sfDir"}"""
     // print + flush BEFORE teardown: stdout is fully buffered when
     // redirected, and a hung shutdown would otherwise take the JSON with it.
-    // Key order matters: the driver records only the LAST 2000 characters of
-    // output, and with 80 queries the line is longer than that — headline
-    // fields go AFTER "queries" so the total survives the tail truncation
-    // (round 2's tail cut the line mid-queries and the total was invisible).
-    println(s"""{"queries":$qs,"failed":$failedJson,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(line)
     System.out.flush()
     // streaming state-store maintenance can make spark.stop() crawl for
     // minutes; stop streams explicitly and bound the shutdown with a watchdog
+    spark.sparkContext.setLogLevel("ERROR") // quiet shutdown chatter after the JSON
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
     val exitCode = if (failed.nonEmpty) 1 else 0
     val watchdog = new Thread(() => {
-      Thread.sleep(30000); Runtime.getRuntime.halt(exitCode)
+      Thread.sleep(30000)
+      println(line); System.out.flush()
+      Runtime.getRuntime.halt(exitCode)
     })
     watchdog.setDaemon(true)
     watchdog.start()
     spark.stop()
+    println(line) // the true last line of output in a clean shutdown
+    System.out.flush()
     sys.exit(exitCode)
   }
 }
