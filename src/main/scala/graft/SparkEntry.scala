@@ -33,6 +33,8 @@ object SparkEntry {
       operators.CurationOps.queries ++
       operators.RangeOps.queries ++
       operators.AnalyticsOps.queries ++
+      operators.GraphOps.queries ++
+      operators.AuditOps.queries ++
       streaming.StreamingOps.queries ++
       streaming.Sessionize.queries ++
       ml.Forecast.queries
@@ -54,6 +56,8 @@ object SparkEntry {
       operators.CurationOps.oracle ++
       operators.RangeOps.oracle ++
       operators.AnalyticsOps.oracle ++
+      operators.GraphOps.oracle ++
+      operators.AuditOps.oracle ++
       streaming.StreamingOps.oracle ++
       streaming.Sessionize.oracle ++
       ml.Forecast.oracle

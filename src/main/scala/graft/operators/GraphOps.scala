@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph-shaped analytics over the relational fixtures: fixed-iteration
+  * PageRank on the customer-nation → supplier-nation trade graph, and
+  * last-touch channel attribution over the event stream.
+  *
+  * Scale posture: PageRank is the canonical Spark iterative-dataflow shape —
+  * the edge table (huge at 100 TB) is computed once, persisted, and
+  * re-joined against a small rank vector each iteration; rank updates are
+  * one shuffle (join on src) + one aggregation (group by dst) per
+  * iteration. With billions of nodes the rank side stops being
+  * broadcastable and the same plan degrades gracefully to a co-partitioned
+  * shuffle join; nothing here iterates on the driver.
+  */
+object GraphOps {
+
+  private val D2 = DecimalType(18, 2)
+
+  /** PageRank (damping 0.85, 5 fixed iterations) over the nation trade
+    * graph: an edge cust_nation → supp_nation per lineitem (weight = line
+    * count). Fixed iteration count + per-iteration rounding to 12 dp keeps
+    * the value bit-stable across engines (double error per iteration is
+    * ~1e-16 against a 1e-12 rounding grain), so the DuckDB oracle unrolls
+    * the same 5 steps as CTEs. Dangling nations (no out-edges) simply leak
+    * their mass — the simplification is mirrored in the oracle.
+    *
+    * Reference ships no graph op (`/root/reference/readme.md:149-187` stops
+    * at joins/aggregates); this is part of the training-data-engine surface
+    * (e.g. PageRank-weighted corpus sampling a la Common Crawl curation).
+    */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    val nation = Tables.nation(s, dir)
+    val edges = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy($"src").agg(sum($"w").as("wout"))
+    // edge transition fractions: exact-int division, computed once and
+    // persisted — the only big table in the loop
+    val frac = edges.join(outw, "src")
+      .select($"src", $"dst",
+        ($"w".cast("double") / $"wout".cast("double")).as("f"))
+      .persist()
+    val nodes = nation.select($"n_nationkey".as("node"))
+    var ranks = nodes.withColumn("r", lit(1.0 / 25))
+    for (_ <- 1 to iters) {
+      val contribs = frac.join(broadcast(ranks), $"src" === $"node")
+        .groupBy($"dst").agg(sum($"r" * $"f").as("contrib"))
+      ranks = nodes.join(contribs, $"node" === $"dst", "left")
+        .select($"node",
+          round(lit(0.006) + lit(0.85) * coalesce($"contrib", lit(0.0)), 12).as("r"))
+    }
+    val out = ranks.join(nation, $"node" === $"n_nationkey")
+      .select($"n_name", $"r".as("pr"))
+      .localCheckpoint(true) // cut the 5-iteration lineage before reuse
+    frac.unpersist(false)
+    out
+  }
+
+  private def pageRankSql: String = {
+    val iters = (1 to 5).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""r$k AS (SELECT n.node,
+         |  round(0.006e0 + 0.85e0 * coalesce(c.s, 0e0), 12) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT f.dst AS node, sum(p.r * f.f) AS s
+         |    FROM frac f JOIN $prev p ON f.src = p.node GROUP BY 1) c USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+       |frac AS (SELECT e.src, e.dst,
+       |                CAST(e.w AS DOUBLE) / CAST(o.wout AS DOUBLE) AS f
+       |         FROM edges e JOIN outw o USING (src)),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |r0 AS (SELECT node, 1.0e0/25 AS r FROM nodes),
+       |$iters
+       |SELECT n.n_name, r5.r AS pr
+       |FROM r5 JOIN nation n ON n.n_nationkey = r5.node""".stripMargin
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent PRIOR non-purchase event type ('direct' when none). One window
+    * over (user, ts) — the same single-shuffle as-of shape as
+    * `TimeJoins.asofLastError` — then a hash aggregate per channel. Money
+    * sums run in exact DECIMAL and surface as DOUBLE (driver-hash parity).
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch", when($"event_type" =!= "purchase", $"event_type"))
+      .withColumn("att", last($"touch", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"att", lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast(D2)).cast("double").as("sum_value"))
+  }
+
+  private val lastTouchSql =
+    """WITH t AS (
+      |  SELECT event_type, value,
+      |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |                    IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS att
+      |  FROM events)
+      |SELECT coalesce(att, 'direct') AS channel, count(*) AS n_purchases,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> ((s, d) => pageRank(s, d)),
+    "q_attribution" -> ((s, d) => lastTouchAttribution(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pageRankSql,
+    "q_attribution" -> lastTouchSql,
+  )
+}

@@ -173,7 +173,82 @@ object SimilarityOps {
       .agg(round(avg($"col"), 6).as("avg_val"))
   }
 
+  /** Prefix-filtered sparse-cosine self-join over bigram count vectors —
+    * the AllPairs/PPJoin shape (Bayardo et al., WWW'07): candidate pairs
+    * come from an inverted-index equi-join restricted to each document's
+    * `prefix` RAREST terms (rank by document frequency), and the exact
+    * cosine is then verified only on candidates. Candidate volume scales
+    * with Σ prefix-df², not corpus², and the verify join fans each
+    * candidate out by its term count — never an all-pairs product.
+    * Cosine = int dot / sqrt(int norms): exact integers into correctly-
+    * rounded sqrt/divide, so Spark and DuckDB agree bitwise. */
+  def sparseCosinePairs(s: SparkSession, dir: String,
+      prefix: Int = 2, threshold: Double = 0.6): DataFrame = {
+    import s.implicits._
+    val t = split(trim($"text"), "\\s+")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val tf = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(bigrams).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"term")
+    val pfx = tf.join(df, "term")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= prefix)
+      .select($"doc_id", $"term")
+    val cand = pfx.as("a")
+      .join(pfx.as("b"), $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val norms = tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("nrm"))
+    val dots = cand
+      .join(tf.select($"doc_id".as("doc_a"), $"term", $"tf".as("tf_a")), Seq("doc_a"))
+      .join(tf.select($"doc_id".as("doc_b"), $"term", $"tf".as("tf_b")),
+        Seq("doc_b", "term"))
+      .groupBy($"doc_a", $"doc_b").agg(sum($"tf_a" * $"tf_b").as("dot"))
+    val out = dots
+      .join(norms.select($"doc_id".as("doc_a"), $"nrm".as("na")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"nrm".as("nb")), "doc_b")
+      .withColumn("cos", $"dot".cast("double") / sqrt(($"na" * $"nb").cast("double")))
+      .filter($"cos" >= threshold)
+      .select($"doc_a", $"doc_b", round($"cos", 6).as("cos_sim"))
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
+  }
+
+  private val sparseCosineSql =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+      |         SELECT doc_id,
+      |                unnest(list_transform(range(1, len(t)),
+      |                                      i -> t[i] || ' ' || t[i+1])) AS term
+      |         FROM toks) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |pfx AS (SELECT doc_id, term FROM (
+      |          SELECT tf.doc_id, tf.term,
+      |                 row_number() OVER (PARTITION BY tf.doc_id
+      |                                    ORDER BY df.df, tf.term) AS rn
+      |          FROM tf JOIN df USING (term)) WHERE rn <= 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM pfx a JOIN pfx b ON a.term = b.term AND a.doc_id < b.doc_id),
+      |norms AS (SELECT doc_id, sum(tf * tf) AS nrm FROM tf GROUP BY 1),
+      |dots AS (SELECT c.doc_a, c.doc_b, sum(ta.tf * tb.tf) AS dot
+      |         FROM cand c
+      |         JOIN tf ta ON ta.doc_id = c.doc_a
+      |         JOIN tf tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+      |         GROUP BY 1, 2)
+      |SELECT d.doc_a, d.doc_b,
+      |       round(d.dot / sqrt(na.nrm * nb.nrm), 6) AS cos_sim
+      |FROM dots d JOIN norms na ON na.doc_id = d.doc_a
+      |            JOIN norms nb ON nb.doc_id = d.doc_b
+      |WHERE d.dot / sqrt(na.nrm * nb.nrm) >= 0.6e0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sparse_cosine" -> ((s, d) => sparseCosinePairs(s, d)),
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
     "q_knn_topk_agg" -> ((s, d) => knnTopKAgg(s, d)),
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
@@ -193,6 +268,7 @@ object SimilarityOps {
       |QUALIFY rank <= 5""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sparse_cosine" -> sparseCosineSql,
     "q_knn_topk_agg" -> knnOracleSql,
     "q_knn_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the GraphOps / AuditOps / sparse-cosine families. */
+class GraphAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pagerank: one rank per nation, ranks positive, mass ≈ 1") {
+    val r = operators.GraphOps.pageRank(spark, sf).collect()
+    assert(r.length == 25)
+    val ranks = r.map(_.getAs[Double]("pr"))
+    assert(ranks.forall(_ > 0))
+    // every nation has out-edges in this fixture, so no mass leaks
+    val mass = ranks.sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"mass=$mass")
+  }
+
+  test("pagerank: in-degree-heavy nations rank above the teleport floor") {
+    import spark.implicits._
+    val r = operators.GraphOps.pageRank(spark, sf)
+      .as[(String, Double)].collect().toMap
+    // a node with zero in-weight sits at exactly the 0.006 teleport floor
+    // (happens at sf0.001's sparse graph); nobody may sit below it, and the
+    // top nation must be meaningfully above it
+    assert(r.values.forall(_ >= 0.006 - 1e-12))
+    assert(r.values.max > 0.02)
+  }
+
+  test("attribution: channels partition all purchases, channel set is sane") {
+    import spark.implicits._
+    val a = operators.GraphOps.lastTouchAttribution(spark, sf)
+    val totalAttr = a.agg(sum($"n_purchases")).as[Long].head()
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(totalAttr == purchases)
+    val channels = a.select($"channel").as[String].collect().toSet
+    assert(!channels.contains("purchase"))
+  }
+
+  test("k-anonymity: reported groups really are below k") {
+    val g = operators.AuditOps.kAnonymity(spark, sf, k = 5).collect()
+    assert(g.nonEmpty)
+    assert(g.forall(_.getAs[Long]("n") < 5))
+  }
+
+  test("iqr outliers: counts bounded by group size, quartiles ordered") {
+    val r = operators.AuditOps.iqrOutliers(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_out") <= row.getAs[Long]("n"))
+      assert(row.getAs[Double]("q1") <= row.getAs[Double]("q3"))
+    }
+  }
+
+  test("zorder: every z-range covers a bounded size×band rectangle") {
+    val r = operators.AuditOps.zorderLayout(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      // 6 low bits dropped → each range spans at most 8 values per dim
+      assert(row.getAs[Int]("max_size") - row.getAs[Int]("min_size") <= 8)
+      assert(row.getAs[Int]("max_band") - row.getAs[Int]("min_band") <= 8)
+    }
+  }
+
+  test("sparse cosine: pairs ordered, cosine in range, dups found") {
+    val r = operators.SimilarityOps.sparseCosinePairs(spark, sf).collect()
+    assert(r.nonEmpty) // the fixture corpus contains near-duplicates
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_a") < row.getAs[Long]("doc_b"))
+      val c = row.getAs[Double]("cos_sim")
+      assert(c >= 0.6 && c <= 1.000001)
+    }
+  }
+}
