@@ -75,14 +75,92 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Native Catalyst expression: sparse dot product of two term-count vectors
+  * encoded as SORTED `array<bigint>` of packed entries `(hash64 << 16) | tf`
+  * (tf capped at 65535). A two-pointer merge matches entries on the high 48
+  * hash bits and accumulates `tf_a * tf_b` — O(|a|+|b|) per pair, zero
+  * allocation, fully codegen'd. This is the verify step of the prefix-filter
+  * similarity join: the alternative (re-joining candidate pairs against the
+  * posting table) fans every pair out by its term count through a shuffle.
+  * Hash truncation to 48 bits makes cross-term collisions ~|vocab|²/2⁴⁹ —
+  * negligible, and the DuckDB oracle (exact term equality) agrees whenever
+  * no collision exists.
+  */
+case class SortedDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_dot_product needs array<bigint> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var dot = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      val hx = x >> 16; val hy = y >> 16
+      if (hx == hy) { dot += (x & 0xffffL) * (y & 0xffffL); i += 1; j += 1 }
+      else if (hx < hy) i += 1
+      else j += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val hx = ctx.freshName("hx"); val hy = ctx.freshName("hy")
+      s"""
+         |int $na = $l.numElements(), $nb = $r.numElements();
+         |int $i = 0, $j = 0;
+         |long $dot = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $l.getLong($i); long $y = $r.getLong($j);
+         |  long $hx = $x >> 16; long $hy = $y >> 16;
+         |  if ($hx == $hy) { $dot += ($x & 0xffffL) * ($y & 0xffffL); $i++; $j++; }
+         |  else if ($hx < $hy) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_dot_product"
+}
+
 object ArrayOps {
-  /** Register `sorted_intersect_count`. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register `sorted_intersect_count` + `sorted_dot_product`. Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_dot_product",
+      exprs => SortedDotProduct(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column-API wrapper; requires `register(spark)` first. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** Column-API wrapper; requires `register(spark)` first. */
+  def sortedDotProduct(a: Column, b: Column): Column =
+    call_function("sorted_dot_product", a, b)
 }
