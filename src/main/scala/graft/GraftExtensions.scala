@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[functions.SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => functions.SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("sorted_dot_product"),
+      new ExpressionInfo(classOf[functions.SortedDotProduct].getName, "sorted_dot_product"),
+      (exprs: Seq[Expression]) => functions.SortedDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[functions.BloomContains].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => functions.BloomContains(exprs(0), exprs(1))))
     // band-join rewrite (inert until spark.graft.bandJoin.width is set)
     e.injectOptimizerRule(_ => plans.BandJoinRule)
   }

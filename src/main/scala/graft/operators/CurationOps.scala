@@ -417,9 +417,45 @@ object CurationOps {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_totalprice > 1000.0 GROUP BY o_orderstatus""".stripMargin
 
+  /** Bloom-prefiltered decontamination — identical output to
+    * `decontaminate`, different (better) scale shape: the benchmark shingle
+    * set is folded into a fixed-size bit sketch by the distributed
+    * `bloom_build` aggregate (map-side partials OR-merged; no driver
+    * collect), broadcast as one row, and probed by the codegen'd
+    * `bloom_contains` BEFORE the exact join. At 100 TB the broadcast of the
+    * raw benchmark set is the first thing to die — the sketch stays
+    * kilobytes no matter how many eval benchmarks pile up, and the exact
+    * verify join only sees sketch survivors (false positives get dropped
+    * there, so the oracle is the same SQL as `q_decontaminate`). */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.BloomOps.register(s)
+    val docs = Tables.documentsSpread(s, dir)
+      .filter(size(toks($"text")) >= 3)
+      .select($"doc_id",
+        transform(shingles($"text", 3), x => xxhash64(x)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+      .select(explode($"sh").as("h")).distinct()
+    val sketch = bench.agg(
+      graft.functions.BloomOps.bloomBuild($"h", 1 << 18, 5).as("bloom"))
+    val out = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", explode($"sh").as("h"))
+      .join(broadcast(sketch)) // 1-row sketch, cross-broadcast
+      .filter(graft.functions.BloomOps.bloomContains($"bloom", $"h"))
+      .select($"doc_id", $"h")
+      .join(broadcast(bench), "h") // exact verify on sketch survivors
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint(true)
+    docs.unpersist(false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
     "q_stream_decontaminate" -> ((s, d) => streamingDecontaminate(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -432,6 +468,8 @@ object CurationOps {
   val oracle: Map[String, String] = Map(
     "q_split_traintest" -> trainTestSplitSql,
     "q_decontaminate" -> decontaminateSql,
+    // same SQL: the bloom prefilter must not change the answer
+    "q_bloom_decontaminate" -> decontaminateSql,
     "q_stream_decontaminate" -> decontaminateSql,
     "q_bm25_search" -> bm25Sql,
     "q_dedup_clusters" -> dedupClustersSql,

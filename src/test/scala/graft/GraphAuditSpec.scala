@@ -64,6 +64,30 @@ class GraphAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom sketch: no false negatives, low fp rate, merge = union") {
+    import spark.implicits._
+    functions.BloomOps.register(spark)
+    val keys = (0L until 2000L).map(_ * 7919L)
+    val sketch = keys.toDF("h").repartition(8) // force map-side partials + merge
+      .agg(functions.BloomOps.bloomBuild($"h", 1 << 16, 5).as("b"))
+      .select($"b").as[Array[Byte]].head()
+    // no false negatives — every inserted key must probe true
+    assert(keys.forall(functions.BloomSketch.contains(sketch, _)))
+    // false-positive rate on 10k absent keys stays near theory (<2%)
+    val absent = (1L to 10000L).map(_ * 7919L + 3L)
+    val fp = absent.count(functions.BloomSketch.contains(sketch, _))
+    assert(fp < 200, s"fp=$fp")
+  }
+
+  test("bloom decontaminate matches the exact decontaminate row-for-row") {
+    val exact = operators.CurationOps.decontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val bloom = operators.CurationOps.bloomDecontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(exact.nonEmpty)
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
   test("sparse cosine: pairs ordered, cosine in range, dups found") {
     val r = operators.SimilarityOps.sparseCosinePairs(spark, sf).collect()
     assert(r.nonEmpty) // the fixture corpus contains near-duplicates
