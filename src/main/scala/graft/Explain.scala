@@ -14,7 +14,8 @@ object Explain {
   private val eager = Set("q_decontaminate", "q_dedup_clusters", "q_doc_knn",
     "q_orc_roundtrip", "q_csv_roundtrip", "q_jsonl_roundtrip",
     "q_partitioned_scan", "q_bucketed_join", "q_json_roundtrip",
-    "q_schema_evolution", "q_dedup_keep_best", "q_pmi_bigrams")
+    "q_schema_evolution", "q_dedup_keep_best", "q_pmi_bigrams",
+    "q_pagerank", "q_sparse_cosine", "q_bloom_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

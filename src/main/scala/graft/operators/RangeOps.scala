@@ -120,7 +120,43 @@ object RangeOps {
       .stat.sampleBy("lang", fractions, seed = 42L)
   }
 
+  /** Equi-DEPTH histogram (the equi-width twin of `histogram`): octile
+    * boundaries from exact interpolated percentiles (one tiny aggregate),
+    * broadcast back as a single row, bucket = number of boundaries below
+    * the value. This is the scale-safe replacement for `ntile()` over a
+    * global window — a global ntile forces a single-partition total sort,
+    * while this shape is two full-scan-parallel passes with a 7-value
+    * broadcast between them. Bucket counts differ from ntile's by at most
+    * the tie mass at each boundary, which is what a layout/stats audit
+    * wants anyway. */
+  def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_totalprice")
+    val bs = (1 to 7).map(i =>
+      expr(s"percentile(o_totalprice, ${i / 8.0})").as(s"b$i"))
+    val bounds = o.agg(bs.head, bs.tail: _*)
+    val bucket = (1 to 7).map(i =>
+      when($"o_totalprice" > col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    o.join(broadcast(bounds))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+  }
+
+  private val equidepthSql = {
+    val bs = (1 to 7).map(i =>
+      s"quantile_cont(o_totalprice, ${i / 8.0}) AS b$i").mkString(", ")
+    val bucket = (1 to 7).map(i =>
+      s"CASE WHEN o_totalprice > b$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH bounds AS (SELECT $bs FROM orders)
+       |SELECT $bucket AS bucket, count(*) AS n,
+       |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+       |FROM orders, bounds GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_equidepth_hist" -> ((s, d) => equidepthHistogram(s, d)),
     "q_range_join" -> ((s, d) => rangeJoin(s, d)),
     "q_band_join_auto" -> ((s, d) => bandJoinAuto(s, d)),
     "q_histogram" -> ((s, d) => histogram(s, d)),
@@ -128,6 +164,7 @@ object RangeOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_equidepth_hist" -> equidepthSql,
     "q_range_join" -> rangeJoinSql,
     "q_band_join_auto" -> rangeJoinSql,
     "q_histogram" -> histogramSql,

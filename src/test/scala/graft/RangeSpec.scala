@@ -7,6 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class RangeSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("equi-depth histogram: buckets near-equal mass, ranges ordered and disjoint") {
+    import spark.implicits._
+    val rows = operators.RangeOps.equidepthHistogram(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == (0 to 7))
+    val total = Tables.orders(spark, sf).count()
+    // each octile holds total/8 ± the tie mass at its boundaries
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n") - total / 8.0) < total * 0.05))
+    // value ranges must be ordered and non-overlapping across buckets
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"))
+    case _ => ()
+    }
+  }
+
   test("bucketed range join equals the naive inequality join") {
     import spark.implicits._
     val got = operators.RangeOps.rangeJoin(spark, sf).collect()
