@@ -32,8 +32,14 @@ object AnalyticsOps {
     val b = p.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("name_b"))
     a.join(b, Seq("p_brand"))
       .filter($"key_a" < $"key_b")
-      .withColumn("dist", levenshtein($"name_a", $"name_b"))
-      .filter($"dist" <= 2)
+      // cheap guaranteed-safe prune first (dist >= |len diff|), then the
+      // THRESHOLDED levenshtein: the 3-arg form computes only a 2k+1 band
+      // of the DP matrix and early-exits with -1 past the bound — O(n·k)
+      // per pair instead of O(n·m), the difference that matters when the
+      // block join emits millions of pairs
+      .filter(abs(length($"name_a") - length($"name_b")) <= 2)
+      .withColumn("dist", levenshtein($"name_a", $"name_b", 2))
+      .filter($"dist" >= 0)
       .select($"p_brand", $"key_a", $"key_b", $"dist")
   }
 
