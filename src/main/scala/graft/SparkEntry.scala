@@ -37,6 +37,7 @@ object SparkEntry {
       operators.AuditOps.queries ++
       streaming.StreamingOps.queries ++
       streaming.Sessionize.queries ++
+      streaming.TransformWithStateOps.queries ++
       ml.Forecast.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +61,6 @@ object SparkEntry {
       operators.AuditOps.oracle ++
       streaming.StreamingOps.oracle ++
       streaming.Sessionize.oracle ++
+      streaming.TransformWithStateOps.oracle ++
       ml.Forecast.oracle
 }

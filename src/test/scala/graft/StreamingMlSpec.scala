@@ -96,6 +96,23 @@ class StreamingMlSpec extends AnyFunSuite {
       "centroid component outside unit-vector bound")
   }
 
+  test("transformWithState user totals equal the batch groupBy row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = streaming.TransformWithStateOps.userTotals(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sv"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == want.size && got.nonEmpty)
+    assert(got == want)
+  }
+
   test("stream-stream left outer join equals the batch LEFT JOIN") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
