@@ -328,9 +328,9 @@ object CurationOps {
     import s.implicits._
     // lazy twin of decontaminate(): the anti join needs only the doc_id set,
     // so skip the eager checkpoint (which would run the full decontamination
-    // job at plan-construction time — measured 9 s vs ~4 s lazy). The persist
-    // still guards the shingle projection from InferFiltersFromGenerate
-    // re-evaluation; it materializes once inside the single final action.
+    // job at plan-construction time). The persist guards the shingle
+    // projection from InferFiltersFromGenerate re-evaluation; it
+    // materializes once inside the single final action.
     val docs = Tables.documentsSpread(s, dir)
       .filter(size(toks($"text")) >= 3)
       .select($"doc_id",
@@ -342,7 +342,14 @@ object CurationOps {
       .select($"doc_id", explode($"sh").as("h"))
       .join(broadcast(bench), "h")
       .select($"doc_id").distinct()
+    // persist BELOW the keep-filter = optimizer barrier: with the filter in
+    // the same plan as the rules projection, predicate pushdown substitutes
+    // the flag aliases and re-inlines the tokenizer into every rule (tokens
+    // recomputed ~6× per row — measured ~6.7 s for the composition vs
+    // ~0.5 s for the rules alone). Cached: the tiny (doc_id, flags) table;
+    // the filter then runs against cached rows.
     val keepers = TextAnalysis.qualityRules(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter($"keep").select($"doc_id")
     Tables.documents(s, dir)
       .filter($"doc_id" % 97 =!= 0)
