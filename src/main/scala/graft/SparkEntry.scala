@@ -35,6 +35,7 @@ object SparkEntry {
       operators.AnalyticsOps.queries ++
       operators.GraphOps.queries ++
       operators.AuditOps.queries ++
+      operators.IntegrityOps.queries ++
       streaming.StreamingOps.queries ++
       streaming.Sessionize.queries ++
       streaming.TransformWithStateOps.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       operators.AnalyticsOps.oracle ++
       operators.GraphOps.oracle ++
       operators.AuditOps.oracle ++
+      operators.IntegrityOps.oracle ++
       streaming.StreamingOps.oracle ++
       streaming.Sessionize.oracle ++
       streaming.TransformWithStateOps.oracle ++

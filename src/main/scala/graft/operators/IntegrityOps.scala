@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-integrity operators: CDC merge (MERGE INTO semantics on plain
+  * parquet), referential-integrity audit, and an A/B-test readout. All
+  * single-pass aggregates or key-partitioned windows/joins — shapes that
+  * hold at 100 TB.
+  */
+object IntegrityOps {
+
+  private val D2 = DecimalType(18, 2)
+
+  /** CDC apply: a base snapshot merged with an ordered change feed of
+    * upserts and deletes — the MERGE INTO / compaction step of every
+    * incremental pipeline, expressed engine-agnostically: union the base
+    * (op I, seq 1) with updates (op U, seq 2) and deletes (op D, seq 3),
+    * keep each key's LATEST change (one row_number window partitioned by
+    * key — state bounded per key), drop deletes. The change feed is derived
+    * deterministically from the fixture (keys %7 → price update of +10,
+    * keys %11 → delete) so the oracle can rebuild it. Output: per-status
+    * counts + money sums of the post-merge snapshot. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val base = o.select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+      lit("I").as("op"), lit(1).as("seq"))
+    val upd = o.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        ($"o_totalprice" + 10.0).as("o_totalprice"),
+        lit("U").as("op"), lit(2).as("seq"))
+    val del = o.filter($"o_orderkey" % 11 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        lit("D").as("op"), lit(3).as("seq"))
+    val w = Window.partitionBy($"o_orderkey").orderBy($"seq".desc)
+    base.unionAll(upd).unionAll(del)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(D2)).cast("double").as("sum_price"))
+  }
+
+  private val cdcApplySql =
+    """WITH feed AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 1 AS seq
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0, 'U', 2
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 3
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |                               ORDER BY seq DESC) AS rn
+      |  FROM feed)
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM latest WHERE rn = 1 AND op <> 'D'
+      |GROUP BY 1""".stripMargin
+
+  /** Referential-integrity audit across the star schema: orphan counts for
+    * every foreign key, in long form. Each check is one left-anti join
+    * (dims broadcast by AQE); at 100 TB this is the pre-publish gate that
+    * catches a bad partition swap. */
+  def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    def orphans(name: String, d: DataFrame): DataFrame =
+      d.groupBy().agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk"), $"n_orphans")
+    orphans("lineitem.orderkey",
+      li.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey", "left_anti"))
+      .unionAll(orphans("lineitem.partkey",
+        li.join(Tables.part(s, dir), $"l_partkey" === $"p_partkey", "left_anti")))
+      .unionAll(orphans("lineitem.suppkey",
+        li.join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey", "left_anti")))
+      .unionAll(orphans("orders.custkey",
+        Tables.orders(s, dir).join(Tables.customer(s, dir),
+          $"o_custkey" === $"c_custkey", "left_anti")))
+  }
+
+  private val refIntegritySql =
+    """SELECT 'lineitem.orderkey' AS fk, count(*) AS n_orphans
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem.partkey', count(*) FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |UNION ALL
+      |SELECT 'lineitem.suppkey', count(*) FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      |UNION ALL
+      |SELECT 'orders.custkey', count(*) FROM orders o WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin
+
+  /** A/B-test readout: users hash-split into two arms (deterministic
+    * `user_id % 2` — the same reproducibility argument as the train/test
+    * split), conversion = ≥14 purchases (the fixture's median; every user
+    * has ≥1, so a made-any-purchase cut would put the pooled rate at 1.0
+    * and the z denominator at 0). One per-user aggregate, one conditional
+    * global aggregate, then the two-proportion z statistic from exact
+    * integer counts — identical doubles on both engines. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(when(count(when($"event_type" === "purchase", 1)) >= 14, 1)
+        .otherwise(0).as("converted"))
+      .withColumn("arm", ($"user_id" % 2).cast("int"))
+    val agg = perUser.groupBy().agg(
+      count(when($"arm" === 0, 1)).as("n_a"),
+      count(when($"arm" === 1, 1)).as("n_b"),
+      sum(when($"arm" === 0, $"converted").otherwise(0)).as("conv_a"),
+      sum(when($"arm" === 1, $"converted").otherwise(0)).as("conv_b"))
+    // every quotient via explicit double casts: under ANSI (Spark 4
+    // default) `/` on two integral columns is INTEGRAL division
+    val rateA = $"conv_a".cast("double") / $"n_a".cast("double")
+    val rateB = $"conv_b".cast("double") / $"n_b".cast("double")
+    val pooled = ($"conv_a" + $"conv_b").cast("double") /
+      ($"n_a" + $"n_b").cast("double")
+    agg.select(
+      $"n_a", $"n_b", $"conv_a", $"conv_b",
+      round(rateA, 6).as("rate_a"),
+      round(rateB, 6).as("rate_b"),
+      round((rateA - rateB) /
+        sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double"))),
+        6).as("z"))
+  }
+
+  private val abTestSql =
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+      |         CASE WHEN count(*) FILTER (event_type = 'purchase') >= 14
+      |              THEN 1 ELSE 0 END AS converted
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT
+      |  count(*) FILTER (arm = 0) AS n_a,
+      |  count(*) FILTER (arm = 1) AS n_b,
+      |  CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |  CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |       round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+      |       round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+      |       round(((conv_a / CAST(n_a AS DOUBLE)) - (conv_b / CAST(n_b AS DOUBLE))) /
+      |         sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) *
+      |           (1.0e0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) *
+      |           (1.0e0 / n_a + 1.0e0 / n_b)), 6) AS z
+      |FROM a""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply" -> ((s, d) => cdcApply(s, d)),
+    "q_ref_integrity" -> ((s, d) => refIntegrity(s, d)),
+    "q_ab_test" -> ((s, d) => abTest(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cdc_apply" -> cdcApplySql,
+    "q_ref_integrity" -> refIntegritySql,
+    "q_ab_test" -> abTestSql,
+  )
+}

@@ -88,6 +88,33 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(bloom.toSeq == exact.toSeq)
   }
 
+  test("cdc apply: deletes gone, updates applied, inserts kept") {
+    import spark.implicits._
+    val snap = operators.IntegrityOps.cdcApply(spark, sf)
+      .agg(sum($"n")).as[Long].head()
+    val o = Tables.orders(spark, sf)
+    val total = o.count()
+    val deleted = o.filter($"o_orderkey" % 11 === 0).count()
+    assert(snap == total - deleted)
+  }
+
+  test("referential integrity: the star schema fixture has zero orphans") {
+    val rows = operators.IntegrityOps.refIntegrity(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getAs[Long]("n_orphans") == 0L,
+      r.getAs[String]("fk")))
+  }
+
+  test("a/b test: counts partition users, z finite, rates in [0,1]") {
+    import spark.implicits._
+    val r = operators.IntegrityOps.abTest(spark, sf).collect()(0)
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    val (ra, rb) = (r.getAs[Double]("rate_a"), r.getAs[Double]("rate_b"))
+    assert(ra >= 0 && ra <= 1 && rb >= 0 && rb <= 1)
+    assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
+  }
+
   test("sparse cosine: pairs ordered, cosine in range, dups found") {
     val r = operators.SimilarityOps.sparseCosinePairs(spark, sf).collect()
     assert(r.nonEmpty) // the fixture corpus contains near-duplicates
