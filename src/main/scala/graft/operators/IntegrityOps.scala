@@ -156,13 +156,41 @@ object IntegrityOps {
       |           (1.0e0 / n_a + 1.0e0 / n_b)), 6) AS z
       |FROM a""".stripMargin
 
+  /** Quantity-weighted mean price per return flag via the typed
+    * `Aggregator` API (`functions/WeightedMeanAgg.scala`) — the third
+    * custom-aggregation tier beside the `TypedImperativeAggregate`s. The
+    * accumulator carries exact integer cents·weight, so partial merges are
+    * order-independent and the result is engine-reproducible (a naive
+    * `sum(p*q)/sum(q)` over doubles is not). */
+  def weightedMeanPrice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wm = udaf(graft.functions.WeightedMeanAgg.weightedMeanCents,
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        ($"l_extendedprice".cast(D2) * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("w"))
+      .groupBy($"l_returnflag")
+      .agg(round(wm($"cents", $"w"), 6).as("wavg_price"))
+  }
+
+  private val weightedMeanSql =
+    """SELECT l_returnflag,
+      |       round(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                      * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+      |             / 100.0 / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 6)
+      |         AS wavg_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_mean" -> ((s, d) => weightedMeanPrice(s, d)),
     "q_cdc_apply" -> ((s, d) => cdcApply(s, d)),
     "q_ref_integrity" -> ((s, d) => refIntegrity(s, d)),
     "q_ab_test" -> ((s, d) => abTest(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_mean" -> weightedMeanSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_ref_integrity" -> refIntegritySql,
     "q_ab_test" -> abTestSql,

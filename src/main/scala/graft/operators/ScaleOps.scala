@@ -100,7 +100,41 @@ object ScaleOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** Approximate query processing by deterministic hash sampling: a 1/16
+    * sample keyed on `md5(event_id)` (reproducible across runs, engines,
+    * and re-shards — unlike RNG sampling), scaled estimates next to exact
+    * counts with the realized relative error. At 100 TB this answers
+    * exploratory GROUP BYs at ~6% of the scan cost; the estimate/exact
+    * twin columns make the trade-off auditable. */
+  def sampledEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val est = ev
+      .filter(substring(md5($"event_id".cast("string")), 1, 1) === "0")
+      .groupBy($"event_type").agg((count(lit(1)) * 16).as("n_est"))
+    val exact = ev.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+    val ne = coalesce($"n_est", lit(0L))
+    exact.join(est, Seq("event_type"), "left")
+      .select($"event_type", $"n_exact", ne.as("n_est"),
+        round(abs(ne.cast("double") - $"n_exact") /
+          $"n_exact".cast("double"), 6).as("rel_err"))
+  }
+
+  private val sampledEstimateSql =
+    """WITH est AS (
+      |  SELECT event_type, count(*) * 16 AS n_est
+      |  FROM events
+      |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+      |  GROUP BY 1),
+      |ex AS (SELECT event_type, count(*) AS n_exact FROM events GROUP BY 1)
+      |SELECT ex.event_type, ex.n_exact,
+      |       CAST(coalesce(est.n_est, 0) AS BIGINT) AS n_est,
+      |       round(abs(CAST(coalesce(est.n_est, 0) AS DOUBLE) - ex.n_exact)
+      |             / CAST(ex.n_exact AS DOUBLE), 6) AS rel_err
+      |FROM ex LEFT JOIN est USING (event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sampled_estimate" -> ((s, d) => sampledEstimate(s, d)),
     "q_salted_agg" -> ((s, d) => saltedAgg(s, d)),
     "q_salted_join" -> ((s, d) => saltedJoin(s, d)),
     "q_partitioned_scan" -> ((s, d) => partitionedScan(s, d)),
@@ -108,6 +142,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sampled_estimate" -> sampledEstimateSql,
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -88,6 +88,31 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(bloom.toSeq == exact.toSeq)
   }
 
+  test("weighted mean equals direct sum(p*q)/sum(q) within 1e-6") {
+    import spark.implicits._
+    val got = operators.IntegrityOps.weightedMeanPrice(spark, sf)
+      .as[(String, Double)].collect().toMap
+    val want = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg((sum($"l_extendedprice" * $"l_quantity") / sum($"l_quantity")).as("w"))
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-4, k) }
+  }
+
+  test("sampled estimate: scaled counts land near exact, error column honest") {
+    val rows = operators.ScaleOps.sampledEstimate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))
+      val err = r.getAs[Double]("rel_err")
+      // scaled-estimator sd ≈ 4·√exact (binomial p=1/16, scale 16); 5σ bound
+      assert(math.abs(est - exact) < 20 * math.sqrt(exact.toDouble) + 16,
+        s"est=$est exact=$exact")
+      assert(math.abs(err - math.abs(est - exact).toDouble / exact) < 1e-5)
+    }
+  }
+
   test("cdc apply: deletes gone, updates applied, inserts kept") {
     import spark.implicits._
     val snap = operators.IntegrityOps.cdcApply(spark, sf)
