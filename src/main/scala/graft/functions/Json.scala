@@ -57,6 +57,16 @@ object Json {
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
     }),
     "q_json_weather" -> ((s, _) => weatherParse(s)),
+    // the same observation through the DataSource V2 point source
+    // (sources/JsonPointSource.scala) — custom TableProvider + column-pruned
+    // scan instead of a parsed literal; same oracle row
+    "q_dsv2_point" -> ((s, _) => {
+      val payload =
+        """{"name":"New York","main":{"temp":61.2,"humidity":78},
+          |"weather":[{"description":"light rain"}]}""".stripMargin.replace("\n", "")
+      s.read.format("graft.sources.JsonPointSource")
+        .option("payload", payload).load()
+    }),
     // F5 to_json: serialize a typed struct to JSON, re-parse, extract — the
     // round-trip must be the identity on the typed fields (oracle checks the
     // values; JSON text itself is never compared, SURVEY.md §7 hard-part 4)
@@ -81,6 +91,9 @@ object Json {
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "q_json_weather" ->
+      """SELECT 'New York' AS city, CAST(61.2 AS DOUBLE) AS temp_f,
+        |       'light rain' AS weather_desc, CAST(78 AS INTEGER) AS humidity_pct""".stripMargin,
+    "q_dsv2_point" ->
       """SELECT 'New York' AS city, CAST(61.2 AS DOUBLE) AS temp_f,
         |       'light rain' AS weather_desc, CAST(78 AS INTEGER) AS humidity_pct""".stripMargin,
     "q_json_roundtrip" ->

@@ -88,6 +88,25 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(bloom.toSeq == exact.toSeq)
   }
 
+  test("dsv2 point source: pruning reaches the scan, lines parallelize, nulls tolerated") {
+    val payload =
+      """{"name":"A","main":{"temp":1.5,"humidity":10},"weather":[{"description":"x"}]}
+        |{"name":"B","main":{"temp":2.5}}""".stripMargin
+    val df = spark.read.format("graft.sources.JsonPointSource")
+      .option("payload", payload).load()
+    // column pruning is honored: a city-only projection scans ONE column
+    val pruned = df.select("city")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.output.map(_.name) == Seq("city"))
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq == Seq("A", "B"))
+    // one InputPartition per observation line; absent fields surface as null
+    assert(df.rdd.getNumPartitions == 2)
+    val b = df.collect().find(_.getString(0) == "B").get
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.getDouble(1) == 2.5)
+  }
+
   test("weighted mean equals direct sum(p*q)/sum(q) within 1e-6") {
     import spark.implicits._
     val got = operators.IntegrityOps.weightedMeanPrice(spark, sf)
