@@ -34,6 +34,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sorted_dot_product equals brute-force dot over packed term vectors") {
+    functions.ArrayOps.register(spark)
+    import spark.implicits._
+    // (hash, tf) maps with small hash space to force real overlaps
+    val entryGen = Gen.mapOf(Gen.zip(
+      Gen.chooseNum(-50L, 50L), Gen.chooseNum(1L, 100L)))
+    def pack(m: Map[Long, Long]): Seq[Long] =
+      m.map { case (h, tf) => (h << 16) | tf }.toSeq.sorted
+    check(forAll(entryGen, entryGen) { (a, b) =>
+      val expected = a.keySet.intersect(b.keySet).toSeq
+        .map(k => a(k) * b(k)).sum
+      val got = Seq((pack(a), pack(b))).toDF("a", "b")
+        .select(functions.ArrayOps.sortedDotProduct(col("a"), col("b")))
+        .collect()(0).getLong(0)
+      got == expected
+    })
+  }
+
+  test("bloom sketch: never a false negative, merge equals single-pass build") {
+    check(forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { keys =>
+      val one = new functions.BloomBuf(1 << 12, 4)
+      keys.foreach(one.add)
+      // split build + OR-merge must equal the single-pass sketch
+      val (l, r) = keys.splitAt(keys.length / 2)
+      val bl = new functions.BloomBuf(1 << 12, 4)
+      val br = new functions.BloomBuf(1 << 12, 4)
+      l.foreach(bl.add); r.foreach(br.add); bl.mergeFrom(br)
+      val sameBits = bl.words.sameElements(one.words)
+      val agg = functions.BloomBuildAgg(null, 1 << 12, 4)
+      val bytes = agg.serialize(one)
+      sameBits && keys.forall(functions.BloomSketch.contains(bytes, _))
+    })
+  }
+
   test("cosine_sim matches a reference double implementation") {
     functions.VectorOps.register(spark)
     import spark.implicits._
