@@ -85,6 +85,12 @@ case class BloomBuildAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_build needs a bigint input, got ${other.sql}")
+  }
+
   override def createAggregationBuffer(): BloomBuf = new BloomBuf(numBits, k)
 
   override def update(buf: BloomBuf, input: InternalRow): BloomBuf = {
@@ -178,7 +184,10 @@ case class BloomContains(left: Expression, right: Expression)
 
 object BloomOps {
   private def intLit(e: Expression, what: String): Int = e match {
-    case Literal(v, IntegerType) => v.asInstanceOf[Int]
+    case Literal(v, IntegerType) =>
+      val i = v.asInstanceOf[Int]
+      require(i > 0, s"bloom_build: $what must be positive, got $i")
+      i
     case other => throw new IllegalArgumentException(
       s"bloom_build: $what must be an integer literal, got $other")
   }

@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object AuditOps {
 
+  /** Default k for the registered query — the oracle SQL interpolates the
+    * SAME constant, so the checked pair cannot silently diverge (calls with
+    * a custom k are library use, outside the oracle contract). */
+  private val DefaultK = 5
+
   /** k-anonymity audit: quasi-identifier groups (market segment, nation,
     * account-balance band) with fewer than k members are re-identification
     * risks. One hash aggregate over the table; the output is only the risky
     * groups, so the result stays small no matter the input size. */
-  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def kAnonymity(s: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
     import s.implicits._
     Tables.customer(s, dir)
       .withColumn("bal_band", floor($"c_acctbal" / 2000).cast("long"))
@@ -26,10 +31,10 @@ object AuditOps {
   }
 
   private val kAnonymitySql =
-    """SELECT c_mktsegment, c_nationkey,
-      |       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
-      |       count(*) AS n
-      |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin
+    s"""SELECT c_mktsegment, c_nationkey,
+       |       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+       |       count(*) AS n
+       |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < $DefaultK""".stripMargin
 
   /** IQR (Tukey fence) outlier counts per return flag: exact interpolated
     * quartiles per group (Spark `percentile` = DuckDB `quantile_cont`), then

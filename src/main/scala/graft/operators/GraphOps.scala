@@ -22,6 +22,15 @@ object GraphOps {
 
   private val D2 = DecimalType(18, 2)
 
+  /** Shared PageRank constants — the DataFrame loop AND the unrolled oracle
+    * SQL are generated from these, so they cannot silently diverge. The
+    * fixture's `nation` table is the fixed 25-row TPC-H dimension. */
+  private val Iters = 5
+  private val NNations = 25
+  private val Damping = 0.85
+  private val Teleport = 0.15 / NNations // 0.006
+  private val InitRank = 1.0 / NNations
+
   /** PageRank (damping 0.85, 5 fixed iterations) over the nation trade
     * graph: an edge cust_nation → supp_nation per lineitem (weight = line
     * count). Fixed iteration count + per-iteration rounding to 12 dp keeps
@@ -34,7 +43,7 @@ object GraphOps {
     * at joins/aggregates); this is part of the training-data-engine surface
     * (e.g. PageRank-weighted corpus sampling a la Common Crawl curation).
     */
-  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nation = Tables.nation(s, dir)
     val edges = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
@@ -54,13 +63,14 @@ object GraphOps {
         ($"w".cast("double") / $"wout".cast("double")).as("f"))
       .persist()
     val nodes = nation.select($"n_nationkey".as("node"))
-    var ranks = nodes.withColumn("r", lit(1.0 / 25))
-    for (_ <- 1 to iters) {
+    var ranks = nodes.withColumn("r", lit(InitRank))
+    for (_ <- 1 to Iters) {
       val contribs = frac.join(broadcast(ranks), $"src" === $"node")
         .groupBy($"dst").agg(sum($"r" * $"f").as("contrib"))
       ranks = nodes.join(contribs, $"node" === $"dst", "left")
         .select($"node",
-          round(lit(0.006) + lit(0.85) * coalesce($"contrib", lit(0.0)), 12).as("r"))
+          round(lit(Teleport) + lit(Damping) * coalesce($"contrib", lit(0.0)), 12)
+            .as("r"))
     }
     val out = ranks.join(nation, $"node" === $"n_nationkey")
       .select($"n_name", $"r".as("pr"))
@@ -70,10 +80,12 @@ object GraphOps {
   }
 
   private def pageRankSql: String = {
-    val iters = (1 to 5).map { k =>
+    // Scala Double.toString round-trips exactly, so the interpolated
+    // literals parse to the same doubles the DataFrame loop uses
+    val iters = (1 to Iters).map { k =>
       val prev = if (k == 1) "r0" else s"r${k - 1}"
       s"""r$k AS (SELECT n.node,
-         |  round(0.006e0 + 0.85e0 * coalesce(c.s, 0e0), 12) AS r
+         |  round(${Teleport}e0 + ${Damping}e0 * coalesce(c.s, 0e0), 12) AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT f.dst AS node, sum(p.r * f.f) AS s
          |    FROM frac f JOIN $prev p ON f.src = p.node GROUP BY 1) c USING (node))"""
@@ -91,7 +103,7 @@ object GraphOps {
        |                CAST(e.w AS DOUBLE) / CAST(o.wout AS DOUBLE) AS f
        |         FROM edges e JOIN outw o USING (src)),
        |nodes AS (SELECT n_nationkey AS node FROM nation),
-       |r0 AS (SELECT node, 1.0e0/25 AS r FROM nodes),
+       |r0 AS (SELECT node, 1.0e0/$NNations AS r FROM nodes),
        |$iters
        |SELECT n.n_name, r5.r AS pr
        |FROM r5 JOIN nation n ON n.n_nationkey = r5.node""".stripMargin

@@ -2,8 +2,6 @@ package graft.sources
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -37,8 +35,11 @@ class JsonPointSource extends TableProvider {
     JsonPointSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new JsonPointTable(properties.asScala.getOrElse("payload", "{}"))
+      properties: util.Map[String, String]): Table = {
+    // options are case-insensitive everywhere else in DSv2 — honor that here
+    val opts = new CaseInsensitiveStringMap(properties)
+    new JsonPointTable(Option(opts.get("payload")).getOrElse("{}"))
+  }
 }
 
 object JsonPointSource {
@@ -108,16 +109,18 @@ private[sources] class JsonPointReader(line: String, fields: Array[String])
       case "city" => opt(node, "name")
         .map(n => UTF8String.fromString(n.asText())).orNull
       case "temp_f" => opt(node, "main").flatMap(m => opt(m, "temp")) match {
-        case Some(n) => n.asDouble()
-        case None => null
+        // strict: Jackson's asDouble coerces "N/A" to 0.0 — degraded feed
+        // values must surface as null, not as a plausible number
+        case Some(n) if n.isNumber => n.asDouble()
+        case _ => null
       }
       case "weather_desc" => opt(node, "weather")
         .filter(_.isArray).filter(_.size > 0)
         .flatMap(a => opt(a.get(0), "description"))
         .map(n => UTF8String.fromString(n.asText())).orNull
       case "humidity_pct" => opt(node, "main").flatMap(m => opt(m, "humidity")) match {
-        case Some(n) => n.asInt()
-        case None => null
+        case Some(n) if n.isNumber => n.asInt()
+        case _ => null
       }
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }

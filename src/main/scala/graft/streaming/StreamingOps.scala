@@ -57,7 +57,7 @@ object StreamingOps {
     */
   /** Delete scratch dirs from finished runs (>1 h old) so repeated
     * Verify/Bench invocations don't slowly fill /dev/shm. */
-  private def sweepScratch(root: java.io.File): Unit = {
+  private[streaming] def sweepScratch(root: java.io.File): Unit = {
     val cutoff = System.currentTimeMillis() - 3600 * 1000L
     val old = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.lastModified() < cutoff)

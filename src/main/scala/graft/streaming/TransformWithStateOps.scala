@@ -68,6 +68,7 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotal])
       .toDF()
 
+    StreamingOps.sweepScratch(new java.io.File("/dev/shm/graft_stream"))
     val base = "/dev/shm/graft_stream/graft_tws_" +
       java.util.UUID.randomUUID().toString.substring(0, 8)
     val out = base + "/out"
