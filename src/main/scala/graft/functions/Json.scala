@@ -57,6 +57,17 @@ object Json {
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
     }),
     "q_json_weather" -> ((s, _) => weatherParse(s)),
+    // DSv2 WRITE path: nation through the staged-commit JSON-lines sink
+    // (sources/JsonLineSink.scala), read back with the declared schema —
+    // identity on the rows, same oracle as the CSV round-trip
+    "q_dsv2_sink" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_sink_" +
+        java.lang.ProcessHandle.current().pid()
+      Tables.nation(s, d).write.format("graft.sources.JsonLineSink")
+        .option("path", tmp).mode("overwrite").save()
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("mode", "FAILFAST").json(tmp)
+    }),
     // the same observation through the DataSource V2 point source
     // (sources/JsonPointSource.scala) — custom TableProvider + column-pruned
     // scan instead of a parsed literal; same oracle row
@@ -96,6 +107,7 @@ object Json {
     "q_dsv2_point" ->
       """SELECT 'New York' AS city, CAST(61.2 AS DOUBLE) AS temp_f,
         |       'light rain' AS weather_desc, CAST(78 AS INTEGER) AS humidity_pct""".stripMargin,
+    "q_dsv2_sink" -> "SELECT * FROM nation",
     "q_json_roundtrip" ->
       "SELECT o_orderkey, o_orderkey AS k, o_orderpriority AS pri FROM orders",
   )

@@ -107,6 +107,26 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(b.isNullAt(2) && b.isNullAt(3) && b.getDouble(1) == 2.5)
   }
 
+  test("dsv2 sink: staged files published atomically, overwrite truncates") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_spec_" +
+      java.lang.ProcessHandle.current().pid()
+    val nation = Tables.nation(spark, sf)
+    nation.write.format("graft.sources.JsonLineSink")
+      .option("path", tmp).mode("overwrite").save()
+    nation.write.format("graft.sources.JsonLineSink")
+      .option("path", tmp).mode("overwrite").save() // truncate, not append
+    val files = Files.list(Paths.get(tmp)).iterator().asScala
+      .map(_.getFileName.toString).toList
+    assert(files.nonEmpty)
+    // commit renamed every staged file — none may remain visible
+    assert(!files.exists(_.startsWith("_staged_")), files.toString)
+    val back = spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(tmp)
+    assert(back.count() == nation.count())
+  }
+
   test("weighted mean equals direct sum(p*q)/sum(q) within 1e-6") {
     import spark.implicits._
     val got = operators.IntegrityOps.weightedMeanPrice(spark, sf)
