@@ -52,6 +52,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("weighted-mean aggregator: any partition split merges to the same result") {
+    import functions.WeightedMeanAgg
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(-100000L, 100000L), Gen.chooseNum(1L, 1000L)))
+      cut <- Gen.chooseNum(0, xs.length)
+    } yield (xs, cut)
+    check(forAll(gen) { case (xs, cut) =>
+      val agg = WeightedMeanAgg.weightedMeanCents
+      def fold(part: List[(Long, Long)]) = part.foldLeft(agg.zero)(agg.reduce)
+      val whole = agg.finish(fold(xs))
+      val (l, r) = xs.splitAt(cut)
+      val split = agg.finish(agg.merge(fold(l), fold(r)))
+      // exact integer accumulation → bit-identical, not merely close
+      whole == split || (whole.isNaN && split.isNaN)
+    })
+  }
+
   test("bloom sketch: never a false negative, merge equals single-pass build") {
     check(forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { keys =>
       val one = new functions.BloomBuf(1 << 12, 4)
