@@ -114,20 +114,28 @@ object CurationOps {
       org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
-    // static side: benchmark shingle hashes, computed once from the batch table
+    // static side: benchmark shingle hashes — PERSISTED, because the static
+    // side of a stream-static join is re-evaluated every micro-batch
     val bench = Tables.documents(s, dir)
       .filter($"doc_id" % 97 === 0 && size(toks($"text")) >= 3)
       .select(explode(transform(shingles($"text", 3), x => xxhash64(x))).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stream = s.readStream.schema(docSchema)
       .parquet(s"$dir/[d]ocuments.parquet")
       .filter($"doc_id" % 97 =!= 0 && size(toks($"text")) >= 3)
+      // the fixture file is ONE split: without a shuffle the whole
+      // tokenize→shingle→hash pipeline runs on a single task per batch
+      // (the streaming twin of Tables.documentsSpread)
+      .repartition(8)
       .select($"doc_id",
         explode(transform(shingles($"text", 3), x => xxhash64(x))).as("h"))
       .join(broadcast(bench), "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared"))
-    graft.streaming.StreamingOps.runToParquet(s, stream, "graft_decont")
+    val out = graft.streaming.StreamingOps.runToParquet(s, stream, "graft_decont")
+    bench.unpersist(false)
+    out
   }
 
   private val decontaminateSql =
