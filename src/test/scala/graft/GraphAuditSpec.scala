@@ -105,6 +105,15 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 2)
     val b = df.collect().find(_.getString(0) == "B").get
     assert(b.isNullAt(2) && b.isNullAt(3) && b.getDouble(1) == 2.5)
+    // degraded-feed values ("N/A") must surface as null, not Jackson's 0
+    val degraded = spark.read.format("graft.sources.JsonPointSource")
+      .option("payload", """{"name":"C","main":{"temp":"N/A","humidity":"--"}}""")
+      .load().collect()(0)
+    assert(degraded.isNullAt(1) && degraded.isNullAt(3))
+    // option keys are case-insensitive like every other DSv2 source
+    val cased = spark.read.format("graft.sources.JsonPointSource")
+      .option("PAYLOAD", """{"name":"D"}""").load().collect()(0)
+    assert(cased.getString(0) == "D")
   }
 
   test("dsv2 sink: staged files published atomically, overwrite truncates") {
