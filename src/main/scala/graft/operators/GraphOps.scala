@@ -140,13 +140,69 @@ object GraphOps {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
+  /** Multi-hop reachability on the strong-trade graph via Spark 4's
+    * `WITH RECURSIVE` (UNION ALL + explicit hop bound — Spark doesn't yet
+    * support dedup-UNION recursion; min(hop) collapses the path
+    * multiplicity after the fact). The recursion demonstrates the SQL
+    * surface; an UNBOUNDED closure at 100 TB belongs in the iterative-join
+    * form (see `pageRank`'s loop / `q_dedup_clusters`), since UNION ALL
+    * recursion materializes every path. DuckDB runs the identical text. */
+  private val reachabilitySql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5),
+      |r(node, hop) AS (
+      |  SELECT CAST(0 AS INT), 0
+      |  UNION ALL
+      |  SELECT e.dst, r.hop + 1
+      |  FROM r JOIN edges e ON e.src = r.node
+      |  WHERE r.hop < 2)
+      |SELECT n.n_name, CAST(min(r.hop) AS INT) AS hops
+      |FROM r JOIN nation n ON n.n_nationkey = r.node
+      |GROUP BY 1""".stripMargin
+
+  def reachability(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(reachabilitySql)
+  }
+
+  /** Per-nation top-2 customers by balance through a correlated LATERAL
+    * subquery — Spark decorrelates it to a ranked window, so the plan is
+    * the shuffle-once top-k, not a per-row re-execution. Identical text is
+    * the DuckDB oracle. */
+  private val lateralTopSql =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin
+
+  def lateralTop(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(lateralTopSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_attribution" -> ((s, d) => lastTouchAttribution(s, d)),
+    "q_recursive_reach" -> ((s, d) => reachability(s, d)),
+    "q_lateral_topn" -> ((s, d) => lateralTop(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql,
     "q_attribution" -> lastTouchSql,
+    "q_recursive_reach" -> reachabilitySql,
+    "q_lateral_topn" -> lateralTopSql,
   )
 }

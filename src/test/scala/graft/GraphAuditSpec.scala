@@ -28,6 +28,25 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(r.values.max > 0.02)
   }
 
+  test("recursive reachability: seed at hop 0, frontier grows monotonically") {
+    import spark.implicits._
+    val r = operators.GraphOps.reachability(spark, sf)
+      .as[(String, Int)].collect().toMap
+    assert(r.values.min == 0) // the seed nation itself
+    assert(r.values.forall(h => h >= 0 && h <= 2))
+  }
+
+  test("lateral top-n: 2 rows per nation, descending within nation") {
+    import spark.implicits._
+    val rows = operators.GraphOps.lateralTop(spark, sf).collect()
+    val byNation = rows.groupBy(_.getString(0))
+    assert(byNation.values.forall(_.length <= 2))
+    byNation.values.foreach { g =>
+      val bals = g.map(_.getDouble(2))
+      assert(bals.sorted.reverse.sameElements(bals))
+    }
+  }
+
   test("attribution: channels partition all purchases, channel set is sane") {
     import spark.implicits._
     val a = operators.GraphOps.lastTouchAttribution(spark, sf)
