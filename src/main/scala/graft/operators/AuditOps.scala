@@ -69,6 +69,10 @@ object AuditOps {
       |FROM lineitem l JOIN q USING (l_returnflag)
       |GROUP BY 1""".stripMargin
 
+  /** Test hook: the Morton key over arbitrary input columns. */
+  private[graft] def mortonForTest(df: DataFrame, x: Column, y: Column): DataFrame =
+    df.select(morton6(x, y).as("zkey"))
+
   /** 6-bit × 6-bit Morton (Z-order) interleave — row-local integer bit
     * arithmetic, fully codegen'd. */
   private def morton6(x: Column, y: Column): Column =

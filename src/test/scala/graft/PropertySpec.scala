@@ -52,6 +52,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("morton z-key is a bijection on the 6-bit × 6-bit grid") {
+    import spark.implicits._
+    // all 4096 (x, y) pairs → 4096 distinct zkeys covering exactly [0, 4095]
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x, y)
+    val keys = operators.AuditOps.mortonForTest(
+      grid.toDF("x", "y"), col("x"), col("y"))
+      .collect().map(_.getInt(0))
+    assert(keys.distinct.length == 4096)
+    assert(keys.min == 0 && keys.max == 4095)
+  }
+
+  test("observe() metrics match a direct aggregate (pipeline monitoring hook)") {
+    import spark.implicits._
+    val observed = Tables.lineitem(spark, sf)
+      .observe("li_metrics", count(lit(1)).as("rows"),
+        sum($"l_quantity").as("qty"))
+    observed.collect() // an action flushes the observation
+    val m = observed.queryExecution.observedMetrics("li_metrics")
+    val direct = Tables.lineitem(spark, sf)
+      .agg(count(lit(1)), sum($"l_quantity")).collect()(0)
+    assert(m.getAs[Long]("rows") == direct.getLong(0))
+    assert(math.abs(m.getAs[Double]("qty") - direct.getDouble(1)) < 1e-6)
+  }
+
   test("weighted-mean aggregator: any partition split merges to the same result") {
     import functions.WeightedMeanAgg
     val gen = for {
