@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[functions.BloomContains].getName, "bloom_contains"),
       (exprs: Seq[Expression]) => functions.BloomContains(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("explode_shingles"),
+      new ExpressionInfo(classOf[functions.ExplodeShingles].getName, "explode_shingles"),
+      (exprs: Seq[Expression]) => functions.ExplodeShingles(exprs(0),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v,
+            org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"explode_shingles: n must be an integer literal, got $other")
+        })))
     // band-join rewrite (inert until spark.graft.bandJoin.width is set)
     e.injectOptimizerRule(_ => plans.BandJoinRule)
   }

@@ -121,6 +121,7 @@ object CurationOps {
       .select(explode(transform(shingles($"text", 3), x => xxhash64(x))).as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.functions.ShingleGen.register(s)
     val stream = s.readStream.schema(docSchema)
       .parquet(s"$dir/[d]ocuments.parquet")
       .filter($"doc_id" % 97 =!= 0 && size(toks($"text")) >= 3)
@@ -128,8 +129,10 @@ object CurationOps {
       // tokenize→shingle→hash pipeline runs on a single task per batch
       // (the streaming twin of Tables.documentsSpread)
       .repartition(8)
+      // custom Generator: one tight loop per doc, no intermediate arrays —
+      // bit-identical hashes to the declarative pipeline (PropertySpec)
       .select($"doc_id",
-        explode(transform(shingles($"text", 3), x => xxhash64(x))).as("h"))
+        graft.functions.ShingleGen.explodeShingles($"text", 3).as("h"))
       .join(broadcast(bench), "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -52,6 +52,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("explode_shingles generator ≡ the declarative shingle+hash pipeline") {
+    functions.ShingleGen.register(spark)
+    import spark.implicits._
+    val textGen = Gen.listOf(Gen.oneOf(
+      "the", "cat", "sat", "on", "a", "mat", "  ", "word")).map(_.mkString(" "))
+    check(forAll(textGen) { text =>
+      val df = Seq(text).toDF("text")
+      val t = split(trim(col("text")), "\\s+")
+      val declarative = df
+        .filter(size(t) >= 3)
+        .select(explode(array_distinct(transform(
+          sequence(lit(0), size(t) - 3),
+          i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(3))))))).as("h"))
+        .collect().map(_.getLong(0)).sorted
+      val generated = df
+        .select(functions.ShingleGen.explodeShingles(col("text"), 3).as("h"))
+        .collect().map(_.getLong(0)).sorted
+      generated.sameElements(declarative) ||
+        // declarative guard drops <3-token docs before shingling; the
+        // generator emits nothing for them — both must then be empty
+        (generated.isEmpty && declarative.isEmpty)
+    })
+  }
+
   test("morton z-key is a bijection on the 6-bit × 6-bit grid") {
     import spark.implicits._
     // all 4096 (x, y) pairs → 4096 distinct zkeys covering exactly [0, 4095]
