@@ -52,6 +52,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("levenshtein_within ≡ builtin thresholded levenshtein on ASCII strings") {
+    functions.EditDistance.register(spark)
+    import spark.implicits._
+    val asciiGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val kGen = Gen.chooseNum(0, 4)
+    check(forAll(asciiGen, asciiGen, kGen) { (a, b, k) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          functions.EditDistance.levenshteinWithin(col("a"), col("b"), k),
+          levenshtein(col("a"), col("b"), k))
+        .collect()(0)
+      row.getInt(0) == row.getInt(1)
+    })
+  }
+
   test("explode_shingles generator ≡ the declarative shingle+hash pipeline") {
     functions.ShingleGen.register(spark)
     import spark.implicits._
