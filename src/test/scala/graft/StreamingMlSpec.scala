@@ -96,6 +96,55 @@ class StreamingMlSpec extends AnyFunSuite {
       "centroid component outside unit-vector bound")
   }
 
+  test("checkpoint recovery: a restarted stream resumes offsets, no double counting") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val tmp = Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    val out = s"$tmp/out"
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+
+    def runOnce(): Unit = {
+      val agg = spark.readStream.schema(schema).parquet(s"$tmp/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("complete")
+        .foreachBatch((b: DataFrame, _: Long) =>
+          b.coalesce(1).write.mode("overwrite").parquet(out))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // phase 1: only the first half exists; run to completion and stop
+    raw.filter(col("ts") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    runOnce()
+    // phase 2: new data lands; a NEW query restarts from the SAME checkpoint
+    // and must process only the unseen file while keeping the restored state
+    raw.filter(col("ts") > cut).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/events.parquet")
+    runOnce()
+
+    val streamed = spark.read.parquet(out)
+      .select(col("window.start").as("h"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = spark.read.parquet(s"$tmp/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch) // double counting would inflate the overlap hour
+  }
+
   test("transformWithState user totals equal the batch groupBy row-for-row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
