@@ -470,7 +470,65 @@ object CurationOps {
     out
   }
 
+  /** Sequence packing — the GPT-style training-data step that concatenates
+    * the token stream in doc_id order and chunks it into fixed windows
+    * (here 512 tokens), reporting how many documents and tokens land in
+    * each window. The global running token offset is computed as a
+    * DISTRIBUTED two-phase prefix sum: within-block cumsum (window
+    * partitioned by a dense doc_id block — bounded partitions), plus block
+    * offsets from a window over the tiny per-block totals table. A naive
+    * `sum() OVER (ORDER BY doc_id)` would pull the whole corpus through
+    * one partition; this shape scales, and the DuckDB oracle's global
+    * cumsum computes the same math. Docs spanning a boundary are split
+    * across windows (the overlap arithmetic), exactly like training
+    * pipelines that pack without padding. */
+  def packWindows(s: SparkSession, dir: String, window: Int = 512,
+      block: Long = 100L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documentsSpread(s, dir)
+      .select($"doc_id", size(toks($"text")).cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .withColumn("blk", expr(s"doc_id div $block"))
+    val withinW = Window.partitionBy($"blk").orderBy($"doc_id")
+    val within = d.withColumn("within_cum", sum($"n_tok").over(withinW))
+    val blockTotals = d.groupBy($"blk").agg(sum($"n_tok").as("bs"))
+    // tiny table (one row per block): a global window here is bounded
+    val offW = Window.orderBy($"blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blockTotals
+      .withColumn("off", coalesce(sum($"bs").over(offW), lit(0L)))
+      .select($"blk", $"off")
+    within.join(offsets, "blk")
+      .withColumn("cum_end", $"off" + $"within_cum")
+      .withColumn("start", $"cum_end" - $"n_tok")
+      .select($"start", $"cum_end",
+        explode(sequence(expr(s"start div $window"),
+          expr(s"(cum_end - 1) div $window"))).as("window_id"))
+      .groupBy($"window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least($"cum_end", ($"window_id" + 1) * window) -
+          greatest($"start", $"window_id" * window)).as("n_tokens"))
+  }
+
+  private val packWindowsSql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |             sum(n_tok) OVER (ORDER BY doc_id) AS cum_end
+      |      FROM d WHERE n_tok > 0),
+      |e AS (SELECT doc_id, cum_end - n_tok AS start, cum_end,
+      |             unnest(range(CAST((cum_end - n_tok) // 512 AS BIGINT),
+      |                          CAST((cum_end - 1) // 512 + 1 AS BIGINT))) AS w
+      |      FROM c)
+      |SELECT CAST(w AS BIGINT) AS window_id, count(*) AS n_docs,
+      |       CAST(sum(least(cum_end, (w + 1) * 512)
+      |                - greatest(start, w * 512)) AS BIGINT) AS n_tokens
+      |FROM e GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_windows" -> ((s, d) => packWindows(s, d)),
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
@@ -485,6 +543,7 @@ object CurationOps {
 
   val oracle: Map[String, String] = Map(
     "q_split_traintest" -> trainTestSplitSql,
+    "q_pack_windows" -> packWindowsSql,
     "q_decontaminate" -> decontaminateSql,
     // same SQL: the bloom prefilter must not change the answer
     "q_bloom_decontaminate" -> decontaminateSql,

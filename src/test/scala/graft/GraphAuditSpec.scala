@@ -180,6 +180,21 @@ class GraphAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: windows full except the tail, mass conserved") {
+    import spark.implicits._
+    val rows = operators.CurationOps.packWindows(spark, sf)
+      .orderBy($"window_id").collect()
+    assert(rows.nonEmpty)
+    val totalTok = Tables.documents(spark, sf)
+      .select(sum(size(split(trim($"text"), "\\s+")))).as[Long].head()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTok)
+    // every window but the last is exactly full
+    rows.init.foreach(r => assert(r.getAs[Long]("n_tokens") == 512L))
+    assert(rows.last.getAs[Long]("n_tokens") <= 512L)
+    // window ids are the contiguous prefix 0..n-1
+    assert(rows.map(_.getAs[Long]("window_id")).toSeq == (0L until rows.length))
+  }
+
   test("cdc apply: deletes gone, updates applied, inserts kept") {
     import spark.implicits._
     val snap = operators.IntegrityOps.cdcApply(spark, sf)
