@@ -59,7 +59,24 @@ object Composition {
         max($"n_tokens").as("n_tokens"))
   }
 
+  /** Sketch twin of `percentiles`: `approx_percentile` (KLL-style
+    * quantile summary — mergeable bounded state, the 100 TB path where the
+    * exact `percentile` would buffer whole groups) at accuracy 1000, with
+    * the exact values beside it and the realized error surfaced. Rows-only:
+    * the sketch is Spark-specific; the spec bounds the error instead. */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      .withColumn("rel_err",
+        abs($"p50_approx" - $"p50_exact") / $"p50_exact")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_quantiles" -> ((s, d) => approxQuantiles(s, d)),
     "q_percentiles" -> ((s, d) => percentiles(s, d)),
     "q_pivot" -> ((s, d) => pivotOrders(s, d)),
     "q_curate" -> ((s, d) => curate(s, d)),
