@@ -15,7 +15,8 @@ object Explain {
     "q_orc_roundtrip", "q_csv_roundtrip", "q_jsonl_roundtrip",
     "q_partitioned_scan", "q_bucketed_join", "q_json_roundtrip",
     "q_schema_evolution", "q_dedup_keep_best", "q_pmi_bigrams",
-    "q_pagerank", "q_sparse_cosine", "q_bloom_decontaminate")
+    "q_pagerank", "q_sparse_cosine", "q_bloom_decontaminate",
+    "q_knn_pq", "q_dsv2_sink")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
