@@ -492,7 +492,10 @@ object CurationOps {
       .withColumn("blk", expr(s"doc_id div $block"))
     val withinW = Window.partitionBy($"blk").orderBy($"doc_id")
     val within = d.withColumn("within_cum", sum($"n_tok").over(withinW))
-    val blockTotals = d.groupBy($"blk").agg(sum($"n_tok").as("bs"))
+    // block total = max of the within-block cumsum: derives the tiny table
+    // from the `within` branch instead of re-running the scan+tokenize
+    val blockTotals = within.groupBy($"blk")
+      .agg(max($"within_cum").as("bs"))
     // tiny table (one row per block): a global window here is bounded
     val offW = Window.orderBy($"blk")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -513,7 +516,7 @@ object CurationOps {
 
   private val packWindowsSql =
     """WITH d AS (
-      |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
       |  FROM documents),
       |c AS (SELECT doc_id, n_tok,
       |             sum(n_tok) OVER (ORDER BY doc_id) AS cum_end

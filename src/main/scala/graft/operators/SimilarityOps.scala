@@ -248,9 +248,9 @@ object SimilarityOps {
         }.toSeq
       }
       val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
-      (qid, tbl, qn)
+      (qid, tbl, qn, qv.toSeq)
     }.toSeq
-    val qdf = qRows.toDF("query_id", "tbl", "qn")
+    val qdf = qRows.toDF("query_id", "tbl", "qn", "qv")
 
     // stage 1 — ADC scan over the codes: cheap approximate scores, keep a
     // shortlist well past k (the standard retrieve-then-refine shape;
@@ -267,11 +267,12 @@ object SimilarityOps {
       .select($"query_id", explode($"top").as("t"))
       .select($"query_id", $"t.id".as("cand_id"))
     // stage 2 — exact re-rank of the shortlist only: full-precision cosine
-    // on |queries|·16k rows, never the corpus
+    // on |queries|·16k rows, never the corpus; the raw query vectors ride
+    // in the same broadcast qdf (already driver-resident) — no second
+    // corpus scan to recover them
     val out = shortlist
       .join(ev.select($"vec_id".as("cand_id"), $"embedding".as("cv")), "cand_id")
-      .join(broadcast(ev.filter($"vec_id" < nQueries)
-        .select($"vec_id".as("query_id"), $"embedding".as("qv"))), "query_id")
+      .join(broadcast(qdf.select($"query_id", $"qv")), "query_id")
       .select($"query_id", $"cand_id",
         round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
       .groupBy($"query_id")
@@ -358,7 +359,7 @@ object SimilarityOps {
   }
 
   private val sparseCosineSql =
-    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
       |         SELECT doc_id,
       |                unnest(list_transform(range(1, len(t)),
