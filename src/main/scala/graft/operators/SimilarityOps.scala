@@ -183,7 +183,10 @@ object SimilarityOps {
     // Scala loop beats 8 MLlib fits whose per-job overhead would dominate
     // the whole query (measured: 8 KMeans fits+transforms ≈ 9 s; this path
     // ≈ milliseconds of driver CPU)
-    val sample = ev.filter($"vec_id" % 7 === 0)
+    // id-range cap makes the sample BOUNDED (≤4096 rows to the driver at
+    // any corpus size — a bare `% 7` alone is proportional, i.e. an OOM at
+    // 100 TB) and deterministic, unlike `limit` without an order
+    val sample = ev.filter($"vec_id" % 7 === 0 && $"vec_id" < 7L * 4096)
       .select($"embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     def lloyd(pts: Array[Array[Double]], seed: Long): Array[Array[Double]] = {
