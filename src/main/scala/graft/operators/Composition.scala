@@ -12,17 +12,27 @@ import org.apache.spark.sql.types.DecimalType
 object Composition {
   private val D2 = DecimalType(18, 2)
 
-  /** Exact linear-interpolation percentiles per group — Spark `percentile`
-    * and DuckDB `quantile_cont` share the definition, so values agree to
-    * float precision (rounded to 4dp for the hash compare). */
+  /** Exact linear-interpolation percentiles per group — the `percentile` /
+    * DuckDB `quantile_cont` definition, computed by
+    * `ExactQuantiles.quantileCont` (distributed bucketed rank selection)
+    * instead of the built-in, whose per-group ObjectHashAggregate buffer
+    * holds that group's entire value multiset (~⅓ of lineitem per return
+    * flag here — unbounded at scale). Bit-identical to `percentile`
+    * (spec-asserted), so values agree with the oracle to float precision
+    * (rounded to 4dp for the hash compare). The two value columns take
+    * independent rank-selection passes, joined on the group key. */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty"))
+    val li = Tables.lineitem(s, dir)
+    val price = ExactQuantiles.quantileCont(
+      li.select($"l_returnflag", $"l_extendedprice"), Seq("l_returnflag"),
+      "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
+    val qty = ExactQuantiles.quantileCont(
+      li.select($"l_returnflag", $"l_quantity"), Seq("l_returnflag"),
+      "l_quantity", Seq("q25_qty" -> 0.25))
+    price.join(qty, "l_returnflag")
+      .select($"l_returnflag", round($"p50", 4).as("p50"),
+        round($"p95", 4).as("p95"), round($"q25_qty", 4).as("q25_qty"))
   }
 
   /** Pivot: order counts per year × priority, with an explicit value list so

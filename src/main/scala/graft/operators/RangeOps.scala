@@ -121,20 +121,23 @@ object RangeOps {
   }
 
   /** Equi-DEPTH histogram (the equi-width twin of `histogram`): octile
-    * boundaries from exact interpolated percentiles (one tiny aggregate),
-    * broadcast back as a single row, bucket = number of boundaries below
-    * the value. This is the scale-safe replacement for `ntile()` over a
-    * global window — a global ntile forces a single-partition total sort,
-    * while this shape is two full-scan-parallel passes with a 7-value
-    * broadcast between them. Bucket counts differ from ntile's by at most
-    * the tie mass at each boundary, which is what a layout/stats audit
-    * wants anyway. */
+    * boundaries from EXACT interpolated percentiles, broadcast back as a
+    * single row, bucket = number of boundaries below the value. This is the
+    * scale-safe replacement for `ntile()` over a global window — a global
+    * ntile forces a single-partition total sort. Boundaries come from
+    * `ExactQuantiles.quantileCont` (distributed bucketed rank selection)
+    * rather than the built-in `percentile`, whose ObjectHashAggregate
+    * buffers a value→count map of ALL of o_totalprice in one final buffer —
+    * at 100× scale on a mostly-distinct key that buffer is the dataset.
+    * Values are bit-identical to `percentile` (spec-asserted), so the DuckDB
+    * `quantile_cont` oracle is unchanged. Bucket counts differ from ntile's
+    * by at most the tie mass at each boundary, which is what a layout/stats
+    * audit wants anyway. */
   def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir).select($"o_totalprice")
-    val bs = (1 to 7).map(i =>
-      expr(s"percentile(o_totalprice, ${i / 8.0})").as(s"b$i"))
-    val bounds = o.agg(bs.head, bs.tail: _*)
+    val bounds = ExactQuantiles.quantileCont(o, Nil, "o_totalprice",
+      (1 to 7).map(i => s"b$i" -> i / 8.0))
     val bucket = (1 to 7).map(i =>
       when($"o_totalprice" > col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
     o.join(broadcast(bounds))
