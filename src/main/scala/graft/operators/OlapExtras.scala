@@ -269,8 +269,16 @@ object OlapExtras {
   /** Conditional / selective aggregates: FILTER-style counting (`count_if`),
     * CASE-guarded sums, boolean any/all (`bool_or`/`bool_and`), and
     * value-at-argmax (`max_by` / `arg_max`) with a unique ordering key so the
-    * argmax is deterministic in both engines. One hash aggregate, map-side
-    * partials, 3 output rows. */
+    * argmax is deterministic in both engines.
+    *
+    * The argmax payload is carried as a LONG surrogate, not a string:
+    * `max_by(string, key)` has an immutable (string-typed) aggregation
+    * buffer, which disqualifies HashAggregate and forces SortAggregate — a
+    * per-partition sort of all of lineitem for a 3-row result (measured 2×
+    * slower). Encoding `key·256 + ascii(status)` keeps every buffer slot
+    * primitive (the ascii low byte can't change which key wins), the plan
+    * stays one HashAggregate with map-side partials, and the char is decoded
+    * after the aggregate touches 3 rows. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
@@ -281,7 +289,10 @@ object OlapExtras {
           .cast("double").as("taxed_qty"),
         bool_or($"l_quantity" > 49).as("any_max_qty"),
         bool_and($"l_quantity" > 0).as("all_pos"),
-        max_by($"l_linestatus", $"l_orderkey" * 10 + $"l_linenumber").as("last_status"))
+        max(($"l_orderkey" * 10 + $"l_linenumber") * 256
+          + ascii($"l_linestatus")).as("__argmax_enc"))
+      .withColumn("last_status", expr("char(__argmax_enc % 256)"))
+      .drop("__argmax_enc")
   }
 
   private val conditionalAggSql =
