@@ -33,12 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("explode_shingles"),
       new ExpressionInfo(classOf[functions.ExplodeShingles].getName, "explode_shingles"),
       (exprs: Seq[Expression]) => functions.ExplodeShingles(exprs(0),
-        exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v,
-            org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"explode_shingles: n must be an integer literal, got $other")
-        })))
+        functions.ShingleGen.nOf(exprs(1)))))
+    // the BUILD side of the Bloom pair — without it a pure-SQL session gets
+    // bloom_contains but no way to produce a sketch, an asymmetric surface
+    e.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[functions.BloomBuildAgg].getName, "bloom_build"),
+      (exprs: Seq[Expression]) => functions.BloomBuildAgg(exprs(0),
+        functions.BloomOps.intLit(exprs(1), "numBits"),
+        functions.BloomOps.intLit(exprs(2), "k"))))
+    e.injectFunction((
+      FunctionIdentifier("levenshtein_within"),
+      new ExpressionInfo(classOf[functions.LevenshteinWithin].getName, "levenshtein_within"),
+      (exprs: Seq[Expression]) => functions.LevenshteinWithin(exprs(0), exprs(1),
+        functions.EditDistance.kOf(exprs(2)))))
     // band-join rewrite (inert until spark.graft.bandJoin.width is set)
     e.injectOptimizerRule(_ => plans.BandJoinRule)
   }

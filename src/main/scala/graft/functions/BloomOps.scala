@@ -183,7 +183,7 @@ case class BloomContains(left: Expression, right: Expression)
 }
 
 object BloomOps {
-  private def intLit(e: Expression, what: String): Int = e match {
+  private[graft] def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, IntegerType) =>
       val i = v.asInstanceOf[Int]
       require(i > 0, s"bloom_build: $what must be positive, got $i")

@@ -25,9 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * uses), so it is a drop-in for the oracle-checked shingle pipelines —
   * asserted by a ScalaCheck equivalence property.
   *
-  * Tokenization contract matches `split(trim(text), "\\s+")`: leading/
-  * trailing whitespace ignored, runs of whitespace collapse. Documents with
-  * fewer than n tokens emit nothing (the `len(t) >= n` oracle guard).
+  * Tokenization contract matches `split(trim(text), "\\s+")` exactly,
+  * including its edges: only space characters are trimmed (SQL `trim`
+  * semantics — NOT Java `String.trim`, which also strips tabs/newlines),
+  * runs of whitespace collapse, and a leading/trailing non-space whitespace
+  * char yields an empty edge token, just as the declarative split does.
+  * Documents with fewer than n tokens emit nothing (the `len(t) >= n`
+  * oracle guard).
   */
 case class ExplodeShingles(child: Expression, n: Int)
     extends UnaryExpression with Generator with CodegenFallback {
@@ -44,8 +48,18 @@ case class ExplodeShingles(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
     if (raw == null) return Nil
-    val toks = raw.asInstanceOf[UTF8String].toString.trim
-      .split("\\s+").filter(_.nonEmpty)
+    // Replicate `split(trim(text), "\\s+")` LITERALLY: SQL trim strips only
+    // space (U+0020) — not tabs/newlines, which Java String.trim would also
+    // strip — and SQL split uses limit -1, keeping a leading/trailing empty
+    // token when non-space whitespace touches the ends. Diverging here would
+    // shingle different token lists than the declarative/oracle side (e.g. a
+    // tab-led document gains a leading "" token in both, or in neither).
+    val s0 = raw.asInstanceOf[UTF8String].toString
+    var b = 0
+    var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    val toks = s0.substring(b, e).split("\\s+", -1)
     if (toks.length < n) return Nil
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = new ArrayBuffer[InternalRow](toks.length - n + 1)
@@ -75,7 +89,7 @@ case class ExplodeShingles(child: Expression, n: Int)
 }
 
 object ShingleGen {
-  private def nOf(e: Expression): Int = e match {
+  private[graft] def nOf(e: Expression): Int = e match {
     case Literal(v, IntegerType) =>
       val i = v.asInstanceOf[Int]
       require(i > 0, s"explode_shingles: n must be positive, got $i")

