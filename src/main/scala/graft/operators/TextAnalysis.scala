@@ -74,23 +74,55 @@ object TextAnalysis {
       md5(concat_ws(" ", transform(tokens($"text"), lower(_)))).as("fp"))
   }
 
-  /** Rolling (shift-xor) hash over per-token xxhash64 values — an
-    * order-sensitive 64-bit document fingerprint built from bitwise ops only
-    * (no arithmetic overflow under ANSI mode). Not SQL-oracle-expressible
-    * (xxhash64 seed/impl is Spark-specific) → rows-only check. */
+  /** Rolling hash: an order-sensitive 61-bit document fingerprint, built
+    * from bitwise ops only — a 61-bit rotate-xor fold over per-token hashes,
+    * each token hashed by the same rotate-xor fold over its characters'
+    * code points. Entirely engine-neutral integer arithmetic (rotation =
+    * mask-low-56 → shift 5 → OR high 5 bits; every intermediate stays in
+    * [0, 2⁶¹), so nothing overflows under ANSI mode in Spark or strict
+    * BIGINT in DuckDB), which makes the WHOLE pipeline oracle-checkable —
+    * this replaced an xxhash64-per-token variant whose oracle could only
+    * count rows. The mixing is a cyclic-polynomial (Buzhash-style) rotation,
+    * plenty for fingerprint demos; swap the token hash back to `xxhash64`
+    * when avalanche quality matters more than cross-engine checkability.
+    * Row-local (one fold per document), scales with the scan. */
   def rollingHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = transform(tokens($"text"), t => xxhash64(t))
-    val rolled = aggregate(hashes, lit(0L),
-      (acc, h) => shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
+    def rot(h: Column): Column = // 61-bit rotate-left by 5, overflow-free
+      shiftleft(h.bitwiseAND(lit((1L << 56) - 1)), 5)
+        .bitwiseOR(shiftrightunsigned(h, 56))
+    def fold(xs: Column): Column =
+      aggregate(xs, lit(0L), (acc, x) => rot(acc).bitwiseXOR(x))
+    val tokHash = (t: Column) => fold(
+      when(length(t) === 0, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(1), length(t)),
+          i => ascii(t.substr(i, lit(1))).cast("long"))))
+    val rolled = fold(transform(tokens($"text"), tokHash))
     Tables.documents(s, dir).select($"doc_id", rolled.as("rolling_fp"))
+  }
+
+  private val rollingHashSql = {
+    // identical 61-bit rotate-xor fold; list_reduce seeds with a prepended 0
+    val m56 = (1L << 56) - 1
+    def rot(h: String) = s"((($h & $m56) << 5) | ($h >> 56))"
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(regexp_split_to_array(trim(text), '\\s+'), tk ->
+       |      list_reduce(list_prepend(0::BIGINT,
+       |        [unicode(tk[i:i])::BIGINT for i in range(1, len(tk) + 1)]),
+       |        (a, c) -> xor(${rot("a")}, c)))),
+       |    (acc, h) -> xor(${rot("acc")}, h)) AS rolling_fp
+       |FROM documents""".stripMargin
   }
 
   /** Language-ID heuristic: explode tokens, broadcast-join the keyword
     * profiles, count hits per (doc, lang), argmax via `max_by` with a
-    * deterministic tiebreak. One narrow explode + broadcast join + one
-    * shuffle on doc_id — scales linearly in tokens. Rows-only (heuristic has
-    * no SQL oracle). */
+    * deterministic tiebreak (higher hit count, then lexicographically larger
+    * language code). One narrow explode + broadcast join + one shuffle on
+    * doc_id — scales linearly in tokens. The heuristic is deterministic
+    * relational algebra over a literal profile table, so it IS
+    * SQL-expressible — the oracle restates it with a VALUES profile and a
+    * row_number argmax. */
   def languageId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val profile = LangProfiles.toDF("cand_lang", "word")
@@ -399,7 +431,32 @@ object TextAnalysis {
         max($"n_tokens").as("n_tokens"))
   }
 
+  private val langIdSql = {
+    val prof = LangProfiles
+      .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+    s"""WITH prof(cand_lang, word) AS (VALUES $prof),
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, cand_lang, count(*) AS n_hits
+       |  FROM tok JOIN prof USING (word)
+       |  GROUP BY doc_id, cand_lang),
+       |best AS (
+       |  SELECT doc_id, cand_lang AS pred_lang, n_hits
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY n_hits DESC, cand_lang DESC) AS rn FROM hits)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.lang,
+       |       coalesce(b.pred_lang, 'und') AS pred_lang,
+       |       coalesce(b.n_hits, 0) AS n_hits
+       |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_rolling_hash" -> rollingHashSql,
+    "q_lang_id" -> langIdSql,
     "q_normalize_text" -> normalizeTextSql,
     "q_pmi_bigrams" -> pmiBigramsSql,
     "q_token_stats" ->
