@@ -158,6 +158,43 @@ object SimilarityOps {
     out
   }
 
+  /** Driver-side Lloyd k-means over a BOUNDED sample — the PQ codebook
+    * trainer (codebooks need thousands of points, not the corpus; at this
+    * size a plain Scala loop beats per-subspace MLlib fits whose job
+    * overhead dominates — measured 9 s vs milliseconds in `knnPq`). */
+  private def lloyd(pts: Array[Array[Double]], kCenters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val dims = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    var centers = rnd.shuffle(pts.indices.toVector)
+      .take(kCenters).map(pts(_).clone).toArray
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        var d = 0.0; var i = 0
+        while (i < p.length) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until 8) {
+      val sums = Array.fill(kCenters)(new Array[Double](dims))
+      val counts = new Array[Int](kCenters)
+      pts.foreach { p =>
+        val c = nearest(p); counts(c) += 1
+        var i = 0
+        while (i < dims) { sums(c)(i) += p(i); i += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
   /** Product-quantization ANN (Jégou et al., TPAMI'11): the 64-dim vectors
     * compress to m=8 one-byte codes (one 16-centroid KMeans codebook per
     * 8-dim subspace), and queries scan the CODES with an asymmetric
@@ -189,38 +226,9 @@ object SimilarityOps {
     val sample = ev.filter($"vec_id" % 7 === 0 && $"vec_id" < 7L * 4096)
       .select($"embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    def lloyd(pts: Array[Array[Double]], seed: Long): Array[Array[Double]] = {
-      val rnd = new scala.util.Random(seed)
-      var centers = rnd.shuffle(pts.indices.toVector)
-        .take(codebookSize).map(pts(_).clone).toArray
-      def nearest(p: Array[Double]): Int = {
-        var best = 0; var bd = Double.MaxValue
-        var c = 0
-        while (c < centers.length) {
-          var d = 0.0; var i = 0
-          while (i < p.length) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
-          if (d < bd) { bd = d; best = c }
-          c += 1
-        }
-        best
-      }
-      for (_ <- 0 until 8) {
-        val sums = Array.fill(codebookSize)(new Array[Double](subDim))
-        val counts = new Array[Int](codebookSize)
-        pts.foreach { p =>
-          val c = nearest(p); counts(c) += 1
-          var i = 0
-          while (i < subDim) { sums(c)(i) += p(i); i += 1 }
-        }
-        centers = centers.zipWithIndex.map { case (old, c) =>
-          if (counts(c) == 0) old
-          else sums(c).map(_ / counts(c))
-        }
-      }
-      centers
-    }
     val codebooks = (0 until m).map { mi =>
-      lloyd(sample.map(_.slice(mi * subDim, mi * subDim + subDim)), 42L + mi)
+      lloyd(sample.map(_.slice(mi * subDim, mi * subDim + subDim)),
+        codebookSize, 42L + mi)
     }.toArray
 
     // encode distributed: per subspace, argmin over the 16 literal
@@ -278,6 +286,159 @@ object SimilarityOps {
       .join(broadcast(qdf.select($"query_id", $"qv")), "query_id")
       .select($"query_id", $"cand_id",
         round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"cos_sim", $"cand_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("cand_id"), $"col.score".as("cos_sim"),
+        ($"pos" + 1).cast("int").as("rank"))
+      .localCheckpoint(true)
+    ev.unpersist(false)
+    out
+  }
+
+  /** IVF×PQ — the composed billion-vector ANN architecture (Jégou et al.
+    * TPAMI'11; the FAISS IVFPQ layout): the coarse KMeans quantizer routes
+    * each query to its `nProbe` closest cells, and WITHIN probed cells
+    * candidates are scanned by asymmetric distance over PQ codes of the
+    * RESIDUAL (vector − cell centroid) — residual PQ spends the codebook's
+    * 4 bits/subspace on the within-cell offset, far tighter than coding
+    * absolute position. `⟨q,v⟩ ≈ ⟨q,c_cell⟩ + Σᵢ tbl[i][code_i]` where
+    * `⟨q,c_cell⟩` rides the probe row and `tbl` is the per-query ADC table
+    * over the residual codebooks. A shortlist per query is then re-ranked
+    * with exact full-precision cosine.
+    *
+    * Scale shape vs the components: `knnPq` ADC-scans the WHOLE corpus
+    * (crossJoin); here candidate generation is an equi-join of the code
+    * table against 10×nProbe broadcast probe rows — each query touches
+    * nProbe/nCells of the data AND each candidate costs m byte-table
+    * lookups, which is exactly why the composition (not either part alone)
+    * is what runs at a billion vectors. Driver-side state stays bounded:
+    * centroids (nCells×64), codebooks (m×16×8), the ≤4096-row residual
+    * training sample, and the 10 query vectors. Rows-only (KMeans training
+    * has no SQL oracle); recall@5 vs exact top-k is spec-bounded. */
+  def knnIvfPq(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      nCells: Int = 16, nProbe: Int = 10, m: Int = 8, subDim: Int = 8,
+      codebookSize: Int = 16): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    graft.functions.TopKAgg.register(s)
+    val ev = Tables.embeddings(s, dir).select($"vec_id", $"embedding").persist()
+
+    // ONE bounded sample (the knnPq id-range recipe, ≤4096 rows at any
+    // corpus size) trains BOTH quantizer levels driver-side: the coarse
+    // router and, from each point's residual to its coarse cell, the m
+    // subspace codebooks. No MLlib fit: the coarse quantizer needs stable
+    // Voronoi cells from a few thousand points, not a converged corpus-wide
+    // KMeans job (which is most of q_knn_ivf's wall time), and the corpus
+    // itself never reaches the driver.
+    // one collect serves both the training sample and the nQueries query
+    // vectors (both id-bounded) — one Spark job instead of two
+    val pulled = ev.filter(
+        ($"vec_id" % 7 === 0 && $"vec_id" < 7L * 4096) || $"vec_id" < nQueries)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val sample = pulled.collect {
+      case (id, v) if id % 7 == 0 && id < 7L * 4096 => v }
+    val qvecs = pulled.collect { case (id, v) if id < nQueries => (id, v) }
+    val centArr = lloyd(sample, nCells, 41L)
+    // routing rule = argmax cosine to centroid (first index wins ties) —
+    // chosen over L2 so the distributed assignment below can ride the
+    // CODEGEN'D cosine_sim expression instead of interpreted HOF arithmetic
+    // (~2× on the assignment scan), and consistent with the probe ranking
+    def nearestCell(p: Array[Double]): Int = {
+      val pn = math.sqrt(p.map(x => x * x).sum)
+      var best = 0; var bs = Double.MinValue
+      var c = 0
+      while (c < centArr.length) {
+        var d = 0.0; var i = 0
+        while (i < p.length) { d += p(i) * centArr(c)(i); i += 1 }
+        val cn = math.sqrt(centArr(c).map(x => x * x).sum)
+        val sim = if (cn > 0 && pn > 0) d / (pn * cn) else 0.0
+        if (sim > bs) { bs = sim; best = c }
+        c += 1
+      }
+      best
+    }
+    val sampleResid = sample.map { v =>
+      val c = centArr(nearestCell(v))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val codebooks = (0 until m).map { mi =>
+      lloyd(sampleResid.map(_.slice(mi * subDim, mi * subDim + subDim)),
+        codebookSize, 42L + mi)
+    }.toArray
+
+    // distributed cell assignment: argmax cosine over the nCells literal
+    // centroids, each a codegen'd cosine_sim call (row-local, embarrassingly
+    // parallel — the 100 TB shape); array_position takes the FIRST max,
+    // matching nearestCell's tie rule
+    val centsLit = typedlit(centArr.map(_.toSeq).toSeq)
+    val cellSims = array((0 until nCells).map { c =>
+      VectorOps.cosineSim($"embedding",
+        typedlit(centArr(c).map(_.toFloat).toSeq)) }: _*)
+    val assigned = ev.select($"vec_id", $"embedding",
+      (array_position(cellSims, array_max(cellSims)) - 1).cast("int").as("cell"))
+
+    // distributed encode: residual = embedding − centroid[cell] (row-local,
+    // centroids ride as a literal), then per-subspace argmin code
+    val resid = zip_with($"embedding",
+      element_at(centsLit, $"cell" + 1), (x, c) => x - c)
+    def encodeSub(mi: Int): Column = {
+      val cents = typedlit(codebooks(mi).map(_.toSeq).toSeq)
+      val sub = slice($"resid", mi * subDim + 1, subDim)
+      val dists = transform(cents, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val vnorm = sqrt(aggregate($"embedding", lit(0.0), (a, x) => a + x * x))
+    val codes = assigned.withColumn("resid", resid)
+      .select($"vec_id", $"cell",
+        array((0 until m).map(encodeSub): _*).as("codes"), vnorm.as("vn"))
+
+    // query side, all bounded: probe the nProbe closest cells by centroid
+    // cosine (deterministic csim-desc/cell-asc order), carry ⟨q,c⟩ per probe
+    // and the per-query residual ADC table
+    val probeRows = qvecs.flatMap { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val tbl = (0 until m).map { mi =>
+        codebooks(mi).map { c =>
+          var d = 0.0; var i = 0
+          while (i < subDim) { d += qv(mi * subDim + i) * c(i); i += 1 }
+          d
+        }.toSeq
+      }
+      centArr.zipWithIndex.map { case (c, cell) =>
+        val dot = c.indices.map(i => qv(i) * c(i)).sum
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (cell, dot, if (cn > 0) dot / (qn * cn) else 0.0)
+      }.sortBy { case (cell, _, csim) => (-csim, cell) }
+        .take(nProbe)
+        .map { case (cell, qdotc, _) => (qid, cell, qdotc, tbl, qn, qv.toSeq) }
+    }.toSeq
+    val qdf = probeRows.toDF("query_id", "cell", "qdotc", "tbl", "qn", "qv")
+
+    // stage 1 — ADC scan of PROBED cells only: equi-join on cell against the
+    // broadcast probe rows, m table lookups per candidate
+    val shortlist = codes.join(broadcast(qdf), "cell")
+      .filter($"query_id" =!= $"vec_id")
+      .withColumn("adc", $"qdotc" +
+        aggregate(zip_with($"codes", $"tbl",
+          (c, row) => element_at(row, c + 1)), lit(0.0), (a, x) => a + x))
+      .withColumn("approx_cos", $"adc" / ($"qn" * $"vn"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"approx_cos", $"vec_id", k * 32).as("top"))
+      .select($"query_id", explode($"top").as("t"))
+      .select($"query_id", $"t.id".as("cand_id"))
+
+    // stage 2 — exact re-rank of the shortlist only
+    val qOnly = qvecs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("query_id", "qv")
+    val out = shortlist
+      .join(ev.select($"vec_id".as("cand_id"), $"embedding".as("cv")), "cand_id")
+      .join(broadcast(qOnly), "query_id")
+      .select($"query_id", $"cand_id",
+        round(VectorOps.cosineSim($"qv".cast("array<float>"), $"cv"), 6).as("cos_sim"))
       .groupBy($"query_id")
       .agg(graft.functions.TopKAgg.topKBy($"cos_sim", $"cand_id", k).as("top"))
       .select($"query_id", posexplode($"top"))
@@ -395,6 +556,7 @@ object SimilarityOps {
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s, d) => knnIvf(s, d)),
     "q_knn_pq" -> ((s, d) => knnPq(s, d)),
+    "q_knn_ivfpq" -> ((s, d) => knnIvfPq(s, d)),
     "q_embed_centroids" -> ((s, d) => embedCentroids(s, d)),
   )
 

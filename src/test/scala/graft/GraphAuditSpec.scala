@@ -246,6 +246,26 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(avg >= 0.3, s"avg recall $avg")
   }
 
+  test("ivf×pq ann: composed recall at least matches the IVF-only floor") {
+    import spark.implicits._
+    val got = operators.SimilarityOps.knnIvfPq(spark, sf)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = operators.SimilarityOps.knnBruteForce(spark, sf)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (_, cands) => assert(cands.size == 5) }
+    val recalls = got.keys.toSeq.map(q =>
+      (got(q) intersect exact(q)).size.toDouble / exact(q).size)
+    val avg = recalls.sum / recalls.size
+    // the probed cells bound recall at the IVF level (~0.87 at 10/16
+    // probes); residual-PQ ADC + k*32 shortlist + exact re-rank should lose
+    // almost nothing inside the probed set — hold the same 0.8 floor as the
+    // IVF-only spec
+    assert(avg >= 0.8, s"avg recall $avg")
+  }
+
   test("sparse cosine: pairs ordered, cosine in range, dups found") {
     val r = operators.SimilarityOps.sparseCosinePairs(spark, sf).collect()
     assert(r.nonEmpty) // the fixture corpus contains near-duplicates
