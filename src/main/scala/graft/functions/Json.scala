@@ -78,6 +78,22 @@ object Json {
       s.read.format("graft.sources.JsonPointSource")
         .option("payload", payload).load()
     }),
+    // STREAMING DSv2: the same feed through the MicroBatchStream source
+    // (sources/JsonPointMicroBatch.scala) — offset = line index,
+    // linesPerBatch=2 forces the 6-observation backlog through 3 rate-
+    // limited micro-batches under Trigger.AvailableNow; the aggregate in
+    // complete mode must equal the batch aggregate of the same payload
+    // (decimal-summed avg so partial-aggregation order can't flip bits)
+    "q_stream_dsv2" -> ((s, _) => {
+      val agg = s.readStream.format("graft.sources.JsonPointStreamSource")
+        .option("payload", streamPayload).option("linesPerBatch", "2").load()
+        .groupBy(col("weather_desc"))
+        .agg(count(lit(1)).as("n_obs"),
+          (sum(col("temp_f").cast(DecimalType(18, 2))).cast("double") /
+            count(lit(1))).as("avg_temp_f"),
+          sum(col("humidity_pct").cast("long")).as("sum_humidity"))
+      graft.streaming.StreamingOps.runToParquet(s, agg, "graft_dsv2_stream")
+    }),
     // F5 to_json: serialize a typed struct to JSON, re-parse, extract — the
     // round-trip must be the identity on the typed fields (oracle checks the
     // values; JSON text itself is never compared, SURVEY.md §7 hard-part 4)
@@ -93,7 +109,33 @@ object Json {
     }),
   )
 
+  /** Six observations, one JSON line each — the multi-line form of the
+    * weather payload, shared by the streaming-DSv2 query and its spec. */
+  private[graft] val streamPayload: String = Seq(
+    ("New York", 61.2, 78, "light rain"),
+    ("Los Angeles", 75.0, 40, "clear sky"),
+    ("Chicago", 55.4, 65, "light rain"),
+    ("Houston", 88.1, 70, "clear sky"),
+    ("Phoenix", 95.0, 20, "clear sky"),
+    ("Seattle", 52.3, 85, "moderate rain"))
+    .map { case (city, t, h, desc) =>
+      s"""{"name":"$city","main":{"temp":$t,"humidity":$h},""" +
+        s""""weather":[{"description":"$desc"}]}"""
+    }.mkString("\n")
+
   val oracle: Map[String, String] = Map(
+    "q_stream_dsv2" ->
+      """WITH obs(city, temp_f, humidity_pct, weather_desc) AS (VALUES
+        |  ('New York', 61.2, 78, 'light rain'),
+        |  ('Los Angeles', 75.0, 40, 'clear sky'),
+        |  ('Chicago', 55.4, 65, 'light rain'),
+        |  ('Houston', 88.1, 70, 'clear sky'),
+        |  ('Phoenix', 95.0, 20, 'clear sky'),
+        |  ('Seattle', 52.3, 85, 'moderate rain'))
+        |SELECT weather_desc, count(*) AS n_obs,
+        |       CAST(SUM(CAST(temp_f AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_temp_f,
+        |       CAST(SUM(humidity_pct) AS BIGINT) AS sum_humidity
+        |FROM obs GROUP BY weather_desc""".stripMargin,
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,

@@ -145,6 +145,53 @@ class StreamingMlSpec extends AnyFunSuite {
     assert(streamed == batch) // double counting would inflate the overlap hour
   }
 
+  test("DSv2 MicroBatchStream: rate-limited batches, offset recovery, no replay") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_dsv2_stream").toFile.getAbsolutePath
+    val out = s"$tmp/out"
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.JsonPointStreamSource")
+        .option("payload", functions.Json.streamPayload)
+        .option("linesPerBatch", "2").load()
+        .writeStream.outputMode("append")
+        .foreachBatch((b: DataFrame, _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(out))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    val rows1 = spark.read.parquet(out).collect()
+    assert(rows1.length == 6, s"expected all 6 observations, got ${rows1.length}")
+    // linesPerBatch=2 over 6 lines ⇒ the offset log must show ≥3 batches
+    val nBatches = new java.io.File(s"$tmp/ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(nBatches >= 3, s"expected ≥3 rate-limited micro-batches, got $nBatches")
+
+    // a NEW query on the SAME checkpoint restores the committed line offset
+    // and must not replay anything (append output would grow on replay)
+    runOnce()
+    val rows2 = spark.read.parquet(out).collect()
+    assert(rows2.length == 6, s"restart replayed data: ${rows2.length} rows")
+
+    // strict null contract survives the streaming path: a degraded line
+    // yields nulls, not coerced zeros
+    val degraded = spark.readStream.format("graft.sources.JsonPointStreamSource")
+      .option("payload", """{"name":"X","main":{"temp":"N/A"}}""").load()
+    val q2 = degraded.writeStream.outputMode("append")
+      .foreachBatch((b: DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("overwrite").parquet(s"$tmp/deg"))
+      .option("checkpointLocation", s"$tmp/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val d = spark.read.parquet(s"$tmp/deg").collect()(0)
+    assert(d.getAs[String]("city") == "X" && d.isNullAt(d.fieldIndex("temp_f")))
+  }
+
   test("transformWithState user totals equal the batch groupBy row-for-row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
