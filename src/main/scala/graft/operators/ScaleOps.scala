@@ -59,20 +59,64 @@ object ScaleOps {
         sum($"l_quantity".cast(D2)).cast("double").as("sum_qty"))
   }
 
-  /** Partitioned write + pruned read: orders written partitioned by year,
-    * then scanned with a partition predicate — only the matching directory
-    * is read (`PartitionFilters` in the plan, asserted in tests). */
-  def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+  /** Orders written partitioned by year — the shared fixture for the
+    * pruned-scan and latest-partition queries. Overwrite is idempotent. */
+  private def writePartitionedOrders(s: SparkSession, dir: String): String = {
     import s.implicits._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_" +
       java.lang.ProcessHandle.current().pid()
     Tables.orders(s, dir)
       .withColumn("yr", year($"o_orderdate"))
       .write.mode("overwrite").partitionBy("yr").parquet(path)
+    path
+  }
+
+  /** Partitioned write + pruned read: orders written partitioned by year,
+    * then scanned with a partition predicate — only the matching directory
+    * is read (`PartitionFilters` in the plan, asserted in tests). */
+  def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = writePartitionedOrders(s, dir)
     s.read.parquet(path)
       .filter($"yr" === 1996)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 4))).cast("double").as("sum_price"))
+  }
+
+  /** Listing-based latest-partition discovery over a `key=value` partition
+    * layout: one `FileSystem.listStatus` of the root (works for any Hadoop
+    * filesystem — local, HDFS, object store), parse the partition values,
+    * take the max. This is the engine analog of the reference's driver-side
+    * "find the newest month that actually landed" step
+    * (`/root/reference/dags/etl_spark_historical.py:113-143`) — discovery is
+    * a metadata operation, never a data scan. */
+  def latestAvailable(s: SparkSession, path: String, key: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val vals = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(key + "="))
+      .flatMap(n => scala.util.Try(n.stripPrefix(key + "=").toInt).toOption)
+    if (vals.isEmpty) None else Some(vals.max)
+  }
+
+  /** S5: process ONLY the latest available partition — discovery via
+    * `latestAvailable` (a root listing), then a scan whose predicate is the
+    * discovered literal, so the plan prunes to one directory
+    * (`PartitionFilters: [isnotnull(yr), (yr = 1998)]`, spec-asserted). The
+    * oracle recomputes the max year from the data itself, which checks the
+    * DISCOVERY picked the true latest, not just that some filter ran. */
+  def latestPartitionScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = writePartitionedOrders(s, dir)
+    val latest = latestAvailable(s, path, "yr")
+      .getOrElse(throw new IllegalStateException(s"no yr= partitions under $path"))
+    s.read.parquet(path)
+      .filter($"yr" === latest)
+      .groupBy($"o_orderpriority")
+      .agg(max($"yr").as("yr"), count(lit(1)).as("n"),
         sum($"o_totalprice".cast(DecimalType(18, 4))).cast("double").as("sum_price"))
   }
 
@@ -139,6 +183,7 @@ object ScaleOps {
     "q_salted_join" -> ((s, d) => saltedJoin(s, d)),
     "q_partitioned_scan" -> ((s, d) => partitionedScan(s, d)),
     "q_bucketed_join" -> ((s, d) => bucketedJoin(s, d)),
+    "q_latest_partition" -> ((s, d) => latestPartitionScan(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -156,6 +201,17 @@ object ScaleOps {
       """SELECT o_orderpriority, count(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |GROUP BY o_orderpriority""".stripMargin,
+    // recomputes the latest year from the data — a wrong discovery (stale
+    // listing, lexicographic max, off-by-one parse) hash-mismatches
+    "q_latest_partition" ->
+      """WITH latest AS (
+        |  SELECT max(EXTRACT(YEAR FROM o_orderdate)) AS yr FROM orders)
+        |SELECT o_orderpriority,
+        |       CAST(max(latest.yr) AS INTEGER) AS yr, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders, latest
+        |WHERE EXTRACT(YEAR FROM o_orderdate) = latest.yr
         |GROUP BY o_orderpriority""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority,

@@ -15,6 +15,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan.take(2000))
   }
 
+  test("latest-partition discovery finds the true max and prunes to one dir") {
+    val df = operators.ScaleOps.latestPartitionScan(spark, sf)
+    val rows = df.collect()
+    // every output row carries the discovered year = the data's true max
+    val trueMax = Tables.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.year(col("o_orderdate")))).collect()(0).getInt(0)
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("yr") == trueMax))
+    // and the scan is partition-pruned to that single directory
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr") &&
+      s"\\(yr#\\d+ = $trueMax\\)".r.findFirstIn(plan).isDefined, plan.take(2000))
+    // discovery on a missing root degrades to None, not an exception
+    assert(operators.ScaleOps.latestAvailable(
+      spark, "/tmp/graft_no_such_dir_xyz", "yr").isEmpty)
+  }
+
   test("bucketed join runs without a shuffle exchange") {
     import spark.implicits._
     // build just the join (no agg) over freshly bucketed tables
