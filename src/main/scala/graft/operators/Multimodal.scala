@@ -145,9 +145,14 @@ object Multimodal {
       doc_id: Long, img_w: Int, img_h: Int, bpp: Int, n_pixels: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** REAL BMP parser: validates the `BM` magic, reads the pixel-array offset
-    * and BITMAPINFOHEADER dims/bpp, walks the padded bottom-up BGR rows. */
-  def decodeBmp(docId: Long, bytes: Array[Byte]): ImageFeatures = {
+  /** Shared BMP header validation: magic, full 54-byte header, positive
+    * dims, 24 bpp, and a pixel array that lies ENTIRELY inside the payload
+    * (checked in Long arithmetic so a hostile width can't overflow the
+    * bound). Malformed input fails with a diagnosable
+    * IllegalArgumentException — never an index error.
+    * Returns (dataOffset, w, h, rowSize). */
+  private def bmpHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    require(bytes.length >= 54, s"truncated BMP header: ${bytes.length} bytes")
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP")
@@ -156,7 +161,19 @@ object Multimodal {
     val h = buf.getInt(22)
     val bpp = buf.getShort(28).toInt
     require(bpp == 24, s"unsupported bpp=$bpp")
-    val rowSize = (w * 3 + 3) / 4 * 4
+    require(w > 0 && h > 0, s"bad BMP dims ${w}x$h")
+    val rowSizeL = (w.toLong * 3 + 3) / 4 * 4
+    require(dataOffset >= 54 &&
+      dataOffset.toLong + h.toLong * rowSizeL <= bytes.length,
+      s"pixel array out of bounds: offset=$dataOffset ${w}x$h in ${bytes.length} bytes")
+    (dataOffset, w, h, rowSizeL.toInt)
+  }
+
+  /** REAL BMP parser: validates the `BM` magic, reads the pixel-array offset
+    * and BITMAPINFOHEADER dims/bpp, walks the padded bottom-up BGR rows. */
+  def decodeBmp(docId: Long, bytes: Array[Byte]): ImageFeatures = {
+    val (dataOffset, w, h, rowSize) = bmpHeader(bytes)
+    val bpp = 24
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < h) {
@@ -211,13 +228,20 @@ object Multimodal {
   final case class AudioFeatures(
       doc_id: Long, sample_rate: Int, n_samples: Int, rms: Double, peak: Int)
 
-  /** REAL WAV parser: validates RIFF/WAVE magic, walks chunks to `fmt ` and
-    * `data`, reads rate + PCM samples. */
-  def decodeWav(docId: Long, bytes: Array[Byte]): AudioFeatures = {
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  /** Shared RIFF chunk walk: validates the RIFF/WAVE magic, then visits
+    * word-aligned chunks collecting the `fmt ` sample rate and the `data`
+    * extent. Every declared chunk must lie entirely inside the payload and
+    * have a non-negative length — an unchecked negative length would stall
+    * the walk forever (`pos += 8 + len` stops advancing), and a truncated
+    * declaration would read past the buffer; both fail here with a
+    * diagnosable IllegalArgumentException instead.
+    * Returns (rate or 0, dataPos or -1, dataLen). */
+  private def riffChunks(bytes: Array[Byte]): (Int, Int, Int) = {
+    require(bytes.length >= 12, s"truncated RIFF header: ${bytes.length} bytes")
     require(new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "WAVE",
       "not a WAV")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var pos = 12
     var rate = 0
     var dataPos = -1
@@ -225,10 +249,23 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (rate == 0 || dataPos < 0)) {
       val id = new String(bytes, pos, 4)
       val len = buf.getInt(pos + 4)
-      if (id == "fmt ") rate = buf.getInt(pos + 12)
-      else if (id == "data") { dataPos = pos + 8; dataLen = len }
+      require(len >= 0 && pos + 8 + len.toLong <= bytes.length,
+        s"corrupt RIFF chunk '$id' len=$len at $pos in ${bytes.length} bytes")
+      if (id == "fmt ") {
+        require(len >= 8, s"truncated fmt chunk: len=$len")
+        rate = buf.getInt(pos + 12)
+      } else if (id == "data") { dataPos = pos + 8; dataLen = len }
       pos += 8 + len + (len & 1) // chunks are word-aligned
     }
+    (rate, dataPos, dataLen)
+  }
+
+  /** REAL WAV parser: validates RIFF/WAVE magic, walks chunks to `fmt ` and
+    * `data`, reads rate + PCM samples. */
+  def decodeWav(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val (rate, dataPos, dataLen) = riffChunks(bytes)
     require(rate > 0 && dataPos >= 0, "missing fmt/data chunk")
     val n = dataLen / 2
     var sumSq = 0.0
@@ -284,13 +321,7 @@ object Multimodal {
 
   /** BMP pixel-array extraction (top-down RGB) for the resize path. */
   def decodeBmpPixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP")
-    val dataOffset = buf.getInt(10)
-    val w = buf.getInt(18)
-    val h = buf.getInt(22)
-    val rowSize = (w * 3 + 3) / 4 * 4
+    val (dataOffset, w, h, rowSize) = bmpHeader(bytes)
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -336,15 +367,7 @@ object Multimodal {
   def decodeWavSamples(bytes: Array[Byte]): Array[Short] = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var pos = 12
-    var dataPos = -1
-    var dataLen = 0
-    while (pos + 8 <= bytes.length && dataPos < 0) {
-      val id = new String(bytes, pos, 4)
-      val len = buf.getInt(pos + 4)
-      if (id == "data") { dataPos = pos + 8; dataLen = len }
-      pos += 8 + len + (len & 1)
-    }
+    val (_, dataPos, dataLen) = riffChunks(bytes)
     require(dataPos >= 0, "missing data chunk")
     Array.tabulate(dataLen / 2)(i => buf.getShort(dataPos + i * 2))
   }

@@ -17,6 +17,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("malformed BMP/WAV payloads fail cleanly: no index errors, no hangs") {
+    val bmp = Multimodal.encodeBmp(5, 4, Array.tabulate(5 * 4 * 3)(i => i.toByte))
+    val wav = Multimodal.encodeWav(16000, Array.tabulate(200)(i => (i * 31).toShort))
+
+    def diagnosable(body: => Any): Unit =
+      try { body; () } catch {
+        case _: IllegalArgumentException => () // the contract: require(...)
+        case t: Throwable => fail(s"non-diagnosable failure ${t.getClass}: ${t.getMessage}")
+      }
+
+    // targeted corruptions the decoders must reject (not index-crash on):
+    //  - truncation at every prefix length, including mid-header and
+    //    mid-pixel-array / mid-data-chunk
+    for (n <- 0 to bmp.length by 7) diagnosable(Multimodal.decodeBmp(1L, bmp.take(n)))
+    for (n <- 0 to wav.length by 7) diagnosable(Multimodal.decodeWav(1L, wav.take(n)))
+    //  - pixel-array offset pointing past the payload / negative
+    for (off <- Seq(Int.MaxValue, -1, bmp.length)) {
+      val b = bmp.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10, off)
+      diagnosable(Multimodal.decodeBmp(1L, b))
+      diagnosable(Multimodal.decodeBmpPixels(b))
+    }
+    //  - hostile dims (overflow bait: width where w*3 overflows Int)
+    for ((w, h) <- Seq((Int.MaxValue, 4), (-5, 4), (5, -4), (0x50000000, 2))) {
+      val b = bmp.clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(18, w); bb.putInt(22, h)
+      diagnosable(Multimodal.decodeBmp(1L, b))
+    }
+    //  - RIFF chunk with negative length: the unguarded walk would loop
+    //    forever (pos += 8 + len stops advancing); must throw instead
+    for (len <- Seq(-8, -1, Int.MinValue, wav.length)) {
+      val b = wav.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(16, len)
+      diagnosable(Multimodal.decodeWav(1L, b))
+      diagnosable(Multimodal.decodeWavSamples(b))
+    }
+    //  - random byte-flip fuzz (seeded): decode must either succeed or
+    //    throw IllegalArgumentException, never anything else
+    val rnd = new scala.util.Random(4242L)
+    for (_ <- 1 to 300) {
+      val b = bmp.clone(); val w2 = wav.clone()
+      for (_ <- 1 to 4) {
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        w2(rnd.nextInt(w2.length)) = rnd.nextInt(256).toByte
+      }
+      diagnosable(Multimodal.decodeBmp(1L, b))
+      diagnosable(Multimodal.decodeBmpPixels(b))
+      diagnosable(Multimodal.decodeWav(1L, w2))
+      diagnosable(Multimodal.decodeWavSamples(w2))
+    }
+  }
+
   test("BMP encode→decode round-trips dims and channel means (incl. padded rows)") {
     val widths = Seq(4, 5, 7, 16) // 5 and 7 force non-trivial row padding
     for (w <- widths; h <- Seq(4, 9)) {
