@@ -37,16 +37,16 @@ object AuditOps {
        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < $DefaultK""".stripMargin
 
   /** IQR (Tukey fence) outlier counts per return flag: exact interpolated
-    * quartiles per group (Spark `percentile` = DuckDB `quantile_cont`), then
-    * one pass counting rows outside [q1 - 1.5·IQR, q3 + 1.5·IQR]. The
-    * quartile table is tiny (|groups| rows) and broadcast back onto the
-    * fact scan — two passes total, both full-scan-parallel. */
+    * quartiles per group via `ExactQuantiles.quantileCont` (bit-identical to
+    * `percentile` = DuckDB `quantile_cont`, but bounded aggregate state —
+    * the built-in buffers each group's whole value multiset), then one pass
+    * counting rows outside [q1 - 1.5·IQR, q3 + 1.5·IQR]. The quartile table
+    * is tiny (|groups| rows) and broadcast back onto the fact scan. */
   def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
-    val q = li.groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
-        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+    val q = ExactQuantiles.quantileCont(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq("q1" -> 0.25, "q3" -> 0.75))
     li.join(broadcast(q), "l_returnflag")
       .withColumn("iqr", $"q3" - $"q1")
       .groupBy($"l_returnflag")

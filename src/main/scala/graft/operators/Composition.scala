@@ -70,19 +70,23 @@ object Composition {
   }
 
   /** Sketch twin of `percentiles`: `approx_percentile` (KLL-style
-    * quantile summary — mergeable bounded state, the 100 TB path where the
-    * exact `percentile` would buffer whole groups) at accuracy 1000, with
-    * the exact values beside it and the realized error surfaced. Rows-only:
-    * the sketch is Spark-specific; the spec bounds the error instead. */
+    * quantile summary — mergeable bounded state, the 100 TB path) at
+    * accuracy 1000, with the exact values beside it and the realized error
+    * surfaced. The exact side comes from `ExactQuantiles.quantileCont`
+    * (bit-identical to `percentile`, bounded state), so NO query in the
+    * registry plans the built-in's full-input ObjectHashAggregate.
+    * Rows-only: the sketch is Spark-specific; the spec bounds the error. */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
+    val approx = Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
-      .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
-      .withColumn("rel_err",
-        abs($"p50_approx" - $"p50_exact") / $"p50_exact")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"))
+    val exact = ExactQuantiles.quantileCont(
+      Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice"),
+      Seq("l_returnflag"), "l_extendedprice", Seq("p50_exact" -> 0.5))
+    approx.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"p50_approx", $"p50_exact",
+        (abs($"p50_approx" - $"p50_exact") / $"p50_exact").as("rel_err"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
