@@ -378,8 +378,12 @@ object Multimodal {
     * 16 kHz) frames, keep every 2nd frame, per-frame RMS — the temporal
     * subsampling shape video/audio feature extraction uses (decode once,
     * emit many frames per blob: a one-to-many mapPartitions, no shuffle).
-    * Rows-only (RMS of doc-derived PCM has no SQL twin); the frame-count
-    * formula and RMS bounds are asserted in ScalaTest. */
+    * Oracle-checked end to end: the sample derivation is deterministic
+    * integer arithmetic over the document bytes (ASCII fixture ⇒ byte =
+    * code point), per-frame Σv² is a sum of ≤80 exact-in-double integers
+    * (order-insensitive), so DuckDB restates the whole pipeline including
+    * the RMS values — the codec round-trip must be the identity for the
+    * hashes to match. Frame-count formula and RMS bounds also in ScalaTest. */
   def audioFrameSample(s: SparkSession, dir: String,
       frameLen: Int = 80, every: Int = 2): Dataset[Frame] = {
     import s.implicits._
@@ -443,7 +447,30 @@ object Multimodal {
       """SELECT doc_id, CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
         |       CAST(246 AS INTEGER) AS thumb_bytes
         |FROM documents""".stripMargin,
+    // the full decode→window→RMS pipeline restated: samples are
+    // (byte − 128)·256 over the cycled document bytes (ASCII fixture ⇒
+    // unicode() = byte), frames of 80 keeping every 2nd, Σv² exact in
+    // double — a codec bug anywhere breaks the hash match
+    "q_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS l,
+        |         CAST(n_chars % 500 + 100 AS INTEGER) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, l, n,
+        |         unnest(range(0, CAST((n + 79) // 80 AS INTEGER), 2)) AS frame_idx
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, frame_idx,
+        |         least(80, n - frame_idx * 80) AS flen,
+        |         list_sum(list_transform(
+        |           [ (unicode(text[((frame_idx*80 + j) % l) + 1 : ((frame_idx*80 + j) % l) + 1]) - 128) * 256
+        |             for j in range(0, least(80, n - frame_idx * 80)) ],
+        |           v -> CAST(v AS DOUBLE) * v)) AS sumsq
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       round(sqrt(sumsq / flen), 6) AS frame_rms
+        |FROM r""".stripMargin,
     // q_blob_features: rows-only (stubbed decoder — byte stats only)
-    // q_frame_sample: rows-only (RMS of doc-derived PCM; count formula in specs)
   )
 }
