@@ -74,6 +74,32 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(got("b").getDouble(1) == 7.25 && got("b").getDouble(2) == 7.25)
   }
 
+  test("property: bit-equal to percentile() on arbitrary data incl. heavy ties") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    // values drawn from a SMALL pool so duplicates are common (ties cross
+    // bucket boundaries), mixed with arbitrary doubles; group keys few so
+    // groups get real mass
+    val valGen = Gen.oneOf(
+      Gen.chooseNum(-5.0, 5.0).map(v => math.rint(v * 4) / 4), // tie-heavy grid
+      Gen.chooseNum(-1e6, 1e6))
+    val rowGen = Gen.zip(Gen.oneOf("g1", "g2"), valGen)
+    val pGen = Gen.oneOf(0.01, 0.25, 0.5, 0.9, 0.99)
+    val prop = forAll(Gen.nonEmptyListOf(rowGen), pGen) { (rows, p) =>
+      val df = rows.toDF("g", "x")
+      val got = operators.ExactQuantiles
+        .quantileCont(df, Seq("g"), "x", Seq("q" -> p), nBuckets = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = df.groupBy($"g").agg(expr(s"percentile(x, $p)"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tiny nBuckets still exact (many values per bucket exercise pass C)") {
     val o = Tables.orders(spark, sf).select(col("o_totalprice"))
     val got = operators.ExactQuantiles
