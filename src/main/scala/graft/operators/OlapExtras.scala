@@ -404,11 +404,16 @@ object OlapExtras {
       Tables.lineitem(s, d).groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_orderkey").as("approx_orders"))
     }),
-    // seeded Bernoulli sample — the scale-out replacement for limit(200k);
-    // rows-only (sampling RNG is engine-specific)
+    // deterministic ~10% Bernoulli sample via an md5-prefix gate — the
+    // scale-out replacement for limit(200k). Hash-gated (vs `.sample`'s
+    // per-partition seeded RNG) so the selected set is invariant under file
+    // splits, AQE repartitioning, and task retries — `.sample(seed)` changes
+    // its answer whenever the partitioning does, which at 100 TB it will.
+    // Gate: first 4 hex chars of md5(rowkey) < 0x1999 = 6553/65536 ≈ 9.999%.
     "q_sample" -> ((s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42)
+      Tables.lineitem(s, d)
+        .filter(substring(md5(concat_ws("_", $"l_orderkey", $"l_linenumber")), 1, 4) < "1999")
         .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
     }),
   )
@@ -450,6 +455,10 @@ object OlapExtras {
         |       CAST(last_day(o_orderdate) AS DATE) AS month_end,
         |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98
         |FROM orders""".stripMargin,
-    // q_approx_distinct / q_sample: rows-only (engine-specific sketch / RNG)
+    "q_sample" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE substr(md5(l_orderkey || '_' || l_linenumber), 1, 4) < '1999'
+        |GROUP BY 1""".stripMargin,
+    // q_approx_distinct: rows-only (engine-specific sketch)
   )
 }

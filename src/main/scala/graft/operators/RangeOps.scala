@@ -105,20 +105,34 @@ object RangeOps {
         sum($"p_retailprice".cast(DecimalType(18, 2))).cast("double").as("sum_price"))
   }
 
-  /** Per-stratum Bernoulli sampling (`DataFrameStatFunctions.sampleBy`):
-    * language-stratified downsampling, the rebalancing step of corpus
-    * curation. Seeded → deterministic per Spark version, but the RNG stream
-    * is Spark-specific, so rows-only (no SQL oracle); per-stratum fraction
-    * bounds are asserted in ScalaTest. Scale: row-local Bernoulli draws, no
-    * shuffle at all. */
+  /** Per-stratum Bernoulli sampling: language-stratified downsampling, the
+    * rebalancing step of corpus curation. Deterministic md5-prefix gate per
+    * stratum (the `q_split_traintest` idiom) instead of
+    * `DataFrameStatFunctions.sampleBy`: sampleBy draws from a per-partition
+    * seeded RNG stream, so its selected set changes whenever file splits,
+    * AQE re-planning, or task retries change the partitioning — at 100 TB
+    * the sample must be a pure function of the row, not of the shard layout.
+    * Fractions quantize to 16-bit hex thresholds (0.5 → 0x8000 exact;
+    * 0.3 → 0x4ccc = 19660/65536 ≈ 0.29999). Row-local, no shuffle, and
+    * SQL-expressible, so oracle-checked rather than bounds-only. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fractions = Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.3,
-      "de" -> 0.3, "fr" -> 0.3)
+    val thresholds = Map("en" -> "8000", "zh" -> "4ccc", "es" -> "4ccc",
+      "de" -> "4ccc", "fr" -> "4ccc")
+    val thr = thresholds.foldLeft(lit("0000")) { case (acc, (l, t)) =>
+      when($"lang" === l, lit(t)).otherwise(acc)
+    }
     Tables.documents(s, dir)
       .select($"doc_id", $"lang", $"source", $"n_chars")
-      .stat.sampleBy("lang", fractions, seed = 42L)
+      .filter(substring(md5($"doc_id".cast("string")), 1, 4) < thr)
   }
+
+  private val stratifiedSampleSql =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |      CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4ccc'
+      |                WHEN 'es' THEN '4ccc' WHEN 'de' THEN '4ccc'
+      |                WHEN 'fr' THEN '4ccc' ELSE '0000' END""".stripMargin
 
   /** Equi-DEPTH histogram (the equi-width twin of `histogram`): octile
     * boundaries from EXACT interpolated percentiles, broadcast back as a
@@ -171,6 +185,6 @@ object RangeOps {
     "q_range_join" -> rangeJoinSql,
     "q_band_join_auto" -> rangeJoinSql,
     "q_histogram" -> histogramSql,
-    // q_stratified_sample: rows-only (Spark-specific seeded RNG stream)
+    "q_stratified_sample" -> stratifiedSampleSql,
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.ml.feature.{CountVectorizer, HashingTF, IDF, NGram, Normalizer, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.ml.feature.{HashingTF, IDF, NGram, Normalizer, RegexTokenizer, StopWordsRemover}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -80,31 +80,50 @@ object TextFeatures {
        |t AS (SELECT doc_id, unnest(k) AS term FROM f)
        |SELECT term, count(*) AS df FROM t GROUP BY term HAVING count(*) >= 5""".stripMargin
 
-  /** Top TF-IDF terms per document (first `nDocs` docs, top `k` terms):
-    * CountVectorizer keeps the vocabulary so feature indices map back to
-    * terms; IDF reweights; ties broken by term string for determinism.
-    * Rows-only (MLlib vocab/idf internals aren't SQL-reproducible); bounds
-    * asserted in ScalaTest. */
+  /** Top TF-IDF terms per document (first `nDocs` docs, top `k` terms),
+    * computed relationally: tf = per-(doc,term) count, df = per-term doc
+    * count, score = tf · ln((m+1)/(df+1)) — the same smoothed-IDF formula
+    * MLlib's `IDF` documents — ranked per doc with ties broken by term
+    * string. Replaces the earlier CountVectorizer+IDF pipeline: CV's `fit`
+    * collects the whole vocabulary array to the driver (bounded only by
+    * vocabSize — driver state that grows with the corpus), while the
+    * relational form is two hash aggregations plus a per-doc window, fully
+    * distributed, and exactly SQL-expressible — so this is oracle-checked
+    * rather than bounds-only. The df aggregation input is (doc,term)
+    * distinct pairs, already grouped — no extra distinct pass. */
   def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3, nDocs: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val kept = keptTokens(s, dir)
-    val cv = new CountVectorizer().setInputCol("kept").setOutputCol("tf")
-      .setVocabSize(4096).fit(kept)
-    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(cv.transform(kept))
-    val vocab = cv.vocabulary.zipWithIndex
-      .map { case (t, i) => (i, t) }.toSeq.toDF("term_idx", "term")
-    val scored = idf.transform(cv.transform(kept))
-      .filter($"doc_id" < nDocs)
-      .select($"doc_id", posexplode(vector_to_array($"tfidf")))
-      .filter($"col" > 0.0)
-      .withColumnRenamed("pos", "term_idx").withColumnRenamed("col", "score")
-      .join(broadcast(vocab), "term_idx")
+    val tf = keptTokens(s, dir)
+      .select($"doc_id", explode($"kept").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val m = keptTokens(s, dir).agg(count(lit(1)).as("m"))
+    val scored = tf.filter($"doc_id" < nDocs)
+      .join(df, "term")
+      .join(broadcast(m))
+      .select($"doc_id", $"term",
+        ($"tf" * log(($"m" + 1).cast("double") / ($"df" + 1).cast("double"))).as("score"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"doc_id", $"rank", $"term", round($"score", 6).as("tfidf"))
   }
+
+  private val tfidfTopTermsSql =
+    s"""WITH f AS (SELECT doc_id, $keptSql AS k FROM documents),
+       |t AS (SELECT doc_id, unnest(k) AS term FROM f),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |m AS (SELECT count(*) AS m FROM documents),
+       |sc AS (SELECT doc_id, tf.term,
+       |              tf * ln(CAST(m + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+       |       FROM tf JOIN df USING (term), m WHERE doc_id < 50),
+       |r AS (SELECT doc_id, term, score,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+       |      FROM sc)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, round(score, 6) AS tfidf
+       |FROM r WHERE rnk <= 3""".stripMargin
 
   /** Deterministic document embeddings: HashingTF(dims) → IDF → L2
     * Normalizer, emitted as `array<float>` — the same column shape as the
@@ -179,6 +198,6 @@ object TextFeatures {
   val oracle: Map[String, String] = Map(
     "q_ngram_counts" -> ngramCountsSql,
     "q_doc_freq" -> docFreqSql,
-    // q_tfidf_topterms: rows-only (MLlib vocabulary/IDF internals)
+    "q_tfidf_topterms" -> tfidfTopTermsSql,
   )
 }

@@ -74,7 +74,7 @@ class RangeSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet
     val s2 = operators.RangeOps.stratifiedSample(spark, sf).collect()
       .map(_.getAs[Long]("doc_id")).toSet
-    assert(s1 == s2, "seeded sampleBy must be reproducible")
+    assert(s1 == s2, "hash-gated sample must be reproducible")
     val byLang = operators.RangeOps.stratifiedSample(spark, sf)
       .groupBy($"lang").count().collect()
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
