@@ -71,11 +71,14 @@ object Composition {
 
   /** Sketch twin of `percentiles`: `approx_percentile` (KLL-style
     * quantile summary — mergeable bounded state, the 100 TB path) at
-    * accuracy 1000, with the exact values beside it and the realized error
-    * surfaced. The exact side comes from `ExactQuantiles.quantileCont`
-    * (bit-identical to `percentile`, bounded state), so NO query in the
-    * registry plans the built-in's full-input ObjectHashAggregate.
-    * Rows-only: the sketch is Spark-specific; the spec bounds the error. */
+    * accuracy 1000, checked against the exact value from
+    * `ExactQuantiles.quantileCont` (bit-identical to `percentile`, bounded
+    * state), so NO query in the registry plans the built-in's full-input
+    * ObjectHashAggregate. Oracle-backed via the bound-invariant pattern:
+    * emits the exact p50 plus a boolean asserting the sketch landed within
+    * 1% relative error; the oracle recomputes the exact value and expects
+    * TRUE. The sketch is deterministic given the data, so the flag is
+    * stable and a drifting sketch breaks the hash compare. */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val approx = Tables.lineitem(s, dir)
@@ -85,8 +88,9 @@ object Composition {
       Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice"),
       Seq("l_returnflag"), "l_extendedprice", Seq("p50_exact" -> 0.5))
     approx.join(exact, "l_returnflag")
-      .select($"l_returnflag", $"p50_approx", $"p50_exact",
-        (abs($"p50_approx" - $"p50_exact") / $"p50_exact").as("rel_err"))
+      .select($"l_returnflag", round($"p50_exact", 4).as("p50_exact"),
+        (abs($"p50_approx" - $"p50_exact") / $"p50_exact" <= 0.01)
+          .as("sketch_within_1pct"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -97,6 +101,10 @@ object Composition {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |       TRUE AS sketch_within_1pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

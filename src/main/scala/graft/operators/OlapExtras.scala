@@ -397,12 +397,21 @@ object OlapExtras {
         last_day($"o_orderdate").as("month_end"),
         datediff(lit("1998-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_98"))
     }),
-    // HLL sketch distinct — rows-only (sketch estimates are engine-specific);
-    // accuracy asserted in ScalaTest against exact counts
+    // HLL sketch distinct, oracle-backed via the bound-invariant pattern
+    // (like q_sampled_estimate): the query emits the EXACT distinct count
+    // plus a boolean asserting the HLL estimate (rsd 0.02 — a fixed
+    // ~KB-sized mergeable sketch regardless of input size, the 100 TB path)
+    // landed within 5% of it; the oracle recomputes the exact count and
+    // expects TRUE. HLL is hash-deterministic, so the flag is stable across
+    // runs/partitionings and a drifting sketch breaks the hash compare.
     "q_approx_distinct" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d).groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .agg(countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_orderkey", 0.02).as("__approx"))
+        .select($"l_returnflag", $"exact_orders",
+          (abs($"__approx" - $"exact_orders").cast("double") /
+            $"exact_orders" <= 0.05).as("hll_within_5pct"))
     }),
     // deterministic ~10% Bernoulli sample via an md5-prefix gate — the
     // scale-out replacement for limit(200k). Hash-gated (vs `.sample`'s
@@ -459,6 +468,9 @@ object OlapExtras {
       """SELECT l_returnflag, count(*) AS n FROM lineitem
         |WHERE substr(md5(l_orderkey || '_' || l_linenumber), 1, 4) < '1999'
         |GROUP BY 1""".stripMargin,
-    // q_approx_distinct: rows-only (engine-specific sketch)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |       TRUE AS hll_within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 }

@@ -222,11 +222,11 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
   }
 
-  test("approx quantiles: sketch lands within 2% of the exact median") {
+  test("approx quantiles: sketch lands within 1% of the exact median") {
     val rows = operators.Composition.approxQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getAs[Double]("rel_err") < 0.02,
-      s"${r.getString(0)}: ${r.getAs[Double]("rel_err")}"))
+    rows.foreach(r => assert(r.getAs[Boolean]("sketch_within_1pct"),
+      r.getString(0)))
   }
 
   test("pq ann: recall vs exact top-k far above the random floor") {
