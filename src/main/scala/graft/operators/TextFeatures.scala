@@ -34,12 +34,13 @@ object TextFeatures {
   private def stopRemover = new StopWordsRemover()
     .setInputCol("toks").setOutputCol("kept").setStopWords(StopWords)
 
-  /** doc_id + stopword-filtered lowercase tokens. NOT spread: the MLlib
-    * fit/transform chain re-evaluates this plan several times per query, so
-    * an extra exchange here multiplies (measured: q_tfidf_topterms 2.8 s →
-    * 5.1 s with a repartition). The tokenizer itself is cheap split work;
-    * the expensive-HOF single-split problem documentsSpread solves doesn't
-    * apply. */
+  /** doc_id + stopword-filtered lowercase tokens. NOT spread, re-measured
+    * round 4: RegexTokenizer/StopWordsRemover are cheap split work, and a
+    * round-robin exchange ahead of them costs more than it parallelizes
+    * (3-query group 4.6 s unspread vs 5.8 s spread, sf0.1, repeated) — the
+    * expensive-HOF single-split problem `documentsSpread` solves applies to
+    * shingling/minhashing, not to plain tokenization. At production scale
+    * the scan has thousands of splits and parallelizes naturally. */
   private def keptTokens(s: SparkSession, dir: String): DataFrame =
     stopRemover.transform(tokenizer.transform(
       Tables.documents(s, dir).select(col("doc_id"), col("text"))))
@@ -98,7 +99,8 @@ object TextFeatures {
       .select($"doc_id", explode($"kept").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val m = keptTokens(s, dir).agg(count(lit(1)).as("m"))
+    // corpus size needs no tokenization — count the raw table
+    val m = Tables.documents(s, dir).agg(count(lit(1)).as("m"))
     val scored = tf.filter($"doc_id" < nDocs)
       .join(df, "term")
       .join(broadcast(m))
