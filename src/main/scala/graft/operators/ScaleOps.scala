@@ -177,7 +177,92 @@ object ScaleOps {
       |             / CAST(ex.n_exact AS DOUBLE), 6) AS rel_err
       |FROM ex LEFT JOIN est USING (event_type)""".stripMargin
 
+  /** Heavy hitters over a skewed high-cardinality stream with a bounded
+    * sketch: a Misra–Gries summary (`freq_items_mg`, k counters, map-side
+    * mergeable — each task ships ≤ k counters) nominates candidate keys,
+    * then an exact count pass RESTRICTED to the broadcast candidates
+    * verifies and emits the keys holding ≥ `minShare` of all rows. The
+    * naive groupBy-count ranks every distinct key — state and shuffle
+    * proportional to key cardinality; here the unrestricted aggregation
+    * state is ≤ k counters per task and the exact pass's state is ≤ k
+    * groups, independent of cardinality. MG guarantees every key with
+    * share > 1/(k+1) survives the sketch, so with minShare = 1% and
+    * k = 256 the output is exactly the true frequent set — deterministic,
+    * oracle-checked against the naive SQL form.
+    *
+    * The stream synthesizes skew the TPC-H fixture lacks: 70% of rows on
+    * 20 hot keys, 30% a unique-per-row tail (~18k distinct at sf0.01). */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 256,
+      minShare: Double = 0.01): DataFrame = {
+    import s.implicits._
+    graft.functions.FreqItemsAgg.register(s)
+    val u = $"l_orderkey" * 10 + $"l_linenumber"
+    val rows = Tables.lineitem(s, dir)
+      .select(when(u % 100 < 70, u % 20).otherwise(u).as("skew_key"))
+    val cands = rows
+      .agg(graft.functions.FreqItemsAgg.freqItemsMg($"skew_key", k).as("c"))
+      .select(explode($"c").as("skew_key"))
+    val total = rows.agg(count(lit(1)).as("total_n"))
+    rows.join(broadcast(cands), "skew_key")
+      .groupBy($"skew_key").agg(count(lit(1)).as("n"))
+      .join(broadcast(total))
+      .filter($"n" >= lit(minShare) * $"total_n")
+      .select($"skew_key", $"n",
+        ($"n".cast("double") / $"total_n".cast("double")).as("share"))
+  }
+
+  private val heavyHittersSql =
+    """WITH r AS (
+      |  SELECT CASE WHEN (l_orderkey*10 + l_linenumber) % 100 < 70
+      |              THEN (l_orderkey*10 + l_linenumber) % 20
+      |              ELSE l_orderkey*10 + l_linenumber END AS skew_key
+      |  FROM lineitem),
+      |t AS (SELECT count(*) AS total_n FROM r),
+      |c AS (SELECT skew_key, count(*) AS n FROM r GROUP BY 1)
+      |SELECT skew_key, n, CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE) AS share
+      |FROM c, t WHERE n >= 0.01 * total_n""".stripMargin
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES),
+    * deterministic: each doc draws u from its md5 (a hash-gated uniform,
+    * invariant under splits/retries like `q_sample`'s gate) and is ranked
+    * by priority ln(u)/w — the k largest priorities are a weighted sample
+    * where selection probability is proportional to w (here token count:
+    * the long-doc-favoring draw a curation pipeline uses for importance
+    * sampling). One pass through `top_k_by`'s bounded heap — O(k) state
+    * per task, map-side combined, no global sort — vs the ORDER BY LIMIT
+    * form that ranks every row. Oracle recomputes the same priorities in
+    * SQL and takes the top k. */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    graft.functions.TopKAgg.register(s)
+    val docs = Tables.documents(s, dir).select($"doc_id",
+      size(split(trim($"text"), "\\s+")).as("n_tokens"))
+    val u = (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5d) / 4294967296.0d
+    val pri = log(u) / $"n_tokens".cast("double")
+    val top = docs
+      .agg(graft.functions.TopKAgg.topKBy(pri, $"doc_id", k).as("top"))
+      .select(explode($"top").as("p"))
+      .select($"p.id".as("doc_id"), round($"p.score", 6).as("priority"))
+    top.join(docs, "doc_id")
+      .select($"doc_id", $"n_tokens", $"priority")
+  }
+
+  private val weightedSampleSql =
+    """WITH d AS (
+      |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |         ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+      |            / 4294967296.0) / n_tokens AS pri
+      |  FROM d)
+      |SELECT doc_id, n_tokens, round(pri, 6) AS priority
+      |FROM p ORDER BY pri DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "q_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "q_sampled_estimate" -> ((s, d) => sampledEstimate(s, d)),
     "q_salted_agg" -> ((s, d) => saltedAgg(s, d)),
     "q_salted_join" -> ((s, d) => saltedJoin(s, d)),
@@ -187,6 +272,8 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" -> heavyHittersSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_sampled_estimate" -> sampledEstimateSql,
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -136,4 +136,57 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(ok)
   }
+
+  test("misra-gries: candidates cover every frequent key on zipf-ish streams") {
+    import spark.implicits._
+    functions.FreqItemsAgg.register(spark)
+    val rnd = new scala.util.Random(42)
+    // zipf-ish: frequent heads + a long unique tail, shuffled
+    val stream = rnd.shuffle(
+      (0 until 5000).map(i => (i % 97) match {
+        case m if m < 30 => (m % 7).toLong        // 7 heads, ~31% of rows
+        case _ => 1000L + i                        // unique tail
+      })).toSeq
+    for (k <- Seq(16, 64)) {
+      val cands = stream.toDF("key").repartition(8)
+        .agg(functions.FreqItemsAgg.freqItemsMg(col("key"), k))
+        .collect()(0).getSeq[Long](0)
+      assert(cands.size <= k, s"k=$k size=${cands.size}")
+      val exact = stream.groupBy(identity).view.mapValues(_.size)
+      val mustKeep = exact.collect {
+        case (key, c) if c > stream.size.toDouble / (k + 1) => key }.toSet
+      assert(mustKeep.subsetOf(cands.toSet),
+        s"k=$k lost ${mustKeep -- cands.toSet}")
+    }
+  }
+
+  test("heavy hitters equals the naive groupBy-count frequent set") {
+    import spark.implicits._
+    val got = operators.ScaleOps.heavyHitters(spark, sf)
+      .orderBy($"skew_key").collect().toSeq
+    val u = $"l_orderkey" * 10 + $"l_linenumber"
+    val rows = Tables.lineitem(spark, sf)
+      .select(when(u % 100 < 70, u % 20).otherwise(u).as("skew_key"))
+    val n = rows.count()
+    val naive = rows.groupBy($"skew_key").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 0.01 * n)
+      .select($"skew_key", $"n", ($"n".cast("double") / n).as("share"))
+      .orderBy($"skew_key").collect().toSeq
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("weighted sample equals the sort-based top-k by the same priorities") {
+    import spark.implicits._
+    val got = operators.ScaleOps.weightedSample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("priority"))).toSet
+    val docs = Tables.documents(spark, sf).select($"doc_id",
+      size(split(trim($"text"), "\\s+")).as("n_tokens"))
+    val uu = (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5d) / 4294967296.0d
+    val want = docs.select($"doc_id", (log(uu) / $"n_tokens".cast("double")).as("pri"))
+      .orderBy($"pri".desc, $"doc_id").limit(20)
+      .select($"doc_id", round($"pri", 6).as("priority"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("priority"))).toSet
+    assert(got == want && got.size == 20)
+  }
 }
