@@ -40,6 +40,15 @@ object DedupOps {
   private def hashedShingles(c: Column): Column =
     array_sort(array_distinct(transform(shingles(c), x => xxhash64(x))))
 
+  /** Sorted distinct 32-bit md5-derived hashes of the shingle set — the
+    * oracle-expressible twin of `hashedShingles` (DuckDB reproduces each
+    * element as `CAST('0x' || substr(md5(shingle),1,8) AS BIGINT)`).
+    * Collisions ~|sh|²/2³² are shared by both sides, so comparisons stay
+    * exact. */
+  private def md5Shingles(c: Column): Column =
+    array_sort(array_distinct(transform(shingles(c),
+      x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))))
+
   /** |A∩B| / (|A|+|B|-|A∩B|) over sorted hashed shingle arrays. */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = graft.functions.ArrayOps.sortedIntersectCount(a, b).cast("double")
@@ -112,13 +121,23 @@ object DedupOps {
       .filter($"jacc" > threshold)
   }
 
+  /** MinHash permutation constants: affine maps (a_p·h + b_p) mod P over
+    * the md5-derived 32-bit base hash, P prime > 2³² — a 2-universal family.
+    * a_p stays < 2²¹ so a_p·h < 2⁵³ never overflows a long (or DuckDB's
+    * BIGINT — the oracle restates these literals verbatim). */
+  private val MinhashP = 4294967311L
+  private def minhashA(p: Int): Long = 1L + 40503L * p
+  private def minhashB(p: Int): Long = 1234567L * p
+
   /** MinHash + LSH banding near-dup:
-    * shingle → 32 minhash permutations (xxhash64 with permutation index as
-    * seed column) → 16 bands × 2 rows → equi-join on (band, band_hash) →
-    * exact-Jaccard verification of candidates only. The only shuffles are the
-    * band-key join and a distinct — no all-pairs comparison anywhere.
-    * Deterministic (hash-based permutations, no RNG). Rows-only check: LSH
-    * recall is probabilistic, no SQL oracle reproduces it. */
+    * shingle → md5-derived 32-bit base hash → 32 affine permutations
+    * (`MinhashP` family above) → 16 bands × 2 rows → equi-join on the
+    * band's signature pair → exact-Jaccard verification of candidates only.
+    * The only shuffles are the band-key join and a distinct — no all-pairs
+    * comparison anywhere. Deterministic AND oracle-expressible (round 4):
+    * hashes, permutations, banding, and verification are restated exactly
+    * in DuckDB SQL, so the emitted pair set is hash-checked rather than
+    * spec-bounded — the xxhash64 family this replaces was Spark-only. */
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     import s.implicits._
     graft.functions.ArrayOps.register(s)
@@ -132,29 +151,33 @@ object DedupOps {
     // any realistic docs-per-executor; spills to disk otherwise.
     val docs = Tables.documentsSpread(s, dir)
       .filter(size(toks($"text")) >= 3)
-      .select($"doc_id", hashedShingles($"text").as("sh"))
+      .select($"doc_id", md5Shingles($"text").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Signatures via explode + 32 min-aggregates: one shuffle on doc_id,
     // fully codegen'd — no nested array HOFs, no 32 intermediate arrays/row.
-    // Shingles were hashed to longs once; permutations re-hash the long
-    // (cheap) rather than the string.
-    val minAggs = (0 until numPerm).map(p => min(xxhash64($"h", lit(p))).as(s"m$p"))
+    // Shingles were hashed to ints once; permutations are two integer ops
+    // on the hash, not a re-hash of the string.
+    val minAggs = (0 until numPerm).map(p =>
+      min(($"h" * minhashA(p) + minhashB(p)) % MinhashP).as(s"m$p"))
     val sig = docs
       .select($"doc_id", explode($"sh").as("h"))
       .groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
 
-    // Band keys straight from the 32 signature columns (2 rows/band).
+    // Band keys straight from the 32 signature columns (2 rows/band); the
+    // raw signature pair IS the join key — no derived band hash needed.
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(col(s"m${rowsPerBand * b}"), col(s"m${rowsPerBand * b + 1}")).as("bh"))
+        col(s"m${rowsPerBand * b}").as("m0"),
+        col(s"m${rowsPerBand * b + 1}").as("m1"))
     }
     val bands = sig.select($"doc_id", explode(array(bandCols: _*)).as("e"))
-      .select($"doc_id", $"e.band", $"e.bh")
+      .select($"doc_id", $"e.band", $"e.m0", $"e.m1")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
+        $"x.band" === $"y.band" && $"x.m0" === $"y.m0" &&
+          $"x.m1" === $"y.m1" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
 
@@ -269,7 +292,40 @@ object DedupOps {
         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4""".stripMargin,
-    // q_minhash_pairs / q_simhash_pairs: rows-only (probabilistic LSH recall,
-    // Spark-specific hash permutations)
+    // Exact restatement of minhashLsh: same md5-derived base hashes, same
+    // affine permutation literals, same 16×2 banding, same verification —
+    // a drift anywhere in the pipeline breaks the hash compare.
+    "q_minhash_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    [CAST(CONCAT('0x', substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8)) AS BIGINT)
+         |     for i in range(1, len(t) - 1)])) AS sh
+         |  FROM d WHERE len(t) >= 3),
+         |e AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |perm AS (SELECT unnest(range(0, 32)) AS p),
+         |sig AS (
+         |  SELECT e.doc_id, perm.p,
+         |         min(((1 + 40503 * perm.p) * e.h + 1234567 * perm.p) % 4294967311) AS m
+         |  FROM e, perm GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT s0.doc_id, s0.p // 2 AS band, s0.m AS m0, s1.m AS m1
+         |  FROM sig s0 JOIN sig s1 ON s0.doc_id = s1.doc_id AND s1.p = s0.p + 1
+         |  WHERE s0.p % 2 = 0),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+         |   AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
+         |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+         |            JOIN sh b ON cand.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, jacc FROM j WHERE jacc > 0.3""".stripMargin,
+    // q_simhash_pairs: rows-only (probabilistic LSH recall, Spark-specific
+    // hash permutations)
   )
 }
