@@ -198,32 +198,38 @@ object DedupOps {
     out
   }
 
-  /** SimHash: 64-bit signature per document from per-token xxhash64 bit
-    * votes (explode → one hash-agg on doc_id with 64 codegen'd conditional
-    * sums), then banded hamming-distance candidates (4 bands × 16 bits →
-    * equi-join) with `bit_count(xor) <= maxHamming` verification. Rows-only
-    * check (Spark-specific hashing). */
+  /** SimHash: 60-bit signature per document from per-token md5-derived bit
+    * votes (explode → one hash-agg on doc_id with 60 codegen'd conditional
+    * sums), then banded hamming-distance candidates (4 bands × 15 bits →
+    * equi-join) with `bit_count(xor) <= maxHamming` verification.
+    * Oracle-backed (round 4): DuckDB restates the identical hash, votes,
+    * banding, and verification. */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     import s.implicits._
-    val votes = (0 until 64).map { b =>
+    // 60-bit signature (15 md5 hex chars per token): stays positive in a
+    // signed 64-bit int on BOTH engines, so every shift/mask below has
+    // identical semantics in DuckDB — the property that makes this
+    // oracle-expressible where the old 64-bit xxhash64 form was Spark-only
+    val votes = (0 until 60).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
     }
-    val sigBits = (0 until 64).map { b =>
+    val sigBits = (0 until 60).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }
     val sigs = Tables.documents(s, dir)
       .select($"doc_id", explode(toks($"text")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
+      .select($"doc_id",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id", sigBits.reduce(_.bitwiseOR(_)).as("simhash"))
 
-    // per-band 16-bit slices via static shifts (shift amounts must be literals)
+    // per-band 15-bit slices via static shifts (shift amounts must be literals)
     val sliced = sigs.select($"doc_id", $"simhash",
       explode(array(
-        struct(lit(0).as("band"), $"simhash".bitwiseAND(lit(0xFFFFL)).as("bv")),
-        struct(lit(1).as("band"), shiftrightunsigned($"simhash", 16).bitwiseAND(lit(0xFFFFL)).as("bv")),
-        struct(lit(2).as("band"), shiftrightunsigned($"simhash", 32).bitwiseAND(lit(0xFFFFL)).as("bv")),
-        struct(lit(3).as("band"), shiftrightunsigned($"simhash", 48).bitwiseAND(lit(0xFFFFL)).as("bv")))).as("e"))
+        struct(lit(0).as("band"), $"simhash".bitwiseAND(lit(0x7FFFL)).as("bv")),
+        struct(lit(1).as("band"), shiftrightunsigned($"simhash", 15).bitwiseAND(lit(0x7FFFL)).as("bv")),
+        struct(lit(2).as("band"), shiftrightunsigned($"simhash", 30).bitwiseAND(lit(0x7FFFL)).as("bv")),
+        struct(lit(3).as("band"), shiftrightunsigned($"simhash", 45).bitwiseAND(lit(0x7FFFL)).as("bv")))).as("e"))
       .select($"doc_id", $"simhash", $"e.band", $"e.bv")
 
     sliced.as("x").join(sliced.as("y"),
@@ -325,7 +331,35 @@ object DedupOps {
          |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
          |            JOIN sh b ON cand.doc_b = b.doc_id)
          |SELECT doc_a, doc_b, jacc FROM j WHERE jacc > 0.3""".stripMargin,
-    // q_simhash_pairs: rows-only (probabilistic LSH recall, Spark-specific
-    // hash permutations)
+    // Exact restatement of simhashPairs; the 60 vote sums and the bit
+    // recomposition are generated by the same loops as the Spark side.
+    "q_simhash_pairs" -> {
+      val voteCols = (0 until 60).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n         ")
+      val sigExpr = (0 until 60).map(b =>
+        s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${15 * b}) & 32767 AS bv FROM s")
+        .mkString("\n         UNION ALL ")
+      s"""WITH d AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |  FROM d),
+         |v AS (
+         |  SELECT doc_id,
+         |         $voteCols
+         |  FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, $sigExpr AS simhash FROM v),
+         |sl AS (
+         |         $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |  FROM sl x JOIN sl y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8""".stripMargin
+    },
   )
 }
