@@ -530,6 +530,136 @@ object CurationOps {
       |                - greatest(start, w * 512)) AS BIGINT) AS n_tokens
       |FROM e GROUP BY 1""".stripMargin
 
+  /** Data mixing to a per-source token budget: the mixture-weighting step of
+    * corpus assembly (choose how much of each source to keep, expressed as a
+    * token budget per source, not a sampling rate). Selection is the greedy
+    * deterministic prefix: order each source's docs by md5(doc_id), take docs
+    * while the running token total BEFORE the doc is under the source's
+    * budget (so the doc crossing the boundary is included). Hash ordering
+    * makes the selected set a pure function of the rows — stable across
+    * re-shards, retries, and engines, and monotone under corpus growth in
+    * the same sense as the hash train/test split.
+    *
+    * Scale posture: the naive form is a per-source window cumsum — one
+    * partition per source, and a single giant source serializes. Instead,
+    * a two-phase prefix sum (the `packWindows` idiom): docs hash into 16
+    * buckets by their first hex char; per-(source,bucket) token totals make
+    * a tiny (sources×16) table whose cumsum runs in one bounded window;
+    * buckets that fit entirely under the budget are taken whole with NO
+    * window at all, the single boundary bucket per source gets an exact
+    * within-bucket cumsum (1/16 of a source, and the fan-out constant is
+    * tunable), and later buckets are dropped before any sort. The DuckDB
+    * oracle states the plain global-cumsum semantics. */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // budget = 300 + 25 * source index ("src7" -> 475): distinct per-source
+    // budgets keep the mixing visible in the output
+    val budget = lit(300L) + substring($"source", 4, 9).cast("long") * 25L
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        md5($"doc_id".cast("string")).as("h"),
+        size(toks($"text")).cast("long").as("tokens"))
+      .filter($"tokens" > 0)
+      .withColumn("bkt", conv(substring($"h", 1, 1), 16, 10).cast("int"))
+    // tiny table: sources × 16 rows — the only cross-bucket state
+    val bucketW = Window.partitionBy($"source").orderBy($"bkt")
+    val cum = d.groupBy($"source", $"bkt")
+      .agg(sum($"tokens").as("btok"))
+      .withColumn("cum_before", coalesce(
+        sum($"btok").over(bucketW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val joined = d.join(broadcast(cum), Seq("source", "bkt"))
+    // fully-selected buckets: every doc's running-before is < budget
+    // (tokens >= 1, so cum_before + btok <= budget bounds it strictly)
+    val full = joined.filter($"cum_before" + $"btok" <= budget)
+    // the one partial bucket per source: exact cumsum within (source, bkt)
+    val withinW = Window.partitionBy($"source", $"bkt")
+      .orderBy($"h", $"doc_id")
+    val boundary = joined
+      .filter($"cum_before" < budget && $"cum_before" + $"btok" > budget)
+      .withColumn("before",
+        $"cum_before" + sum($"tokens").over(withinW) - $"tokens")
+      .filter($"before" < budget)
+    full.select($"source", $"tokens")
+      .union(boundary.select($"source", $"tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("sum_tokens"))
+  }
+
+  private val tokenBudgetMixSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (SELECT source, tokens,
+      |             sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS before
+      |      FROM d WHERE tokens > 0)
+      |SELECT source, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+      |FROM c
+      |WHERE before < 300 + 25 * CAST(substr(source, 4) AS BIGINT)
+      |GROUP BY source""".stripMargin
+
+  /** Fractional n-gram contamination scoring — the soft generalization of
+    * `decontaminate`: instead of flagging docs sharing ANY benchmark shingle,
+    * score each doc by the FRACTION of its distinct 3-gram shingles found in
+    * the benchmark set (the GPT-3 appendix-C / Pile contamination metric;
+    * thresholds like "drop if >20% overlap" come from this number, and the
+    * decile distribution is the report a curation run actually produces).
+    * Unlike `decontaminate`'s inner join, zero-overlap docs are kept (decile
+    * 0) via a left join back to the per-doc totals. The decile is integer
+    * arithmetic — `(10 * n_shared) div n_total` — so both engines bucket
+    * identically with no float rounding at bucket edges.
+    *
+    * Scale posture: identical to `decontaminate` — benchmark shingles are
+    * genuinely small (eval suites), so broadcast; the corpus side shuffles
+    * only (doc_id, count) pairs; the persisted projection holds 64-bit
+    * hashes, never text. The left join adds one shuffle of (doc_id, n_total)
+    * pairs — 16 bytes a row regardless of document size. */
+  def contamFraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documentsSpread(s, dir)
+      .filter(size(toks($"text")) >= 3)
+      .select($"doc_id",
+        transform(shingles($"text", 3), x => xxhash64(x)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+      .select(explode($"sh").as("h")).distinct()
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val shared = corpus.select($"doc_id", explode($"sh").as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val out = corpus.select($"doc_id", size($"sh").cast("long").as("n_total"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+      .groupBy(expr("(10 * n_shared) div n_total").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_shared").as("sum_shared"),
+        sum($"n_total").as("sum_total"))
+      .localCheckpoint(true)
+    docs.unpersist(false)
+    out
+  }
+
+  private val contamFractionSql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 97 <> 0),
+      |m AS (SELECT e.doc_id, count(*) AS n_shared FROM e JOIN b USING (g) GROUP BY 1),
+      |f AS (SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_total,
+      |             CAST(COALESCE(m.n_shared, 0) AS BIGINT) AS n_shared
+      |      FROM s LEFT JOIN m USING (doc_id) WHERE s.doc_id % 97 <> 0)
+      |SELECT (10 * n_shared) // n_total AS decile, count(*) AS n_docs,
+      |       CAST(sum(n_shared) AS BIGINT) AS sum_shared,
+      |       CAST(sum(n_total) AS BIGINT) AS sum_total
+      |FROM f GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_windows" -> ((s, d) => packWindows(s, d)),
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
@@ -542,6 +672,8 @@ object CurationOps {
     "q_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "q_profile" -> ((s, d) => profile(s, d)),
     "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d)),
+    "q_token_budget_mix" -> ((s, d) => tokenBudgetMix(s, d)),
+    "q_contam_fraction" -> ((s, d) => contamFraction(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -557,5 +689,7 @@ object CurationOps {
     "q_clean_corpus" -> cleanCorpusSql(TextAnalysis.qualityRulesSql),
     "q_profile" -> profileSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_token_budget_mix" -> tokenBudgetMixSql,
+    "q_contam_fraction" -> contamFractionSql,
   )
 }

@@ -175,6 +175,63 @@ class CurationSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("token-budget mix: two-phase bucket selection equals the naive global cumsum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.CurationOps.tokenBudgetMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toMap
+    // independent naive form: per-source global window cumsum (the oracle's
+    // shape) — the two-phase bucketed selection must pick the SAME docs
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    val naive = Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        md5($"doc_id".cast("string")).as("h"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("tokens"))
+      .filter($"tokens" > 0)
+      .withColumn("before", sum($"tokens").over(w) - $"tokens")
+      .filter($"before" < lit(300L) + substring($"source", 4, 9).cast("long") * 25L)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("sum_tokens"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toMap
+    assert(got == naive)
+    // greedy-prefix invariant: each source stops at the boundary doc — the
+    // selected total either covers the whole source or first crosses budget
+    val totals = Tables.documents(spark, sf)
+      .select($"source", size(split(trim($"text"), "\\s+")).cast("long").as("t"))
+      .filter($"t" > 0).groupBy($"source").agg(sum($"t").as("tot")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tot")).toMap
+    got.foreach { case (src, (_, sumTok)) =>
+      val budget = 300L + src.drop(3).toLong * 25L
+      assert(sumTok == totals(src) || sumTok >= budget,
+        s"$src selected $sumTok of ${totals(src)} under budget $budget")
+    }
+  }
+
+  test("contamination fraction: deciles bounded, doc counts complete, zero-overlap kept") {
+    import spark.implicits._
+    val rows = operators.CurationOps.contamFraction(spark, sf).collect()
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(d >= 0 && d <= 10, s"decile $d out of range")
+      assert(r.getAs[Long]("sum_shared") <= r.getAs[Long]("sum_total"))
+    }
+    // every non-benchmark doc with >=3 tokens appears in exactly one decile
+    val expected = Tables.documents(spark, sf)
+      .filter($"doc_id" % 97 =!= 0 &&
+        size(split(trim($"text"), "\\s+")) >= 3).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == expected)
+    // the inner-join op only sees overlapping docs; this one must also keep
+    // the zero-overlap mass (decile 0 n_docs > flagged-doc count difference)
+    val flagged = operators.CurationOps.decontaminate(spark, sf).count()
+    val zeroDocs = rows.filter(_.getAs[Long]("decile") == 0)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(zeroDocs >= expected - flagged,
+      s"decile 0 ($zeroDocs) must cover the ${expected - flagged} unflagged docs")
+  }
+
   test("orc roundtrip preserves the aggregate computed on the source") {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
