@@ -550,13 +550,19 @@ object CurationOps {
     * within-bucket cumsum (1/16 of a source, and the fan-out constant is
     * tunable), and later buckets are dropped before any sort. The DuckDB
     * oracle states the plain global-cumsum semantics. */
-  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixOn(s, Tables.documents(s, dir))
+
+  /** Core of the mix on any (doc_id, source, text) frame — separated so the
+    * randomized property test can drive it over synthetic corpora (empty
+    * sources, budgets past the total, single-doc boundary buckets). */
+  def tokenBudgetMixOn(s: SparkSession, docsDf: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // budget = 300 + 25 * source index ("src7" -> 475): distinct per-source
     // budgets keep the mixing visible in the output
     val budget = lit(300L) + substring($"source", 4, 9).cast("long") * 25L
-    val d = Tables.documents(s, dir)
+    val d = docsDf
       .select($"doc_id", $"source",
         md5($"doc_id".cast("string")).as("h"),
         size(toks($"text")).cast("long").as("tokens"))

@@ -127,6 +127,36 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(m.getAs[Double]("qty") - direct.getDouble(1)) < 1e-6)
   }
 
+  test("token-budget mix two-phase selection ≡ naive cumsum on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // random corpora stress what the fixture can't: sources entirely under
+    // budget, a first doc bigger than the whole budget, empty sources,
+    // single-doc boundary buckets
+    val corpusGen = for {
+      nSrc <- Gen.chooseNum(1, 4)
+      docs <- Gen.listOf(Gen.zip(Gen.chooseNum(0, nSrc - 1), Gen.chooseNum(1, 400)))
+    } yield docs.zipWithIndex.map { case ((src, nTok), id) =>
+      (id.toLong, s"src$src", List.fill(nTok)("w").mkString(" "))
+    }
+    check(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val got = operators.CurationOps.tokenBudgetMixOn(spark, df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      val naive = df
+        .select($"doc_id", $"source", md5($"doc_id".cast("string")).as("h"),
+          size(split(trim($"text"), "\\s+")).cast("long").as("tokens"))
+        .filter($"tokens" > 0)
+        .withColumn("before", sum($"tokens").over(w) - $"tokens")
+        .filter($"before" < lit(300L) + substring($"source", 4, 9).cast("long") * 25L)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("sum_tokens"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got == naive
+    })
+  }
+
   test("weighted-mean aggregator: any partition split merges to the same result") {
     import functions.WeightedMeanAgg
     val gen = for {
