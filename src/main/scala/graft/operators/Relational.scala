@@ -379,6 +379,7 @@ object Relational {
         .agg(count(lit(1)).as("n"))),
     "q_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
     "q_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
+    "q_quarantine" -> ((s, d) => quarantineRead(s, d)),
   )
 
   /** JSON-lines export + schema-declared FAILFAST re-read — the second
@@ -394,6 +395,47 @@ object Relational {
       .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
       .option("mode", "FAILFAST").json(tmp)
   }
+
+  /** Malformed-record quarantine: the PERMISSIVE-mode complement of the
+    * FAILFAST round-trips above. A real ingest feed always contains broken
+    * lines, and failing the job (S4's posture) is only right for trusted
+    * hand-offs; for external feeds the production shape is: parse what
+    * parses, route what doesn't to a quarantine bucket, and count both —
+    * never silently drop (`DROPMALFORMED` loses the evidence).
+    *
+    * The feed is derived deterministically from `nation`: rows with
+    * `n_nationkey % 5 = 0` are written with the closing brace truncated
+    * (structurally invalid JSON), the rest as valid JSON lines. The re-read
+    * declares `_corrupt_record` in the schema; the split good-vs-quarantined
+    * is ONE pass — a single aggregate keyed on "did this row parse"
+    * (quarantined rows report under region -1) — so nothing is read or
+    * shuffled twice at scale, and the raw broken line survives in
+    * `_corrupt_record` for replay. */
+  def quarantineRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_quarantine_" +
+      java.lang.ProcessHandle.current().pid()
+    val json = to_json(struct($"n_nationkey", $"n_name", $"n_regionkey"))
+    Tables.nation(s, dir)
+      .select(when($"n_nationkey" % 5 === 0,
+          substring(json, lit(1), length(json) - 1))   // chop the '}' — invalid
+        .otherwise(json).as("value"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .groupBy(when($"_corrupt_record".isNotNull, lit(-1))
+        .otherwise($"n_regionkey".cast("int")).as("n_regionkey"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val quarantineSql =
+    """SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n_rows
+      |FROM nation WHERE n_nationkey % 5 <> 0 GROUP BY 1
+      |UNION ALL
+      |SELECT -1, count(*) FROM nation WHERE n_nationkey % 5 = 0""".stripMargin
 
   /** S2→S3: headered single-file CSV export (`coalesce(1)` — explicitly only
     * for single-file export, never in wide plans) then FAILFAST re-read with
@@ -485,5 +527,6 @@ object Relational {
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q_csv_roundtrip" -> "SELECT * FROM nation",
     "q_jsonl_roundtrip" -> "SELECT * FROM nation",
+    "q_quarantine" -> quarantineSql,
   )
 }

@@ -83,4 +83,16 @@ class QueriesSpec extends AnyFunSuite {
       .orderBy("n_nationkey").collect().toSeq
     assert(rt == orig)
   }
+
+  test("quarantine read loses nothing: good + quarantined = every feed line") {
+    val rows = operators.Relational.quarantineRead(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_regionkey") -> r.getAs[Long]("n_rows")).toMap
+    val n = Tables.nation(spark, sf).count()
+    val nBad = Tables.nation(spark, sf)
+      .filter(col("n_nationkey") % 5 === 0).count()
+    assert(rows.values.sum == n, s"rows lost: $rows vs $n feed lines")
+    assert(rows(-1) == nBad, s"expected $nBad quarantined, got ${rows.get(-1)}")
+    // malformed lines must be quarantined, never parsed as data
+    assert(rows.filter(_._1 >= 0).values.sum == n - nBad)
+  }
 }
