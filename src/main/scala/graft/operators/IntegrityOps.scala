@@ -182,8 +182,71 @@ object IntegrityOps {
       |         AS wavg_price
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Snapshot diff — the INVERSE of `cdcApply`: given two table snapshots,
+    * derive the change feed between them (what an incremental pipeline
+    * publishes when the upstream can't emit CDC itself, and the audit that
+    * proves a replicated table matches its source). Snapshot B is built
+    * deterministically from the base: keys %11 removed, keys %7 repriced
+    * +10, keys %13 inserted anew under key+30,000,000 — so the diff must
+    * recover exactly those sets.
+    *
+    * Shape: one full-outer join on the key, row-local classification, one
+    * aggregate. At 100 TB both sides shuffle once on the join key and
+    * nothing else moves; with both snapshots bucketed on the key (the
+    * `q_bucketed_join` layout) even that shuffle disappears. The money
+    * delta runs in DECIMAL and casts the final sum to DOUBLE (oracle-parity
+    * rule). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val snap = o.filter($"o_orderkey" % 11 =!= 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        when($"o_orderkey" % 7 === 0, $"o_totalprice" + 10.0)
+          .otherwise($"o_totalprice").as("o_totalprice"))
+      .unionAll(o.filter($"o_orderkey" % 13 === 0)
+        .select(($"o_orderkey" + 30000000L).as("o_orderkey"),
+          $"o_orderstatus", $"o_totalprice"))
+    val b = o.as("b")
+    val n = snap.as("n")
+    b.join(n, $"b.o_orderkey" === $"n.o_orderkey", "full_outer")
+      .select(
+        when($"b.o_orderkey".isNull, "added")
+          .when($"n.o_orderkey".isNull, "removed")
+          .when($"b.o_totalprice" =!= $"n.o_totalprice" ||
+            $"b.o_orderstatus" =!= $"n.o_orderstatus", "changed")
+          .otherwise("unchanged").as("change"),
+        (coalesce($"n.o_totalprice".cast(D2), lit(0).cast(D2)) -
+          coalesce($"b.o_totalprice".cast(D2), lit(0).cast(D2))).as("delta"))
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n_keys"),
+        sum($"delta").cast("double").as("price_delta"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH snap AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+      |            WHEN n.o_orderkey IS NULL THEN 'removed'
+      |            WHEN b.o_totalprice <> n.o_totalprice
+      |              OR b.o_orderstatus <> n.o_orderstatus THEN 'changed'
+      |            ELSE 'unchanged' END AS change,
+      |       count(*) AS n_keys,
+      |       CAST(SUM(COALESCE(CAST(n.o_totalprice AS DECIMAL(18,2)), 0)
+      |              - COALESCE(CAST(b.o_totalprice AS DECIMAL(18,2)), 0)) AS DOUBLE)
+      |         AS price_delta
+      |FROM orders b FULL OUTER JOIN snap n ON b.o_orderkey = n.o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_weighted_mean" -> ((s, d) => weightedMeanPrice(s, d)),
+    "q_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
     "q_cdc_apply" -> ((s, d) => cdcApply(s, d)),
     "q_ref_integrity" -> ((s, d) => refIntegrity(s, d)),
     "q_ab_test" -> ((s, d) => abTest(s, d)),
@@ -191,6 +254,7 @@ object IntegrityOps {
 
   val oracle: Map[String, String] = Map(
     "q_weighted_mean" -> weightedMeanSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_ref_integrity" -> refIntegritySql,
     "q_ab_test" -> abTestSql,

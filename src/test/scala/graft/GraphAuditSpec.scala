@@ -205,6 +205,24 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(snap == total - deleted)
   }
 
+  test("snapshot diff recovers exactly the constructed change sets") {
+    import spark.implicits._
+    val diff = operators.IntegrityOps.snapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("change") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Double]("price_delta"))).toMap
+    val o = Tables.orders(spark, sf)
+    val added = o.filter($"o_orderkey" % 13 === 0).count()
+    val removed = o.filter($"o_orderkey" % 11 === 0).count()
+    val changed = o.filter($"o_orderkey" % 7 === 0 && $"o_orderkey" % 11 =!= 0).count()
+    assert(diff("added")._1 == added)
+    assert(diff("removed")._1 == removed)
+    assert(diff("changed")._1 == changed)
+    assert(diff.values.map(_._1).sum == o.count() + added)
+    // repriced rows move exactly +10 each; removed rows subtract their price
+    assert(math.abs(diff("changed")._2 - 10.0 * changed) < 1e-6)
+    assert(diff("removed")._2 <= 0.0 && diff("unchanged")._2 == 0.0)
+  }
+
   test("referential integrity: the star schema fixture has zero orphans") {
     val rows = operators.IntegrityOps.refIntegrity(spark, sf).collect()
     assert(rows.length == 4)
