@@ -144,6 +144,47 @@ object ScaleOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** Small-file compaction — the OPTIMIZE / bin-packing maintenance rewrite
+    * every long-lived table needs: streaming ingests and partitioned writes
+    * leave thousands of KB-sized files whose per-file open/footer cost
+    * eventually dominates scans. A fragmented landing zone (64 splits of
+    * `orders`) is rewritten into size-targeted files; the output file count
+    * is DERIVED from the listed byte size (`ceil(bytes / targetBytes)`),
+    * never hardcoded, so the same call compacts any volume. The rewrite uses
+    * `coalesce`, not `repartition`: reducing many files to few needs no
+    * exchange — each output task concatenation-reads several input files —
+    * which at 100 TB is the difference between a metadata-bound rewrite and
+    * a full shuffle of the table. The returned aggregate reads ONLY the
+    * compacted copy; the oracle computes the same numbers from the source
+    * table, proving the rewrite lost and changed nothing. */
+  def compactFiles(s: SparkSession, dir: String,
+      targetBytes: Long = 4L << 20): DataFrame = {
+    import s.implicits._
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val frag = s"$tmp/graft_frag_$pid"
+    val compacted = s"$tmp/graft_compacted_$pid"
+    Tables.orders(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val p = new org.apache.hadoop.fs.Path(frag)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    s.read.parquet(frag).coalesce(nOut)
+      .write.mode("overwrite").parquet(compacted)
+    s.read.parquet(compacted)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(D2)).cast("double").as("sum_price"))
+  }
+
+  private val compactFilesSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Approximate query processing by deterministic hash sampling: a 1/16
     * sample keyed on `md5(event_id)` (reproducible across runs, engines,
     * and re-shards — unlike RNG sampling), scaled estimates next to exact
@@ -269,12 +310,14 @@ object ScaleOps {
     "q_partitioned_scan" -> ((s, d) => partitionedScan(s, d)),
     "q_bucketed_join" -> ((s, d) => bucketedJoin(s, d)),
     "q_latest_partition" -> ((s, d) => latestPartitionScan(s, d)),
+    "q_compact_files" -> ((s, d) => compactFiles(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "q_heavy_hitters" -> heavyHittersSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_sampled_estimate" -> sampledEstimateSql,
+    "q_compact_files" -> compactFilesSql,
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

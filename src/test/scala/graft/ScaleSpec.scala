@@ -175,6 +175,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("compaction shrinks the file count and preserves every row") {
+    import spark.implicits._
+    val agg = operators.ScaleOps.compactFiles(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n")).toMap
+    val direct = Tables.orders(spark, sf).groupBy($"o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    assert(agg == direct, "compacted copy diverged from the source")
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tmp = System.getProperty("java.io.tmpdir")
+    def nFiles(d: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    }
+    val (frag, compacted) =
+      (nFiles(s"$tmp/graft_frag_$pid"), nFiles(s"$tmp/graft_compacted_$pid"))
+    assert(frag == 64, s"fragmented fixture wrote $frag files")
+    assert(compacted < frag, s"compaction did not shrink: $compacted files")
+    // size-derived target: the tiny fixture packs into very few files
+    assert(compacted <= 4, s"expected a handful of size-targeted files, got $compacted")
+  }
+
   test("weighted sample equals the sort-based top-k by the same priorities") {
     import spark.implicits._
     val got = operators.ScaleOps.weightedSample(spark, sf).collect()
