@@ -244,9 +244,47 @@ object IntegrityOps {
       |FROM orders b FULL OUTER JOIN snap n ON b.o_orderkey = n.o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Order-independent, engine-neutral table checksum — the replication
+    * audit primitive beside `snapshotDiff`: when two copies of a table live
+    * on different engines, comparing per-group (count, xor-of-row-hashes,
+    * modular hash sum) catches any divergence without moving a row. Row hash
+    * = md5 of a canonical `|`-joined rendering (integers as decimal strings,
+    * money at DECIMAL(18,2) scale — identical text on both engines); the
+    * fold is `bit_xor` of 60-bit prefixes (order-independent, overflow-free,
+    * but blind to duplicated-pair insertions) PLUS a modular 32-bit sum
+    * (multiplicity-sensitive, and `% 1000003` keeps the ANSI-mode sum from
+    * ever overflowing: ~1e6 per row → 9e12 rows before BIGINT wraps). All
+    * map-side partial aggregation; the shuffle carries one row per group. */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val repr = concat_ws("|", $"o_orderkey".cast("string"), $"o_orderstatus",
+      $"o_totalprice".cast(D2).cast("string"))
+    Tables.orders(s, dir)
+      .select($"o_orderstatus",
+        conv(substring(md5(repr), 1, 15), 16, 10).cast("long").as("h60"),
+        (conv(substring(md5(repr), 1, 8), 16, 10).cast("long") % 1000003L).as("h32m"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h60)").as("xor60"),
+        sum($"h32m").as("sum32m"))
+  }
+
+  private val tableChecksumSql =
+    """WITH h AS (
+      |  SELECT o_orderstatus,
+      |         md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+      |                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))) AS m
+      |  FROM orders)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |       bit_xor(CAST(CONCAT('0x', substr(m, 1, 15)) AS BIGINT)) AS xor60,
+      |       CAST(sum(CAST(CONCAT('0x', substr(m, 1, 8)) AS BIGINT) % 1000003)
+      |            AS BIGINT) AS sum32m
+      |FROM h GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_weighted_mean" -> ((s, d) => weightedMeanPrice(s, d)),
     "q_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
+    "q_table_checksum" -> ((s, d) => tableChecksum(s, d)),
     "q_cdc_apply" -> ((s, d) => cdcApply(s, d)),
     "q_ref_integrity" -> ((s, d) => refIntegrity(s, d)),
     "q_ab_test" -> ((s, d) => abTest(s, d)),
@@ -255,6 +293,7 @@ object IntegrityOps {
   val oracle: Map[String, String] = Map(
     "q_weighted_mean" -> weightedMeanSql,
     "q_snapshot_diff" -> snapshotDiffSql,
+    "q_table_checksum" -> tableChecksumSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_ref_integrity" -> refIntegritySql,
     "q_ab_test" -> abTestSql,

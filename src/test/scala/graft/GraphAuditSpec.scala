@@ -223,6 +223,36 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(diff("removed")._2 <= 0.0 && diff("unchanged")._2 == 0.0)
   }
 
+  test("table checksum: re-shard-stable, and a one-row change flips it") {
+    import spark.implicits._
+    val base = operators.IntegrityOps.tableChecksum(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor60"), r.getAs[Long]("sum32m"))).toMap
+    // identical math over a differently-sharded copy of the same rows
+    val dir2 = s"${System.getProperty("java.io.tmpdir")}/graft_cksum_reshard_" +
+      java.lang.ProcessHandle.current().pid()
+    Tables.orders(spark, sf).repartition(13).write.mode("overwrite")
+      .parquet(s"$dir2/orders.parquet")
+    val reshard = operators.IntegrityOps.tableChecksum(spark, dir2).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor60"), r.getAs[Long]("sum32m"))).toMap
+    assert(reshard == base, "checksum depends on physical row order")
+    // flip one row's price by a cent: that group's xor and sum must move
+    val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_cksum_flip_" +
+      java.lang.ProcessHandle.current().pid()
+    val minKey = Tables.orders(spark, sf).agg(min($"o_orderkey")).head().getLong(0)
+    Tables.orders(spark, sf)
+      .withColumn("o_totalprice", when($"o_orderkey" === minKey,
+        $"o_totalprice" + 0.01).otherwise($"o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir3/orders.parquet")
+    val flipped = operators.IntegrityOps.tableChecksum(spark, dir3).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor60"), r.getAs[Long]("sum32m"))).toMap
+    assert(flipped != base, "a one-row change went undetected")
+    assert(flipped.count { case (k, v) => base(k) != v } == 1,
+      "exactly one group should diverge")
+  }
+
   test("referential integrity: the star schema fixture has zero orphans") {
     val rows = operators.IntegrityOps.refIntegrity(spark, sf).collect()
     assert(rows.length == 4)
