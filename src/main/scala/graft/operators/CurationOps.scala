@@ -666,6 +666,53 @@ object CurationOps {
       |       CAST(sum(n_total) AS BIGINT) AS sum_total
       |FROM f GROUP BY 1""".stripMargin
 
+  /** Vocabulary build + out-of-vocabulary rate: fit a top-N token vocabulary
+    * on the train split (the hash split of `trainTestSplit`), then measure
+    * what fraction of TEST tokens falls outside it, per language — the
+    * tokenizer-coverage number that decides whether a vocab ships. Ties at
+    * the vocab boundary break deterministically on (count desc, token asc),
+    * so both engines fit the identical vocabulary.
+    *
+    * Scale posture: the vocab fit is one token-count aggregate + a bounded
+    * top-N (`TakeOrderedAndProject` — O(N) per partition, no global sort);
+    * the N-row vocabulary broadcasts to the test-side scan, so the OOV
+    * probe is map-side and the only shuffle after the counts is the
+    * per-language aggregate. */
+  def vocabOov(s: SparkSession, dir: String, vocabSize: Int = 500): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documentsSpread(s, dir)
+      .select($"lang",
+        when(substring(md5($"doc_id".cast("string")), 1, 2) < "cd", "train")
+          .otherwise("test").as("split"),
+        explode(toks($"text")).as("tok"))
+    val vocab = docs.filter($"split" === "train")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(vocabSize)
+      .select($"tok", lit(1).as("in_v"))
+    docs.filter($"split" === "test")
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when($"in_v".isNull, 1)).as("n_oov"))
+      .select($"lang", $"n_tokens", $"n_oov",
+        round($"n_oov".cast("double") / $"n_tokens".cast("double"), 6).as("oov_rate"))
+  }
+
+  private val vocabOovSql =
+    """WITH t AS (
+      |  SELECT lang,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+      |              THEN 'train' ELSE 'test' END AS split,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |v AS (SELECT tok FROM t WHERE split = 'train' GROUP BY tok
+      |      ORDER BY count(*) DESC, tok LIMIT 500)
+      |SELECT lang, count(*) AS n_tokens,
+      |       count(*) FILTER (tok NOT IN (SELECT tok FROM v)) AS n_oov,
+      |       round(count(*) FILTER (tok NOT IN (SELECT tok FROM v))
+      |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+      |FROM t WHERE split = 'test' GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_windows" -> ((s, d) => packWindows(s, d)),
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
@@ -680,6 +727,7 @@ object CurationOps {
     "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d)),
     "q_token_budget_mix" -> ((s, d) => tokenBudgetMix(s, d)),
     "q_contam_fraction" -> ((s, d) => contamFraction(s, d)),
+    "q_vocab_oov" -> ((s, d) => vocabOov(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -697,5 +745,6 @@ object CurationOps {
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_token_budget_mix" -> tokenBudgetMixSql,
     "q_contam_fraction" -> contamFractionSql,
+    "q_vocab_oov" -> vocabOovSql,
   )
 }

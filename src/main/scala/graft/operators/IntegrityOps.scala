@@ -281,10 +281,66 @@ object IntegrityOps {
       |            AS BIGINT) AS sum32m
       |FROM h GROUP BY 1""".stripMargin
 
+  /** Right-to-erasure cascade: given a subject set (customers with
+    * `c_custkey % 101 = 0` — in production, the erasure-request batch),
+    * propagate the delete down the FK chain customer → orders → lineitem
+    * and report per-table deleted/surviving counts — the audit artifact a
+    * compliance run must produce BEFORE rewriting anything.
+    *
+    * Scale posture: the subject set is small relative to the tables
+    * (requests arrive in batches), so each hop is a semi-join against a
+    * broadcastable and shrinking key set; the lineitem hop joins on
+    * `l_orderkey` against the DELETED orders' keys only — the cascade moves
+    * keys, never rows. Counts come from one conditional aggregate per table
+    * (no second scan for survivors). */
+  def cascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val subjects = Tables.customer(s, dir)
+      .filter($"c_custkey" % 101 === 0).select($"c_custkey")
+    val custAgg = Tables.customer(s, dir)
+      .join(broadcast(subjects), Seq("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_deleted"))
+    val delOrders = Tables.orders(s, dir)
+      .join(broadcast(subjects), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey")
+    val orderAgg = delOrders.agg(count(lit(1)).as("n_deleted"))
+    val liAgg = Tables.lineitem(s, dir)
+      .join(broadcast(delOrders), $"l_orderkey" === $"o_orderkey", "left_semi")
+      .agg(count(lit(1)).as("n_deleted"))
+    val totals = Seq(
+      "customer" -> Tables.customer(s, dir),
+      "orders" -> Tables.orders(s, dir),
+      "lineitem" -> Tables.lineitem(s, dir))
+    totals.zip(Seq(custAgg, orderAgg, liAgg)).map { case ((name, full), del) =>
+      full.agg(count(lit(1)).as("n_total")).crossJoin(del)
+        .select(lit(name).as("table_name"), $"n_deleted",
+          ($"n_total" - $"n_deleted").as("n_surviving"))
+    }.reduce(_.unionAll(_))
+  }
+
+  private val cascadeDeleteSql =
+    """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0),
+      |del_o AS (SELECT o_orderkey FROM orders
+      |          WHERE EXISTS (SELECT 1 FROM subj WHERE c_custkey = o_custkey))
+      |SELECT 'customer' AS table_name,
+      |       (SELECT count(*) FROM subj) AS n_deleted,
+      |       (SELECT count(*) FROM customer) - (SELECT count(*) FROM subj) AS n_surviving
+      |UNION ALL
+      |SELECT 'orders', (SELECT count(*) FROM del_o),
+      |       (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_o)
+      |UNION ALL
+      |SELECT 'lineitem',
+      |       (SELECT count(*) FROM lineitem
+      |        WHERE EXISTS (SELECT 1 FROM del_o WHERE o_orderkey = l_orderkey)),
+      |       (SELECT count(*) FROM lineitem) -
+      |       (SELECT count(*) FROM lineitem
+      |        WHERE EXISTS (SELECT 1 FROM del_o WHERE o_orderkey = l_orderkey))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_weighted_mean" -> ((s, d) => weightedMeanPrice(s, d)),
     "q_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
     "q_table_checksum" -> ((s, d) => tableChecksum(s, d)),
+    "q_cascade_delete" -> ((s, d) => cascadeDelete(s, d)),
     "q_cdc_apply" -> ((s, d) => cdcApply(s, d)),
     "q_ref_integrity" -> ((s, d) => refIntegrity(s, d)),
     "q_ab_test" -> ((s, d) => abTest(s, d)),
@@ -294,6 +350,7 @@ object IntegrityOps {
     "q_weighted_mean" -> weightedMeanSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_table_checksum" -> tableChecksumSql,
+    "q_cascade_delete" -> cascadeDeleteSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_ref_integrity" -> refIntegritySql,
     "q_ab_test" -> abTestSql,

@@ -232,6 +232,41 @@ class CurationSpec extends AnyFunSuite {
       s"decile 0 ($zeroDocs) must cover the ${expected - flagged} unflagged docs")
   }
 
+  test("vocab/oov: rates in [0,1], oov tokens really absent from the fitted vocab") {
+    import spark.implicits._
+    val rows = operators.CurationOps.vocabOov(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Double]("oov_rate"))
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) < 1e-6)
+    }
+    // test-side token mass must cover the whole test split
+    val expected = Tables.documents(spark, sf)
+      .filter(substring(md5($"doc_id".cast("string")), 1, 2) >= "cd")
+      .select(explode(split(trim($"text"), "\\s+"))).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == expected)
+  }
+
+  test("cascade delete: FK math consistent, subjects' data fully covered") {
+    import spark.implicits._
+    val rows = operators.IntegrityOps.cascadeDelete(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_deleted"), r.getAs[Long]("n_surviving"))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    assert(rows("customer")._1 ==
+      Tables.customer(spark, sf).filter($"c_custkey" % 101 === 0).count())
+    // totals reconcile per table
+    assert(rows("orders")._1 + rows("orders")._2 == Tables.orders(spark, sf).count())
+    assert(rows("lineitem")._1 + rows("lineitem")._2 == Tables.lineitem(spark, sf).count())
+    // no surviving order may belong to an erased customer
+    val leak = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).filter($"c_custkey" % 101 === 0),
+        $"o_custkey" === $"c_custkey", "left_semi").count()
+    assert(leak == rows("orders")._1, "cascade missed orders of erased subjects")
+  }
+
   test("orc roundtrip preserves the aggregate computed on the source") {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
