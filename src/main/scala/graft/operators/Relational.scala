@@ -411,7 +411,9 @@ object Relational {
     * (quarantined rows report under region -1) — so nothing is read or
     * shuffled twice at scale, and the raw broken line survives in
     * `_corrupt_record` for replay. */
-  def quarantineRead(s: SparkSession, dir: String): DataFrame = {
+  /** Writes the deterministic partly-broken JSONL feed (shared by the batch
+    * and streaming quarantine queries) and returns its path. */
+  private[graft] def writeQuarantineFeed(s: SparkSession, dir: String): String = {
     import s.implicits._
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_quarantine_" +
       java.lang.ProcessHandle.current().pid()
@@ -421,8 +423,17 @@ object Relational {
           substring(json, lit(1), length(json) - 1))   // chop the '}' — invalid
         .otherwise(json).as("value"))
       .coalesce(1).write.mode("overwrite").text(tmp)
+    tmp
+  }
+
+  private[graft] val quarantineSchema =
+    "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+
+  def quarantineRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = writeQuarantineFeed(s, dir)
     s.read
-      .schema("n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING")
+      .schema(quarantineSchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(tmp)

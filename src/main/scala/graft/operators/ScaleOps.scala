@@ -144,6 +144,46 @@ object ScaleOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** Partition-scoped backfill via DYNAMIC partition overwrite — the
+    * incremental-reprocessing pattern: a bug is found in one month's load,
+    * so the pipeline recomputes THAT partition and overwrites it in place.
+    * `partitionOverwriteMode=dynamic` makes `mode("overwrite")` replace only
+    * the partitions present in the written data (here `yr=1997`, repriced
+    * +5.00) and leave every other year's files untouched — under the
+    * default static mode the same write would WIPE the whole table, the
+    * classic backfill footgun. At 100 TB this is the difference between
+    * rewriting one partition and rewriting the table. The registered
+    * aggregate re-reads the whole partitioned table afterwards, so the
+    * oracle checks both the repriced partition AND that the others
+    * survived unchanged. */
+  def backfillPartition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_backfill_" +
+      java.lang.ProcessHandle.current().pid()
+    val all = Tables.orders(s, dir).withColumn("yr", year($"o_orderdate"))
+    all.write.mode("overwrite").partitionBy("yr").parquet(path)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      all.filter($"yr" === 1997)
+        .withColumn("o_totalprice", $"o_totalprice" + 5.0)
+        .write.mode("overwrite").partitionBy("yr").parquet(path)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode",
+      prev.getOrElse("static"))
+    s.read.parquet(path)
+      .groupBy($"yr".cast("int").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(D2)).cast("double").as("sum_price"))
+  }
+
+  private val backfillPartitionSql =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice +
+      |                     CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997
+      |                          THEN 5.0 ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Small-file compaction — the OPTIMIZE / bin-packing maintenance rewrite
     * every long-lived table needs: streaming ingests and partitioned writes
     * leave thousands of KB-sized files whose per-file open/footer cost
@@ -311,6 +351,7 @@ object ScaleOps {
     "q_bucketed_join" -> ((s, d) => bucketedJoin(s, d)),
     "q_latest_partition" -> ((s, d) => latestPartitionScan(s, d)),
     "q_compact_files" -> ((s, d) => compactFiles(s, d)),
+    "q_backfill_partition" -> ((s, d) => backfillPartition(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,6 +359,7 @@ object ScaleOps {
     "q_weighted_sample" -> weightedSampleSql,
     "q_sampled_estimate" -> sampledEstimateSql,
     "q_compact_files" -> compactFilesSql,
+    "q_backfill_partition" -> backfillPartitionSql,
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -277,8 +277,32 @@ object StreamingOps {
         sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
 
+  /** Streaming malformed-record quarantine — the stream twin of
+    * `Relational.quarantineRead`, same oracle: an external feed arrives as a
+    * file stream with broken lines mixed in, and each micro-batch routes
+    * parse failures to the quarantine bucket (region -1) instead of killing
+    * the query (FAILFAST would fail the STREAM, taking every later batch
+    * with it — much worse than one bad batch in a batch job). The
+    * classification is row-local; only the per-bucket counts are stateful
+    * (complete-mode agg over ≤ regions+1 keys). */
+  def streamQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = graft.operators.Relational.writeQuarantineFeed(s, dir)
+    val agg = s.readStream
+      .schema(graft.operators.Relational.quarantineSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", "1")
+      .json(feed)
+      .groupBy(when($"_corrupt_record".isNotNull, lit(-1))
+        .otherwise($"n_regionkey".cast("int")).as("n_regionkey"))
+      .agg(count(lit(1)).as("n_rows"))
+    runToParquet(s, agg, "graft_quarantine")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
+    "q_stream_quarantine" -> ((s, d) => streamQuarantine(s, d)),
     "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
     "q_stream_sliding" -> ((s, d) => slidingWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamingDedupCount(s, d)),
@@ -288,6 +312,12 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // stream must not change the answer: same oracle as the batch quarantine
+    "q_stream_quarantine" ->
+      """SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n_rows
+        |FROM nation WHERE n_nationkey % 5 <> 0 GROUP BY 1
+        |UNION ALL
+        |SELECT -1, count(*) FROM nation WHERE n_nationkey % 5 = 0""".stripMargin,
     // double replay must be a no-op: the target equals one clean pass
     "q_stream_merge" ->
       """SELECT event_type, count(*) AS n,

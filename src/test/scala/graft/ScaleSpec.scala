@@ -197,6 +197,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(compacted <= 4, s"expected a handful of size-targeted files, got $compacted")
   }
 
+  test("dynamic backfill rewrites only the 1997 partition") {
+    import spark.implicits._
+    val got = operators.ScaleOps.backfillPartition(spark, sf).collect()
+      .map(r => r.getAs[Int]("yr") -> (r.getAs[Long]("n"), r.getAs[Double]("sum_price"))).toMap
+    val direct = Tables.orders(spark, sf)
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("s"))
+      .collect().map(r => r.getAs[Int]("yr") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
+    got.foreach { case (yr, (n, sum)) =>
+      val (dn, dsum) = direct(yr)
+      assert(n == dn, s"yr=$yr row count changed")
+      if (yr == 1997)
+        assert(math.abs(sum - (dsum + 5.0 * dn)) < 1e-6, "1997 not repriced")
+      else assert(math.abs(sum - dsum) < 1e-6, s"yr=$yr touched by the backfill")
+    }
+    assert(got.keySet == direct.keySet, "backfill added/removed partitions")
+  }
+
   test("weighted sample equals the sort-based top-k by the same priorities") {
     import spark.implicits._
     val got = operators.ScaleOps.weightedSample(spark, sf).collect()

@@ -45,6 +45,15 @@ class StreamingMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quarantine equals the batch quarantine row-for-row") {
+    val batch = operators.Relational.quarantineRead(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_regionkey") -> r.getAs[Long]("n_rows")).toMap
+    val stream = streaming.StreamingOps.streamQuarantine(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_regionkey") -> r.getAs[Long]("n_rows")).toMap
+    assert(stream == batch)
+    assert(stream(-1) > 0, "no rows were quarantined")
+  }
+
   test("streaming dedup count equals distinct event count") {
     val n = streaming.StreamingOps.streamingDedupCount(spark, sf)
       .collect()(0).getLong(0)
