@@ -404,10 +404,19 @@ object OlapExtras {
     // landed within 5% of it; the oracle recomputes the exact count and
     // expects TRUE. HLL is hash-deterministic, so the flag is stable across
     // runs/partitionings and a drifting sketch breaks the hash compare.
+    // Dedupe-first shape: mixing countDistinct with a non-distinct aggregate
+    // makes Catalyst plan an Expand that doubles every input row before the
+    // shuffle. Grouping by (flag, orderkey) first lets the partial aggregate
+    // collapse duplicates map-side, then both the exact count and the HLL run
+    // over already-distinct keys — the HLL estimate is bit-identical either
+    // way (registers are max(rho(hash(v))), duplicate-insensitive), and the
+    // shuffle carries distinct pairs instead of 2× the table.
     "q_approx_distinct" -> ((s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d).groupBy($"l_returnflag")
-        .agg(countDistinct($"l_orderkey").as("exact_orders"),
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_orderkey").distinct()
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("exact_orders"),
           approx_count_distinct($"l_orderkey", 0.02).as("__approx"))
         .select($"l_returnflag", $"exact_orders",
           (abs($"__approx" - $"exact_orders").cast("double") /

@@ -127,12 +127,20 @@ object ScaleOps {
     import s.implicits._
     val pid = java.lang.ProcessHandle.current().pid()
     val (lt, ot) = (s"graft_li_bkt_$pid", s"graft_ord_bkt_$pid")
+    // Repartition on the bucket key before the bucketed write: bucketBy
+    // hashes with the same Murmur3 family as repartition-by-expression, so
+    // each write task then holds exactly one bucket and emits ONE file per
+    // bucket. Without it every input task writes (and sorts) a sliver of all
+    // 8 buckets — tasks × buckets small files, the classic bucketed-write
+    // small-files problem that at 100 TB also floods the namenode.
     Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .repartition(8, $"l_orderkey")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
     Tables.orders(s, dir)
       .select($"o_orderkey", $"o_orderpriority")
+      .repartition(8, $"o_orderkey")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
     val one = lit(1).cast(D2)
