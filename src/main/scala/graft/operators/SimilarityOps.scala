@@ -464,6 +464,32 @@ object SimilarityOps {
       .agg(round(avg($"col"), 6).as("avg_val"))
   }
 
+  /** Symmetric per-vector int8 quantization of the embedding column — the
+    * 4× storage/bandwidth compression a billion-vector ANN index rides on
+    * (scalar quantization; the storage tier below the PQ codes of
+    * `knnPq`). scale = max|x|/127 per vector; code_i = ⌊x_i·127/max|x| +
+    * 0.5⌋ ∈ [-127,127]. Embarrassingly parallel single map pass, no
+    * shuffle below the explode. Emitted in LONG form (vec_id, pos, qval,
+    * scale): the codes are exact integers — float-rounding-proof under
+    * the driver's cross-engine hash compare — and `floor(x+0.5)` is used
+    * instead of `round` because round-half-even vs half-away differs
+    * between engines while floor is identical IEEE arithmetic in both.
+    * Dequantization is qval·scale, verified within scale/2 by spec. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.embeddings(s, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform($"v", x => abs(x))))
+      .select($"vec_id", $"mx", posexplode($"v"))
+      .select(
+        $"vec_id",
+        $"pos".cast("int").as("pos"),
+        when($"mx" > 0, floor($"col" * 127.0 / $"mx" + 0.5))
+          .otherwise(lit(0.0)).cast("int").as("qval"),
+        round($"mx" / 127.0, 6).as("scale"))
+  }
+
   /** Prefix-filtered sparse-cosine self-join over bigram count vectors —
     * the AllPairs/PPJoin shape (Bayardo et al., WWW'07): candidate pairs
     * come from an inverted-index equi-join restricted to each document's
@@ -558,6 +584,7 @@ object SimilarityOps {
     "q_knn_pq" -> ((s, d) => knnPq(s, d)),
     "q_knn_ivfpq" -> ((s, d) => knnIvfPq(s, d)),
     "q_embed_centroids" -> ((s, d) => embedCentroids(s, d)),
+    "q_embed_quantize" -> ((s, d) => embedQuantize(s, d)),
   )
 
   private val knnOracleSql =
@@ -589,6 +616,18 @@ object SimilarityOps {
         |       round(avg(embedding[i]), 6) AS avg_val
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |             list_max(list_transform(v, x -> abs(x))) AS mx
+        |      FROM e)
+        |SELECT vec_id, CAST(i AS INTEGER) AS pos,
+        |       CAST(CASE WHEN mx > 0
+        |                 THEN floor(v[i + 1] * 127.0 / mx + 0.5)
+        |                 ELSE 0 END AS INTEGER) AS qval,
+        |       round(mx / 127.0, 6) AS scale
+        |FROM m, range(0, 64) t(i)""".stripMargin,
     // q_knn_lsh: rows-only (probabilistic bucketing)
   )
 }
