@@ -33,6 +33,7 @@ object SparkEntry {
       operators.CurationOps.queries ++
       operators.RangeOps.queries ++
       operators.AnalyticsOps.queries ++
+      operators.TokenizerOps.queries ++
       operators.GraphOps.queries ++
       operators.AuditOps.queries ++
       operators.IntegrityOps.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       operators.CurationOps.oracle ++
       operators.RangeOps.oracle ++
       operators.AnalyticsOps.oracle ++
+      operators.TokenizerOps.oracle ++
       operators.GraphOps.oracle ++
       operators.AuditOps.oracle ++
       operators.IntegrityOps.oracle ++

@@ -276,6 +276,59 @@ object AnalyticsOps {
       |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
       |GROUP BY d.day""".stripMargin
 
+  /** Merge-overlapping-intervals (gaps-and-islands) coverage: each event
+    * opens a fixed 15-minute activity interval; overlapping intervals per
+    * user are merged and the survivors summarized as island count + covered
+    * seconds. The island id is the classic running count of "starts after
+    * every previous interval ended" — one window shuffle on user_id, all
+    * arithmetic in integer epoch seconds (no float drift between engines).
+    * Same shape DVR/billing/uptime pipelines use to merge span logs; per-key
+    * windows scale because user_id partitions the shuffle evenly. */
+  def intervalCoverage(s: SparkSession, dir: String,
+      spanSeconds: Long = 900L): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    val iv = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("st"))
+      .withColumn("en", $"st" + spanSeconds)
+      .withColumn("prev_end",
+        max($"en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"prev_end".isNull || $"st" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    iv.groupBy($"user_id", $"island")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"ien" - $"ist").as("covered_s"))
+  }
+
+  private val intervalCoverageSql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS st,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 900 AS en
+      |  FROM events),
+      |mk AS (
+      |  SELECT user_id, event_id, st, en,
+      |         max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS prev_end
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, st, en,
+      |         sum(CASE WHEN prev_end IS NULL OR st > prev_end THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY st, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM mk),
+      |m AS (
+      |  SELECT user_id, island, min(st) AS ist, max(en) AS ien
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |       sum(ien - ist) AS covered_s
+      |FROM m GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "q_mode_user" -> ((s, d) => modePerUser(s, d)),
@@ -284,6 +337,7 @@ object AnalyticsOps {
     "q_token_entropy" -> ((s, d) => tokenEntropy(s, d)),
     "q_markov" -> ((s, d) => markovTransitions(s, d)),
     "q_rolling_distinct" -> ((s, d) => rollingDistinctUsers(s, d)),
+    "q_interval_coverage" -> ((s, d) => intervalCoverage(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -294,5 +348,6 @@ object AnalyticsOps {
     "q_token_entropy" -> tokenEntropySql,
     "q_markov" -> markovTransitionsSql,
     "q_rolling_distinct" -> rollingDistinctSql,
+    "q_interval_coverage" -> intervalCoverageSql,
   )
 }

@@ -114,15 +114,56 @@ object AuditOps {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Benford's-law first-digit audit over order totals — the classic
+    * fabricated-data screen: naturally-grown monetary amounts follow
+    * P(d) = log10(1 + 1/d); synthetic or tampered columns usually don't.
+    * One hash aggregate over 9 groups plus a broadcast singleton total.
+    * The leading digit is taken from the decimal rendering of the integer
+    * part — exact in both engines, where float `log10` near powers of ten
+    * is not (log10(1000) can land at 2.9999999999999996 and shift the
+    * digit). Shares are rounded to 6 dp before compare — doubles agree to
+    * ~1e-16, the grain is 1e-6. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.orders(s, dir)
+      .filter($"o_totalprice" >= 1)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = d.agg(sum($"n").as("tot"))
+    d.crossJoin(broadcast(total))
+      .select($"digit", $"n",
+        round($"n".cast("double") / $"tot".cast("double"), 6).as("observed_p"),
+        round(log10(lit(1.0) + lit(1.0) / $"digit".cast("double")), 6)
+          .as("benford_p"))
+      .withColumn("dev", round($"observed_p" - $"benford_p", 6))
+  }
+
+  private val benfordSql =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+      |                     1, 1) AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT sum(n) AS tot FROM c)
+      |SELECT digit, n,
+      |       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed_p,
+      |       round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+      |       round(round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+      |             - round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
+      |FROM c, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "q_iqr_outliers" -> ((s, d) => iqrOutliers(s, d)),
     "q_zorder" -> ((s, d) => zorderLayout(s, d)),
+    "q_benford" -> ((s, d) => benfordAudit(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "q_k_anonymity" -> kAnonymitySql,
     "q_iqr_outliers" -> iqrOutliersSql,
     "q_zorder" -> zorderSql,
+    "q_benford" -> benfordSql,
   )
 }

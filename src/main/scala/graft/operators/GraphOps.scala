@@ -192,11 +192,84 @@ object GraphOps {
     s.sql(lateralTopSql)
   }
 
+  /** Triangle count on the undirected strong-trade graph via degree-ordered
+    * edge orientation — the standard trick that makes distributed triangle
+    * counting feasible: orient every undirected edge from its lower-rank
+    * endpoint to its higher-rank endpoint, where rank = (degree, node).
+    * Each triangle then has exactly one node with two out-edges, so wedges
+    * (two out-edges of one node) joined against the oriented edge set count
+    * each triangle exactly once AND the wedge fan-out per node is bounded by
+    * the out-degree, which orientation caps at O(√m) for any degree
+    * distribution — on a power-law graph at 100 TB this is the difference
+    * between a feasible join and a hub node generating deg² wedge rows.
+    * The oracle counts the same triangles orientation-free with a canonical
+    * u<v<w triple join, so an orientation bug cannot self-confirm. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weighted = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"src" =!= $"dst")
+    // relative edge threshold (≥ 1.2× mean weight): scale-invariant sparsity
+    // — an absolute cut that prunes at one SF keeps everything at 10×
+    val cut = weighted.agg((avg($"w") * 1.2).as("cut"))
+    val und = weighted.crossJoin(broadcast(cut))
+      .filter($"w" >= $"cut")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+    val deg = und.select($"u".as("node"))
+      .unionAll(und.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // orient u—v from lower (deg, node) to higher; rank travels with the edge
+    val oriented = und
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+      .select(
+        struct($"du".as("d"), $"u".cast("long").as("n")).as("ru"),
+        struct($"dv".as("d"), $"v".cast("long").as("n")).as("rv"))
+      .select(
+        when($"ru" < $"rv", $"ru".getField("n")).otherwise($"rv".getField("n")).as("a"),
+        when($"ru" < $"rv", $"rv").otherwise($"ru").as("rb"))
+      .select($"a", $"rb", $"rb".getField("n").as("b"))
+    val e1 = oriented.select($"a", $"b".as("b1"), $"rb".as("r1"))
+    val e2 = oriented.select($"a", $"b".as("b2"), $"rb".as("r2"))
+    val wedges = e1.join(e2, Seq("a")).filter($"r1" < $"r2")
+    val closed = wedges.join(
+      oriented.select($"a".as("b1"), $"b".as("b2")), Seq("b1", "b2"))
+    und.agg(count(lit(1)).as("n_edges")).crossJoin(
+      closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  private val triangleSql =
+    """WITH e AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2
+      |  HAVING c.c_nationkey <> s.s_nationkey),
+      |und AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM e WHERE w >= 1.2 * (SELECT avg(w) FROM e))
+      |SELECT (SELECT count(*) FROM und) AS n_edges,
+      |       (SELECT count(*)
+      |        FROM und e1
+      |        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+      |        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_attribution" -> ((s, d) => lastTouchAttribution(s, d)),
     "q_recursive_reach" -> ((s, d) => reachability(s, d)),
     "q_lateral_topn" -> ((s, d) => lateralTop(s, d)),
+    "q_triangles" -> ((s, d) => triangleCount(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -204,5 +277,6 @@ object GraphOps {
     "q_attribution" -> lastTouchSql,
     "q_recursive_reach" -> reachabilitySql,
     "q_lateral_topn" -> lateralTopSql,
+    "q_triangles" -> triangleSql,
   )
 }

@@ -349,7 +349,50 @@ object ScaleOps {
       |SELECT doc_id, n_tokens, round(pri, 6) AS priority
       |FROM p ORDER BY pri DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Count-min-sketch frequency estimates checked against exact counts:
+    * builds one depth×width CMS over every corpus token (map-side partial
+    * sketches added cell-wise — the shuffle carries a fixed 64 KiB per
+    * partition no matter how many tokens), then probes it for the 20 most
+    * frequent words and verifies the two-sided CMS contract per word:
+    * estimate ≥ exact (structural), estimate ≤ exact + 8·N/width (Markov
+    * bound per row, min over `depth` independent rows — deterministic on a
+    * fixed fixture). At 100 TB this is how you answer point-frequency
+    * queries without materializing a billion-row group-by: the sketch is
+    * KB-sized, mergeable across days/shards, and never touches the driver
+    * until the final singleton. Oracle recomputes the exact top-20 and
+    * asserts both flags TRUE — a sketch bug (wrong hash family on either
+    * side, lost partials in merge) flips a flag and hash-mismatches. */
+  def cmsFreq(s: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 2048): DataFrame = {
+    import s.implicits._
+    graft.functions.CmsOps.register(s)
+    val words = Tables.documentsSpread(s, dir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("word"))
+    val keyed = words.select($"word", xxhash64($"word").as("k"))
+    val sketch = keyed.agg(
+      graft.functions.CmsOps.cmsBuild($"k", depth, width).as("sk"),
+      count(lit(1)).as("total_n"))
+    val top = keyed.groupBy($"word").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"word").limit(20)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est",
+        graft.functions.CmsOps.cmsQuery($"sk", xxhash64($"word")))
+      .select($"word", $"exact_n",
+        ($"est" >= $"exact_n").as("cms_ge_exact"),
+        ($"est" <= $"exact_n" + lit(8L) * $"total_n" / lit(width.toLong))
+          .as("cms_bounded"))
+  }
+
+  private val cmsFreqSql =
+    """WITH w AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |  FROM documents),
+      |c AS (SELECT word, count(*) AS exact_n FROM w GROUP BY 1)
+      |SELECT word, exact_n, TRUE AS cms_ge_exact, TRUE AS cms_bounded
+      |FROM c ORDER BY exact_n DESC, word LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "q_sampled_estimate" -> ((s, d) => sampledEstimate(s, d)),
@@ -363,6 +406,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cms_freq" -> cmsFreqSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_sampled_estimate" -> sampledEstimateSql,

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE-style tokenizer training statistics — the corpus-scale
+  * half of byte-pair-encoding: counting symbol-pair frequencies and applying
+  * greedy merges. On a 100 TB corpus this IS the expensive part of training
+  * a tokenizer (the vocabulary loop is tiny; the pair counting is a full
+  * corpus scan per merge), so it is expressed as hash aggregates over the
+  * word-frequency table, never over raw text: identical words collapse to
+  * one row with a count BEFORE any per-character work, which on natural text
+  * cuts the working set by orders of magnitude (Zipf).
+  *
+  * Reference ships no tokenizer (`/root/reference/readme.md` stops at SQL
+  * analytics); this extends the training-data surface like `TextFeatures`.
+  */
+object TokenizerOps {
+
+  /** Word-frequency table: one row per distinct lowercased whitespace token
+    * with its corpus count — the standard BPE input representation. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documentsSpread(s, dir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+  }
+
+  /** Adjacent character-pair counts across the corpus (round-1 BPE
+    * statistics), weighted by word frequency — top pairs by (count, pair).
+    * One explode per distinct word (not per occurrence) then a hash
+    * aggregate on a ≤ alphabet² key space: nothing here scales with corpus
+    * size except the first word-count aggregation. */
+  def bpePairs(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    import s.implicits._
+    wordFreq(s, dir)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        $"n")
+      .groupBy($"pair").agg(sum($"n").as("n_occ"))
+      .orderBy($"n_occ".desc, $"pair")
+      .limit(k)
+  }
+
+  private val bpePairsSql =
+    """WITH wf AS (
+      |  SELECT w, count(*) AS n FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY w),
+      |p AS (
+      |  SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair, n
+      |  FROM wf)
+      |SELECT pair, sum(n) AS n_occ FROM p GROUP BY pair
+      |ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin
+
+  /** Greedy BPE merge training, `rounds` iterations: each round counts
+    * adjacent symbol pairs over the (persisted) symbol-sequence table, takes
+    * the argmax by (count, pair) — a LIMIT-1 collect, O(1) rows to the
+    * driver, same bounded pattern as the PageRank convergence checks — and
+    * rewrites every sequence with a left-to-right fold that fuses that pair
+    * (classic BPE semantics: a freshly fused symbol does not immediately
+    * re-fuse with the next character in the same pass; "aaa" + rule (a,a)
+    * → ["aa","a"]).
+    *
+    * The rewrite is a higher-order `aggregate` over the symbol
+    * array — no UDF — and each round persists its result and drops the
+    * previous round, so lineage stays one round deep and every round is
+    * exactly one shuffle (the pair count). Pairs are counted as (left,
+    * right) struct fields, not a concatenated string, so multi-character
+    * symbols cannot alias ("ab"+"c" vs "a"+"bc").
+    *
+    * Not SQL-expressible as one query (the merge loop is inherently
+    * iterative with a data-dependent rule per round) → rows-only in the
+    * driver gate; `TokenizerSpec` checks it against an independent
+    * single-machine BPE reference on the same fixture slice plus the
+    * round-1-equals-`bpePairs`-top-1 invariant. */
+  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import s.implicits._
+    var seqs = wordFreq(s, dir)
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), $"n")
+      .persist()
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val top = seqs
+        .select(explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+            |          i -> struct(element_at(syms, i + 1) AS l,
+            |                      element_at(syms, i + 2) AS r))""".stripMargin))
+          .as("p"), $"n")
+        .groupBy($"p.l", $"p.r").agg(sum($"n").as("n_occ"))
+        .orderBy($"n_occ".desc, $"l", $"r")
+        .limit(1)
+        .collect() // exactly one row — the argmax rule for this round
+      if (top.nonEmpty) {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((round, l, r, cnt))
+        val merged = seqs.select(expr(
+          s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+             |          (acc, x) -> CASE WHEN size(acc) > 0
+             |                            AND element_at(acc, -1) = '${esc(l)}'
+             |                            AND x = '${esc(r)}'
+             |            THEN concat(slice(acc, 1, size(acc) - 1),
+             |                        array(concat('${esc(l)}', '${esc(r)}')))
+             |            ELSE concat(acc, array(x)) END)""".stripMargin)
+          .as("syms"), $"n")
+          .persist()
+        merged.count() // materialize before dropping the parent
+        seqs.unpersist(false)
+        seqs = merged
+      }
+    }
+    seqs.unpersist(false)
+    rules.result().toDF("round", "left", "right", "n_occ")
+  }
+
+  private def esc(sym: String): String =
+    sym.replace("\\", "\\\\").replace("'", "\\'")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "q_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bpe_pairs" -> bpePairsSql,
+  )
+}
