@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver fixture tables (`TESTDATA.md` / `FIXTURES.md` §B).
   *
@@ -37,16 +38,30 @@ object Tables {
     documents(s, d).repartition(s.sessionState.conf.numShufflePartitions)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark's parquet reader
-    * rejects outright (illegalParquetTypeError). Sessions therefore set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (done defensively here too)
-    * and this loader converts the raw nanosecond longs to microsecond
-    * `TimestampType` with floor division — the same truncation DuckDB applies
-    * in `CAST(ts_ns AS TIMESTAMP)`, so oracle comparisons line up exactly.
-    */
+  /** Fixture generations have shipped `events.ts` under two physical parquet
+    * types: `timestamp[ns]` (which Spark's reader rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, surfacing nanosecond longs)
+    * and plain `timestamp[us]` (surfacing as `TIMESTAMP_NTZ`). Normalize
+    * either to session-zoned `TimestampType`: nanos floor-divide to micros —
+    * the same truncation DuckDB applies in `CAST(ts_ns AS TIMESTAMP)` — and
+    * NTZ casts 1:1 under the UTC session timezone every entry point sets, so
+    * oracle comparisons line up exactly in both generations. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
+  /** Physical schema of events.parquet as THIS session reads it (footer-only
+    * peek) — streaming readers must declare the file's real schema, which
+    * differs across fixture generations (see [[normalizeTs]]). */
+  def eventsRawSchema(s: SparkSession, d: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").schema
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
   }
 }

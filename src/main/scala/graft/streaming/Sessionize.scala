@@ -110,18 +110,12 @@ object Sessionize {
   def streamSessions(s: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val gapMicros = GapMinutes * 60L * 1000000L
 
-    val reader = s.readStream.schema(rawSchema)
+    val reader = s.readStream.schema(graft.Tables.eventsRawSchema(s, dir))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val events = reader
-      .parquet(s"$dir/[e]vents.parquet")
-      .select($"user_id", $"event_id", expr("ts div 1000").as("tsMicros"))
+    val events = graft.Tables.normalizeTs(reader.parquet(s"$dir/[e]vents.parquet"))
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tsMicros"))
       .as[Ev]
 
     val sessions = events
@@ -203,14 +197,9 @@ object Sessionize {
     * sess_end < max(ts) - watermark delay. */
   def sessionWindowStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val agg = s.readStream.schema(rawSchema)
-      .parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.Tables.normalizeTs(
+      s.readStream.schema(graft.Tables.eventsRawSchema(s, dir))
+        .parquet(s"$dir/[e]vents.parquet"))
       .withWatermark("ts", "2 hours")
       .groupBy($"user_id", session_window($"ts", s"$GapMinutes minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))

@@ -24,23 +24,16 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Physical schema of events.parquet as the reader sees it (`ts` surfaces
-    * as nanosecond longs under `nanosAsLong`; converted right after read). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private val D2 = DecimalType(18, 2)
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource requires a directory basePath; the fixture is a single
     // file, so address it as a glob — glob resolution uses the parent
-    // directory as the base path
-    s.readStream.schema(rawSchema)
-      .parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // directory as the base path. The declared schema is the file's own
+    // (fixture generations differ — see Tables.normalizeTs).
+    graft.Tables.normalizeTs(
+      s.readStream.schema(graft.Tables.eventsRawSchema(s, dir))
+        .parquet(s"$dir/[e]vents.parquet"))
   }
 
   /** Drain a streaming query through `foreachBatch` to parquet and return a

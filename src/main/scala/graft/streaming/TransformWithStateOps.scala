@@ -55,10 +55,8 @@ object TransformWithStateOps {
     * surfaced as DOUBLE dollars. */
   def userTotals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
+      .schema(graft.Tables.eventsRawSchema(s, dir))
       .parquet(s"$dir/[e]vents.parquet")
       .select($"user_id",
         ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))

@@ -110,16 +110,15 @@ class StreamingMlSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame
     val tmp = Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    val raw = graft.Tables.events(spark, sf)
+      .withColumn("tsm", unix_micros(col("ts")))
+    val cut = raw.stat.approxQuantile("tsm", Array(0.5), 0.0)(0).toLong
     val out = s"$tmp/out"
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
 
     def runOnce(): Unit = {
-      val agg = spark.readStream.schema(schema).parquet(s"$tmp/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.Tables.normalizeTs(
+          spark.readStream.schema(graft.Tables.eventsRawSchema(spark, tmp))
+            .parquet(s"$tmp/events.parquet"))
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -132,20 +131,19 @@ class StreamingMlSpec extends AnyFunSuite {
     }
 
     // phase 1: only the first half exists; run to completion and stop
-    raw.filter(col("ts") <= cut).coalesce(1)
+    raw.filter(col("tsm") <= cut).drop("tsm").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     runOnce()
     // phase 2: new data lands; a NEW query restarts from the SAME checkpoint
     // and must process only the unseen file while keeping the restored state
-    raw.filter(col("ts") > cut).coalesce(1)
+    raw.filter(col("tsm") > cut).drop("tsm").coalesce(1)
       .write.mode("append").parquet(s"$tmp/events.parquet")
     runOnce()
 
     val streamed = spark.read.parquet(out)
       .select(col("window.start").as("h"), col("event_type"), col("n"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    val batch = spark.read.parquet(s"$tmp/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.Tables.normalizeTs(spark.read.parquet(s"$tmp/events.parquet"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("h"), col("event_type"), col("n"))

@@ -149,16 +149,16 @@ class TextFeaturesSpec extends AnyFunSuite {
   test("stream sessionization survives a 2-file time-split replay") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_sess_split").toFile.getAbsolutePath
-    // split the raw events (long nanosecond ts) at the median into two
-    // time-ordered files — the time-partitioned ingest layout the operator's
-    // cross-batch ordering contract assumes
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
-    raw.filter(col("ts") <= cut).coalesce(1)
+    // split the events at the median ts into two time-ordered files — the
+    // time-partitioned ingest layout the operator's cross-batch ordering
+    // contract assumes
+    val raw = graft.Tables.events(spark, sf)
+      .withColumn("tsm", unix_micros(col("ts")))
+    val cut = raw.stat.approxQuantile("tsm", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("tsm") <= cut).drop("tsm").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     Thread.sleep(20) // distinct mtimes: FileStreamSource replays oldest-first
-    raw.filter(col("ts") > cut).coalesce(1)
+    raw.filter(col("tsm") > cut).drop("tsm").coalesce(1)
       .write.mode("append").parquet(s"$tmp/events.parquet")
 
     val streamed = streaming.Sessionize
