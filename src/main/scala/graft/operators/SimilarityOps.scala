@@ -575,9 +575,36 @@ object SimilarityOps {
       |            JOIN norms nb ON nb.doc_id = d.doc_b
       |WHERE d.dot / sqrt(na.nrm * nb.nrm) >= 0.6e0""".stripMargin
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-similar candidates carrying a DIFFERENT label — the
+    * negatives that sit closest to the decision boundary and therefore carry
+    * the most gradient signal. Same shape as [[knnBruteForce]] (broadcast
+    * the bounded query side, codegen cosine, per-query top-k window), with
+    * the label-mismatch predicate applied at the join so excluded positives
+    * never reach the scorer; at 100 TB the candidate side streams through
+    * the broadcast join with no shuffle and the only shuffle is the
+    * nQueries-keyed top-k window. Ranking uses the 6-dp-rounded similarity
+    * with cand_id tiebreak so Spark and the oracle agree at float
+    * boundaries. */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"label".as("qlabel"))
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"), $"label".as("neg_label"))
+    val scored = c.join(broadcast(q), $"neg_label" =!= $"qlabel")
+      .select($"query_id", $"cand_id", $"neg_label",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"cand_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sparse_cosine" -> ((s, d) => sparseCosinePairs(s, d)),
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
+    "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q_knn_topk_agg" -> ((s, d) => knnTopKAgg(s, d)),
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s, d) => knnIvf(s, d)),
@@ -601,6 +628,17 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "q_sparse_cosine" -> sparseCosineSql,
     "q_knn_topk_agg" -> knnOracleSql,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         c.label AS neg_label,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.label <> c.label)
+        |SELECT query_id, cand_id, neg_label, cos_sim,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
     "q_knn_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (

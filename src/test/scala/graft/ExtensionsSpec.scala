@@ -73,6 +73,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(badRank.count() == 0)
   }
 
+  test("hard negatives: k per query, every negative crosses the label boundary") {
+    val hn = operators.SimilarityOps.hardNegatives(spark, sf, k = 5, nQueries = 4)
+    val counts = hn.groupBy("query_id").count().collect()
+    assert(counts.length == 4 && counts.forall(_.getLong(1) == 5))
+    // no returned negative may share its query's label
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val sameLabel = hn.join(labels, "query_id")
+      .filter(col("neg_label") === col("qlabel"))
+    assert(sameLabel.count() == 0)
+    // hard negatives are at least as similar as the rank-k knn cutoff allows:
+    // each query's top negative similarity must be <= its exact top-1 overall
+    val top1 = operators.SimilarityOps.knnBruteForce(spark, sf, k = 1, nQueries = 4)
+      .select(col("query_id"), col("cos_sim").as("best_any"))
+    val bad = hn.filter(col("rank") === 1)
+      .join(top1, "query_id").filter(col("cos_sim") > col("best_any"))
+    assert(bad.count() == 0)
+  }
+
   test("blob features: deterministic stub decode, n_bytes matches payload") {
     val f = operators.Multimodal.blobFeatures(spark, sf)
     val bad = f.filter(col("n_bytes") <= 0 || col("mean_byte") <= 0)
