@@ -601,10 +601,39 @@ object SimilarityOps {
       .filter($"rank" <= k)
   }
 
+  /** Label-noise audit: for each audited vector, the fraction of its exact
+    * k nearest neighbors carrying a DIFFERENT label — rows where most
+    * neighbors disagree are suspected mislabels (the classic kNN-based
+    * label-error detector). The audit slice is bounded (`nEval` rows,
+    * broadcast), so the candidate side streams through a broadcast join
+    * with no shuffle: at 100 TB you audit a sample per ingest batch, not
+    * the full corpus at once. The disagreement fraction is a division of
+    * two small exact integers — bit-identical across engines, no rounding
+    * needed. */
+  def labelNoise(s: SparkSession, dir: String, k: Int = 10, nEval: Int = 50): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < nEval)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"label".as("qlabel"))
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"), $"label".as("clabel"))
+    val scored = c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"qlabel", $"cand_id", $"clabel",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"cand_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .groupBy($"query_id", $"qlabel")
+      .agg(sum(when($"clabel" =!= $"qlabel", 1).otherwise(0)).as("n_disagree"),
+        (sum(when($"clabel" =!= $"qlabel", 1).otherwise(0)).cast("double") / k)
+          .as("noise_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sparse_cosine" -> ((s, d) => sparseCosinePairs(s, d)),
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
     "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
+    "q_label_noise" -> ((s, d) => labelNoise(s, d)),
     "q_knn_topk_agg" -> ((s, d) => knnTopKAgg(s, d)),
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s, d) => knnIvf(s, d)),
@@ -628,6 +657,22 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "q_sparse_cosine" -> sparseCosineSql,
     "q_knn_topk_agg" -> knnOracleSql,
+    "q_label_noise" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |         c.vec_id AS cand_id, c.label AS clabel,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |nn AS (
+        |  SELECT query_id, qlabel, clabel,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_sim DESC, cand_id) AS rank
+        |  FROM scored QUALIFY rank <= 10)
+        |SELECT query_id, qlabel,
+        |       sum(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS n_disagree,
+        |       sum(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) / 10.0 AS noise_frac
+        |FROM nn GROUP BY 1, 2""".stripMargin,
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |scored AS (

@@ -92,6 +92,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("label noise: one row per audited vector, fractions bounded and consistent") {
+    val ln = operators.SimilarityOps.labelNoise(spark, sf, k = 10, nEval = 20)
+    val rows = ln.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val nDis = r.getAs[Long]("n_disagree")
+      val frac = r.getAs[Double]("noise_frac")
+      assert(nDis >= 0 && nDis <= 10)
+      assert(math.abs(frac - nDis / 10.0) < 1e-12)
+    }
+  }
+
   test("blob features: deterministic stub decode, n_bytes matches payload") {
     val f = operators.Multimodal.blobFeatures(spark, sf)
     val bad = f.filter(col("n_bytes") <= 0 || col("mean_byte") <= 0)
