@@ -121,12 +121,85 @@ object TokenizerOps {
   private def esc(sym: String): String =
     sym.replace("\\", "\\\\").replace("'", "\\'")
 
+  /** The apply half of the tokenizer: encode with a FIXED merge table (in
+    * production the merges.txt artifact a trainer published; here a small
+    * table of common English merges, applied in order). */
+  val FixedMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("r", "e"))
+
+  /** BPE encoding via separator framing: a token's symbol sequence is the
+    * string `␟␟s1␟␟s2␟␟…␟␟` (every boundary carries TWO  separators,
+    * including both ends), and one merge pass for rule (l, r) is a single
+    * literal `replace` of `␟l␟␟r␟` with `␟lr␟`.
+    *
+    * Why this equals the canonical left-to-right fold (bpeTrain's rewrite):
+    * `replace` substitutes non-overlapping occurrences left to right, and a
+    * match consumes ONE separator from its outer boundaries and BOTH from
+    * the merged middle — so each adjacent boundary keeps one separator and
+    * the replacement's own edge separators restore the doubled frame,
+    * letting an immediately following pair ("aaaa" with rule (a,a) →
+    * [aa,aa]) still match, while the consumed middle prevents re-fusing the
+    * freshly merged symbol ("aaa" → [aa,a]). A merged symbol `lr` can never
+    * participate in another match of the SAME rule anyway (l ≠ lr and
+    * r ≠ lr for nonempty halves), so one replace pass per rule is exactly
+    * one BPE merge pass. Symbol count falls out arithmetically:
+    * #separators / 2 − 1.
+    *
+    * Everything is literal-string `replace` + `length` — row-local, codegen,
+    * no regex backtracking, no per-row UDF — and the SAME formulation runs
+    * in DuckDB (`replace`/`list_transform`), making the encoder exactly
+    * oracle-checkable, which the iterative trainer (`bpeTrain`) cannot be.
+    * `TokenizerSpec` additionally cross-checks it against the trainer's
+    * independent array-fold rewrite on the same rules. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sep = "\u0001"
+    // frame: strip any stray separator chars, then "ab" -> ␟␟a␟␟b␟␟
+    val framed = s"concat('$sep$sep', regexp_replace(replace(tk, '$sep', ''), " +
+      s"'(.)', '$$1$sep$sep'))"
+    val merged = FixedMerges.foldLeft(framed) { case (acc, (l, r)) =>
+      s"replace($acc, '$sep${esc(l)}$sep$sep${esc(r)}$sep', '$sep${esc(l)}${esc(r)}$sep')"
+    }
+    val perToken = s"(length($merged) - length(replace($merged, '$sep', ''))) div 2 - 1"
+    Tables.documentsSpread(s, dir)
+      .select($"doc_id",
+        expr(s"""aggregate(
+                |  filter(split(trim(lower(text)), '\\\\s+'), tk -> length(tk) >= 1),
+                |  0L, (acc, tk) -> acc + ($perToken))""".stripMargin).as("n_bpe_tokens"),
+        expr("""aggregate(
+                |  filter(split(trim(lower(text)), '\\s+'), tk -> length(tk) >= 1),
+                |  0L, (acc, tk) -> acc + length(tk))""".stripMargin).as("n_char_symbols"))
+  }
+
+  private val bpeEncodeSql = {
+    val sep = "chr(1)"
+    val framed = s"concat($sep, $sep, regexp_replace(replace(tk, $sep, ''), " +
+      s"'(.)', '\\1' || $sep || $sep, 'g'))"
+    val merged = FixedMerges.foldLeft(framed) { case (acc, (l, r)) =>
+      s"replace($acc, $sep || '$l' || $sep || $sep || '$r' || $sep, $sep || '$l$r' || $sep)"
+    }
+    val perToken = s"(length($merged) - length(replace($merged, $sep, ''))) // 2 - 1"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                     tk -> len(tk) >= 1) AS tks
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(coalesce(list_sum(list_transform(tks, tk -> $perToken)), 0)
+       |            AS BIGINT) AS n_bpe_tokens,
+       |       CAST(coalesce(list_sum(list_transform(tks, tk -> len(tk))), 0)
+       |            AS BIGINT) AS n_char_symbols
+       |FROM toks""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "q_bpe_pairs" -> bpePairsSql,
+    "q_bpe_encode" -> bpeEncodeSql,
   )
 }

@@ -133,6 +133,39 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode: separator-framed replace equals an independent fold encoder") {
+    import spark.implicits._
+    // independent single-machine reference: the canonical left-to-right
+    // merge fold (no re-fuse of a freshly merged symbol within a pass)
+    def encodeLocal(tok: String): Long = {
+      var syms = tok.map(_.toString).toVector
+      operators.TokenizerOps.FixedMerges.foreach { case (l, r) =>
+        var acc = Vector.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + r)
+          else acc = acc :+ x
+        }
+        syms = acc
+      }
+      syms.length.toLong
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = operators.TokenizerOps.bpeEncode(spark, sf)
+      .filter($"doc_id" < 20).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_char_symbols"))).toMap
+    assert(got.keySet == docs.keySet && docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val want = (toks.map(encodeLocal).sum, toks.map(_.length.toLong).sum)
+      assert(got(id) == want, s"doc $id: got=${got(id)} want=$want")
+      // merges strictly compress or keep (never grow) the symbol count
+      assert(got(id)._1 <= got(id)._2)
+    }
+  }
+
   // ---- interval coverage -------------------------------------------------
 
   test("interval coverage: bounds and exact check for one user") {
