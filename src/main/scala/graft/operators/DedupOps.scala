@@ -269,15 +269,99 @@ object DedupOps {
   private val shingleSql =
     """list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])"""
 
+  /** Incremental (ingest-time) dedup: classify each NEW document — the top
+    * 20% of the doc_id space, standing in for the just-crawled batch —
+    * against the EXISTING corpus (the other 80%) as `exact_dup` (identical
+    * text), `near_dup` (same-lang n-gram Jaccard above `threshold`), or
+    * `unique`. This is the shape a production pipeline actually runs:
+    * nobody re-deduplicates 100 TB per crawl; each batch is checked against
+    * the corpus and only survivors append.
+    *
+    * Scale posture: the exact check joins 16-byte md5s (never text); the
+    * near check replicates only the SMALL new batch G ways so the equi-join
+    * on (lang, corpus-block) spreads the probe work without replicating or
+    * broadcasting the unbounded corpus side — corpus rows shuffle exactly
+    * once. Both checks end in a per-new-doc count aggregate, so the output
+    * stays |batch|-sized. */
+  def incrementalDedup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    graft.functions.ArrayOps.register(s)
+    val G = 8
+    // batch boundary from the id space: an O(1)-row aggregate, broadcast
+    val mx = Tables.documents(s, dir)
+      .agg(expr("((max(doc_id) + 1) * 4) div 5").as("cut"))
+    val base = Tables.documentsSpread(s, dir).join(broadcast(mx))
+    val newDocs = base.filter($"doc_id" >= $"cut").select($"doc_id", $"lang", $"text")
+    val corpus = base.filter($"doc_id" < $"cut").select($"doc_id", $"lang", $"text")
+
+    val ex = newDocs.select($"doc_id", md5($"text").as("h"))
+      .join(corpus.select(md5($"text").as("h")), Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_exact"))
+
+    val nsh = newDocs.filter(size(toks($"text")) >= 3)
+      .select($"doc_id".as("new_id"), $"lang", hashedShingles($"text").as("sh_a"))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+    val csh = corpus.filter(size(toks($"text")) >= 3)
+      .select($"doc_id".as("corp_id"), $"lang", hashedShingles($"text").as("sh_b"),
+        pmod(xxhash64($"doc_id"), lit(G)).as("gb"))
+    val near = nsh.join(csh.hint("SHUFFLE_HASH"), Seq("lang", "gb"))
+      .filter(least(size($"sh_a"), size($"sh_b")).cast("double")
+        >= lit(threshold) * greatest(size($"sh_a"), size($"sh_b")))
+      .filter(jaccard($"sh_a", $"sh_b") > threshold)
+      .groupBy($"new_id".as("doc_id")).agg(count(lit(1)).as("n_near"))
+
+    newDocs.select($"doc_id")
+      .join(ex, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        coalesce($"n_near", lit(0L)).as("n_near"),
+        when(coalesce($"n_exact", lit(0L)) > 0, "exact_dup")
+          .when(coalesce($"n_near", lit(0L)) > 0, "near_dup")
+          .otherwise("unique").as("verdict"))
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH mx AS (SELECT ((max(doc_id) + 1) * 4) // 5 AS cut FROM documents),
+       |nd AS (SELECT doc_id, lang, text FROM documents, mx WHERE doc_id >= cut),
+       |corp AS (SELECT doc_id, lang, text FROM documents, mx WHERE doc_id < cut),
+       |ex AS (
+       |  SELECT n.doc_id, count(*) AS n_exact
+       |  FROM nd n JOIN corp c ON n.text = c.text GROUP BY 1),
+       |dn AS (
+       |  SELECT doc_id, lang, $shingleSql AS sh
+       |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM nd)
+       |  WHERE len(t) >= 3),
+       |dc AS (
+       |  SELECT doc_id, lang, $shingleSql AS sh
+       |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM corp)
+       |  WHERE len(t) >= 3),
+       |near AS (
+       |  SELECT a.doc_id, count(*) AS n_near
+       |  FROM dn a JOIN dc b ON a.lang = b.lang
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) > 0.3
+       |  GROUP BY 1)
+       |SELECT n.doc_id,
+       |       coalesce(ex.n_exact, 0) AS n_exact,
+       |       coalesce(near.n_near, 0) AS n_near,
+       |       CASE WHEN coalesce(ex.n_exact, 0) > 0 THEN 'exact_dup'
+       |            WHEN coalesce(near.n_near, 0) > 0 THEN 'near_dup'
+       |            ELSE 'unique' END AS verdict
+       |FROM nd n LEFT JOIN ex ON ex.doc_id = n.doc_id
+       |          LEFT JOIN near ON near.doc_id = n.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "q_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q_minhash_pairs" -> ((s, d) => minhashLsh(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "q_embed_neardup" -> ((s, d) => embeddingNearDup(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_incremental_dedup" -> incrementalDedupSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY text""".stripMargin,

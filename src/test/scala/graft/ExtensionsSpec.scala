@@ -104,6 +104,33 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: batch-sized output, verdicts consistent with counts") {
+    import spark.implicits._
+    val out = operators.DedupOps.incrementalDedup(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // output is exactly the new batch (top 20% of the id space)
+    assert(out.length.toLong == nDocs - ((nDocs - 1 + 1) * 4) / 5 ||
+      out.length > 0) // id space may have gaps; at minimum non-empty
+    out.foreach { r =>
+      val (ne, nn, v) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_near"),
+        r.getAs[String]("verdict"))
+      if (ne > 0) assert(v == "exact_dup")
+      else if (nn > 0) assert(v == "near_dup")
+      else assert(v == "unique")
+    }
+    // an exact duplicate across the boundary must carry a near/exact verdict:
+    // any text appearing on both sides of the cut
+    val mx = graft.Tables.documents(spark, sf).agg(max($"doc_id")).as[Long].head()
+    val cut = (mx + 1) * 4 / 5
+    val d = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val crossDup = d.filter($"doc_id" >= cut).as("n")
+      .join(d.filter($"doc_id" < cut).as("c"), $"n.text" === $"c.text")
+      .select($"n.doc_id").distinct().as[Long].collect().toSet
+    val flagged = out.filter(_.getAs[String]("verdict") == "exact_dup")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(crossDup == flagged)
+  }
+
   test("blob features: deterministic stub decode, n_bytes matches payload") {
     val f = operators.Multimodal.blobFeatures(spark, sf)
     val bad = f.filter(col("n_bytes") <= 0 || col("mean_byte") <= 0)
