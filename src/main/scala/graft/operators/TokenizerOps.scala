@@ -151,16 +151,24 @@ object TokenizerOps {
     * oracle-checkable, which the iterative trainer (`bpeTrain`) cannot be.
     * `TokenizerSpec` additionally cross-checks it against the trainer's
     * independent array-fold rewrite on the same rules. */
-  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Spark-SQL text of the post-merge symbol count for a token referenced
+    * by the SQL expression `inner` (a column name or lambda variable) —
+    * shared by the registered query and the property test that hammers the
+    * replace-vs-fold equivalence with pathological run-heavy tokens. */
+  private[graft] def perTokenCountSql(inner: String): String = {
     val sep = "\u0001"
     // frame: strip any stray separator chars, then "ab" -> ␟␟a␟␟b␟␟
-    val framed = s"concat('$sep$sep', regexp_replace(replace(tk, '$sep', ''), " +
+    val framed = s"concat('$sep$sep', regexp_replace(replace($inner, '$sep', ''), " +
       s"'(.)', '$$1$sep$sep'))"
     val merged = FixedMerges.foldLeft(framed) { case (acc, (l, r)) =>
       s"replace($acc, '$sep${esc(l)}$sep$sep${esc(r)}$sep', '$sep${esc(l)}${esc(r)}$sep')"
     }
-    val perToken = s"(length($merged) - length(replace($merged, '$sep', ''))) div 2 - 1"
+    s"(length($merged) - length(replace($merged, '$sep', ''))) div 2 - 1"
+  }
+
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perToken = perTokenCountSql("tk")
     Tables.documentsSpread(s, dir)
       .select($"doc_id",
         expr(s"""aggregate(

@@ -34,6 +34,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bpe replace-pass encoder equals the merge fold on run-heavy random tokens") {
+    import spark.implicits._
+    // seeded, run-heavy alphabet: exactly the inputs where the doubled-
+    // separator replace could diverge from the canonical fold (adjacent
+    // repeats like "aaaa", chained merges like "ththe")
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "atheinr"
+    val toks = (1 to 400).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map { _ =>
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        c.toString * (1 + rnd.nextInt(3)) // runs of 1-3 repeats
+      }.mkString.take(24)
+    }.distinct
+    def encodeLocal(tok: String): Long = {
+      var syms = tok.map(_.toString).toVector
+      operators.TokenizerOps.FixedMerges.foreach { case (l, r) =>
+        var acc = Vector.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + r)
+          else acc = acc :+ x
+        }
+        syms = acc
+      }
+      syms.length.toLong
+    }
+    val got = toks.toDF("tk")
+      .selectExpr("tk", s"${operators.TokenizerOps.perTokenCountSql("tk")} AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.foreach { t =>
+      assert(got(t) == encodeLocal(t), s"token '$t': got=${got(t)} want=${encodeLocal(t)}")
+    }
+  }
+
   test("sorted_dot_product equals brute-force dot over packed term vectors") {
     functions.ArrayOps.register(spark)
     import spark.implicits._
