@@ -713,7 +713,87 @@ object CurationOps {
       |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
       |FROM t WHERE split = 'test' GROUP BY lang""".stripMargin
 
+  /** Source-level filtering (the C4/RefinedWeb "drop the bad domain" stage):
+    * per `source`, document count and mean quality score — the same per-doc
+    * score as `q_text_quality`, averaged — plus a keep/drop verdict under a
+    * fixed floor. One scan + one |sources|-sized aggregate: at 100 TB the
+    * decision table stays tiny and broadcasts back onto the corpus for the
+    * actual drop, so source filtering costs one shuffle of (source, partial
+    * sums), never a second corpus pass. The mean is rounded to 6 dp AFTER
+    * the aggregate (same convention as `q_embed_centroids`) so per-engine
+    * float summation order cannot flip the hash. */
+  def sourceFilter(s: SparkSession, dir: String,
+      minMeanQuality: Double = 0.25, minDocs: Long = 5L): DataFrame = {
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(TextAnalysis.StopWords: _*))).cast("double")
+    val q = (lit(1.0) - nStop / nTok) * least(nTok, lit(200.0)) / 200.0
+    Tables.documents(s, dir)
+      .select($"source", q.as("q"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), round(avg($"q"), 6).as("mean_quality"))
+      .withColumn("verdict",
+        when($"n_docs" >= minDocs && $"mean_quality" >= minMeanQuality, "keep")
+          .otherwise("drop"))
+  }
+
+  private val sourceFilterSql = {
+    val stop = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source,
+       |         (1.0 - len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                                t -> t IN ($stop)))
+       |                / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE))
+       |         * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),
+       |                 200.0) / 200.0 AS q
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs, round(avg(q), 6) AS mean_quality,
+       |       CASE WHEN count(*) >= 5 AND round(avg(q), 6) >= 0.25
+       |            THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM d GROUP BY source""".stripMargin
+  }
+
+  /** Length-bucketed batching prep (fairseq/T5-style): each document goes to
+    * the smallest power-of-two token-length bucket that holds it (capped),
+    * and the per-bucket padding waste — the tokens a padded batch would
+    * carry beyond the real ones — is summed exactly. All integer
+    * arithmetic, one scan + one ≤|buckets| aggregate; the bucket table is
+    * what a batch scheduler consumes. */
+  def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTok = size(split(trim($"text"), "\\s+"))
+    val bucket = when(nTok <= 16, 16).when(nTok <= 32, 32).when(nTok <= 64, 64)
+      .when(nTok <= 128, 128).when(nTok <= 256, 256).otherwise(512)
+    Tables.documents(s, dir)
+      .select(nTok.as("n_tok"), bucket.as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok".cast("long")).as("n_tokens"),
+        // docs beyond the top bucket get chunked upstream — clamp at 0 so an
+        // over-long straggler can't report negative waste
+        sum(greatest($"bucket".cast("long") - $"n_tok", lit(0L)))
+          .as("padding_waste"))
+  }
+
+  private val lengthBucketsSql =
+    """WITH d AS (
+      |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT n_tok,
+      |         CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+      |              WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+      |              WHEN n_tok <= 256 THEN 256 ELSE 512 END AS bucket
+      |  FROM d)
+      |SELECT bucket, count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(sum(greatest(bucket - n_tok, 0)) AS BIGINT) AS padding_waste
+      |FROM b GROUP BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_filter" -> ((s, d) => sourceFilter(s, d)),
+    "q_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "q_pack_windows" -> ((s, d) => packWindows(s, d)),
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -731,6 +811,8 @@ object CurationOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_filter" -> sourceFilterSql,
+    "q_length_buckets" -> lengthBucketsSql,
     "q_split_traintest" -> trainTestSplitSql,
     "q_pack_windows" -> packWindowsSql,
     "q_decontaminate" -> decontaminateSql,

@@ -16,7 +16,8 @@ object TextAnalysis {
     * `regexp_split_to_array(trim(text), '\s+')` in the oracle SQL). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  private val StopWords =
+  /** Shared with CurationOps.sourceFilter — same score, same stopword set. */
+  private[operators] val StopWords =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Per-language keyword profiles for the n-gram/stopword language-ID

@@ -282,4 +282,32 @@ class CurationSpec extends AnyFunSuite {
         (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
     assert(viaOrc == direct)
   }
+
+  test("source filter: covers every source, verdict follows the floor rule") {
+    val out = operators.CurationOps.sourceFilter(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(out.length.toLong == nSources)
+    out.foreach { r =>
+      val (n, q, v) = (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_quality"),
+        r.getAs[String]("verdict"))
+      assert(q >= 0.0 && q <= 1.0)
+      assert(v == (if (n >= 5 && q >= 0.25) "keep" else "drop"))
+    }
+  }
+
+  test("length buckets: partition the corpus, non-negative exact padding waste") {
+    val out = operators.CurationOps.lengthBuckets(spark, sf).collect()
+    val valid = Set(16, 32, 64, 128, 256, 512)
+    assert(out.map(_.getAs[Int]("bucket")).forall(valid))
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (b, nd, nt, w) = (r.getAs[Int]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("padding_waste"))
+      assert(w >= 0)
+      // waste never exceeds the bucket capacity times the doc count
+      assert(w <= b.toLong * nd)
+      assert(nt > 0 && nd > 0)
+    }
+  }
 }
