@@ -232,4 +232,27 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("priority"))).toSet
     assert(got == want && got.size == 20)
   }
+
+  test("ANN audits: bounded broadcast build side, top-k pushed below the exchange") {
+    for (df <- Seq(operators.SimilarityOps.hardNegatives(spark, sf),
+        operators.SimilarityOps.labelNoise(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the only nested-loop join builds the bounded audit slice, broadcast
+      assert(plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("BroadcastExchange"), plan.take(2000))
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      // rank<=k runs map-side before the query-keyed shuffle
+      assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    }
+  }
+
+  test("incremental dedup: corpus side never broadcast, exact check joins hashes") {
+    val df = operators.DedupOps.incrementalDedup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only broadcasts are the O(1) cut row and (at fixture scale, AQE's
+    // choice) batch-sized sides — the corpus' shingle side joins via the
+    // blocked equi-join, so no nested-loop join over text
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("md5"), plan.take(2000)) // exact check on hashes, not text
+  }
 }
