@@ -791,9 +791,58 @@ object CurationOps {
       |       CAST(sum(greatest(bucket - n_tok, 0)) AS BIGINT) AS padding_waste
       |FROM b GROUP BY bucket""".stripMargin
 
+  /** End-to-end ingest report for the newest batch: compose the round-6
+    * stages the way the pipeline runs them — source-level filtering first
+    * (cheapest, a broadcast of the tiny per-source decision table), then
+    * per-doc dedup verdicts — and account tokens per final disposition.
+    * The report is the |dispositions|-row summary an ingest job emits; each
+    * stage keeps its own scale shape (nothing here adds a corpus-sized
+    * shuffle beyond what the composed stages already do). */
+  def ingestReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.documents(s, dir)
+      .agg(expr("((max(doc_id) + 1) * 4) div 5").as("cut"))
+    val batch = Tables.documents(s, dir).join(broadcast(mx))
+      .filter($"doc_id" >= $"cut")
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).as("n_tok"))
+    val srcVerdicts = sourceFilter(s, dir)
+      .select($"source", $"verdict".as("src_verdict"))
+    val dupVerdicts = DedupOps.incrementalDedup(s, dir)
+      .select($"doc_id", $"verdict".as("dup_verdict"))
+    batch
+      .join(broadcast(srcVerdicts), "source")
+      .join(dupVerdicts, "doc_id")
+      .select($"n_tok",
+        when($"src_verdict" === "drop", "drop_source")
+          .when($"dup_verdict" === "exact_dup", "drop_exact")
+          .when($"dup_verdict" === "near_dup", "drop_near")
+          .otherwise("accept").as("final_status"))
+      .groupBy($"final_status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok".cast("long")).as("n_tokens"))
+  }
+
+  private def ingestReportSql(srcSql: String, dupSql: String): String =
+    s"""SELECT final_status, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT CASE WHEN sf.verdict = 'drop' THEN 'drop_source'
+       |              WHEN dd.verdict = 'exact_dup' THEN 'drop_exact'
+       |              WHEN dd.verdict = 'near_dup' THEN 'drop_near'
+       |              ELSE 'accept' END AS final_status,
+       |         len(regexp_split_to_array(trim(n.text), '\\s+')) AS n_tok
+       |  FROM (SELECT d.* FROM documents d,
+       |          (SELECT ((max(doc_id) + 1) * 4) // 5 AS cut FROM documents) m
+       |        WHERE d.doc_id >= m.cut) n
+       |  JOIN ($srcSql) sf ON sf.source = n.source
+       |  JOIN ($dupSql) dd ON dd.doc_id = n.doc_id)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_filter" -> ((s, d) => sourceFilter(s, d)),
     "q_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
+    "q_ingest_report" -> ((s, d) => ingestReport(s, d)),
     "q_pack_windows" -> ((s, d) => packWindows(s, d)),
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -813,6 +862,7 @@ object CurationOps {
   val oracle: Map[String, String] = Map(
     "q_source_filter" -> sourceFilterSql,
     "q_length_buckets" -> lengthBucketsSql,
+    "q_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),
     "q_split_traintest" -> trainTestSplitSql,
     "q_pack_windows" -> packWindowsSql,
     "q_decontaminate" -> decontaminateSql,

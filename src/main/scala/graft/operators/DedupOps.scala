@@ -321,7 +321,7 @@ object DedupOps {
           .otherwise("unique").as("verdict"))
   }
 
-  private val incrementalDedupSql =
+  private[operators] val incrementalDedupSql =
     s"""WITH mx AS (SELECT ((max(doc_id) + 1) * 4) // 5 AS cut FROM documents),
        |nd AS (SELECT doc_id, lang, text FROM documents, mx WHERE doc_id >= cut),
        |corp AS (SELECT doc_id, lang, text FROM documents, mx WHERE doc_id < cut),

@@ -295,6 +295,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest report: dispositions partition the batch, tokens conserved") {
+    import spark.implicits._
+    val out = operators.CurationOps.ingestReport(spark, sf).collect()
+    val statuses = out.map(_.getAs[String]("final_status")).toSet
+    assert(statuses.subsetOf(Set("accept", "drop_source", "drop_exact", "drop_near")))
+    val mx = Tables.documents(spark, sf).agg(max($"doc_id")).as[Long].head()
+    val batch = Tables.documents(spark, sf)
+      .filter($"doc_id" >= (mx + 1) * 4 / 5)
+      .select(size(split(trim($"text"), "\\s+")).as("n"))
+      .agg(count(lit(1)), sum($"n".cast("long"))).as[(Long, Long)].head()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == batch._1)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == batch._2)
+  }
+
   test("length buckets: partition the corpus, non-negative exact padding waste") {
     val out = operators.CurationOps.lengthBuckets(spark, sf).collect()
     val valid = Set(16, 32, 64, 128, 256, 512)
