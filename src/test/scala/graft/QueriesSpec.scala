@@ -52,6 +52,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("events loading adapts to both fixture generations (nanos-long and timestamp)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // current-generation read (whatever is on disk)
+    val now = Tables.events(spark, sf)
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .orderBy($"event_id").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // synthesize the OLD generation: the same events with ts as raw
+    // nanosecond longs, as rounds <=5 shipped them
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nsgen").toFile.getAbsolutePath
+    Tables.events(spark, sf).limit(50)
+      .select($"event_id", (unix_micros($"ts") * 1000L).as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val old = Tables.events(spark, tmp)
+      .select($"event_id", unix_micros($"ts").as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(old.nonEmpty && old.forall { case (id, us) => now(id) == us })
+    // the streaming schema peek sees the long generation too
+    assert(Tables.eventsRawSchema(spark, tmp)("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("cleanTrips enforces the cleaning contract (P3/P4)") {
     val df = operators.Relational.cleanTrips(spark, sf)
     val bad = df.filter(
