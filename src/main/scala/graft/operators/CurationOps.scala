@@ -839,10 +839,87 @@ object CurationOps {
        |  JOIN ($dupSql) dd ON dd.doc_id = n.doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** Streaming twin of [[ingestReport]]: the new batch arrives as a document
+    * STREAM and the expensive stage — the per-doc near-dup candidate count
+    * against the corpus — runs incrementally as a stateless stream-static
+    * equi-join on (lang, corpus-block) with a row-local Jaccard verify and
+    * ONE stateful per-doc count (complete mode; chaining the status rollup
+    * into the same stream would be a second stateful aggregate, which
+    * micro-batch complete mode cannot stack). The drained per-doc counts
+    * then compose batch-side with the cheap stages (md5 exact join, the
+    * broadcast source-verdict table) into the same report. Same oracle as
+    * the batch op: streaming must not change the answer.
+    *
+    * Static sides are persisted — the static side of a stream-static join
+    * re-evaluates per micro-batch — and carry only (lang, block, hashes),
+    * never text. The G-way block explode replicates only the streamed
+    * batch, reproducing the batch operator's shuffle shape. */
+  def streamIngestReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ArrayOps.register(s)
+    val G = 8
+    val threshold = 0.3
+    val docSchema = Tables.documents(s, dir).schema
+    // batch boundary: O(1) row to the driver (same bounded pattern as the
+    // label-propagation convergence checks)
+    val cut = Tables.documents(s, dir)
+      .agg(expr("((max(doc_id) + 1) * 4) div 5")).as[Long].head()
+    def hsh(c: Column): Column =
+      array_sort(array_distinct(transform(shingles(c, 3), x => xxhash64(x))))
+    val corpus = Tables.documents(s, dir).filter($"doc_id" < cut)
+    val corpusSh = corpus.filter(size(toks($"text")) >= 3)
+      .select($"lang", hsh($"text").as("sh_b"),
+        pmod(xxhash64($"doc_id"), lit(G)).as("gb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val stream = s.readStream.schema(docSchema)
+      .parquet(s"$dir/[d]ocuments.parquet")
+      .filter($"doc_id" >= cut && size(toks($"text")) >= 3)
+      .repartition(8) // single-split fixture: spread the shingle work
+      .select($"doc_id", $"lang", hsh($"text").as("sh_a"))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+      .join(corpusSh, Seq("lang", "gb"))
+      .filter(least(size($"sh_a"), size($"sh_b")).cast("double")
+        >= lit(threshold) * greatest(size($"sh_a"), size($"sh_b")))
+      .filter({
+        val inter = graft.functions.ArrayOps
+          .sortedIntersectCount($"sh_a", $"sh_b").cast("double")
+        inter / (size($"sh_a") + size($"sh_b") - inter) > threshold
+      })
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_near"))
+    val nearCounts = graft.streaming.StreamingOps
+      .runToParquet(s, stream, "graft_ingest")
+      .select($"doc_id", $"n_near")
+    corpusSh.unpersist(false)
+
+    // cheap stages compose batch-side around the drained counts
+    val batch = Tables.documents(s, dir).filter($"doc_id" >= cut)
+      .select($"doc_id", $"source", md5($"text").as("h"),
+        size(split(trim($"text"), "\\s+")).as("n_tok"))
+    val exact = batch.select($"doc_id", $"h")
+      .join(corpus.select(md5($"text").as("h")), Seq("h"))
+      .select($"doc_id").distinct().withColumn("is_exact", lit(true))
+    val srcVerdicts = sourceFilter(s, dir)
+      .select($"source", $"verdict".as("src_verdict"))
+    batch
+      .join(broadcast(srcVerdicts), "source")
+      .join(exact, Seq("doc_id"), "left")
+      .join(nearCounts, Seq("doc_id"), "left")
+      .select($"n_tok",
+        when($"src_verdict" === "drop", "drop_source")
+          .when(coalesce($"is_exact", lit(false)), "drop_exact")
+          .when(coalesce($"n_near", lit(0L)) > 0, "drop_near")
+          .otherwise("accept").as("final_status"))
+      .groupBy($"final_status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok".cast("long")).as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_filter" -> ((s, d) => sourceFilter(s, d)),
     "q_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "q_ingest_report" -> ((s, d) => ingestReport(s, d)),
+    "q_stream_ingest_report" -> ((s, d) => streamIngestReport(s, d)),
     "q_pack_windows" -> ((s, d) => packWindows(s, d)),
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -863,6 +940,8 @@ object CurationOps {
     "q_source_filter" -> sourceFilterSql,
     "q_length_buckets" -> lengthBucketsSql,
     "q_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),
+    // same SQL: running the near-dup stage as a stream must not change the report
+    "q_stream_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),
     "q_split_traintest" -> trainTestSplitSql,
     "q_pack_windows" -> packWindowsSql,
     "q_decontaminate" -> decontaminateSql,

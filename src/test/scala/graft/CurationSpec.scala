@@ -309,6 +309,14 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_tokens")).sum == batch._2)
   }
 
+  test("streaming ingest report equals the batch report exactly") {
+    val streamed = operators.CurationOps.streamIngestReport(spark, sf)
+      .orderBy("final_status").collect().toSeq
+    val batch = operators.CurationOps.ingestReport(spark, sf)
+      .orderBy("final_status").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("length buckets: partition the corpus, non-negative exact padding waste") {
     val out = operators.CurationOps.lengthBuckets(spark, sf).collect()
     val valid = Set(16, 32, 64, 128, 256, 512)
