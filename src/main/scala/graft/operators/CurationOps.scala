@@ -915,11 +915,51 @@ object CurationOps {
         sum($"n_tok".cast("long")).as("n_tokens"))
   }
 
+  /** Duplicated-n-gram fraction: per document, the share of its distinct
+    * 3-token shingles that are corpus-common (appearing in ≥ `minDf` docs,
+    * self included) — the inter-document memorization signal
+    * quality-filtering pipelines use beside intra-doc repetition
+    * (`q_repetition`). The inverted-index shape: explode to (hash, doc)
+    * pairs, one hash-partitioned doc-frequency aggregate (map-side partials
+    * apply — shingles are distinct per doc by construction), an equi-join
+    * back on the hash, and a per-doc count aggregate. Nothing broadcasts;
+    * both shuffles key on the shingle hash, which Zipf skews mildly but
+    * bounded (a shingle's row count = its doc frequency). The fraction is a
+    * division of exact small integers — bit-identical across engines. */
+  def dupNgramFraction(s: SparkSession, dir: String, minDf: Int = 5): DataFrame = {
+    import s.implicits._
+    val d = Tables.documentsSpread(s, dir)
+      .filter(size(toks($"text")) >= 3)
+      .select($"doc_id",
+        explode(transform(shingles($"text", 3), x => xxhash64(x))).as("h"))
+    val freq = d.groupBy($"h").agg(count(lit(1)).as("df"))
+    d.join(freq, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_shingles", $"n_dup",
+        ($"n_dup".cast("double") / $"n_shingles").as("dup_frac"))
+  }
+
+  private val dupNgramFractionSql =
+    """WITH d AS (
+      |  SELECT doc_id, unnest(
+      |    list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |f AS (SELECT g, count(*) AS df FROM d GROUP BY g)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         / CAST(count(*) AS DOUBLE) AS dup_frac
+      |FROM d JOIN f USING (g) GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_filter" -> ((s, d) => sourceFilter(s, d)),
     "q_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "q_ingest_report" -> ((s, d) => ingestReport(s, d)),
     "q_stream_ingest_report" -> ((s, d) => streamIngestReport(s, d)),
+    "q_dup_ngram_frac" -> ((s, d) => dupNgramFraction(s, d)),
     "q_pack_windows" -> ((s, d) => packWindows(s, d)),
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -942,6 +982,7 @@ object CurationOps {
     "q_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),
     // same SQL: running the near-dup stage as a stream must not change the report
     "q_stream_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),
+    "q_dup_ngram_frac" -> dupNgramFractionSql,
     "q_split_traintest" -> trainTestSplitSql,
     "q_pack_windows" -> packWindowsSql,
     "q_decontaminate" -> decontaminateSql,

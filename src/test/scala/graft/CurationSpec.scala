@@ -317,6 +317,32 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("duplicated n-gram fraction: bounded, and exact for a hand-checked doc") {
+    import spark.implicits._
+    val out = operators.CurationOps.dupNgramFraction(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, d, f) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup"),
+        r.getAs[Double]("dup_frac"))
+      assert(d >= 0 && d <= n && math.abs(f - d.toDouble / n) < 1e-15)
+    }
+    // independent recount for one doc: its shingles' doc frequencies
+    val id = out.head.getAs[Long]("doc_id")
+    def sh(text: String): Set[String] = {
+      val t = text.trim.split("\\s+")
+      (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val all = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().filter(_._2.trim.split("\\s+").length >= 3)
+    val dfByShingle = all.flatMap { case (i, t) => sh(t).map(_ -> i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val mine = sh(all.find(_._1 == id).get._2)
+    val wantDup = mine.count(g => dfByShingle(g) >= 5).toLong
+    val got = out.find(_.getAs[Long]("doc_id") == id).get
+    assert(got.getAs[Long]("n_shingles") == mine.size.toLong)
+    assert(got.getAs[Long]("n_dup") == wantDup)
+  }
+
   test("length buckets: partition the corpus, non-negative exact padding waste") {
     val out = operators.CurationOps.lengthBuckets(spark, sf).collect()
     val valid = Set(16, 32, 64, 128, 256, 512)
