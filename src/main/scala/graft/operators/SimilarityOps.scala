@@ -629,10 +629,32 @@ object SimilarityOps {
           .as("noise_frac"))
   }
 
+  /** The positives half of contrastive pair mining (besides
+    * [[hardNegatives]]): per query vector, the top-k most-similar SAME-label
+    * candidates (self excluded) — anchor/positive pairs for a contrastive
+    * objective. Identical scale shape: bounded broadcast query slice,
+    * label-equality predicate at the join, codegen cosine, map-side top-k. */
+  def positivePairs(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"label".as("qlabel"))
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"), $"label".as("clabel"))
+    val scored = c.join(broadcast(q),
+        $"clabel" === $"qlabel" && $"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id", $"qlabel".as("label"),
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"cand_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sparse_cosine" -> ((s, d) => sparseCosinePairs(s, d)),
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
     "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
+    "q_positive_pairs" -> ((s, d) => positivePairs(s, d)),
     "q_label_noise" -> ((s, d) => labelNoise(s, d)),
     "q_knn_topk_agg" -> ((s, d) => knnTopKAgg(s, d)),
     "q_knn_lsh" -> ((s, d) => knnLsh(s, d)),
@@ -657,6 +679,17 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "q_sparse_cosine" -> sparseCosineSql,
     "q_knn_topk_agg" -> knnOracleSql,
+    "q_positive_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.label AS label,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.label = c.label
+        |                    AND q.vec_id <> c.vec_id)
+        |SELECT query_id, cand_id, label, cos_sim,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
     "q_label_noise" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |scored AS (

@@ -92,6 +92,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("positive pairs: same label as the query, never the query itself") {
+    import spark.implicits._
+    val pp = operators.SimilarityOps.positivePairs(spark, sf, k = 5, nQueries = 4)
+    val rows = pp.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getAs[Long]("cand_id") != r.getAs[Long]("query_id")))
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("cand_id")) == labels(r.getAs[Long]("query_id")))
+      assert(r.getAs[Int]("label") == labels(r.getAs[Long]("query_id")))
+    }
+  }
+
   test("label noise: one row per audited vector, fractions bounded and consistent") {
     val ln = operators.SimilarityOps.labelNoise(spark, sf, k = 10, nEval = 20)
     val rows = ln.collect()
