@@ -326,7 +326,7 @@ object AnalyticsOps {
       |  SELECT user_id, island, min(st) AS ist, max(en) AS ien
       |  FROM isl GROUP BY 1, 2)
       |SELECT user_id, count(*) AS n_islands,
-      |       sum(ien - ist) AS covered_s
+      |       CAST(sum(ien - ist) AS BIGINT) AS covered_s
       |FROM m GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -625,8 +625,11 @@ object SimilarityOps {
       .filter($"rank" <= k)
       .groupBy($"query_id", $"qlabel")
       .agg(sum(when($"clabel" =!= $"qlabel", 1).otherwise(0)).as("n_disagree"),
-        (sum(when($"clabel" =!= $"qlabel", 1).otherwise(0)).cast("double") / k)
-          .as("noise_frac"))
+        // divide by the ACTUAL neighbor count, not the literal k: on a
+        // fixture (or audit slice) with fewer than k other vectors the
+        // fraction stays a true fraction instead of being understated
+        (sum(when($"clabel" =!= $"qlabel", 1).otherwise(0)).cast("double")
+          / count(lit(1))).as("noise_frac"))
   }
 
   /** The positives half of contrastive pair mining (besides
@@ -703,8 +706,9 @@ object SimilarityOps {
         |                            ORDER BY cos_sim DESC, cand_id) AS rank
         |  FROM scored QUALIFY rank <= 10)
         |SELECT query_id, qlabel,
-        |       sum(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS n_disagree,
-        |       sum(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) / 10.0 AS noise_frac
+        |       CAST(sum(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+        |       CAST(sum(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS noise_frac
         |FROM nn GROUP BY 1, 2""".stripMargin,
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

@@ -53,7 +53,7 @@ object TokenizerOps {
       |p AS (
       |  SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair, n
       |  FROM wf)
-      |SELECT pair, sum(n) AS n_occ FROM p GROUP BY pair
+      |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ FROM p GROUP BY pair
       |ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin
 
   /** Greedy BPE merge training, `rounds` iterations: each round counts

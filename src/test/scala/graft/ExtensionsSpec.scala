@@ -121,10 +121,13 @@ class ExtensionsSpec extends AnyFunSuite {
   test("incremental dedup: batch-sized output, verdicts consistent with counts") {
     import spark.implicits._
     val out = operators.DedupOps.incrementalDedup(spark, sf).collect()
-    val nDocs = graft.Tables.documents(spark, sf).count()
-    // output is exactly the new batch (top 20% of the id space)
-    assert(out.length.toLong == nDocs - ((nDocs - 1 + 1) * 4) / 5 ||
-      out.length > 0) // id space may have gaps; at minimum non-empty
+    // output is EXACTLY the new batch: every doc at or above the id cut,
+    // counted from the fixture itself (robust to gaps in the id space)
+    val mxId = graft.Tables.documents(spark, sf).agg(max($"doc_id")).as[Long].head()
+    val batchCut = (mxId + 1) * 4 / 5
+    val expectedBatch = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" >= batchCut).count()
+    assert(out.length.toLong == expectedBatch)
     out.foreach { r =>
       val (ne, nn, v) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_near"),
         r.getAs[String]("verdict"))

@@ -25,6 +25,25 @@ def norm(cols, rows):
     out.sort()
     return [cols[i] for i in order], out
 
+def lint_types(name, arrow_tbl, spark_types):
+    """Reject oracle output types the driver's hash canonicalization treats
+    differently from Spark's even when values are equal. DuckDB leaves
+    sum(BIGINT) as HUGEINT (arrow decimal128) unless cast — this shipped
+    red driver hashes in rounds 1, 5 and 6 (q_bpe_pairs, q_interval_coverage,
+    q_label_noise) while the value-compare below stayed green. Everything
+    must land as int/float/string/bool/timestamp/date/list, never decimal."""
+    errs = []
+    for field in arrow_tbl.schema:
+        t = str(field.type)
+        if t.startswith("decimal"):
+            errs.append(f"oracle column '{field.name}' is {t} "
+                        f"(uncast sum()? wrap in CAST(... AS BIGINT/DOUBLE))")
+        st = spark_types.get(field.name)
+        if st is not None and st != t and not t.startswith("decimal"):
+            # informational: driver may still canonicalize these equal
+            print(f"LINT    {name}: column '{field.name}' spark={st} oracle={t}")
+    return errs
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -38,13 +57,22 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            gcols = [d[0] for d in con.description]
-            exp = con.execute(sql).fetchall()
-            ecols = [d[0] for d in con.description]
+            gtbl = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").arrow()
+            got = [tuple(r.values()) for r in gtbl.to_pylist()]
+            gcols = gtbl.schema.names
+            etbl = con.execute(sql).arrow()
+            exp = [tuple(r.values()) for r in etbl.to_pylist()]
+            ecols = etbl.schema.names
         except Exception as e:
             print(f"ERROR   {name}: {type(e).__name__}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        spark_types = {f.name: str(f.type) for f in gtbl.schema}
+        type_errs = lint_types(name, etbl, spark_types)
+        if type_errs:
+            for msg in type_errs:
+                print(f"FAIL    {name}: {msg}")
             n_fail += 1
             continue
         gc, gr = norm(gcols, got)
