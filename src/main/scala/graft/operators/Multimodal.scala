@@ -8,17 +8,23 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus feature-extraction passes (driver
   * mandate; SURVEY.md §7 Phase 6).
   *
-  * Two tiers:
-  *  - `blobFeatures`: byte-level statistics with a STUB decode body (clearly
-  *    marked below) — the plumbing template for codecs this container lacks
-  *    (JPEG/PNG/MP3 need native libs);
-  *  - `imageDecode` / `audioDecode`: REAL codecs for two headerful formats
-  *    that need no external libs — 24-bit BMP and 16-bit PCM WAV. The
+  * Three REAL codecs, none needing external libs:
+  *  - `blobFeatures`: 8-bit truecolor PNG — full chunk walk with per-chunk
+  *    CRC32 verification, IHDR parse, multi-IDAT zlib inflate
+  *    (`java.util.zip.Inflater` — zlib ships in the JDK), and scanline
+  *    unfiltering across all five PNG filter types (None/Sub/Up/Average/
+  *    Paeth). The encoder applies a different filter per row, so the
+  *    decoder's reconstruction paths are all exercised on every image.
+  *  - `imageDecode` / `audioDecode`: 24-bit BMP and 16-bit PCM WAV — the
   *    payloads are genuine well-formed files (written by `encodeBmp` /
   *    `encodeWav` from deterministic doc-derived pixels/samples) and the
   *    decoders parse the actual headers (magic, dimensions, sample counts)
-  *    and payload bytes. Header fields are oracle-checked; channel/sample
-  *    statistics are round-trip-asserted in ScalaTest.
+  *    and payload bytes.
+  * Header fields AND channel means are oracle-checked for PNG (the means
+  * survive only if inflate+unfilter reproduce the exact pixels); BMP/WAV
+  * header fields are oracle-checked with stats round-trip-asserted in
+  * ScalaTest. Formats that genuinely need native libs (JPEG/MP3) are out of
+  * scope — their plumbing shape is identical to these three.
   *
   * All decode work runs in `mapPartitions` — one decoder context per
   * partition, streaming over rows — the batch shape a Python stack would
@@ -29,10 +35,12 @@ object Multimodal {
   /** Raw payload row fed to the decoder. */
   final case class BlobRow(doc_id: Long, payload: Array[Byte], fmt: String)
 
-  /** Typed features produced per payload. */
-  final case class BlobFeatures(
-      doc_id: Long, n_bytes: Int, fmt: String,
-      mean_byte: Double, max_byte: Int, checksum: Long)
+  /** Features decoded from a PNG payload: IHDR header fields + per-channel
+    * pixel means (exact integer sum / pixel count — one IEEE division, so
+    * bit-identical across engines with no rounding step). */
+  final case class PngFeatures(
+      doc_id: Long, img_w: Int, img_h: Int, bit_depth: Int, color_type: Int,
+      n_pixels: Int, mean_r: Double, mean_g: Double, mean_b: Double)
 
   /** Attach a binary payload + typed metadata struct to each document.
     * The payload is the utf-8 encoding of the text (a deterministic stand-in
@@ -58,43 +66,214 @@ object Multimodal {
       $"meta.img_w", $"meta.img_h", $"meta.fmt")
   }
 
-  /** Batch feature extraction over binary payloads via `mapPartitions`: one
-    * decoder instance per partition (where a real codec would be initialized
-    * once), streaming over rows without materializing the partition.
-    *
-    * ===== STUB =====
-    * `decodeFeatures` stands in for the real image/audio decode (no codec
-    * libs in this container). It is deterministic byte arithmetic so tests
-    * and the driver's rows-only check are stable. A real implementation
-    * swaps only the body of `decodeFeatures`.
-    */
-  def blobFeatures(s: SparkSession, dir: String): Dataset[BlobFeatures] = {
-    import s.implicits._
-    val blobs = withBlobs(s, dir)
-      .select($"doc_id", $"payload", $"meta.fmt".as("fmt"))
-      .as[BlobRow]
-    blobs.mapPartitions { rows =>
-      // per-partition decoder init would go here
-      rows.map { r => decodeFeatures(r) }
-    }
+  // ===== real PNG codec (zlib via java.util.zip — no external libs) =====
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** PNG Paeth predictor (filter type 4), verbatim from the public spec:
+    * pick whichever of left/up/upper-left is closest to left+up−upperLeft,
+    * ties broken left, then up. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** STUB decode: deterministic per-byte statistics standing in for pixel /
-    * sample decoding. */
-  private def decodeFeatures(r: BlobRow): BlobFeatures = {
-    val bytes = r.payload
-    var sum = 0L; var max = 0; var checksum = 0L
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xFF
-      sum += b
-      if (b > max) max = b
-      checksum = (checksum << 5) ^ (checksum >>> 59) ^ b
-      i += 1
+  /** One PNG chunk: 4-byte big-endian length, 4-byte type, data, CRC32 over
+    * type+data. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(12 + data.length) // BE default
+    out.putInt(data.length).put(tb).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(tb); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** REAL PNG writer (8-bit truecolor, colour type 2): signature + IHDR +
+    * zlib-deflated filtered scanlines in TWO IDAT chunks (the spec allows
+    * any split and real encoders emit many — forces the reader to
+    * concatenate) + IEND. Each row is filtered with type `row % 5`, so the
+    * full None/Sub/Up/Average/Paeth reconstruction matrix is exercised by
+    * every image taller than 4 rows. */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // colour type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, none
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xFF
+        val left = if (x >= 3) rgb(y * stride + x - 3) & 0xFF else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= 3) rgb((y - 1) * stride + x - 3) & 0xFF else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
     }
-    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-    BlobFeatures(r.doc_id, bytes.length, r.fmt,
-      math.rint(mean * 1e6) / 1e6, max, checksum)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val cbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val comp = cbuf.toByteArray
+    val cut = comp.length / 2
+    val chunks = Array(
+      pngChunk("IHDR", ihdr.array()),
+      pngChunk("IDAT", java.util.Arrays.copyOfRange(comp, 0, cut)),
+      pngChunk("IDAT", java.util.Arrays.copyOfRange(comp, cut, comp.length)),
+      pngChunk("IEND", Array.emptyByteArray))
+    val out = java.nio.ByteBuffer.allocate(8 + chunks.map(_.length).sum)
+    out.put(pngSig); chunks.foreach(out.put)
+    out.array()
+  }
+
+  /** REAL PNG parser: validates the 8-byte signature, walks chunks with
+    * per-chunk CRC32 verification and Long-arithmetic bounds checks (a
+    * hostile length can't overflow past the payload), parses IHDR,
+    * concatenates every IDAT, inflates the zlib stream to the exact
+    * filtered-scanline size, and unfilters all five filter types. Malformed
+    * input — bad magic, truncation, CRC corruption, over/under-sized IDAT,
+    * unknown filter — fails with a diagnosable IllegalArgumentException,
+    * never an index error or a hang. Ancillary chunks are skipped, per spec.
+    * Returns (w, h, bitDepth, colorType, top-down RGB pixels). */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8, s"truncated PNG: ${bytes.length} bytes")
+    var i = 0
+    while (i < 8) {
+      require(bytes(i) == pngSig(i), "not a PNG (bad signature)"); i += 1
+    }
+    val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    var pos = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 8 <= bytes.length && !seenIend) {
+      val len = buf.getInt(pos)
+      require(len >= 0 && pos + 12L + len <= bytes.length,
+        s"corrupt PNG chunk len=$len at $pos in ${bytes.length} bytes")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
+        s"PNG chunk '$typ' CRC mismatch at $pos")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"bad IHDR length $len")
+          w = buf.getInt(pos + 8); h = buf.getInt(pos + 12)
+          bitDepth = bytes(pos + 16) & 0xFF
+          colorType = bytes(pos + 17) & 0xFF
+          require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
+          require(bitDepth == 8 && colorType == 2,
+            s"unsupported bitDepth=$bitDepth colorType=$colorType " +
+              "(8-bit truecolor only)")
+          require((bytes(pos + 18) & 0xFF) == 0 && (bytes(pos + 19) & 0xFF) == 0
+            && (bytes(pos + 20) & 0xFF) == 0,
+            "unsupported compression/filter/interlace method")
+          require(h.toLong * (1 + w.toLong * 3) <= Int.MaxValue,
+            s"PNG dims ${w}x$h overflow the pixel buffer")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunk — skip
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr && seenIend, "missing IHDR/IEND chunk")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var off = 0
+    var stalled = false
+    while (!infl.finished() && off < raw.length && !stalled) {
+      val n = infl.inflate(raw, off, raw.length - off)
+      if (n == 0 && !infl.finished()) stalled = true // truncated/garbled
+      off += n
+    }
+    require(off == raw.length,
+      s"IDAT inflated to $off bytes, expected ${raw.length}")
+    val scratch = new Array[Byte](1)
+    require(infl.finished() || infl.inflate(scratch) == 0,
+      "IDAT stream longer than the declared image")
+    infl.end()
+    val rgb = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + stride)) & 0xFF
+      require(f <= 4, s"bad PNG filter type $f on row $y")
+      var x = 0
+      while (x < stride) {
+        val v = raw(y * (1 + stride) + 1 + x) & 0xFF
+        val left = if (x >= 3) rgb(y * stride + x - 3) & 0xFF else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= 3) rgb((y - 1) * stride + x - 3) & 0xFF else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case _ => v + paeth(left, up, ul)
+        }
+        rgb(y * stride + x) = (recon & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, bitDepth, colorType, rgb)
+  }
+
+  /** documents → real PNG payloads → full decode (CRC walk, inflate,
+    * unfilter) → header fields + per-channel means, one codec pass per
+    * partition. Every output column is oracle-checked: the dims come from
+    * the shared `imgDims` formula and the channel means are exact integer
+    * sums over the doc-derived pixels, which DuckDB restates directly from
+    * the text — so a bug anywhere in deflate→inflate or filter→unfilter
+    * changes the means and breaks the hash. (Formerly the repo's one stub;
+    * now the third real codec beside BMP and WAV.) */
+  def blobFeatures(s: SparkSession, dir: String): Dataset[PngFeatures] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nChars) =>
+          val (w, h) = imgDims(nChars)
+          val png = encodePng(w, h, cycled(text.getBytes("UTF-8"), w * h * 3))
+          val (dw, dh, bd, ct, rgb) = decodePng(png)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          val n = dw * dh
+          while (p < n) {
+            sr += rgb(p * 3) & 0xFF
+            sg += rgb(p * 3 + 1) & 0xFF
+            sb += rgb(p * 3 + 2) & 0xFF
+            p += 1
+          }
+          PngFeatures(id, dw, dh, bd, ct, n,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
   }
 
   // ===== real BMP / WAV codecs (no external libs needed) =====
@@ -471,6 +650,27 @@ object Multimodal {
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |       round(sqrt(sumsq / flen), 6) AS frame_rms
         |FROM r""".stripMargin,
-    // q_blob_features: rows-only (stubbed decoder — byte stats only)
+    // the full PNG encode→decode round trip restated: pixels are the
+    // cycled document bytes (ASCII fixture ⇒ unicode() = byte), channel c
+    // of pixel p is byte (3p+c) mod len — integer sums are exact, and the
+    // single sum/count division is one IEEE op on both engines. The hash
+    // matches only if deflate→inflate and filter→unfilter are identities.
+    "q_blob_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS l,
+        |         CAST(4 + n_chars % 13 AS INTEGER) AS w,
+        |         CAST(4 + n_chars % 11 AS INTEGER) AS h
+        |  FROM documents)
+        |SELECT doc_id, w AS img_w, h AS img_h,
+        |       CAST(8 AS INTEGER) AS bit_depth,
+        |       CAST(2 AS INTEGER) AS color_type,
+        |       CAST(w * h AS INTEGER) AS n_pixels,
+        |       CAST(list_sum([unicode(text[((3*p) % l) + 1 : ((3*p) % l) + 1])
+        |                      for p in range(0, w*h)]) AS DOUBLE) / (w*h) AS mean_r,
+        |       CAST(list_sum([unicode(text[((3*p+1) % l) + 1 : ((3*p+1) % l) + 1])
+        |                      for p in range(0, w*h)]) AS DOUBLE) / (w*h) AS mean_g,
+        |       CAST(list_sum([unicode(text[((3*p+2) % l) + 1 : ((3*p+2) % l) + 1])
+        |                      for p in range(0, w*h)]) AS DOUBLE) / (w*h) AS mean_b
+        |FROM d""".stripMargin,
   )
 }

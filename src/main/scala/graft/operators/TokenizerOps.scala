@@ -79,6 +79,17 @@ object TokenizerOps {
     * round-1-equals-`bpePairs`-top-1 invariant. */
   def bpeTrain(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
     import s.implicits._
+    trainMergesImpl(s, dir, rounds).toDF("round", "left", "right", "n_occ")
+  }
+
+  /** The trainer's core, returning the learned rules as a driver-side Seq
+    * (bounded: `rounds` rows — the vocabulary is tiny by construction; the
+    * corpus-scale work stays in the per-round pair-count shuffles). Shared
+    * by [[bpeTrain]] (rule table as a DataFrame) and [[bpeTrainEncode]]
+    * (rules feed the encoder as literals). */
+  private def trainMergesImpl(s: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
     var seqs = wordFreq(s, dir)
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), $"n")
@@ -115,7 +126,7 @@ object TokenizerOps {
       }
     }
     seqs.unpersist(false)
-    rules.result().toDF("round", "left", "right", "n_occ")
+    rules.result()
   }
 
   private def esc(sym: String): String =
@@ -155,20 +166,22 @@ object TokenizerOps {
     * by the SQL expression `inner` (a column name or lambda variable) —
     * shared by the registered query and the property test that hammers the
     * replace-vs-fold equivalence with pathological run-heavy tokens. */
-  private[graft] def perTokenCountSql(inner: String): String = {
+  private[graft] def perTokenCountSql(inner: String,
+      merges: Seq[(String, String)] = FixedMerges): String = {
     val sep = "\u0001"
     // frame: strip any stray separator chars, then "ab" -> ␟␟a␟␟b␟␟
     val framed = s"concat('$sep$sep', regexp_replace(replace($inner, '$sep', ''), " +
       s"'(.)', '$$1$sep$sep'))"
-    val merged = FixedMerges.foldLeft(framed) { case (acc, (l, r)) =>
+    val merged = merges.foldLeft(framed) { case (acc, (l, r)) =>
       s"replace($acc, '$sep${esc(l)}$sep$sep${esc(r)}$sep', '$sep${esc(l)}${esc(r)}$sep')"
     }
     s"(length($merged) - length(replace($merged, '$sep', ''))) div 2 - 1"
   }
 
-  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+  def bpeEncode(s: SparkSession, dir: String,
+      merges: Seq[(String, String)] = FixedMerges): DataFrame = {
     import s.implicits._
-    val perToken = perTokenCountSql("tk")
+    val perToken = perTokenCountSql("tk", merges)
     Tables.documentsSpread(s, dir)
       .select($"doc_id",
         expr(s"""aggregate(
@@ -179,12 +192,20 @@ object TokenizerOps {
                 |  0L, (acc, tk) -> acc + length(tk))""".stripMargin).as("n_char_symbols"))
   }
 
-  private val bpeEncodeSql = {
+  /** DuckDB single-quote escape (doubling) for learned symbols — the fixed
+    * table is plain letters, but trained merges come from corpus text. */
+  private def duckEsc(sym: String): String = sym.replace("'", "''")
+
+  /** The DuckDB restatement of [[bpeEncode]] for an arbitrary merge table —
+    * the same separator-framed replace cascade, so the learned table can be
+    * embedded as literals (the merges.txt-as-literals pattern). */
+  private def encodeSqlFor(merges: Seq[(String, String)]): String = {
     val sep = "chr(1)"
     val framed = s"concat($sep, $sep, regexp_replace(replace(tk, $sep, ''), " +
       s"'(.)', '\\1' || $sep || $sep, 'g'))"
-    val merged = FixedMerges.foldLeft(framed) { case (acc, (l, r)) =>
-      s"replace($acc, $sep || '$l' || $sep || $sep || '$r' || $sep, $sep || '$l$r' || $sep)"
+    val merged = merges.foldLeft(framed) { case (acc, (l, r)) =>
+      s"replace($acc, $sep || '${duckEsc(l)}' || $sep || $sep || '${duckEsc(r)}' || $sep, " +
+        s"$sep || '${duckEsc(l)}${duckEsc(r)}' || $sep)"
     }
     val perToken = s"(length($merged) - length(replace($merged, $sep, ''))) // 2 - 1"
     s"""WITH toks AS (
@@ -200,14 +221,41 @@ object TokenizerOps {
        |FROM toks""".stripMargin
   }
 
+  private val bpeEncodeSql = encodeSqlFor(FixedMerges)
+
+  /** The merge table learned by the most recent [[bpeTrainEncode]] run —
+    * lets `oracle` (a def, read by Verify AFTER the queries run) embed the
+    * learned rules as literals in the composed query's oracle SQL. */
+  @volatile private var lastTrainedMerges: Option[Seq[(String, String)]] = None
+
+  /** The composed tokenizer loop: TRAIN the merge table on the corpus, then
+    * ENCODE the corpus with the learned rules — the end-to-end shape a real
+    * pipeline runs (train tokenizer → tokenize corpus), closing the gap
+    * where the encoder only ever saw a fixed table. The learned rules reach
+    * the encoder as literal strings (exactly how a published merges.txt
+    * feeds production tokenizers), so the encode half stays row-local
+    * codegen `replace` arithmetic, and the oracle embeds the same literal
+    * rules — training is iterative (not SQL-expressible) but the
+    * composition's OUTPUT is still exactly hash-checked. */
+  def bpeTrainEncode(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    val merges = trainMergesImpl(s, dir, rounds).map { case (_, l, r, _) => (l, r) }
+    lastTrainedMerges = Some(merges)
+    bpeEncode(s, dir, merges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "q_bpe_train_encode" -> ((s, d) => bpeTrainEncode(s, d)),
   )
 
-  val oracle: Map[String, String] = Map(
+  /** A def, not a val: Verify dumps oracle SQL after running the queries,
+    * so the composed query's oracle can embed the just-learned merge table.
+    * If the composed query did not run this session there is nothing to
+    * restate — the entry is omitted (driver records rows-only). */
+  def oracle: Map[String, String] = Map(
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_encode" -> bpeEncodeSql,
-  )
+  ) ++ lastTrainedMerges.map(m => "q_bpe_train_encode" -> encodeSqlFor(m))
 }

@@ -148,14 +148,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(crossDup == flagged)
   }
 
-  test("blob features: deterministic stub decode, n_bytes matches payload") {
-    val f = operators.Multimodal.blobFeatures(spark, sf)
-    val bad = f.filter(col("n_bytes") <= 0 || col("mean_byte") <= 0)
-    assert(bad.count() == 0)
-    // run twice -> identical checksums (determinism)
-    val a = f.orderBy("doc_id").collect().map(_.checksum).toSeq
-    val b = operators.Multimodal.blobFeatures(spark, sf)
-      .orderBy("doc_id").collect().map(_.checksum).toSeq
-    assert(a == b)
+  test("blob features: real PNG decode, means agree with the BMP codec") {
+    val f = operators.Multimodal.blobFeatures(spark, sf).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.bit_depth == 8 && r.color_type == 2)
+      assert(r.n_pixels == r.img_w * r.img_h)
+      assert(r.mean_r >= 0 && r.mean_r <= 255)
+    }
+    // the PNG and BMP paths share imgDims + cycled pixel derivation, so the
+    // per-channel means must agree exactly — a cross-codec identity that
+    // fails if either round trip corrupts a single byte
+    val bmp = operators.Multimodal.imageDecode(spark, sf).collect()
+      .map(r => r.doc_id -> r).toMap
+    f.foreach { r =>
+      val b = bmp(r.doc_id)
+      assert(b.img_w == r.img_w && b.img_h == r.img_h)
+      // BMP path rounds to 6 dp; PNG path is the unrounded exact division
+      assert(math.abs(b.mean_r - r.mean_r) < 1e-6)
+      assert(math.abs(b.mean_g - r.mean_g) < 1e-6)
+      assert(math.abs(b.mean_b - r.mean_b) < 1e-6)
+    }
   }
 }

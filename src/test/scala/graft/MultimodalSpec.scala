@@ -143,4 +143,79 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(byDoc.size == nChars.size)
   }
+
+  test("PNG encode→decode is the identity on arbitrary pixels (property)") {
+    val gen = for {
+      w <- Gen.choose(1, 20)
+      h <- Gen.choose(1, 20) // h ≥ 5 exercises all five filter types
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    check(forAll(gen) { case (w, h, rgb) =>
+      val (dw, dh, bd, ct, out) = Multimodal.decodePng(Multimodal.encodePng(w, h, rgb))
+      dw == w && dh == h && bd == 8 && ct == 2 && out.sameElements(rgb)
+    })
+  }
+
+  test("PNG decoder rejects malformed payloads cleanly: no index errors, no hangs") {
+    val png = Multimodal.encodePng(7, 6, Array.tabulate(7 * 6 * 3)(i => (i * 37).toByte))
+
+    def diagnosable(body: => Any): Unit =
+      try { body; () } catch {
+        case _: IllegalArgumentException => () // the contract: require(...)
+        case t: Throwable => fail(s"non-diagnosable failure ${t.getClass}: ${t.getMessage}")
+      }
+    def failsWith(frag: String)(body: => Any): Unit =
+      try { body; fail(s"expected rejection mentioning '$frag'") } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+        case t: Throwable => fail(s"non-diagnosable failure ${t.getClass}: ${t.getMessage}")
+      }
+
+    // truncation at every prefix length — mid-signature, mid-chunk, mid-CRC
+    for (n <- 0 to png.length by 5) diagnosable(Multimodal.decodePng(png.take(n)))
+    // bad signature
+    failsWith("signature") {
+      val b = png.clone(); b(0) = 0x7F.toByte; Multimodal.decodePng(b)
+    }
+    // single-byte corruption inside the first IDAT's data — CRC must catch it
+    failsWith("CRC") {
+      val b = png.clone()
+      val idatPos = 8 + 12 + 13 // after signature + IHDR chunk
+      b(idatPos + 8) = (b(idatPos + 8) ^ 0x55).toByte
+      Multimodal.decodePng(b)
+    }
+    // hostile declared chunk length (points far past the payload)
+    failsWith("corrupt PNG chunk") {
+      val b = png.clone()
+      java.nio.ByteBuffer.wrap(b).putInt(8, Int.MaxValue)
+      Multimodal.decodePng(b)
+    }
+    // declared dims larger than the encoded stream: inflate comes up short
+    failsWith("inflated") {
+      val b = png.clone()
+      val buf = java.nio.ByteBuffer.wrap(b)
+      buf.putInt(8 + 8, 7).putInt(8 + 12, 600) // h: 6 → 600, re-CRC the IHDR
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 8 + 4, 4 + 13)
+      buf.putInt(8 + 8 + 13, crc.getValue.toInt)
+      Multimodal.decodePng(b)
+    }
+  }
+
+  test("PNG query means equal an independent per-doc pixel computation") {
+    val feats = Multimodal.blobFeatures(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(feats.length == docs.size)
+    feats.foreach { f =>
+      val (text, nChars) = docs(f.doc_id)
+      val (w, h) = (4 + (nChars % 13).toInt, 4 + (nChars % 11).toInt)
+      assert(f.img_w == w && f.img_h == h && f.n_pixels == w * h)
+      val src = text.getBytes("UTF-8")
+      var sr = 0L; var p = 0
+      while (p < w * h) { sr += src((3 * p) % src.length) & 0xFF; p += 1 }
+      assert(f.mean_r == sr.toDouble / (w * h), s"doc ${f.doc_id} mean_r")
+    }
+  }
 }

@@ -166,6 +166,46 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("bpe train→encode composition: corpus encoded with the LEARNED merges") {
+    import spark.implicits._
+    // the learned rules, via the trainer the previous tests already prove
+    // equal to an independent single-machine BPE on this fixture
+    val learned = operators.TokenizerOps.bpeTrain(spark, sf, rounds = 3).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(learned.length == 3)
+    def encodeLocal(tok: String): Long = {
+      var syms = tok.map(_.toString).toVector
+      learned.foreach { case (l, r) =>
+        var acc = Vector.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + r)
+          else acc = acc :+ x
+        }
+        syms = acc
+      }
+      syms.length.toLong
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = operators.TokenizerOps.bpeTrainEncode(spark, sf, rounds = 3)
+      .filter($"doc_id" < 20).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(got.keySet == docs.keySet && docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val want = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(encodeLocal).sum
+      assert(got(id) == want, s"doc $id: got=${got(id)} want=$want")
+    }
+    // the composed run publishes its learned table into the oracle map
+    // (Verify writes oracle_sql.json after the queries run)
+    val o = operators.TokenizerOps.oracle
+    assert(o.contains("q_bpe_train_encode"))
+    learned.foreach { case (l, r) =>
+      assert(o("q_bpe_train_encode").contains(s"'$l$r'"))
+    }
+  }
+
   // ---- interval coverage -------------------------------------------------
 
   test("interval coverage: bounds and exact check for one user") {
