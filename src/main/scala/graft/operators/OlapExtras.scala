@@ -14,6 +14,38 @@ import org.apache.spark.sql.types.DecimalType
 object OlapExtras {
   private val D2 = DecimalType(18, 2)
 
+  /** Variant shredding round trip (see the `q_variant_shredded` registry
+    * comment): write `parse_json(props)` as a SHREDDED variant parquet —
+    * typed subcolumns beside the binary — then read it back extracting the
+    * typed `$.k` subcolumn straight from the scan. At 100 TB this is the
+    * difference between decoding every variant binary per query and a plain
+    * pruned typed-column scan with parquet min/max pushdown; the write-side
+    * cost is paid once at ingest. Session configs are restored after the
+    * write so shredding stays an explicit per-sink choice, and the read-side
+    * push (`pushVariantIntoScan`) is left at its session default — the probe
+    * asserts the SHREDDED FILE enables it, not a session-wide override. */
+  def variantShredded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_variant_shred_" +
+      java.lang.ProcessHandle.current().pid()
+    val keys = Seq("spark.sql.variant.writeShredding.enabled",
+      "spark.sql.variant.inferShreddingSchema",
+      "spark.sql.variant.allowReadingShredded")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      keys.foreach(k => s.conf.set(k, "true"))
+      Tables.events(s, dir)
+        .select($"event_id", parse_json($"props").as("v"))
+        .write.mode("overwrite").parquet(tmp)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    s.read.parquet(tmp)
+      .select(variant_get($"v", "$.k", "int").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+  }
+
   /** SCD Type-2 dimension versioning: two deterministic snapshots of the
     * customer dimension (base at 2024-01-01; every 7th customer re-snapshot
     * at 2024-06-01 with a changed balance) merged into validity intervals —
@@ -388,6 +420,17 @@ object OlapExtras {
         .select(variant_get(parse_json($"props"), "$.k", "int").as("k"))
         .groupBy($"k").agg(count(lit(1)).as("n"))
     }),
+    // Variant SHREDDING — the 100 TB path for semi-structured columns:
+    // `q_variant_get` still binary-decodes every variant per extraction; here
+    // the variant is WRITTEN shredded (typed parquet subcolumns beside the
+    // binary, `spark.sql.variant.writeShredding` + inferred shredding
+    // schema) and the read pushes `variant_get` INTO the scan
+    // (`pushVariantIntoScan`), so the query reads only the typed `$.k`
+    // subcolumn — column pruning + min/max stats on JSON-born data, no
+    // per-row decode. Plan-asserted in OlapSpec (scan schema shows the
+    // shredded typed field, not a full variant decode); the oracle restates
+    // the identity round trip from the raw events JSON.
+    "q_variant_shredded" -> ((s, d) => variantShredded(s, d)),
     "q_date_arith" -> ((s, d) => {
       import s.implicits._
       Tables.orders(s, d).select(
@@ -464,6 +507,12 @@ object OlapExtras {
         |FROM o
         |GROUP BY GROUPING SETS ((yr, o_orderpriority), (yr), ())""".stripMargin,
     "q_variant_get" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    // shredded write → pushed read is an identity on $.k, so the oracle is
+    // the same restatement from the raw JSON (the roundtrip-oracle pattern
+    // of q_orc_roundtrip / q_dsv2_sink)
+    "q_variant_shredded" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "q_date_arith" ->

@@ -255,4 +255,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(plan.contains("md5"), plan.take(2000)) // exact check on hashes, not text
   }
+
+  test("variant shredding: extraction pushed into the scan as a typed subcolumn") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = operators.OlapExtras.variantShredded(spark, sf)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the parquet scan reads ONLY the shredded typed int subcolumn of the
+    // variant (field id 0 = $.k's typed_value) — not the variant binary
+    assert(plan.contains("struct<0:int>"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("variant_get"), plan.take(2000))
+    assert(!plan.contains("ReadSchema: struct<v:variant"), plan.take(2000))
+    // and the pushed read is an identity on $.k: same result as the
+    // decode-per-row formulation over the raw JSON
+    val got = df.collect().map(r => (r.get(0), r.getLong(1))).toSet
+    val want = graft.SparkEntry.queries("q_variant_get")(spark, sf)
+      .collect().map(r => (r.get(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
