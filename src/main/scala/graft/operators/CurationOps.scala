@@ -193,7 +193,7 @@ object CurationOps {
       .select($"doc_id", round(score, 6).as("bm25"))
   }
 
-  private val bm25Sql = {
+  private[operators] val bm25Sql = {
     val terms = Bm25Terms
     val dfSelects = terms.map(t =>
       s"CAST(sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")

@@ -653,8 +653,53 @@ object SimilarityOps {
       .filter($"rank" <= k)
   }
 
+  /** Hybrid-retrieval rank fusion (Reciprocal Rank Fusion, Cormack et al.
+    * SIGIR'09 — the standard way RAG stacks combine lexical and vector
+    * search): fuse the BM25 ranking ([[CurationOps.bm25Search]], the query's
+    * lexical form) with a cosine ranking against a query embedding (vec 0
+    * standing in for the encoded query, as elsewhere in the ANN tier) by
+    * `Σ 1/(k + rank)` over the lists each document appears in.
+    *
+    * Scale shape: each branch reduces to its top-`headN` via
+    * `TakeOrderedAndProject` — a DISTRIBUTED bounded reduction, the 100 TB
+    * substitute for a global ranking window — and only the two bounded
+    * heads (≤headN rows each) see a `row_number` window and the full-outer
+    * fusion join. Fusing heads, not full rankings, is also the semantics
+    * real systems run (retrieve top-100 from each engine, fuse). RRF scores
+    * are computed from integer ranks in a fixed term order, so Spark and
+    * DuckDB evaluate bit-identical doubles. */
+  def hybridRrf(s: SparkSession, dir: String, kRrf: Int = 60,
+      headN: Int = 100, topn: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    VectorOps.register(s)
+    val lexHead = CurationOps.bm25Search(s, dir)
+      .orderBy($"bm25".desc, $"doc_id").limit(headN)
+    val lex = lexHead.withColumn("lex_rank",
+        row_number().over(Window.orderBy($"bm25".desc, $"doc_id")).cast("int"))
+      .select($"doc_id", $"lex_rank")
+    val e = Tables.embeddings(s, dir)
+    val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val semHead = e.filter($"vec_id" =!= 0)
+      .join(broadcast(qv))
+      .select($"vec_id".as("doc_id"),
+        round(VectorOps.cosineSim($"embedding", $"qv"), 6).as("cos"))
+      .orderBy($"cos".desc, $"doc_id").limit(headN)
+    val sem = semHead.withColumn("sem_rank",
+        row_number().over(Window.orderBy($"cos".desc, $"doc_id")).cast("int"))
+      .select($"doc_id", $"sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"lex_rank", $"sem_rank",
+        (coalesce(lit(1.0) / ($"lex_rank" + kRrf), lit(0.0)) +
+          coalesce(lit(1.0) / ($"sem_rank" + kRrf), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id").limit(topn)
+      .select($"doc_id", $"lex_rank", $"sem_rank",
+        round($"rrf", 6).as("rrf_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sparse_cosine" -> ((s, d) => sparseCosinePairs(s, d)),
+    "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
     "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q_positive_pairs" -> ((s, d) => positivePairs(s, d)),
@@ -681,6 +726,30 @@ object SimilarityOps {
 
   val oracle: Map[String, String] = Map(
     "q_sparse_cosine" -> sparseCosineSql,
+    // the full two-branch fusion restated: BM25 CTE verbatim from
+    // q_bm25_search, cosine branch the q_knn_topk recipe, ranks from the
+    // same rounded scores, RRF from integer ranks (bit-identical doubles)
+    "q_hybrid_rrf" ->
+      s"""WITH bm AS (${CurationOps.bm25Sql}),
+         |lexh AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+         |lex AS (SELECT doc_id,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+         |        FROM lexh),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |semh AS (SELECT e.vec_id AS doc_id,
+         |         round(list_cosine_similarity(e.v, q.v), 6) AS cos
+         |         FROM emb e, (SELECT v FROM emb WHERE vec_id = 0) q
+         |         WHERE e.vec_id <> 0
+         |         ORDER BY cos DESC, doc_id LIMIT 100),
+         |sem AS (SELECT doc_id,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS sem_rank
+         |        FROM semh),
+         |f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, lex_rank, sem_rank,
+         |      coalesce(CAST(1 AS DOUBLE) / (lex_rank + 60), CAST(0 AS DOUBLE))
+         |      + coalesce(CAST(1 AS DOUBLE) / (sem_rank + 60), CAST(0 AS DOUBLE)) AS rrf
+         |      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, lex_rank, sem_rank, round(rrf, 6) AS rrf_score
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
     "q_knn_topk_agg" -> knnOracleSql,
     "q_positive_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

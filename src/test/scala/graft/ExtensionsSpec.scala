@@ -148,6 +148,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(crossDup == flagged)
   }
 
+  test("hybrid RRF fusion equals fusion recomputed from the two branch heads") {
+    import spark.implicits._
+    val out = operators.SimilarityOps.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getDouble(3)))
+    assert(out.length == 15)
+    // reconstruct the fusion from the branch outputs (each independently
+    // oracle-checked elsewhere): rank heads locally, fuse, take top-15
+    val lexRank = operators.CurationOps.bm25Search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    functions.VectorOps.register(spark)
+    val semRank = Tables.embeddings(spark, sf)
+      .filter($"vec_id" =!= 0)
+      .join(broadcast(Tables.embeddings(spark, sf).filter($"vec_id" === 0)
+        .select($"embedding".as("qv"))))
+      .select($"vec_id", round(functions.VectorOps.cosineSim($"embedding", $"qv"), 6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, c) => (-c, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val fusedWant = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+      val rrf = lexRank.get(id).map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+        semRank.get(id).map(r => 1.0 / (r + 60)).getOrElse(0.0)
+      (id, lexRank.get(id), semRank.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(15)
+      .map { case (id, l, s2, rrf) =>
+        (id, l, s2, BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(out.toSeq == fusedWant, s"got=${out.take(3).toSeq} want=${fusedWant.take(3)}")
+    // docs present in both heads must outrank a same-single-branch doc one
+    // rank worse in that branch (RRF monotonicity sanity)
+    assert(out.head._4 >= out.last._4)
+  }
+
   test("blob features: real PNG decode, means agree with the BMP codec") {
     val f = operators.Multimodal.blobFeatures(spark, sf).collect()
     assert(f.nonEmpty)
