@@ -39,6 +39,45 @@ object SimilarityOps {
       .filter($"rank" <= k)
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. NeurIPS'22: MRL
+    * embeddings are trained so a PREFIX of the dims is itself a usable
+    * embedding): rank candidates by cosine over only the first `subDims`
+    * dims and report, per query, how much of the full-dim exact top-k that
+    * cheap ranking recovers — the measurement that decides whether a
+    * deployment can ship 4× smaller vectors. At 100 TB the truncated scan
+    * reads/computes a quarter of the vector bytes; this audit is the
+    * bounded-query-slice shape of the ANN tier (broadcast ≤nQueries rows,
+    * map-side `WindowGroupLimit` top-k), and every number it emits —
+    * both rankings, the overlap, the recall fraction — is exactly
+    * restatable in DuckDB (list slicing + the q_knn_topk cosine recipe),
+    * unlike the probabilistic LSH/IVF recalls which are spec-bounded. */
+  def matryoshkaRecall(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, subDims: Int = 16): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"cand_id")
+    def topk(scored: DataFrame): DataFrame = scored
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .select($"query_id", $"cand_id")
+    val full = topk(c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim")))
+    val trunc = topk(c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        round(VectorOps.cosineSim(slice($"qv", 1, subDims),
+          slice($"cv", 1, subDims)), 6).as("cos_sim")))
+    full.join(trunc, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_kept"))
+      .join(q.select($"query_id"), Seq("query_id"), "right_outer")
+      .select($"query_id",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        (coalesce($"n_kept", lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** Deterministic ±1 hyperplane weights for plane `p`: a pure function of
     * (p, dim) — reproducible across runs, no RNG state to ship. */
   private def planeWeights(p: Int, dims: Int): Seq[Double] =
@@ -700,6 +739,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sparse_cosine" -> ((s, d) => sparseCosinePairs(s, d)),
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "q_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
     "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q_positive_pairs" -> ((s, d) => positivePairs(s, d)),
@@ -751,6 +791,31 @@ object SimilarityOps {
          |SELECT doc_id, lex_rank, sem_rank, round(rrf, 6) AS rrf_score
          |FROM f ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
     "q_knn_topk_agg" -> knnOracleSql,
+    // both rankings + the overlap + the recall fraction restated exactly:
+    // truncated cosine is list slicing, counts are small exact integers
+    "q_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |fs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |fr AS (SELECT query_id, cand_id,
+        |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+        |       FROM fs QUALIFY rank <= 5),
+        |ts AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.v[1:16], c.v[1:16]), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |tr AS (SELECT query_id, cand_id,
+        |       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+        |       FROM ts QUALIFY rank <= 5),
+        |kept AS (SELECT f.query_id, count(*) AS n
+        |         FROM fr f JOIN tr t USING (query_id, cand_id) GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        |       CAST(coalesce(k.n, 0) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(k.n, 0) AS DOUBLE) / 5 AS recall
+        |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+        |LEFT JOIN kept k ON q.vec_id = k.query_id""".stripMargin,
     "q_positive_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |scored AS (

@@ -182,6 +182,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.head._4 >= out.last._4)
   }
 
+  test("matryoshka recall: overlap equals the two explicit rankings' intersection") {
+    import spark.implicits._
+    val out = operators.SimilarityOps.matryoshkaRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length == 10)
+    // full-dim top-5 from the independently registered brute-force query
+    val full = operators.SimilarityOps.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    // truncated ranking recomputed explicitly: score rows via the same
+    // codegen cosine (its own correctness is property-tested), rank LOCALLY
+    functions.VectorOps.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val scored = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+      .join(broadcast(e.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))),
+        $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        round(functions.VectorOps.cosineSim(
+          slice($"qv", 1, 16), slice($"cv", 1, 16)), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val trunc = scored.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, cid, c) => (-c, cid) }.take(5).toSeq
+        .map { case (qid, cid, _) => (qid, cid) }
+    }.toSet
+    out.foreach { case (qid, nKept, recall) =>
+      val want = full.filter(_._1 == qid).intersect(trunc.filter(_._1 == qid)).size
+      assert(nKept == want.toLong, s"query $qid: $nKept != $want")
+      assert(recall == nKept.toDouble / 5)
+    }
+    // truncating 64→16 dims should lose SOMETHING somewhere (sanity that
+    // the audit measures a real effect, not a degenerate fixture)
+    assert(out.map(_._2).sum < 50)
+  }
+
   test("blob features: real PNG decode, means agree with the BMP codec") {
     val f = operators.Multimodal.blobFeatures(spark, sf).collect()
     assert(f.nonEmpty)
