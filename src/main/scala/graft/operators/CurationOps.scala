@@ -791,6 +791,62 @@ object CurationOps {
       |       CAST(sum(greatest(bucket - n_tok, 0)) AS BIGINT) AS padding_waste
       |FROM b GROUP BY bucket""".stripMargin
 
+  /** Temperature-based mixture reweighting (the mT5 / Pile recipe): source
+    * `i` is sampled proportionally to `n_tokens_i^alpha` — alpha < 1 flattens
+    * the natural distribution, upsampling small high-value corpora without
+    * letting any one giant source dominate the token budget. Emits, per
+    * source, the normalized sampling weight, the token allocation out of
+    * `budget`, and the implied epoch count over that source (alloc /
+    * n_tokens — how many times the source repeats; > 1 means upsampling).
+    *
+    * Scale: the corpus-sized work is ONE per-source token-count aggregate;
+    * everything after runs on the per-source table, which is bounded (a
+    * mixture has tens of corpora, not millions), so the single-partition
+    * windows below hold O(|sources|) rows — the same bounded-singleton
+    * discipline as the stats broadcasts. The `pow` sum is accumulated as a
+    * running window ORDER BY source on BOTH engines: float addition is
+    * order-sensitive, and a nondeterministic aggregate order could flip the
+    * last ulp under a rounding boundary. */
+  def temperatureMix(s: SparkSession, dir: String, alpha: Double = 0.7,
+      budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val run = Window.orderBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documentsSpread(s, dir)
+      .select($"source", size(toks($"text")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .withColumn("pw", pow($"n_tokens".cast("double"), alpha))
+      .withColumn("runsum", sum($"pw").over(run))
+      .withColumn("tot", max($"runsum").over(all))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"pw" / $"tot", 6).as("weight"),
+        round($"pw" / $"tot" * budget, 3).as("alloc_tokens"),
+        round($"pw" / $"tot" * budget / $"n_tokens", 6).as("epochs"))
+  }
+
+  private val temperatureMixSql =
+    """WITH d AS (
+      |  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |  FROM d GROUP BY 1),
+      |p2 AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS pw FROM per),
+      |p3 AS (SELECT *, sum(pw) OVER (ORDER BY source
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum
+      |       FROM p2),
+      |p4 AS (SELECT *, max(runsum) OVER () AS tot FROM p3)
+      |SELECT source, n_docs, n_tokens,
+      |       round(pw / tot, 6) AS weight,
+      |       round(pw / tot * 1000000, 3) AS alloc_tokens,
+      |       round(pw / tot * 1000000 / n_tokens, 6) AS epochs
+      |FROM p4""".stripMargin
+
   /** End-to-end ingest report for the newest batch: compose the round-6
     * stages the way the pipeline runs them — source-level filtering first
     * (cheapest, a broadcast of the tiny per-source decision table), then
@@ -957,6 +1013,7 @@ object CurationOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_filter" -> ((s, d) => sourceFilter(s, d)),
     "q_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
+    "q_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "q_ingest_report" -> ((s, d) => ingestReport(s, d)),
     "q_stream_ingest_report" -> ((s, d) => streamIngestReport(s, d)),
     "q_dup_ngram_frac" -> ((s, d) => dupNgramFraction(s, d)),
@@ -979,6 +1036,7 @@ object CurationOps {
   val oracle: Map[String, String] = Map(
     "q_source_filter" -> sourceFilterSql,
     "q_length_buckets" -> lengthBucketsSql,
+    "q_temperature_mix" -> temperatureMixSql,
     "q_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),
     // same SQL: running the near-dup stage as a stream must not change the report
     "q_stream_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),

@@ -358,4 +358,37 @@ class CurationSpec extends AnyFunSuite {
       assert(nt > 0 && nd > 0)
     }
   }
+
+  test("temperature mix: weights match a local alpha-power recompute exactly") {
+    val out = operators.CurationOps.temperatureMix(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("weight"), r.getAs[Double]("alloc_tokens"),
+        r.getAs[Double]("epochs"))).sortBy(_._1)
+    // local reference: same per-source counts, pow, and SAME source-ordered
+    // running sum (float addition order is part of the contract)
+    val nTok = Tables.documents(spark, sf).select("source", "text").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1).trim.split("\\s+").length.toLong).sum)
+      .toMap
+    assert(out.map(_._1).toSet == nTok.keySet)
+    val pw = nTok.toSeq.sortBy(_._1).map { case (src, n) => src -> math.pow(n.toDouble, 0.7) }
+    val tot = pw.map(_._2).foldLeft(0.0)(_ + _) // sequential, source order
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.zip(pw).foreach { case ((src, n, w, alloc, ep), (src2, p)) =>
+      assert(src == src2 && n == nTok(src))
+      assert(w == r6(p / tot), s"$src weight")
+      assert(alloc == r3(p / tot * 1000000L), s"$src alloc")
+      assert(ep == r6(p / tot * 1000000L / n), s"$src epochs")
+    }
+    // alpha < 1 flattens: the weight/token-share ratio must be HIGHER for
+    // smaller sources (upsampling) and lower for larger ones
+    val totTok = nTok.values.sum.toDouble
+    val ratios = out.map { case (src, n, w, _, _) => (n, w / (n / totTok)) }
+    val sorted = ratios.sortBy(_._1)
+    assert(sorted.head._2 >= sorted.last._2)
+    // weights sum to ~1 and allocations to ~the budget
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_._4).sum - 1000000.0) < 1.0)
+  }
 }
