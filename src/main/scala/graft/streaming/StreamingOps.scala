@@ -293,7 +293,41 @@ object StreamingOps {
     runToParquet(s, agg, "graft_quarantine")
   }
 
+  /** Streaming cardinality sketch: per-hour DISTINCT-user counts from an
+    * unbounded feed via `approx_count_distinct` (HLL++) in the windowed
+    * aggregation — the only way distinct counting scales on a stream (exact
+    * per-key distinct state grows with the key×user product; the HLL
+    * register array is fixed-size per window and merges across partitions
+    * and micro-batches). The drained estimates are then audited batch-side
+    * against the EXACT per-hour distinct counts — same compose-batch-
+    * around-the-drained-stream pattern as `q_stream_ingest_report` — and
+    * the query emits (hour, exact, within-5% flag). HLL is
+    * hash-deterministic, so the flag is stable across runs/partitionings
+    * and a drifting sketch breaks the oracle hash (the `q_approx_distinct`
+    * contract, streamed). */
+  def streamApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"window.start".as("hour_ts"), $"approx_users")
+    val est = runToParquet(s, agg, "graft_approx_distinct")
+    val exact = graft.Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"))
+      .agg(countDistinct($"user_id").as("exact_users"))
+    // relative 5% bound PLUS an absolute slack of 2: per-hour cardinalities
+    // here are tens, where the HLL++ sparse estimator's ±1-2 jitter exceeds
+    // 5% of the exact count — the standard small-count allowance (the pure
+    // 5% contract of q_approx_distinct holds at its thousands-scale groups)
+    exact.join(est, Seq("hour_ts"), "left")
+      .select($"hour_ts", $"exact_users",
+        (abs($"approx_users" - $"exact_users") <=
+          greatest(lit(2.0), lit(0.05) * $"exact_users")).as("hll_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_approx_distinct" -> ((s, d) => streamApproxDistinct(s, d)),
     "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
     "q_stream_quarantine" -> ((s, d) => streamQuarantine(s, d)),
     "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
@@ -305,6 +339,13 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact per-hour distincts + the TRUE flags: a lost micro-batch, a
+    // broken sketch merge, or estimate drift flips a flag and the hash
+    "q_stream_approx_distinct" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events GROUP BY 1""".stripMargin,
     // stream must not change the answer: same oracle as the batch quarantine
     "q_stream_quarantine" ->
       """SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n_rows

@@ -45,6 +45,19 @@ class StreamingMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream approx-distinct: every hour present, every HLL flag true") {
+    val out = streaming.StreamingOps.streamApproxDistinct(spark, sf).collect()
+    val nHours = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(out.length.toLong == nHours && nHours > 0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("exact_users") > 0)
+      // a lost micro-batch or broken sketch merge shows up here
+      assert(r.getAs[Boolean]("hll_ok"),
+        s"hour ${r.get(0)}: estimate drifted beyond bound from ${r.get(1)}")
+    }
+  }
+
   test("streaming quarantine equals the batch quarantine row-for-row") {
     val batch = operators.Relational.quarantineRead(spark, sf).collect()
       .map(r => r.getAs[Int]("n_regionkey") -> r.getAs[Long]("n_rows")).toMap
