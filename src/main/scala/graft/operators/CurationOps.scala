@@ -847,6 +847,48 @@ object CurationOps {
       |       round(pw / tot * 1000000 / n_tokens, 6) AS epochs
       |FROM p4""".stripMargin
 
+  /** Cross-source quality-score calibration: raw quality scores are not
+    * comparable across sources (different models, different length
+    * distributions), so production filters normalize each document's score
+    * to its PERCENTILE WITHIN ITS SOURCE and threshold on that — "drop the
+    * bottom 25% of every source" instead of one global cut that empties
+    * one source and passes all of another. Raw score here is the exact
+    * integer (n_tokens − n_stopwords); the percentile is
+    * `percent_rank()` over (source, (score, doc_id)) — distinct ordering
+    * keys make it the exact rational (rank−1)/(n−1), bit-identical across
+    * engines with no rounding step. One shuffle keyed on source; the
+    * per-source sort is the standard partition-keyed window shape. */
+  def scoreCalibrate(s: SparkSession, dir: String, cut: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val t = toks(lower($"text"))
+    val raw = (size(t) -
+      size(filter(t, x => x.isin(TextAnalysis.StopWords: _*)))).cast("long")
+    val w = Window.partitionBy($"source").orderBy($"raw_score", $"doc_id")
+    Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", raw.as("raw_score"))
+      .withColumn("pct", percent_rank().over(w))
+      .withColumn("keep", $"pct" >= cut)
+  }
+
+  private val scoreCalibrateSql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(tk) - len(list_filter(tk, x -> x IN
+      |           ('the','a','of','and','to','in','is','on','for','with')))
+      |           AS BIGINT) AS raw_score
+      |  FROM t)
+      |SELECT doc_id, source, raw_score,
+      |       percent_rank() OVER (PARTITION BY source
+      |                            ORDER BY raw_score, doc_id) AS pct,
+      |       percent_rank() OVER (PARTITION BY source
+      |                            ORDER BY raw_score, doc_id) >= 0.25 AS keep
+      |FROM sc""".stripMargin
+
   /** End-to-end ingest report for the newest batch: compose the round-6
     * stages the way the pipeline runs them — source-level filtering first
     * (cheapest, a broadcast of the tiny per-source decision table), then
@@ -1014,6 +1056,7 @@ object CurationOps {
     "q_source_filter" -> ((s, d) => sourceFilter(s, d)),
     "q_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "q_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
+    "q_score_calibrate" -> ((s, d) => scoreCalibrate(s, d)),
     "q_ingest_report" -> ((s, d) => ingestReport(s, d)),
     "q_stream_ingest_report" -> ((s, d) => streamIngestReport(s, d)),
     "q_dup_ngram_frac" -> ((s, d) => dupNgramFraction(s, d)),
@@ -1037,6 +1080,7 @@ object CurationOps {
     "q_source_filter" -> sourceFilterSql,
     "q_length_buckets" -> lengthBucketsSql,
     "q_temperature_mix" -> temperatureMixSql,
+    "q_score_calibrate" -> scoreCalibrateSql,
     "q_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),
     // same SQL: running the near-dup stage as a stream must not change the report
     "q_stream_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),

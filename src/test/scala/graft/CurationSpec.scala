@@ -391,4 +391,25 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
     assert(math.abs(out.map(_._4).sum - 1000000.0) < 1.0)
   }
+
+  test("score calibration: exact per-source percent_rank, bottom quartile dropped") {
+    val out = operators.CurationOps.scoreCalibrate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("raw_score"), r.getAs[Double]("pct"), r.getAs[Boolean]("keep")))
+    assert(out.length.toLong == Tables.documents(spark, sf).count())
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val n = rows.length
+      // exact (rank-1)/(n-1) percentiles under the deterministic
+      // (raw_score, doc_id) ordering — distinct keys, no tie ambiguity
+      val ranked = rows.sortBy { case (id, _, sc, _, _) => (sc, id) }.zipWithIndex
+      ranked.foreach { case ((_, _, _, pct, keep), i) =>
+        val want = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        assert(pct == want)
+        assert(keep == (pct >= 0.25))
+      }
+      // "drop the bottom quartile of EVERY source": each source keeps ~75%
+      val kept = rows.count(_._5)
+      assert(kept >= (n * 3) / 4 - 1 && kept <= n)
+    }
+  }
 }
