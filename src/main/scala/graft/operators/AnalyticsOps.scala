@@ -329,7 +329,47 @@ object AnalyticsOps {
       |       CAST(sum(ien - ist) AS BIGINT) AS covered_s
       |FROM m GROUP BY 1""".stripMargin
 
+  /** Per-entity EWMA (exponentially weighted moving average, α = 0.2) over
+    * each user's event-time-ordered `value` stream — the classic smoothing
+    * baseline behind anomaly detection and rate limiting. A recurrence
+    * (`ewma_t = α·v_t + (1−α)·ewma_{t−1}`) has no window-function form, so
+    * it runs as ONE shuffle keyed on user plus a row-local ordered fold:
+    * `sort_array(collect_list(struct(ts, event_id, value)))` then a
+    * higher-order `aggregate` seeded with the first value — per-ENTITY
+    * timeline state, the same boundedness argument as sessionization (an
+    * entity's history is bounded; the corpus of entities is what scales,
+    * and that dimension is partitioned). The fold order (ts, event_id) is
+    * total, and both engines evaluate the identical `acc·0.8 + x·0.2`
+    * sequence — DuckDB's `list_reduce` seeds with the first element
+    * exactly like the Spark fold, so the oracle is the same recurrence
+    * verbatim. */
+  def ewmaPerUser(s: SparkSession, dir: String, alpha: Double = 0.2): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("tl"))
+      .select($"user_id", $"n_events",
+        round(expr(
+          s"""aggregate(slice(transform(tl, x -> x.value), 2, size(tl) - 1),
+             |          element_at(tl, 1).value,
+             |          (acc, x) -> acc * ${1 - alpha}d + x * ${alpha}d)""".stripMargin),
+          6).as("ewma"))
+  }
+
+  private val ewmaSql =
+    """WITH tl AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n_events,
+      |       round(list_reduce(vals,
+      |             (acc, x) -> acc * CAST(0.8 AS DOUBLE)
+      |                       + x * CAST(0.2 AS DOUBLE)), 6) AS ewma
+      |FROM tl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> ((s, d) => ewmaPerUser(s, d)),
     "q_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "q_mode_user" -> ((s, d) => modePerUser(s, d)),
     "q_pareto" -> ((s, d) => paretoRevenue(s, d)),
@@ -341,6 +381,7 @@ object AnalyticsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ewma" -> ewmaSql,
     "q_edit_distance" -> editDistanceSql,
     "q_mode_user" -> modePerUserSql,
     "q_pareto" -> paretoRevenueSql,

@@ -102,4 +102,26 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(roll(d) >= n && roll(d) <= totalUsers, s"day=$d")
     }
   }
+
+  test("ewma per user equals a local time-ordered fold") {
+    import spark.implicits._
+    val out = operators.AnalyticsOps.ewmaPerUser(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma")))).toMap
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(out.keySet == events.map(_._1).toSet && out.nonEmpty)
+    events.groupBy(_._1).foreach { case (uid, rows) =>
+      val vals = rows.sortBy { case (_, ts, id, _) =>
+        (ts.toInstant.getEpochSecond, ts.getNanos, id) }.map(_._4)
+      val ewma = vals.tail.foldLeft(vals.head)((acc, x) => acc * 0.8 + x * 0.2)
+      val want = BigDecimal(ewma).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(uid)._1 == rows.length.toLong)
+      assert(out(uid)._2 == want, s"user $uid: ${out(uid)._2} != $want")
+      // smoothing keeps the average inside the observed value range
+      assert(out(uid)._2 >= vals.min - 1e-6 && out(uid)._2 <= vals.max + 1e-6)
+    }
+  }
 }
