@@ -165,11 +165,15 @@ object Forecast {
       .select($"l_returnflag", $"min_x", $"max_x",
         ($"sum_x" / $"n").as("mean_x"),
         sqrt(($"sum_xx" - $"sum_x" * $"sum_x" / $"n") / ($"n" - 1)).as("sd_x"))
+    // round(…, 6): the sum-of-squares exceeds 2^53 scaled units, so the
+    // exact DECIMAL→DOUBLE conversion can land one ulp apart across engines
+    // (observed at sf0.001; sf0.01 passed by rounding luck) — the repo's
+    // standard 6-dp absorption makes the hash SF-independent
     Tables.lineitem(s, dir)
       .join(broadcast(stats), "l_returnflag")
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
-        ((x - $"mean_x") / $"sd_x").as("z_score"),
-        ((x - $"min_x") / ($"max_x" - $"min_x")).as("minmax"))
+        round((x - $"mean_x") / $"sd_x", 6).as("z_score"),
+        round((x - $"min_x") / ($"max_x" - $"min_x"), 6).as("minmax"))
   }
 
   private val featureScaleSql =
@@ -180,8 +184,9 @@ object Forecast {
       |         min(l_extendedprice) AS min_x, max(l_extendedprice) AS max_x
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-      |       (l.l_extendedprice - sum_x / n) / sqrt((sum_xx - sum_x * sum_x / n) / (n - 1)) AS z_score,
-      |       (l.l_extendedprice - min_x) / (max_x - min_x) AS minmax
+      |       round((l.l_extendedprice - sum_x / n)
+      |             / sqrt((sum_xx - sum_x * sum_x / n) / (n - 1)), 6) AS z_score,
+      |       round((l.l_extendedprice - min_x) / (max_x - min_x), 6) AS minmax
       |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

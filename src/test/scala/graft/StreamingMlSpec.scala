@@ -256,8 +256,10 @@ class StreamingMlSpec extends AnyFunSuite {
       .agg(avg(col("z_score")).as("m"), stddev_samp(col("z_score")).as("sd"),
         min(col("minmax")).as("lo"), max(col("minmax")).as("hi"))
     z.collect().foreach { r =>
-      assert(math.abs(r.getAs[Double]("m")) < 1e-9)
-      assert(math.abs(r.getAs[Double]("sd") - 1.0) < 1e-9)
+      // z-scores are rounded to 6 dp at the source (cross-engine ulp
+      // absorption), so the group mean/sd carry up to ~5e-7 of rounding
+      assert(math.abs(r.getAs[Double]("m")) < 1e-6)
+      assert(math.abs(r.getAs[Double]("sd") - 1.0) < 1e-6)
       assert(r.getAs[Double]("lo") == 0.0 && r.getAs[Double]("hi") == 1.0)
     }
   }
