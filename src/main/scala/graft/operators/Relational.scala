@@ -274,6 +274,26 @@ object Relational {
         .limit(10)
     }),
     "q_dedup_append" -> ((s, d) => dedupAppend(s, d)),
+    // the ACID form of the same MERGE: snapshot-isolated manifest table
+    // (graft.sources.ManifestTable) — initial load, merge of the full
+    // batch, then a REPLAY that must be a committed no-op; final state
+    // read back from the manifest snapshot. Same oracle as q_dedup_append
+    // (the protocol must not change the answer).
+    "q_acid_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.count
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_acid_merge_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      graft.sources.ManifestTable.merge(s, tbl,
+        li.filter(col("l_orderkey") % 4 =!= 0), keys) // prior load
+      graft.sources.ManifestTable.merge(s, tbl, li, keys) // MERGE the batch
+      graft.sources.ManifestTable.merge(s, tbl, li, keys) // replay: no-op
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_cust_no_orders" -> ((s, d) => {
@@ -478,6 +498,8 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_dedup_append" -> dedupAppendSql,
+    // the ACID protocol must not change the MERGE's answer
+    "q_acid_merge" -> dedupAppendSql,
     "q1_pricing" -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_cust_no_orders" ->

@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal snapshot-isolated table format — the commit protocol that turns
+  * the emulated MERGE (anti-join + append, `Relational.dedupAppend`) into an
+  * ACID one, closing SURVEY §7 hard-part 5. The design is the lakehouse
+  * manifest pattern (Delta/Iceberg's core idea, reduced to its essentials):
+  *
+  *  - A table is a directory: `data/` holds immutable parquet files;
+  *    `manifest-v%08d.json` files each list the EXACT data files that make
+  *    up one committed snapshot.
+  *  - READERS resolve the highest manifest version once, then read only the
+  *    files it lists. Data files from in-flight or crashed writers are
+  *    orphans no manifest references — invisible by construction, so a
+  *    reader never sees a partial commit (snapshot isolation without locks).
+  *  - WRITERS stage data files under unique names (never overwriting), then
+  *    publish with a compare-and-swap: `Files.write(..., CREATE_NEW)` of
+  *    `manifest-v{N+1}` fails atomically if another writer already claimed
+  *    version N+1 — optimistic concurrency; the loser re-reads the new
+  *    snapshot and retries its reconciliation (for MERGE, the anti-join).
+  *  - Nothing is ever mutated or deleted on the write path, so a crash at
+  *    ANY point leaves the previous snapshot fully intact; replaying the
+  *    same batch is idempotent because the retry anti-joins against the
+  *    state that now includes it.
+  *
+  * At 100 TB the same layout holds: manifests are O(|files|) metadata (and
+  * would themselves be chunked past that), data moves are pure renames, and
+  * the one serialization point is a single small-file CREATE_NEW per commit
+  * — reconciliation work stays distributed. */
+object ManifestTable {
+
+  private def manifestPath(dir: String, v: Int): Path =
+    Paths.get(dir, f"manifest-v$v%08d.json")
+
+  /** Remove a table directory entirely (test/setup helper — the write path
+    * itself never deletes anything). */
+  def destroy(dir: String): Unit = {
+    val d = Paths.get(dir)
+    if (Files.exists(d)) {
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** Highest committed version, or -1 for an empty table. */
+  def currentVersion(dir: String): Int = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return -1
+    val vs = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
+        n.stripPrefix("manifest-v").stripSuffix(".json").toInt }
+      .toSeq
+    if (vs.isEmpty) -1 else vs.max
+  }
+
+  /** Data files of version `v` (relative names under `data/`). */
+  def listFiles(dir: String, v: Int): Seq[String] = {
+    if (v < 0) return Seq.empty
+    val body = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+    // one relative filename per line — no JSON library needed on the read path
+    body.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Snapshot read: resolve the current manifest once, scan only its files. */
+  def read(s: SparkSession, dir: String): DataFrame = {
+    val v = currentVersion(dir)
+    require(v >= 0, s"no committed snapshot in $dir")
+    val files = listFiles(dir, v).map(f => s"$dir/data/$f")
+    s.read.parquet(files: _*)
+  }
+
+  /** Atomically publish version `expected + 1` = `files`. True on success,
+    * false if another writer won the race (caller re-reads and retries). */
+  def commit(dir: String, files: Seq[String], expected: Int): Boolean = {
+    Files.createDirectories(Paths.get(dir, "data"))
+    val target = manifestPath(dir, expected + 1)
+    try {
+      Files.write(target, files.mkString("\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW) // atomic CAS: fails if v+1 exists
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  /** Stage `df` as immutable uniquely-named parquet files under `data/`
+    * WITHOUT publishing them — they stay invisible orphans until a manifest
+    * lists them. Returns the staged relative names. */
+  def stage(s: SparkSession, dir: String, df: DataFrame): Seq[String] = {
+    val tmp = s"$dir/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(tmp)
+    Files.createDirectories(Paths.get(dir, "data"))
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val parts = Files.list(Paths.get(tmp)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"$uuid-part-$i.parquet"
+      Files.move(p, Paths.get(dir, "data", name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    // remove the now-empty staging dir (best effort)
+    Files.list(Paths.get(tmp)).iterator().asScala.foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(Paths.get(tmp))
+    named
+  }
+
+  /** ACID MERGE WHEN NOT MATCHED THEN INSERT: anti-join `batch` against the
+    * CURRENT snapshot on `keyCols` (pre-hashed to two independent 64-bit
+    * keys — 16 bytes/row across the shuffle, `Relational.dedupAppend`'s
+    * scale recipe), stage only the fresh rows, and CAS-commit
+    * old-files + new-files. On a lost race the whole reconcile re-runs
+    * against the winner's snapshot, so concurrent merges serialize cleanly
+    * and a replayed batch is a no-op (fresh set becomes empty — committed
+    * as an empty delta to record the attempt, or skipped via
+    * `skipEmptyDelta`). */
+  def merge(s: SparkSession, dir: String, batch: DataFrame,
+      keyCols: Seq[String], skipEmptyDelta: Boolean = true,
+      maxRetries: Int = 10): Int = {
+    def k(seed: String, cols: Seq[Column]) =
+      if (seed.isEmpty) xxhash64(cols: _*) else xxhash64(lit(seed) +: cols: _*)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      val existing = listFiles(dir, v)
+      val cols = keyCols.map(batch.col)
+      val fresh =
+        if (v < 0) batch
+        else {
+          val cur = read(s, dir)
+          val curKeys = cur.select(
+            k("", keyCols.map(cur.col)).as("k1"),
+            k("graft_k2", keyCols.map(cur.col)).as("k2"))
+          batch.withColumn("k1", k("", cols)).withColumn("k2", k("graft_k2", cols))
+            .join(curKeys, Seq("k1", "k2"), "left_anti")
+            .drop("k1", "k2")
+        }
+      val staged =
+        if (skipEmptyDelta && fresh.isEmpty) Seq.empty[String]
+        else stage(s, dir, fresh)
+      if (staged.isEmpty && skipEmptyDelta) return v // idempotent no-op
+      if (commit(dir, existing ++ staged, v)) return v + 1
+      // lost the race: the staged files stay harmless orphans; re-reconcile
+      attempt += 1
+    }
+    throw new IllegalStateException(s"merge lost $maxRetries commit races in $dir")
+  }
+}
