@@ -66,9 +66,16 @@ object ManifestTable {
   }
 
   /** Snapshot read: resolve the current manifest once, scan only its files. */
-  def read(s: SparkSession, dir: String): DataFrame = {
-    val v = currentVersion(dir)
-    require(v >= 0, s"no committed snapshot in $dir")
+  def read(s: SparkSession, dir: String): DataFrame =
+    readVersion(s, dir, currentVersion(dir))
+
+  /** Time travel: read the table AS OF committed version `v`. Free with
+    * this layout — old manifests and the immutable files they list are
+    * never touched by later commits, so every historical snapshot stays
+    * exactly reconstructible until a (deliberate, out-of-band) vacuum. */
+  def readVersion(s: SparkSession, dir: String, v: Int): DataFrame = {
+    require(v >= 0 && Files.exists(manifestPath(dir, v)),
+      s"no committed snapshot v$v in $dir")
     val files = listFiles(dir, v).map(f => s"$dir/data/$f")
     s.read.parquet(files: _*)
   }

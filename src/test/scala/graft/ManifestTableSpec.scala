@@ -67,6 +67,25 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(n1 == li.count())
   }
 
+  test("time travel: every historical version stays exactly reconstructible") {
+    val dir = freshDir("tt")
+    val li = Tables.lineitem(spark, sf)
+    val prior = li.filter(col("l_orderkey") % 4 =!= 0)
+    ManifestTable.merge(spark, dir, prior, keys)      // v0
+    ManifestTable.merge(spark, dir, li, keys)         // v1
+    assert(ManifestTable.currentVersion(dir) == 1)
+    // v0 still reads as the pre-merge state, byte-for-byte row counts
+    assert(ManifestTable.readVersion(spark, dir, 0).count() == prior.count())
+    assert(ManifestTable.readVersion(spark, dir, 1).count() == li.count())
+    // and the v0 file list is a strict prefix of v1's (append-only commits)
+    val f0 = ManifestTable.listFiles(dir, 0)
+    val f1 = ManifestTable.listFiles(dir, 1)
+    assert(f1.startsWith(f0) && f1.length > f0.length)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(spark, dir, 7)
+    }
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
