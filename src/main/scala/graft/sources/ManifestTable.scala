@@ -113,6 +113,31 @@ object ManifestTable {
     named
   }
 
+  /** Retention vacuum — the deliberate, out-of-band cleanup the write path
+    * never does: retain the last `keepVersions` manifests, delete older
+    * manifests plus every data file no retained manifest references (which
+    * also collects orphans from crashed or race-losing writers). Deletion
+    * order is safe for concurrent readers of RETAINED versions: their
+    * manifest's files are all kept. Readers of vacuumed-away versions fail
+    * the explicit `readVersion` require, not with dangling file errors
+    * mid-scan — the same contract Delta/Iceberg document for vacuum
+    * horizons. Returns (#manifests, #data files) removed. */
+  def vacuum(dir: String, keepVersions: Int = 2): (Int, Int) = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"no committed snapshot in $dir")
+    val keepFrom = math.max(0, cur - keepVersions + 1)
+    val keepFiles = (keepFrom to cur).flatMap(listFiles(dir, _)).toSet
+    val droppedManifests = (0 until keepFrom)
+      .count(v => Files.deleteIfExists(manifestPath(dir, v)))
+    val dataDir = Paths.get(dir, "data")
+    val droppedFiles =
+      if (!Files.isDirectory(dataDir)) 0
+      else Files.list(dataDir).iterator().asScala
+        .filter(p => !keepFiles.contains(p.getFileName.toString))
+        .count(Files.deleteIfExists(_))
+    (droppedManifests, droppedFiles.toInt)
+  }
+
   /** ACID MERGE WHEN NOT MATCHED THEN INSERT: anti-join `batch` against the
     * CURRENT snapshot on `keyCols` (pre-hashed to two independent 64-bit
     * keys — 16 bytes/row across the shuffle, `Relational.dedupAppend`'s

@@ -86,6 +86,31 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum drops orphans and pre-horizon versions, retained reads intact") {
+    val dir = freshDir("vac")
+    val li = Tables.lineitem(spark, sf)
+    ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 4 === 1), keys) // v0
+    ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 4 <= 2), keys)  // v1
+    ManifestTable.merge(spark, dir, li, keys)                                     // v2
+    // plus an orphan from a "crashed" writer
+    ManifestTable.stage(spark, dir, li.limit(10))
+    val n1 = ManifestTable.readVersion(spark, dir, 1).count()
+    val n2 = ManifestTable.readVersion(spark, dir, 2).count()
+    val (dm, df) = ManifestTable.vacuum(dir, keepVersions = 2)
+    assert(dm == 1, "exactly v0's manifest dropped")
+    assert(df > 0, "the orphaned staged files must be collected")
+    // retained versions still read exactly
+    assert(ManifestTable.readVersion(spark, dir, 1).count() == n1)
+    assert(ManifestTable.readVersion(spark, dir, 2).count() == n2)
+    assert(ManifestTable.read(spark, dir).count() == li.count())
+    // the vacuumed-away version fails the explicit contract, not mid-scan
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(spark, dir, 0)
+    }
+    // a second vacuum is a no-op (idempotent)
+    assert(ManifestTable.vacuum(dir, keepVersions = 2) == ((0, 0)))
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
