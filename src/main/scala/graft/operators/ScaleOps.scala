@@ -391,7 +391,55 @@ object ScaleOps {
       |SELECT word, exact_n, TRUE AS cms_ge_exact, TRUE AS cms_bounded
       |FROM c ORDER BY exact_n DESC, word LIMIT 20""".stripMargin
 
+  /** Mergeable-sketch distinct counting across partitions: per-day HLL
+    * sketches of active users, UNIONED into a cross-window total.
+    *
+    * Distinct counts do NOT add — Σ(daily distinct users) wildly overcounts
+    * whenever users return (here 4k pair-days vs 150 true users) — yet
+    * re-scanning a 100 TB history for every rollup window is the thing a
+    * warehouse cannot afford. The production architecture is the one shown
+    * here: keep a fixed-KB Datasketches-HLL sketch PER PARTITION (day,
+    * source, shard — computed once, at ingest) and answer any distinct-over-
+    * any-window question by merging sketches — commutative, associative,
+    * duplicate-insensitive register-max, so the merge tree is partition- and
+    * retry-order independent, and the union costs |days|·KB, not a rescan.
+    *
+    * Oracle pattern: HLL estimates aren't SQL-restatable, so (like
+    * `q_approx_distinct` / `q_stream_approx_distinct`) the query emits the
+    * EXACT counts plus a boolean asserting the union estimate landed within
+    * 5% — hash-deterministic because the sketch hash is. Dedupe-first
+    * shape: (day, user) is made distinct BEFORE aggregating so the exact
+    * count and sketch share one already-collapsed input and mixing
+    * count-distinct with another aggregate can't plan an Expand. */
+  def sketchUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUser = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val daily = dayUser.groupBy($"day")
+      .agg(count(lit(1)).as("exact_daily"),
+        hll_sketch_agg($"user_id").as("sk"))
+    val exactAll = dayUser.select($"user_id").distinct()
+      .agg(count(lit(1)).as("exact_users"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      sum($"exact_daily").as("sum_daily"),
+      hll_sketch_estimate(hll_union_agg($"sk")).as("__est"))
+      .crossJoin(broadcast(exactAll))
+      .select($"n_days", $"sum_daily", $"exact_users",
+        (abs($"__est" - $"exact_users").cast("double") / $"exact_users" <= 0.05)
+          .as("union_within_5pct"))
+  }
+
+  private val sketchUnionSql =
+    """WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+      |SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |       CAST(count(*) AS BIGINT) AS sum_daily,
+      |       CAST((SELECT count(DISTINCT user_id) FROM dd) AS BIGINT) AS exact_users,
+      |       TRUE AS union_within_5pct
+      |FROM dd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_union" -> ((s, d) => sketchUnion(s, d)),
     "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q_weighted_sample" -> ((s, d) => weightedSample(s, d)),
@@ -406,6 +454,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sketch_union" -> sketchUnionSql,
     "q_cms_freq" -> cmsFreqSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_weighted_sample" -> weightedSampleSql,

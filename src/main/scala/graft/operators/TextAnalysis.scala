@@ -383,7 +383,53 @@ object TextAnalysis {
       |FROM bic b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok, tot t
       |WHERE b.n_pair >= 20""".stripMargin
 
+  /** The curation blocklist: token-delimited phrases whose presence flags a
+    * document (banned content, boilerplate markers). Includes overlapping
+    * patterns ("table scan" nests inside "slow table scan" — both must
+    * report) and never-matching entries (the automaton must not false-hit).
+    * Pipe-joined into a literal so the oracle can restate it verbatim. */
+  private[graft] val Blocklist: Seq[String] = Seq(
+    "slow scan", "table scan", "hash join", "slow query",
+    "fast merge", "sort merge", "slow table scan", "drop table")
+
+  /** Blocklist screening over the corpus: which banned phrases does each
+    * document contain, and is it kept or dropped?
+    *
+    * Scale shape: ONE Aho–Corasick DFA pass per document — O(|text|)
+    * regardless of blocklist size (see [[graft.functions.AhoCorasick]]) —
+    * versus the naive P-`contains` plan whose cost is O(|text|·P) and grows
+    * with every phrase added. No shuffle at all: the screen is row-local,
+    * runs inside WholeStageCodegen directly over the scan, and at 100 TB
+    * is a map-only stage that composes with any downstream filter
+    * (`verdict = 'keep'` prunes before anything expensive runs). */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.MultiMatch.register(s)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        graft.functions.MultiMatch.multiPhraseMatches($"text", Blocklist).as("blocked"))
+      .select($"doc_id", $"blocked",
+        when($"blocked" === "", lit(0))
+          .otherwise(size(split($"blocked", ","))).cast("int").as("n_blocked"))
+      .withColumn("verdict", when($"n_blocked" > 0, lit("drop")).otherwise(lit("keep")))
+  }
+
+  private val blocklistFilterSql = {
+    val lits = Blocklist.map(p => s"'$p'").mkString(", ")
+    s"""WITH bl AS (SELECT unnest([$lits]) AS ph),
+       |m AS (SELECT d.doc_id, b.ph
+       |      FROM documents d CROSS JOIN bl b
+       |      WHERE contains(' ' || d.text || ' ', ' ' || b.ph || ' '))
+       |SELECT d.doc_id,
+       |       coalesce(string_agg(m.ph, ',' ORDER BY m.ph), '') AS blocked,
+       |       CAST(count(m.ph) AS INTEGER) AS n_blocked,
+       |       CASE WHEN count(m.ph) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_blocklist_filter" -> ((s, d) => blocklistFilter(s, d)),
     "q_normalize_text" -> ((s, d) => normalizeText(s, d)),
     "q_pmi_bigrams" -> ((s, d) => pmiBigrams(s, d)),
     "q_token_stats" -> ((s, d) => tokenStats(s, d)),
@@ -456,6 +502,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_blocklist_filter" -> blocklistFilterSql,
     "q_rolling_hash" -> rollingHashSql,
     "q_lang_id" -> langIdSql,
     "q_normalize_text" -> normalizeTextSql,

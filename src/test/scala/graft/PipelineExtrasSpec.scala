@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions: Aho–Corasick blocklist screening, incremental
+  * materialized-view maintenance, and mergeable HLL sketch union. */
+class PipelineExtrasSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---- blocklist / Aho–Corasick ----
+
+  private def naiveMatches(text: String, phrases: Seq[String]): String = {
+    val framed = " " + text + " "
+    phrases.filter(p => framed.contains(" " + p + " ")).sorted.mkString(",")
+  }
+
+  test("blocklist: automaton equals naive contains on every fixture doc") {
+    val bl = operators.TextAnalysis.Blocklist
+    val rows = operators.TextAnalysis.blocklistFilter(spark, sf).collect()
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == texts.size)
+    var nBlockedDocs = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val got = r.getAs[String]("blocked")
+      val want = naiveMatches(texts(id), bl)
+      assert(got == want, s"doc $id: got '$got' want '$want'")
+      val n = r.getAs[Int]("n_blocked")
+      assert(n == (if (want.isEmpty) 0 else want.count(_ == ',') + 1))
+      assert(r.getAs[String]("verdict") == (if (n > 0) "drop" else "keep"))
+      if (n > 0) nBlockedDocs += 1
+    }
+    // the fixture corpus must actually exercise both verdicts
+    assert(nBlockedDocs > 0 && nBlockedDocs < rows.length)
+  }
+
+  test("blocklist: overlapping patterns both report; boundaries respected") {
+    val aho = new functions.AhoCorasick(Array(
+      "table scan", "slow table scan", "scan", "able"))
+    def m(t: String): String = aho.matchedCsv(UTF8String.fromString(t)).toString
+    // nested phrase: the inner "table scan" and "scan" occur inside the outer
+    assert(m("a slow table scan here") == "scan,slow table scan,table scan")
+    // token boundaries: "able" never matches inside "table"
+    assert(m("the table is able") == "able")
+    // edges of the string count as boundaries
+    assert(m("scan") == "scan")
+    assert(m("table scan") == "scan,table scan")
+    // substrings across token boundaries do not match
+    assert(m("tables can") == "")
+    assert(m("") == "")
+  }
+
+  test("blocklist: automaton equals naive on random texts (fuzz)") {
+    val vocab = Array("slow", "table", "scan", "fast", "merge", "a", "the",
+      "scans", "tab", "slowtable")
+    val phrases = Array("slow table", "table scan", "scan", "fast merge",
+      "slow table scan", "the a the")
+    val aho = new functions.AhoCorasick(phrases)
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val text = Array.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+      val got = aho.matchedCsv(UTF8String.fromString(text)).toString
+      val want = naiveMatches(text, phrases.toSeq)
+      assert(got == want, s"text '$text': got '$got' want '$want'")
+    }
+  }
+
+  // ---- incremental materialized-view maintenance ----
+
+  test("incremental agg: merged partials equal full recompute, exactly") {
+    import spark.implicits._
+    val out = operators.IntegrityOps.incrementalAgg(spark, sf).collect()
+    assert(out.nonEmpty)
+    // base + delta partition the facts
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") ==
+        r.getAs[Long]("n_orders"))
+    }
+    // both generations must be non-trivially populated at this cut
+    assert(out.map(_.getAs[Long]("n_base")).sum > 0)
+    assert(out.map(_.getAs[Long]("n_delta")).sum > 0)
+    // the merged view equals a direct one-shot aggregate of all facts
+    val full = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("rev"))
+      .collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("rev"))).toMap
+    assert(out.length == full.size)
+    out.foreach { r =>
+      val (n, rev) = full(r.getAs[String]("nation"))
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Double]("revenue") == rev) // decimal sums: bit-exact
+      assert(math.abs(r.getAs[Double]("avg_price") - rev / n) <= 5e-7)
+    }
+  }
+
+  // ---- mergeable HLL sketch union ----
+
+  test("sketch union: exact counts verified, estimate within bound") {
+    import spark.implicits._
+    val r = operators.ScaleOps.sketchUnion(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val dayUser = Tables.events(spark, sf)
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+    assert(row.getAs[Long]("n_days") ==
+      dayUser.select("d").distinct().count())
+    assert(row.getAs[Long]("sum_daily") == dayUser.count())
+    assert(row.getAs[Long]("exact_users") ==
+      dayUser.select("user_id").distinct().count())
+    // summing daily distincts must overcount returning users — the
+    // motivation for the sketch union — and the union must stay in bound
+    assert(row.getAs[Long]("sum_daily") > row.getAs[Long]("exact_users"))
+    assert(row.getAs[Boolean]("union_within_5pct"))
+  }
+}
