@@ -294,6 +294,29 @@ object Relational {
       graft.sources.ManifestTable.read(s, tbl)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     }),
+    // OPTIMIZE on the manifest table: a table grown by several small merge
+    // commits is compacted into one file list via a CAS-committed rewrite
+    // (ManifestTable.compact). The oracle is content-invariance — the
+    // compacted snapshot must aggregate exactly like the union of the
+    // commits (a changed answer means compaction lost or duplicated rows);
+    // file-count reduction and time-travel survival are spec-asserted
+    // (ManifestTableSpec), not part of the hashed contract.
+    "q_manifest_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.count
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_compact_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      (0 to 2).foreach { m => // three small commits → many small files
+        graft.sources.ManifestTable.merge(s, tbl,
+          li.filter(col("l_orderkey") % 3 === m), keys)
+      }
+      graft.sources.ManifestTable.compact(s, tbl, numFiles = 2)
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_cust_no_orders" -> ((s, d) => {
@@ -498,6 +521,11 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_dedup_append" -> dedupAppendSql,
+    // compaction must not change the snapshot's content: the three merge
+    // commits partition lineitem by l_orderkey % 3, so the compacted table
+    // is exactly lineitem
+    "q_manifest_compact" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
     "q1_pricing" -> pricingSummarySql,

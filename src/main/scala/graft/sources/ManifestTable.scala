@@ -138,6 +138,33 @@ object ManifestTable {
     (droppedManifests, droppedFiles.toInt)
   }
 
+  /** OPTIMIZE — transactional compaction: rewrite the CURRENT snapshot into
+    * `numFiles` larger files and CAS-commit a manifest listing ONLY the
+    * rewritten files. Content-invariant by construction (the new files hold
+    * exactly the rows of the old snapshot), and transactional: concurrent
+    * readers keep their resolved manifest (the replaced files are never
+    * touched — they remain on disk serving every pre-compaction version for
+    * time travel until a deliberate vacuum), and a concurrent writer winning
+    * the CAS aborts this attempt, which re-reads and recompacts the NEW
+    * snapshot — compaction can never silently drop a racing commit's rows.
+    * This is the small-files remedy for a table grown by many streaming /
+    * merge micro-commits: metadata and open-file cost scale with |files|,
+    * and at 100 TB an uncompacted table of per-batch files makes every scan
+    * pay thousands of file opens for row groups that should be contiguous.
+    * Returns the new committed version. */
+  def compact(s: SparkSession, dir: String, numFiles: Int = 1,
+      maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to compact in $dir")
+      val staged = stage(s, dir, readVersion(s, dir, v).repartition(numFiles))
+      if (commit(dir, staged, v)) return v + 1
+      attempt += 1 // lost the race; staged files stay harmless orphans
+    }
+    throw new IllegalStateException(s"compact lost $maxRetries commit races in $dir")
+  }
+
   /** ACID MERGE WHEN NOT MATCHED THEN INSERT: anti-join `batch` against the
     * CURRENT snapshot on `keyCols` (pre-hashed to two independent 64-bit
     * keys — 16 bytes/row across the shuffle, `Relational.dedupAppend`'s

@@ -270,6 +270,42 @@ object StreamingOps {
         sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
 
+  /** Exactly-once streaming sink: the streaming MERGE of `streamingMerge`,
+    * upgraded from a bare parquet directory to the snapshot-isolated
+    * manifest table — the "swap the target for a transactional format"
+    * step that method's scale note calls for. Each micro-batch becomes ONE
+    * atomic `ManifestTable.merge` commit: staged files are invisible until
+    * the CAS publishes the manifest, so a crash mid-batch (after staging,
+    * before commit) leaves readers on the previous snapshot and the
+    * re-delivered batch anti-joins back to exactly its missing rows —
+    * at-least-once delivery × idempotent-atomic commit = exactly-once
+    * table state, the Delta/Iceberg streaming-sink contract. The whole
+    * stream is then REPLAYED from a fresh checkpoint: every replayed commit
+    * must be a no-op, which the oracle verifies by matching the one-pass
+    * batch aggregate. */
+  def streamManifestSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = "/dev/shm/graft_stream/manifest_sink_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    graft.sources.ManifestTable.destroy(tbl)
+    val sink: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.sources.ManifestTable.merge(
+        batch.sparkSession, tbl, batch, Seq("event_id"))
+    def replay(tag: String): Unit = {
+      val q = eventsStream(s, dir).writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"$tbl-ckpt-$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replay("first")
+    replay("second") // re-delivery of everything: all commits must no-op
+    graft.sources.ManifestTable.read(s, tbl)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   /** Streaming malformed-record quarantine — the stream twin of
     * `Relational.quarantineRead`, same oracle: an external feed arrives as a
     * file stream with broken lines mixed in, and each micro-batch routes
@@ -329,6 +365,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_approx_distinct" -> ((s, d) => streamApproxDistinct(s, d)),
     "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
+    "q_stream_manifest_sink" -> ((s, d) => streamManifestSink(s, d)),
     "q_stream_quarantine" -> ((s, d) => streamQuarantine(s, d)),
     "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
     "q_stream_sliding" -> ((s, d) => slidingWindow(s, d)),
@@ -354,6 +391,12 @@ object StreamingOps {
         |SELECT -1, count(*) FROM nation WHERE n_nationkey % 5 = 0""".stripMargin,
     // double replay must be a no-op: the target equals one clean pass
     "q_stream_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // the transactional sink must not change the answer either: full replay
+    // into the manifest table lands exactly one copy of every event
+    "q_stream_manifest_sink" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,

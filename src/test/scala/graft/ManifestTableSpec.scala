@@ -111,6 +111,47 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.vacuum(dir, keepVersions = 2) == ((0, 0)))
   }
 
+  test("compact: content-invariant, fewer files, history intact, vacuum collects") {
+    val dir = freshDir("opt")
+    val li = Tables.lineitem(spark, sf)
+    (0 to 2).foreach { m =>
+      ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 3 === m), keys)
+    }
+    val vPre = ManifestTable.currentVersion(dir)
+    val filesPre = ManifestTable.listFiles(dir, vPre)
+    def agg(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy(col("l_returnflag")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val contentPre = agg(ManifestTable.read(spark, dir))
+    val vPost = ManifestTable.compact(spark, dir, numFiles = 1)
+    assert(vPost == vPre + 1)
+    val filesPost = ManifestTable.listFiles(dir, vPost)
+    assert(filesPost.length == 1 && filesPost.length < filesPre.length)
+    // OPTIMIZE must not change the table's content
+    assert(agg(ManifestTable.read(spark, dir)) == contentPre)
+    assert(ManifestTable.read(spark, dir).count() == li.count())
+    // the pre-compaction snapshot still time-travels: replaced files are
+    // never touched by the rewrite
+    assert(ManifestTable.readVersion(spark, dir, vPre).count() == li.count())
+    // vacuum to the compacted version collects every replaced file (v2's
+    // append-only list is the superset of all pre-compaction files)
+    val (dm, df) = ManifestTable.vacuum(dir, keepVersions = 1)
+    assert(dm == vPre + 1 && df == filesPre.length)
+    assert(agg(ManifestTable.read(spark, dir)) == contentPre)
+  }
+
+  test("stream manifest sink equals the one-pass batch aggregate") {
+    val streamed = streaming.StreamingOps.streamManifestSink(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    import TestSpark.spark.implicits._
+    val batch = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
