@@ -153,7 +153,47 @@ object AuditOps {
       |             - round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
       |FROM c, t""".stripMargin
 
+  /** In-flight data-quality metrics via `observe()` — the monitoring gate a
+    * production pipeline attaches to its MAIN job so quality counters cost
+    * ZERO extra scans. `Dataset.observe` plants a `CollectMetrics` node in
+    * the plan: the named aggregates accumulate per-task (accumulator-based,
+    * O(1) state, no extra shuffle) while the SAME single pass computes the
+    * job's real result — at 100 TB the alternative is a second full
+    * monitoring query, i.e. doubling the scan bill to learn what the first
+    * job already saw. The pipeline here: lineitem → discount-policy screen →
+    * the job's own count; observed = rows in, policy violations, bulk-order
+    * rows. Eager by necessity (metrics exist only after the action); output
+    * is one bounded row, every value an exact count restated by the oracle. */
+  def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gate = org.apache.spark.sql.Observation()
+    val screened = Tables.lineitem(s, dir)
+      .observe(gate,
+        count(lit(1)).as("rows_in"),
+        sum(when($"l_discount" > 0.05, 1L).otherwise(0L)).as("n_high_discount"),
+        sum(when($"l_quantity" >= 30, 1L).otherwise(0L)).as("n_bulk"))
+      .filter($"l_discount" <= 0.05)
+    val rowsOut = screened.count() // the job's action; metrics ride along
+    val m = gate.get
+    Seq((m("rows_in").asInstanceOf[Long],
+      m("n_high_discount").asInstanceOf[Long],
+      m("n_bulk").asInstanceOf[Long], rowsOut))
+      .toDF("rows_in", "n_high_discount", "n_bulk", "rows_out")
+      .withColumn("high_discount_frac",
+        round($"n_high_discount".cast("double") / $"rows_in", 6))
+  }
+
+  private val observeMetricsSql =
+    """SELECT count(*) AS rows_in,
+      |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount,
+      |  CAST(sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+      |  CAST(sum(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS rows_out,
+      |  round(CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS high_discount_frac
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_observe_metrics" -> ((s, d) => observeMetrics(s, d)),
     "q_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "q_iqr_outliers" -> ((s, d) => iqrOutliers(s, d)),
     "q_zorder" -> ((s, d) => zorderLayout(s, d)),
@@ -161,6 +201,7 @@ object AuditOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_observe_metrics" -> observeMetricsSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_iqr_outliers" -> iqrOutliersSql,
     "q_zorder" -> zorderSql,

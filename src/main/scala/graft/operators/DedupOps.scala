@@ -351,7 +351,32 @@ object DedupOps {
        |FROM nd n LEFT JOIN ex ON ex.doc_id = n.doc_id
        |          LEFT JOIN near ON near.doc_id = n.doc_id""".stripMargin
 
+  /** Train/test split-leakage audit: near-duplicate pairs that STRADDLE the
+    * deterministic train/test split — the data-leakage check run before any
+    * benchmark number is trusted (dedup-before-split; a test doc with a
+    * training near-twin inflates eval, Lee et al. 2022's core warning).
+    *
+    * Pure composition: the MinHash+LSH pair set (`minhashLsh` — banded
+    * equi-join, no all-pairs) plus the hash-gated split of
+    * `q_split_traintest`, computed ROW-LOCALLY on the pair table from
+    * doc_id (`md5` prefix gate) — no join against a split table, no extra
+    * shuffle; the audit costs exactly one predicate over the (small)
+    * near-dup pair set. Output = the leaking pairs with their similarity
+    * and sides, the table a curation run feeds back into `q_decontaminate`
+    * -style removal. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def splitOf(c: Column): Column =
+      when(substring(md5(c.cast("string")), 1, 2) < "cd", "train")
+        .otherwise("test")
+    minhashLsh(s, dir)
+      .withColumn("split_a", splitOf($"doc_a"))
+      .withColumn("split_b", splitOf($"doc_b"))
+      .filter($"split_a" =!= $"split_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "q_dedup_exact" -> ((s, d) => exactDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
@@ -359,6 +384,39 @@ object DedupOps {
     "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "q_embed_neardup" -> ((s, d) => embeddingNearDup(s, d)),
   )
+
+  /** The DuckDB restatement of `minhashLsh` up to the verified pair table
+    * `j` (doc_a, doc_b, jacc) — shared by `q_minhash_pairs` and the
+    * split-leakage audit so the two oracles cannot drift apart. */
+  private val minhashPairsCte: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    [CAST(CONCAT('0x', substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8)) AS BIGINT)
+       |     for i in range(1, len(t) - 1)])) AS sh
+       |  FROM d WHERE len(t) >= 3),
+       |e AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       |perm AS (SELECT unnest(range(0, 32)) AS p),
+       |sig AS (
+       |  SELECT e.doc_id, perm.p,
+       |         min(((1 + 40503 * perm.p) * e.h + 1234567 * perm.p) % 4294967311) AS m
+       |  FROM e, perm GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT s0.doc_id, s0.p // 2 AS band, s0.m AS m0, s1.m AS m1
+       |  FROM sig s0 JOIN sig s1 ON s0.doc_id = s1.doc_id AND s1.p = s0.p + 1
+       |  WHERE s0.p % 2 = 0),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+       |   AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
+       |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+       |            JOIN sh b ON cand.doc_b = b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_incremental_dedup" -> incrementalDedupSql,
@@ -385,36 +443,21 @@ object DedupOps {
     // Exact restatement of minhashLsh: same md5-derived base hashes, same
     // affine permutation literals, same 16×2 banding, same verification —
     // a drift anywhere in the pipeline breaks the hash compare.
-    "q_minhash_pairs" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, list_sort(list_distinct(
-         |    [CAST(CONCAT('0x', substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8)) AS BIGINT)
-         |     for i in range(1, len(t) - 1)])) AS sh
-         |  FROM d WHERE len(t) >= 3),
-         |e AS (SELECT doc_id, unnest(sh) AS h FROM sh),
-         |perm AS (SELECT unnest(range(0, 32)) AS p),
-         |sig AS (
-         |  SELECT e.doc_id, perm.p,
-         |         min(((1 + 40503 * perm.p) * e.h + 1234567 * perm.p) % 4294967311) AS m
-         |  FROM e, perm GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT s0.doc_id, s0.p // 2 AS band, s0.m AS m0, s1.m AS m1
-         |  FROM sig s0 JOIN sig s1 ON s0.doc_id = s1.doc_id AND s1.p = s0.p + 1
-         |  WHERE s0.p % 2 = 0),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
-         |   AND x.doc_id < y.doc_id),
-         |j AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
-         |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
-         |            JOIN sh b ON cand.doc_b = b.doc_id)
-         |SELECT doc_a, doc_b, jacc FROM j WHERE jacc > 0.3""".stripMargin,
+    "q_minhash_pairs" -> s"$minhashPairsCte\nSELECT doc_a, doc_b, jacc FROM j WHERE jacc > 0.3",
+    // the same verified pair set, with the hash-gated split of
+    // q_split_traintest restated on both ids; only straddling pairs emit
+    "q_split_leakage" ->
+      s"""$minhashPairsCte
+         |SELECT doc_a, doc_b, jacc,
+         |  CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'cd'
+         |       THEN 'train' ELSE 'test' END AS split_a,
+         |  CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'cd'
+         |       THEN 'train' ELSE 'test' END AS split_b
+         |FROM j WHERE jacc > 0.3
+         |  AND (CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'cd'
+         |       THEN 'train' ELSE 'test' END)
+         |   <> (CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'cd'
+         |       THEN 'train' ELSE 'test' END)""".stripMargin,
     // Exact restatement of simhashPairs; the 60 vote sums and the bit
     // recomposition are generated by the same loops as the Spark side.
     "q_simhash_pairs" -> {

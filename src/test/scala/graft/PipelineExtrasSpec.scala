@@ -103,6 +103,46 @@ class PipelineExtrasSpec extends AnyFunSuite {
     }
   }
 
+  // ---- split-leakage audit ----
+
+  test("split leakage: exactly the straddling subset of the minhash pairs") {
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(1).map("%02x".format(_)).mkString
+      if (hex < "cd") "train" else "test"
+    }
+    val leaks = operators.DedupOps.splitLeakage(spark, sf).collect()
+    val pairs = operators.DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expected = pairs.filter { case (a, b) => splitOf(a) != splitOf(b) }
+    assert(leaks.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == expected)
+    leaks.foreach { r =>
+      assert(r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+      assert(r.getAs[Double]("jacc") > 0.3)
+    }
+  }
+
+  // ---- observe() quality gate ----
+
+  test("observe metrics: counters equal direct aggregates, zero extra scan") {
+    import spark.implicits._
+    val r = operators.AuditOps.observeMetrics(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val li = Tables.lineitem(spark, sf)
+    assert(row.getAs[Long]("rows_in") == li.count())
+    assert(row.getAs[Long]("n_high_discount") ==
+      li.filter($"l_discount" > 0.05).count())
+    assert(row.getAs[Long]("n_bulk") == li.filter($"l_quantity" >= 30).count())
+    // the screen partitions the input
+    assert(row.getAs[Long]("rows_out") + row.getAs[Long]("n_high_discount") ==
+      row.getAs[Long]("rows_in"))
+    // both rule counters must actually fire on the fixture
+    assert(row.getAs[Long]("n_high_discount") > 0 && row.getAs[Long]("n_bulk") > 0)
+  }
+
   // ---- mergeable HLL sketch union ----
 
   test("sketch union: exact counts verified, estimate within bound") {
