@@ -317,6 +317,27 @@ object Relational {
       graft.sources.ManifestTable.read(s, tbl)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     }),
+    // CDC-style incremental consumption: rows added between two committed
+    // versions, read from ONLY the files new in that range (append-only
+    // manifests make the delta a file-list set difference — O(new data)
+    // per poll, vs an EXCEPT of snapshots scanning the table twice). The
+    // oracle restates the delta from the deterministic commit slices.
+    "q_manifest_changes" -> ((s, d) => {
+      import org.apache.spark.sql.functions.count
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_changes_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl)
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      (0 to 2).foreach { m => // v0, v1, v2
+        graft.sources.ManifestTable.merge(s, tbl,
+          li.filter(col("l_orderkey") % 3 === m), keys)
+      }
+      // consume everything committed AFTER v0: exactly commits v1 + v2
+      graft.sources.ManifestTable.readChanges(s, tbl, fromV = 0, toV = 2)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_cust_no_orders" -> ((s, d) => {
@@ -526,6 +547,10 @@ object Relational {
     // is exactly lineitem
     "q_manifest_compact" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+    // the (v0, v2] delta is exactly the two later commit slices
+    "q_manifest_changes" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_orderkey % 3 <> 0 GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
     "q1_pricing" -> pricingSummarySql,

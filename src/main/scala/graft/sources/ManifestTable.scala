@@ -138,6 +138,27 @@ object ManifestTable {
     (droppedManifests, droppedFiles.toInt)
   }
 
+  /** Incremental change read (CDC-style consumption): the rows ADDED between
+    * committed versions `fromV` (exclusive) and `toV` (inclusive).
+    *
+    * Because commits are append-only file lists, the delta IS the set
+    * difference of the two manifests — the reader scans ONLY the files new
+    * in (fromV, toV], never diffing snapshot contents. This is what makes a
+    * downstream incremental consumer (the `q_incremental_agg` refresh, a
+    * streaming backfill, a replication tail) affordable at 100 TB: each
+    * poll costs O(new data), while an EXCEPT of two snapshots would scan
+    * the full table twice. Compaction commits rewrite the whole list, so a
+    * range crossing one intentionally degrades to the rewritten files —
+    * the same re-bootstrap contract Delta's CDC reader documents. */
+  def readChanges(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
+    require(Files.exists(manifestPath(dir, toV)), s"no committed snapshot v$toV in $dir")
+    val before = if (fromV < 0) Set.empty[String] else listFiles(dir, fromV).toSet
+    val added = listFiles(dir, toV).filterNot(before)
+    if (added.isEmpty) s.emptyDataFrame
+    else s.read.parquet(added.map(f => s"$dir/data/$f"): _*)
+  }
+
   /** OPTIMIZE — transactional compaction: rewrite the CURRENT snapshot into
     * `numFiles` larger files and CAS-commit a manifest listing ONLY the
     * rewritten files. Content-invariant by construction (the new files hold

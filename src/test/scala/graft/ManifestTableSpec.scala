@@ -152,6 +152,25 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("readChanges: version-range deltas, empty range, full bootstrap") {
+    val dir = freshDir("cdc")
+    val li = Tables.lineitem(spark, sf)
+    (0 to 2).foreach { m =>
+      ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 3 === m), keys)
+    }
+    def sliceCount(ms: Int*): Long =
+      li.filter((col("l_orderkey") % 3).isin(ms: _*)).count()
+    // each single-version delta is exactly its commit's slice
+    assert(ManifestTable.readChanges(spark, dir, 0, 1).count() == sliceCount(1))
+    assert(ManifestTable.readChanges(spark, dir, 1, 2).count() == sliceCount(2))
+    // the (v0, v2] range unions the two later commits
+    assert(ManifestTable.readChanges(spark, dir, 0, 2).count() == sliceCount(1, 2))
+    // fromV < 0 bootstraps the full snapshot
+    assert(ManifestTable.readChanges(spark, dir, -1, 2).count() == li.count())
+    // an empty range yields an empty frame, not an error
+    assert(ManifestTable.readChanges(spark, dir, 2, 2).count() == 0)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
