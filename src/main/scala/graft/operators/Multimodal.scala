@@ -542,6 +542,51 @@ object Multimodal {
       }
   }
 
+  final case class PHash(doc_id: Long, hash_hi: Long, hash_lo: Long, n_set: Int)
+
+  /** Perceptual image hash (average hash): the image near-dup fingerprint —
+    * resize to 8×8, grayscale, threshold each cell against the global mean,
+    * pack the 64 bits. Two identical-looking images land at hamming
+    * distance ~0 regardless of resolution; pairing then rides the SAME
+    * banded-hamming equi-join shape as `q_simhash_pairs` (4×16-bit bands),
+    * so the pairwise stage needs no new machinery — this query certifies
+    * the per-image fingerprint itself, with the REAL codec in the loop:
+    * encode the doc-derived BMP, decode its pixel array, nearest-neighbor
+    * resize, then hash. All integer arithmetic — gray = r+g+b (0..765,
+    * channel-order-proof), threshold `64·gray > Σgray` (no division), and
+    * the 64 bits emitted as two 32-bit halves so neither engine touches
+    * the BIGINT sign bit. The oracle restates encode→decode→resize→gray→
+    * threshold from the deterministic pixel formulas: any codec, resize
+    * index, or bit-packing bug flips a bit and the hash compare goes red.
+    * Row-local map pass, one codec context per partition, no shuffle. */
+  def imagePhash(s: SparkSession, dir: String): Dataset[PHash] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nChars) =>
+          val (w, h) = imgDims(nChars)
+          val bmp = encodeBmp(w, h, cycled(text.getBytes("UTF-8"), w * h * 3))
+          val (dw, dh, rgb) = decodeBmpPixels(bmp)
+          val thumb = resizeRgb(dw, dh, rgb, 8, 8)
+          val gray = Array.tabulate(64) { i =>
+            (thumb(3 * i) & 0xff) + (thumb(3 * i + 1) & 0xff) + (thumb(3 * i + 2) & 0xff)
+          }
+          val total = gray.sum
+          var hi = 0L; var lo = 0L; var nSet = 0
+          var i = 0
+          while (i < 64) {
+            if (64 * gray(i) > total) {
+              nSet += 1
+              if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+            }
+            i += 1
+          }
+          PHash(id, hi, lo, nSet)
+        }
+      }
+  }
+
   /** PCM sample extraction for the frame-sample path. */
   def decodeWavSamples(bytes: Array[Byte]): Array[Short] = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -589,7 +634,41 @@ object Multimodal {
       }
   }
 
+  /** `q_image_phash` oracle: encode→decode→resize→gray→threshold restated
+    * from the deterministic pixel formulas. `byteAt(k)` is byte k of the
+    * cycled utf-8 text (ASCII fixture ⇒ `unicode()` = byte, as in
+    * `q_frame_sample`); resized cell i (x=i%8, y=i//8) samples source pixel
+    * p = (y·h/8)·w + (x·w/8); gray = the three channel bytes 3p..3p+2. */
+  private val imagePhashSql: String = {
+    def byteAt(k: String): String =
+      s"unicode(text[(($k) % l) + 1 : (($k) % l) + 1])"
+    val p = "(((i // 8) * h // 8) * w + ((i % 8) * w // 8))"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS l,
+       |         CAST(4 + n_chars % 13 AS INTEGER) AS w,
+       |         CAST(4 + n_chars % 11 AS INTEGER) AS h
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i,
+       |         ${byteAt(s"3 * $p")} + ${byteAt(s"3 * $p + 1")}
+       |           + ${byteAt(s"3 * $p + 2")} AS gray
+       |  FROM (SELECT doc_id, text, l, w, h, unnest(range(0, 64)) AS i FROM d)),
+       |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id),
+       |b AS (
+       |  SELECT g.doc_id, g.i,
+       |         CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
+       |  FROM g JOIN t USING (doc_id))
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+       |           ELSE 0 END) AS BIGINT) AS hash_hi,
+       |  CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i)
+       |           ELSE 0 END) AS BIGINT) AS hash_lo,
+       |  CAST(sum(bit) AS INTEGER) AS n_set
+       |FROM b GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_phash" -> ((s, d) => imagePhash(s, d).toDF()),
     "q_image_resize" -> ((s, d) => imageResize(s, d).toDF()),
     "q_frame_sample" -> ((s, d) => audioFrameSample(s, d).toDF()),
     "q_blob_meta" -> ((s, d) => blobMeta(s, d)),
@@ -601,6 +680,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_image_phash" -> imagePhashSql,
     "q_blob_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       CAST(n_chars % 640 AS INTEGER) AS img_w,

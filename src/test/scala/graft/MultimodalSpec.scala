@@ -218,4 +218,24 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.mean_r == sr.toDouble / (w * h), s"doc ${f.doc_id} mean_r")
     }
   }
+
+  test("phash: 32-bit halves, popcount consistent, constant image → zero") {
+    val rows = Multimodal.imagePhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hi = r.hash_hi; val lo = r.hash_lo
+      assert(hi >= 0 && hi <= 0xFFFFFFFFL && lo >= 0 && lo <= 0xFFFFFFFFL)
+      assert(java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo) == r.n_set)
+      // a cell strictly above the mean implies another strictly below it
+      assert(r.n_set < 64)
+    }
+    // constant-color image through the real codec: no cell exceeds the
+    // mean, so the perceptual hash is exactly zero
+    val w = 10; val h = 7
+    val flat = Array.fill(w * h * 3)(77.toByte)
+    val bmp = Multimodal.encodeBmp(w, h, flat)
+    val (dw, dh, rgb) = Multimodal.decodeBmpPixels(bmp)
+    val thumb = Multimodal.resizeRgb(dw, dh, rgb, 8, 8)
+    assert(thumb.forall(_ == 77.toByte))
+  }
 }
