@@ -154,6 +154,55 @@ object Relational {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q5 shape (local-supplier volume): the canonical join-ORDER
+    * workload — a 6-table star with a selective region filter and the
+    * cross-dimension "local supplier" condition (customer and supplier in
+    * the same nation), the query class join reordering and broadcast
+    * planning exist for. Scale shape: the dimension chain region→nation
+    * reduces to the ≤|nations-in-region| row set BEFORE any fact is
+    * touched and broadcasts; the year predicate pushes into the orders
+    * scan so the fact⨝fact join sees one year, not seven; the nation
+    * equality rides the supplier join as a residual condition (no extra
+    * shuffle). Revenue in exact decimal, cast DOUBLE at the end (the repo
+    * money contract). */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = lit(1).cast(D2)
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, dir),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        sum(dec2($"l_extendedprice") * (one - dec2($"l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val localSupplierVolumeSql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
   /** Full-outer reconciliation: per-day order counts vs shipment counts,
     * either side zero-filled — the discrepancy-report join shape (ship
     * dates extend past order dates, so both null sides genuinely occur).
@@ -338,8 +387,39 @@ object Relational {
       graft.sources.ManifestTable.readChanges(s, tbl, fromV = 0, toV = 2)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     }),
+    // The incremental-consumer loop end-to-end: tail the manifest's commit
+    // log one version at a time (each poll reads ONLY that commit's files
+    // via readChanges), partial-aggregate each delta, and merge the
+    // partials — the CDC-source → materialized-view-refresh pipeline as one
+    // hash-checked composition (poll cost ∝ delta, merge cost ∝ |groups|,
+    // nothing rescans the table). Oracle = the one-shot batch aggregate:
+    // tailing must equal batch.
+    "q_manifest_tail" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, sum}
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_tail_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl)
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      (0 to 2).foreach { m =>
+        graft.sources.ManifestTable.merge(s, tbl,
+          li.filter(col("l_orderkey") % 3 === m), keys)
+      }
+      val polls = (0 to 2).map { v => // one partial aggregate per poll
+        graft.sources.ManifestTable.readChanges(s, tbl, v - 1, v)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      }
+      polls.reduce(_.unionByName(_))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("qty")).cast("double").as("sum_qty"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
+    "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
     "q_cust_no_orders" -> ((s, d) => {
       // left-anti (NOT EXISTS) — J1's core primitive standalone
       val c = Tables.customer(s, d)
@@ -551,10 +631,16 @@ object Relational {
     "q_manifest_changes" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem
         |WHERE l_orderkey % 3 <> 0 GROUP BY 1""".stripMargin,
+    // tailing the commit log and merging partials must equal batch
+    "q_manifest_tail" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
     "q1_pricing" -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
+    "q_local_supplier_volume" -> localSupplierVolumeSql,
     "q_cust_no_orders" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
