@@ -1,0 +1,282 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The manifest table as a native STREAMING SOURCE — the read-side closure
+  * of the lakehouse tier (sink: `StreamingOps.streamManifestSink`; batch
+  * deltas: `ManifestTable.readChanges`; this: `spark.readStream.format(...)`
+  * over the commit log).
+  *
+  * The offset IS the manifest version. `initialOffset` −1 (nothing
+  * consumed), `latestOffset` the highest committed version, and each
+  * micro-batch reads exactly the files new in `(startV, endV]` — the same
+  * file-list set difference `readChanges` uses, so a micro-batch costs
+  * O(its commits' data) and the source is exactly-once BY CONSTRUCTION:
+  * version offsets serialize to the checkpoint log, a restarted query
+  * resumes from its committed version, and the append-only manifest
+  * guarantees a version range always resolves to the same immutable files
+  * (the property Kafka needs retention windows to approximate).
+  * `SupportsAdmissionControl` caps versions per batch (`versionsPerBatch`,
+  * the maxOffsetsPerTrigger analog), so a backlog of commits drains in
+  * bounded micro-batches and `Trigger.AvailableNow` replays the log through
+  * MULTIPLE batches before stopping.
+  *
+  * Executor-side reading is real parquet via parquet-mr (ships with Spark):
+  * schema inferred from the snapshot's first footer (flat primitive schemas
+  * — the manifest data-file contract), one `InputPartition` per data file,
+  * and column pruning pushed INTO the page reader by handing
+  * `GroupReadSupport` a projected `MessageType` — pruned columns are never
+  * decoded, the DSv2 analog of `ReadSchema` pruning on a native scan. */
+class ManifestStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = ManifestStreamSource.pathOf(options)
+    val v = ManifestTable.currentVersion(dir)
+    require(v >= 0, s"manifest stream source: no committed snapshot in $dir")
+    val files = ManifestTable.listFiles(dir, v)
+    require(files.nonEmpty, s"manifest stream source: v$v lists no files in $dir")
+    ManifestStreamSource.toSparkSchema(
+      ManifestStreamSource.footerSchema(s"$dir/data/${files.head}"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val dir = ManifestStreamSource.pathOf(opts)
+    val perBatch = Option(opts.get("versionsPerBatch")).map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    require(perBatch > 0, s"versionsPerBatch must be positive, got $perBatch")
+    new ManifestStreamTable(dir, schema, perBatch)
+  }
+}
+
+private[sources] object ManifestStreamSource {
+  def pathOf(opts: CaseInsensitiveStringMap): String = {
+    val p = opts.get("path")
+    require(p != null && p.nonEmpty, "manifest stream source: 'path' option required")
+    p
+  }
+
+  def footerSchema(file: String): MessageType = {
+    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** Flat primitive parquet schema → Spark schema. The manifest data-file
+    * contract is flat scalar columns (everything `stage()` ever writes);
+    * nested groups are rejected loudly rather than half-read. */
+  def toSparkSchema(mt: MessageType): StructType = StructType(
+    mt.getFields.asScala.map { f =>
+      require(f.isPrimitive, s"manifest stream source: nested field '${f.getName}' unsupported")
+      StructField(f.getName, toSparkType(f.asPrimitiveType()), nullable = true)
+    }.toSeq)
+
+  private def toSparkType(p: PrimitiveType): DataType =
+    (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+      case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
+        require(t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS,
+          s"timestamp unit ${t.getUnit} unsupported (micros only)")
+        if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+      case (PrimitiveTypeName.INT64, _) => LongType
+      // Spark's default parquet timestamp encoding is legacy INT96
+      // (12-byte julian day + nanos-of-day); Spark's own reader surfaces
+      // it as TimestampType, so this source does too
+      case (PrimitiveTypeName.INT96, _) => TimestampType
+      case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) => DateType
+      case (PrimitiveTypeName.INT32, _) => IntegerType
+      case (PrimitiveTypeName.DOUBLE, _) => DoubleType
+      case (PrimitiveTypeName.FLOAT, _) => FloatType
+      case (PrimitiveTypeName.BOOLEAN, _) => BooleanType
+      case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) => StringType
+      case (PrimitiveTypeName.BINARY, _) => BinaryType
+      case (tn, lt) => throw new IllegalArgumentException(
+        s"manifest stream source: unsupported parquet type $tn ($lt)")
+    }
+}
+
+private[sources] class ManifestStreamTable(dir: String, tableSchema: StructType,
+    perBatch: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_manifest_stream($dir)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestStreamScanBuilder(dir, tableSchema, perBatch)
+}
+
+private[sources] class ManifestStreamScanBuilder(dir: String,
+    tableSchema: StructType, perBatch: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new ManifestMicroBatchStream(dir, required, perBatch)
+  }
+}
+
+/** Offset = highest manifest version already consumed (inclusive). */
+private[sources] case class VersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] class ManifestMicroBatchStream(dir: String,
+    required: StructType, perBatch: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // the snapshot AvailableNow drains to, frozen at query start
+  @volatile private var availableNowEnd: Int = ManifestTable.currentVersion(dir)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = ManifestTable.currentVersion(dir)
+
+  override def initialOffset(): Offset = VersionOffset(-1)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val cap = limit match {
+      case m: ReadMaxRows => m.maxRows().toInt // versions, not rows, here
+      case _ => Int.MaxValue
+    }
+    val end = math.min(availableNowEnd.toLong, from.toLong + cap).toInt
+    VersionOffset(math.max(end, from))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (perBatch == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(perBatch.toLong)
+
+  /** True head of the log — lets AvailableNow drain a capped backlog across
+    * multiple micro-batches and then stop. */
+  override def reportLatestOffset(): Offset =
+    VersionOffset(ManifestTable.currentVersion(dir))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val to = end.asInstanceOf[VersionOffset].v
+    if (to <= from) return Array.empty
+    val before =
+      if (from < 0) Set.empty[String] else ManifestTable.listFiles(dir, from).toSet
+    ManifestTable.listFiles(dir, to).filterNot(before)
+      .map(f => ManifestFilePartition(s"$dir/data/$f"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestParquetReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+private[sources] case class ManifestFilePartition(file: String) extends InputPartition
+
+private[sources] class ManifestParquetReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ManifestParquetReader(
+      partition.asInstanceOf[ManifestFilePartition].file, required)
+}
+
+/** Executor-side reader: one immutable data file → InternalRows of the
+  * pruned columns. The projected `MessageType` is handed to
+  * `GroupReadSupport`, so parquet-mr skips the pages of unread columns —
+  * pruning happens in the decoder, not post-hoc. */
+private[sources] class ManifestParquetReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    if (required.nonEmpty) {
+      val full = ManifestStreamSource.footerSchema(file)
+      val byName = full.getFields.asScala.map(f => f.getName -> f).toMap
+      val projected = new MessageType(full.getName,
+        required.fieldNames.map(byName(_)).toList.asJava)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+    }
+    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  /** Julian day of the unix epoch — INT96 timestamps count days from the
+    * Julian calendar origin, micros from midnight. */
+  private val JulianEpochDay = 2440588L
+
+  private def int96Micros(g: Group, idx: Int): Long = {
+    val buf = java.nio.ByteBuffer.wrap(g.getInt96(idx, 0).getBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - JulianEpochDay) * 86400000000L + nanosOfDay / 1000
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val name = required(i).name
+      val idx = g.getType.getFieldIndex(name)
+      values(i) =
+        if (g.getFieldRepetitionCount(idx) == 0) null
+        else required(i).dataType match {
+          case TimestampType | TimestampNTZType
+              if g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName ==
+                PrimitiveTypeName.INT96 => int96Micros(g, idx)
+          case LongType | TimestampType | TimestampNTZType => g.getLong(idx, 0)
+          case IntegerType | DateType => g.getInteger(idx, 0)
+          case DoubleType => g.getDouble(idx, 0)
+          case FloatType => g.getFloat(idx, 0)
+          case BooleanType => g.getBoolean(idx, 0)
+          case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+          case BinaryType => g.getBinary(idx, 0).getBytes
+          case dt => throw new IllegalArgumentException(s"unsupported $dt")
+        }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = reader.close()
+}

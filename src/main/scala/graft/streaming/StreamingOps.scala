@@ -306,6 +306,36 @@ object StreamingOps {
         sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
 
+  /** The manifest table as a native streaming SOURCE
+    * (`sources.ManifestStreamSource`): offsets ARE manifest versions, each
+    * micro-batch reads exactly the files new in its version range through a
+    * real parquet-mr reader with column pruning pushed into the page
+    * decoder, and `versionsPerBatch=1` makes the three commits drain as
+    * three admission-controlled micro-batches under `Trigger.AvailableNow`.
+    * Exactly-once falls out of the layout: version offsets checkpoint, and
+    * an append-only manifest resolves any version range to the same
+    * immutable files forever (spec-verified: a resumed query re-reads
+    * nothing). The oracle is the one-pass batch aggregate — consuming the
+    * commit log as a stream must not change the answer. */
+  def streamManifestSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = "/dev/shm/graft_stream/manifest_src_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    graft.sources.ManifestTable.destroy(tbl)
+    val ev = graft.Tables.events(s, dir)
+    (0 to 2).foreach { m => // three committed batches = the stream's backlog
+      graft.sources.ManifestTable.merge(s, tbl,
+        ev.filter($"event_id" % 3 === m), Seq("event_id"))
+    }
+    val stream = s.readStream.format("graft.sources.ManifestStreamSource")
+      .option("path", tbl).option("versionsPerBatch", "1").load()
+    runToParquet(s,
+      stream.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value")),
+      "manifest_src")
+  }
+
   /** Streaming malformed-record quarantine — the stream twin of
     * `Relational.quarantineRead`, same oracle: an external feed arrives as a
     * file stream with broken lines mixed in, and each micro-batch routes
@@ -366,6 +396,7 @@ object StreamingOps {
     "q_stream_approx_distinct" -> ((s, d) => streamApproxDistinct(s, d)),
     "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
     "q_stream_manifest_sink" -> ((s, d) => streamManifestSink(s, d)),
+    "q_stream_manifest_source" -> ((s, d) => streamManifestSource(s, d)),
     "q_stream_quarantine" -> ((s, d) => streamQuarantine(s, d)),
     "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
     "q_stream_sliding" -> ((s, d) => slidingWindow(s, d)),
@@ -397,6 +428,12 @@ object StreamingOps {
     // the transactional sink must not change the answer either: full replay
     // into the manifest table lands exactly one copy of every event
     "q_stream_manifest_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // and neither must consuming the commit log as a stream: the version-
+    // offset source over three commits equals the one-pass batch aggregate
+    "q_stream_manifest_source" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
