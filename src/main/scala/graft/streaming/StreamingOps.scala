@@ -336,6 +336,50 @@ object StreamingOps {
       "manifest_src")
   }
 
+  /** The medallion loop end-to-end: a BRONZE manifest table's commit log is
+    * consumed by the version-offset streaming source, a cleaning transform
+    * runs per micro-batch, and the result lands in a SILVER manifest table
+    * through the exactly-once merge sink — the bronze→silver hop every
+    * lakehouse runs, here closed inside the engine: both ends are ACID
+    * manifest commits, offsets checkpoint as versions, and a full replay
+    * from a fresh checkpoint must commit only no-ops on the silver side
+    * (the oracle is the batch restatement of the transform). The transform
+    * projects 3 of 6 columns, so the pruned parquet-mr read is exercised on
+    * the real pipeline, not just the spec. */
+  def streamMedallion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = "/dev/shm/graft_stream/medallion_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    val bronze = base + "/bronze"; val silver = base + "/silver"
+    graft.sources.ManifestTable.destroy(bronze)
+    graft.sources.ManifestTable.destroy(silver)
+    val ev = graft.Tables.events(s, dir)
+    (0 to 2).foreach { m => // the raw feed arrives as three bronze commits
+      graft.sources.ManifestTable.merge(s, bronze,
+        ev.filter($"event_id" % 3 === m), Seq("event_id"))
+    }
+    val toSilver: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.sources.ManifestTable.merge(
+        batch.sparkSession, silver, batch, Seq("event_id"))
+    def replay(tag: String): Unit = {
+      val cleaned = s.readStream.format("graft.sources.ManifestStreamSource")
+        .option("path", bronze).option("versionsPerBatch", "1").load()
+        .filter(col("event_type") =!= "error") // the cleaning contract
+        .select($"event_id", $"event_type", $"value")
+      val q = cleaned.writeStream.outputMode("append")
+        .foreachBatch(toSilver)
+        .option("checkpointLocation", s"$base/ckpt_$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replay("first")
+    replay("second") // full re-read of the bronze log: silver must not change
+    graft.sources.ManifestTable.read(s, silver)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   /** Streaming malformed-record quarantine — the stream twin of
     * `Relational.quarantineRead`, same oracle: an external feed arrives as a
     * file stream with broken lines mixed in, and each micro-batch routes
@@ -397,6 +441,7 @@ object StreamingOps {
     "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
     "q_stream_manifest_sink" -> ((s, d) => streamManifestSink(s, d)),
     "q_stream_manifest_source" -> ((s, d) => streamManifestSource(s, d)),
+    "q_stream_medallion" -> ((s, d) => streamMedallion(s, d)),
     "q_stream_quarantine" -> ((s, d) => streamQuarantine(s, d)),
     "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
     "q_stream_sliding" -> ((s, d) => slidingWindow(s, d)),
@@ -437,6 +482,12 @@ object StreamingOps {
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // bronze→silver through stream + ACID sink + full replay = the batch
+    // restatement of the cleaning transform
+    "q_stream_medallion" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type <> 'error' GROUP BY event_type""".stripMargin,
     "q_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
         |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -103,6 +103,23 @@ class PipelineExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("blocklist: a 1000-phrase automaton stays correct (scale fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho", "sigma")
+    def phrase(): String =
+      Array.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val phrases = Iterator.continually(phrase()).distinct.take(1000).toArray
+    val aho = new functions.AhoCorasick(phrases)
+    (1 to 50).foreach { _ =>
+      val text = Array.fill(40 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+      val got = aho.matchedCsv(UTF8String.fromString(text)).toString
+      val want = naiveMatches(text, phrases.toSeq)
+      assert(got == want, s"1000-phrase mismatch on '$text'")
+    }
+  }
+
   // ---- split-leakage audit ----
 
   test("split leakage: exactly the straddling subset of the minhash pairs") {
