@@ -20,7 +20,7 @@ object Explain {
     "q_contam_fraction", "q_quarantine", "q_compact_files",
     "q_backfill_partition", "q_variant_shredded", "q_bpe_train_encode",
     "q_acid_merge", "q_manifest_compact", "q_manifest_changes",
-    "q_manifest_tail", "q_observe_metrics")
+    "q_manifest_tail", "q_observe_metrics", "q_runtime_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

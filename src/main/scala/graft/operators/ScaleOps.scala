@@ -438,7 +438,67 @@ object ScaleOps {
       |       TRUE AS union_within_5pct
       |FROM dd""".stripMargin
 
+  /** Runtime bloom-filter join pruning (Spark's `InjectRuntimeFilter`): the
+    * selective dimension side builds a bloom sketch AT RUNTIME and the
+    * optimizer injects `might_contain(xxhash64(l_orderkey))` into the FACT
+    * side's scan — fact rows whose keys cannot join are dropped before the
+    * shuffle, the sort-merge-join analog of what broadcast joins get for
+    * free. At 100 TB this is the difference between shuffling the full fact
+    * table and shuffling the ~20% that can match a filtered dimension.
+    *
+    * The demonstration pins the plan: broadcast is disabled and the
+    * application-side size threshold lowered so the (small) fixture
+    * exercises the same SMJ + runtime-filter path a petabyte join takes,
+    * then the result is materialized UNDER those confs (localCheckpoint)
+    * and the session state restored — nothing leaks into other queries.
+    * The spec asserts `might_contain` is genuinely in the executed plan;
+    * the oracle checks the filter changed nothing about the answer. */
+  def runtimeFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val (df, out) = runtimeFilterPlan(s, dir)
+    val _ = df // plan exposed for the spec; result already materialized
+    out
+  }
+
+  /** Builds the join under the runtime-filter confs and materializes it;
+    * returns (the un-executed frame for plan inspection, the checkpointed
+    * result). Confs are saved/restored around the eager step. */
+  private[graft] def runtimeFilterPlan(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val df = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      (df, df.localCheckpoint(true))
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val runtimeFilterJoinSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runtime_filter" -> ((s, d) => runtimeFilterJoin(s, d)),
     "q_sketch_union" -> ((s, d) => sketchUnion(s, d)),
     "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
@@ -454,6 +514,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_runtime_filter" -> runtimeFilterJoinSql,
     "q_sketch_union" -> sketchUnionSql,
     "q_cms_freq" -> cmsFreqSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -160,6 +160,27 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_high_discount") > 0 && row.getAs[Long]("n_bulk") > 0)
   }
 
+  // ---- runtime bloom-filter join pruning ----
+
+  test("runtime filter: might_contain injected into the fact side, answer unchanged") {
+    import spark.implicits._
+    val (df, out) = operators.ScaleOps.runtimeFilterPlan(spark, sf)
+    // executedPlan was memoized while the runtime-filter confs were set
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter in plan:\n${plan.take(3000)}")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   // ---- mergeable HLL sketch union ----
 
   test("sketch union: exact counts verified, estimate within bound") {
