@@ -368,7 +368,75 @@ object AnalyticsOps {
       |                       + x * CAST(0.2 AS DOUBLE)), 6) AS ewma
       |FROM tl""".stripMargin
 
+  /** Distribution-drift monitor: Population Stability Index + a binned
+    * Kolmogorov–Smirnov statistic between a reference slice (morning
+    * events) and a current slice (afternoon events) of `events.value` —
+    * the check production pipelines run before retraining on new data or
+    * admitting a new ingest batch ("does today's traffic still look like
+    * the training window?").
+    *
+    * Scale shape: ONE corpus pass folds every row into ≤`nBins`×2 counters
+    * (hash aggregate with map-side partials — the shuffle carries bins, not
+    * rows); PSI, the CDF-difference max, and the drift verdict all run on
+    * the bounded bin table. PSI uses +0.5 Laplace smoothing so an empty
+    * bin on one side cannot produce ln(0); KS uses the raw binned CDFs.
+    * The verdict compares the ROUNDED psi to the conventional 0.1 threshold
+    * so the flag is as hash-stable as the number it derives from. */
+  def psiDrift(s: SparkSession, dir: String, nBins: Int = 10,
+      binWidth: Double = 10.0): DataFrame = {
+    import s.implicits._
+    val binned = Tables.events(s, dir)
+      .select((hour($"ts") < 12).as("ref"),
+        least(floor($"value" / binWidth), lit(nBins - 1)).cast("int").as("bin"))
+      .groupBy($"bin")
+      .agg(sum(when($"ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"ref", 1L).otherwise(0L)).as("n_cur"))
+    val tot = binned.agg(sum($"n_ref").cast("double").as("t_ref"),
+      sum($"n_cur").cast("double").as("t_cur"))
+    val cdfW = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bounded ≤nBins-row table from here down: the window and the singleton
+    // broadcast are O(nBins), independent of corpus size
+    val p = binned.crossJoin(broadcast(tot))
+      .withColumn("p_ref", ($"n_ref" + lit(0.5)) / ($"t_ref" + lit(0.5) * nBins))
+      .withColumn("p_cur", ($"n_cur" + lit(0.5)) / ($"t_cur" + lit(0.5) * nBins))
+      .withColumn("cdf_ref", sum($"n_ref").over(cdfW) / $"t_ref")
+      .withColumn("cdf_cur", sum($"n_cur").over(cdfW) / $"t_cur")
+    p.agg(sum($"n_ref").cast("long").as("n_ref"),
+        sum($"n_cur").cast("long").as("n_cur"),
+        round(sum(($"p_cur" - $"p_ref") * log($"p_cur" / $"p_ref")), 6).as("psi"),
+        round(max(abs($"cdf_ref" - $"cdf_cur")), 6).as("ks"))
+      .withColumn("drift", $"psi" > 0.1)
+  }
+
+  private val psiDriftSql =
+    """WITH b AS (
+      |  SELECT CAST(least(floor(value / 10), 9) AS INT) AS bin,
+      |         hour(ts) < 12 AS ref
+      |  FROM events),
+      |c AS (
+      |  SELECT bin,
+      |         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |         CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM b GROUP BY bin),
+      |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+      |             CAST(sum(n_cur) AS DOUBLE) AS t_cur FROM c),
+      |p AS (
+      |  SELECT bin, n_ref, n_cur,
+      |         (n_ref + 0.5) / (t_ref + 5.0) AS p_ref,
+      |         (n_cur + 0.5) / (t_cur + 5.0) AS p_cur,
+      |         sum(n_ref) OVER (ORDER BY bin) / t_ref AS cdf_ref,
+      |         sum(n_cur) OVER (ORDER BY bin) / t_cur AS cdf_cur
+      |  FROM c, t)
+      |SELECT CAST(sum(n_ref) AS BIGINT) AS n_ref,
+      |       CAST(sum(n_cur) AS BIGINT) AS n_cur,
+      |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+      |       round(max(abs(cdf_ref - cdf_cur)), 6) AS ks,
+      |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) > 0.1 AS drift
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> ((s, d) => psiDrift(s, d)),
     "q_ewma" -> ((s, d) => ewmaPerUser(s, d)),
     "q_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "q_mode_user" -> ((s, d) => modePerUser(s, d)),
@@ -381,6 +449,7 @@ object AnalyticsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_psi_drift" -> psiDriftSql,
     "q_ewma" -> ewmaSql,
     "q_edit_distance" -> editDistanceSql,
     "q_mode_user" -> modePerUserSql,

@@ -417,6 +417,33 @@ object Relational {
         .agg(sum(col("n")).cast("long").as("n"),
           sum(col("qty")).cast("double").as("sum_qty"))
     }),
+    // File-level DATA SKIPPING on the manifest table (the Delta/Iceberg
+    // scan story): stage lineitem range-partitioned on l_orderkey so each
+    // data file covers a tight key range, harvest per-file min/max from the
+    // parquet FOOTERS into the manifest line at commit time, then answer a
+    // selective range query by pruning the FILE LIST on the driver before
+    // any scan task launches — metadata-only skipping, zero I/O to the
+    // dropped files (at 100 TB: thousands of file opens avoided per query).
+    // The residual filter still reaches the surviving files' row-group
+    // stats via ordinary parquet pushdown. The oracle is the plain filter
+    // over the full table — skipping must not change the answer; the
+    // actually-pruned file count is spec-asserted (ManifestTableSpec).
+    "q_manifest_skipping" -> ((s, d) => {
+      import org.apache.spark.sql.functions.count
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_skip_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+        .repartitionByRange(8, col("l_orderkey")) // tight per-file ranges
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, li, statsCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.readPruned(s, tbl, "l_orderkey",
+        lo = BigDecimal(100), hi = BigDecimal(500))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -638,6 +665,11 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // file skipping must not change the range query's answer
+    "q_manifest_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500 GROUP BY 1""".stripMargin,
     "q1_pricing" -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_local_supplier_volume" -> localSupplierVolumeSql,

@@ -736,7 +736,53 @@ object SimilarityOps {
         round($"rrf", 6).as("rrf_score"))
   }
 
+  /** Retrieval-quality evaluation — nDCG@k, MRR, and precision@k for the
+    * exact cosine top-k, with "candidate shares the query's label" as the
+    * relevance judgment (the standard proxy when no human qrels exist).
+    * This is the measurement loop every RAG / embedding deployment runs on
+    * each index or model change; it composes the engine's own ranking
+    * (`knnBruteForce`, the q_knn_topk plan: bounded broadcast query slice,
+    * map-side WindowGroupLimit top-k) with one broadcast-hash pass over the
+    * label table — the ≤k·nQueries ranked rows broadcast, the corpus never
+    * reshuffles. IDCG uses the ideal ranking of ALL corpus-relevant docs
+    * capped at k (`Σ_{i≤min(k,n_rel)} 1/log2(i+1)`, a bounded `sequence`
+    * fold), so nDCG is comparable across queries with few relevant docs.
+    * Every emitted number is exactly restated in DuckDB. */
+  def retrievalEval(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    // corpus-relevant count per query label: an agg to |labels| groups,
+    // then the bounded query slice joins against it
+    val byLabel = labels.groupBy($"label").agg(count(lit(1)).as("n_label"))
+    val q = labels.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"))
+      .join(byLabel.withColumnRenamed("label", "q_label"), Seq("q_label"))
+      .withColumn("n_rel", ($"n_label" - 1).cast("long")) // exclude the query itself
+    val ranked = knnBruteForce(s, dir, k, nQueries)
+      .join(broadcast(q), Seq("query_id"))
+    val judged = labels.select($"vec_id".as("cand_id"), $"label".as("c_label"))
+      .join(broadcast(ranked), Seq("cand_id"))
+      .withColumn("rel", ($"c_label" === $"q_label").cast("int"))
+    judged.groupBy($"query_id", $"n_rel")
+      .agg(sum($"rel").cast("long").as("n_rel_at_k"),
+        round(sum($"rel") / lit(k.toDouble), 6).as("p_at_k"),
+        round(max($"rel".cast("double") / $"rank"), 6).as("rr"),
+        sum(when($"rel" === 1, lit(1.0) / log2($"rank" + lit(1.0)))
+          .otherwise(0.0)).as("dcg_raw"))
+      .withColumn("idcg_raw",
+        when($"n_rel" >= 1, expr(
+          s"""aggregate(sequence(1, int(least($k, n_rel))), 0d,
+             |          (acc, i) -> acc + 1d / log2(i + 1d))""".stripMargin))
+          .otherwise(lit(0.0)))
+      .select($"query_id", $"n_rel", $"n_rel_at_k", $"p_at_k", $"rr",
+        round($"dcg_raw", 6).as("dcg"),
+        round(when($"idcg_raw" > 0, $"dcg_raw" / $"idcg_raw").otherwise(0.0), 6)
+          .as("ndcg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retrieval_eval" -> ((s, d) => retrievalEval(s, d)),
     "q_sparse_cosine" -> ((s, d) => sparseCosinePairs(s, d)),
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
@@ -765,6 +811,43 @@ object SimilarityOps {
       |QUALIFY rank <= 5""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the full eval loop restated: ranking CTE = the q_knn_topk recipe,
+    // relevance = label match, IDCG the capped ideal-ranking sum
+    "q_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |lc AS (SELECT label, count(*) AS n_label FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id AS query_id, e.label AS q_label,
+        |             CAST(lc.n_label - 1 AS BIGINT) AS n_rel
+        |      FROM e JOIN lc USING (label) WHERE e.vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, q.q_label, q.n_rel, c.vec_id AS cand_id,
+        |         c.label AS c_label,
+        |         round(list_cosine_similarity(qq.v, c.v), 6) AS cos_sim
+        |  FROM q JOIN e qq ON qq.vec_id = q.query_id
+        |  JOIN e c ON c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, cand_id) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |per AS (
+        |  SELECT query_id, n_rel,
+        |         CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+        |         round(sum(CASE WHEN c_label = q_label THEN 1.0 ELSE 0.0 END) / 5.0, 6) AS p_at_k,
+        |         round(max(CASE WHEN c_label = q_label THEN 1.0 / rank ELSE 0.0 END), 6) AS rr,
+        |         sum(CASE WHEN c_label = q_label THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END) AS dcg_raw
+        |  FROM ranked GROUP BY 1, 2),
+        |ideal AS (
+        |  SELECT *, CASE WHEN n_rel >= 1
+        |                 THEN list_sum(list_transform(
+        |                        range(1, CAST(least(5, n_rel) AS INT) + 1),
+        |                        i -> 1.0 / log2(i + 1.0)))
+        |                 ELSE 0.0 END AS idcg_raw
+        |  FROM per)
+        |SELECT query_id, n_rel, n_rel_at_k, p_at_k, rr,
+        |       round(dcg_raw, 6) AS dcg,
+        |       round(CASE WHEN idcg_raw > 0 THEN dcg_raw / idcg_raw
+        |                  ELSE 0.0 END, 6) AS ndcg
+        |FROM ideal""".stripMargin,
     "q_sparse_cosine" -> sparseCosineSql,
     // the full two-branch fusion restated: BM25 CTE verbatim from
     // q_bm25_search, cosine branch the q_knn_topk recipe, ranks from the

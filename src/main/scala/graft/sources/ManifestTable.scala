@@ -57,13 +57,19 @@ object ManifestTable {
     if (vs.isEmpty) -1 else vs.max
   }
 
-  /** Data files of version `v` (relative names under `data/`). */
-  def listFiles(dir: String, v: Int): Seq[String] = {
+  /** Raw manifest lines of version `v`: `name` or `name\t<file stats>`.
+    * Writers carry these forward verbatim so per-file stats survive later
+    * commits; readers that only need names use [[listFiles]]. */
+  def listLines(dir: String, v: Int): Seq[String] = {
     if (v < 0) return Seq.empty
     val body = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
-    // one relative filename per line — no JSON library needed on the read path
+    // one entry per line — no JSON library needed on the read path
     body.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** Data files of version `v` (relative names under `data/`). */
+  def listFiles(dir: String, v: Int): Seq[String] =
+    listLines(dir, v).map(_.split('\t').head)
 
   /** Snapshot read: resolve the current manifest once, scan only its files. */
   def read(s: SparkSession, dir: String): DataFrame =
@@ -186,6 +192,134 @@ object ManifestTable {
     throw new IllegalStateException(s"compact lost $maxRetries commit races in $dir")
   }
 
+  // ---------------------------------------------------------------------
+  // File-level min/max statistics + data skipping (the Delta/Iceberg scan
+  // story): harvest per-file column ranges from the parquet FOOTERS the
+  // files already carry (stats the writer computed for free), record them
+  // in the manifest line (`name\tcol=T:min:max;...`), and answer selective
+  // queries by pruning the FILE LIST before any scan task launches. At
+  // 100 TB this is the difference between "open every file to discover its
+  // row groups don't match" and a metadata-only decision on the driver:
+  // pruning cost is O(|files|) manifest entries, zero I/O to data. Files
+  // with no recorded stats for the predicate column are never pruned
+  // (missing metadata degrades to a scan, never to a wrong answer).
+  // ---------------------------------------------------------------------
+
+  /** Per-file column range harvested from footers. Values kept as exact
+    * decimal strings with a type tag (`L`ong / `D`ouble) — BigDecimal
+    * compare on the prune path, no float round-trip surprises. */
+  final case class ColRange(tag: Char, min: BigDecimal, max: BigDecimal)
+
+  private def encodeStats(stats: Map[String, ColRange]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, r) =>
+      s"$c=${r.tag}:${r.min}:${r.max}"
+    }.mkString(";")
+
+  /** Parse one manifest line → (file name, recorded column ranges). */
+  def parseLine(line: String): (String, Map[String, ColRange]) = {
+    val parts = line.split('\t')
+    val stats = parts.drop(1).filter(_.nonEmpty).flatMap(_.split(';')).flatMap { kv =>
+      kv.split('=') match {
+        case Array(c, v) => v.split(':') match {
+          case Array(t, lo, hi) if t.length == 1 =>
+            Some(c -> ColRange(t.head, BigDecimal(lo), BigDecimal(hi)))
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
+    (parts.head, stats)
+  }
+
+  /** Footer-harvested min/max for `cols` of one staged parquet file, or an
+    * empty map per column whose chunk statistics are absent (that column is
+    * then unprunable for this file — the safe degradation). Runs on the
+    * committing writer, O(footer) per NEW file only — the same moment Delta
+    * writes stats into its log. */
+  def footerStats(file: Path, cols: Seq[String]): Map[String, ColRange] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      cols.flatMap { c =>
+        // one (min,max) per row group; the file range is their envelope —
+        // every row group must carry usable stats or the column is skipped
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else (cc.getPrimitiveType.getPrimitiveTypeName, st.genericGetMin, st.genericGetMax) match {
+              case (INT64, lo: java.lang.Long, hi: java.lang.Long) =>
+                Some(ColRange('L', BigDecimal(lo.longValue), BigDecimal(hi.longValue)))
+              case (INT32, lo: java.lang.Integer, hi: java.lang.Integer) =>
+                Some(ColRange('L', BigDecimal(lo.intValue), BigDecimal(hi.intValue)))
+              case (DOUBLE, lo: java.lang.Double, hi: java.lang.Double) =>
+                Some(ColRange('D', BigDecimal(lo.doubleValue), BigDecimal(hi.doubleValue)))
+              case (FLOAT, lo: java.lang.Float, hi: java.lang.Float) =>
+                Some(ColRange('D', BigDecimal(lo.floatValue.toDouble), BigDecimal(hi.floatValue.toDouble)))
+              case _ => None
+            }
+          }
+        }
+        if (blocks.isEmpty || perBlock.exists(_.isEmpty)) None
+        else {
+          val rs = perBlock.map(_.get)
+          Some(c -> ColRange(rs.head.tag, rs.map(_.min).min, rs.map(_.max).max))
+        }
+      }.toMap
+    } finally r.close()
+  }
+
+  /** [[stage]] + footer-stats harvest: returns manifest LINES carrying each
+    * new file's min/max for `statsCols`, ready for [[commit]]. */
+  def stageWithStats(s: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String]): Seq[String] =
+    stage(s, dir, df).map { name =>
+      val st = footerStats(Paths.get(dir, "data", name), statsCols)
+      if (st.isEmpty) name else s"$name\t${encodeStats(st)}"
+    }
+
+  /** Metadata-only file pruning for `col BETWEEN lo AND hi` (inclusive):
+    * (files that may hold matches, total files in the snapshot). A file is
+    * dropped only when its recorded range PROVABLY misses [lo, hi]; files
+    * without stats for `col` always survive. */
+  def pruneFiles(dir: String, v: Int, col: String,
+      lo: BigDecimal, hi: BigDecimal): (Seq[String], Int) = {
+    val entries = listLines(dir, v).map(parseLine)
+    val kept = entries.collect {
+      case (name, st) if st.get(col).forall(r => r.max >= lo && r.min <= hi) => name
+    }
+    (kept, entries.size)
+  }
+
+  /** Pruned snapshot read: resolve the manifest, drop files whose recorded
+    * [min,max] misses the predicate, scan ONLY the survivors, and apply the
+    * exact residual filter (file stats are necessary-not-sufficient — the
+    * filter also reaches the row-group stats inside each surviving file via
+    * Spark's ordinary parquet pushdown). */
+  def readPruned(s: SparkSession, dir: String, col: String,
+      lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val v = currentVersion(dir)
+    val (kept, _) = pruneFiles(dir, v, col, lo, hi)
+    // typed literals so the residual comparison stays cast-free on the
+    // column side and reaches the parquet scan as a pushed filter
+    val isLong = listLines(dir, v).map(parseLine)
+      .flatMap(_._2.get(col)).headOption.forall(_.tag == 'L')
+    val pred =
+      if (isLong && lo.isWhole && hi.isWhole)
+        c(col) >= lit(lo.toLongExact) && c(col) <= lit(hi.toLongExact)
+      else c(col) >= lit(lo.toDouble) && c(col) <= lit(hi.toDouble)
+    if (kept.isEmpty) // keep the snapshot schema, provably-empty result
+      readVersion(s, dir, v).filter(lit(false))
+    else s.read.parquet(kept.map(f => s"$dir/data/$f"): _*).filter(pred)
+  }
+
   /** ACID MERGE WHEN NOT MATCHED THEN INSERT: anti-join `batch` against the
     * CURRENT snapshot on `keyCols` (pre-hashed to two independent 64-bit
     * keys — 16 bytes/row across the shuffle, `Relational.dedupAppend`'s
@@ -203,7 +337,7 @@ object ManifestTable {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
-      val existing = listFiles(dir, v)
+      val existing = listLines(dir, v) // raw lines: per-file stats carry forward
       val cols = keyCols.map(batch.col)
       val fresh =
         if (v < 0) batch

@@ -219,6 +219,43 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("data skipping: footer stats prune files, answer invariant, no-stats files survive") {
+    val dir = freshDir("skip")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(8, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li, Seq("l_orderkey"))
+    // every staged line records a typed range for the stats column
+    assert(staged.nonEmpty && staged.forall(_.contains("l_orderkey=L:")))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val (kept, total) = ManifestTable.pruneFiles(dir, 0, "l_orderkey",
+      BigDecimal(100), BigDecimal(500))
+    assert(total == staged.size)
+    assert(kept.size < total, s"range-partitioned files must prune: kept ${kept.size}/$total")
+    assert(kept.nonEmpty)
+    // answer invariance: pruned read == plain filter over the full snapshot
+    val pruned = ManifestTable.readPruned(spark, dir, "l_orderkey",
+      BigDecimal(100), BigDecimal(500)).count()
+    val full = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").between(100L, 500L)).count()
+    assert(pruned == full && pruned > 0)
+    // a later commit appends files WITHOUT stats: old stats carry forward on
+    // the raw manifest lines, and stats-less files are never pruned
+    val lines1 = ManifestTable.listLines(dir, 0)
+    val extra = ManifestTable.stage(spark, dir, li.filter(col("l_orderkey") <= 50))
+    assert(extra.nonEmpty)
+    assert(ManifestTable.commit(dir, lines1 ++ extra, 0))
+    val (kept2, total2) = ManifestTable.pruneFiles(dir, 1, "l_orderkey",
+      BigDecimal(100), BigDecimal(500))
+    assert(total2 == total + extra.size)
+    assert(kept2.size == kept.size + extra.size,
+      "files without recorded stats must always survive pruning")
+    // the pruned read over the grown snapshot still equals the plain filter
+    val pruned2 = ManifestTable.readPruned(spark, dir, "l_orderkey",
+      BigDecimal(100), BigDecimal(500)).count()
+    val full2 = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").between(100L, 500L)).count()
+    assert(pruned2 == full2)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -200,4 +200,45 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sum_daily") > row.getAs[Long]("exact_users"))
     assert(row.getAs[Boolean]("union_within_5pct"))
   }
+
+  // ---- distribution drift (PSI + KS) ----
+
+  test("psi drift: PSI non-negative, KS in [0,1], verdict matches threshold") {
+    val row = operators.AnalyticsOps.psiDrift(spark, sf).collect()(0)
+    val psi = row.getAs[Double]("psi")
+    val ks = row.getAs[Double]("ks")
+    // every PSI term (a-b)·ln(a/b) is ≥ 0, so the sum must be too
+    assert(psi >= 0.0)
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(row.getAs[Boolean]("drift") == (psi > 0.1))
+    assert(row.getAs[Long]("n_ref") + row.getAs[Long]("n_cur") ==
+      Tables.events(spark, sf).count())
+    // identical slices must show zero drift: compare a slice against itself
+    // by construction (same predicate both sides) via the ks/psi formulas —
+    // here approximated by the fixture's two halves being near-identical
+    // distributions, so psi should be far below the 0.1 alarm line
+    assert(!row.getAs[Boolean]("drift"),
+      s"fixture halves are iid draws; psi=$psi should not alarm")
+  }
+
+  // ---- retrieval evaluation (nDCG / MRR / P@k) ----
+
+  test("retrieval eval: metric bounds and internal consistency per query") {
+    val rows = operators.SimilarityOps.retrievalEval(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_at_k")
+      val rr = r.getAs[Double]("rr")
+      val ndcg = r.getAs[Double]("ndcg")
+      val hits = r.getAs[Long]("n_rel_at_k")
+      assert(p >= 0.0 && p <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(hits >= 0 && hits <= 5)
+      assert(math.abs(p - hits / 5.0) < 1e-9)
+      // any hit in the top-k implies a positive reciprocal rank and nDCG
+      assert((hits > 0) == (rr > 0.0))
+      assert((hits > 0) == (ndcg > 0.0))
+      // rr is 1/rank of the first hit: bounded by 1 and at least 1/k
+      if (hits > 0) assert(rr >= 1.0 / 5.0 - 1e-9 && rr <= 1.0)
+    }
+  }
 }
