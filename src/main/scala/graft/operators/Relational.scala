@@ -444,6 +444,29 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // Per-file BLOOM-index skipping — the lookup min/max can't serve:
+    // lineitem staged HASH-clustered on l_orderkey, so every file spans the
+    // full key range (range stats prune nothing) but holds only its own
+    // key set; each file's keys are folded into a bloom_build sketch in ONE
+    // distributed pass (|files| small sketches, bounded by file count) and
+    // recorded on the manifest line. A needle-in-haystack `key IN (…)`
+    // lookup then prunes to the files whose blooms admit a probe key —
+    // false positives only cost a scan of one extra file, the residual
+    // filter keeps the answer exact. Oracle = the plain filter; the actual
+    // file-prune counts are spec-asserted (ManifestTableSpec).
+    "q_manifest_point_lookup" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_pl_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.readPointLookup(s, tbl, "l_orderkey",
+        keys = Seq(101L, 777L, 1402L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -665,6 +688,10 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // bloom skipping must not change the point lookup's answer
+    "q_manifest_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_orderkey IN (101, 777, 1402)""".stripMargin,
     // file skipping must not change the range query's answer
     "q_manifest_skipping" ->
       """SELECT l_returnflag, count(*) AS n,

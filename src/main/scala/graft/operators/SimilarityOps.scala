@@ -781,7 +781,57 @@ object SimilarityOps {
           .as("ndcg"))
   }
 
+  /** kNN-classifier evaluation with chance correction: majority-vote the
+    * k nearest neighbors' labels for an audit slice, then score the
+    * predictions against truth as accuracy AND Cohen's kappa — the
+    * agreement statistic that discounts what label imbalance gives away
+    * for free (a 90%-one-class corpus scores 0.9 accuracy by always
+    * guessing; its kappa is 0). This is the "is the embedding space
+    * actually class-separating" measurement behind
+    * [[labelNoise]]'s per-item audit.
+    *
+    * Scale shape: the same bounded-broadcast ANN audit as labelNoise
+    * (≤nEval query rows broadcast, map-side WindowGroupLimit top-k);
+    * everything after the top-k — votes, argmax prediction, confusion
+    * marginals, kappa — runs on ≤k·nEval rows. Vote ties break to the
+    * smallest label so prediction is deterministic. All divisions are
+    * exact-integer-over-exact-integer IEEE ops, so both engines compute
+    * bit-identical doubles before the 6-dp round. */
+  def knnClassifierEval(s: SparkSession, dir: String, k: Int = 5,
+      nEval: Int = 50): DataFrame = {
+    import s.implicits._
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < nEval)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"label".as("qlabel"))
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"), $"label".as("clabel"))
+    val scored = c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"qlabel", $"cand_id", $"clabel",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"cand_id")
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .groupBy($"query_id", $"qlabel", $"clabel").agg(count(lit(1)).as("n"))
+    val wv = Window.partitionBy($"query_id").orderBy($"n".desc, $"clabel")
+    val pred = votes.withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
+      .select($"query_id", $"qlabel", $"clabel".as("plabel"))
+    val tot = pred.agg(count(lit(1)).cast("long").as("n_eval"),
+      sum(when($"qlabel" === $"plabel", 1L).otherwise(0L)).as("n_correct"))
+    val rc = pred.groupBy($"qlabel".as("l")).agg(count(lit(1)).as("rm"))
+      .join(pred.groupBy($"plabel".as("l")).agg(count(lit(1)).as("cmg")),
+        Seq("l"), "full_outer")
+      .agg(sum(coalesce($"rm", lit(0L)) * coalesce($"cmg", lit(0L))).as("sum_rc"))
+    tot.crossJoin(rc)
+      .withColumn("po_raw", $"n_correct" / $"n_eval".cast("double"))
+      .withColumn("pe_raw", $"sum_rc" / ($"n_eval".cast("double") * $"n_eval"))
+      .select($"n_eval", $"n_correct",
+        round($"po_raw", 6).as("accuracy"),
+        round($"pe_raw", 6).as("pe"),
+        round(($"po_raw" - $"pe_raw") / (lit(1.0) - $"pe_raw"), 6).as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classifier" -> ((s, d) => knnClassifierEval(s, d)),
     "q_retrieval_eval" -> ((s, d) => retrievalEval(s, d)),
     "q_sparse_cosine" -> ((s, d) => sparseCosinePairs(s, d)),
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
@@ -811,6 +861,39 @@ object SimilarityOps {
       |QUALIFY rank <= 5""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the full classifier eval restated: same ranking CTE, majority vote
+    // with the same (count desc, label asc) tiebreak, kappa from marginals
+    "q_knn_classifier" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.query_id, q.qlabel, c.vec_id AS cand_id, c.label AS clabel,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, cand_id) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |votes AS (SELECT query_id, qlabel, clabel, count(*) AS n
+        |          FROM ranked GROUP BY 1, 2, 3),
+        |pred AS (SELECT query_id, qlabel, clabel AS plabel FROM votes
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY n DESC, clabel) = 1),
+        |m AS (SELECT COALESCE(rm, 0) AS rm, COALESCE(cmg, 0) AS cmg
+        |      FROM (SELECT qlabel AS l, count(*) AS rm FROM pred GROUP BY 1) r
+        |      FULL JOIN (SELECT plabel AS l2, count(*) AS cmg FROM pred GROUP BY 1) c2
+        |        ON r.l = c2.l2),
+        |stats AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_eval,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pred WHERE qlabel = plabel) AS n_correct,
+        |    (SELECT CAST(sum(rm * cmg) AS BIGINT) FROM m) AS sum_rc)
+        |SELECT n_eval, n_correct,
+        |       round(n_correct / CAST(n_eval AS DOUBLE), 6) AS accuracy,
+        |       round(sum_rc / (CAST(n_eval AS DOUBLE) * n_eval), 6) AS pe,
+        |       round((n_correct / CAST(n_eval AS DOUBLE)
+        |              - sum_rc / (CAST(n_eval AS DOUBLE) * n_eval))
+        |             / (1 - sum_rc / (CAST(n_eval AS DOUBLE) * n_eval)), 6) AS kappa
+        |FROM stats""".stripMargin,
     // the full eval loop restated: ranking CTE = the q_knn_topk recipe,
     // relevance = label match, IDCG the capped ideal-ranking sum
     "q_retrieval_eval" ->

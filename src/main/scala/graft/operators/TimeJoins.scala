@@ -158,7 +158,55 @@ object TimeJoins {
       |FROM scaffold s
       |LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr""".stripMargin
 
+  /** Point-in-time feature join — the FEATURE-STORE primitive: each label
+    * event (purchase) is enriched with the state of several independent
+    * feature streams exactly AS OF its timestamp (latest click value,
+    * latest view value, clicks-to-date), never leaking anything from the
+    * future — the training-serving-skew bug this join exists to prevent.
+    *
+    * Scale shape: the naive form is one as-of join PER feature table
+    * (N features → N shuffles of the spine). Here all feature streams and
+    * the spine union-tag into ONE user-keyed shuffle and one ordered
+    * window pass; each feature is a `last(…, ignoreNulls)` (or running
+    * sum) over the same window — N features for the price of one shuffle,
+    * and adding a feature adds a column, not a join. Feature rows sort
+    * BEFORE the spine at equal ts so the as-of is inclusive, matching the
+    * oracle's `p.ts >= f.ts`. Per-user timelines are bounded (the
+    * sessionization argument); the corpus of users is what scales and is
+    * what's partitioned. */
+  def pitFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"event_type".isin("purchase", "click", "view"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", when($"event_type" === "purchase", 1).otherwise(0), $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_v", when($"event_type" === "click", $"value"))
+      .withColumn("view_v", when($"event_type" === "view", $"value"))
+      .withColumn("last_click_value", last($"click_v", ignoreNulls = true).over(w))
+      .withColumn("last_view_value", last($"view_v", ignoreNulls = true).over(w))
+      .withColumn("n_clicks_so_far",
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("label_ts"),
+        $"last_click_value", $"last_view_value", $"n_clicks_so_far")
+  }
+
+  private val pitFeaturesSql =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |v AS (SELECT * FROM events WHERE event_type = 'view'),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS label_ts,
+      |       c.value AS last_click_value,
+      |       v.value AS last_view_value,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM c c2
+      |        WHERE c2.user_id = p.user_id AND c2.ts <= p.ts) AS n_clicks_so_far
+      |FROM p
+      |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pit_features" -> ((s, d) => pitFeatures(s, d)),
     "q_time_join_day" -> ((s, d) => dayBucketJoin(s, d)),
     "q_asof_last_error" -> ((s, d) => asofLastError(s, d)),
     "q_asof_tolerance" -> ((s, d) => asofWithTolerance(s, d)),
@@ -167,6 +215,7 @@ object TimeJoins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pit_features" -> pitFeaturesSql,
     "q_time_join_day" -> dayBucketJoinSql,
     "q_asof_last_error" -> asofLastErrorSql,
     "q_asof_tolerance" -> asofWithToleranceSql,

@@ -215,21 +215,45 @@ object ManifestTable {
       s"$c=${r.tag}:${r.min}:${r.max}"
     }.mkString(";")
 
-  /** Parse one manifest line → (file name, recorded column ranges). */
-  def parseLine(line: String): (String, Map[String, ColRange]) = {
+  /** One manifest entry: file name, min/max ranges, and per-column Bloom
+    * "indexes" (serialized [[graft.functions.BloomSketch]] bit arrays) for
+    * point-lookup skipping. */
+  final case class FileEntry(name: String, ranges: Map[String, ColRange],
+      blooms: Map[String, Array[Byte]])
+
+  /** Parse one manifest line → full [[FileEntry]]. Unknown stat encodings
+    * are ignored (forward compatible: an older reader sees the file as
+    * stats-less and simply never prunes it). */
+  def parseEntry(line: String): FileEntry = {
     val parts = line.split('\t')
-    val stats = parts.drop(1).filter(_.nonEmpty).flatMap(_.split(';')).flatMap { kv =>
-      kv.split('=') match {
-        case Array(c, v) => v.split(':') match {
-          case Array(t, lo, hi) if t.length == 1 =>
-            Some(c -> ColRange(t.head, BigDecimal(lo), BigDecimal(hi)))
-          case _ => None
-        }
+    val kvs = parts.drop(1).filter(_.nonEmpty).flatMap(_.split(';')).flatMap { kv =>
+      val i = kv.indexOf('=')
+      if (i <= 0) None else Some((kv.substring(0, i), kv.substring(i + 1)))
+    }
+    val ranges = kvs.flatMap { case (c, v) =>
+      v.split(':') match {
+        case Array(t, lo, hi) if t == "L" || t == "D" =>
+          Some(c -> ColRange(t.head, BigDecimal(lo), BigDecimal(hi)))
         case _ => None
       }
     }.toMap
-    (parts.head, stats)
+    val blooms = kvs.flatMap { case (c, v) =>
+      if (v.startsWith("B:")) Some(c -> hexDecode(v.substring(2))) else None
+    }.toMap
+    FileEntry(parts.head, ranges, blooms)
   }
+
+  /** Parse one manifest line → (file name, recorded column ranges). */
+  def parseLine(line: String): (String, Map[String, ColRange]) = {
+    val e = parseEntry(line)
+    (e.name, e.ranges)
+  }
+
+  private def hexEncode(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def hexDecode(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   /** Footer-harvested min/max for `cols` of one staged parquet file, or an
     * empty map per column whose chunk statistics are absent (that column is
@@ -283,6 +307,76 @@ object ManifestTable {
       val st = footerStats(Paths.get(dir, "data", name), statsCols)
       if (st.isEmpty) name else s"$name\t${encodeStats(st)}"
     }
+
+  /** [[stageWithStats]] + per-file Bloom indexes over `bloomCols` (integral
+    * key columns): after staging, ONE distributed pass groups the staged
+    * rows by source file and folds each file's keys into a fixed-size
+    * `bloom_build` sketch — |files| small sketches return to the driver
+    * (bounded by FILE count, never by row count) and land hex-encoded on
+    * the manifest line. This covers the lookup min/max cannot: under a
+    * hash-clustered layout every file spans the full key RANGE but holds
+    * only its own key SET, so a needle-in-haystack `key = x` query prunes
+    * to the one file whose bloom admits x (plus bounded-probability false
+    * positives, which the residual filter absorbs — never a wrong answer).
+    * In a real writer the task computes the sketch in-line with the write;
+    * here the one extra pass over the just-staged batch stands in. */
+  def stageWithIndexes(s: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      numBits: Int = 1 << 16, k: Int = 6): Seq[String] = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name, substring_index}
+    val lines = stageWithStats(s, dir, df, statsCols)
+    if (bloomCols.isEmpty) return lines
+    graft.functions.BloomOps.register(s)
+    val names = lines.map(_.split('\t').head)
+    val aggs = bloomCols.map(bc =>
+      graft.functions.BloomOps.bloomBuild(c(bc).cast("long"), numBits, k).as(s"bf_$bc"))
+    val sketches = s.read.parquet(names.map(f => s"$dir/data/$f"): _*)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged FILE — bounded by construction
+      .map(r => r.getString(0) ->
+        bloomCols.map(bc => bc -> r.getAs[Array[Byte]](s"bf_$bc")).toMap)
+      .toMap
+    lines.map { line =>
+      val name = line.split('\t').head
+      sketches.get(name) match {
+        case Some(m) =>
+          val enc = m.toSeq.sortBy(_._1)
+            .map { case (bc, b) => s"$bc=B:${hexEncode(b)}" }.mkString(";")
+          s"$line\t$enc"
+        case None => line
+      }
+    }
+  }
+
+  /** Metadata-only pruning for `col IN keys` using both stat kinds: a file
+    * survives only if SOME key is inside its recorded range AND admitted by
+    * its Bloom index; either stat absent → that test passes (degrade to
+    * scan). Returns (kept file names, total files). */
+  def pruneFilesForKeys(dir: String, v: Int, col: String,
+      keys: Seq[Long]): (Seq[String], Int) = {
+    val entries = listLines(dir, v).map(parseEntry)
+    val kept = entries.filter { e =>
+      val rangeOk = e.ranges.get(col).forall(r =>
+        keys.exists(x => BigDecimal(x) >= r.min && BigDecimal(x) <= r.max))
+      val bloomOk = e.blooms.get(col).forall(bf =>
+        keys.exists(x => graft.functions.BloomSketch.contains(bf, x)))
+      rangeOk && bloomOk
+    }.map(_.name)
+    (kept, entries.size)
+  }
+
+  /** Point-lookup read: bloom+range file pruning, then the exact residual
+    * `col IN keys` filter over only the surviving files. */
+  def readPointLookup(s: SparkSession, dir: String, col: String,
+      keys: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val v = currentVersion(dir)
+    val (kept, _) = pruneFilesForKeys(dir, v, col, keys)
+    if (kept.isEmpty) readVersion(s, dir, v).filter(lit(false))
+    else s.read.parquet(kept.map(f => s"$dir/data/$f"): _*)
+      .filter(c(col).isin(keys: _*))
+  }
 
   /** Metadata-only file pruning for `col BETWEEN lo AND hi` (inclusive):
     * (files that may hold matches, total files in the snapshot). A file is

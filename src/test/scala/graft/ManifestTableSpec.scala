@@ -256,6 +256,40 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(pruned2 == full2)
   }
 
+  test("bloom index skipping: prunes under hash layout where ranges cannot") {
+    val dir = freshDir("bloom")
+    val li = Tables.lineitem(spark, sf).repartition(8, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+    assert(staged.forall(l => l.contains("l_orderkey=L:") && l.contains("l_orderkey=B:")))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val keys = Seq(101L, 777L)
+    // range stats alone CANNOT prune this layout: every file spans ~the
+    // full key range, so pruneFiles (min/max only) keeps everything
+    val (rangeKept, total) = ManifestTable.pruneFiles(dir, 0, "l_orderkey",
+      BigDecimal(101), BigDecimal(101))
+    assert(total == staged.size && rangeKept.size == total,
+      "hash layout should defeat min/max pruning (that's the point)")
+    // bloom pruning drops files whose key set provably misses the probes:
+    // each key lives in exactly one of 8 hash files, so ≤ 2 + false
+    // positives survive; with 64 KiB sketches over ~1.5k keys/file the FP
+    // rate is ~0, but assert only the conservative bound
+    val (bloomKept, _) = ManifestTable.pruneFilesForKeys(dir, 0, "l_orderkey", keys)
+    assert(bloomKept.size < total, s"bloom must prune: kept ${bloomKept.size}/$total")
+    // answer invariance: pruned point lookup == plain filter
+    val got = ManifestTable.readPointLookup(spark, dir, "l_orderkey", keys).count()
+    val want = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").isin(keys: _*)).count()
+    assert(got == want && got > 0)
+    // a key absent from the table prunes everything (no file admits it) —
+    // the manifest answers negative lookups without any scan at all
+    val (noneKept, _) = ManifestTable.pruneFilesForKeys(dir, 0, "l_orderkey",
+      Seq(999999999L))
+    assert(noneKept.isEmpty ||
+      ManifestTable.readPointLookup(spark, dir, "l_orderkey",
+        Seq(999999999L)).count() == 0)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

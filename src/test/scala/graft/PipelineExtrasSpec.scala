@@ -241,4 +241,51 @@ class PipelineExtrasSpec extends AnyFunSuite {
       if (hits > 0) assert(rr >= 1.0 / 5.0 - 1e-9 && rr <= 1.0)
     }
   }
+
+  // ---- point-in-time feature join ----
+
+  test("pit features: no future leakage, matches an independent recomputation") {
+    import spark.implicits._
+    val got = operators.TimeJoins.pitFeatures(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("label_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"), $"value".as("cv"))
+    // brute-force recomputation: inequality join + max-by-ts (test-only
+    // O(n·m)-per-user shape — the operator's single-window plan is the
+    // point; this just cross-checks it)
+    val expect = p.join(c, $"user_id" === $"cu" && $"cts" <= $"label_ts", "left")
+      .groupBy($"event_id")
+      .agg(max(struct($"cts", $"cv")).getField("cv").as("exp_click_value"),
+        count($"cts").as("exp_n_clicks"))
+    val joined = got.join(expect, Seq("event_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(Option(r.getAs[Double]("last_click_value")) ==
+        Option(r.getAs[Double]("exp_click_value")))
+      assert(r.getAs[Long]("n_clicks_so_far") == r.getAs[Long]("exp_n_clicks"))
+    }
+  }
+
+  // ---- kNN classifier eval (accuracy + Cohen's kappa) ----
+
+  test("knn classifier: kappa bounds, chance correction on a near-random fixture") {
+    val row = operators.SimilarityOps.knnClassifierEval(spark, sf).collect()(0)
+    val n = row.getAs[Long]("n_eval")
+    val correct = row.getAs[Long]("n_correct")
+    val acc = row.getAs[Double]("accuracy")
+    val pe = row.getAs[Double]("pe")
+    val kappa = row.getAs[Double]("kappa")
+    assert(n == 50 && correct >= 0 && correct <= n)
+    assert(math.abs(acc - correct.toDouble / n) < 1e-9)
+    assert(pe > 0.0 && pe < 1.0)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // kappa never exceeds raw accuracy (it subtracts the chance floor)
+    assert(kappa <= acc + 1e-9)
+    // fixture labels are ~independent of the embedding geometry, so the
+    // chance-corrected agreement must sit near zero even though raw
+    // accuracy can look "non-zero" — the statistic's whole purpose
+    assert(math.abs(kappa) < 0.3, s"near-chance fixture, got kappa=$kappa")
+  }
 }
