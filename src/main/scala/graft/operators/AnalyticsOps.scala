@@ -391,12 +391,21 @@ object AnalyticsOps {
       .groupBy($"bin")
       .agg(sum(when($"ref", 1L).otherwise(0L)).as("n_ref"),
         sum(when(!$"ref", 1L).otherwise(0L)).as("n_cur"))
+    psiFromBins(s, binned, nBins)
+  }
+
+  /** PSI/KS/verdict from a bounded bin-count table `(bin, n_ref, n_cur)` —
+    * shared by the batch monitor above and the streaming one
+    * (`StreamingOps.streamPsiDrift`), so the two can never drift apart in
+    * the formula. Everything here is O(nBins), independent of corpus size
+    * (the singleton broadcast and the ≤nBins-row window included). */
+  private[graft] def psiFromBins(s: SparkSession, binned: DataFrame,
+      nBins: Int): DataFrame = {
+    import s.implicits._
     val tot = binned.agg(sum($"n_ref").cast("double").as("t_ref"),
       sum($"n_cur").cast("double").as("t_cur"))
     val cdfW = Window.orderBy($"bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // bounded ≤nBins-row table from here down: the window and the singleton
-    // broadcast are O(nBins), independent of corpus size
     val p = binned.crossJoin(broadcast(tot))
       .withColumn("p_ref", ($"n_ref" + lit(0.5)) / ($"t_ref" + lit(0.5) * nBins))
       .withColumn("p_cur", ($"n_cur" + lit(0.5)) / ($"t_cur" + lit(0.5) * nBins))
@@ -409,7 +418,8 @@ object AnalyticsOps {
       .withColumn("drift", $"psi" > 0.1)
   }
 
-  private val psiDriftSql =
+  // shared with q_stream_psi (streaming must not change the drift answer)
+  private[graft] val psiDriftSql =
     """WITH b AS (
       |  SELECT CAST(least(floor(value / 10), 9) AS INT) AS bin,
       |         hour(ts) < 12 AS ref

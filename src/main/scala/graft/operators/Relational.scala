@@ -467,6 +467,29 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
     }),
+    // Targeted DELETE on the manifest table (right-to-be-forgotten): the
+    // bloom/range stats locate the few files that can hold the doomed keys
+    // (hash-clustered: ~one file per key), exactly those are rewritten
+    // without the matching rows, and one CAS commit republishes untouched
+    // files' lines verbatim. Cost scales with data holding the keys, not
+    // with the table; pre-delete versions still time-travel until vacuum
+    // (spec-asserted with the untouched-file-identity check). Oracle =
+    // the complement filter: the delete must remove exactly the keys.
+    "q_manifest_delete" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_del_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.deleteKeys(s, tbl, "l_orderkey",
+        keys = Seq(101L, 777L, 1402L))
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -688,6 +711,11 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // the delete must remove exactly the doomed keys, nothing else
+    "q_manifest_delete" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey NOT IN (101, 777, 1402) GROUP BY 1""".stripMargin,
     // bloom skipping must not change the point lookup's answer
     "q_manifest_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag

@@ -378,6 +378,56 @@ object ManifestTable {
       .filter(c(col).isin(keys: _*))
   }
 
+  /** Targeted DELETE (`DELETE WHERE col IN keys`) — the
+    * right-to-be-forgotten / compliance operation on an immutable-file
+    * table: the file stats pick out ONLY the files that can contain the
+    * doomed keys (bloom + range pruning — under a hash-clustered layout
+    * that is one file per key, not the table), exactly those files are
+    * rewritten without the matching rows, and one CAS commit republishes
+    * untouched files' manifest lines VERBATIM (their stats ride along)
+    * plus the rewrites. At 100 TB this is the difference between
+    * rewriting the table and rewriting a few files: cost scales with the
+    * data that actually holds the keys. Replaced files are never touched
+    * on disk — pre-delete versions still time-travel (the audit trail)
+    * until a deliberate vacuum erases them for real, which IS the
+    * compliance step that makes the data unrecoverable. Rewritten files
+    * re-harvest the same stat kinds their originals carried, so skipping
+    * keeps working after the delete. Returns the new committed version
+    * (or the current one if no file can contain any key — a metadata-only
+    * no-op). */
+  def deleteKeys(s: SparkSession, dir: String, col: String, keys: Seq[Long],
+      maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to delete from in $dir")
+      val entries = listLines(dir, v).map(parseEntry)
+      val affected = entries.filter { e =>
+        e.ranges.get(col).forall(r =>
+          keys.exists(x => BigDecimal(x) >= r.min && BigDecimal(x) <= r.max)) &&
+        e.blooms.get(col).forall(bf =>
+          keys.exists(x => graft.functions.BloomSketch.contains(bf, x)))
+      }
+      if (affected.isEmpty) return v // nothing can hold the keys: no-op
+      val affectedNames = affected.map(_.name).toSet
+      val keep = listLines(dir, v) // raw lines: untouched stats ride along
+        .filterNot(l => affectedNames.contains(l.split('\t').head))
+      val survivors = s.read
+        .parquet(affected.map(e => s"$dir/data/${e.name}").toSeq: _*)
+        .filter(!c(col).isin(keys: _*))
+      // rewrites carry the same stat kinds the originals did
+      val statsCols = affected.flatMap(_.ranges.keys).distinct
+      val bloomCols = affected.flatMap(_.blooms.keys).distinct
+      val staged =
+        if (survivors.isEmpty) Seq.empty[String]
+        else stageWithIndexes(s, dir, survivors, statsCols, bloomCols)
+      if (commit(dir, keep ++ staged, v)) return v + 1
+      attempt += 1 // lost the race; staged files stay harmless orphans
+    }
+    throw new IllegalStateException(s"delete lost $maxRetries commit races in $dir")
+  }
+
   /** Metadata-only file pruning for `col BETWEEN lo AND hi` (inclusive):
     * (files that may hold matches, total files in the snapshot). A file is
     * dropped only when its recorded range PROVABLY misses [lo, hi]; files

@@ -436,7 +436,34 @@ object StreamingOps {
           greatest(lit(2.0), lit(0.05) * $"exact_users")).as("hll_ok"))
   }
 
+  /** Streaming drift monitor — the PSI/KS check run ON the live stream:
+    * the current-side bin counts are a complete-mode stateful streaming
+    * aggregation (state = ≤nBins counters, the smallest possible stateful
+    * footprint — no watermark needed because the state never grows past the
+    * bin count), drained micro-batch by micro-batch; the reference
+    * distribution is batch (the frozen training window); the PSI/KS/verdict
+    * composition is the SAME code as the batch monitor
+    * (`AnalyticsOps.psiFromBins`), so the two monitors cannot disagree on
+    * the formula. Oracle = the batch q_psi_drift SQL: streaming the current
+    * slice must not change the drift answer. */
+  def streamPsiDrift(s: SparkSession, dir: String, nBins: Int = 10,
+      binWidth: Double = 10.0): DataFrame = {
+    import s.implicits._
+    val curAgg = eventsStream(s, dir)
+      .filter(hour($"ts") >= 12)
+      .select(least(floor($"value" / binWidth), lit(nBins - 1)).cast("int").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n_cur"))
+    val cur = runToParquet(s, curAgg, "graft_psi")
+    val ref = graft.Tables.events(s, dir).filter(hour($"ts") < 12)
+      .select(least(floor($"value" / binWidth), lit(nBins - 1)).cast("int").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n_ref"))
+    val binned = ref.join(cur, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    graft.operators.AnalyticsOps.psiFromBins(s, binned, nBins)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_psi" -> ((s, d) => streamPsiDrift(s, d)),
     "q_stream_approx_distinct" -> ((s, d) => streamApproxDistinct(s, d)),
     "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
     "q_stream_manifest_sink" -> ((s, d) => streamManifestSink(s, d)),
@@ -452,6 +479,9 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // streaming the current slice must not change the drift answer: the
+    // oracle IS the batch q_psi_drift SQL, shared so they cannot diverge
+    "q_stream_psi" -> graft.operators.AnalyticsOps.psiDriftSql,
     // exact per-hour distincts + the TRUE flags: a lost micro-batch, a
     // broken sketch merge, or estimate drift flips a flag and the hash
     "q_stream_approx_distinct" ->

@@ -290,6 +290,47 @@ class ManifestTableSpec extends AnyFunSuite {
         Seq(999999999L)).count() == 0)
   }
 
+  test("targeted delete: only key-holding files rewritten, history intact, vacuum erases") {
+    val dir = freshDir("del")
+    val li = Tables.lineitem(spark, sf).repartition(8, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val keys = Seq(101L, 777L)
+    val before = ManifestTable.read(spark, dir).count()
+    val nDoomed = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").isin(keys: _*)).count()
+    assert(nDoomed > 0)
+    val (affected, total) = ManifestTable.pruneFilesForKeys(dir, 0, "l_orderkey", keys)
+    assert(affected.size < total, "stats must localize the delete to few files")
+    val v1 = ManifestTable.deleteKeys(spark, dir, "l_orderkey", keys)
+    assert(v1 == 1)
+    // exactly the doomed rows are gone
+    val after = ManifestTable.read(spark, dir)
+    assert(after.count() == before - nDoomed)
+    assert(after.filter(col("l_orderkey").isin(keys: _*)).count() == 0)
+    // untouched files' manifest lines survive VERBATIM (stats included)
+    val lines0 = ManifestTable.listLines(dir, 0).toSet
+    val lines1 = ManifestTable.listLines(dir, 1).toSet
+    val untouched0 = lines0.filterNot(l => affected.contains(l.split('\t').head))
+    assert(untouched0.subsetOf(lines1), "untouched lines must republish verbatim")
+    assert(affected.forall(n => !lines1.exists(_.split('\t').head == n)),
+      "every affected file must be replaced")
+    // rewritten files carry fresh stats, so skipping still works post-delete
+    val (keptPost, totalPost) = ManifestTable.pruneFilesForKeys(
+      dir, 1, "l_orderkey", Seq(1402L))
+    assert(keptPost.size < totalPost)
+    // pre-delete version still time-travels (the audit trail)…
+    assert(ManifestTable.readVersion(spark, dir, 0)
+      .filter(col("l_orderkey").isin(keys: _*)).count() == nDoomed)
+    // …until vacuum erases the replaced files for real (the compliance step)
+    val (_, droppedFiles) = ManifestTable.vacuum(dir, keepVersions = 1)
+    assert(droppedFiles == affected.size,
+      s"vacuum must collect exactly the ${affected.size} replaced files")
+    // a delete for keys no file can hold is a metadata-only no-op
+    assert(ManifestTable.deleteKeys(spark, dir, "l_orderkey", Seq(999999999L)) == 1)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
