@@ -74,8 +74,9 @@ object AuditOps {
     df.select(morton6(x, y).as("zkey"))
 
   /** 6-bit × 6-bit Morton (Z-order) interleave — row-local integer bit
-    * arithmetic, fully codegen'd. */
-  private def morton6(x: Column, y: Column): Column =
+    * arithmetic, fully codegen'd. Shared with the manifest-table z-order
+    * skipping layout (`Relational.q_zorder_skipping`). */
+  private[graft] def morton6(x: Column, y: Column): Column =
     (0 until 6).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)

@@ -490,6 +490,56 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // Copy-on-write UPDATE — the third DML leg beside ACID MERGE and the
+    // targeted delete: same stat-pruned rewrite (only key-holding files
+    // touched), matching rows get the assignment applied against their OLD
+    // values, untouched files republish verbatim, one CAS publishes.
+    // Oracle = the CASE-expression restatement over the base table.
+    "q_manifest_update" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_upd_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.updateKeys(s, tbl, "l_orderkey",
+        keys = Seq(101L, 777L, 1402L),
+        assignments = Map("l_quantity" -> (col("l_quantity") + lit(100.0))))
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+    // Z-ORDER + data skipping end-to-end — the multi-dimension layout
+    // payoff q_zorder's audit only measures: files laid out by the Morton
+    // interleave of (p_size, category) cover tight rectangles in BOTH
+    // dimensions at once, so ONE layout serves selective predicates on
+    // EITHER column via the manifest's min/max skipping (a single-column
+    // sort gives away the second dimension — spec-contrasted). The query
+    // answers a p_size range over the z-laid table; the two-dimension
+    // prune counts are spec-asserted.
+    "q_zorder_skipping" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_skip_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      // second layout dimension: a dense 6-bit category (a tenant/category
+      // id stand-in), uniform at every fixture scale — a materialized
+      // generated column, like Delta's
+      val p = Tables.part(s, d)
+        .withColumn("category", (col("p_partkey") % 64).cast("int"))
+      val laid = p
+        .withColumn("zkey", AuditOps.morton6(col("p_size").cast("int"), col("category")))
+        .repartitionByRange(8, col("zkey")).sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, laid, statsCols = Seq("p_size", "category"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.readPruned(s, tbl, "p_size",
+        lo = BigDecimal(10), hi = BigDecimal(15))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -711,6 +761,18 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // the update must change exactly the keyed rows' quantity, nothing else
+    "q_manifest_update" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(CASE WHEN l_orderkey IN (101, 777, 1402)
+        |                          THEN l_quantity + 100 ELSE l_quantity END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // the z-order layout must not change the range query's answer
+    "q_zorder_skipping" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_size BETWEEN 10 AND 15""".stripMargin,
     // the delete must remove exactly the doomed keys, nothing else
     "q_manifest_delete" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -428,6 +428,50 @@ object ManifestTable {
     throw new IllegalStateException(s"delete lost $maxRetries commit races in $dir")
   }
 
+  /** Copy-on-write UPDATE (`UPDATE SET c = expr WHERE col IN keys`) — the
+    * third leg of the DML triad beside [[merge]] and [[deleteKeys]]. Same
+    * stat-pruned rewrite shape as delete: only the files that can hold the
+    * keys are rewritten; within them, matching rows get the assignments
+    * applied and everything else is copied through byte-for-byte semantics;
+    * untouched files republish their manifest lines verbatim; one CAS
+    * publishes the new snapshot and pre-update versions keep
+    * time-traveling. Assignments are (column → expression) pairs evaluated
+    * per matching row. Returns the new committed version (current version
+    * if no file can hold any key). */
+  def updateKeys(s: SparkSession, dir: String, col: String, keys: Seq[Long],
+      assignments: Map[String, Column], maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.{col => c, when}
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to update in $dir")
+      val entries = listLines(dir, v).map(parseEntry)
+      val affected = entries.filter { e =>
+        e.ranges.get(col).forall(r =>
+          keys.exists(x => BigDecimal(x) >= r.min && BigDecimal(x) <= r.max)) &&
+        e.blooms.get(col).forall(bf =>
+          keys.exists(x => graft.functions.BloomSketch.contains(bf, x)))
+      }
+      if (affected.isEmpty) return v
+      val affectedNames = affected.map(_.name).toSet
+      val keep = listLines(dir, v)
+        .filterNot(l => affectedNames.contains(l.split('\t').head))
+      val hit = c(col).isin(keys: _*)
+      // all assignments read OLD values (standard UPDATE semantics):
+      // withColumns resolves every expression against the pre-update rows
+      val rewritten = s.read
+        .parquet(affected.map(e => s"$dir/data/${e.name}").toSeq: _*)
+        .withColumns(assignments.map { case (t, e) =>
+          t -> when(hit, e).otherwise(c(t)) })
+      val statsCols = affected.flatMap(_.ranges.keys).distinct
+      val bloomCols = affected.flatMap(_.blooms.keys).distinct
+      val staged = stageWithIndexes(s, dir, rewritten, statsCols, bloomCols)
+      if (commit(dir, keep ++ staged, v)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"update lost $maxRetries commit races in $dir")
+  }
+
   /** Metadata-only file pruning for `col BETWEEN lo AND hi` (inclusive):
     * (files that may hold matches, total files in the snapshot). A file is
     * dropped only when its recorded range PROVABLY misses [lo, hi]; files

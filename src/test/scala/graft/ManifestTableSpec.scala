@@ -331,6 +331,76 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.deleteKeys(spark, dir, "l_orderkey", Seq(999999999L)) == 1)
   }
 
+  test("copy-on-write update: only keyed rows change, rewrite stays local, history intact") {
+    val dir = freshDir("upd")
+    val li = Tables.lineitem(spark, sf).repartition(8, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val keys = Seq(101L, 777L)
+    val (affected, total) = ManifestTable.pruneFilesForKeys(dir, 0, "l_orderkey", keys)
+    assert(affected.size < total)
+    val beforeKeyed = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").isin(keys: _*))
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    val beforeN = ManifestTable.read(spark, dir).count()
+    val nKeyed = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").isin(keys: _*)).count()
+    val v1 = ManifestTable.updateKeys(spark, dir, "l_orderkey", keys,
+      Map("l_quantity" -> (col("l_quantity") + lit(100.0))))
+    assert(v1 == 1)
+    val after = ManifestTable.read(spark, dir)
+    // row count unchanged; keyed quantities shifted by exactly 100 each
+    assert(after.count() == beforeN)
+    val afterKeyed = after.filter(col("l_orderkey").isin(keys: _*))
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(math.abs(afterKeyed - (beforeKeyed + 100.0 * nKeyed)) < 1e-6)
+    // untouched files' lines republished verbatim
+    val lines1 = ManifestTable.listLines(dir, 1).toSet
+    val untouched0 = ManifestTable.listLines(dir, 0).toSet
+      .filterNot(l => affected.contains(l.split('\t').head))
+    assert(untouched0.subsetOf(lines1))
+    // pre-update version still shows the old values
+    val v0Keyed = ManifestTable.readVersion(spark, dir, 0)
+      .filter(col("l_orderkey").isin(keys: _*))
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(math.abs(v0Keyed - beforeKeyed) < 1e-9)
+  }
+
+  test("z-order layout: one layout serves selective predicates on BOTH dimensions") {
+    val dir = freshDir("zskip")
+    val p = Tables.part(spark, sf)
+      .withColumn("category", (col("p_partkey") % 64).cast("int"))
+    def lay(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column) =
+      df.withColumn("k", key).repartitionByRange(8, col("k"))
+        .sortWithinPartitions(col("k")).drop("k")
+    // z-ordered table
+    val z = lay(p, operators.AuditOps.morton6(col("p_size").cast("int"), col("category")))
+    val zs = ManifestTable.stageWithStats(spark, dir, z, Seq("p_size", "category"))
+    assert(ManifestTable.commit(dir, zs, -1))
+    val (kSize, tot) = ManifestTable.pruneFiles(dir, 0, "p_size",
+      BigDecimal(10), BigDecimal(15))
+    val (kBand, _) = ManifestTable.pruneFiles(dir, 0, "category",
+      BigDecimal(0), BigDecimal(7))
+    assert(kSize.size < tot, s"z layout must prune on p_size: ${kSize.size}/$tot")
+    assert(kBand.size < tot, s"z layout must prune on category: ${kBand.size}/$tot")
+    // contrast: a single-column sort gives the second dimension away
+    val dir2 = freshDir("zskip1d")
+    val s1 = ManifestTable.stageWithStats(spark, dir2,
+      lay(p, col("p_size")), Seq("p_size", "category"))
+    assert(ManifestTable.commit(dir2, s1, -1))
+    val (kBand1d, tot1d) = ManifestTable.pruneFiles(dir2, 0, "category",
+      BigDecimal(0), BigDecimal(7))
+    assert(kBand1d.size > kBand.size || kBand1d.size == tot1d,
+      "p_size-sorted layout should prune category worse than the z layout")
+    // answer invariance on the z table
+    val got = ManifestTable.readPruned(spark, dir, "p_size",
+      BigDecimal(10), BigDecimal(15)).count()
+    val want = ManifestTable.read(spark, dir)
+      .filter(col("p_size").between(10, 15)).count()
+    assert(got == want && got > 0)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
