@@ -540,6 +540,49 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
+    // OPTIMIZE ... ZORDER BY — compaction and clustering as ONE rewrite: a
+    // table grown by several hash commits (files with no useful layout) is
+    // optimized into z-ordered files with fresh stats, after which min/max
+    // skipping works on both layout dimensions (spec-asserted). Oracle =
+    // content invariance on a selective predicate: the rewrite must change
+    // the file layout, never the answer.
+    "q_optimize_zorder" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_opt_zorder_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val p = Tables.part(s, d)
+        .withColumn("category", (col("p_partkey") % 64).cast("int"))
+      (0 to 2).foreach { m => // three unclustered commits → small files
+        graft.sources.ManifestTable.merge(s, tbl,
+          p.filter(col("p_partkey") % 3 === m), Seq("p_partkey"))
+      }
+      graft.sources.ManifestTable.optimize(s, tbl, numFiles = 8,
+        zorderBy = Seq("p_size", "category"),
+        statsCols = Seq("p_size", "category"))
+      graft.sources.ManifestTable.readPruned(s, tbl, "p_size",
+        lo = BigDecimal(10), hi = BigDecimal(15))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+    // Metadata-only aggregate: COUNT(*)/MIN/MAX answered from the
+    // manifest's recorded row counts and column ranges with ZERO data I/O
+    // and zero tasks — the catalog-served fast path every warehouse has.
+    // The constant relation below is the point: no scan ever ran. Valid
+    // because every stats-writing mutation path re-harvests; a stats-less
+    // file makes metadataAgg throw rather than guess.
+    "q_metadata_agg" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_meta_agg_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, li, statsCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      val (n, mn, mx) = graft.sources.ManifestTable.metadataAgg(tbl, "l_orderkey")
+      import s.implicits._
+      Seq((n, mn.toLongExact, mx.toLongExact))
+        .toDF("n_rows", "min_key", "max_key")
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -761,6 +804,16 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // OPTIMIZE ZORDER must change the layout, never the answer
+    "q_optimize_zorder" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_size BETWEEN 10 AND 15""".stripMargin,
+    // the metadata-served aggregate must equal the scanned one
+    "q_metadata_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin,
     // the update must change exactly the keyed rows' quantity, nothing else
     "q_manifest_update" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -215,11 +215,12 @@ object ManifestTable {
       s"$c=${r.tag}:${r.min}:${r.max}"
     }.mkString(";")
 
-  /** One manifest entry: file name, min/max ranges, and per-column Bloom
+  /** One manifest entry: file name, min/max ranges, per-column Bloom
     * "indexes" (serialized [[graft.functions.BloomSketch]] bit arrays) for
-    * point-lookup skipping. */
+    * point-lookup skipping, and the file's exact row count (`None` for
+    * files staged without stats). */
   final case class FileEntry(name: String, ranges: Map[String, ColRange],
-      blooms: Map[String, Array[Byte]])
+      blooms: Map[String, Array[Byte]], rows: Option[Long])
 
   /** Parse one manifest line → full [[FileEntry]]. Unknown stat encodings
     * are ignored (forward compatible: an older reader sees the file as
@@ -240,7 +241,8 @@ object ManifestTable {
     val blooms = kvs.flatMap { case (c, v) =>
       if (v.startsWith("B:")) Some(c -> hexDecode(v.substring(2))) else None
     }.toMap
-    FileEntry(parts.head, ranges, blooms)
+    val rows = kvs.collectFirst { case ("__rows", v) if v.forall(_.isDigit) => v.toLong }
+    FileEntry(parts.head, ranges, blooms, rows)
   }
 
   /** Parse one manifest line → (file name, recorded column ranges). */
@@ -299,14 +301,49 @@ object ManifestTable {
     } finally r.close()
   }
 
+  /** Exact row count of one parquet file, from its footer alone. */
+  def footerRowCount(file: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+  }
+
   /** [[stage]] + footer-stats harvest: returns manifest LINES carrying each
-    * new file's min/max for `statsCols`, ready for [[commit]]. */
+    * new file's min/max for `statsCols` plus its exact row count, ready for
+    * [[commit]]. */
   def stageWithStats(s: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String]): Seq[String] =
     stage(s, dir, df).map { name =>
-      val st = footerStats(Paths.get(dir, "data", name), statsCols)
-      if (st.isEmpty) name else s"$name\t${encodeStats(st)}"
+      val p = Paths.get(dir, "data", name)
+      val st = footerStats(p, statsCols)
+      val rows = s"__rows=${footerRowCount(p)}"
+      if (st.isEmpty) s"$name\t$rows" else s"$name\t${encodeStats(st)}\t$rows"
     }
+
+  /** Metadata-only aggregate: exact COUNT(*)/MIN/MAX over the CURRENT
+    * snapshot computed from the manifest's recorded row counts and column
+    * ranges — zero data I/O, zero tasks. Valid because every mutation path
+    * that writes stats re-harvests them (merge-with-stats, delete, update,
+    * optimize), so the recorded envelope is always exact for the snapshot
+    * it describes. Requires every file to carry a row count and a range
+    * for `col` — a stats-less file makes the answer unknowable from
+    * metadata and this throws rather than guessing (degrade EXPLICITLY,
+    * never wrongly). At 100 TB this is the `SELECT count(*), min(k),
+    * max(k)` a warehouse answers in milliseconds from its catalog while a
+    * naive engine launches a full scan. */
+  def metadataAgg(dir: String, col: String): (Long, BigDecimal, BigDecimal) = {
+    val v = currentVersion(dir)
+    require(v >= 0, s"no committed snapshot in $dir")
+    val es = listLines(dir, v).map(parseEntry)
+    require(es.nonEmpty && es.forall(e => e.rows.isDefined && e.ranges.contains(col)),
+      s"metadata aggregate needs a row count and a '$col' range on every file")
+    (es.flatMap(_.rows).sum,
+      es.map(_.ranges(col).min).min, es.map(_.ranges(col).max).max)
+  }
 
   /** [[stageWithStats]] + per-file Bloom indexes over `bloomCols` (integral
     * key columns): after staging, ONE distributed pass groups the staged
@@ -506,6 +543,51 @@ object ManifestTable {
     if (kept.isEmpty) // keep the snapshot schema, provably-empty result
       readVersion(s, dir, v).filter(lit(false))
     else s.read.parquet(kept.map(f => s"$dir/data/$f"): _*).filter(pred)
+  }
+
+  /** OPTIMIZE, policy-aware — the productionized [[compact]]: rewrites only
+    * the files SMALLER than `smallFileBytes` (already-right-sized files
+    * keep their manifest lines — and their stats — verbatim; rewriting
+    * them would be pure write amplification), optionally Z-ORDERS the
+    * rewrite (`zorderBy` two integral columns → Morton-interleaved
+    * range-partitioned sort, so the rewritten files serve min/max skipping
+    * on BOTH dimensions — Delta's `OPTIMIZE ... ZORDER BY`), and
+    * re-harvests `statsCols` stats for the new files. Same CAS semantics
+    * as compact: replaced files survive for time travel, a racing commit
+    * aborts-and-reoptimizes. Returns the committed version (unchanged if
+    * fewer than 2 small files — nothing worth rewriting). */
+  def optimize(s: SparkSession, dir: String, numFiles: Int = 1,
+      zorderBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      smallFileBytes: Long = Long.MaxValue, maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      "zorderBy takes exactly two integral columns (Morton interleave)")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to optimize in $dir")
+      val lines = listLines(dir, v)
+      val (small, big) = lines.partition { l =>
+        Files.size(Paths.get(dir, "data", l.split('\t').head)) < smallFileBytes
+      }
+      if (small.size < 2 && zorderBy.isEmpty) return v // nothing to rewrite
+      val df = s.read.parquet(
+        small.map(l => s"$dir/data/${l.split('\t').head}"): _*)
+      val laid = zorderBy match {
+        case Seq(a, b) =>
+          df.withColumn("__zkey",
+              graft.operators.AuditOps.morton6(c(a).cast("int"), c(b).cast("int")))
+            .repartitionByRange(numFiles, c("__zkey"))
+            .sortWithinPartitions(c("__zkey")).drop("__zkey")
+        case _ => df.repartition(numFiles)
+      }
+      val staged =
+        if (statsCols.nonEmpty) stageWithStats(s, dir, laid, statsCols)
+        else stage(s, dir, laid)
+      if (commit(dir, big ++ staged, v)) return v + 1
+      attempt += 1 // lost the race; staged files stay harmless orphans
+    }
+    throw new IllegalStateException(s"optimize lost $maxRetries commit races in $dir")
   }
 
   /** ACID MERGE WHEN NOT MATCHED THEN INSERT: anti-join `batch` against the

@@ -401,6 +401,70 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(got == want && got > 0)
   }
 
+  test("optimize: small-file policy spares right-sized files, zorder enables skipping") {
+    val dir = freshDir("opt")
+    val p = Tables.part(spark, sf)
+      .withColumn("category", (col("p_partkey") % 64).cast("int"))
+    // one big, right-sized file…
+    val big = ManifestTable.stageWithStats(spark, dir,
+      p.filter(col("p_partkey") % 2 === 0).repartition(1), Seq("p_size"))
+    assert(big.size == 1 && ManifestTable.commit(dir, big, -1))
+    val bigName = big.head.split('\t').head
+    val bigSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "data", bigName))
+    // …then three small unclustered commits
+    (0 to 2).foreach { m =>
+      ManifestTable.merge(spark, dir,
+        p.filter(col("p_partkey") % 2 === 1 && col("p_partkey") % 3 === m),
+        Seq("p_partkey"))
+    }
+    val before = ManifestTable.read(spark, dir).count()
+    val nFilesBefore = ManifestTable.listFiles(dir, ManifestTable.currentVersion(dir)).size
+    // optimize only the small files, z-ordering the rewrite
+    val v = ManifestTable.optimize(spark, dir, numFiles = 2,
+      zorderBy = Seq("p_size", "category"), statsCols = Seq("p_size", "category"),
+      smallFileBytes = bigSize)
+    val linesAfter = ManifestTable.listLines(dir, v)
+    // the big file's line survives VERBATIM; the small files are gone
+    assert(linesAfter.contains(big.head),
+      "right-sized file must keep its manifest line (no write amplification)")
+    assert(linesAfter.size < nFilesBefore)
+    // content invariant
+    assert(ManifestTable.read(spark, dir).count() == before)
+    // the z-ordered rewrites carry fresh two-dimension stats
+    val rewritten = linesAfter.filterNot(_ == big.head)
+    assert(rewritten.forall(l =>
+      l.contains("p_size=L:") && l.contains("category=L:")))
+  }
+
+  test("metadata agg: zero-scan count/min/max exact, explicit refusal without stats") {
+    val dir = freshDir("meta")
+    val li = Tables.lineitem(spark, sf).repartition(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li, Seq("l_orderkey"))
+    assert(staged.forall(_.contains("__rows=")))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val (n, mn, mx) = ManifestTable.metadataAgg(dir, "l_orderkey")
+    val actual = ManifestTable.read(spark, dir)
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+      .collect()(0)
+    assert(n == actual.getLong(0))
+    assert(mn.toLongExact == actual.getLong(1) && mx.toLongExact == actual.getLong(2))
+    // the answer survives a stats-refreshing mutation (delete re-harvests)…
+    ManifestTable.deleteKeys(spark, dir, "l_orderkey", Seq(mn.toLongExact))
+    val (n2, mn2, _) = ManifestTable.metadataAgg(dir, "l_orderkey")
+    val actual2 = ManifestTable.read(spark, dir)
+      .agg(count(lit(1)), min(col("l_orderkey"))).collect()(0)
+    assert(n2 == actual2.getLong(0) && mn2.toLongExact == actual2.getLong(1))
+    // …but a stats-less commit makes it refuse rather than guess
+    val blind = ManifestTable.stage(spark, dir, li.limit(5))
+    assert(ManifestTable.commit(dir,
+      ManifestTable.listLines(dir, ManifestTable.currentVersion(dir)) ++ blind,
+      ManifestTable.currentVersion(dir)))
+    intercept[IllegalArgumentException] {
+      ManifestTable.metadataAgg(dir, "l_orderkey")
+    }
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
