@@ -330,6 +330,47 @@ object CurationOps {
        |FROM j WHERE rn = 1""".stripMargin
   }
 
+  /** Diversity cap (the SemDeDup-style decision, Abbas et al. 2023): every
+    * near-dup cluster is capped at `cap` members — best quality first, the
+    * rest removed — while singletons (docs in no cluster) pass untouched;
+    * the output is the corpus-level accounting a pipeline reports after
+    * the cut. Unlike [[dedupKeepBest]] (which picks ONE winner per cluster
+    * for the dedup decision), the cap keeps bounded intra-cluster
+    * redundancy — the knob used when some duplication is signal (popular
+    * content) but unbounded duplication is noise. Same scale shape: the
+    * ranking window runs over cluster assignments (clusters ≪ corpus),
+    * totals are O(1)-row aggregates. */
+  def clusterCap(s: SparkSession, dir: String, cap: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val labels = dedupClusters(s, dir)
+    val quality = TextAnalysis.qualityScore(s, dir)
+      .select($"doc_id", $"quality_score")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id".desc)
+    val ranked = labels.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+    val totals = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val cl = ranked.agg(count(lit(1)).cast("long").as("n_clustered"),
+      sum(when($"rn" > cap, 1L).otherwise(0L)).as("n_removed"))
+    totals.crossJoin(cl) // two broadcast singletons
+      .select($"n_docs".cast("long").as("n_docs"), $"n_clustered", $"n_removed",
+        ($"n_docs" - $"n_removed").cast("long").as("n_kept"))
+  }
+
+  private val clusterCapSql = {
+    val base = dedupKeepBestSql.stripSuffix(
+      "SELECT cluster_id, doc_id AS keep_doc, n_members, quality_score\nFROM j WHERE rn = 1")
+    require(base != dedupKeepBestSql, "keep-best SQL tail changed; fix the reuse")
+    s"""${base.trim}
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_clustered,
+       |       CAST(sum(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST((SELECT count(*) FROM documents)
+       |            - sum(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM j""".stripMargin
+  }
+
   /** The END of the curation pipeline: the corpus that actually ships to
     * training — benchmark docs excluded, contaminated docs anti-joined away,
     * only quality-rule survivors kept — summarized per language. The anti/
@@ -1068,6 +1109,7 @@ object CurationOps {
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_keep_best" -> ((s, d) => dedupKeepBest(s, d)),
+    "q_cluster_cap" -> ((s, d) => clusterCap(s, d)),
     "q_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "q_profile" -> ((s, d) => profile(s, d)),
     "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d)),
@@ -1094,6 +1136,7 @@ object CurationOps {
     "q_bm25_search" -> bm25Sql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
+    "q_cluster_cap" -> clusterCapSql,
     "q_clean_corpus" -> cleanCorpusSql(TextAnalysis.qualityRulesSql),
     "q_profile" -> profileSql,
     "q_orc_roundtrip" -> orcRoundtripSql,

@@ -412,4 +412,25 @@ class CurationSpec extends AnyFunSuite {
       assert(kept >= (n * 3) / 4 - 1 && kept <= n)
     }
   }
+
+  test("cluster cap: accounting consistent with the cluster assignment") {
+    import org.apache.spark.sql.functions._
+    val row = operators.CurationOps.clusterCap(spark, sf).collect()(0)
+    val nDocs = row.getAs[Long]("n_docs")
+    val nClustered = row.getAs[Long]("n_clustered")
+    val nRemoved = row.getAs[Long]("n_removed")
+    val nKept = row.getAs[Long]("n_kept")
+    assert(nDocs == Tables.documents(spark, sf).count())
+    assert(nKept == nDocs - nRemoved)
+    assert(nRemoved >= 0 && nRemoved <= nClustered)
+    // n_clustered equals the component assignment's row count, and the
+    // removals equal the per-cluster overflow beyond the cap of 2
+    val sizes = operators.CurationOps.dedupClusters(spark, sf)
+      .groupBy(col("cluster_id")).count().collect().map(_.getLong(1))
+    assert(nClustered == sizes.sum)
+    assert(nRemoved == sizes.map(s => math.max(0L, s - 2)).sum)
+    // capping is weaker than keep-best: it never removes more than
+    // keep-best's winner-only policy would
+    assert(nRemoved <= sizes.map(s => math.max(0L, s - 1)).sum)
+  }
 }
