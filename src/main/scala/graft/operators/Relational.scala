@@ -583,6 +583,55 @@ object Relational {
       Seq((n, mn.toLongExact, mx.toLongExact))
         .toDF("n_rows", "min_key", "max_key")
     }),
+    // MERGE with CHECK constraints (Delta expectations): batch rows
+    // violating any named expectation divert to a quarantine manifest
+    // table (idempotent merge — replay re-quarantines as a no-op); clean
+    // rows merge into the main table. Output = the main table's counts
+    // plus the quarantine tally — the load report a pipeline acts on.
+    "q_manifest_expectations" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_exp_" +
+        java.lang.ProcessHandle.current().pid()
+      val (tbl, qtbl) = (s"$base/main", s"$base/quarantine")
+      graft.sources.ManifestTable.destroy(tbl)
+      graft.sources.ManifestTable.destroy(qtbl)
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      graft.sources.ManifestTable.mergeWithExpectations(s, tbl, qtbl, li, keys,
+        expectations = Map(
+          "qty_in_range" -> col("l_quantity").between(1, 45),
+          "price_positive" -> (col("l_extendedprice") > 0)))
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .unionByName(graft.sources.ManifestTable.read(s, qtbl)
+          .agg(count(lit(1)).as("n"))
+          .select(lit("__quarantined").as("l_returnflag"), col("n")))
+    }),
+    // Version-keyed RESULT CACHE: the manifest version names an immutable
+    // row set forever, so a cached result serves byte-identical until the
+    // next commit and invalidation is free. The query exercises the full
+    // lifecycle — miss → hit → commit-invalidated recompute — and returns
+    // the post-commit answer; the zero-jobs-on-hit proof is spec-side.
+    "q_result_cache" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_result_cache_" +
+        java.lang.ProcessHandle.current().pid()
+      val (tbl, cache) = (s"$base/tbl", s"$base/cache")
+      graft.sources.ManifestTable.destroy(tbl)
+      graft.sources.ManifestTable.destroy(cache)
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      def agg() = graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      graft.sources.ManifestTable.merge(s, tbl,
+        li.filter(col("l_orderkey") % 4 =!= 0), keys)
+      graft.sources.ManifestTable.cachedResult(s, tbl, cache, "rf")(() => agg())
+      graft.sources.ManifestTable.cachedResult(s, tbl, cache, "rf")(() => agg()) // hit
+      graft.sources.ManifestTable.merge(s, tbl, li, keys) // invalidates
+      graft.sources.ManifestTable.cachedResult(s, tbl, cache, "rf")(() => agg())
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -804,6 +853,19 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // expectations must split the batch exactly: clean in, violators out
+    "q_manifest_expectations" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE (l_quantity BETWEEN 1 AND 45) AND l_extendedprice > 0 GROUP BY 1
+        |UNION ALL
+        |SELECT '__quarantined', count(*) FROM lineitem
+        |WHERE NOT ((l_quantity BETWEEN 1 AND 45) AND l_extendedprice > 0)""".stripMargin,
+    // serving from cache must never change the answer; after the commit
+    // the cache must serve the NEW snapshot's aggregate
+    "q_result_cache" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // OPTIMIZE ZORDER must change the layout, never the answer
     "q_optimize_zorder" ->
       """SELECT count(*) AS n,

@@ -545,6 +545,51 @@ object ManifestTable {
     else s.read.parquet(kept.map(f => s"$dir/data/$f"): _*).filter(pred)
   }
 
+  /** MERGE with CHECK constraints (the Delta-expectations pattern): every
+    * batch row must satisfy ALL `expectations` (named boolean expressions;
+    * a NULL result counts as a violation — strict mode, nothing slips in
+    * on a null); violators are diverted to a quarantine manifest table
+    * (itself an idempotent MERGE, so a replayed batch re-quarantines as a
+    * no-op) and only clean rows merge into the main table. This is the
+    * contract enforcement that keeps a 100 TB table queryable — bad rows
+    * land somewhere inspectable instead of corrupting aggregates or
+    * failing the whole load. One pass over the batch computes the
+    * violation predicate; both merges reuse the ordinary commit path.
+    * Returns (main version, quarantine version). */
+  def mergeWithExpectations(s: SparkSession, dir: String, quarantineDir: String,
+      batch: DataFrame, keyCols: Seq[String],
+      expectations: Map[String, Column]): (Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    require(expectations.nonEmpty, "mergeWithExpectations needs at least one expectation")
+    val violated = expectations.values
+      .map(e => not(coalesce(e, lit(false)))).reduce(_ || _)
+    val qv = merge(s, quarantineDir, batch.filter(violated), keyCols)
+    val v = merge(s, dir, batch.filter(!violated), keyCols)
+    (v, qv)
+  }
+
+  /** Version-keyed RESULT CACHE: the manifest version IS the cache key the
+    * warehouse result-cache pattern needs — a snapshot version names an
+    * immutable row set forever, so a result computed at version v can be
+    * served byte-identical until the next commit, and invalidation is free
+    * (the version moved). `compute` runs only on a miss; its result is
+    * written once under `cacheRoot/<tag>-v<version>` and every later call
+    * at the same version is a plain parquet read — zero recompute, zero
+    * scan of the base table. At 100 TB this is the difference between
+    * re-running a dashboard's aggregate per viewer and serving it from a
+    * few cached KB. (Cache files are plain parquet; a vacuum-style sweep
+    * of stale `-v*` dirs is the caller's retention policy.) */
+  def cachedResult(s: SparkSession, dir: String, cacheRoot: String,
+      tag: String)(compute: () => DataFrame): DataFrame = {
+    val v = currentVersion(dir)
+    require(v >= 0, s"no committed snapshot in $dir")
+    val path = s"$cacheRoot/$tag-v$v"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      compute().write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** OPTIMIZE, policy-aware — the productionized [[compact]]: rewrites only
     * the files SMALLER than `smallFileBytes` (already-right-sized files
     * keep their manifest lines — and their stats — verbatim; rewriting

@@ -465,6 +465,60 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("expectations: strict null handling, exact split, idempotent replay") {
+    import spark.implicits._
+    val base = freshDir("exp")
+    val (tbl, qtbl) = (s"$base/main", s"$base/q")
+    val batch = Seq(
+      (1L, Some(10.0)), (2L, Some(-3.0)), (3L, None), (4L, Some(7.0))
+    ).toDF("id", "v")
+    val (v1, q1) = ManifestTable.mergeWithExpectations(spark, tbl, qtbl,
+      batch, Seq("id"), Map("v_positive" -> (col("v") > 0)))
+    assert(v1 == 0 && q1 == 0)
+    // NULL expectation result = violation (strict): ids 2 (false) AND 3
+    // (null) quarantine; 1 and 4 land clean
+    assert(ManifestTable.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    assert(ManifestTable.read(spark, qtbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // replay: both merges are no-ops
+    val (v2, q2) = ManifestTable.mergeWithExpectations(spark, tbl, qtbl,
+      batch, Seq("id"), Map("v_positive" -> (col("v") > 0)))
+    assert(v2 == v1 && q2 == q1)
+    assert(ManifestTable.read(spark, tbl).count() == 2)
+    assert(ManifestTable.read(spark, qtbl).count() == 2)
+  }
+
+  test("result cache: hit never recomputes, commit invalidates, stale versions coexist") {
+    val base = freshDir("cache")
+    val (tbl, cache) = (s"$base/tbl", s"$base/c")
+    val li = Tables.lineitem(spark, sf)
+    ManifestTable.merge(spark, tbl, li.filter(col("l_orderkey") % 4 =!= 0), keys)
+    var computes = 0
+    def agg() = { computes += 1
+      ManifestTable.read(spark, tbl)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")) }
+    val r1 = ManifestTable.cachedResult(spark, tbl, cache, "rf")(() => agg())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(computes == 1)
+    // hit: the compute closure must never run
+    val r2 = ManifestTable.cachedResult(spark, tbl, cache, "rf")(() =>
+      { computes += 1; agg() }).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(computes == 1, "cache hit must not invoke compute")
+    assert(r2 == r1)
+    // commit moves the version: next call is a miss on the NEW snapshot
+    ManifestTable.merge(spark, tbl, li, keys)
+    val r3 = ManifestTable.cachedResult(spark, tbl, cache, "rf")(() => agg())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(computes == 2)
+    assert(r3.values.sum == li.count())
+    assert(r3 != r1)
+    // the v0 cache entry still exists (retention is the caller's sweep)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$cache/rf-v0/_SUCCESS")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$cache/rf-v1/_SUCCESS")))
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
