@@ -20,7 +20,13 @@ object Explain {
     "q_contam_fraction", "q_quarantine", "q_compact_files",
     "q_backfill_partition", "q_variant_shredded", "q_bpe_train_encode",
     "q_acid_merge", "q_manifest_compact", "q_manifest_changes",
-    "q_manifest_tail", "q_observe_metrics", "q_runtime_filter")
+    "q_manifest_tail", "q_observe_metrics", "q_runtime_filter",
+    // §8.14: manifest-building queries execute staging commits (and the
+    // cluster cap runs the label-propagation fixpoint) at construction
+    "q_manifest_skipping", "q_manifest_point_lookup", "q_manifest_delete",
+    "q_manifest_update", "q_optimize_zorder", "q_metadata_agg",
+    "q_zorder_skipping", "q_manifest_expectations", "q_result_cache",
+    "q_cluster_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
