@@ -632,6 +632,55 @@ object Relational {
       graft.sources.ManifestTable.merge(s, tbl, li, keys) // invalidates
       graft.sources.ManifestTable.cachedResult(s, tbl, cache, "rf")(() => agg())
     }),
+    // Planner-style scan estimate from metadata: before running the range
+    // query, the manifest answers "how many files, at most how many rows"
+    // with zero I/O — what a cost-based planner reads to choose broadcast
+    // vs shuffle vs index. The hashed contract is bound-invariant (the
+    // q_approx_distinct pattern): the exact count plus TRUE flags that the
+    // estimate was a sound upper bound and that pruning actually happened;
+    // the estimate itself varies with file boundaries and is spec-bounded.
+    "q_scan_estimate" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_scan_est_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartitionByRange(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, li, statsCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      val (kept, total, upper) = graft.sources.ManifestTable.estimateScan(
+        tbl, "l_orderkey", BigDecimal(100), BigDecimal(500))
+      graft.sources.ManifestTable.readPruned(s, tbl, "l_orderkey",
+        BigDecimal(100), BigDecimal(500))
+        .agg(count(lit(1)).as("n_exact"))
+        .select(col("n_exact"),
+          (col("n_exact") <= upper).as("bound_sound"),
+          lit(kept < total).as("pruned"))
+    }),
+    // Schema-compatibility gate between snapshot versions: v1 is a
+    // migration commit that adds two columns (backward compatible),
+    // removes one and retypes another (both breaking); the report is
+    // derived from the snapshots' ACTUAL parquet schemas, so writer drift
+    // is caught, not just declared intent. Oracle = the expected
+    // classification restated (deterministic-construction pattern, like
+    // q_manifest_changes).
+    "q_schema_compat" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_schema_compat_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+      val v0 = graft.sources.ManifestTable.stage(s, tbl,
+        li.select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag"), col("l_extendedprice")))
+      require(graft.sources.ManifestTable.commit(tbl, v0, -1))
+      // migration commit: full rewrite under the evolved schema
+      val v1 = graft.sources.ManifestTable.stage(s, tbl,
+        li.select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(18,2)").as("l_quantity"), // retyped
+          col("l_returnflag"),
+          col("l_tax"), col("l_shipdate")))                         // added
+      require(graft.sources.ManifestTable.commit(tbl, v1, 0))
+      graft.sources.ManifestTable.schemaCompat(s, tbl, fromV = 0, toV = 1)
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -853,6 +902,21 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // the expected classification of the deterministic migration commit
+    "q_schema_compat" ->
+      """SELECT * FROM (VALUES
+        |  ('l_extendedprice', 'removed',   FALSE),
+        |  ('l_orderkey',      'unchanged', TRUE),
+        |  ('l_quantity',      'retyped',   FALSE),
+        |  ('l_returnflag',    'unchanged', TRUE),
+        |  ('l_shipdate',      'added',     TRUE),
+        |  ('l_tax',           'added',     TRUE)
+        |) t(col_name, change, compatible)""".stripMargin,
+    // bound-invariant: exact count + the sound-bound and pruning contracts
+    "q_scan_estimate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |       TRUE AS bound_sound, TRUE AS pruned
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500""".stripMargin,
     // expectations must split the batch exactly: clean in, violators out
     "q_manifest_expectations" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem

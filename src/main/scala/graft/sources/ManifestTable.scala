@@ -545,6 +545,55 @@ object ManifestTable {
     else s.read.parquet(kept.map(f => s"$dir/data/$f"): _*).filter(pred)
   }
 
+  /** Schema-compatibility report between two committed versions — the
+    * schema-registry compatibility rules applied to the snapshots' ACTUAL
+    * parquet schemas (observed from the files, not from a declaration, so
+    * a writer that silently drifted is caught too): a column added is
+    * backward compatible (old readers keep working, new readers gain it);
+    * a column removed is breaking (existing queries reference it); a
+    * column retyped is breaking unless the types are identical. This is
+    * the pre-publish gate a pipeline runs before promoting a migration
+    * commit. Cost: two footer reads, no data scan. */
+  def schemaCompat(s: SparkSession, dir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    val a = readVersion(s, dir, fromV).schema
+    val b = readVersion(s, dir, toV).schema
+    val am = a.fields.map(f => f.name -> f.dataType.sql).toMap
+    val bm = b.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows = (a.fieldNames ++ b.fieldNames).distinct.toSeq.sorted.map { c =>
+      (am.get(c), bm.get(c)) match {
+        case (Some(x), Some(y)) if x == y => (c, "unchanged", true)
+        case (Some(_), Some(_))           => (c, "retyped", false)
+        case (Some(_), None)              => (c, "removed", false)
+        case (None, Some(_))              => (c, "added", true)
+        case _                            => (c, "impossible", false)
+      }
+    }
+    import s.implicits._
+    rows.toDF("col_name", "change", "compatible")
+  }
+
+  /** Planner-style cost estimate from metadata alone: for
+    * `col BETWEEN lo AND hi`, how many files survive pruning and an UPPER
+    * BOUND on matching rows (the surviving files' recorded row counts —
+    * every match lives in a surviving file, so the bound is sound by
+    * construction). This is what a cost-based planner reads before
+    * choosing a strategy — broadcast vs shuffle, index vs scan — and it
+    * costs O(|files|) manifest entries, zero I/O. Requires row counts on
+    * every surviving file (throws otherwise — an unknowable bound is not
+    * a bound). */
+  def estimateScan(dir: String, col: String, lo: BigDecimal,
+      hi: BigDecimal): (Int, Int, Long) = {
+    val v = currentVersion(dir)
+    require(v >= 0, s"no committed snapshot in $dir")
+    val entries = listLines(dir, v).map(parseEntry)
+    val kept = entries.filter(
+      _.ranges.get(col).forall(r => r.max >= lo && r.min <= hi))
+    require(kept.forall(_.rows.isDefined),
+      s"estimateScan needs row counts on every surviving file")
+    (kept.size, entries.size, kept.flatMap(_.rows).sum)
+  }
+
   /** MERGE with CHECK constraints (the Delta-expectations pattern): every
     * batch row must satisfy ALL `expectations` (named boolean expressions;
     * a NULL result counts as a violation — strict mode, nothing slips in

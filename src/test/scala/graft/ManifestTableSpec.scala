@@ -519,6 +519,30 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$cache/rf-v1/_SUCCESS")))
   }
 
+  test("scan estimate: sound upper bound, metadata-only, self-compat schema") {
+    val dir = freshDir("est")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(8, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li, Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val (kept, total, upper) = ManifestTable.estimateScan(dir, "l_orderkey",
+      BigDecimal(100), BigDecimal(500))
+    val exact = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").between(100L, 500L)).count()
+    assert(kept < total, "range layout must prune")
+    assert(upper >= exact, "upper bound must be sound")
+    // the bound is the kept files' row counts — tight at file granularity:
+    // it can't exceed the whole table
+    assert(upper <= ManifestTable.read(spark, dir).count())
+    // a whole-range estimate keeps every file and bounds by the table size
+    val (kAll, tAll, uAll) = ManifestTable.estimateScan(dir, "l_orderkey",
+      BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+    assert(kAll == tAll && uAll == ManifestTable.read(spark, dir).count())
+    // schema self-compat: a version against itself is all-unchanged
+    val compat = ManifestTable.schemaCompat(spark, dir, 0, 0).collect()
+    assert(compat.nonEmpty && compat.forall(r =>
+      r.getString(1) == "unchanged" && r.getBoolean(2)))
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
