@@ -681,6 +681,39 @@ object Relational {
       require(graft.sources.ManifestTable.commit(tbl, v1, 0))
       graft.sources.ManifestTable.schemaCompat(s, tbl, fromV = 0, toV = 1)
     }),
+    // Write–Audit–Publish: batch A stages into a named audit snapshot,
+    // its quality check (no rows with l_quantity > 45) passes against the
+    // exact would-be table state, and it publishes; batch B contains
+    // violations, fails the same audit, and is ABORTED — its staged files
+    // stay unpublished orphans. The final table therefore holds the
+    // initial load plus batch A only. Oracle restates that state from the
+    // deterministic slices; audit invisibility/atomicity are spec-side.
+    "q_write_audit_publish" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_wap_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+      def cleanOnly(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("l_quantity") <= 45)
+      def auditPasses(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.filter(col("l_quantity") > 45).isEmpty
+      // initial load (clean by construction)
+      val init = graft.sources.ManifestTable.stage(s, tbl,
+        cleanOnly(li.filter(col("l_orderkey") % 3 === 0)))
+      require(graft.sources.ManifestTable.commit(tbl, init, -1))
+      // batch A: clean → audit passes → publish
+      graft.sources.ManifestTable.stageAudit(s, tbl,
+        cleanOnly(li.filter(col("l_orderkey") % 3 === 1)), tag = "a")
+      require(auditPasses(graft.sources.ManifestTable.readAudit(s, tbl, "a")))
+      require(graft.sources.ManifestTable.publishAudit(tbl, "a").contains(1))
+      // batch B: dirty → audit fails → abort (nothing published)
+      graft.sources.ManifestTable.stageAudit(s, tbl,
+        li.filter(col("l_orderkey") % 3 === 2), tag = "b")
+      require(!auditPasses(graft.sources.ManifestTable.readAudit(s, tbl, "b")))
+      graft.sources.ManifestTable.abortAudit(tbl, "b")
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -902,6 +935,10 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // the published state = init + the one batch whose audit passed
+    "q_write_audit_publish" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_quantity <= 45 AND l_orderkey % 3 <> 2 GROUP BY 1""".stripMargin,
     // the expected classification of the deterministic migration commit
     "q_schema_compat" ->
       """SELECT * FROM (VALUES

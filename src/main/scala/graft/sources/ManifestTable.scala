@@ -545,6 +545,67 @@ object ManifestTable {
     else s.read.parquet(kept.map(f => s"$dir/data/$f"): _*).filter(pred)
   }
 
+  // ---------------------------------------------------------------------
+  // Write–Audit–Publish (the Iceberg WAP pattern): a writer stages its
+  // batch into a NAMED AUDIT SNAPSHOT (`audit-<tag>.json` — readers only
+  // resolve `manifest-v*`, so the candidate is invisible to production),
+  // quality checks run against the exact would-be table state, and only a
+  // passing audit publishes — via the ordinary CAS, against the base
+  // version recorded at staging time, so a concurrent commit fails the
+  // publish and forces a re-audit (the checks must re-run against the NEW
+  // base; publishing a stale audit would skip validating the merge of the
+  // two). An aborted audit costs nothing: the staged files were orphans
+  // all along and vacuum collects them.
+  // ---------------------------------------------------------------------
+
+  private def auditPath(dir: String, tag: String): Path =
+    Paths.get(dir, s"audit-$tag.json")
+
+  /** Stage `batch` into audit snapshot `tag` (base = current version). */
+  def stageAudit(s: SparkSession, dir: String, batch: DataFrame,
+      tag: String, statsCols: Seq[String] = Nil): Unit = {
+    val v = currentVersion(dir)
+    val staged =
+      if (statsCols.nonEmpty) stageWithStats(s, dir, batch, statsCols)
+      else stage(s, dir, batch)
+    val lines = s"#base=$v" +: (listLines(dir, v) ++ staged)
+    Files.write(auditPath(dir, tag), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def auditLines(dir: String, tag: String): (Int, Seq[String]) = {
+    val p = auditPath(dir, tag)
+    require(Files.exists(p), s"no audit snapshot '$tag' in $dir")
+    val all = new String(Files.readAllBytes(p), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val base = all.head.stripPrefix("#base=").toInt
+    (base, all.tail)
+  }
+
+  /** Read the audit snapshot: the exact table state `tag` would publish. */
+  def readAudit(s: SparkSession, dir: String, tag: String): DataFrame = {
+    val (_, lines) = auditLines(dir, tag)
+    s.read.parquet(lines.map(l => s"$dir/data/${l.split('\t').head}"): _*)
+  }
+
+  /** Publish a passing audit atomically. Returns the new version, or None
+    * if a concurrent commit moved the base — the caller must re-stage and
+    * RE-AUDIT against the new base (never publish stale checks). */
+  def publishAudit(dir: String, tag: String): Option[Int] = {
+    val (base, lines) = auditLines(dir, tag)
+    if (currentVersion(dir) != base) return None
+    if (commit(dir, lines, base)) {
+      Files.deleteIfExists(auditPath(dir, tag))
+      Some(base + 1)
+    } else None
+  }
+
+  /** Abort an audit: drop the snapshot file; the staged data files were
+    * never published and remain orphans until vacuum. */
+  def abortAudit(dir: String, tag: String): Unit = {
+    Files.deleteIfExists(auditPath(dir, tag))
+    ()
+  }
+
   /** Schema-compatibility report between two committed versions — the
     * schema-registry compatibility rules applied to the snapshots' ACTUAL
     * parquet schemas (observed from the files, not from a declaration, so

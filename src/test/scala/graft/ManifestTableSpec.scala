@@ -543,6 +543,37 @@ class ManifestTableSpec extends AnyFunSuite {
       r.getString(1) == "unchanged" && r.getBoolean(2)))
   }
 
+  test("write-audit-publish: invisible until published, stale audit refused, abort is free") {
+    val dir = freshDir("wap")
+    val li = Tables.lineitem(spark, sf)
+    ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 4 === 0), keys)
+    val before = ManifestTable.read(spark, dir).count()
+    // staged audit is INVISIBLE to production readers
+    ManifestTable.stageAudit(spark, dir, li.filter(col("l_orderkey") % 4 === 1), "w")
+    assert(ManifestTable.read(spark, dir).count() == before)
+    assert(ManifestTable.currentVersion(dir) == 0)
+    // but the audit reader sees the exact would-be state
+    val audited = ManifestTable.readAudit(spark, dir, "w").count()
+    assert(audited == li.filter(col("l_orderkey") % 4 <= 1).count())
+    // a concurrent commit moves the base: the stale audit must be REFUSED
+    ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 4 === 2), keys)
+    assert(ManifestTable.publishAudit(dir, "w").isEmpty,
+      "publishing checks validated against a stale base must be refused")
+    // re-stage against the new base → audit → publish succeeds
+    ManifestTable.abortAudit(dir, "w")
+    ManifestTable.stageAudit(spark, dir, li.filter(col("l_orderkey") % 4 === 1), "w2")
+    assert(ManifestTable.publishAudit(dir, "w2").contains(2))
+    assert(ManifestTable.read(spark, dir).count() ==
+      li.filter(col("l_orderkey") % 4 <= 2).count())
+    // an aborted audit's files are orphans; vacuum collects them
+    ManifestTable.stageAudit(spark, dir, li.filter(col("l_orderkey") % 4 === 3), "dead")
+    ManifestTable.abortAudit(dir, "dead")
+    val n = ManifestTable.read(spark, dir).count()
+    val (_, dropped) = ManifestTable.vacuum(dir, keepVersions = 1)
+    assert(dropped > 0, "vacuum must collect the aborted audit's orphans")
+    assert(ManifestTable.read(spark, dir).count() == n)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
