@@ -121,6 +121,61 @@ object DedupOps {
       .filter($"jacc" > threshold)
   }
 
+  /** ASYMMETRIC containment detection — the doc-inside-doc case the
+    * symmetric Jaccard misses: a short document quoted or embedded whole
+    * inside a longer one scores low Jaccard (the union is large) but its
+    * own shingles are ≥90% covered by the host. Emits directed pairs
+    * (inner ⊂ outer, strict smaller-into-larger) with the exact coverage
+    * ratio |inner∩outer| / |inner| — the curation signal for dropping
+    * quoted duplicates while keeping the host. Same lang × G-grid blocked
+    * SHUFFLE_HASH shape as [[ngramJaccard]] (no all-pairs join); both
+    * directions of each unordered pair are evaluated from the ONE joined
+    * row. The threshold compare is pure-integer (`inter·10 ≥ 9·|inner|`),
+    * so no float boundary can flip membership across engines. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ArrayOps.register(s)
+    val G = 8
+    val docs = Tables.documentsSpread(s, dir)
+      .filter(size(toks($"text")) >= 3)
+      .select($"doc_id", $"lang", hashedShingles($"text").as("sh"))
+      .withColumn("g", pmod(xxhash64($"doc_id"), lit(G)))
+    val a = docs.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"), $"g".as("ga"))
+      .withColumn("gb", explode(sequence($"ga", lit(G - 1))))
+    val b = docs.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"), $"g".as("gb"))
+      .withColumn("ga", explode(sequence(lit(0), $"gb")))
+    val inter = graft.functions.ArrayOps.sortedIntersectCount($"sh_a", $"sh_b")
+    a.join(b.hint("SHUFFLE_HASH"), Seq("lang", "ga", "gb"))
+      .filter($"ga" =!= $"gb" || $"doc_a" < $"doc_b")
+      // strict smaller-into-larger: equal-size pairs are the exact-dup
+      // detector's job, not containment's
+      .filter(size($"sh_a") =!= size($"sh_b"))
+      .withColumn("inter", inter)
+      // the smaller side of the one joined row is the inner candidate
+      .select($"lang",
+        when(size($"sh_a") < size($"sh_b"), $"doc_a").otherwise($"doc_b").as("inner_doc"),
+        when(size($"sh_a") < size($"sh_b"), $"doc_b").otherwise($"doc_a").as("outer_doc"),
+        least(size($"sh_a"), size($"sh_b")).as("n_inner"),
+        $"inter")
+      .filter($"n_inner" > 0 && $"inter" * 10 >= $"n_inner" * 9)
+      .select($"lang", $"inner_doc", $"outer_doc",
+        ($"inter".cast("double") / $"n_inner").as("coverage"))
+  }
+
+  private val containmentSql = {
+    val shingleSql =
+      """list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])"""
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, $shingleSql AS sh
+       |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+       |  WHERE len(t) >= 3)
+       |SELECT a.lang, a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS coverage
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+       |WHERE len(a.sh) < len(b.sh) AND len(a.sh) > 0
+       |  AND len(list_intersect(a.sh, b.sh)) * 10 >= 9 * len(a.sh)""".stripMargin
+  }
+
   /** MinHash permutation constants: affine maps (a_p·h + b_p) mod P over
     * the md5-derived 32-bit base hash, P prime > 2³² — a 2-universal family.
     * a_p stays < 2²¹ so a_p·h < 2⁵³ never overflows a long (or DuckDB's
@@ -379,6 +434,7 @@ object DedupOps {
     "q_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "q_dedup_exact" -> ((s, d) => exactDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "q_containment" -> ((s, d) => containmentPairs(s, d)),
     "q_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q_minhash_pairs" -> ((s, d) => minhashLsh(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
@@ -423,6 +479,7 @@ object DedupOps {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY text""".stripMargin,
+    "q_containment" -> containmentSql,
     "q_ngram_jaccard" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, $shingleSql AS sh

@@ -243,11 +243,52 @@ object TokenizerOps {
     bpeEncode(s, dir, merges)
   }
 
+  /** Tokenizer FERTILITY report — tokens-per-word and tokens-per-char by
+    * language, the standard measurement of how evenly a tokenizer treats
+    * the corpus's languages (a language paying 2× the tokens per word gets
+    * half the effective context window and double the training cost — the
+    * fairness number multilingual-tokenizer papers lead with). Composes
+    * the row-local BPE encoder over the corpus with one per-language
+    * aggregate; ratios are exact-integer-sum divisions rounded at 6 dp. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = bpeEncode(s, dir)
+    val words = Tables.documents(s, dir).select($"doc_id", $"lang",
+      size(filter(split(trim(lower($"text")), "\\s+"),
+        tk => length(tk) >= 1)).cast("long").as("n_words"))
+    enc.join(words, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bpe_tokens").as("n_tokens"),
+        sum($"n_words").as("n_words"),
+        round(sum($"n_bpe_tokens").cast("double") / sum($"n_words"), 6)
+          .as("tokens_per_word"),
+        round(sum($"n_bpe_tokens").cast("double") / sum($"n_char_symbols"), 6)
+          .as("tokens_per_char"))
+  }
+
+  private val fertilitySql =
+    s"""WITH enc AS ($bpeEncodeSql),
+       |w AS (
+       |  SELECT doc_id, lang,
+       |         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                         tk -> len(tk) >= 1)) AS n_words
+       |  FROM documents)
+       |SELECT w.lang, count(*) AS n_docs,
+       |       CAST(sum(enc.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(w.n_words) AS BIGINT) AS n_words,
+       |       round(CAST(sum(enc.n_bpe_tokens) AS DOUBLE) / sum(w.n_words), 6)
+       |         AS tokens_per_word,
+       |       round(CAST(sum(enc.n_bpe_tokens) AS DOUBLE)
+       |             / sum(enc.n_char_symbols), 6) AS tokens_per_char
+       |FROM enc JOIN w USING (doc_id) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "q_bpe_train_encode" -> ((s, d) => bpeTrainEncode(s, d)),
+    "q_tokenizer_fertility" -> ((s, d) => tokenizerFertility(s, d)),
   )
 
   /** A def, not a val: Verify dumps oracle SQL after running the queries,
@@ -257,5 +298,6 @@ object TokenizerOps {
   def oracle: Map[String, String] = Map(
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_encode" -> bpeEncodeSql,
+    "q_tokenizer_fertility" -> fertilitySql,
   ) ++ lastTrainedMerges.map(m => "q_bpe_train_encode" -> encodeSqlFor(m))
 }

@@ -242,6 +242,49 @@ class PipelineExtrasSpec extends AnyFunSuite {
     }
   }
 
+  // ---- asymmetric containment ----
+
+  test("containment: directed, threshold honored, matches a brute-force recompute") {
+    import spark.implicits._
+    val got = operators.DedupOps.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (inner, outer, cov) =>
+      assert(inner != outer)
+      assert(cov >= 0.9 - 1e-12 && cov <= 1.0 + 1e-12)
+    }
+    // brute-force recompute on the small fixture (test-only O(n²) shape)
+    val sh = Tables.documents(spark, sf).collect().flatMap { r =>
+      val t = r.getAs[String]("text").trim.split("\\s+")
+      if (t.length < 3) None
+      else Some((r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        t.sliding(3).map(_.mkString(" ")).toSet))
+    }
+    val want = (for {
+      (ia, la, sa) <- sh; (ib, lb, sb) <- sh
+      if la == lb && sa.size < sb.size && (sa & sb).size * 10 >= 9 * sa.size
+    } yield (ia, ib, (sa & sb).size.toDouble / sa.size)).toSet
+    assert(got == want)
+  }
+
+  // ---- tokenizer fertility ----
+
+  test("tokenizer fertility: per-language ratios bounded and internally consistent") {
+    val rows = operators.TokenizerOps.tokenizerFertility(spark, sf).collect()
+    assert(rows.length == 5) // the fixture's five languages
+    rows.foreach { r =>
+      val tpw = r.getAs[Double]("tokens_per_word")
+      val tpc = r.getAs[Double]("tokens_per_char")
+      val nTok = r.getAs[Long]("n_tokens")
+      val nWords = r.getAs[Long]("n_words")
+      // every word is at least one BPE token; no word exceeds its char count
+      assert(tpw >= 1.0 - 1e-9)
+      assert(tpc <= 1.0 + 1e-9 && tpc > 0.0)
+      assert(nTok >= nWords)
+      assert(math.abs(tpw - nTok.toDouble / nWords) < 1e-6)
+    }
+  }
+
   // ---- point-in-time feature join ----
 
   test("pit features: no future leakage, matches an independent recomputation") {
