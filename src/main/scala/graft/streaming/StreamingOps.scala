@@ -126,6 +126,29 @@ object StreamingOps {
     runToParquet(s, agg, "graft_dedup")
   }
 
+  /** TTL dedup on the BARE id — `dropDuplicatesWithinWatermark`: the
+    * at-least-once delivery case [[streamingDedupCount]] can't express,
+    * where a redelivered record arrives with a DIFFERENT event time (so
+    * keying on (id, ts) would double count) and the id must be deduped by
+    * itself. Keying on id alone with plain `dropDuplicates` keeps state
+    * forever; the within-watermark variant evicts each key once the
+    * watermark passes it — bounded state under the at-least-once
+    * assumption that redeliveries arrive within the delay. The query
+    * simulates redelivery by unioning the stream with a 10-minute-shifted
+    * copy of every 10th event: the shifted copies MUST be dropped, so the
+    * count equals the distinct ids — which is the oracle. */
+  def streamDedupTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val redelivered = eventsStream(s, dir)
+      .filter($"event_id" % 10 === 0)
+      .withColumn("ts", $"ts" + expr("INTERVAL 10 MINUTES"))
+    val agg = eventsStream(s, dir).unionByName(redelivered)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy().agg(count(lit(1)).as("n_events"))
+    runToParquet(s, agg, "graft_dedup_ttl")
+  }
+
   /** Stream-static join: the streaming feed enriched against a small static
     * dimension (broadcast — no stream state), then windowed. The canonical
     * "stream joins a warehouse dim table" shape. */
@@ -473,6 +496,7 @@ object StreamingOps {
     "q_stream_hourly" -> ((s, d) => hourlyWindow(s, d)),
     "q_stream_sliding" -> ((s, d) => slidingWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamingDedupCount(s, d)),
+    "q_stream_dedup_ttl" -> ((s, d) => streamDedupTtl(s, d)),
     "q_stream_static_join" -> ((s, d) => streamStaticJoin(s, d)),
     "q_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "q_stream_left_outer" -> ((s, d) => streamLeftOuterJoin(s, d)),
@@ -482,6 +506,9 @@ object StreamingOps {
     // streaming the current slice must not change the drift answer: the
     // oracle IS the batch q_psi_drift SQL, shared so they cannot diverge
     "q_stream_psi" -> graft.operators.AnalyticsOps.psiDriftSql,
+    // redelivered ids (different event time) must dedupe to distinct ids
+    "q_stream_dedup_ttl" ->
+      "SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_events FROM events",
     // exact per-hour distincts + the TRUE flags: a lost micro-batch, a
     // broken sketch merge, or estimate drift flips a flag and the hash
     "q_stream_approx_distinct" ->

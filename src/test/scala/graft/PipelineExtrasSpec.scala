@@ -267,6 +267,21 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ---- TTL dedup (dropDuplicatesWithinWatermark) ----
+
+  test("stream ttl dedup: redelivered ids with shifted timestamps are dropped") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val distinctIds = ev.select($"event_id").distinct().count()
+    val redelivered = ev.filter($"event_id" % 10 === 0).count()
+    assert(redelivered > 0, "the redelivery construction must add duplicates")
+    // the raw union carries the duplicates; the TTL dedup must remove them
+    val got = streaming.StreamingOps.streamDedupTtl(spark, sf)
+      .collect()(0).getLong(0)
+    assert(got == distinctIds,
+      s"expected $distinctIds distinct ids, got $got (union had ${distinctIds + redelivered})")
+  }
+
   // ---- tokenizer fertility ----
 
   test("tokenizer fertility: per-language ratios bounded and internally consistent") {
