@@ -574,6 +574,63 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() == n)
   }
 
+  test("concurrent merges serialize: racing writers lose no updates") {
+    val dir = freshDir("race")
+    val li = Tables.lineitem(spark, sf)
+    ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 7 === 0), keys)
+    // four writers race distinct slices concurrently; every merge retries
+    // through lost CAS races, so the final snapshot must hold the union
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (1 to 4).map { m =>
+        Future {
+          ManifestTable.merge(spark, dir,
+            li.filter(col("l_orderkey") % 7 === m), keys, maxRetries = 30)
+        }
+      }
+      Await.result(Future.sequence(fs), 5.minutes)
+    } finally pool.shutdown()
+    val expected = li.filter(col("l_orderkey") % 7 <= 4).count()
+    assert(ManifestTable.read(spark, dir).count() == expected,
+      "every racing writer's rows must survive serialization")
+    // versions advanced once per successful commit: 1 initial + 4 racers
+    assert(ManifestTable.currentVersion(dir) == 4)
+    // and a replay of any slice is still a no-op after the race
+    val v = ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 7 === 2), keys)
+    assert(v == 4 && ManifestTable.read(spark, dir).count() == expected)
+  }
+
+  test("manifest stats encoding: entries round-trip through write and parse") {
+    val dir = freshDir("roundtrip")
+    val li = Tables.lineitem(spark, sf).repartition(3, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      statsCols = Seq("l_orderkey", "l_quantity"), bloomCols = Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val reread = ManifestTable.listLines(dir, 0)
+    assert(reread == staged, "manifest lines must survive the write byte-for-byte")
+    reread.map(ManifestTable.parseEntry).foreach { e =>
+      // both range kinds present and sane (quantity is a double column)
+      val ok = e.ranges("l_orderkey")
+      val oq = e.ranges("l_quantity")
+      assert(ok.tag == 'L' && ok.min <= ok.max)
+      assert(oq.tag == 'D' && oq.min <= oq.max)
+      assert(e.rows.exists(_ > 0))
+      // the bloom decodes to a usable sketch: a key inside the file's range
+      // that the file holds must be admitted
+      assert(e.blooms.contains("l_orderkey"))
+    }
+    // parse is total on foreign/garbage stat fields (forward compatibility)
+    val (n2, r2) = {
+      val e = ManifestTable.parseEntry("f.parquet\tweird=stuff;x=Q:1:2\tfuture-field")
+      (e.name, e.ranges)
+    }
+    assert(n2 == "f.parquet" && r2.isEmpty)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
