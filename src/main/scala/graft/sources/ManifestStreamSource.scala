@@ -187,9 +187,11 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     val from = start.asInstanceOf[VersionOffset].v
     val to = end.asInstanceOf[VersionOffset].v
     if (to <= from) return Array.empty
-    val before =
-      if (from < 0) Set.empty[String] else ManifestTable.listFiles(dir, from).toSet
-    ManifestTable.listFiles(dir, to).filterNot(before)
+    // the per-version data-commit walk: rewrite commits (compaction /
+    // optimize) contribute NOTHING — the stream keeps exactly-once across
+    // table maintenance; row-level mutation commits throw (an append-only
+    // feed cannot express them — the consumer must re-bootstrap)
+    ManifestTable.changedFileNames(dir, from, to)
       .map(f => ManifestFilePartition(s"$dir/data/$f"): InputPartition).toArray
   }
 

@@ -58,13 +58,24 @@ object ManifestTable {
   }
 
   /** Raw manifest lines of version `v`: `name` or `name\t<file stats>`.
-    * Writers carry these forward verbatim so per-file stats survive later
-    * commits; readers that only need names use [[listFiles]]. */
+    * `#`-prefixed marker lines (e.g. the [[commitRewrite]] tag) are
+    * metadata, not files, and are filtered here. Writers carry these lines
+    * forward verbatim so per-file stats survive later commits; readers
+    * that only need names use [[listFiles]]. */
   def listLines(dir: String, v: Int): Seq[String] = {
     if (v < 0) return Seq.empty
     val body = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
     // one entry per line — no JSON library needed on the read path
-    body.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    body.split('\n').map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+  }
+
+  /** True if version `v` is a REWRITE commit (compaction / optimize): its
+    * file list changed but its DATA did not — incremental consumers skip
+    * it entirely instead of re-reading rewritten files. */
+  def isRewrite(dir: String, v: Int): Boolean = {
+    if (v < 0) return false
+    val body = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+    body.split('\n').headOption.exists(_.trim == "#rewrite")
   }
 
   /** Data files of version `v` (relative names under `data/`). */
@@ -88,11 +99,37 @@ object ManifestTable {
 
   /** Atomically publish version `expected + 1` = `files`. True on success,
     * false if another writer won the race (caller re-reads and retries). */
-  def commit(dir: String, files: Seq[String], expected: Int): Boolean = {
+  def commit(dir: String, files: Seq[String], expected: Int): Boolean =
+    commitBody(dir, files.mkString("\n"), expected)
+
+  /** [[commit]] tagged as a DATA-INVARIANT rewrite (compaction, optimize):
+    * snapshot readers see the new file list as usual, but incremental
+    * consumers ([[readChanges]], the streaming source) skip the version —
+    * the rows didn't change, only their layout, so "re-bootstrap on
+    * compaction" stops being part of the CDC contract. */
+  def commitRewrite(dir: String, files: Seq[String], expected: Int): Boolean =
+    commitBody(dir, ("#rewrite" +: files).mkString("\n"), expected)
+
+  /** [[commit]] tagged as a ROW-LEVEL MUTATION (delete, update): the data
+    * changed in a way an append-only change feed cannot express, so
+    * incremental consumers crossing this version fail EXPLICITLY and must
+    * re-bootstrap — emitting the rewritten survivors as "new rows" would
+    * silently duplicate them downstream. */
+  def commitMutate(dir: String, files: Seq[String], expected: Int): Boolean =
+    commitBody(dir, ("#mutate" +: files).mkString("\n"), expected)
+
+  /** True if version `v` is a row-level mutation commit. */
+  def isMutate(dir: String, v: Int): Boolean = {
+    if (v < 0) return false
+    val body = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+    body.split('\n').headOption.exists(_.trim == "#mutate")
+  }
+
+  private def commitBody(dir: String, body: String, expected: Int): Boolean = {
     Files.createDirectories(Paths.get(dir, "data"))
     val target = manifestPath(dir, expected + 1)
     try {
-      Files.write(target, files.mkString("\n").getBytes("UTF-8"),
+      Files.write(target, body.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW) // atomic CAS: fails if v+1 exists
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -156,11 +193,29 @@ object ManifestTable {
     * the full table twice. Compaction commits rewrite the whole list, so a
     * range crossing one intentionally degrades to the rewritten files —
     * the same re-bootstrap contract Delta's CDC reader documents. */
+  /** Relative names of the files carrying NEW DATA in `(fromV, toV]`: a
+    * per-version walk that SKIPS rewrite commits (their file-list changes
+    * are layout, not data) and accumulates each data commit's additions.
+    * Files replaced by a later rewrite are still readable — rewrites never
+    * delete — so a consumer lagging across an OPTIMIZE reads the original
+    * commit files, exactly once, with no re-bootstrap. */
+  def changedFileNames(dir: String, fromV: Int, toV: Int): Seq[String] = {
+    require(fromV <= toV, s"changedFileNames: fromV $fromV > toV $toV")
+    val versions = math.max(fromV, -1) + 1 to toV
+    versions.find(isMutate(dir, _)).foreach { v =>
+      throw new IllegalStateException(
+        s"change range ($fromV, $toV] crosses row-level mutation commit v$v; " +
+          "an append-only change feed cannot express it — re-bootstrap the consumer")
+    }
+    versions.filterNot(isRewrite(dir, _)).flatMap { v =>
+      val before = if (v == 0) Set.empty[String] else listFiles(dir, v - 1).toSet
+      listFiles(dir, v).filterNot(before)
+    }
+  }
+
   def readChanges(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
-    require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
     require(Files.exists(manifestPath(dir, toV)), s"no committed snapshot v$toV in $dir")
-    val before = if (fromV < 0) Set.empty[String] else listFiles(dir, fromV).toSet
-    val added = listFiles(dir, toV).filterNot(before)
+    val added = changedFileNames(dir, fromV, toV)
     if (added.isEmpty) s.emptyDataFrame
     else s.read.parquet(added.map(f => s"$dir/data/$f"): _*)
   }
@@ -186,7 +241,7 @@ object ManifestTable {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to compact in $dir")
       val staged = stage(s, dir, readVersion(s, dir, v).repartition(numFiles))
-      if (commit(dir, staged, v)) return v + 1
+      if (commitRewrite(dir, staged, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
     throw new IllegalStateException(s"compact lost $maxRetries commit races in $dir")
@@ -459,7 +514,7 @@ object ManifestTable {
       val staged =
         if (survivors.isEmpty) Seq.empty[String]
         else stageWithIndexes(s, dir, survivors, statsCols, bloomCols)
-      if (commit(dir, keep ++ staged, v)) return v + 1
+      if (commitMutate(dir, keep ++ staged, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
     throw new IllegalStateException(s"delete lost $maxRetries commit races in $dir")
@@ -503,7 +558,7 @@ object ManifestTable {
       val statsCols = affected.flatMap(_.ranges.keys).distinct
       val bloomCols = affected.flatMap(_.blooms.keys).distinct
       val staged = stageWithIndexes(s, dir, rewritten, statsCols, bloomCols)
-      if (commit(dir, keep ++ staged, v)) return v + 1
+      if (commitMutate(dir, keep ++ staged, v)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(s"update lost $maxRetries commit races in $dir")
@@ -739,7 +794,7 @@ object ManifestTable {
       val staged =
         if (statsCols.nonEmpty) stageWithStats(s, dir, laid, statsCols)
         else stage(s, dir, laid)
-      if (commit(dir, big ++ staged, v)) return v + 1
+      if (commitRewrite(dir, big ++ staged, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
     throw new IllegalStateException(s"optimize lost $maxRetries commit races in $dir")

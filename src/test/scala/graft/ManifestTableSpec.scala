@@ -631,6 +631,41 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(n2 == "f.parquet" && r2.isEmpty)
   }
 
+  test("change feed across maintenance: compaction invisible, mutation refuses") {
+    val dir = freshDir("cdcmaint")
+    val li = Tables.lineitem(spark, sf)
+    (0 to 2).foreach { m =>
+      ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 3 === m), keys)
+    } // v0, v1, v2 — data commits
+    ManifestTable.compact(spark, dir, numFiles = 2) // v3 — rewrite commit
+    // a replayed batch stays a no-op even though compaction renamed every
+    // file (the anti-join reconciles against content, not file identity)
+    ManifestTable.merge(spark, dir, li.filter(col("l_orderkey") % 3 === 0), keys)
+    assert(ManifestTable.currentVersion(dir) == 3,
+      "replay after compaction must still be a no-op")
+    // a consumer lagging at v1 polls to head: sees ONLY v2's data, nothing
+    // from the compaction — no re-bootstrap, no duplicates
+    val delta = ManifestTable.readChanges(spark, dir, 1, 3)
+    assert(delta.count() == li.filter(col("l_orderkey") % 3 === 2).count())
+    // a range that is ONLY the compaction is empty (layout, not data)
+    assert(ManifestTable.readChanges(spark, dir, 2, 3).count() == 0)
+    // the streaming source resumes across the OPTIMIZE reading nothing new
+    val stream = spark.readStream.format("graft.sources.ManifestStreamSource")
+      .option("path", dir).load()
+    val drained = streaming.StreamingOps.runToParquet(spark,
+      stream.groupBy().agg(count(lit(1)).as("n")), "cdc_maint").collect()
+    assert(drained(0).getLong(0) == li.count(),
+      "stream over the full log must see each row exactly once despite compaction")
+    // a row-level mutation poisons the feed EXPLICITLY
+    ManifestTable.deleteKeys(spark, dir, "l_orderkey", Seq(3L))
+    val e = intercept[IllegalStateException] {
+      ManifestTable.readChanges(spark, dir, 3, ManifestTable.currentVersion(dir))
+    }
+    assert(e.getMessage.contains("re-bootstrap"))
+    // but ranges BEFORE the mutation still serve
+    assert(ManifestTable.readChanges(spark, dir, 1, 3).count() > 0)
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
