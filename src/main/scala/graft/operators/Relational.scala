@@ -714,6 +714,44 @@ object Relational {
       graft.sources.ManifestTable.read(s, tbl)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     }),
+    // Multi-table ATOMIC transaction via the catalog tier: an order-header
+    // table and its line-items each advance through two coordinated
+    // commits, and each pair is published by ONE catalog CAS pinning both
+    // tables' versions together — a reader resolving the catalog once can
+    // never join an order half (torn-state impossibility is spec-proven;
+    // here the hashed contract is the consistent cross-table join at the
+    // final catalog snapshot).
+    "q_catalog_txn" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(base) // fresh catalog per run
+      val (ot, lt, cat) = (s"$base/orders", s"$base/lineitem", s"$base/catalog")
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val okeys = Seq("o_orderkey")
+      val lkeys = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      // txn 0: a consistent initial load of the even half of both tables
+      val ov0 = graft.sources.ManifestTable.merge(s, ot,
+        o.filter(col("o_orderkey") % 2 === 0), okeys)
+      val lv0 = graft.sources.ManifestTable.merge(s, lt,
+        li.filter(col("l_orderkey") % 2 === 0), lkeys)
+      require(graft.sources.Catalog.commit(cat,
+        Map("orders" -> ((ot, ov0)), "lineitem" -> ((lt, lv0))), -1))
+      // txn 1: the odd half lands in BOTH tables, atomically
+      val ov1 = graft.sources.ManifestTable.merge(s, ot, o, okeys)
+      val lv1 = graft.sources.ManifestTable.merge(s, lt, li, lkeys)
+      require(graft.sources.Catalog.commit(cat,
+        Map("orders" -> ((ot, ov1)), "lineitem" -> ((lt, lv1))), 0))
+      // ONE catalog resolution → consistent cross-table join
+      val v = graft.sources.Catalog.currentVersion(cat)
+      val oo = graft.sources.Catalog.readTableAt(s, cat, v, "orders")
+      val ll = graft.sources.Catalog.readTableAt(s, cat, v, "lineitem")
+      ll.join(oo, ll("l_orderkey") === oo("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -935,6 +973,12 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // the final catalog snapshot = the full consistent pair
+    "q_catalog_txn" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     // the published state = init + the one batch whose audit passed
     "q_write_audit_publish" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem

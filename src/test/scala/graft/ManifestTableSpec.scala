@@ -666,6 +666,44 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.readChanges(spark, dir, 1, 3).count() > 0)
   }
 
+  test("catalog transaction: no torn cross-table reads, CAS admits one publisher") {
+    import sources.Catalog
+    val base = freshDir("catalog")
+    val (ot, lt, cat) = (s"$base/o", s"$base/l", s"$base/cat")
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val lkeys = keys
+    val ov0 = ManifestTable.merge(spark, ot, o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"))
+    val lv0 = ManifestTable.merge(spark, lt, li.filter(col("l_orderkey") % 2 === 0), lkeys)
+    assert(Catalog.commit(cat, Map("orders" -> ((ot, ov0)), "lineitem" -> ((lt, lv0))), -1))
+    def orphanItems(v: Int): Long = {
+      val oo = Catalog.readTableAt(spark, cat, v, "orders")
+      val ll = Catalog.readTableAt(spark, cat, v, "lineitem")
+      ll.join(oo, ll("l_orderkey") === oo("o_orderkey"), "left_anti").count()
+    }
+    // every lineitem's order is present at catalog v0 (fixture guarantees
+    // referential integrity on the even half)
+    assert(orphanItems(0) == 0)
+    // MID-TRANSACTION: the lineitem table advances but orders has not and
+    // the catalog has not flipped — a catalog reader still sees the OLD
+    // consistent pair, never the torn one
+    val lv1 = ManifestTable.merge(spark, lt, li, lkeys)
+    assert(lv1 > lv0)
+    assert(orphanItems(0) == 0, "catalog readers must not see unpinned table versions")
+    assert(Catalog.currentVersion(cat) == 0)
+    // complete the transaction: both pins flip in ONE catalog CAS
+    val ov1 = ManifestTable.merge(spark, ot, o, Seq("o_orderkey"))
+    assert(Catalog.commit(cat, Map("orders" -> ((ot, ov1)), "lineitem" -> ((lt, lv1))), 0))
+    assert(orphanItems(1) == 0)
+    assert(Catalog.readTableAt(spark, cat, 1, "lineitem").count() == li.count())
+    // the catalog CAS admits exactly one publisher per version
+    val stale = Catalog.commit(cat, Map("orders" -> ((ot, ov0)), "lineitem" -> ((lt, lv0))), 0)
+    assert(!stale, "a stale transaction must lose the catalog CAS")
+    // time travel at the CATALOG level: v0 still serves the old pair
+    assert(Catalog.readTableAt(spark, cat, 0, "lineitem").count() ==
+      li.filter(col("l_orderkey") % 2 === 0).count())
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
