@@ -752,6 +752,32 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // SHALLOW CLONE: the clone's v0 references the source's files by
+    // absolute path (zero data copied — spec asserts the clone has no
+    // local data at clone time), then evolves independently — here the
+    // odd half of lineitem merges into the CLONE only. The hashed answer
+    // is the clone's full view (source half + its own half); the
+    // source-unchanged and copy-on-write halves are spec-side.
+    "q_manifest_clone" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_clone_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(base)
+      val (src, dst) = (s"$base/src", s"$base/clone")
+      val li = Tables.lineitem(s, d)
+      val staged = graft.sources.ManifestTable.stageWithStats(s, src,
+        li.filter(col("l_orderkey") % 2 === 0).repartitionByRange(4, col("l_orderkey")),
+        statsCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(src, staged, -1))
+      graft.sources.ManifestTable.cloneTable(src, dst)
+      graft.sources.ManifestTable.merge(s, dst,
+        li.filter(col("l_orderkey") % 2 === 1),
+        Seq("l_orderkey", "l_linenumber", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_shipdate"))
+      graft.sources.ManifestTable.read(s, dst)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -973,6 +999,11 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // the clone's view = the source half it references + its own merge
+    "q_manifest_clone" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the final catalog snapshot = the full consistent pair
     "q_catalog_txn" ->
       """SELECT o.o_orderpriority, count(*) AS n,

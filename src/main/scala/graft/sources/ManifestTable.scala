@@ -78,9 +78,16 @@ object ManifestTable {
     body.split('\n').headOption.exists(_.trim == "#rewrite")
   }
 
-  /** Data files of version `v` (relative names under `data/`). */
+  /** Data files of version `v` (relative names under `data/`, or absolute
+    * paths for files referenced from a SOURCE table by [[cloneTable]]). */
   def listFiles(dir: String, v: Int): Seq[String] =
     listLines(dir, v).map(_.split('\t').head)
+
+  /** Resolve a manifest file name to its on-disk location: relative names
+    * live under this table's `data/`; absolute names (shallow clones)
+    * point into their source table and are used as-is. */
+  def dataPath(dir: String, name: String): String =
+    if (name.startsWith("/")) name else s"$dir/data/$name"
 
   /** Snapshot read: resolve the current manifest once, scan only its files. */
   def read(s: SparkSession, dir: String): DataFrame =
@@ -93,7 +100,7 @@ object ManifestTable {
   def readVersion(s: SparkSession, dir: String, v: Int): DataFrame = {
     require(v >= 0 && Files.exists(manifestPath(dir, v)),
       s"no committed snapshot v$v in $dir")
-    val files = listFiles(dir, v).map(f => s"$dir/data/$f")
+    val files = listFiles(dir, v).map(dataPath(dir, _))
     s.read.parquet(files: _*)
   }
 
@@ -154,6 +161,29 @@ object ManifestTable {
     Files.list(Paths.get(tmp)).iterator().asScala.foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(Paths.get(tmp))
     named
+  }
+
+  /** SHALLOW CLONE — a zero-copy table copy: the clone's v0 manifest
+    * references the SOURCE's data files by absolute path (stats lines
+    * carry over verbatim, so data skipping works on the clone
+    * immediately); no data moves at all. The clone then evolves
+    * INDEPENDENTLY: merges append local files beside the references, and
+    * any rewriting operation (delete, update, optimize) materializes the
+    * affected rows locally — copy-on-write, exactly Delta's shallow-clone
+    * semantics. This is how a 100 TB table becomes a dev/test sandbox in
+    * milliseconds. The documented hazard is also Delta's: vacuuming the
+    * SOURCE can collect files a clone still references — clones live
+    * inside the source's retention horizon. */
+  def cloneTable(srcDir: String, dstDir: String): Int = {
+    val v = currentVersion(srcDir)
+    require(v >= 0, s"no committed snapshot to clone in $srcDir")
+    val lines = listLines(srcDir, v).map { l =>
+      val parts = l.split('\t')
+      val abs = Paths.get(dataPath(srcDir, parts.head)).toAbsolutePath.toString
+      (abs +: parts.tail).mkString("\t")
+    }
+    require(commit(dstDir, lines, -1), s"clone target $dstDir is not empty")
+    0
   }
 
   /** Retention vacuum — the deliberate, out-of-band cleanup the write path
@@ -217,7 +247,7 @@ object ManifestTable {
     require(Files.exists(manifestPath(dir, toV)), s"no committed snapshot v$toV in $dir")
     val added = changedFileNames(dir, fromV, toV)
     if (added.isEmpty) s.emptyDataFrame
-    else s.read.parquet(added.map(f => s"$dir/data/$f"): _*)
+    else s.read.parquet(added.map(dataPath(dir, _)): _*)
   }
 
   /** OPTIMIZE — transactional compaction: rewrite the CURRENT snapshot into
@@ -466,7 +496,7 @@ object ManifestTable {
     val v = currentVersion(dir)
     val (kept, _) = pruneFilesForKeys(dir, v, col, keys)
     if (kept.isEmpty) readVersion(s, dir, v).filter(lit(false))
-    else s.read.parquet(kept.map(f => s"$dir/data/$f"): _*)
+    else s.read.parquet(kept.map(dataPath(dir, _)): _*)
       .filter(c(col).isin(keys: _*))
   }
 
@@ -506,7 +536,7 @@ object ManifestTable {
       val keep = listLines(dir, v) // raw lines: untouched stats ride along
         .filterNot(l => affectedNames.contains(l.split('\t').head))
       val survivors = s.read
-        .parquet(affected.map(e => s"$dir/data/${e.name}").toSeq: _*)
+        .parquet(affected.map(e => dataPath(dir, e.name)).toSeq: _*)
         .filter(!c(col).isin(keys: _*))
       // rewrites carry the same stat kinds the originals did
       val statsCols = affected.flatMap(_.ranges.keys).distinct
@@ -552,7 +582,7 @@ object ManifestTable {
       // all assignments read OLD values (standard UPDATE semantics):
       // withColumns resolves every expression against the pre-update rows
       val rewritten = s.read
-        .parquet(affected.map(e => s"$dir/data/${e.name}").toSeq: _*)
+        .parquet(affected.map(e => dataPath(dir, e.name)).toSeq: _*)
         .withColumns(assignments.map { case (t, e) =>
           t -> when(hit, e).otherwise(c(t)) })
       val statsCols = affected.flatMap(_.ranges.keys).distinct
@@ -597,7 +627,7 @@ object ManifestTable {
       else c(col) >= lit(lo.toDouble) && c(col) <= lit(hi.toDouble)
     if (kept.isEmpty) // keep the snapshot schema, provably-empty result
       readVersion(s, dir, v).filter(lit(false))
-    else s.read.parquet(kept.map(f => s"$dir/data/$f"): _*).filter(pred)
+    else s.read.parquet(kept.map(dataPath(dir, _)): _*).filter(pred)
   }
 
   // ---------------------------------------------------------------------
@@ -639,7 +669,7 @@ object ManifestTable {
   /** Read the audit snapshot: the exact table state `tag` would publish. */
   def readAudit(s: SparkSession, dir: String, tag: String): DataFrame = {
     val (_, lines) = auditLines(dir, tag)
-    s.read.parquet(lines.map(l => s"$dir/data/${l.split('\t').head}"): _*)
+    s.read.parquet(lines.map(l => dataPath(dir, l.split('\t').head)): _*)
   }
 
   /** Publish a passing audit atomically. Returns the new version, or None
@@ -778,11 +808,11 @@ object ManifestTable {
       require(v >= 0, s"no committed snapshot to optimize in $dir")
       val lines = listLines(dir, v)
       val (small, big) = lines.partition { l =>
-        Files.size(Paths.get(dir, "data", l.split('\t').head)) < smallFileBytes
+        Files.size(Paths.get(dataPath(dir, l.split('\t').head))) < smallFileBytes
       }
       if (small.size < 2 && zorderBy.isEmpty) return v // nothing to rewrite
       val df = s.read.parquet(
-        small.map(l => s"$dir/data/${l.split('\t').head}"): _*)
+        small.map(l => dataPath(dir, l.split('\t').head)): _*)
       val laid = zorderBy match {
         case Seq(a, b) =>
           df.withColumn("__zkey",

@@ -704,6 +704,45 @@ class ManifestTableSpec extends AnyFunSuite {
       li.filter(col("l_orderkey") % 2 === 0).count())
   }
 
+  test("shallow clone: zero copy, carried stats, independent copy-on-write evolution") {
+    val base = freshDir("clone")
+    val (src, dst) = (s"$base/src", s"$base/c")
+    val li = Tables.lineitem(spark, sf)
+    val staged = ManifestTable.stageWithStats(spark, src,
+      li.filter(col("l_orderkey") % 2 === 0).repartitionByRange(4, col("l_orderkey")),
+      Seq("l_orderkey"))
+    assert(ManifestTable.commit(src, staged, -1))
+    val srcCount = ManifestTable.read(spark, src).count()
+    ManifestTable.cloneTable(src, dst)
+    // ZERO data copied: the clone's local data directory holds nothing
+    // (commit pre-creates the empty dir; every reference is absolute)
+    val dstData = java.nio.file.Paths.get(dst, "data")
+    assert(!java.nio.file.Files.exists(dstData) ||
+      !java.nio.file.Files.list(dstData).iterator().hasNext)
+    assert(ManifestTable.read(spark, dst).count() == srcCount)
+    // carried stats: skipping works on the clone immediately
+    val (kept, total) = ManifestTable.pruneFiles(dst, 0, "l_orderkey",
+      BigDecimal(100), BigDecimal(200))
+    assert(kept.size < total)
+    // independent evolution: merge into the clone; the source is untouched
+    ManifestTable.merge(spark, dst, li.filter(col("l_orderkey") % 2 === 1),
+      keys)
+    assert(ManifestTable.read(spark, dst).count() == li.count())
+    assert(ManifestTable.read(spark, src).count() == srcCount)
+    assert(ManifestTable.currentVersion(src) == 0)
+    // copy-on-write: deleting on the CLONE materializes locally; the
+    // source still holds every row
+    val probe = ManifestTable.read(spark, dst)
+      .filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey")).head().getLong(0)
+    ManifestTable.deleteKeys(spark, dst, "l_orderkey", Seq(probe))
+    assert(ManifestTable.read(spark, dst)
+      .filter(col("l_orderkey") === probe).count() == 0)
+    assert(ManifestTable.read(spark, src)
+      .filter(col("l_orderkey") === probe).count() > 0,
+      "the clone's delete must never touch source data")
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
