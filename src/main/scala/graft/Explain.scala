@@ -11,7 +11,7 @@ object Explain {
   /** Queries whose construction EXECUTES work (streams, eager checkpoints,
     * sink round-trips, iterative fixpoints) — explaining them runs the job,
     * so the ALL sweep skips them; their plans are audited via their specs. */
-  private val eager = Set("q_decontaminate", "q_dedup_clusters", "q_doc_knn",
+  private[graft] val eager = Set("q_decontaminate", "q_dedup_clusters", "q_doc_knn",
     "q_orc_roundtrip", "q_csv_roundtrip", "q_jsonl_roundtrip",
     "q_partitioned_scan", "q_bucketed_join", "q_json_roundtrip",
     "q_schema_evolution", "q_dedup_keep_best", "q_pmi_bigrams",
@@ -26,7 +26,8 @@ object Explain {
     "q_manifest_skipping", "q_manifest_point_lookup", "q_manifest_delete",
     "q_manifest_update", "q_optimize_zorder", "q_metadata_agg",
     "q_zorder_skipping", "q_manifest_expectations", "q_result_cache",
-    "q_cluster_cap")
+    "q_cluster_cap", "q_scan_estimate", "q_schema_compat",
+    "q_write_audit_publish", "q_catalog_txn", "q_manifest_clone")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

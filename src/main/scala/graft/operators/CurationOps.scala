@@ -371,6 +371,61 @@ object CurationOps {
        |FROM j""".stripMargin
   }
 
+  /** Quality-CURRICULUM export: the corpus ordered for curriculum training
+    * — highest-quality quartile first, deterministically shuffled WITHIN
+    * each quality band (hash order, so the "shuffle" is reproducible and
+    * restatable), emitting the head of the training order. Banding uses
+    * broadcast QUARTILE BOUNDARIES (one exact-percentile aggregate → a
+    * 1-row broadcast → a row-local CASE), not a global rank window — the
+    * single-partition-window trap this table's size would spring at 100 TB;
+    * the head selection is `TakeOrderedAndProject`, a distributed bounded
+    * reduction, and only the ≤`take` surviving rows ever see a window (the
+    * rank numbering). The shuffle key is the repo's md5-derived 32-bit
+    * hash, restated verbatim in DuckDB. */
+  def curriculumOrder(s: SparkSession, dir: String, take: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val q = TextAnalysis.qualityScore(s, dir).select($"doc_id", $"quality_score")
+    val cuts = q.agg(
+      expr("percentile(quality_score, array(0.25d, 0.5d, 0.75d))").as("c"))
+    val banded = q.crossJoin(broadcast(cuts)) // 1-row boundaries singleton
+      .withColumn("band",
+        when($"quality_score" <= element_at($"c", 1), 0)
+          .when($"quality_score" <= element_at($"c", 2), 1)
+          .when($"quality_score" <= element_at($"c", 3), 2)
+          .otherwise(3))
+      .withColumn("shuffle_key",
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long"))
+    val head = banded
+      .orderBy($"band".desc, $"shuffle_key", $"doc_id")
+      .select($"doc_id", $"band", $"quality_score", $"shuffle_key")
+      .limit(take)
+    val w = Window.orderBy($"band".desc, $"shuffle_key", $"doc_id")
+    head.withColumn("rank", row_number().over(w)) // ≤take rows only
+      .select($"rank", $"doc_id", $"band",
+        round($"quality_score", 6).as("quality_score"))
+  }
+
+  private val curriculumSql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(toks))
+      |          * least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0 AS quality_score
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+      |cuts AS (SELECT quantile_cont(quality_score, 0.25) AS c1,
+      |                quantile_cont(quality_score, 0.5)  AS c2,
+      |                quantile_cont(quality_score, 0.75) AS c3 FROM q),
+      |b AS (
+      |  SELECT doc_id, quality_score,
+      |         CASE WHEN quality_score <= c1 THEN 0
+      |              WHEN quality_score <= c2 THEN 1
+      |              WHEN quality_score <= c3 THEN 2 ELSE 3 END AS band,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS shuffle_key
+      |  FROM q, cuts)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY band DESC, shuffle_key, doc_id) AS INT) AS rank,
+      |       doc_id, band, round(quality_score, 6) AS quality_score
+      |FROM b ORDER BY band DESC, shuffle_key, doc_id LIMIT 20""".stripMargin
+
   /** The END of the curation pipeline: the corpus that actually ships to
     * training — benchmark docs excluded, contaminated docs anti-joined away,
     * only quality-rule survivors kept — summarized per language. The anti/
@@ -1110,6 +1165,7 @@ object CurationOps {
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_keep_best" -> ((s, d) => dedupKeepBest(s, d)),
     "q_cluster_cap" -> ((s, d) => clusterCap(s, d)),
+    "q_curriculum" -> ((s, d) => curriculumOrder(s, d)),
     "q_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "q_profile" -> ((s, d) => profile(s, d)),
     "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d)),
@@ -1137,6 +1193,7 @@ object CurationOps {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_cluster_cap" -> clusterCapSql,
+    "q_curriculum" -> curriculumSql,
     "q_clean_corpus" -> cleanCorpusSql(TextAnalysis.qualityRulesSql),
     "q_profile" -> profileSql,
     "q_orc_roundtrip" -> orcRoundtripSql,

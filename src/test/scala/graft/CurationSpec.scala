@@ -433,4 +433,24 @@ class CurationSpec extends AnyFunSuite {
     // keep-best's winner-only policy would
     assert(nRemoved <= sizes.map(s => math.max(0L, s - 1)).sum)
   }
+
+  test("curriculum: best band first, deterministic, head selected without a global window") {
+    val rows = operators.CurationOps.curriculumOrder(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    // band order is non-increasing (highest-quality quartile leads)
+    val bands = rows.map(_.getAs[Int]("band")).toSeq
+    assert(bands == bands.sorted.reverse)
+    assert(bands.head == 3)
+    // deterministic: a second run reproduces the exact order
+    val again = operators.CurationOps.curriculumOrder(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(again == rows.map(_.getAs[Long]("doc_id")).toSeq)
+    // the head selection is a distributed bounded reduction, not a global
+    // rank window: TakeOrderedAndProject in the plan, and the only Window
+    // sits above the ≤20-row limit
+    val plan = operators.CurationOps.curriculumOrder(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan-shape regression guard: every non-eager registered query
+  * must plan WITHOUT a `CartesianProduct` — the unambiguous scale-killer
+  * (an all-pairs physical join grows O(n·m) with no partitioning escape).
+  * This turns the per-round manual `graft.Explain ALL` audit's headline
+  * invariant into a permanent test, so a future query (or an optimizer
+  * behavior change) that silently plans a cartesian join fails the suite
+  * instead of shipping. Bounded-build-side `BroadcastNestedLoopJoin`s are
+  * deliberately NOT banned here — the ANN audit slices and singleton
+  * totals use them correctly; their per-query justification lives in the
+  * Explain audit notes (SURVEY §8). Eager queries (manifest lifecycles,
+  * checkpoint round-trips, iterative fixpoints) execute work at plan
+  * construction and stay audited through their own specs, same policy as
+  * `Explain.eager`. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("no registered non-eager query plans a CartesianProduct") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("q_stream") || Explain.eager(n))
+    assert(names.size > 150, s"audit should cover the registry, saw ${names.size}")
+    val offenders = names.flatMap { n =>
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan
+      if (plan.toString.contains("CartesianProduct")) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct: ${offenders.mkString(", ")}")
+  }
+}
