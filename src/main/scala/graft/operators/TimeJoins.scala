@@ -192,7 +192,8 @@ object TimeJoins {
         $"last_click_value", $"last_view_value", $"n_clicks_so_far")
   }
 
-  private val pitFeaturesSql =
+  // shared with the streaming PIT (stream must equal batch)
+  private[graft] val pitFeaturesSql =
     """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
       |v AS (SELECT * FROM events WHERE event_type = 'view'),
       |p AS (SELECT * FROM events WHERE event_type = 'purchase')

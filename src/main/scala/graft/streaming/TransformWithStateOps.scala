@@ -110,11 +110,113 @@ object TransformWithStateOps {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---- streaming point-in-time feature join ----
+
+  case class PitEv(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+  /** Per-user feature state: the latest click/view values and the running
+    * click count — O(1) per user regardless of history length. */
+  case class PitState(click: Option[Double], view: Option[Double], nClicks: Long)
+  case class PitOut(event_id: Long, user_id: Long, label_ts: java.sql.Timestamp,
+      last_click_value: Option[Double], last_view_value: Option[Double],
+      n_clicks_so_far: Long)
+
+  /** The feature-store SERVING loop as a stateful stream: feature events
+    * (clicks, views) update per-user `ValueState`; label events (purchases)
+    * read it — each purchase enriched with the features AS OF its event
+    * time, the online half of `TimeJoins.pitFeatures`. Within a micro-batch
+    * each user's rows are sorted by (ts, features-before-labels, id) — the
+    * same total order as the batch window — so the stream computes the
+    * IDENTICAL point-in-time semantics; the batch PIT SQL is the oracle.
+    * (Exactness across batch BOUNDARIES assumes event-time-ordered arrival
+    * per key — true for a single-batch replay, and what a production
+    * deployment's reordering buffer provides; the fixture drains in one
+    * batch.) State is one fixed-size record per user; emissions are only
+    * the purchases each batch contains. */
+  class PitProcessor extends StatefulProcessor[Long, PitEv, PitOut] {
+    @transient private var st: ValueState[PitState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PitState](
+        "pit", Encoders.product[PitState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[PitEv],
+        timers: TimerValues): Iterator[PitOut] = {
+      var cur = if (st.exists()) st.get() else PitState(None, None, 0L)
+      implicit val tsOrd: Ordering[java.sql.Timestamp] =
+        Ordering.by(t => (t.getTime, t.getNanos))
+      // per-user timelines are bounded (the sessionization argument): the
+      // in-batch sort is over one user's rows, not the corpus
+      val sorted = rows.toSeq.sortBy(e =>
+        (e.ts, if (e.event_type == "purchase") 1 else 0, e.event_id))
+      val out = Seq.newBuilder[PitOut]
+      sorted.foreach { e =>
+        e.event_type match {
+          case "click" =>
+            cur = PitState(Some(e.value), cur.view, cur.nClicks + 1)
+          case "view" =>
+            cur = PitState(cur.click, Some(e.value), cur.nClicks)
+          case "purchase" =>
+            out += PitOut(e.event_id, key, e.ts, cur.click, cur.view, cur.nClicks)
+          case _ => ()
+        }
+      }
+      st.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming PIT features; oracle = the batch `q_pit_features` SQL. */
+  def streamPitFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = graft.Tables.normalizeTs(s.readStream
+        .schema(graft.Tables.eventsRawSchema(s, dir))
+        .parquet(s"$dir/[e]vents.parquet"))
+      .filter($"event_type".isin("purchase", "click", "view"))
+      .select($"event_id", $"user_id", $"ts".cast("timestamp").as("ts"),
+        $"event_type", $"value")
+      .as[PitEv]
+    val enriched = raw.groupByKey(_.user_id)
+      .transformWithState(new PitProcessor,
+        TimeMode.None(), OutputMode.Append(), Encoders.product[PitOut])
+      .toDF()
+
+    StreamingOps.sweepScratch(new java.io.File("/dev/shm/graft_stream"))
+    val base = "/dev/shm/graft_stream/graft_pit_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    val out = base + "/out"
+    val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = enriched.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      oldProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_user_totals" -> ((s, d) => userTotals(s, d)),
+    "q_stream_pit" -> ((s, d) => streamPitFeatures(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "q_stream_user_totals" -> userTotalsSql,
+    // the stream must compute the batch PIT answer exactly
+    "q_stream_pit" -> graft.operators.TimeJoins.pitFeaturesSql,
   )
 }

@@ -282,6 +282,23 @@ class PipelineExtrasSpec extends AnyFunSuite {
       s"expected $distinctIds distinct ids, got $got (union had ${distinctIds + redelivered})")
   }
 
+  // ---- streaming point-in-time features ----
+
+  test("stream pit: stateful stream equals the batch point-in-time join exactly") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"),
+        Option(r.getAs[Double]("last_click_value")),
+        Option(r.getAs[Double]("last_view_value")),
+        r.getAs[Long]("n_clicks_so_far"))
+    val streamed = streaming.TransformWithStateOps.streamPitFeatures(spark, sf)
+      .collect().map(key).toSet
+    val batch = operators.TimeJoins.pitFeatures(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      "the serving-path stream and the training-path batch PIT must agree")
+  }
+
   // ---- tokenizer fertility ----
 
   test("tokenizer fertility: per-language ratios bounded and internally consistent") {
