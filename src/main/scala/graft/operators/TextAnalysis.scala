@@ -441,6 +441,7 @@ object TextAnalysis {
     "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q_rolling_hash" -> ((s, d) => rollingHash(s, d)),
     "q_lang_id" -> ((s, d) => languageId(s, d)),
+    "q_langid_eval" -> ((s, d) => langIdEval(s, d)),
     "q_chunk_docs" -> ((s, d) => chunkDocs(s, d)),
     "q_chunk_dedup" -> ((s, d) => chunkDedup(s, d)),
     "q_redact_pii" -> ((s, d) => redactPii(s, d)),
@@ -501,7 +502,55 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin
   }
 
+  /** Language-ID EVALUATION — the component-level scorecard for
+    * [[languageId]]: accuracy AND Cohen's kappa against the labeled `lang`
+    * column, computed from the confusion marginals (the same
+    * chance-corrected shape as `q_knn_classifier`, here over the WHOLE
+    * corpus — marginals are ≤|langs|² groups, everything after the
+    * predictor is bounded). Kappa is the number that matters for a
+    * screening component: corpus language imbalance hands raw accuracy
+    * out for free, and a lang-id gate that only ever predicts the
+    * majority language would silently pass an accuracy bar. */
+  def langIdEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pred = languageId(s, dir)
+      .select($"lang".as("qlabel"), $"pred_lang".as("plabel"))
+    val tot = pred.agg(count(lit(1)).cast("long").as("n_eval"),
+      sum(when($"qlabel" === $"plabel", 1L).otherwise(0L)).as("n_correct"))
+    val rc = pred.groupBy($"qlabel".as("l")).agg(count(lit(1)).as("rm"))
+      .join(pred.groupBy($"plabel".as("l")).agg(count(lit(1)).as("cmg")),
+        Seq("l"), "full_outer")
+      .agg(sum(coalesce($"rm", lit(0L)) * coalesce($"cmg", lit(0L))).as("sum_rc"))
+    tot.crossJoin(rc)
+      .withColumn("po_raw", $"n_correct" / $"n_eval".cast("double"))
+      .withColumn("pe_raw", $"sum_rc" / ($"n_eval".cast("double") * $"n_eval"))
+      .select($"n_eval", $"n_correct",
+        round($"po_raw", 6).as("accuracy"),
+        round($"pe_raw", 6).as("pe"),
+        round(($"po_raw" - $"pe_raw") / (lit(1.0) - $"pe_raw"), 6).as("kappa"))
+  }
+
+  private val langIdEvalSql =
+    s"""WITH li AS ($langIdSql),
+       |pred AS (SELECT lang AS qlabel, pred_lang AS plabel FROM li),
+       |m AS (SELECT COALESCE(rm, 0) AS rm, COALESCE(cmg, 0) AS cmg
+       |      FROM (SELECT qlabel AS l, count(*) AS rm FROM pred GROUP BY 1) r
+       |      FULL JOIN (SELECT plabel AS l2, count(*) AS cmg FROM pred GROUP BY 1) c2
+       |        ON r.l = c2.l2),
+       |stats AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_eval,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM pred WHERE qlabel = plabel) AS n_correct,
+       |    (SELECT CAST(sum(rm * cmg) AS BIGINT) FROM m) AS sum_rc)
+       |SELECT n_eval, n_correct,
+       |       round(n_correct / CAST(n_eval AS DOUBLE), 6) AS accuracy,
+       |       round(sum_rc / (CAST(n_eval AS DOUBLE) * n_eval), 6) AS pe,
+       |       round((n_correct / CAST(n_eval AS DOUBLE)
+       |              - sum_rc / (CAST(n_eval AS DOUBLE) * n_eval))
+       |             / (1 - sum_rc / (CAST(n_eval AS DOUBLE) * n_eval)), 6) AS kappa
+       |FROM stats""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_langid_eval" -> langIdEvalSql,
     "q_blocklist_filter" -> blocklistFilterSql,
     "q_rolling_hash" -> rollingHashSql,
     "q_lang_id" -> langIdSql,

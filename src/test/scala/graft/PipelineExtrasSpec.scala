@@ -299,6 +299,27 @@ class PipelineExtrasSpec extends AnyFunSuite {
       "the serving-path stream and the training-path batch PIT must agree")
   }
 
+  // ---- language-ID evaluation ----
+
+  test("langid eval: internally consistent; kappa exposes the at-chance component") {
+    val row = operators.TextAnalysis.langIdEval(spark, sf).collect()(0)
+    val n = row.getAs[Long]("n_eval")
+    val correct = row.getAs[Long]("n_correct")
+    val acc = row.getAs[Double]("accuracy")
+    val pe = row.getAs[Double]("pe")
+    val kappa = row.getAs[Double]("kappa")
+    assert(n == Tables.documents(spark, sf).count())
+    assert(math.abs(acc - correct.toDouble / n) < 1e-9)
+    assert(kappa >= -1.0 && kappa <= 1.0 && kappa <= acc + 1e-9)
+    // the measurement's payoff on THIS fixture: the lang label is
+    // independent of the (jargon) text, so the keyword heuristic scores
+    // ~40% raw accuracy — which LOOKS non-trivial — while kappa lands at
+    // ~0, correctly exposing an uninformative component. This is exactly
+    // the at-chance trap the chance correction exists to catch.
+    assert(math.abs(kappa) < 0.1, s"label-independent fixture, got kappa=$kappa")
+    assert(math.abs(acc - pe) < 0.1)
+  }
+
   // ---- tokenizer fertility ----
 
   test("tokenizer fertility: per-language ratios bounded and internally consistent") {
