@@ -169,9 +169,17 @@ object TransformWithStateOps {
   /** Streaming PIT features; oracle = the batch `q_pit_features` SQL. */
   def streamPitFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val raw = graft.Tables.normalizeTs(s.readStream
-        .schema(graft.Tables.eventsRawSchema(s, dir))
-        .parquet(s"$dir/[e]vents.parquet"))
+    runPit(s, graft.Tables.normalizeTs(s.readStream
+      .schema(graft.Tables.eventsRawSchema(s, dir))
+      .parquet(s"$dir/[e]vents.parquet")))
+  }
+
+  /** The PIT stream pipeline over an arbitrary streaming event source —
+    * shared by the fixture-file query and the multi-batch manifest-source
+    * spec (which proves state carries across micro-batch boundaries). */
+  private[graft] def runPit(s: SparkSession, src: DataFrame): DataFrame = {
+    import s.implicits._
+    val raw = src
       .filter($"event_type".isin("purchase", "click", "view"))
       .select($"event_id", $"user_id", $"ts".cast("timestamp").as("ts"),
         $"event_type", $"value")

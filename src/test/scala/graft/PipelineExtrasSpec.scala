@@ -299,6 +299,44 @@ class PipelineExtrasSpec extends AnyFunSuite {
       "the serving-path stream and the training-path batch PIT must agree")
   }
 
+  // ---- streaming PIT across micro-batch boundaries ----
+
+  test("stream pit: state carries across time-ordered micro-batches") {
+    import spark.implicits._
+    import sources.ManifestTable
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pitmb_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(dir)
+    val ev = Tables.events(spark, sf)
+      .filter($"event_type".isin("purchase", "click", "view"))
+      .select($"event_id", $"user_id", $"ts".cast("timestamp").as("ts"),
+        $"event_type", $"value")
+    // three TIME-ORDERED commits: each later commit holds strictly later
+    // events, so per-user arrival across batches respects event time —
+    // the ordering contract under which cross-batch PIT is exact
+    val cut1 = java.sql.Timestamp.valueOf("2024-01-11 00:00:00")
+    val cut2 = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    ManifestTable.merge(spark, dir, ev.filter($"ts" < cut1), Seq("event_id"))
+    ManifestTable.merge(spark, dir,
+      ev.filter($"ts" >= cut1 && $"ts" < cut2), Seq("event_id"))
+    ManifestTable.merge(spark, dir, ev.filter($"ts" >= cut2), Seq("event_id"))
+    assert(ManifestTable.currentVersion(dir) == 2)
+    // one commit per micro-batch: three batches, state must carry across
+    val stream = spark.readStream.format("graft.sources.ManifestStreamSource")
+      .option("path", dir).option("versionsPerBatch", 1).load()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"),
+        Option(r.getAs[Double]("last_click_value")),
+        Option(r.getAs[Double]("last_view_value")),
+        r.getAs[Long]("n_clicks_so_far"))
+    val streamed = streaming.TransformWithStateOps.runPit(spark, stream)
+      .collect().map(key).toSet
+    val batch = operators.TimeJoins.pitFeatures(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      "a three-batch replay must still compute the exact batch PIT answer")
+  }
+
   // ---- language-ID evaluation ----
 
   test("langid eval: internally consistent; kappa exposes the at-chance component") {
