@@ -330,6 +330,79 @@ object CurationOps {
        |FROM j WHERE rn = 1""".stripMargin
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round alternative to [[dedupClusters]]'s
+    * min-label propagation, whose round count is O(graph diameter): on a
+    * chain-shaped near-dup cluster of length d the propagation needs ~d
+    * rounds while star contraction needs ~log d, and at 100 TB each round
+    * is a full shuffle, so round count IS the cost. Each round: large-star
+    * hangs every strictly-larger neighbor of u onto min(Γ(u) ∪ {u});
+    * small-star hangs the smaller-or-equal ones. The edge set contracts
+    * toward a star forest whose centers are the component minima — the
+    * SAME (doc_id, cluster_id) labeling as the propagation, so the SAME
+    * recursive-CTE oracle hash-checks both (one algorithm validates the
+    * other end-to-end). Convergence = the edge multiset hash stops
+    * changing (an O(1)-row aggregate per round, no join-compare job). */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+    starComponents(s, pairs)
+  }
+
+  /** The star-contraction core over an arbitrary undirected pair table
+    * (columns = two long ids) — shared by the fixture query and the
+    * synthetic-graph specs (chain diameter, equivalence). */
+  private[graft] def starComponents(s: SparkSession, pairTable: DataFrame): DataFrame = {
+    import s.implicits._
+    val cols = pairTable.columns
+    val pairs = pairTable.select(col(cols(0)).as("doc_a"), col(cols(1)).as("doc_b"))
+    var edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("u", "v")
+      .distinct().localCheckpoint(true)
+    def edgeSig(df: DataFrame): (Long, Long) = {
+      // order-independent multiset signature: XOR-fold of edge hashes
+      // (overflow-free under ANSI, unlike a sum) plus the edge count
+      val r = df.agg(expr("bit_xor(xxhash64(u, v))"), count(lit(1))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    def star(df: DataFrame, large: Boolean): DataFrame = {
+      // m(u) = min of u's closed neighborhood. Large-star hangs every
+      // strictly-larger neighbor onto m; small-star hangs the ≤ neighbors
+      // AND u itself (the paper's {u} ∪ {v ≤ u} — without the self link
+      // the converged stars would dissolve). Self-loops drop; duplicates
+      // collapse; output is re-symmetrized for the next round.
+      val m = df.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val hangNeighbors = df.join(m, "u")
+        .filter(if (large) $"v" > $"u" else $"v" <= $"u")
+        .select($"v".as("a"), $"m".as("b"))
+      val hang = (if (large) hangNeighbors
+        else hangNeighbors.union(m.select($"u".as("a"), $"m".as("b"))))
+        .filter($"a" =!= $"b")
+      hang.select($"a".as("u"), $"b".as("v"))
+        .union(hang.select($"b".as("u"), $"a".as("v")))
+        .distinct()
+    }
+    var sig = edgeSig(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      val s2 = edgeSig(next)
+      converged = s2 == sig
+      sig = s2
+      edges = next
+      iter += 1
+    }
+    require(converged, s"star contraction did not converge in $iter rounds")
+    // converged: a star forest — every non-center points at its component
+    // min, and centers are their own min
+    edges.filter($"v" < $"u").select($"u".as("doc_id"), $"v".as("cluster_id"))
+      .union(edges.select(least($"u", $"v").as("doc_id"))
+        .distinct().withColumn("cluster_id", $"doc_id"))
+      .distinct()
+  }
+
   /** Diversity cap (the SemDeDup-style decision, Abbas et al. 2023): every
     * near-dup cluster is capped at `cap` members — best quality first, the
     * rest removed — while singletons (docs in no cluster) pass untouched;
@@ -1163,6 +1236,7 @@ object CurationOps {
     "q_stream_decontaminate" -> ((s, d) => streamingDecontaminate(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
     "q_dedup_keep_best" -> ((s, d) => dedupKeepBest(s, d)),
     "q_cluster_cap" -> ((s, d) => clusterCap(s, d)),
     "q_curriculum" -> ((s, d) => curriculumOrder(s, d)),
@@ -1191,6 +1265,8 @@ object CurationOps {
     "q_stream_decontaminate" -> decontaminateSql,
     "q_bm25_search" -> bm25Sql,
     "q_dedup_clusters" -> dedupClustersSql,
+    // one algorithm validates the other: same labeling, same oracle
+    "q_dedup_clusters_star" -> dedupClustersSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_cluster_cap" -> clusterCapSql,
     "q_curriculum" -> curriculumSql,

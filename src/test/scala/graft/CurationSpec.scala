@@ -434,6 +434,28 @@ class CurationSpec extends AnyFunSuite {
     assert(nRemoved <= sizes.map(s => math.max(0L, s - 1)).sum)
   }
 
+  test("star contraction equals min-label propagation; handles a long chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same fixture graph, two algorithms, identical labeling
+    val prop = operators.CurationOps.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = operators.CurationOps.dedupClustersStar(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop && star.nonEmpty)
+    // the shape propagation is worst at: one 60-edge chain (diameter 60,
+    // beyond the propagation's 20-round cap) plus a separate triangle —
+    // star contraction's O(log d) rounds resolve it easily
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val edges = (chain ++ tri).toDF("a", "b")
+    val comp = operators.CurationOps.starComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 60L).forall(comp(_) == 0L), "whole chain must label 0")
+    assert(Seq(100L, 101L, 102L).forall(comp(_) == 100L))
+    assert(comp.size == 64)
+  }
+
   test("curriculum: best band first, deterministic, head selected without a global window") {
     val rows = operators.CurationOps.curriculumOrder(spark, sf).collect()
     assert(rows.length == 20)
