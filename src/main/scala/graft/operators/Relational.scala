@@ -778,6 +778,28 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // DESCRIBE HISTORY from metadata alone: the table walks load →
+    // optimize → delete, and the history reports each version's commit
+    // kind, file count, and exact row count (from the recorded per-file
+    // counts) with zero data I/O — the audit trail an operator reads
+    // before a rollback. Oracle restates the deterministic lifecycle's
+    // row counts from the base table; file counts are layout-dependent
+    // and spec-checked instead (n_files is emitted but not hashed here).
+    "q_manifest_history" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_history_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(4, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.optimize(s, tbl, numFiles = 2,
+        statsCols = Seq("l_orderkey"))
+      graft.sources.ManifestTable.deleteKeys(s, tbl, "l_orderkey",
+        keys = Seq(101L, 777L))
+      graft.sources.ManifestTable.history(s, tbl)
+        .select(col("version"), col("kind"), col("n_rows"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -999,6 +1021,18 @@ object Relational {
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the ACID protocol must not change the MERGE's answer
     "q_acid_merge" -> dedupAppendSql,
+    // the lifecycle's exact row counts: full table at v0, unchanged by the
+    // rewrite at v1, minus the two deleted keys' rows at v2
+    "q_manifest_history" ->
+      """SELECT 0 AS version, 'data' AS kind,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows
+        |UNION ALL
+        |SELECT 1, 'rewrite',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+        |UNION ALL
+        |SELECT 2, 'mutate',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |        WHERE l_orderkey NOT IN (101, 777))""".stripMargin,
     // the clone's view = the source half it references + its own merge
     "q_manifest_clone" ->
       """SELECT l_returnflag, count(*) AS n,

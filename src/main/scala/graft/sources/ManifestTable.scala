@@ -163,6 +163,31 @@ object ManifestTable {
     named
   }
 
+  /** Table HISTORY from metadata alone (the DESCRIBE HISTORY staple):
+    * one row per committed version — its commit KIND (data / rewrite /
+    * mutate, from the marker lines), file count, and exact row count when
+    * every file recorded one (else null: unknowable is reported as
+    * unknown, never guessed). Zero data I/O — the audit trail an operator
+    * reads before a rollback or an incident writeup, served at metadata
+    * cost. */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"no committed snapshot in $dir")
+    (0 to cur).map { v =>
+      val entries = listLines(dir, v).map(parseEntry)
+      val kind =
+        if (isRewrite(dir, v)) "rewrite"
+        else if (isMutate(dir, v)) "mutate"
+        else "data"
+      val rows =
+        if (entries.nonEmpty && entries.forall(_.rows.isDefined))
+          Some(entries.flatMap(_.rows).sum)
+        else None
+      (v, kind, entries.size.toLong, rows)
+    }.toDF("version", "kind", "n_files", "n_rows")
+  }
+
   /** SHALLOW CLONE — a zero-copy table copy: the clone's v0 manifest
     * references the SOURCE's data files by absolute path (stats lines
     * carry over verbatim, so data skipping works on the clone

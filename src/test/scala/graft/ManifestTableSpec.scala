@@ -743,6 +743,34 @@ class ManifestTableSpec extends AnyFunSuite {
       "the clone's delete must never touch source data")
   }
 
+  test("history: kinds and counts from metadata; unknown rows reported as null") {
+    val dir = freshDir("hist")
+    val li = Tables.lineitem(spark, sf).repartition(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      Seq("l_orderkey"), Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    ManifestTable.optimize(spark, dir, numFiles = 2, statsCols = Seq("l_orderkey"))
+    ManifestTable.deleteKeys(spark, dir, "l_orderkey", Seq(101L))
+    val h = ManifestTable.history(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(h(0)._1 == "data" && h(1)._1 == "rewrite" && h(2)._1 == "mutate")
+    // optimize reduced the file count; counts all known from metadata
+    assert(h(1)._2 < h(0)._2)
+    assert(h(0)._3.contains(li.count()))
+    assert(h(1)._3.contains(li.count()))
+    assert(h(2)._3.contains(
+      li.filter(col("l_orderkey") =!= 101L).count()))
+    // a stats-less commit makes that version's row count UNKNOWN (null),
+    // never a guess
+    val blind = ManifestTable.stage(spark, dir, li.limit(3))
+    assert(ManifestTable.commit(dir,
+      ManifestTable.listLines(dir, 2) ++ blind, 2))
+    val h3 = ManifestTable.history(spark, dir).collect()
+      .find(_.getInt(0) == 3).get
+    assert(h3.isNullAt(3), "unknowable row count must be null, not guessed")
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
