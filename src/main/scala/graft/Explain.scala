@@ -28,7 +28,7 @@ object Explain {
     "q_zorder_skipping", "q_manifest_expectations", "q_result_cache",
     "q_cluster_cap", "q_scan_estimate", "q_schema_compat",
     "q_write_audit_publish", "q_catalog_txn", "q_manifest_clone",
-    "q_manifest_history")
+    "q_manifest_history", "q_manifest_restore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -800,6 +800,27 @@ object Relational {
       graft.sources.ManifestTable.history(s, tbl)
         .select(col("version"), col("kind"), col("n_rows"))
     }),
+    // RESTORE: an accidental delete is rolled back by republishing the
+    // pre-delete snapshot's manifest as a new commit — metadata-only
+    // regardless of table size, and the bad commit stays in the audit
+    // trail. The hashed answer is the restored table = the original load;
+    // history mechanics (mutate kind, version count) are spec-side.
+    "q_manifest_restore" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_restore_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(4, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.deleteKeys(s, tbl, "l_orderkey",
+        keys = Seq(101L, 777L)) // the "oops" commit
+      graft.sources.ManifestTable.restore(tbl, v = 0) // roll it back
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     "q1_pricing" -> ((s, d) => pricingSummary(s, d)),
     "q_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
@@ -1033,6 +1054,11 @@ object Relational {
         |SELECT 2, 'mutate',
         |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
         |        WHERE l_orderkey NOT IN (101, 777))""".stripMargin,
+    // the restore must bring back exactly the original load
+    "q_manifest_restore" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the clone's view = the source half it references + its own merge
     "q_manifest_clone" ->
       """SELECT l_returnflag, count(*) AS n,

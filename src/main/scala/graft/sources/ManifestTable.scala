@@ -188,6 +188,29 @@ object ManifestTable {
     }.toDF("version", "kind", "n_files", "n_rows")
   }
 
+  /** RESTORE (rollback): republish historical version `v`'s manifest lines
+    * as a NEW commit — the table's content returns to the old snapshot
+    * while the history keeps moving forward (the bad commit stays in the
+    * audit trail; nothing is rewritten or deleted, so restore is a
+    * metadata-only operation regardless of table size). It publishes as a
+    * `#mutate` commit: a restore CHANGES data relative to the current
+    * snapshot in ways an append-only change feed cannot express ("rows
+    * came back"), so consumers crossing it must re-bootstrap — the same
+    * honesty contract as delete/update. Requires `v` to still be within
+    * the vacuum horizon. */
+  def restore(dir: String, v: Int, maxRetries: Int = 10): Int = {
+    require(v >= 0 && Files.exists(manifestPath(dir, v)),
+      s"no committed snapshot v$v in $dir (vacuumed?)")
+    val lines = listLines(dir, v)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = currentVersion(dir)
+      if (commitMutate(dir, lines, cur)) return cur + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"restore lost $maxRetries commit races in $dir")
+  }
+
   /** SHALLOW CLONE — a zero-copy table copy: the clone's v0 manifest
     * references the SOURCE's data files by absolute path (stats lines
     * carry over verbatim, so data skipping works on the clone

@@ -771,6 +771,35 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(h3.isNullAt(3), "unknowable row count must be null, not guessed")
   }
 
+  test("restore: rollback is metadata-only, keeps the audit trail, feeds refuse across it") {
+    val dir = freshDir("restore")
+    val li = Tables.lineitem(spark, sf).repartition(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      Seq("l_orderkey"), Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val before = ManifestTable.read(spark, dir).count()
+    ManifestTable.deleteKeys(spark, dir, "l_orderkey", Seq(101L)) // oops
+    assert(ManifestTable.read(spark, dir).count() < before)
+    val dataFilesBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "data")).count()
+    val v2 = ManifestTable.restore(dir, 0)
+    assert(v2 == 2)
+    // content is back; no data moved (restore is metadata-only)
+    assert(ManifestTable.read(spark, dir).count() == before)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "data")).count() == dataFilesBefore)
+    // the audit trail survives: the bad commit still time-travels
+    assert(ManifestTable.readVersion(spark, dir, 1).count() < before)
+    // history shows the restore as a mutation
+    val kinds = ManifestTable.history(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(kinds(0) == "data" && kinds(1) == "mutate" && kinds(2) == "mutate")
+    // and the change feed refuses to cross it (rows "came back")
+    intercept[IllegalStateException] {
+      ManifestTable.readChanges(spark, dir, 1, 2)
+    }
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
