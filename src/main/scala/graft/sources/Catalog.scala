@@ -48,7 +48,7 @@ object Catalog {
       s"no catalog version v$v in $root")
     new String(Files.readAllBytes(catalogPath(root, v)), "UTF-8")
       .split('\n').map(_.trim).filter(_.nonEmpty).map { line =>
-        val Array(name, rest) = line.split('=')
+        val Array(name, rest) = line.split("=", 2)
         val i = rest.lastIndexOf(':')
         name -> (rest.substring(0, i), rest.substring(i + 1).toInt)
       }.toMap
@@ -60,6 +60,10 @@ object Catalog {
   def commit(root: String, tables: Map[String, (String, Int)],
       expected: Int): Boolean = {
     Files.createDirectories(Paths.get(root))
+    // the pin line is `name=dir:version`, parsed with split("=",2) — a '='
+    // in the NAME would shift the boundary, so reject it at write time
+    tables.keys.foreach(n => require(!n.contains('='),
+      s"catalog table name may not contain '=': $n"))
     val body = tables.toSeq.sortBy(_._1)
       .map { case (n, (d, v)) => s"$n=$d:$v" }.mkString("\n")
     try {

@@ -57,7 +57,7 @@ class ManifestStreamSource extends TableProvider {
     val files = ManifestTable.listFiles(dir, v)
     require(files.nonEmpty, s"manifest stream source: v$v lists no files in $dir")
     ManifestStreamSource.toSparkSchema(
-      ManifestStreamSource.footerSchema(s"$dir/data/${files.head}"))
+      ManifestStreamSource.footerSchema(ManifestTable.dataPath(dir, files.head)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -192,7 +192,8 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     // table maintenance; row-level mutation commits throw (an append-only
     // feed cannot express them — the consumer must re-bootstrap)
     ManifestTable.changedFileNames(dir, from, to)
-      .map(f => ManifestFilePartition(s"$dir/data/$f"): InputPartition).toArray
+      .map(f => ManifestFilePartition(ManifestTable.dataPath(dir, f)): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -858,7 +858,10 @@ object ManifestTable {
       val (small, big) = lines.partition { l =>
         Files.size(Paths.get(dataPath(dir, l.split('\t').head))) < smallFileBytes
       }
-      if (small.size < 2 && zorderBy.isEmpty) return v // nothing to rewrite
+      // nothing worth rewriting (zorder with zero admitted files included:
+      // reading an empty path list would throw, and the layout is a no-op)
+      if (small.size < 2 && zorderBy.isEmpty) return v
+      if (small.isEmpty) return v
       val df = s.read.parquet(
         small.map(l => dataPath(dir, l.split('\t').head)): _*)
       val laid = zorderBy match {

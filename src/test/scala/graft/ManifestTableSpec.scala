@@ -800,6 +800,48 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("regression: streaming source over a shallow clone resolves absolute paths") {
+    val base = freshDir("clstream")
+    val (src, dst) = (s"$base/src", s"$base/c")
+    val ev = Tables.events(spark, sf).limit(200)
+    ManifestTable.merge(spark, src, ev, Seq("event_id"))
+    ManifestTable.cloneTable(src, dst)
+    // the clone's manifest lines carry ABSOLUTE paths into src — the
+    // stream must resolve them like the batch reader does
+    val got = streaming.StreamingOps.runToParquet(spark,
+      spark.readStream.format("graft.sources.ManifestStreamSource")
+        .option("path", dst).load().groupBy().agg(count(lit(1)).as("n")),
+      "clone_stream").collect().head.getLong(0)
+    assert(got == ev.count())
+  }
+
+  test("regression: optimize(zorder) with zero admitted files is a no-op, not a crash") {
+    val dir = freshDir("optnoop")
+    val staged = ManifestTable.stageWithStats(spark, dir,
+      Tables.part(spark, sf).repartition(1), Seq("p_size"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val v0 = ManifestTable.currentVersion(dir)
+    // smallFileBytes=1 admits nothing; zorderBy must not force an empty read
+    val v = ManifestTable.optimize(spark, dir, numFiles = 2,
+      zorderBy = Seq("p_size", "p_partkey"), smallFileBytes = 1L)
+    assert(v == v0, "zorder with nothing admitted must return the current version")
+  }
+
+  test("regression: catalog dirs may contain '='; table names may not") {
+    import sources.Catalog
+    val base = freshDir("cateq")
+    val cat = s"$base/cat"
+    val td = s"$base/part=x" // hive-style partition dirs contain '='
+    ManifestTable.merge(spark, td, Tables.region(spark, sf), Seq("r_regionkey"))
+    assert(Catalog.commit(cat, Map("region" -> ((td, 0))), -1))
+    assert(Catalog.snapshot(cat, 0)("region") == ((td, 0)))
+    assert(Catalog.readTableAt(spark, cat, 0, "region").count() ==
+      Tables.region(spark, sf).count())
+    intercept[IllegalArgumentException] {
+      Catalog.commit(cat, Map("bad=name" -> ((td, 0))), 0)
+    }
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
