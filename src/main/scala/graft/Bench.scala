@@ -16,7 +16,10 @@ import scala.collection.mutable
   * microbursts also hide under zero steal). Every measurement is therefore
   * tainted by EITHER steal > 20% OR wall time > 5 s (only watermark-bound
   * streaming and ML-training queries exceed ~4 s clean at sf0.1, so the
-  * 5 s gate costs at most a handful of confirm-retries per clean run);
+  * 5 s gate costs at most a handful of confirm-retries per clean run) OR
+  * wall time > 1.5× the query's recorded historical minimum
+  * (`BENCH_HISTORY.json`, merged across rounds — the gate that catches a
+  * 2× swing on a 2 s query, invisible to the other two);
   * tainted queries are re-measured in later round-robin passes (≤3
   * retries) while the wall budget lasts, and the per-query MINIMUM is
   * reported. A clean pass re-measures almost nothing — the hedge is nearly
@@ -25,6 +28,28 @@ import scala.collection.mutable
   * hedged).
   */
 object Bench {
+
+  /** The taint predicate for one measurement. A measurement needs a retry
+    * when (a) CPU steal over its interval exceeded the tolerance, (b) wall
+    * time exceeded the absolute slow gate, or (c) it read more than
+    * `histFactor`× the query's recorded historical minimum — the rule that
+    * catches a 2.4× swing on a 2 s query, which (a) and (b) are both blind
+    * to (observed r6/r7: q_stream_dedup 1.63→3.90 s under 0% steal). */
+  private[graft] def tainted(secs: Double, steal: Double, stealTol: Double,
+      slowSec: Double, histMin: Option[Double], histFactor: Double): Boolean =
+    steal > stealTol || secs > slowSec ||
+      histMin.exists(m => secs > m * histFactor)
+
+  /** BENCH_HISTORY.json: flat {"query":minSecs,...} of per-query historical
+    * minima across rounds. Parsed with a regex — the writer (this object)
+    * controls the format. Missing/corrupt file → empty history (the taint
+    * rule degrades to the steal/slow gates). */
+  private[graft] def loadHistory(path: String): Map[String, Double] =
+    try {
+      val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+      "\"([^\"]+)\":\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
 
   /** (steal jiffies, total jiffies) from the aggregate cpu line. */
   private def cpuJiffies(): (Long, Long) = {
@@ -85,6 +110,10 @@ object Bench {
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toInt
     val stealTol = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_TOL", "0.20").toDouble
     val slowSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_SEC", "5").toDouble
+    val histFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST_FACTOR", "1.5").toDouble
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.json")
+    val hist = loadHistory(histPath)
+    System.err.println(s"[bench] history: ${hist.size} minima from $histPath (factor $histFactor)")
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
 
@@ -128,7 +157,8 @@ object Bench {
         val (secs, ok, steal) = measure(pass, n, fn)
         best(n) = math.min(best.getOrElse(n, Double.MaxValue), secs)
         if (!ok) { failed += n; need -= n } // deterministic failure: don't burn budget
-        else if (steal <= stealTol && secs <= slowSec) need -= n
+        else if (!tainted(secs, steal, stealTol, slowSec, hist.get(n), histFactor))
+          need -= n
       }
       pass += 1
     }
@@ -147,6 +177,19 @@ object Bench {
     System.err.println(s"[bench] detail: $detailJson")
     try Files.writeString(Paths.get("BENCH_DETAIL.json"), detailJson + "\n")
     catch { case _: Throwable => () }
+
+    // Merge this run's times into the historical-minimum file. min() keeps
+    // the floor: a regression never raises its own baseline, so it stays
+    // tainted (and visibly re-measured) every round until adjudicated.
+    try {
+      val merged = (hist.keySet ++ results.map(_._1)).map { k =>
+        k -> math.min(hist.getOrElse(k, Double.MaxValue),
+          results.toMap.getOrElse(k, Double.MaxValue))
+      }.filter(_._2 < Double.MaxValue).toSeq.sortBy(_._1)
+      val body = merged.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+        .mkString("{\n", ",\n", "\n}\n")
+      Files.writeString(Paths.get(histPath), body)
+    } catch { case _: Throwable => () }
 
     // The driver records only the LAST 2000 chars of combined output and
     // json-parses the final line — so the parsed line must (a) carry no sbt
