@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -120,16 +120,74 @@ object AnalyticsOps {
       |FROM ranked WHERE (cum - rev) * 5 < total * 4
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** EXACT per-group 1-based rank under a unique total order, without a
+    * single-partition sort — the `ExactQuantiles` bucketed-rank-selection
+    * idea applied to EVERY row instead of two hit ranks. `value` must be a
+    * numeric expression monotone in the intended order (negate for DESC);
+    * `tie` completes the unique composite ordering. Shape: per-group
+    * broadcast extent → fixed-width bucket id (equal values can never
+    * split across buckets, so within-bucket ordering composes to the
+    * group-global order) → per-(group,bucket) counts (tiny, ≤
+    * groups×nBuckets rows) with a BOUNDED cumulative window → distributed
+    * `row_number` partitioned BY (group, bucket) → rank = bucket offset +
+    * local row number. Every aggregate has fixed-size per-key state and the
+    * only sorts are per-bucket (~n/nBuckets rows, spillable). Bucket
+    * assignment may safely lose precision in the double cast (equal values
+    * stay equal, order stays monotone); the WITHIN-bucket sort orders by
+    * the original typed `value`, so total order is exact. Appends
+    * `rankCol` (long) and `__n` (group total). */
+  private def exactGroupRank(df: DataFrame, group: String, value: Column,
+      tie: Seq[Column], rankCol: String, nBuckets: Int = 1024): DataFrame = {
+    val g = col(group)
+    val bv = value.cast("double")
+    val stats = df.groupBy(g)
+      .agg(count(lit(1)).as("__n"), min(bv).as("__min"), max(bv).as("__max"))
+      .withColumn("__w",
+        when(col("__max") > col("__min"),
+          (col("__max") - col("__min")) / nBuckets).otherwise(lit(1.0)))
+    val bucketed = df.join(broadcast(stats), group)
+      .withColumn("__b",
+        least(greatest(floor((bv - col("__min")) / col("__w")).cast("int"),
+          lit(0)), lit(nBuckets - 1)))
+    val cumW = Window.partitionBy(g).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(g, col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(cumW), lit(0L)))
+      .select(g, col("__b"), col("__off"))
+    val perBucket = Window.partitionBy(g, col("__b"))
+      .orderBy(value +: tie: _*)
+    bucketed.join(broadcast(offsets), Seq(group, "__b"))
+      .withColumn(rankCol, col("__off") + row_number().over(perBucket))
+      .drop("__b", "__min", "__max", "__w", "__off")
+  }
+
+  /** `ntile(k)` computed arithmetically from an exact global rank — the
+    * first `n mod k` tiles take `⌈n/k⌉` rows, the rest `⌊n/k⌋`, exactly
+    * SQL ntile's distribution (rank is unique, so no tie ambiguity). */
+  private def ntileOfRank(rank: Column, n: Column, k: Int): Column = {
+    val base = (n / k).cast("long") // ⌊n/k⌋
+    val rem = n % k
+    val cut = rem * (base + 1L)
+    when(rank <= cut, ((rank - 1L) / (base + 1L)) + 1L)
+      .otherwise(rem + ((rank - cut - 1L) / greatest(base, lit(1L))) + 1L)
+      .cast("int")
+  }
+
   /** RFM segmentation: recency / frequency / monetary quartiles per
     * customer, the classic marketing cut. One aggregate over orders, a
     * broadcast singleton for "today" (max order date — never an
-    * empty-partition window over raw rows), then three ntile(4) windows
-    * over the 1-row-per-customer aggregate with unique orderings
-    * (custkey tie-break) so quartile boundaries are deterministic. The
-    * ntile windows are global by definition (a quantile cut needs a total
-    * order) but run over the aggregate, not raw orders; past ~10⁸
-    * customers the swap is precomputed approx-quantile boundaries + a
-    * CASE assignment, at the cost of engine-exact quartile edges. */
+    * empty-partition window over raw rows), then EXACT ntile(4)
+    * assignments computed from [[exactGroupRank]]: the three metrics are
+    * MELTED into one (custkey, metric, value) frame (value negated for the
+    * DESC metrics, custkey tie-break carried in `tie`), ranked in a single
+    * grouped pass, and pivoted back. No global `Window.orderBy` anywhere:
+    * a plain `ntile(4).over(orderBy(...))` forces the whole customer table
+    * through ONE partition's sort — mild at fixture scale, the classic
+    * single-partition-window trap at 10⁸ customers. The values are exact
+    * decimals (r_days/n_orders integral, monetary a DECIMAL sum), so the
+    * within-bucket typed sort reproduces the oracle's ntile ordering
+    * bit-for-bit and the oracle hash is unchanged. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val per = Tables.orders(s, dir)
@@ -143,13 +201,20 @@ object AnalyticsOps {
       .select($"o_custkey",
         datediff($"today", $"last_day").as("r_days"),
         $"n_orders", $"monetary_d")
-    val wr = Window.orderBy($"r_days", $"o_custkey")
-    val wf = Window.orderBy($"n_orders".desc, $"o_custkey")
-    val wm = Window.orderBy($"monetary_d".desc, $"o_custkey")
-    base
-      .withColumn("r", ntile(4).over(wr))
-      .withColumn("f", ntile(4).over(wf))
-      .withColumn("m", ntile(4).over(wm))
+    val dec = DecimalType(38, 4)
+    val melted = base.select($"o_custkey", explode(array(
+        struct(lit("r").as("metric"), $"r_days".cast(dec).as("v")),
+        struct(lit("f").as("metric"), (-$"n_orders").cast(dec).as("v")),
+        struct(lit("m").as("metric"), (-$"monetary_d").cast(dec).as("v"))))
+        .as("e"))
+      .select($"o_custkey", $"e.metric".as("metric"), $"e.v".as("v"))
+    val tiles = exactGroupRank(melted, "metric", $"v", Seq($"o_custkey"), "__rk")
+      .withColumn("t", ntileOfRank($"__rk", $"__n", 4))
+      .groupBy($"o_custkey")
+      .agg(max(when($"metric" === "r", $"t")).as("r"),
+        max(when($"metric" === "f", $"t")).as("f"),
+        max(when($"metric" === "m", $"t")).as("m"))
+    base.join(tiles, "o_custkey")
       .select($"o_custkey", $"r_days", $"n_orders",
         $"monetary_d".cast("double").as("monetary"),
         $"r", $"f", $"m",

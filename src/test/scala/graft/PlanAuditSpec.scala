@@ -29,4 +29,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"queries planning CartesianProduct: ${offenders.mkString(", ")}")
   }
+
+  test("q_rfm: no global ntile; every row_number window is bucket-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = SparkEntry.queries("q_rfm")(spark, sf).queryExecution.optimizedPlan
+    assert(!plan.toString.contains("ntile("),
+      "q_rfm must compute quartiles from exact bucketed ranks, not a global ntile")
+    val windows = plan.collect { case w: LWindow => w }
+    val unpartRowNum = windows.filter(w =>
+      w.windowExpressions.exists(_.toString.contains("row_number")) &&
+        w.partitionSpec.isEmpty)
+    assert(windows.nonEmpty && unpartRowNum.isEmpty,
+      "an unpartitioned row_number window would single-partition-sort all customers")
+  }
 }
