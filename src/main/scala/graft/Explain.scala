@@ -29,20 +29,55 @@ object Explain {
     "q_zorder_skipping", "q_manifest_expectations", "q_result_cache",
     "q_cluster_cap", "q_scan_estimate", "q_schema_compat",
     "q_write_audit_publish", "q_catalog_txn", "q_manifest_clone",
-    "q_manifest_history", "q_manifest_restore")
+    "q_manifest_history", "q_manifest_restore", "q_manifest_segments")
+
+  /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
+    * print one line per query summarizing the join operators of the FINAL
+    * adaptive plan (what AQE actually ran, not the static guess). This is
+    * the per-scale evidence for the documented broadcast→sort-merge
+    * transitions: run at two fixture scales and diff the lines. */
+  private def finalJoins(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Unit = {
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          try df.write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            println(s"$n FAILED ${e.getClass.getSimpleName}") }
+          val secs = (System.nanoTime() - t0) / 1e9
+          val plan = df.queryExecution.executedPlan.toString
+          val joins = Seq("BroadcastHashJoin" -> "BHJ", "SortMergeJoin" -> "SMJ",
+            "ShuffledHashJoin" -> "SHJ", "BroadcastNestedLoopJoin" -> "BNLJ",
+            "CartesianProduct" -> "CARTESIAN")
+            .map { case (k, tag) =>
+              val c = k.r.findAllIn(plan).size
+              if (c > 0) s"$tag=$c" else ""
+            }.filter(_.nonEmpty).mkString(",")
+          println(f"JOINS\t$n\t$secs%.2f\t${if (joins.isEmpty) "none" else joins}")
+        case None => println(s"JOINS\t$n\tunknown")
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1 && args(1) == "ALL")
+    val finalMode = args.length > 1 && args(1) == "FINAL"
+    val names = if (finalMode) args.drop(2).toSeq
+    else if (args.length > 1 && args(1) == "ALL")
       SparkEntry.queries.keys.toSeq.sorted
         .filterNot(n => n.startsWith("q_stream") || eager(n))
     else if (args.length > 1) args.drop(1).toSeq
       else Seq("q_clean_trips", "q1_pricing", "q_revenue_by_nation",
         "q_dedup_append", "q_asof_last_error", "q_knn_topk",
         "q_ngram_jaccard", "q_ngram_counts", "q_chunk_docs", "q_session_window")
+    // FINAL mode executes real work → use the bench-shaped session; the
+    // static explain sweep stays tiny (plans only)
+    val width = if (finalMode) sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") else "4"
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$width]")
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,6 +85,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (finalMode) { finalJoins(spark, sfDir, names); spark.stop(); return }
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

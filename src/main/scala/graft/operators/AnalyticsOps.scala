@@ -18,32 +18,46 @@ object AnalyticsOps {
 
   private val D2 = DecimalType(18, 2)
 
-  /** Edit-distance near-duplicate part names, blocked by brand. The naive
-    * form is an all-pairs levenshtein (O(n²) comparisons — a scale-killer);
-    * the scale shape is an equi-join on a blocking key so each task only
-    * compares within its block, and comparisons grow with Σ|block|², not
-    * (Σ|block|)². Brand is the fixture's natural blocking key; real corpora
-    * would block on a cheap fingerprint (length band, first-token hash).
-    * `levenshtein` is codegen'd and identical to DuckDB's definition. */
+  /** Edit-distance near-duplicate part names — VERIFY ON DISTINCT VALUES,
+    * expand multiplicities after. The naive form compares all same-brand
+    * row pairs: with a fixed blocking key space (~25 brands), 10× rows
+    * means 100× comparisons — measured 48× wall at the round-8 sf1 scale
+    * run (SF1.md) before this rewrite. But the expensive predicate depends
+    * only on the VALUES: dedup to distinct (brand, name) first (the corpus
+    * vocabulary — bounded by data variety, not data volume), run the
+    * levenshtein verification on that tiny table's same-brand pairs
+    * (canonicalized `name_a <= name_b` so each unordered name pair
+    * verifies once), broadcast the verified name-pair table, and expand
+    * back to key pairs with one map-side broadcast join plus one shuffle
+    * join. Verification cost is now O(|vocab|²/brands) — CONSTANT in row
+    * count — and the remaining linear-plus-output cost is irreducible: the
+    * answer itself is the quadratic object (every key pair of two verified
+    * names is an output row). Same-name pairs keep `key_a < key_b`;
+    * cross-name pairs canonicalize with least/greatest — exactly the
+    * oracle's `a.p_partkey < b.p_partkey` pair set.
+    * `levenshteinWithin` computes only the 2k+1 diagonal band and
+    * early-exits past the bound (ScalaCheck-proven ≡ the builtin). */
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_name")
-    val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"))
-    val b = p.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("name_b"))
+    val d = p.select($"p_brand", $"p_name").distinct()
     graft.functions.EditDistance.register(s)
-    a.join(b, Seq("p_brand"))
-      .filter($"key_a" < $"key_b")
-      // cheap guaranteed-safe prune first (dist >= |len diff|), then the
-      // custom banded expression: computes only the 2k+1 diagonal band
-      // (zero-copy over bytes for ASCII pairs, code points otherwise — the
-      // same unit the builtin and DuckDB count, so oracle equivalence is
-      // structural) and early-exits with -1 past the bound — ~8× the builtin
-      // thresholded levenshtein on these 6.9M pairs (ScalaCheck-proven ≡)
+    val namePairs = d.select($"p_brand", $"p_name".as("name_a"))
+      .join(d.select($"p_brand", $"p_name".as("name_b")), Seq("p_brand"))
+      .filter($"name_a" <= $"name_b")
       .filter(abs(length($"name_a") - length($"name_b")) <= 2)
       .withColumn("dist",
         graft.functions.EditDistance.levenshteinWithin($"name_a", $"name_b", 2))
       .filter($"dist" >= 0)
-      .select($"p_brand", $"key_a", $"key_b", $"dist")
+    val ka = p.select($"p_brand", $"p_name".as("name_a"), $"p_partkey".as("ka"))
+    val kb = p.select($"p_brand", $"p_name".as("name_b"), $"p_partkey".as("kb"))
+    ka.join(broadcast(namePairs), Seq("p_brand", "name_a"))
+      .join(kb, Seq("p_brand", "name_b"))
+      .filter($"name_a" =!= $"name_b" || $"ka" < $"kb")
+      .select($"p_brand",
+        least($"ka", $"kb").as("key_a"),
+        greatest($"ka", $"kb").as("key_b"),
+        $"dist")
   }
 
   private val editDistanceSql =

@@ -540,6 +540,31 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
+    // Split manifests + manifest list (the Iceberg metadata layout): the
+    // snapshot's file lines are sharded across immutable segment files
+    // whose per-segment range summaries let a selective read parse ONLY
+    // the admitted segments — driver metadata cost O(|segments| +
+    // |admitted files|) instead of O(|files|), the layout that keeps a
+    // millions-of-files snapshot resolvable. Oracle = content invariance
+    // (the metadata layout must never change the answer); the spec proves
+    // the bounded-resolve and prune-equivalence properties.
+    "q_manifest_segments" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_mseg_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartitionByRange(16, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, li, statsCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commitSegmented(tbl, staged, -1,
+        segmentSize = 4, clusterBy = "l_orderkey"))
+      val (kept, _, _, _) = graft.sources.ManifestTable.pruneFilesSegmented(
+        tbl, 0, "l_orderkey", BigDecimal(100), BigDecimal(2000))
+      s.read.parquet(kept.map(graft.sources.ManifestTable.dataPath(tbl, _)): _*)
+        .filter(col("l_orderkey").between(100L, 2000L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     // OPTIMIZE ... ZORDER BY — compaction and clustering as ONE rewrite: a
     // table grown by several hash commits (files with no useful layout) is
     // optimized into z-ordered files with fresh stats, after which min/max
@@ -644,16 +669,22 @@ object Relational {
         java.lang.ProcessHandle.current().pid()
       graft.sources.ManifestTable.destroy(tbl) // fresh table per run
       val li = Tables.lineitem(s, d).repartitionByRange(8, col("l_orderkey"))
-      val staged = graft.sources.ManifestTable.stageWithStats(
-        s, tbl, li, statsCols = Seq("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithNdv(
+        s, tbl, li, statsCols = Seq("l_orderkey"), ndvCols = Seq("l_orderkey"))
       require(graft.sources.ManifestTable.commit(tbl, staged, -1))
       val (kept, total, upper) = graft.sources.ManifestTable.estimateScan(
         tbl, "l_orderkey", BigDecimal(100), BigDecimal(500))
+      // distinct-count bound from the per-file HLL blobs (metadata only) —
+      // the planner input a broadcast-vs-shuffle decision actually needs
+      val (_, ndvUpper) = graft.sources.ManifestTable.estimateNdv(
+        tbl, "l_orderkey", BigDecimal(100), BigDecimal(500))
       graft.sources.ManifestTable.readPruned(s, tbl, "l_orderkey",
         BigDecimal(100), BigDecimal(500))
-        .agg(count(lit(1)).as("n_exact"))
-        .select(col("n_exact"),
+        .agg(count(lit(1)).as("n_exact"),
+          countDistinct(col("l_orderkey")).as("nd_exact"))
+        .select(col("n_exact"), col("nd_exact"),
           (col("n_exact") <= upper).as("bound_sound"),
+          (col("nd_exact") <= ndvUpper).as("ndv_sound"),
           lit(kept < total).as("pruned"))
     }),
     // Schema-compatibility gate between snapshot versions: v1 is a
@@ -1087,7 +1118,8 @@ object Relational {
     // bound-invariant: exact count + the sound-bound and pruning contracts
     "q_scan_estimate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_exact,
-        |       TRUE AS bound_sound, TRUE AS pruned
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_exact,
+        |       TRUE AS bound_sound, TRUE AS ndv_sound, TRUE AS pruned
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500""".stripMargin,
     // expectations must split the batch exactly: clean in, violators out
     "q_manifest_expectations" ->
@@ -1124,6 +1156,11 @@ object Relational {
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part WHERE p_size BETWEEN 10 AND 15""".stripMargin,
+    // the segmented metadata layout must never change the answer
+    "q_manifest_segments" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 GROUP BY 1""".stripMargin,
     // the delete must remove exactly the doomed keys, nothing else
     "q_manifest_delete" ->
       """SELECT l_returnflag, count(*) AS n,

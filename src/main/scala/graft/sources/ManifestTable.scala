@@ -66,7 +66,117 @@ object ManifestTable {
     if (v < 0) return Seq.empty
     val body = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
     // one entry per line — no JSON library needed on the read path
-    body.split('\n').map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    val raw = body.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val entries = raw.filterNot(_.startsWith("#"))
+    if (!raw.contains(SegMarker)) entries
+    // segmented manifest: the entries are SEGMENT summaries; resolve each
+    // segment file's lines (full resolve — pruning readers use
+    // [[pruneFilesSegmented]] to touch only admitted segments)
+    else entries.flatMap { sl =>
+      Files.readAllLines(segPath(dir, sl.split('\t').head)).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Split manifests + manifest list (the Iceberg metadata layout, applied
+  // to this format): ONE flat file list per version stops scaling when a
+  // snapshot is millions of files — every reader, however selective, pays
+  // a driver-side parse of the whole list. A SEGMENTED commit instead
+  // shards the file lines across immutable segment files under `meta/` and
+  // publishes a small manifest LIST whose per-segment summary lines carry
+  // the union of each segment's column ranges + total rows/files. Pruning
+  // then reads the list, admits segments by summary range, and parses ONLY
+  // the admitted segments' lines — driver metadata cost drops from
+  // O(|files|) to O(|segments| + |admitted files|). The CAS commit
+  // protocol is untouched (the manifest list IS the CAS'd file); segments
+  // are staged under unique names first, exactly like data files, so a
+  // crashed segmented commit leaves only invisible orphans.
+  // ---------------------------------------------------------------------
+
+  private[sources] val SegMarker = "#segments"
+
+  private def segPath(dir: String, name: String): Path =
+    Paths.get(dir, "meta", name)
+
+  /** Segment names referenced by version `v` (empty for flat manifests). */
+  def listSegmentNames(dir: String, v: Int): Seq[String] = {
+    if (v < 0) return Seq.empty
+    val raw = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (!raw.contains(SegMarker)) Seq.empty
+    else raw.filterNot(_.startsWith("#")).map(_.split('\t').head)
+  }
+
+  /** Publish version `expected + 1` as a SEGMENTED manifest: shard `lines`
+    * into segments of `segmentSize`, write each under `meta/` with a
+    * unique name, and CAS a manifest list of per-segment summaries (range
+    * union per stats column, `__rows` and `__files` totals). Same
+    * atomicity as [[commit]]; a lost race leaves orphan segments that
+    * [[vacuum]] collects. `kind` carries the commit marker ("", "#rewrite"
+    * or "#mutate"). `clusterBy` names a stats column to SORT the file
+    * lines by (recorded min) before sharding — without it, segment
+    * summaries span whatever ranges the staging order interleaved and
+    * nothing prunes (the reason Iceberg sorts manifest entries); file
+    * order inside a manifest is not semantic, so this is pure layout. */
+  def commitSegmented(dir: String, lines: Seq[String], expected: Int,
+      segmentSize: Int = 1000, kind: String = "",
+      clusterBy: String = ""): Boolean = {
+    require(segmentSize > 0, "segmentSize must be positive")
+    Files.createDirectories(Paths.get(dir, "meta"))
+    val ordered =
+      if (clusterBy.isEmpty) lines
+      else lines.sortBy(l => parseEntry(l).ranges.get(clusterBy)
+        .map(_.min).getOrElse(BigDecimal(0)))
+    val summaries = ordered.grouped(segmentSize).map { seg =>
+      val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}.txt"
+      Files.write(segPath(dir, name), seg.mkString("\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+      val es = seg.map(parseEntry)
+      // per-column range union over the segment — the pruning summary
+      val cols = es.flatMap(_.ranges.keys).distinct.sorted
+      val ranges = cols.flatMap { c =>
+        val rs = es.flatMap(_.ranges.get(c))
+        // a column missing from ANY file makes the segment unprunable on
+        // it (the summary would silently admit less than the segment holds)
+        if (rs.size < es.size) None
+        else Some(c -> ColRange(rs.head.tag, rs.map(_.min).min, rs.map(_.max).max))
+      }.toMap
+      val rows = es.flatMap(_.rows)
+      val rowsKv = if (rows.size == es.size) s"\t__rows=${rows.sum}" else ""
+      val rangeKv = if (ranges.isEmpty) "" else s"\t${encodeStats(ranges)}"
+      s"$name$rangeKv$rowsKv\t__files=${es.size}"
+    }.toSeq
+    val body = (Seq(kind).filter(_.nonEmpty) ++ (SegMarker +: summaries))
+      .mkString("\n")
+    commitBody(dir, body, expected)
+  }
+
+  /** [[pruneFiles]] over a SEGMENTED manifest, touching only admitted
+    * segments: summaries prune whole segments by range; admitted segments'
+    * lines then prune per-file as usual. Returns (kept file names,
+    * segments read, segments total, files total) — the first two are the
+    * driver's actual metadata cost, the proof the resolve is bounded. */
+  def pruneFilesSegmented(dir: String, v: Int, col: String,
+      lo: BigDecimal, hi: BigDecimal): (Seq[String], Int, Int, Long) = {
+    val raw = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    require(raw.contains(SegMarker), s"v$v of $dir is not a segmented manifest")
+    val summaryLines = raw.filterNot(_.startsWith("#"))
+    val filesRe = "__files=(\\d+)".r
+    val totalFiles = summaryLines
+      .flatMap(l => filesRe.findFirstMatchIn(l).map(_.group(1).toLong)).sum
+    val summaries = summaryLines.map(parseEntry)
+    val admitted = summaries.filter(
+      _.ranges.get(col).forall(r => r.max >= lo && r.min <= hi))
+    val kept = admitted.flatMap { s =>
+      Files.readAllLines(segPath(dir, s.name)).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(parseEntry)
+        .filter(_.ranges.get(col).forall(r => r.max >= lo && r.min <= hi))
+        .map(_.name)
+    }
+    (kept, admitted.size, summaries.size, totalFiles)
   }
 
   /** True if version `v` is a REWRITE commit (compaction / optimize): its
@@ -231,7 +341,35 @@ object ManifestTable {
       (abs +: parts.tail).mkString("\t")
     }
     require(commit(dstDir, lines, -1), s"clone target $dstDir is not empty")
+    // register the clone AT THE SOURCE (unique marker file — no write
+    // race) so the source's vacuum knows external readers reference its
+    // data files; see [[vacuum]]'s clone horizon
+    val reg = Paths.get(srcDir, "clones")
+    Files.createDirectories(reg)
+    Files.write(
+      reg.resolve(s"clone-${java.util.UUID.randomUUID().toString.take(12)}.txt"),
+      Paths.get(dstDir).toAbsolutePath.toString.getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
     0
+  }
+
+  /** Data-file names under THIS table's `data/` that a registered clone
+    * still references (any of the clone's retained manifest versions — a
+    * clone can time-travel, so every version counts). Clone directories
+    * that no longer exist are stale registrations and contribute nothing. */
+  private def cloneReferencedFiles(dir: String): Set[String] = {
+    val reg = Paths.get(dir, "clones")
+    if (!Files.isDirectory(reg)) return Set.empty
+    val dataPrefix = Paths.get(dir, "data").toAbsolutePath.toString + "/"
+    Files.list(reg).iterator().asScala.flatMap { p =>
+      val cloneDir = new String(Files.readAllBytes(p), "UTF-8").trim
+      if (!Files.isDirectory(Paths.get(cloneDir))) Iterator.empty
+      else (0 to currentVersion(cloneDir)).iterator
+        .filter(v => Files.exists(manifestPath(cloneDir, v)))
+        .flatMap(v => listFiles(cloneDir, v))
+        .collect { case f if f.startsWith(dataPrefix) =>
+          f.stripPrefix(dataPrefix) }
+    }.toSet
   }
 
   /** Retention vacuum — the deliberate, out-of-band cleanup the write path
@@ -242,12 +380,28 @@ object ManifestTable {
     * manifest's files are all kept. Readers of vacuumed-away versions fail
     * the explicit `readVersion` require, not with dangling file errors
     * mid-scan — the same contract Delta/Iceberg document for vacuum
-    * horizons. Returns (#manifests, #data files) removed. */
-  def vacuum(dir: String, keepVersions: Int = 2): (Int, Int) = {
+    * horizons.
+    *
+    * CLONE horizon: a shallow clone's manifests reference this table's
+    * data files by absolute path, so vacuuming the SOURCE could collect
+    * files a clone still serves. Clones register themselves under
+    * `clones/` at clone time; unless `force` is set, vacuum keeps every
+    * data file any live registered clone references (stale registrations —
+    * clone dir gone — contribute nothing). `force = true` restores the
+    * old behavior and knowingly breaks external clones.
+    *
+    * Segmented manifests: segment files under `meta/` referenced by a
+    * retained version are kept; segments only reachable from vacuumed
+    * manifests (or orphaned by lost commit races) are collected too.
+    * Returns (#manifests, #data files) removed. */
+  def vacuum(dir: String, keepVersions: Int = 2,
+      force: Boolean = false): (Int, Int) = {
     val cur = currentVersion(dir)
     require(cur >= 0, s"no committed snapshot in $dir")
     val keepFrom = math.max(0, cur - keepVersions + 1)
-    val keepFiles = (keepFrom to cur).flatMap(listFiles(dir, _)).toSet
+    val cloneKeep = if (force) Set.empty[String] else cloneReferencedFiles(dir)
+    val keepFiles = (keepFrom to cur).flatMap(listFiles(dir, _)).toSet ++ cloneKeep
+    val keepSegs = (keepFrom to cur).flatMap(listSegmentNames(dir, _)).toSet
     val droppedManifests = (0 until keepFrom)
       .count(v => Files.deleteIfExists(manifestPath(dir, v)))
     val dataDir = Paths.get(dir, "data")
@@ -256,6 +410,11 @@ object ManifestTable {
       else Files.list(dataDir).iterator().asScala
         .filter(p => !keepFiles.contains(p.getFileName.toString))
         .count(Files.deleteIfExists(_))
+    val metaDir = Paths.get(dir, "meta")
+    if (Files.isDirectory(metaDir))
+      Files.list(metaDir).iterator().asScala
+        .filter(p => !keepSegs.contains(p.getFileName.toString))
+        .foreach(Files.deleteIfExists(_))
     (droppedManifests, droppedFiles.toInt)
   }
 
@@ -350,10 +509,12 @@ object ManifestTable {
 
   /** One manifest entry: file name, min/max ranges, per-column Bloom
     * "indexes" (serialized [[graft.functions.BloomSketch]] bit arrays) for
-    * point-lookup skipping, and the file's exact row count (`None` for
-    * files staged without stats). */
+    * point-lookup skipping, the file's exact row count (`None` for files
+    * staged without stats), and per-column Datasketches HLL register blobs
+    * (`hlls`) for mergeable distinct-count estimation. */
   final case class FileEntry(name: String, ranges: Map[String, ColRange],
-      blooms: Map[String, Array[Byte]], rows: Option[Long])
+      blooms: Map[String, Array[Byte]], rows: Option[Long],
+      hlls: Map[String, Array[Byte]] = Map.empty)
 
   /** Parse one manifest line → full [[FileEntry]]. Unknown stat encodings
     * are ignored (forward compatible: an older reader sees the file as
@@ -374,8 +535,11 @@ object ManifestTable {
     val blooms = kvs.flatMap { case (c, v) =>
       if (v.startsWith("B:")) Some(c -> hexDecode(v.substring(2))) else None
     }.toMap
+    val hlls = kvs.flatMap { case (c, v) =>
+      if (v.startsWith("H:")) Some(c -> hexDecode(v.substring(2))) else None
+    }.toMap
     val rows = kvs.collectFirst { case ("__rows", v) if v.forall(_.isDigit) => v.toLong }
-    FileEntry(parts.head, ranges, blooms, rows)
+    FileEntry(parts.head, ranges, blooms, rows, hlls)
   }
 
   /** Parse one manifest line → (file name, recorded column ranges). */
@@ -517,6 +681,84 @@ object ManifestTable {
         case None => line
       }
     }
+  }
+
+  /** [[stageWithStats]] + per-file MERGEABLE NDV sketches over `ndvCols`:
+    * one distributed pass folds each staged file's column values into a
+    * Datasketches HLL register blob (`hll_sketch_agg` — fixed ~KB state per
+    * (file, column), |files| blobs back to the driver, bounded by FILE
+    * count never row count), hex-encoded on the manifest line as `col=H:…`.
+    * Unlike min/max or blooms, HLL registers UNION losslessly
+    * (register-max is commutative/associative/duplicate-insensitive), so
+    * the estimate for ANY file subset — a pruned scan, a whole snapshot, a
+    * multi-snapshot union — comes from merging the stored blobs with zero
+    * data I/O: exactly the per-file `null_count`/`ndv` stats Iceberg
+    * carries in its manifests for cost-based planning. */
+  def stageWithNdv(s: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String], ndvCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name,
+      substring_index, hll_sketch_agg}
+    val lines = stageWithStats(s, dir, df, statsCols)
+    if (ndvCols.isEmpty) return lines
+    val aggs = ndvCols.map(nc => hll_sketch_agg(c(nc)).as(s"sk_$nc"))
+    val sketches = s.read.parquet(lines.map(l =>
+        dataPath(dir, l.split('\t').head)): _*)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged FILE — bounded by construction
+      .map(r => r.getString(0) ->
+        ndvCols.map(nc => nc -> r.getAs[Array[Byte]](s"sk_$nc")).toMap)
+      .toMap
+    lines.map { line =>
+      val name = line.split('\t').head
+      sketches.get(name) match {
+        case Some(m) =>
+          val enc = m.toSeq.sortBy(_._1)
+            .map { case (nc, b) => s"$nc=H:${hexEncode(b)}" }.mkString(";")
+          s"$line\t$enc"
+        case None => line
+      }
+    }
+  }
+
+  /** Distinct-count estimate for `col` over the files a `[lo, hi]` range
+    * prune admits, by unioning their stored HLL register blobs — metadata
+    * only, no scan. Returns `(estimate, upperBound)` at `numStdDev`
+    * standard deviations; the upper bound covers the admitted FILES'
+    * distinct count, which in turn bounds the distinct count of any
+    * predicate-matching subset of their rows — a SOUND planner input.
+    * Requires every admitted file to carry a `col` sketch (a stats-less
+    * file makes the answer unknowable; throw rather than guess, the
+    * [[metadataAgg]] contract). */
+  def estimateNdv(dir: String, col: String, lo: BigDecimal, hi: BigDecimal,
+      numStdDev: Int = 2): (Double, Double) = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val v = currentVersion(dir)
+    require(v >= 0, s"no committed snapshot in $dir")
+    val admitted = listLines(dir, v).map(parseEntry)
+      .filter(_.ranges.get(col).forall(r => r.max >= lo && r.min <= hi))
+    require(admitted.nonEmpty && admitted.forall(_.hlls.contains(col)),
+      s"estimateNdv needs an HLL sketch for '$col' on every admitted file")
+    val u = new Union()
+    admitted.foreach(e => u.update(HllSketch.heapify(e.hlls(col))))
+    (u.getEstimate, u.getUpperBound(numStdDev))
+  }
+
+  /** The cost-based decision [[estimateNdv]] exists to power: should the
+    * distinct keys of `col` from the `[lo, hi]` slice be BROADCAST as a
+    * join/semi-join build side, or is that side too big and the join must
+    * shuffle? Row counts alone answer this wrongly in both directions — a
+    * billion-row slice with 50k distinct keys broadcasts fine after a
+    * dedup, while a narrow slice of a high-cardinality key does not. The
+    * build size is `NDV upper bound × bytesPerKey`, compared against the
+    * broadcast threshold (Spark's `autoBroadcastJoinThreshold` analog).
+    * Returns `(advice, estimatedBuildBytes)` with zero data I/O. */
+  def joinSideAdvice(dir: String, col: String, lo: BigDecimal, hi: BigDecimal,
+      bytesPerKey: Long = 8L,
+      thresholdBytes: Long = 10L << 20): (String, Long) = {
+    val (_, upper) = estimateNdv(dir, col, lo, hi)
+    val bytes = math.ceil(upper * bytesPerKey).toLong
+    (if (bytes <= thresholdBytes) "broadcast" else "shuffle", bytes)
   }
 
   /** Metadata-only pruning for `col IN keys` using both stat kinds: a file

@@ -842,6 +842,103 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("segmented manifest: bounded resolve, prune-equivalent, vacuum collects orphan segments") {
+    val dir = freshDir("mseg")
+    val flat = freshDir("mseg_flat")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(16, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li, Seq("l_orderkey"))
+    assert(staged.size == 16)
+    assert(ManifestTable.commitSegmented(dir, staged, -1, segmentSize = 4,
+      clusterBy = "l_orderkey"))
+    // listLines resolves through segments: every reader sees the same lines
+    assert(ManifestTable.listLines(dir, 0).toSet == staged.toSet)
+    assert(ManifestTable.read(spark, dir).count() == li.count())
+    // the same lines in a FLAT manifest (names are relative to dir — point
+    // the flat table at the same data by absolute paths)
+    val absLines = staged.map { l =>
+      val parts = l.split('\t')
+      (ManifestTable.dataPath(dir, parts.head) +: parts.tail).mkString("\t")
+    }
+    assert(ManifestTable.commit(flat, absLines, -1))
+    // bounded resolve: the narrow predicate parses ONLY admitted segments…
+    val (kept, segsRead, segsTotal, filesTotal) =
+      ManifestTable.pruneFilesSegmented(dir, 0, "l_orderkey",
+        BigDecimal(100), BigDecimal(500))
+    assert(segsTotal == 4 && filesTotal == 16)
+    assert(segsRead < segsTotal,
+      s"range-clustered layout must admit a strict segment subset, read $segsRead/$segsTotal")
+    // …and keeps exactly what the flat per-file prune keeps
+    val (flatKept, _) = ManifestTable.pruneFiles(flat, 0, "l_orderkey",
+      BigDecimal(100), BigDecimal(500))
+    assert(kept.map(ManifestTable.dataPath(dir, _)).toSet == flatKept.toSet)
+    // rewrite commits carry their kind through the segmented form
+    assert(ManifestTable.commitSegmented(dir, staged, 0, segmentSize = 8,
+      kind = "#rewrite"))
+    assert(ManifestTable.isRewrite(dir, 1) && !ManifestTable.isRewrite(dir, 0))
+    assert(ManifestTable.listLines(dir, 1).toSet == staged.toSet)
+    // vacuum to the latest version collects v0's now-unreferenced segments
+    // but keeps v1's (the data files are shared and all still referenced)
+    val metaDir = java.nio.file.Paths.get(dir, "meta")
+    assert(java.nio.file.Files.list(metaDir).count() == 6) // 4 + 2
+    ManifestTable.vacuum(dir, keepVersions = 1)
+    assert(java.nio.file.Files.list(metaDir).count() == 2)
+    assert(ManifestTable.read(spark, dir).count() == li.count())
+  }
+
+  test("per-file HLL blobs: mergeable NDV estimate bounds the planner soundly") {
+    val dir = freshDir("ndv")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(8, col("l_orderkey"))
+    val staged = ManifestTable.stageWithNdv(spark, dir, li,
+      Seq("l_orderkey"), Seq("l_orderkey", "l_partkey"))
+    assert(staged.forall(l => l.contains("l_orderkey=H:") && l.contains("l_partkey=H:")))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val exact = li.select(col("l_orderkey")).distinct().count()
+    val (est, upper) = ManifestTable.estimateNdv(dir, "l_orderkey",
+      BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+    assert(exact <= upper, s"NDV upper bound $upper below exact $exact")
+    assert(math.abs(est - exact) / exact <= 0.05,
+      s"HLL estimate $est more than 5% off exact $exact")
+    // a pruned slice's bound stays sound (admitted files ⊇ matching rows)
+    val (_, upSlice) = ManifestTable.estimateNdv(dir, "l_orderkey",
+      BigDecimal(100), BigDecimal(2000))
+    val exactSlice = li.filter(col("l_orderkey").between(100L, 2000L))
+      .select(col("l_orderkey")).distinct().count()
+    assert(exactSlice <= upSlice)
+    // the decision the stats power: distinct keys of the slice broadcast
+    // (KBs), but a pretend 1 MB-per-key row makes the same side shuffle
+    val (go, bytes) = ManifestTable.joinSideAdvice(dir, "l_orderkey",
+      BigDecimal(100), BigDecimal(2000))
+    assert(go == "broadcast" && bytes > 0)
+    val (noGo, _) = ManifestTable.joinSideAdvice(dir, "l_orderkey",
+      BigDecimal(100), BigDecimal(2000), bytesPerKey = 1L << 20)
+    assert(noGo == "shuffle")
+  }
+
+  test("clone-aware vacuum: source vacuum keeps files live clones reference") {
+    val base = freshDir("clvac")
+    val (src, dst) = (s"$base/src", s"$base/c")
+    val li = Tables.lineitem(spark, sf)
+    val half = li.filter(col("l_orderkey") % 2 === 0)
+    ManifestTable.merge(spark, src, half, keys)
+    ManifestTable.cloneTable(src, dst)
+    val cloneCount = ManifestTable.read(spark, dst).count()
+    // the source moves on: a full-rewrite commit replaces v0's files
+    ManifestTable.compact(spark, src, numFiles = 2)
+    // vacuum the SOURCE to only its latest version: v0's files are no
+    // longer referenced by any source manifest — but the clone holds them
+    val (_, dropped) = ManifestTable.vacuum(src, keepVersions = 1)
+    assert(dropped == 0,
+      "vacuum must not collect files a registered clone references")
+    assert(ManifestTable.read(spark, dst).count() == cloneCount,
+      "the clone must survive a source vacuum intact")
+    // force restores the old behavior and knowingly breaks the clone
+    val (_, forced) = ManifestTable.vacuum(src, keepVersions = 1, force = true)
+    assert(forced > 0)
+    intercept[Exception] {
+      ManifestTable.read(spark, dst).count()
+    }
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
