@@ -939,6 +939,55 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("chaos: sink crash after staging before CAS — checkpoint restart is exactly-once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val base = freshDir("chaos")
+    val (src, tbl, ckpt) = (s"$base/src", s"$base/tbl", s"$base/ckpt")
+    val ev = Tables.events(spark, sf).limit(300)
+    ManifestTable.merge(spark, src, ev, Seq("event_id"))
+    // first delivery: the sink does its distributed work (stages every
+    // file), then dies INSIDE the batch — the exact crash window the
+    // protocol argues about: work done, nothing published
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!crashed.getAndSet(true)) {
+        ManifestTable.stage(batch.sparkSession, tbl, batch)
+        throw new RuntimeException("chaos: crash after staging, before CAS")
+      } else ManifestTable.merge(batch.sparkSession, tbl, batch, Seq("event_id"))
+    def run(): Unit = spark.readStream
+      .format("graft.sources.ManifestStreamSource").option("path", src).load()
+      .writeStream.outputMode("append").foreachBatch(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    intercept[Exception] { run() }
+    // the crash published NOTHING: readers still see an empty table
+    assert(ManifestTable.currentVersion(tbl) == -1)
+    // restart from the SAME checkpoint: the batch re-delivers and commits
+    run()
+    assert(ManifestTable.read(spark, tbl).count() == ev.count(),
+      "recovered table must hold exactly the source rows")
+    // the crashed attempt's files are invisible orphans on disk…
+    val v = ManifestTable.currentVersion(tbl)
+    val listed = ManifestTable.listFiles(tbl, v).size
+    val onDisk = java.nio.file.Files.list(
+      java.nio.file.Paths.get(tbl, "data")).count().toInt
+    assert(onDisk > listed, "chaos run must have left staged orphans")
+    // …and vacuum collects exactly them, changing nothing visible
+    val (_, dropped) = ManifestTable.vacuum(tbl, keepVersions = 1)
+    assert(dropped == onDisk - listed)
+    assert(ManifestTable.read(spark, tbl).count() == ev.count())
+    // third delivery from a FRESH checkpoint (full re-delivery): all no-ops
+    val ckpt2 = s"$base/ckpt2"
+    spark.readStream
+      .format("graft.sources.ManifestStreamSource").option("path", src).load()
+      .writeStream.outputMode("append").foreachBatch(sink)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(ManifestTable.read(spark, tbl).count() == ev.count(),
+      "full redelivery must merge to a no-op")
+  }
+
   test("acid merge query equals the anti-join dedup-append semantics") {
     val acid = SparkEntry.queries("q_acid_merge")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -30,6 +30,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"queries planning CartesianProduct: ${offenders.mkString(", ")}")
   }
 
+  test("sf1 audit: no non-eager query plans a CartesianProduct at 10x scale") {
+    // runs only when the GenScale-produced sf1 fixture is present (SF1.md's
+    // recipe: `graft.GenScale /root/testdata/sf0.1 /tmp/graft_sf1 10`) —
+    // plan shape can flip with input statistics, so the cartesian invariant
+    // must hold at the largest fixture we can build, not just the test SF
+    val sf1 = "/tmp/graft_sf1"
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(sf1, "lineitem.parquet")), "sf1 fixture absent")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("q_stream") || Explain.eager(n))
+    val offenders = names.flatMap { n =>
+      val plan = SparkEntry.queries(n)(spark, sf1).queryExecution.executedPlan
+      if (plan.toString.contains("CartesianProduct")) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct at sf1: ${offenders.mkString(", ")}")
+  }
+
   test("q_rfm: no global ntile; every row_number window is bucket-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val plan = SparkEntry.queries("q_rfm")(spark, sf).queryExecution.optimizedPlan
