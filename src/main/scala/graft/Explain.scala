@@ -29,7 +29,8 @@ object Explain {
     "q_zorder_skipping", "q_manifest_expectations", "q_result_cache",
     "q_cluster_cap", "q_scan_estimate", "q_schema_compat",
     "q_write_audit_publish", "q_catalog_txn", "q_manifest_clone",
-    "q_manifest_history", "q_manifest_restore", "q_manifest_segments")
+    "q_manifest_history", "q_manifest_restore", "q_manifest_segments",
+    "q_merge_on_read")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

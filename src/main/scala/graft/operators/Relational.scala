@@ -490,6 +490,30 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // MERGE-ON-READ delete via deletion vectors (the Delta DV / Iceberg v2
+    // delete-file shape): the delete stages ONE tiny doomed-key parquet and
+    // a #dv marker targeting the stats-admitted files — no data file is
+    // rewritten (write cost ∝ deleted keys, the property that makes
+    // right-to-be-forgotten affordable on a 100 TB table), and readers
+    // apply a broadcast anti-join at scan time until a compaction
+    // materializes. Oracle = identical NOT IN semantics to the
+    // copy-on-write q_manifest_delete — the two delete strategies MUST
+    // answer the same.
+    "q_merge_on_read" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_mor_del_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.deleteKeysMOR(s, tbl, "l_orderkey",
+        keys = Seq(101L, 777L, 1402L))
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     // Copy-on-write UPDATE — the third DML leg beside ACID MERGE and the
     // targeted delete: same stat-pruned rewrite (only key-holding files
     // touched), matching rows get the assignment applied against their OLD
@@ -1161,6 +1185,11 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 GROUP BY 1""".stripMargin,
+    // merge-on-read must answer IDENTICALLY to the copy-on-write delete
+    "q_merge_on_read" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey NOT IN (101, 777, 1402) GROUP BY 1""".stripMargin,
     // the delete must remove exactly the doomed keys, nothing else
     "q_manifest_delete" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -210,8 +210,8 @@ object ManifestTable {
   def readVersion(s: SparkSession, dir: String, v: Int): DataFrame = {
     require(v >= 0 && Files.exists(manifestPath(dir, v)),
       s"no committed snapshot v$v in $dir")
-    val files = listFiles(dir, v).map(dataPath(dir, _))
-    s.read.parquet(files: _*)
+    if (dvLines(dir, v).nonEmpty) readWithDvs(s, dir, v, listFiles(dir, v))
+    else s.read.parquet(listFiles(dir, v).map(dataPath(dir, _)): _*)
   }
 
   /** Atomically publish version `expected + 1` = `files`. True on success,
@@ -290,8 +290,12 @@ object ManifestTable {
         if (isRewrite(dir, v)) "rewrite"
         else if (isMutate(dir, v)) "mutate"
         else "data"
+      // a deletion vector makes the row count unknowable from metadata
+      // (the doomed-key parquet could be counted, but how many of its keys
+      // actually hit is a data question) — report unknown, never a guess
       val rows =
-        if (entries.nonEmpty && entries.forall(_.rows.isDefined))
+        if (entries.nonEmpty && entries.forall(_.rows.isDefined) &&
+            dvLines(dir, v).isEmpty)
           Some(entries.flatMap(_.rows).sum)
         else None
       (v, kind, entries.size.toLong, rows)
@@ -311,7 +315,7 @@ object ManifestTable {
   def restore(dir: String, v: Int, maxRetries: Int = 10): Int = {
     require(v >= 0 && Files.exists(manifestPath(dir, v)),
       s"no committed snapshot v$v in $dir (vacuumed?)")
-    val lines = listLines(dir, v)
+    val lines = listLines(dir, v) ++ dvLines(dir, v)
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = currentVersion(dir)
@@ -340,7 +344,12 @@ object ManifestTable {
       val abs = Paths.get(dataPath(srcDir, parts.head)).toAbsolutePath.toString
       (abs +: parts.tail).mkString("\t")
     }
-    require(commit(dstDir, lines, -1), s"clone target $dstDir is not empty")
+    def abs(n: String) = Paths.get(dataPath(srcDir, n)).toAbsolutePath.toString
+    // deletion vectors clone too: DV file and targets re-point into the
+    // source by absolute path, same as the data references
+    val dvs = dvEntries(srcDir, v).map(e =>
+      encodeDv(DvEntry(abs(e.file), e.col, e.targets.map(abs))))
+    require(commit(dstDir, lines ++ dvs, -1), s"clone target $dstDir is not empty")
     // register the clone AT THE SOURCE (unique marker file — no write
     // race) so the source's vacuum knows external readers reference its
     // data files; see [[vacuum]]'s clone horizon
@@ -400,7 +409,8 @@ object ManifestTable {
     require(cur >= 0, s"no committed snapshot in $dir")
     val keepFrom = math.max(0, cur - keepVersions + 1)
     val cloneKeep = if (force) Set.empty[String] else cloneReferencedFiles(dir)
-    val keepFiles = (keepFrom to cur).flatMap(listFiles(dir, _)).toSet ++ cloneKeep
+    val keepFiles = (keepFrom to cur).flatMap(listFiles(dir, _)).toSet ++
+      (keepFrom to cur).flatMap(dvEntries(dir, _).map(_.file)).toSet ++ cloneKeep
     val keepSegs = (keepFrom to cur).flatMap(listSegmentNames(dir, _)).toSet
     val droppedManifests = (0 until keepFrom)
       .count(v => Files.deleteIfExists(manifestPath(dir, v)))
@@ -635,6 +645,8 @@ object ManifestTable {
   def metadataAgg(dir: String, col: String): (Long, BigDecimal, BigDecimal) = {
     val v = currentVersion(dir)
     require(v >= 0, s"no committed snapshot in $dir")
+    require(dvLines(dir, v).isEmpty,
+      "metadata aggregate is unknowable under deletion vectors — compact first")
     val es = listLines(dir, v).map(parseEntry)
     require(es.nonEmpty && es.forall(e => e.rows.isDefined && e.ranges.contains(col)),
       s"metadata aggregate needs a row count and a '$col' range on every file")
@@ -761,6 +773,117 @@ object ManifestTable {
     (if (bytes <= thresholdBytes) "broadcast" else "shuffle", bytes)
   }
 
+  // ---------------------------------------------------------------------
+  // Deletion vectors — MERGE-ON-READ deletes (the Delta DV / Iceberg v2
+  // delete-file idea): instead of rewriting every file that holds a doomed
+  // key (copy-on-write, [[deleteKeys]] — write cost ∝ affected data), a
+  // delete stages ONE tiny parquet of the doomed keys and publishes a
+  // `#dv` marker line naming it, its key column, and the data files it
+  // TARGETS (the stats-admitted set). Readers anti-join targeted files
+  // against the DV keys at scan time — write cost ∝ |deleted keys|, read
+  // cost one small broadcast anti-join. Marker lines start with `#`, so
+  // every DV-unaware code path (listFiles, pruning, optimize's size
+  // partition, the copy detector of file lists) still sees exactly the
+  // data files; DV-aware paths resolve them explicitly. Targeting by FILE
+  // keeps re-inserts correct: a later merge of a deleted key lands in a
+  // NEW file no DV targets. Rewrites MATERIALIZE: compact reads through
+  // the DV-aware path and drops the markers; partial rewrites
+  // (optimize/delete/update) apply DVs to what they rewrite and carry
+  // forward markers intersected to the surviving targets. DV commits are
+  // `#mutate` — the change feed refuses to cross them, same honesty
+  // contract as copy-on-write deletes.
+  // ---------------------------------------------------------------------
+
+  /** One deletion vector: the staged key file, the key column, and the
+    * data files whose rows it dooms. */
+  final case class DvEntry(file: String, col: String, targets: Set[String])
+
+  private val DvPrefix = "#dv\t"
+
+  private def encodeDv(e: DvEntry): String =
+    s"#dv\t${e.file}\t${e.col}\t${e.targets.toSeq.sorted.mkString(",")}"
+
+  /** Raw `#dv` marker lines of version `v` (carried verbatim by successor
+    * commits that keep the same data files). */
+  def dvLines(dir: String, v: Int): Seq[String] = {
+    if (v < 0) return Seq.empty
+    new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.startsWith(DvPrefix)).toSeq
+  }
+
+  def dvEntries(dir: String, v: Int): Seq[DvEntry] =
+    dvLines(dir, v).map(parseDvLine)
+
+  /** DV lines carried forward by a commit that keeps only `surviving` data
+    * files: targets intersect with the survivors; a DV left targeting
+    * nothing is dropped (its doomed rows were materialized away). */
+  private def carriedDvLines(dir: String, v: Int,
+      surviving: Set[String]): Seq[String] =
+    dvEntries(dir, v)
+      .map(e => e.copy(targets = e.targets.intersect(surviving)))
+      .filter(_.targets.nonEmpty)
+      .map(encodeDv)
+
+  /** Read data files `names` of version `v` with every applicable deletion
+    * vector applied. Files are grouped by the exact DV set targeting them;
+    * untargeted files scan clean, targeted groups anti-join against the
+    * (broadcast, O(deleted keys)) DV key sets. */
+  def readWithDvs(s: SparkSession, dir: String, v: Int,
+      names: Seq[String]): DataFrame =
+    applyDvs(s, dir, names, dvEntries(dir, v))
+
+  private def applyDvs(s: SparkSession, dir: String, names: Seq[String],
+      dvs: Seq[DvEntry]): DataFrame = {
+    val groups = names.groupBy(n => dvs.filter(_.targets.contains(n)))
+    groups.map { case (applicable, files) =>
+      val base = s.read.parquet(files.map(dataPath(dir, _)): _*)
+      applicable.foldLeft(base) { (df, dv) =>
+        val keys = s.read.parquet(dataPath(dir, dv.file))
+          .select(org.apache.spark.sql.functions.col(dv.col))
+        df.join(broadcast(keys), Seq(dv.col), "left_anti")
+      }
+    }.reduce(_ unionAll _)
+  }
+
+  private def parseDvLine(l: String): DvEntry = {
+    val p = l.split('\t')
+    DvEntry(p(1), p(2),
+      if (p.length > 3) p(3).split(',').filter(_.nonEmpty).toSet else Set.empty)
+  }
+
+  /** MERGE-ON-READ DELETE (`DELETE WHERE col IN keys`): stats pick the
+    * files that can hold the keys (same range+bloom prune as the
+    * copy-on-write [[deleteKeys]]); one tiny key parquet stages; a `#dv`
+    * marker targeting exactly those files publishes under the ordinary
+    * CAS as a `#mutate` commit. No data file is rewritten — time travel,
+    * snapshot isolation, and vacuum semantics are unchanged, and
+    * [[compact]] later materializes the delete physically. Returns the new
+    * version (current if no file can hold any key). */
+  def deleteKeysMOR(s: SparkSession, dir: String, col: String,
+      keys: Seq[Long], maxRetries: Int = 10): Int = {
+    import s.implicits._
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to delete from in $dir")
+      val entries = listLines(dir, v).map(parseEntry)
+      val affected = entries.filter { e =>
+        e.ranges.get(col).forall(r =>
+          keys.exists(x => BigDecimal(x) >= r.min && BigDecimal(x) <= r.max)) &&
+        e.blooms.get(col).forall(bf =>
+          keys.exists(x => graft.functions.BloomSketch.contains(bf, x)))
+      }
+      if (affected.isEmpty) return v // nothing can hold the keys: no-op
+      val dvFile = stage(s, dir, keys.toDF(col).coalesce(1))
+      require(dvFile.size == 1)
+      val dv = encodeDv(DvEntry(dvFile.head, col, affected.map(_.name).toSet))
+      val body = listLines(dir, v) ++ dvLines(dir, v) :+ dv
+      if (commitMutate(dir, body, v)) return v + 1
+      attempt += 1 // lost the race; the staged DV stays a harmless orphan
+    }
+    throw new IllegalStateException(s"MOR delete lost $maxRetries races in $dir")
+  }
+
   /** Metadata-only pruning for `col IN keys` using both stat kinds: a file
     * survives only if SOME key is inside its recorded range AND admitted by
     * its Bloom index; either stat absent → that test passes (degrade to
@@ -786,7 +909,7 @@ object ManifestTable {
     val v = currentVersion(dir)
     val (kept, _) = pruneFilesForKeys(dir, v, col, keys)
     if (kept.isEmpty) readVersion(s, dir, v).filter(lit(false))
-    else s.read.parquet(kept.map(dataPath(dir, _)): _*)
+    else readWithDvs(s, dir, v, kept)
       .filter(c(col).isin(keys: _*))
   }
 
@@ -825,8 +948,7 @@ object ManifestTable {
       val affectedNames = affected.map(_.name).toSet
       val keep = listLines(dir, v) // raw lines: untouched stats ride along
         .filterNot(l => affectedNames.contains(l.split('\t').head))
-      val survivors = s.read
-        .parquet(affected.map(e => dataPath(dir, e.name)).toSeq: _*)
+      val survivors = readWithDvs(s, dir, v, affected.map(_.name).toSeq)
         .filter(!c(col).isin(keys: _*))
       // rewrites carry the same stat kinds the originals did
       val statsCols = affected.flatMap(_.ranges.keys).distinct
@@ -834,7 +956,9 @@ object ManifestTable {
       val staged =
         if (survivors.isEmpty) Seq.empty[String]
         else stageWithIndexes(s, dir, survivors, statsCols, bloomCols)
-      if (commitMutate(dir, keep ++ staged, v)) return v + 1
+      val carried = carriedDvLines(dir, v,
+        keep.map(_.split('\t').head).toSet)
+      if (commitMutate(dir, keep ++ staged ++ carried, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
     throw new IllegalStateException(s"delete lost $maxRetries commit races in $dir")
@@ -871,14 +995,15 @@ object ManifestTable {
       val hit = c(col).isin(keys: _*)
       // all assignments read OLD values (standard UPDATE semantics):
       // withColumns resolves every expression against the pre-update rows
-      val rewritten = s.read
-        .parquet(affected.map(e => dataPath(dir, e.name)).toSeq: _*)
+      val rewritten = readWithDvs(s, dir, v, affected.map(_.name).toSeq)
         .withColumns(assignments.map { case (t, e) =>
           t -> when(hit, e).otherwise(c(t)) })
       val statsCols = affected.flatMap(_.ranges.keys).distinct
       val bloomCols = affected.flatMap(_.blooms.keys).distinct
       val staged = stageWithIndexes(s, dir, rewritten, statsCols, bloomCols)
-      if (commitMutate(dir, keep ++ staged, v)) return v + 1
+      val carried = carriedDvLines(dir, v,
+        keep.map(_.split('\t').head).toSet)
+      if (commitMutate(dir, keep ++ staged ++ carried, v)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(s"update lost $maxRetries commit races in $dir")
@@ -917,7 +1042,7 @@ object ManifestTable {
       else c(col) >= lit(lo.toDouble) && c(col) <= lit(hi.toDouble)
     if (kept.isEmpty) // keep the snapshot schema, provably-empty result
       readVersion(s, dir, v).filter(lit(false))
-    else s.read.parquet(kept.map(dataPath(dir, _)): _*).filter(pred)
+    else readWithDvs(s, dir, v, kept).filter(pred)
   }
 
   // ---------------------------------------------------------------------
@@ -943,7 +1068,7 @@ object ManifestTable {
     val staged =
       if (statsCols.nonEmpty) stageWithStats(s, dir, batch, statsCols)
       else stage(s, dir, batch)
-    val lines = s"#base=$v" +: (listLines(dir, v) ++ staged)
+    val lines = s"#base=$v" +: (listLines(dir, v) ++ staged ++ dvLines(dir, v))
     Files.write(auditPath(dir, tag), lines.mkString("\n").getBytes("UTF-8"))
   }
 
@@ -956,10 +1081,13 @@ object ManifestTable {
     (base, all.tail)
   }
 
-  /** Read the audit snapshot: the exact table state `tag` would publish. */
+  /** Read the audit snapshot: the exact table state `tag` would publish
+    * (deletion-vector markers in the audit apply here too — the checks
+    * must see what production would see). */
   def readAudit(s: SparkSession, dir: String, tag: String): DataFrame = {
     val (_, lines) = auditLines(dir, tag)
-    s.read.parquet(lines.map(l => dataPath(dir, l.split('\t').head)): _*)
+    val (dvs, data) = lines.partition(_.startsWith(DvPrefix))
+    applyDvs(s, dir, data.map(_.split('\t').head), dvs.map(parseDvLine))
   }
 
   /** Publish a passing audit atomically. Returns the new version, or None
@@ -1104,8 +1232,9 @@ object ManifestTable {
       // reading an empty path list would throw, and the layout is a no-op)
       if (small.size < 2 && zorderBy.isEmpty) return v
       if (small.isEmpty) return v
-      val df = s.read.parquet(
-        small.map(l => dataPath(dir, l.split('\t').head)): _*)
+      // DV-aware read MATERIALIZES deletes into the rewritten files; the
+      // untouched big files keep their (intersected) markers below
+      val df = readWithDvs(s, dir, v, small.map(_.split('\t').head))
       val laid = zorderBy match {
         case Seq(a, b) =>
           df.withColumn("__zkey",
@@ -1117,7 +1246,8 @@ object ManifestTable {
       val staged =
         if (statsCols.nonEmpty) stageWithStats(s, dir, laid, statsCols)
         else stage(s, dir, laid)
-      if (commitRewrite(dir, big ++ staged, v)) return v + 1
+      val carried = carriedDvLines(dir, v, big.map(_.split('\t').head).toSet)
+      if (commitRewrite(dir, big ++ staged ++ carried, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
     throw new IllegalStateException(s"optimize lost $maxRetries commit races in $dir")
@@ -1157,7 +1287,9 @@ object ManifestTable {
         if (skipEmptyDelta && fresh.isEmpty) Seq.empty[String]
         else stage(s, dir, fresh)
       if (staged.isEmpty && skipEmptyDelta) return v // idempotent no-op
-      if (commit(dir, existing ++ staged, v)) return v + 1
+      // deletion-vector markers ride along: the kept data files are
+      // unchanged, so every DV still targets exactly what it did
+      if (commit(dir, existing ++ staged ++ dvLines(dir, v), v)) return v + 1
       // lost the race: the staged files stay harmless orphans; re-reconcile
       attempt += 1
     }

@@ -939,6 +939,102 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion vectors: MOR delete, re-insert, partial rewrite, compaction materializes") {
+    import java.nio.file.{Files => F, Paths => P}
+    val dir = freshDir("dv")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      Seq("l_orderkey"), Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val before = ManifestTable.read(spark, dir).count()
+    val doomed = Seq(101L, 777L)
+    val doomedRows = li.filter(col("l_orderkey").isin(doomed: _*)).count()
+    assert(doomedRows > 0)
+    val dataFilesBefore = F.list(P.get(dir, "data")).count()
+
+    // MOR delete: rows gone, but NO data file rewritten (only the tiny DV
+    // parquet appeared) — write cost ∝ deleted keys, not affected data
+    val v1 = ManifestTable.deleteKeysMOR(spark, dir, "l_orderkey", doomed)
+    assert(v1 == 1)
+    assert(ManifestTable.read(spark, dir).count() == before - doomedRows)
+    assert(F.list(P.get(dir, "data")).count() == dataFilesBefore + 1,
+      "a MOR delete must stage exactly the DV file, never rewrite data")
+    assert(ManifestTable.listFiles(dir, 1).toSet ==
+      ManifestTable.listFiles(dir, 0).toSet,
+      "the data file list is untouched; the DV rides as a marker")
+    // time travel unaffected; stats-pruned read paths see the delete
+    assert(ManifestTable.readVersion(spark, dir, 0).count() == before)
+    assert(ManifestTable.readPointLookup(spark, dir, "l_orderkey",
+      doomed).count() == 0)
+    assert(ManifestTable.readPruned(spark, dir, "l_orderkey",
+      BigDecimal(100), BigDecimal(110))
+      .filter(col("l_orderkey") === 101L).count() == 0)
+    // metadata aggregates refuse rather than guess under DVs
+    intercept[IllegalArgumentException] {
+      ManifestTable.metadataAgg(dir, "l_orderkey")
+    }
+    // history reports the DV version's row count as unknowable
+    val h = ManifestTable.history(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.isNullAt(3)).toMap
+    assert(!h(0) && h(1), "DV version must report null rows, not a guess")
+    // the change feed refuses to cross the mutation
+    intercept[IllegalStateException] {
+      ManifestTable.readChanges(spark, dir, 0, 1)
+    }
+
+    // RE-INSERT a deleted key in two small merges: the new rows land in
+    // files no DV targets, so file-targeted DVs keep them visible
+    // (value-keyed DVs would wrongly re-delete them)
+    val reinsert = li.filter(col("l_orderkey") === 101L)
+    val mergeKeys = Seq("l_orderkey", "l_linenumber", "l_suppkey")
+    ManifestTable.merge(spark, dir,
+      reinsert.filter(col("l_linenumber") % 2 === 0), mergeKeys)
+    ManifestTable.merge(spark, dir, reinsert, mergeKeys)
+    val back = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey") === 101L).count()
+    assert(back == reinsert.count(), s"re-inserted key must be visible, saw $back")
+    val expected = before - doomedRows + back
+
+    // PARTIAL rewrite: only the two tiny re-insert files are under the
+    // size threshold — the original (DV-targeted) files stay, so the
+    // markers must carry forward; content invariant either way
+    ManifestTable.optimize(spark, dir, numFiles = 1,
+      statsCols = Seq("l_orderkey"), smallFileBytes = 8192)
+    val vO = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvLines(dir, vO).nonEmpty,
+      "a rewrite that keeps targeted files must carry their DV markers")
+    assert(ManifestTable.read(spark, dir).count() == expected)
+
+    // FULL compaction materializes: markers gone, content invariant
+    ManifestTable.compact(spark, dir, numFiles = 2)
+    val vC = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvLines(dir, vC).isEmpty,
+      "a full rewrite must materialize the delete and drop the DV markers")
+    assert(ManifestTable.read(spark, dir).count() == expected)
+    assert(ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey") === 777L).count() == 0)
+  }
+
+  test("deletion vectors: clone carries them; restore republishes them") {
+    val base = freshDir("dvclone")
+    val (src, dst) = (s"$base/src", s"$base/c")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, src, li, Seq("l_orderkey"))
+    assert(ManifestTable.commit(src, staged, -1))
+    val v1 = ManifestTable.deleteKeysMOR(spark, src, "l_orderkey", Seq(101L))
+    val afterDelete = ManifestTable.read(spark, src).count()
+    // clone of a DV-bearing snapshot sees the post-delete state
+    ManifestTable.cloneTable(src, dst)
+    assert(ManifestTable.read(spark, dst).count() == afterDelete)
+    assert(ManifestTable.read(spark, dst)
+      .filter(col("l_orderkey") === 101L).count() == 0)
+    // restore to the DV version republishes the markers with the lines
+    ManifestTable.deleteKeysMOR(spark, src, "l_orderkey", Seq(777L))
+    val vR = ManifestTable.restore(src, v1)
+    assert(ManifestTable.dvLines(src, vR).nonEmpty)
+    assert(ManifestTable.read(spark, src).count() == afterDelete)
+  }
+
   test("chaos: sink crash after staging before CAS — checkpoint restart is exactly-once") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
