@@ -49,5 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.EditDistance.kOf(exprs(2)))))
     // band-join rewrite (inert until spark.graft.bandJoin.width is set)
     e.injectOptimizerRule(_ => plans.BandJoinRule)
+    // materialized-view auto-rewrite (inert until a view registers)
+    e.injectOptimizerRule(_ => plans.MvRewriteRule)
   }
 }

@@ -497,7 +497,52 @@ object ScaleOps {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1""".stripMargin
 
+  /** The MV definition shared by the materialization, the registration,
+    * and the "user query" — per-status order counts and exact revenue. */
+  private[graft] def mvDefinition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("revenue_d"))
+  }
+
+  /** Materialized-view AUTO-REWRITE (`plans.MvRewriteRule`): the per-status
+    * revenue aggregate is materialized once, registered, and the query then
+    * runs the ORIGINAL aggregate over orders — the optimizer substitutes
+    * the |status|-row materialization for the fact scan (spec-asserted: the
+    * rewritten plan reads the MV path and not orders.parquet; a stale
+    * freshness gate falls back to the base plan). At 100 TB this is the
+    * serving layer for every dashboard aggregate: the fact table is
+    * scanned once per refresh, not once per query. Oracle = the aggregate
+    * restated over the BASE table — the rewrite must be answer-invariant. */
+  def mvRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewriteRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewriteRule
+    val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_mv_" +
+      java.lang.ProcessHandle.current().pid()
+    // deregister BEFORE refreshing: with the view still registered, the
+    // refresh's own defining query would be rewritten to read the very
+    // path it is about to overwrite
+    graft.plans.MvRewriteRule.unregister("orders_by_status")
+    mvDefinition(s, dir).write.mode("overwrite").parquet(mvPath) // REFRESH
+    graft.plans.MvRewriteRule.register("orders_by_status",
+      mvDefinition(s, dir), () => s.read.parquet(mvPath))
+    // the "user query": the SAME aggregate, written against the BASE table
+    mvDefinition(s, dir)
+      .select($"o_orderstatus", $"n_orders",
+        $"revenue_d".cast("double").as("revenue"))
+  }
+
+  private val mvRewriteSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_rewrite" -> ((s, d) => mvRewrite(s, d)),
     "q_runtime_filter" -> ((s, d) => runtimeFilterJoin(s, d)),
     "q_sketch_union" -> ((s, d) => sketchUnion(s, d)),
     "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
@@ -514,6 +559,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mv_rewrite" -> mvRewriteSql,
     "q_runtime_filter" -> runtimeFilterJoinSql,
     "q_sketch_union" -> sketchUnionSql,
     "q_cms_freq" -> cmsFreqSql,

@@ -238,4 +238,42 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(math.abs(b.mean_b - r.mean_b) < 1e-6)
     }
   }
+
+  test("mv rewrite: fresh view serves the materialization, stale falls back, answers equal") {
+    import plans.MvRewriteRule
+    try {
+      // the query path itself: materialize + register + the "user query"
+      val out = operators.ScaleOps.mvRewrite(spark, sf)
+      val phys = out.queryExecution.executedPlan.toString
+      assert(phys.contains("graft_mv_"),
+        "fresh registered view must be served from the materialization")
+      assert(!phys.contains("orders.parquet"),
+        "the rewritten plan must not touch the base table")
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // base truth with no view registered: same query, base scan
+      MvRewriteRule.clear()
+      val base = operators.ScaleOps.mvDefinition(spark, sf)
+        .select(col("o_orderstatus"), col("n_orders"),
+          col("revenue_d").cast("double").as("revenue"))
+      assert(base.queryExecution.executedPlan.toString.contains("orders.parquet"))
+      val want = base.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty,
+        "the rewrite must be answer-invariant")
+      // a STALE view must decline — correctness beats speed
+      MvRewriteRule.register("orders_by_status",
+        operators.ScaleOps.mvDefinition(spark, sf),
+        () => spark.emptyDataFrame, fresh = () => false)
+      val stale = operators.ScaleOps.mvDefinition(spark, sf)
+      assert(stale.queryExecution.executedPlan.toString.contains("orders.parquet"),
+        "a stale view must fall back to the base plan")
+      // different table, same shape: must NOT cross-match (path in the key)
+      val otherDef = Tables.customer(spark, sf).groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      assert(MvRewriteRule.planKey(otherDef.queryExecution.optimizedPlan) !=
+        MvRewriteRule.planKey(
+          operators.ScaleOps.mvDefinition(spark, sf).queryExecution.optimizedPlan))
+    } finally MvRewriteRule.clear()
+  }
 }
