@@ -193,6 +193,73 @@ object CurationOps {
       .select($"doc_id", round(score, 6).as("bm25"))
   }
 
+  /** INVERTED-INDEX-served BM25 — the same ranking as [[bm25Search]], but
+    * answered from a persisted index instead of a corpus scan. The index
+    * is the classic IR layout, Spark-shaped:
+    *
+    *  - `postings/`: one row per (term, doc) with the term frequency AND
+    *    the document length denormalized in (search engines store norms in
+    *    the posting for exactly this reason — scoring then never joins a
+    *    doc table), PARTITIONED by `p = pmod(xxhash64(term), 64)` so a
+    *    query's terms prune to their hash buckets at the directory level,
+    *    with `term IN (...)` pushed into the parquet scan below that;
+    *  - `docmeta/`: (doc_id, dl) — only for the global constants
+    *    (n_docs, avgdl), a 2-column aggregate, broadcast as one row.
+    *
+    * Per-query cost is ∝ postings of the QUERY terms (bucket-pruned,
+    * predicate-pushed), not corpus size — the build pays one explode +
+    * one (term, doc) aggregate, amortized over every search after it.
+    * df(term) comes from the pruned postings themselves (one tiny
+    * aggregate, broadcast back on term). Scoring is term-contribution
+    * summation per doc — identical arithmetic to the scan path, so the
+    * oracle is [[bm25Sql]] VERBATIM: the index may change the plan, never
+    * the answer. */
+  def bm25IndexSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_invidx_" +
+      java.lang.ProcessHandle.current().pid()
+    // BUILD (the amortized step; rebuilt per run because the fixture may
+    // have changed — a production index lives in a manifest table)
+    val docs = Tables.documentsSpread(s, dir)
+      .select($"doc_id", toks(lower($"text")).as("t"))
+      .withColumn("dl", size($"t").cast("double"))
+    docs.select($"doc_id", $"dl", explode($"t").as("term"))
+      .groupBy($"term", $"doc_id", $"dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("p", pmod(xxhash64($"term"), lit(64)))
+      .write.mode("overwrite").partitionBy("p").parquet(s"$root/postings")
+    docs.select($"doc_id", $"dl")
+      .write.mode("overwrite").parquet(s"$root/docmeta")
+
+    // QUERY: prune to the terms' hash buckets at the directory level
+    // (PartitionFilters on p), push `term IN` into the surviving files
+    val post = s.read.parquet(s"$root/postings")
+      .filter($"p".isin(Bm25Terms.map(pmodHash64(_).toInt).distinct: _*))
+      .filter($"term".isin(Bm25Terms: _*))
+    val stats = s.read.parquet(s"$root/docmeta")
+      .agg(count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl"))
+    val dfs = post.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    val avgdl = $"sum_dl" / $"n_docs"
+    val idf = log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5))
+    val contrib = idf * ($"tf" * lit(K1 + 1.0)) /
+      ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / avgdl))
+    post
+      .join(broadcast(dfs), "term")
+      .join(broadcast(stats))
+      .withColumn("c", contrib)
+      .groupBy($"doc_id")
+      .agg(round(sum($"c"), 6).as("bm25"))
+  }
+
+  /** The partition value `pmod(xxhash64(term), 64)` for a literal term —
+    * computed through the engine's own expression so the query-side bucket
+    * list can never drift from what the writer computed. */
+  private def pmodHash64(term: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    Pmod(new XxHash64(Seq(Literal(term))), Literal(64L)).eval(null)
+      .asInstanceOf[Long]
+  }
+
   private[operators] val bm25Sql = {
     val terms = Bm25Terms
     val dfSelects = terms.map(t =>
@@ -1235,6 +1302,7 @@ object CurationOps {
     "q_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
     "q_stream_decontaminate" -> ((s, d) => streamingDecontaminate(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
+    "q_bm25_index" -> ((s, d) => bm25IndexSearch(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
     "q_dedup_keep_best" -> ((s, d) => dedupKeepBest(s, d)),
@@ -1264,6 +1332,8 @@ object CurationOps {
     "q_bloom_decontaminate" -> decontaminateSql,
     "q_stream_decontaminate" -> decontaminateSql,
     "q_bm25_search" -> bm25Sql,
+    // the index path must return the scan path's ranking EXACTLY
+    "q_bm25_index" -> bm25Sql,
     "q_dedup_clusters" -> dedupClustersSql,
     // one algorithm validates the other: same labeling, same oracle
     "q_dedup_clusters_star" -> dedupClustersSql,

@@ -61,6 +61,25 @@ class CurationSpec extends AnyFunSuite {
     assert(ids == withTerm)
   }
 
+  test("bm25 index: bucket-pruned, term-pushed postings scan equals the corpus-scan ranking") {
+    val idx = operators.CurationOps.bm25IndexSearch(spark, sf)
+    val plan = idx.queryExecution.executedPlan.toString
+    // the postings scan must prune at the directory level (partition
+    // filter on the term-hash bucket) AND push the term predicate into
+    // the surviving files — per-query cost ∝ the query terms' postings
+    assert(plan.contains("PartitionFilters: [") && plan.contains("p#"),
+      "postings scan must carry a partition filter on the hash bucket")
+    assert(plan.contains("In(term") || plan.contains("in(term"),
+      "term membership must be pushed into the parquet scan")
+    // identical ranking to the corpus scan, bit-for-bit at 6 dp
+    val got = idx.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val want = operators.CurationOps.bm25Search(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(got == want && got.nonEmpty,
+      "the index path must never change the answer")
+  }
+
   test("dedup clusters: labels are component minima and respect the pair graph") {
     import spark.implicits._
     val labels = operators.CurationOps.dedupClusters(spark, sf).collect()
