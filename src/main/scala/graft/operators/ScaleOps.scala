@@ -541,8 +541,85 @@ object ScaleOps {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** MV auto-rewrite × INCREMENTAL maintenance × the manifest CDC feed —
+    * the full serving loop a warehouse runs:
+    *
+    *  1. the base is a MANIFEST table; the view materializes once and
+    *     registers against the v0 snapshot;
+    *  2. a delta commit lands. Freshness needs no clock and no flag: the
+    *     rule's match key embeds the SCANNED FILE PATHS, and the v1
+    *     snapshot resolves a different file list — the stale view simply
+    *     stops matching and queries fall back to the base plan (correct,
+    *     slower) until the refresh catches up;
+    *  3. the refresh is INCREMENTAL: only the delta files (readChanges —
+    *     O(new data), never a re-scan) aggregate, and their partials merge
+    *     into the stored view by commutative-monoid addition (count +
+    *     exact decimal sum — the q_incremental_agg decomposition), written
+    *     as a NEW immutable materialization generation;
+    *  4. re-registration binds the view to the v1 snapshot and queries
+    *     serve from the refreshed materialization again.
+    *
+    * The registered query returns the final served aggregate; the oracle
+    * is the FULL recompute over the base table, so a green hash proves
+    * rewrite-invariance AND incremental-merge correctness in one check.
+    * The spec walks the plan at each step (served → fallback → served). */
+  def mvIncremental(s: SparkSession, dir: String): DataFrame =
+    mvIncrementalSteps(s, dir)._3
+
+  /** (plan-inspectable frames for the spec: served@v0, fallback@v1-stale,
+    * served@v1-refreshed). */
+  private[graft] def mvIncrementalSteps(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    import graft.plans.MvRewriteRule
+    if (!s.experimental.extraOptimizations.contains(MvRewriteRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewriteRule
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mvinc_" +
+      java.lang.ProcessHandle.current().pid()
+    val (tbl, mv0, mv1) = (s"$root/base", s"$root/mv/r0", s"$root/mv/r1")
+    ManifestTable.destroy(root)
+    val o = Tables.orders(s, dir)
+    ManifestTable.merge(s, tbl, o.filter($"o_orderkey" % 3 =!= 0),
+      Seq("o_orderkey"))
+    val sumType = org.apache.spark.sql.types.DecimalType(28, 2)
+    def defn = ManifestTable.read(s, tbl)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("revenue_d"))
+    def served = defn.select($"o_orderstatus", $"n_orders",
+      $"revenue_d".cast("double").as("revenue"))
+    MvRewriteRule.unregister("orders_mv_inc")
+    defn.write.mode("overwrite").parquet(mv0) // full materialization @ v0
+    MvRewriteRule.register("orders_mv_inc", defn, () => s.read.parquet(mv0))
+    val atV0 = served
+    atV0.queryExecution.executedPlan // pin the plan WHILE the v0 view serves
+    // the delta lands: the registered key no longer matches v1's files
+    ManifestTable.merge(s, tbl, o, Seq("o_orderkey"))
+    val stale = served
+    stale.queryExecution.executedPlan // pin the fallback plan pre-refresh
+    // INCREMENTAL refresh: aggregate ONLY the delta, merge monoid partials
+    val delta = ManifestTable.readChanges(s, tbl, 0, 1)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("d_n"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("d_rev"))
+    s.read.parquet(mv0)
+      .join(delta, Seq("o_orderstatus"), "full_outer")
+      .select($"o_orderstatus",
+        (coalesce($"n_orders", lit(0L)) + coalesce($"d_n", lit(0L)))
+          .as("n_orders"),
+        (coalesce($"revenue_d", lit(0).cast(sumType)) +
+          coalesce($"d_rev", lit(0).cast(sumType))).cast(sumType)
+          .as("revenue_d"))
+      .write.mode("overwrite").parquet(mv1) // next immutable generation
+    MvRewriteRule.register("orders_mv_inc", defn, () => s.read.parquet(mv1))
+    (atV0, stale, served)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mv_rewrite" -> ((s, d) => mvRewrite(s, d)),
+    "q_mv_incremental" -> ((s, d) => mvIncremental(s, d)),
     "q_runtime_filter" -> ((s, d) => runtimeFilterJoin(s, d)),
     "q_sketch_union" -> ((s, d) => sketchUnion(s, d)),
     "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
@@ -560,6 +637,9 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "q_mv_rewrite" -> mvRewriteSql,
+    // full recompute over the base: one hash proves rewrite-invariance AND
+    // incremental-merge correctness
+    "q_mv_incremental" -> mvRewriteSql,
     "q_runtime_filter" -> runtimeFilterJoinSql,
     "q_sketch_union" -> sketchUnionSql,
     "q_cms_freq" -> cmsFreqSql,

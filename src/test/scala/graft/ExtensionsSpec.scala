@@ -276,4 +276,29 @@ class ExtensionsSpec extends AnyFunSuite {
           operators.ScaleOps.mvDefinition(spark, sf).queryExecution.optimizedPlan))
     } finally MvRewriteRule.clear()
   }
+
+  test("mv incremental: serve, stale path-key fallback, refreshed serve, exact answer") {
+    import plans.MvRewriteRule
+    try {
+      val (atV0, stale, refreshed) = operators.ScaleOps.mvIncrementalSteps(spark, sf)
+      assert(atV0.queryExecution.executedPlan.toString.contains("/mv/r0"),
+        "the v0 query must be served from the materialization")
+      val stalePlan = stale.queryExecution.executedPlan.toString
+      assert(!stalePlan.contains("/mv/r"),
+        "after the delta commit the stale view must stop matching")
+      assert(stalePlan.contains("/base/data"),
+        "the fallback must scan the base snapshot")
+      assert(refreshed.queryExecution.executedPlan.toString.contains("/mv/r1"),
+        "after the incremental refresh the view must serve again")
+      // the served answer equals the full recompute over the base table
+      val got = refreshed.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      MvRewriteRule.clear()
+      val want = Tables.orders(spark, sf).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally MvRewriteRule.clear()
+  }
 }
