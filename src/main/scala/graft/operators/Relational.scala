@@ -514,6 +514,31 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // MERGE-ON-READ UPSERT (WHEN MATCHED UPDATE / NOT MATCHED INSERT, the
+    // Hudi shape): the batch replaces every existing row sharing its key —
+    // implemented as delete+insert in ONE mutate commit (batch keys DV the
+    // stats-admitted old files; the batch appends as untargeted new
+    // files). Write cost ∝ batch; nothing rewrites until compaction.
+    // Oracle = the CASE restatement over the base table (the batch here is
+    // the doomed orders' rows with quantity bumped, so replacement ≡ a
+    // conditional column rewrite the oracle can state exactly).
+    "q_mor_upsert" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_mor_ups_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartitionByRange(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, li, statsCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      val batch = Tables.lineitem(s, d)
+        .filter(col("l_orderkey").isin(101L, 777L, 1402L))
+        .withColumn("l_quantity", col("l_quantity") + lit(100.0))
+      graft.sources.ManifestTable.upsertMOR(s, tbl, batch, "l_orderkey")
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     // Copy-on-write UPDATE — the third DML leg beside ACID MERGE and the
     // targeted delete: same stat-pruned rewrite (only key-holding files
     // touched), matching rows get the assignment applied against their OLD
@@ -1185,6 +1210,13 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 GROUP BY 1""".stripMargin,
+    // upsert-as-replacement ≡ the conditional rewrite, row counts intact
+    "q_mor_upsert" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(CASE WHEN l_orderkey IN (101, 777, 1402)
+        |                          THEN l_quantity + 100.0 ELSE l_quantity END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // merge-on-read must answer IDENTICALLY to the copy-on-write delete
     "q_merge_on_read" ->
       """SELECT l_returnflag, count(*) AS n,

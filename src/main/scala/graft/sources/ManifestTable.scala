@@ -884,6 +884,44 @@ object ManifestTable {
     throw new IllegalStateException(s"MOR delete lost $maxRetries races in $dir")
   }
 
+  /** MERGE-ON-READ UPSERT (MERGE WHEN MATCHED THEN UPDATE, WHEN NOT
+    * MATCHED THEN INSERT) — the Hudi merge-on-read shape: every batch row
+    * REPLACES any existing row with its `col` key. Implemented as
+    * delete+insert in ONE commit: the batch's distinct keys stage as DV
+    * files targeting the stats-admitted existing files (old versions
+    * become invisible), the batch itself stages as ordinary data files
+    * (which no DV targets — they ARE the new versions), and one `#mutate`
+    * CAS publishes both. Write cost ∝ batch size; nothing existing is
+    * rewritten; compaction later materializes. Batch keys must be unique
+    * (the upsert contract — two same-key batch rows would both insert).
+    * Returns the new version. */
+  def upsertMOR(s: SparkSession, dir: String, batch: DataFrame,
+      col: String, maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.{col => c, min => fmin, max => fmax}
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to upsert into in $dir")
+      // target = files whose recorded range intersects the batch key span
+      // (1-row bound collect; no key list reaches the driver)
+      val span = batch.agg(fmin(c(col)), fmax(c(col))).head()
+      if (span.isNullAt(0)) return v // empty batch: idempotent no-op
+      val (lo, hi) = (BigDecimal(span.getLong(0)), BigDecimal(span.getLong(1)))
+      val affected = listLines(dir, v).map(parseEntry)
+        .filter(_.ranges.get(col).forall(r => r.max >= lo && r.min <= hi))
+        .map(_.name).toSet
+      val dvFiles = stage(s, dir, batch.select(c(col)).distinct())
+      val dataFiles = stageWithStats(s, dir, batch, Seq(col))
+      val markers =
+        if (affected.isEmpty) Seq.empty // pure insert: nothing to doom
+        else dvFiles.map(f => encodeDv(DvEntry(f, col, affected)))
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++ dataFiles ++ markers
+      if (commitMutate(dir, body, v)) return v + 1
+      attempt += 1 // lost the race; staged files stay harmless orphans
+    }
+    throw new IllegalStateException(s"MOR upsert lost $maxRetries races in $dir")
+  }
+
   /** Metadata-only pruning for `col IN keys` using both stat kinds: a file
     * survives only if SOME key is inside its recorded range AND admitted by
     * its Bloom index; either stat absent → that test passes (degrade to

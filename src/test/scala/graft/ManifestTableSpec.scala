@@ -1015,6 +1015,53 @@ class ManifestTableSpec extends AnyFunSuite {
       .filter(col("l_orderkey") === 777L).count() == 0)
   }
 
+  test("MOR upsert: replaces matched keys, inserts new, sequential upserts compose, compaction materializes") {
+    import java.nio.file.{Files => F, Paths => P}
+    val dir = freshDir("morups")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li, Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val before = ManifestTable.read(spark, dir).count()
+    val dataBefore = F.list(P.get(dir, "data")).count()
+    // upsert 1: replace key 101's rows with quantity+100
+    val b1 = li.filter(col("l_orderkey") === 101L)
+      .withColumn("l_quantity", col("l_quantity") + lit(100.0))
+    ManifestTable.upsertMOR(spark, dir, b1, "l_orderkey")
+    val after1 = ManifestTable.read(spark, dir)
+    assert(after1.count() == before, "replacement must not change row count")
+    assert(after1.filter(col("l_orderkey") === 101L && col("l_quantity") <= 100.0)
+      .count() == 0, "old versions of the matched key must be invisible")
+    // nothing rewritten: only the DV + batch files appeared
+    assert(F.list(P.get(dir, "data")).count() > dataBefore)
+    assert(ManifestTable.listFiles(dir, 0).toSet.subsetOf(
+      ManifestTable.listFiles(dir, 1).toSet))
+    // upsert 2 on the SAME key replaces upsert 1's version (its batch file
+    // is range-admitted and gets DV'd like any other)
+    val b2 = li.filter(col("l_orderkey") === 101L)
+      .withColumn("l_quantity", col("l_quantity") + lit(500.0))
+    ManifestTable.upsertMOR(spark, dir, b2, "l_orderkey")
+    val q101 = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey") === 101L).select(col("l_quantity"))
+      .collect().map(_.getDouble(0))
+    assert(q101.nonEmpty && q101.forall(_ > 500.0),
+      "the second upsert must win over the first")
+    assert(ManifestTable.read(spark, dir).count() == before)
+    // upsert of a BRAND-NEW key is a pure insert
+    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val b3 = li.filter(col("l_orderkey") === 101L)
+      .withColumn("l_orderkey", lit(maxKey + 1000L))
+    ManifestTable.upsertMOR(spark, dir, b3, "l_orderkey")
+    assert(ManifestTable.read(spark, dir).count() == before + b3.count())
+    // compaction materializes the whole chain; answer invariant
+    val totalBefore = ManifestTable.read(spark, dir)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))).head().getDecimal(0)
+    ManifestTable.compact(spark, dir, numFiles = 2)
+    assert(ManifestTable.dvLines(dir, ManifestTable.currentVersion(dir)).isEmpty)
+    assert(ManifestTable.read(spark, dir)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))).head()
+      .getDecimal(0) == totalBefore)
+  }
+
   test("deletion vectors: clone carries them; restore republishes them") {
     val base = freshDir("dvclone")
     val (src, dst) = (s"$base/src", s"$base/c")
