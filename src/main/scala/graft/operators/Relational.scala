@@ -514,6 +514,31 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // Schema evolution: RENAME COLUMN as carried metadata (column-mapping)
+    // on immutable files — the rename publishes as a marker commit, later
+    // merges write the NEW name, and the read path reconciles generations
+    // (merge-schema scan + coalesce old into new). Oracle restates the
+    // aggregate over the base table under the ORIGINAL name: evolution
+    // must never change the data, only its label.
+    "q_schema_rename" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_rename_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      val staged = graft.sources.ManifestTable.stage(
+        s, tbl, p.filter(col("p_partkey") % 2 === 0))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      graft.sources.ManifestTable.renameColumn(tbl, "p_retailprice", "price")
+      graft.sources.ManifestTable.merge(s, tbl,
+        p.filter(col("p_partkey") % 2 === 1)
+          .withColumnRenamed("p_retailprice", "price"),
+        Seq("p_partkey"))
+      graft.sources.ManifestTable.read(s, tbl)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
     // MERGE-ON-READ UPSERT (WHEN MATCHED UPDATE / NOT MATCHED INSERT, the
     // Hudi shape): the batch replaces every existing row sharing its key —
     // implemented as delete+insert in ONE mutate commit (batch keys DV the
@@ -1210,6 +1235,11 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 GROUP BY 1""".stripMargin,
+    // the rename must relabel, never change, the data
+    "q_schema_rename" ->
+      """SELECT p_brand, count(*) AS n,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY 1""".stripMargin,
     // upsert-as-replacement ≡ the conditional rewrite, row counts intact
     "q_mor_upsert" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -210,7 +210,11 @@ object ManifestTable {
   def readVersion(s: SparkSession, dir: String, v: Int): DataFrame = {
     require(v >= 0 && Files.exists(manifestPath(dir, v)),
       s"no committed snapshot v$v in $dir")
-    if (dvLines(dir, v).nonEmpty) readWithDvs(s, dir, v, listFiles(dir, v))
+    val rns = renames(dir, v)
+    if (rns.nonEmpty) // rename markers ⟹ no DVs (commit-time invariant)
+      applyRenames(s.read.option("mergeSchema", "true")
+        .parquet(listFiles(dir, v).map(dataPath(dir, _)): _*), rns)
+    else if (dvLines(dir, v).nonEmpty) readWithDvs(s, dir, v, listFiles(dir, v))
     else s.read.parquet(listFiles(dir, v).map(dataPath(dir, _)): _*)
   }
 
@@ -315,7 +319,7 @@ object ManifestTable {
   def restore(dir: String, v: Int, maxRetries: Int = 10): Int = {
     require(v >= 0 && Files.exists(manifestPath(dir, v)),
       s"no committed snapshot v$v in $dir (vacuumed?)")
-    val lines = listLines(dir, v) ++ dvLines(dir, v)
+    val lines = listLines(dir, v) ++ dvLines(dir, v) ++ renameLines(dir, v)
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = currentVersion(dir)
@@ -349,7 +353,8 @@ object ManifestTable {
     // source by absolute path, same as the data references
     val dvs = dvEntries(srcDir, v).map(e =>
       encodeDv(DvEntry(abs(e.file), e.col, e.targets.map(abs))))
-    require(commit(dstDir, lines ++ dvs, -1), s"clone target $dstDir is not empty")
+    require(commit(dstDir, lines ++ dvs ++ renameLines(srcDir, v), -1),
+      s"clone target $dstDir is not empty")
     // register the clone AT THE SOURCE (unique marker file — no write
     // race) so the source's vacuum knows external readers reference its
     // data files; see [[vacuum]]'s clone horizon
@@ -866,6 +871,8 @@ object ManifestTable {
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to delete from in $dir")
+      require(renameLines(dir, v).isEmpty,
+        "MOR delete under a pending rename is refused — compact first")
       val entries = listLines(dir, v).map(parseEntry)
       val affected = entries.filter { e =>
         e.ranges.get(col).forall(r =>
@@ -883,6 +890,67 @@ object ManifestTable {
     }
     throw new IllegalStateException(s"MOR delete lost $maxRetries races in $dir")
   }
+
+  // ---------------------------------------------------------------------
+  // Schema evolution: RENAME COLUMN as carried metadata (the column-
+  // mapping idea Delta/Iceberg use, reduced to name→name lines). Data
+  // files are immutable, so a rename can't touch them; instead a
+  // `#rename\tfrom\tto` marker publishes in the commit log and the read
+  // path reconciles generations: a merge-schema scan surfaces BOTH names
+  // (old files carry `from`, post-rename files carry `to`) and the reader
+  // coalesces them into `to`. ADD COLUMN needs no metadata at all — the
+  // merge-schema scan nulls it for pre-addition files. Renames carry
+  // forward like DV markers; a full rewrite (compact) reads through the
+  // evolved view and MATERIALIZES the rename, dropping the marker.
+  // Renames and deletion vectors refuse to MIX (either direction) — the
+  // interaction matrix is where evolution bugs live, and compacting first
+  // is always available.
+  // ---------------------------------------------------------------------
+
+  private val RenamePrefix = "#rename\t"
+
+  def renameLines(dir: String, v: Int): Seq[String] = {
+    if (v < 0) return Seq.empty
+    new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.startsWith(RenamePrefix)).toSeq
+  }
+
+  /** (from, to) renames of version `v`, in application order. */
+  def renames(dir: String, v: Int): Seq[(String, String)] =
+    renameLines(dir, v).map { l =>
+      val p = l.split('\t'); (p(1), p(2))
+    }
+
+  /** Publish a column rename as a metadata-only `#mutate` commit (schema
+    * changes are inexpressible in an append-only feed — consumers
+    * re-bootstrap, the delete/update honesty contract). */
+  def renameColumn(dir: String, from: String, to: String,
+      maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to rename in $dir")
+      require(dvLines(dir, v).isEmpty,
+        "rename under deletion vectors is refused — compact first")
+      val body = listLines(dir, v) ++ renameLines(dir, v) :+
+        s"#rename\t$from\t$to"
+      if (commitMutate(dir, body, v)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"rename lost $maxRetries races in $dir")
+  }
+
+  /** Reconcile a cross-generation scan with the rename chain: coalesce
+    * old-name columns into their new names, in marker order. */
+  private def applyRenames(df: DataFrame,
+      rns: Seq[(String, String)]): DataFrame =
+    rns.foldLeft(df) { case (d, (from, to)) =>
+      val cols = d.columns.toSet
+      if (cols.contains(from) && cols.contains(to))
+        d.withColumn(to, coalesce(col(to), col(from))).drop(from)
+      else if (cols.contains(from)) d.withColumnRenamed(from, to)
+      else d
+    }
 
   /** MERGE-ON-READ UPSERT (MERGE WHEN MATCHED THEN UPDATE, WHEN NOT
     * MATCHED THEN INSERT) — the Hudi merge-on-read shape: every batch row
@@ -902,6 +970,8 @@ object ManifestTable {
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to upsert into in $dir")
+      require(renameLines(dir, v).isEmpty,
+        "MOR upsert under a pending rename is refused — compact first")
       // target = files whose recorded range intersects the batch key span
       // (1-row bound collect; no key list reaches the driver)
       val span = batch.agg(fmin(c(col)), fmax(c(col))).head()
@@ -975,6 +1045,8 @@ object ManifestTable {
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to delete from in $dir")
+      require(renameLines(dir, v).isEmpty,
+        "copy-on-write delete under a pending rename is refused — compact first")
       val entries = listLines(dir, v).map(parseEntry)
       val affected = entries.filter { e =>
         e.ranges.get(col).forall(r =>
@@ -1019,6 +1091,8 @@ object ManifestTable {
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to update in $dir")
+      require(renameLines(dir, v).isEmpty,
+        "copy-on-write update under a pending rename is refused — compact first")
       val entries = listLines(dir, v).map(parseEntry)
       val affected = entries.filter { e =>
         e.ranges.get(col).forall(r =>
@@ -1103,6 +1177,8 @@ object ManifestTable {
   def stageAudit(s: SparkSession, dir: String, batch: DataFrame,
       tag: String, statsCols: Seq[String] = Nil): Unit = {
     val v = currentVersion(dir)
+    require(renameLines(dir, v).isEmpty,
+      "write-audit-publish under a pending rename is refused — compact first")
     val staged =
       if (statsCols.nonEmpty) stageWithStats(s, dir, batch, statsCols)
       else stage(s, dir, batch)
@@ -1271,8 +1347,16 @@ object ManifestTable {
       if (small.size < 2 && zorderBy.isEmpty) return v
       if (small.isEmpty) return v
       // DV-aware read MATERIALIZES deletes into the rewritten files; the
-      // untouched big files keep their (intersected) markers below
-      val df = readWithDvs(s, dir, v, small.map(_.split('\t').head))
+      // untouched big files keep their (intersected) markers below. Under
+      // a rename chain (no DVs then, by invariant) the rewrite reads the
+      // EVOLVED view, so rewritten files carry the new names while the
+      // carried markers keep reconciling the untouched old ones.
+      val rns = renames(dir, v)
+      val df =
+        if (rns.nonEmpty)
+          applyRenames(s.read.option("mergeSchema", "true").parquet(
+            small.map(l => dataPath(dir, l.split('\t').head)): _*), rns)
+        else readWithDvs(s, dir, v, small.map(_.split('\t').head))
       val laid = zorderBy match {
         case Seq(a, b) =>
           df.withColumn("__zkey",
@@ -1284,7 +1368,8 @@ object ManifestTable {
       val staged =
         if (statsCols.nonEmpty) stageWithStats(s, dir, laid, statsCols)
         else stage(s, dir, laid)
-      val carried = carriedDvLines(dir, v, big.map(_.split('\t').head).toSet)
+      val carried = carriedDvLines(dir, v, big.map(_.split('\t').head).toSet) ++
+        (if (big.isEmpty) Seq.empty else renameLines(dir, v))
       if (commitRewrite(dir, big ++ staged ++ carried, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
@@ -1325,9 +1410,11 @@ object ManifestTable {
         if (skipEmptyDelta && fresh.isEmpty) Seq.empty[String]
         else stage(s, dir, fresh)
       if (staged.isEmpty && skipEmptyDelta) return v // idempotent no-op
-      // deletion-vector markers ride along: the kept data files are
-      // unchanged, so every DV still targets exactly what it did
-      if (commit(dir, existing ++ staged ++ dvLines(dir, v), v)) return v + 1
+      // DV and rename markers ride along: the kept data files are
+      // unchanged, so every DV still targets exactly what it did, and the
+      // rename chain keeps reconciling the older generations
+      if (commit(dir, existing ++ staged ++ dvLines(dir, v) ++
+          renameLines(dir, v), v)) return v + 1
       // lost the race: the staged files stay harmless orphans; re-reconcile
       attempt += 1
     }

@@ -1062,6 +1062,59 @@ class ManifestTableSpec extends AnyFunSuite {
       .getDecimal(0) == totalBefore)
   }
 
+  test("rename column: generations reconcile, add-column nulls, compact materializes, DML refuses") {
+    val dir = freshDir("ren")
+    val p = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    val gen0 = p.filter(col("p_partkey") % 2 === 0)
+    assert(ManifestTable.commit(dir, ManifestTable.stage(spark, dir, gen0), -1))
+    ManifestTable.renameColumn(dir, "p_retailprice", "price")
+    // pre-rename files read back under the NEW name
+    assert(ManifestTable.read(spark, dir).columns.toSet ==
+      Set("p_partkey", "p_brand", "price"))
+    // post-rename generation merges under the new name, PLUS an added
+    // column the old generation never had
+    val gen1 = p.filter(col("p_partkey") % 2 === 1)
+      .withColumnRenamed("p_retailprice", "price")
+      .withColumn("origin", lit("imported"))
+    ManifestTable.merge(spark, dir, gen1, Seq("p_partkey"))
+    val evolved = ManifestTable.read(spark, dir)
+    assert(evolved.count() == p.count())
+    // values intact across generations; added column null for gen0
+    val sumAll = evolved.agg(sum(col("price").cast("decimal(18,2)")))
+      .head().getDecimal(0)
+    val want = p.agg(sum(col("p_retailprice").cast("decimal(18,2)")))
+      .head().getDecimal(0)
+    assert(sumAll == want)
+    assert(evolved.filter(col("origin").isNull).count() == gen0.count())
+    // chained rename still reconciles all three generations of labels
+    ManifestTable.renameColumn(dir, "price", "list_price")
+    assert(ManifestTable.read(spark, dir).columns.contains("list_price"))
+    // targeted DML refuses under a pending rename (the honest matrix)
+    intercept[IllegalArgumentException] {
+      ManifestTable.deleteKeysMOR(spark, dir, "p_partkey", Seq(2L))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.deleteKeys(spark, dir, "p_partkey", Seq(2L))
+    }
+    // clone carries the rename chain
+    val dst = freshDir("renclone")
+    ManifestTable.cloneTable(dir, dst)
+    assert(ManifestTable.read(spark, dst).columns.contains("list_price"))
+    // compact MATERIALIZES: markers gone, physical schema is the new one,
+    // content invariant — and DML works again
+    ManifestTable.compact(spark, dir, numFiles = 2)
+    val vC = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.renameLines(dir, vC).isEmpty)
+    val flat = ManifestTable.read(spark, dir)
+    assert(flat.columns.contains("list_price") && flat.count() == p.count())
+    assert(flat.agg(sum(col("list_price").cast("decimal(18,2)")))
+      .head().getDecimal(0) == want)
+    ManifestTable.deleteKeysMOR(spark, dir, "p_partkey", Seq(2L))
+    assert(ManifestTable.read(spark, dir)
+      .filter(col("p_partkey") === 2L).count() == 0)
+  }
+
   test("deletion vectors: clone carries them; restore republishes them") {
     val base = freshDir("dvclone")
     val (src, dst) = (s"$base/src", s"$base/c")
