@@ -514,6 +514,32 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // Manifest tables as FIRST-CLASS SQL OBJECTS (sources.GraftCatalog, a
+    // DSv2 TableCatalog): half the table loads via the library API, the
+    // other half arrives through a SQL `INSERT INTO` (the V1 write bridge
+    // staging + ONE atomic CAS append), and the aggregate is answered by
+    // `SELECT ... FROM graft.default.<t>` through the catalog's
+    // snapshot-pinned, column-pruned parquet-mr scan. Oracle = the same
+    // aggregate over the full base table: catalog plumbing must never
+    // change the answer.
+    "q_sql_catalog" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/li"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+      graft.sources.ManifestTable.merge(s, tbl,
+        li.filter(col("l_orderkey") % 2 === 0),
+        Seq("l_orderkey", "l_linenumber", "l_suppkey"))
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", root)
+      li.filter(col("l_orderkey") % 2 === 1).createOrReplaceTempView("li_odd")
+      s.sql("INSERT INTO graft.default.li SELECT * FROM li_odd")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft.default.li GROUP BY l_returnflag""")
+    }),
     // Schema evolution: RENAME COLUMN as carried metadata (column-mapping)
     // on immutable files — the rename publishes as a marker commit, later
     // merges write the NEW name, and the read path reconciles generations
@@ -1235,6 +1261,11 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 GROUP BY 1""".stripMargin,
+    // the catalog scan + SQL insert must together hold exactly the table
+    "q_sql_catalog" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the rename must relabel, never change, the data
     "q_schema_rename" ->
       """SELECT p_brand, count(*) AS n,

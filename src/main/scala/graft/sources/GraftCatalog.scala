@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
+  WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Manifest tables as FIRST-CLASS SQL OBJECTS — a DSv2 `TableCatalog` over
+  * a directory of manifest tables, so a SQL-only user addresses the
+  * lakehouse tier by name:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/tables")
+  *   spark.sql("SELECT l_returnflag, count(*) FROM graft.default.lineitem GROUP BY 1")
+  *   spark.sql("INSERT INTO graft.default.lineitem SELECT ...")
+  * }}}
+  *
+  * Reads resolve the CURRENT snapshot once at scan planning (snapshot
+  * isolation for the whole query — concurrent commits are invisible
+  * mid-scan) and run through the same executor-side parquet-mr reader the
+  * streaming source uses, with required-column pruning handed to the page
+  * decoder. Tables carrying deletion-vector or rename markers REFUSE the
+  * raw catalog scan (the marker-aware read lives in `ManifestTable.read`;
+  * compact first for SQL access) — refusal over a silently wrong answer.
+  *
+  * Writes use the V1 write bridge: `INSERT INTO` stages the query result
+  * as ordinary data files and publishes ONE atomic CAS append commit —
+  * exactly the manifest write path, so SQL inserts get snapshot isolation
+  * and crash safety for free; `INSERT OVERWRITE` publishes a rewrite-style
+  * commit listing only the new files. DDL: `CREATE TABLE` materializes an
+  * empty snapshot (schema recorded by the first insert's files),
+  * `DROP TABLE` destroys the directory.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.root")
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String = {
+    val ns = ident.namespace().toSeq.filterNot(_ == "default")
+    (Seq(root) ++ ns :+ ident.name()).mkString("/")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = Paths.get((root +: namespace.toSeq.filterNot(_ == "default")
+      .toList).mkString("/"))
+    if (!Files.isDirectory(base)) return Array.empty
+    Files.list(base).iterator().asScala
+      .filter(p => ManifestTable.currentVersion(p.toString) >= 0)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ManifestTable.currentVersion(dirOf(ident)) >= 0
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (ManifestTable.currentVersion(dir) < 0)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new ManifestSqlTable(ident.toString, dir)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    require(ManifestTable.currentVersion(dir) < 0,
+      s"table $ident already exists")
+    require(ManifestTable.commit(dir, Seq.empty, -1))
+    new ManifestSqlTable(ident.toString, dir)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER via SQL is not supported; use ManifestTable.renameColumn")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    val existed = ManifestTable.currentVersion(dir) >= 0
+    if (existed) ManifestTable.destroy(dir)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+}
+
+/** One manifest table surfaced to SQL: snapshot-pinned batch scan (pruned
+  * parquet-mr read) + V1-bridge atomic insert. */
+private[sources] class ManifestSqlTable(ident: String, dir: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = ident
+
+  override def schema(): StructType = {
+    val v = ManifestTable.currentVersion(dir)
+    val files = ManifestTable.listFiles(dir, v)
+    if (files.isEmpty) new StructType() // fresh CREATE TABLE, pre-insert
+    else ManifestStreamSource.toSparkSchema(
+      ManifestStreamSource.footerSchema(ManifestTable.dataPath(dir, files.head)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestSqlScanBuilder(dir, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ManifestSqlWriteBuilder(dir)
+}
+
+private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    // snapshot pinned HERE: the whole query reads one version, whatever
+    // commits land while it runs
+    val v = ManifestTable.currentVersion(dir)
+    require(ManifestTable.dvLines(dir, v).isEmpty &&
+        ManifestTable.renameLines(dir, v).isEmpty,
+      s"catalog scan of $dir refused: deletion-vector/rename markers present " +
+        "— compact first, or read via ManifestTable.read")
+    val files = ManifestTable.listFiles(dir, v)
+      .map(ManifestTable.dataPath(dir, _))
+    val requiredNow = required
+    new Scan {
+      override def readSchema(): StructType = requiredNow
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          files.map(f => ManifestFilePartition(f): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new ManifestParquetReaderFactory(requiredNow)
+      }
+    }
+  }
+}
+
+private[sources] class ManifestSqlWriteBuilder(dir: String)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit = {
+          val s = data.sparkSession
+          var attempt = 0
+          var done = false
+          while (!done && attempt < 10) {
+            val v = ManifestTable.currentVersion(dir)
+            val staged = ManifestTable.stage(s, dir, data)
+            // OVERWRITE removes rows — a mutate commit, so incremental
+            // consumers refuse to silently cross it; plain INSERT appends
+            done =
+              if (overwrite) ManifestTable.commitMutate(dir, staged, v)
+              else ManifestTable.commit(dir,
+                ManifestTable.listLines(dir, v) ++ staged ++
+                  ManifestTable.dvLines(dir, v) ++
+                  ManifestTable.renameLines(dir, v), v)
+            attempt += 1 // lost the race: re-read, re-append (orphans stay)
+          }
+          if (!done) throw new IllegalStateException(
+            s"INSERT lost 10 commit races in $dir")
+        }
+      }
+  }
+}

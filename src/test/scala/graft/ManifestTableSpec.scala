@@ -1115,6 +1115,52 @@ class ManifestTableSpec extends AnyFunSuite {
       .filter(col("p_partkey") === 2L).count() == 0)
   }
 
+  test("sql catalog: named tables, snapshot-pinned pruned scans, atomic insert, DDL, marker refusal") {
+    val root = freshDir("sqlcat")
+    val tbl = s"$root/ev"
+    val ev = Tables.events(spark, sf).limit(400)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ManifestTable.merge(spark, tbl, ev.filter(col("event_id") % 2 === 0),
+      Seq("event_id"))
+    spark.conf.set("spark.sql.catalog.gtest",
+      classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.root", root)
+    // read by name; count matches the library read
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.ev")
+      .head().getLong(0) == ManifestTable.read(spark, tbl).count())
+    // column pruning reaches the reader: only the projected column decodes
+    val pruned = spark.sql("SELECT event_type FROM gtest.default.ev")
+    assert(pruned.schema.fieldNames.toSeq == Seq("event_type"))
+    // INSERT INTO appends atomically (one new version, all rows visible)
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("ev_odd")
+    val vBefore = ManifestTable.currentVersion(tbl)
+    spark.sql("INSERT INTO gtest.default.ev SELECT * FROM ev_odd")
+    assert(ManifestTable.currentVersion(tbl) == vBefore + 1)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.ev")
+      .head().getLong(0) == ev.count())
+    // SQL agg equals the DataFrame-side agg exactly
+    val got = spark.sql(
+      """SELECT event_type, count(*) AS n FROM gtest.default.ev GROUP BY 1""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ManifestTable.read(spark, tbl).groupBy(col("event_type"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    // listTables sees it; DROP destroys it
+    assert(spark.sql("SHOW TABLES IN gtest.default").collect()
+      .map(_.getString(1)).contains("ev"))
+    // a DV-bearing table refuses the raw catalog scan (compact first)
+    ManifestTable.deleteKeysMOR(spark, tbl, "event_id", Seq(2L))
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gtest.default.ev").collect()
+    }
+    assert(e.getMessage != null)
+    ManifestTable.compact(spark, tbl, numFiles = 1)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.ev")
+      .head().getLong(0) == ev.count() - ev.filter(col("event_id") === 2L).count())
+    spark.sql("DROP TABLE gtest.default.ev")
+    assert(ManifestTable.currentVersion(tbl) < 0)
+  }
+
   test("deletion vectors: clone carries them; restore republishes them") {
     val base = freshDir("dvclone")
     val (src, dst) = (s"$base/src", s"$base/c")
