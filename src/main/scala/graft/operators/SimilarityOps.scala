@@ -197,6 +197,82 @@ object SimilarityOps {
     out
   }
 
+  /** PERSISTED vector index (IVF as tables) — the ANN index as a durable
+    * artifact instead of a per-query computation: `centroids/` (one row
+    * per cell) and `cells/` (the assignments, PARTITIONED BY cell so a
+    * probe reads only its cells' directories — the vector analog of the
+    * inverted index's bucket pruning). Query: distances to the ≤|cells|
+    * broadcast centroids pick each query's probe cells; the union of
+    * probed cells becomes a literal partition filter (bounded:
+    * queries × nProbe values); candidates re-rank exactly with the
+    * codegen cosine. With `nProbe = nCells` the probe set is total and
+    * the result EQUALS brute force — `q_vector_index` runs that mode, so
+    * the q_knn_topk oracle hash-checks all the index plumbing (build,
+    * layout, pruned read, re-rank); the spec runs partial probing and
+    * asserts the partition filter plus a recall floor, and appends new
+    * vectors to the persisted index (assignment = nearest centroid, an
+    * append-mode write — no rebuild) and finds them. At 100 TB the build
+    * amortizes over every search and probing cost is ∝ probed cells, not
+    * corpus. */
+  def vectorIndexSearch(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, nCells: Int = 16,
+      nProbe: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    VectorOps.register(s)
+    graft.functions.TopKAgg.register(s)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_vecidx_" +
+      java.lang.ProcessHandle.current().pid()
+    // BUILD: one clustering pass, assignments land partitioned by cell
+    val ev = Tables.embeddings(s, dir)
+      .withColumn("fv", array_to_vector($"embedding"))
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(ev)
+    model.transform(ev).select($"vec_id", $"embedding", $"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    vectorIndexQuery(s, root, k, nQueries, nProbe)
+  }
+
+  /** Search the PERSISTED index at `root` (no access to the corpus or the
+    * build session — everything comes from the index tables). */
+  private[graft] def vectorIndexQuery(s: SparkSession, root: String, k: Int,
+      nQueries: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$root/centroids")
+    val q = s.read.parquet(s"$root/cells")
+      .filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell")
+    val probes = q.crossJoin(broadcast(cents))
+      .select($"query_id", $"qv", $"cell",
+        VectorOps.cosineSim($"qv", $"centroid").as("csim"))
+      .withColumn("pr", row_number().over(w))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"qv", $"cell")
+      .localCheckpoint(true) // bounded: queries × nProbe rows
+    // the union of probed cells → a LITERAL partition filter on the index
+    val probedCells = probes.select($"cell").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nCells
+    val cand = s.read.parquet(s"$root/cells")
+      .filter($"cell".isin(probedCells.toIndexedSeq: _*))
+    probes
+      .join(cand.select($"cell", $"vec_id".as("cand_id"),
+        $"embedding".as("cv")), "cell")
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"), $"cand_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"cos_sim", $"cand_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("cand_id"), $"col.score".as("cos_sim"),
+        ($"pos" + 1).cast("int").as("rank"))
+  }
+
   /** Driver-side Lloyd k-means over a BOUNDED sample — the PQ codebook
     * trainer (codebooks need thousands of points, not the corpus; at this
     * size a plain Scala loop beats per-subspace MLlib fits whose job
@@ -837,6 +913,7 @@ object SimilarityOps {
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
+    "q_vector_index" -> ((s, d) => vectorIndexSearch(s, d)),
     "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q_positive_pairs" -> ((s, d) => positivePairs(s, d)),
     "q_label_noise" -> ((s, d) => labelNoise(s, d)),
@@ -850,6 +927,17 @@ object SimilarityOps {
   )
 
   private val knnOracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT query_id, cand_id, cos_sim,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+      |FROM scored
+      |QUALIFY rank <= 5""".stripMargin
+
+  private val knnTopkSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -1021,16 +1109,9 @@ object SimilarityOps {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
-    "q_knn_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
-        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |SELECT query_id, cand_id, cos_sim,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
-        |FROM scored
-        |QUALIFY rank <= 5""".stripMargin,
+    "q_knn_topk" -> knnTopkSql,
+    // total probe ⟹ the persisted index must reproduce brute force exactly
+    "q_vector_index" -> knnTopkSql,
     "q_embed_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,
         |       round(avg(embedding[i]), 6) AS avg_val

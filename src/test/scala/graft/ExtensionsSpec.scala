@@ -277,6 +277,52 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally MvRewriteRule.clear()
   }
 
+  test("vector index: partition-pruned probes, recall floor, incremental append finds new vectors") {
+    import spark.implicits._
+    // full-probe build == brute force (the oracle mode) and persists the index
+    val full = operators.SimilarityOps.vectorIndexSearch(spark, sf)
+    val fullTop = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fullTop.nonEmpty && fullTop.values.forall(_.size == 5))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_vecidx_" +
+      java.lang.ProcessHandle.current().pid()
+    // partial probing reads ONLY the probed cells' partitions
+    val part = operators.SimilarityOps.vectorIndexQuery(spark, root,
+      k = 5, nQueries = 10, nProbe = 6)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      "the candidate scan must partition-prune to the probed cells")
+    val partTop = part.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = fullTop.keys.toSeq.map { q =>
+      partTop.getOrElse(q, Set.empty).intersect(fullTop(q)).size / 5.0
+    }.sum / fullTop.size
+    assert(recall >= 0.5, f"mean recall@5 $recall%.2f below floor")
+    // INCREMENTAL add: a duplicate of query 0 appends to the persisted
+    // index (assignment = nearest centroid, append-mode write, no rebuild)
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    val q0 = Tables.embeddings(spark, sf).filter($"vec_id" === 0L)
+      .head().getSeq[Float](1).toArray
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0 else dot / (na * nb)
+    }
+    val homeCell = cents.maxBy { case (_, c) => cos(q0, c) }._1
+    val newId = 999999L
+    Seq((newId, q0, homeCell)).toDF("vec_id", "embedding", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+    val after = operators.SimilarityOps.vectorIndexQuery(spark, root,
+      k = 5, nQueries = 10, nProbe = 16).collect()
+      .filter(r => r.getLong(0) == 0L && r.getInt(3) == 1).head
+    assert(after.getLong(1) == newId && after.getDouble(2) == 1.0,
+      "the appended duplicate must be query 0's exact top-1")
+  }
+
   test("mv incremental: serve, stale path-key fallback, refreshed serve, exact answer") {
     import plans.MvRewriteRule
     try {
