@@ -131,12 +131,55 @@ private[sources] class ManifestSqlTable(ident: String, dir: String)
 }
 
 private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = full
+  private var pushedCount: Option[Long] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COUNT(*) answered from the manifest's recorded per-file row counts —
+    * zero data I/O, zero scan tasks (the catalog-served count a warehouse
+    * answers in milliseconds). Declines (full scan, still correct) when
+    * grouping/filters are present, any file lacks a recorded count, or
+    * deletion vectors make the count unknowable from metadata. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    if (!aggregation.aggregateExpressions.toSeq.forall(_.isInstanceOf[CountStar]))
+      return false
+    val v = ManifestTable.currentVersion(dir)
+    if (ManifestTable.dvLines(dir, v).nonEmpty) return false
+    val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
+    if (entries.exists(_.rows.isEmpty)) return false
+    pushedCount = Some(entries.flatMap(_.rows).sum)
+    required = StructType(aggregation.aggregateExpressions.toSeq.zipWithIndex
+      .map { case (_, i) =>
+        org.apache.spark.sql.types.StructField(s"count_$i",
+          org.apache.spark.sql.types.LongType, nullable = false) })
+    true
+  }
+
   override def build(): Scan = {
+    pushedCount.foreach { n =>
+      val requiredNow = required
+      // one generated row carrying the metadata answer; Spark's final
+      // aggregation sums the per-partition partials, so a single row with
+      // the total is exactly right
+      return new Scan {
+        override def readSchema(): StructType = requiredNow
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(MetadataCountPartition(n, requiredNow.length))
+          override def createReaderFactory(): PartitionReaderFactory =
+            MetadataCountReaderFactory
+        }
+        override def description(): String =
+          s"graft metadata count($n) — zero data I/O"
+      }
+    }
     // snapshot pinned HERE: the whole query reads one version, whatever
     // commits land while it runs
     val v = ManifestTable.currentVersion(dir)
@@ -155,6 +198,25 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType)
         override def createReaderFactory(): PartitionReaderFactory =
           new ManifestParquetReaderFactory(requiredNow)
       }
+    }
+  }
+}
+
+private[sources] case class MetadataCountPartition(count: Long, width: Int)
+    extends InputPartition
+
+private[sources] object MetadataCountReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[MetadataCountPartition]
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array.fill[Any](p.width)(p.count))
+      override def close(): Unit = ()
     }
   }
 }

@@ -1161,6 +1161,29 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.currentVersion(tbl) < 0)
   }
 
+  test("sql catalog: COUNT(*) served from manifest metadata, zero data I/O") {
+    val root = freshDir("sqlcnt")
+    val tbl = s"$root/li"
+    val li = Tables.lineitem(spark, sf).repartition(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, tbl, li, Seq("l_orderkey"))
+    assert(ManifestTable.commit(tbl, staged, -1))
+    spark.conf.set("spark.sql.catalog.gcnt",
+      classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcnt.root", root)
+    val q = spark.sql("SELECT count(*) AS n FROM gcnt.default.li")
+    assert(q.head().getLong(0) == li.count())
+    assert(q.queryExecution.executedPlan.toString.contains("metadata count"),
+      "the count must be served from the manifest metadata, not a scan")
+    // a stats-less commit declines the pushdown but stays CORRECT
+    val blind = ManifestTable.stage(spark, tbl, li.limit(7))
+    assert(ManifestTable.commit(tbl,
+      ManifestTable.listLines(tbl, 0) ++ blind, 0))
+    val q2 = spark.sql("SELECT count(*) AS n FROM gcnt.default.li")
+    assert(q2.head().getLong(0) == li.count() + 7)
+    assert(!q2.queryExecution.executedPlan.toString.contains("metadata count"),
+      "missing per-file counts must fall back to a real scan")
+  }
+
   test("deletion vectors: clone carries them; restore republishes them") {
     val base = freshDir("dvclone")
     val (src, dst) = (s"$base/src", s"$base/c")
