@@ -76,7 +76,24 @@ class GraftCatalog extends TableCatalog {
     val dir = dirOf(ident)
     if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new ManifestSqlTable(ident.toString, dir)
+    new ManifestSqlTable(ident.toString, dir, None)
+  }
+
+  /** SQL time travel — `SELECT ... FROM graft.default.t VERSION AS OF 3`:
+    * the snapshot pin moves from "current at scan planning" to the named
+    * committed version; everything else (pruned parquet-mr scan, marker
+    * refusal) is identical. Free with this layout: historical manifests
+    * and the immutable files they list survive until vacuum. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF takes a manifest version number, got '$version'")
+    }
+    if (ManifestTable.currentVersion(dir) < 0 ||
+        !Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new ManifestSqlTable(s"$ident@v$v", dir, Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -85,7 +102,7 @@ class GraftCatalog extends TableCatalog {
     require(ManifestTable.currentVersion(dir) < 0,
       s"table $ident already exists")
     require(ManifestTable.commit(dir, Seq.empty, -1))
-    new ManifestSqlTable(ident.toString, dir)
+    new ManifestSqlTable(ident.toString, dir, None)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -104,15 +121,16 @@ class GraftCatalog extends TableCatalog {
 }
 
 /** One manifest table surfaced to SQL: snapshot-pinned batch scan (pruned
-  * parquet-mr read) + V1-bridge atomic insert. */
-private[sources] class ManifestSqlTable(ident: String, dir: String)
-    extends Table with SupportsRead
+  * parquet-mr read) + V1-bridge atomic insert. `pinned` carries a
+  * time-travel version (reads only; writes always target the head). */
+private[sources] class ManifestSqlTable(ident: String, dir: String,
+    pinned: Option[Int]) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = ident
 
   override def schema(): StructType = {
-    val v = ManifestTable.currentVersion(dir)
+    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
     val files = ManifestTable.listFiles(dir, v)
     if (files.isEmpty) new StructType() // fresh CREATE TABLE, pre-insert
     else ManifestStreamSource.toSparkSchema(
@@ -124,13 +142,16 @@ private[sources] class ManifestSqlTable(ident: String, dir: String)
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestSqlScanBuilder(dir, schema())
+    new ManifestSqlScanBuilder(dir, schema(), pinned)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, "cannot INSERT into a time-travel snapshot")
     new ManifestSqlWriteBuilder(dir)
+  }
 }
 
-private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType)
+private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
+    pinned: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -150,7 +171,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType)
     if (aggregation.groupByExpressions.nonEmpty) return false
     if (!aggregation.aggregateExpressions.toSeq.forall(_.isInstanceOf[CountStar]))
       return false
-    val v = ManifestTable.currentVersion(dir)
+    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
     if (ManifestTable.dvLines(dir, v).nonEmpty) return false
     val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
     if (entries.exists(_.rows.isEmpty)) return false
@@ -180,9 +201,9 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType)
           s"graft metadata count($n) — zero data I/O"
       }
     }
-    // snapshot pinned HERE: the whole query reads one version, whatever
-    // commits land while it runs
-    val v = ManifestTable.currentVersion(dir)
+    // snapshot pinned HERE (or at the time-travel version): the whole
+    // query reads one version, whatever commits land while it runs
+    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
     require(ManifestTable.dvLines(dir, v).isEmpty &&
         ManifestTable.renameLines(dir, v).isEmpty,
       s"catalog scan of $dir refused: deletion-vector/rename markers present " +

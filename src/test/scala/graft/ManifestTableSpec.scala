@@ -1161,6 +1161,28 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.currentVersion(tbl) < 0)
   }
 
+  test("sql catalog: VERSION AS OF time travel, writes refused on pins") {
+    val root = freshDir("sqltt")
+    val tbl = s"$root/t"
+    val li = Tables.lineitem(spark, sf)
+    val half = li.filter(col("l_orderkey") % 2 === 0)
+    ManifestTable.merge(spark, tbl, half,
+      Seq("l_orderkey", "l_linenumber", "l_suppkey"))
+    ManifestTable.merge(spark, tbl, li,
+      Seq("l_orderkey", "l_linenumber", "l_suppkey"))
+    spark.conf.set("spark.sql.catalog.gtt",
+      classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtt.root", root)
+    assert(spark.sql("SELECT count(*) FROM gtt.default.t")
+      .head().getLong(0) == li.count())
+    assert(spark.sql("SELECT count(*) FROM gtt.default.t VERSION AS OF 0")
+      .head().getLong(0) == half.count(),
+      "VERSION AS OF must serve the historical snapshot")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gtt.default.t VERSION AS OF 7").collect()
+    }
+  }
+
   test("sql catalog: COUNT(*) served from manifest metadata, zero data I/O") {
     val root = freshDir("sqlcnt")
     val tbl = s"$root/li"
