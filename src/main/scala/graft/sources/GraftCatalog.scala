@@ -138,11 +138,13 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestSqlScanBuilder(dir, schema(), pinned)
+    new ManifestSqlScanBuilder(dir, schema(), pinned,
+      Option(options.get("versionsPerBatch")).map(_.toInt)
+        .getOrElse(Int.MaxValue))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, "cannot INSERT into a time-travel snapshot")
@@ -151,7 +153,7 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
 }
 
 private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
-    pinned: Option[Int] = None)
+    pinned: Option[Int] = None, versionsPerBatch: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -218,6 +220,14 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           files.map(f => ManifestFilePartition(f): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory =
           new ManifestParquetReaderFactory(requiredNow)
+      }
+      // the same named table streams: spark.readStream.table("graft...")
+      // rides the version-offset micro-batch source (exactly-once by
+      // layout; admission-controlled via the versionsPerBatch read option)
+      override def toMicroBatchStream(loc: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        require(pinned.isEmpty, "cannot stream a time-travel snapshot")
+        new ManifestMicroBatchStream(dir, requiredNow, versionsPerBatch)
       }
     }
   }

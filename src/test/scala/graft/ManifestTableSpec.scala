@@ -1183,6 +1183,32 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("sql catalog: the same named table streams via readStream.table") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshDir("sqlstream")
+    val tbl = s"$root/ev"
+    val ev = Tables.events(spark, sf).limit(300)
+      .select(col("event_id"), col("event_type"), col("value"))
+    (0 to 1).foreach(m => ManifestTable.merge(spark, tbl,
+      ev.filter(col("event_id") % 2 === m), Seq("event_id")))
+    spark.conf.set("spark.sql.catalog.gstr",
+      classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstr.root", root)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("versionsPerBatch", "1")
+      .table("gstr.default.ev")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: DataFrame, _: Long) => { got += b.count(); () })
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // two commits drained as two admission-controlled micro-batches
+    assert(got.filter(_ > 0).toSeq ==
+      Seq(ev.filter(col("event_id") % 2 === 0).count(),
+        ev.filter(col("event_id") % 2 === 1).count()))
+  }
+
   test("sql catalog: COUNT(*) served from manifest metadata, zero data I/O") {
     val root = freshDir("sqlcnt")
     val tbl = s"$root/li"
