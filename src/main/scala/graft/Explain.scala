@@ -31,7 +31,8 @@ object Explain {
     "q_write_audit_publish", "q_catalog_txn", "q_manifest_clone",
     "q_manifest_history", "q_manifest_restore", "q_manifest_segments",
     "q_merge_on_read", "q_mor_upsert", "q_schema_rename", "q_sql_catalog",
-    "q_mv_rewrite", "q_mv_incremental", "q_bm25_index", "q_vector_index")
+    "q_mv_rewrite", "q_mv_incremental", "q_bm25_index", "q_vector_index",
+    "q_advised_join")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

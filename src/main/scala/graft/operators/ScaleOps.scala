@@ -497,6 +497,59 @@ object ScaleOps {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1""".stripMargin
 
+  /** Cost-based join-side selection FROM THE TABLE'S OWN METADATA — the
+    * decision `ManifestTable.joinSideAdvice` exists to power, executed
+    * end-to-end: the orders slice's manifest carries per-file HLL blobs
+    * for `o_custkey`, so the planner learns the slice's distinct-customer
+    * bound with zero I/O and chooses whether the semi-join build side
+    * (the slice's DISTINCT keys) broadcasts or shuffles. Row counts
+    * answer this wrongly in both directions — a wide slice with few
+    * distinct customers broadcasts fine after dedup; a narrow slice of a
+    * high-cardinality key does not. Both branches compute the identical
+    * answer (the oracle restates the join over the base tables); the spec
+    * asserts the advice picks broadcast at fixture scale, that the plan
+    * really contains the broadcast semi-join, and that the forced-shuffle
+    * branch agrees. Returns revenue by market segment for the slice. */
+  def advisedJoin(s: SparkSession, dir: String,
+      forceBytesPerKey: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_advjoin_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(tbl)
+    val o = Tables.orders(s, dir)
+    val staged = ManifestTable.stageWithNdv(s, tbl,
+      o.repartitionByRange(8, $"o_custkey"),
+      statsCols = Seq("o_custkey"), ndvCols = Seq("o_custkey"))
+    require(ManifestTable.commit(tbl, staged, -1))
+    val (lo, hi) = (BigDecimal(0), BigDecimal(Long.MaxValue))
+    val (advice, _) = ManifestTable.joinSideAdvice(tbl, "o_custkey", lo, hi,
+      bytesPerKey = forceBytesPerKey.getOrElse(32L))
+    val slice = ManifestTable.read(s, tbl)
+    val keys = slice.select($"o_custkey").distinct()
+    val cust = Tables.customer(s, dir)
+    // the ADVISED plan choice: broadcast the bounded distinct-key set, or
+    // shuffle both sides when the keys alone are too big to ship
+    val present = advice match {
+      case "broadcast" =>
+        cust.join(broadcast(keys), $"c_custkey" === $"o_custkey", "left_semi")
+      case _ =>
+        cust.hint("SHUFFLE_MERGE")
+          .join(keys, $"c_custkey" === $"o_custkey", "left_semi")
+    }
+    present.join(slice, $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"))
+  }
+
+  private val advisedJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** The MV definition shared by the materialization, the registration,
     * and the "user query" — per-status order counts and exact revenue. */
   private[graft] def mvDefinition(s: SparkSession, dir: String): DataFrame = {
@@ -620,6 +673,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mv_rewrite" -> ((s, d) => mvRewrite(s, d)),
     "q_mv_incremental" -> ((s, d) => mvIncremental(s, d)),
+    "q_advised_join" -> ((s, d) => advisedJoin(s, d)),
     "q_runtime_filter" -> ((s, d) => runtimeFilterJoin(s, d)),
     "q_sketch_union" -> ((s, d) => sketchUnion(s, d)),
     "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
@@ -640,6 +694,8 @@ object ScaleOps {
     // full recompute over the base: one hash proves rewrite-invariance AND
     // incremental-merge correctness
     "q_mv_incremental" -> mvRewriteSql,
+    // the metadata-advised strategy must never change the join's answer
+    "q_advised_join" -> advisedJoinSql,
     "q_runtime_filter" -> runtimeFilterJoinSql,
     "q_sketch_union" -> sketchUnionSql,
     "q_cms_freq" -> cmsFreqSql,

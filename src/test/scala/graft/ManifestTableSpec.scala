@@ -1183,6 +1183,24 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("advised join: NDV metadata picks broadcast; both branches agree") {
+    val adv = operators.ScaleOps.advisedJoin(spark, sf)
+    val plan = adv.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "fixture-scale distinct keys must be advised onto the broadcast path")
+    val got = adv.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // a pretend 1 MB/key forces the shuffle branch — same answer
+    val shuffled = operators.ScaleOps.advisedJoin(spark, sf,
+      forceBytesPerKey = Some(1L << 20))
+    assert(!shuffled.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin LeftSemi"),
+      "oversized keys must be advised off the broadcast semi-join")
+    val got2 = shuffled.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == got2 && got.nonEmpty)
+  }
+
   test("sql catalog: the same named table streams via readStream.table") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
