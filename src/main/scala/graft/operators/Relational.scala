@@ -514,6 +514,29 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // Governance policies IN the table metadata: a row filter (drop
+    // 'error' events) and column masks (user_id generalized to a 100-way
+    // cohort — the k-anonymity move; value coarsened to whole units)
+    // publish as #policy markers that travel WITH the snapshot through
+    // every lifecycle op; readGoverned enforces them. Oracle restates the
+    // same expressions over the base table — governance must be exactly
+    // the declared transformation, nothing more or less.
+    "q_governed_read" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_governed_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      graft.sources.ManifestTable.merge(s, tbl, ev, Seq("event_id"))
+      graft.sources.ManifestTable.setPolicy(tbl,
+        masks = Map("user_id" -> "pmod(user_id, 100)",
+          "value" -> "round(value, 0)"),
+        rowFilter = Some("event_type <> 'error'"))
+      graft.sources.ManifestTable.readGoverned(s, tbl)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
     // Manifest tables as FIRST-CLASS SQL OBJECTS (sources.GraftCatalog, a
     // DSv2 TableCatalog): half the table loads via the library API, the
     // other half arrives through a SQL `INSERT INTO` (the V1 write bridge
@@ -1261,6 +1284,12 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 GROUP BY 1""".stripMargin,
+    // governance = exactly the declared transformation, nothing else
+    "q_governed_read" ->
+      """SELECT event_type, user_id % 100 AS user_id, count(*) AS n,
+        |       CAST(sum(CAST(round(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1, 2""".stripMargin,
     // the catalog scan + SQL insert must together hold exactly the table
     "q_sql_catalog" ->
       """SELECT l_returnflag, count(*) AS n,

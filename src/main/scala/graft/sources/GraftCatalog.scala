@@ -175,6 +175,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       return false
     val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
     if (ManifestTable.dvLines(dir, v).nonEmpty) return false
+    if (ManifestTable.policyLines(dir, v).nonEmpty) return false // filtered counts differ
     val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
     if (entries.exists(_.rows.isEmpty)) return false
     pushedCount = Some(entries.flatMap(_.rows).sum)
@@ -210,6 +211,9 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         ManifestTable.renameLines(dir, v).isEmpty,
       s"catalog scan of $dir refused: deletion-vector/rename markers present " +
         "— compact first, or read via ManifestTable.read")
+    require(ManifestTable.policyLines(dir, v).isEmpty,
+      s"catalog scan of $dir refused: governance policies present — " +
+        "read via ManifestTable.readGoverned")
     val files = ManifestTable.listFiles(dir, v)
       .map(ManifestTable.dataPath(dir, _))
     val requiredNow = required
@@ -275,7 +279,8 @@ private[sources] class ManifestSqlWriteBuilder(dir: String)
               else ManifestTable.commit(dir,
                 ManifestTable.listLines(dir, v) ++ staged ++
                   ManifestTable.dvLines(dir, v) ++
-                  ManifestTable.renameLines(dir, v), v)
+                  ManifestTable.renameLines(dir, v) ++
+                  ManifestTable.policyLines(dir, v), v)
             attempt += 1 // lost the race: re-read, re-append (orphans stay)
           }
           if (!done) throw new IllegalStateException(

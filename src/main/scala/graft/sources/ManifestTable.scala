@@ -319,7 +319,8 @@ object ManifestTable {
   def restore(dir: String, v: Int, maxRetries: Int = 10): Int = {
     require(v >= 0 && Files.exists(manifestPath(dir, v)),
       s"no committed snapshot v$v in $dir (vacuumed?)")
-    val lines = listLines(dir, v) ++ dvLines(dir, v) ++ renameLines(dir, v)
+    val lines = listLines(dir, v) ++ dvLines(dir, v) ++
+      renameLines(dir, v) ++ policyLines(dir, v)
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = currentVersion(dir)
@@ -353,7 +354,8 @@ object ManifestTable {
     // source by absolute path, same as the data references
     val dvs = dvEntries(srcDir, v).map(e =>
       encodeDv(DvEntry(abs(e.file), e.col, e.targets.map(abs))))
-    require(commit(dstDir, lines ++ dvs ++ renameLines(srcDir, v), -1),
+    require(commit(dstDir, lines ++ dvs ++ renameLines(srcDir, v) ++
+        policyLines(srcDir, v), -1),
       s"clone target $dstDir is not empty")
     // register the clone AT THE SOURCE (unique marker file — no write
     // race) so the source's vacuum knows external readers reference its
@@ -493,7 +495,9 @@ object ManifestTable {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to compact in $dir")
       val staged = stage(s, dir, readVersion(s, dir, v).repartition(numFiles))
-      if (commitRewrite(dir, staged, v)) return v + 1
+      // DV/rename markers materialize into the rewrite; POLICIES do not —
+      // they govern reads forever and must survive compaction
+      if (commitRewrite(dir, staged ++ policyLines(dir, v), v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
     throw new IllegalStateException(s"compact lost $maxRetries commit races in $dir")
@@ -884,7 +888,8 @@ object ManifestTable {
       val dvFile = stage(s, dir, keys.toDF(col).coalesce(1))
       require(dvFile.size == 1)
       val dv = encodeDv(DvEntry(dvFile.head, col, affected.map(_.name).toSet))
-      val body = listLines(dir, v) ++ dvLines(dir, v) :+ dv
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++
+        policyLines(dir, v) :+ dv
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1 // lost the race; the staged DV stays a harmless orphan
     }
@@ -952,6 +957,62 @@ object ManifestTable {
       else d
     }
 
+  // ---------------------------------------------------------------------
+  // Governance policies IN the table metadata: `#policy` marker lines
+  // carry column MASKS (`#policy\tmask\t<col>\t<sql expr>`) and row
+  // FILTERS (`#policy\tfilter\t<sql expr>`) with the snapshot, so the
+  // rules travel with the table — through commits, restores, and clones —
+  // instead of living in some application's config. `readGoverned`
+  // enforces them (filter first, then masks, so a mask can't leak through
+  // the filter predicate's view); `readVersion` stays RAW by design:
+  // engine-internal reads (compaction, CoW rewrites) must see the true
+  // rows or maintenance would corrupt the table. Policy changes publish
+  // as `#mutate` commits — what consumers see changed, so the change feed
+  // refuses to silently cross, the same honesty contract as deletes.
+  // ---------------------------------------------------------------------
+
+  private val PolicyPrefix = "#policy\t"
+
+  def policyLines(dir: String, v: Int): Seq[String] = {
+    if (v < 0) return Seq.empty
+    new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.startsWith(PolicyPrefix)).toSeq
+  }
+
+  /** Publish (REPLACING any prior policy set) column masks and an optional
+    * row filter, all as SQL expression strings evaluated at read time. */
+  def setPolicy(dir: String, masks: Map[String, String],
+      rowFilter: Option[String] = None, maxRetries: Int = 10): Int = {
+    (masks.keys ++ masks.values ++ rowFilter).foreach(s =>
+      require(!s.contains('\t') && !s.contains('\n'),
+        s"policy expressions may not contain tabs/newlines: $s"))
+    val lines = masks.toSeq.sortBy(_._1)
+      .map { case (c, e) => s"#policy\tmask\t$c\t$e" } ++
+      rowFilter.map(e => s"#policy\tfilter\t$e")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to set policy on in $dir")
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++
+        renameLines(dir, v) ++ lines
+      if (commitMutate(dir, body, v)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"setPolicy lost $maxRetries races in $dir")
+  }
+
+  /** The governed read: the snapshot with the metadata-carried row filter
+    * and column masks applied — what a consumer without raw access gets. */
+  def readGoverned(s: SparkSession, dir: String): DataFrame = {
+    val v = currentVersion(dir)
+    val base = readVersion(s, dir, v)
+    val pols = policyLines(dir, v).map(_.split('\t'))
+    val filtered = pols.collect { case Array(_, "filter", e) => e }
+      .foldLeft(base)((df, e) => df.filter(expr(e)))
+    pols.collect { case Array(_, "mask", c, e) => (c, e) }
+      .foldLeft(filtered)((df, p) => df.withColumn(p._1, expr(p._2)))
+  }
+
   /** MERGE-ON-READ UPSERT (MERGE WHEN MATCHED THEN UPDATE, WHEN NOT
     * MATCHED THEN INSERT) — the Hudi merge-on-read shape: every batch row
     * REPLACES any existing row with its `col` key. Implemented as
@@ -985,7 +1046,8 @@ object ManifestTable {
       val markers =
         if (affected.isEmpty) Seq.empty // pure insert: nothing to doom
         else dvFiles.map(f => encodeDv(DvEntry(f, col, affected)))
-      val body = listLines(dir, v) ++ dvLines(dir, v) ++ dataFiles ++ markers
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++
+        policyLines(dir, v) ++ dataFiles ++ markers
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
@@ -1067,7 +1129,7 @@ object ManifestTable {
         if (survivors.isEmpty) Seq.empty[String]
         else stageWithIndexes(s, dir, survivors, statsCols, bloomCols)
       val carried = carriedDvLines(dir, v,
-        keep.map(_.split('\t').head).toSet)
+        keep.map(_.split('\t').head).toSet) ++ policyLines(dir, v)
       if (commitMutate(dir, keep ++ staged ++ carried, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
@@ -1114,7 +1176,7 @@ object ManifestTable {
       val bloomCols = affected.flatMap(_.blooms.keys).distinct
       val staged = stageWithIndexes(s, dir, rewritten, statsCols, bloomCols)
       val carried = carriedDvLines(dir, v,
-        keep.map(_.split('\t').head).toSet)
+        keep.map(_.split('\t').head).toSet) ++ policyLines(dir, v)
       if (commitMutate(dir, keep ++ staged ++ carried, v)) return v + 1
       attempt += 1
     }
@@ -1182,7 +1244,8 @@ object ManifestTable {
     val staged =
       if (statsCols.nonEmpty) stageWithStats(s, dir, batch, statsCols)
       else stage(s, dir, batch)
-    val lines = s"#base=$v" +: (listLines(dir, v) ++ staged ++ dvLines(dir, v))
+    val lines = s"#base=$v" +: (listLines(dir, v) ++ staged ++
+      dvLines(dir, v) ++ policyLines(dir, v))
     Files.write(auditPath(dir, tag), lines.mkString("\n").getBytes("UTF-8"))
   }
 
@@ -1369,7 +1432,8 @@ object ManifestTable {
         if (statsCols.nonEmpty) stageWithStats(s, dir, laid, statsCols)
         else stage(s, dir, laid)
       val carried = carriedDvLines(dir, v, big.map(_.split('\t').head).toSet) ++
-        (if (big.isEmpty) Seq.empty else renameLines(dir, v))
+        (if (big.isEmpty) Seq.empty else renameLines(dir, v)) ++
+        policyLines(dir, v) // policies never materialize away
       if (commitRewrite(dir, big ++ staged ++ carried, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
@@ -1414,7 +1478,7 @@ object ManifestTable {
       // unchanged, so every DV still targets exactly what it did, and the
       // rename chain keeps reconciling the older generations
       if (commit(dir, existing ++ staged ++ dvLines(dir, v) ++
-          renameLines(dir, v), v)) return v + 1
+          renameLines(dir, v) ++ policyLines(dir, v), v)) return v + 1
       // lost the race: the staged files stay harmless orphans; re-reconcile
       attempt += 1
     }

@@ -1183,6 +1183,45 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("governance policies: enforced by readGoverned, survive compaction and clone, catalog refuses") {
+    val base = freshDir("gov")
+    val (dir, dst) = (s"$base/t", s"$base/c")
+    val ev = Tables.events(spark, sf).limit(300)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ManifestTable.merge(spark, dir, ev, Seq("event_id"))
+    ManifestTable.setPolicy(dir,
+      masks = Map("user_id" -> "pmod(user_id, 100)"),
+      rowFilter = Some("event_type <> 'error'"))
+    val governed = ManifestTable.readGoverned(spark, dir)
+    assert(governed.filter(col("event_type") === "error").count() == 0)
+    assert(governed.agg(max(col("user_id"))).head().getLong(0) < 100,
+      "the mask must generalize every surviving row")
+    // the RAW read is untouched — maintenance must see true rows
+    assert(ManifestTable.read(spark, dir).count() == ev.count())
+    // policies survive compaction (unlike DV/rename, they never materialize)
+    ManifestTable.compact(spark, dir, numFiles = 1)
+    assert(ManifestTable.policyLines(dir,
+      ManifestTable.currentVersion(dir)).nonEmpty)
+    assert(ManifestTable.readGoverned(spark, dir)
+      .filter(col("event_type") === "error").count() == 0)
+    // …and travel with clones
+    ManifestTable.cloneTable(dir, dst)
+    assert(ManifestTable.readGoverned(spark, dst)
+      .agg(max(col("user_id"))).head().getLong(0) < 100)
+    // the raw SQL catalog scan refuses a governed table
+    spark.conf.set("spark.sql.catalog.ggov",
+      classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ggov.root", base)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM ggov.default.t").collect()
+    }
+    assert(e.getMessage.contains("governance") ||
+      e.getMessage.contains("readGoverned"))
+    // replacing the policy set drops the old rules
+    ManifestTable.setPolicy(dir, masks = Map.empty, rowFilter = None)
+    assert(ManifestTable.readGoverned(spark, dir).count() == ev.count())
+  }
+
   test("advised join: NDV metadata picks broadcast; both branches agree") {
     val adv = operators.ScaleOps.advisedJoin(spark, sf)
     val plan = adv.queryExecution.executedPlan.toString
