@@ -1289,6 +1289,39 @@ class ManifestTableSpec extends AnyFunSuite {
       "missing per-file counts must fall back to a real scan")
   }
 
+  test("MOR concurrency: racing upserts serialize through the CAS, no lost updates") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    val dir = freshDir("morrace")
+    val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li, Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val before = ManifestTable.read(spark, dir).count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fa = Future(ManifestTable.upsertMOR(spark, dir,
+        li.filter(col("l_orderkey") === 101L)
+          .withColumn("l_quantity", col("l_quantity") + lit(100.0)),
+        "l_orderkey"))
+      val fb = Future(ManifestTable.upsertMOR(spark, dir,
+        li.filter(col("l_orderkey") === 777L)
+          .withColumn("l_quantity", col("l_quantity") + lit(200.0)),
+        "l_orderkey"))
+      Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    } finally pool.shutdown()
+    // both writers landed (one retried after losing the CAS): two commits
+    assert(ManifestTable.currentVersion(dir) == 2,
+      "racing upserts must SERIALIZE into two committed versions")
+    val after = ManifestTable.read(spark, dir)
+    assert(after.count() == before, "replacement must not change row count")
+    assert(after.filter(col("l_orderkey") === 101L &&
+      col("l_quantity") <= 100.0).count() == 0)
+    assert(after.filter(col("l_orderkey") === 777L &&
+      col("l_quantity") <= 200.0).count() == 0,
+      "NEITHER racing update may be lost")
+  }
+
   test("deletion vectors: clone carries them; restore republishes them") {
     val base = freshDir("dvclone")
     val (src, dst) = (s"$base/src", s"$base/c")
