@@ -157,51 +157,83 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
-  private var pushedCount: Option[Long] = None
+  private var pushedValues: Option[Seq[Any]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) answered from the manifest's recorded per-file row counts —
-    * zero data I/O, zero scan tasks (the catalog-served count a warehouse
-    * answers in milliseconds). Declines (full scan, still correct) when
-    * grouping/filters are present, any file lacks a recorded count, or
-    * deletion vectors make the count unknowable from metadata. */
+  /** COUNT(*)/MIN/MAX answered from the manifest's recorded per-file
+    * stats — zero data I/O, zero scan tasks (the catalog-served aggregate
+    * a warehouse answers in milliseconds). Sound because footer stats are
+    * EXACT per-file extrema (null-only and NaN-bearing files simply carry
+    * no stats, which declines the pushdown). Declines entirely (full
+    * scan, still correct) on grouping, filters, unsupported aggregates or
+    * column types, any file missing the needed stat, deletion vectors, or
+    * governance policies. */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
     if (aggregation.groupByExpressions.nonEmpty) return false
-    if (!aggregation.aggregateExpressions.toSeq.forall(_.isInstanceOf[CountStar]))
-      return false
     val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
     if (ManifestTable.dvLines(dir, v).nonEmpty) return false
-    if (ManifestTable.policyLines(dir, v).nonEmpty) return false // filtered counts differ
+    if (ManifestTable.policyLines(dir, v).nonEmpty) return false // filtered answers differ
     val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
-    if (entries.exists(_.rows.isEmpty)) return false
-    pushedCount = Some(entries.flatMap(_.rows).sum)
-    required = StructType(aggregation.aggregateExpressions.toSeq.zipWithIndex
-      .map { case (_, i) =>
-        org.apache.spark.sql.types.StructField(s"count_$i",
-          org.apache.spark.sql.types.LongType, nullable = false) })
+    if (entries.isEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    // typed extremum from the recorded ranges: value emitted in the
+    // COLUMN's own type so Spark's final min/max resolves unchanged
+    def extremum(c: String, wantMin: Boolean): Option[(Any, DataType)] = {
+      if (!entries.forall(_.ranges.contains(c))) return None
+      val rs = entries.map(_.ranges(c))
+      val x = if (wantMin) rs.map(_.min).min else rs.map(_.max).max
+      full.fields.find(_.name == c).map(_.dataType).flatMap {
+        case LongType => Some((x.toLongExact, LongType))
+        case IntegerType => Some((x.toIntExact, IntegerType))
+        case DoubleType => Some((x.toDouble, DoubleType))
+        case _ => None
+      }
+    }
+    val resolved = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        if (entries.exists(_.rows.isEmpty)) return false
+        (entries.flatMap(_.rows).sum: Any, LongType: DataType)
+      case m: Min =>
+        colOf(m.column).flatMap(extremum(_, wantMin = true))
+          .getOrElse(return false)
+      case m: Max =>
+        colOf(m.column).flatMap(extremum(_, wantMin = false))
+          .getOrElse(return false)
+      case _ => return false
+    }
+    pushedValues = Some(resolved.map(_._1))
+    required = StructType(resolved.zipWithIndex.map { case ((_, dt), i) =>
+      StructField(s"agg_$i", dt, nullable = false) })
     true
   }
 
   override def build(): Scan = {
-    pushedCount.foreach { n =>
+    pushedValues.foreach { vals =>
       val requiredNow = required
-      // one generated row carrying the metadata answer; Spark's final
-      // aggregation sums the per-partition partials, so a single row with
-      // the total is exactly right
+      // one generated row carrying the metadata answers; Spark's final
+      // aggregation folds the per-partition partials, so a single row
+      // with the exact totals/extrema is exactly right
       return new Scan {
         override def readSchema(): StructType = requiredNow
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            Array(MetadataCountPartition(n, requiredNow.length))
+            Array(MetadataAggPartition(vals))
           override def createReaderFactory(): PartitionReaderFactory =
-            MetadataCountReaderFactory
+            MetadataAggReaderFactory
         }
         override def description(): String =
-          s"graft metadata count($n) — zero data I/O"
+          s"graft metadata agg(${vals.mkString(",")}) — zero data I/O"
       }
     }
     // snapshot pinned HERE (or at the time-travel version): the whole
@@ -237,20 +269,20 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   }
 }
 
-private[sources] case class MetadataCountPartition(count: Long, width: Int)
+private[sources] case class MetadataAggPartition(values: Seq[Any])
     extends InputPartition
 
-private[sources] object MetadataCountReaderFactory
+private[sources] object MetadataAggReaderFactory
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = partition.asInstanceOf[MetadataCountPartition]
+    val p = partition.asInstanceOf[MetadataAggPartition]
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
       private var emitted = false
       override def next(): Boolean = { val r = !emitted; emitted = true; r }
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array.fill[Any](p.width)(p.count))
+          p.values.toArray)
       override def close(): Unit = ()
     }
   }

@@ -1277,7 +1277,7 @@ class ManifestTableSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.gcnt.root", root)
     val q = spark.sql("SELECT count(*) AS n FROM gcnt.default.li")
     assert(q.head().getLong(0) == li.count())
-    assert(q.queryExecution.executedPlan.toString.contains("metadata count"),
+    assert(q.queryExecution.executedPlan.toString.contains("metadata agg"),
       "the count must be served from the manifest metadata, not a scan")
     // a stats-less commit declines the pushdown but stays CORRECT
     val blind = ManifestTable.stage(spark, tbl, li.limit(7))
@@ -1285,8 +1285,35 @@ class ManifestTableSpec extends AnyFunSuite {
       ManifestTable.listLines(tbl, 0) ++ blind, 0))
     val q2 = spark.sql("SELECT count(*) AS n FROM gcnt.default.li")
     assert(q2.head().getLong(0) == li.count() + 7)
-    assert(!q2.queryExecution.executedPlan.toString.contains("metadata count"),
+    assert(!q2.queryExecution.executedPlan.toString.contains("metadata agg"),
       "missing per-file counts must fall back to a real scan")
+  }
+
+  test("sql catalog: mixed COUNT/MIN/MAX served from metadata with exact typed extrema") {
+    val root = freshDir("sqlmma")
+    val tbl = s"$root/li"
+    val li = Tables.lineitem(spark, sf).repartitionByRange(4, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, tbl, li,
+      Seq("l_orderkey", "l_quantity"))
+    assert(ManifestTable.commit(tbl, staged, -1))
+    spark.conf.set("spark.sql.catalog.gmma",
+      classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmma.root", root)
+    val q = spark.sql("""SELECT count(*) AS n, min(l_orderkey) AS lo,
+      max(l_orderkey) AS hi, max(l_quantity) AS qhi FROM gmma.default.li""")
+    val r = q.head()
+    val want = li.agg(count(lit(1)), min(col("l_orderkey")),
+      max(col("l_orderkey")), max(col("l_quantity"))).head()
+    assert(r.getLong(0) == want.getLong(0) && r.getLong(1) == want.getLong(1)
+      && r.getLong(2) == want.getLong(2)
+      && r.getDouble(3) == want.getDouble(3))
+    assert(q.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "the mixed aggregate must be served from metadata")
+    // a min over a column with NO recorded range falls back, still correct
+    val q2 = spark.sql("SELECT min(l_extendedprice) AS p FROM gmma.default.li")
+    assert(!q2.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(q2.head().getDouble(0) ==
+      li.agg(min(col("l_extendedprice"))).head().getDouble(0))
   }
 
   test("MOR concurrency: racing upserts serialize through the CAS, no lost updates") {
