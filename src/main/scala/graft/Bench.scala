@@ -155,7 +155,10 @@ object Bench {
         }
       for ((n, fn) <- order if need(n) && (pass == 1 || elapsed < budget)) {
         val (secs, ok, steal) = measure(pass, n, fn)
-        best(n) = math.min(best.getOrElse(n, Double.MaxValue), secs)
+        // record the time only for SUCCESSFUL measurements: a fast
+        // deterministic failure must never become the query's historical
+        // minimum (min-merge could then never self-correct)
+        if (ok) best(n) = math.min(best.getOrElse(n, Double.MaxValue), secs)
         if (!ok) { failed += n; need -= n } // deterministic failure: don't burn budget
         else if (!tainted(secs, steal, stealTol, slowSec, hist.get(n), histFactor))
           need -= n
@@ -163,7 +166,9 @@ object Bench {
       pass += 1
     }
 
-    val results = selected.map { case (n, _) => n -> best(n) }
+    // failed queries have no recorded time (see above) — they appear in
+    // "failed", not in the per-query times or the total
+    val results = selected.flatMap { case (n, _) => best.get(n).map(n -> _) }
     def fmt(v: Double, dp: Int) = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -514,6 +515,19 @@ object ScaleOps {
       forceBytesPerKey: Option[Long] = None): DataFrame = {
     import s.implicits._
     import graft.sources.ManifestTable
+    // PID-keyed so concurrent processes never clash, but dirs from DEAD
+    // pids are orphans (a prior run's key never recurs): sweep them here,
+    // so repeated runs under distinct PIDs leave at most one live dir
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.list(tmpRoot).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft_advjoin_"))
+      .foreach { p =>
+        val pid = p.getFileName.toString.stripPrefix("graft_advjoin_")
+        val dead = pid.forall(_.isDigit) &&
+          !java.lang.ProcessHandle.of(pid.toLong).map[java.lang.Boolean](
+            h => h.isAlive).orElse(false)
+        if (dead) ManifestTable.destroy(p.toString)
+      }
     val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_advjoin_" +
       java.lang.ProcessHandle.current().pid()
     ManifestTable.destroy(tbl)

@@ -305,9 +305,13 @@ private[sources] class ManifestSqlWriteBuilder(dir: String)
             val v = ManifestTable.currentVersion(dir)
             val staged = ManifestTable.stage(s, dir, data)
             // OVERWRITE removes rows — a mutate commit, so incremental
-            // consumers refuse to silently cross it; plain INSERT appends
+            // consumers refuse to silently cross it; plain INSERT appends.
+            // Policies survive BOTH: governance travels with the table
+            // through every lifecycle op, and an overwrite that silently
+            // dropped the masks would be a data-leak regression.
             done =
-              if (overwrite) ManifestTable.commitMutate(dir, staged, v)
+              if (overwrite) ManifestTable.commitMutate(dir,
+                staged ++ ManifestTable.policyLines(dir, v), v)
               else ManifestTable.commit(dir,
                 ManifestTable.listLines(dir, v) ++ staged ++
                   ManifestTable.dvLines(dir, v) ++

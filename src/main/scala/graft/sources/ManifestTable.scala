@@ -382,7 +382,11 @@ object ManifestTable {
       if (!Files.isDirectory(Paths.get(cloneDir))) Iterator.empty
       else (0 to currentVersion(cloneDir)).iterator
         .filter(v => Files.exists(manifestPath(cloneDir, v)))
-        .flatMap(v => listFiles(cloneDir, v))
+        .flatMap(v => listFiles(cloneDir, v) ++
+          // the clone's DV markers re-point into the source too: both the
+          // doomed-key parquet AND its target files must survive a source
+          // vacuum, or the clone's merge-on-read scan dangles
+          dvEntries(cloneDir, v).flatMap(e => e.file +: e.targets.toSeq))
         .collect { case f if f.startsWith(dataPrefix) =>
           f.stripPrefix(dataPrefix) }
     }.toSet
@@ -1037,7 +1041,21 @@ object ManifestTable {
       // (1-row bound collect; no key list reaches the driver)
       val span = batch.agg(fmin(c(col)), fmax(c(col))).head()
       if (span.isNullAt(0)) return v // empty batch: idempotent no-op
-      val (lo, hi) = (BigDecimal(span.getLong(0)), BigDecimal(span.getLong(1)))
+      // numeric-tolerant extraction: the key column may be any integral /
+      // decimal / floating type, not just BIGINT (the stats machinery is
+      // BigDecimal-typed for the same reason)
+      def num(a: Any): BigDecimal = a match {
+        case l: java.lang.Long => BigDecimal(l.longValue)
+        case i: java.lang.Integer => BigDecimal(i.intValue)
+        case s: java.lang.Short => BigDecimal(s.intValue)
+        case b: java.lang.Byte => BigDecimal(b.intValue)
+        case d: java.lang.Double => BigDecimal(d.doubleValue)
+        case f: java.lang.Float => BigDecimal(f.doubleValue)
+        case bd: java.math.BigDecimal => BigDecimal(bd)
+        case x => throw new IllegalArgumentException(
+          s"upsertMOR key column '$col' has non-numeric type ${x.getClass}")
+      }
+      val (lo, hi) = (num(span.get(0)), num(span.get(1)))
       val affected = listLines(dir, v).map(parseEntry)
         .filter(_.ranges.get(col).forall(r => r.max >= lo && r.min <= hi))
         .map(_.name).toSet
@@ -1263,7 +1281,10 @@ object ManifestTable {
     * must see what production would see). */
   def readAudit(s: SparkSession, dir: String, tag: String): DataFrame = {
     val (_, lines) = auditLines(dir, tag)
-    val (dvs, data) = lines.partition(_.startsWith(DvPrefix))
+    val dvs = lines.filter(_.startsWith(DvPrefix))
+    // every OTHER marker line (#policy, #rename, future kinds) is metadata,
+    // not a data file — only unprefixed lines name parquet under data/
+    val data = lines.filterNot(_.startsWith("#"))
     applyDvs(s, dir, data.map(_.split('\t').head), dvs.map(parseDvLine))
   }
 

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 regressions (the four ADVICE findings with a testable surface)
+  * plus the round-9 feature gates. */
+class Round9Spec extends AnyFunSuite {
+  import TestSpark._
+  import sources.ManifestTable
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_r9_${tag}_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(d)
+    d
+  }
+
+  test("INSERT OVERWRITE through the SQL catalog carries governance policies") {
+    val root = freshDir("ovwpol")
+    val dir = s"$root/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ManifestTable.merge(spark, dir, ev, Seq("event_id"))
+    ManifestTable.setPolicy(dir,
+      masks = Map("user_id" -> "pmod(user_id, 100)"),
+      rowFilter = Some("event_type <> 'error'"))
+    spark.conf.set("spark.sql.catalog.g9ovw",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9ovw.root", root)
+    ev.limit(50).createOrReplaceTempView("r9_ovw_batch")
+    spark.sql("INSERT OVERWRITE g9ovw.default.t SELECT * FROM r9_ovw_batch")
+    val v = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.policyLines(dir, v).size == 2,
+      "overwrite must carry the #policy markers — dropping them is a " +
+        "silent governance regression")
+    val governed = ManifestTable.readGoverned(spark, dir)
+    assert(governed.filter(col("event_type") === "error").count() == 0)
+    assert(governed.agg(max(col("user_id"))).head().getLong(0) < 100)
+  }
+
+  test("readAudit on a governed table: #policy marker lines are metadata, not data files") {
+    val dir = freshDir("auditpol")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    ManifestTable.merge(spark, dir, ev.filter(col("event_id") % 2 === 0),
+      Seq("event_id"))
+    ManifestTable.setPolicy(dir, masks = Map.empty,
+      rowFilter = Some("event_type <> 'error'"))
+    ManifestTable.stageAudit(spark, dir,
+      ev.filter(col("event_id") % 2 === 1), "r9")
+    // pre-fix this threw: '#policy' fell into the data partition and the
+    // reader tried to open parquet at <dir>/data/#policy
+    val audit = ManifestTable.readAudit(spark, dir, "r9")
+    assert(audit.count() == ev.count(),
+      "the audit snapshot is base + batch, markers excluded")
+    ManifestTable.abortAudit(dir, "r9")
+  }
+
+  test("source vacuum keeps DV files a live clone references") {
+    val src = freshDir("clonedvS")
+    val dst = freshDir("clonedvD")
+    val li = Tables.lineitem(spark, sf).limit(2000)
+    val staged = ManifestTable.stageWithStats(spark, src,
+      li.repartition(4, col("l_orderkey")), Seq("l_orderkey"))
+    assert(ManifestTable.commit(src, staged, -1))
+    // a MOR delete on the SOURCE, then the clone (which re-points the DV
+    // key file into the source's data/ by absolute path)
+    ManifestTable.deleteKeysMOR(spark, src, "l_orderkey", Seq(1L, 2L, 3L))
+    ManifestTable.cloneTable(src, dst)
+    val cloneBefore = ManifestTable.read(spark, dst).count()
+    // the source compacts (materializes its own DVs, drops the markers)
+    // and vacuums down to the compacted snapshot alone
+    ManifestTable.compact(spark, src, numFiles = 2)
+    ManifestTable.vacuum(src, keepVersions = 1)
+    // pre-fix the vacuum collected the DV parquet (no retained SOURCE
+    // manifest referenced it) and the live clone's read dangled
+    assert(ManifestTable.read(spark, dst).count() == cloneBefore,
+      "the clone's merge-on-read scan must survive a source vacuum")
+    ManifestTable.destroy(src); ManifestTable.destroy(dst)
+  }
+
+  test("upsertMOR accepts a non-bigint (int) key column") {
+    import spark.implicits._
+    val dir = freshDir("morint")
+    val base = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val staged = ManifestTable.stageWithStats(spark, dir, base, Seq("k"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    val batch = Seq((2, "B", 99.0), (4, "d", 40.0)).toDF("k", "tag", "v")
+    ManifestTable.upsertMOR(spark, dir, batch, "k") // pre-fix: CCE on getLong
+    val out = ManifestTable.read(spark, dir).orderBy("k")
+      .as[(Int, String, Double)].collect()
+    assert(out.toSeq == Seq((1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0),
+      (4, "d", 40.0)))
+    ManifestTable.destroy(dir)
+  }
+
+  test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    // a plausibly-dead pid: max pid space on linux is < 2^22 by default
+    val orphan = java.nio.file.Paths.get(s"$tmp/graft_advjoin_999999999")
+    java.nio.file.Files.createDirectories(orphan)
+    operators.ScaleOps.advisedJoin(spark, sf).collect()
+    assert(!java.nio.file.Files.exists(orphan),
+      "a dead pid's advisedJoin dir must be swept on the next run")
+  }
+}
