@@ -563,6 +563,32 @@ object Relational {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM graft.default.li GROUP BY l_returnflag""")
     }),
+    // Predicate pushdown through the SQL catalog → manifest FILE SKIPPING:
+    // the WHERE clause's range predicate prunes the snapshot's file list
+    // on the driver (the manifest's recorded per-file min/max + bloom
+    // stats — the same decision the API path's pruneFiles makes), so the
+    // scan plans partitions only for admitted files. At 100 TB this is a
+    // selective query reading 3 files instead of all of them. Every
+    // filter still re-evaluates post-scan (file stats admit supersets),
+    // so the answer is invariant — the oracle restates the predicate over
+    // the base table; the spec asserts the scanned-file count shrank.
+    "q_sql_pushdown" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlpd_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/li"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartitionByRange(16, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      s.conf.set("spark.sql.catalog.graft_pd",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_pd.root", root)
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_pd.default.li
+        WHERE l_orderkey BETWEEN 100 AND 500 GROUP BY l_returnflag""")
+    }),
     // Schema evolution: RENAME COLUMN as carried metadata (column-mapping)
     // on immutable files — the rename publishes as a marker commit, later
     // merges write the NEW name, and the read path reconciles generations
@@ -1295,6 +1321,11 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // file skipping through the SQL catalog must not change the answer
+    "q_sql_pushdown" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500 GROUP BY 1""".stripMargin,
     // the rename must relabel, never change, the data
     "q_schema_rename" ->
       """SELECT p_brand, count(*) AS n,

@@ -155,11 +155,92 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
 private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     pinned: Option[Int] = None, versionsPerBatch: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownFilters {
   private var required: StructType = full
   private var pushedValues: Option[Seq[Any]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // -----------------------------------------------------------------------
+  // Predicate pushdown → MANIFEST FILE SKIPPING: SQL predicates on
+  // stats-carrying columns prune the snapshot's file list on the driver
+  // before any scan task launches — the same range+bloom decision
+  // `ManifestTable.pruneFiles`/`pruneFilesForKeys` make on the API path,
+  // now wired through DSv2 so `SELECT … WHERE k BETWEEN a AND b` over
+  // `graft.default.t` reads 3 admitted files instead of all of them. File
+  // stats are NECESSARY, not sufficient (a surviving file may still hold
+  // no matching row), so EVERY filter is also reported back to Spark for
+  // post-scan re-evaluation — pruning can only shrink I/O, never change
+  // an answer. A file missing stats for the predicate column is always
+  // admitted (missing metadata degrades to a scan, never a wrong answer),
+  // and pruning declines entirely on governed tables: pushed predicates
+  // reference post-mask OUTPUT values, which raw file stats do not
+  // describe.
+  // -----------------------------------------------------------------------
+  import org.apache.spark.sql.sources._
+  private var pushed: Array[Filter] = Array.empty
+
+  private def numOf(a: Any): Option[BigDecimal] = a match {
+    case l: java.lang.Long => Some(BigDecimal(l.longValue))
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+    case s: java.lang.Short => Some(BigDecimal(s.intValue))
+    case b: java.lang.Byte => Some(BigDecimal(b.intValue))
+    case d: java.lang.Double => Some(BigDecimal(d.doubleValue))
+    case f: java.lang.Float => Some(BigDecimal(f.doubleValue))
+    case bd: java.math.BigDecimal => Some(BigDecimal(bd))
+    case _ => None
+  }
+  private def longOf(a: Any): Option[Long] = a match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+
+  /** Can this filter ever EXCLUDE a file from the manifest's recorded
+    * stats? Only these shapes are claimed in `pushedFilters()`. */
+  private def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => numOf(v).isDefined
+    case GreaterThan(_, v) => numOf(v).isDefined
+    case GreaterThanOrEqual(_, v) => numOf(v).isDefined
+    case LessThan(_, v) => numOf(v).isDefined
+    case LessThanOrEqual(_, v) => numOf(v).isDefined
+    case In(_, vs) => vs.nonEmpty && vs.forall(v => numOf(v).isDefined)
+    case And(a, b) => prunable(a) || prunable(b)
+    // OR is sound only when BOTH branches are stats-decidable (an
+    // unprunable branch could hold rows in any file)
+    case Or(a, b) => prunable(a) && prunable(b)
+    case _ => false
+  }
+
+  /** May file `e` hold a row satisfying `f`? Missing stats → yes. */
+  private def admits(f: Filter, e: ManifestTable.FileEntry): Boolean = f match {
+    case EqualTo(c, v) =>
+      numOf(v).forall(x =>
+        e.ranges.get(c).forall(r => r.min <= x && x <= r.max)) &&
+      longOf(v).forall(x =>
+        e.blooms.get(c).forall(graft.functions.BloomSketch.contains(_, x)))
+    case In(c, vs) =>
+      vs.nonEmpty && vs.exists(v => admits(EqualTo(c, v), e))
+    case GreaterThan(c, v) =>
+      numOf(v).forall(x => e.ranges.get(c).forall(_.max > x))
+    case GreaterThanOrEqual(c, v) =>
+      numOf(v).forall(x => e.ranges.get(c).forall(_.max >= x))
+    case LessThan(c, v) =>
+      numOf(v).forall(x => e.ranges.get(c).forall(_.min < x))
+    case LessThanOrEqual(c, v) =>
+      numOf(v).forall(x => e.ranges.get(c).forall(_.min <= x))
+    case And(a, b) => admits(a, e) && admits(b, e)
+    case Or(a, b) => admits(a, e) || admits(b, e)
+    case _ => true // unknown shape never prunes
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(prunable)
+    filters // all filters re-evaluate post-scan: stats admit SUPERSETS
+  }
+  override def pushedFilters(): Array[Filter] = pushed
 
   /** COUNT(*)/MIN/MAX answered from the manifest's recorded per-file
     * stats — zero data I/O, zero scan tasks (the catalog-served aggregate
@@ -246,27 +327,41 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     require(ManifestTable.policyLines(dir, v).isEmpty,
       s"catalog scan of $dir refused: governance policies present — " +
         "read via ManifestTable.readGoverned")
-    val files = ManifestTable.listFiles(dir, v)
-      .map(ManifestTable.dataPath(dir, _))
-    val requiredNow = required
-    new Scan {
-      override def readSchema(): StructType = requiredNow
-      override def toBatch: Batch = new Batch {
-        override def planInputPartitions(): Array[InputPartition] =
-          files.map(f => ManifestFilePartition(f): InputPartition).toArray
-        override def createReaderFactory(): PartitionReaderFactory =
-          new ManifestParquetReaderFactory(requiredNow)
-      }
-      // the same named table streams: spark.readStream.table("graft...")
-      // rides the version-offset micro-batch source (exactly-once by
-      // layout; admission-controlled via the versionsPerBatch read option)
-      override def toMicroBatchStream(loc: String)
-          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-        require(pinned.isEmpty, "cannot stream a time-travel snapshot")
-        new ManifestMicroBatchStream(dir, requiredNow, versionsPerBatch)
-      }
-    }
+    val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
+    val admitted =
+      if (pushed.isEmpty) entries
+      else entries.filter(e => pushed.forall(admits(_, e)))
+    new ManifestFilesScan(
+      admitted.map(e => ManifestTable.dataPath(dir, e.name)),
+      entries.size, required, dir, pinned, versionsPerBatch)
   }
+}
+
+/** The catalog's batch scan over one snapshot's (possibly filter-pruned)
+  * file list. `keptFiles`/`totalFiles` make the pruning decision visible
+  * to plans and specs — the proof a selective predicate read 3 files,
+  * not all of them. */
+private[graft] class ManifestFilesScan(files: Seq[String],
+    val totalFiles: Int, requiredNow: StructType, dir: String,
+    pinned: Option[Int], versionsPerBatch: Int) extends Scan {
+  def keptFiles: Int = files.size
+  override def readSchema(): StructType = requiredNow
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      files.map(f => ManifestFilePartition(f): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ManifestParquetReaderFactory(requiredNow)
+  }
+  // the same named table streams: spark.readStream.table("graft...")
+  // rides the version-offset micro-batch source (exactly-once by
+  // layout; admission-controlled via the versionsPerBatch read option)
+  override def toMicroBatchStream(loc: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pinned.isEmpty, "cannot stream a time-travel snapshot")
+    new ManifestMicroBatchStream(dir, requiredNow, versionsPerBatch)
+  }
+  override def description(): String =
+    s"graft manifest scan $dir (files $keptFiles/$totalFiles)"
 }
 
 private[sources] case class MetadataAggPartition(values: Seq[Any])

@@ -96,6 +96,66 @@ class Round9Spec extends AnyFunSuite {
     ManifestTable.destroy(dir)
   }
 
+  private def manifestScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[sources.ManifestFilesScan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case b: BatchScanExec => b.scan }
+      .collect { case m: sources.ManifestFilesScan => m }
+  }
+
+  test("SQL predicates prune manifest files: selective scans read a strict subset") {
+    val root = freshDir("sqlpd")
+    val dir = s"$root/li"
+    val li = Tables.lineitem(spark, sf).repartitionByRange(8, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    spark.conf.set("spark.sql.catalog.g9pd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9pd.root", root)
+
+    // range predicate: file skipping via recorded min/max
+    val sel = spark.sql(
+      "SELECT * FROM g9pd.default.li WHERE l_orderkey BETWEEN 10 AND 60")
+    val scans = manifestScans(sel)
+    assert(scans.nonEmpty, "the catalog scan must be a ManifestFilesScan")
+    assert(scans.head.keptFiles > 0 && scans.head.keptFiles < scans.head.totalFiles,
+      s"selective range must prune: kept ${scans.head.keptFiles} of " +
+        s"${scans.head.totalFiles}")
+    // pruning must never change the answer: parity with the API read
+    val expect = ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").between(10L, 60L)).count()
+    assert(sel.count() == expect)
+
+    // point lookup: bloom skipping on IN — under a range layout each key
+    // lives in one file, so an IN of 2 keys admits at most a couple
+    val point = spark.sql(
+      "SELECT * FROM g9pd.default.li WHERE l_orderkey IN (101, 1402)")
+    val pScan = manifestScans(point).head
+    assert(pScan.keptFiles < pScan.totalFiles)
+    assert(point.count() == ManifestTable.read(spark, dir)
+      .filter(col("l_orderkey").isin(101L, 1402L)).count())
+
+    // a full scan (no predicate) keeps everything
+    val all = manifestScans(spark.sql("SELECT * FROM g9pd.default.li")).head
+    assert(all.keptFiles == all.totalFiles)
+
+    // stats-less files are never pruned (degrade to scan, not wrong answer)
+    val dir2 = s"$root/nostats"
+    val staged2 = ManifestTable.stage(spark, dir2, li)
+    assert(ManifestTable.commit(dir2, staged2, -1))
+    val ns = manifestScans(spark.sql(
+      "SELECT * FROM g9pd.default.nostats WHERE l_orderkey BETWEEN 10 AND 60")).head
+    assert(ns.keptFiles == ns.totalFiles,
+      "no recorded stats ⟹ no pruning — every file must survive")
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
