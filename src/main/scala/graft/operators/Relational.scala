@@ -563,6 +563,31 @@ object Relational {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM graft.default.li GROUP BY l_returnflag""")
     }),
+    // SQL DML: a DELETE STATEMENT against the catalog executes the table
+    // format's own copy-on-write delete — `DELETE FROM graft_dml.default
+    // .li WHERE l_orderkey IN (…)` maps onto `deleteKeys` (bloom+range
+    // stats admit only the files that can hold the doomed keys; exactly
+    // those rewrite; one CAS publishes), with `delete.mode = mor` on the
+    // table property switching to the deletion-vector path. Oracle = the
+    // NOT IN restatement over the base — the statement path must answer
+    // exactly like the API path (q_manifest_delete's contract).
+    "q_sql_delete" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqldml_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/li"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      s.conf.set("spark.sql.catalog.graft_dml",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dml.root", root)
+      s.sql("DELETE FROM graft_dml.default.li WHERE l_orderkey IN (101, 777, 1402)")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_dml.default.li GROUP BY l_returnflag""")
+    }),
     // Predicate pushdown through the SQL catalog → manifest FILE SKIPPING:
     // the WHERE clause's range predicate prunes the snapshot's file list
     // on the driver (the manifest's recorded per-file min/max + bloom
@@ -1321,6 +1346,11 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the DELETE statement must answer exactly like the API delete
+    "q_sql_delete" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey NOT IN (101, 777, 1402) GROUP BY 1""".stripMargin,
     // file skipping through the SQL catalog must not change the answer
     "q_sql_pushdown" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -101,7 +101,17 @@ class GraftCatalog extends TableCatalog {
     val dir = dirOf(ident)
     require(ManifestTable.currentVersion(dir) < 0,
       s"table $ident already exists")
-    require(ManifestTable.commit(dir, Seq.empty, -1))
+    // TBLPROPERTIES persist as #prop marker lines in the v0 manifest
+    // (Spark's reserved engine properties are not table configuration)
+    val reserved = Set("provider", "location", "comment", "owner", "external")
+    val props = properties.asScala.toSeq.sortBy(_._1)
+      .filterNot { case (k, _) => reserved(k) || k.startsWith("option.") }
+      .map { case (k, v) => s"#prop\t$k\t$v" }
+    // the declared schema is the empty table's authority (files, once
+    // inserted, take over as the observed ground truth)
+    val schemaLine =
+      if (schema.isEmpty) Seq.empty else Seq(s"#schema\t${schema.json}")
+    require(ManifestTable.commit(dir, props ++ schemaLine, -1))
     new ManifestSqlTable(ident.toString, dir, None)
   }
 
@@ -121,18 +131,106 @@ class GraftCatalog extends TableCatalog {
 }
 
 /** One manifest table surfaced to SQL: snapshot-pinned batch scan (pruned
-  * parquet-mr read) + V1-bridge atomic insert. `pinned` carries a
+  * parquet-mr read) + V1-bridge atomic insert + DELETE statements mapped
+  * onto the table format's own DML primitives. `pinned` carries a
   * time-travel version (reads only; writes always target the head). */
 private[sources] class ManifestSqlTable(ident: String, dir: String,
     pinned: Option[Int]) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = ident
+
+  override def properties(): util.Map[String, String] = {
+    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+    ManifestTable.tableProperties(dir, v).asJava
+  }
+
+  // -----------------------------------------------------------------
+  // SQL DML: `DELETE FROM graft.default.t WHERE k IN (…)` executes the
+  // SAME machinery as the API path — copy-on-write `deleteKeys` (rewrite
+  // only the stats-admitted files) by default, or merge-on-read
+  // `deleteKeysMOR` (stage one doomed-key parquet + a #dv marker; write
+  // cost ∝ deleted keys) when the table property `delete.mode = mor`
+  // says so. Only statement shapes the format can execute exactly are
+  // accepted (one integral-key membership predicate, or an unconditional
+  // TRUNCATE-like delete); anything else is declined via canDeleteWhere
+  // so Spark reports it unsupported instead of half-running it.
+  // -----------------------------------------------------------------
+  import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In,
+    IsNotNull}
+
+  private def longOf(a: Any): Option[Long] = a match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+
+  private def isTruncate(filters: Array[Filter]): Boolean =
+    filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])
+
+  /** The one executable conditional shape: a single IN/= membership
+    * filter on one integral column (plus Spark's implicit IsNotNull on
+    * the same column). */
+  private def parseDelete(filters: Array[Filter]): Option[(String, Seq[Long])] = {
+    val memb = filters.collect {
+      case In(c, vs) => (c, vs.toSeq)
+      case EqualTo(c, v) => (c, Seq(v))
+    }
+    val extras = filters.filterNot {
+      case _: In | _: EqualTo | _: IsNotNull => true
+      case _ => false
+    }
+    if (extras.nonEmpty || memb.length != 1) return None
+    val (c, vs) = memb.head
+    if (filters.exists { case IsNotNull(cc) => cc != c; case _ => false })
+      return None
+    val keys = vs.map(longOf)
+    if (vs.nonEmpty && keys.forall(_.isDefined)) Some((c, keys.flatten))
+    else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && (isTruncate(filters) || parseDelete(filters).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty, "cannot DELETE from a time-travel snapshot")
+    val s = org.apache.spark.sql.SparkSession.active
+    if (isTruncate(filters)) {
+      // unconditional DELETE: one mutate commit listing no data files
+      // (policies/properties survive — they are the table, not its rows)
+      var attempt = 0
+      while (attempt < 10) {
+        val cur = ManifestTable.currentVersion(dir)
+        require(cur >= 0, s"no committed snapshot to delete from in $dir")
+        if (ManifestTable.commitMutate(dir,
+            ManifestTable.carriedMeta(dir, cur), cur)) return
+        attempt += 1
+      }
+      throw new IllegalStateException(s"DELETE lost 10 commit races in $dir")
+    } else {
+      val (col, keys) = parseDelete(filters).getOrElse(
+        throw new UnsupportedOperationException(
+          "DELETE supports `col IN (…)` / `col = k` on one integral key " +
+            "column, or no WHERE clause; use the ManifestTable API for more"))
+      val v = ManifestTable.currentVersion(dir)
+      val mor = ManifestTable.tableProperties(dir, v)
+        .get("delete.mode").contains("mor")
+      if (mor) ManifestTable.deleteKeysMOR(s, dir, col, keys)
+      else ManifestTable.deleteKeys(s, dir, col, keys)
+    }
+  }
 
   override def schema(): StructType = {
     val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
     val files = ManifestTable.listFiles(dir, v)
-    if (files.isEmpty) new StructType() // fresh CREATE TABLE, pre-insert
+    if (files.isEmpty) // fresh CREATE TABLE / fully-deleted: the declared
+      ManifestTable.declaredSchema(dir, v) // schema is the only authority
+        .map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[StructType])
+        .getOrElse(new StructType())
     else ManifestStreamSource.toSparkSchema(
       ManifestStreamSource.footerSchema(ManifestTable.dataPath(dir, files.head)))
   }
@@ -406,12 +504,12 @@ private[sources] class ManifestSqlWriteBuilder(dir: String)
             // dropped the masks would be a data-leak regression.
             done =
               if (overwrite) ManifestTable.commitMutate(dir,
-                staged ++ ManifestTable.policyLines(dir, v), v)
+                staged ++ ManifestTable.carriedMeta(dir, v), v)
               else ManifestTable.commit(dir,
                 ManifestTable.listLines(dir, v) ++ staged ++
                   ManifestTable.dvLines(dir, v) ++
                   ManifestTable.renameLines(dir, v) ++
-                  ManifestTable.policyLines(dir, v), v)
+                  ManifestTable.carriedMeta(dir, v), v)
             attempt += 1 // lost the race: re-read, re-append (orphans stay)
           }
           if (!done) throw new IllegalStateException(

@@ -210,6 +210,15 @@ object ManifestTable {
   def readVersion(s: SparkSession, dir: String, v: Int): DataFrame = {
     require(v >= 0 && Files.exists(manifestPath(dir, v)),
       s"no committed snapshot v$v in $dir")
+    // a zero-file snapshot (fresh CREATE TABLE, unconditional DELETE) is a
+    // legal empty table: serve the declared schema if one was recorded
+    if (listFiles(dir, v).isEmpty)
+      return declaredSchema(dir, v)
+        .map(j => s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(s.emptyDataFrame)
     val rns = renames(dir, v)
     if (rns.nonEmpty) // rename markers ⟹ no DVs (commit-time invariant)
       applyRenames(s.read.option("mergeSchema", "true")
@@ -320,7 +329,7 @@ object ManifestTable {
     require(v >= 0 && Files.exists(manifestPath(dir, v)),
       s"no committed snapshot v$v in $dir (vacuumed?)")
     val lines = listLines(dir, v) ++ dvLines(dir, v) ++
-      renameLines(dir, v) ++ policyLines(dir, v)
+      renameLines(dir, v) ++ carriedMeta(dir, v)
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = currentVersion(dir)
@@ -355,7 +364,7 @@ object ManifestTable {
     val dvs = dvEntries(srcDir, v).map(e =>
       encodeDv(DvEntry(abs(e.file), e.col, e.targets.map(abs))))
     require(commit(dstDir, lines ++ dvs ++ renameLines(srcDir, v) ++
-        policyLines(srcDir, v), -1),
+        carriedMeta(srcDir, v), -1),
       s"clone target $dstDir is not empty")
     // register the clone AT THE SOURCE (unique marker file — no write
     // race) so the source's vacuum knows external readers reference its
@@ -501,7 +510,7 @@ object ManifestTable {
       val staged = stage(s, dir, readVersion(s, dir, v).repartition(numFiles))
       // DV/rename markers materialize into the rewrite; POLICIES do not —
       // they govern reads forever and must survive compaction
-      if (commitRewrite(dir, staged ++ policyLines(dir, v), v)) return v + 1
+      if (commitRewrite(dir, staged ++ carriedMeta(dir, v), v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
     throw new IllegalStateException(s"compact lost $maxRetries commit races in $dir")
@@ -893,7 +902,7 @@ object ManifestTable {
       require(dvFile.size == 1)
       val dv = encodeDv(DvEntry(dvFile.head, col, affected.map(_.name).toSet))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        policyLines(dir, v) :+ dv
+        carriedMeta(dir, v) :+ dv
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1 // lost the race; the staged DV stays a harmless orphan
     }
@@ -998,7 +1007,7 @@ object ManifestTable {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to set policy on in $dir")
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        renameLines(dir, v) ++ lines
+        renameLines(dir, v) ++ propLines(dir, v) ++ lines
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1
     }
@@ -1016,6 +1025,72 @@ object ManifestTable {
     pols.collect { case Array(_, "mask", c, e) => (c, e) }
       .foldLeft(filtered)((df, p) => df.withColumn(p._1, expr(p._2)))
   }
+
+  // ---------------------------------------------------------------------
+  // Table PROPERTIES in the metadata (Delta's TBLPROPERTIES): `#prop`
+  // marker lines carry key=value configuration WITH the snapshot — e.g.
+  // `delete.mode = mor` choosing merge-on-read over copy-on-write for SQL
+  // DELETE statements. Properties travel like policies: through commits,
+  // compaction, restore, and clones; they never materialize away.
+  // ---------------------------------------------------------------------
+
+  private val PropPrefix = "#prop\t"
+
+  def propLines(dir: String, v: Int): Seq[String] = {
+    if (v < 0) return Seq.empty
+    new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.startsWith(PropPrefix)).toSeq
+  }
+
+  /** Current table properties of version `v` as a map. */
+  def tableProperties(dir: String, v: Int): Map[String, String] =
+    propLines(dir, v).map { l =>
+      val p = l.split('\t'); p(1) -> (if (p.length > 2) p(2) else "")
+    }.toMap
+
+  /** Publish (or replace) one table property. A metadata-only ordinary
+    * commit: the data did not change, so the change feed crosses freely. */
+  def setTableProperty(dir: String, key: String, value: String,
+      maxRetries: Int = 10): Int = {
+    require(!key.contains('\t') && !key.contains('\n') &&
+      !value.contains('\t') && !value.contains('\n'),
+      "property keys/values may not contain tabs/newlines")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to set properties on in $dir")
+      val kept = propLines(dir, v).filterNot(_.startsWith(s"$PropPrefix$key\t"))
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++
+        renameLines(dir, v) ++ policyLines(dir, v) ++ kept :+
+        s"#prop\t$key\t$value"
+      if (commit(dir, body, v)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"setTableProperty lost $maxRetries races in $dir")
+  }
+
+  private val SchemaPrefix = "#schema\t"
+
+  /** The declared schema recorded by `CREATE TABLE` (JSON), if any — the
+    * authority for an EMPTY table, where no data file can answer. Files,
+    * once present, are the ground truth (observed beats declared). */
+  def declaredSchema(dir: String, v: Int): Option[String] = {
+    if (v < 0) return None
+    new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).find(_.startsWith(SchemaPrefix))
+      .map(_.stripPrefix(SchemaPrefix))
+  }
+
+  private def schemaLines(dir: String, v: Int): Seq[String] =
+    declaredSchema(dir, v).map(SchemaPrefix + _).toSeq
+
+  /** The marker lines EVERY successor commit carries verbatim regardless
+    * of what it does to the data files: governance policies, table
+    * properties, and the declared schema (unlike DV/rename markers, which
+    * interact with the file list and are carried by dedicated,
+    * path-specific logic). */
+  private[sources] def carriedMeta(dir: String, v: Int): Seq[String] =
+    policyLines(dir, v) ++ propLines(dir, v) ++ schemaLines(dir, v)
 
   /** MERGE-ON-READ UPSERT (MERGE WHEN MATCHED THEN UPDATE, WHEN NOT
     * MATCHED THEN INSERT) — the Hudi merge-on-read shape: every batch row
@@ -1065,7 +1140,7 @@ object ManifestTable {
         if (affected.isEmpty) Seq.empty // pure insert: nothing to doom
         else dvFiles.map(f => encodeDv(DvEntry(f, col, affected)))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        policyLines(dir, v) ++ dataFiles ++ markers
+        carriedMeta(dir, v) ++ dataFiles ++ markers
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
@@ -1147,7 +1222,7 @@ object ManifestTable {
         if (survivors.isEmpty) Seq.empty[String]
         else stageWithIndexes(s, dir, survivors, statsCols, bloomCols)
       val carried = carriedDvLines(dir, v,
-        keep.map(_.split('\t').head).toSet) ++ policyLines(dir, v)
+        keep.map(_.split('\t').head).toSet) ++ carriedMeta(dir, v)
       if (commitMutate(dir, keep ++ staged ++ carried, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
@@ -1194,7 +1269,7 @@ object ManifestTable {
       val bloomCols = affected.flatMap(_.blooms.keys).distinct
       val staged = stageWithIndexes(s, dir, rewritten, statsCols, bloomCols)
       val carried = carriedDvLines(dir, v,
-        keep.map(_.split('\t').head).toSet) ++ policyLines(dir, v)
+        keep.map(_.split('\t').head).toSet) ++ carriedMeta(dir, v)
       if (commitMutate(dir, keep ++ staged ++ carried, v)) return v + 1
       attempt += 1
     }
@@ -1263,7 +1338,7 @@ object ManifestTable {
       if (statsCols.nonEmpty) stageWithStats(s, dir, batch, statsCols)
       else stage(s, dir, batch)
     val lines = s"#base=$v" +: (listLines(dir, v) ++ staged ++
-      dvLines(dir, v) ++ policyLines(dir, v))
+      dvLines(dir, v) ++ carriedMeta(dir, v))
     Files.write(auditPath(dir, tag), lines.mkString("\n").getBytes("UTF-8"))
   }
 
@@ -1454,7 +1529,7 @@ object ManifestTable {
         else stage(s, dir, laid)
       val carried = carriedDvLines(dir, v, big.map(_.split('\t').head).toSet) ++
         (if (big.isEmpty) Seq.empty else renameLines(dir, v)) ++
-        policyLines(dir, v) // policies never materialize away
+        carriedMeta(dir, v) // policies/properties never materialize away
       if (commitRewrite(dir, big ++ staged ++ carried, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
@@ -1499,7 +1574,7 @@ object ManifestTable {
       // unchanged, so every DV still targets exactly what it did, and the
       // rename chain keeps reconciling the older generations
       if (commit(dir, existing ++ staged ++ dvLines(dir, v) ++
-          renameLines(dir, v) ++ policyLines(dir, v), v)) return v + 1
+          renameLines(dir, v) ++ carriedMeta(dir, v), v)) return v + 1
       // lost the race: the staged files stay harmless orphans; re-reconcile
       attempt += 1
     }

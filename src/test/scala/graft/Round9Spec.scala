@@ -156,6 +156,79 @@ class Round9Spec extends AnyFunSuite {
       "no recorded stats ⟹ no pruning — every file must survive")
   }
 
+  test("DELETE statements execute the format's own DML: CoW by default, MOR by table property") {
+    val root = freshDir("sqldel")
+    val li = Tables.lineitem(spark, sf).repartition(4, col("l_orderkey"))
+    def build(name: String): String = {
+      val dir = s"$root/$name"
+      val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+        statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      assert(ManifestTable.commit(dir, staged, -1))
+      dir
+    }
+    val cowDir = build("cow"); val morDir = build("mor"); val apiDir = build("api")
+    ManifestTable.setTableProperty(morDir, "delete.mode", "mor")
+    spark.conf.set("spark.sql.catalog.g9dml",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9dml.root", root)
+
+    val keys = Seq(101L, 777L, 1402L)
+    spark.sql("DELETE FROM g9dml.default.cow WHERE l_orderkey IN (101, 777, 1402)")
+    spark.sql("DELETE FROM g9dml.default.mor WHERE l_orderkey IN (101, 777, 1402)")
+    ManifestTable.deleteKeys(spark, apiDir, "l_orderkey", keys)
+
+    // the statement path and the API path produce identical versions/history
+    import org.apache.spark.sql.Row
+    def hist(d: String) = ManifestTable.history(spark, d)
+      .select("version", "kind").collect().toSeq
+    assert(hist(cowDir) == hist(apiDir),
+      "CoW DELETE statement must commit exactly like the API deleteKeys")
+    assert(ManifestTable.isMutate(morDir, ManifestTable.currentVersion(morDir)))
+    // MOR really took the deletion-vector path: markers present, CoW not
+    assert(ManifestTable.dvLines(morDir,
+      ManifestTable.currentVersion(morDir)).nonEmpty)
+    assert(ManifestTable.dvLines(cowDir,
+      ManifestTable.currentVersion(cowDir)).isEmpty)
+    // and all three answer identically
+    val expect = li.filter(!col("l_orderkey").isin(keys: _*)).count()
+    Seq(cowDir, morDir, apiDir).foreach(d =>
+      assert(ManifestTable.read(spark, d).count() == expect))
+
+    // equality shape + unconditional DELETE
+    spark.sql("DELETE FROM g9dml.default.cow WHERE l_orderkey = 5")
+    assert(ManifestTable.read(spark, cowDir).count() ==
+      li.filter(!col("l_orderkey").isin(5L +: keys: _*)).count())
+    spark.sql("DELETE FROM g9dml.default.cow")
+    assert(ManifestTable.read(spark, cowDir).count() == 0)
+  }
+
+  test("CREATE TABLE TBLPROPERTIES persist as #prop markers and survive the lifecycle") {
+    val root = freshDir("props")
+    spark.conf.set("spark.sql.catalog.g9prop",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9prop.root", root)
+    spark.sql("CREATE TABLE g9prop.default.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('delete.mode' = 'mor')")
+    val dir = s"$root/t"
+    assert(ManifestTable.tableProperties(dir, 0) == Map("delete.mode" -> "mor"))
+    import spark.implicits._
+    val batch = (1L to 100L).map(k => (k, k * 1.5)).toDF("k", "v")
+    batch.createOrReplaceTempView("r9_prop_batch")
+    spark.sql("INSERT INTO g9prop.default.t SELECT * FROM r9_prop_batch")
+    // properties survive insert, compaction, restore, and clone
+    ManifestTable.compact(spark, dir, numFiles = 1)
+    val vNow = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.tableProperties(dir, vNow)("delete.mode") == "mor")
+    spark.sql("DELETE FROM g9prop.default.t WHERE k IN (3, 4)")
+    assert(ManifestTable.dvLines(dir,
+      ManifestTable.currentVersion(dir)).nonEmpty,
+      "the CREATE TABLE property must route the DELETE through MOR")
+    assert(ManifestTable.read(spark, dir).count() == 98)
+    // the DSv2 table surfaces them too
+    assert(spark.sql("SHOW TBLPROPERTIES g9prop.default.t")
+      .filter(col("key") === "delete.mode").count() == 1)
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
