@@ -101,13 +101,26 @@ object GenScale {
             w => concat(w, lit(s"_$i"))), " "))
         .withColumn("n_chars", length(col("text")).cast("long"))), 8)
 
+    // rotation must stay inside the dimension (factor can exceed it): use
+    // i mod dim positions, composed with a GLOBAL NEGATION for replicas
+    // past one full rotation cycle — both are isometries (norms and
+    // within-replica distances exactly preserved) and together give
+    // 2×dim distinct transforms, so replicas decorrelate up to factor 128
+    val dim = Tables.embeddings(spark, src)
+      .select(size(col("embedding"))).head().getInt(0)
     write("embeddings", inflate(Tables.embeddings(spark, src), (df, i) =>
       if (i == 0) df
-      else df
-        .withColumn("vec_id", col("vec_id") + lit(vOff * i))
-        .withColumn("embedding", concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
-          slice(col("embedding"), lit(1), lit(i))))), 8)
+      else {
+        val r = i % dim
+        val rotated = df
+          .withColumn("vec_id", col("vec_id") + lit(vOff * i))
+          .withColumn("embedding", concat(
+            slice(col("embedding"), lit(r + 1), size(col("embedding")) - lit(r)),
+            slice(col("embedding"), lit(1), lit(r))))
+        if ((i / dim) % 2 == 0) rotated
+        else rotated.withColumn("embedding",
+          transform(col("embedding"), x => -x))
+      }), 8)
 
     spark.stop()
   }

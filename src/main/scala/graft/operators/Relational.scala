@@ -563,6 +563,33 @@ object Relational {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM graft.default.li GROUP BY l_returnflag""")
     }),
+    // Governed reads THROUGH THE SQL CATALOG: the same #policy markers
+    // q_governed_read enforces on the API path now govern plain
+    // `SELECT … FROM graft_gov.default.t` — the scan itself applies the
+    // row filter BEFORE the column masks, executor-side, from bound
+    // Catalyst expressions resolved against the raw schema at planning.
+    // SQL consumers are exactly who governance is for; the oracle is
+    // q_governed_read's verbatim (the endpoint must not change the
+    // declared transformation).
+    "q_sql_governed" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlgov_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/ev"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      graft.sources.ManifestTable.merge(s, tbl, ev, Seq("event_id"))
+      graft.sources.ManifestTable.setPolicy(tbl,
+        masks = Map("user_id" -> "pmod(user_id, 100)",
+          "value" -> "round(value, 0)"),
+        rowFilter = Some("event_type <> 'error'"))
+      s.conf.set("spark.sql.catalog.graft_gov",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_gov.root", root)
+      s.sql("""SELECT event_type, user_id, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM graft_gov.default.ev GROUP BY event_type, user_id""")
+    }),
     // SQL DML: a DELETE STATEMENT against the catalog executes the table
     // format's own copy-on-write delete — `DELETE FROM graft_dml.default
     // .li WHERE l_orderkey IN (…)` maps onto `deleteKeys` (bloom+range
@@ -1346,6 +1373,13 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the governed CATALOG endpoint must apply exactly the declared
+    // transformation q_governed_read's API endpoint applies
+    "q_sql_governed" ->
+      """SELECT event_type, user_id % 100 AS user_id, count(*) AS n,
+        |       CAST(sum(CAST(round(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1, 2""".stripMargin,
     // the DELETE statement must answer exactly like the API delete
     "q_sql_delete" ->
       """SELECT l_returnflag, count(*) AS n,

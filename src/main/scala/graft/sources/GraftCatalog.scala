@@ -422,16 +422,128 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         ManifestTable.renameLines(dir, v).isEmpty,
       s"catalog scan of $dir refused: deletion-vector/rename markers present " +
         "— compact first, or read via ManifestTable.read")
-    require(ManifestTable.policyLines(dir, v).isEmpty,
-      s"catalog scan of $dir refused: governance policies present — " +
-        "read via ManifestTable.readGoverned")
     val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
+    val pols = ManifestTable.policyLines(dir, v).map(_.split('\t'))
+    if (pols.nonEmpty)
+      // governed table: serve a policy-ENFORCING scan (filter-then-mask,
+      // the readGoverned semantics) instead of refusing — SQL consumers
+      // are exactly who governance is for. File pruning declines here:
+      // pushed predicates reference post-mask OUTPUT values, which the
+      // raw file stats do not describe.
+      return governedScan(entries, pols)
     val admitted =
       if (pushed.isEmpty) entries
       else entries.filter(e => pushed.forall(admits(_, e)))
     new ManifestFilesScan(
       admitted.map(e => ManifestTable.dataPath(dir, e.name)),
       entries.size, required, dir, pinned, versionsPerBatch)
+  }
+
+  /** Build the governed scan: parse + analyze the policy expressions ON
+    * THE DRIVER against the table's raw schema (one dummy plan supplies
+    * consistently-bound attributes), bind them to the exact column subset
+    * the reader will decode, and ship the BOUND expressions to executors
+    * — row filter evaluated BEFORE masks (a mask must not leak through
+    * the filter predicate's view), each mask cast to its column's
+    * declared type so the schema never lies. Columns a policy reads that
+    * the query did not select are decoded for evaluation but never
+    * surfaced. */
+  private def governedScan(entries: Seq[ManifestTable.FileEntry],
+      pols: Seq[Array[String]]): Scan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And,
+      AttributeSeq, BindReferences, BoundReference, Cast, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val s = org.apache.spark.sql.SparkSession.active
+    val filterStrs = pols.collect { case Array(_, "filter", e) => e }.toSeq
+    // masks of columns the query never selected need no evaluation (and
+    // their reference columns need no decoding)
+    val selected = required.fieldNames.toSet
+    val maskPairs = pols.collect { case Array(_, "mask", c, e) => (c, e) }
+      .toSeq.filter(p => selected(p._1))
+    // one dummy plan resolves every policy expression against the raw
+    // schema with one consistent set of attribute ids
+    val dummy = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), full)
+    val allStrs = filterStrs ++ maskPairs.map(_._2)
+    val analyzed = dummy.select(allStrs.zipWithIndex.map { case (e, i) =>
+      org.apache.spark.sql.functions.expr(e).alias(s"__p$i") }: _*)
+      .queryExecution.analyzed
+    val proj = analyzed.collectFirst { case p: Project => p }.getOrElse(
+      throw new IllegalStateException("policy expressions did not analyze " +
+        "to a projection — refuse rather than guess"))
+    val resolved = proj.projectList.map { case a: Alias => a.child }
+    val relOutput = proj.child.output
+    val (resolvedFilters, resolvedMasks) = resolved.splitAt(filterStrs.size)
+    // decode exactly: selected columns + columns any policy reads
+    val requiredNames = required.fieldNames.toSet
+    val refNames = resolved.flatMap(_.references.toSeq.map(_.name)).toSet
+    val readNames = full.fieldNames.filter(n =>
+      requiredNames(n) || refNames(n))
+    val decodeSchema = StructType(readNames.map(n =>
+      full.fields(full.fieldIndex(n))))
+    val readAttrs = relOutput.filter(a => readNames.contains(a.name))
+    val attrSeq = AttributeSeq(readAttrs)
+    val boundFilter = resolvedFilters
+      .map(BindReferences.bindReference(_, attrSeq)).reduceOption(And.apply)
+    val maskOf = maskPairs.map(_._1).zip(resolvedMasks).toMap
+    val outProjs: Seq[Expression] = required.fields.toSeq.map { f =>
+      maskOf.get(f.name) match {
+        case Some(me) =>
+          val bound = BindReferences.bindReference(me, attrSeq)
+          if (bound.dataType == f.dataType) bound
+          else Cast(bound, f.dataType)
+        case None =>
+          val i = readAttrs.indexWhere(_.name == f.name)
+          BoundReference(i, f.dataType, readAttrs(i).nullable)
+      }
+    }
+    val files = entries.map(e => ManifestTable.dataPath(dir, e.name))
+    val requiredNow = required
+    new Scan {
+      override def readSchema(): StructType = requiredNow
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          files.map(f => ManifestFilePartition(f): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GovernedReaderFactory(decodeSchema, boundFilter, outProjs)
+      }
+      override def description(): String =
+        s"graft GOVERNED scan $dir (${filterStrs.size} filters, " +
+          s"${maskPairs.size} masks)"
+    }
+  }
+}
+
+/** Executor-side policy enforcement: the base parquet reader decodes the
+  * needed columns; each row passes the bound row-filter predicate first,
+  * then projects through the bound masks. Bound Catalyst expressions are
+  * serializable case classes; predicate and projection compile lazily
+  * per partition (codegen with interpreted fallback). */
+private[sources] class GovernedReaderFactory(readSchema: StructType,
+    filter: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+    projs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val base = new ManifestParquetReader(
+      partition.asInstanceOf[ManifestFilePartition].file, readSchema)
+    new PartitionReader[InternalRow] {
+      private lazy val pred = filter.map(
+        org.apache.spark.sql.catalyst.expressions.Predicate.create(_))
+      private lazy val proj =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(projs)
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (base.next()) {
+          val r = base.get()
+          if (pred.forall(_.eval(r))) { cur = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(cur)
+      override def close(): Unit = base.close()
+    }
   }
 }
 

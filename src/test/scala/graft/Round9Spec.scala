@@ -229,6 +229,50 @@ class Round9Spec extends AnyFunSuite {
       .filter(col("key") === "delete.mode").count() == 1)
   }
 
+  test("the SQL catalog serves governed tables: filter-then-mask, parity with readGoverned") {
+    val root = freshDir("sqlgov")
+    val dir = s"$root/ev"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ManifestTable.merge(spark, dir, ev, Seq("event_id"))
+    ManifestTable.setPolicy(dir,
+      masks = Map("user_id" -> "pmod(user_id, 100)",
+        "value" -> "round(value, 0)"),
+      rowFilter = Some("event_type <> 'error'"))
+    spark.conf.set("spark.sql.catalog.g9gov",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9gov.root", root)
+
+    // exact parity with the API endpoint, row for row
+    val viaSql = spark.sql(
+      "SELECT event_id, user_id, event_type, value FROM g9gov.default.ev")
+    val viaApi = ManifestTable.readGoverned(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty,
+      "the catalog scan must apply exactly the declared transformation")
+    // the filter really ran before the masks and the masks really applied
+    assert(viaSql.filter(col("event_type") === "error").count() == 0)
+    assert(viaSql.agg(max(col("user_id"))).head().getLong(0) < 100)
+
+    // a projection that drops the filter column still filters (the scan
+    // decodes policy-referenced columns it never surfaces)
+    val narrow = spark.sql("SELECT user_id FROM g9gov.default.ev")
+    assert(narrow.count() == viaApi.count())
+    assert(narrow.schema.fieldNames.toSeq == Seq("user_id"))
+
+    // metadata aggregate pushdown keeps declining (a policy changes the
+    // answer; the manifest's counts describe raw rows)
+    val cnt = spark.sql("SELECT count(*) AS n FROM g9gov.default.ev").head().getLong(0)
+    assert(cnt == viaApi.count(),
+      "COUNT(*) over a governed table must count FILTERED rows")
+
+    // maintenance is untouched: the raw readVersion still sees true rows
+    val raw = ManifestTable.readVersion(spark, dir,
+      ManifestTable.currentVersion(dir))
+    assert(raw.count() == ev.count())
+    assert(raw.filter(col("event_type") === "error").count() > 0)
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
