@@ -749,6 +749,35 @@ object Relational {
     // millions-of-files snapshot resolvable. Oracle = content invariance
     // (the metadata layout must never change the answer); the spec proves
     // the bounded-resolve and prune-equivalence properties.
+    // Segment-level BLOOM pruning for point lookups — the summary kind
+    // range envelopes cannot provide: under a hash-clustered layout every
+    // segment SPANS the full key range (range summaries admit everything)
+    // but holds only its own key SET, so the per-segment union Bloom in
+    // the manifest list prunes the lookup to the few bloom-admitted
+    // segments, whose file lines alone are parsed (driver cost
+    // O(|segments| + |admitted files|)). The residual IN filter absorbs
+    // bloom false positives — never a wrong answer; oracle = the IN
+    // restatement over the base table.
+    "q_segment_point_lookup" -> ((s, d) => {
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_segpt_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(16, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithIndexes(
+        s, tbl, li, statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commitSegmented(tbl, staged, -1,
+        segmentSize = 4))
+      val keys = Seq(101L, 777L, 1402L)
+      val (kept, _, _, _) = graft.sources.ManifestTable
+        .pruneFilesSegmentedForKeys(tbl, 0, "l_orderkey", keys)
+      (if (kept.isEmpty)
+        graft.sources.ManifestTable.read(s, tbl).filter(lit(false))
+      else s.read.parquet(
+        kept.map(graft.sources.ManifestTable.dataPath(tbl, _)): _*))
+        .filter(col("l_orderkey").isin(keys: _*))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+    }),
     "q_manifest_segments" -> ((s, d) => {
       val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_mseg_" +
         java.lang.ProcessHandle.current().pid()
@@ -1357,6 +1386,10 @@ object Relational {
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part WHERE p_size BETWEEN 10 AND 15""".stripMargin,
+    // segment-bloom skipping must not change the point lookup's answer
+    "q_segment_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_orderkey IN (101, 777, 1402)""".stripMargin,
     // the segmented metadata layout must never change the answer
     "q_manifest_segments" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -142,14 +142,94 @@ object ManifestTable {
         if (rs.size < es.size) None
         else Some(c -> ColRange(rs.head.tag, rs.map(_.min).min, rs.map(_.max).max))
       }.toMap
+      // per-column BLOOM union (bitwise OR, no false negatives by
+      // construction) — the summary that prunes segments on EQUALITY
+      // keys, which range envelopes cannot under a hash-clustered layout
+      // (every segment spans the full key range but holds its own key
+      // set). Same every-file rule as ranges; geometry must match.
+      val bloomCols = es.flatMap(_.blooms.keys).distinct.sorted
+      val blooms = bloomCols.flatMap { c =>
+        val bs = es.flatMap(_.blooms.get(c))
+        if (bs.size < es.size) None else unionBlooms(bs).map(c -> _)
+      }
+      // per-column NDV sketch union (HLL registers merge losslessly) —
+      // the planner's distinct-count input at SEGMENT granularity
+      val hllCols = es.flatMap(_.hlls.keys).distinct.sorted
+      val hlls = hllCols.flatMap { c =>
+        val hs = es.flatMap(_.hlls.get(c))
+        if (hs.size < es.size) None else Some(c -> unionHlls(hs))
+      }
       val rows = es.flatMap(_.rows)
       val rowsKv = if (rows.size == es.size) s"\t__rows=${rows.sum}" else ""
       val rangeKv = if (ranges.isEmpty) "" else s"\t${encodeStats(ranges)}"
-      s"$name$rangeKv$rowsKv\t__files=${es.size}"
+      val bloomKv = if (blooms.isEmpty) "" else "\t" + blooms
+        .map { case (c, b) => s"$c=B:${hexEncode(b)}" }.mkString(";")
+      val hllKv = if (hlls.isEmpty) "" else "\t" + hlls
+        .map { case (c, h) => s"$c=H:${hexEncode(h)}" }.mkString(";")
+      s"$name$rangeKv$bloomKv$hllKv$rowsKv\t__files=${es.size}"
     }.toSeq
     val body = (Seq(kind).filter(_.nonEmpty) ++ (SegMarker +: summaries))
       .mkString("\n")
     commitBody(dir, body, expected)
+  }
+
+  /** Bitwise-OR union of same-geometry Bloom sketches (format:
+    * [numBits:Int][k:Int][words…]). The union's bit set is a superset of
+    * each input's, so `contains` keeps its no-false-negative guarantee
+    * for every key any input held. Mismatched geometry → None (an
+    * unsound union must not exist). */
+  private def unionBlooms(bs: Seq[Array[Byte]]): Option[Array[Byte]] = {
+    val head = bs.head
+    val sameGeometry = bs.forall(b => b.length == head.length &&
+      java.util.Arrays.equals(b.take(8), head.take(8)))
+    if (!sameGeometry) return None
+    val out = head.clone()
+    bs.tail.foreach { b =>
+      var i = 8
+      while (i < out.length) { out(i) = (out(i) | b(i)).toByte; i += 1 }
+    }
+    Some(out)
+  }
+
+  /** Union of Datasketches HLL register blobs (register-max merge). */
+  private def unionHlls(hs: Seq[Array[Byte]]): Array[Byte] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val u = new Union()
+    hs.foreach(h => u.update(HllSketch.heapify(h)))
+    u.getResult.toCompactByteArray
+  }
+
+  /** [[pruneFilesForKeys]] over a SEGMENTED manifest: segment summaries
+    * prune on BOTH the range envelope and the segment's union Bloom, so a
+    * point lookup under a hash-clustered layout (where every segment's
+    * range spans everything) still parses ONLY the bloom-admitted
+    * segments — then per-file range+bloom pruning inside those. Returns
+    * (kept file names, segments read, segments total, files total); the
+    * second element is the driver's actual parse cost. */
+  def pruneFilesSegmentedForKeys(dir: String, v: Int, col: String,
+      keys: Seq[Long]): (Seq[String], Int, Int, Long) = {
+    val raw = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    require(raw.contains(SegMarker), s"v$v of $dir is not a segmented manifest")
+    val summaryLines = raw.filterNot(_.startsWith("#"))
+    val filesRe = "__files=(\\d+)".r
+    val totalFiles = summaryLines
+      .flatMap(l => filesRe.findFirstMatchIn(l).map(_.group(1).toLong)).sum
+    val summaries = summaryLines.map(parseEntry)
+    def admit(e: FileEntry): Boolean = {
+      val rangeOk = e.ranges.get(col).forall(r =>
+        keys.exists(x => BigDecimal(x) >= r.min && BigDecimal(x) <= r.max))
+      val bloomOk = e.blooms.get(col).forall(bf =>
+        keys.exists(x => graft.functions.BloomSketch.contains(bf, x)))
+      rangeOk && bloomOk
+    }
+    val admitted = summaries.filter(admit)
+    val kept = admitted.flatMap { s =>
+      Files.readAllLines(segPath(dir, s.name)).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(parseEntry).filter(admit).map(_.name)
+    }
+    (kept, admitted.size, summaries.size, totalFiles)
   }
 
   /** [[pruneFiles]] over a SEGMENTED manifest, touching only admitted

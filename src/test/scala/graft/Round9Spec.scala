@@ -273,6 +273,33 @@ class Round9Spec extends AnyFunSuite {
     assert(raw.filter(col("event_type") === "error").count() > 0)
   }
 
+  test("segment bloom summaries: a point lookup parses only bloom-admitted segments") {
+    val dir = freshDir("segbloom")
+    // HASH layout: every file (and so every segment) spans the full key
+    // range — range summaries admit everything; only blooms can prune
+    val li = Tables.lineitem(spark, sf).repartition(16, col("l_orderkey"))
+    val staged = ManifestTable.stageWithIndexes(spark, dir, li,
+      statsCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+    assert(ManifestTable.commitSegmented(dir, staged, -1, segmentSize = 4))
+    val keys = Seq(101L)
+    val (kept, segsRead, segsTotal, filesTotal) =
+      ManifestTable.pruneFilesSegmentedForKeys(dir, 0, "l_orderkey", keys)
+    assert(segsTotal == 4 && filesTotal == 16)
+    assert(segsRead < segsTotal,
+      s"the union bloom must prune segments ($segsRead/$segsTotal read) — " +
+        "range envelopes cannot under a hash layout")
+    // the range-only prune really is blind here (the contrast that proves
+    // the bloom summary earns its bytes)
+    val (rangeKept, rangeSegsRead, _, _) = ManifestTable.pruneFilesSegmented(
+      dir, 0, "l_orderkey", BigDecimal(101), BigDecimal(101))
+    assert(rangeSegsRead == segsTotal)
+    // no false negatives: every row with the key is in a kept file
+    val expect = li.filter(col("l_orderkey").isin(keys: _*)).count()
+    val got = spark.read.parquet(kept.map(ManifestTable.dataPath(dir, _)): _*)
+      .filter(col("l_orderkey").isin(keys: _*)).count()
+    assert(got == expect && kept.size <= rangeKept.size)
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
