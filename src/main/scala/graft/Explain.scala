@@ -32,7 +32,11 @@ object Explain {
     "q_manifest_history", "q_manifest_restore", "q_manifest_segments",
     "q_merge_on_read", "q_mor_upsert", "q_schema_rename", "q_sql_catalog",
     "q_mv_rewrite", "q_mv_incremental", "q_bm25_index", "q_vector_index",
-    "q_advised_join", "q_governed_read")
+    "q_advised_join", "q_governed_read",
+    // round 9: catalog DML/pushdown/governed queries build + mutate
+    // manifest tables at construction
+    "q_sql_pushdown", "q_sql_delete", "q_sql_governed",
+    "q_segment_point_lookup", "q_mv_join_rewrite")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

@@ -297,6 +297,19 @@ object CurationOps {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = DedupOps.ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+    labelPropagationWithRounds(s, pairs)._1
+  }
+
+  /** The min-label-propagation core over an arbitrary undirected pair
+    * table (columns = two long ids), returning the labeling AND the round
+    * count it converged in — shared by the fixture query and the
+    * multi-scale fixpoint measurement (`graft.IterBench` / SF1.md). */
+  private[graft] def labelPropagationWithRounds(s: SparkSession,
+      pairTable: DataFrame): (DataFrame, Int) = {
+    import s.implicits._
+    val cols = pairTable.columns
+    val pairs = pairTable
+      .select(col(cols(0)).as("doc_a"), col(cols(1)).as("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -323,7 +336,10 @@ object CurationOps {
     }
     pairs.unpersist(false)
     edges.unpersist(false)
-    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+    // the scale-governing number for an iterative op: each round is a
+    // full shuffle, so round count IS the cost model (SF1.md measures it)
+    System.err.println(s"[rounds] dedup_clusters_labelprop rounds=$iter")
+    (labels.select($"id".as("doc_id"), $"label".as("cluster_id")), iter)
   }
 
   /** Oracle: transitive closure by recursive CTE over the same pair graph
@@ -420,7 +436,15 @@ object CurationOps {
   /** The star-contraction core over an arbitrary undirected pair table
     * (columns = two long ids) — shared by the fixture query and the
     * synthetic-graph specs (chain diameter, equivalence). */
-  private[graft] def starComponents(s: SparkSession, pairTable: DataFrame): DataFrame = {
+  private[graft] def starComponents(s: SparkSession, pairTable: DataFrame): DataFrame =
+    starComponentsWithRounds(s, pairTable)._1
+
+  /** [[starComponents]] + the ROUND COUNT it converged in — the number
+    * the O(log n) claim is about (each round is one full shuffle, so at
+    * 100 TB round count IS the cost); measured across growing synthetic
+    * chains by the spec and across fixture scales by SF1.md. */
+  private[graft] def starComponentsWithRounds(s: SparkSession,
+      pairTable: DataFrame): (DataFrame, Int) = {
     import s.implicits._
     val cols = pairTable.columns
     val pairs = pairTable.select(col(cols(0)).as("doc_a"), col(cols(1)).as("doc_b"))
@@ -462,12 +486,15 @@ object CurationOps {
       iter += 1
     }
     require(converged, s"star contraction did not converge in $iter rounds")
+    // round count is the claim under test: ~log(component size), each
+    // round one shuffle (SF1.md's multi-scale measurement reads this line)
+    System.err.println(s"[rounds] star_components rounds=$iter")
     // converged: a star forest — every non-center points at its component
     // min, and centers are their own min
-    edges.filter($"v" < $"u").select($"u".as("doc_id"), $"v".as("cluster_id"))
+    (edges.filter($"v" < $"u").select($"u".as("doc_id"), $"v".as("cluster_id"))
       .union(edges.select(least($"u", $"v").as("doc_id"))
         .distinct().withColumn("cluster_id", $"doc_id"))
-      .distinct()
+      .distinct(), iter)
   }
 
   /** Diversity cap (the SemDeDup-style decision, Abbas et al. 2023): every

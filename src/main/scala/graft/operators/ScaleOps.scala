@@ -608,6 +608,55 @@ object ScaleOps {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** The JOIN-MV definition: per-market-segment order counts and revenue
+    * over the orders⨝customer star join — the dashboard shape (aggregate
+    * over a fact⨝dimension subtree) MV rewriting exists for. */
+  private[graft] def mvJoinDefinition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("revenue_d"))
+  }
+
+  /** MV auto-rewrite over a JOIN: dashboards aggregate over star joins,
+    * not single tables, so the view's defining plan here is an aggregate
+    * whose CHILD is the optimized orders⨝customer subtree. The rule's
+    * matching needs no special casing — its canonicalized core key covers
+    * whatever child plan the aggregate sits on, join included, and the
+    * embedded root paths of BOTH scanned relations keep a same-shaped
+    * join over different tables from cross-matching. The query below is
+    * the original join aggregate; the optimizer serves it from the
+    * |segments|-row materialization (spec-asserted: served plan reads the
+    * MV path and contains NO join; a same-shape join with a different
+    * condition declines). Oracle = the join aggregate restated over the
+    * base tables — rewrite must be answer-invariant. */
+  def mvJoinRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewriteRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewriteRule
+    val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_mvj_" +
+      java.lang.ProcessHandle.current().pid()
+    // deregister BEFORE refreshing (the refresh's own defining query must
+    // not be rewritten to read the path it is overwriting)
+    graft.plans.MvRewriteRule.unregister("orders_by_mktsegment")
+    mvJoinDefinition(s, dir).write.mode("overwrite").parquet(mvPath)
+    graft.plans.MvRewriteRule.register("orders_by_mktsegment",
+      mvJoinDefinition(s, dir), () => s.read.parquet(mvPath))
+    // the "user query": the SAME join aggregate, written against the base
+    mvJoinDefinition(s, dir)
+      .select($"c_mktsegment", $"n_orders",
+        $"revenue_d".cast("double").as("revenue"))
+  }
+
+  private val mvJoinRewriteSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** MV auto-rewrite × INCREMENTAL maintenance × the manifest CDC feed —
     * the full serving loop a warehouse runs:
     *
@@ -686,6 +735,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mv_rewrite" -> ((s, d) => mvRewrite(s, d)),
+    "q_mv_join_rewrite" -> ((s, d) => mvJoinRewrite(s, d)),
     "q_mv_incremental" -> ((s, d) => mvIncremental(s, d)),
     "q_advised_join" -> ((s, d) => advisedJoin(s, d)),
     "q_runtime_filter" -> ((s, d) => runtimeFilterJoin(s, d)),
@@ -705,6 +755,7 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "q_mv_rewrite" -> mvRewriteSql,
+    "q_mv_join_rewrite" -> mvJoinRewriteSql,
     // full recompute over the base: one hash proves rewrite-invariance AND
     // incremental-merge correctness
     "q_mv_incremental" -> mvRewriteSql,

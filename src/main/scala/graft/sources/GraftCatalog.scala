@@ -115,9 +115,31 @@ class GraftCatalog extends TableCatalog {
     new ManifestSqlTable(ident.toString, dir, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER via SQL is not supported; use ManifestTable.renameColumn")
+  /** ALTER TABLE statements that map onto existing metadata primitives:
+    * `SET TBLPROPERTIES` / `UNSET TBLPROPERTIES` publish `#prop` marker
+    * commits; `RENAME COLUMN` publishes the `#rename` column-mapping
+    * marker (`ManifestTable.renameColumn` — immutable files untouched,
+    * generations reconciled at read). Anything else (type changes, drops,
+    * adds with defaults) is refused explicitly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (ManifestTable.currentVersion(dir) < 0)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    changes.foreach {
+      case sp: TableChange.SetProperty =>
+        ManifestTable.setTableProperty(dir, sp.property(), sp.value())
+      case rp: TableChange.RemoveProperty =>
+        ManifestTable.removeTableProperty(dir, rp.property())
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          "RENAME COLUMN supports top-level columns only")
+        ManifestTable.renameColumn(dir, rc.fieldNames().head, rc.newName())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+          "supported; supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN")
+    }
+    new ManifestSqlTable(ident.toString, dir, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -1030,7 +1030,24 @@ object ManifestTable {
       require(v >= 0, s"no committed snapshot to rename in $dir")
       require(dvLines(dir, v).isEmpty,
         "rename under deletion vectors is refused — compact first")
-      val body = listLines(dir, v) ++ renameLines(dir, v) :+
+      // a policy referencing the renamed column would silently stop
+      // matching the evolved view — refuse rather than mis-govern
+      // (word-boundary match is conservative: false refusals possible,
+      // silent policy breakage never)
+      val nameRe = ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+      require(!policyLines(dir, v).exists(l => nameRe.findFirstIn(l).isDefined),
+        s"rename of '$from' refused: a governance policy references it — " +
+          "re-declare the policy against the new name first")
+      // the declared schema (empty-table authority) follows the rename
+      val evolvedSchema = declaredSchema(dir, v).map { j =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val renamed = org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        s"$SchemaPrefix${renamed.json}"
+      }.toSeq
+      val body = listLines(dir, v) ++ renameLines(dir, v) ++
+        policyLines(dir, v) ++ propLines(dir, v) ++ evolvedSchema :+
         s"#rename\t$from\t$to"
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1
@@ -1087,7 +1104,8 @@ object ManifestTable {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to set policy on in $dir")
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        renameLines(dir, v) ++ propLines(dir, v) ++ lines
+        renameLines(dir, v) ++ propLines(dir, v) ++
+        schemaLines(dir, v) ++ lines
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1
     }
@@ -1141,8 +1159,8 @@ object ManifestTable {
       require(v >= 0, s"no committed snapshot to set properties on in $dir")
       val kept = propLines(dir, v).filterNot(_.startsWith(s"$PropPrefix$key\t"))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        renameLines(dir, v) ++ policyLines(dir, v) ++ kept :+
-        s"#prop\t$key\t$value"
+        renameLines(dir, v) ++ policyLines(dir, v) ++
+        schemaLines(dir, v) ++ kept :+ s"#prop\t$key\t$value"
       if (commit(dir, body, v)) return v + 1
       attempt += 1
     }
@@ -1163,6 +1181,24 @@ object ManifestTable {
 
   private def schemaLines(dir: String, v: Int): Seq[String] =
     declaredSchema(dir, v).map(SchemaPrefix + _).toSeq
+
+  /** Drop one table property (no-op commit if absent). */
+  def removeTableProperty(dir: String, key: String,
+      maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot in $dir")
+      val kept = propLines(dir, v).filterNot(_.startsWith(s"$PropPrefix$key\t"))
+      if (kept.size == propLines(dir, v).size) return v // absent: no-op
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++
+        renameLines(dir, v) ++ policyLines(dir, v) ++ kept ++
+        schemaLines(dir, v)
+      if (commit(dir, body, v)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"removeTableProperty lost $maxRetries races in $dir")
+  }
 
   /** The marker lines EVERY successor commit carries verbatim regardless
     * of what it does to the data files: governance policies, table

@@ -48,6 +48,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"queries planning CartesianProduct at sf1: ${offenders.mkString(", ")}")
   }
 
+  test("sf10 audit: no non-eager query plans a CartesianProduct at 100x scale") {
+    // runs only when the 100x fixture exists (SF1.md's round-9 recipe:
+    // `graft.GenScale /root/testdata/sf0.1 /tmp/graft_sf10 100`) — the
+    // largest scale at which a statistics-driven plan flip to a
+    // scale-killer could be observed in this sandbox
+    val sf10 = "/tmp/graft_sf10"
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(sf10, "lineitem.parquet")), "sf10 fixture absent")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("q_stream") || Explain.eager(n))
+    val offenders = names.flatMap { n =>
+      val plan = SparkEntry.queries(n)(spark, sf10).queryExecution.executedPlan
+      if (plan.toString.contains("CartesianProduct")) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct at sf10: ${offenders.mkString(", ")}")
+  }
+
   test("q_rfm: no global ntile; every row_number window is bucket-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val plan = SparkEntry.queries("q_rfm")(spark, sf).queryExecution.optimizedPlan

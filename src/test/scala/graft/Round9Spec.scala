@@ -300,6 +300,96 @@ class Round9Spec extends AnyFunSuite {
     assert(got == expect && kept.size <= rangeKept.size)
   }
 
+  test("mv rewrite over a JOIN: served plan drops the join, different condition declines") {
+    import plans.MvRewriteRule
+    try {
+      val out = operators.ScaleOps.mvJoinRewrite(spark, sf)
+      val phys = out.queryExecution.executedPlan.toString
+      assert(phys.contains("graft_mvj_"),
+        "the registered join view must be served from the materialization")
+      assert(!phys.contains("orders.parquet") && !phys.contains("Join"),
+        "the served plan must neither scan the base tables nor join")
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // base truth with no view registered: same join aggregate, base plan
+      MvRewriteRule.clear()
+      val base = operators.ScaleOps.mvJoinDefinition(spark, sf)
+        .select(col("c_mktsegment"), col("n_orders"),
+          col("revenue_d").cast("double").as("revenue"))
+      val basePhys = base.queryExecution.executedPlan.toString
+      assert(basePhys.contains("orders.parquet") && basePhys.contains("Join"))
+      val want = base.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty, "the rewrite must be answer-invariant")
+
+      // a same-shaped join with a DIFFERENT condition must decline
+      operators.ScaleOps.mvJoinRewrite(spark, sf) // re-register
+      val other = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_nationkey")) // different join keys
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+      assert(other.queryExecution.executedPlan.toString.contains("Join"),
+        "a different join condition must fall back to the base plan")
+    } finally MvRewriteRule.clear()
+  }
+
+  test("star contraction rounds grow logarithmically with component diameter") {
+    import spark.implicits._
+    // chains are the worst case (diameter = length); a 64x diameter
+    // increase must cost ADDITIVE extra rounds (~log2 = +6), not 64x —
+    // the whole reason the contraction variant exists beside label
+    // propagation, measured here directly since the fixture's component
+    // structure is scale-invariant by GenScale's design (SF1.md)
+    def roundsFor(len: Long): Int = {
+      val chain = (0L until len).map(i => (i, i + 1)).toDF("a", "b")
+      val (labels, rounds) =
+        operators.CurationOps.starComponentsWithRounds(spark, chain)
+      // correctness first: one component labeled by the chain minimum
+      assert(labels.agg(max(col("cluster_id"))).head().getLong(0) == 0L)
+      assert(labels.count() == len + 1)
+      rounds
+    }
+    val r64 = roundsFor(64); val r4096 = roundsFor(4096)
+    assert(r4096 <= r64 + 8,
+      s"64x the diameter must cost ~log extra rounds, got $r64 -> $r4096")
+    assert(r4096 <= 15, s"a 4096-chain must converge in O(log) rounds, got $r4096")
+  }
+
+  test("ALTER TABLE maps onto metadata primitives; renames refuse policy-referenced columns") {
+    val root = freshDir("alter")
+    val dir = s"$root/t"
+    import spark.implicits._
+    val base = (1L to 50L).map(k => (k, k * 2.0)).toDF("k", "v")
+    val staged = ManifestTable.stage(spark, dir, base)
+    assert(ManifestTable.commit(dir, staged, -1))
+    spark.conf.set("spark.sql.catalog.g9alt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9alt.root", root)
+    spark.sql("ALTER TABLE g9alt.default.t SET TBLPROPERTIES ('delete.mode' = 'mor')")
+    assert(ManifestTable.tableProperties(dir,
+      ManifestTable.currentVersion(dir)) == Map("delete.mode" -> "mor"))
+    spark.sql("ALTER TABLE g9alt.default.t UNSET TBLPROPERTIES ('delete.mode')")
+    assert(ManifestTable.tableProperties(dir,
+      ManifestTable.currentVersion(dir)).isEmpty)
+    spark.sql("ALTER TABLE g9alt.default.t RENAME COLUMN v TO price")
+    assert(ManifestTable.read(spark, dir).columns.toSeq == Seq("k", "price"))
+    // markers survive the rename commit (the renameColumn carry fix)
+    ManifestTable.setTableProperty(dir, "owner.team", "data")
+    ManifestTable.setPolicy(dir, masks = Map.empty,
+      rowFilter = Some("k > 5"))
+    ManifestTable.renameColumn(dir, "price", "amount")
+    val vNow = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.tableProperties(dir, vNow)("owner.team") == "data",
+      "properties must survive a rename commit")
+    assert(ManifestTable.policyLines(dir, vNow).size == 1,
+      "policies must survive a rename commit")
+    // renaming a column a policy references is refused, not mis-governed
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(dir, "k", "key")
+    }
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
