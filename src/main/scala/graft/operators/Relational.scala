@@ -563,6 +563,30 @@ object Relational {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM graft.default.li GROUP BY l_returnflag""")
     }),
+    // SQL TIME TRAVEL: `VERSION AS OF 0` pins the catalog scan to the
+    // first committed snapshot (the even-key half) while the current
+    // snapshot holds everything — historical manifests and the immutable
+    // files they list make every retained version exactly reconstructible
+    // for free. Oracle = the even-key aggregate over the base table: the
+    // pin must serve exactly the old snapshot, nothing newer.
+    "q_sql_timetravel" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqltt_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/li"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+      val staged = graft.sources.ManifestTable.stage(
+        s, tbl, li.filter(col("l_orderkey") % 2 === 0))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1)) // v0
+      s.conf.set("spark.sql.catalog.graft_tt",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tt.root", root)
+      li.filter(col("l_orderkey") % 2 === 1).createOrReplaceTempView("li_tt_odd")
+      s.sql("INSERT INTO graft_tt.default.li SELECT * FROM li_tt_odd") // v1
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_tt.default.li VERSION AS OF 0 GROUP BY l_returnflag""")
+    }),
     // Governed reads THROUGH THE SQL CATALOG: the same #policy markers
     // q_governed_read enforces on the API path now govern plain
     // `SELECT … FROM graft_gov.default.t` — the scan itself applies the
@@ -1406,6 +1430,11 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the version pin must serve exactly the old snapshot, nothing newer
+    "q_sql_timetravel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1""".stripMargin,
     // the governed CATALOG endpoint must apply exactly the declared
     // transformation q_governed_read's API endpoint applies
     "q_sql_governed" ->

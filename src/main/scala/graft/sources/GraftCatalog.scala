@@ -96,6 +96,28 @@ class GraftCatalog extends TableCatalog {
     new ManifestSqlTable(s"$ident@v$v", dir, Some(v))
   }
 
+  /** SQL time travel by TIMESTAMP — `SELECT … FROM graft.default.t
+    * TIMESTAMP AS OF '…'`: resolves to the NEWEST committed version whose
+    * manifest was published at or before the instant (manifest file
+    * mtimes are the commit times in this layout — the same
+    * version-resolution rule Delta documents). Microseconds per the DSv2
+    * contract. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    val cur = ManifestTable.currentVersion(dir)
+    if (cur < 0)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val v = (0 to cur).reverse.find { i =>
+      val p = Paths.get(dir, f"manifest-v$i%08d.json")
+      Files.exists(p) &&
+        Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L <=
+          timestampMicros
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no committed version of $ident at or before timestamp " +
+        s"$timestampMicros (earliest retained commit is later, or vacuumed)"))
+    new ManifestSqlTable(s"$ident@t$v", dir, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val dir = dirOf(ident)
@@ -444,7 +466,6 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         ManifestTable.renameLines(dir, v).isEmpty,
       s"catalog scan of $dir refused: deletion-vector/rename markers present " +
         "— compact first, or read via ManifestTable.read")
-    val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
     val pols = ManifestTable.policyLines(dir, v).map(_.split('\t'))
     if (pols.nonEmpty)
       // governed table: serve a policy-ENFORCING scan (filter-then-mask,
@@ -452,13 +473,30 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       // are exactly who governance is for. File pruning declines here:
       // pushed predicates reference post-mask OUTPUT values, which the
       // raw file stats do not describe.
-      return governedScan(entries, pols)
-    val admitted =
-      if (pushed.isEmpty) entries
-      else entries.filter(e => pushed.forall(admits(_, e)))
-    new ManifestFilesScan(
-      admitted.map(e => ManifestTable.dataPath(dir, e.name)),
-      entries.size, required, dir, pinned, versionsPerBatch)
+      return governedScan(
+        ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry), pols)
+    // SEGMENTED snapshots resolve through the manifest list: pushed
+    // predicates admit segments by their summary stats first (sound —
+    // summaries are supersets), so the driver parses only admitted
+    // segments' file lines: O(|segments| + |admitted files|) metadata
+    // cost through SQL, same as the API path
+    val fileAdmit: ManifestTable.FileEntry => Boolean =
+      e => pushed.forall(admits(_, e))
+    ManifestTable.segmentedEntries(dir, v,
+        if (pushed.isEmpty) _ => true else fileAdmit) match {
+      case Some((entries, _, _, totalFiles)) =>
+        new ManifestFilesScan(
+          entries.map(e => ManifestTable.dataPath(dir, e.name)),
+          totalFiles.toInt, required, dir, pinned, versionsPerBatch)
+      case None =>
+        val entries = ManifestTable.listLines(dir, v)
+          .map(ManifestTable.parseEntry)
+        val admitted =
+          if (pushed.isEmpty) entries else entries.filter(fileAdmit)
+        new ManifestFilesScan(
+          admitted.map(e => ManifestTable.dataPath(dir, e.name)),
+          entries.size, required, dir, pinned, versionsPerBatch)
+    }
   }
 
   /** Build the governed scan: parse + analyze the policy expressions ON

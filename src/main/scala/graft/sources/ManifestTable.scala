@@ -232,6 +232,54 @@ object ManifestTable {
     (kept, admitted.size, summaries.size, totalFiles)
   }
 
+  /** Resolve a SEGMENTED snapshot's file entries while PARSING only the
+    * segments an arbitrary admission predicate keeps — sound for any
+    * predicate with superset semantics over the summary stats (summary
+    * ranges are unions of their files' ranges, summary blooms OR-unions:
+    * a summary the predicate rejects cannot contain an admissible file).
+    * Returns None for flat manifests; otherwise (admitted file entries,
+    * segments read, segments total, files total) — the driver's actual
+    * metadata cost made visible. */
+  def segmentedEntries(dir: String, v: Int, admit: FileEntry => Boolean)
+      : Option[(Seq[FileEntry], Int, Int, Long)] = {
+    if (v < 0) return None
+    val raw = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (!raw.contains(SegMarker)) return None
+    val summaryLines = raw.filterNot(_.startsWith("#"))
+    val filesRe = "__files=(\\d+)".r
+    val totalFiles = summaryLines
+      .flatMap(l => filesRe.findFirstMatchIn(l).map(_.group(1).toLong)).sum
+    val summaries = summaryLines.map(parseEntry)
+    val admitted = summaries.filter(admit)
+    val entries = admitted.flatMap { s =>
+      Files.readAllLines(segPath(dir, s.name)).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(parseEntry).filter(admit)
+    }
+    Some((entries, admitted.size, summaries.size, totalFiles))
+  }
+
+  /** [[estimateNdv]] at SEGMENT granularity: union the per-segment HLL
+    * blobs of the range-admitted segment summaries — driver cost
+    * O(|segments|) with zero file-line parsing, the planner input a
+    * millions-of-files snapshot can still answer instantly. Same
+    * soundness contract: every admitted summary must carry the sketch. */
+  def estimateNdvSegmented(dir: String, v: Int, col: String,
+      lo: BigDecimal, hi: BigDecimal, numStdDev: Int = 2): (Double, Double) = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val raw = new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    require(raw.contains(SegMarker), s"v$v of $dir is not a segmented manifest")
+    val admitted = raw.filterNot(_.startsWith("#")).map(parseEntry)
+      .filter(_.ranges.get(col).forall(r => r.max >= lo && r.min <= hi))
+    require(admitted.nonEmpty && admitted.forall(_.hlls.contains(col)),
+      s"estimateNdvSegmented needs an HLL sketch for '$col' on every admitted segment")
+    val u = new Union()
+    admitted.foreach(e => u.update(HllSketch.heapify(e.hlls(col))))
+    (u.getEstimate, u.getUpperBound(numStdDev))
+  }
+
   /** [[pruneFiles]] over a SEGMENTED manifest, touching only admitted
     * segments: summaries prune whole segments by range; admitted segments'
     * lines then prune per-file as usual. Returns (kept file names,

@@ -1183,7 +1183,7 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
-  test("governance policies: enforced by readGoverned, survive compaction and clone, catalog refuses") {
+  test("governance policies: enforced by readGoverned, survive compaction and clone, catalog enforces") {
     val base = freshDir("gov")
     val (dir, dst) = (s"$base/t", s"$base/c")
     val ev = Tables.events(spark, sf).limit(300)
@@ -1208,15 +1208,16 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.cloneTable(dir, dst)
     assert(ManifestTable.readGoverned(spark, dst)
       .agg(max(col("user_id"))).head().getLong(0) < 100)
-    // the raw SQL catalog scan refuses a governed table
+    // the SQL catalog serves a governed table POLICY-ENFORCED (round 9:
+    // refusal replaced by the readGoverned semantics at the scan)
     spark.conf.set("spark.sql.catalog.ggov",
       classOf[sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.ggov.root", base)
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM ggov.default.t").collect()
-    }
-    assert(e.getMessage.contains("governance") ||
-      e.getMessage.contains("readGoverned"))
+    val sqlGoverned = spark.sql("SELECT * FROM ggov.default.t")
+    assert(sqlGoverned.filter(col("event_type") === "error").count() == 0,
+      "the catalog scan must apply the row filter")
+    assert(sqlGoverned.agg(max(col("user_id"))).head().getLong(0) < 100,
+      "the catalog scan must apply the masks")
     // replacing the policy set drops the old rules
     ManifestTable.setPolicy(dir, masks = Map.empty, rowFilter = None)
     assert(ManifestTable.readGoverned(spark, dir).count() == ev.count())

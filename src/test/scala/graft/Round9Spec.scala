@@ -390,6 +390,64 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF resolves to the newest commit at or before the instant") {
+    val root = freshDir("ttts")
+    val dir = s"$root/t"
+    import spark.implicits._
+    val staged0 = ManifestTable.stage(spark,
+      dir, (1L to 10L).map(k => (k, "v0")).toDF("k", "tag"))
+    assert(ManifestTable.commit(dir, staged0, -1)) // v0
+    Thread.sleep(1100) // mtime granularity can be a full second on some FS
+    val between = java.time.Instant.now()
+    Thread.sleep(1100)
+    val staged1 = ManifestTable.listLines(dir, 0) ++ ManifestTable.stage(
+      spark, dir, (11L to 20L).map(k => (k, "v1")).toDF("k", "tag"))
+    assert(ManifestTable.commit(dir, staged1, 0)) // v1
+    spark.conf.set("spark.sql.catalog.g9tt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9tt.root", root)
+    val ts = java.sql.Timestamp.from(between)
+    val asOf = spark.sql(
+      s"SELECT * FROM g9tt.default.t TIMESTAMP AS OF '$ts'")
+    assert(asOf.count() == 10, "the instant between commits must pin v0")
+    assert(spark.sql("SELECT * FROM g9tt.default.t").count() == 20)
+    // an instant before the first commit refuses, never serves garbage
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g9tt.default.t TIMESTAMP AS OF '2000-01-01'")
+        .collect()
+    }
+  }
+
+  test("SQL pushdown over a SEGMENTED table resolves only admitted segments") {
+    val root = freshDir("segsql")
+    val dir = s"$root/li"
+    val li = Tables.lineitem(spark, sf).repartitionByRange(16, col("l_orderkey"))
+    val staged = ManifestTable.stageWithNdv(spark, dir, li,
+      statsCols = Seq("l_orderkey"), ndvCols = Seq("l_orderkey"))
+    assert(ManifestTable.commitSegmented(dir, staged, -1,
+      segmentSize = 4, clusterBy = "l_orderkey"))
+    spark.conf.set("spark.sql.catalog.g9seg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9seg.root", root)
+    val sel = spark.sql(
+      "SELECT * FROM g9seg.default.li WHERE l_orderkey BETWEEN 10 AND 60")
+    val scan = manifestScans(sel).head
+    assert(scan.keptFiles > 0 && scan.keptFiles < scan.totalFiles,
+      s"selective range over a segmented table must prune " +
+        s"(${scan.keptFiles}/${scan.totalFiles})")
+    val expect = spark.read.parquet(
+      ManifestTable.listFiles(dir, 0).map(ManifestTable.dataPath(dir, _)): _*)
+      .filter(col("l_orderkey").between(10L, 60L)).count()
+    assert(sel.count() == expect)
+    // segment-level NDV: planner estimate from summaries alone
+    val (est, upper) = ManifestTable.estimateNdvSegmented(
+      dir, 0, "l_orderkey", BigDecimal(0), BigDecimal(Long.MaxValue))
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(upper >= exact.toDouble, "the NDV upper bound must be sound")
+    assert(math.abs(est - exact) / exact < 0.1,
+      s"segment-union HLL estimate $est vs exact $exact drifted > 10%")
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
