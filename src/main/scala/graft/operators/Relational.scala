@@ -563,6 +563,64 @@ object Relational {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM graft.default.li GROUP BY l_returnflag""")
     }),
+    // SQL UPDATE — the row-level statement the key-membership DELETE fast
+    // path cannot express — executes as GROUP-BASED COPY-ON-WRITE through
+    // SupportsRowLevelOperations: Spark rewrites the statement into a
+    // ReplaceData plan over the pinned snapshot; tasks stage replacement
+    // parquet straight into data/ (orphans until commit — the V2
+    // distributed write path) and ONE mutate CAS publishes against the
+    // scanned version, failing explicitly on a concurrent commit. Oracle
+    // = q_manifest_update's CASE restatement: statement path ≡ API path.
+    "q_sql_update" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlrl_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/li_upd"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, li, statsCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      s.conf.set("spark.sql.catalog.graft_rl",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rl.root", root)
+      s.sql("""UPDATE graft_rl.default.li_upd
+        SET l_quantity = l_quantity + 100.0
+        WHERE l_orderkey IN (101, 777, 1402)""")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_rl.default.li_upd GROUP BY l_returnflag""")
+    }),
+    // SQL MERGE INTO (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) over
+    // the same row-level machinery: the upsert every warehouse ships,
+    // executed as one snapshot-pinned copy-on-write replacement. The
+    // source holds the doomed orders' rows with quantity bumped, so the
+    // oracle is the same CASE restatement as the MOR upsert — three
+    // implementations (MOR API, CoW API, MERGE statement) must agree.
+    "q_sql_merge" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlrl_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/li_mrg"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, li, statsCols = Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      s.conf.set("spark.sql.catalog.graft_rl",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rl.root", root)
+      li.filter(col("l_orderkey").isin(101L, 777L, 1402L))
+        .withColumn("l_quantity", col("l_quantity") + lit(100.0))
+        .createOrReplaceTempView("li_merge_batch")
+      s.sql("""MERGE INTO graft_rl.default.li_mrg t
+        USING li_merge_batch b
+        ON t.l_orderkey = b.l_orderkey AND t.l_linenumber = b.l_linenumber
+           AND t.l_suppkey = b.l_suppkey
+        WHEN MATCHED THEN UPDATE SET l_quantity = b.l_quantity
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_rl.default.li_mrg GROUP BY l_returnflag""")
+    }),
     // SQL TIME TRAVEL: `VERSION AS OF 0` pins the catalog scan to the
     // first committed snapshot (the even-key half) while the current
     // snapshot holds everything — historical manifests and the immutable
@@ -1429,6 +1487,20 @@ object Relational {
     "q_sql_catalog" ->
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // the UPDATE statement must answer exactly like the API update
+    "q_sql_update" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(CASE WHEN l_orderkey IN (101, 777, 1402)
+        |                          THEN l_quantity + 100.0 ELSE l_quantity END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // MERGE-as-upsert must agree with both API upsert implementations
+    "q_sql_merge" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(CASE WHEN l_orderkey IN (101, 777, 1402)
+        |                          THEN l_quantity + 100.0 ELSE l_quantity END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
     // the version pin must serve exactly the old snapshot, nothing newer
     "q_sql_timetravel" ->

@@ -181,9 +181,33 @@ class GraftCatalog extends TableCatalog {
 private[sources] class ManifestSqlTable(ident: String, dir: String,
     pinned: Option[Int]) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = ident
+
+  /** UPDATE / MERGE INTO / arbitrary-predicate DELETE — the row-level
+    * statements `SupportsDelete`'s key-membership fast path cannot
+    * express — execute as GROUP-BASED COPY-ON-WRITE: Spark rewrites the
+    * statement into a ReplaceData plan that reads the pinned snapshot
+    * through this operation's scan and computes the table's full
+    * replacement content; the write stages each task's rows as orphan
+    * parquet under `data/` and the driver publishes ONE `#mutate` CAS
+    * commit against the version the SCAN pinned — a concurrent commit
+    * fails the statement explicitly (optimistic concurrency; staged
+    * files stay orphans) rather than silently dropping the winner. The
+    * rewrite scan deliberately does NOT prune files: a file skipped on a
+    * pushed predicate would be absent from the replacement content and
+    * its rows silently kept (DELETE) — whole-snapshot replacement is the
+    * sound baseline; key-targeted deletes keep their stat-pruned fast
+    * path via SupportsDelete, which Spark prefers when the predicate
+    * translates. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty, "cannot run DML against a time-travel snapshot")
+    () => new GraftRowLevelOperation(dir, info.command(), schema())
+  }
 
   override def properties(): util.Map[String, String] = {
     val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
@@ -688,5 +712,89 @@ private[sources] class ManifestSqlWriteBuilder(dir: String)
             s"INSERT lost 10 commit races in $dir")
         }
       }
+  }
+}
+
+/** One row-level statement's lifecycle: the SCAN pins the snapshot
+  * version and serves the raw full-snapshot rows; the WRITE stages the
+  * replacement content and CAS-publishes against that same pinned
+  * version. See `ManifestSqlTable.newRowLevelOperationBuilder`. */
+private[sources] class GraftRowLevelOperation(dir: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    tableSchema: StructType)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
+    LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
+    WriterCommitMessage}
+
+  @volatile private var baseVersion: Int = -1
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = ManifestTable.currentVersion(dir)
+    require(v >= 0, s"no committed snapshot to mutate in $dir")
+    require(ManifestTable.dvLines(dir, v).isEmpty &&
+        ManifestTable.renameLines(dir, v).isEmpty,
+      s"row-level DML on $dir refused: deletion-vector/rename markers " +
+        "present — compact first")
+    require(ManifestTable.policyLines(dir, v).isEmpty,
+      s"row-level SQL DML on governed $dir refused: the rewrite must see " +
+        "raw rows (a masked rewrite would PERSIST masked values); use the " +
+        "ManifestTable API for governed maintenance")
+    baseVersion = v
+    // full-snapshot scan, column pruning only — no file pruning (see the
+    // table-level scaladoc for why pruning here would lose rows)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new ManifestFilesScan(
+        ManifestTable.listFiles(dir, v).map(ManifestTable.dataPath(dir, _)),
+        ManifestTable.listFiles(dir, v).size, required, dir, Some(v),
+        Int.MaxValue)
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val writeSchema = info.schema()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
+              : DataWriterFactory =
+            new GraftWriterFactory(dir, writeSchema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val staged = messages.map(_.asInstanceOf[GraftFileCommit])
+            // replacement files inherit the stat kinds the snapshot's
+            // files carried, so skipping keeps working after the DML
+            val prev = ManifestTable.listLines(dir, baseVersion)
+              .map(ManifestTable.parseEntry)
+            val statsCols = prev.flatMap(_.ranges.keys).distinct
+            val lines = staged.map { m =>
+              val p = java.nio.file.Paths.get(dir, "data", m.name)
+              val st =
+                if (statsCols.isEmpty) Map.empty[String, ManifestTable.ColRange]
+                else ManifestTable.footerStats(p, statsCols)
+              val rowsKv = s"__rows=${m.rows}"
+              if (st.isEmpty) s"${m.name}\t$rowsKv"
+              else s"${m.name}\t${ManifestTable.encodeStatsPublic(st)}\t$rowsKv"
+            }.toSeq
+            val ok = ManifestTable.commitMutate(dir,
+              lines ++ ManifestTable.carriedMeta(dir, baseVersion), baseVersion)
+            if (!ok) throw new IllegalStateException(
+              s"concurrent commit in $dir since v$baseVersion: the " +
+                "statement's snapshot is stale — staged files remain " +
+                "orphans; re-run the statement against the new snapshot")
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.collect { case GraftFileCommit(n, _) =>
+              java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(dir, "data", n))
+            }
+        }
+      }
+    }
   }
 }

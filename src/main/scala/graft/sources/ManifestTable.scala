@@ -662,6 +662,11 @@ object ManifestTable {
     * compare on the prune path, no float round-trip surprises. */
   final case class ColRange(tag: Char, min: BigDecimal, max: BigDecimal)
 
+  /** Encode recorded ranges as the manifest-line stats suffix (the
+    * writer-side counterpart of [[parseEntry]]). */
+  def encodeStatsPublic(stats: Map[String, ColRange]): String =
+    encodeStats(stats)
+
   private def encodeStats(stats: Map[String, ColRange]): String =
     stats.toSeq.sortBy(_._1).map { case (c, r) =>
       s"$c=${r.tag}:${r.min}:${r.max}"

@@ -448,6 +448,87 @@ class Round9Spec extends AnyFunSuite {
       s"segment-union HLL estimate $est vs exact $exact drifted > 10%")
   }
 
+  test("row-level SQL DML: UPDATE and arbitrary-predicate DELETE rewrite correctly") {
+    val root = freshDir("rowlevel")
+    val dir = s"$root/t"
+    import spark.implicits._
+    val base = (1L to 100L).map(k => (k, k % 7, k * 1.5)).toDF("k", "grp", "v")
+    val staged = ManifestTable.stageWithStats(spark, dir, base.repartition(4), Seq("k"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    spark.conf.set("spark.sql.catalog.g9rl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9rl.root", root)
+
+    // UPDATE with an expression assignment and a non-key predicate
+    spark.sql("UPDATE g9rl.default.t SET v = v * 2 WHERE grp = 3")
+    val afterUpdate = ManifestTable.read(spark, dir)
+    assert(afterUpdate.count() == 100)
+    val expectSum = base.withColumn("v",
+      when(col("grp") === 3, col("v") * 2).otherwise(col("v")))
+      .agg(sum("v")).head().getDouble(0)
+    assert(math.abs(afterUpdate.agg(sum("v")).head().getDouble(0) - expectSum) < 1e-9)
+    assert(ManifestTable.isMutate(dir, ManifestTable.currentVersion(dir)),
+      "a row-level UPDATE must publish a mutate commit")
+    // time travel still serves the pre-update snapshot
+    assert(math.abs(ManifestTable.readVersion(spark, dir, 0)
+      .agg(sum("v")).head().getDouble(0) -
+      base.agg(sum("v")).head().getDouble(0)) < 1e-9)
+
+    // an arbitrary-predicate DELETE (not key-membership — SupportsDelete
+    // declines it, the row-level rewrite executes it)
+    spark.sql("DELETE FROM g9rl.default.t WHERE v > 200.0 AND grp <> 0")
+    val afterDelete = ManifestTable.read(spark, dir).as[(Long, Long, Double)]
+      .collect().toSet
+    val want = base.withColumn("v",
+      when(col("grp") === 3, col("v") * 2).otherwise(col("v")))
+      .filter(!(col("v") > 200.0 && col("grp") =!= 0))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterDelete == want,
+      "the rewrite must keep exactly the non-matching rows")
+
+    // governed tables refuse row-level SQL DML (a masked rewrite would
+    // PERSIST masked values)
+    ManifestTable.setPolicy(dir, masks = Map("v" -> "0.0"), rowFilter = None)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE g9rl.default.t SET v = 1.0 WHERE grp = 1")
+    }
+    assert(e.getMessage.contains("governed") ||
+      Option(e.getCause).exists(_.getMessage.contains("governed")))
+  }
+
+  test("MERGE INTO agrees with both API upsert implementations") {
+    val root = freshDir("sqlmerge")
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf).repartition(4, col("l_orderkey"))
+    val keys = Seq(101L, 777L, 1402L)
+    val batch = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey").isin(keys: _*))
+      .withColumn("l_quantity", col("l_quantity") + lit(100.0))
+    // API MOR upsert
+    val morDir = s"$root/mor"
+    val s1 = ManifestTable.stageWithStats(spark, morDir, li, Seq("l_orderkey"))
+    assert(ManifestTable.commit(morDir, s1, -1))
+    ManifestTable.upsertMOR(spark, morDir, batch, "l_orderkey")
+    // MERGE statement
+    val mrgDir = s"$root/mrg"
+    val s2 = ManifestTable.stageWithStats(spark, mrgDir, li, Seq("l_orderkey"))
+    assert(ManifestTable.commit(mrgDir, s2, -1))
+    spark.conf.set("spark.sql.catalog.g9mrg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9mrg.root", root)
+    batch.createOrReplaceTempView("r9_merge_batch")
+    spark.sql("""MERGE INTO g9mrg.default.mrg t USING r9_merge_batch b
+      ON t.l_orderkey = b.l_orderkey AND t.l_linenumber = b.l_linenumber
+         AND t.l_suppkey = b.l_suppkey
+      WHEN MATCHED THEN UPDATE SET l_quantity = b.l_quantity
+      WHEN NOT MATCHED THEN INSERT *""")
+    def summary(d: String) = ManifestTable.read(spark, d)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+      .head()
+    assert(summary(morDir) == summary(mrgDir),
+      "MOR upsert and MERGE INTO must produce the same table content")
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
