@@ -563,6 +563,30 @@ object Relational {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM graft.default.li GROUP BY l_returnflag""")
     }),
+    // METADATA TABLES through the catalog: `t$history` serves one row per
+    // committed version (kind, file count, exact recorded row count) from
+    // manifest metadata alone — zero data I/O, the DESCRIBE HISTORY
+    // staple as a queryable relation. The layout is made deterministic
+    // (explicit repartition before staging) so the oracle can restate the
+    // exact expected history over the base table.
+    "q_sql_history" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlhist_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/li"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+      val even = graft.sources.ManifestTable.stageWithStats(s, tbl,
+        li.filter(col("l_orderkey") % 2 === 0).repartition(4), Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl, even, -1)) // v0: 4 files
+      val odd = graft.sources.ManifestTable.stageWithStats(s, tbl,
+        li.filter(col("l_orderkey") % 2 === 1).repartition(4), Seq("l_orderkey"))
+      require(graft.sources.ManifestTable.commit(tbl,
+        graft.sources.ManifestTable.listLines(tbl, 0) ++ odd, 0)) // v1: 8 files
+      s.conf.set("spark.sql.catalog.graft_hist",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_hist.root", root)
+      s.sql("SELECT version, kind, n_files, n_rows FROM graft_hist.default.`li$history`")
+    }),
     // SQL UPDATE — the row-level statement the key-membership DELETE fast
     // path cannot express — executes as GROUP-BASED COPY-ON-WRITE through
     // SupportsRowLevelOperations: Spark rewrites the statement into a
@@ -1488,6 +1512,13 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the history relation must restate the exact constructed commits
+    "q_sql_history" ->
+      """SELECT 0 AS version, 'data' AS kind, CAST(4 AS BIGINT) AS n_files,
+        |       CAST((SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 0) AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 1, 'data', CAST(8 AS BIGINT),
+        |       CAST((SELECT count(*) FROM lineitem) AS BIGINT)""".stripMargin,
     // the UPDATE statement must answer exactly like the API update
     "q_sql_update" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -73,6 +73,17 @@ class GraftCatalog extends TableCatalog {
     ManifestTable.currentVersion(dirOf(ident)) >= 0
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES: `t$history` / `t$files` /
+    // `t$properties` expose the table's own metadata as queryable SQL
+    // relations — the introspection surface an operator reads before a
+    // restore or an incident writeup, served at metadata cost
+    if (ident.name().contains("$")) {
+      val parts = ident.name().split("\\$", 2)
+      val dir = dirOf(Identifier.of(ident.namespace(), parts(0)))
+      if (ManifestTable.currentVersion(dir) < 0)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      return new ManifestMetaTable(ident.toString, dir, parts(1))
+    }
     val dir = dirOf(ident)
     if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
@@ -795,6 +806,104 @@ private[sources] class GraftRowLevelOperation(dir: String,
             }
         }
       }
+    }
+  }
+}
+
+/** A read-only metadata relation over one manifest table: `history` (one
+  * row per committed version — kind, file count, exact row count when
+  * every file recorded one, else null), `files` (the CURRENT snapshot's
+  * data files with recorded row counts and on-disk sizes), and
+  * `properties` (the `#prop` pairs). All rows are computed from manifest
+  * metadata on the driver at scan time — zero data I/O, bounded by
+  * |versions| / |files| / |props|, never by row count. */
+private[sources] class ManifestMetaTable(ident: String, dir: String,
+    kind: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = ident
+
+  override def schema(): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = true)))
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("size_bytes", LongType, nullable = false)))
+    case "properties" => StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata table '$$${other}' — supported: history, files, properties")
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => {
+      val cur = ManifestTable.currentVersion(dir)
+      val rows: Seq[Seq[Any]] = kind match {
+        case "history" => (0 to cur)
+          .filter(v => Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")))
+          .map { v =>
+            val entries = ManifestTable.listLines(dir, v)
+              .map(ManifestTable.parseEntry)
+            val k =
+              if (ManifestTable.isRewrite(dir, v)) "rewrite"
+              else if (ManifestTable.isMutate(dir, v)) "mutate"
+              else "data"
+            val nRows =
+              if (entries.nonEmpty && entries.forall(_.rows.isDefined) &&
+                  ManifestTable.dvLines(dir, v).isEmpty)
+                entries.flatMap(_.rows).sum
+              else null
+            Seq(v, k, entries.size.toLong, nRows)
+          }
+        case "files" => ManifestTable.listLines(dir, cur)
+          .map(ManifestTable.parseEntry).map { e =>
+            val p = Paths.get(ManifestTable.dataPath(dir, e.name))
+            Seq(e.name, e.rows.map(Long.box).orNull,
+              if (Files.exists(p)) Files.size(p) else 0L)
+          }
+        case _ => ManifestTable.tableProperties(dir, cur).toSeq.sortBy(_._1)
+          .map { case (k, v) => Seq(k, v) }
+      }
+      val schemaNow = schema()
+      new Scan {
+        override def readSchema(): StructType = schemaNow
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(MetadataRowsPartition(rows))
+          override def createReaderFactory(): PartitionReaderFactory =
+            MetadataRowsReaderFactory
+        }
+        override def description(): String =
+          s"graft metadata table $dir $$${kind} (${rows.size} rows)"
+      }
+    }
+}
+
+private[sources] case class MetadataRowsPartition(rows: Seq[Seq[Any]])
+    extends InputPartition
+
+private[sources] object MetadataRowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val it = partition.asInstanceOf[MetadataRowsPartition].rows.iterator
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var cur: Seq[Any] = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          cur.map {
+            case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case x => x
+          }.toArray)
+      override def close(): Unit = ()
     }
   }
 }

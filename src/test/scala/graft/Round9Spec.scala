@@ -529,6 +529,37 @@ class Round9Spec extends AnyFunSuite {
       "MOR upsert and MERGE INTO must produce the same table content")
   }
 
+  test("metadata tables: $files and $properties serve manifest metadata as relations") {
+    val root = freshDir("metatbl")
+    val dir = s"$root/t"
+    import spark.implicits._
+    val base = (1L to 60L).map(k => (k, k * 1.5)).toDF("k", "v")
+    val staged = ManifestTable.stageWithStats(spark, dir,
+      base.repartition(3), Seq("k"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    ManifestTable.setTableProperty(dir, "delete.mode", "mor")
+    spark.conf.set("spark.sql.catalog.g9meta",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9meta.root", root)
+    val files = spark.sql("SELECT * FROM g9meta.default.`t$files`")
+    assert(files.count() == 3)
+    assert(files.agg(sum(col("n_rows"))).head().getLong(0) == 60L)
+    assert(files.filter(col("size_bytes") <= 0).count() == 0)
+    val props = spark.sql("SELECT * FROM g9meta.default.`t$properties`")
+      .as[(String, String)].collect().toMap
+    assert(props == Map("delete.mode" -> "mor"))
+    // history reflects both commits, kinds included
+    val hist = spark.sql(
+      "SELECT version, kind FROM g9meta.default.`t$history` ORDER BY version")
+      .as[(Int, String)].collect().toSeq
+    assert(hist == Seq((0, "data"), (1, "data")))
+    // unknown suffix refuses with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM g9meta.default.`t$bogus`").collect()
+    }
+    assert(e.getMessage.contains("history, files, properties"))
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
