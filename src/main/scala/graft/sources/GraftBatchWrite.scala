@@ -135,3 +135,14 @@ private[sources] class GraftParquetDataWriter(dir: String,
 
   override def close(): Unit = ()
 }
+
+/** Streaming flavor of [[GraftWriterFactory]] — a top-level class so the
+  * serialized factory carries only (dir, schema), never a closure over
+  * the driver-side write machinery. */
+private[sources] class GraftStreamingWriterFactory(dir: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftParquetDataWriter(dir, schema, partitionId, taskId)
+}

@@ -316,7 +316,8 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestSqlScanBuilder(dir, schema(), pinned,
@@ -324,8 +325,8 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
         .getOrElse(Int.MaxValue))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(pinned.isEmpty, "cannot INSERT into a time-travel snapshot")
-    new ManifestSqlWriteBuilder(dir)
+    require(pinned.isEmpty, "cannot write to a time-travel snapshot")
+    new ManifestSqlWriteBuilder(dir, info)
   }
 }
 
@@ -688,13 +689,63 @@ private[sources] object MetadataAggReaderFactory
   }
 }
 
-private[sources] class ManifestSqlWriteBuilder(dir: String)
-    extends WriteBuilder
+private[sources] class ManifestSqlWriteBuilder(dir: String,
+    info: LogicalWriteInfo) extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): V1Write = new V1Write {
+    /** `writeStream.toTable("graft.default.t")` — EXACTLY-ONCE streaming
+      * appends by layout: each epoch's tasks stage orphan parquet through
+      * the distributed V2 writer, and the epoch commit publishes data
+      * files + an `#epoch` high-water marker in ONE CAS, so a replayed
+      * epoch (restart after a commit the checkpoint missed) compares
+      * against the marker and no-ops — sink state and data are the same
+      * atomic commit and can never diverge. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwrite, "streaming writes append; complete mode unsupported")
+      val queryId = info.queryId()
+      val writeSchema = info.schema()
+      val tableDir = dir // local copy: the writer-factory lambda must not
+      // capture the builder (whose LogicalWriteInfo is not serializable)
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        override def createStreamingWriterFactory(
+            pInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+          new GraftStreamingWriterFactory(tableDir, writeSchema)
+        override def commit(epochId: Long,
+            messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+          val staged = messages.collect { case GraftFileCommit(n, r) =>
+            s"$n\t__rows=$r" }
+          var attempt = 0
+          while (attempt < 10) {
+            val v = ManifestTable.currentVersion(dir)
+            require(v >= 0, s"streaming write target $dir has no snapshot")
+            if (ManifestTable.committedEpoch(dir, v, queryId).exists(_ >= epochId))
+              return // replayed epoch: already committed — exactly-once no-op
+            val markers = ManifestTable.carriedMeta(dir, v)
+              .filterNot(_.startsWith(s"#epoch\t$queryId\t")) :+
+              s"#epoch\t$queryId\t$epochId"
+            val body = ManifestTable.listLines(dir, v) ++ staged ++
+              ManifestTable.dvLines(dir, v) ++
+              ManifestTable.renameLines(dir, v) ++ markers
+            if (ManifestTable.commit(dir, body, v)) return
+            attempt += 1 // lost a race with a batch writer: re-read, retry
+          }
+          throw new IllegalStateException(
+            s"streaming epoch $epochId lost 10 commit races in $dir")
+        }
+        override def abort(epochId: Long,
+            messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+          messages.collect { case GraftFileCommit(n, _) =>
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(dir, "data", n))
+          }
+      }
+    }
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {

@@ -1100,8 +1100,8 @@ object ManifestTable {
         s"$SchemaPrefix${renamed.json}"
       }.toSeq
       val body = listLines(dir, v) ++ renameLines(dir, v) ++
-        policyLines(dir, v) ++ propLines(dir, v) ++ evolvedSchema :+
-        s"#rename\t$from\t$to"
+        policyLines(dir, v) ++ propLines(dir, v) ++ evolvedSchema ++
+        epochLines(dir, v) :+ s"#rename\t$from\t$to"
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1
     }
@@ -1158,7 +1158,7 @@ object ManifestTable {
       require(v >= 0, s"no committed snapshot to set policy on in $dir")
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
         renameLines(dir, v) ++ propLines(dir, v) ++
-        schemaLines(dir, v) ++ lines
+        schemaLines(dir, v) ++ epochLines(dir, v) ++ lines
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1
     }
@@ -1213,7 +1213,8 @@ object ManifestTable {
       val kept = propLines(dir, v).filterNot(_.startsWith(s"$PropPrefix$key\t"))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
         renameLines(dir, v) ++ policyLines(dir, v) ++
-        schemaLines(dir, v) ++ kept :+ s"#prop\t$key\t$value"
+        schemaLines(dir, v) ++ epochLines(dir, v) ++ kept :+
+        s"#prop\t$key\t$value"
       if (commit(dir, body, v)) return v + 1
       attempt += 1
     }
@@ -1246,20 +1247,40 @@ object ManifestTable {
       if (kept.size == propLines(dir, v).size) return v // absent: no-op
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
         renameLines(dir, v) ++ policyLines(dir, v) ++ kept ++
-        schemaLines(dir, v)
+        schemaLines(dir, v) ++ epochLines(dir, v)
       if (commit(dir, body, v)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(s"removeTableProperty lost $maxRetries races in $dir")
   }
 
+  private val EpochPrefix = "#epoch\t"
+
+  /** `#epoch\t<queryId>\t<epochId>` markers: the high-water epoch each
+    * streaming query has committed into this table — the atomically-
+    * carried state that makes `writeStream.toTable` EXACTLY-ONCE (a
+    * replayed epoch ≤ the marker no-ops; the marker rides the same CAS
+    * as the data it covers, so sink state and data can never diverge). */
+  def epochLines(dir: String, v: Int): Seq[String] = {
+    if (v < 0) return Seq.empty
+    new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).filter(_.startsWith(EpochPrefix)).toSeq
+  }
+
+  /** Committed high-water epoch for `queryId` in version `v`, if any. */
+  def committedEpoch(dir: String, v: Int, queryId: String): Option[Long] =
+    epochLines(dir, v).collectFirst {
+      case l if l.split('\t')(1) == queryId => l.split('\t')(2).toLong
+    }
+
   /** The marker lines EVERY successor commit carries verbatim regardless
     * of what it does to the data files: governance policies, table
-    * properties, and the declared schema (unlike DV/rename markers, which
-    * interact with the file list and are carried by dedicated,
-    * path-specific logic). */
+    * properties, the declared schema, and streaming epoch high-waters
+    * (unlike DV/rename markers, which interact with the file list and are
+    * carried by dedicated, path-specific logic). */
   private[sources] def carriedMeta(dir: String, v: Int): Seq[String] =
-    policyLines(dir, v) ++ propLines(dir, v) ++ schemaLines(dir, v)
+    policyLines(dir, v) ++ propLines(dir, v) ++ schemaLines(dir, v) ++
+      epochLines(dir, v)
 
   /** MERGE-ON-READ UPSERT (MERGE WHEN MATCHED THEN UPDATE, WHEN NOT
     * MATCHED THEN INSERT) — the Hudi merge-on-read shape: every batch row

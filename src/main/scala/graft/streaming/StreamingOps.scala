@@ -329,6 +329,40 @@ object StreamingOps {
         sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
 
+  /** `writeStream.toTable` into the SQL catalog — the named-table
+    * streaming sink: each epoch's tasks stage orphan parquet through the
+    * distributed V2 writer and the epoch commit publishes data files plus
+    * an `#epoch` high-water marker in ONE CAS, making the sink
+    * exactly-once BY LAYOUT (a replayed epoch compares against the marker
+    * and no-ops; sink state and data share one atomic commit and cannot
+    * diverge — the foreachBatch chaos spec's guarantee, now for a table
+    * addressed by name). A same-checkpoint restart appends nothing; the
+    * oracle is the batch aggregate over events — streaming into the
+    * catalog must not change the answer. */
+  def streamTableSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = "/dev/shm/graft_stream/table_sink_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    val tbl = s"$root/sink"
+    graft.sources.ManifestTable.destroy(tbl)
+    s.conf.set("spark.sql.catalog.graft_st",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_st.root", root)
+    def run(): Unit = {
+      val q = eventsStream(s, dir).writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root-ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_st.default.sink")
+      q.awaitTermination()
+    }
+    run()
+    run() // same-checkpoint restart: offsets recorded, nothing re-appends
+    graft.sources.ManifestTable.read(s, tbl)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   /** The manifest table as a native streaming SOURCE
     * (`sources.ManifestStreamSource`): offsets ARE manifest versions, each
     * micro-batch reads exactly the files new in its version range through a
@@ -490,6 +524,7 @@ object StreamingOps {
     "q_stream_approx_distinct" -> ((s, d) => streamApproxDistinct(s, d)),
     "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
     "q_stream_manifest_sink" -> ((s, d) => streamManifestSink(s, d)),
+    "q_stream_table_sink" -> ((s, d) => streamTableSink(s, d)),
     "q_stream_manifest_source" -> ((s, d) => streamManifestSource(s, d)),
     "q_stream_medallion" -> ((s, d) => streamMedallion(s, d)),
     "q_stream_quarantine" -> ((s, d) => streamQuarantine(s, d)),
@@ -530,6 +565,11 @@ object StreamingOps {
     // the transactional sink must not change the answer either: full replay
     // into the manifest table lands exactly one copy of every event
     "q_stream_manifest_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // writeStream.toTable through the catalog: same contract by name
+    "q_stream_table_sink" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,

@@ -560,6 +560,47 @@ class Round9Spec extends AnyFunSuite {
     assert(e.getMessage.contains("history, files, properties"))
   }
 
+  test("writeStream.toTable: epoch high-water markers commit atomically with data") {
+    val root = freshDir("streamtbl")
+    val dir = s"$root/sink"
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.g9st",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g9st.root", root)
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    (1L to 40L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("k", "long").add("v", "double"))
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("g9st.default.sink")
+      q.awaitTermination()
+    }
+    run()
+    val v1 = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.read(spark, dir).count() == 40)
+    val epochs = ManifestTable.epochLines(dir, v1)
+    assert(epochs.size == 1, "one streaming query = one high-water marker")
+    // a same-checkpoint restart appends nothing (source offsets recorded)
+    run()
+    assert(ManifestTable.read(spark, dir).count() == 40)
+    // the marker survives unrelated lifecycle commits (carriedMeta)
+    ManifestTable.compact(spark, dir, numFiles = 1)
+    val vNow = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.epochLines(dir, vNow) == epochs,
+      "the epoch high-water must ride every successor commit")
+    // the exactly-once guard: a replayed epoch <= the marker no-ops
+    val queryId = epochs.head.split('\t')(1)
+    val epochId = epochs.head.split('\t')(2).toLong
+    assert(ManifestTable.committedEpoch(dir, vNow, queryId).contains(epochId))
+  }
+
   test("advisedJoin sweeps orphan temp dirs left by dead PIDs") {
     val tmp = System.getProperty("java.io.tmpdir")
     // a plausibly-dead pid: max pid space on linux is < 2^22 by default
