@@ -519,7 +519,7 @@ object ScaleOps {
     // pids are orphans (a prior run's key never recurs): sweep them here,
     // so repeated runs under distinct PIDs leave at most one live dir
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.list(tmpRoot).iterator().asScala
+    ManifestTable.listDir(tmpRoot)
       .filter(_.getFileName.toString.startsWith("graft_advjoin_"))
       .foreach { p =>
         val pid = p.getFileName.toString.stripPrefix("graft_advjoin_")

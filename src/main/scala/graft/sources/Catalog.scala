@@ -32,12 +32,10 @@ object Catalog {
   def currentVersion(root: String): Int = {
     val d = Paths.get(root)
     if (!Files.isDirectory(d)) return -1
-    import scala.jdk.CollectionConverters._
-    val vs = Files.list(d).iterator().asScala
+    val vs = ManifestTable.listDir(d)
       .map(_.getFileName.toString)
       .collect { case n if n.startsWith("catalog-v") && n.endsWith(".json") =>
         n.stripPrefix("catalog-v").stripSuffix(".json").toInt }
-      .toSeq
     if (vs.isEmpty) -1 else vs.max
   }
 

@@ -63,7 +63,7 @@ class GraftCatalog extends TableCatalog {
     val base = Paths.get((root +: namespace.toSeq.filterNot(_ == "default")
       .toList).mkString("/"))
     if (!Files.isDirectory(base)) return Array.empty
-    Files.list(base).iterator().asScala
+    ManifestTable.listDir(base)
       .filter(p => ManifestTable.currentVersion(p.toString) >= 0)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -109,10 +109,11 @@ class GraftCatalog extends TableCatalog {
 
   /** SQL time travel by TIMESTAMP — `SELECT … FROM graft.default.t
     * TIMESTAMP AS OF '…'`: resolves to the NEWEST committed version whose
-    * manifest was published at or before the instant (manifest file
-    * mtimes are the commit times in this layout — the same
-    * version-resolution rule Delta documents). Microseconds per the DSv2
-    * contract. */
+    * COMMIT INSTANT is at or before the instant. The authority is the
+    * `#ts` marker each commit records in its own manifest — durable
+    * across directory copies, backups, and restores, unlike file mtimes,
+    * which any `cp -r` silently rewrites (legacy manifests without the
+    * marker fall back to mtime). Microseconds per the DSv2 contract. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = dirOf(ident)
     val cur = ManifestTable.currentVersion(dir)
@@ -120,9 +121,11 @@ class GraftCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val v = (0 to cur).reverse.find { i =>
       val p = Paths.get(dir, f"manifest-v$i%08d.json")
-      Files.exists(p) &&
-        Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L <=
-          timestampMicros
+      Files.exists(p) && {
+        val millis = ManifestTable.commitInstantMillis(dir, i)
+          .getOrElse(Files.getLastModifiedTime(p).toInstant.toEpochMilli)
+        millis * 1000L <= timestampMicros
+      }
     }.getOrElse(throw new IllegalArgumentException(
       s"no committed version of $ident at or before timestamp " +
         s"$timestampMicros (earliest retained commit is later, or vacuumed)"))
@@ -150,27 +153,30 @@ class GraftCatalog extends TableCatalog {
 
   /** ALTER TABLE statements that map onto existing metadata primitives:
     * `SET TBLPROPERTIES` / `UNSET TBLPROPERTIES` publish `#prop` marker
-    * commits; `RENAME COLUMN` publishes the `#rename` column-mapping
-    * marker (`ManifestTable.renameColumn` — immutable files untouched,
-    * generations reconciled at read). Anything else (type changes, drops,
-    * adds with defaults) is refused explicitly. */
+    * lines; `RENAME COLUMN` publishes the `#rename` column-mapping marker
+    * (immutable files untouched, generations reconciled at read). The
+    * whole statement is ATOMIC: every change is translated and validated
+    * first, then `ManifestTable.alterAtomic` publishes ONE combined
+    * commit — a refused change (unsupported kind, rename under DVs,
+    * policy-referenced column) leaves nothing durable. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    changes.foreach {
+    val ops = changes.map {
       case sp: TableChange.SetProperty =>
-        ManifestTable.setTableProperty(dir, sp.property(), sp.value())
+        ManifestTable.AlterOp.SetProp(sp.property(), sp.value())
       case rp: TableChange.RemoveProperty =>
-        ManifestTable.removeTableProperty(dir, rp.property())
+        ManifestTable.AlterOp.RemoveProp(rp.property())
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames().length == 1,
           "RENAME COLUMN supports top-level columns only")
-        ManifestTable.renameColumn(dir, rc.fieldNames().head, rc.newName())
+        ManifestTable.AlterOp.Rename(rc.fieldNames().head, rc.newName())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported; supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN")
     }
+    if (ops.nonEmpty) ManifestTable.alterAtomic(dir, ops)
     new ManifestSqlTable(ident.toString, dir, None)
   }
 
@@ -271,8 +277,22 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
     else None
   }
 
+  /** Governed tables refuse ALL SQL DML, on BOTH paths: a row-filter
+    * policy hides rows from every SQL consumer, and a DELETE that could
+    * still remove them would let the statement's author act on rows the
+    * policy says they cannot see. The row-level (UPDATE/MERGE) path
+    * already refuses governed tables; declining here keeps the contract
+    * consistent instead of letting the key-membership fast path through.
+    * Governed maintenance goes through the ManifestTable API, which is
+    * raw by design (engine maintenance must see true rows). */
+  private def governed: Boolean = {
+    val v = ManifestTable.currentVersion(dir)
+    v >= 0 && ManifestTable.policyLines(dir, v).nonEmpty
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinned.isEmpty && (isTruncate(filters) || parseDelete(filters).isDefined)
+    pinned.isEmpty && !governed &&
+      (isTruncate(filters) || parseDelete(filters).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinned.isEmpty, "cannot DELETE from a time-travel snapshot")
@@ -363,8 +383,14 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     case i: java.lang.Integer => Some(BigDecimal(i.intValue))
     case s: java.lang.Short => Some(BigDecimal(s.intValue))
     case b: java.lang.Byte => Some(BigDecimal(b.intValue))
-    case d: java.lang.Double => Some(BigDecimal(d.doubleValue))
-    case f: java.lang.Float => Some(BigDecimal(f.doubleValue))
+    // NaN/Infinity have no BigDecimal form (the constructor throws) and no
+    // place in a min/max envelope — DECLINE the prune for non-finite
+    // bounds; the filter still re-evaluates post-scan, so the answer is
+    // unchanged and `WHERE x > double('NaN')` runs instead of crashing
+    case d: java.lang.Double if java.lang.Double.isFinite(d) =>
+      Some(BigDecimal(d.doubleValue))
+    case f: java.lang.Float if java.lang.Float.isFinite(f) =>
+      Some(BigDecimal(f.doubleValue))
     case bd: java.math.BigDecimal => Some(BigDecimal(bd))
     case _ => None
   }

@@ -36,12 +36,24 @@ object ManifestTable {
   private def manifestPath(dir: String, v: Int): Path =
     Paths.get(dir, f"manifest-v$v%08d.json")
 
+  /** Directory listing with the stream CLOSED before returning —
+    * `Files.list` holds an open directory FD until the stream closes, and
+    * a long-lived driver probing table metadata thousands of times per
+    * query would otherwise leak one FD per probe until GC ran a finalizer
+    * sweep (an eventual EMFILE under load). */
+  private[graft] def listDir(d: Path): Seq[Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** Remove a table directory entirely (test/setup helper — the write path
     * itself never deletes anything). */
   def destroy(dir: String): Unit = {
     val d = Paths.get(dir)
     if (Files.exists(d)) {
-      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val s = Files.walk(d)
+      val all = try s.iterator().asScala.toList finally s.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 
@@ -49,11 +61,10 @@ object ManifestTable {
   def currentVersion(dir: String): Int = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return -1
-    val vs = Files.list(d).iterator().asScala
+    val vs = listDir(d)
       .map(_.getFileName.toString)
       .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
         n.stripPrefix("manifest-v").stripSuffix(".json").toInt }
-      .toSeq
     if (vs.isEmpty) -1 else vs.max
   }
 
@@ -386,11 +397,32 @@ object ManifestTable {
   private def commitBody(dir: String, body: String, expected: Int): Boolean = {
     Files.createDirectories(Paths.get(dir, "data"))
     val target = manifestPath(dir, expected + 1)
+    // every commit records its own instant as a `#ts` marker line —
+    // TIMESTAMP AS OF resolves from this, not from file mtimes, which a
+    // directory copy/restore/backup silently rewrites. Appended HERE (the
+    // one choke point all commit kinds pass through) and never carried
+    // forward: each version's marker is its own commit time.
+    val stamped =
+      (if (body.isEmpty) "" else body + "\n") +
+        s"$TsPrefix${System.currentTimeMillis()}"
     try {
-      Files.write(target, body.getBytes("UTF-8"),
+      Files.write(target, stamped.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW) // atomic CAS: fails if v+1 exists
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  private val TsPrefix = "#ts\t"
+
+  /** The commit instant (epoch millis) version `v` recorded at publish
+    * time, if the manifest carries a `#ts` marker (commits predating the
+    * marker resolve by file mtime at the call site — the degraded legacy
+    * rule). */
+  def commitInstantMillis(dir: String, v: Int): Option[Long] = {
+    if (v < 0 || !Files.exists(manifestPath(dir, v))) return None
+    new String(Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
+      .split('\n').map(_.trim).find(_.startsWith(TsPrefix))
+      .map(_.stripPrefix(TsPrefix).toLong)
   }
 
   /** Stage `df` as immutable uniquely-named parquet files under `data/`
@@ -401,15 +433,15 @@ object ManifestTable {
     df.write.mode("overwrite").parquet(tmp)
     Files.createDirectories(Paths.get(dir, "data"))
     val uuid = java.util.UUID.randomUUID().toString.take(8)
-    val parts = Files.list(Paths.get(tmp)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val parts = listDir(Paths.get(tmp))
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = s"$uuid-part-$i.parquet"
       Files.move(p, Paths.get(dir, "data", name), StandardCopyOption.ATOMIC_MOVE)
       name
     }
     // remove the now-empty staging dir (best effort)
-    Files.list(Paths.get(tmp)).iterator().asScala.foreach(Files.deleteIfExists(_))
+    listDir(Paths.get(tmp)).foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(Paths.get(tmp))
     named
   }
@@ -514,7 +546,7 @@ object ManifestTable {
     val reg = Paths.get(dir, "clones")
     if (!Files.isDirectory(reg)) return Set.empty
     val dataPrefix = Paths.get(dir, "data").toAbsolutePath.toString + "/"
-    Files.list(reg).iterator().asScala.flatMap { p =>
+    listDir(reg).iterator.flatMap { p =>
       val cloneDir = new String(Files.readAllBytes(p), "UTF-8").trim
       if (!Files.isDirectory(Paths.get(cloneDir))) Iterator.empty
       else (0 to currentVersion(cloneDir)).iterator
@@ -565,12 +597,12 @@ object ManifestTable {
     val dataDir = Paths.get(dir, "data")
     val droppedFiles =
       if (!Files.isDirectory(dataDir)) 0
-      else Files.list(dataDir).iterator().asScala
+      else listDir(dataDir)
         .filter(p => !keepFiles.contains(p.getFileName.toString))
         .count(Files.deleteIfExists(_))
     val metaDir = Paths.get(dir, "meta")
     if (Files.isDirectory(metaDir))
-      Files.list(metaDir).iterator().asScala
+      listDir(metaDir)
         .filter(p => !keepSegs.contains(p.getFileName.toString))
         .foreach(Files.deleteIfExists(_))
     (droppedManifests, droppedFiles.toInt)
@@ -1252,6 +1284,88 @@ object ManifestTable {
       attempt += 1
     }
     throw new IllegalStateException(s"removeTableProperty lost $maxRetries races in $dir")
+  }
+
+  /** One validated `ALTER TABLE` change, for [[alterAtomic]]. */
+  sealed trait AlterOp
+  object AlterOp {
+    final case class SetProp(key: String, value: String) extends AlterOp
+    final case class RemoveProp(key: String) extends AlterOp
+    final case class Rename(from: String, to: String) extends AlterOp
+  }
+
+  /** Apply a MULTI-CHANGE `ALTER TABLE` statement as ONE commit — the
+    * statement-atomicity the per-change path lacks: validating everything
+    * FIRST and publishing one combined manifest means a refused change can
+    * never leave an earlier property commit durable (all-or-nothing, the
+    * DDL contract a warehouse user assumes). Ops apply in statement order;
+    * renames make the commit a `#mutate` (schema changes are
+    * inexpressible in an append-only feed), property-only statements stay
+    * ordinary metadata commits. NOTE: a fifth manual-body method — a new
+    * always-carried marker kind must be added here too (see
+    * [[carriedMeta]]'s scaladoc contract). */
+  def alterAtomic(dir: String, ops: Seq[AlterOp], maxRetries: Int = 10): Int = {
+    // ---- validate EVERYTHING before any commit ----
+    ops.foreach {
+      case AlterOp.SetProp(k, value) =>
+        require(!k.contains('\t') && !k.contains('\n') &&
+          !value.contains('\t') && !value.contains('\n'),
+          "property keys/values may not contain tabs/newlines")
+      case AlterOp.Rename(from, to) =>
+        require(!from.contains('\t') && !to.contains('\t') &&
+          !from.contains('\n') && !to.contains('\n'),
+          "column names may not contain tabs/newlines")
+      case _: AlterOp.RemoveProp => ()
+    }
+    val renameOps = ops.collect { case r: AlterOp.Rename => r }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to alter in $dir")
+      if (renameOps.nonEmpty) {
+        require(dvLines(dir, v).isEmpty,
+          "rename under deletion vectors is refused — compact first")
+        renameOps.foreach { r =>
+          val nameRe =
+            ("\\b" + java.util.regex.Pattern.quote(r.from) + "\\b").r
+          require(
+            !policyLines(dir, v).exists(l => nameRe.findFirstIn(l).isDefined),
+            s"rename of '${r.from}' refused: a governance policy " +
+              "references it — re-declare the policy against the new name " +
+              "first")
+        }
+      }
+      var props = propLines(dir, v)
+      ops.foreach {
+        case AlterOp.SetProp(k, value) =>
+          props = props.filterNot(_.startsWith(s"$PropPrefix$k\t")) :+
+            s"#prop\t$k\t$value"
+        case AlterOp.RemoveProp(k) =>
+          props = props.filterNot(_.startsWith(s"$PropPrefix$k\t"))
+        case _: AlterOp.Rename => ()
+      }
+      val evolvedSchema = declaredSchema(dir, v).map { j =>
+        val st0 = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val st = renameOps.foldLeft(st0)((st, r) =>
+          org.apache.spark.sql.types.StructType(st.fields.map(f =>
+            if (f.name == r.from) f.copy(name = r.to) else f)))
+        s"$SchemaPrefix${st.json}"
+      }.toSeq
+      // DVs carry through property-only alters; with renames they are
+      // required empty above (the DV×rename refusal, both directions)
+      val dvs = if (renameOps.nonEmpty) Seq.empty else dvLines(dir, v)
+      val body = listLines(dir, v) ++ dvs ++ renameLines(dir, v) ++
+        renameOps.map(r => s"#rename\t${r.from}\t${r.to}") ++
+        policyLines(dir, v) ++ props ++ evolvedSchema ++ epochLines(dir, v)
+      val ok =
+        if (renameOps.nonEmpty) commitMutate(dir, body, v)
+        else commit(dir, body, v)
+      if (ok) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"alterAtomic lost $maxRetries commit races in $dir")
   }
 
   private val EpochPrefix = "#epoch\t"

@@ -341,10 +341,18 @@ object StreamingOps {
     * catalog must not change the answer. */
   def streamTableSink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // STABLE root per process: Spark caches catalog instances per NAME
+    // with the root captured at initialize() — a fresh random root per
+    // invocation would leave the cached `graft_st` catalog streaming into
+    // the FIRST root while ManifestTable.read targets the new one (any
+    // re-run in one JVM fails or double-appends). PID keying keeps
+    // concurrent processes apart; destroying table + checkpoint per run
+    // keeps repeated in-session runs independent.
     val root = "/dev/shm/graft_stream/table_sink_" +
-      java.util.UUID.randomUUID().toString.substring(0, 8)
+      java.lang.ProcessHandle.current().pid()
     val tbl = s"$root/sink"
     graft.sources.ManifestTable.destroy(tbl)
+    graft.sources.ManifestTable.destroy(s"$root-ckpt")
     s.conf.set("spark.sql.catalog.graft_st",
       classOf[graft.sources.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_st.root", root)
