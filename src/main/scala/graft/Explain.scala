@@ -37,7 +37,10 @@ object Explain {
     // manifest tables at construction
     "q_sql_pushdown", "q_sql_delete", "q_sql_governed",
     "q_segment_point_lookup", "q_mv_join_rewrite", "q_sql_timetravel",
-    "q_sql_update", "q_sql_merge", "q_sql_history")
+    "q_sql_update", "q_sql_merge", "q_sql_history",
+    // round 11: decimal/array catalog DML build + mutate manifest tables
+    // at construction
+    "q_sql_decimal_update", "q_catalog_embeddings", "q_sql_partitioned")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

@@ -645,6 +645,86 @@ object Relational {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM graft_rl.default.li_mrg GROUP BY l_returnflag""")
     }),
+    // DECIMAL through the catalog's full DML loop: money columns staged as
+    // DECIMAL(18,2) WITH decimal footer stats, a row-level SQL UPDATE that
+    // reads them back through the manifest parquet reader and rewrites
+    // them through the V2 writer's INT64-decimal encoding, then the final
+    // aggregate served by the catalog scan. Exact decimal arithmetic end
+    // to end; the only DOUBLE is the final hash-stable output cast.
+    // Ref: NUMBER fact columns, /root/reference/dags/etl_spark_historical.py:50-61.
+    "q_sql_decimal_update" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqldec_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/li_dec"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("price"))
+        .repartition(8, col("l_orderkey"))
+      val staged = graft.sources.ManifestTable.stageWithStats(
+        s, tbl, li, statsCols = Seq("l_orderkey", "price"))
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      s.conf.set("spark.sql.catalog.graft_dec",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dec.root", root)
+      s.sql("""UPDATE graft_dec.default.li_dec
+        SET price = price + 10.00 WHERE l_orderkey % 10 = 0""")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS sum_price
+        FROM graft_dec.default.li_dec GROUP BY l_returnflag""")
+    }),
+    // ARRAY columns as first-class catalog citizens: the embeddings table
+    // staged into a manifest table, rewritten THROUGH the V2 writer by a
+    // row-level UPDATE (arrays round-trip the standard 3-level LIST
+    // encoding on BOTH paths, not just the read), and served back by the
+    // catalog's pruning parquet reader. Aggregates use only exact
+    // arithmetic — counts, integer sums, float extrema — so the oracle
+    // hashes identically with no float-summation-order exposure.
+    "q_catalog_embeddings" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_emb_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/emb"
+      graft.sources.ManifestTable.destroy(tbl) // fresh table per run
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val staged = graft.sources.ManifestTable.stage(s, tbl, emb)
+      require(graft.sources.ManifestTable.commit(tbl, staged, -1))
+      s.conf.set("spark.sql.catalog.graft_emb",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_emb.root", root)
+      s.sql("UPDATE graft_emb.default.emb SET label = label + 1 WHERE vec_id >= 0")
+      s.sql("""SELECT count(*) AS n_vecs,
+        CAST(sum(size(embedding)) AS BIGINT) AS total_dims,
+        CAST(min(embedding[0]) AS DOUBLE) AS min_e0,
+        CAST(max(embedding[0]) AS DOUBLE) AS max_e0,
+        CAST(sum(label) AS BIGINT) AS sum_label
+        FROM graft_emb.default.emb""")
+    }),
+    // `CREATE TABLE … PARTITIONED BY (yr)` through the catalog: identity
+    // partitioning as a WRITE-CLUSTERING declaration — the insert range-
+    // clusters on the partition column and records per-file stats, so a
+    // partition predicate prunes files through the EXISTING stats pruning
+    // (no directory layout, no new read machinery; monthly-partitioned
+    // convention ref: /root/reference/dags/etl_spark_historical.py:113-143).
+    // Pruning is spec-asserted (Round11Spec); the oracle pins the answer.
+    "q_sql_partitioned" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlpart_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord") // fresh per run
+      s.conf.set("spark.sql.catalog.graft_pt",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_pt.root", root)
+      s.sql("""CREATE TABLE graft_pt.default.ord
+        (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)
+        PARTITIONED BY (yr)""")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+        .createOrReplaceTempView("r11_part_src")
+      s.sql("INSERT INTO graft_pt.default.ord SELECT * FROM r11_part_src")
+      s.sql("""SELECT yr, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_pt.default.ord WHERE yr IN (1996, 1999) GROUP BY yr""")
+    }),
     // SQL TIME TRAVEL: `VERSION AS OF 0` pins the catalog scan to the
     // first committed snapshot (the even-key half) while the current
     // snapshot holds everything — historical manifests and the immutable
@@ -1533,6 +1613,28 @@ object Relational {
         |                          THEN l_quantity + 100.0 ELSE l_quantity END
         |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // DECIMAL UPDATE through the catalog ≡ the same CASE in exact decimal
+    "q_sql_decimal_update" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN l_orderkey % 10 = 0
+        |                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) + 10.00
+        |                     ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END)
+        |            AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // an array round-trip through the catalog must change NOTHING but the
+    // updated label (count/dims/extrema restate the base table exactly)
+    "q_catalog_embeddings" ->
+      """SELECT count(*) AS n_vecs,
+        |       CAST(sum(len(embedding)) AS BIGINT) AS total_dims,
+        |       CAST(min(embedding[1]) AS DOUBLE) AS min_e0,
+        |       CAST(max(embedding[1]) AS DOUBLE) AS max_e0,
+        |       CAST(sum(label) + count(*) AS BIGINT) AS sum_label
+        |FROM embeddings""".stripMargin,
+    // partition-clustered writes must not change the partition's answer
+    "q_sql_partitioned" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
     // the version pin must serve exactly the old snapshot, nothing newer
     "q_sql_timetravel" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -27,8 +27,22 @@ import org.apache.spark.sql.types._
   * construction, and the supported type set is identical. */
 private[sources] object GraftBatchWrite {
 
+  /** Smallest FIXED_LEN_BYTE_ARRAY width that can carry any `precision`-
+    * digit signed unscaled value — the same sizing rule Spark's own parquet
+    * writer uses for wide decimals. */
+  def minBytesForPrecision(precision: Int): Int = {
+    var n = 1
+    // 2^(8n-1) must exceed 10^precision (signed two's complement)
+    while (!BigInt(2).pow(8 * n - 1).>(BigInt(10).pow(precision))) n += 1
+    n
+  }
+
   /** StructType → parquet MessageType (all fields optional, matching the
-    * nullable rows Spark hands a writer). */
+    * nullable rows Spark hands a writer). DECIMAL follows the standard
+    * physical mapping (INT64 for precision ≤ 18, FIXED_LEN_BYTE_ARRAY
+    * above — the reference's NUMBER fact columns,
+    * /root/reference/dags/etl_spark_historical.py:50-61); ARRAY of scalars
+    * is the standard 3-level LIST group (embedding columns). */
   def messageType(schema: StructType, name: String = "spark_schema"): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
@@ -49,6 +63,30 @@ private[sources] object GraftBatchWrite {
         case TimestampNTZType => b.optional(PrimitiveTypeName.INT64)
           .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
           .named(f.name)
+        case dt: DecimalType if dt.precision <= 18 =>
+          b.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
+            .named(f.name)
+        case dt: DecimalType =>
+          b.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+            .length(minBytesForPrecision(dt.precision))
+            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
+            .named(f.name)
+        case ArrayType(et, _) =>
+          val lb = Types.optionalList()
+          val listed = et match {
+            case LongType => lb.optionalElement(PrimitiveTypeName.INT64)
+            case IntegerType => lb.optionalElement(PrimitiveTypeName.INT32)
+            case DoubleType => lb.optionalElement(PrimitiveTypeName.DOUBLE)
+            case FloatType => lb.optionalElement(PrimitiveTypeName.FLOAT)
+            case BooleanType => lb.optionalElement(PrimitiveTypeName.BOOLEAN)
+            case StringType => lb.optionalElement(PrimitiveTypeName.BINARY)
+              .as(LogicalTypeAnnotation.stringType())
+            case BinaryType => lb.optionalElement(PrimitiveTypeName.BINARY)
+            case other => throw new IllegalArgumentException(
+              s"unsupported array element type $other for column ${f.name}")
+          }
+          b.addFields(listed.named(f.name))
         case dt => throw new IllegalArgumentException(
           s"unsupported write type $dt for column ${f.name}")
       }
@@ -111,6 +149,42 @@ private[sources] class GraftParquetDataWriter(dir: String,
           case BinaryType => g.add(n,
             org.apache.parquet.io.api.Binary.fromConstantByteArray(
               r.getBinary(i + off)))
+          case dt: DecimalType if dt.precision <= 18 =>
+            g.add(n,
+              r.getDecimal(i + off, dt.precision, dt.scale).toUnscaledLong)
+          case dt: DecimalType =>
+            // wide decimal: sign-extended big-endian unscaled value in the
+            // schema's fixed width (the standard FLBA decimal encoding)
+            val unscaled = r.getDecimal(i + off, dt.precision, dt.scale)
+              .toJavaBigDecimal.unscaledValue()
+            val w = GraftBatchWrite.minBytesForPrecision(dt.precision)
+            val raw = unscaled.toByteArray
+            val padded = new Array[Byte](w)
+            if (unscaled.signum() < 0) java.util.Arrays.fill(padded, -1: Byte)
+            System.arraycopy(raw, 0, padded, w - raw.length, raw.length)
+            g.add(n,
+              org.apache.parquet.io.api.Binary.fromConstantByteArray(padded))
+          case ArrayType(et, _) =>
+            val arr = r.getArray(i + off)
+            val lg = g.addGroup(n) // the optional LIST wrapper group
+            var j = 0
+            while (j < arr.numElements()) {
+              val eg = lg.addGroup(0) // one repeated `list` entry
+              if (!arr.isNullAt(j)) et match { // absent element = NULL
+                case LongType => eg.add(0, arr.getLong(j))
+                case IntegerType => eg.add(0, arr.getInt(j))
+                case DoubleType => eg.add(0, arr.getDouble(j))
+                case FloatType => eg.add(0, arr.getFloat(j))
+                case BooleanType => eg.add(0, arr.getBoolean(j))
+                case StringType => eg.add(0, arr.getUTF8String(j).toString)
+                case BinaryType => eg.add(0,
+                  org.apache.parquet.io.api.Binary.fromConstantByteArray(
+                    arr.getBinary(j)))
+                case other =>
+                  throw new IllegalArgumentException(s"unsupported $other")
+              }
+              j += 1
+            }
           case dt => throw new IllegalArgumentException(s"unsupported $dt")
         }
       }
@@ -145,4 +219,167 @@ private[sources] class GraftStreamingWriterFactory(dir: String,
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftParquetDataWriter(dir, schema, partitionId, taskId)
+}
+
+// ---------------------------------------------------------------------
+// DELTA row-level writes (SupportsDelta): the executor side of SQL
+// UPDATE / MERGE / arbitrary DELETE. Each task receives only CHANGE
+// records — deletes keyed by (_file, _pos), inserts as full rows —
+// clustered so one task owns every delete of a given file. Deleting
+// rewrites exactly that file, dropping doomed ordinals in one sequential
+// parquet-mr Group copy (no InternalRow decode, type-agnostic, works for
+// decimals/arrays/anything the file holds); inserts stage as ordinary
+// new files. Everything stays an invisible orphan until the driver's one
+// CAS commit.
+// ---------------------------------------------------------------------
+
+/** One task's delta outcome: staged insert files (name, rows) and
+  * replaced files (originalPath, replacementName — None when every row
+  * died, survivorRows). */
+private[sources] case class GraftDeltaCommit(
+    inserted: Seq[(String, Long)],
+    replaced: Seq[(String, Option[String], Long)]) extends WriterCommitMessage
+
+private[sources] class GraftDeltaWriterFactory(dir: String,
+    schema: StructType, fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId)
+}
+
+private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
+    fileIdx: Int, posIdx: Int, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private var insertWriter: GraftParquetDataWriter = null
+  // per-file doomed ordinals — LinkedHashMap keeps rewrite order stable
+  private val doomed =
+    scala.collection.mutable.LinkedHashMap[String, java.util.BitSet]()
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(fileIdx).toString
+    val pos = id.getLong(posIdx)
+    require(pos >= 0 && pos <= Int.MaxValue,
+      s"row ordinal $pos out of range for $file")
+    doomed.getOrElseUpdate(file, new java.util.BitSet()).set(pos.toInt)
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = {
+    if (insertWriter == null)
+      insertWriter = new GraftParquetDataWriter(dir, schema, partitionId, taskId)
+    insertWriter.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val ins = if (insertWriter == null) Seq.empty[(String, Long)] else {
+      val m = insertWriter.commit().asInstanceOf[GraftFileCommit]
+      Seq((m.name, m.rows))
+    }
+    val repl = doomed.toSeq.map { case (path, bits) =>
+      val (newName, rows) =
+        GraftDeltaWriter.rewriteDropping(dir, path, bits, partitionId, taskId)
+      (path, newName, rows)
+    }
+    GraftDeltaCommit(ins, repl)
+  }
+
+  override def abort(): Unit =
+    if (insertWriter != null) insertWriter.abort()
+
+  override def close(): Unit = ()
+}
+
+private[sources] object GraftDeltaWriter {
+  import org.apache.hadoop.fs.Path
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  /** Copy `path` minus the `doomedBits` ordinals into a freshly-named
+    * orphan under this table's `data/` — a sequential parquet-mr Group
+    * copy against the file's OWN schema, so every type the file can hold
+    * round-trips untouched. Returns (None, 0) when no row survives. */
+  def rewriteDropping(dir: String, path: String, doomedBits: java.util.BitSet,
+      partitionId: Int, taskId: Long): (Option[String], Long) = {
+    val mt = ManifestStreamSource.footerSchema(path)
+    val name = "d-" + java.util.UUID.randomUUID().toString.take(8) +
+      s"-p$partitionId-t$taskId.parquet"
+    val wconf = new Configuration()
+    GroupWriteSupport.setSchema(mt, wconf)
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), new Path(path))
+        .withConf(new Configuration()).build()
+    var writer: ParquetWriter[Group] = null
+    var rows = 0L
+    var pos = 0
+    try {
+      var g = reader.read()
+      while (g != null) {
+        if (!doomedBits.get(pos)) {
+          if (writer == null)
+            writer = ExampleParquetWriter.builder(new Path(s"$dir/data/$name"))
+              .withConf(wconf).build()
+          writer.write(g)
+          rows += 1
+        }
+        pos += 1
+        g = reader.read()
+      }
+    } finally {
+      reader.close()
+      if (writer != null) writer.close()
+    }
+    if (writer == null) (None, 0L) else (Some(name), rows)
+  }
+}
+
+/** Driver side of the delta commit: swap replaced files' manifest lines
+  * (stats re-harvested for the snapshot's recorded stat columns), drop
+  * fully-deleted files, append insert lines, and carry every UNTOUCHED
+  * line verbatim — one `#mutate` CAS against the statement's pinned
+  * version. */
+private[sources] object GraftDeltaCommitter {
+  def commit(dir: String, baseVersion: Int,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: GraftDeltaCommit => m }
+    val inserted = staged.flatMap(_.inserted)
+    val dataPrefix = s"$dir/data/"
+    def nameOf(p: String) =
+      if (p.startsWith(dataPrefix)) p.stripPrefix(dataPrefix) else p
+    val replacedByName = staged.flatMap(_.replaced)
+      .map { case (p, n, r) => nameOf(p) -> ((n, r)) }.toMap
+    if (inserted.isEmpty && replacedByName.isEmpty) return // no-op statement
+    val prev = ManifestTable.listLines(dir, baseVersion)
+    val statsCols = prev.map(ManifestTable.parseEntry)
+      .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
+    val lines = prev.flatMap { line =>
+      val nm = line.split('\t').head
+      replacedByName.get(nm) match {
+        case None => Some(line) // untouched: VERBATIM
+        case Some((None, _)) => None // every row deleted
+        case Some((Some(newName), rows)) =>
+          Some(ManifestTable.statLineFor(dir, newName, rows, statsCols))
+      }
+    } ++ inserted.map { case (n, r) =>
+      ManifestTable.statLineFor(dir, n, r, statsCols)
+    }
+    val ok = ManifestTable.commitMutate(dir,
+      lines ++ ManifestTable.carriedMeta(dir, baseVersion), baseVersion)
+    if (!ok) throw new IllegalStateException(
+      s"concurrent commit in $dir since v$baseVersion: the statement's " +
+        "snapshot is stale — staged files remain orphans; re-run the " +
+        "statement against the new snapshot")
+  }
+
+  def abort(dir: String, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftDeltaCommit =>
+      (m.inserted.map(_._1) ++ m.replaced.flatMap(_._2)).foreach { n =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "data", n))
+      }
+    }
 }

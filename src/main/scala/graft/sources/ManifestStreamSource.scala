@@ -84,17 +84,33 @@ private[sources] object ManifestStreamSource {
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
 
-  /** Flat primitive parquet schema → Spark schema. The manifest data-file
-    * contract is flat scalar columns (everything `stage()` ever writes);
-    * nested groups are rejected loudly rather than half-read. */
+  /** Parquet file schema → Spark schema: flat scalar columns, DECIMAL
+    * (INT32/INT64/BINARY/FLBA physical), plus standard 3-level LIST groups
+    * of scalars (the embedding-column shape). Anything else nested is
+    * rejected loudly rather than half-read. */
   def toSparkSchema(mt: MessageType): StructType = StructType(
     mt.getFields.asScala.map { f =>
-      require(f.isPrimitive, s"manifest stream source: nested field '${f.getName}' unsupported")
-      StructField(f.getName, toSparkType(f.asPrimitiveType()), nullable = true)
+      val dt =
+        if (f.isPrimitive) toSparkType(f.asPrimitiveType())
+        else f.getLogicalTypeAnnotation match {
+          case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+            // group (LIST) { repeated group list/item { <element> } } —
+            // positional resolution, so pyarrow's `item` naming works too
+            val rep = f.asGroupType().getType(0).asGroupType()
+            val el = rep.getType(0)
+            require(el.isPrimitive, "manifest source: nested list " +
+              s"elements unsupported in '${f.getName}'")
+            ArrayType(toSparkType(el.asPrimitiveType()), containsNull = true)
+          case _ => throw new IllegalArgumentException(
+            s"manifest stream source: nested field '${f.getName}' unsupported")
+        }
+      StructField(f.getName, dt, nullable = true)
     }.toSeq)
 
   private def toSparkType(p: PrimitiveType): DataType =
     (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+      case (_, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        DecimalType(d.getPrecision, d.getScale)
       case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
         require(t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS,
           s"timestamp unit ${t.getUnit} unsupported (micros only)")
@@ -218,17 +234,35 @@ private[sources] class ManifestParquetReaderFactory(required: StructType)
 /** Executor-side reader: one immutable data file → InternalRows of the
   * pruned columns. The projected `MessageType` is handed to
   * `GroupReadSupport`, so parquet-mr skips the pages of unread columns —
-  * pruning happens in the decoder, not post-hoc. */
+  * pruning happens in the decoder, not post-hoc.
+  *
+  * The metadata columns `_file` (this file's path) and `_pos` (the row's
+  * ordinal in the file) are served WITHOUT touching parquet — they are the
+  * row identity `SupportsDelta` row-level writes key their deletes on. A
+  * physical column with either name (if a table really had one) wins: the
+  * names are treated as metadata only when absent from the footer. */
 private[sources] class ManifestParquetReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
 
+  private val footer: MessageType = ManifestStreamSource.footerSchema(file)
+
+  /** Required fields served from parquet (metadata names excluded). */
+  private val isMeta: Array[Boolean] = required.fields.map(f =>
+    (f.name == "_file" || f.name == "_pos") && !footer.containsField(f.name))
+
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
+    val dataNames = required.fields.zipWithIndex
+      .collect { case (f, i) if !isMeta(i) => f.name }
     if (required.nonEmpty) {
-      val full = ManifestStreamSource.footerSchema(file)
-      val byName = full.getFields.asScala.map(f => f.getName -> f).toMap
-      val projected = new MessageType(full.getName,
-        required.fieldNames.map(byName(_)).toList.asJava)
+      val byName = footer.getFields.asScala.map(f => f.getName -> f).toMap
+      // a metadata-only projection still needs one physical column to
+      // drive row iteration: decode the footer's first field
+      val names =
+        if (dataNames.nonEmpty) dataNames.toSeq
+        else Seq(footer.getFields.asScala.head.getName)
+      val projected = new MessageType(footer.getName,
+        names.map(byName(_)).toList.asJava)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
     }
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
@@ -236,9 +270,12 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
   }
 
   private var current: Group = _
+  private var pos: Long = -1L
+  private val filePathUtf8 = UTF8String.fromString(file)
 
   override def next(): Boolean = {
     current = reader.read()
+    pos += 1
     current != null
   }
 
@@ -259,6 +296,11 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
     val values = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
+      if (isMeta(i)) {
+        values(i) =
+          if (required(i).name == "_file") filePathUtf8 else pos
+        i += 1
+      } else {
       val name = required(i).name
       val idx = g.getType.getFieldIndex(name)
       values(i) =
@@ -274,11 +316,51 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
           case BooleanType => g.getBoolean(idx, 0)
           case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
           case BinaryType => g.getBinary(idx, 0).getBytes
+          case dt: DecimalType =>
+            g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 =>
+                Decimal(g.getLong(idx, 0), dt.precision, dt.scale)
+              case PrimitiveTypeName.INT32 =>
+                Decimal(g.getInteger(idx, 0).toLong, dt.precision, dt.scale)
+              case _ => // BINARY / FIXED_LEN_BYTE_ARRAY big-endian unscaled
+                Decimal(BigDecimal(BigInt(
+                  new java.math.BigInteger(g.getBinary(idx, 0).getBytes)),
+                  dt.scale), dt.precision, dt.scale)
+            }
+          case ArrayType(et, _) => readArray(g.getGroup(idx, 0), et)
           case dt => throw new IllegalArgumentException(s"unsupported $dt")
         }
       i += 1
+      }
     }
     new GenericInternalRow(values)
+  }
+
+  /** Decode one standard 3-level LIST value: `listGroup` is the outer
+    * (LIST) wrapper; each repetition of its single field is one element
+    * entry whose own single field holds the value (absent = NULL). */
+  private def readArray(listGroup: Group, et: DataType): Any = {
+    val n = listGroup.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val eg = listGroup.getGroup(0, j)
+      out(j) =
+        if (eg.getFieldRepetitionCount(0) == 0) null
+        else et match {
+          case LongType => eg.getLong(0, 0)
+          case IntegerType => eg.getInteger(0, 0)
+          case DoubleType => eg.getDouble(0, 0)
+          case FloatType => eg.getFloat(0, 0)
+          case BooleanType => eg.getBoolean(0, 0)
+          case StringType => UTF8String.fromBytes(eg.getBinary(0, 0).getBytes)
+          case BinaryType => eg.getBinary(0, 0).getBytes
+          case other => throw new IllegalArgumentException(
+            s"unsupported array element type $other")
+        }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override def close(): Unit = reader.close()

@@ -707,11 +707,15 @@ object ManifestTable {
   /** One manifest entry: file name, min/max ranges, per-column Bloom
     * "indexes" (serialized [[graft.functions.BloomSketch]] bit arrays) for
     * point-lookup skipping, the file's exact row count (`None` for files
-    * staged without stats), and per-column Datasketches HLL register blobs
-    * (`hlls`) for mergeable distinct-count estimation. */
+    * staged without stats), per-column Datasketches HLL register blobs
+    * (`hlls`) for mergeable distinct-count estimation, and per-column
+    * STRING bounds (`strRanges`: truncated UTF-8 byte envelopes, compared
+    * unsigned-lexicographically — the Iceberg truncate(16) idea) so
+    * `WHERE flag = 'R'` prunes files exactly like a numeric predicate. */
   final case class FileEntry(name: String, ranges: Map[String, ColRange],
       blooms: Map[String, Array[Byte]], rows: Option[Long],
-      hlls: Map[String, Array[Byte]] = Map.empty)
+      hlls: Map[String, Array[Byte]] = Map.empty,
+      strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
 
   /** Parse one manifest line → full [[FileEntry]]. Unknown stat encodings
     * are ignored (forward compatible: an older reader sees the file as
@@ -735,8 +739,15 @@ object ManifestTable {
     val hlls = kvs.flatMap { case (c, v) =>
       if (v.startsWith("H:")) Some(c -> hexDecode(v.substring(2))) else None
     }.toMap
+    val strs = kvs.flatMap { case (c, v) =>
+      if (!v.startsWith("S:")) None
+      else v.substring(2).split(":", -1) match {
+        case Array(lo, hi) => Some(c -> (hexDecode(lo), hexDecode(hi)))
+        case _ => None
+      }
+    }.toMap
     val rows = kvs.collectFirst { case ("__rows", v) if v.forall(_.isDigit) => v.toLong }
-    FileEntry(parts.head, ranges, blooms, rows, hlls)
+    FileEntry(parts.head, ranges, blooms, rows, hlls, strs)
   }
 
   /** Parse one manifest line → (file name, recorded column ranges). */
@@ -772,16 +783,42 @@ object ManifestTable {
         val perBlock = blocks.map { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
             val st = cc.getStatistics
+            // DECIMAL stats scale the raw unscaled extrema back to values,
+            // so a money-column predicate prunes exactly like a double one
+            val decScale = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+              case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(d.getScale)
+              case _ => None
+            }
             if (st == null || st.isEmpty || !st.hasNonNullValue) None
             else (cc.getPrimitiveType.getPrimitiveTypeName, st.genericGetMin, st.genericGetMax) match {
               case (INT64, lo: java.lang.Long, hi: java.lang.Long) =>
-                Some(ColRange('L', BigDecimal(lo.longValue), BigDecimal(hi.longValue)))
+                Some(decScale match {
+                  case Some(sc) => ColRange('D',
+                    BigDecimal(BigInt(lo.longValue), sc),
+                    BigDecimal(BigInt(hi.longValue), sc))
+                  case None =>
+                    ColRange('L', BigDecimal(lo.longValue), BigDecimal(hi.longValue))
+                })
               case (INT32, lo: java.lang.Integer, hi: java.lang.Integer) =>
-                Some(ColRange('L', BigDecimal(lo.intValue), BigDecimal(hi.intValue)))
+                Some(decScale match {
+                  case Some(sc) => ColRange('D',
+                    BigDecimal(BigInt(lo.intValue), sc),
+                    BigDecimal(BigInt(hi.intValue), sc))
+                  case None =>
+                    ColRange('L', BigDecimal(lo.intValue), BigDecimal(hi.intValue))
+                })
               case (DOUBLE, lo: java.lang.Double, hi: java.lang.Double) =>
                 Some(ColRange('D', BigDecimal(lo.doubleValue), BigDecimal(hi.doubleValue)))
               case (FLOAT, lo: java.lang.Float, hi: java.lang.Float) =>
                 Some(ColRange('D', BigDecimal(lo.floatValue.toDouble), BigDecimal(hi.floatValue.toDouble)))
+              case (FIXED_LEN_BYTE_ARRAY | BINARY,
+                  lo: org.apache.parquet.io.api.Binary,
+                  hi: org.apache.parquet.io.api.Binary) if decScale.isDefined =>
+                val sc = decScale.get
+                Some(ColRange('D',
+                  BigDecimal(BigInt(new java.math.BigInteger(lo.getBytes)), sc),
+                  BigDecimal(BigInt(new java.math.BigInteger(hi.getBytes)), sc)))
               case _ => None
             }
           }
@@ -793,6 +830,95 @@ object ManifestTable {
         }
       }.toMap
     } finally r.close()
+  }
+
+  // ---------------------------------------------------------------------
+  // STRING file statistics: parquet footers carry BINARY/UTF8 min/max too
+  // (ordered by unsigned byte comparison), so string predicates — the
+  // zone/borough/flag columns every real warehouse filters on — can prune
+  // files exactly like numeric ones. Values are TRUNCATED to a bounded
+  // prefix before they enter the manifest (a free-text column must not
+  // bloat O(|files|) metadata): the min truncates to a prefix (a prefix is
+  // ≤ the full value — still a valid lower bound), the max truncates and
+  // INCREMENTS its last byte (strictly above anything sharing the prefix —
+  // still a valid upper bound); a max of all-0xFF bytes cannot be bumped
+  // and declines the stat. Bounds admit SUPERSETS, so truncation can only
+  // reduce pruning, never correctness.
+  // ---------------------------------------------------------------------
+
+  private val StrStatMaxBytes = 32
+
+  private[sources] def truncMinBytes(b: Array[Byte]): Array[Byte] =
+    b.take(StrStatMaxBytes)
+
+  private[sources] def truncMaxBytes(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length <= StrStatMaxBytes) return Some(b)
+    val t = b.take(StrStatMaxBytes)
+    var i = t.length - 1
+    while (i >= 0 && t(i) == -1) i -= 1 // walk past 0xFF tails
+    if (i < 0) None // unbumpable: every byte is 0xFF
+    else Some(t.take(i + 1).updated(i, (t(i) + 1).toByte))
+  }
+
+  /** Footer-harvested truncated UTF-8 min/max for STRING columns of one
+    * staged parquet file (columns whose statistics are absent, non-string,
+    * or unbumpable are simply missing — unprunable, the safe default). */
+  def footerStatsStr(file: Path,
+      cols: Seq[String]): Map[String, (Array[Byte], Array[Byte])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      cols.flatMap { c =>
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
+            val st = cc.getStatistics
+            val isStr = cc.getPrimitiveType.getPrimitiveTypeName == BINARY &&
+              cc.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            if (!isStr || st == null || st.isEmpty || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (lo: org.apache.parquet.io.api.Binary,
+                    hi: org.apache.parquet.io.api.Binary) =>
+                Some((lo.getBytes, hi.getBytes))
+              case _ => None
+            }
+          }
+        }
+        if (blocks.isEmpty || perBlock.exists(_.isEmpty)) None
+        else {
+          val rs = perBlock.map(_.get)
+          val lo = rs.map(_._1).min(byteOrdering)
+          val hi = rs.map(_._2).max(byteOrdering)
+          truncMaxBytes(hi).map(h => c -> (truncMinBytes(lo), h))
+        }
+      }.toMap
+    } finally r.close()
+  }
+
+  /** Unsigned-lexicographic byte ordering — the order parquet's UTF8
+    * statistics are computed in, and the order every prune compares in. */
+  private[sources] val byteOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+
+  /** [[pruneFiles]]' STRING leg — metadata-only pruning for an equality
+    * predicate on a string column: (files that may hold `value`, total). */
+  def pruneFilesStr(dir: String, v: Int, col: String,
+      value: String): (Seq[String], Int) = {
+    val x = value.getBytes("UTF-8")
+    val entries = listLines(dir, v).map(parseEntry)
+    val kept = entries.collect {
+      case e if e.strRanges.get(col).forall { case (lo, hi) =>
+        java.util.Arrays.compareUnsigned(lo, x) <= 0 &&
+          java.util.Arrays.compareUnsigned(x, hi) <= 0
+      } => e.name
+    }
+    (kept, entries.size)
   }
 
   /** Exact row count of one parquet file, from its footer alone. */
@@ -807,16 +933,49 @@ object ManifestTable {
   }
 
   /** [[stage]] + footer-stats harvest: returns manifest LINES carrying each
-    * new file's min/max for `statsCols` plus its exact row count, ready for
+    * new file's min/max for `statsCols` (numeric ranges for numeric/decimal
+    * columns, truncated byte envelopes for string columns — whichever the
+    * footer says the column is) plus its exact row count, ready for
     * [[commit]]. */
   def stageWithStats(s: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String]): Seq[String] =
     stage(s, dir, df).map { name =>
       val p = Paths.get(dir, "data", name)
       val st = footerStats(p, statsCols)
+      val ss = footerStatsStr(p, statsCols.filterNot(st.contains))
       val rows = s"__rows=${footerRowCount(p)}"
-      if (st.isEmpty) s"$name\t$rows" else s"$name\t${encodeStats(st)}\t$rows"
+      val statKv = Seq(
+        if (st.isEmpty) "" else encodeStats(st),
+        if (ss.isEmpty) "" else encodeStrStats(ss)
+      ).filter(_.nonEmpty).mkString(";")
+      if (statKv.isEmpty) s"$name\t$rows" else s"$name\t$statKv\t$rows"
     }
+
+  /** Encode string envelopes as the `c=S:<hexmin>:<hexmax>` stats suffix. */
+  private def encodeStrStats(ss: Map[String, (Array[Byte], Array[Byte])]): String =
+    ss.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"$c=S:${hexEncode(lo)}:${hexEncode(hi)}"
+    }.mkString(";")
+
+  /** One ready-to-commit manifest line for an already-staged file: harvest
+    * numeric + string footer stats for `statsCols` and carry the known row
+    * count — the line builder every replacement-file commit (row-level
+    * DML, compaction) shares with [[stageWithStats]]. */
+  def statLineFor(dir: String, name: String, rows: Long,
+      statsCols: Seq[String]): String = {
+    val p = Paths.get(dir, "data", name)
+    val st = if (statsCols.isEmpty) Map.empty[String, ColRange]
+      else footerStats(p, statsCols)
+    val ss = if (statsCols.isEmpty)
+      Map.empty[String, (Array[Byte], Array[Byte])]
+      else footerStatsStr(p, statsCols.filterNot(st.contains))
+    val statKv = Seq(
+      if (st.isEmpty) "" else encodeStats(st),
+      if (ss.isEmpty) "" else encodeStrStats(ss)
+    ).filter(_.nonEmpty).mkString(";")
+    val rowsKv = s"__rows=$rows"
+    if (statKv.isEmpty) s"$name\t$rowsKv" else s"$name\t$statKv\t$rowsKv"
+  }
 
   /** Metadata-only aggregate: exact COUNT(*)/MIN/MAX over the CURRENT
     * snapshot computed from the manifest's recorded row counts and column

@@ -165,4 +165,264 @@ class Round11Spec extends AnyFunSuite {
         "not by the (perturbed) file mtimes")
     ManifestTable.destroy(root)
   }
+
+  test("DECIMAL and ARRAY columns round-trip the V2 write path and the catalog reader") {
+    val root = freshDir("decarr")
+    val dir = s"$root/t"
+    val df = spark.sql("""SELECT
+      CAST(id AS BIGINT) AS k,
+      CASE WHEN id = 6 THEN NULL
+           ELSE CAST(id * 1.25 AS DECIMAL(18,2)) END AS c_dec18,
+      CAST((id - 5) * 123456789012345678.123456 AS DECIMAL(38,6)) AS c_dec38,
+      CASE WHEN id = 3 THEN CAST(array() AS ARRAY<FLOAT>)
+           WHEN id = 4 THEN NULL
+           WHEN id = 5 THEN array(CAST(1.5 AS FLOAT), NULL, CAST(-2.5 AS FLOAT))
+           ELSE array(CAST(id AS FLOAT), CAST(id * 0.5 AS FLOAT)) END AS c_af,
+      array(id, id * 2) AS c_al,
+      array(concat('x', id), NULL) AS c_as
+      FROM range(10)""")
+    val staged = ManifestTable.stage(spark, dir, df)
+    assert(ManifestTable.commit(dir, staged, -1))
+    spark.conf.set("spark.sql.catalog.g11da",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11da.root", root)
+    // the identity-ish UPDATE forces a full rewrite through
+    // GraftParquetDataWriter: decimals re-encode (INT64 for p<=18, FLBA
+    // with sign extension above), arrays re-encode as 3-level LISTs
+    spark.sql("UPDATE g11da.default.t SET k = k WHERE k >= 0")
+    assert(ManifestTable.currentVersion(dir) == 1, "the rewrite must commit")
+    val viaCatalog = spark.sql("SELECT * FROM g11da.default.t")
+    assert(viaCatalog.exceptAll(df).isEmpty && df.exceptAll(viaCatalog).isEmpty,
+      "decimal + array values (nulls, empties, negatives included) must " +
+        "round-trip the write+read paths bit-exactly")
+    assert(viaCatalog.filter(col("c_dec18").isNull).count() == 1)
+    assert(viaCatalog.filter(col("c_af").isNull).count() == 1)
+    assert(viaCatalog.filter(size(col("c_af")) === 0).count() == 1)
+    ManifestTable.destroy(root)
+  }
+
+  test("string footer stats prune catalog scans under a clustered layout, answer invariant") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = freshDir("strstats")
+    val dir = s"$root/li"
+    // clustered by the string key: each returnflag lands in its own files
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .repartitionByRange(6, col("l_returnflag"), col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li,
+      Seq("l_returnflag", "l_orderkey"))
+    assert(staged.forall(_.contains("l_returnflag=S:")),
+      "every staged file must carry a string envelope for the flag column")
+    assert(ManifestTable.commit(dir, staged, -1))
+    spark.conf.set("spark.sql.catalog.g11ss",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ss.root", root)
+    def scansOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case b: BatchScanExec => b.scan }
+        .collect { case m: sources.ManifestFilesScan => m }
+    }
+    val sel = spark.sql(
+      "SELECT * FROM g11ss.default.li WHERE l_returnflag = 'R'")
+    val s1 = scansOf(sel)
+    assert(s1.nonEmpty && s1.head.keptFiles < s1.head.totalFiles,
+      s"a clustered string equality must prune files " +
+        s"(${s1.map(s => s"${s.keptFiles}/${s.totalFiles}").mkString(",")})")
+    assert(sel.count() ==
+      ManifestTable.read(spark, dir).filter(col("l_returnflag") === "R").count(),
+      "string pruning must never change the answer")
+    // range shape too: < 'B' keeps only the A-flag files
+    val lt = spark.sql(
+      "SELECT * FROM g11ss.default.li WHERE l_returnflag < 'B'")
+    val s2 = scansOf(lt)
+    assert(s2.nonEmpty && s2.head.keptFiles < s2.head.totalFiles)
+    assert(lt.count() ==
+      ManifestTable.read(spark, dir).filter(col("l_returnflag") < "B").count())
+    // the API leg agrees with the catalog leg
+    val (kept, total) = ManifestTable.pruneFilesStr(dir, 0, "l_returnflag", "R")
+    assert(kept.nonEmpty && kept.size < total)
+    // truncation safety: a >32-byte value keeps a sound (bumped) envelope
+    val longStr = "z" * 40
+    val dir2 = s"$root/long"
+    import spark.implicits._
+    val staged2 = ManifestTable.stageWithStats(spark, dir2,
+      Seq(("a" * 40, 1L), (longStr, 2L)).toDF("s", "k").coalesce(1), Seq("s"))
+    assert(ManifestTable.commit(dir2, staged2, -1))
+    val e = ManifestTable.listLines(dir2, 0).map(ManifestTable.parseEntry).head
+    val (lo, hi) = e.strRanges("s")
+    assert(lo.length <= 32 && hi.length <= 32)
+    assert(java.util.Arrays.compareUnsigned(lo, ("a" * 40).getBytes("UTF-8")) <= 0,
+      "the truncated min must stay a lower bound on the true min")
+    assert(java.util.Arrays.compareUnsigned(hi, longStr.getBytes("UTF-8")) > 0,
+      "the truncated max must stay a strict upper bound")
+    ManifestTable.destroy(root)
+  }
+
+  test("delta row-level DML touches only stats-admitted files; untouched manifest lines verbatim") {
+    val root = freshDir("delta")
+    val dir = s"$root/li"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .repartitionByRange(8, col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li, Seq("l_orderkey"))
+    assert(ManifestTable.commit(dir, staged, -1))
+    spark.conf.set("spark.sql.catalog.g11dl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11dl.root", root)
+    val v0Lines = ManifestTable.listLines(dir, 0)
+    // a selective UPDATE: the hit keys live in ONE range-clustered file
+    spark.sql("""UPDATE g11dl.default.li SET l_quantity = l_quantity + 100.0
+      WHERE l_orderkey IN (101, 102)""")
+    assert(ManifestTable.currentVersion(dir) == 1)
+    val v1Lines = ManifestTable.listLines(dir, 1)
+    val v0Admitted = v0Lines.map(ManifestTable.parseEntry).filter { e =>
+      e.ranges.get("l_orderkey").forall(r =>
+        r.min <= BigDecimal(102) && r.max >= BigDecimal(101))
+    }.map(_.name).toSet
+    val untouched = v0Lines.filterNot(l =>
+      v0Admitted.contains(l.split('\t').head))
+    assert(untouched.nonEmpty, "the clustered layout must leave bystanders")
+    untouched.foreach { l =>
+      assert(v1Lines.contains(l),
+        s"untouched file's manifest line must carry VERBATIM: $l")
+    }
+    // exactly the admitted files disappeared (replaced or rewritten)
+    val v1Names = v1Lines.map(_.split('\t').head).toSet
+    assert(v0Admitted.forall(n => !v1Names.contains(n)),
+      "every admitted file must have been replaced by the delta")
+    // the answer is the UPDATE's answer
+    val got = spark.sql("""SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+      AS DOUBLE) AS s FROM g11dl.default.li""").head().getDouble(0)
+    val want = li.withColumn("l_quantity",
+        when(col("l_orderkey").isin(101L, 102L), col("l_quantity") + 100.0)
+          .otherwise(col("l_quantity")))
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double")).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+
+    // arbitrary-predicate DELETE rides the same delta path (not the
+    // key-membership fast path) and keeps bystander lines verbatim too
+    spark.sql("DELETE FROM g11dl.default.li WHERE l_orderkey <= 50 AND l_quantity > 25.0")
+    assert(ManifestTable.currentVersion(dir) == 2)
+    val v2Lines = ManifestTable.listLines(dir, 2)
+    val loFile = v1Lines.map(ManifestTable.parseEntry).filter(e =>
+      e.ranges.get("l_orderkey").forall(_.min <= BigDecimal(50)))
+      .map(_.name).toSet
+    v1Lines.filterNot(l => loFile.contains(l.split('\t').head)).foreach { l =>
+      assert(v2Lines.contains(l), s"DELETE bystander line must carry: $l")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM g11dl.default.li " +
+      "WHERE l_orderkey <= 50 AND l_quantity > 25.0").head().getLong(0) == 0L)
+
+    // MERGE with inserts: the not-matched rows stage as NEW files while
+    // bystander lines still carry verbatim
+    import spark.implicits._
+    val src = Seq((9999991L, 1, "Z", 5.0), (101L, 1, "Z", 7.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    src.createOrReplaceTempView("r11_merge_src")
+    spark.sql("""MERGE INTO g11dl.default.li t USING r11_merge_src s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) AS n FROM g11dl.default.li " +
+      "WHERE l_orderkey = 9999991").head().getLong(0) == 1L)
+    // `SELECT _file` works as a plain metadata query too
+    val files = spark.sql(
+      "SELECT DISTINCT _file FROM g11dl.default.li WHERE l_orderkey = 9999991")
+      .collect()
+    assert(files.length == 1 && files.head.getString(0).contains("/data/"))
+    ManifestTable.destroy(root)
+  }
+
+  test("PARTITIONED BY clusters inserts so partition predicates prune files") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = freshDir("part")
+    ManifestTable.destroy(s"$root/ord")
+    spark.conf.set("spark.sql.catalog.g11pt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11pt.root", root)
+    spark.sql("""CREATE TABLE g11pt.default.ord
+      (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)
+      PARTITIONED BY (yr)""")
+    // the declaration survives as a transform (DESCRIBE surface)
+    val cat = new graft.sources.GraftCatalog
+    cat.initialize("g11pt_probe",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(
+          Map("root" -> root)).asJava))
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "ord"))
+    assert(tbl.partitioning().map(_.toString).sameElements(Array("identity(yr)")))
+    Tables.orders(spark, sf).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+      .createOrReplaceTempView("r11_spec_part_src")
+    spark.sql("INSERT INTO g11pt.default.ord SELECT * FROM r11_spec_part_src")
+    val sel = spark.sql(
+      "SELECT * FROM g11pt.default.ord WHERE yr = 1997")
+    sel.collect()
+    val plan = sel.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b.scan }
+      .collect { case m: sources.ManifestFilesScan => m }
+    assert(scans.nonEmpty &&
+      scans.head.keptFiles > 0 && scans.head.keptFiles < scans.head.totalFiles,
+      s"a partition predicate must prune the clustered layout " +
+        s"(${scans.map(s => s"${s.keptFiles}/${s.totalFiles}").mkString(",")})")
+    val expect = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(sel.count() == expect, "pruning must never change the answer")
+    ManifestTable.destroy(root)
+  }
+
+  test("decimal footer stats prune catalog scans and serve metadata MIN/MAX") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = freshDir("decstats")
+    val dir = s"$root/li"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("price"))
+      .repartitionByRange(8, col("price"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li, Seq("price"))
+    assert(staged.forall(_.contains("price=D:")),
+      "every staged file must carry a decimal price range")
+    assert(ManifestTable.commit(dir, staged, -1))
+    spark.conf.set("spark.sql.catalog.g11ds",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ds.root", root)
+    val sel = spark.sql(
+      "SELECT * FROM g11ds.default.li WHERE price > 90000.00")
+    sel.collect()
+    val plan = sel.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b.scan }
+      .collect { case m: sources.ManifestFilesScan => m }
+    assert(scans.nonEmpty && scans.head.keptFiles < scans.head.totalFiles,
+      s"a selective decimal predicate must prune files " +
+        s"(${scans.map(s => s"${s.keptFiles}/${s.totalFiles}").mkString(",")})")
+    val expect = ManifestTable.read(spark, dir)
+      .filter(col("price") > java.math.BigDecimal.valueOf(9000000L, 2)).count()
+    assert(sel.count() == expect, "pruning must never change the answer")
+    // MIN/MAX over the decimal column answered from manifest metadata
+    val mm = spark.sql(
+      "SELECT min(price) AS lo, max(price) AS hi FROM g11ds.default.li")
+    assert(mm.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "decimal MIN/MAX must be served from file stats, zero data I/O")
+    val apiMm = ManifestTable.read(spark, dir)
+      .agg(min(col("price")), max(col("price"))).head()
+    assert(mm.head() == apiMm)
+    ManifestTable.destroy(root)
+  }
 }
