@@ -40,7 +40,8 @@ object Explain {
     "q_sql_update", "q_sql_merge", "q_sql_history",
     // round 11: decimal/array catalog DML build + mutate manifest tables
     // at construction
-    "q_sql_decimal_update", "q_catalog_embeddings", "q_sql_partitioned")
+    "q_sql_decimal_update", "q_catalog_embeddings", "q_sql_partitioned",
+    "q_sql_add_column")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

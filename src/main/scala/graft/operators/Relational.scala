@@ -725,6 +725,36 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM graft_pt.default.ord WHERE yr IN (1996, 1999) GROUP BY yr""")
     }),
+    // `ALTER TABLE ADD COLUMN` — append-only schema evolution through the
+    // catalog: the widened DECLARED schema becomes the read authority,
+    // pre-addition files (immutable, never rewritten) serve the new
+    // column as NULL straight from the manifest parquet reader, and
+    // post-addition inserts carry real values. The oracle restates the
+    // two generations over the base table — evolution must change
+    // NOTHING about the rows, only widen the view.
+    "q_sql_add_column" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqladd_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ev") // fresh per run
+      s.conf.set("spark.sql.catalog.graft_ac",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ac.root", root)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 2 === 0).select("event_id", "event_type")
+        .createOrReplaceTempView("r11_add_old")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .withColumn("score", round(col("value"), 0))
+        .select("event_id", "event_type", "score")
+        .createOrReplaceTempView("r11_add_new")
+      s.sql("CREATE TABLE graft_ac.default.ev (event_id BIGINT, event_type STRING)")
+      s.sql("INSERT INTO graft_ac.default.ev SELECT * FROM r11_add_old")
+      s.sql("ALTER TABLE graft_ac.default.ev ADD COLUMN score DOUBLE")
+      s.sql("INSERT INTO graft_ac.default.ev SELECT * FROM r11_add_new")
+      s.sql("""SELECT event_type, count(*) AS n, count(score) AS n_scored,
+        CAST(sum(CAST(score AS DECIMAL(18,2))) AS DOUBLE) AS sum_score
+        FROM graft_ac.default.ev GROUP BY event_type""")
+    }),
     // SQL TIME TRAVEL: `VERSION AS OF 0` pins the catalog scan to the
     // first committed snapshot (the even-key half) while the current
     // snapshot holds everything — historical manifests and the immutable
@@ -1635,6 +1665,14 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
+    // schema evolution widens the view, never changes the rows
+    "q_sql_add_column" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS n_scored,
+        |       CAST(sum(CASE WHEN event_id % 2 <> 0
+        |                     THEN CAST(round(value, 0) AS DECIMAL(18,2)) END)
+        |            AS DOUBLE) AS sum_score
+        |FROM events GROUP BY 1""".stripMargin,
     // the version pin must serve exactly the old snapshot, nothing newer
     "q_sql_timetravel" ->
       """SELECT l_returnflag, count(*) AS n,

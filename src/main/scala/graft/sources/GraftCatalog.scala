@@ -183,9 +183,22 @@ class GraftCatalog extends TableCatalog {
         require(rc.fieldNames().length == 1,
           "RENAME COLUMN supports top-level columns only")
         ManifestTable.AlterOp.Rename(rc.fieldNames().head, rc.newName())
+      case ac: TableChange.AddColumn =>
+        // append-only evolution: immutable files cannot backfill, so the
+        // new column must be nullable with no default — pre-addition
+        // files read it as NULL (the merge-schema contract)
+        require(ac.fieldNames().length == 1,
+          "ADD COLUMN supports top-level columns only")
+        require(ac.isNullable,
+          "ADD COLUMN requires a nullable column (files are immutable — " +
+            "no backfill)")
+        require(ac.defaultValue() == null,
+          "ADD COLUMN with a DEFAULT is not supported")
+        ManifestTable.AlterOp.AddCol(ac.fieldNames().head, ac.dataType())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
-          "supported; supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN")
+          "supported; supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN, " +
+          "ADD COLUMN (nullable, no default)")
     }
     if (ops.nonEmpty) ManifestTable.alterAtomic(dir, ops)
     new ManifestSqlTable(ident.toString, dir, None)
@@ -398,13 +411,26 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
   override def schema(): StructType = {
     val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
     val files = ManifestTable.listFiles(dir, v)
+    val declared = ManifestTable.declaredSchema(dir, v)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[StructType])
     if (files.isEmpty) // fresh CREATE TABLE / fully-deleted: the declared
-      ManifestTable.declaredSchema(dir, v) // schema is the only authority
-        .map(org.apache.spark.sql.types.DataType.fromJson(_)
-          .asInstanceOf[StructType])
-        .getOrElse(new StructType())
-    else ManifestStreamSource.toSparkSchema(
-      ManifestStreamSource.footerSchema(ManifestTable.dataPath(dir, files.head)))
+      declared.getOrElse(new StructType()) // schema is the only authority
+    else {
+      val observed = ManifestStreamSource.toSparkSchema(
+        ManifestStreamSource.footerSchema(
+          ManifestTable.dataPath(dir, files.head)))
+      declared match {
+        // the declared schema wins when it is a SUPERSET of what this
+        // file observes (ALTER TABLE ADD COLUMN after the file was
+        // written — old files read the added column as NULL); observed
+        // stays the ground truth whenever the two genuinely disagree
+        case Some(d) if d.fields.length >= observed.fields.length &&
+            observed.fields.forall(f => d.fields.exists(df =>
+              df.name == f.name && df.dataType == f.dataType)) => d
+        case _ => observed
+      }
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =

@@ -250,13 +250,20 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
   private val isMeta: Array[Boolean] = required.fields.map(f =>
     (f.name == "_file" || f.name == "_pos") && !footer.containsField(f.name))
 
+  /** Required fields this file predates (`ALTER TABLE ADD COLUMN` after
+    * the file was written) — served as NULL, the merge-schema contract. */
+  private val isAbsent: Array[Boolean] = required.fields.zipWithIndex.map {
+    case (f, i) => !isMeta(i) && !footer.containsField(f.name)
+  }
+
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
     val dataNames = required.fields.zipWithIndex
-      .collect { case (f, i) if !isMeta(i) => f.name }
+      .collect { case (f, i) if !isMeta(i) && !isAbsent(i) => f.name }
     if (required.nonEmpty) {
       val byName = footer.getFields.asScala.map(f => f.getName -> f).toMap
-      // a metadata-only projection still needs one physical column to
+      // a projection with no physical columns (metadata-only, or every
+      // required field post-dates this file) still needs one column to
       // drive row iteration: decode the footer's first field
       val names =
         if (dataNames.nonEmpty) dataNames.toSeq
@@ -299,6 +306,9 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
       if (isMeta(i)) {
         values(i) =
           if (required(i).name == "_file") filePathUtf8 else pos
+        i += 1
+      } else if (isAbsent(i)) {
+        values(i) = null
         i += 1
       } else {
       val name = required(i).name

@@ -170,6 +170,17 @@ object ManifestTable {
         val hs = es.flatMap(_.hlls.get(c))
         if (hs.size < es.size) None else Some(c -> unionHlls(hs))
       }
+      // per-column STRING envelope union (min of lower bounds, max of
+      // upper bounds — both stay sound bounds of every file's values),
+      // so string predicates prune whole SEGMENTS before any file line
+      // parses, same as numeric ranges
+      val strCols = es.flatMap(_.strRanges.keys).distinct.sorted
+      val strs = strCols.flatMap { c =>
+        val rs = es.flatMap(_.strRanges.get(c))
+        if (rs.size < es.size) None
+        else Some(c -> ((rs.map(_._1).min(byteOrdering),
+          rs.map(_._2).max(byteOrdering))))
+      }
       val rows = es.flatMap(_.rows)
       val rowsKv = if (rows.size == es.size) s"\t__rows=${rows.sum}" else ""
       val rangeKv = if (ranges.isEmpty) "" else s"\t${encodeStats(ranges)}"
@@ -177,7 +188,10 @@ object ManifestTable {
         .map { case (c, b) => s"$c=B:${hexEncode(b)}" }.mkString(";")
       val hllKv = if (hlls.isEmpty) "" else "\t" + hlls
         .map { case (c, h) => s"$c=H:${hexEncode(h)}" }.mkString(";")
-      s"$name$rangeKv$bloomKv$hllKv$rowsKv\t__files=${es.size}"
+      val strKv = if (strs.isEmpty) "" else "\t" + strs
+        .map { case (c, (lo, hi)) =>
+          s"$c=S:${hexEncode(lo)}:${hexEncode(hi)}" }.mkString(";")
+      s"$name$rangeKv$bloomKv$hllKv$strKv$rowsKv\t__files=${es.size}"
     }.toSeq
     val body = (Seq(kind).filter(_.nonEmpty) ++ (SegMarker +: summaries))
       .mkString("\n")
@@ -1451,6 +1465,8 @@ object ManifestTable {
     final case class SetProp(key: String, value: String) extends AlterOp
     final case class RemoveProp(key: String) extends AlterOp
     final case class Rename(from: String, to: String) extends AlterOp
+    final case class AddCol(name: String,
+        dataType: org.apache.spark.sql.types.DataType) extends AlterOp
   }
 
   /** Apply a MULTI-CHANGE `ALTER TABLE` statement as ONE commit — the
@@ -1474,9 +1490,13 @@ object ManifestTable {
         require(!from.contains('\t') && !to.contains('\t') &&
           !from.contains('\n') && !to.contains('\n'),
           "column names may not contain tabs/newlines")
+      case AlterOp.AddCol(n, _) =>
+        require(!n.contains('\t') && !n.contains('\n'),
+          "column names may not contain tabs/newlines")
       case _: AlterOp.RemoveProp => ()
     }
     val renameOps = ops.collect { case r: AlterOp.Rename => r }
+    val addOps = ops.collect { case a: AlterOp.AddCol => a }
     var attempt = 0
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
@@ -1501,16 +1521,42 @@ object ManifestTable {
             s"#prop\t$k\t$value"
         case AlterOp.RemoveProp(k) =>
           props = props.filterNot(_.startsWith(s"$PropPrefix$k\t"))
-        case _: AlterOp.Rename => ()
+        case _ => () // schema ops handled below
       }
-      val evolvedSchema = declaredSchema(dir, v).map { j =>
-        val st0 = org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val st = renameOps.foldLeft(st0)((st, r) =>
-          org.apache.spark.sql.types.StructType(st.fields.map(f =>
-            if (f.name == r.from) f.copy(name = r.to) else f)))
+      // the schema authority to evolve: the declared #schema, else (for
+      // ADD COLUMN on a table created by its first insert) the observed
+      // footer schema — ADD COLUMN must record a declared schema so the
+      // widened view has an authority old files cannot provide
+      val baseSchema: Option[org.apache.spark.sql.types.StructType] =
+        declaredSchema(dir, v)
+          .map(org.apache.spark.sql.types.DataType.fromJson(_)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .orElse {
+            val files = listFiles(dir, v)
+            if (files.isEmpty) None
+            else Some(ManifestStreamSource.toSparkSchema(
+              ManifestStreamSource.footerSchema(dataPath(dir, files.head))))
+          }
+      if (addOps.nonEmpty) require(baseSchema.isDefined,
+        "ADD COLUMN on a table with no schema authority (no declared " +
+          "schema and no data files)")
+      val evolvedSchema = baseSchema.map { st0 =>
+        // schema ops apply in STATEMENT order (a rename may precede an
+        // add of the freed name, etc.)
+        val st = ops.foldLeft(st0) {
+          case (st, AlterOp.Rename(from, to)) =>
+            org.apache.spark.sql.types.StructType(st.fields.map(f =>
+              if (f.name == from) f.copy(name = to) else f))
+          case (st, AlterOp.AddCol(n, dt)) =>
+            require(!st.fieldNames.contains(n),
+              s"ADD COLUMN '$n' refused: the column already exists")
+            st.add(org.apache.spark.sql.types.StructField(n, dt,
+              nullable = true))
+          case (st, _) => st
+        }
         s"$SchemaPrefix${st.json}"
-      }.toSeq
+      }.filter(_ => declaredSchema(dir, v).isDefined || addOps.nonEmpty)
+        .toSeq
       // DVs carry through property-only alters; with renames they are
       // required empty above (the DV×rename refusal, both directions)
       val dvs = if (renameOps.nonEmpty) Seq.empty else dvLines(dir, v)

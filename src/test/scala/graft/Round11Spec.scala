@@ -383,6 +383,72 @@ class Round11Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("ADD COLUMN: old files read NULL, new inserts carry values, UPDATE migrates rows") {
+    val root = freshDir("addcol")
+    val dir = s"$root/t"
+    ManifestTable.destroy(dir)
+    spark.conf.set("spark.sql.catalog.g11ac",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ac.root", root)
+    spark.sql("CREATE TABLE g11ac.default.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO g11ac.default.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE g11ac.default.t ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO g11ac.default.t VALUES (3, 'c', 1.5)")
+    val rows = spark.sql(
+      "SELECT k, s, score FROM g11ac.default.t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ==
+      Seq((1L, null), (2L, null), (3L, 1.5)),
+      "pre-addition rows read NULL; post-addition rows carry values")
+    // an UPDATE on an OLD row executes as delete+insert: the row migrates
+    // into a new-generation file and CAN take a value in the new column
+    spark.sql("UPDATE g11ac.default.t SET score = 9.0 WHERE k = 1")
+    val after = spark.sql(
+      "SELECT k, score FROM g11ac.default.t ORDER BY k").collect()
+    assert(after.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getDouble(1))).toSeq ==
+      Seq((1L, 9.0), (2L, null), (3L, 1.5)))
+    // a duplicate add refuses and (atomicity) leaves nothing durable
+    val vBefore = ManifestTable.currentVersion(dir)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g11ac.default.t ADD COLUMN score DOUBLE")
+    }
+    assert(ManifestTable.currentVersion(dir) == vBefore)
+    ManifestTable.destroy(root)
+  }
+
+  test("segment summaries carry string envelopes: string predicates prune whole segments") {
+    val root = freshDir("segstr")
+    val dir = s"$root/li"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .repartitionByRange(6, col("l_returnflag"), col("l_orderkey"))
+    val staged = ManifestTable.stageWithStats(spark, dir, li,
+      Seq("l_returnflag"))
+    assert(ManifestTable.commitSegmented(dir, staged, -1, segmentSize = 2))
+    val x = "R".getBytes("UTF-8")
+    val admit: ManifestTable.FileEntry => Boolean = e =>
+      e.strRanges.get("l_returnflag").forall { case (lo, hi) =>
+        java.util.Arrays.compareUnsigned(lo, x) <= 0 &&
+          java.util.Arrays.compareUnsigned(x, hi) <= 0
+      }
+    val (entries, segsRead, segsTotal, filesTotal) =
+      ManifestTable.segmentedEntries(dir, 0, admit)
+        .getOrElse(fail("must be a segmented manifest"))
+    assert(segsTotal == 3 && segsRead < segsTotal,
+      s"the string envelope must prune segments ($segsRead/$segsTotal)")
+    assert(entries.size < filesTotal)
+    // the catalog leg resolves through the same summaries: parity
+    spark.conf.set("spark.sql.catalog.g11sg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11sg.root", root)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM g11sg.default.li WHERE l_returnflag = 'R'")
+      .head().getLong(0) ==
+      ManifestTable.read(spark, dir).filter(col("l_returnflag") === "R").count())
+    ManifestTable.destroy(root)
+  }
+
   test("decimal footer stats prune catalog scans and serve metadata MIN/MAX") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
