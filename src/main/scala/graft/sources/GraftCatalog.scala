@@ -523,6 +523,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     case LessThanOrEqual(_, v) => numOf(v).isDefined || strOf(v).isDefined
     case In(_, vs) => vs.nonEmpty &&
       (vs.forall(v => numOf(v).isDefined) || vs.forall(v => strOf(v).isDefined))
+    case StringStartsWith(_, p) => p.nonEmpty
     case And(a, b) => prunable(a) || prunable(b)
     // OR is sound only when BOTH branches are stats-decidable (an
     // unprunable branch could hold rows in any file)
@@ -560,6 +561,15 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       numOf(v).forall(x => e.ranges.get(c).forall(_.min <= x)) &&
       strOf(v).forall(x => e.strRanges.get(c).forall { case (lo, _) =>
         cmp(lo, x) <= 0 })
+    case StringStartsWith(c, p) if p.nonEmpty =>
+      // strings with prefix p occupy [p, bump(p)): the file may hold one
+      // iff its envelope intersects that range — LIKE 'R%' prunes like a
+      // range predicate
+      val pb = p.getBytes("UTF-8")
+      e.strRanges.get(c).forall { case (lo, hi) =>
+        cmp(hi, pb) >= 0 &&
+          ManifestTable.bumpBytes(pb).forall(ub => cmp(lo, ub) < 0)
+      }
     case And(a, b) => admits(a, e) && admits(b, e)
     case Or(a, b) => admits(a, e) || admits(b, e)
     case _ => true // unknown shape never prunes

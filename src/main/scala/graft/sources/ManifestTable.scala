@@ -865,14 +865,19 @@ object ManifestTable {
   private[sources] def truncMinBytes(b: Array[Byte]): Array[Byte] =
     b.take(StrStatMaxBytes)
 
-  private[sources] def truncMaxBytes(b: Array[Byte]): Option[Array[Byte]] = {
-    if (b.length <= StrStatMaxBytes) return Some(b)
-    val t = b.take(StrStatMaxBytes)
-    var i = t.length - 1
-    while (i >= 0 && t(i) == -1) i -= 1 // walk past 0xFF tails
-    if (i < 0) None // unbumpable: every byte is 0xFF
-    else Some(t.take(i + 1).updated(i, (t(i) + 1).toByte))
+  /** The smallest byte string strictly greater than EVERY string with
+    * prefix `b`: increment the last non-0xFF byte, drop the tail (None
+    * when every byte is 0xFF — no finite upper bound exists). */
+  private[sources] def bumpBytes(b: Array[Byte]): Option[Array[Byte]] = {
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1 // walk past 0xFF tails
+    if (i < 0) None
+    else Some(b.take(i + 1).updated(i, (b(i) + 1).toByte))
   }
+
+  private[sources] def truncMaxBytes(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StrStatMaxBytes) Some(b)
+    else bumpBytes(b.take(StrStatMaxBytes))
 
   /** Footer-harvested truncated UTF-8 min/max for STRING columns of one
     * staged parquet file (columns whose statistics are absent, non-string,
@@ -1724,8 +1729,10 @@ object ManifestTable {
         .filterNot(l => affectedNames.contains(l.split('\t').head))
       val survivors = readWithDvs(s, dir, v, affected.map(_.name).toSeq)
         .filter(!c(col).isin(keys: _*))
-      // rewrites carry the same stat kinds the originals did
-      val statsCols = affected.flatMap(_.ranges.keys).distinct
+      // rewrites carry the same stat kinds the originals did (string
+      // envelopes included — a rewrite must not silently stop pruning)
+      val statsCols = affected
+        .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
       val bloomCols = affected.flatMap(_.blooms.keys).distinct
       val staged =
         if (survivors.isEmpty) Seq.empty[String]
@@ -1774,7 +1781,8 @@ object ManifestTable {
       val rewritten = readWithDvs(s, dir, v, affected.map(_.name).toSeq)
         .withColumns(assignments.map { case (t, e) =>
           t -> when(hit, e).otherwise(c(t)) })
-      val statsCols = affected.flatMap(_.ranges.keys).distinct
+      val statsCols = affected
+        .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
       val bloomCols = affected.flatMap(_.blooms.keys).distinct
       val staged = stageWithIndexes(s, dir, rewritten, statsCols, bloomCols)
       val carried = carriedDvLines(dir, v,

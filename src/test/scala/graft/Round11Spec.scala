@@ -243,6 +243,15 @@ class Round11Spec extends AnyFunSuite {
     assert(s2.nonEmpty && s2.head.keptFiles < s2.head.totalFiles)
     assert(lt.count() ==
       ManifestTable.read(spark, dir).filter(col("l_returnflag") < "B").count())
+    // LIKE 'R%' prunes as a prefix range: [p, bump(p))
+    val like = spark.sql(
+      "SELECT * FROM g11ss.default.li WHERE l_returnflag LIKE 'R%'")
+    val s3 = scansOf(like)
+    assert(s3.nonEmpty && s3.head.keptFiles < s3.head.totalFiles,
+      "a LIKE-prefix predicate must prune the clustered layout")
+    assert(like.count() ==
+      ManifestTable.read(spark, dir)
+        .filter(col("l_returnflag").startsWith("R")).count())
     // the API leg agrees with the catalog leg
     val (kept, total) = ManifestTable.pruneFilesStr(dir, 0, "l_returnflag", "R")
     assert(kept.nonEmpty && kept.size < total)
