@@ -725,6 +725,34 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM graft_pt.default.ord WHERE yr IN (1996, 1999) GROUP BY yr""")
     }),
+    // Filtered `INSERT OVERWRITE … PARTITION (yr = …)` — the monthly
+    // reload the reference's ETL runs (etl_spark_historical.py:113-143):
+    // SupportsOverwrite deletes exactly the matching rows (files the
+    // stats refute keep their manifest lines verbatim; spec-asserted) and
+    // lands the replacement batch in the SAME mutate CAS. Other
+    // partitions' data never moves. The oracle restates the reload as a
+    // CASE over the base table.
+    "q_sql_overwrite" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlow_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord") // fresh per run
+      s.conf.set("spark.sql.catalog.graft_ow",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ow.root", root)
+      s.sql("""CREATE TABLE graft_ow.default.ord
+        (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)
+        PARTITIONED BY (yr)""")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+        .createOrReplaceTempView("r11_ow_src")
+      s.sql("INSERT INTO graft_ow.default.ord SELECT * FROM r11_ow_src")
+      s.sql("""INSERT OVERWRITE graft_ow.default.ord PARTITION (yr = 1996)
+        SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+        FROM r11_ow_src WHERE yr = 1996""")
+      s.sql("""SELECT yr, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_ow.default.ord GROUP BY yr""")
+    }),
     // `ALTER TABLE ADD COLUMN` — append-only schema evolution through the
     // catalog: the widened DECLARED schema becomes the read authority,
     // pre-addition files (immutable, never rewritten) serve the new
@@ -1665,6 +1693,14 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
+    // a partition reload must change exactly that partition's rows
+    "q_sql_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |       CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1996
+        |                          THEN o_totalprice + 1000.0
+        |                          ELSE o_totalprice END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     // schema evolution widens the view, never changes the rows
     "q_sql_add_column" ->
       """SELECT event_type, count(*) AS n,

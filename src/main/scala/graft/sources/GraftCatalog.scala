@@ -436,6 +436,7 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -477,103 +478,9 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   import org.apache.spark.sql.sources._
   private var pushed: Array[Filter] = Array.empty
 
-  private def numOf(a: Any): Option[BigDecimal] = a match {
-    case l: java.lang.Long => Some(BigDecimal(l.longValue))
-    case i: java.lang.Integer => Some(BigDecimal(i.intValue))
-    case s: java.lang.Short => Some(BigDecimal(s.intValue))
-    case b: java.lang.Byte => Some(BigDecimal(b.intValue))
-    // NaN/Infinity have no BigDecimal form (the constructor throws) and no
-    // place in a min/max envelope — DECLINE the prune for non-finite
-    // bounds; the filter still re-evaluates post-scan, so the answer is
-    // unchanged and `WHERE x > double('NaN')` runs instead of crashing
-    case d: java.lang.Double if java.lang.Double.isFinite(d) =>
-      Some(BigDecimal(d.doubleValue))
-    case f: java.lang.Float if java.lang.Float.isFinite(f) =>
-      Some(BigDecimal(f.doubleValue))
-    case bd: java.math.BigDecimal => Some(BigDecimal(bd))
-    case _ => None
-  }
-  private def longOf(a: Any): Option[Long] = a match {
-    case l: java.lang.Long => Some(l.longValue)
-    case i: java.lang.Integer => Some(i.longValue)
-    case s: java.lang.Short => Some(s.longValue)
-    case b: java.lang.Byte => Some(b.longValue)
-    case _ => None
-  }
-
-  /** UTF-8 bytes of a string predicate bound — compared unsigned-
-    * lexicographically against the manifest's truncated byte envelopes,
-    * the exact order parquet computed the source statistics in. */
-  private def strOf(a: Any): Option[Array[Byte]] = a match {
-    case s: String => Some(s.getBytes("UTF-8"))
-    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
-    case _ => None
-  }
-
-  private def cmp(a: Array[Byte], b: Array[Byte]): Int =
-    java.util.Arrays.compareUnsigned(a, b)
-
-  /** Can this filter ever EXCLUDE a file from the manifest's recorded
-    * stats? Only these shapes are claimed in `pushedFilters()`. */
-  private def prunable(f: Filter): Boolean = f match {
-    case EqualTo(_, v) => numOf(v).isDefined || strOf(v).isDefined
-    case GreaterThan(_, v) => numOf(v).isDefined || strOf(v).isDefined
-    case GreaterThanOrEqual(_, v) => numOf(v).isDefined || strOf(v).isDefined
-    case LessThan(_, v) => numOf(v).isDefined || strOf(v).isDefined
-    case LessThanOrEqual(_, v) => numOf(v).isDefined || strOf(v).isDefined
-    case In(_, vs) => vs.nonEmpty &&
-      (vs.forall(v => numOf(v).isDefined) || vs.forall(v => strOf(v).isDefined))
-    case StringStartsWith(_, p) => p.nonEmpty
-    case And(a, b) => prunable(a) || prunable(b)
-    // OR is sound only when BOTH branches are stats-decidable (an
-    // unprunable branch could hold rows in any file)
-    case Or(a, b) => prunable(a) && prunable(b)
-    case _ => false
-  }
-
-  /** May file `e` hold a row satisfying `f`? Missing stats → yes. The
-    * string envelopes are truncated SUPERSETS of the true extrema (min is
-    * a prefix ≤ true min, max is bumped above the true max), so every
-    * comparison here keeps its no-false-exclusion guarantee. */
-  private def admits(f: Filter, e: ManifestTable.FileEntry): Boolean = f match {
-    case EqualTo(c, v) =>
-      numOf(v).forall(x =>
-        e.ranges.get(c).forall(r => r.min <= x && x <= r.max)) &&
-      longOf(v).forall(x =>
-        e.blooms.get(c).forall(graft.functions.BloomSketch.contains(_, x))) &&
-      strOf(v).forall(x => e.strRanges.get(c).forall { case (lo, hi) =>
-        cmp(lo, x) <= 0 && cmp(x, hi) <= 0 })
-    case In(c, vs) =>
-      vs.nonEmpty && vs.exists(v => admits(EqualTo(c, v), e))
-    case GreaterThan(c, v) =>
-      numOf(v).forall(x => e.ranges.get(c).forall(_.max > x)) &&
-      strOf(v).forall(x => e.strRanges.get(c).forall { case (_, hi) =>
-        cmp(hi, x) > 0 })
-    case GreaterThanOrEqual(c, v) =>
-      numOf(v).forall(x => e.ranges.get(c).forall(_.max >= x)) &&
-      strOf(v).forall(x => e.strRanges.get(c).forall { case (_, hi) =>
-        cmp(hi, x) >= 0 })
-    case LessThan(c, v) =>
-      numOf(v).forall(x => e.ranges.get(c).forall(_.min < x)) &&
-      strOf(v).forall(x => e.strRanges.get(c).forall { case (lo, _) =>
-        cmp(lo, x) < 0 })
-    case LessThanOrEqual(c, v) =>
-      numOf(v).forall(x => e.ranges.get(c).forall(_.min <= x)) &&
-      strOf(v).forall(x => e.strRanges.get(c).forall { case (lo, _) =>
-        cmp(lo, x) <= 0 })
-    case StringStartsWith(c, p) if p.nonEmpty =>
-      // strings with prefix p occupy [p, bump(p)): the file may hold one
-      // iff its envelope intersects that range — LIKE 'R%' prunes like a
-      // range predicate
-      val pb = p.getBytes("UTF-8")
-      e.strRanges.get(c).forall { case (lo, hi) =>
-        cmp(hi, pb) >= 0 &&
-          ManifestTable.bumpBytes(pb).forall(ub => cmp(lo, ub) < 0)
-      }
-    case And(a, b) => admits(a, e) && admits(b, e)
-    case Or(a, b) => admits(a, e) || admits(b, e)
-    case _ => true // unknown shape never prunes
-  }
+  private def prunable(f: Filter): Boolean = StatsFilters.prunable(f)
+  private def admits(f: Filter, e: ManifestTable.FileEntry): Boolean =
+    StatsFilters.admits(f, e)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(prunable)
@@ -854,9 +761,23 @@ private[sources] object MetadataAggReaderFactory
 
 private[sources] class ManifestSqlWriteBuilder(dir: String,
     info: LogicalWriteInfo) extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
-  private var overwrite = false
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+  import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+  // None = plain append; Some(all-true) = whole-table overwrite; Some(p)
+  // = FILTERED overwrite (`INSERT OVERWRITE … PARTITION (yr=…)` in static
+  // mode): delete exactly the matching rows, land the new data, keep
+  // every refuted file's manifest line VERBATIM — the monthly-partition
+  // reload the reference's ETL does (dags/etl_spark_historical.py:113-143)
+  // without rewriting the other months
+  private var overwriteFilters: Option[Array[Filter]] = None
+  private def overwrite: Boolean = overwriteFilters.isDefined
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteFilters = Some(filters); this
+  }
+  override def truncate(): WriteBuilder =
+    overwrite(Array[Filter](new AlwaysTrue))
+  private def isTruncate(filters: Array[Filter]): Boolean =
+    filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])
 
   override def build(): V1Write = new V1Write {
     /** `writeStream.toTable("graft.default.t")` — EXACTLY-ONCE streaming
@@ -952,14 +873,52 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
             // Policies survive BOTH: governance travels with the table
             // through every lifecycle op, and an overwrite that silently
             // dropped the masks would be a data-leak regression.
-            done =
-              if (overwrite) ManifestTable.commitMutate(dir,
-                staged ++ ManifestTable.carriedMeta(dir, v), v)
-              else ManifestTable.commit(dir,
+            done = overwriteFilters match {
+              case Some(fs) if !isTruncate(fs) =>
+                // FILTERED overwrite: delete exactly the matching rows.
+                // Files the stats REFUTE keep their manifest line
+                // VERBATIM; files that may hold matches rewrite their
+                // non-matching rows (`cond IS NOT TRUE` — null-matching
+                // rows survive, the SQL contract); the new data lands
+                // beside them, all in ONE mutate CAS
+                require(ManifestTable.dvLines(dir, v).isEmpty &&
+                    ManifestTable.renameLines(dir, v).isEmpty,
+                  s"filtered INSERT OVERWRITE on $dir refused: deletion-" +
+                    "vector/rename markers present — compact first")
+                require(ManifestTable.policyLines(dir, v).isEmpty,
+                  s"filtered INSERT OVERWRITE on governed $dir refused: " +
+                    "row deletion under a row-filter policy — use the " +
+                    "ManifestTable API for governed maintenance")
+                val lines = ManifestTable.listLines(dir, v)
+                val (hit, untouched) = lines.partition { l =>
+                  val e = ManifestTable.parseEntry(l)
+                  fs.forall(StatsFilters.admits(_, e))
+                }
+                val survivors =
+                  if (hit.isEmpty) Seq.empty[String]
+                  else {
+                    import org.apache.spark.sql.functions.{coalesce, lit, not}
+                    val cond = fs.map(StatsFilters.toColumn).reduce(_ && _)
+                    val statsCols = hit.map(ManifestTable.parseEntry)
+                      .flatMap(e => e.ranges.keys ++ e.strRanges.keys)
+                      .distinct
+                    val sv = s.read.parquet(hit.map(l =>
+                        ManifestTable.dataPath(dir, l.split('\t').head)): _*)
+                      .filter(not(coalesce(cond, lit(false))))
+                    ManifestTable.stageWithStats(s, dir, sv, statsCols)
+                  }
+                ManifestTable.commitMutate(dir,
+                  untouched ++ survivors ++ staged ++
+                    ManifestTable.carriedMeta(dir, v), v)
+              case Some(_) => // whole-table overwrite (TRUNCATE shape)
+                ManifestTable.commitMutate(dir,
+                  staged ++ ManifestTable.carriedMeta(dir, v), v)
+              case None => ManifestTable.commit(dir,
                 ManifestTable.listLines(dir, v) ++ staged ++
                   ManifestTable.dvLines(dir, v) ++
                   ManifestTable.renameLines(dir, v) ++
                   ManifestTable.carriedMeta(dir, v), v)
+            }
             attempt += 1 // lost the race: re-read, re-append (orphans stay)
           }
           if (!done) throw new IllegalStateException(
@@ -1164,5 +1123,149 @@ private[sources] object MetadataRowsReaderFactory extends PartitionReaderFactory
           }.toArray)
       override def close(): Unit = ()
     }
+  }
+}
+
+/** The stats-vs-filter decision logic shared by every path that prunes or
+  * partitions work by manifest file statistics: the catalog SCAN (file
+  * skipping), the delta row-level scan, and filtered `INSERT OVERWRITE`
+  * (which keeps refuted files verbatim). All decisions have SUPERSET
+  * semantics — a file is excluded only when its stats PROVE no row can
+  * match. */
+private[sources] object StatsFilters {
+  import org.apache.spark.sql.sources._
+
+  /** Translate a pushed source filter back into a Column for the rewrite
+    * legs (filtered INSERT OVERWRITE keeps rows where the condition `IS
+    * NOT TRUE` — null-matching rows survive a partition overwrite, the
+    * SQL contract). Only shapes Spark can hand a `SupportsOverwrite`
+    * builder appear here; anything else refuses loudly. */
+  def toColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case EqualTo(c, v) => col(c) === lit(v)
+      case EqualNullSafe(c, v) => col(c) <=> lit(v)
+      case In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
+      case GreaterThan(c, v) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+      case LessThan(c, v) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
+      case StringStartsWith(c, p) => col(c).startsWith(p)
+      case StringEndsWith(c, p) => col(c).endsWith(p)
+      case StringContains(c, p) => col(c).contains(p)
+      case And(a, b) => toColumn(a) && toColumn(b)
+      case Or(a, b) => toColumn(a) || toColumn(b)
+      case Not(a) => not(toColumn(a))
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"cannot evaluate overwrite condition $other — refuse rather " +
+          "than overwrite the wrong rows")
+    }
+  }
+
+  def numOf(a: Any): Option[BigDecimal] = a match {
+    case l: java.lang.Long => Some(BigDecimal(l.longValue))
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+    case s: java.lang.Short => Some(BigDecimal(s.intValue))
+    case b: java.lang.Byte => Some(BigDecimal(b.intValue))
+    // NaN/Infinity have no BigDecimal form (the constructor throws) and no
+    // place in a min/max envelope — DECLINE the prune for non-finite
+    // bounds; the filter still re-evaluates post-scan, so the answer is
+    // unchanged and `WHERE x > double('NaN')` runs instead of crashing
+    case d: java.lang.Double if java.lang.Double.isFinite(d) =>
+      Some(BigDecimal(d.doubleValue))
+    case f: java.lang.Float if java.lang.Float.isFinite(f) =>
+      Some(BigDecimal(f.doubleValue))
+    case bd: java.math.BigDecimal => Some(BigDecimal(bd))
+    case _ => None
+  }
+  def longOf(a: Any): Option[Long] = a match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+
+  /** UTF-8 bytes of a string predicate bound — compared unsigned-
+    * lexicographically against the manifest's truncated byte envelopes,
+    * the exact order parquet computed the source statistics in. */
+  def strOf(a: Any): Option[Array[Byte]] = a match {
+    case s: String => Some(s.getBytes("UTF-8"))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+    case _ => None
+  }
+
+  def cmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  /** Can this filter ever EXCLUDE a file from the manifest's recorded
+    * stats? Only these shapes are claimed in `pushedFilters()`. */
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => numOf(v).isDefined || strOf(v).isDefined
+    // `<=>` with a non-null bound selects exactly the `=` rows (nulls
+    // never equal a non-null value), so it prunes like equality
+    case EqualNullSafe(_, v) =>
+      v != null && (numOf(v).isDefined || strOf(v).isDefined)
+    case GreaterThan(_, v) => numOf(v).isDefined || strOf(v).isDefined
+    case GreaterThanOrEqual(_, v) => numOf(v).isDefined || strOf(v).isDefined
+    case LessThan(_, v) => numOf(v).isDefined || strOf(v).isDefined
+    case LessThanOrEqual(_, v) => numOf(v).isDefined || strOf(v).isDefined
+    case In(_, vs) => vs.nonEmpty &&
+      (vs.forall(v => numOf(v).isDefined) || vs.forall(v => strOf(v).isDefined))
+    case StringStartsWith(_, p) => p.nonEmpty
+    case And(a, b) => prunable(a) || prunable(b)
+    // OR is sound only when BOTH branches are stats-decidable (an
+    // unprunable branch could hold rows in any file)
+    case Or(a, b) => prunable(a) && prunable(b)
+    case _ => false
+  }
+
+  /** May file `e` hold a row satisfying `f`? Missing stats → yes. The
+    * string envelopes are truncated SUPERSETS of the true extrema (min is
+    * a prefix ≤ true min, max is bumped above the true max), so every
+    * comparison here keeps its no-false-exclusion guarantee. */
+  def admits(f: Filter, e: ManifestTable.FileEntry): Boolean = f match {
+    case EqualNullSafe(c, v) if v != null => admits(EqualTo(c, v), e)
+    case EqualTo(c, v) =>
+      numOf(v).forall(x =>
+        e.ranges.get(c).forall(r => r.min <= x && x <= r.max)) &&
+      longOf(v).forall(x =>
+        e.blooms.get(c).forall(graft.functions.BloomSketch.contains(_, x))) &&
+      strOf(v).forall(x => e.strRanges.get(c).forall { case (lo, hi) =>
+        cmp(lo, x) <= 0 && cmp(x, hi) <= 0 })
+    case In(c, vs) =>
+      vs.nonEmpty && vs.exists(v => admits(EqualTo(c, v), e))
+    case GreaterThan(c, v) =>
+      numOf(v).forall(x => e.ranges.get(c).forall(_.max > x)) &&
+      strOf(v).forall(x => e.strRanges.get(c).forall { case (_, hi) =>
+        cmp(hi, x) > 0 })
+    case GreaterThanOrEqual(c, v) =>
+      numOf(v).forall(x => e.ranges.get(c).forall(_.max >= x)) &&
+      strOf(v).forall(x => e.strRanges.get(c).forall { case (_, hi) =>
+        cmp(hi, x) >= 0 })
+    case LessThan(c, v) =>
+      numOf(v).forall(x => e.ranges.get(c).forall(_.min < x)) &&
+      strOf(v).forall(x => e.strRanges.get(c).forall { case (lo, _) =>
+        cmp(lo, x) < 0 })
+    case LessThanOrEqual(c, v) =>
+      numOf(v).forall(x => e.ranges.get(c).forall(_.min <= x)) &&
+      strOf(v).forall(x => e.strRanges.get(c).forall { case (lo, _) =>
+        cmp(lo, x) <= 0 })
+    case StringStartsWith(c, p) if p.nonEmpty =>
+      // strings with prefix p occupy [p, bump(p)): the file may hold one
+      // iff its envelope intersects that range — LIKE 'R%' prunes like a
+      // range predicate
+      val pb = p.getBytes("UTF-8")
+      e.strRanges.get(c).forall { case (lo, hi) =>
+        cmp(hi, pb) >= 0 &&
+          ManifestTable.bumpBytes(pb).forall(ub => cmp(lo, ub) < 0)
+      }
+    case And(a, b) => admits(a, e) && admits(b, e)
+    case Or(a, b) => admits(a, e) || admits(b, e)
+    case _ => true // unknown shape never prunes
   }
 }

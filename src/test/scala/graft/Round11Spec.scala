@@ -392,6 +392,53 @@ class Round11Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("filtered INSERT OVERWRITE reloads one partition; bystander files verbatim") {
+    val root = freshDir("owpart")
+    ManifestTable.destroy(s"$root/ord")
+    val dir = s"$root/ord"
+    spark.conf.set("spark.sql.catalog.g11ow",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ow.root", root)
+    spark.sql("""CREATE TABLE g11ow.default.ord
+      (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)
+      PARTITIONED BY (yr)""")
+    val src = Tables.orders(spark, sf).select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+    src.createOrReplaceTempView("r11_spec_ow_src")
+    spark.sql("INSERT INTO g11ow.default.ord SELECT * FROM r11_spec_ow_src")
+    val v1 = ManifestTable.currentVersion(dir)
+    val before = ManifestTable.listLines(dir, v1)
+    spark.sql("""INSERT OVERWRITE g11ow.default.ord PARTITION (yr = 1997)
+      SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice
+      FROM r11_spec_ow_src WHERE yr = 1997""")
+    val v2 = ManifestTable.currentVersion(dir)
+    assert(v2 == v1 + 1, "one filtered overwrite = one mutate commit")
+    val after = ManifestTable.listLines(dir, v2)
+    // files whose yr-range refutes 1997 keep their exact line
+    val bystanders = before.filter { l =>
+      val e = ManifestTable.parseEntry(l)
+      e.ranges.get("yr").exists(r =>
+        r.max < BigDecimal(1997) || r.min > BigDecimal(1997))
+    }
+    assert(bystanders.nonEmpty, "the clustered layout must leave bystanders")
+    bystanders.foreach(l => assert(after.contains(l),
+      s"bystander manifest line must carry VERBATIM: $l"))
+    // the answer is the reload's answer
+    val got = spark.sql("""SELECT CAST(sum(CAST(o_totalprice AS
+      DECIMAL(18,2))) AS DOUBLE) AS s FROM g11ow.default.ord
+      WHERE yr = 1997""").head().getDouble(0)
+    val want = src.filter(col("yr") === 1997)
+      .agg(sum((col("o_totalprice") + 5.0)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double")).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+    // row counts everywhere else unchanged
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM g11ow.default.ord WHERE yr <> 1997")
+      .head().getLong(0) == src.filter(col("yr") =!= 1997).count())
+    ManifestTable.destroy(root)
+  }
+
   test("ADD COLUMN: old files read NULL, new inserts carry values, UPDATE migrates rows") {
     val root = freshDir("addcol")
     val dir = s"$root/t"
