@@ -41,7 +41,8 @@ object Explain {
     // round 11: decimal/array catalog DML build + mutate manifest tables
     // at construction
     "q_sql_decimal_update", "q_catalog_embeddings", "q_sql_partitioned",
-    "q_sql_add_column", "q_sql_overwrite")
+    "q_sql_add_column", "q_sql_overwrite", "q_sql_overwrite_dynamic",
+    "q_catalog_stats_join")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

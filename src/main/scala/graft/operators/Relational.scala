@@ -753,6 +753,64 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM graft_ow.default.ord GROUP BY yr""")
     }),
+    // DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`): the
+    // replaced partition set is discovered FROM the incoming batch — the
+    // Hive dynamic contract, the idempotent re-run shape of a backfill
+    // job ("recompute whatever months this run produced"). Same filtered
+    // delete machinery as the static form; bystander partitions' files
+    // carry verbatim.
+    "q_sql_overwrite_dynamic" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqldow_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord") // fresh per run
+      s.conf.set("spark.sql.catalog.graft_dow",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dow.root", root)
+      s.sql("""CREATE TABLE graft_dow.default.ord
+        (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)
+        PARTITIONED BY (yr)""")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+        .createOrReplaceTempView("r11_dow_src")
+      s.sql("INSERT INTO graft_dow.default.ord SELECT * FROM r11_dow_src")
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql("""INSERT OVERWRITE graft_dow.default.ord
+          SELECT o_orderkey, yr, o_totalprice + 500.0 AS o_totalprice
+          FROM r11_dow_src WHERE yr IN (1996, 1999)""")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.sql("""SELECT yr, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_dow.default.ord GROUP BY yr""")
+    }),
+    // Planning-time statistics served FROM THE MANIFEST
+    // (`SupportsReportStatistics`): the 25-row nation table lands in the
+    // catalog and the join against the customer base table BROADCASTS it
+    // with no hint, because the scan reports its post-pruning
+    // size/rowCount from recorded `__bytes`/`__rows` — on a real cluster
+    // the difference between a map-side join and shuffling the fact
+    // side. The spec asserts the executed plan chose BroadcastHashJoin
+    // and that the reported row count is exact.
+    "q_catalog_stats_join" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_stats_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/nat")
+      s.conf.set("spark.sql.catalog.graft_sj",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sj.root", root)
+      s.sql("""CREATE TABLE graft_sj.default.nat
+        (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)""")
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("r11_stats_nat")
+      s.sql("INSERT INTO graft_sj.default.nat SELECT * FROM r11_stats_nat")
+      Tables.customer(s, d).createOrReplaceTempView("r11_stats_cust")
+      s.sql("""SELECT n.n_name, count(*) AS n_cust,
+        CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM r11_stats_cust c JOIN graft_sj.default.nat n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""")
+    }),
     // `ALTER TABLE ADD COLUMN` — append-only schema evolution through the
     // catalog: the widened DECLARED schema becomes the read authority,
     // pre-addition files (immutable, never rewritten) serve the new
@@ -1693,6 +1751,20 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
+    // the manifest-stats broadcast join must match the plain join
+    "q_catalog_stats_join" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    // dynamic overwrite replaces exactly the batch's partitions
+    "q_sql_overwrite_dynamic" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |       CAST(sum(CAST(CASE WHEN year(o_orderdate) IN (1996, 1999)
+        |                          THEN o_totalprice + 500.0
+        |                          ELSE o_totalprice END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     // a partition reload must change exactly that partition's rows
     "q_sql_overwrite" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,

@@ -437,6 +437,10 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      // BATCH_WRITE is required by TableCapabilityCheck for dynamic
+      // partition overwrite (which has no V1 fallback exec); plain
+      // appends still plan V1 because build() returns a V1Write
+      TableCapability.BATCH_WRITE, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -591,16 +595,14 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     ManifestTable.segmentedEntries(dir, v,
         if (pushed.isEmpty) _ => true else fileAdmit) match {
       case Some((entries, _, _, totalFiles)) =>
-        new ManifestFilesScan(
-          entries.map(e => ManifestTable.dataPath(dir, e.name)),
+        new ManifestFilesScan(entries,
           totalFiles.toInt, required, dir, pinned, versionsPerBatch)
       case None =>
         val entries = ManifestTable.listLines(dir, v)
           .map(ManifestTable.parseEntry)
         val admitted =
           if (pushed.isEmpty) entries else entries.filter(fileAdmit)
-        new ManifestFilesScan(
-          admitted.map(e => ManifestTable.dataPath(dir, e.name)),
+        new ManifestFilesScan(admitted,
           entries.size, required, dir, pinned, versionsPerBatch)
     }
   }
@@ -717,11 +719,47 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
   * file list. `keptFiles`/`totalFiles` make the pruning decision visible
   * to plans and specs — the proof a selective predicate read 3 files,
   * not all of them. */
-private[graft] class ManifestFilesScan(files: Seq[String],
+private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     val totalFiles: Int, requiredNow: StructType, dir: String,
-    pinned: Option[Int], versionsPerBatch: Int) extends Scan {
+    pinned: Option[Int], versionsPerBatch: Int) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  private val files: Seq[String] =
+    entries.map(e => ManifestTable.dataPath(dir, e.name))
   def keptFiles: Int = files.size
   override def readSchema(): StructType = requiredNow
+
+  /** Planning-time statistics served FROM THE MANIFEST: Spark's join
+    * planner broadcasts a small catalog table without a hint because the
+    * scan reports its (post-file-pruning) size — the decision that
+    * separates a 100 TB shuffle join from a map-side one. `__bytes` is
+    * recorded per file at commit (the Iceberg approach — no per-file
+    * filesystem stat at planning time); legacy lines without it fall back
+    * to one driver-local `Files.size` probe. Sizes are on-disk parquet
+    * bytes scaled by `spark.sql.sources.fileCompressionFactor`, exactly
+    * how Spark's own FileScan estimates; row count is exact when every
+    * admitted file carries one. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val factor = try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+      catch { case _: Exception => 1.0 }
+    val onDisk = entries.map { e =>
+      e.bytes.getOrElse {
+        val p = java.nio.file.Paths.get(dir, "data", e.name)
+        try java.nio.file.Files.size(p) catch { case _: Exception => 0L }
+      }
+    }.sum
+    val size = math.max(1L, (onDisk * factor).toLong)
+    val rowsOpt = entries.map(_.rows)
+    val rows = if (rowsOpt.forall(_.isDefined))
+      java.util.OptionalLong.of(rowsOpt.flatten.sum)
+      else java.util.OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       files.map(f => ManifestFilePartition(f): InputPartition).toArray
@@ -761,8 +799,10 @@ private[sources] object MetadataAggReaderFactory
 
 private[sources] class ManifestSqlWriteBuilder(dir: String,
     info: LogicalWriteInfo) extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
-  import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo,
+    Filter}
   // None = plain append; Some(all-true) = whole-table overwrite; Some(p)
   // = FILTERED overwrite (`INSERT OVERWRITE … PARTITION (yr=…)` in static
   // mode): delete exactly the matching rows, land the new data, keep
@@ -770,9 +810,17 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
   // reload the reference's ETL does (dags/etl_spark_historical.py:113-143)
   // without rewriting the other months
   private var overwriteFilters: Option[Array[Filter]] = None
-  private def overwrite: Boolean = overwriteFilters.isDefined
+  // DYNAMIC partition overwrite: replace exactly the identity-partition
+  // values present in the incoming batch (the Hive dynamic contract) —
+  // the partition set is discovered from the data at insert time and the
+  // delete proceeds through the same filtered path as the static form
+  private var dynamicOverwrite = false
+  private def overwrite: Boolean = overwriteFilters.isDefined || dynamicOverwrite
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     overwriteFilters = Some(filters); this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true; this
   }
   override def truncate(): WriteBuilder =
     overwrite(Array[Filter](new AlwaysTrue))
@@ -802,7 +850,8 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
         override def commit(epochId: Long,
             messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
           val staged = messages.collect { case GraftFileCommit(n, r) =>
-            s"$n\t__rows=$r" }
+            s"$n\t__rows=$r;__bytes=${java.nio.file.Files.size(
+              java.nio.file.Paths.get(dir, "data", n))}" }
           var attempt = 0
           while (attempt < 10) {
             val v = ManifestTable.currentVersion(dir)
@@ -830,10 +879,52 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
       }
     }
 
+    /** Dynamic partition overwrite has NO V1 fallback exec in Spark
+      * (only append and overwrite-by-expression do), so the planner calls
+      * `toBatch` on this write: tasks stage their rows through the
+      * ordinary distributed writer, and the driver commit replays the
+      * staged batch through the same `doInsert` logic the V1 bridge uses
+      * — partition discovery, shaping, filtered delete, one CAS — then
+      * drops the raw task files (the shaped restage replaces them). */
+    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+      require(dynamicOverwrite,
+        "toBatch is only planned for dynamic partition overwrite")
+      val writeSchema = info.schema()
+      new org.apache.spark.sql.connector.write.BatchWrite {
+        override def createBatchWriterFactory(
+            pInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.DataWriterFactory =
+          new GraftWriterFactory(dir, writeSchema)
+        override def commit(messages: Array[
+            org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+          val s = org.apache.spark.sql.SparkSession.active
+          val names = messages.collect { case GraftFileCommit(n, _) => n }
+          val batch =
+            if (names.isEmpty) s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), writeSchema)
+            else s.read.parquet(
+              names.map(n => ManifestTable.dataPath(dir, n)).toIndexedSeq: _*)
+          doInsert(s, batch)
+          names.foreach(n => java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(dir, "data", n)))
+        }
+        override def abort(messages: Array[
+            org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+          messages.collect { case GraftFileCommit(n, _) =>
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(dir, "data", n))
+          }
+      }
+    }
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, ignored: Boolean): Unit = {
-          val s = data.sparkSession
+        override def insert(data: DataFrame, ignored: Boolean): Unit =
+          doInsert(data.sparkSession, data)
+      }
+
+        private def doInsert(s: org.apache.spark.sql.SparkSession,
+            data: DataFrame): Unit = {
           var attempt = 0
           var done = false
           while (!done && attempt < 10) {
@@ -846,13 +937,18 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
             // existing stats pruning over better-shaped files.
             val partSpec = ManifestTable.tableProperties(dir, v)
               .get("graft.partitioning")
+            // every insert harvests footer stats for EVERY column (the
+            // Iceberg write-time default): SQL-created tables prune,
+            // serve metadata aggregates, and report planning statistics
+            // without any API-side staging step
+            val allCols = data.schema.fieldNames.toSeq
             val staged = partSpec match {
-              case None => ManifestTable.stage(s, dir, data)
+              case None => ManifestTable.stageWithStats(s, dir, data, allCols)
               case Some(spec) =>
                 val (ids, bks) = GraftCatalog.partitionCols(spec)
                 import org.apache.spark.sql.functions.{col => c}
                 if (ids.isEmpty && bks.isEmpty)
-                  ManifestTable.stage(s, dir, data)
+                  ManifestTable.stageWithStats(s, dir, data, allCols)
                 else {
                   // explicit partition count: an AQE-coalesced range
                   // shuffle would merge every partition value into one
@@ -864,7 +960,7 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                     else data.repartition(bks.map(_._1).max,
                       bks.map(b => c(b._2)): _*)
                   ManifestTable.stageWithIndexes(s, dir, shaped,
-                    statsCols = ids ++ bks.map(_._2),
+                    statsCols = allCols,
                     bloomCols = bks.map(_._2))
                 }
             }
@@ -873,14 +969,41 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
             // Policies survive BOTH: governance travels with the table
             // through every lifecycle op, and an overwrite that silently
             // dropped the masks would be a data-leak regression.
-            done = overwriteFilters match {
-              case Some(fs) if !isTruncate(fs) =>
+            // the delete condition in DNF (OR of AND-conjunctions): the
+            // static filtered form is one conjunction; the dynamic form
+            // is one conjunction per identity-partition tuple present in
+            // the incoming batch
+            val dnf: Option[Seq[Seq[Filter]]] = overwriteFilters match {
+              case Some(fs) if !isTruncate(fs) => Some(Seq(fs.toSeq))
+              case Some(_) => None // whole-table (TRUNCATE shape)
+              case None if dynamicOverwrite =>
+                val ids = partSpec.map(GraftCatalog.partitionCols(_)._1)
+                  .getOrElse(Seq.empty)
+                require(ids.nonEmpty,
+                  s"dynamic INSERT OVERWRITE on $dir requires identity " +
+                    "PARTITIONED BY columns")
+                import org.apache.spark.sql.functions.{col => c}
+                // distinct partition tuples of the batch: bounded by the
+                // partition count, the one driver-side list this path
+                // materializes (same bound Hive's dynamic overwrite has)
+                val tuples = data.select(ids.map(c): _*).distinct().collect()
+                Some(tuples.toSeq.map(row => ids.zipWithIndex.map {
+                  case (name, i) =>
+                    val value = row.get(i)
+                    if (value == null) EqualNullSafe(name, null)
+                    else EqualTo(name, value): Filter
+                }))
+              case None => None
+            }
+            done = (dnf, overwrite) match {
+              case (Some(conjs), _) =>
                 // FILTERED overwrite: delete exactly the matching rows.
                 // Files the stats REFUTE keep their manifest line
                 // VERBATIM; files that may hold matches rewrite their
                 // non-matching rows (`cond IS NOT TRUE` — null-matching
-                // rows survive, the SQL contract); the new data lands
-                // beside them, all in ONE mutate CAS
+                // rows survive a non-null-valued condition, the SQL
+                // contract); the new data lands beside them, all in ONE
+                // mutate CAS
                 require(ManifestTable.dvLines(dir, v).isEmpty &&
                     ManifestTable.renameLines(dir, v).isEmpty,
                   s"filtered INSERT OVERWRITE on $dir refused: deletion-" +
@@ -892,13 +1015,15 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                 val lines = ManifestTable.listLines(dir, v)
                 val (hit, untouched) = lines.partition { l =>
                   val e = ManifestTable.parseEntry(l)
-                  fs.forall(StatsFilters.admits(_, e))
+                  conjs.exists(_.forall(StatsFilters.admits(_, e)))
                 }
                 val survivors =
                   if (hit.isEmpty) Seq.empty[String]
                   else {
                     import org.apache.spark.sql.functions.{coalesce, lit, not}
-                    val cond = fs.map(StatsFilters.toColumn).reduce(_ && _)
+                    val cond = conjs.map(conj =>
+                      conj.map(StatsFilters.toColumn).reduce(_ && _))
+                      .reduce(_ || _)
                     val statsCols = hit.map(ManifestTable.parseEntry)
                       .flatMap(e => e.ranges.keys ++ e.strRanges.keys)
                       .distinct
@@ -910,10 +1035,10 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                 ManifestTable.commitMutate(dir,
                   untouched ++ survivors ++ staged ++
                     ManifestTable.carriedMeta(dir, v), v)
-              case Some(_) => // whole-table overwrite (TRUNCATE shape)
+              case (None, true) => // whole-table overwrite (TRUNCATE shape)
                 ManifestTable.commitMutate(dir,
                   staged ++ ManifestTable.carriedMeta(dir, v), v)
-              case None => ManifestTable.commit(dir,
+              case (None, false) => ManifestTable.commit(dir,
                 ManifestTable.listLines(dir, v) ++ staged ++
                   ManifestTable.dvLines(dir, v) ++
                   ManifestTable.renameLines(dir, v) ++
@@ -924,7 +1049,6 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
           if (!done) throw new IllegalStateException(
             s"INSERT lost 10 commit races in $dir")
         }
-      }
   }
 }
 

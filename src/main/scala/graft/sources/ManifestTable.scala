@@ -729,7 +729,8 @@ object ManifestTable {
   final case class FileEntry(name: String, ranges: Map[String, ColRange],
       blooms: Map[String, Array[Byte]], rows: Option[Long],
       hlls: Map[String, Array[Byte]] = Map.empty,
-      strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
+      strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
+      bytes: Option[Long] = None)
 
   /** Parse one manifest line → full [[FileEntry]]. Unknown stat encodings
     * are ignored (forward compatible: an older reader sees the file as
@@ -761,7 +762,8 @@ object ManifestTable {
       }
     }.toMap
     val rows = kvs.collectFirst { case ("__rows", v) if v.forall(_.isDigit) => v.toLong }
-    FileEntry(parts.head, ranges, blooms, rows, hlls, strs)
+    val bytes = kvs.collectFirst { case ("__bytes", v) if v.forall(_.isDigit) => v.toLong }
+    FileEntry(parts.head, ranges, blooms, rows, hlls, strs, bytes)
   }
 
   /** Parse one manifest line → (file name, recorded column ranges). */
@@ -962,7 +964,7 @@ object ManifestTable {
       val p = Paths.get(dir, "data", name)
       val st = footerStats(p, statsCols)
       val ss = footerStatsStr(p, statsCols.filterNot(st.contains))
-      val rows = s"__rows=${footerRowCount(p)}"
+      val rows = s"__rows=${footerRowCount(p)};__bytes=${Files.size(p)}"
       val statKv = Seq(
         if (st.isEmpty) "" else encodeStats(st),
         if (ss.isEmpty) "" else encodeStrStats(ss)
@@ -992,7 +994,7 @@ object ManifestTable {
       if (st.isEmpty) "" else encodeStats(st),
       if (ss.isEmpty) "" else encodeStrStats(ss)
     ).filter(_.nonEmpty).mkString(";")
-    val rowsKv = s"__rows=$rows"
+    val rowsKv = s"__rows=$rows;__bytes=${Files.size(p)}"
     if (statKv.isEmpty) s"$name\t$rowsKv" else s"$name\t$statKv\t$rowsKv"
   }
 

@@ -439,6 +439,57 @@ class Round11Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("dynamic INSERT OVERWRITE replaces exactly the batch's partitions") {
+    val root = freshDir("dynow")
+    ManifestTable.destroy(s"$root/ord")
+    val dir = s"$root/ord"
+    spark.conf.set("spark.sql.catalog.g11dy",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11dy.root", root)
+    spark.sql("""CREATE TABLE g11dy.default.ord
+      (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)
+      PARTITIONED BY (yr)""")
+    val src = Tables.orders(spark, sf).select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+    src.createOrReplaceTempView("r11_spec_dyn_src")
+    spark.sql("INSERT INTO g11dy.default.ord SELECT * FROM r11_spec_dyn_src")
+    val before = ManifestTable.listLines(dir,
+      ManifestTable.currentVersion(dir))
+    val prev = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("""INSERT OVERWRITE g11dy.default.ord
+        SELECT o_orderkey, yr, o_totalprice + 7.0 AS o_totalprice
+        FROM r11_spec_dyn_src WHERE yr = 1998""")
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val after = ManifestTable.listLines(dir,
+      ManifestTable.currentVersion(dir))
+    // files whose yr-range refutes 1998 carry VERBATIM
+    val bystanders = before.filter { l =>
+      val e = ManifestTable.parseEntry(l)
+      e.ranges.get("yr").exists(r =>
+        r.max < BigDecimal(1998) || r.min > BigDecimal(1998))
+    }
+    assert(bystanders.nonEmpty)
+    bystanders.foreach(l => assert(after.contains(l),
+      s"dynamic-overwrite bystander line must carry VERBATIM: $l"))
+    // exactly the 1998 partition was replaced
+    val got = spark.sql("""SELECT CAST(sum(CAST(o_totalprice AS
+      DECIMAL(18,2))) AS DOUBLE) AS s FROM g11dy.default.ord
+      WHERE yr = 1998""").head().getDouble(0)
+    val want = src.filter(col("yr") === 1998)
+      .agg(sum((col("o_totalprice") + 7.0)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double")).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM g11dy.default.ord WHERE yr <> 1998")
+      .head().getLong(0) == src.filter(col("yr") =!= 1998).count())
+    ManifestTable.destroy(root)
+  }
+
   test("ADD COLUMN: old files read NULL, new inserts carry values, UPDATE migrates rows") {
     val root = freshDir("addcol")
     val dir = s"$root/t"
@@ -545,6 +596,62 @@ class Round11Spec extends AnyFunSuite {
     val apiMm = ManifestTable.read(spark, dir)
       .agg(min(col("price")), max(col("price"))).head()
     assert(mm.head() == apiMm)
+    ManifestTable.destroy(root)
+  }
+
+  test("manifest statistics drive an unhinted broadcast join, exact row counts") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = freshDir("stats")
+    spark.conf.set("spark.sql.catalog.g11st",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11st.root", root)
+    spark.sql("CREATE TABLE g11st.default.nat (n_nationkey BIGINT, n_name STRING)")
+    Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .createOrReplaceTempView("r11_stats_spec_nat")
+    spark.sql("INSERT INTO g11st.default.nat SELECT * FROM r11_stats_spec_nat")
+    // every committed line records planning stats at write time
+    val dir = s"$root/nat"
+    val lines = ManifestTable.listLines(dir, ManifestTable.currentVersion(dir))
+    assert(lines.nonEmpty && lines.forall(l =>
+      l.contains("__rows=") && l.contains("__bytes=")),
+      s"insert must record __rows and __bytes: $lines")
+    Tables.customer(spark, sf).createOrReplaceTempView("r11_stats_spec_cust")
+    val j = spark.sql("""SELECT n.n_name, count(*) AS n_cust
+      FROM r11_stats_spec_cust c JOIN g11st.default.nat n
+        ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name""")
+    j.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(nodes) ++ (p match {
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Seq.empty
+      }))
+    val plan = j.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val all = nodes(plan)
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the tiny catalog table must auto-broadcast with NO hint:\n$plan")
+    // …and the BROADCAST subtree is the manifest scan (not merely the
+    // parquet side being broadcast): the V2 relation's reported stats are
+    // what put it there
+    val underBroadcast = all.collect {
+      case b: BroadcastExchangeLike => nodes(b.child) }.flatten
+    val bScan = underBroadcast.collect { case b: BatchScanExec => b.scan }
+      .collect { case m: sources.ManifestFilesScan => m }
+    assert(bScan.nonEmpty,
+      s"the broadcast side must be the catalog table's scan:\n$plan")
+    // the scan's own estimate: exact rows, recorded (not statted) bytes
+    val st = bScan.head.estimateStatistics()
+    assert(st.numRows.isPresent &&
+      st.numRows.getAsLong == Tables.nation(spark, sf).count())
+    assert(st.sizeInBytes.isPresent &&
+      st.sizeInBytes.getAsLong < 10L * 1024 * 1024)
     ManifestTable.destroy(root)
   }
 }
