@@ -784,6 +784,31 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM graft_dow.default.ord GROUP BY yr""")
     }),
+    // Atomic CTAS + RTAS through the staging catalog
+    // (`StagingTableCatalog`): `CREATE TABLE … AS SELECT` materializes
+    // the query into a hidden staging directory and publishes with ONE
+    // atomic move — a failed query leaves no half-created table — then
+    // `REPLACE TABLE … AS SELECT` swaps new content in as a mutate CAS
+    // that keeps the old version time-travelable. The round-trip is the
+    // everyday "rebuild the summary table" job done safely.
+    "q_sql_ctas" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ctas_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/summ")
+      s.conf.set("spark.sql.catalog.graft_ct",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ct.root", root)
+      Tables.orders(s, d).createOrReplaceTempView("r11_ctas_src")
+      s.sql("""CREATE TABLE graft_ct.default.summ AS
+        SELECT o_orderstatus, count(*) AS n
+        FROM r11_ctas_src GROUP BY o_orderstatus""")
+      s.sql("""REPLACE TABLE graft_ct.default.summ AS
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM r11_ctas_src GROUP BY o_orderstatus""")
+      s.sql("""SELECT o_orderstatus, n, sum_price
+        FROM graft_ct.default.summ""")
+    }),
     // Planning-time statistics served FROM THE MANIFEST
     // (`SupportsReportStatistics`): the 25-row nation table lands in the
     // catalog and the join against the customer base table BROADCASTS it
@@ -1751,6 +1776,11 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
+    // the RTAS result is the replaced summary, exactly
+    "q_sql_ctas" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // the manifest-stats broadcast join must match the plain join
     "q_catalog_stats_join" ->
       """SELECT n_name, count(*) AS n_cust,

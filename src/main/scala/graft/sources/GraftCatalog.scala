@@ -40,7 +40,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * empty snapshot (schema recorded by the first insert's files),
   * `DROP TABLE` destroys the directory.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -132,11 +132,11 @@ class GraftCatalog extends TableCatalog {
     new ManifestSqlTable(s"$ident@t$v", dir, Some(v))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val dir = dirOf(ident)
-    require(ManifestTable.currentVersion(dir) < 0,
-      s"table $ident already exists")
+  /** The CREATE TABLE v0 commit, shared by [[createTable]] and the staged
+    * (atomic CTAS/RTAS) paths — `dir` may be the final table directory or
+    * a staging directory that moves into place on commit. */
+  private def commitCreate(dir: String, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Unit = {
     // TBLPROPERTIES persist as #prop marker lines in the v0 manifest
     // (Spark's reserved engine properties are not table configuration)
     val reserved = Set("provider", "location", "comment", "owner", "external")
@@ -159,6 +159,14 @@ class GraftCatalog extends TableCatalog {
     val schemaLine =
       if (schema.isEmpty) Seq.empty else Seq(s"#schema\t${schema.json}")
     require(ManifestTable.commit(dir, props ++ partLine ++ schemaLine, -1))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    require(ManifestTable.currentVersion(dir) < 0,
+      s"table $ident already exists")
+    commitCreate(dir, schema, partitions, properties)
     new ManifestSqlTable(ident.toString, dir, None)
   }
 
@@ -211,8 +219,130 @@ class GraftCatalog extends TableCatalog {
     existed
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** `ALTER TABLE … RENAME TO …` — one atomic directory move. Safe
+    * because every manifest reference inside a table is RELATIVE (data
+    * files by name under `data/`, segments under `meta/`), so nothing
+    * inside the table dangles; a table that is itself a shallow CLONE
+    * keeps working too (its outbound references are absolute paths into
+    * the source, unaffected by its own location). The one hazard is
+    * INBOUND references: live registered clones point at this table's
+    * data by absolute path, so renaming their source would dangle all of
+    * them — refused, the same horizon vacuum honors. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val src = dirOf(oldIdent)
+    // Spark hands the rename TARGET through as the raw multipart name —
+    // `RENAME TO cat.ns.t` arrives with the catalog still leading the
+    // namespace; strip it (renames never cross catalogs)
+    val normNew =
+      if (newIdent.namespace().headOption.contains(catalogName))
+        Identifier.of(newIdent.namespace().drop(1), newIdent.name())
+      else newIdent
+    val dst = dirOf(normNew)
+    if (ManifestTable.currentVersion(src) < 0)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(oldIdent)
+    require(ManifestTable.currentVersion(dst) < 0 &&
+        !Files.exists(Paths.get(dst)),
+      s"RENAME TABLE target $newIdent already exists")
+    val clones = ManifestTable.liveClones(src)
+    require(clones.isEmpty,
+      s"RENAME TABLE $oldIdent refused: live shallow clones reference its " +
+        s"data files by absolute path (${clones.mkString(", ")}) — drop " +
+        "the clones first, or clone again after the rename")
+    Option(Paths.get(dst).getParent).foreach(Files.createDirectories(_))
+    Files.move(Paths.get(src), Paths.get(dst),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---------------------------------------------------------------------
+  // Atomic CTAS / RTAS (`StagingTableCatalog`): `CREATE TABLE … AS
+  // SELECT` stages the v0 commit AND the query's data files into a
+  // hidden sibling directory; `commitStagedChanges` publishes the table
+  // in ONE atomic step. A failed query never leaves a half-created
+  // table, and `REPLACE TABLE … AS SELECT` keeps the old table's history
+  // (the swap is a mutate CAS against the version pinned at staging, so
+  // a concurrent writer fails the REPLACE explicitly rather than losing
+  // its commit).
+  // ---------------------------------------------------------------------
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    val dir = dirOf(ident)
+    require(ManifestTable.currentVersion(dir) < 0,
+      s"table $ident already exists")
+    stageInto(ident, dir, schema, partitions, properties, replaceAt = None)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    val dir = dirOf(ident)
+    val v = ManifestTable.currentVersion(dir)
+    if (v < 0)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    stageInto(ident, dir, schema, partitions, properties, replaceAt = Some(v))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    val dir = dirOf(ident)
+    val v = ManifestTable.currentVersion(dir)
+    stageInto(ident, dir, schema, partitions, properties,
+      replaceAt = if (v >= 0) Some(v) else None)
+  }
+
+  private def stageInto(ident: Identifier, dir: String, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replaceAt: Option[Int]): StagedTable = {
+    val tmp = s"$dir.staging-${java.util.UUID.randomUUID().toString.take(8)}"
+    commitCreate(tmp, schema, partitions, properties)
+    new GraftStagedTable(ident.toString, tmp, dir, replaceAt)
+  }
+}
+
+/** A table mid-CTAS/RTAS: a full [[ManifestSqlTable]] rooted at the
+  * STAGING directory (the query's write commits there with the ordinary
+  * insert machinery — clustering, stats harvest, CAS), plus the atomic
+  * publish step.
+  *
+  *  - CREATE: one `ATOMIC_MOVE` of the staging directory into the final
+  *    path — the table appears fully formed or not at all.
+  *  - REPLACE: staged data files move file-by-file into the existing
+  *    table's `data/` (inert until referenced — a crash mid-move leaves
+  *    collectable orphans, never a broken table), then ONE `#mutate` CAS
+  *    against the version pinned at staging publishes the staged
+  *    manifest body (file lines + declared schema/properties). Old
+  *    versions remain time-travelable; policies/properties of the
+  *    REPLACED table do not carry (REPLACE is an atomic drop+create, not
+  *    an edit).
+  */
+private[sources] class GraftStagedTable(ident: String, tmpDir: String,
+    finalDir: String, replaceAt: Option[Int])
+    extends ManifestSqlTable(ident, tmpDir, None) with StagedTable {
+
+  override def commitStagedChanges(): Unit = replaceAt match {
+    case None =>
+      require(ManifestTable.currentVersion(finalDir) < 0 &&
+          !Files.exists(Paths.get(finalDir)),
+        s"table $ident was created concurrently — staged CTAS aborted")
+      Files.move(Paths.get(tmpDir), Paths.get(finalDir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    case Some(v) =>
+      val tv = ManifestTable.currentVersion(tmpDir)
+      val body = ManifestTable.listLines(tmpDir, tv) ++
+        ManifestTable.carriedMeta(tmpDir, tv)
+      Files.createDirectories(Paths.get(finalDir, "data"))
+      ManifestTable.listDir(Paths.get(tmpDir, "data")).foreach { p =>
+        Files.move(p, Paths.get(finalDir, "data", p.getFileName.toString),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      require(ManifestTable.commitMutate(finalDir, body, v),
+        s"REPLACE TABLE $ident lost the publish race: the table was " +
+          s"committed past version $v while the replacement staged")
+      abortStagedChanges() // staging dir is husk now (manifests only)
+  }
+
+  override def abortStagedChanges(): Unit = ManifestTable.destroy(tmpDir)
 }
 
 private[sources] object GraftCatalog {

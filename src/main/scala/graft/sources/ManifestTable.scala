@@ -552,6 +552,20 @@ object ManifestTable {
     0
   }
 
+  /** Directories of LIVE registered clones of this table (registration
+    * marker present and the clone directory still exists). Non-empty means
+    * external manifests reference this table's data files by absolute
+    * path — the set vacuum's clone horizon protects, and the reason
+    * RENAME TABLE refuses (a moved directory would dangle every one). */
+  def liveClones(dir: String): Seq[String] = {
+    val reg = Paths.get(dir, "clones")
+    if (!Files.isDirectory(reg)) return Seq.empty
+    listDir(reg).flatMap { p =>
+      val cloneDir = new String(Files.readAllBytes(p), "UTF-8").trim
+      if (Files.isDirectory(Paths.get(cloneDir))) Some(cloneDir) else None
+    }
+  }
+
   /** Data-file names under THIS table's `data/` that a registered clone
     * still references (any of the clone's retained manifest versions — a
     * clone can time-travel, so every version counts). Clone directories

@@ -654,4 +654,102 @@ class Round11Spec extends AnyFunSuite {
       st.sizeInBytes.getAsLong < 10L * 1024 * 1024)
     ManifestTable.destroy(root)
   }
+
+  test("CTAS is atomic: a failing query leaves no table and no staging residue") {
+    val root = freshDir("ctas")
+    spark.conf.set("spark.sql.catalog.g11ct",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ct.root", root)
+    Tables.orders(spark, sf).createOrReplaceTempView("r11_spec_ctas_src")
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE g11ct.default.bad AS
+        SELECT o_orderkey, assert_true(o_orderkey < 0) AS boom
+        FROM r11_spec_ctas_src""")
+    }
+    assert(ManifestTable.currentVersion(s"$root/bad") < 0,
+      "a failed CTAS must not leave a table")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/bad")),
+      "no final directory may exist after a failed CTAS")
+    val residue = ManifestTable.listDir(java.nio.file.Paths.get(root))
+      .filter(_.getFileName.toString.startsWith("bad.staging-"))
+    assert(residue.isEmpty, s"staging residue must be aborted away: $residue")
+    // happy path: the table appears fully formed
+    spark.sql("""CREATE TABLE g11ct.default.summ AS
+      SELECT o_orderstatus, count(*) AS n
+      FROM r11_spec_ctas_src GROUP BY o_orderstatus""")
+    val want = Tables.orders(spark, sf).groupBy("o_orderstatus").count().count()
+    assert(spark.sql("SELECT * FROM g11ct.default.summ").count() == want)
+    ManifestTable.destroy(root)
+  }
+
+  test("RTAS swaps content atomically and keeps the old version time-travelable") {
+    val root = freshDir("rtas")
+    spark.conf.set("spark.sql.catalog.g11rt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11rt.root", root)
+    Tables.orders(spark, sf).createOrReplaceTempView("r11_spec_rtas_src")
+    spark.sql("""CREATE TABLE g11rt.default.summ AS
+      SELECT o_orderstatus, count(*) AS n
+      FROM r11_spec_rtas_src GROUP BY o_orderstatus""")
+    val dir = s"$root/summ"
+    val vOld = ManifestTable.currentVersion(dir)
+    val oldRows = spark.sql("SELECT * FROM g11rt.default.summ").count()
+    spark.sql("""REPLACE TABLE g11rt.default.summ AS
+      SELECT o_orderkey, o_orderstatus FROM r11_spec_rtas_src
+      WHERE o_orderkey % 2 = 0""")
+    // new schema + new content
+    val neu = spark.sql("SELECT * FROM g11rt.default.summ")
+    assert(neu.columns.toSeq == Seq("o_orderkey", "o_orderstatus"))
+    assert(neu.count() == Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 2 === 0).count())
+    // a failing RTAS leaves the current table untouched
+    intercept[Exception] {
+      spark.sql("""REPLACE TABLE g11rt.default.summ AS
+        SELECT assert_true(o_orderkey < 0) AS boom FROM r11_spec_rtas_src""")
+    }
+    assert(spark.sql("SELECT * FROM g11rt.default.summ").count() == neu.count())
+    // the replaced version is still there for time travel
+    val old = spark.sql(
+      s"SELECT * FROM g11rt.default.summ VERSION AS OF $vOld")
+    assert(old.columns.toSeq == Seq("o_orderstatus", "n"))
+    assert(old.count() == oldRows)
+    ManifestTable.destroy(root)
+  }
+
+  test("RENAME TABLE moves atomically; live clones refuse the rename") {
+    val root = freshDir("ren")
+    spark.conf.set("spark.sql.catalog.g11rn",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11rn.root", root)
+    Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .createOrReplaceTempView("r11_spec_ren_src")
+    spark.sql("""CREATE TABLE g11rn.default.a AS
+      SELECT * FROM r11_spec_ren_src""")
+    val n = spark.sql("SELECT * FROM g11rn.default.a").count()
+    spark.sql("ALTER TABLE g11rn.default.a RENAME TO g11rn.default.b")
+    assert(spark.sql("SELECT * FROM g11rn.default.b").count() == n,
+      "the renamed table must serve identical content")
+    assert(ManifestTable.currentVersion(s"$root/a") < 0, "old name is gone")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g11rn.default.a").collect()
+    }
+    // a table AS a clone renames fine (outbound absolute refs unaffected)…
+    ManifestTable.cloneTable(s"$root/b", s"$root/c")
+    spark.sql("ALTER TABLE g11rn.default.c RENAME TO g11rn.default.d")
+    assert(spark.sql("SELECT * FROM g11rn.default.d").count() == n)
+    // …but the SOURCE of a live clone refuses (inbound absolute refs
+    // would dangle); note c→d above left c's registration stale-free:
+    // b's clones/ registry still points at the MOVED clone path c, which
+    // no longer exists → stale, contributes nothing. Re-clone to get a
+    // live registration.
+    ManifestTable.cloneTable(s"$root/b", s"$root/e")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE g11rn.default.b RENAME TO g11rn.default.z")
+    }
+    assert(ex.getMessage.contains("clone"),
+      s"rename of a cloned source must name the clone hazard: ${ex.getMessage}")
+    assert(spark.sql("SELECT * FROM g11rn.default.b").count() == n,
+      "the refused rename must leave the source intact")
+    ManifestTable.destroy(root)
+  }
 }
