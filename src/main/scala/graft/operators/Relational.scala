@@ -784,6 +784,37 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM graft_dow.default.ord GROUP BY yr""")
     }),
+    // The CHANGE DATA FEED as SQL: `t$changes` serves one row per
+    // inserted/deleted row per commit with `_change_type` and
+    // `_commit_version` — the incremental-sync surface (downstream
+    // aggregates, search indexes, training-corpus refresh) reads ONLY
+    // what changed, cost ∝ changed data. The history here is exactly
+    // reconstructible by the oracle: v1 inserts evens, v2 inserts odds,
+    // v3 = whole-table INSERT OVERWRITE (delete-all + reinsert of the
+    // 1997-excluded rows).
+    "q_sql_changes" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_chg_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_ch",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ch.root", root)
+      s.sql("""CREATE TABLE graft_ch.default.ord
+        (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+        .createOrReplaceTempView("r11_chg_src")
+      s.sql("""INSERT INTO graft_ch.default.ord
+        SELECT * FROM r11_chg_src WHERE o_orderkey % 2 = 0""")
+      s.sql("""INSERT INTO graft_ch.default.ord
+        SELECT * FROM r11_chg_src WHERE o_orderkey % 2 = 1""")
+      s.sql("""INSERT OVERWRITE graft_ch.default.ord
+        SELECT * FROM r11_chg_src WHERE yr <> 1997""")
+      s.sql("""SELECT _change_type, _commit_version, yr, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_ch.default.`ord$changes`
+        GROUP BY _change_type, _commit_version, yr""")
+    }),
     // Atomic CTAS + RTAS through the staging catalog
     // (`StagingTableCatalog`): `CREATE TABLE … AS SELECT` materializes
     // the query into a hidden staging directory and publishes with ONE
@@ -1776,6 +1807,25 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
+    // the change feed is exactly reconstructible from the DML history
+    "q_sql_changes" ->
+      """WITH src AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |                    o_totalprice FROM orders)
+        |SELECT 'insert' AS _change_type, 1 AS _commit_version, yr, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM src WHERE o_orderkey % 2 = 0 GROUP BY yr
+        |UNION ALL
+        |SELECT 'insert', 2, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src WHERE o_orderkey % 2 = 1 GROUP BY yr
+        |UNION ALL
+        |SELECT 'delete', 3, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src GROUP BY yr
+        |UNION ALL
+        |SELECT 'insert', 3, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src WHERE yr <> 1997 GROUP BY yr""".stripMargin,
     // the RTAS result is the replaced summary, exactly
     "q_sql_ctas" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -82,7 +82,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       val dir = dirOf(Identifier.of(ident.namespace(), parts(0)))
       if (ManifestTable.currentVersion(dir) < 0)
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-      return new ManifestMetaTable(ident.toString, dir, parts(1))
+      return if (parts(1) == "changes")
+        new ManifestChangesTable(ident.toString, dir)
+      else new ManifestMetaTable(ident.toString, dir, parts(1))
     }
     val dir = dirOf(ident)
     if (ManifestTable.currentVersion(dir) < 0)
@@ -1357,6 +1359,117 @@ private[sources] class ManifestMetaTable(ident: String, dir: String,
           s"graft metadata table $dir $$${kind} (${rows.size} rows)"
       }
     }
+}
+
+/** `t$changes` — the CHANGE DATA FEED as a queryable relation: one row
+  * per inserted/deleted row per commit, with `_change_type`
+  * ('insert'/'delete') and `_commit_version` appended to the data
+  * columns. The feed is FILE-level: a commit's diff against its
+  * predecessor's file list yields added files (their rows are inserts)
+  * and removed files (their rows are deletes, still readable — old data
+  * files live until vacuum). That makes row-granular DML appear as
+  * delete-all+reinsert for each REWRITTEN file — coarse but SOUND: a
+  * consumer applying deletes-then-inserts per version reconstructs every
+  * snapshot exactly (spec-asserted), which is the Delta file-level CDF
+  * contract. REWRITE commits (compaction, clustering) are skipped
+  * entirely — content-preserving by the format's own commit taxonomy, so
+  * they contribute no changes.
+  *
+  * Version range: the full history by default; incremental consumers
+  * pass `spark.read.option("startVersion", v)` (and optionally
+  * `endVersion`) so a daily sync reads ONLY the new commits' files —
+  * cost ∝ changed data, never table size. Refused under deletion-vector
+  * or rename markers in range (compact first) and on governed tables
+  * (the feed exposes raw pre-mask rows). */
+private[sources] class ManifestChangesTable(ident: String, dir: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private def dataSchema: StructType =
+    new ManifestSqlTable(ident, dir, None).schema()
+
+  override def name(): String = ident
+  override def schema(): StructType = StructType(dataSchema.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", IntegerType, nullable = false)))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => {
+      val cur = ManifestTable.currentVersion(dir)
+      require(cur >= 0, s"no committed snapshot in $dir")
+      val start = Option(options.get("startVersion")).map(_.toInt).getOrElse(0)
+      val end = Option(options.get("endVersion")).map(_.toInt).getOrElse(cur)
+      require(start >= 0 && end <= cur && start <= end,
+        s"changes range [$start,$end] outside committed versions [0,$cur]")
+      ((math.max(0, start - 1)) to end).foreach { v =>
+        require(Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")),
+          s"version $v of $dir is vacuumed — the changes range must start " +
+            "at a retained version")
+        require(ManifestTable.dvLines(dir, v).isEmpty &&
+            ManifestTable.renameLines(dir, v).isEmpty,
+          s"$$changes refused: deletion-vector/rename markers at version " +
+            s"$v — compact first")
+      }
+      require(ManifestTable.policyLines(dir, end).isEmpty,
+        s"$$changes refused on governed tables: the feed exposes raw rows")
+      val parts = (start to end).flatMap { v =>
+        if (v > 0 && ManifestTable.isRewrite(dir, v)) Seq.empty
+        else {
+          val prev: Set[String] =
+            if (v == 0) Set.empty
+            else ManifestTable.listLines(dir, v - 1)
+              .map(ManifestTable.parseEntry(_).name).toSet
+          val now = ManifestTable.listLines(dir, v)
+            .map(ManifestTable.parseEntry(_).name)
+          val inserts = now.filterNot(prev)
+            .map(n => ChangesFilePartition(
+              ManifestTable.dataPath(dir, n), "insert", v))
+          val deletes = (prev -- now.toSet).toSeq.sorted
+            .map(n => ChangesFilePartition(
+              ManifestTable.dataPath(dir, n), "delete", v))
+          inserts ++ deletes
+        }
+      }
+      val dataNow = dataSchema
+      val schemaNow = schema()
+      new Scan {
+        override def readSchema(): StructType = schemaNow
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            parts.toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new ChangesReaderFactory(dataNow)
+        }
+        override def description(): String =
+          s"graft changes feed $dir v$start..v$end (${parts.size} file-changes)"
+      }
+    }
+}
+
+private[sources] case class ChangesFilePartition(file: String,
+    changeType: String, version: Int) extends InputPartition
+
+/** Wraps the ordinary executor parquet reader: data columns from the
+  * file, the two change columns appended as per-partition constants. */
+private[sources] class ChangesReaderFactory(dataSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[ChangesFilePartition]
+    val inner = new ManifestParquetReader(p.file, dataSchema)
+    val const = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType),
+        p.version))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        joined(inner.get(), const)
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 private[sources] case class MetadataRowsPartition(rows: Seq[Seq[Any]])

@@ -752,4 +752,56 @@ class Round11Spec extends AnyFunSuite {
       "the refused rename must leave the source intact")
     ManifestTable.destroy(root)
   }
+
+  test("$changes feed reconstructs every snapshot; compaction emits nothing") {
+    val root = freshDir("chg")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g11ch",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ch.root", root)
+    spark.sql("CREATE TABLE g11ch.default.t (k BIGINT, v DOUBLE)")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      .createOrReplaceTempView("r11_spec_chg_src")
+    spark.sql("""INSERT INTO g11ch.default.t
+      SELECT * FROM r11_spec_chg_src WHERE k % 2 = 0""")           // v1
+    spark.sql("""INSERT INTO g11ch.default.t
+      SELECT * FROM r11_spec_chg_src WHERE k % 2 = 1""")           // v2
+    spark.sql("DELETE FROM g11ch.default.t WHERE k % 10 = 3")      // v3: row-level
+    spark.sql("""UPDATE g11ch.default.t SET v = v + 1.0
+      WHERE k % 10 = 4""")                                         // v4: row-level
+    val feed = spark.sql(
+      """SELECT k, v, _change_type, _commit_version
+        |FROM g11ch.default.`t$changes`""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3)))
+    val cur = ManifestTable.currentVersion(dir)
+    // apply the feed version by version: deletes out, inserts in (keys
+    // are unique, so value-keyed application is exact)
+    var state = Map.empty[Long, Double]
+    (0 to cur).foreach { v =>
+      val at = feed.filter(_._4 == v)
+      at.filter(_._3 == "delete").foreach { case (k, _, _, _) => state -= k }
+      at.filter(_._3 == "insert").foreach { case (k, x, _, _) => state += k -> x }
+      val snap = spark.sql(s"SELECT k, v FROM g11ch.default.t VERSION AS OF $v")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(state == snap,
+        s"feed applied through v$v must equal the v$v snapshot " +
+          s"(${state.size} vs ${snap.size} rows)")
+    }
+    // incremental read: startVersion serves ONLY the new commits
+    val inc = spark.read.option("startVersion", 3)
+      .table("g11ch.default.`t$changes`")
+    assert(inc.select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(3, 4))
+    // compaction is content-preserving: its version contributes no changes
+    val vOpt = ManifestTable.compact(spark, dir, numFiles = 2)
+    assert(spark.read.option("startVersion", vOpt)
+      .table("g11ch.default.`t$changes`").count() == 0,
+      "a rewrite commit must emit nothing into the feed")
+    // …and the feed BEFORE the compaction still reconstructs the head
+    val full = spark.sql("SELECT k, v FROM g11ch.default.t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == full)
+    ManifestTable.destroy(root)
+  }
 }
