@@ -784,6 +784,43 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM graft_dow.default.ord GROUP BY yr""")
     }),
+    // STORAGE-PARTITIONED JOIN: both tables declared
+    // `PARTITIONED BY (bucket(8, custkey))`, so their files are
+    // co-bucketed on the join key and the scan reports
+    // KeyGroupedPartitioning — the join aligns bucket ids and runs with
+    // ZERO shuffle on either side (spec-asserted). At 100 TB this is the
+    // canonical fact⨝fact co-location play: neither table moves.
+    "q_spj_join" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_spj_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      graft.sources.ManifestTable.destroy(s"$root/cust")
+      s.conf.set("spark.sql.catalog.graft_sp",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sp.root", root)
+      // Spark's own opt-ins for key-grouped (storage-partitioned) joins;
+      // they only affect scans that report a partitioning, so leaving
+      // them on is safe session-wide
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.sql("""CREATE TABLE graft_sp.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(8, o_custkey))""")
+      s.sql("""CREATE TABLE graft_sp.default.cust
+        (c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE)
+        PARTITIONED BY (bucket(8, c_custkey))""")
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_spj_ord_src")
+      Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+        .createOrReplaceTempView("r11_spj_cust_src")
+      s.sql("INSERT INTO graft_sp.default.ord SELECT * FROM r11_spj_ord_src")
+      s.sql("INSERT INTO graft_sp.default.cust SELECT * FROM r11_spj_cust_src")
+      s.sql("""SELECT c.c_nationkey, count(*) AS n_ord,
+        CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_sp.default.ord o JOIN graft_sp.default.cust c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey""")
+    }),
     // The CHANGE DATA FEED as SQL: `t$changes` serves one row per
     // inserted/deleted row per commit with `_change_type` and
     // `_commit_version` — the incremental-sync surface (downstream
@@ -1807,6 +1844,12 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
+    // the co-located join must change no answers
+    "q_spj_join" ->
+      """SELECT c_nationkey, count(*) AS n_ord,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
     // the change feed is exactly reconstructible from the DML history
     "q_sql_changes" ->
       """WITH src AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,

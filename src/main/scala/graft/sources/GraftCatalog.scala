@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * empty snapshot (schema recorded by the first insert's files),
   * `DROP TABLE` destroys the directory.
   */
-class GraftCatalog extends TableCatalog with StagingTableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -299,6 +300,67 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val tmp = s"$dir.staging-${java.util.UUID.randomUUID().toString.take(8)}"
     commitCreate(tmp, schema, partitions, properties)
     new GraftStagedTable(ident.toString, tmp, dir, replaceAt)
+  }
+
+  // The FUNCTION CATALOG leg of storage-partitioned joins: Spark resolves
+  // a scan-reported `bucket(n, col)` transform by loading `bucket` from
+  // the table's catalog — without it the KeyGroupedPartitioning report is
+  // discarded and the join falls back to shuffling both sides.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new IllegalArgumentException(
+      s"function $ident not found (supported: bucket)")
+}
+
+/** The bucket transform function: `pmod(murmur3(col, seed 42), n)` —
+  * EXACTLY the row→partition mapping `repartition(n, col)` used when the
+  * insert clustered the files, so the recorded per-file bucket ids and
+  * this function describe the same partitioning. */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col) — hash-repartition bucket id: pmod(murmur3_42(col), n)"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, col), got ${inputType.catalogString}")
+    val keyType = inputType.fields(1).dataType
+    require(keyType == LongType || keyType == IntegerType,
+      s"bucket join keys must be integral, got ${keyType.catalogString}")
+    new GraftBoundBucket(keyType)
+  }
+}
+
+private[sources] class GraftBoundBucket(
+    keyType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  import org.apache.spark.sql.types._
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String =
+    s"graft.bucket(${keyType.catalogString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(
+      input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    val seed = 42
+    val h =
+      if (input.isNullAt(1)) seed // Murmur3Hash leaves the seed on null
+      else keyType match {
+        case LongType => org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashLong(input.getLong(1), seed)
+        case _ => org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashInt(input.getInt(1), seed)
+      }
+    val m = h % n
+    if (m < 0) m + n else m
   }
 }
 
@@ -854,11 +916,63 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
 private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     val totalFiles: Int, requiredNow: StructType, dir: String,
     pinned: Option[Int], versionsPerBatch: Int) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private val files: Seq[String] =
     entries.map(e => ManifestTable.dataPath(dir, e.name))
   def keptFiles: Int = files.size
   override def readSchema(): StructType = requiredNow
+
+  // -----------------------------------------------------------------
+  // STORAGE-PARTITIONED JOIN: a table `PARTITIONED BY (bucket(n, k))`
+  // whose files all carry their recorded `__bucket` id reports
+  // KeyGroupedPartitioning over the bucket transform and plans ONE
+  // input partition per present bucket — so joining two tables
+  // co-bucketed on the join key runs with ZERO shuffle on either side
+  // (Spark aligns the bucket ids; the catalog's FunctionCatalog serves
+  // the bucket function for transform resolution). At 100 TB this is
+  // the difference between shuffling both fact tables and a map-side
+  // merge of co-located buckets. Gated on Spark's own opt-in
+  // (`spark.sql.sources.v2.bucketing.enabled`) because grouped
+  // planning caps scan parallelism at the bucket count; without the
+  // conf, or with any bucket-less file (CoW rewrites don't re-bucket),
+  // the scan degrades to per-file planning — never a wrong answer.
+  // -----------------------------------------------------------------
+  private def spjEnabled: Boolean =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    catch { case _: Exception => false }
+
+  private lazy val bucketGroups: Option[(Int, String, Seq[(Int, Seq[String])])] = {
+    if (!spjEnabled || entries.isEmpty || !entries.forall(_.bucket.isDefined))
+      None
+    else {
+      val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+      ManifestTable.tableProperties(dir, v).get("graft.partitioning")
+        .flatMap { spec =>
+          val (ids, bks) = GraftCatalog.partitionCols(spec)
+          if (ids.isEmpty && bks.size == 1) Some(bks.head) else None
+        }
+        .map { case (n, col) =>
+          val groups = entries.groupBy(_.bucket.get).toSeq.sortBy(_._1)
+            .map { case (b, es) =>
+              (b, es.map(e => ManifestTable.dataPath(dir, e.name))) }
+          (n, col, groups)
+        }
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketGroups match {
+      case Some((n, col, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, col)), groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          files.size)
+    }
 
   /** Planning-time statistics served FROM THE MANIFEST: Spark's join
     * planner broadcasts a small catalog table without a hint because the
@@ -894,9 +1008,14 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   }
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      files.map(f => ManifestFilePartition(f): InputPartition).toArray
+      bucketGroups match {
+        case Some((_, _, groups)) => groups.map { case (b, fs) =>
+          BucketFilesPartition(fs, b): InputPartition }.toArray
+        case None =>
+          files.map(f => ManifestFilePartition(f): InputPartition).toArray
+      }
     override def createReaderFactory(): PartitionReaderFactory =
-      new ManifestParquetReaderFactory(requiredNow)
+      new ManifestScanReaderFactory(requiredNow)
   }
   // the same named table streams: spark.readStream.table("graft...")
   // rides the version-offset micro-batch source (exactly-once by
@@ -908,6 +1027,46 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   }
   override def description(): String =
     s"graft manifest scan $dir (files $keptFiles/$totalFiles)"
+}
+
+/** One storage-partition of a bucketed table: every admitted file of one
+  * bucket id, keyed for Spark's key-grouped (storage-partitioned) join
+  * alignment. */
+private[sources] case class BucketFilesPartition(files: Seq[String],
+    bucketId: Int) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+}
+
+/** Reader factory for the catalog scan: per-file partitions read with the
+  * ordinary executor parquet reader; bucket-grouped partitions chain
+  * their files' readers sequentially. */
+private[sources] class ManifestScanReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    partition match {
+      case ManifestFilePartition(f) => new ManifestParquetReader(f, required)
+      case BucketFilesPartition(fs, _) =>
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private val it = fs.iterator
+          private var cur: ManifestParquetReader = _
+          override def next(): Boolean = {
+            while (cur == null || !cur.next()) {
+              if (cur != null) cur.close()
+              cur = null
+              if (!it.hasNext) return false
+              cur = new ManifestParquetReader(it.next(), required)
+            }
+            true
+          }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+    }
 }
 
 private[sources] case class MetadataAggPartition(values: Seq[Any])
@@ -1091,9 +1250,13 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                       (ids ++ bks.map(_._2)).map(c): _*)
                     else data.repartition(bks.map(_._1).max,
                       bks.map(b => c(b._2)): _*)
+                  // a single-bucket-transform table records each file's
+                  // bucket id (= the hash-repartition writer index), the
+                  // grouping the storage-partitioned-join scan serves
                   ManifestTable.stageWithIndexes(s, dir, shaped,
                     statsCols = allCols,
-                    bloomCols = bks.map(_._2))
+                    bloomCols = bks.map(_._2),
+                    recordBucket = ids.isEmpty && bks.size == 1)
                 }
             }
             // OVERWRITE removes rows — a mutate commit, so incremental

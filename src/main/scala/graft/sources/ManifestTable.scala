@@ -442,7 +442,17 @@ object ManifestTable {
   /** Stage `df` as immutable uniquely-named parquet files under `data/`
     * WITHOUT publishing them — they stay invisible orphans until a manifest
     * lists them. Returns the staged relative names. */
-  def stage(s: SparkSession, dir: String, df: DataFrame): Seq[String] = {
+  def stage(s: SparkSession, dir: String, df: DataFrame): Seq[String] =
+    stageIndexed(s, dir, df).map(_._1)
+
+  private val PartIdxRe = """part-(\d+)""".r
+
+  /** [[stage]] keeping each staged file's ORIGINAL writer-partition index
+    * (parsed from Spark's `part-NNNNN-…` output name): for a
+    * hash-repartitioned write this index IS the bucket id, the fact the
+    * storage-partitioned-join scan needs per file. */
+  def stageIndexed(s: SparkSession, dir: String,
+      df: DataFrame): Seq[(String, Int)] = {
     val tmp = s"$dir/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(tmp)
     Files.createDirectories(Paths.get(dir, "data"))
@@ -450,9 +460,11 @@ object ManifestTable {
     val parts = listDir(Paths.get(tmp))
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     val named = parts.zipWithIndex.map { case (p, i) =>
+      val orig = PartIdxRe.findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1).toInt).getOrElse(i)
       val name = s"$uuid-part-$i.parquet"
       Files.move(p, Paths.get(dir, "data", name), StandardCopyOption.ATOMIC_MOVE)
-      name
+      (name, orig)
     }
     // remove the now-empty staging dir (best effort)
     listDir(Paths.get(tmp)).foreach(Files.deleteIfExists(_))
@@ -744,7 +756,7 @@ object ManifestTable {
       blooms: Map[String, Array[Byte]], rows: Option[Long],
       hlls: Map[String, Array[Byte]] = Map.empty,
       strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None, bucket: Option[Int] = None)
 
   /** Parse one manifest line → full [[FileEntry]]. Unknown stat encodings
     * are ignored (forward compatible: an older reader sees the file as
@@ -777,7 +789,8 @@ object ManifestTable {
     }.toMap
     val rows = kvs.collectFirst { case ("__rows", v) if v.forall(_.isDigit) => v.toLong }
     val bytes = kvs.collectFirst { case ("__bytes", v) if v.forall(_.isDigit) => v.toLong }
-    FileEntry(parts.head, ranges, blooms, rows, hlls, strs, bytes)
+    val bucket = kvs.collectFirst { case ("__bucket", v) if v.forall(_.isDigit) => v.toInt }
+    FileEntry(parts.head, ranges, blooms, rows, hlls, strs, bytes, bucket)
   }
 
   /** Parse one manifest line → (file name, recorded column ranges). */
@@ -973,12 +986,13 @@ object ManifestTable {
     * footer says the column is) plus its exact row count, ready for
     * [[commit]]. */
   def stageWithStats(s: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String]): Seq[String] =
-    stage(s, dir, df).map { name =>
+      statsCols: Seq[String], recordBucket: Boolean = false): Seq[String] =
+    stageIndexed(s, dir, df).map { case (name, orig) =>
       val p = Paths.get(dir, "data", name)
       val st = footerStats(p, statsCols)
       val ss = footerStatsStr(p, statsCols.filterNot(st.contains))
-      val rows = s"__rows=${footerRowCount(p)};__bytes=${Files.size(p)}"
+      val bucketKv = if (recordBucket) s";__bucket=$orig" else ""
+      val rows = s"__rows=${footerRowCount(p)};__bytes=${Files.size(p)}$bucketKv"
       val statKv = Seq(
         if (st.isEmpty) "" else encodeStats(st),
         if (ss.isEmpty) "" else encodeStrStats(ss)
@@ -1049,9 +1063,10 @@ object ManifestTable {
     * here the one extra pass over the just-staged batch stands in. */
   def stageWithIndexes(s: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], bloomCols: Seq[String],
-      numBits: Int = 1 << 16, k: Int = 6): Seq[String] = {
+      numBits: Int = 1 << 16, k: Int = 6,
+      recordBucket: Boolean = false): Seq[String] = {
     import org.apache.spark.sql.functions.{col => c, input_file_name, substring_index}
-    val lines = stageWithStats(s, dir, df, statsCols)
+    val lines = stageWithStats(s, dir, df, statsCols, recordBucket)
     if (bloomCols.isEmpty) return lines
     graft.functions.BloomOps.register(s)
     val names = lines.map(_.split('\t').head)

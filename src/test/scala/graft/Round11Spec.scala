@@ -804,4 +804,76 @@ class Round11Spec extends AnyFunSuite {
     assert(state == full)
     ManifestTable.destroy(root)
   }
+
+  test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    val root = freshDir("spj")
+    spark.conf.set("spark.sql.catalog.g11sp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11sp.root", root)
+    val prevBucketing = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevPush = spark.conf
+      .get("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+    val prevBroadcast = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("""CREATE TABLE g11sp.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(8, o_custkey))""")
+      spark.sql("""CREATE TABLE g11sp.default.cust
+        (c_custkey BIGINT, c_acctbal DOUBLE)
+        PARTITIONED BY (bucket(8, c_custkey))""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_spj_ord")
+      Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("r11_spj_cust")
+      spark.sql("INSERT INTO g11sp.default.ord SELECT * FROM r11_spj_ord")
+      spark.sql("INSERT INTO g11sp.default.cust SELECT * FROM r11_spj_cust")
+      val j = spark.sql("""SELECT o.o_orderkey, o.o_totalprice, c.c_acctbal
+        FROM g11sp.default.ord o JOIN g11sp.default.cust c
+          ON o.o_custkey = c.c_custkey""")
+      val got = j.collect()
+      def nodes(p: SparkPlan): Seq[SparkPlan] =
+        p +: (p.children.flatMap(nodes) ++ (p match {
+          case q: QueryStageExec => nodes(q.plan)
+          case _ => Seq.empty
+        }))
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val joins = nodes(plan).filter(n => n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec])
+      assert(joins.nonEmpty, s"expected a non-broadcast equi-join:\n$plan")
+      val shufflesBelow = joins.flatMap(j => j.children.flatMap(nodes))
+        .filter(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shufflesBelow.isEmpty,
+        s"co-bucketed storage-partitioned join must NOT shuffle either " +
+          s"side:\n$plan")
+      // and the co-located join changes no answers
+      val want = Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(Tables.customer(spark, sf).select("c_custkey", "c_acctbal"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_acctbal")
+      assert(got.map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+      assert(got.length == want.count())
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        prevPush)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    ManifestTable.destroy(root)
+  }
 }
