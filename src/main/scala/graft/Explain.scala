@@ -42,7 +42,8 @@ object Explain {
     // at construction
     "q_sql_decimal_update", "q_catalog_embeddings", "q_sql_partitioned",
     "q_sql_add_column", "q_sql_overwrite", "q_sql_overwrite_dynamic",
-    "q_catalog_stats_join", "q_sql_ctas", "q_sql_changes", "q_spj_join")
+    "q_catalog_stats_join", "q_sql_ctas", "q_sql_changes", "q_spj_join",
+    "q_runtime_prune")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

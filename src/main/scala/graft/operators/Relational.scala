@@ -821,6 +821,35 @@ object Relational {
           ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey""")
     }),
+    // RUNTIME (dynamic) FILE PRUNING: the fact table is bucketed on the
+    // join key; the dim filter is on a NON-join column, so nothing can
+    // prune statically — at execution Spark collects the broadcast dim's
+    // keys and hands them to the scan (SupportsRuntimeV2Filtering), which
+    // drops every fact file whose bucket id / bloom / range refutes all
+    // of them. The 100 TB fact⨝dim play: a 2%-selective dimension skips
+    // ~98% of a bucketed fact's files with zero static predicates.
+    "q_runtime_prune" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_rf_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/fact")
+      s.conf.set("spark.sql.catalog.graft_rf",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rf.root", root)
+      s.sql("""CREATE TABLE graft_rf.default.fact
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(16, o_custkey))""")
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_rf_ord_src")
+      s.sql("INSERT INTO graft_rf.default.fact SELECT * FROM r11_rf_ord_src")
+      Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .createOrReplaceTempView("r11_rf_cust_src")
+      s.sql("""SELECT c.c_nationkey, count(*) AS n_ord,
+        CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_rf.default.fact o JOIN r11_rf_cust_src c
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey IN (1, 3)
+        GROUP BY c.c_nationkey""")
+    }),
     // The CHANGE DATA FEED as SQL: `t$changes` serves one row per
     // inserted/deleted row per commit with `_change_type` and
     // `_commit_version` — the incremental-sync surface (downstream
@@ -1844,6 +1873,13 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
+    // runtime pruning must change no answers
+    "q_runtime_prune" ->
+      """SELECT c_nationkey, count(*) AS n_ord,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey IN (1, 3)
+        |GROUP BY c_nationkey""".stripMargin,
     // the co-located join must change no answers
     "q_spj_join" ->
       """SELECT c_nationkey, count(*) AS n_ord,

@@ -917,11 +917,111 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     val totalFiles: Int, requiredNow: StructType, dir: String,
     pinned: Option[Int], versionsPerBatch: Int) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val files: Seq[String] =
     entries.map(e => ManifestTable.dataPath(dir, e.name))
   def keptFiles: Int = files.size
   override def readSchema(): StructType = requiredNow
+
+  // -----------------------------------------------------------------
+  // RUNTIME (dynamic) FILE PRUNING: when this table is the probe side
+  // of a join whose build side is small and already materialized
+  // (broadcast), Spark collects the build side's join-key values and
+  // hands them here as an IN predicate BEFORE scan tasks launch
+  // (`SupportsRuntimeV2Filtering`; planner rule PartitionPruning). The
+  // same per-file stats that serve static pushdown — min/max ranges,
+  // blooms, string envelopes, and the recorded `__bucket` id — then
+  // drop files that cannot hold any build-side key. At 100 TB this is
+  // dynamic partition pruning for fact⨝dim: a dimension filter that
+  // selects 2% of keys skips ~98% of a well-clustered fact table's
+  // files at runtime, with zero manifest-format changes. Stats admit
+  // SUPERSETS and Spark re-evaluates the join itself, so pruning can
+  // shrink I/O but never change an answer.
+  // -----------------------------------------------------------------
+  @volatile private var runtimeKeep: Set[String] = null // null = no filter ran
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val statCols = entries.iterator.flatMap(e =>
+      e.ranges.keysIterator ++ e.blooms.keysIterator ++
+        e.strRanges.keysIterator).toSet
+    // only columns this scan actually OUTPUTS: Spark resolves the
+    // reported attributes against the column-pruned scan relation and
+    // fails the query on any it cannot find
+    val selected = requiredNow.fieldNames.toSet
+    (statCols ++ bucketSpec.map(_._2)).filter(selected).toArray.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr,
+      Literal => V2Literal, NamedReference}
+    // translate only the shapes the runtime-filter planner emits (IN over
+    // collected build-side keys; = for a single key) — anything else
+    // declines the prune, never the query
+    def colOf(e: V2Expr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def valOf(e: V2Expr): Option[Any] = e match {
+      case l: V2Literal[_] => l.value match {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+        case v => Some(v)
+      }
+      case _ => None
+    }
+    val v1: Seq[Filter] = predicates.toSeq.flatMap { p =>
+      val ch = p.children()
+      p.name() match {
+        case "IN" if ch.length >= 2 =>
+          for {
+            c <- colOf(ch.head)
+            vs <- Some(ch.tail.flatMap(valOf)) if vs.length == ch.length - 1
+          } yield In(c, vs.toArray)
+        case "=" if ch.length == 2 =>
+          for { c <- colOf(ch(0)); v <- valOf(ch(1)) } yield EqualTo(c, v)
+        case _ => None
+      }
+    }
+    if (v1.isEmpty) return
+    // bucket-id leg: key values hash to their bucket exactly as the
+    // clustered insert did (Murmur3, seed 42 — GraftBoundBucket), so an
+    // IN-list admits only the buckets its values land in, clustered or
+    // not. Value-class dispatch matches the column type because Spark
+    // coerces join keys before collecting them.
+    def bucketOf(a: Any, n: Int): Option[Int] = a match {
+      case l: java.lang.Long => Some(Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(l, 42), n))
+      case i: java.lang.Integer => Some(Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, 42), n))
+      case _ => None
+    }
+    def bucketAdmits(f: Filter, e: ManifestTable.FileEntry): Boolean =
+      (bucketSpec, e.bucket) match {
+        case (Some((n, col)), Some(b)) => f match {
+          case In(c, vs) if c == col && vs.nonEmpty =>
+            vs.exists(v => bucketOf(v, n).forall(_ == b))
+          case EqualTo(c, v) if c == col =>
+            bucketOf(v, n).forall(_ == b)
+          case _ => true
+        }
+        case _ => true
+      }
+    val kept = entries.filter(e =>
+      v1.forall(f => StatsFilters.admits(f, e) && bucketAdmits(f, e)))
+    runtimeKeep = kept.map(_.name).toSet
+    ManifestFilesScan.lastRuntimePrune.put(dir, (kept.size, entries.size))
+  }
+
+  private def runtimeEntries: Seq[ManifestTable.FileEntry] = {
+    val keep = runtimeKeep
+    if (keep == null) entries else entries.filter(e => keep(e.name))
+  }
 
   // -----------------------------------------------------------------
   // STORAGE-PARTITIONED JOIN: a table `PARTITIONED BY (bucket(n, k))`
@@ -943,32 +1043,30 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     catch { case _: Exception => false }
 
-  private lazy val bucketGroups: Option[(Int, String, Seq[(Int, Seq[String])])] = {
+  /** The table's single-bucket-transform partitioning, if declared. */
+  private lazy val bucketSpec: Option[(Int, String)] = {
+    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+    ManifestTable.tableProperties(dir, v).get("graft.partitioning")
+      .flatMap { spec =>
+        val (ids, bks) = GraftCatalog.partitionCols(spec)
+        if (ids.isEmpty && bks.size == 1) Some(bks.head) else None
+      }
+  }
+
+  private lazy val bucketGroups: Option[(Int, String, Seq[Int])] =
     if (!spjEnabled || entries.isEmpty || !entries.forall(_.bucket.isDefined))
       None
-    else {
-      val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
-      ManifestTable.tableProperties(dir, v).get("graft.partitioning")
-        .flatMap { spec =>
-          val (ids, bks) = GraftCatalog.partitionCols(spec)
-          if (ids.isEmpty && bks.size == 1) Some(bks.head) else None
-        }
-        .map { case (n, col) =>
-          val groups = entries.groupBy(_.bucket.get).toSeq.sortBy(_._1)
-            .map { case (b, es) =>
-              (b, es.map(e => ManifestTable.dataPath(dir, e.name))) }
-          (n, col, groups)
-        }
+    else bucketSpec.map { case (n, col) =>
+      (n, col, entries.map(_.bucket.get).distinct.sorted)
     }
-  }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketGroups match {
-      case Some((n, col, groups)) =>
+      case Some((n, col, bucketIds)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions
-            .bucket(n, col)), groups.size)
+            .bucket(n, col)), bucketIds.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           files.size)
@@ -1009,10 +1107,20 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       bucketGroups match {
-        case Some((_, _, groups)) => groups.map { case (b, fs) =>
-          BucketFilesPartition(fs, b): InputPartition }.toArray
+        case Some((_, _, bucketIds)) =>
+          // group keys stay fixed at the PLANNED set even when runtime
+          // filtering empties one: key-grouped join alignment compares
+          // the two sides' partition-value sets, and an empty bucket
+          // reads zero bytes anyway
+          val byBucket = runtimeEntries.groupBy(_.bucket.get)
+          bucketIds.map { b =>
+            BucketFilesPartition(byBucket.getOrElse(b, Seq.empty)
+              .map(e => ManifestTable.dataPath(dir, e.name)), b)
+              : InputPartition
+          }.toArray
         case None =>
-          files.map(f => ManifestFilePartition(f): InputPartition).toArray
+          runtimeEntries.map(e => ManifestFilePartition(
+            ManifestTable.dataPath(dir, e.name)): InputPartition).toArray
       }
     override def createReaderFactory(): PartitionReaderFactory =
       new ManifestScanReaderFactory(requiredNow)
@@ -1027,6 +1135,14 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   }
   override def description(): String =
     s"graft manifest scan $dir (files $keptFiles/$totalFiles)"
+}
+
+private[graft] object ManifestFilesScan {
+  /** Last runtime-filter decision per table dir: (kept, total) files.
+    * Observability for specs and EXPLAIN tooling — the pruning itself
+    * lives on each scan instance. */
+  val lastRuntimePrune =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 }
 
 /** One storage-partition of a bucketed table: every admitted file of one

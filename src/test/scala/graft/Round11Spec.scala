@@ -876,4 +876,48 @@ class Round11Spec extends AnyFunSuite {
     }
     ManifestTable.destroy(root)
   }
+
+  test("runtime filtering: broadcast dim prunes fact files before the scan") {
+    val root = freshDir("dpp")
+    spark.conf.set("spark.sql.catalog.g11dpp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11dpp.root", root)
+    try {
+      // bucketed fact: every file carries a __bucket id, so runtime
+      // IN-filters prune whole buckets regardless of value clustering
+      spark.sql("""CREATE TABLE g11dpp.default.fact
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(16, o_custkey))""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_dpp_ord")
+      spark.sql("INSERT INTO g11dpp.default.fact SELECT * FROM r11_dpp_ord")
+      // selective dim FILTERED ON A NON-JOIN COLUMN: a join-key filter
+      // (c_custkey < 4) would propagate statically through constraint
+      // inference and prune before execution — a nation filter can only
+      // prune at RUNTIME, from the collected build-side keys
+      val threeKeys = Tables.customer(spark, sf)
+        .filter(col("c_nationkey") === 3).select("c_custkey")
+      threeKeys.createOrReplaceTempView("r11_dpp_dim")
+      sources.ManifestFilesScan.lastRuntimePrune.remove(s"$root/fact")
+      val j = spark.sql("""SELECT f.o_orderkey, f.o_totalprice
+        FROM g11dpp.default.fact f JOIN r11_dpp_dim d
+          ON f.o_custkey = d.c_custkey""")
+      val got = j.collect().map(_.toSeq).toSet
+      val want = Tables.orders(spark, sf)
+        .join(threeKeys, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice").collect().map(_.toSeq).toSet
+      assert(got == want, "runtime pruning must not change the answer")
+      val prune = sources.ManifestFilesScan.lastRuntimePrune.get(s"$root/fact")
+      assert(prune != null, "the runtime filter must actually have run — " +
+        "broadcast dim + filterAttributes on o_custkey should trigger DPP")
+      val (kept, total) = prune
+      assert(total >= 8, s"fixture too small to prove pruning: $total files")
+      assert(kept < total,
+        s"a handful of keys over 16 buckets must prune some of $total " +
+          s"files, kept $kept")
+    } finally {
+      ManifestTable.destroy(root)
+    }
+  }
 }
