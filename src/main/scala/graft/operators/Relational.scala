@@ -821,6 +821,30 @@ object Relational {
           ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey""")
     }),
+    // SQL MAINTENANCE PROCEDURES: DML then `CALL optimize` + `CALL
+    // vacuum` — compaction and file GC run as statements, and the
+    // aggregate after them must equal the plain-SQL answer (maintenance
+    // touches layout, never content). At 100 TB these are the nightly
+    // ops that keep a streaming-ingested table scannable.
+    "q_sql_maintenance" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_mx_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_mx",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mx.root", root)
+      s.sql("""CREATE TABLE graft_mx.default.ord
+        (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+        .createOrReplaceTempView("r11_mx_ord_src")
+      s.sql("INSERT INTO graft_mx.default.ord SELECT * FROM r11_mx_ord_src")
+      s.sql("DELETE FROM graft_mx.default.ord WHERE o_orderkey % 10 = 0")
+      s.sql("CALL graft_mx.system.optimize(table => 'ord', num_files => 4)")
+      s.sql("CALL graft_mx.system.vacuum(table => 'ord', keep_versions => 1)")
+      s.sql("""SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_mx.default.ord GROUP BY yr""")
+    }),
     // RUNTIME (dynamic) FILE PRUNING: the fact table is bucketed on the
     // join key; the dim filter is on a NON-join column, so nothing can
     // prune statically — at execution Spark collects the broadcast dim's
@@ -1873,6 +1897,11 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) IN (1996, 1999) GROUP BY 1""".stripMargin,
+    // maintenance touches layout, never content
+    "q_sql_maintenance" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1""".stripMargin,
     // runtime pruning must change no answers
     "q_runtime_prune" ->
       """SELECT c_nationkey, count(*) AS n_ord,

@@ -355,17 +355,26 @@ private[sources] object GraftDeltaCommitter {
       .map { case (p, n, r) => nameOf(p) -> ((n, r)) }.toMap
     if (inserted.isEmpty && replacedByName.isEmpty) return // no-op statement
     val prev = ManifestTable.listLines(dir, baseVersion)
-    val statsCols = prev.map(ManifestTable.parseEntry)
+    val prevEntries = prev.map(ManifestTable.parseEntry)
+    val statsCols = prevEntries
       .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
+    val bucketByName = prevEntries.flatMap(e => e.bucket.map(e.name -> _)).toMap
     val lines = prev.flatMap { line =>
       val nm = line.split('\t').head
       replacedByName.get(nm) match {
         case None => Some(line) // untouched: VERBATIM
         case Some((None, _)) => None // every row deleted
         case Some((Some(newName), rows)) =>
-          Some(ManifestTable.statLineFor(dir, newName, rows, statsCols))
+          // a rewrite only DROPS rows, so the surviving rows' bucket
+          // membership is unchanged — carry the old file's bucket id and
+          // storage-partitioned joins survive a selective DELETE
+          Some(ManifestTable.statLineFor(dir, newName, rows, statsCols,
+            bucket = bucketByName.get(nm)))
       }
     } ++ inserted.map { case (n, r) =>
+      // insert files carry NO bucket id (their rows span buckets), which
+      // degrades the scan to per-file planning until a rebucket — never
+      // a wrong answer
       ManifestTable.statLineFor(dir, n, r, statsCols)
     }
     val ok = ManifestTable.commitMutate(dir,

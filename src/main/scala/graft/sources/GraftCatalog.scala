@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `DROP TABLE` destroys the directory.
   */
 class GraftCatalog extends TableCatalog with StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -314,6 +315,101 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (ident.name() == "bucket") GraftBucketFunction
     else throw new IllegalArgumentException(
       s"function $ident not found (supported: bucket)")
+
+  // MAINTENANCE PROCEDURES as SQL: `CALL graft.system.rebucket(table =>
+  // 'ord')` runs the table-format maintenance ops (rebucket / optimize /
+  // vacuum / restore) from any SQL client — the operational surface a
+  // warehouse ships alongside DML, no Scala entry point needed.
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name(), root).getOrElse(
+      throw new IllegalArgumentException(s"procedure $ident not found " +
+        s"(supported: ${GraftProcedures.names.mkString(", ")})"))
+}
+
+/** The catalog's maintenance procedures, each one CALL-able statement
+  * wrapping the corresponding [[ManifestTable]] op and returning the new
+  * snapshot version as a one-row result. */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+    ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types._
+
+  val names: Array[String] =
+    Array("rebucket", "optimize", "vacuum", "restore")
+
+  def load(name: String, root: String): Option[UnboundProcedure] =
+    if (names.contains(name)) Some(new GraftProcedure(name, root)) else None
+
+  private[sources] def dirFor(root: String, table: String): String = {
+    val parts = table.split('.').toSeq.filterNot(_ == "default")
+    ((root +: parts)).mkString("/")
+  }
+
+  private[sources] def resultScan(version: Int): Scan =
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType =
+        StructType(Seq(StructField("new_version", IntegerType,
+          nullable = false)))
+      override def rows()
+          : Array[org.apache.spark.sql.catalyst.InternalRow] =
+        Array(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](version)))
+      override def description(): String = s"procedure result v$version"
+    }
+
+  private class GraftProcedure(procName: String, root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procName match {
+      case "rebucket" => "rewrite a bucketed table clustered by its " +
+        "declared bucket transform, re-arming storage-partitioned joins"
+      case "optimize" => "compact small files (optionally z-order)"
+      case "vacuum" => "drop unreferenced data files and old manifests"
+      case "restore" => "roll the table back to an earlier version"
+    }
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = procName match {
+      case "rebucket" => Array(
+        ProcedureParameter.in("table", StringType).build())
+      case "optimize" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("num_files", IntegerType)
+          .defaultValue("1").build())
+      case "vacuum" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_versions", IntegerType)
+          .defaultValue("2").build())
+      case "restore" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build())
+    }
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[Scan] = {
+      val dir = dirFor(root, input.getUTF8String(0).toString)
+      val s = org.apache.spark.sql.SparkSession.active
+      val v = procName match {
+        case "rebucket" => ManifestTable.rebucket(s, dir)
+        case "optimize" =>
+          val prev = ManifestTable.currentVersion(dir)
+          val stats = ManifestTable.listLines(dir, prev)
+            .map(ManifestTable.parseEntry)
+            .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
+          ManifestTable.optimize(s, dir, numFiles = input.getInt(1),
+            statsCols = stats)
+        case "vacuum" =>
+          ManifestTable.vacuum(dir, keepVersions = input.getInt(1))
+          ManifestTable.currentVersion(dir)
+        case "restore" => ManifestTable.restore(dir, input.getInt(1))
+      }
+      java.util.Collections.singletonList(resultScan(v)).iterator()
+    }
+  }
 }
 
 /** The bucket transform function: `pmod(murmur3(col, seed 42), n)` —

@@ -1011,7 +1011,7 @@ object ManifestTable {
     * count — the line builder every replacement-file commit (row-level
     * DML, compaction) shares with [[stageWithStats]]. */
   def statLineFor(dir: String, name: String, rows: Long,
-      statsCols: Seq[String]): String = {
+      statsCols: Seq[String], bucket: Option[Int] = None): String = {
     val p = Paths.get(dir, "data", name)
     val st = if (statsCols.isEmpty) Map.empty[String, ColRange]
       else footerStats(p, statsCols)
@@ -1022,7 +1022,8 @@ object ManifestTable {
       if (st.isEmpty) "" else encodeStats(st),
       if (ss.isEmpty) "" else encodeStrStats(ss)
     ).filter(_.nonEmpty).mkString(";")
-    val rowsKv = s"__rows=$rows;__bytes=${Files.size(p)}"
+    val bucketKv = bucket.map(b => s";__bucket=$b").getOrElse("")
+    val rowsKv = s"__rows=$rows;__bytes=${Files.size(p)}$bucketKv"
     if (statKv.isEmpty) s"$name\t$rowsKv" else s"$name\t$statKv\t$rowsKv"
   }
 
@@ -2082,6 +2083,48 @@ object ManifestTable {
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
     throw new IllegalStateException(s"optimize lost $maxRetries commit races in $dir")
+  }
+
+  /** Restore a bucketed table's physical layout: rewrite EVERY file
+    * clustered by the declared `bucket(n, col)` transform, recording each
+    * file's `__bucket` id — the maintenance op that re-arms
+    * storage-partitioned joins after row-level DML landed bucket-less
+    * insert files. One `#rewrite` CAS; on a lost race the whole pass
+    * re-runs against the winner's snapshot. The rewrite cost is one full
+    * pass over the table (like any re-clustering), so it amortizes the
+    * way compaction does: run it when the bucket-less fraction justifies
+    * giving the next N joins their shuffle-free plan back. */
+  def rebucket(s: SparkSession, dir: String, maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to rebucket in $dir")
+      val spec = tableProperties(dir, v).getOrElse("graft.partitioning",
+        throw new IllegalArgumentException(
+          s"rebucket($dir): table declares no partitioning"))
+      val (ids, bks) = GraftCatalog.partitionCols(spec)
+      require(ids.isEmpty && bks.size == 1,
+        s"rebucket($dir): exactly one bucket transform required, got $spec")
+      val (n, colName) = bks.head
+      require(dvLines(dir, v).isEmpty && renameLines(dir, v).isEmpty,
+        s"rebucket($dir) refused: deletion-vector/rename markers present " +
+          "— compact first")
+      val lines = listLines(dir, v)
+      if (lines.isEmpty) return v
+      val entries = lines.map(parseEntry)
+      val statsCols = entries
+        .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
+      val df = s.read.option("mergeSchema", "true")
+        .parquet(entries.map(e => dataPath(dir, e.name)): _*)
+      val shaped = df.repartition(n, c(colName))
+      val staged = stageWithIndexes(s, dir, shaped, statsCols = statsCols,
+        bloomCols = Seq(colName), recordBucket = true)
+      if (commitRewrite(dir, staged ++ carriedMeta(dir, v), v)) return v + 1
+      attempt += 1 // lost the race; staged files stay harmless orphans
+    }
+    throw new IllegalStateException(
+      s"rebucket lost $maxRetries commit races in $dir")
   }
 
   /** ACID MERGE WHEN NOT MATCHED THEN INSERT: anti-join `batch` against the

@@ -877,6 +877,137 @@ class Round11Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("bucket lifecycle: DELETE keeps SPJ, UPDATE degrades it, CALL rebucket re-arms it") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(nodes) ++ (p match {
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Seq.empty
+      }))
+    def joinShuffles(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val joins = nodes(plan).filter(n => n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec])
+      (joins.size,
+        joins.flatMap(_.children.flatMap(nodes))
+          .count(_.isInstanceOf[ShuffleExchangeLike]))
+    }
+    val root = freshDir("blc")
+    spark.conf.set("spark.sql.catalog.g11blc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11blc.root", root)
+    val prevBucketing = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevPush = spark.conf
+      .get("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+    val prevBroadcast = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("""CREATE TABLE g11blc.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(8, o_custkey))""")
+      spark.sql("""CREATE TABLE g11blc.default.cust
+        (c_custkey BIGINT, c_acctbal DOUBLE)
+        PARTITIONED BY (bucket(8, c_custkey))""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_blc_ord")
+      Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("r11_blc_cust")
+      spark.sql("INSERT INTO g11blc.default.ord SELECT * FROM r11_blc_ord")
+      spark.sql("INSERT INTO g11blc.default.cust SELECT * FROM r11_blc_cust")
+      def theJoin = spark.sql("""SELECT o.o_orderkey, o.o_totalprice,
+          c.c_acctbal
+        FROM g11blc.default.ord o JOIN g11blc.default.cust c
+          ON o.o_custkey = c.c_custkey""")
+      // 1. co-bucketed: zero shuffles below the join
+      val (j1, s1) = joinShuffles(theJoin)
+      assert(j1 == 1 && s1 == 0, s"fresh co-bucketed join: $j1 joins, $s1 shuffles")
+      // 2. selective DELETE rewrites files — surviving rows keep their
+      // bucket, so the join stays shuffle-free and answers stay right
+      spark.sql("DELETE FROM g11blc.default.ord WHERE o_orderkey % 10 = 0")
+      val (j2, s2) = joinShuffles(theJoin)
+      assert(j2 == 1 && s2 == 0, s"post-DELETE join: $j2 joins, $s2 shuffles")
+      val wantPostDelete = Tables.orders(spark, sf)
+        .filter(!(col("o_orderkey") % 10 === 0))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_acctbal")
+        .collect().map(_.toSeq).toSet
+      assert(theJoin.collect().map(_.toSeq).toSet == wantPostDelete)
+      // 3. UPDATE inserts rewritten rows as bucket-less files: the scan
+      // must DEGRADE (shuffle again), never mis-group
+      spark.sql("""UPDATE g11blc.default.ord SET o_totalprice = 0.0
+        WHERE o_orderkey % 7 = 0""")
+      val (j3, s3) = joinShuffles(theJoin)
+      assert(j3 == 1 && s3 > 0,
+        s"post-UPDATE join must fall back to shuffling: $s3 shuffles")
+      // 4. CALL rebucket restores the clustered layout and the plan
+      val rv = spark.sql(
+        "CALL g11blc.system.rebucket(table => 'ord')").collect()
+      assert(rv.length == 1 && rv.head.getInt(0) > 0)
+      val (j4, s4) = joinShuffles(theJoin)
+      assert(j4 == 1 && s4 == 0, s"post-rebucket join: $j4 joins, $s4 shuffles")
+      val wantFinal = Tables.orders(spark, sf)
+        .filter(!(col("o_orderkey") % 10 === 0))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, 0.0).otherwise(col("o_totalprice")))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_acctbal")
+        .collect().map(_.toSeq).toSet
+      assert(theJoin.collect().map(_.toSeq).toSet == wantFinal,
+        "rebucket must not change answers")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        prevPush)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    ManifestTable.destroy(s"$root/ord")
+    ManifestTable.destroy(s"$root/cust")
+  }
+
+  test("CALL procedures: optimize, restore, vacuum through SQL") {
+    val root = freshDir("proc")
+    spark.conf.set("spark.sql.catalog.g11pr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11pr.root", root)
+    try {
+      spark.sql("CREATE TABLE g11pr.default.t (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO g11pr.default.t VALUES (1, 1.5), (2, 2.5)")
+      spark.sql("INSERT INTO g11pr.default.t VALUES (3, 3.5)")
+      val vOpt = spark.sql(
+        "CALL g11pr.system.optimize(table => 't', num_files => 1)")
+        .collect().head.getInt(0)
+      val linesAfterOpt = ManifestTable.listLines(s"$root/t", vOpt)
+      assert(linesAfterOpt.size == 1, s"optimize must compact to 1 file")
+      assert(spark.sql("SELECT count(*) FROM g11pr.default.t")
+        .collect().head.getLong(0) == 3)
+      // restore to the 2-row snapshot (version 1 = first insert)
+      val vRest = spark.sql(
+        "CALL g11pr.system.restore(table => 't', version => 1)")
+        .collect().head.getInt(0)
+      assert(vRest > vOpt)
+      assert(spark.sql("SELECT count(*) FROM g11pr.default.t")
+        .collect().head.getLong(0) == 2)
+      // vacuum keeps the table readable
+      spark.sql("CALL g11pr.system.vacuum(table => 't', keep_versions => 1)")
+      assert(spark.sql("SELECT count(*) FROM g11pr.default.t")
+        .collect().head.getLong(0) == 2)
+    } finally ManifestTable.destroy(s"$root/t")
+  }
+
   test("runtime filtering: broadcast dim prunes fact files before the scan") {
     val root = freshDir("dpp")
     spark.conf.set("spark.sql.catalog.g11dpp",
