@@ -874,6 +874,43 @@ object Relational {
         WHERE c.c_nationkey IN (1, 3)
         GROUP BY c.c_nationkey""")
     }),
+    // SORTED STORAGE-PARTITIONED JOIN: both tables declare a write-order
+    // on the join key (`graft.write.sort`), so each bucket file is
+    // sorted at insert time and the scan reports the ordering — the
+    // sort-merge join runs with ZERO shuffles AND ZERO sorts
+    // (spec-asserted). At 100 TB this is the fully-amortized fact⨝fact
+    // plan: cluster and sort once at write, every subsequent join is a
+    // streaming merge of co-located runs.
+    "q_sorted_join" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sj_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      graft.sources.ManifestTable.destroy(s"$root/cust")
+      s.conf.set("spark.sql.catalog.graft_sj",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sj.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.sql("""CREATE TABLE graft_sj.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(8, o_custkey))
+        TBLPROPERTIES ('graft.write.sort' = 'o_custkey')""")
+      s.sql("""CREATE TABLE graft_sj.default.cust
+        (c_custkey BIGINT, c_mktsegment STRING)
+        PARTITIONED BY (bucket(8, c_custkey))
+        TBLPROPERTIES ('graft.write.sort' = 'c_custkey')""")
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_sj_ord_src")
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .createOrReplaceTempView("r11_sj_cust_src")
+      s.sql("INSERT INTO graft_sj.default.ord SELECT * FROM r11_sj_ord_src")
+      s.sql("INSERT INTO graft_sj.default.cust SELECT * FROM r11_sj_cust_src")
+      s.sql("""SELECT c.c_mktsegment, count(*) AS n_ord,
+        CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_sj.default.ord o JOIN graft_sj.default.cust c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment""")
+    }),
     // The CHANGE DATA FEED as SQL: `t$changes` serves one row per
     // inserted/deleted row per commit with `_change_type` and
     // `_commit_version` — the incremental-sync surface (downstream
@@ -1909,6 +1946,12 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_nationkey IN (1, 3)
         |GROUP BY c_nationkey""".stripMargin,
+    // the co-sorted co-located join must change no answers
+    "q_sorted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_ord,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     // the co-located join must change no answers
     "q_spj_join" ->
       """SELECT c_nationkey, count(*) AS n_ord,

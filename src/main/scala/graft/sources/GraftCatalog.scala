@@ -1014,7 +1014,8 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     pinned: Option[Int], versionsPerBatch: Int) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private val files: Seq[String] =
     entries.map(e => ManifestTable.dataPath(dir, e.name))
   def keptFiles: Int = files.size
@@ -1156,6 +1157,36 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
       (n, col, entries.map(_.bucket.get).distinct.sorted)
     }
 
+  /** Report the files' physical sort order when it provably holds for
+    * every input partition: the table declares a write-order
+    * (`graft.write.sort`), the scan is bucket-grouped, each bucket has
+    * exactly ONE file (an insert's sortWithinPartitions output; a chained
+    * multi-file group is only per-file sorted), and the sort columns
+    * survive column pruning. A co-bucketed co-sorted join then plans a
+    * sort-merge with ZERO shuffles and ZERO sorts — the full
+    * Iceberg-style SPJ. Rewrites preserve both properties (a delta
+    * rewrite drops rows in sequence), so the report survives DELETEs. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketGroups match {
+      case Some(_)
+          if entries.groupBy(_.bucket.get).forall(_._2.size == 1) =>
+        val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+        val sortCols = ManifestTable.tableProperties(dir, v)
+          .get("graft.write.sort").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        val selected = requiredNow.fieldNames.toSet
+        if (sortCols.nonEmpty && sortCols.forall(selected))
+          sortCols.map(col =>
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(col),
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING)).toArray
+        else Array.empty
+      case _ => Array.empty
+    }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketGroups match {
@@ -1194,10 +1225,59 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     val rows = if (rowsOpt.forall(_.isDefined))
       java.util.OptionalLong.of(rowsOpt.flatten.sum)
       else java.util.OptionalLong.empty()
+    // COLUMN-LEVEL statistics for the cost-based optimizer, all from the
+    // manifest: min/max from the per-file range envelopes; distinct
+    // count by unioning the per-file HLL register blobs (recorded when
+    // the table declares `graft.write.ndv`). With CBO on, join
+    // reordering and selectivity estimation see warehouse-grade column
+    // stats with zero data I/O and no ANALYZE TABLE pass — the stats
+    // are maintained BY the writes.
+    val colStats = {
+      import org.apache.spark.sql.connector.expressions.{Expressions,
+        NamedReference}
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      import org.apache.spark.sql.types._
+      def typed(x: BigDecimal, dt: DataType): Option[Any] = dt match {
+        case LongType => Some(x.toLongExact)
+        case IntegerType => Some(x.toIntExact)
+        case DoubleType => Some(x.toDouble)
+        case d: DecimalType => Some(Decimal(x, d.precision, d.scale))
+        case _ => None
+      }
+      val m = new java.util.HashMap[NamedReference, ColumnStatistics]()
+      requiredNow.fields.foreach { f =>
+        val range: Option[(Any, Any)] =
+          if (entries.nonEmpty && entries.forall(_.ranges.contains(f.name))) {
+            val rs = entries.map(_.ranges(f.name))
+            for {
+              lo <- typed(rs.map(_.min).min, f.dataType)
+              hi <- typed(rs.map(_.max).max, f.dataType)
+            } yield (lo, hi)
+          } else None
+        val ndv = ManifestTable.ndvFromEntries(entries, f.name)
+        if (range.isDefined || ndv.isDefined)
+          m.put(Expressions.column(f.name), new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              range.map(r => java.util.Optional.of(r._1.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              range.map(r => java.util.Optional.of(r._2.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
+      }
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
   override def toBatch: Batch = new Batch {
@@ -1445,30 +1525,51 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
             // serve metadata aggregates, and report planning statistics
             // without any API-side staging step
             val allCols = data.schema.fieldNames.toSeq
+            // declared NDV columns (`graft.write.ndv` property) get a
+            // per-file HLL register blob at insert time — the mergeable
+            // sketch the scan's CBO column statistics union with zero
+            // data I/O
+            val ndvCols = ManifestTable.tableProperties(dir, v)
+              .get("graft.write.ndv").toSeq
+              .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+              .filter(allCols.contains)
             val staged = partSpec match {
-              case None => ManifestTable.stageWithStats(s, dir, data, allCols)
+              case None => ManifestTable.stageWithIndexes(s, dir, data,
+                statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols)
               case Some(spec) =>
                 val (ids, bks) = GraftCatalog.partitionCols(spec)
                 import org.apache.spark.sql.functions.{col => c}
                 if (ids.isEmpty && bks.isEmpty)
-                  ManifestTable.stageWithStats(s, dir, data, allCols)
+                  ManifestTable.stageWithIndexes(s, dir, data,
+                    statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols)
                 else {
                   // explicit partition count: an AQE-coalesced range
                   // shuffle would merge every partition value into one
                   // file and nothing could ever prune
                   val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-                  val shaped =
+                  val clustered =
                     if (ids.nonEmpty) data.repartitionByRange(n,
                       (ids ++ bks.map(_._2)).map(c): _*)
                     else data.repartition(bks.map(_._1).max,
                       bks.map(b => c(b._2)): _*)
+                  // a declared write-order (`graft.write.sort` property)
+                  // sorts each bucket file at insert time: the scan then
+                  // reports the ordering and a co-bucketed sort-merge
+                  // join runs with zero shuffles AND zero sorts
+                  val sortCols = ManifestTable.tableProperties(dir, v)
+                    .get("graft.write.sort").toSeq
+                    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+                  val shaped =
+                    if (sortCols.isEmpty) clustered
+                    else clustered.sortWithinPartitions(sortCols.map(c): _*)
                   // a single-bucket-transform table records each file's
                   // bucket id (= the hash-repartition writer index), the
                   // grouping the storage-partitioned-join scan serves
                   ManifestTable.stageWithIndexes(s, dir, shaped,
                     statsCols = allCols,
                     bloomCols = bks.map(_._2),
-                    recordBucket = ids.isEmpty && bks.size == 1)
+                    recordBucket = ids.isEmpty && bks.size == 1,
+                    ndvCols = ndvCols)
                 }
             }
             // OVERWRITE removes rows — a mutate commit, so incremental

@@ -1065,32 +1065,56 @@ object ManifestTable {
   def stageWithIndexes(s: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], bloomCols: Seq[String],
       numBits: Int = 1 << 16, k: Int = 6,
-      recordBucket: Boolean = false): Seq[String] = {
-    import org.apache.spark.sql.functions.{col => c, input_file_name, substring_index}
+      recordBucket: Boolean = false,
+      ndvCols: Seq[String] = Nil): Seq[String] = {
+    import org.apache.spark.sql.functions.{col => c, hll_sketch_agg,
+      input_file_name, substring_index}
     val lines = stageWithStats(s, dir, df, statsCols, recordBucket)
-    if (bloomCols.isEmpty) return lines
+    if (bloomCols.isEmpty && ndvCols.isEmpty) return lines
     graft.functions.BloomOps.register(s)
     val names = lines.map(_.split('\t').head)
+    // ONE grouped pass over the just-staged batch builds every sketch:
+    // blooms and HLL NDV registers per (file, column)
     val aggs = bloomCols.map(bc =>
-      graft.functions.BloomOps.bloomBuild(c(bc).cast("long"), numBits, k).as(s"bf_$bc"))
+      graft.functions.BloomOps.bloomBuild(c(bc).cast("long"), numBits, k)
+        .as(s"bf_$bc")) ++
+      ndvCols.map(nc => hll_sketch_agg(c(nc)).as(s"sk_$nc"))
     val sketches = s.read.parquet(names.map(f => s"$dir/data/$f"): _*)
       .groupBy(substring_index(input_file_name(), "/", -1).as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per staged FILE — bounded by construction
-      .map(r => r.getString(0) ->
-        bloomCols.map(bc => bc -> r.getAs[Array[Byte]](s"bf_$bc")).toMap)
+      .map(r => r.getString(0) -> (
+        bloomCols.map(bc => bc -> r.getAs[Array[Byte]](s"bf_$bc")).toMap,
+        ndvCols.map(nc => nc -> r.getAs[Array[Byte]](s"sk_$nc")).toMap))
       .toMap
     lines.map { line =>
       val name = line.split('\t').head
       sketches.get(name) match {
-        case Some(m) =>
-          val enc = m.toSeq.sortBy(_._1)
-            .map { case (bc, b) => s"$bc=B:${hexEncode(b)}" }.mkString(";")
-          s"$line\t$enc"
+        case Some((bms, hls)) =>
+          val enc = Seq(
+            bms.toSeq.sortBy(_._1)
+              .map { case (bc, b) => s"$bc=B:${hexEncode(b)}" }.mkString(";"),
+            hls.toSeq.sortBy(_._1)
+              .map { case (nc, b) => s"$nc=H:${hexEncode(b)}" }.mkString(";")
+          ).filter(_.nonEmpty).map("\t" + _).mkString
+          s"$line$enc"
         case None => line
       }
     }
   }
+
+  /** Metadata-only NDV estimate for `col` over `entries` by unioning
+    * their stored HLL register blobs; None unless EVERY entry carries
+    * one (a sketch-less file makes the union meaningless — decline,
+    * never guess). */
+  def ndvFromEntries(entries: Seq[FileEntry], col: String): Option[Long] =
+    if (entries.isEmpty || !entries.forall(_.hlls.contains(col))) None
+    else {
+      import org.apache.datasketches.hll.{HllSketch, Union}
+      val u = new Union()
+      entries.foreach(e => u.update(HllSketch.heapify(e.hlls(col))))
+      Some(math.round(u.getEstimate))
+    }
 
   /** [[stageWithStats]] + per-file MERGEABLE NDV sketches over `ndvCols`:
     * one distributed pass folds each staged file's column values into a
@@ -2117,7 +2141,11 @@ object ManifestTable {
         .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
       val df = s.read.option("mergeSchema", "true")
         .parquet(entries.map(e => dataPath(dir, e.name)): _*)
-      val shaped = df.repartition(n, c(colName))
+      val clustered = df.repartition(n, c(colName))
+      val sortCols = tableProperties(dir, v).get("graft.write.sort").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val shaped = if (sortCols.isEmpty) clustered
+        else clustered.sortWithinPartitions(sortCols.map(c): _*)
       val staged = stageWithIndexes(s, dir, shaped, statsCols = statsCols,
         bloomCols = Seq(colName), recordBucket = true)
       if (commitRewrite(dir, staged ++ carriedMeta(dir, v), v)) return v + 1

@@ -1008,6 +1008,135 @@ class Round11Spec extends AnyFunSuite {
     } finally ManifestTable.destroy(s"$root/t")
   }
 
+  test("declared write-order: co-bucketed co-sorted join has zero shuffles and zero sorts") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(nodes) ++ (p match {
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Seq.empty
+      }))
+    val root = freshDir("ord")
+    spark.conf.set("spark.sql.catalog.g11so",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11so.root", root)
+    val prevBucketing = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevPush = spark.conf
+      .get("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+    val prevBroadcast = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevPreferSort = spark.conf
+      .get("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    try {
+      spark.sql("""CREATE TABLE g11so.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(8, o_custkey))
+        TBLPROPERTIES ('graft.write.sort' = 'o_custkey')""")
+      spark.sql("""CREATE TABLE g11so.default.cust
+        (c_custkey BIGINT, c_acctbal DOUBLE)
+        PARTITIONED BY (bucket(8, c_custkey))
+        TBLPROPERTIES ('graft.write.sort' = 'c_custkey')""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_so_ord")
+      Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("r11_so_cust")
+      spark.sql("INSERT INTO g11so.default.ord SELECT * FROM r11_so_ord")
+      spark.sql("INSERT INTO g11so.default.cust SELECT * FROM r11_so_cust")
+      val j = spark.sql("""SELECT o.o_orderkey, o.o_totalprice, c.c_acctbal
+        FROM g11so.default.ord o JOIN g11so.default.cust c
+          ON o.o_custkey = c.c_custkey""")
+      val got = j.collect().map(_.toSeq).toSet
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smjs = nodes(plan).collect { case s: SortMergeJoinExec => s }
+      assert(smjs.size == 1, s"expected one sort-merge join:\n$plan")
+      val below = smjs.head.children.flatMap(nodes)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(!below.exists(_.isInstanceOf[SortExec]),
+        s"declared write-order must eliminate the SMJ sorts:\n$plan")
+      val want = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_acctbal")
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        prevPush)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevPreferSort)
+    }
+    ManifestTable.destroy(s"$root/ord")
+    ManifestTable.destroy(s"$root/cust")
+  }
+
+  test("CBO column statistics: NDV/min/max served from manifest sketches") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val root = freshDir("cbo")
+    spark.conf.set("spark.sql.catalog.g11cb",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11cb.root", root)
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.sql("""CREATE TABLE g11cb.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('graft.write.ndv' = 'o_custkey')""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_cb_ord")
+      spark.sql("INSERT INTO g11cb.default.ord SELECT * FROM r11_cb_ord")
+      val trueNdv = Tables.orders(spark, sf).select("o_custkey")
+        .distinct().count()
+      val trueMin = Tables.orders(spark, sf)
+        .agg(min("o_custkey")).collect().head.getLong(0)
+      val trueMax = Tables.orders(spark, sf)
+        .agg(max("o_custkey")).collect().head.getLong(0)
+      val df = spark.table("g11cb.default.ord")
+        .select("o_custkey", "o_totalprice")
+      // the scan itself serves the stats…
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.head.asInstanceOf[graft.sources.ManifestFilesScan]
+      val cs = scan.estimateStatistics().columnStats()
+      val byName = cs.entrySet().iterator()
+      var found: Option[(Long, Any, Any)] = None
+      while (byName.hasNext) {
+        val e = byName.next()
+        if (e.getKey.fieldNames.head == "o_custkey")
+          found = Some((e.getValue.distinctCount().getAsLong,
+            e.getValue.min().get(), e.getValue.max().get()))
+      }
+      val (ndv, lo, hi) = found.getOrElse(fail("no columnStats for o_custkey"))
+      assert(lo == trueMin && hi == trueMax)
+      assert(math.abs(ndv - trueNdv) <= math.max(2L, trueNdv / 20),
+        s"HLL NDV $ndv should approximate $trueNdv within 5%")
+      // …and with CBO on, the OPTIMIZER sees them as attribute stats
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("g11cb.default.ord")
+        .select("o_custkey", "o_totalprice")
+        .queryExecution.optimizedPlan.stats
+      val attr = stats.attributeStats.find(_._1.name == "o_custkey")
+      assert(attr.isDefined, s"CBO attribute stats missing: $stats")
+      assert(attr.get._2.distinctCount.exists(dc =>
+        math.abs(dc.toLong - trueNdv) <= math.max(2L, trueNdv / 20)))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      ManifestTable.destroy(s"$root/ord")
+    }
+  }
+
   test("runtime filtering: broadcast dim prunes fact files before the scan") {
     val root = freshDir("dpp")
     spark.conf.set("spark.sql.catalog.g11dpp",
