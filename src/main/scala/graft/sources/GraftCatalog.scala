@@ -747,11 +747,59 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
 private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     pinned: Option[Int] = None, versionsPerBatch: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownFilters {
+    with SupportsPushDownAggregates with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = full
   private var pushedValues: Option[Seq[Any]] = None
+  private var limit: Option[Int] = None
+  private var topNPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // -----------------------------------------------------------------------
+  // LIMIT pushdown: a bare `LIMIT n` needs ANY n rows, so the scan plans
+  // only a prefix of files whose recorded row counts reach n (a 10k-file
+  // table serves LIMIT 100 from ONE file) and every reader stops at n
+  // rows. Partial by contract — Spark re-applies the limit above.
+  // Spark only pushes a limit when nothing sits between it and the scan
+  // (residual filters block it, and we always re-evaluate filters
+  // post-scan), so the file-prefix shortcut is sound by construction.
+  // -----------------------------------------------------------------------
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY k LIMIT n pushdown, accepted ONLY when `k…` is a prefix of
+    * the table's declared write-order (ascending): every data file is
+    * then sorted on the requested keys, so its first n rows are its
+    * top-n and the union over files is a superset of the global top-n —
+    * Spark's re-applied sort+limit finishes the job reading n rows per
+    * FILE instead of every row. The file-prefix shortcut does NOT apply
+    * (every file may hold candidates). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], n: Int)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference,
+      NullOrdering, SortDirection}
+    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+    val sortCols = ManifestTable.tableProperties(dir, v)
+      .get("graft.write.sort").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val reqCols = orders.toSeq.map { o =>
+      if (o.direction() != SortDirection.ASCENDING ||
+          o.nullOrdering() != NullOrdering.NULLS_FIRST) return false
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          nr.fieldNames.head
+        case _ => return false
+      }
+    }
+    if (reqCols.nonEmpty && sortCols.take(reqCols.size) == reqCols) {
+      limit = Some(n)
+      topNPushed = true
+      true
+    } else false
+  }
 
   // -----------------------------------------------------------------------
   // Predicate pushdown → MANIFEST FILE SKIPPING: SQL predicates on
@@ -882,18 +930,36 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // cost through SQL, same as the API path
     val fileAdmit: ManifestTable.FileEntry => Boolean =
       e => pushed.forall(admits(_, e))
+    // a pushed bare LIMIT plans only a file PREFIX whose recorded row
+    // counts reach n (requires exact counts on every kept file; top-n
+    // keeps all files — each may hold candidates)
+    def shaped(entries: Seq[ManifestTable.FileEntry])
+        : Seq[ManifestTable.FileEntry] = limit match {
+      case Some(n) if !topNPushed && pushed.isEmpty &&
+          entries.forall(_.rows.isDefined) =>
+        var acc = 0L
+        val b = Seq.newBuilder[ManifestTable.FileEntry]
+        val it = entries.iterator
+        while (acc < n && it.hasNext) {
+          val e = it.next(); b += e; acc += e.rows.get
+        }
+        b.result()
+      case _ => entries
+    }
     ManifestTable.segmentedEntries(dir, v,
         if (pushed.isEmpty) _ => true else fileAdmit) match {
       case Some((entries, _, _, totalFiles)) =>
-        new ManifestFilesScan(entries,
-          totalFiles.toInt, required, dir, pinned, versionsPerBatch)
+        new ManifestFilesScan(shaped(entries),
+          totalFiles.toInt, required, dir, pinned, versionsPerBatch,
+          rowCap = limit)
       case None =>
         val entries = ManifestTable.listLines(dir, v)
           .map(ManifestTable.parseEntry)
         val admitted =
           if (pushed.isEmpty) entries else entries.filter(fileAdmit)
-        new ManifestFilesScan(admitted,
-          entries.size, required, dir, pinned, versionsPerBatch)
+        new ManifestFilesScan(shaped(admitted),
+          entries.size, required, dir, pinned, versionsPerBatch,
+          rowCap = limit)
     }
   }
 
@@ -1011,7 +1077,8 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
   * not all of them. */
 private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     val totalFiles: Int, requiredNow: StructType, dir: String,
-    pinned: Option[Int], versionsPerBatch: Int) extends Scan
+    pinned: Option[Int], versionsPerBatch: Int,
+    rowCap: Option[Int] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1299,7 +1366,7 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
             ManifestTable.dataPath(dir, e.name)): InputPartition).toArray
       }
     override def createReaderFactory(): PartitionReaderFactory =
-      new ManifestScanReaderFactory(requiredNow)
+      new ManifestScanReaderFactory(requiredNow, rowCap)
   }
   // the same named table streams: spark.readStream.table("graft...")
   // rides the version-offset micro-batch source (exactly-once by
@@ -1310,7 +1377,8 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     new ManifestMicroBatchStream(dir, requiredNow, versionsPerBatch)
   }
   override def description(): String =
-    s"graft manifest scan $dir (files $keptFiles/$totalFiles)"
+    s"graft manifest scan $dir (files $keptFiles/$totalFiles" +
+      rowCap.map(n => s", limit $n").getOrElse("") + ")"
 }
 
 private[graft] object ManifestFilesScan {
@@ -1334,23 +1402,42 @@ private[sources] case class BucketFilesPartition(files: Seq[String],
 
 /** Reader factory for the catalog scan: per-file partitions read with the
   * ordinary executor parquet reader; bucket-grouped partitions chain
-  * their files' readers sequentially. */
-private[sources] class ManifestScanReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+  * their files' readers sequentially. A pushed limit caps rows PER FILE
+  * — sound for both the bare-LIMIT contract (any n rows) and the top-n
+  * one (each sorted file's first n rows are its top-n). */
+private[sources] class ManifestScanReaderFactory(required: StructType,
+    rowCap: Option[Int] = None) extends PartitionReaderFactory {
+  private def fileReader(f: String)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = new ManifestParquetReader(f, required)
+    rowCap match {
+      case None => inner
+      case Some(cap) =>
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private var served = 0
+          override def next(): Boolean =
+            served < cap && inner.next() && { served += 1; true }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            inner.get()
+          override def close(): Unit = inner.close()
+        }
+    }
+  }
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     partition match {
-      case ManifestFilePartition(f) => new ManifestParquetReader(f, required)
+      case ManifestFilePartition(f) => fileReader(f)
       case BucketFilesPartition(fs, _) =>
         new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
           private val it = fs.iterator
-          private var cur: ManifestParquetReader = _
+          private var cur
+              : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = _
           override def next(): Boolean = {
             while (cur == null || !cur.next()) {
               if (cur != null) cur.close()
               cur = null
               if (!it.hasNext) return false
-              cur = new ManifestParquetReader(it.next(), required)
+              cur = fileReader(it.next())
             }
             true
           }

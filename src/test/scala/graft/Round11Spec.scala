@@ -1137,6 +1137,56 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("LIMIT pushdown plans a file prefix; ORDER BY+LIMIT caps sorted files") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val root = freshDir("lim")
+    spark.conf.set("spark.sql.catalog.g11lm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11lm.root", root)
+    try {
+      spark.sql("""CREATE TABLE g11lm.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(16, o_custkey))
+        TBLPROPERTIES ('graft.write.sort' = 'o_custkey')""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_lm_ord")
+      spark.sql("INSERT INTO g11lm.default.ord SELECT * FROM r11_lm_ord")
+      def scanOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case r: DataSourceV2ScanRelation => r.scan
+        }.head.asInstanceOf[graft.sources.ManifestFilesScan]
+      // bare LIMIT: one file suffices and the plan proves it
+      val lim = spark.sql("SELECT * FROM g11lm.default.ord LIMIT 5")
+      assert(lim.collect().length == 5)
+      val s1 = scanOf(lim)
+      assert(s1.keptFiles == 1,
+        s"LIMIT 5 should plan a 1-file prefix of ${s1.totalFiles}, " +
+          s"kept ${s1.keptFiles}")
+      // ORDER BY the write-order + LIMIT: all files stay (each may hold
+      // candidates) but the scan is capped and the answer is exact
+      val top = spark.sql(
+        "SELECT * FROM g11lm.default.ord ORDER BY o_custkey LIMIT 7")
+      val got = top.collect().map(_.getLong(1)).toSeq
+      val s2 = scanOf(top)
+      assert(s2.keptFiles == s2.totalFiles)
+      assert(s2.description().contains("limit 7"),
+        s"top-n must reach the scan: ${s2.description()}")
+      val want = Tables.orders(spark, sf).select("o_custkey")
+        .orderBy("o_custkey").limit(7).collect().map(_.getLong(0)).toSeq
+      assert(got == want)
+      // ORDER BY a NON-sorted column must NOT push (answers still right)
+      val byPrice = spark.sql(
+        "SELECT * FROM g11lm.default.ord ORDER BY o_totalprice LIMIT 3")
+      assert(!scanOf(byPrice).description().contains("limit"),
+        "top-n on a non-write-order column must decline")
+      val gotP = byPrice.collect().map(_.getDouble(2)).toSeq
+      val wantP = Tables.orders(spark, sf).select("o_totalprice")
+        .orderBy("o_totalprice").limit(3).collect().map(_.getDouble(0)).toSeq
+      assert(gotP == wantP)
+    } finally ManifestTable.destroy(s"$root/ord")
+  }
+
   test("runtime filtering: broadcast dim prunes fact files before the scan") {
     val root = freshDir("dpp")
     spark.conf.set("spark.sql.catalog.g11dpp",
