@@ -1187,6 +1187,53 @@ class Round11Spec extends AnyFunSuite {
     } finally ManifestTable.destroy(s"$root/ord")
   }
 
+  test("bucketed aggregation: GROUP BY the bucket key needs no shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(nodes) ++ (p match {
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Seq.empty
+      }))
+    val root = freshDir("bag")
+    spark.conf.set("spark.sql.catalog.g11ba",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ba.root", root)
+    val prevBucketing = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      spark.sql("""CREATE TABLE g11ba.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(8, o_custkey))""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r11_ba_ord")
+      spark.sql("INSERT INTO g11ba.default.ord SELECT * FROM r11_ba_ord")
+      val agg = spark.sql("""SELECT o_custkey, count(*) AS n,
+          sum(o_totalprice) AS s
+        FROM g11ba.default.ord GROUP BY o_custkey""")
+      val got = agg.collect()
+      val plan = agg.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(!nodes(plan).exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"GROUP BY the bucket key must aggregate in place:\n$plan")
+      val want = Tables.orders(spark, sf)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+        .collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        want.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      ManifestTable.destroy(s"$root/ord")
+    }
+  }
+
   test("runtime filtering: broadcast dim prunes fact files before the scan") {
     val root = freshDir("dpp")
     spark.conf.set("spark.sql.catalog.g11dpp",
