@@ -1956,10 +1956,29 @@ private[sources] class ManifestChangesTable(ident: String, dir: String)
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_version", IntegerType, nullable = false)))
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => {
+    new ChangesScanBuilder(dir, schema(), options)
+}
+
+/** Scan builder for `t$changes` — batch (whole history or an explicit
+  * `startVersion`/`endVersion` range) AND streaming (`readStream.table`,
+  * a [[ChangesMicroBatchStream]] whose offsets are manifest versions).
+  * Column pruning applies to both: pruned data columns never decode, the
+  * two change columns are per-file constants. */
+private[sources] class ChangesScanBuilder(dir: String, full: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+
+    override def toBatch: Batch = {
       val cur = ManifestTable.currentVersion(dir)
       require(cur >= 0, s"no committed snapshot in $dir")
       val start = Option(options.get("startVersion")).map(_.toInt).getOrElse(0)
@@ -1995,42 +2014,66 @@ private[sources] class ManifestChangesTable(ident: String, dir: String)
           inserts ++ deletes
         }
       }
-      val dataNow = dataSchema
-      val schemaNow = schema()
-      new Scan {
-        override def readSchema(): StructType = schemaNow
-        override def toBatch: Batch = new Batch {
-          override def planInputPartitions(): Array[InputPartition] =
-            parts.toArray
-          override def createReaderFactory(): PartitionReaderFactory =
-            new ChangesReaderFactory(dataNow)
-        }
-        override def description(): String =
-          s"graft changes feed $dir v$start..v$end (${parts.size} file-changes)"
+      val reqNow = required
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          parts.toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new ChangesReaderFactory(reqNow)
       }
     }
+
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      val perBatch = Option(options.get("versionsPerBatch")).map(_.toInt)
+        .getOrElse(Int.MaxValue)
+      require(perBatch > 0, s"versionsPerBatch must be positive, got $perBatch")
+      val startV = Option(options.get("startVersion")).map(_.toInt).getOrElse(0)
+      require(startV >= 0, s"startVersion must be non-negative, got $startV")
+      new ChangesMicroBatchStream(dir, required, perBatch, startV)
+    }
+
+    override def description(): String = s"graft changes feed $dir"
+  }
 }
 
 private[sources] case class ChangesFilePartition(file: String,
     changeType: String, version: Int) extends InputPartition
 
-/** Wraps the ordinary executor parquet reader: data columns from the
-  * file, the two change columns appended as per-partition constants. */
-private[sources] class ChangesReaderFactory(dataSchema: StructType)
+/** Wraps the ordinary executor parquet reader: the REQUIRED data columns
+  * from the file (pruned columns never decode), the required change
+  * columns appended as per-partition constants. Spark's column pruning
+  * preserves table-schema field order, so the change columns — last in
+  * the declared schema — are always a suffix of `required`; asserted,
+  * not assumed. */
+private[sources] class ChangesReaderFactory(required: StructType)
     extends PartitionReaderFactory {
+  private def isChangeCol(name: String): Boolean =
+    name == "_change_type" || name == "_commit_version"
+
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[ChangesFilePartition]
-    val inner = new ManifestParquetReader(p.file, dataSchema)
-    val const = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType),
-        p.version))
-    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
-    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-      override def next(): Boolean = inner.next()
-      override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        joined(inner.get(), const)
-      override def close(): Unit = inner.close()
+    val dataReq = StructType(required.fields.filterNot(f => isChangeCol(f.name)))
+    require(required.fields.take(dataReq.length).forall(f => !isChangeCol(f.name)),
+      s"change columns must be a suffix of the pruned schema, got $required")
+    val inner = new ManifestParquetReader(p.file, dataReq)
+    val changeVals: Array[Any] = required.fields.drop(dataReq.length).map { f =>
+      if (f.name == "_change_type")
+        org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType)
+      else (p.version: Any)
+    }
+    if (changeVals.isEmpty) inner
+    else {
+      val const = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        changeVals)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): org.apache.spark.sql.catalyst.InternalRow =
+          joined(inner.get(), const)
+        override def close(): Unit = inner.close()
+      }
     }
   }
 }

@@ -222,6 +222,106 @@ private[sources] class ManifestMicroBatchStream(dir: String,
   override def stop(): Unit = ()
 }
 
+/** The CHANGE DATA FEED as a STREAMING source — `spark.readStream
+  * .table("graft.default.`t$changes`")`. Offsets are manifest versions
+  * (exactly like [[ManifestMicroBatchStream]]), but each micro-batch emits
+  * the version range's file-level DIFFS instead of refusing to cross a
+  * mutation commit: added files stream as `_change_type='insert'` rows,
+  * removed files (still on disk until vacuum) as `'delete'` rows, so an
+  * incremental consumer follows a table THROUGH row-level DML — the sync
+  * feed a downstream index or training-corpus refresh tails continuously.
+  * Rewrite commits (compaction, clustering) are content-preserving by the
+  * commit taxonomy and contribute nothing. Refused on deletion-vector or
+  * rename markers in range (compact first) and on governed tables (the
+  * feed exposes raw pre-mask rows) — same contract as the batch
+  * `t$changes` relation, checked per micro-batch because the stream
+  * outlives any single snapshot. `startVersion` begins the feed at a
+  * known commit (the bootstrap handoff: batch-read a snapshot at v, then
+  * stream `startVersion = v+1`); `versionsPerBatch` is the admission
+  * cap, so a backlog drains in bounded micro-batches and
+  * `Trigger.AvailableNow` replays the log through MULTIPLE batches. */
+private[sources] class ChangesMicroBatchStream(dir: String,
+    required: StructType, perBatch: Int, startVersion: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowEnd: Int = ManifestTable.currentVersion(dir)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = ManifestTable.currentVersion(dir)
+
+  override def initialOffset(): Offset = VersionOffset(startVersion - 1)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val cap = limit match {
+      case m: ReadMaxRows => m.maxRows().toInt // versions, not rows, here
+      case _ => Int.MaxValue
+    }
+    val end = math.min(availableNowEnd.toLong, from.toLong + cap).toInt
+    VersionOffset(math.max(end, from))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (perBatch == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(perBatch.toLong)
+
+  override def reportLatestOffset(): Offset =
+    VersionOffset(ManifestTable.currentVersion(dir))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val to = end.asInstanceOf[VersionOffset].v
+    if (to <= from) return Array.empty
+    require(ManifestTable.policyLines(dir, to).isEmpty,
+      s"streaming $$changes refused on governed table $dir: the feed " +
+        "exposes raw rows")
+    // the batch needs every manifest in [from, to] (from is the diff
+    // base); a vacuumed version cannot be diffed — re-bootstrap instead
+    (math.max(0, from) to to).foreach { v =>
+      require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, f"manifest-v$v%08d.json")),
+        s"version $v of $dir is vacuumed — restart the feed from a " +
+          "retained version")
+      require(ManifestTable.dvLines(dir, v).isEmpty &&
+          ManifestTable.renameLines(dir, v).isEmpty,
+        s"streaming $$changes refused: deletion-vector/rename markers at " +
+          s"version $v of $dir — compact first")
+    }
+    (math.max(0, from + 1) to to).flatMap { v =>
+      if (v > 0 && ManifestTable.isRewrite(dir, v)) Seq.empty
+      else {
+        val prev: Set[String] =
+          if (v == 0) Set.empty
+          else ManifestTable.listLines(dir, v - 1)
+            .map(ManifestTable.parseEntry(_).name).toSet
+        val now = ManifestTable.listLines(dir, v)
+          .map(ManifestTable.parseEntry(_).name)
+        val inserts = now.filterNot(prev)
+          .map(n => ChangesFilePartition(
+            ManifestTable.dataPath(dir, n), "insert", v): InputPartition)
+        val deletes = (prev -- now.toSet).toSeq.sorted
+          .map(n => ChangesFilePartition(
+            ManifestTable.dataPath(dir, n), "delete", v): InputPartition)
+        inserts ++ deletes
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
 private[sources] case class ManifestFilePartition(file: String) extends InputPartition
 
 private[sources] class ManifestParquetReaderFactory(required: StructType)

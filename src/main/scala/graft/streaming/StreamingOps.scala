@@ -527,7 +527,46 @@ object StreamingOps {
     graft.operators.AnalyticsOps.psiFromBins(s, binned, nBins)
   }
 
+  /** The change data feed consumed as a STREAM — `readStream.table` over
+    * `t$changes` ([[graft.sources.ChangesMicroBatchStream]]): offsets are
+    * manifest versions, each micro-batch emits one commit's file-level
+    * diff rows (`versionsPerBatch = 1`), and — unlike the append-only
+    * manifest stream, which refuses mutation commits — the feed follows
+    * the table THROUGH the `INSERT OVERWRITE` by streaming the replaced
+    * files as deletes and the replacement as inserts. The history is the
+    * exact `q_sql_changes` history and shares its oracle: tailing the
+    * feed must reconstruct precisely what batch-reading it does. */
+  def streamChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = "/dev/shm/graft_stream/changes_feed_" +
+      java.lang.ProcessHandle.current().pid()
+    graft.sources.ManifestTable.destroy(s"$root/ord")
+    s.conf.set("spark.sql.catalog.graft_cs",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cs.root", root)
+    s.sql("""CREATE TABLE graft_cs.default.ord
+      (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)""")
+    graft.Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+      .createOrReplaceTempView("r11_schg_src")
+    s.sql("""INSERT INTO graft_cs.default.ord
+      SELECT * FROM r11_schg_src WHERE o_orderkey % 2 = 0""")
+    s.sql("""INSERT INTO graft_cs.default.ord
+      SELECT * FROM r11_schg_src WHERE o_orderkey % 2 = 1""")
+    s.sql("""INSERT OVERWRITE graft_cs.default.ord
+      SELECT * FROM r11_schg_src WHERE yr <> 1997""")
+    val feed = s.readStream.option("versionsPerBatch", "1")
+      .table("graft_cs.default.`ord$changes`")
+    runToParquet(s,
+      feed.groupBy($"_change_type", $"_commit_version", $"yr")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(DecimalType(18, 2)))
+            .cast("double").as("sum_price")),
+      "changes_feed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_changes" -> ((s, d) => streamChangesFeed(s, d)),
     "q_stream_psi" -> ((s, d) => streamPsiDrift(s, d)),
     "q_stream_approx_distinct" -> ((s, d) => streamApproxDistinct(s, d)),
     "q_stream_merge" -> ((s, d) => streamingMerge(s, d)),
@@ -546,6 +585,26 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // streaming the change feed must reconstruct exactly what batch-
+    // reading t$changes does — the q_sql_changes history, re-derived
+    "q_stream_changes" ->
+      """WITH src AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |                    o_totalprice FROM orders)
+        |SELECT 'insert' AS _change_type, 1 AS _commit_version, yr, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM src WHERE o_orderkey % 2 = 0 GROUP BY yr
+        |UNION ALL
+        |SELECT 'insert', 2, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src WHERE o_orderkey % 2 = 1 GROUP BY yr
+        |UNION ALL
+        |SELECT 'delete', 3, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src GROUP BY yr
+        |UNION ALL
+        |SELECT 'insert', 3, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src WHERE yr <> 1997 GROUP BY yr""".stripMargin,
     // streaming the current slice must not change the drift answer: the
     // oracle IS the batch q_psi_drift SQL, shared so they cannot diverge
     "q_stream_psi" -> graft.operators.AnalyticsOps.psiDriftSql,

@@ -805,6 +805,77 @@ class Round11Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("streaming $changes: version micro-batches follow DML; restart reads nothing") {
+    val root = freshDir("schg")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g11sc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11sc.root", root)
+    spark.sql("CREATE TABLE g11sc.default.t (k BIGINT, v DOUBLE)")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      .createOrReplaceTempView("r11_spec_schg_src")
+    spark.sql("""INSERT INTO g11sc.default.t
+      SELECT * FROM r11_spec_schg_src WHERE k % 2 = 0""")          // v1
+    spark.sql("""INSERT INTO g11sc.default.t
+      SELECT * FROM r11_spec_schg_src WHERE k % 2 = 1""")          // v2
+    spark.sql("DELETE FROM g11sc.default.t WHERE k % 10 = 3")      // v3: delta
+    val vCompact = ManifestTable.compact(spark, dir, numFiles = 2) // v4: rewrite
+    spark.sql("""UPDATE g11sc.default.t SET v = v + 1.0
+      WHERE k % 10 = 4""")                                         // v5: delta
+
+    val batches = scala.collection.mutable.Map[
+      Long, Array[(Long, Double, String, Int)]]()
+    def drain(ckpt: String, opts: Map[String, String] = Map.empty): Unit = {
+      var reader = spark.readStream.option("versionsPerBatch", "1")
+      opts.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.table("g11sc.default.`t$changes`")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = b.select("k", "v", "_change_type", "_commit_version")
+            .collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(s"$root/ckpt")
+    val all = batches.values.flatten.toSeq
+    // admission control: one commit version per micro-batch, never a blend
+    batches.values.foreach { rs =>
+      assert(rs.map(_._4).distinct.length <= 1,
+        "versionsPerBatch=1 must keep each micro-batch to one commit")
+    }
+    // the compaction version is content-preserving: zero feed rows
+    assert(!all.exists(_._4 == vCompact),
+      "a rewrite commit must contribute nothing to the streamed feed")
+    // deletes-then-inserts per version reconstructs the head snapshot
+    var state = Map.empty[Long, Double]
+    all.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+      rs.filter(_._3 == "delete").foreach { case (k, _, _, _) => state -= k }
+      rs.filter(_._3 == "insert").foreach { case (k, x, _, _) => state += k -> x }
+    }
+    val head = spark.sql("SELECT k, v FROM g11sc.default.t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == head,
+      s"streamed feed must reconstruct the head (${state.size} vs ${head.size})")
+    // same-checkpoint restart: version offsets recorded — nothing re-reads
+    val rowsBefore = all.size
+    drain(s"$root/ckpt")
+    assert(batches.values.flatten.size == rowsBefore,
+      "a restarted feed must not re-emit committed versions")
+    // startVersion bootstrap handoff: a fresh feed from v5 sees ONLY v5
+    batches.clear()
+    drain(s"$root/ckpt2", Map("startVersion" -> "5"))
+    val late = batches.values.flatten.toSeq
+    assert(late.nonEmpty && late.forall(_._4 == 5),
+      s"startVersion=5 must serve exactly the v5 changes, got versions " +
+        late.map(_._4).distinct.sorted.mkString(","))
+    ManifestTable.destroy(root)
+  }
+
   test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
