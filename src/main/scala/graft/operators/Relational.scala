@@ -967,6 +967,32 @@ object Relational {
       s.sql("""SELECT o_orderstatus, n, sum_price
         FROM graft_ct.default.summ""")
     }),
+    // SCHEMAS as first-class SQL objects (`SupportsNamespaces`): CREATE
+    // SCHEMA (with comment), ALTER SCHEMA SET PROPERTIES, tables created
+    // and addressed inside it — namespaces are marker-carrying
+    // directories under the catalog root, so `graft.analytics.cust`
+    // resolves exactly like a default-namespace table and the whole
+    // warehouse keeps one layout. The lifecycle DDL (SHOW/DESCRIBE/DROP,
+    // nested schemas, non-empty refusal) is spec-pinned; the oracle
+    // checks that data routed through a named schema is untouched.
+    "q_sql_namespaces" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ns_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(root)
+      s.conf.set("spark.sql.catalog.graft_ns",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ns.root", root)
+      s.sql("CREATE NAMESPACE graft_ns.analytics COMMENT 'curated marts'")
+      s.sql("ALTER NAMESPACE graft_ns.analytics SET PROPERTIES ('team' = 'etl')")
+      s.sql("""CREATE TABLE graft_ns.analytics.cust
+        (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)""")
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal")
+        .createOrReplaceTempView("r11_ns_src")
+      s.sql("INSERT INTO graft_ns.analytics.cust SELECT * FROM r11_ns_src")
+      s.sql("""SELECT c_mktsegment, count(*) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM graft_ns.analytics.cust GROUP BY c_mktsegment""")
+    }),
     // Planning-time statistics served FROM THE MANIFEST
     // (`SupportsReportStatistics`): the 25-row nation table lands in the
     // catalog and the join against the customer base table BROADCASTS it
@@ -1982,6 +2008,11 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // a table routed through a named schema serves its data untouched
+    "q_sql_namespaces" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     // the manifest-stats broadcast join must match the plain join
     "q_catalog_stats_join" ->
       """SELECT n_name, count(*) AS n_cust,

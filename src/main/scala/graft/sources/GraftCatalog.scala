@@ -41,6 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `DROP TABLE` destroys the directory.
   */
 class GraftCatalog extends TableCatalog with StagingTableCatalog
+    with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
@@ -73,6 +74,115 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def tableExists(ident: Identifier): Boolean =
     ManifestTable.currentVersion(dirOf(ident)) >= 0
+
+  // -------------------------------------------------------------------
+  // NAMESPACES (`SupportsNamespaces`) — schemas as directories. A
+  // namespace is a directory under the root carrying a `.graft-namespace`
+  // marker (its properties, one `k\tv` line each); tables inside live as
+  // ordinary manifest directories, exactly where `dirOf` already resolves
+  // `graft.<ns>.<table>`. `default` is the root itself: always exists,
+  // never created or dropped. The marker — not "any directory" — defines
+  // a namespace, so table directories, CTAS staging residue, and data/
+  // subtrees never masquerade as schemas. Nesting is free: each level
+  // carries its own marker (`CREATE SCHEMA graft.a.b`).
+  // -------------------------------------------------------------------
+  private val NsMarker = ".graft-namespace"
+
+  private def nsDir(ns: Seq[String]): java.nio.file.Path =
+    Paths.get((root +: ns).mkString("/"))
+
+  private def isDefault(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.toSeq == Seq("default")
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    isDefault(namespace) ||
+      Files.exists(nsDir(namespace.toSeq).resolve(NsMarker))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val marked =
+      if (!Files.isDirectory(Paths.get(root))) Seq.empty
+      else ManifestTable.listDir(Paths.get(root))
+        .filter(p => Files.exists(p.resolve(NsMarker)))
+        .map(p => Array(p.getFileName.toString))
+    (Array("default") +: marked).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (isDefault(namespace)) return Array.empty // default holds only tables
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    ManifestTable.listDir(nsDir(namespace.toSeq))
+      .filter(p => Files.exists(p.resolve(NsMarker)))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (isDefault(namespace)) return new util.HashMap[String, String]()
+    val marker = nsDir(namespace.toSeq).resolve(NsMarker)
+    if (!Files.exists(marker))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    val m = new util.HashMap[String, String]()
+    Files.readAllLines(marker).asScala.filter(_.contains('\t')).foreach { l =>
+      val Array(k, v) = l.split("\t", 2); m.put(k, v)
+    }
+    m
+  }
+
+  private def writeNsMarker(ns: Seq[String], props: Map[String, String]): Unit = {
+    val d = nsDir(ns)
+    Files.createDirectories(d)
+    val body = props.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+    Files.write(d.resolve(NsMarker), body.mkString("\n").getBytes("UTF-8"))
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    require(namespace.nonEmpty && namespace.forall(n =>
+        n.nonEmpty && !n.contains('/') && !n.contains('.') && !n.startsWith(".")),
+      s"invalid namespace ${namespace.mkString(".")}")
+    // every ancestor level must itself be a namespace — created implicitly
+    // with no properties, so `SHOW NAMESPACES IN graft.a` finds `b`
+    (1 until namespace.length).foreach { i =>
+      val anc = namespace.take(i).toSeq
+      if (!Files.exists(nsDir(anc).resolve(NsMarker))) writeNsMarker(anc, Map.empty)
+    }
+    writeNsMarker(namespace.toSeq, metadata.asScala.toMap)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = {
+    val cur = loadNamespaceMetadata(namespace).asScala.toMap
+    require(!isDefault(namespace), "the default namespace carries no properties")
+    val next = changes.foldLeft(cur) {
+      case (m, s: NamespaceChange.SetProperty) => m + (s.property -> s.value)
+      case (m, r: NamespaceChange.RemoveProperty) => m - r.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"namespace change $other unsupported")
+    }
+    writeNsMarker(namespace.toSeq, next)
+  }
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    require(!isDefault(namespace), "cannot drop the default namespace")
+    if (!namespaceExists(namespace)) return false
+    val hasContents = listTables(namespace).nonEmpty ||
+      listNamespaces(namespace).nonEmpty
+    if (hasContents && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    ManifestTable.destroy(nsDir(namespace.toSeq).toString)
+    true
+  }
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style METADATA TABLES: `t$history` / `t$files` /

@@ -805,6 +805,47 @@ class Round11Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("namespaces: schema DDL lifecycle, nesting, and non-empty refusal") {
+    val root = freshDir("ns")
+    spark.conf.set("spark.sql.catalog.g11ns",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ns.root", root)
+    spark.sql("CREATE NAMESPACE g11ns.marts COMMENT 'curated'")
+    spark.sql("CREATE NAMESPACE g11ns.marts.daily") // nested, parent exists
+    spark.sql("CREATE NAMESPACE g11ns.raw.stage")   // nested, parent implicit
+    // SHOW SCHEMAS sees default + the two top-level markers, nothing else
+    val top = spark.sql("SHOW NAMESPACES IN g11ns").collect()
+      .map(_.getString(0)).toSet
+    assert(top == Set("default", "marts", "raw"), s"got $top")
+    assert(spark.sql("SHOW NAMESPACES IN g11ns.marts").collect()
+      .map(_.getString(0)).toSet == Set("marts.daily"))
+    // properties round-trip through ALTER + DESCRIBE
+    spark.sql("ALTER NAMESPACE g11ns.marts SET PROPERTIES ('team'='etl')")
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED g11ns.marts").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Comment").contains("curated"))
+    assert(desc.getOrElse("Properties", "").contains("team=etl") ||
+      desc.getOrElse("Properties", "").contains("(team,etl)"))
+    // a table inside a schema is an ordinary manifest table
+    spark.sql("CREATE TABLE g11ns.marts.t (k BIGINT)")
+    spark.sql("INSERT INTO g11ns.marts.t VALUES (1), (2), (3)")
+    assert(spark.sql("SELECT sum(k) FROM g11ns.marts.t").collect()
+      .head.getLong(0) == 6L)
+    assert(spark.sql("SHOW TABLES IN g11ns.marts").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+    // a table directory never masquerades as a schema
+    assert(!spark.sql("SHOW NAMESPACES IN g11ns.marts").collect()
+      .map(_.getString(0)).contains("marts.t"))
+    // DROP refuses a non-empty schema without CASCADE, honors it with
+    intercept[Exception] { spark.sql("DROP NAMESPACE g11ns.marts") }
+    assert(spark.sql("SELECT count(*) FROM g11ns.marts.t").collect()
+      .head.getLong(0) == 3L, "refused drop must leave the table intact")
+    spark.sql("DROP NAMESPACE g11ns.marts CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN g11ns").collect()
+      .map(_.getString(0)).toSet == Set("default", "raw"))
+    ManifestTable.destroy(root)
+  }
+
   test("streaming $changes: version micro-batches follow DML; restart reads nothing") {
     val root = freshDir("schg")
     val dir = s"$root/t"
