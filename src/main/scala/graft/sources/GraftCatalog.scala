@@ -1432,6 +1432,71 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
             } yield (lo, hi)
           } else None
         val ndv = ManifestTable.ndvFromEntries(entries, f.name)
+        // EQUI-HEIGHT HISTOGRAM from the file envelopes — each file
+        // contributes (min, max, rows) as a uniform slab; the slabs'
+        // summed CDF is inverted at equal-mass quantiles. Where data is
+        // clustered or skewed (exactly what file envelopes capture), the
+        // optimizer's range-selectivity estimates stop assuming global
+        // uniformity — at 100 TB that is the difference between planning
+        // a `WHERE ts > :recent` tail-read correctly and mis-sizing every
+        // operator above it. Zero data I/O; served for NDV-declared
+        // columns whose every file carries a range and a row count.
+        val hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+          if (ndv.isEmpty || entries.isEmpty ||
+              !entries.forall(e => e.ranges.contains(f.name) && e.rows.isDefined))
+            None
+          else f.dataType match {
+            case LongType | IntegerType | DoubleType | FloatType | DateType |
+                _: DecimalType =>
+              val slabs = entries.map { e =>
+                val r = e.ranges(f.name)
+                (r.min.toDouble, r.max.toDouble, e.rows.get.toDouble)
+              }
+              val total = slabs.map(_._3).sum
+              if (total <= 0) None
+              else {
+                def cdf(x: Double): Double = slabs.iterator.map {
+                  case (lo, hi, rws) =>
+                    if (x >= hi) rws
+                    else if (x < lo) 0.0
+                    else if (hi == lo) rws
+                    else rws * (x - lo) / (hi - lo)
+                }.sum
+                val gmin = slabs.map(_._1).min
+                val gmax = slabs.map(_._2).max
+                val nb = math.min(32L, math.max(1L, (total / 2).toLong)).toInt
+                val h = total / nb
+                val bounds = new Array[Double](nb + 1)
+                bounds(0) = gmin; bounds(nb) = gmax
+                var i = 1
+                while (i < nb) {
+                  var lo = gmin; var hi = gmax
+                  val target = i * h
+                  var it = 0
+                  while (it < 50) {
+                    val mid = (lo + hi) / 2
+                    if (cdf(mid) < target) lo = mid else hi = mid
+                    it += 1
+                  }
+                  bounds(i) = math.max((lo + hi) / 2, bounds(i - 1))
+                  i += 1
+                }
+                val binNdv = math.max(1L, math.round(ndv.get.toDouble / nb))
+                Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = h
+                  override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    Array.tabulate(nb) { b =>
+                      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                        override def lo(): Double = bounds(b)
+                        override def hi(): Double = bounds(b + 1)
+                        override def ndv(): Long = binNdv
+                      }
+                    }
+                })
+              }
+            case _ => None
+          }
         if (range.isDefined || ndv.isDefined)
           m.put(Expressions.column(f.name), new ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
@@ -1443,6 +1508,12 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
             override def max(): java.util.Optional[Object] =
               range.map(r => java.util.Optional.of(r._2.asInstanceOf[Object]))
                 .getOrElse(java.util.Optional.empty[Object]())
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hist match {
+                case Some(hg) => java.util.Optional.of(hg)
+                case None => java.util.Optional.empty()
+              }
           })
       }
       m

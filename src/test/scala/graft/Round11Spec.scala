@@ -1249,6 +1249,70 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("CBO histograms: file envelopes beat the uniform assumption on skew") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val root = freshDir("hist")
+    spark.conf.set("spark.sql.catalog.g11hg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11hg.root", root)
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.sql("""CREATE TABLE g11hg.default.t (k BIGINT, v DOUBLE)
+        TBLPROPERTIES ('graft.write.ndv' = 'k')""")
+      // 90% of rows land in [0, 1000), 10% in [900000, 1000000) — the
+      // shape where min/max + uniformity estimates `k < 1000` at ~0.1%
+      // of rows while the truth is ~90%. Range-clustering the insert
+      // gives each file a tight envelope, which is what the histogram
+      // is built from.
+      Tables.orders(spark, sf).select(
+          when(col("o_orderkey") % 10 < 9, col("o_orderkey") % 1000)
+            .otherwise(lit(900000L) + col("o_orderkey") % 100000)
+            .cast("bigint").as("k"),
+          col("o_totalprice").as("v"))
+        .repartitionByRange(16, col("k"))
+        .createOrReplaceTempView("r11_hist_src")
+      spark.sql("INSERT INTO g11hg.default.t SELECT * FROM r11_hist_src")
+      val total = spark.table("g11hg.default.t").count()
+      val truth = spark.sql(
+        "SELECT count(*) FROM g11hg.default.t WHERE k < 1000")
+        .collect().head.getLong(0)
+      assert(truth > total / 2, "fixture sanity: most rows are in the head")
+      // the scan serves an equi-height histogram for the NDV column
+      val scan = spark.table("g11hg.default.t")
+        .queryExecution.optimizedPlan.collect {
+          case r: DataSourceV2ScanRelation => r.scan
+        }.head.asInstanceOf[graft.sources.ManifestFilesScan]
+      val it = scan.estimateStatistics().columnStats().entrySet().iterator()
+      var hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+        None
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.fieldNames.head == "k" && e.getValue.histogram().isPresent)
+          hist = Some(e.getValue.histogram().get())
+      }
+      val hg = hist.getOrElse(fail("no histogram served for k"))
+      val bins = hg.bins()
+      assert(bins.length > 1)
+      assert(math.abs(hg.height() * bins.length - total) <= total * 0.01,
+        "equi-height bins must sum to the table's rows")
+      bins.sliding(2).foreach { case Array(a, b) =>
+        assert(a.hi() >= a.lo() && b.lo() >= a.hi() - 1e-9, "bins must ascend")
+      }
+      // with CBO on, the optimizer's estimate for the head-range filter
+      // tracks the truth instead of the ~0.1% uniform guess
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val est = spark.table("g11hg.default.t").filter(col("k") < 1000)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.isDefined, "CBO must produce a row-count estimate")
+      val e = est.get.toDouble
+      assert(e > 0.5 * truth && e < 1.5 * truth,
+        s"histogram estimate $e must track the truth $truth (total $total)")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      ManifestTable.destroy(root)
+    }
+  }
+
   test("LIMIT pushdown plans a file prefix; ORDER BY+LIMIT caps sorted files") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val root = freshDir("lim")
