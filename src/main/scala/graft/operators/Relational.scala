@@ -967,6 +967,36 @@ object Relational {
       s.sql("""SELECT o_orderstatus, n, sum_price
         FROM graft_ct.default.summ""")
     }),
+    // GROUP BY aggregate pushdown: a table staged one-partition-per-
+    // commit has VALUE-PURE files on the partition column (recorded
+    // min == max), so `GROUP BY yr` COUNT/MIN/MAX is answered from the
+    // manifest alone — one metadata row per file fragment, Spark's
+    // final aggregation merges them, ZERO data files read (plan-
+    // asserted in Round11Spec). At 100 TB this is the monthly roll-up
+    // a warehouse answers in milliseconds. The per-year staging loop is
+    // driver-side but bounded (orders span ≤ 8 years).
+    "q_metadata_group_agg" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_gagg_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_ga",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ga.root", root)
+      s.sql("""CREATE TABLE graft_ga.default.ord
+        (yr INT, o_orderkey BIGINT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select(
+          year(col("o_orderdate")).cast("int").as("yr"),
+          col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r11_ga_src")
+      val yrs = s.sql("SELECT DISTINCT yr FROM r11_ga_src ORDER BY yr")
+        .collect().map(_.getInt(0))
+      yrs.foreach { y =>
+        s.sql(s"INSERT INTO graft_ga.default.ord SELECT * FROM r11_ga_src WHERE yr = $y")
+      }
+      s.sql("""SELECT yr, count(*) AS n, min(o_orderkey) AS mn,
+        max(o_totalprice) AS mx
+        FROM graft_ga.default.ord GROUP BY yr""")
+    }),
     // SCHEMAS as first-class SQL objects (`SupportsNamespaces`): CREATE
     // SCHEMA (with comment), ALTER SCHEMA SET PROPERTIES, tables created
     // and addressed inside it — namespaces are marker-carrying
@@ -2008,6 +2038,11 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the metadata-served per-year roll-up must be exact
+    "q_metadata_group_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |       min(o_orderkey) AS mn, CAST(max(o_totalprice) AS DOUBLE) AS mx
+        |FROM orders GROUP BY 1""".stripMargin,
     // a table routed through a named schema serves its data untouched
     "q_sql_namespaces" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -57,6 +57,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def name(): String = catalogName
 
+  /** COLUMN DEFAULT VALUES: declaring the capability makes the analyzer
+    * honor `DEFAULT <expr>` in CREATE TABLE / ALTER TABLE ADD COLUMN and
+    * fill omitted columns at INSERT time from the schema's
+    * `CURRENT_DEFAULT` metadata — which rides the declared `#schema`
+    * marker (a `StructType.json` round-trip keeps field metadata). Files
+    * written BEFORE a defaulted ADD COLUMN serve the `EXISTS_DEFAULT`
+    * from the reader (see `ManifestParquetReader`), never a rewrite. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def dirOf(ident: Identifier): String = {
     val ns = ident.namespace().toSeq.filterNot(_ == "default")
     (Seq(root) ++ ns :+ ident.name()).mkString("/")
@@ -306,17 +316,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           "RENAME COLUMN supports top-level columns only")
         ManifestTable.AlterOp.Rename(rc.fieldNames().head, rc.newName())
       case ac: TableChange.AddColumn =>
-        // append-only evolution: immutable files cannot backfill, so the
-        // new column must be nullable with no default — pre-addition
-        // files read it as NULL (the merge-schema contract)
+        // append-only evolution: immutable files never backfill. Without
+        // a DEFAULT the new column is nullable and pre-addition files
+        // read it as NULL (the merge-schema contract); with one, the
+        // default SQL rides the field metadata and pre-addition files
+        // serve the EXISTS_DEFAULT from the reader — still no rewrite.
         require(ac.fieldNames().length == 1,
           "ADD COLUMN supports top-level columns only")
         require(ac.isNullable,
           "ADD COLUMN requires a nullable column (files are immutable — " +
             "no backfill)")
-        require(ac.defaultValue() == null,
-          "ADD COLUMN with a DEFAULT is not supported")
-        ManifestTable.AlterOp.AddCol(ac.fieldNames().head, ac.dataType())
+        ManifestTable.AlterOp.AddCol(ac.fieldNames().head, ac.dataType(),
+          Option(ac.defaultValue()).map(_.getSql()))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported; supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN, " +
@@ -861,7 +872,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = full
-  private var pushedValues: Option[Seq[Any]] = None
+  private var pushedRows: Option[Seq[Seq[Any]]] = None
   private var limit: Option[Int] = None
   private var topNPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -954,7 +965,6 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (aggregation.groupByExpressions.nonEmpty) return false
     val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
     if (ManifestTable.dvLines(dir, v).nonEmpty) return false
     if (ManifestTable.policyLines(dir, v).nonEmpty) return false // filtered answers differ
@@ -966,55 +976,107 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         Some(nr.fieldNames.head)
       case _ => None
     }
-    // typed extremum from the recorded ranges: value emitted in the
-    // COLUMN's own type so Spark's final min/max resolves unchanged
+    // value emitted in the COLUMN's own type so Spark's final
+    // aggregation/grouping resolves unchanged
+    def typed(x: BigDecimal, dt: DataType): Option[Any] = dt match {
+      case LongType => Some(x.toLongExact)
+      case IntegerType => Some(x.toIntExact)
+      case DoubleType => Some(x.toDouble)
+      case dt: DecimalType => Some(Decimal(x, dt.precision, dt.scale))
+      case _ => None
+    }
+    def typeOf(c: String): Option[DataType] =
+      full.fields.find(_.name == c).map(_.dataType)
+    // typed extremum over ALL files' recorded ranges (the global path)
     def extremum(c: String, wantMin: Boolean): Option[(Any, DataType)] = {
       if (!entries.forall(_.ranges.contains(c))) return None
       val rs = entries.map(_.ranges(c))
       val x = if (wantMin) rs.map(_.min).min else rs.map(_.max).max
-      full.fields.find(_.name == c).map(_.dataType).flatMap {
-        case LongType => Some((x.toLongExact, LongType))
-        case IntegerType => Some((x.toIntExact, IntegerType))
-        case DoubleType => Some((x.toDouble, DoubleType))
-        case dt: DecimalType =>
-          Some((Decimal(x, dt.precision, dt.scale), dt))
-        case _ => None
+      typeOf(c).flatMap(dt => typed(x, dt).map((_, dt)))
+    }
+    if (aggregation.groupByExpressions.isEmpty) {
+      val resolved = aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          if (entries.exists(_.rows.isEmpty)) return false
+          (entries.flatMap(_.rows).sum: Any, LongType: DataType)
+        case m: Min =>
+          colOf(m.column).flatMap(extremum(_, wantMin = true))
+            .getOrElse(return false)
+        case m: Max =>
+          colOf(m.column).flatMap(extremum(_, wantMin = false))
+            .getOrElse(return false)
+        case _ => return false
       }
+      pushedRows = Some(Seq(resolved.map(_._1)))
+      required = StructType(resolved.zipWithIndex.map { case ((_, dt), i) =>
+        StructField(s"agg_$i", dt, nullable = false) })
+      return true
     }
-    val resolved = aggregation.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        if (entries.exists(_.rows.isEmpty)) return false
-        (entries.flatMap(_.rows).sum: Any, LongType: DataType)
-      case m: Min =>
-        colOf(m.column).flatMap(extremum(_, wantMin = true))
-          .getOrElse(return false)
-      case m: Max =>
-        colOf(m.column).flatMap(extremum(_, wantMin = false))
-          .getOrElse(return false)
-      case _ => return false
+    // GROUP BY pushdown: accepted only when every grouping column is
+    // VALUE-PURE per file (recorded min == max — the shape identity-
+    // clustered and per-partition-staged layouts produce), so each file
+    // IS one group fragment. The scan emits one metadata row per file
+    // [groupVals…, aggVals…]; Spark's final aggregation merges the
+    // fragments per group (partial-pushdown contract: COUNT partials
+    // sum, MIN/MAX partials fold) — `GROUP BY partition_col` roll-ups
+    // at 100 TB answered with zero data I/O. Any impure file, missing
+    // stat, or unsupported type declines to the ordinary scan.
+    val groupCols: Seq[(String, DataType)] =
+      aggregation.groupByExpressions.toSeq.map { e =>
+        val c = colOf(e).getOrElse(return false)
+        val dt = typeOf(c).getOrElse(return false)
+        if (!entries.forall(_.ranges.get(c).exists(r => r.min == r.max)))
+          return false
+        if (typed(entries.head.ranges(c).min, dt).isEmpty) return false
+        (c, dt)
+      }
+    val aggSpecs: Seq[(DataType, ManifestTable.FileEntry => Option[Any])] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          (LongType: DataType,
+            (e: ManifestTable.FileEntry) => e.rows.map(x => x: Any))
+        case m: Min =>
+          val c = colOf(m.column).getOrElse(return false)
+          val dt = typeOf(c).getOrElse(return false)
+          (dt, (e: ManifestTable.FileEntry) =>
+            e.ranges.get(c).flatMap(r => typed(r.min, dt)))
+        case m: Max =>
+          val c = colOf(m.column).getOrElse(return false)
+          val dt = typeOf(c).getOrElse(return false)
+          (dt, (e: ManifestTable.FileEntry) =>
+            e.ranges.get(c).flatMap(r => typed(r.max, dt)))
+        case _ => return false
+      }
+    val rows = entries.map { e =>
+      groupCols.map { case (c, dt) =>
+        typed(e.ranges(c).min, dt).getOrElse(return false) } ++
+        aggSpecs.map(_._2(e).getOrElse(return false))
     }
-    pushedValues = Some(resolved.map(_._1))
-    required = StructType(resolved.zipWithIndex.map { case ((_, dt), i) =>
-      StructField(s"agg_$i", dt, nullable = false) })
+    pushedRows = Some(rows)
+    required = StructType(
+      groupCols.map { case (c, dt) => StructField(c, dt, nullable = false) } ++
+        aggSpecs.zipWithIndex.map { case ((dt, _), i) =>
+          StructField(s"agg_$i", dt, nullable = false) })
     true
   }
 
   override def build(): Scan = {
-    pushedValues.foreach { vals =>
+    pushedRows.foreach { rows =>
       val requiredNow = required
-      // one generated row carrying the metadata answers; Spark's final
-      // aggregation folds the per-partition partials, so a single row
-      // with the exact totals/extrema is exactly right
+      // generated rows carrying the metadata answers — one for a global
+      // aggregate, one per file-fragment for a pushed GROUP BY; Spark's
+      // final aggregation folds the partials either way, so exact
+      // totals/extrema per fragment are exactly right
       return new Scan {
         override def readSchema(): StructType = requiredNow
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            Array(MetadataAggPartition(vals))
+            Array(MetadataRowsPartition(rows))
           override def createReaderFactory(): PartitionReaderFactory =
-            MetadataAggReaderFactory
+            MetadataRowsReaderFactory
         }
         override def description(): String =
-          s"graft metadata agg(${vals.mkString(",")}) — zero data I/O"
+          s"graft metadata agg (${rows.size} fragments) — zero data I/O"
       }
     }
     // snapshot pinned HERE (or at the time-travel version): the whole
@@ -1627,25 +1689,6 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
           override def close(): Unit = if (cur != null) cur.close()
         }
     }
-}
-
-private[sources] case class MetadataAggPartition(values: Seq[Any])
-    extends InputPartition
-
-private[sources] object MetadataAggReaderFactory
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = partition.asInstanceOf[MetadataAggPartition]
-    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          p.values.toArray)
-      override def close(): Unit = ()
-    }
-  }
 }
 
 private[sources] class ManifestSqlWriteBuilder(dir: String,

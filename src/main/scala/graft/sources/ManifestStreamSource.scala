@@ -351,9 +351,22 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
     (f.name == "_file" || f.name == "_pos") && !footer.containsField(f.name))
 
   /** Required fields this file predates (`ALTER TABLE ADD COLUMN` after
-    * the file was written) — served as NULL, the merge-schema contract. */
+    * the file was written) — served as the column's EXISTS_DEFAULT when
+    * one was declared (`ADD COLUMN … DEFAULT`), else NULL: the
+    * merge-schema contract, extended with Spark's own column-default
+    * semantics. Immutable files never rewrite either way. */
   private val isAbsent: Array[Boolean] = required.fields.zipWithIndex.map {
     case (f, i) => !isMeta(i) && !footer.containsField(f.name)
+  }
+
+  /** Internal-format existence default per absent field (null when none
+    * declared) — evaluated once per reader from the field metadata. */
+  private val absentValue: Array[Any] = required.fields.zipWithIndex.map {
+    case (f, i) =>
+      if (isAbsent(i))
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .getExistenceDefaultValue(f)
+      else null
   }
 
   private val reader: ParquetReader[Group] = {
@@ -408,7 +421,7 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
           if (required(i).name == "_file") filePathUtf8 else pos
         i += 1
       } else if (isAbsent(i)) {
-        values(i) = null
+        values(i) = absentValue(i)
         i += 1
       } else {
       val name = required(i).name

@@ -1527,7 +1527,8 @@ object ManifestTable {
     final case class RemoveProp(key: String) extends AlterOp
     final case class Rename(from: String, to: String) extends AlterOp
     final case class AddCol(name: String,
-        dataType: org.apache.spark.sql.types.DataType) extends AlterOp
+        dataType: org.apache.spark.sql.types.DataType,
+        defaultSql: Option[String] = None) extends AlterOp
   }
 
   /** Apply a MULTI-CHANGE `ALTER TABLE` statement as ONE commit — the
@@ -1551,7 +1552,7 @@ object ManifestTable {
         require(!from.contains('\t') && !to.contains('\t') &&
           !from.contains('\n') && !to.contains('\n'),
           "column names may not contain tabs/newlines")
-      case AlterOp.AddCol(n, _) =>
+      case AlterOp.AddCol(n, _, _) =>
         require(!n.contains('\t') && !n.contains('\n'),
           "column names may not contain tabs/newlines")
       case _: AlterOp.RemoveProp => ()
@@ -1608,11 +1609,22 @@ object ManifestTable {
           case (st, AlterOp.Rename(from, to)) =>
             org.apache.spark.sql.types.StructType(st.fields.map(f =>
               if (f.name == from) f.copy(name = to) else f))
-          case (st, AlterOp.AddCol(n, dt)) =>
+          case (st, AlterOp.AddCol(n, dt, dflt)) =>
             require(!st.fieldNames.contains(n),
               s"ADD COLUMN '$n' refused: the column already exists")
+            // a DEFAULT rides the field metadata in the declared schema:
+            // CURRENT_DEFAULT fills future inserts (analyzer-side),
+            // EXISTS_DEFAULT is what pre-addition files serve — the
+            // no-rewrite evolution contract
+            val meta = dflt.map { sql =>
+              import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .build()
+            }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
             st.add(org.apache.spark.sql.types.StructField(n, dt,
-              nullable = true))
+              nullable = true, metadata = meta))
           case (st, _) => st
         }
         s"$SchemaPrefix${st.json}"

@@ -1249,6 +1249,84 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("column DEFAULTs: INSERT fill, ADD COLUMN existence defaults, no rewrite") {
+    val root = freshDir("dflt")
+    spark.conf.set("spark.sql.catalog.g11df",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11df.root", root)
+    spark.sql("""CREATE TABLE g11df.default.t
+      (k BIGINT, status STRING DEFAULT 'new', score DOUBLE DEFAULT 0.5)""")
+    spark.sql("INSERT INTO g11df.default.t (k) VALUES (1), (2)")
+    spark.sql("INSERT INTO g11df.default.t VALUES (3, 'done', DEFAULT)")
+    val rows = spark.sql("SELECT k, status, score FROM g11df.default.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "new", 0.5), (2L, "new", 0.5), (3L, "done", 0.5)),
+      s"CURRENT_DEFAULT must fill omitted and DEFAULT-keyword columns: $rows")
+    // ADD COLUMN with DEFAULT: pre-addition files serve the existence
+    // default from the reader — data files untouched, byte for byte
+    val dir = s"$root/t"
+    val before = ManifestTable.listLines(dir, ManifestTable.currentVersion(dir))
+    spark.sql("ALTER TABLE g11df.default.t ADD COLUMN tier STRING DEFAULT 'bronze'")
+    assert(ManifestTable.listLines(dir, ManifestTable.currentVersion(dir)) == before,
+      "a defaulted ADD COLUMN must not rewrite or restage any file")
+    assert(spark.sql("SELECT tier FROM g11df.default.t").collect()
+      .forall(_.getString(0) == "bronze"),
+      "pre-addition files must serve the EXISTS_DEFAULT, not NULL")
+    // future inserts fill every current default
+    spark.sql("INSERT INTO g11df.default.t (k) VALUES (4)")
+    val r4 = spark.sql(
+      "SELECT status, score, tier FROM g11df.default.t WHERE k = 4")
+      .collect().head
+    assert((r4.getString(0), r4.getDouble(1), r4.getString(2)) ==
+      (("new", 0.5, "bronze")))
+    assert(spark.sql(
+      "SELECT count(*) FROM g11df.default.t WHERE tier = 'bronze'")
+      .collect().head.getLong(0) == 4L,
+      "predicates over a default-served column must see the default")
+    ManifestTable.destroy(root)
+  }
+
+  test("GROUP BY pushdown: value-pure files serve grouped aggregates from metadata") {
+    val root = freshDir("gagg")
+    spark.conf.set("spark.sql.catalog.g11ga",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ga.root", root)
+    spark.sql("CREATE TABLE g11ga.default.t (yr INT, k BIGINT, v DOUBLE)")
+    Tables.orders(spark, sf).select(
+        year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      .createOrReplaceTempView("r11_gagg_src")
+    val yrs = spark.sql("SELECT DISTINCT yr FROM r11_gagg_src ORDER BY yr")
+      .collect().map(_.getInt(0)) // bounded: order years span ≤ 8 values
+    yrs.foreach { y =>
+      spark.sql(s"INSERT INTO g11ga.default.t SELECT * FROM r11_gagg_src WHERE yr = $y")
+    }
+    val q = spark.sql("""SELECT yr, count(*) AS n, min(k) AS mn, max(v) AS mx
+      FROM g11ga.default.t GROUP BY yr""")
+    assert(q.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "per-year staging is value-pure: the grouped aggregate must be " +
+        "metadata-served with zero file reads")
+    val got = q.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = spark.sql("""SELECT yr, count(*) AS n, min(k) AS mn, max(v) AS mx
+      FROM r11_gagg_src GROUP BY yr""").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, "metadata-served groups must be exact")
+    // an impure file (one insert spanning every year) DECLINES the
+    // pushdown — the ordinary scan answers, still exactly
+    spark.sql("CREATE TABLE g11ga.default.mixed (yr INT, k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g11ga.default.mixed
+      SELECT /*+ REPARTITION(1) */ * FROM r11_gagg_src""")
+    val q2 = spark.sql("""SELECT yr, count(*) AS n, min(k) AS mn, max(v) AS mx
+      FROM g11ga.default.mixed GROUP BY yr""")
+    assert(!q2.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "a year-spanning file must decline the grouped pushdown")
+    assert(q2.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet == want)
+    ManifestTable.destroy(root)
+  }
+
   test("CBO histograms: file envelopes beat the uniform assumption on skew") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val root = freshDir("hist")
