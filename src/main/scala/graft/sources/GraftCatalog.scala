@@ -65,7 +65,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * written BEFORE a defaulted ADD COLUMN serve the `EXISTS_DEFAULT`
     * from the reader (see `ManifestParquetReader`), never a rewrite. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def dirOf(ident: Identifier): String = {
     val ns = ident.namespace().toSeq.filterNot(_ == "default")
@@ -328,6 +329,33 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             "no backfill)")
         ManifestTable.AlterOp.AddCol(ac.fieldNames().head, ac.dataType(),
           Option(ac.defaultValue()).map(_.getSql()))
+      // CHECK CONSTRAINTS as table properties: `graft.constraint.<name>`
+      // holds the URL-encoded predicate SQL, so the always-carried #prop
+      // machinery gives persistence, atomic multi-change ALTER, and
+      // time-travel for free. Spark validates existing rows BEFORE
+      // calling this (AddCheckConstraintExec full scan) and enforces the
+      // predicate on every later INSERT from `Table.constraints()`.
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val sql = Option(ck.predicateSql()).filter(_.nonEmpty).getOrElse(
+              throw new UnsupportedOperationException(
+                "CHECK constraint requires a SQL predicate form"))
+            ManifestTable.AlterOp.SetProp(
+              GraftCatalog.ConstraintProp + ck.name(),
+              java.net.URLEncoder.encode(sql, "UTF-8"))
+          case other => throw new UnsupportedOperationException(
+            "only CHECK constraints are supported (informational " +
+              s"PK/FK/UNIQUE are not), got ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        val key = GraftCatalog.ConstraintProp + dc.name()
+        if (!dc.ifExists()) {
+          val v = ManifestTable.currentVersion(dir)
+          require(ManifestTable.tableProperties(dir, v).contains(key),
+            s"constraint ${dc.name()} not found on $dir")
+        }
+        ManifestTable.AlterOp.RemoveProp(key)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported; supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN, " +
@@ -627,6 +655,10 @@ private[sources] class GraftStagedTable(ident: String, tmpDir: String,
 }
 
 private[sources] object GraftCatalog {
+  /** Table-property prefix persisting CHECK constraints: the property
+    * value is the URL-encoded predicate SQL. */
+  private[sources] val ConstraintProp = "graft.constraint."
+
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
 
   /** Serialize supported partition transforms (identity, bucket) into the
@@ -692,6 +724,25 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(GraftMetaColumn("_file", org.apache.spark.sql.types.StringType),
       GraftMetaColumn("_pos", org.apache.spark.sql.types.LongType))
+
+  /** Enforced CHECK constraints, decoded from `graft.constraint.*` table
+    * properties — Spark's analyzer wraps every INSERT with the predicate
+    * and fails the statement on a violating row, so bad data never
+    * reaches a commit. VALID status: existing rows were scanned at ADD
+    * CONSTRAINT time (Spark's AddCheckConstraintExec contract). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+    ManifestTable.tableProperties(dir, v).toSeq.collect {
+      case (k, enc) if k.startsWith(GraftCatalog.ConstraintProp) =>
+        Constraint.check(k.stripPrefix(GraftCatalog.ConstraintProp))
+          .predicateSql(java.net.URLDecoder.decode(enc, "UTF-8"))
+          .enforced(true)
+          .validationStatus(Constraint.ValidationStatus.VALID)
+          .build(): Constraint
+    }.sortBy(_.name()).toArray
+  }
 
   /** UPDATE / MERGE INTO / arbitrary-predicate DELETE — the row-level
     * statements `SupportsDelete`'s key-membership fast path cannot

@@ -1249,6 +1249,36 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints: ADD validates existing rows, INSERT enforces, DROP lifts") {
+    val root = freshDir("ck")
+    spark.conf.set("spark.sql.catalog.g11ck",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ck.root", root)
+    spark.sql("CREATE TABLE g11ck.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO g11ck.default.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("ALTER TABLE g11ck.default.t ADD CONSTRAINT positive CHECK (v > 0)")
+    // adding a constraint the EXISTING data violates must fail the ALTER
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g11ck.default.t ADD CONSTRAINT big CHECK (k > 100)")
+    }
+    // a violating INSERT fails the statement and commits nothing
+    intercept[Exception] {
+      spark.sql("INSERT INTO g11ck.default.t VALUES (3, -1.0)")
+    }
+    assert(spark.sql("SELECT count(*) FROM g11ck.default.t").collect()
+      .head.getLong(0) == 2L, "a refused INSERT must leave no rows behind")
+    spark.sql("INSERT INTO g11ck.default.t VALUES (3, 3.0)") // conforming
+    // DROP lifts enforcement; strict DROP of a missing name refuses
+    spark.sql("ALTER TABLE g11ck.default.t DROP CONSTRAINT positive")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g11ck.default.t DROP CONSTRAINT nope")
+    }
+    spark.sql("INSERT INTO g11ck.default.t VALUES (4, -4.0)")
+    assert(spark.sql("SELECT count(*) FROM g11ck.default.t").collect()
+      .head.getLong(0) == 4L)
+    ManifestTable.destroy(root)
+  }
+
   test("column DEFAULTs: INSERT fill, ADD COLUMN existence defaults, no rewrite") {
     val root = freshDir("dflt")
     spark.conf.set("spark.sql.catalog.g11df",
