@@ -1050,6 +1050,15 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         case _: CountStar =>
           if (entries.exists(_.rows.isEmpty)) return false
           (entries.flatMap(_.rows).sum: Any, LongType: DataType)
+        // COUNT(col): exact from the recorded null counts — rows − nulls,
+        // summed; every file must carry both or the pushdown declines
+        case ct: org.apache.spark.sql.connector.expressions.aggregate.Count
+            if !ct.isDistinct =>
+          val c = colOf(ct.column).getOrElse(return false)
+          if (entries.exists(e => e.rows.isEmpty || !e.nulls.contains(c)))
+            return false
+          (entries.map(e => e.rows.get - e.nulls(c)).sum: Any,
+            LongType: DataType)
         case m: Min =>
           colOf(m.column).flatMap(extremum(_, wantMin = true))
             .getOrElse(return false)
@@ -1086,6 +1095,11 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         case _: CountStar =>
           (LongType: DataType,
             (e: ManifestTable.FileEntry) => e.rows.map(x => x: Any))
+        case ct: org.apache.spark.sql.connector.expressions.aggregate.Count
+            if !ct.isDistinct =>
+          val c = colOf(ct.column).getOrElse(return false)
+          (LongType: DataType, (e: ManifestTable.FileEntry) =>
+            for { r <- e.rows; n <- e.nulls.get(c) } yield (r - n): Any)
         case m: Min =>
           val c = colOf(m.column).getOrElse(return false)
           val dt = typeOf(c).getOrElse(return false)
@@ -1545,6 +1559,12 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
             } yield (lo, hi)
           } else None
         val ndv = ManifestTable.ndvFromEntries(entries, f.name)
+        // exact null count from the per-file footer harvest — the CBO's
+        // IS NULL / IS NOT NULL selectivity input, zero data I/O
+        val nullCnt: Option[Long] =
+          if (entries.nonEmpty && entries.forall(_.nulls.contains(f.name)))
+            Some(entries.map(_.nulls(f.name)).sum)
+          else None
         // EQUI-HEIGHT HISTOGRAM from the file envelopes — each file
         // contributes (min, max, rows) as a uniform slab; the slabs'
         // summed CDF is inverted at equal-mass quantiles. Where data is
@@ -1610,10 +1630,13 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
               }
             case _ => None
           }
-        if (range.isDefined || ndv.isDefined)
+        if (range.isDefined || ndv.isDefined || nullCnt.isDefined)
           m.put(Expressions.column(f.name), new ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
               ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def nullCount(): java.util.OptionalLong =
+              nullCnt.map(java.util.OptionalLong.of)
                 .getOrElse(java.util.OptionalLong.empty())
             override def min(): java.util.Optional[Object] =
               range.map(r => java.util.Optional.of(r._1.asInstanceOf[Object]))

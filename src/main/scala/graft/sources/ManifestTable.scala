@@ -756,7 +756,8 @@ object ManifestTable {
       blooms: Map[String, Array[Byte]], rows: Option[Long],
       hlls: Map[String, Array[Byte]] = Map.empty,
       strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
-      bytes: Option[Long] = None, bucket: Option[Int] = None)
+      bytes: Option[Long] = None, bucket: Option[Int] = None,
+      nulls: Map[String, Long] = Map.empty)
 
   /** Parse one manifest line → full [[FileEntry]]. Unknown stat encodings
     * are ignored (forward compatible: an older reader sees the file as
@@ -787,10 +788,15 @@ object ManifestTable {
         case _ => None
       }
     }.toMap
+    val nulls = kvs.flatMap { case (c, v) =>
+      if (v.startsWith("N:") && v.length > 2 && v.substring(2).forall(_.isDigit))
+        Some(c -> v.substring(2).toLong)
+      else None
+    }.toMap
     val rows = kvs.collectFirst { case ("__rows", v) if v.forall(_.isDigit) => v.toLong }
     val bytes = kvs.collectFirst { case ("__bytes", v) if v.forall(_.isDigit) => v.toLong }
     val bucket = kvs.collectFirst { case ("__bucket", v) if v.forall(_.isDigit) => v.toInt }
-    FileEntry(parts.head, ranges, blooms, rows, hlls, strs, bytes, bucket)
+    FileEntry(parts.head, ranges, blooms, rows, hlls, strs, bytes, bucket, nulls)
   }
 
   /** Parse one manifest line → (file name, recorded column ranges). */
@@ -991,11 +997,13 @@ object ManifestTable {
       val p = Paths.get(dir, "data", name)
       val st = footerStats(p, statsCols)
       val ss = footerStatsStr(p, statsCols.filterNot(st.contains))
+      val nn = footerNulls(p, statsCols)
       val bucketKv = if (recordBucket) s";__bucket=$orig" else ""
       val rows = s"__rows=${footerRowCount(p)};__bytes=${Files.size(p)}$bucketKv"
       val statKv = Seq(
         if (st.isEmpty) "" else encodeStats(st),
-        if (ss.isEmpty) "" else encodeStrStats(ss)
+        if (ss.isEmpty) "" else encodeStrStats(ss),
+        if (nn.isEmpty) "" else encodeNullStats(nn)
       ).filter(_.nonEmpty).mkString(";")
       if (statKv.isEmpty) s"$name\t$rows" else s"$name\t$statKv\t$rows"
     }
@@ -1005,6 +1013,37 @@ object ManifestTable {
     ss.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
       s"$c=S:${hexEncode(lo)}:${hexEncode(hi)}"
     }.mkString(";")
+
+  /** Encode null counts as the `c=N:<count>` stats suffix. */
+  private def encodeNullStats(ns: Map[String, Long]): String =
+    ns.toSeq.sortBy(_._1).map { case (c, n) => s"$c=N:$n" }.mkString(";")
+
+  /** Footer-harvested NULL COUNTS for `cols`: the per-row-group
+    * `num_nulls` statistic summed across blocks. A column is omitted when
+    * any row group does not record it — the safe degradation (COUNT(col)
+    * stays scan-served, the CBO null estimate stays absent). With them,
+    * `SELECT count(col)` is exact from metadata: rows − nulls. */
+  def footerNulls(file: Path, cols: Seq[String]): Map[String, Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      cols.flatMap { c =>
+        val per = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == c).flatMap { cc =>
+            val st = cc.getStatistics
+            if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+              Some(st.getNumNulls)
+            else None
+          })
+        if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
+      }.toMap
+    } finally r.close()
+  }
 
   /** One ready-to-commit manifest line for an already-staged file: harvest
     * numeric + string footer stats for `statsCols` and carry the known row
@@ -1018,9 +1057,12 @@ object ManifestTable {
     val ss = if (statsCols.isEmpty)
       Map.empty[String, (Array[Byte], Array[Byte])]
       else footerStatsStr(p, statsCols.filterNot(st.contains))
+    val nn = if (statsCols.isEmpty) Map.empty[String, Long]
+      else footerNulls(p, statsCols)
     val statKv = Seq(
       if (st.isEmpty) "" else encodeStats(st),
-      if (ss.isEmpty) "" else encodeStrStats(ss)
+      if (ss.isEmpty) "" else encodeStrStats(ss),
+      if (nn.isEmpty) "" else encodeNullStats(nn)
     ).filter(_.nonEmpty).mkString(";")
     val bucketKv = bucket.map(b => s";__bucket=$b").getOrElse("")
     val rowsKv = s"__rows=$rows;__bytes=${Files.size(p)}$bucketKv"

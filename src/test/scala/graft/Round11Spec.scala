@@ -1249,6 +1249,44 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("COUNT(col) pushdown: recorded null counts serve exact counts from metadata") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val root = freshDir("nc")
+    spark.conf.set("spark.sql.catalog.g11nc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11nc.root", root)
+    spark.sql("CREATE TABLE g11nc.default.t (k BIGINT, v DOUBLE)")
+    Tables.orders(spark, sf).select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("v"))
+      .createOrReplaceTempView("r11_nc_src")
+    spark.sql("INSERT INTO g11nc.default.t SELECT * FROM r11_nc_src")
+    val (wantNv, wantN) = {
+      val r = spark.sql("SELECT count(v), count(*) FROM r11_nc_src").collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(wantNv < wantN, "fixture sanity: some v are NULL")
+    val q = spark.sql("SELECT count(v) AS nv, count(*) AS n FROM g11nc.default.t")
+    assert(q.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "COUNT(col) with recorded null counts must be metadata-served")
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((wantNv, wantN)))
+    // …and the CBO sees the exact null count with zero data I/O
+    val scan = spark.table("g11nc.default.t")
+      .queryExecution.optimizedPlan.collect {
+        case s: DataSourceV2ScanRelation => s.scan
+      }.head.asInstanceOf[graft.sources.ManifestFilesScan]
+    val it = scan.estimateStatistics().columnStats().entrySet().iterator()
+    var nulls = -1L
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.fieldNames.head == "v" && e.getValue.nullCount().isPresent)
+        nulls = e.getValue.nullCount().getAsLong
+    }
+    assert(nulls == wantN - wantNv, s"CBO null count $nulls vs ${wantN - wantNv}")
+    ManifestTable.destroy(root)
+  }
+
   test("CHECK constraints: ADD validates existing rows, INSERT enforces, DROP lifts") {
     val root = freshDir("ck")
     spark.conf.set("spark.sql.catalog.g11ck",
