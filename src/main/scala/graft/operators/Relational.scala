@@ -967,6 +967,33 @@ object Relational {
       s.sql("""SELECT o_orderstatus, n, sum_price
         FROM graft_ct.default.summ""")
     }),
+    // `t$partitions` — the per-partition inventory (files, rows, bytes)
+    // served from the manifest at metadata cost, like Iceberg's
+    // `partitions` table: identity values resolve through value-pure
+    // file envelopes, buckets through recorded ids. The operator view
+    // before a backfill targets a partition or a skew hunt starts.
+    "q_sql_partitions" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_parts_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_pt",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_pt.root", root)
+      s.sql("""CREATE TABLE graft_pt.default.ord
+        (yr INT, o_orderkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (yr)""")
+      Tables.orders(s, d).select(
+          year(col("o_orderdate")).cast("int").as("yr"),
+          col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r11_pt_src")
+      val yrs = s.sql("SELECT DISTINCT yr FROM r11_pt_src ORDER BY yr")
+        .collect().map(_.getInt(0)) // bounded: ≤ 8 years
+      yrs.foreach { y =>
+        s.sql(s"INSERT INTO graft_pt.default.ord SELECT * FROM r11_pt_src WHERE yr = $y")
+      }
+      s.sql("""SELECT partition AS part, n_rows
+        FROM graft_pt.default.`ord$partitions`""")
+    }),
     // GROUP BY aggregate pushdown: a table staged one-partition-per-
     // commit has VALUE-PURE files on the partition column (recorded
     // min == max), so `GROUP BY yr` COUNT/MIN/MAX is answered from the
@@ -2038,6 +2065,11 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the partition inventory's row totals must be exact
+    "q_sql_partitions" ->
+      """SELECT 'yr=' || CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR) AS part,
+        |       count(*) AS n_rows
+        |FROM orders GROUP BY 1""".stripMargin,
     // the metadata-served per-year roll-up must be exact
     "q_metadata_group_agg" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,

@@ -2171,8 +2171,14 @@ private[sources] class ManifestMetaTable(ident: String, dir: String,
     case "properties" => StructType(Seq(
       StructField("key", StringType, nullable = false),
       StructField("value", StringType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("size_bytes", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table '$$${other}' — supported: history, files, properties")
+      s"unknown metadata table '$$${other}' — supported: history, files, " +
+        "properties, partitions")
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -2204,6 +2210,42 @@ private[sources] class ManifestMetaTable(ident: String, dir: String,
             Seq(e.name, e.rows.map(Long.box).orNull,
               if (Files.exists(p)) Files.size(p) else 0L)
           }
+        // `t$partitions` — per-partition file/row/byte totals straight
+        // from the manifest (the Iceberg `partitions` table): identity
+        // columns resolve through value-pure file envelopes (a straddling
+        // file reports under `c=*` instead of guessing), bucket
+        // transforms through the recorded `__bucket` id. The operator
+        // view before a backfill or a skew investigation, at metadata
+        // cost — no scan, any table size.
+        case "partitions" =>
+          val spec = ManifestTable.tableProperties(dir, cur)
+            .getOrElse("graft.partitioning", throw new IllegalArgumentException(
+              s"$$partitions requires a PARTITIONED BY table — $dir has " +
+                "no graft.partitioning property"))
+          val (ids, bks) = GraftCatalog.partitionCols(spec)
+          def fmt(x: BigDecimal): String =
+            x.underlying.stripTrailingZeros.toPlainString
+          ManifestTable.listLines(dir, cur).map(ManifestTable.parseEntry)
+            .groupBy { e =>
+              val idPart = ids.map { c =>
+                e.ranges.get(c) match {
+                  case Some(r) if r.min == r.max => s"$c=${fmt(r.min)}"
+                  case _ => s"$c=*"
+                }
+              }
+              val bkPart = bks.map { case (n, c) =>
+                s"bucket($n,$c)=${e.bucket.map(_.toString).getOrElse("*")}"
+              }
+              (idPart ++ bkPart).mkString("/")
+            }.toSeq.sortBy(_._1).map { case (p, es) =>
+              Seq(p, es.size.toLong,
+                if (es.forall(_.rows.isDefined))
+                  Long.box(es.flatMap(_.rows).sum) else null,
+                es.map(e => e.bytes.getOrElse {
+                  val f = Paths.get(ManifestTable.dataPath(dir, e.name))
+                  if (Files.exists(f)) Files.size(f) else 0L
+                }).sum)
+            }
         case _ => ManifestTable.tableProperties(dir, cur).toSeq.sortBy(_._1)
           .map { case (k, v) => Seq(k, v) }
       }
