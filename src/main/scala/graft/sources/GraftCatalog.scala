@@ -307,15 +307,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val dir = dirOf(ident)
     if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val ops = changes.map {
+    val ops = changes.toSeq.flatMap {
       case sp: TableChange.SetProperty =>
-        ManifestTable.AlterOp.SetProp(sp.property(), sp.value())
+        Seq(ManifestTable.AlterOp.SetProp(sp.property(), sp.value()))
       case rp: TableChange.RemoveProperty =>
-        ManifestTable.AlterOp.RemoveProp(rp.property())
+        Seq(ManifestTable.AlterOp.RemoveProp(rp.property()))
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames().length == 1,
           "RENAME COLUMN supports top-level columns only")
-        ManifestTable.AlterOp.Rename(rc.fieldNames().head, rc.newName())
+        Seq(ManifestTable.AlterOp.Rename(rc.fieldNames().head, rc.newName()))
       case ac: TableChange.AddColumn =>
         // append-only evolution: immutable files never backfill. Without
         // a DEFAULT the new column is nullable and pre-addition files
@@ -327,16 +327,32 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         require(ac.isNullable,
           "ADD COLUMN requires a nullable column (files are immutable — " +
             "no backfill)")
-        ManifestTable.AlterOp.AddCol(ac.fieldNames().head, ac.dataType(),
-          Option(ac.defaultValue()).map(_.getSql()))
+        require(!ManifestTable.tableProperties(dir,
+            ManifestTable.currentVersion(dir))
+            .contains(GraftCatalog.DroppedProp + ac.fieldNames().head),
+          s"ADD COLUMN '${ac.fieldNames().head}' refused: a dropped " +
+            "column of that name exists in immutable files and would " +
+            "resurface its old data — use a new name")
+        Seq(ManifestTable.AlterOp.AddCol(ac.fieldNames().head, ac.dataType(),
+          Option(ac.defaultValue()).map(_.getSql())))
       // CHECK CONSTRAINTS as table properties: `graft.constraint.<name>`
       // holds the URL-encoded predicate SQL, so the always-carried #prop
       // machinery gives persistence, atomic multi-change ALTER, and
       // time-travel for free. Spark validates existing rows BEFORE
       // calling this (AddCheckConstraintExec full scan) and enforces the
       // predicate on every later INSERT from `Table.constraints()`.
+      // DROP COLUMN — declared-schema evolution in the other direction:
+      // the immutable files keep the bytes, the declared schema simply
+      // stops exposing them; a tombstone property refuses re-adding the
+      // name (old files would silently resurface old data under it)
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1,
+          "DROP COLUMN supports top-level columns only")
+        Seq(ManifestTable.AlterOp.DropCol(dc.fieldNames().head),
+          ManifestTable.AlterOp.SetProp(
+            GraftCatalog.DroppedProp + dc.fieldNames().head, "true"))
       case ac: TableChange.AddConstraint =>
-        ac.constraint() match {
+        Seq(ac.constraint() match {
           case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
             val sql = Option(ck.predicateSql()).filter(_.nonEmpty).getOrElse(
               throw new UnsupportedOperationException(
@@ -347,7 +363,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           case other => throw new UnsupportedOperationException(
             "only CHECK constraints are supported (informational " +
               s"PK/FK/UNIQUE are not), got ${other.toDDL}")
-        }
+        })
       case dc: TableChange.DropConstraint =>
         val key = GraftCatalog.ConstraintProp + dc.name()
         if (!dc.ifExists()) {
@@ -355,7 +371,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           require(ManifestTable.tableProperties(dir, v).contains(key),
             s"constraint ${dc.name()} not found on $dir")
         }
-        ManifestTable.AlterOp.RemoveProp(key)
+        Seq(ManifestTable.AlterOp.RemoveProp(key))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported; supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN, " +
@@ -659,6 +675,10 @@ private[sources] object GraftCatalog {
     * value is the URL-encoded predicate SQL. */
   private[sources] val ConstraintProp = "graft.constraint."
 
+  /** Table-property tombstone for a dropped column name — re-adding it is
+    * refused because immutable files still hold the old data. */
+  private[sources] val DroppedProp = "graft.dropped."
+
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
 
   /** Serialize supported partition transforms (identity, bucket) into the
@@ -883,13 +903,15 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
         ManifestStreamSource.footerSchema(
           ManifestTable.dataPath(dir, files.head)))
       declared match {
-        // the declared schema wins when it is a SUPERSET of what this
-        // file observes (ALTER TABLE ADD COLUMN after the file was
-        // written — old files read the added column as NULL); observed
-        // stays the ground truth whenever the two genuinely disagree
-        case Some(d) if d.fields.length >= observed.fields.length &&
-            observed.fields.forall(f => d.fields.exists(df =>
-              df.name == f.name && df.dataType == f.dataType)) => d
+        // the declared schema wins unless a declared field exists in the
+        // file under the SAME NAME with a DIFFERENT TYPE (genuine
+        // disagreement — observed stays the ground truth). Declared-only
+        // fields are ADD COLUMN evolution (old files read NULL or the
+        // EXISTS_DEFAULT); observed-only fields are DROP COLUMN evolution
+        // (the bytes stay in the immutable files, the schema stops
+        // exposing them — a tombstone refuses re-adding the name).
+        case Some(d) if d.fields.forall(df => observed.fields.forall(f =>
+            f.name != df.name || f.dataType == df.dataType)) => d
         case _ => observed
       }
     }

@@ -1571,6 +1571,7 @@ object ManifestTable {
     final case class AddCol(name: String,
         dataType: org.apache.spark.sql.types.DataType,
         defaultSql: Option[String] = None) extends AlterOp
+    final case class DropCol(name: String) extends AlterOp
   }
 
   /** Apply a MULTI-CHANGE `ALTER TABLE` statement as ONE commit — the
@@ -1597,10 +1598,16 @@ object ManifestTable {
       case AlterOp.AddCol(n, _, _) =>
         require(!n.contains('\t') && !n.contains('\n'),
           "column names may not contain tabs/newlines")
+      case AlterOp.DropCol(n) =>
+        require(!n.contains('\t') && !n.contains('\n'),
+          "column names may not contain tabs/newlines")
+        // a dropped column may still be referenced by a governance policy
+        // — the policy authority must be re-declared first, like renames
       case _: AlterOp.RemoveProp => ()
     }
     val renameOps = ops.collect { case r: AlterOp.Rename => r }
     val addOps = ops.collect { case a: AlterOp.AddCol => a }
+    val dropOps = ops.collect { case d: AlterOp.DropCol => d }
     var attempt = 0
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
@@ -1641,9 +1648,17 @@ object ManifestTable {
             else Some(ManifestStreamSource.toSparkSchema(
               ManifestStreamSource.footerSchema(dataPath(dir, files.head))))
           }
-      if (addOps.nonEmpty) require(baseSchema.isDefined,
-        "ADD COLUMN on a table with no schema authority (no declared " +
+      if (addOps.nonEmpty || dropOps.nonEmpty) require(baseSchema.isDefined,
+        "ADD/DROP COLUMN on a table with no schema authority (no declared " +
           "schema and no data files)")
+      dropOps.foreach { d =>
+        val nameRe =
+          ("\\b" + java.util.regex.Pattern.quote(d.name) + "\\b").r
+        require(
+          !policyLines(dir, v).exists(l => nameRe.findFirstIn(l).isDefined),
+          s"drop of '${d.name}' refused: a governance policy references " +
+            "it — re-declare the policy first")
+      }
       val evolvedSchema = baseSchema.map { st0 =>
         // schema ops apply in STATEMENT order (a rename may precede an
         // add of the freed name, etc.)
@@ -1667,10 +1682,17 @@ object ManifestTable {
             }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
             st.add(org.apache.spark.sql.types.StructField(n, dt,
               nullable = true, metadata = meta))
+          case (st, AlterOp.DropCol(n)) =>
+            require(st.fieldNames.contains(n),
+              s"DROP COLUMN '$n' refused: no such column")
+            require(st.fields.length > 1,
+              s"DROP COLUMN '$n' refused: a table needs at least one column")
+            org.apache.spark.sql.types.StructType(st.fields.filterNot(_.name == n))
           case (st, _) => st
         }
         s"$SchemaPrefix${st.json}"
-      }.filter(_ => declaredSchema(dir, v).isDefined || addOps.nonEmpty)
+      }.filter(_ => declaredSchema(dir, v).isDefined || addOps.nonEmpty ||
+          dropOps.nonEmpty)
         .toSeq
       // DVs carry through property-only alters; with renames they are
       // required empty above (the DV×rename refusal, both directions)

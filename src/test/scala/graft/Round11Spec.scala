@@ -1249,6 +1249,36 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("DROP COLUMN: declared authority hides the bytes; re-ADD of the name refused") {
+    val root = freshDir("dropc")
+    spark.conf.set("spark.sql.catalog.g11dc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11dc.root", root)
+    spark.sql("CREATE TABLE g11dc.default.t (k BIGINT, tmp DOUBLE, v DOUBLE)")
+    spark.sql("""INSERT INTO g11dc.default.t
+      VALUES (1, 9.0, 1.5), (2, 8.0, 2.5), (3, 7.0, 3.5)""")
+    spark.sql("ALTER TABLE g11dc.default.t DROP COLUMN tmp")
+    // the schema stops exposing the column; the data files are untouched
+    assert(spark.table("g11dc.default.t").columns.toSeq == Seq("k", "v"))
+    intercept[Exception] { spark.sql("SELECT tmp FROM g11dc.default.t").collect() }
+    assert(spark.sql("SELECT CAST(sum(v) AS DOUBLE) FROM g11dc.default.t")
+      .collect().head.getDouble(0) == 7.5)
+    // inserts after the drop carry the narrowed schema
+    spark.sql("INSERT INTO g11dc.default.t VALUES (4, 4.5)")
+    assert(spark.sql("SELECT count(*) FROM g11dc.default.t").collect()
+      .head.getLong(0) == 4L)
+    // re-adding the dropped name would resurface old bytes — refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g11dc.default.t ADD COLUMN tmp DOUBLE")
+    }
+    // a fresh name is fine, and old rows serve NULL for it
+    spark.sql("ALTER TABLE g11dc.default.t ADD COLUMN note STRING")
+    assert(spark.sql(
+      "SELECT count(*) FROM g11dc.default.t WHERE note IS NULL")
+      .collect().head.getLong(0) == 4L)
+    ManifestTable.destroy(root)
+  }
+
   test("COUNT(col) pushdown: recorded null counts serve exact counts from metadata") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val root = freshDir("nc")
