@@ -967,6 +967,32 @@ object Relational {
       s.sql("""SELECT o_orderstatus, n, sum_price
         FROM graft_ct.default.summ""")
     }),
+    // SNAPSHOT TAGS: `CALL graft.system.tag(table, name)` names the
+    // current version; `VERSION AS OF '<name>'` time-travels to it by
+    // name — the reproducible handle a training run records ("corpus
+    // gold_v1") instead of a raw version number that means nothing in a
+    // lab notebook. The tag rides table properties, so it survives
+    // every later commit and travels with clones/restores.
+    "q_sql_tag" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_tag_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_tg",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tg.root", root)
+      s.sql("""CREATE TABLE graft_tg.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r11_tag_src")
+      s.sql("""INSERT INTO graft_tg.default.ord
+        SELECT * FROM r11_tag_src WHERE o_orderkey % 2 = 0""")
+      s.sql("CALL graft_tg.system.tag(table => 'ord', name => 'baseline')")
+      s.sql("""INSERT INTO graft_tg.default.ord
+        SELECT * FROM r11_tag_src WHERE o_orderkey % 2 = 1""")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_tg.default.ord VERSION AS OF 'baseline'""")
+    }),
     // `t$partitions` — the per-partition inventory (files, rows, bytes)
     // served from the manifest at metadata cost, like Iceberg's
     // `partitions` table: identity values resolve through value-pure
@@ -976,10 +1002,10 @@ object Relational {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_parts_" +
         java.lang.ProcessHandle.current().pid()
       graft.sources.ManifestTable.destroy(s"$root/ord")
-      s.conf.set("spark.sql.catalog.graft_pt",
+      s.conf.set("spark.sql.catalog.graft_pi",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_pt.root", root)
-      s.sql("""CREATE TABLE graft_pt.default.ord
+      s.conf.set("spark.sql.catalog.graft_pi.root", root)
+      s.sql("""CREATE TABLE graft_pi.default.ord
         (yr INT, o_orderkey BIGINT, o_totalprice DOUBLE)
         PARTITIONED BY (yr)""")
       Tables.orders(s, d).select(
@@ -989,10 +1015,10 @@ object Relational {
       val yrs = s.sql("SELECT DISTINCT yr FROM r11_pt_src ORDER BY yr")
         .collect().map(_.getInt(0)) // bounded: ≤ 8 years
       yrs.foreach { y =>
-        s.sql(s"INSERT INTO graft_pt.default.ord SELECT * FROM r11_pt_src WHERE yr = $y")
+        s.sql(s"INSERT INTO graft_pi.default.ord SELECT * FROM r11_pt_src WHERE yr = $y")
       }
       s.sql("""SELECT partition AS part, n_rows
-        FROM graft_pt.default.`ord$partitions`""")
+        FROM graft_pi.default.`ord$partitions`""")
     }),
     // GROUP BY aggregate pushdown: a table staged one-partition-per-
     // commit has VALUE-PURE files on the partition column (recorded
@@ -1062,18 +1088,18 @@ object Relational {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_stats_" +
         java.lang.ProcessHandle.current().pid()
       graft.sources.ManifestTable.destroy(s"$root/nat")
-      s.conf.set("spark.sql.catalog.graft_sj",
+      s.conf.set("spark.sql.catalog.graft_cj",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_sj.root", root)
-      s.sql("""CREATE TABLE graft_sj.default.nat
+      s.conf.set("spark.sql.catalog.graft_cj.root", root)
+      s.sql("""CREATE TABLE graft_cj.default.nat
         (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)""")
       Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
         .createOrReplaceTempView("r11_stats_nat")
-      s.sql("INSERT INTO graft_sj.default.nat SELECT * FROM r11_stats_nat")
+      s.sql("INSERT INTO graft_cj.default.nat SELECT * FROM r11_stats_nat")
       Tables.customer(s, d).createOrReplaceTempView("r11_stats_cust")
       s.sql("""SELECT n.n_name, count(*) AS n_cust,
         CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        FROM r11_stats_cust c JOIN graft_sj.default.nat n
+        FROM r11_stats_cust c JOIN graft_cj.default.nat n
           ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name""")
     }),
@@ -2065,6 +2091,11 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the named snapshot is exactly the pre-second-insert state
+    "q_sql_tag" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     // the partition inventory's row totals must be exact
     "q_sql_partitions" ->
       """SELECT 'yr=' || CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR) AS part,

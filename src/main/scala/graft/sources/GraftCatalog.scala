@@ -222,12 +222,23 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * and the immutable files they list survive until vacuum. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
+    val cur = ManifestTable.currentVersion(dir)
+    if (cur < 0)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    // SNAPSHOT TAGS: a non-numeric version resolves through the
+    // `graft.tag.<name>` property (`CALL graft.system.tag(...)`), so
+    // `VERSION AS OF 'gold_v1'` pins a NAMED snapshot — the reproducible
+    // handle a training run records instead of a raw version number.
     val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"VERSION AS OF takes a manifest version number, got '$version'")
+      case _: NumberFormatException =>
+        ManifestTable.tableProperties(dir, cur)
+          .get(GraftCatalog.TagProp + version)
+          .flatMap(_.toIntOption)
+          .getOrElse(throw new IllegalArgumentException(
+            s"VERSION AS OF takes a version number or a tag name — " +
+              s"no tag '$version' on $dir"))
     }
-    if (ManifestTable.currentVersion(dir) < 0 ||
-        !Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")))
+    if (!Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new ManifestSqlTable(s"$ident@v$v", dir, Some(v))
   }
@@ -505,7 +516,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.types._
 
   val names: Array[String] =
-    Array("rebucket", "optimize", "vacuum", "restore")
+    Array("rebucket", "optimize", "vacuum", "restore", "tag")
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, root)) else None
@@ -533,9 +544,12 @@ private[sources] object GraftProcedures {
     override def description(): String = procName match {
       case "rebucket" => "rewrite a bucketed table clustered by its " +
         "declared bucket transform, re-arming storage-partitioned joins"
-      case "optimize" => "compact small files (optionally z-order)"
+      case "optimize" => "compact small files (optionally scoped to one " +
+        "partition via partition => 'yr=1997')"
       case "vacuum" => "drop unreferenced data files and old manifests"
       case "restore" => "roll the table back to an earlier version"
+      case "tag" => "name a snapshot version for VERSION AS OF '<name>' " +
+        "time travel (defaults to the current version)"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -545,7 +559,9 @@ private[sources] object GraftProcedures {
       case "optimize" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("num_files", IntegerType)
-          .defaultValue("1").build())
+          .defaultValue("1").build(),
+        ProcedureParameter.in("partition", StringType)
+          .defaultValue("''").build())
       case "vacuum" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("keep_versions", IntegerType)
@@ -553,6 +569,11 @@ private[sources] object GraftProcedures {
       case "restore" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("version", IntegerType).build())
+      case "tag" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", IntegerType)
+          .defaultValue("-1").build())
     }
     override def call(input: org.apache.spark.sql.catalyst.InternalRow)
         : java.util.Iterator[Scan] = {
@@ -562,15 +583,56 @@ private[sources] object GraftProcedures {
         case "rebucket" => ManifestTable.rebucket(s, dir)
         case "optimize" =>
           val prev = ManifestTable.currentVersion(dir)
-          val stats = ManifestTable.listLines(dir, prev)
+          val entries = ManifestTable.listLines(dir, prev)
             .map(ManifestTable.parseEntry)
+          val stats = entries
             .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
+          // PARTITION-SCOPED maintenance: `partition => 'yr=1997'`
+          // compacts exactly that partition's files (matched by the
+          // t$partitions rendering) and keeps every other manifest line
+          // VERBATIM — at 100 TB you compact the partition you just
+          // backfilled, not the table
+          val part = input.getUTF8String(2).toString
+          val only =
+            if (part.isEmpty) None
+            else {
+              val spec = ManifestTable.tableProperties(dir, prev)
+                .getOrElse("graft.partitioning",
+                  throw new IllegalArgumentException(
+                    s"optimize(partition => '$part'): $dir declares no " +
+                      "partitioning"))
+              val (ids, bks) = GraftCatalog.partitionCols(spec)
+              val hit = entries.filter(e =>
+                GraftCatalog.partitionKeyOf(e, ids, bks) == part)
+                .map(_.name).toSet
+              require(hit.nonEmpty,
+                s"optimize(partition => '$part'): no files in that " +
+                  s"partition of $dir")
+              Some(hit)
+            }
           ManifestTable.optimize(s, dir, numFiles = input.getInt(1),
-            statsCols = stats)
+            statsCols = stats, onlyFiles = only)
         case "vacuum" =>
           ManifestTable.vacuum(dir, keepVersions = input.getInt(1))
           ManifestTable.currentVersion(dir)
         case "restore" => ManifestTable.restore(dir, input.getInt(1))
+        case "tag" =>
+          val nm = input.getUTF8String(1).toString
+          require(nm.nonEmpty && nm.forall(ch => ch.isLetterOrDigit ||
+              ch == '_' || ch == '-'),
+            s"tag name must be alphanumeric/_/-, got '$nm'")
+          val cur = ManifestTable.currentVersion(dir)
+          val tagged = input.getInt(2) match {
+            case -1 => cur
+            case x => x
+          }
+          require(tagged >= 0 && Files.exists(
+              Paths.get(dir, f"manifest-v$tagged%08d.json")),
+            s"tag('$nm'): version $tagged of $dir does not exist or is " +
+              "vacuumed")
+          ManifestTable.alterAtomic(dir, Seq(ManifestTable.AlterOp.SetProp(
+            GraftCatalog.TagProp + nm, tagged.toString)))
+          tagged
       }
       java.util.Collections.singletonList(resultScan(v)).iterator()
     }
@@ -678,6 +740,29 @@ private[sources] object GraftCatalog {
   /** Table-property tombstone for a dropped column name — re-adding it is
     * refused because immutable files still hold the old data. */
   private[sources] val DroppedProp = "graft.dropped."
+
+  /** Table-property prefix for snapshot tags: `graft.tag.<name>` holds a
+    * manifest version number, resolvable via `VERSION AS OF '<name>'`. */
+  private[sources] val TagProp = "graft.tag."
+
+  /** Render a file's partition membership exactly as `t$partitions` does:
+    * identity columns through value-pure envelopes (`c=*` when the file
+    * straddles values), bucket transforms through recorded ids. */
+  private[sources] def partitionKeyOf(e: ManifestTable.FileEntry,
+      ids: Seq[String], bks: Seq[(Int, String)]): String = {
+    def fmt(x: BigDecimal): String =
+      x.underlying.stripTrailingZeros.toPlainString
+    val idPart = ids.map { c =>
+      e.ranges.get(c) match {
+        case Some(r) if r.min == r.max => s"$c=${fmt(r.min)}"
+        case _ => s"$c=*"
+      }
+    }
+    val bkPart = bks.map { case (n, c) =>
+      s"bucket($n,$c)=${e.bucket.map(_.toString).getOrElse("*")}"
+    }
+    (idPart ++ bkPart).mkString("/")
+  }
 
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
 
@@ -2245,21 +2330,9 @@ private[sources] class ManifestMetaTable(ident: String, dir: String,
               s"$$partitions requires a PARTITIONED BY table — $dir has " +
                 "no graft.partitioning property"))
           val (ids, bks) = GraftCatalog.partitionCols(spec)
-          def fmt(x: BigDecimal): String =
-            x.underlying.stripTrailingZeros.toPlainString
           ManifestTable.listLines(dir, cur).map(ManifestTable.parseEntry)
-            .groupBy { e =>
-              val idPart = ids.map { c =>
-                e.ranges.get(c) match {
-                  case Some(r) if r.min == r.max => s"$c=${fmt(r.min)}"
-                  case _ => s"$c=*"
-                }
-              }
-              val bkPart = bks.map { case (n, c) =>
-                s"bucket($n,$c)=${e.bucket.map(_.toString).getOrElse("*")}"
-              }
-              (idPart ++ bkPart).mkString("/")
-            }.toSeq.sortBy(_._1).map { case (p, es) =>
+            .groupBy(GraftCatalog.partitionKeyOf(_, ids, bks))
+            .toSeq.sortBy(_._1).map { case (p, es) =>
               Seq(p, es.size.toLong,
                 if (es.forall(_.rows.isDefined))
                   Long.box(es.flatMap(_.rows).sum) else null,

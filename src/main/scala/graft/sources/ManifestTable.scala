@@ -2138,7 +2138,8 @@ object ManifestTable {
     * fewer than 2 small files — nothing worth rewriting). */
   def optimize(s: SparkSession, dir: String, numFiles: Int = 1,
       zorderBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      smallFileBytes: Long = Long.MaxValue, maxRetries: Int = 10): Int = {
+      smallFileBytes: Long = Long.MaxValue, maxRetries: Int = 10,
+      onlyFiles: Option[Set[String]] = None): Int = {
     import org.apache.spark.sql.functions.{col => c}
     require(zorderBy.isEmpty || zorderBy.size == 2,
       "zorderBy takes exactly two integral columns (Morton interleave)")
@@ -2147,8 +2148,13 @@ object ManifestTable {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to optimize in $dir")
       val lines = listLines(dir, v)
+      // `onlyFiles` scopes the rewrite (partition-targeted maintenance):
+      // a file outside the set keeps its manifest line verbatim no
+      // matter its size
       val (small, big) = lines.partition { l =>
-        Files.size(Paths.get(dataPath(dir, l.split('\t').head))) < smallFileBytes
+        val name = l.split('\t').head
+        onlyFiles.forall(_.contains(name)) &&
+          Files.size(Paths.get(dataPath(dir, name))) < smallFileBytes
       }
       // nothing worth rewriting (zorder with zero admitted files included:
       // reading an empty path list would throw, and the layout is a no-op)

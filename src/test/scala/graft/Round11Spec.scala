@@ -1249,6 +1249,51 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("snapshot tags name versions; optimize scopes to one partition verbatim") {
+    val root = freshDir("tag")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g11tg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11tg.root", root)
+    spark.sql("CREATE TABLE g11tg.default.t (yr INT, k BIGINT) PARTITIONED BY (yr)")
+    Seq(1996, 1996, 1997, 1997).zipWithIndex.foreach { case (y, i) =>
+      spark.sql(s"INSERT INTO g11tg.default.t VALUES ($y, ${i * 10}), ($y, ${i * 10 + 1})")
+    }
+    val totalBefore = spark.sql("SELECT count(*) FROM g11tg.default.t")
+      .collect().head.getLong(0)
+    spark.sql("CALL g11tg.system.tag(table => 't', name => 'pre-opt')")
+    // partition-scoped compaction: 1997 lines survive byte-for-byte
+    val v0 = ManifestTable.currentVersion(dir)
+    def is97(l: String): Boolean =
+      ManifestTable.parseEntry(l).ranges.get("yr")
+        .exists(r => r.min == r.max && r.min.toIntExact == 1997)
+    val lines97 = ManifestTable.listLines(dir, v0).filter(is97).sorted
+    assert(lines97.size == 2)
+    spark.sql(
+      "CALL g11tg.system.optimize(table => 't', partition => 'yr=1996')")
+    val v1 = ManifestTable.currentVersion(dir)
+    val after97 = ManifestTable.listLines(dir, v1).filter(is97).sorted
+    assert(after97 == lines97,
+      "a partition-scoped optimize must keep other partitions' lines verbatim")
+    val parts = spark.sql(
+      """SELECT partition, n_files FROM g11tg.default.`t$partitions`""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts("yr=1996") == 1L && parts("yr=1997") == 2L, s"got $parts")
+    // answers invariant; the tag still resolves to the pre-opt snapshot
+    assert(spark.sql("SELECT count(*) FROM g11tg.default.t")
+      .collect().head.getLong(0) == totalBefore)
+    spark.sql("INSERT INTO g11tg.default.t VALUES (1998, 99)")
+    assert(spark.sql(
+      "SELECT count(*) FROM g11tg.default.t VERSION AS OF 'pre-opt'")
+      .collect().head.getLong(0) == totalBefore,
+      "the tag must pin the named snapshot across later commits")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g11tg.default.t VERSION AS OF 'no-such-tag'")
+        .collect()
+    }
+    ManifestTable.destroy(root)
+  }
+
   test("DROP COLUMN: declared authority hides the bytes; re-ADD of the name refused") {
     val root = freshDir("dropc")
     spark.conf.set("spark.sql.catalog.g11dc",
