@@ -66,7 +66,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * from the reader (see `ManifestParquetReader`), never a rewrite. */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def dirOf(ident: Identifier): String = {
     val ns = ident.namespace().toSeq.filterNot(_ == "default")
@@ -304,6 +305,37 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       s"table $ident already exists")
     commitCreate(dir, schema, partitions, properties)
     new ManifestSqlTable(ident.toString, dir, None)
+  }
+
+  /** The Column[]-typed CREATE TABLE — overridden because the default
+    * bridge to the StructType overload DROPS `generationExpression`, and
+    * a generated column whose expression never reaches the declared
+    * schema can never be computed at write. Defaults and comments are
+    * encoded the same way the ALTER path stores them; identity columns
+    * are refused loudly (auto-increment needs write coordination this
+    * engine does not promise). */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+    val fields = columns.map { c =>
+      require(c.identityColumnSpec() == null,
+        s"identity column '${c.name()}' unsupported")
+      val mb = new MetadataBuilder().withMetadata(
+        Option(c.metadataInJSON()).filter(_.nonEmpty)
+          .map(Metadata.fromJson).getOrElse(Metadata.empty))
+      Option(c.comment()).filter(_.nonEmpty)
+        .foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).foreach { dv =>
+        mb.putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY, dv.getSql())
+        mb.putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, dv.getSql())
+      }
+      Option(c.generationExpression()).filter(_.nonEmpty)
+        .foreach(mb.putString("GENERATION_EXPRESSION", _))
+      StructField(c.name(), c.dataType(), c.nullable(), mb.build())
+    }
+    createTable(ident, StructType(fields.toIndexedSeq), partitions, properties)
   }
 
   /** ALTER TABLE statements that map onto existing metadata primitives:
@@ -1010,7 +1042,12 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
       // partition overwrite (which has no V1 fallback exec); plain
       // appends still plan V1 because build() returns a V1Write
       TableCapability.BATCH_WRITE, TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer widens the declared
+      // schema through the ordinary ADD COLUMN path (source-only columns
+      // become appended nullable columns; old files serve NULL) before
+      // planning the row-level write
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestSqlScanBuilder(dir, schema(), pinned,
@@ -1999,11 +2036,29 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
       }
 
         private def doInsert(s: org.apache.spark.sql.SparkSession,
-            data: DataFrame): Unit = {
+            data0: DataFrame): Unit = {
           var attempt = 0
           var done = false
           while (!done && attempt < 10) {
             val v = ManifestTable.currentVersion(dir)
+            // GENERATED ALWAYS AS — computed HERE, at write (Spark's
+            // analyzer validates the expression at CREATE but leaves the
+            // computation to the connector): the declared expression
+            // overwrites whatever arrived for the column, so a generated
+            // value can never drift from its definition. Declared
+            // partitioning on a generated column then clusters by it —
+            // the hidden-partitioning ergonomic: users insert `ts`,
+            // pruning works on `yr`.
+            val data = ManifestTable.declaredSchema(dir, v)
+              .map(org.apache.spark.sql.types.DataType.fromJson(_)
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+              .map(_.fields.filter(_.metadata.contains("GENERATION_EXPRESSION")))
+              .filter(_.nonEmpty)
+              .map(_.foldLeft(data0) { (df, f) =>
+                df.withColumn(f.name, org.apache.spark.sql.functions
+                  .expr(f.metadata.getString("GENERATION_EXPRESSION"))
+                  .cast(f.dataType))
+              }).getOrElse(data0)
             // PARTITIONED BY = write clustering: identity columns range-
             // cluster (each file holds a tight value envelope → range
             // stats prune partition predicates), bucket columns hash-

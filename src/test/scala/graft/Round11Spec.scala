@@ -1249,6 +1249,63 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target with source-only columns") {
+    val root = freshDir("mse")
+    spark.conf.set("spark.sql.catalog.g11ms",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ms.root", root)
+    spark.sql("CREATE TABLE g11ms.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO g11ms.default.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("""SELECT k, CAST(v AS DOUBLE) AS v, note
+      FROM VALUES (2L, 20.0, 'hot'), (3L, 30.0, 'new') AS s(k, v, note)""")
+      .createOrReplaceTempView("r11_mse_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO g11ms.default.t t
+      USING r11_mse_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT k, v, note FROM g11ms.default.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse("NULL"))).toSeq
+    assert(rows == Seq((1L, 1.0, "NULL"), (2L, 20.0, "hot"), (3L, 30.0, "new")),
+      s"schema evolution must add 'note', update matches, insert new: $rows")
+    ManifestTable.destroy(root)
+  }
+
+  test("generated columns: GENERATED ALWAYS AS computed at write, partitions cluster by it") {
+    val root = freshDir("gen")
+    spark.conf.set("spark.sql.catalog.g11gn",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11gn.root", root)
+    spark.sql("""CREATE TABLE g11gn.default.t
+      (d DATE, v DOUBLE, yr INT GENERATED ALWAYS AS (year(d)))
+      PARTITIONED BY (yr)""")
+    Tables.orders(spark, sf)
+      .select(col("o_orderdate").as("d"), col("o_totalprice").as("v"),
+        lit(null).cast("int").as("yr")) // value ignored: ALWAYS overwrites
+      .createOrReplaceTempView("r11_gen_src")
+    spark.sql("INSERT INTO g11gn.default.t SELECT * FROM r11_gen_src")
+    // the generated value can never drift from its definition
+    assert(spark.sql(
+      "SELECT count(*) FROM g11gn.default.t WHERE yr <> year(d) OR yr IS NULL")
+      .collect().head.getLong(0) == 0L,
+      "every row must carry the computed generation expression")
+    // the declared identity partitioning clusters by the generated value:
+    // the partition inventory resolves real yr partitions
+    val parts = spark.sql(
+      "SELECT partition FROM g11gn.default.`t$partitions`")
+      .collect().map(_.getString(0)).toSet
+    assert(parts.exists(_.matches("yr=\\d{4}")), s"got $parts")
+    // …and a predicate on the generated column file-prunes
+    val kept = spark.sql(
+      "SELECT count(*) FROM g11gn.default.t WHERE yr = 1997")
+      .collect().head.getLong(0)
+    val want = spark.sql(
+      "SELECT count(*) FROM r11_gen_src WHERE year(d) = 1997")
+      .collect().head.getLong(0)
+    assert(kept == want)
+    ManifestTable.destroy(root)
+  }
+
   test("snapshot tags name versions; optimize scopes to one partition verbatim") {
     val root = freshDir("tag")
     val dir = s"$root/t"
