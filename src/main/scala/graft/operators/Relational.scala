@@ -967,6 +967,30 @@ object Relational {
       s.sql("""SELECT o_orderstatus, n, sum_price
         FROM graft_ct.default.summ""")
     }),
+    // GENERATED COLUMNS as hidden partitioning: the table declares
+    // `yr INT GENERATED ALWAYS AS (year(d))` and partitions by it — the
+    // user inserts dates, the engine computes and clusters by the
+    // derived value at write, and the roll-up groups by a column nobody
+    // ever supplied. The Iceberg partition-transform ergonomic with an
+    // explicit (queryable) column.
+    "q_sql_generated" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_gen_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_gn",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_gn.root", root)
+      s.sql("""CREATE TABLE graft_gn.default.ord
+        (d DATE, v DOUBLE, yr INT GENERATED ALWAYS AS (year(d)))
+        PARTITIONED BY (yr)""")
+      Tables.orders(s, d).select(col("o_orderdate").as("d"),
+          col("o_totalprice").as("v"), lit(null).cast("int").as("yr"))
+        .createOrReplaceTempView("r11_gen_q_src")
+      s.sql("INSERT INTO graft_gn.default.ord SELECT * FROM r11_gen_q_src")
+      s.sql("""SELECT yr, count(*) AS n,
+        CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM graft_gn.default.ord GROUP BY yr""")
+    }),
     // SNAPSHOT TAGS: `CALL graft.system.tag(table, name)` names the
     // current version; `VERSION AS OF '<name>'` time-travels to it by
     // name — the reproducible handle a training run records ("corpus
@@ -2091,6 +2115,11 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the generated column is exactly its defining expression
+    "q_sql_generated" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM orders GROUP BY 1""".stripMargin,
     // the named snapshot is exactly the pre-second-insert state
     "q_sql_tag" ->
       """SELECT count(*) AS n,

@@ -221,15 +221,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * committed version; everything else (pruned parquet-mr scan, marker
     * refusal) is identical. Free with this layout: historical manifests
     * and the immutable files they list survive until vacuum. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = dirOf(ident)
+  /** Resolve a VERSION AS OF operand: a number, or a SNAPSHOT TAG name
+    * recorded as a `graft.tag.<name>` property (`CALL graft.system.tag`)
+    * — so `VERSION AS OF 'gold_v1'` pins a NAMED snapshot, the
+    * reproducible handle a training run records instead of a raw
+    * version number. Throws if the resolved manifest is vacuumed. */
+  private def resolveVersion(dir: String, version: String): Int = {
     val cur = ManifestTable.currentVersion(dir)
-    if (cur < 0)
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    // SNAPSHOT TAGS: a non-numeric version resolves through the
-    // `graft.tag.<name>` property (`CALL graft.system.tag(...)`), so
-    // `VERSION AS OF 'gold_v1'` pins a NAMED snapshot — the reproducible
-    // handle a training run records instead of a raw version number.
     val v = try version.toInt catch {
       case _: NumberFormatException =>
         ManifestTable.tableProperties(dir, cur)
@@ -239,8 +237,28 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             s"VERSION AS OF takes a version number or a tag name — " +
               s"no tag '$version' on $dir"))
     }
-    if (!Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")))
+    require(Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")),
+      s"version $v of $dir does not exist or is vacuumed")
+    v
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    // metadata tables time-travel too: `t$files VERSION AS OF 3` is the
+    // file inventory AS IT WAS — the forensic view after an incident
+    if (ident.name().contains("$")) {
+      val parts = ident.name().split("\\$", 2)
+      val dir = dirOf(Identifier.of(ident.namespace(), parts(0)))
+      if (ManifestTable.currentVersion(dir) < 0)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      require(parts(1) != "changes",
+        "t$changes takes startVersion/endVersion read options, not VERSION AS OF")
+      val v = resolveVersion(dir, version)
+      return new ManifestMetaTable(s"$ident@v$v", dir, parts(1), Some(v))
+    }
+    val dir = dirOf(ident)
+    if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val v = resolveVersion(dir, version)
     new ManifestSqlTable(s"$ident@v$v", dir, Some(v))
   }
 
@@ -2315,7 +2333,7 @@ private[sources] class GraftDeltaOperation(dir: String,
   * metadata on the driver at scan time — zero data I/O, bounded by
   * |versions| / |files| / |props|, never by row count. */
 private[sources] class ManifestMetaTable(ident: String, dir: String,
-    kind: String) extends Table with SupportsRead {
+    kind: String, pinned: Option[Int] = None) extends Table with SupportsRead {
   import org.apache.spark.sql.types._
 
   override def name(): String = ident
@@ -2348,7 +2366,7 @@ private[sources] class ManifestMetaTable(ident: String, dir: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => {
-      val cur = ManifestTable.currentVersion(dir)
+      val cur = pinned.getOrElse(ManifestTable.currentVersion(dir))
       val rows: Seq[Seq[Any]] = kind match {
         case "history" => (0 to cur)
           .filter(v => Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")))

@@ -1348,6 +1348,11 @@ class Round11Spec extends AnyFunSuite {
       spark.sql("SELECT * FROM g11tg.default.t VERSION AS OF 'no-such-tag'")
         .collect()
     }
+    // metadata tables time-travel too — the file inventory AS IT WAS
+    assert(spark.sql(
+      "SELECT count(*) FROM g11tg.default.`t$files` VERSION AS OF 'pre-opt'")
+      .collect().head.getLong(0) == 4L,
+      "t\\$files at the tag must list the pre-compaction files")
     ManifestTable.destroy(root)
   }
 
