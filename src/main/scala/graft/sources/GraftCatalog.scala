@@ -396,6 +396,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             "resurface its old data — use a new name")
         Seq(ManifestTable.AlterOp.AddCol(ac.fieldNames().head, ac.dataType(),
           Option(ac.defaultValue()).map(_.getSql())))
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only")
+        Seq(ManifestTable.AlterOp.WidenCol(ut.fieldNames().head,
+          ut.newDataType()))
       // CHECK CONSTRAINTS as table properties: `graft.constraint.<name>`
       // holds the URL-encoded predicate SQL, so the always-carried #prop
       // machinery gives persistence, atomic multi-change ALTER, and
@@ -791,6 +796,21 @@ private[sources] object GraftCatalog {
     * refused because immutable files still hold the old data. */
   private[sources] val DroppedProp = "graft.dropped."
 
+  /** Type-widening conversions old data files can serve WITHOUT a
+    * rewrite: the row reader decodes the narrow physical value and
+    * widens it in flight. Decimal widens precision at a fixed scale. */
+  private[sources] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
   /** Table-property prefix for snapshot tags: `graft.tag.<name>` holds a
     * manifest version number, resolvable via `VERSION AS OF '<name>'`. */
   private[sources] val TagProp = "graft.tag."
@@ -1046,7 +1066,8 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
         // (the bytes stay in the immutable files, the schema stops
         // exposing them — a tombstone refuses re-adding the name).
         case Some(d) if d.fields.forall(df => observed.fields.forall(f =>
-            f.name != df.name || f.dataType == df.dataType)) => d
+            f.name != df.name || f.dataType == df.dataType ||
+              GraftCatalog.widens(f.dataType, df.dataType))) => d
         case _ => observed
       }
     }

@@ -432,6 +432,15 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
           case TimestampType | TimestampNTZType
               if g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName ==
                 PrimitiveTypeName.INT96 => int96Micros(g, idx)
+          // TYPE-WIDENED reads: a file written before `ALTER COLUMN …
+          // TYPE` keeps its narrow physical encoding; decode it and
+          // widen in flight — the no-rewrite evolution contract
+          case LongType
+              if g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName ==
+                PrimitiveTypeName.INT32 => g.getInteger(idx, 0).toLong
+          case DoubleType
+              if g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName ==
+                PrimitiveTypeName.FLOAT => g.getFloat(idx, 0).toDouble
           case LongType | TimestampType | TimestampNTZType => g.getLong(idx, 0)
           case IntegerType | DateType => g.getInteger(idx, 0)
           case DoubleType => g.getDouble(idx, 0)

@@ -1572,6 +1572,8 @@ object ManifestTable {
         dataType: org.apache.spark.sql.types.DataType,
         defaultSql: Option[String] = None) extends AlterOp
     final case class DropCol(name: String) extends AlterOp
+    final case class WidenCol(name: String,
+        to: org.apache.spark.sql.types.DataType) extends AlterOp
   }
 
   /** Apply a MULTI-CHANGE `ALTER TABLE` statement as ONE commit — the
@@ -1603,11 +1605,15 @@ object ManifestTable {
           "column names may not contain tabs/newlines")
         // a dropped column may still be referenced by a governance policy
         // — the policy authority must be re-declared first, like renames
+      case AlterOp.WidenCol(n, _) =>
+        require(!n.contains('\t') && !n.contains('\n'),
+          "column names may not contain tabs/newlines")
       case _: AlterOp.RemoveProp => ()
     }
     val renameOps = ops.collect { case r: AlterOp.Rename => r }
     val addOps = ops.collect { case a: AlterOp.AddCol => a }
     val dropOps = ops.collect { case d: AlterOp.DropCol => d }
+    val widenOps = ops.collect { case w: AlterOp.WidenCol => w }
     var attempt = 0
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
@@ -1648,9 +1654,10 @@ object ManifestTable {
             else Some(ManifestStreamSource.toSparkSchema(
               ManifestStreamSource.footerSchema(dataPath(dir, files.head))))
           }
-      if (addOps.nonEmpty || dropOps.nonEmpty) require(baseSchema.isDefined,
-        "ADD/DROP COLUMN on a table with no schema authority (no declared " +
-          "schema and no data files)")
+      if (addOps.nonEmpty || dropOps.nonEmpty || widenOps.nonEmpty)
+        require(baseSchema.isDefined,
+          "ADD/DROP/ALTER COLUMN on a table with no schema authority (no " +
+            "declared schema and no data files)")
       dropOps.foreach { d =>
         val nameRe =
           ("\\b" + java.util.regex.Pattern.quote(d.name) + "\\b").r
@@ -1682,6 +1689,20 @@ object ManifestTable {
             }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
             st.add(org.apache.spark.sql.types.StructField(n, dt,
               nullable = true, metadata = meta))
+          // TYPE WIDENING — a declared type change the immutable files
+          // can serve without rewriting: the reader decodes the narrow
+          // physical value and widens it (int32→bigint, float→double,
+          // decimal precision up at fixed scale). Anything else refuses.
+          case (st, AlterOp.WidenCol(n, to)) =>
+            val f = st.fields.find(_.name == n).getOrElse(
+              throw new IllegalArgumentException(
+                s"ALTER COLUMN '$n' TYPE refused: no such column"))
+            require(GraftCatalog.widens(f.dataType, to),
+              s"ALTER COLUMN '$n' TYPE: only widening conversions are " +
+                s"supported (${f.dataType.simpleString} -> " +
+                s"${to.simpleString} is not)")
+            org.apache.spark.sql.types.StructType(st.fields.map(x =>
+              if (x.name == n) x.copy(dataType = to) else x))
           case (st, AlterOp.DropCol(n)) =>
             require(st.fieldNames.contains(n),
               s"DROP COLUMN '$n' refused: no such column")
@@ -1692,7 +1713,7 @@ object ManifestTable {
         }
         s"$SchemaPrefix${st.json}"
       }.filter(_ => declaredSchema(dir, v).isDefined || addOps.nonEmpty ||
-          dropOps.nonEmpty)
+          dropOps.nonEmpty || widenOps.nonEmpty)
         .toSeq
       // DVs carry through property-only alters; with renames they are
       // required empty above (the DV×rename refusal, both directions)

@@ -1249,6 +1249,39 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("type widening: ALTER COLUMN TYPE serves old files unrewritten") {
+    val root = freshDir("tw")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g11tw",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11tw.root", root)
+    spark.sql("CREATE TABLE g11tw.default.t (k INT, v FLOAT, m DECIMAL(10,2))")
+    spark.sql("""INSERT INTO g11tw.default.t VALUES
+      (1, CAST(1.5 AS FLOAT), 10.25), (2, CAST(2.5 AS FLOAT), 20.50)""")
+    val before = ManifestTable.listLines(dir, ManifestTable.currentVersion(dir))
+    spark.sql("ALTER TABLE g11tw.default.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE g11tw.default.t ALTER COLUMN v TYPE DOUBLE")
+    spark.sql("ALTER TABLE g11tw.default.t ALTER COLUMN m TYPE DECIMAL(18,2)")
+    assert(ManifestTable.listLines(dir, ManifestTable.currentVersion(dir)) == before,
+      "type widening must not rewrite or restage any file")
+    val sch = spark.table("g11tw.default.t").schema.map(f =>
+      f.name -> f.dataType.simpleString).toMap
+    assert(sch == Map("k" -> "bigint", "v" -> "double", "m" -> "decimal(18,2)"),
+      s"got $sch")
+    // a value only the WIDE type can hold lands beside the narrow files
+    spark.sql("INSERT INTO g11tw.default.t VALUES (3000000000, 3.5, 30.75)")
+    val r = spark.sql("""SELECT CAST(sum(k) AS BIGINT), CAST(sum(v) AS DOUBLE),
+      CAST(sum(m) AS DECIMAL(18,2)) FROM g11tw.default.t""").collect().head
+    assert(r.getLong(0) == 3000000003L)
+    assert(math.abs(r.getDouble(1) - 7.5) < 1e-9)
+    assert(r.getDecimal(2) == new java.math.BigDecimal("61.50"))
+    // narrowing refuses — files could hold values the narrow type cannot
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g11tw.default.t ALTER COLUMN k TYPE INT")
+    }
+    ManifestTable.destroy(root)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens the target with source-only columns") {
     val root = freshDir("mse")
     spark.conf.set("spark.sql.catalog.g11ms",
