@@ -67,7 +67,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def dirOf(ident: Identifier): String = {
     val ns = ident.namespace().toSeq.filterNot(_ == "default")
@@ -338,11 +339,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
     import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
     val fields = columns.map { c =>
-      require(c.identityColumnSpec() == null,
-        s"identity column '${c.name()}' unsupported")
       val mb = new MetadataBuilder().withMetadata(
         Option(c.metadataInJSON()).filter(_.nonEmpty)
           .map(Metadata.fromJson).getOrElse(Metadata.empty))
+      Option(c.identityColumnSpec()).foreach { is =>
+        require(c.dataType() == org.apache.spark.sql.types.LongType ||
+            c.dataType() == org.apache.spark.sql.types.IntegerType,
+          s"identity column '${c.name()}' must be INT or BIGINT")
+        mb.putLong("identity.start", is.getStart)
+        mb.putLong("identity.step", is.getStep)
+        mb.putBoolean("identity.allowExplicitInsert", is.isAllowExplicitInsert)
+      }
       Option(c.comment()).filter(_.nonEmpty)
         .foreach(mb.putString("comment", _))
       Option(c.defaultValue()).foreach { dv =>
@@ -810,6 +817,11 @@ private[sources] object GraftCatalog {
       case _ => false
     }
   }
+
+  /** Table-property prefix for identity-column high-water marks: the
+    * farthest assigned value in the step's direction, advanced in the
+    * same commit as the rows it covers. */
+  private[sources] val IdentityProp = "graft.identity."
 
   /** Table-property prefix for snapshot tags: `graft.tag.<name>` holds a
     * manifest version number, resolvable via `VERSION AS OF '<name>'`. */
@@ -2088,9 +2100,10 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
             // partitioning on a generated column then clusters by it —
             // the hidden-partitioning ergonomic: users insert `ts`,
             // pruning works on `yr`.
-            val data = ManifestTable.declaredSchema(dir, v)
+            val declaredF = ManifestTable.declaredSchema(dir, v)
               .map(org.apache.spark.sql.types.DataType.fromJson(_)
                 .asInstanceOf[org.apache.spark.sql.types.StructType])
+            val dataG = declaredF
               .map(_.fields.filter(_.metadata.contains("GENERATION_EXPRESSION")))
               .filter(_.nonEmpty)
               .map(_.foldLeft(data0) { (df, f) =>
@@ -2098,6 +2111,33 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                   .expr(f.metadata.getString("GENERATION_EXPRESSION"))
                   .cast(f.dataType))
               }).getOrElse(data0)
+            // IDENTITY columns — connector-assigned at write: values are
+            // `frontier + k*step` with k from monotonically_increasing_id
+            // (unique per row; gaps allowed — the standard warehouse
+            // identity contract), and the batch's new frontier is read
+            // back from the staged files' OWN stats and published in the
+            // SAME commit, so a lost CAS race re-stages against the
+            // winner's frontier and ids can never collide.
+            val idInfo = declaredF.toSeq
+              .flatMap(_.fields.filter(_.metadata.contains("identity.start")))
+              .headOption.map { f =>
+                val step = f.metadata.getLong("identity.step")
+                val hw0 = ManifestTable.tableProperties(dir, v)
+                  .get(GraftCatalog.IdentityProp + f.name).map(_.toLong)
+                  .getOrElse(f.metadata.getLong("identity.start") - step)
+                (f, step, hw0)
+              }
+            val data = idInfo.map { case (f, step, hw0) =>
+              import org.apache.spark.sql.functions.{coalesce, lit,
+                monotonically_increasing_id, col => cf}
+              val gen = (lit(hw0 + step) +
+                monotonically_increasing_id() * lit(step)).cast(f.dataType)
+              val assigned =
+                if (f.metadata.getBoolean("identity.allowExplicitInsert"))
+                  coalesce(cf(f.name), gen) // BY DEFAULT: user value wins
+                else gen // ALWAYS: the engine's assignment is authoritative
+              dataG.withColumn(f.name, assigned)
+            }.getOrElse(dataG)
             // PARTITIONED BY = write clustering: identity columns range-
             // cluster (each file holds a tight value envelope → range
             // stats prune partition predicates), bucket columns hash-
@@ -2189,6 +2229,28 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                 }))
               case None => None
             }
+            // identity frontier published in the SAME commit: the new
+            // high-water is read from the staged files' own stats (covers
+            // BY DEFAULT explicit values beyond the generated range)
+            val meta: Seq[String] = {
+              val base = ManifestTable.carriedMeta(dir, v)
+              idInfo match {
+                case Some((f, step, hw0)) =>
+                  val fronts = staged.map(ManifestTable.parseEntry)
+                    .flatMap(_.ranges.get(f.name))
+                    .map(r => if (step > 0) r.max else r.min)
+                  val frontier =
+                    if (fronts.isEmpty) hw0
+                    else {
+                      val b = (if (step > 0) fronts.max else fronts.min)
+                        .toLongExact
+                      if (step > 0) math.max(hw0, b) else math.min(hw0, b)
+                    }
+                  val key = s"#prop\t${GraftCatalog.IdentityProp}${f.name}\t"
+                  base.filterNot(_.startsWith(key)) :+ s"$key$frontier"
+                case None => base
+              }
+            }
             done = (dnf, overwrite) match {
               case (Some(conjs), _) =>
                 // FILTERED overwrite: delete exactly the matching rows.
@@ -2227,16 +2289,13 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                     ManifestTable.stageWithStats(s, dir, sv, statsCols)
                   }
                 ManifestTable.commitMutate(dir,
-                  untouched ++ survivors ++ staged ++
-                    ManifestTable.carriedMeta(dir, v), v)
+                  untouched ++ survivors ++ staged ++ meta, v)
               case (None, true) => // whole-table overwrite (TRUNCATE shape)
-                ManifestTable.commitMutate(dir,
-                  staged ++ ManifestTable.carriedMeta(dir, v), v)
+                ManifestTable.commitMutate(dir, staged ++ meta, v)
               case (None, false) => ManifestTable.commit(dir,
                 ManifestTable.listLines(dir, v) ++ staged ++
                   ManifestTable.dvLines(dir, v) ++
-                  ManifestTable.renameLines(dir, v) ++
-                  ManifestTable.carriedMeta(dir, v), v)
+                  ManifestTable.renameLines(dir, v) ++ meta, v)
             }
             attempt += 1 // lost the race: re-read, re-append (orphans stay)
           }

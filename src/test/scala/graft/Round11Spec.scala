@@ -1249,6 +1249,43 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("identity columns: unique ids across commits, BY DEFAULT honors explicit values") {
+    val root = freshDir("idc")
+    spark.conf.set("spark.sql.catalog.g11id",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11id.root", root)
+    spark.sql("""CREATE TABLE g11id.default.t
+      (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 10),
+       v DOUBLE)""")
+    spark.sql("INSERT INTO g11id.default.t (v) VALUES (1.0), (2.0), (3.0)")
+    spark.sql("INSERT INTO g11id.default.t (v) VALUES (4.0), (5.0)")
+    val ids = spark.sql("SELECT id FROM g11id.default.t").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.size == 5 && ids.distinct.size == 5,
+      s"ids must be unique across commits: $ids")
+    assert(ids.forall(i => i >= 100 && (i - 100) % 10 == 0),
+      s"ids must follow START 100 INCREMENT 10: $ids")
+    // the second commit starts past the first's frontier
+    val firstMax = spark.sql(
+      "SELECT max(id) FROM g11id.default.t VERSION AS OF 1").collect()
+      .head.getLong(0)
+    assert(ids.count(_ > firstMax) == 2,
+      "the later commit's ids must all clear the earlier frontier")
+    // BY DEFAULT: an explicit value wins, NULLs still generate — and the
+    // frontier clears explicit values too
+    spark.sql("""CREATE TABLE g11id.default.d
+      (id BIGINT GENERATED BY DEFAULT AS IDENTITY, v DOUBLE)""")
+    spark.sql("INSERT INTO g11id.default.d VALUES (500, 1.0), (NULL, 2.0)")
+    spark.sql("INSERT INTO g11id.default.d (v) VALUES (3.0)")
+    val d = spark.sql("SELECT id, v FROM g11id.default.d ORDER BY v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(d.map(_._1).distinct.size == 3, s"got $d")
+    assert(d.head._1 == 500L, "explicit identity value must be preserved")
+    assert(d.last._1 > 500L,
+      "generation must clear the explicit high-water, never collide")
+    ManifestTable.destroy(root)
+  }
+
   test("type widening: ALTER COLUMN TYPE serves old files unrewritten") {
     val root = freshDir("tw")
     val dir = s"$root/t"
