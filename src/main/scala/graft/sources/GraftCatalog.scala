@@ -863,30 +863,50 @@ private[sources] object GraftCatalog {
           }.getOrElse(throw new IllegalArgumentException(
             s"bucket transform without a bucket count: $t"))
           s"bucket($n,${t.references().head.fieldNames().mkString(".")})"
+        // `CREATE TABLE … CLUSTER BY (a, b)` — liquid-style clustering
+        // WITHOUT partition semantics: inserts range-cluster on the
+        // declared columns so file envelopes stay tight and predicates
+        // on them prune, but no partition identity is promised (no
+        // t$partitions rows, no dynamic-overwrite role)
+        case "cluster_by" =>
+          s"cluster(${t.references().map(_.fieldNames().mkString(".")).mkString(",")})"
         case other => throw new UnsupportedOperationException(
           s"PARTITIONED BY transform '$other' is not supported " +
-            "(supported: identity columns, bucket(n, col))")
+            "(supported: identity columns, bucket(n, col), CLUSTER BY)")
       }
     }.mkString(";")
 
   private val IdentityRe = """identity\(([^)]+)\)""".r
+  private val ClusterRe = """cluster\(([^)]+)\)""".r
   private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
 
   /** Parse the `graft.partitioning` property back into DSv2 transforms. */
   def decodePartitioning(spec: String): Array[Transform] =
     spec.split(';').filter(_.nonEmpty).flatMap {
       case IdentityRe(c) => Some(Expressions.identity(c))
+      case ClusterRe(cs) => Some(
+        org.apache.spark.sql.connector.expressions.ClusterByTransform(
+          cs.split(',').map(_.trim).filter(_.nonEmpty).toIndexedSeq
+            .map(c => Expressions.column(c)
+              .asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference])))
       case s => BucketRe.findFirstMatchIn(s)
         .map(m => Expressions.bucket(m.group(1).toInt, m.group(2)))
     }
 
-  /** (identity columns, bucket specs) of a partitioning property value. */
+  /** (identity columns, bucket specs) of a partitioning property value.
+    * CLUSTER BY columns are deliberately NOT here — they shape writes
+    * (see [[clusterCols]]) without partition semantics. */
   def partitionCols(spec: String): (Seq[String], Seq[(Int, String)]) = {
     val ids = IdentityRe.findAllMatchIn(spec).map(_.group(1)).toSeq
     val bks = BucketRe.findAllMatchIn(spec)
       .map(m => (m.group(1).toInt, m.group(2))).toSeq
     (ids, bks)
   }
+
+  /** CLUSTER BY columns of a partitioning property value. */
+  def clusterCols(spec: String): Seq[String] =
+    ClusterRe.findAllMatchIn(spec).toSeq
+      .flatMap(_.group(1).split(',')).map(_.trim).filter(_.nonEmpty)
 }
 
 /** One manifest table surfaced to SQL: snapshot-pinned batch scan (pruned
@@ -2164,8 +2184,17 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                 statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols)
               case Some(spec) =>
                 val (ids, bks) = GraftCatalog.partitionCols(spec)
+                val clus = GraftCatalog.clusterCols(spec)
                 import org.apache.spark.sql.functions.{col => c}
-                if (ids.isEmpty && bks.isEmpty)
+                if (ids.isEmpty && bks.isEmpty && clus.nonEmpty) {
+                  // CLUSTER BY: range-cluster the insert on the declared
+                  // columns — tight per-file envelopes make predicates on
+                  // them prune — with NO partition identity promised
+                  val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+                  ManifestTable.stageWithIndexes(s, dir,
+                    data.repartitionByRange(n, clus.map(c): _*),
+                    statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols)
+                } else if (ids.isEmpty && bks.isEmpty)
                   ManifestTable.stageWithIndexes(s, dir, data,
                     statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols)
                 else {

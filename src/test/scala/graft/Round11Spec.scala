@@ -1249,6 +1249,39 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("CLUSTER BY: inserts range-cluster so the clustered column prunes") {
+    val root = freshDir("clus")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g11cl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11cl.root", root)
+    spark.sql("""CREATE TABLE g11cl.default.t (k BIGINT, v DOUBLE)
+      CLUSTER BY (k)""")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      .createOrReplaceTempView("r11_clus_src")
+    spark.sql("INSERT INTO g11cl.default.t SELECT * FROM r11_clus_src")
+    val cur = ManifestTable.currentVersion(dir)
+    val entries = ManifestTable.listLines(dir, cur).map(ManifestTable.parseEntry)
+    assert(entries.size > 1, "clustered insert should produce several files")
+    // range clustering = tight, mostly non-overlapping k envelopes
+    val spans = entries.flatMap(_.ranges.get("k")).sortBy(_.min)
+    spans.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.min >= a.max - 1, s"clustered envelopes must not interleave: $a vs $b")
+    case _ => () }
+    // …so a point predicate admits few files
+    val kMid = spans(spans.size / 2).min
+    val admitted = entries.count(e => e.ranges.get("k").exists(r =>
+      r.min <= kMid && kMid <= r.max))
+    assert(admitted <= 2, s"point lookup should prune to ≤2 files, got $admitted")
+    // answers exact
+    assert(spark.sql(s"SELECT count(*) FROM g11cl.default.t WHERE k = $kMid")
+      .collect().head.getLong(0) ==
+      spark.sql(s"SELECT count(*) FROM r11_clus_src WHERE k = $kMid")
+        .collect().head.getLong(0))
+    ManifestTable.destroy(root)
+  }
+
   test("identity columns: unique ids across commits, BY DEFAULT honors explicit values") {
     val root = freshDir("idc")
     spark.conf.set("spark.sql.catalog.g11id",
