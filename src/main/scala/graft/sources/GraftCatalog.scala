@@ -970,6 +970,23 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinned.isEmpty, "cannot run DML against a time-travel snapshot")
+    // UPDATE/MERGE write assignment results as-given — they would leave a
+    // GENERATED column stale against its defining expression (the delta
+    // writer cannot re-evaluate SQL per row). Refuse loudly; DELETE only
+    // removes rows and stays safe.
+    if (info.command() !=
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE) {
+      val v = ManifestTable.currentVersion(dir)
+      val gen = ManifestTable.declaredSchema(dir, v)
+        .map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[StructType])
+        .toSeq.flatMap(_.fields)
+        .filter(_.metadata.contains("GENERATION_EXPRESSION")).map(_.name)
+      require(gen.isEmpty,
+        s"UPDATE/MERGE on $dir refused: generated column(s) " +
+          s"${gen.mkString(", ")} would not be recomputed — rewrite via " +
+          "INSERT OVERWRITE, or drop the generation")
+    }
     () => new GraftDeltaOperation(dir, info.command(), schema())
   }
 

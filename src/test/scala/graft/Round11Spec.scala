@@ -1406,6 +1406,14 @@ class Round11Spec extends AnyFunSuite {
       "SELECT count(*) FROM r11_gen_src WHERE year(d) = 1997")
       .collect().head.getLong(0)
     assert(kept == want)
+    // UPDATE cannot recompute the generation — refused; DELETE is safe
+    intercept[Exception] {
+      spark.sql("UPDATE g11gn.default.t SET v = v + 1.0 WHERE yr = 1997")
+    }
+    spark.sql("DELETE FROM g11gn.default.t WHERE yr = 1997")
+    assert(spark.sql(
+      "SELECT count(*) FROM g11gn.default.t WHERE yr = 1997")
+      .collect().head.getLong(0) == 0L)
     ManifestTable.destroy(root)
   }
 
