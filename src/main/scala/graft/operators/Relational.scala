@@ -967,6 +967,27 @@ object Relational {
       s.sql("""SELECT o_orderstatus, n, sum_price
         FROM graft_ct.default.summ""")
     }),
+    // CLUSTER BY as a SQL surface: the liquid-style clustering
+    // declaration — inserts range-cluster on the declared column, so
+    // the range predicate below prunes to a handful of files (spec-
+    // asserted on envelopes); no partition identity is promised.
+    "q_sql_cluster" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_clu_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/li")
+      s.conf.set("spark.sql.catalog.graft_cb",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cb.root", root)
+      s.sql("""CREATE TABLE graft_cb.default.li
+        (l_orderkey BIGINT, l_quantity DOUBLE) CLUSTER BY (l_orderkey)""")
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .createOrReplaceTempView("r11_clu_src")
+      s.sql("INSERT INTO graft_cb.default.li SELECT * FROM r11_clu_src")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_cb.default.li
+        WHERE l_orderkey BETWEEN 1000 AND 2000""")
+    }),
     // GENERATED COLUMNS as hidden partitioning: the table declares
     // `yr INT GENERATED ALWAYS AS (year(d))` and partitions by it — the
     // user inserts dates, the engine computes and clusters by the
@@ -2115,6 +2136,11 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the range aggregate over a clustered table is exact
+    "q_sql_cluster" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     // the generated column is exactly its defining expression
     "q_sql_generated" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
