@@ -1158,6 +1158,10 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   private var pushedRows: Option[Seq[Seq[Any]]] = None
   private var limit: Option[Int] = None
   private var topNPushed = false
+  // the snapshot every planning decision in THIS builder reasons about —
+  // captured once, so an exactness proof made at filter-pushdown time can
+  // never be invalidated by a commit landing before the scan builds
+  private val snapV: Int = pinned.getOrElse(ManifestTable.currentVersion(dir))
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -1185,7 +1189,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference,
       NullOrdering, SortDirection}
-    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+    val v = snapV
     val sortCols = ManifestTable.tableProperties(dir, v)
       .get("graft.write.sort").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
@@ -1228,9 +1232,42 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   private def admits(f: Filter, e: ManifestTable.FileEntry): Boolean =
     StatsFilters.admits(f, e)
 
+  /** Whether every pushed filter was proven WHOLLY satisfied — the
+    * precondition for aggregating over the admitted files. */
+  private var allPushedExact = true
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(prunable)
-    filters // all filters re-evaluate post-scan: stats admit SUPERSETS
+    // EXACT pushdown: a filter needs no post-scan re-evaluation when
+    // every file SURVIVING the whole pushed set provably satisfies it on
+    // ALL rows — numeric equality on a value-pure column with zero
+    // recorded nulls (per-partition-staged layouts), or IS NOT NULL with
+    // zero recorded nulls. The filter then vanishes from the plan, which
+    // is what lets Spark push the aggregate: `SELECT count(*) FROM t
+    // WHERE part = v` stays metadata-served. Anything not provable stays
+    // residual — stats admission is a SUPERSET there and the
+    // re-evaluation keeps answers exact.
+    val entries = ManifestTable.listLines(dir, snapV)
+      .map(ManifestTable.parseEntry)
+    val unprovable = entries.isEmpty ||
+      ManifestTable.policyLines(dir, snapV).nonEmpty ||
+      ManifestTable.dvLines(dir, snapV).nonEmpty ||
+      ManifestTable.renameLines(dir, snapV).nonEmpty
+    val survivors = entries.filter(e => pushed.forall(admits(_, e)))
+    def whollySatisfied(f: Filter): Boolean = f match {
+      case _ if unprovable => false
+      case EqualTo(c, value) =>
+        StatsFilters.numOf(value).exists(x => survivors.forall(e =>
+          e.ranges.get(c).exists(r => r.min == x && r.max == x) &&
+            e.nulls.get(c).contains(0L)))
+      case IsNotNull(c) =>
+        survivors.forall(e => e.nulls.get(c).contains(0L))
+      case _ => false
+    }
+    val (exact, residual) = filters.partition(whollySatisfied)
+    allPushedExact = pushed.forall(whollySatisfied)
+    pushed = (pushed ++ exact.filterNot(pushed.contains)).distinct
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -1248,10 +1285,16 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+    val v = snapV
     if (ManifestTable.dvLines(dir, v).nonEmpty) return false
     if (ManifestTable.policyLines(dir, v).nonEmpty) return false // filtered answers differ
+    // a FILTERED aggregate folds only the admitted files — sound ONLY
+    // under exact pushdown (Spark pushes aggregates exclusively when no
+    // residual filter remains, and exactness means every admitted file's
+    // rows ALL match); any partially-applied filter declines
+    if (pushed.nonEmpty && !allPushedExact) return false
     val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
+      .filter(e => pushed.forall(admits(_, e)))
     if (entries.isEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -1376,9 +1419,10 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           s"graft metadata agg (${rows.size} fragments) — zero data I/O"
       }
     }
-    // snapshot pinned HERE (or at the time-travel version): the whole
-    // query reads one version, whatever commits land while it runs
-    val v = pinned.getOrElse(ManifestTable.currentVersion(dir))
+    // the snapshot pinned at BUILDER construction (or the time-travel
+    // version): the whole query — pruning, exactness proofs, the scan —
+    // reads one version, whatever commits land while it runs
+    val v = snapV
     require(ManifestTable.dvLines(dir, v).isEmpty &&
         ManifestTable.renameLines(dir, v).isEmpty,
       s"catalog scan of $dir refused: deletion-vector/rename markers present " +

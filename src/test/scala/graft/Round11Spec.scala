@@ -1643,6 +1643,65 @@ class Round11Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("exact filter pushdown: partition-pure WHERE keeps aggregates metadata-served") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+      StructField, StructType}
+    val root = freshDir("exf")
+    spark.conf.set("spark.sql.catalog.g11xf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11xf.root", root)
+    spark.sql("CREATE TABLE g11xf.default.t (yr INT, k BIGINT, v DOUBLE)")
+    Tables.orders(spark, sf).select(
+        year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      .createOrReplaceTempView("r11_exf_src")
+    spark.sql("SELECT DISTINCT yr FROM r11_exf_src ORDER BY yr").collect()
+      .map(_.getInt(0)).foreach { y => // bounded: ≤ 8 years
+        spark.sql(s"INSERT INTO g11xf.default.t SELECT * FROM r11_exf_src WHERE yr = $y")
+      }
+    // the equality is provably whole-file (value-pure, zero nulls), so
+    // the filter vanishes and the aggregate folds admitted files only
+    val q = spark.sql("""SELECT count(*) AS n, min(k) AS mn, max(v) AS mx
+      FROM g11xf.default.t WHERE yr = 1997""")
+    assert(q.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "a partition-pure equality filter must keep the aggregate " +
+        "metadata-served:\n" + q.queryExecution.executedPlan)
+    val want = spark.sql("""SELECT count(*) AS n, min(k) AS mn, max(v) AS mx
+      FROM r11_exf_src WHERE yr = 1997""").collect().head
+    assert(q.collect().head == want)
+    // …and grouped, filtered, still zero data I/O
+    val qg = spark.sql("""SELECT yr, count(*) AS n FROM g11xf.default.t
+      WHERE yr = 1996 GROUP BY yr""")
+    assert(qg.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(qg.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      spark.sql("""SELECT yr, count(*) FROM r11_exf_src
+        WHERE yr = 1996 GROUP BY yr""").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq)
+    // a NON-pure predicate stays residual: no metadata serving, exact answer
+    val q2 = spark.sql(
+      "SELECT count(*) AS n FROM g11xf.default.t WHERE k % 2 = 0")
+    assert(!q2.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(q2.collect().head.getLong(0) == spark.sql(
+      "SELECT count(*) FROM r11_exf_src WHERE k % 2 = 0")
+      .collect().head.getLong(0))
+    // a null-bearing column refuses the exactness proof but stays correct
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1997, null, 1.0),
+      org.apache.spark.sql.Row(1997, 7L, 2.0))
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("yr", IntegerType), StructField("k", LongType),
+        StructField("v", DoubleType))))
+      .createOrReplaceTempView("r11_exf_nulls")
+    spark.sql("CREATE TABLE g11xf.default.n (yr INT, k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO g11xf.default.n SELECT * FROM r11_exf_nulls")
+    val q3 = spark.sql(
+      "SELECT count(*) AS n FROM g11xf.default.n WHERE k = 7")
+    assert(!q3.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "a null-bearing column must refuse the whole-file proof")
+    assert(q3.collect().head.getLong(0) == 1L)
+    ManifestTable.destroy(root)
+  }
+
   test("CBO histograms: file envelopes beat the uniform assumption on skew") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val root = freshDir("hist")
