@@ -45,7 +45,8 @@ object Explain {
     "q_catalog_stats_join", "q_sql_ctas", "q_sql_changes", "q_spj_join",
     "q_runtime_prune", "q_sql_maintenance", "q_sorted_join",
     "q_sql_namespaces", "q_metadata_group_agg", "q_sql_partitions",
-    "q_sql_tag", "q_sql_generated", "q_sql_cluster")
+    "q_sql_tag", "q_sql_generated", "q_sql_cluster",
+    "q_metadata_filtered_agg")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

@@ -1095,6 +1095,33 @@ object Relational {
         max(o_totalprice) AS mx
         FROM graft_ga.default.ord GROUP BY yr""")
     }),
+    // EXACT filter pushdown: the WHERE below is provably whole-file
+    // (value-pure yr per commit, zero recorded nulls), so it vanishes
+    // from the plan and the FILTERED aggregate is metadata-served —
+    // count/min/max over one partition of a 100 TB table with zero data
+    // I/O (Round11Spec asserts the plan; this query pins the answer).
+    "q_metadata_filtered_agg" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_fagg_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_fa",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fa.root", root)
+      s.sql("""CREATE TABLE graft_fa.default.ord
+        (yr INT, o_orderkey BIGINT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select(
+          year(col("o_orderdate")).cast("int").as("yr"),
+          col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r11_fa_src")
+      val yrs = s.sql("SELECT DISTINCT yr FROM r11_fa_src ORDER BY yr")
+        .collect().map(_.getInt(0)) // bounded: ≤ 8 years
+      yrs.foreach { y =>
+        s.sql(s"INSERT INTO graft_fa.default.ord SELECT * FROM r11_fa_src WHERE yr = $y")
+      }
+      s.sql("""SELECT count(*) AS n, min(o_orderkey) AS mn,
+        max(o_totalprice) AS mx
+        FROM graft_fa.default.ord WHERE yr = 1997""")
+    }),
     // SCHEMAS as first-class SQL objects (`SupportsNamespaces`): CREATE
     // SCHEMA (with comment), ALTER SCHEMA SET PROPERTIES, tables created
     // and addressed inside it — namespaces are marker-carrying
@@ -2156,6 +2183,11 @@ object Relational {
       """SELECT 'yr=' || CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR) AS part,
         |       count(*) AS n_rows
         |FROM orders GROUP BY 1""".stripMargin,
+    // the metadata-served filtered aggregate must be exact
+    "q_metadata_filtered_agg" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS mn,
+        |       CAST(max(o_totalprice) AS DOUBLE) AS mx
+        |FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1997""".stripMargin,
     // the metadata-served per-year roll-up must be exact
     "q_metadata_group_agg" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
