@@ -1260,6 +1260,16 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         StatsFilters.numOf(value).exists(x => survivors.forall(e =>
           e.ranges.get(c).exists(r => r.min == x && r.max == x) &&
             e.nulls.get(c).contains(0L)))
+      case EqualNullSafe(c, value) if value != null =>
+        whollySatisfied(EqualTo(c, value))
+      case In(c, vs) if vs.nonEmpty =>
+        val xs = vs.toSeq.map(StatsFilters.numOf)
+        xs.forall(_.isDefined) && {
+          val set = xs.flatten.toSet
+          survivors.forall(e =>
+            e.ranges.get(c).exists(r => r.min == r.max && set(r.min)) &&
+              e.nulls.get(c).contains(0L))
+        }
       case IsNotNull(c) =>
         survivors.forall(e => e.nulls.get(c).contains(0L))
       case _ => false

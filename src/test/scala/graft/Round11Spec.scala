@@ -1677,6 +1677,15 @@ class Round11Spec extends AnyFunSuite {
       spark.sql("""SELECT yr, count(*) FROM r11_exf_src
         WHERE yr = 1996 GROUP BY yr""").collect()
         .map(r => (r.getInt(0), r.getLong(1))).toSeq)
+    // IN-lists over pure partitions are exact too — grouped and filtered
+    val qi = spark.sql("""SELECT yr, count(*) AS n FROM g11xf.default.t
+      WHERE yr IN (1996, 1998) GROUP BY yr""")
+    assert(qi.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "an IN-list over pure partitions must stay metadata-served")
+    assert(qi.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      spark.sql("""SELECT yr, count(*) FROM r11_exf_src
+        WHERE yr IN (1996, 1998) GROUP BY yr""").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet)
     // a NON-pure predicate stays residual: no metadata serving, exact answer
     val q2 = spark.sql(
       "SELECT count(*) AS n FROM g11xf.default.t WHERE k % 2 = 0")
