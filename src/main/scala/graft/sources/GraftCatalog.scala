@@ -578,7 +578,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.types._
 
   val names: Array[String] =
-    Array("rebucket", "optimize", "vacuum", "restore", "tag")
+    Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire")
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, root)) else None
@@ -612,6 +612,8 @@ private[sources] object GraftProcedures {
       case "restore" => "roll the table back to an earlier version"
       case "tag" => "name a snapshot version for VERSION AS OF '<name>' " +
         "time travel (defaults to the current version)"
+      case "expire" => "drop snapshots older than an instant, keeping " +
+        "the last N and every tagged version"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -636,6 +638,12 @@ private[sources] object GraftProcedures {
         ProcedureParameter.in("name", StringType).build(),
         ProcedureParameter.in("version", IntegerType)
           .defaultValue("-1").build())
+      case "expire" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("older_than_millis",
+          org.apache.spark.sql.types.LongType).build(),
+        ProcedureParameter.in("keep_last", IntegerType)
+          .defaultValue("1").build())
     }
     override def call(input: org.apache.spark.sql.catalyst.InternalRow)
         : java.util.Iterator[Scan] = {
@@ -695,6 +703,10 @@ private[sources] object GraftProcedures {
           ManifestTable.alterAtomic(dir, Seq(ManifestTable.AlterOp.SetProp(
             GraftCatalog.TagProp + nm, tagged.toString)))
           tagged
+        case "expire" =>
+          ManifestTable.expireSnapshots(dir,
+            olderThanMillis = input.getLong(1), keepLast = input.getInt(2))
+          ManifestTable.currentVersion(dir)
       }
       java.util.Collections.singletonList(resultScan(v)).iterator()
     }

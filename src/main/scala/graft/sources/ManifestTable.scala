@@ -648,6 +648,51 @@ object ManifestTable {
     (droppedManifests, droppedFiles.toInt)
   }
 
+  /** TAG-AWARE SNAPSHOT EXPIRY — vacuum by AGE instead of count: drop
+    * manifests whose commit instant (`#ts`) is older than
+    * `olderThanMillis`, EXCEPT (a) the most recent `keepLast` versions,
+    * (b) any version a `graft.tag.<name>` property names — a pinned
+    * dataset stays time-travelable no matter how old — and (c) legacy
+    * manifests carrying no `#ts` (age unknowable: keep, never guess).
+    * Data files and segment manifests referenced by NO retained version
+    * (and no live clone) drop with them. Retention can leave HOLES: a
+    * tagged v7 survives while v5/v6 expire — time travel to an expired
+    * version fails explicitly, the tagged one keeps working. Returns
+    * (droppedManifests, droppedFiles). */
+  def expireSnapshots(dir: String, olderThanMillis: Long,
+      keepLast: Int = 1, force: Boolean = false): (Int, Int) = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"no committed snapshot in $dir")
+    require(keepLast >= 1, "expireSnapshots must keep at least the head")
+    val tagged: Set[Int] = tableProperties(dir, cur).collect {
+      case (k, value) if k.startsWith("graft.tag.") &&
+          value.nonEmpty && value.forall(_.isDigit) => value.toInt
+    }.toSet
+    val present = (0 to cur).filter(v => Files.exists(manifestPath(dir, v)))
+    val (dropped, retained) = present.partition { v =>
+      v <= cur - keepLast && !tagged(v) &&
+        commitInstantMillis(dir, v).exists(_ < olderThanMillis)
+    }
+    val cloneKeep = if (force) Set.empty[String] else cloneReferencedFiles(dir)
+    val keepFiles = retained.flatMap(listFiles(dir, _)).toSet ++
+      retained.flatMap(dvEntries(dir, _).map(_.file)).toSet ++ cloneKeep
+    val keepSegs = retained.flatMap(listSegmentNames(dir, _)).toSet
+    val droppedManifests =
+      dropped.count(v => Files.deleteIfExists(manifestPath(dir, v)))
+    val dataDir = Paths.get(dir, "data")
+    val droppedFiles =
+      if (!Files.isDirectory(dataDir)) 0
+      else listDir(dataDir)
+        .filter(p => !keepFiles.contains(p.getFileName.toString))
+        .count(Files.deleteIfExists(_))
+    val metaDir = Paths.get(dir, "meta")
+    if (Files.isDirectory(metaDir))
+      listDir(metaDir)
+        .filter(p => !keepSegs.contains(p.getFileName.toString))
+        .foreach(Files.deleteIfExists(_))
+    (droppedManifests, droppedFiles.toInt)
+  }
+
   /** Incremental change read (CDC-style consumption): the rows ADDED between
     * committed versions `fromV` (exclusive) and `toV` (inclusive).
     *

@@ -1249,6 +1249,56 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("expire_snapshots: age-based expiry keeps tagged versions time-travelable") {
+    val root = freshDir("exp")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g11ex",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g11ex.root", root)
+    spark.sql("CREATE TABLE g11ex.default.t (k BIGINT)")          // v0
+    spark.sql("INSERT INTO g11ex.default.t VALUES (1), (2)")      // v1
+    spark.sql("CALL g11ex.system.tag(table => 't', name => 'keep-me')") // v2
+    spark.sql("INSERT INTO g11ex.default.t VALUES (3)")           // v3
+    spark.sql("INSERT OVERWRITE g11ex.default.t VALUES (9)")      // v4
+    spark.sql("INSERT INTO g11ex.default.t VALUES (10)")          // v5
+    val v1Files = ManifestTable.listFiles(dir, 1).toSet
+    val v3Only = ManifestTable.listFiles(dir, 3).toSet -- v1Files
+    assert(v3Only.nonEmpty)
+    // cutoff AFTER v4's instant: v0..v4 are "old"; keep_last=1 keeps the
+    // head, the tag keeps v1 — v0/v2/v3/v4 expire
+    val cutoff = ManifestTable.commitInstantMillis(dir, 4).get + 1
+    spark.sql(s"CALL g11ex.system.expire(table => 't', " +
+      s"older_than_millis => ${cutoff}L, keep_last => 1)")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, f"manifest-v${3}%08d.json")),
+      "an untagged old version must expire")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, f"manifest-v${1}%08d.json")),
+      "a tagged version must survive any retention window")
+    // the tag still time-travels; the expired neighbor refuses explicitly
+    assert(spark.sql(
+      "SELECT CAST(sum(k) AS BIGINT) FROM g11ex.default.t VERSION AS OF 'keep-me'")
+      .collect().head.getLong(0) == 3L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g11ex.default.t VERSION AS OF 3").collect()
+    }
+    // files only the expired versions referenced are gone; tagged files stay
+    v3Only.foreach { f =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "data", f)),
+        s"file $f was referenced only by expired versions")
+    }
+    v1Files.foreach { f =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "data", f)),
+        s"file $f backs the tagged snapshot and must survive")
+    }
+    // the head is untouched
+    assert(spark.sql("SELECT CAST(sum(k) AS BIGINT) FROM g11ex.default.t")
+      .collect().head.getLong(0) == 19L)
+    ManifestTable.destroy(root)
+  }
+
   test("CLUSTER BY: inserts range-cluster so the clustered column prunes") {
     val root = freshDir("clus")
     val dir = s"$root/t"
