@@ -331,8 +331,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * a generated column whose expression never reaches the declared
     * schema can never be computed at write. Defaults and comments are
     * encoded the same way the ALTER path stores them; identity columns
-    * are refused loudly (auto-increment needs write coordination this
-    * engine does not promise). */
+    * record start/step/allowExplicitInsert metadata and are assigned by
+    * the insert path from the committed high-water frontier (CAS-retried,
+    * so ids never collide). */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
@@ -448,7 +449,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported; supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN, " +
-          "ADD COLUMN (nullable, no default)")
+          "ADD COLUMN (incl. DEFAULT), DROP COLUMN, type widening " +
+          "(int->bigint, float->double, decimal precision up), " +
+          "ADD/DROP CONSTRAINT")
     }
     if (ops.nonEmpty) ManifestTable.alterAtomic(dir, ops)
     new ManifestSqlTable(ident.toString, dir, None)
@@ -1378,12 +1381,17 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // sum, MIN/MAX partials fold) — `GROUP BY partition_col` roll-ups
     // at 100 TB answered with zero data I/O. Any impure file, missing
     // stat, or unsupported type declines to the ordinary scan.
+    // Purity needs BOTH min==max AND nulls==0: parquet min/max exclude
+    // NULLs, so a file holding one non-null value plus NULL rows would
+    // otherwise pass, inflate that group with the NULL rows' counts, and
+    // drop the NULL group entirely.
     val groupCols: Seq[(String, DataType)] =
       aggregation.groupByExpressions.toSeq.map { e =>
         val c = colOf(e).getOrElse(return false)
         val dt = typeOf(c).getOrElse(return false)
         if (!entries.forall(_.ranges.get(c).exists(r => r.min == r.max)))
           return false
+        if (!entries.forall(_.nulls.get(c).contains(0L))) return false
         if (typed(entries.head.ranges(c).min, dt).isEmpty) return false
         (c, dt)
       }
@@ -2232,9 +2240,44 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
               }
             val data = idInfo.map { case (f, step, hw0) =>
               import org.apache.spark.sql.functions.{coalesce, lit,
-                monotonically_increasing_id, col => cf}
-              val gen = (lit(hw0 + step) +
-                monotonically_increasing_id() * lit(step)).cast(f.dataType)
+                monotonically_increasing_id, shiftright, element_at, typedLit,
+                when, raise_error, col => cf}
+              // monotonically_increasing_id encodes (taskIdx << 33 |
+              // rowInTask) — fine for BIGINT (gaps allowed), but any row
+              // in a non-zero task is >= 2^33, so an INT identity column
+              // would silently wrap under the non-ANSI cast. For narrow
+              // types, convert to a DENSE 0..n-1 ordinal instead: one
+              // per-task count job (result bounded by the task count, and
+              // the raw id is deterministic for a fixed partition layout,
+              // the same guarantee zipWithIndex relies on) yields prefix
+              // offsets, so the assigned range is exactly
+              // (frontier, frontier + n*step] — and the cast is guarded,
+              // raising on genuine overflow instead of corrupting ids.
+              val mid = monotonically_increasing_id()
+              val ordinal =
+                if (f.dataType == org.apache.spark.sql.types.LongType) mid
+                else {
+                  val perTask = dataG
+                    .groupBy(shiftright(monotonically_increasing_id(), 33)
+                      .as("__task"))
+                    .count().collect()
+                    .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+                  var acc = 0L
+                  val prefix: Map[Long, Long] = perTask.map { case (t, n) =>
+                    val p = (t, acc); acc += n; p }.toMap
+                  if (prefix.isEmpty) mid
+                  else element_at(typedLit(prefix), shiftright(mid, 33)) +
+                    mid.bitwiseAND(lit((1L << 33) - 1))
+                }
+              val genL = lit(hw0 + step) + ordinal * lit(step)
+              val gen =
+                if (f.dataType == org.apache.spark.sql.types.LongType)
+                  genL.cast(f.dataType)
+                else when(genL.between(Int.MinValue.toLong, Int.MaxValue.toLong),
+                    genL)
+                  .otherwise(raise_error(lit(
+                    s"identity column '${f.name}' overflows ${f.dataType.sql}")))
+                  .cast(f.dataType)
               val assigned =
                 if (f.metadata.getBoolean("identity.allowExplicitInsert"))
                   coalesce(cf(f.name), gen) // BY DEFAULT: user value wins

@@ -168,8 +168,10 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  // the snapshot AvailableNow drains to, frozen at query start
-  @volatile private var availableNowEnd: Int = ManifestTable.currentVersion(dir)
+  // set ONLY under AvailableNow (freezes the drain target at query
+  // start); ProcessingTime triggers re-read the live head each cycle so
+  // the stream advances past versions committed after it started
+  @volatile private var availableNowEnd: Int = -1
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = ManifestTable.currentVersion(dir)
@@ -186,7 +188,10 @@ private[sources] class ManifestMicroBatchStream(dir: String,
       case m: ReadMaxRows => m.maxRows().toInt // versions, not rows, here
       case _ => Int.MaxValue
     }
-    val end = math.min(availableNowEnd.toLong, from.toLong + cap).toInt
+    val head =
+      if (availableNowEnd >= 0) availableNowEnd
+      else ManifestTable.currentVersion(dir)
+    val end = math.min(head.toLong, from.toLong + cap).toInt
     VersionOffset(math.max(end, from))
   }
 
@@ -245,7 +250,12 @@ private[sources] class ChangesMicroBatchStream(dir: String,
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  @volatile private var availableNowEnd: Int = ManifestTable.currentVersion(dir)
+  // set ONLY by prepareForTriggerAvailableNow: an AvailableNow run drains
+  // up to the version frozen at start; a ProcessingTime trigger re-reads
+  // the live manifest head each cycle so the feed really does tail a
+  // table that keeps committing (a frozen head would park the stream at
+  // the query-start version forever).
+  @volatile private var availableNowEnd: Int = -1
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = ManifestTable.currentVersion(dir)
@@ -262,7 +272,10 @@ private[sources] class ChangesMicroBatchStream(dir: String,
       case m: ReadMaxRows => m.maxRows().toInt // versions, not rows, here
       case _ => Int.MaxValue
     }
-    val end = math.min(availableNowEnd.toLong, from.toLong + cap).toInt
+    val head =
+      if (availableNowEnd >= 0) availableNowEnd
+      else ManifestTable.currentVersion(dir)
+    val end = math.min(head.toLong, from.toLong + cap).toInt
     VersionOffset(math.max(end, from))
   }
 

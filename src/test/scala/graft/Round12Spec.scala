@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 regressions — the round-11 advisor findings, each pinned:
+  * the GROUP BY metadata-pushdown null-purity hole, INT identity-column
+  * overflow under monotonically_increasing_id, and ProcessingTime-trigger
+  * streams frozen at their start version. */
+class Round12Spec extends AnyFunSuite {
+  import TestSpark._
+  import sources.ManifestTable
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_r12_${tag}_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(d)
+    d
+  }
+
+  test("GROUP BY metadata pushdown declines on null-bearing grouping columns") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField,
+      StructType}
+    val root = freshDir("gbn")
+    spark.conf.set("spark.sql.catalog.g12gb",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12gb.root", root)
+    spark.sql("CREATE TABLE g12gb.default.t (g INT, v DOUBLE)")
+    // ONE file whose g-range is degenerate (min == max == 7) but which
+    // also holds NULL rows: parquet min/max exclude NULLs, so the purity
+    // check alone would call this file a pure g=7 fragment, report its
+    // FULL row count (incl. the NULL rows) under 7, and drop the NULL
+    // group from the answer entirely
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(7: Integer, 1.0),
+      org.apache.spark.sql.Row(7: Integer, 2.0),
+      org.apache.spark.sql.Row(null, 3.0))
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("g", IntegerType), StructField("v", DoubleType))))
+      .coalesce(1).createOrReplaceTempView("r12_gbn_src")
+    spark.sql("INSERT INTO g12gb.default.t SELECT * FROM r12_gbn_src")
+    val q = spark.sql(
+      "SELECT g, count(*) AS n FROM g12gb.default.t GROUP BY g")
+    assert(!q.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "a null-bearing grouping column must refuse the value-purity proof:\n" +
+        q.queryExecution.executedPlan)
+    val got = q.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        r.getLong(1))).toSet
+    assert(got == Set((Some(7), 2L), (None, 1L)),
+      s"the NULL group must survive and g=7 must count only non-null rows: $got")
+    // control: a nulls-free value-pure layout still serves from metadata
+    spark.sql("CREATE TABLE g12gb.default.p (g INT, v DOUBLE)")
+    Seq(1, 2).foreach { g =>
+      spark.sql(s"INSERT INTO g12gb.default.p VALUES ($g, 1.0), ($g, 2.0)")
+    }
+    val qp = spark.sql(
+      "SELECT g, count(*) AS n FROM g12gb.default.p GROUP BY g")
+    assert(qp.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "the nulls-free pure layout must stay metadata-served")
+    assert(qp.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((1, 2L), (2, 2L)))
+    ManifestTable.destroy(root)
+  }
+
+  test("INT identity columns: dense ids across tasks, no silent cast wrap") {
+    val root = freshDir("idi")
+    spark.conf.set("spark.sql.catalog.g12id",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12id.root", root)
+    spark.sql("""CREATE TABLE g12id.default.t
+      (id INT GENERATED ALWAYS AS IDENTITY, v BIGINT)""")
+    // 8 write tasks: monotonically_increasing_id for any task >= 1 is
+    // >= 2^33, so the pre-fix non-ANSI INT cast wrapped (2^33+1 -> 1,
+    // colliding with task 0) — the dense per-batch ordinal must assign
+    // exactly 1..1000 instead
+    spark.range(1000).repartition(8).select(col("id").as("v"))
+      .createOrReplaceTempView("r12_idi_src")
+    spark.sql("INSERT INTO g12id.default.t (v) SELECT v FROM r12_idi_src")
+    val ids = spark.sql("SELECT id FROM g12id.default.t").collect()
+      .map(_.getInt(0)).toSeq
+    assert(ids.size == 1000 && ids.toSet == (1 to 1000).toSet,
+      s"INT identity must be the dense 1..1000 batch range, got " +
+        s"${ids.min}..${ids.max} with ${ids.distinct.size} distinct")
+    // the next commit's frontier continues past the dense batch
+    spark.sql("INSERT INTO g12id.default.t (v) VALUES (CAST(0 AS BIGINT))")
+    val mx = spark.sql("SELECT max(id) AS m FROM g12id.default.t")
+      .head().getInt(0)
+    assert(mx == 1001, s"the follow-up id must be 1001, got $mx")
+    ManifestTable.destroy(root)
+  }
+
+  test("ProcessingTime streams advance past versions committed after start") {
+    val root = freshDir("ptt")
+    spark.conf.set("spark.sql.catalog.g12pt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12pt.root", root)
+    spark.sql("CREATE TABLE g12pt.default.t (k BIGINT)")          // v0
+    spark.sql("INSERT INTO g12pt.default.t VALUES (CAST(1 AS BIGINT))") // v1
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def await(k: Long, what: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!got.contains(k) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(got.contains(k), s"$what: row $k never arrived (got $got)")
+    }
+    // the CHANGE FEED under a continuous trigger: pre-fix, latestOffset
+    // capped at the version frozen at construction, so v2 (committed
+    // after start) never streamed
+    val qc = spark.readStream.table("g12pt.default.`t$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt_c")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      await(1L, "changes feed backlog")
+      spark.sql("INSERT INTO g12pt.default.t VALUES (CAST(2 AS BIGINT))") // v2
+      await(2L, "changes feed tail")
+    } finally qc.stop()
+    // …and the plain-table stream (same frozen-head pattern)
+    got.clear()
+    val qt = spark.readStream.table("g12pt.default.t")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt_t")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      await(1L, "table stream backlog")
+      spark.sql("INSERT INTO g12pt.default.t VALUES (CAST(3 AS BIGINT))") // v3
+      await(3L, "table stream tail")
+    } finally qt.stop()
+    ManifestTable.destroy(root)
+  }
+}
