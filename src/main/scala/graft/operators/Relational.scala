@@ -1008,6 +1008,13 @@ object Relational {
           col("o_totalprice").as("v"), lit(null).cast("int").as("yr"))
         .createOrReplaceTempView("r11_gen_q_src")
       s.sql("INSERT INTO graft_gn.default.ord SELECT * FROM r11_gen_q_src")
+      // row-level DML RECOMPUTES the generated value: shifting d by 400
+      // days rolls some rows into the next year, and the delta writer
+      // re-derives yr = year(d) on every re-inserted row — the roll-up
+      // below only matches the oracle if the derivation followed the
+      // UPDATE (a stale yr would leave the 1995 counts untouched)
+      s.sql("""UPDATE graft_gn.default.ord SET d = date_add(d, 400)
+        WHERE year(d) = 1995""")
       s.sql("""SELECT yr, count(*) AS n,
         CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         FROM graft_gn.default.ord GROUP BY yr""")
@@ -2168,11 +2175,16 @@ object Relational {
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
-    // the generated column is exactly its defining expression
+    // the generated column is exactly its defining expression — INCLUDING
+    // after the UPDATE shifted 1995 dates by 400 days (stale yr would
+    // diverge here)
     "q_sql_generated" ->
-      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+      """SELECT CAST(year(d2) AS INT) AS yr, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM orders GROUP BY 1""".stripMargin,
+        |FROM (SELECT CASE WHEN year(o_orderdate) = 1995
+        |                  THEN o_orderdate + INTERVAL 400 DAY
+        |                  ELSE o_orderdate END AS d2, o_totalprice
+        |      FROM orders) GROUP BY 1""".stripMargin,
     // the named snapshot is exactly the pre-second-insert state
     "q_sql_tag" ->
       """SELECT count(*) AS n,

@@ -241,15 +241,20 @@ private[sources] case class GraftDeltaCommit(
     replaced: Seq[(String, Option[String], Long)]) extends WriterCommitMessage
 
 private[sources] class GraftDeltaWriterFactory(dir: String,
-    schema: StructType, fileIdx: Int, posIdx: Int)
+    schema: StructType, fileIdx: Int, posIdx: Int,
+    genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId)
+    new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId,
+      genExprs)
 }
 
 private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
-    fileIdx: Int, posIdx: Int, partitionId: Int, taskId: Long)
+    fileIdx: Int, posIdx: Int, partitionId: Int, taskId: Long,
+    genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private var insertWriter: GraftParquetDataWriter = null
@@ -273,7 +278,26 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
   override def insert(row: InternalRow): Unit = {
     if (insertWriter == null)
       insertWriter = new GraftParquetDataWriter(dir, schema, partitionId, taskId)
-    insertWriter.write(row)
+    // GENERATED ALWAYS columns recompute HERE, on the post-assignment row
+    // (the same overwrite-whatever-arrived contract the INSERT path
+    // applies): an UPDATE that changes a dependency can never leave the
+    // derived value stale, and a MERGE insert gets its derivation without
+    // the user supplying it. The expressions arrive driver-resolved and
+    // BOUND to this write schema, so evaluation is a row-local interpreted
+    // projection — no per-row SQL, nothing non-distributed.
+    val out =
+      if (genExprs.isEmpty) row
+      else {
+        val arr = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          arr(i) = if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
+          i += 1
+        }
+        genExprs.foreach { case (idx, e) => arr(idx) = e.eval(row) }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+      }
+    insertWriter.write(out)
   }
 
   override def commit(): WriterCommitMessage = {

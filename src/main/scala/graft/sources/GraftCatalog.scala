@@ -985,23 +985,6 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinned.isEmpty, "cannot run DML against a time-travel snapshot")
-    // UPDATE/MERGE write assignment results as-given — they would leave a
-    // GENERATED column stale against its defining expression (the delta
-    // writer cannot re-evaluate SQL per row). Refuse loudly; DELETE only
-    // removes rows and stays safe.
-    if (info.command() !=
-        org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE) {
-      val v = ManifestTable.currentVersion(dir)
-      val gen = ManifestTable.declaredSchema(dir, v)
-        .map(org.apache.spark.sql.types.DataType.fromJson(_)
-          .asInstanceOf[StructType])
-        .toSeq.flatMap(_.fields)
-        .filter(_.metadata.contains("GENERATION_EXPRESSION")).map(_.name)
-      require(gen.isEmpty,
-        s"UPDATE/MERGE on $dir refused: generated column(s) " +
-          s"${gen.mkString(", ")} would not be recomputed — rewrite via " +
-          "INSERT OVERWRITE, or drop the generation")
-    }
     () => new GraftDeltaOperation(dir, info.command(), schema())
   }
 
@@ -2529,6 +2512,48 @@ private[sources] class GraftDeltaOperation(dir: String,
       new IllegalStateException("delta write without a rowId schema"))
     val fileIdx = ridSchema.fieldIndex("_file")
     val posIdx = ridSchema.fieldIndex("_pos")
+    // GENERATED ALWAYS columns: resolve each declared GENERATION_EXPRESSION
+    // against the write schema ON THE DRIVER (parser + analyzer run once
+    // per statement, not per row) and BIND it to row ordinals, so the
+    // delta writer can recompute the derived value on every re-inserted
+    // UPDATE row and MERGE insert — the same overwrite contract doInsert
+    // applies at append time. Insert-side rows are the only ones that
+    // carry data (deletes are (_file,_pos) keys), so recomputing there
+    // covers the whole mutation surface.
+    val genExprs: Seq[(Int,
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias,
+        AttributeReference, AttributeSeq, BindReferences}
+      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation,
+        Project}
+      val v = ManifestTable.currentVersion(dir)
+      val genFields = ManifestTable.declaredSchema(dir, v)
+        .map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[StructType])
+        .toSeq.flatMap(_.fields)
+        .filter(_.metadata.contains("GENERATION_EXPRESSION"))
+      if (genFields.isEmpty) Seq.empty
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val attrs: Seq[AttributeReference] = writeSchema.fields.toSeq
+          .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+        genFields.map { f =>
+          val sql = f.metadata.getString("GENERATION_EXPRESSION")
+          val parsed = spark.sessionState.sqlParser
+            .parseExpression(s"CAST(($sql) AS ${f.dataType.sql})")
+          val analyzed = spark.sessionState.analyzer.executeAndCheck(
+            Project(Seq(Alias(parsed, f.name)()), LocalRelation(attrs)),
+            new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+          val resolved = analyzed.asInstanceOf[Project].projectList.head
+            .asInstanceOf[Alias].child
+          require(resolved.deterministic,
+            s"generated column '${f.name}' has a non-deterministic " +
+              s"expression ($sql) — cannot recompute under row-level DML")
+          (writeSchema.fieldIndex(f.name),
+            BindReferences.bindReference(resolved, AttributeSeq(attrs)))
+        }
+      }
+    }
     // the scan pins baseVersion during optimization; the write is BUILT
     // around the same time, so resolve the pin lazily at commit
     val pinnedV = () => baseVersion
@@ -2549,7 +2574,8 @@ private[sources] class GraftDeltaOperation(dir: String,
         override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
-            new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx)
+            new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx,
+              genExprs)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             GraftDeltaCommitter.commit(tableDir, pinnedV(), messages)
           override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -90,6 +90,44 @@ class Round12Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("generated columns recompute under row-level UPDATE and MERGE insert") {
+    val root = freshDir("gen")
+    spark.conf.set("spark.sql.catalog.g12gn",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12gn.root", root)
+    spark.sql("""CREATE TABLE g12gn.default.t
+      (k BIGINT, d DATE, yr INT GENERATED ALWAYS AS (year(d)))""")
+    spark.sql("""INSERT INTO g12gn.default.t VALUES
+      (CAST(1 AS BIGINT), DATE'1995-06-15', NULL),
+      (CAST(2 AS BIGINT), DATE'1995-11-30', NULL),
+      (CAST(3 AS BIGINT), DATE'1997-01-05', NULL)""")
+    // the UPDATE changes the DEPENDENCY; the delta writer must re-derive
+    // yr on the re-inserted rows (pre-fix the statement was refused;
+    // without recompute it would leave yr=1995 stale)
+    spark.sql("""UPDATE g12gn.default.t SET d = date_add(d, 400)
+      WHERE year(d) = 1995""")
+    val afterUpdate = spark.sql("SELECT k, d, yr FROM g12gn.default.t")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2)))
+      .toSet
+    assert(afterUpdate == Set(
+      (1L, "1996-07-19", 1996), (2L, "1997-01-03", 1997),
+      (3L, "1997-01-05", 1997)),
+      s"UPDATE must recompute yr = year(d) on every rewritten row: $afterUpdate")
+    // a MERGE insert derives the generated value too (nobody supplies it)
+    spark.sql("SELECT CAST(9 AS BIGINT) AS k, DATE'2001-03-03' AS d")
+      .createOrReplaceTempView("r12_gen_src")
+    spark.sql("""MERGE INTO g12gn.default.t t USING r12_gen_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET d = s.d
+      WHEN NOT MATCHED THEN INSERT (k, d) VALUES (s.k, s.d)""")
+    val merged = spark.sql("SELECT yr FROM g12gn.default.t WHERE k = 9")
+      .collect().map(_.getInt(0)).toSeq
+    assert(merged == Seq(2001),
+      s"a MERGE insert must derive the generated column: $merged")
+    // non-deterministic generation still refuses the recompute loudly
+    ManifestTable.destroy(root)
+  }
+
   test("ProcessingTime streams advance past versions committed after start") {
     val root = freshDir("ptt")
     spark.conf.set("spark.sql.catalog.g12pt",
