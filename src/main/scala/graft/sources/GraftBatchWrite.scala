@@ -233,31 +233,42 @@ private[sources] class GraftStreamingWriterFactory(dir: String,
 // CAS commit.
 // ---------------------------------------------------------------------
 
-/** One task's delta outcome: staged insert files (name, rows) and
-  * replaced files (originalPath, replacementName — None when every row
-  * died, survivorRows). */
+/** One task's delta outcome: staged insert files (name, rows, recorded
+  * bucket id when the insert was bucket-routed) and replaced files
+  * (originalPath, replacementName — None when every row died,
+  * survivorRows). */
 private[sources] case class GraftDeltaCommit(
-    inserted: Seq[(String, Long)],
+    inserted: Seq[(String, Long, Option[Int])],
     replaced: Seq[(String, Option[String], Long)]) extends WriterCommitMessage
 
 private[sources] class GraftDeltaWriterFactory(dir: String,
     schema: StructType, fileIdx: Int, posIdx: Int,
     genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
-      Seq.empty)
+      Seq.empty,
+    bucketSpec: Option[(Int, Int)] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId,
-      genExprs)
+      genExprs, bucketSpec)
 }
 
 private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     fileIdx: Int, posIdx: Int, partitionId: Int, taskId: Long,
     genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
-      Seq.empty)
+      Seq.empty,
+    // (numBuckets, write-schema ordinal of the declared bucket column):
+    // insert rows route to PER-BUCKET files — pmod(murmur3_42(value), n),
+    // the exact hash the insert path's repartition clustered by — so each
+    // staged file is bucket-pure and can carry its id in the manifest,
+    // keeping storage-partitioned joins armed THROUGH a MERGE/UPDATE
+    bucketSpec: Option[(Int, Int)] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
-  private var insertWriter: GraftParquetDataWriter = null
+  // bucket id (-1 = unbucketed) → its insert file; LinkedHashMap keeps
+  // commit-message order stable
+  private val insertWriters =
+    scala.collection.mutable.LinkedHashMap[Int, GraftParquetDataWriter]()
   // per-file doomed ordinals — LinkedHashMap keeps rewrite order stable
   private val doomed =
     scala.collection.mutable.LinkedHashMap[String, java.util.BitSet]()
@@ -276,8 +287,6 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
       "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
 
   override def insert(row: InternalRow): Unit = {
-    if (insertWriter == null)
-      insertWriter = new GraftParquetDataWriter(dir, schema, partitionId, taskId)
     // GENERATED ALWAYS columns recompute HERE, on the post-assignment row
     // (the same overwrite-whatever-arrived contract the INSERT path
     // applies): an UPDATE that changes a dependency can never leave the
@@ -297,13 +306,27 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
         genExprs.foreach { case (idx, e) => arr(idx) = e.eval(row) }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
       }
-    insertWriter.write(out)
+    val bucket = bucketSpec match {
+      case Some((n, idx)) =>
+        val h =
+          if (out.isNullAt(idx)) 42 // Murmur3Hash leaves the seed on null
+          else schema(idx).dataType match {
+            case LongType => org.apache.spark.unsafe.hash.Murmur3_x86_32
+              .hashLong(out.getLong(idx), 42)
+            case _ => org.apache.spark.unsafe.hash.Murmur3_x86_32
+              .hashInt(out.getInt(idx), 42)
+          }
+        ((h % n) + n) % n
+      case None => -1
+    }
+    insertWriters.getOrElseUpdate(bucket,
+      new GraftParquetDataWriter(dir, schema, partitionId, taskId)).write(out)
   }
 
   override def commit(): WriterCommitMessage = {
-    val ins = if (insertWriter == null) Seq.empty[(String, Long)] else {
-      val m = insertWriter.commit().asInstanceOf[GraftFileCommit]
-      Seq((m.name, m.rows))
+    val ins = insertWriters.toSeq.map { case (b, w) =>
+      val m = w.commit().asInstanceOf[GraftFileCommit]
+      (m.name, m.rows, if (b >= 0) Some(b) else None)
     }
     val repl = doomed.toSeq.map { case (path, bits) =>
       val (newName, rows) =
@@ -313,8 +336,7 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     GraftDeltaCommit(ins, repl)
   }
 
-  override def abort(): Unit =
-    if (insertWriter != null) insertWriter.abort()
+  override def abort(): Unit = insertWriters.values.foreach(_.abort())
 
   override def close(): Unit = ()
 }
@@ -395,11 +417,12 @@ private[sources] object GraftDeltaCommitter {
           Some(ManifestTable.statLineFor(dir, newName, rows, statsCols,
             bucket = bucketByName.get(nm)))
       }
-    } ++ inserted.map { case (n, r) =>
-      // insert files carry NO bucket id (their rows span buckets), which
-      // degrades the scan to per-file planning until a rebucket — never
-      // a wrong answer
-      ManifestTable.statLineFor(dir, n, r, statsCols)
+    } ++ inserted.map { case (n, r, b) =>
+      // bucket-routed insert files are bucket-pure by construction and
+      // carry their id, so storage-partitioned joins stay armed through
+      // the statement; unbucketed inserts (no declared bucket transform)
+      // carry none
+      ManifestTable.statLineFor(dir, n, r, statsCols, bucket = b)
     }
     val ok = ManifestTable.commitMutate(dir,
       lines ++ ManifestTable.carriedMeta(dir, baseVersion), baseVersion)

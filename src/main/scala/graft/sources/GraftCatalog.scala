@@ -2467,10 +2467,14 @@ private[sources] case class GraftMetaColumn(colName: String,
   * files). A concurrent commit fails the statement explicitly; staged
   * files stay orphans for vacuum.
   *
-  * Unpartitioned-table caveat (Iceberg documents the same for its
-  * position deltas): insert rows carry a NULL `_file`, so a MERGE's
-  * inserts cluster into one write task; files-to-rewrite still spread
-  * across the cluster, which is where the 100 TB cost lives. */
+  * Insert-row distribution: on a bucketed table whose files are all
+  * stamped, the write clusters by (bucket(k), _file) — deletes of a file
+  * still co-locate (a bucket-pure file's rows share one tuple) while a
+  * bulk MERGE's inserts spread across the bucket space and land as
+  * bucket-pure stamped files, keeping storage-partitioned joins armed
+  * through the statement. UNPARTITIONED tables keep the Iceberg
+  * position-delta caveat: NULL-`_file` inserts cluster into one write
+  * task; files-to-rewrite still spread across the cluster. */
 private[sources] class GraftDeltaOperation(dir: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType)
@@ -2558,13 +2562,47 @@ private[sources] class GraftDeltaOperation(dir: String,
     // around the same time, so resolve the pin lazily at commit
     val pinnedV = () => baseVersion
     val tableDir = dir
+    // the declared single bucket transform (the storage-partitioned-join
+    // layout): insert rows bucket-route in the writer so their files stay
+    // stamped — the same `recordBucket` gate the INSERT path applies
+    val bucketBy: Option[(Int, String)] = {
+      val v = ManifestTable.currentVersion(dir)
+      ManifestTable.tableProperties(dir, v).get("graft.partitioning")
+        .map(GraftCatalog.partitionCols).collect {
+          case (ids, Seq((n, c))) if ids.isEmpty &&
+              writeSchema.fieldNames.contains(c) => (n, c)
+        }
+    }
+    val bucketSpec: Option[(Int, Int)] =
+      bucketBy.map { case (n, c) => (n, writeSchema.fieldIndex(c)) }
+    // deletes MUST stay file-clustered (one task owns every delete of a
+    // file — two tasks rewriting the same file would race), so the bucket
+    // leg can join the clustering only when every file in the snapshot is
+    // bucket-PURE (all stamped): then a file's delete rows all share one
+    // (bucket, _file) tuple, while NULL-`_file` insert rows spread across
+    // the bucket space instead of collapsing into one write task — the
+    // bulk-MERGE-insert bottleneck this removes at 100 TB. DELETE plans
+    // don't project data columns, so they keep the plain _file clustering.
+    val distributeByBucket = cmd !=
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
+      bucketBy.isDefined && {
+        val v = ManifestTable.currentVersion(dir)
+        val entries = ManifestTable.listLines(dir, v)
+          .map(ManifestTable.parseEntry)
+        entries.nonEmpty && entries.forall(_.bucket.isDefined)
+      }
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite
           with RequiresDistributionAndOrdering {
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(Array(Expressions.column("_file")))
+            .clustered(
+              if (distributeByBucket)
+                Array(
+                  Expressions.bucket(bucketBy.get._1, bucketBy.get._2),
+                  Expressions.column("_file"))
+              else Array(Expressions.column("_file")))
         override def requiredOrdering(): Array[
             org.apache.spark.sql.connector.expressions.SortOrder] = Array(
           Expressions.sort(Expressions.column("_file"),
@@ -2575,7 +2613,7 @@ private[sources] class GraftDeltaOperation(dir: String,
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
             new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx,
-              genExprs)
+              genExprs, bucketSpec)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             GraftDeltaCommitter.commit(tableDir, pinnedV(), messages)
           override def abort(messages: Array[WriterCommitMessage]): Unit =

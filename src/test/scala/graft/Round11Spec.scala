@@ -989,7 +989,7 @@ class Round11Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
-  test("bucket lifecycle: DELETE keeps SPJ, UPDATE degrades it, CALL rebucket re-arms it") {
+  test("bucket lifecycle: DELETE and UPDATE keep SPJ, a legacy file degrades it, CALL rebucket re-arms it") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
       QueryStageExec}
@@ -1058,23 +1058,38 @@ class Round11Spec extends AnyFunSuite {
         .select("o_orderkey", "o_totalprice", "c_acctbal")
         .collect().map(_.toSeq).toSet
       assert(theJoin.collect().map(_.toSeq).toSet == wantPostDelete)
-      // 3. UPDATE inserts rewritten rows as bucket-less files: the scan
-      // must DEGRADE (shuffle again), never mis-group
+      // 3. UPDATE re-inserts rewritten rows BUCKET-ROUTED (round 12): the
+      // files stay stamped and the join stays shuffle-free through the
+      // statement
       spark.sql("""UPDATE g11blc.default.ord SET o_totalprice = 0.0
         WHERE o_orderkey % 7 = 0""")
+      val (j3a, s3a) = joinShuffles(theJoin)
+      assert(j3a == 1 && s3a == 0,
+        s"post-UPDATE join must stay shuffle-free: $s3a shuffles")
+      // 3b. a legacy UNBUCKETED file (e.g. staged before the transform
+      // was declared) degrades the scan: it must shuffle again, never
+      // mis-group
+      val extra = Tables.orders(spark, sf)
+        .filter(col("o_orderkey") % 10 === 0)
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice").coalesce(1)
+      ManifestTable.merge(spark, s"$root/ord", extra, Seq("o_orderkey"))
       val (j3, s3) = joinShuffles(theJoin)
       assert(j3 == 1 && s3 > 0,
-        s"post-UPDATE join must fall back to shuffling: $s3 shuffles")
+        s"a bucket-less file must fall the join back to shuffling: $s3")
       // 4. CALL rebucket restores the clustered layout and the plan
       val rv = spark.sql(
         "CALL g11blc.system.rebucket(table => 'ord')").collect()
       assert(rv.length == 1 && rv.head.getInt(0) > 0)
       val (j4, s4) = joinShuffles(theJoin)
       assert(j4 == 1 && s4 == 0, s"post-rebucket join: $j4 joins, $s4 shuffles")
-      val wantFinal = Tables.orders(spark, sf)
+      val survivors = Tables.orders(spark, sf)
         .filter(!(col("o_orderkey") % 10 === 0))
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 7 === 0, 0.0).otherwise(col("o_totalprice")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val wantFinal = survivors
+        .unionByName(extra) // the re-added legacy-file rows (3b)
         .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_totalprice", "c_acctbal")
         .collect().map(_.toSeq).toSet

@@ -128,6 +128,101 @@ class Round12Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("bulk-insert MERGE on a bucketed table distributes and stamps insert files") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(nodes) ++ (p match {
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Seq.empty
+      }))
+    def joinShuffles(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val joins = nodes(plan).filter(n => n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec])
+      (joins.size,
+        joins.flatMap(_.children.flatMap(nodes))
+          .count(_.isInstanceOf[ShuffleExchangeLike]))
+    }
+    val root = freshDir("mgb")
+    val dir = s"$root/ord"
+    spark.conf.set("spark.sql.catalog.g12mb",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12mb.root", root)
+    val prevBucketing = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevPush = spark.conf
+      .get("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+    val prevBroadcast = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("""CREATE TABLE g12mb.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(8, o_custkey))""")
+      spark.sql("""CREATE TABLE g12mb.default.cust
+        (c_custkey BIGINT, c_acctbal DOUBLE)
+        PARTITIONED BY (bucket(8, c_custkey))""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r12_mgb_ord")
+      Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("r12_mgb_cust")
+      spark.sql("""INSERT INTO g12mb.default.ord
+        SELECT * FROM r12_mgb_ord WHERE o_orderkey % 2 = 0""")
+      spark.sql("INSERT INTO g12mb.default.cust SELECT * FROM r12_mgb_cust")
+      val before = ManifestTable
+        .listLines(dir, ManifestTable.currentVersion(dir))
+        .map(ManifestTable.parseEntry(_).name).toSet
+      // the bulk-insert MERGE: every odd orderkey is unmatched → inserts
+      spark.sql("""MERGE INTO g12mb.default.ord t USING r12_mgb_ord s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *""")
+      val entries = ManifestTable
+        .listLines(dir, ManifestTable.currentVersion(dir))
+        .map(ManifestTable.parseEntry)
+      val insertFiles = entries.filterNot(e => before.contains(e.name))
+        .filter(_.name.startsWith("w-"))
+      assert(insertFiles.size > 1,
+        s"a bulk-insert MERGE must spread inserts over >1 file, got " +
+          s"${insertFiles.size}")
+      assert(entries.forall(_.bucket.isDefined),
+        "every file must carry its bucket id after the MERGE — " +
+          entries.filter(_.bucket.isEmpty).map(_.name).mkString(","))
+      // …so the storage-partitioned join stays shuffle-free THROUGH the
+      // MERGE, and the answer is exact
+      val join = spark.sql("""SELECT o.o_orderkey, o.o_totalprice, c.c_acctbal
+        FROM g12mb.default.ord o JOIN g12mb.default.cust c
+          ON o.o_custkey = c.c_custkey""")
+      val (j, s) = joinShuffles(join)
+      assert(j == 1 && s == 0, s"post-MERGE join: $j joins, $s shuffles")
+      val want = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_acctbal")
+        .collect().map(_.toSeq).toSet
+      assert(join.collect().map(_.toSeq).toSet == want,
+        "the MERGE must leave exactly the full orders content")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        prevPush)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    ManifestTable.destroy(s"$root/ord")
+    ManifestTable.destroy(s"$root/cust")
+  }
+
   test("ProcessingTime streams advance past versions committed after start") {
     val root = freshDir("ptt")
     spark.conf.set("spark.sql.catalog.g12pt",
