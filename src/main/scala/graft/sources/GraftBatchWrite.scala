@@ -388,10 +388,23 @@ private[sources] object GraftDeltaWriter {
   * (stats re-harvested for the snapshot's recorded stat columns), drop
   * fully-deleted files, append insert lines, and carry every UNTOUCHED
   * line verbatim — one `#mutate` CAS against the statement's pinned
-  * version. */
+  * version.
+  *
+  * A lost CAS does NOT immediately fail the statement: if every file the
+  * winning commits REMOVED since the pinned snapshot is disjoint from
+  * this statement's READ set (the scan's pruning-admitted files) and
+  * WRITTEN set (the files it rewrote), the delta is REBASE-safe — the
+  * winner touched rows this statement provably never looked at — so the
+  * commit rebuilds its lines on the winner's snapshot (the winner's
+  * files carry verbatim, ours still swap) and retries. The concurrent
+  * ingest-during-UPDATE case commits on both sides with zero re-reads;
+  * genuinely overlapping writers (the winner rewrote or dropped a file we
+  * read) still refuse explicitly — snapshot-isolation row-level commits,
+  * the Iceberg/Delta optimistic-concurrency contract. */
 private[sources] object GraftDeltaCommitter {
   def commit(dir: String, baseVersion: Int,
-      messages: Array[WriterCommitMessage]): Unit = {
+      messages: Array[WriterCommitMessage],
+      readSet: () => Option[Set[String]] = () => None): Unit = {
     val staged = messages.collect { case m: GraftDeltaCommit => m }
     val inserted = staged.flatMap(_.inserted)
     val dataPrefix = s"$dir/data/"
@@ -400,36 +413,64 @@ private[sources] object GraftDeltaCommitter {
     val replacedByName = staged.flatMap(_.replaced)
       .map { case (p, n, r) => nameOf(p) -> ((n, r)) }.toMap
     if (inserted.isEmpty && replacedByName.isEmpty) return // no-op statement
-    val prev = ManifestTable.listLines(dir, baseVersion)
-    val prevEntries = prev.map(ManifestTable.parseEntry)
-    val statsCols = prevEntries
-      .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
-    val bucketByName = prevEntries.flatMap(e => e.bucket.map(e.name -> _)).toMap
-    val lines = prev.flatMap { line =>
-      val nm = line.split('\t').head
-      replacedByName.get(nm) match {
-        case None => Some(line) // untouched: VERBATIM
-        case Some((None, _)) => None // every row deleted
-        case Some((Some(newName), rows)) =>
-          // a rewrite only DROPS rows, so the surviving rows' bucket
-          // membership is unchanged — carry the old file's bucket id and
-          // storage-partitioned joins survive a selective DELETE
-          Some(ManifestTable.statLineFor(dir, newName, rows, statsCols,
-            bucket = bucketByName.get(nm)))
+    val baseNames = ManifestTable.listLines(dir, baseVersion)
+      .map(ManifestTable.parseEntry(_).name).toSet
+    var attempt = 0
+    var onto = baseVersion
+    while (true) {
+      val prev = ManifestTable.listLines(dir, onto)
+      val prevEntries = prev.map(ManifestTable.parseEntry)
+      val statsCols = prevEntries
+        .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
+      val bucketByName = prevEntries.flatMap(e => e.bucket.map(e.name -> _)).toMap
+      val lines = prev.flatMap { line =>
+        val nm = line.split('\t').head
+        replacedByName.get(nm) match {
+          case None => Some(line) // untouched: VERBATIM
+          case Some((None, _)) => None // every row deleted
+          case Some((Some(newName), rows)) =>
+            // a rewrite only DROPS rows, so the surviving rows' bucket
+            // membership is unchanged — carry the old file's bucket id and
+            // storage-partitioned joins survive a selective DELETE
+            Some(ManifestTable.statLineFor(dir, newName, rows, statsCols,
+              bucket = bucketByName.get(nm)))
+        }
+      } ++ inserted.map { case (n, r, b) =>
+        // bucket-routed insert files are bucket-pure by construction and
+        // carry their id, so storage-partitioned joins stay armed through
+        // the statement; unbucketed inserts (no declared bucket transform)
+        // carry none
+        ManifestTable.statLineFor(dir, n, r, statsCols, bucket = b)
       }
-    } ++ inserted.map { case (n, r, b) =>
-      // bucket-routed insert files are bucket-pure by construction and
-      // carry their id, so storage-partitioned joins stay armed through
-      // the statement; unbucketed inserts (no declared bucket transform)
-      // carry none
-      ManifestTable.statLineFor(dir, n, r, statsCols, bucket = b)
+      if (ManifestTable.commitMutate(dir,
+          lines ++ ManifestTable.carriedMeta(dir, onto), onto)) return
+      // CAS lost — decide rebase vs refuse against the NEW head
+      val cur = ManifestTable.currentVersion(dir)
+      val curNames = ManifestTable.listLines(dir, cur)
+        .map(ManifestTable.parseEntry(_).name).toSet
+      val removedSinceBase = baseNames -- curNames
+      // conservative default when the scan never recorded its pruning:
+      // the whole pinned snapshot counts as read
+      val touched = replacedByName.keySet ++ readSet().getOrElse(baseNames)
+      val overlap = removedSinceBase & touched
+      def refuse(why: String): Nothing = throw new IllegalStateException(
+        s"concurrent commit in $dir since v$baseVersion: $why — staged " +
+          "files remain orphans; re-run the statement against the new " +
+          "snapshot")
+      if (overlap.nonEmpty) refuse(
+        s"the winning commit removed file(s) this statement read or " +
+          s"rewrote (${overlap.take(3).mkString(", ")})")
+      // marker/governance state appearing mid-flight invalidates the
+      // rebase's carry-verbatim reasoning — refuse rather than guess
+      if (ManifestTable.dvLines(dir, cur).nonEmpty ||
+          ManifestTable.renameLines(dir, cur).nonEmpty)
+        refuse("deletion-vector/rename markers landed concurrently")
+      if (ManifestTable.policyLines(dir, cur).nonEmpty)
+        refuse("a governance policy landed concurrently")
+      attempt += 1
+      if (attempt >= 10) refuse(s"lost $attempt commit races")
+      onto = cur // rebase: replay the delta onto the winner's snapshot
     }
-    val ok = ManifestTable.commitMutate(dir,
-      lines ++ ManifestTable.carriedMeta(dir, baseVersion), baseVersion)
-    if (!ok) throw new IllegalStateException(
-      s"concurrent commit in $dir since v$baseVersion: the statement's " +
-        "snapshot is stale — staged files remain orphans; re-run the " +
-        "statement against the new snapshot")
   }
 
   def abort(dir: String, messages: Array[WriterCommitMessage]): Unit =

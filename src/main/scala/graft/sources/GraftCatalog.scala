@@ -1156,6 +1156,11 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   private var pushedRows: Option[Seq[Seq[Any]]] = None
   private var limit: Option[Int] = None
   private var topNPushed = false
+  /** File names the built scan ADMITTED after pruning — the statement's
+    * exact READ set, recorded for the delta committer's optimistic rebase
+    * (None until `build()` runs, or for metadata-served/governed scans,
+    * where the rebase falls back to the conservative whole-snapshot set). */
+  @volatile private[sources] var admittedFiles: Option[Set[String]] = None
   // the snapshot every planning decision in THIS builder reasons about —
   // captured once, so an exactness proof made at filter-pushdown time can
   // never be invalidated by a commit landing before the scan builds
@@ -1475,6 +1480,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     ManifestTable.segmentedEntries(dir, v,
         if (pushed.isEmpty) _ => true else fileAdmit) match {
       case Some((entries, _, _, totalFiles)) =>
+        admittedFiles = Some(entries.map(_.name).toSet)
         new ManifestFilesScan(shaped(entries),
           totalFiles.toInt, required, dir, pinned, versionsPerBatch,
           rowCap = limit)
@@ -1483,6 +1489,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           .map(ManifestTable.parseEntry)
         val admitted =
           if (pushed.isEmpty) entries else entries.filter(fileAdmit)
+        admittedFiles = Some(admitted.map(_.name).toSet)
         new ManifestFilesScan(shaped(admitted),
           entries.size, required, dir, pinned, versionsPerBatch,
           rowCap = limit)
@@ -2484,6 +2491,9 @@ private[sources] class GraftDeltaOperation(dir: String,
     NamedReference, SortDirection}
 
   @volatile private var baseVersion: Int = -1
+  // the statement's scan builder — records the pruning-admitted file set
+  // (the READ set) the committer's optimistic rebase reasons about
+  @volatile private var lastScan: ManifestSqlScanBuilder = null
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -2507,7 +2517,9 @@ private[sources] class GraftDeltaOperation(dir: String,
     baseVersion = v
     // the ordinary pruning scan builder, pinned to the statement's
     // version: pushed predicates skip stats-excluded files entirely
-    new ManifestSqlScanBuilder(dir, tableSchema, Some(v), Int.MaxValue)
+    lastScan = new ManifestSqlScanBuilder(dir, tableSchema, Some(v),
+      Int.MaxValue)
+    lastScan
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
@@ -2615,7 +2627,8 @@ private[sources] class GraftDeltaOperation(dir: String,
             new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx,
               genExprs, bucketSpec)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
-            GraftDeltaCommitter.commit(tableDir, pinnedV(), messages)
+            GraftDeltaCommitter.commit(tableDir, pinnedV(), messages,
+              () => Option(lastScan).flatMap(_.admittedFiles))
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             GraftDeltaCommitter.abort(tableDir, messages)
         }
