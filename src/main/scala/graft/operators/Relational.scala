@@ -1129,6 +1129,38 @@ object Relational {
         max(o_totalprice) AS mx
         FROM graft_fa.default.ord WHERE yr = 1997""")
     }),
+    // SUM pushdown from metadata: columns declared in `graft.write.sum`
+    // record a per-file EXACT decimal sum at insert (one extra agg in the
+    // staging pass that already builds blooms/NDV sketches), and the scan
+    // serves SUM — global, filtered, or grouped over value-pure files —
+    // by adding the recorded partials: a 100 TB revenue roll-up with zero
+    // data I/O. AVG rides for free (Spark rewrites it to SUM/COUNT for
+    // partial pushdown). Integral/decimal columns only — float sums are
+    // order-dependent — and any sum-less file declines to the scan.
+    "q_metadata_sum" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sagg_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_su",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_su.root", root)
+      s.sql("""CREATE TABLE graft_su.default.ord
+        (yr INT, o_orderkey BIGINT, price DECIMAL(18,2))
+        TBLPROPERTIES ('graft.write.sum' = 'price,o_orderkey')""")
+      Tables.orders(s, d).select(
+          year(col("o_orderdate")).cast("int").as("yr"),
+          col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView("r12_su_src")
+      val yrs = s.sql("SELECT DISTINCT yr FROM r12_su_src ORDER BY yr")
+        .collect().map(_.getInt(0)) // bounded: ≤ 8 years
+      yrs.foreach { y =>
+        s.sql(s"INSERT INTO graft_su.default.ord SELECT * FROM r12_su_src WHERE yr = $y")
+      }
+      s.sql("""SELECT yr, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price,
+        sum(o_orderkey) AS sum_k
+        FROM graft_su.default.ord GROUP BY yr""")
+    }),
     // SCHEMAS as first-class SQL objects (`SupportsNamespaces`): CREATE
     // SCHEMA (with comment), ALTER SCHEMA SET PROPERTIES, tables created
     // and addressed inside it — namespaces are marker-carrying
@@ -2204,6 +2236,12 @@ object Relational {
     "q_metadata_group_agg" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       min(o_orderkey) AS mn, CAST(max(o_totalprice) AS DOUBLE) AS mx
+        |FROM orders GROUP BY 1""".stripMargin,
+    // the metadata-served exact sums must match a real aggregation
+    "q_metadata_sum" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_k
         |FROM orders GROUP BY 1""".stripMargin,
     // a table routed through a named schema serves its data untouched
     "q_sql_namespaces" ->

@@ -1296,7 +1296,8 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar,
+      Max, Min, Sum}
     import org.apache.spark.sql.types._
     val v = snapV
     if (ManifestTable.dvLines(dir, v).nonEmpty) return false
@@ -1333,6 +1334,25 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       val x = if (wantMin) rs.map(_.min).min else rs.map(_.max).max
       typeOf(c).flatMap(dt => typed(x, dt).map((_, dt)))
     }
+    // SUM served from the recorded per-file exact decimal sums
+    // (`graft.write.sum`, the `c=Z:` leg): partials merge by addition, in
+    // the result type catalyst's Sum would produce (long for integrals,
+    // widened decimal for decimals — float/double are never recorded:
+    // their sums are order-dependent). AVG needs nothing extra: Spark's
+    // partial-aggregate pushdown rewrites it to SUM/COUNT before it
+    // reaches the connector. Overflow or a sum-less file declines.
+    def sumType(dt: DataType): Option[DataType] = dt match {
+      case LongType | IntegerType | ShortType | ByteType => Some(LongType)
+      case d: DecimalType =>
+        Some(DecimalType(math.min(38, d.precision + 10), d.scale))
+      case _ => None
+    }
+    def sumTyped(x: BigDecimal, rt: DataType): Option[Any] = rt match {
+      case LongType => scala.util.Try(x.toLongExact).toOption
+      case d: DecimalType =>
+        scala.util.Try(Decimal(x, d.precision, d.scale)).toOption
+      case _ => None
+    }
     if (aggregation.groupByExpressions.isEmpty) {
       val resolved = aggregation.aggregateExpressions.toSeq.map {
         case _: CountStar =>
@@ -1353,6 +1373,12 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         case m: Max =>
           colOf(m.column).flatMap(extremum(_, wantMin = false))
             .getOrElse(return false)
+        case sm: Sum if !sm.isDistinct =>
+          val c = colOf(sm.column).getOrElse(return false)
+          if (entries.exists(e => !e.sums.contains(c))) return false
+          val rt = typeOf(c).flatMap(sumType).getOrElse(return false)
+          (sumTyped(entries.map(_.sums(c)).sum, rt).getOrElse(return false),
+            rt)
         case _ => return false
       }
       pushedRows = Some(Seq(resolved.map(_._1)))
@@ -1403,6 +1429,11 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           val dt = typeOf(c).getOrElse(return false)
           (dt, (e: ManifestTable.FileEntry) =>
             e.ranges.get(c).flatMap(r => typed(r.max, dt)))
+        case sm: Sum if !sm.isDistinct =>
+          val c = colOf(sm.column).getOrElse(return false)
+          val rt = typeOf(c).flatMap(sumType).getOrElse(return false)
+          (rt, (e: ManifestTable.FileEntry) =>
+            e.sums.get(c).flatMap(sumTyped(_, rt)))
         case _ => return false
       }
     val rows = entries.map { e =>
@@ -2295,9 +2326,16 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
               .get("graft.write.ndv").toSeq
               .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
               .filter(allCols.contains)
+            // declared SUM columns (`graft.write.sum` property) get a
+            // per-file exact decimal sum in the same pass — the stat leg
+            // that serves SUM/AVG aggregates from metadata
+            val sumCols = ManifestTable.tableProperties(dir, v)
+              .get("graft.write.sum").toSeq
+              .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+              .filter(allCols.contains)
             val staged = partSpec match {
               case None => ManifestTable.stageWithIndexes(s, dir, data,
-                statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols)
+                statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols, sumCols = sumCols)
               case Some(spec) =>
                 val (ids, bks) = GraftCatalog.partitionCols(spec)
                 val clus = GraftCatalog.clusterCols(spec)
@@ -2309,10 +2347,10 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                   val n = s.conf.get("spark.sql.shuffle.partitions").toInt
                   ManifestTable.stageWithIndexes(s, dir,
                     data.repartitionByRange(n, clus.map(c): _*),
-                    statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols)
+                    statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols, sumCols = sumCols)
                 } else if (ids.isEmpty && bks.isEmpty)
                   ManifestTable.stageWithIndexes(s, dir, data,
-                    statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols)
+                    statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols, sumCols = sumCols)
                 else {
                   // explicit partition count: an AQE-coalesced range
                   // shuffle would merge every partition value into one
@@ -2340,7 +2378,7 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                     statsCols = allCols,
                     bloomCols = bks.map(_._2),
                     recordBucket = ids.isEmpty && bks.size == 1,
-                    ndvCols = ndvCols)
+                    ndvCols = ndvCols, sumCols = sumCols)
                 }
             }
             // OVERWRITE removes rows — a mutate commit, so incremental

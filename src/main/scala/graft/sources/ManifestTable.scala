@@ -802,7 +802,8 @@ object ManifestTable {
       hlls: Map[String, Array[Byte]] = Map.empty,
       strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
       bytes: Option[Long] = None, bucket: Option[Int] = None,
-      nulls: Map[String, Long] = Map.empty)
+      nulls: Map[String, Long] = Map.empty,
+      sums: Map[String, BigDecimal] = Map.empty)
 
   /** Parse one manifest line → full [[FileEntry]]. Unknown stat encodings
     * are ignored (forward compatible: an older reader sees the file as
@@ -838,10 +839,15 @@ object ManifestTable {
         Some(c -> v.substring(2).toLong)
       else None
     }.toMap
+    val sums = kvs.flatMap { case (c, v) =>
+      if (!v.startsWith("Z:")) None
+      else scala.util.Try(BigDecimal(v.substring(2))).toOption.map(c -> _)
+    }.toMap
     val rows = kvs.collectFirst { case ("__rows", v) if v.forall(_.isDigit) => v.toLong }
     val bytes = kvs.collectFirst { case ("__bytes", v) if v.forall(_.isDigit) => v.toLong }
     val bucket = kvs.collectFirst { case ("__bucket", v) if v.forall(_.isDigit) => v.toInt }
-    FileEntry(parts.head, ranges, blooms, rows, hlls, strs, bytes, bucket, nulls)
+    FileEntry(parts.head, ranges, blooms, rows, hlls, strs, bytes, bucket,
+      nulls, sums)
   }
 
   /** Parse one manifest line → (file name, recorded column ranges). */
@@ -1153,36 +1159,58 @@ object ManifestTable {
       statsCols: Seq[String], bloomCols: Seq[String],
       numBits: Int = 1 << 16, k: Int = 6,
       recordBucket: Boolean = false,
-      ndvCols: Seq[String] = Nil): Seq[String] = {
+      ndvCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.functions.{col => c, hll_sketch_agg,
-      input_file_name, substring_index}
+      input_file_name, substring_index, sum}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType,
+      LongType, ShortType}
     val lines = stageWithStats(s, dir, df, statsCols, recordBucket)
-    if (bloomCols.isEmpty && ndvCols.isEmpty) return lines
+    // per-file EXACT SUMS (`graft.write.sum`): integral and decimal
+    // columns only — they sum exactly in decimal(38); float/double sums
+    // are order-dependent, so a metadata-served answer could differ from
+    // a scan's and the leg declines them at harvest
+    val summable = sumCols.filter(sc => df.schema.fields
+      .find(_.name == sc).map(_.dataType).exists {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _: DecimalType => true
+        case _ => false
+      })
+    if (bloomCols.isEmpty && ndvCols.isEmpty && summable.isEmpty) return lines
     graft.functions.BloomOps.register(s)
     val names = lines.map(_.split('\t').head)
+    def scaleOf(sc: String): Int = df.schema.fields.find(_.name == sc)
+      .map(_.dataType).collect { case d: DecimalType => d.scale }.getOrElse(0)
     // ONE grouped pass over the just-staged batch builds every sketch:
-    // blooms and HLL NDV registers per (file, column)
+    // blooms, HLL NDV registers, and exact decimal sums per (file, column)
     val aggs = bloomCols.map(bc =>
       graft.functions.BloomOps.bloomBuild(c(bc).cast("long"), numBits, k)
         .as(s"bf_$bc")) ++
-      ndvCols.map(nc => hll_sketch_agg(c(nc)).as(s"sk_$nc"))
+      ndvCols.map(nc => hll_sketch_agg(c(nc)).as(s"sk_$nc")) ++
+      summable.map(sc => sum(c(sc).cast(DecimalType(38, scaleOf(sc))))
+        .as(s"sum_$sc"))
     val sketches = s.read.parquet(names.map(f => s"$dir/data/$f"): _*)
       .groupBy(substring_index(input_file_name(), "/", -1).as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per staged FILE — bounded by construction
       .map(r => r.getString(0) -> (
         bloomCols.map(bc => bc -> r.getAs[Array[Byte]](s"bf_$bc")).toMap,
-        ndvCols.map(nc => nc -> r.getAs[Array[Byte]](s"sk_$nc")).toMap))
+        ndvCols.map(nc => nc -> r.getAs[Array[Byte]](s"sk_$nc")).toMap,
+        summable.flatMap(sc => Option(r.getAs[java.math.BigDecimal](s"sum_$sc"))
+          .map(x => sc -> BigDecimal(x))).toMap))
       .toMap
     lines.map { line =>
       val name = line.split('\t').head
       sketches.get(name) match {
-        case Some((bms, hls)) =>
+        case Some((bms, hls, sms)) =>
           val enc = Seq(
             bms.toSeq.sortBy(_._1)
               .map { case (bc, b) => s"$bc=B:${hexEncode(b)}" }.mkString(";"),
             hls.toSeq.sortBy(_._1)
-              .map { case (nc, b) => s"$nc=H:${hexEncode(b)}" }.mkString(";")
+              .map { case (nc, b) => s"$nc=H:${hexEncode(b)}" }.mkString(";"),
+            sms.toSeq.sortBy(_._1)
+              .map { case (sc, x) => s"$sc=Z:${x.bigDecimal.toPlainString}" }
+              .mkString(";")
           ).filter(_.nonEmpty).map("\t" + _).mkString
           s"$line$enc"
         case None => line

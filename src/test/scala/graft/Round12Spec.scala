@@ -223,6 +223,72 @@ class Round12Spec extends AnyFunSuite {
     ManifestTable.destroy(s"$root/cust")
   }
 
+  test("SUM/AVG metadata pushdown: exact from recorded sums, honest decline") {
+    val root = freshDir("sum")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g12su",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12su.root", root)
+    spark.sql("""CREATE TABLE g12su.default.t
+      (yr INT, k BIGINT, price DECIMAL(18,2), dv DOUBLE)
+      TBLPROPERTIES ('graft.write.sum' = 'price,k,dv')""")
+    Tables.orders(spark, sf).select(
+        year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_totalprice").as("dv"))
+      .createOrReplaceTempView("r12_sum_src")
+    Seq(1996, 1997).foreach { y =>
+      spark.sql(s"INSERT INTO g12su.default.t SELECT * FROM r12_sum_src WHERE yr = $y")
+    }
+    def served(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.executedPlan.toString.contains("metadata agg")
+    val want = spark.sql("""SELECT count(*), CAST(sum(price) AS DOUBLE),
+      sum(k) FROM r12_sum_src WHERE yr IN (1996, 1997)""").head()
+    // global SUM: served from the recorded per-file sums, exactly
+    val g = spark.sql("""SELECT count(*) AS n, CAST(sum(price) AS DOUBLE)
+      AS sp, sum(k) AS sk FROM g12su.default.t""")
+    assert(served(g), "global SUM must be metadata-served:\n" +
+      g.queryExecution.executedPlan)
+    assert(g.head() == want)
+    // AVG rides the partial-pushdown rewrite to SUM/COUNT
+    val a = spark.sql(
+      "SELECT avg(price) AS ap, avg(k) AS ak FROM g12su.default.t")
+    assert(served(a), "AVG must rewrite to SUM/COUNT and stay served:\n" +
+      a.queryExecution.executedPlan)
+    val aWant = spark.sql("""SELECT avg(CAST(price AS DECIMAL(18,2))) AS ap,
+      avg(k) AS ak FROM r12_sum_src WHERE yr IN (1996, 1997)""").head()
+    assert(a.head() == aWant)
+    // filtered (exact pushdown) and grouped (value-pure files) both serve
+    val f = spark.sql("""SELECT CAST(sum(price) AS DOUBLE) AS sp
+      FROM g12su.default.t WHERE yr = 1996""")
+    assert(served(f), "filtered SUM must stay metadata-served")
+    assert(f.head().getDouble(0) == spark.sql("""SELECT
+      CAST(sum(price) AS DOUBLE) FROM r12_sum_src WHERE yr = 1996""")
+      .head().getDouble(0))
+    val grp = spark.sql("""SELECT yr, CAST(sum(price) AS DOUBLE) AS sp
+      FROM g12su.default.t GROUP BY yr""")
+    assert(served(grp), "grouped SUM must stay metadata-served")
+    assert(grp.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet ==
+      spark.sql("""SELECT yr, CAST(sum(price) AS DOUBLE)
+        FROM r12_sum_src WHERE yr IN (1996, 1997) GROUP BY yr""")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet)
+    // DOUBLE sums are order-dependent → never recorded, never served
+    val d = spark.sql("SELECT sum(dv) AS sd FROM g12su.default.t")
+    assert(!served(d), "a double SUM must decline to the scan")
+    // a file staged WITHOUT sums makes the answer unknowable from
+    // metadata: decline, stay exact
+    ManifestTable.merge(spark, dir, spark.sql(
+      "SELECT * FROM r12_sum_src WHERE yr = 1998").coalesce(1), Seq("k"))
+    val g2 = spark.sql("""SELECT count(*) AS n, CAST(sum(price) AS DOUBLE)
+      AS sp FROM g12su.default.t""")
+    assert(!served(g2), "a sum-less file must decline the pushdown")
+    val want2 = spark.sql("""SELECT count(*), CAST(sum(price) AS DOUBLE)
+      FROM r12_sum_src WHERE yr IN (1996, 1997, 1998)""").head()
+    assert(g2.head() == want2)
+    ManifestTable.destroy(root)
+  }
+
   test("ProcessingTime streams advance past versions committed after start") {
     val root = freshDir("ptt")
     spark.conf.set("spark.sql.catalog.g12pt",
