@@ -1161,6 +1161,36 @@ object Relational {
         sum(o_orderkey) AS sum_k
         FROM graft_su.default.ord GROUP BY yr""")
     }),
+    // HIDDEN time partitioning (`PARTITIONED BY (days(ts))` — the Iceberg
+    // transform): the user declares the period once at CREATE, inserts
+    // raw timestamps, and the engine range-clusters each batch on ts so
+    // every file holds a tight period envelope. The read side needs NO
+    // derived column: a WHERE on the raw ts prunes files through the
+    // ordinary range stats (micros vs the footer's INT64 encoding) —
+    // at 100 TB the three-day slice below reads three days of files, not
+    // the table. Round12Spec pins kept < total on the plan.
+    "q_time_partition" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_tpart_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ev")
+      s.conf.set("spark.sql.catalog.graft_tp",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tp.root", root)
+      s.sql("""CREATE TABLE graft_tp.default.ev
+        (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+         value DOUBLE)
+        PARTITIONED BY (days(ts))""")
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .createOrReplaceTempView("r12_tp_src")
+      s.sql("INSERT INTO graft_tp.default.ev SELECT * FROM r12_tp_src")
+      s.sql("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM graft_tp.default.ev
+        WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+          AND ts < TIMESTAMP'2024-01-13 00:00:00'
+        GROUP BY event_type""")
+    }),
     // SCHEMAS as first-class SQL objects (`SupportsNamespaces`): CREATE
     // SCHEMA (with comment), ALTER SCHEMA SET PROPERTIES, tables created
     // and addressed inside it — namespaces are marker-carrying
@@ -2237,6 +2267,14 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       min(o_orderkey) AS mn, CAST(max(o_totalprice) AS DOUBLE) AS mx
         |FROM orders GROUP BY 1""".stripMargin,
+    // the day-sliced roll-up over the hidden-partitioned table is exact
+    "q_time_partition" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type""".stripMargin,
     // the metadata-served exact sums must match a real aggregation
     "q_metadata_sum" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,

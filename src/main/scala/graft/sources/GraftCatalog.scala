@@ -885,15 +885,25 @@ private[sources] object GraftCatalog {
         // t$partitions rows, no dynamic-overwrite role)
         case "cluster_by" =>
           s"cluster(${t.references().map(_.fieldNames().mkString(".")).mkString(",")})"
+        // HIDDEN time partitioning (the Iceberg transform set): inserts
+        // range-cluster on the raw temporal column (truncation is
+        // monotone, so raw-order clustering gives each file a tight
+        // period envelope) and predicates on the RAW column prune via
+        // the ordinary range stats — users never see or supply a derived
+        // partition column
+        case u @ ("years" | "months" | "days" | "hours") =>
+          s"$u(${t.references().head.fieldNames().mkString(".")})"
         case other => throw new UnsupportedOperationException(
           s"PARTITIONED BY transform '$other' is not supported " +
-            "(supported: identity columns, bucket(n, col), CLUSTER BY)")
+            "(supported: identity columns, bucket(n, col), " +
+            "years/months/days/hours(col), CLUSTER BY)")
       }
     }.mkString(";")
 
   private val IdentityRe = """identity\(([^)]+)\)""".r
   private val ClusterRe = """cluster\(([^)]+)\)""".r
   private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
+  private val TimeRe = """(years|months|days|hours)\(([^)]+)\)""".r
 
   /** Parse the `graft.partitioning` property back into DSv2 transforms. */
   def decodePartitioning(spec: String): Array[Transform] =
@@ -904,6 +914,12 @@ private[sources] object GraftCatalog {
           cs.split(',').map(_.trim).filter(_.nonEmpty).toIndexedSeq
             .map(c => Expressions.column(c)
               .asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference])))
+      case TimeRe(u, c) => Some(u match {
+        case "years" => Expressions.years(c)
+        case "months" => Expressions.months(c)
+        case "days" => Expressions.days(c)
+        case "hours" => Expressions.hours(c)
+      })
       case s => BucketRe.findFirstMatchIn(s)
         .map(m => Expressions.bucket(m.group(1).toInt, m.group(2)))
     }
@@ -922,6 +938,10 @@ private[sources] object GraftCatalog {
   def clusterCols(spec: String): Seq[String] =
     ClusterRe.findAllMatchIn(spec).toSeq
       .flatMap(_.group(1).split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** (unit, raw column) of each hidden time-partition transform. */
+  def timeCols(spec: String): Seq[(String, String)] =
+    TimeRe.findAllMatchIn(spec).map(m => (m.group(1), m.group(2))).toSeq
 }
 
 /** One manifest table surfaced to SQL: snapshot-pinned batch scan (pruned
@@ -2339,8 +2359,13 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
               case Some(spec) =>
                 val (ids, bks) = GraftCatalog.partitionCols(spec)
                 val clus = GraftCatalog.clusterCols(spec)
+                // hidden time partitions range-cluster on the RAW column:
+                // truncation is monotone, so the raw ordering IS the
+                // period ordering and each file gets a tight ts envelope
+                // the raw-predicate prune path uses
+                val tcs = GraftCatalog.timeCols(spec).map(_._2)
                 import org.apache.spark.sql.functions.{col => c}
-                if (ids.isEmpty && bks.isEmpty && clus.nonEmpty) {
+                if (ids.isEmpty && tcs.isEmpty && bks.isEmpty && clus.nonEmpty) {
                   // CLUSTER BY: range-cluster the insert on the declared
                   // columns — tight per-file envelopes make predicates on
                   // them prune — with NO partition identity promised
@@ -2348,7 +2373,7 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                   ManifestTable.stageWithIndexes(s, dir,
                     data.repartitionByRange(n, clus.map(c): _*),
                     statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols, sumCols = sumCols)
-                } else if (ids.isEmpty && bks.isEmpty)
+                } else if (ids.isEmpty && tcs.isEmpty && bks.isEmpty)
                   ManifestTable.stageWithIndexes(s, dir, data,
                     statsCols = allCols, bloomCols = Nil, ndvCols = ndvCols, sumCols = sumCols)
                 else {
@@ -2357,8 +2382,8 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                   // file and nothing could ever prune
                   val n = s.conf.get("spark.sql.shuffle.partitions").toInt
                   val clustered =
-                    if (ids.nonEmpty) data.repartitionByRange(n,
-                      (ids ++ bks.map(_._2)).map(c): _*)
+                    if (ids.nonEmpty || tcs.nonEmpty) data.repartitionByRange(n,
+                      (ids ++ tcs ++ bks.map(_._2)).map(c): _*)
                     else data.repartition(bks.map(_._1).max,
                       bks.map(b => c(b._2)): _*)
                   // a declared write-order (`graft.write.sort` property)
@@ -2377,7 +2402,7 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                   ManifestTable.stageWithIndexes(s, dir, shaped,
                     statsCols = allCols,
                     bloomCols = bks.map(_._2),
-                    recordBucket = ids.isEmpty && bks.size == 1,
+                    recordBucket = ids.isEmpty && tcs.isEmpty && bks.size == 1,
                     ndvCols = ndvCols, sumCols = sumCols)
                 }
             }
@@ -3011,6 +3036,23 @@ private[sources] object StatsFilters {
     case f: java.lang.Float if java.lang.Float.isFinite(f) =>
       Some(BigDecimal(f.doubleValue))
     case bd: java.math.BigDecimal => Some(BigDecimal(bd))
+    // temporal bounds compare against the footer's own physical encoding:
+    // TIMESTAMP stats record INT64 MICROSECONDS, DATE stats INT32 days —
+    // so a predicate on a raw ts/date column prunes exactly like a
+    // numeric one (the hidden-partitioning read path: nobody queries the
+    // derived period, the raw-column filter skips the files)
+    case t: java.sql.Timestamp =>
+      Some(BigDecimal(math.addExact(math.multiplyExact(
+        math.floorDiv(t.getTime, 1000L), 1000000L), t.getNanos / 1000L)))
+    case i: java.time.Instant =>
+      Some(BigDecimal(math.addExact(
+        math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)))
+    case ldt: java.time.LocalDateTime => // TIMESTAMP_NTZ bound
+      Some(BigDecimal(math.addExact(math.multiplyExact(
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        ldt.getNano / 1000L)))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case ld: java.time.LocalDate => Some(BigDecimal(ld.toEpochDay))
     case _ => None
   }
   def longOf(a: Any): Option[Long] = a match {

@@ -454,7 +454,18 @@ object ManifestTable {
   def stageIndexed(s: SparkSession, dir: String,
       df: DataFrame): Seq[(String, Int)] = {
     val tmp = s"$dir/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(tmp)
+    // always stage timestamps as INT64 micros: INT96 (Spark's legacy
+    // parquet default) records NO column statistics, which would silently
+    // disable range pruning and metadata extrema on every ts column —
+    // the Iceberg/Delta spec mandates INT64 for the same reason
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = s.conf.getOption(tsKey)
+    s.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.mode("overwrite").parquet(tmp)
+    finally prevTs match {
+      case Some(v) => s.conf.set(tsKey, v)
+      case None => s.conf.unset(tsKey)
+    }
     Files.createDirectories(Paths.get(dir, "data"))
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val parts = listDir(Paths.get(tmp))

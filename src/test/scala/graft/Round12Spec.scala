@@ -289,6 +289,55 @@ class Round12Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("hidden time partitioning: raw-ts predicates prune day-clustered files") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = freshDir("tpt")
+    val dir = s"$root/ev"
+    spark.conf.set("spark.sql.catalog.g12tp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12tp.root", root)
+    spark.sql("""CREATE TABLE g12tp.default.ev
+      (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+       value DOUBLE)
+      PARTITIONED BY (days(ts))""")
+    val tbl = spark.sql("SHOW CREATE TABLE g12tp.default.ev").head().getString(0)
+    assert(tbl.contains("days(ts)"), s"the transform must round-trip: $tbl")
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("r12_tpt_src")
+    spark.sql("INSERT INTO g12tp.default.ev SELECT * FROM r12_tpt_src")
+    val entries = ManifestTable
+      .listLines(dir, ManifestTable.currentVersion(dir))
+      .map(ManifestTable.parseEntry)
+    assert(entries.size > 1, "the insert must cluster into multiple files")
+    assert(entries.forall(_.ranges.contains("ts")),
+      "every staged file must carry a ts range (INT64 micros, never INT96)")
+    def scansOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case b: BatchScanExec => b.scan }
+        .collect { case m: sources.ManifestFilesScan => m }
+    }
+    // the window predicate is on the RAW column — nobody ever supplied or
+    // queried a derived day — and it must skip files
+    val q = spark.sql("""SELECT * FROM g12tp.default.ev
+      WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+        AND ts < TIMESTAMP'2024-01-13 00:00:00'""")
+    val s1 = scansOf(q)
+    assert(s1.nonEmpty && s1.head.keptFiles < s1.head.totalFiles,
+      s"a raw-ts range must prune day-clustered files " +
+        s"(${s1.map(s => s"${s.keptFiles}/${s.totalFiles}").mkString(",")})")
+    val want = spark.sql("""SELECT count(*) FROM r12_tpt_src
+      WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+        AND ts < TIMESTAMP'2024-01-13 00:00:00'""").head().getLong(0)
+    assert(q.count() == want, "pruning must never change the answer")
+    ManifestTable.destroy(root)
+  }
+
   test("ProcessingTime streams advance past versions committed after start") {
     val root = freshDir("ptt")
     spark.conf.set("spark.sql.catalog.g12pt",
