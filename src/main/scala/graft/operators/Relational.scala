@@ -1161,6 +1161,43 @@ object Relational {
         sum(o_orderkey) AS sum_k
         FROM graft_su.default.ord GROUP BY yr""")
     }),
+    // WRITABLE BRANCHES — write-audit-publish over MULTI-COMMIT candidate
+    // lines: `CALL system.branch` cuts a branch at the current version,
+    // `t@wap` addresses it with the full SQL surface (here: a second
+    // insert lands on the branch while main still serves the first), and
+    // `CALL system.fastforward` publishes the audited line back to main
+    // in one CAS'd commit — refusing if main moved since the cut. The
+    // pipeline pattern: land a day's ingest on a branch, run quality
+    // audits THERE, publish only when green; a 100 TB publish is pure
+    // metadata + file renames, zero data copy.
+    "q_sql_branch" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_brq_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_br",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_br.root", root)
+      s.sql("""CREATE TABLE graft_br.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r12_br_src")
+      s.sql("""INSERT INTO graft_br.default.ord
+        SELECT * FROM r12_br_src WHERE o_orderkey % 2 = 0""")
+      s.sql("CALL graft_br.system.branch(table => 'ord', name => 'wap')")
+      s.sql("""INSERT INTO graft_br.default.`ord@wap`
+        SELECT * FROM r12_br_src WHERE o_orderkey % 2 = 1""")
+      // the audit runs ON THE BRANCH; main is still the even half
+      val audit = s.sql(
+        "SELECT count(*) FROM graft_br.default.`ord@wap`").head().getLong(0)
+      val mainN = s.sql(
+        "SELECT count(*) FROM graft_br.default.ord").head().getLong(0)
+      require(mainN < audit,
+        s"branch writes must stay invisible to main ($mainN vs $audit)")
+      s.sql("CALL graft_br.system.fastforward(table => 'ord', name => 'wap')")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_br.default.ord""")
+    }),
     // HIDDEN time partitioning (`PARTITIONED BY (days(ts))` — the Iceberg
     // transform): the user declares the period once at CREATE, inserts
     // raw timestamps, and the engine range-clusters each batch on ts so
@@ -2267,6 +2304,11 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       min(o_orderkey) AS mn, CAST(max(o_totalprice) AS DOUBLE) AS mx
         |FROM orders GROUP BY 1""".stripMargin,
+    // the published branch line must equal the full content
+    "q_sql_branch" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
     // the day-sliced roll-up over the hidden-partitioned table is exact
     "q_time_partition" ->
       """SELECT event_type, count(*) AS n,

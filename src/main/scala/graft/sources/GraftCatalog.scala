@@ -211,6 +211,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         new ManifestChangesTable(ident.toString, dir)
       else new ManifestMetaTable(ident.toString, dir, parts(1))
     }
+    // WRITABLE BRANCH REFS: `t@name` addresses branch `name` — a full
+    // table in its own right (insert, DML, stream, time-travel all work),
+    // invisible to main until `CALL <cat>.system.fastforward` publishes it
+    if (ident.name().contains("@")) {
+      val parts = ident.name().split("@", 2)
+      val dir = dirOf(Identifier.of(ident.namespace(), parts(0)))
+      val bd = ManifestTable.branchDir(dir, parts(1))
+      if (ManifestTable.currentVersion(bd) < 0)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      return new ManifestSqlTable(ident.toString, bd, None)
+    }
     val dir = dirOf(ident)
     if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
@@ -581,7 +592,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.types._
 
   val names: Array[String] =
-    Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire")
+    Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire",
+      "branch", "fastforward", "drop_branch")
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, root)) else None
@@ -617,6 +629,11 @@ private[sources] object GraftProcedures {
         "time travel (defaults to the current version)"
       case "expire" => "drop snapshots older than an instant, keeping " +
         "the last N and every tagged version"
+      case "branch" => "cut a writable branch at the current version — " +
+        "address it as `t@<name>`, publish with fastforward"
+      case "fastforward" => "publish a branch: fast-forward main to the " +
+        "branch head (refuses if main advanced past the fork point)"
+      case "drop_branch" => "abandon a branch and its local files"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -647,6 +664,9 @@ private[sources] object GraftProcedures {
           org.apache.spark.sql.types.LongType).build(),
         ProcedureParameter.in("keep_last", IntegerType)
           .defaultValue("1").build())
+      case "branch" | "fastforward" | "drop_branch" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
     }
     override def call(input: org.apache.spark.sql.catalyst.InternalRow)
         : java.util.Iterator[Scan] = {
@@ -709,6 +729,13 @@ private[sources] object GraftProcedures {
         case "expire" =>
           ManifestTable.expireSnapshots(dir,
             olderThanMillis = input.getLong(1), keepLast = input.getInt(2))
+          ManifestTable.currentVersion(dir)
+        case "branch" =>
+          ManifestTable.createBranch(dir, input.getUTF8String(1).toString)
+        case "fastforward" =>
+          ManifestTable.fastForward(dir, input.getUTF8String(1).toString)
+        case "drop_branch" =>
+          ManifestTable.dropBranch(dir, input.getUTF8String(1).toString)
           ManifestTable.currentVersion(dir)
       }
       java.util.Collections.singletonList(resultScan(v)).iterator()

@@ -575,6 +575,134 @@ object ManifestTable {
     0
   }
 
+  // ---------------------------------------------------------------------
+  // WRITABLE BRANCH REFS — write-audit-publish generalized to MULTI-COMMIT
+  // candidate lines (the Iceberg branch workflow): a branch is a shallow
+  // clone under the table's own `.branch/<name>/`, so EVERY existing
+  // surface — inserts, row-level DML, streaming, time travel — works on it
+  // unchanged while main never sees a byte. Publishing FAST-FORWARDS main
+  // to the branch head in one CAS'd commit: branch-local data files move
+  // into the table's `data/` (metadata + rename cost, no data copy) and
+  // the clone's absolute references fold back to relative names. A main
+  // that advanced past the fork point refuses the publish explicitly —
+  // the candidate line was audited against a snapshot that no longer
+  // exists, so rebase or abandon, never guess.
+  // ---------------------------------------------------------------------
+
+  /** Table-relative directory of branch `name`. */
+  def branchDir(dir: String, name: String): String = s"$dir/.branch/$name"
+
+  private[sources] val BranchBaseProp = "graft.branch.base"
+
+  private def validRefName(name: String): Boolean =
+    name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_' ||
+      ch == '-')
+
+  /** Create branch `name` at the table's current version. Returns the
+    * fork-point version the branch was cut at. */
+  def createBranch(dir: String, name: String): Int = {
+    require(validRefName(name),
+      s"branch name must be alphanumeric/_/-, got '$name'")
+    val base = currentVersion(dir)
+    require(base >= 0, s"no committed snapshot to branch in $dir")
+    val bd = branchDir(dir, name)
+    require(currentVersion(bd) < 0, s"branch '$name' already exists on $dir")
+    cloneTable(dir, bd)
+    alterAtomic(bd, Seq(AlterOp.SetProp(BranchBaseProp, base.toString)))
+    base
+  }
+
+  /** Publish branch `name`: fast-forward main to the branch head in one
+    * commit CAS'd against the fork-point version, then retire the branch.
+    * Refuses when main advanced past the fork point (diverged), or when
+    * the branch carries deletion-vector/rename markers (compact the
+    * branch first — the markers' absolute paths don't survive the move).
+    * Returns the new main version. */
+  def fastForward(dir: String, name: String): Int = {
+    val bd = branchDir(dir, name)
+    val bv = currentVersion(bd)
+    require(bv >= 0, s"no branch '$name' on $dir")
+    val base = tableProperties(bd, bv).get(BranchBaseProp)
+      .flatMap(_.toIntOption).getOrElse(throw new IllegalStateException(
+        s"$bd carries no fork-point property — not a branch"))
+    def refuseDiverged(): Nothing = throw new IllegalStateException(
+      s"fast-forward of branch '$name' refused: $dir advanced past its " +
+        s"fork point v$base — re-cut the branch (or abandon it); a " +
+        "publish must never overwrite commits it was not audited against")
+    if (currentVersion(dir) != base) refuseDiverged()
+    require(dvLines(bd, bv).isEmpty && renameLines(bd, bv).isEmpty,
+      s"fast-forward of '$name' refused: deletion-vector/rename markers " +
+        "on the branch — compact it first")
+    val mainData = Paths.get(dir, "data").toAbsolutePath.toString
+    val moved = scala.collection.mutable.Buffer[(Path, Path)]()
+    def moveBack(): Unit = moved.reverse.foreach { case (src, dst) =>
+      try Files.move(dst, src, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Exception => () } // best effort; files stay orphans
+    }
+    try {
+      val lines = listLines(bd, bv).map { l =>
+        val parts = l.split('\t')
+        val n = parts.head
+        if (n.startsWith("/")) {
+          // a clone reference back into main's own data dir folds to the
+          // relative name; anything else stays an absolute reference
+          if (n.startsWith(mainData + "/"))
+            (n.stripPrefix(mainData + "/") +: parts.tail).mkString("\t")
+          else l
+        } else {
+          // branch-local file (staged by branch commits): move it into
+          // main's data dir under its unique name — rename, never copy
+          val src = Paths.get(bd, "data", n)
+          val dst = Paths.get(dir, "data", n)
+          Files.createDirectories(dst.getParent)
+          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+          moved += ((src, dst))
+          l
+        }
+      }
+      // the branch's evolved metadata (schema changes, properties, tags)
+      // publishes with it — minus its private fork-point marker
+      val meta = carriedMeta(bd, bv)
+        .filterNot(_.contains(BranchBaseProp))
+      // publish as a MUTATE commit: relative to main's head the branch
+      // may remove or rewrite rows, which an append-only feed cannot
+      // express — incremental consumers re-bootstrap, the honest default
+      if (!commitMutate(dir, lines ++ meta, base)) {
+        moveBack()
+        refuseDiverged()
+      }
+    } catch {
+      case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
+        moveBack(); throw e
+    }
+    dropBranch(dir, name)
+    base + 1
+  }
+
+  /** Abandon (or retire after publish) branch `name`: remove its
+    * directory and its clone registration at the source. */
+  def dropBranch(dir: String, name: String): Unit = {
+    val bd = Paths.get(branchDir(dir, name)).toAbsolutePath.toString
+    destroy(bd)
+    val reg = Paths.get(dir, "clones")
+    if (Files.isDirectory(reg))
+      listDir(reg).filter(p =>
+          new String(Files.readAllBytes(p), "UTF-8").trim == bd)
+        .foreach(Files.deleteIfExists(_))
+    // prune the now-empty .branch dir (best effort)
+    val broot = Paths.get(dir, ".branch")
+    if (Files.isDirectory(broot) && !listDir(broot).exists(_ => true))
+      Files.deleteIfExists(broot)
+  }
+
+  /** Names of live branches of this table. */
+  def branches(dir: String): Seq[String] = {
+    val broot = Paths.get(dir, ".branch")
+    if (!Files.isDirectory(broot)) Seq.empty
+    else listDir(broot).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
+  }
+
   /** Directories of LIVE registered clones of this table (registration
     * marker present and the clone directory still exists). Non-empty means
     * external manifests reference this table's data files by absolute

@@ -338,6 +338,64 @@ class Round12Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("branch refs: invisible writes, atomic fast-forward, diverged refusal") {
+    val root = freshDir("brc")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g12br",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12br.root", root)
+    spark.sql("CREATE TABLE g12br.default.t (k BIGINT, v DOUBLE)")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      .createOrReplaceTempView("r12_brc_src")
+    spark.sql("""INSERT INTO g12br.default.t
+      SELECT * FROM r12_brc_src WHERE k % 2 = 0""")
+    val mainBefore = spark.sql("SELECT count(*) FROM g12br.default.t")
+      .head().getLong(0)
+    spark.sql("CALL g12br.system.branch(table => 't', name => 'wap')")
+    // multi-commit candidate line: an insert AND a row-level UPDATE land
+    // on the branch; main sees neither
+    spark.sql("""INSERT INTO g12br.default.`t@wap`
+      SELECT * FROM r12_brc_src WHERE k % 2 = 1""")
+    spark.sql("UPDATE g12br.default.`t@wap` SET v = 0.0 WHERE k % 10 = 3")
+    assert(spark.sql("SELECT count(*) FROM g12br.default.t")
+      .head().getLong(0) == mainBefore,
+      "branch commits must be invisible to main")
+    assert(ManifestTable.branches(dir) == Seq("wap"))
+    // publish: one commit, exact content, branch retired
+    spark.sql("CALL g12br.system.fastforward(table => 't', name => 'wap')")
+    val want = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 10 === 3,
+          0.0).otherwise(col("o_totalprice")).as("v"))
+      .collect().map(_.toSeq).toSet
+    assert(spark.sql("SELECT k, v FROM g12br.default.t")
+      .collect().map(_.toSeq).toSet == want,
+      "fast-forward must publish exactly the branch head")
+    assert(ManifestTable.branches(dir).isEmpty, "publish retires the branch")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g12br.default.`t@wap`").collect()
+    }
+    // diverged: main advances after the cut → the publish refuses and
+    // main keeps its own line; drop_branch abandons cleanly
+    spark.sql("CALL g12br.system.branch(table => 't', name => 'risky')")
+    spark.sql("""INSERT INTO g12br.default.`t@risky`
+      VALUES (CAST(-1 AS BIGINT), 1.0)""")
+    spark.sql("INSERT INTO g12br.default.t VALUES (CAST(-2 AS BIGINT), 2.0)")
+    val e = intercept[Exception] {
+      spark.sql("CALL g12br.system.fastforward(table => 't', name => 'risky')")
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("fork point") ||
+        Option(e.getCause).exists(_.getMessage.contains("fork point"))),
+      s"diverged fast-forward must refuse explicitly: ${e.getMessage}")
+    assert(!spark.sql("SELECT k FROM g12br.default.t").collect()
+      .exists(_.getLong(0) == -1L),
+      "a refused publish must leave main untouched")
+    spark.sql("CALL g12br.system.drop_branch(table => 't', name => 'risky')")
+    assert(ManifestTable.branches(dir).isEmpty)
+    ManifestTable.destroy(root)
+  }
+
   test("ProcessingTime streams advance past versions committed after start") {
     val root = freshDir("ptt")
     spark.conf.set("spark.sql.catalog.g12pt",
