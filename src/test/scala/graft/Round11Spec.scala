@@ -1471,10 +1471,15 @@ class Round11Spec extends AnyFunSuite {
       "SELECT count(*) FROM r11_gen_src WHERE year(d) = 1997")
       .collect().head.getLong(0)
     assert(kept == want)
-    // UPDATE cannot recompute the generation — refused; DELETE is safe
-    intercept[Exception] {
-      spark.sql("UPDATE g11gn.default.t SET v = v + 1.0 WHERE yr = 1997")
-    }
+    // UPDATE recomputes the generation on every rewritten row (round 12);
+    // DELETE only removes rows
+    spark.sql("UPDATE g11gn.default.t SET v = v + 1.0 WHERE yr = 1997")
+    assert(spark.sql("""SELECT count(*) FROM g11gn.default.t
+      WHERE yr != year(d)""").head().getLong(0) == 0L,
+      "the generated value must track its expression through an UPDATE")
+    assert(spark.sql(
+      "SELECT count(*) FROM g11gn.default.t WHERE yr = 1997")
+      .head().getLong(0) == want)
     spark.sql("DELETE FROM g11gn.default.t WHERE yr = 1997")
     assert(spark.sql(
       "SELECT count(*) FROM g11gn.default.t WHERE yr = 1997")
