@@ -2412,8 +2412,20 @@ object ManifestTable {
             .sortWithinPartitions(c("__zkey")).drop("__zkey")
         case _ => df.repartition(numFiles)
       }
+      // declared NDV/SUM columns re-harvest through maintenance: a DML
+      // rewrite drops a file's sketches/sums (the delta writer can't
+      // recompute them), and compaction is where the metadata tier
+      // re-arms — the same degrade-then-maintain story as bucket ids
+      val props = tableProperties(dir, v)
+      def declared(key: String): Seq[String] = props.get(key).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .filter(df.columns.contains)
+      val ndvC = declared("graft.write.ndv")
+      val sumC = declared("graft.write.sum")
       val staged =
-        if (statsCols.nonEmpty) stageWithStats(s, dir, laid, statsCols)
+        if (statsCols.nonEmpty || ndvC.nonEmpty || sumC.nonEmpty)
+          stageWithIndexes(s, dir, laid, statsCols = statsCols,
+            bloomCols = Nil, ndvCols = ndvC, sumCols = sumC)
         else stage(s, dir, laid)
       val carried = carriedDvLines(dir, v, big.map(_.split('\t').head).toSet) ++
         (if (big.isEmpty) Seq.empty else renameLines(dir, v)) ++
@@ -2461,8 +2473,13 @@ object ManifestTable {
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       val shaped = if (sortCols.isEmpty) clustered
         else clustered.sortWithinPartitions(sortCols.map(c): _*)
+      def declared(key: String): Seq[String] = tableProperties(dir, v)
+        .get(key).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .filter(df.columns.contains)
       val staged = stageWithIndexes(s, dir, shaped, statsCols = statsCols,
-        bloomCols = Seq(colName), recordBucket = true)
+        bloomCols = Seq(colName), recordBucket = true,
+        ndvCols = declared("graft.write.ndv"),
+        sumCols = declared("graft.write.sum"))
       if (commitRewrite(dir, staged ++ carriedMeta(dir, v), v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }

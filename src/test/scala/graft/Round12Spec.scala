@@ -286,6 +286,13 @@ class Round12Spec extends AnyFunSuite {
     val want2 = spark.sql("""SELECT count(*), CAST(sum(price) AS DOUBLE)
       FROM r12_sum_src WHERE yr IN (1996, 1997, 1998)""").head()
     assert(g2.head() == want2)
+    // maintenance RE-ARMS the tier: compaction re-harvests declared sums
+    spark.sql("CALL g12su.system.optimize(table => 't', num_files => 2)")
+    val g3 = spark.sql("""SELECT count(*) AS n, CAST(sum(price) AS DOUBLE)
+      AS sp FROM g12su.default.t""")
+    assert(served(g3), "optimize must re-harvest declared sums:\n" +
+      g3.queryExecution.executedPlan)
+    assert(g3.head() == want2)
     ManifestTable.destroy(root)
   }
 
