@@ -2758,9 +2758,16 @@ private[sources] class ManifestMetaTable(ident: String, dir: String,
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = true),
       StructField("size_bytes", LongType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_version", IntegerType, nullable = false),
+      StructField("head_version", IntegerType, nullable = false),
+      StructField("diverged", BooleanType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = true)))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$$${other}' — supported: history, files, " +
-        "properties, partitions")
+        "properties, partitions, branches")
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -2816,6 +2823,23 @@ private[sources] class ManifestMetaTable(ident: String, dir: String,
                   if (Files.exists(f)) Files.size(f) else 0L
                 }).sum)
             }
+        // one row per live branch: where it forked, where its head is,
+        // whether main moved since (a diverged branch can only be
+        // abandoned or re-cut — fast-forward will refuse) — the operator
+        // view before a publish, at metadata cost
+        case "branches" =>
+          ManifestTable.branches(dir).map { b =>
+            val bd = ManifestTable.branchDir(dir, b)
+            val bv = ManifestTable.currentVersion(bd)
+            val fork = ManifestTable.tableProperties(bd, bv)
+              .get(ManifestTable.BranchBaseProp).flatMap(_.toIntOption)
+              .getOrElse(-1)
+            val es = ManifestTable.listLines(bd, bv)
+              .map(ManifestTable.parseEntry)
+            Seq(b, fork, bv, cur != fork, es.size.toLong,
+              if (es.forall(_.rows.isDefined))
+                Long.box(es.flatMap(_.rows).sum) else null)
+          }
         case _ => ManifestTable.tableProperties(dir, cur).toSeq.sortBy(_._1)
           .map { case (k, v) => Seq(k, v) }
       }

@@ -369,6 +369,12 @@ class Round12Spec extends AnyFunSuite {
       .head().getLong(0) == mainBefore,
       "branch commits must be invisible to main")
     assert(ManifestTable.branches(dir) == Seq("wap"))
+    // t$branches: the operator view — fork point, head, divergence flag
+    val bm = spark.sql("""SELECT branch, fork_version, head_version,
+      diverged FROM g12br.default.`t$branches`""").collect()
+    assert(bm.length == 1 && bm.head.getString(0) == "wap" &&
+      bm.head.getInt(1) == 1 && bm.head.getInt(2) > bm.head.getInt(1) &&
+      !bm.head.getBoolean(3), s"got ${bm.mkString(",")}")
     // publish: one commit, exact content, branch retired
     spark.sql("CALL g12br.system.fastforward(table => 't', name => 'wap')")
     val want = Tables.orders(spark, sf)
@@ -389,6 +395,8 @@ class Round12Spec extends AnyFunSuite {
     spark.sql("""INSERT INTO g12br.default.`t@risky`
       VALUES (CAST(-1 AS BIGINT), 1.0)""")
     spark.sql("INSERT INTO g12br.default.t VALUES (CAST(-2 AS BIGINT), 2.0)")
+    assert(spark.sql("SELECT diverged FROM g12br.default.`t$branches`")
+      .head().getBoolean(0), "main moved past the fork — flagged diverged")
     val e = intercept[Exception] {
       spark.sql("CALL g12br.system.fastforward(table => 't', name => 'risky')")
     }
