@@ -267,12 +267,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       val v = resolveVersion(dir, version)
       return new ManifestMetaTable(s"$ident@v$v", dir, parts(1), Some(v))
     }
-    val dir = dirOf(ident)
+    // branches time-travel like any table: `t@wap VERSION AS OF 2` reads
+    // the candidate line's own history (e.g. to diff an audit fix)
+    val dir = branchAwareDir(ident)
     if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val v = resolveVersion(dir, version)
     new ManifestSqlTable(s"$ident@v$v", dir, Some(v))
   }
+
+  /** Directory of a plain or branch-addressed (`t@name`) identifier. */
+  private def branchAwareDir(ident: Identifier): String =
+    if (ident.name().contains("@")) {
+      val parts = ident.name().split("@", 2)
+      ManifestTable.branchDir(
+        dirOf(Identifier.of(ident.namespace(), parts(0))), parts(1))
+    } else dirOf(ident)
 
   /** SQL time travel by TIMESTAMP — `SELECT … FROM graft.default.t
     * TIMESTAMP AS OF '…'`: resolves to the NEWEST committed version whose
@@ -282,7 +292,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * which any `cp -r` silently rewrites (legacy manifests without the
     * marker fall back to mtime). Microseconds per the DSv2 contract. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val dir = dirOf(ident)
+    val dir = branchAwareDir(ident)
     val cur = ManifestTable.currentVersion(dir)
     if (cur < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)

@@ -375,6 +375,12 @@ class Round12Spec extends AnyFunSuite {
     assert(bm.length == 1 && bm.head.getString(0) == "wap" &&
       bm.head.getInt(1) == 1 && bm.head.getInt(2) > bm.head.getInt(1) &&
       !bm.head.getBoolean(3), s"got ${bm.mkString(",")}")
+    // the candidate line has its own history: time travel reads the
+    // branch as it was at the cut (v0 clone, v1 fork-point property)
+    assert(spark.sql(
+      "SELECT count(*) FROM g12br.default.`t@wap` VERSION AS OF 1")
+      .head().getLong(0) == mainBefore,
+      "branch time travel must serve the fork-point content")
     // publish: one commit, exact content, branch retired
     spark.sql("CALL g12br.system.fastforward(table => 't', name => 'wap')")
     val want = Tables.orders(spark, sf)
