@@ -394,7 +394,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * commit — a refused change (unsupported kind, rename under DVs,
     * policy-referenced column) leaves nothing durable. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val dir = dirOf(ident)
+    // branches ALTER like any table (`t@wap`): schema evolution is part
+    // of a candidate line and publishes with it at fast-forward
+    val dir = branchAwareDir(ident)
     if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val ops = changes.toSeq.flatMap {

@@ -365,6 +365,10 @@ class Round12Spec extends AnyFunSuite {
     spark.sql("""INSERT INTO g12br.default.`t@wap`
       SELECT * FROM r12_brc_src WHERE k % 2 = 1""")
     spark.sql("UPDATE g12br.default.`t@wap` SET v = 0.0 WHERE k % 10 = 3")
+    // schema evolution is part of the candidate line too
+    spark.sql("ALTER TABLE g12br.default.`t@wap` ADD COLUMN note STRING")
+    assert(!spark.table("g12br.default.t").columns.contains("note"),
+      "branch schema evolution must stay invisible to main")
     assert(spark.sql("SELECT count(*) FROM g12br.default.t")
       .head().getLong(0) == mainBefore,
       "branch commits must be invisible to main")
@@ -391,6 +395,8 @@ class Round12Spec extends AnyFunSuite {
     assert(spark.sql("SELECT k, v FROM g12br.default.t")
       .collect().map(_.toSeq).toSet == want,
       "fast-forward must publish exactly the branch head")
+    assert(spark.table("g12br.default.t").columns.contains("note"),
+      "the branch's schema evolution must publish with it")
     assert(ManifestTable.branches(dir).isEmpty, "publish retires the branch")
     intercept[Exception] {
       spark.sql("SELECT * FROM g12br.default.`t@wap`").collect()
@@ -399,8 +405,9 @@ class Round12Spec extends AnyFunSuite {
     // main keeps its own line; drop_branch abandons cleanly
     spark.sql("CALL g12br.system.branch(table => 't', name => 'risky')")
     spark.sql("""INSERT INTO g12br.default.`t@risky`
-      VALUES (CAST(-1 AS BIGINT), 1.0)""")
-    spark.sql("INSERT INTO g12br.default.t VALUES (CAST(-2 AS BIGINT), 2.0)")
+      VALUES (CAST(-1 AS BIGINT), 1.0, 'x')""")
+    spark.sql(
+      "INSERT INTO g12br.default.t VALUES (CAST(-2 AS BIGINT), 2.0, 'y')")
     assert(spark.sql("SELECT diverged FROM g12br.default.`t$branches`")
       .head().getBoolean(0), "main moved past the fork — flagged diverged")
     val e = intercept[Exception] {
