@@ -234,23 +234,29 @@ private[sources] class GraftStreamingWriterFactory(dir: String,
 // ---------------------------------------------------------------------
 
 /** One task's delta outcome: staged insert files (name, rows, recorded
-  * bucket id when the insert was bucket-routed) and replaced files
+  * bucket id when the insert was bucket-routed), replaced files
   * (originalPath, replacementName — None when every row died,
-  * survivorRows). */
+  * survivorRows), and per-file EXACT column sums (`sums(file)(col)`) for
+  * the table's declared `graft.write.sum` columns — accumulated while
+  * writing inserts and while copying rewrite survivors, so the
+  * metadata-served SUM tier stays armed straight through row-level DML. */
 private[sources] case class GraftDeltaCommit(
     inserted: Seq[(String, Long, Option[Int])],
-    replaced: Seq[(String, Option[String], Long)]) extends WriterCommitMessage
+    replaced: Seq[(String, Option[String], Long)],
+    sums: Map[String, Map[String, BigDecimal]] = Map.empty)
+    extends WriterCommitMessage
 
 private[sources] class GraftDeltaWriterFactory(dir: String,
     schema: StructType, fileIdx: Int, posIdx: Int,
     genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
       Seq.empty,
-    bucketSpec: Option[(Int, Int)] = None)
+    bucketSpec: Option[(Int, Int)] = None,
+    sumCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId,
-      genExprs, bucketSpec)
+      genExprs, bucketSpec, sumCols)
 }
 
 private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
@@ -262,7 +268,8 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     // the exact hash the insert path's repartition clustered by — so each
     // staged file is bucket-pure and can carry its id in the manifest,
     // keeping storage-partitioned joins armed THROUGH a MERGE/UPDATE
-    bucketSpec: Option[(Int, Int)] = None)
+    bucketSpec: Option[(Int, Int)] = None,
+    sumCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   // bucket id (-1 = unbucketed) → its insert file; LinkedHashMap keeps
@@ -272,6 +279,43 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
   // per-file doomed ordinals — LinkedHashMap keeps rewrite order stable
   private val doomed =
     scala.collection.mutable.LinkedHashMap[String, java.util.BitSet]()
+  // the summable declared columns' (name, ordinal, type) in this write
+  // schema — accumulated per insert file below, so a MERGE/UPDATE's new
+  // files carry exact sums like any insert-path file
+  private val sumSpec: Seq[(String, Int, DataType)] = sumCols.flatMap { c =>
+    schema.fields.zipWithIndex.collectFirst {
+      case (f, i) if f.name == c && (f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _: DecimalType => true
+        case _ => false
+      }) => (c, i, f.dataType)
+    }
+  }
+  private val insertSums = scala.collection.mutable.LinkedHashMap[Int,
+    scala.collection.mutable.Map[String, BigDecimal]]()
+
+  private def accumulate(bucket: Int, row: InternalRow): Unit = {
+    if (sumSpec.isEmpty) return
+    // a column accumulates only from non-null values — an all-null file
+    // records NO sum for it (SQL's sum over only-nulls is NULL, and a
+    // recorded 0 would mis-serve that case), declining the pushdown
+    val acc = insertSums.getOrElseUpdate(bucket,
+      scala.collection.mutable.Map.empty[String, BigDecimal])
+    sumSpec.foreach { case (c, i, dt) =>
+      if (!row.isNullAt(i)) {
+        val x: BigDecimal = dt match {
+          case LongType => BigDecimal(row.getLong(i))
+          case IntegerType => BigDecimal(row.getInt(i))
+          case ShortType => BigDecimal(row.getShort(i).toInt)
+          case ByteType => BigDecimal(row.getByte(i).toInt)
+          case d: DecimalType =>
+            BigDecimal(row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
+          case _ => BigDecimal(0)
+        }
+        acc(c) = acc.getOrElse(c, BigDecimal(0)) + x
+      }
+    }
+  }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(fileIdx).toString
@@ -321,19 +365,25 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     }
     insertWriters.getOrElseUpdate(bucket,
       new GraftParquetDataWriter(dir, schema, partitionId, taskId)).write(out)
+    accumulate(bucket, out)
   }
 
   override def commit(): WriterCommitMessage = {
+    val fileSums = scala.collection.mutable.Map[String, Map[String, BigDecimal]]()
     val ins = insertWriters.toSeq.map { case (b, w) =>
       val m = w.commit().asInstanceOf[GraftFileCommit]
+      insertSums.get(b).filter(_.nonEmpty)
+        .foreach(sm => fileSums(m.name) = sm.toMap)
       (m.name, m.rows, if (b >= 0) Some(b) else None)
     }
     val repl = doomed.toSeq.map { case (path, bits) =>
-      val (newName, rows) =
-        GraftDeltaWriter.rewriteDropping(dir, path, bits, partitionId, taskId)
+      val (newName, rows, sums) = GraftDeltaWriter.rewriteDropping(
+        dir, path, bits, partitionId, taskId, sumCols)
+      newName.filter(_ => sums.nonEmpty)
+        .foreach(n => fileSums(n) = sums)
       (path, newName, rows)
     }
-    GraftDeltaCommit(ins, repl)
+    GraftDeltaCommit(ins, repl, fileSums.toMap)
   }
 
   override def abort(): Unit = insertWriters.values.foreach(_.abort())
@@ -349,14 +399,54 @@ private[sources] object GraftDeltaWriter {
   /** Copy `path` minus the `doomedBits` ordinals into a freshly-named
     * orphan under this table's `data/` — a sequential parquet-mr Group
     * copy against the file's OWN schema, so every type the file can hold
-    * round-trips untouched. Returns (None, 0) when no row survives. */
+    * round-trips untouched. While copying, EXACT SUMS of the declared
+    * `sumCols` accumulate over the survivors (integral and decimal
+    * physical encodings only — anything else simply yields no sum for
+    * that column, an honest per-column decline), so the metadata-served
+    * SUM tier survives the rewrite. Returns (None, 0, empty) when no row
+    * survives. */
   def rewriteDropping(dir: String, path: String, doomedBits: java.util.BitSet,
-      partitionId: Int, taskId: Long): (Option[String], Long) = {
+      partitionId: Int, taskId: Long, sumCols: Seq[String] = Nil)
+      : (Option[String], Long, Map[String, BigDecimal]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val mt = ManifestStreamSource.footerSchema(path)
     val name = "d-" + java.util.UUID.randomUUID().toString.take(8) +
       s"-p$partitionId-t$taskId.parquet"
     val wconf = new Configuration()
     GroupWriteSupport.setSchema(mt, wconf)
+    // one extractor per summable declared column present in this file's
+    // own schema, dispatched once — not per row
+    val extractors: Seq[(String, Int, Group => BigDecimal)] =
+      sumCols.flatMap { c =>
+        val idx = (0 until mt.getFieldCount)
+          .find(i => mt.getFieldName(i) == c && mt.getType(i).isPrimitive)
+        idx.flatMap { i =>
+          val pt = mt.getType(i).asPrimitiveType()
+          val scale = pt.getLogicalTypeAnnotation match {
+            case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              Some(d.getScale)
+            case _ => None
+          }
+          (pt.getPrimitiveTypeName, scale) match {
+            case (INT64, Some(s)) =>
+              Some((c, i, (g: Group) => BigDecimal(BigInt(g.getLong(i, 0)), s)))
+            case (INT64, None) =>
+              Some((c, i, (g: Group) => BigDecimal(g.getLong(i, 0))))
+            case (INT32, Some(s)) =>
+              Some((c, i, (g: Group) =>
+                BigDecimal(BigInt(g.getInteger(i, 0).toLong), s)))
+            case (INT32, None) =>
+              Some((c, i, (g: Group) => BigDecimal(g.getInteger(i, 0))))
+            case (FIXED_LEN_BYTE_ARRAY | BINARY, Some(s)) =>
+              Some((c, i, (g: Group) => BigDecimal(
+                BigInt(new java.math.BigInteger(g.getBinary(i, 0).getBytes)), s)))
+            case _ => None // float/double sums are order-dependent: never
+          }
+        }
+      }
+    // same all-null rule as the insert side: a column with zero non-null
+    // survivor values records no sum
+    val sums = scala.collection.mutable.Map.empty[String, BigDecimal]
     val reader: ParquetReader[Group] =
       ParquetReader.builder(new GroupReadSupport(), new Path(path))
         .withConf(new Configuration()).build()
@@ -372,6 +462,10 @@ private[sources] object GraftDeltaWriter {
               .withConf(wconf).build()
           writer.write(g)
           rows += 1
+          extractors.foreach { case (c, i, f) =>
+            if (g.getFieldRepetitionCount(i) > 0)
+              sums(c) = sums.getOrElse(c, BigDecimal(0)) + f(g)
+          }
         }
         pos += 1
         g = reader.read()
@@ -380,7 +474,8 @@ private[sources] object GraftDeltaWriter {
       reader.close()
       if (writer != null) writer.close()
     }
-    if (writer == null) (None, 0L) else (Some(name), rows)
+    if (writer == null) (None, 0L, Map.empty)
+    else (Some(name), rows, sums.toMap)
   }
 }
 
@@ -415,6 +510,19 @@ private[sources] object GraftDeltaCommitter {
     if (inserted.isEmpty && replacedByName.isEmpty) return // no-op statement
     val baseNames = ManifestTable.listLines(dir, baseVersion)
       .map(ManifestTable.parseEntry(_).name).toSet
+    // exact sums the tasks accumulated (insert files + rewrite survivors),
+    // attached as `c=Z:` legs so declared-sum tables keep their
+    // metadata-served SUM through the statement
+    val fileSums: Map[String, Map[String, BigDecimal]] =
+      staged.flatMap(_.sums).toMap
+    def withSums(line: String): String = {
+      val nm = line.split('\t').head
+      fileSums.get(nm).filter(_.nonEmpty).map { sm =>
+        line + "\t" + sm.toSeq.sortBy(_._1)
+          .map { case (c, x) => s"$c=Z:${x.bigDecimal.toPlainString}" }
+          .mkString(";")
+      }.getOrElse(line)
+    }
     var attempt = 0
     var onto = baseVersion
     while (true) {
@@ -432,15 +540,15 @@ private[sources] object GraftDeltaCommitter {
             // a rewrite only DROPS rows, so the surviving rows' bucket
             // membership is unchanged — carry the old file's bucket id and
             // storage-partitioned joins survive a selective DELETE
-            Some(ManifestTable.statLineFor(dir, newName, rows, statsCols,
-              bucket = bucketByName.get(nm)))
+            Some(withSums(ManifestTable.statLineFor(dir, newName, rows,
+              statsCols, bucket = bucketByName.get(nm))))
         }
       } ++ inserted.map { case (n, r, b) =>
         // bucket-routed insert files are bucket-pure by construction and
         // carry their id, so storage-partitioned joins stay armed through
         // the statement; unbucketed inserts (no declared bucket transform)
         // carry none
-        ManifestTable.statLineFor(dir, n, r, statsCols, bucket = b)
+        withSums(ManifestTable.statLineFor(dir, n, r, statsCols, bucket = b))
       }
       if (ManifestTable.commitMutate(dir,
           lines ++ ManifestTable.carriedMeta(dir, onto), onto)) return

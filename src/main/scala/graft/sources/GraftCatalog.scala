@@ -2689,6 +2689,18 @@ private[sources] class GraftDeltaOperation(dir: String,
     }
     val bucketSpec: Option[(Int, Int)] =
       bucketBy.map { case (n, c) => (n, writeSchema.fieldIndex(c)) }
+    // declared `graft.write.sum` columns: the tasks accumulate exact sums
+    // for insert files and rewrite survivors, so the metadata-served SUM
+    // tier stays armed through the statement. NOT filtered by the write
+    // schema — a DELETE's write schema has no data columns, but its
+    // rewrite survivors still need their sums (the writer's insert-side
+    // spec intersects with the write schema itself; the rewrite side
+    // matches against each file's own footer)
+    val sumCols: Seq[String] = {
+      val v = ManifestTable.currentVersion(dir)
+      ManifestTable.tableProperties(dir, v).get("graft.write.sum").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    }
     // deletes MUST stay file-clustered (one task owns every delete of a
     // file — two tasks rewriting the same file would race), so the bucket
     // leg can join the clustering only when every file in the snapshot is
@@ -2727,7 +2739,7 @@ private[sources] class GraftDeltaOperation(dir: String,
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
             new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx,
-              genExprs, bucketSpec)
+              genExprs, bucketSpec, sumCols)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             GraftDeltaCommitter.commit(tableDir, pinnedV(), messages,
               () => Option(lastScan).flatMap(_.admittedFiles))

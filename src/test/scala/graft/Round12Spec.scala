@@ -273,6 +273,20 @@ class Round12Spec extends AnyFunSuite {
       spark.sql("""SELECT yr, CAST(sum(price) AS DOUBLE)
         FROM r12_sum_src WHERE yr IN (1996, 1997) GROUP BY yr""")
         .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet)
+    // row-level DML keeps the tier armed: rewrite survivors' and
+    // re-inserted rows' sums accumulate during the write itself
+    spark.sql("UPDATE g12su.default.t SET price = price + 10.0 WHERE k % 7 = 0")
+    spark.sql("DELETE FROM g12su.default.t WHERE k % 11 = 5")
+    val gd = spark.sql("""SELECT count(*) AS n, CAST(sum(price) AS DOUBLE)
+      AS sp, sum(k) AS sk FROM g12su.default.t""")
+    assert(served(gd), "SUM must stay metadata-served through UPDATE/DELETE:\n"
+      + gd.queryExecution.executedPlan)
+    val wantD = spark.sql("""SELECT count(*),
+      CAST(sum(CASE WHEN k % 7 = 0 THEN price + 10.0 ELSE price END) AS DOUBLE),
+      sum(k)
+      FROM r12_sum_src WHERE yr IN (1996, 1997) AND k % 11 != 5""").head()
+    assert(gd.head() == wantD,
+      s"post-DML metadata sums must be exact: ${gd.head()} vs $wantD")
     // DOUBLE sums are order-dependent → never recorded, never served
     val d = spark.sql("SELECT sum(dv) AS sd FROM g12su.default.t")
     assert(!served(d), "a double SUM must decline to the scan")
@@ -283,8 +297,11 @@ class Round12Spec extends AnyFunSuite {
     val g2 = spark.sql("""SELECT count(*) AS n, CAST(sum(price) AS DOUBLE)
       AS sp FROM g12su.default.t""")
     assert(!served(g2), "a sum-less file must decline the pushdown")
-    val want2 = spark.sql("""SELECT count(*), CAST(sum(price) AS DOUBLE)
-      FROM r12_sum_src WHERE yr IN (1996, 1997, 1998)""").head()
+    val want2 = spark.sql("""SELECT count(*),
+      CAST(sum(CASE WHEN yr IN (1996, 1997) AND k % 7 = 0
+               THEN price + 10.0 ELSE price END) AS DOUBLE)
+      FROM r12_sum_src
+      WHERE yr = 1998 OR (yr IN (1996, 1997) AND k % 11 != 5)""").head()
     assert(g2.head() == want2)
     // maintenance RE-ARMS the tier: compaction re-harvests declared sums
     spark.sql("CALL g12su.system.optimize(table => 't', num_files => 2)")
