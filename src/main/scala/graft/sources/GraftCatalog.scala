@@ -481,6 +481,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    // `DROP TABLE t@name` abandons the branch (directory + clone
+    // registration), same as CALL system.drop_branch
+    if (ident.name().contains("@")) {
+      val parts = ident.name().split("@", 2)
+      val base = dirOf(Identifier.of(ident.namespace(), parts(0)))
+      val existed = ManifestTable.currentVersion(
+        ManifestTable.branchDir(base, parts(1))) >= 0
+      if (existed) ManifestTable.dropBranch(base, parts(1))
+      return existed
+    }
     val dir = dirOf(ident)
     val existed = ManifestTable.currentVersion(dir) >= 0
     if (existed) ManifestTable.destroy(dir)
@@ -708,7 +718,8 @@ private[sources] object GraftProcedures {
                       "partitioning"))
               val (ids, bks) = GraftCatalog.partitionCols(spec)
               val hit = entries.filter(e =>
-                GraftCatalog.partitionKeyOf(e, ids, bks) == part)
+                GraftCatalog.partitionKeyOf(e, ids, bks,
+                  GraftCatalog.timeCols(spec)) == part)
                 .map(_.name).toSet
               require(hit.nonEmpty,
                 s"optimize(partition => '$part'): no files in that " +
@@ -885,7 +896,8 @@ private[sources] object GraftCatalog {
     * identity columns through value-pure envelopes (`c=*` when the file
     * straddles values), bucket transforms through recorded ids. */
   private[sources] def partitionKeyOf(e: ManifestTable.FileEntry,
-      ids: Seq[String], bks: Seq[(Int, String)]): String = {
+      ids: Seq[String], bks: Seq[(Int, String)],
+      tcs: Seq[(String, String)] = Nil): String = {
     def fmt(x: BigDecimal): String =
       x.underlying.stripTrailingZeros.toPlainString
     val idPart = ids.map { c =>
@@ -897,7 +909,38 @@ private[sources] object GraftCatalog {
     val bkPart = bks.map { case (n, c) =>
       s"bucket($n,$c)=${e.bucket.map(_.toString).getOrElse("*")}"
     }
-    (idPart ++ bkPart).mkString("/")
+    // hidden time partitions render from the file's ts envelope when it
+    // is period-PURE (both extrema truncate to the same period); a file
+    // straddling a boundary (range clustering can split mid-period)
+    // renders '*' — honest, never a guessed assignment
+    val tPart = tcs.map { case (u, c) =>
+      e.ranges.get(c) match {
+        case Some(r) =>
+          val (lo, hi) = (periodOf(u, r.min), periodOf(u, r.max))
+          if (lo == hi) s"$u($c)=$lo" else s"$u($c)=*"
+        case None => s"$u($c)=*"
+      }
+    }
+    (idPart ++ bkPart ++ tPart).mkString("/")
+  }
+
+  /** Render the period of a recorded temporal stat value — INT64 micros
+    * (timestamps) or epoch days (dates), told apart by magnitude (day
+    * counts stay below ~3e6; any real timestamp is ≥ 8.6e10 micros). */
+  private def periodOf(unit: String, x: BigDecimal): String = {
+    val v = x.toBigInt.toLong
+    val isMicros = math.abs(v) > 100000000L
+    val epochDay = if (isMicros) Math.floorDiv(v, 86400000000L) else v
+    val ld = java.time.LocalDate.ofEpochDay(epochDay)
+    unit match {
+      case "years" => f"${ld.getYear}%04d"
+      case "months" => f"${ld.getYear}%04d-${ld.getMonthValue}%02d"
+      case "days" => ld.toString
+      case _ => // hours
+        val micros = if (isMicros) v else v * 86400000000L
+        val hour = Math.floorDiv(Math.floorDiv(micros, 1000000L), 3600L) % 24
+        f"$ld-$hour%02d"
+    }
   }
 
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
@@ -2398,12 +2441,16 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
               case Some(spec) =>
                 val (ids, bks) = GraftCatalog.partitionCols(spec)
                 val clus = GraftCatalog.clusterCols(spec)
-                // hidden time partitions range-cluster on the RAW column:
-                // truncation is monotone, so the raw ordering IS the
-                // period ordering and each file gets a tight ts envelope
-                // the raw-predicate prune path uses
+                // hidden time partitions range-cluster on the PERIOD value
+                // (date_trunc of the raw column): range boundaries then
+                // fall on period edges, so files hold whole periods —
+                // period-pure when partitions ≥ periods — and the raw
+                // column's file envelope stays tight for the prune path
                 val tcs = GraftCatalog.timeCols(spec).map(_._2)
-                import org.apache.spark.sql.functions.{col => c}
+                import org.apache.spark.sql.functions.{col => c, date_trunc}
+                val tcsExprs = GraftCatalog.timeCols(spec).map { case (u, tc) =>
+                  date_trunc(u.stripSuffix("s"), c(tc))
+                }
                 if (ids.isEmpty && tcs.isEmpty && bks.isEmpty && clus.nonEmpty) {
                   // CLUSTER BY: range-cluster the insert on the declared
                   // columns — tight per-file envelopes make predicates on
@@ -2422,7 +2469,7 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                   val n = s.conf.get("spark.sql.shuffle.partitions").toInt
                   val clustered =
                     if (ids.nonEmpty || tcs.nonEmpty) data.repartitionByRange(n,
-                      (ids ++ tcs ++ bks.map(_._2)).map(c): _*)
+                      ids.map(c) ++ tcsExprs ++ bks.map(b => c(b._2)): _*)
                     else data.repartition(bks.map(_._1).max,
                       bks.map(b => c(b._2)): _*)
                   // a declared write-order (`graft.write.sort` property)
@@ -2836,8 +2883,9 @@ private[sources] class ManifestMetaTable(ident: String, dir: String,
               s"$$partitions requires a PARTITIONED BY table — $dir has " +
                 "no graft.partitioning property"))
           val (ids, bks) = GraftCatalog.partitionCols(spec)
+          val tcs = GraftCatalog.timeCols(spec)
           ManifestTable.listLines(dir, cur).map(ManifestTable.parseEntry)
-            .groupBy(GraftCatalog.partitionKeyOf(_, ids, bks))
+            .groupBy(GraftCatalog.partitionKeyOf(_, ids, bks, tcs))
             .toSeq.sortBy(_._1).map { case (p, es) =>
               Seq(p, es.size.toLong,
                 if (es.forall(_.rows.isDefined))

@@ -330,7 +330,14 @@ class Round12Spec extends AnyFunSuite {
     Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .createOrReplaceTempView("r12_tpt_src")
-    spark.sql("INSERT INTO g12tp.default.ev SELECT * FROM r12_tpt_src")
+    // the range clustering makes one file per period only when the write
+    // width reaches the batch's period count (the fixture spans ~30 days;
+    // the suite session runs 4 shuffle partitions → whole-period files of
+    // several days each, still prunable); widen for the pure layout
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try spark.sql("INSERT INTO g12tp.default.ev SELECT * FROM r12_tpt_src")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val entries = ManifestTable
       .listLines(dir, ManifestTable.currentVersion(dir))
       .map(ManifestTable.parseEntry)
@@ -359,6 +366,16 @@ class Round12Spec extends AnyFunSuite {
       WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
         AND ts < TIMESTAMP'2024-01-13 00:00:00'""").head().getLong(0)
     assert(q.count() == want, "pruning must never change the answer")
+    // the t$partitions inventory renders period-pure files by their day
+    // ('*' for boundary-straddling files — honest, never guessed) and
+    // its row totals stay exact
+    val parts = spark.sql("""SELECT partition, n_rows
+      FROM g12tp.default.`ev$partitions`""").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(parts.exists(_._1.matches("""days\(ts\)=2024-01-\d\d""")),
+      s"day partitions must render: ${parts.map(_._1).mkString(",")}")
+    assert(parts.map(_._2).sum ==
+      spark.sql("SELECT count(*) FROM r12_tpt_src").head().getLong(0))
     ManifestTable.destroy(root)
   }
 
