@@ -613,11 +613,13 @@ object ManifestTable {
   }
 
   /** Publish branch `name`: fast-forward main to the branch head in one
-    * commit CAS'd against the fork-point version, then retire the branch.
-    * Refuses when main advanced past the fork point (diverged), or when
-    * the branch carries deletion-vector/rename markers (compact the
-    * branch first — the markers' absolute paths don't survive the move).
-    * Returns the new main version. */
+    * CAS'd commit, then retire the branch. Refuses when main advanced
+    * past the fork point with DATA or MUTATE commits (diverged);
+    * content-preserving REWRITE commits (compaction) on main do not
+    * block — the branch was audited against the same content. Also
+    * refuses when the branch carries deletion-vector/rename markers
+    * (compact the branch first — the markers' absolute paths don't
+    * survive the move). Returns the new main version. */
   def fastForward(dir: String, name: String): Int = {
     val bd = branchDir(dir, name)
     val bv = currentVersion(bd)
@@ -629,7 +631,20 @@ object ManifestTable {
       s"fast-forward of branch '$name' refused: $dir advanced past its " +
         s"fork point v$base — re-cut the branch (or abandon it); a " +
         "publish must never overwrite commits it was not audited against")
-    if (currentVersion(dir) != base) refuseDiverged()
+    // a main that only REWROTE since the fork (compaction, clustering —
+    // content-preserving by the commit taxonomy) does not block the
+    // publish: the branch was audited against the same CONTENT, and the
+    // publish replaces the file list wholesale anyway (main's compaction
+    // work is discarded, never its data). Any data/mutate commit refuses.
+    val headNow = currentVersion(dir)
+    if (headNow != base) {
+      val onlyRewrites = (base + 1 to headNow).forall(v =>
+        Files.exists(manifestPath(dir, v)) && isRewrite(dir, v))
+      if (!onlyRewrites) refuseDiverged()
+      require(dvLines(dir, headNow).isEmpty && renameLines(dir, headNow).isEmpty,
+        s"fast-forward of '$name' refused: markers appeared on $dir " +
+          "since the fork — compact first")
+    }
     require(dvLines(bd, bv).isEmpty && renameLines(bd, bv).isEmpty,
       s"fast-forward of '$name' refused: deletion-vector/rename markers " +
         "on the branch — compact it first")
@@ -667,16 +682,32 @@ object ManifestTable {
       // publish as a MUTATE commit: relative to main's head the branch
       // may remove or rewrite rows, which an append-only feed cannot
       // express — incremental consumers re-bootstrap, the honest default
-      if (!commitMutate(dir, lines ++ meta, base)) {
-        moveBack()
-        refuseDiverged()
+      var attempt = 0
+      var committed = -1
+      while (committed < 0) {
+        val head = currentVersion(dir)
+        if (head != base) {
+          // re-validate under the loop: only rewrite commits may land
+          // between the pre-check and the CAS
+          val onlyRewrites = (base + 1 to head).forall(v =>
+            Files.exists(manifestPath(dir, v)) && isRewrite(dir, v))
+          if (!onlyRewrites ||
+              dvLines(dir, head).nonEmpty || renameLines(dir, head).nonEmpty) {
+            moveBack(); refuseDiverged()
+          }
+        }
+        if (commitMutate(dir, lines ++ meta, head)) committed = head + 1
+        else {
+          attempt += 1
+          if (attempt >= 10) { moveBack(); refuseDiverged() }
+        }
       }
+      dropBranch(dir, name)
+      committed
     } catch {
       case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
         moveBack(); throw e
     }
-    dropBranch(dir, name)
-    base + 1
   }
 
   /** Abandon (or retire after publish) branch `name`: remove its

@@ -455,6 +455,18 @@ class Round12Spec extends AnyFunSuite {
       "a refused publish must leave main untouched")
     spark.sql("CALL g12br.system.drop_branch(table => 't', name => 'risky')")
     assert(ManifestTable.branches(dir).isEmpty)
+    // a content-preserving REWRITE on main (compaction) does NOT block a
+    // publish — the branch was audited against the same content
+    spark.sql("CALL g12br.system.branch(table => 't', name => 'ok')")
+    spark.sql("""INSERT INTO g12br.default.`t@ok`
+      VALUES (CAST(-3 AS BIGINT), 3.0, 'z')""")
+    val beforeCompact = spark.sql("SELECT count(*) FROM g12br.default.t")
+      .head().getLong(0)
+    spark.sql("CALL g12br.system.optimize(table => 't', num_files => 1)")
+    spark.sql("CALL g12br.system.fastforward(table => 't', name => 'ok')")
+    assert(spark.sql("SELECT count(*) FROM g12br.default.t")
+      .head().getLong(0) == beforeCompact + 1,
+      "a rewrite-only main advance must not block the publish")
     ManifestTable.destroy(root)
   }
 
