@@ -514,6 +514,35 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // MERGE-ON-READ through the SQL catalog (round 12): a `delete.mode =
+    // mor` table takes a key-membership DELETE as one tiny doomed-key
+    // parquet + a #dv marker (write cost ∝ deleted keys, nothing
+    // rewritten), and the CATALOG SCAN itself serves the live rows —
+    // readers drop doomed keys in flight, key sets cached per executor.
+    // Pre-round-12 the scan refused DV tables until compaction; now the
+    // Hudi/Iceberg MOR read path is a plain SELECT.
+    "q_sql_mor_read" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_morq_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_mr",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mr.root", root)
+      s.sql("""CREATE TABLE graft_mr.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('delete.mode' = 'mor')""")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r12_mor_src")
+      s.sql("INSERT INTO graft_mr.default.ord SELECT * FROM r12_mor_src")
+      s.sql("""DELETE FROM graft_mr.default.ord WHERE o_orderkey IN
+        (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
+         67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(o_orderkey) AS mn
+        FROM graft_mr.default.ord""")
+    }),
     // Governance policies IN the table metadata: a row filter (drop
     // 'error' events) and column masks (user_id generalized to a 100-way
     // cohort — the k-anonymity move; value coarsened to whole units)
@@ -2397,6 +2426,14 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey NOT IN (101, 777, 1402) GROUP BY 1""".stripMargin,
+    // the SQL-served merge-on-read scan must drop exactly the doomed keys
+    "q_sql_mor_read" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(o_orderkey) AS mn
+        |FROM orders WHERE o_orderkey NOT IN
+        |  (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
+        |   67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""".stripMargin,
     // the delete must remove exactly the doomed keys, nothing else
     "q_manifest_delete" ->
       """SELECT l_returnflag, count(*) AS n,

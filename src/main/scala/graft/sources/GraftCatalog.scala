@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
   WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Manifest tables as FIRST-CLASS SQL OBJECTS — a DSv2 `TableCatalog` over
@@ -1574,11 +1574,29 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // version): the whole query — pruning, exactness proofs, the scan —
     // reads one version, whatever commits land while it runs
     val v = snapV
-    require(ManifestTable.dvLines(dir, v).isEmpty &&
-        ManifestTable.renameLines(dir, v).isEmpty,
-      s"catalog scan of $dir refused: deletion-vector/rename markers present " +
+    require(ManifestTable.renameLines(dir, v).isEmpty,
+      s"catalog scan of $dir refused: rename markers present " +
         "— compact first, or read via ManifestTable.read")
+    // MERGE-ON-READ: `#dv` markers serve through the scan itself —
+    // readers drop doomed rows in flight (key sets cached per executor),
+    // so a MOR-deleted table answers exact SQL without compaction. File
+    // pruning stays sound (stats are supersets of live rows); aggregate/
+    // exact-filter/limit pushdowns already decline under DVs.
+    val dvs = ManifestTable.dvEntries(dir, v)
+    val dvByName: Map[String, Seq[(String, String)]] =
+      if (dvs.isEmpty) Map.empty
+      else ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
+        .flatMap { e =>
+          val app = dvs.filter(_.targets.contains(e.name))
+            .map(d => (ManifestTable.dataPath(dir, d.file), d.col))
+          if (app.isEmpty) None else Some(e.name -> app)
+        }.toMap
+    val dvFields: Seq[StructField] =
+      dvs.map(_.col).distinct.flatMap(c => full.fields.find(_.name == c))
     val pols = ManifestTable.policyLines(dir, v).map(_.split('\t'))
+    require(pols.isEmpty || dvs.isEmpty,
+      s"catalog scan of governed $dir refused under deletion vectors — " +
+        "compact first")
     if (pols.nonEmpty)
       // governed table: serve a policy-ENFORCING scan (filter-then-mask,
       // the readGoverned semantics) instead of refusing — SQL consumers
@@ -1599,7 +1617,10 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // keeps all files — each may hold candidates)
     def shaped(entries: Seq[ManifestTable.FileEntry])
         : Seq[ManifestTable.FileEntry] = limit match {
-      case Some(n) if !topNPushed && pushed.isEmpty &&
+      // recorded row counts OVERCOUNT under deletion vectors, so a
+      // file-prefix whose counts reach n could hold fewer LIVE rows —
+      // the prefix shortcut declines and every file stays planned
+      case Some(n) if !topNPushed && pushed.isEmpty && dvs.isEmpty &&
           entries.forall(_.rows.isDefined) =>
         var acc = 0L
         val b = Seq.newBuilder[ManifestTable.FileEntry]
@@ -1616,7 +1637,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         admittedFiles = Some(entries.map(_.name).toSet)
         new ManifestFilesScan(shaped(entries),
           totalFiles.toInt, required, dir, pinned, versionsPerBatch,
-          rowCap = limit)
+          rowCap = limit, dvByName = dvByName, dvFields = dvFields)
       case None =>
         val entries = ManifestTable.listLines(dir, v)
           .map(ManifestTable.parseEntry)
@@ -1625,7 +1646,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         admittedFiles = Some(admitted.map(_.name).toSet)
         new ManifestFilesScan(shaped(admitted),
           entries.size, required, dir, pinned, versionsPerBatch,
-          rowCap = limit)
+          rowCap = limit, dvByName = dvByName, dvFields = dvFields)
     }
   }
 
@@ -1744,7 +1765,13 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
 private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     val totalFiles: Int, requiredNow: StructType, dir: String,
     pinned: Option[Int], versionsPerBatch: Int,
-    rowCap: Option[Int] = None) extends Scan
+    rowCap: Option[Int] = None,
+    // MERGE-ON-READ: file name → its applicable deletion vectors
+    // (doomed-key parquet path, key column); readers drop doomed rows
+    // in flight, so a `#dv`-marked table serves exact SQL answers
+    // without compaction
+    dvByName: Map[String, Seq[(String, String)]] = Map.empty,
+    dvFields: Seq[StructField] = Nil) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1884,7 +1911,8 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   }
 
   private lazy val bucketGroups: Option[(Int, String, Seq[Int])] =
-    if (!spjEnabled || entries.isEmpty || !entries.forall(_.bucket.isDefined))
+    if (!spjEnabled || entries.isEmpty || dvByName.nonEmpty ||
+        !entries.forall(_.bucket.isDefined))
       None
     else bucketSpec.map { case (n, col) =>
       (n, col, entries.map(_.bucket.get).distinct.sorted)
@@ -2108,11 +2136,16 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
               : InputPartition
           }.toArray
         case None =>
-          runtimeEntries.map(e => ManifestFilePartition(
-            ManifestTable.dataPath(dir, e.name)): InputPartition).toArray
+          runtimeEntries.map { e =>
+            val dvs = dvByName.getOrElse(e.name, Nil)
+            if (dvs.isEmpty) ManifestFilePartition(
+              ManifestTable.dataPath(dir, e.name)): InputPartition
+            else DvFilePartition(
+              ManifestTable.dataPath(dir, e.name), dvs): InputPartition
+          }.toArray
       }
     override def createReaderFactory(): PartitionReaderFactory =
-      new ManifestScanReaderFactory(requiredNow, rowCap)
+      new ManifestScanReaderFactory(requiredNow, rowCap, dvFields)
   }
   // the same named table streams: spark.readStream.table("graft...")
   // rides the version-offset micro-batch source (exactly-once by
@@ -2124,7 +2157,8 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   }
   override def description(): String =
     s"graft manifest scan $dir (files $keptFiles/$totalFiles" +
-      rowCap.map(n => s", limit $n").getOrElse("") + ")"
+      rowCap.map(n => s", limit $n").getOrElse("") +
+      (if (dvByName.nonEmpty) ", merge-on-read" else "") + ")"
 }
 
 private[graft] object ManifestFilesScan {
@@ -2146,16 +2180,96 @@ private[sources] case class BucketFilesPartition(files: Seq[String],
       Array[Any](bucketId))
 }
 
+/** One data file of a merge-on-read scan plus its applicable deletion
+  * vectors (doomed-key parquet path, key column). */
+private[sources] case class DvFilePartition(file: String,
+    dvs: Seq[(String, String)]) extends InputPartition
+
+/** JVM-wide cache of deletion-vector key sets: the doomed-key parquet is
+  * immutable (staged once, referenced by name), so every task sharing an
+  * executor loads it exactly once. Bounded by the DV write path itself —
+  * write cost ∝ deleted keys, and compaction retires the vectors. */
+private[sources] object DvKeyCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Long]]()
+  def doomed(path: String, col: String): Set[Long] =
+    cache.computeIfAbsent(path, _ => {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val r = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+        .withConf(new org.apache.hadoop.conf.Configuration()).build()
+      val b = Set.newBuilder[Long]
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount(col) > 0) b += g.getLong(col, 0)
+          g = r.read()
+        }
+      } finally r.close()
+      b.result()
+    })
+}
+
 /** Reader factory for the catalog scan: per-file partitions read with the
   * ordinary executor parquet reader; bucket-grouped partitions chain
   * their files' readers sequentially. A pushed limit caps rows PER FILE
   * — sound for both the bare-LIMIT contract (any n rows) and the top-n
-  * one (each sorted file's first n rows are its top-n). */
+  * one (each sorted file's first n rows are its top-n). Merge-on-read
+  * partitions decode their DV key columns (even unprojected ones), drop
+  * doomed rows in flight, and project back to the required schema —
+  * the cap then counts LIVE rows only. */
 private[sources] class ManifestScanReaderFactory(required: StructType,
-    rowCap: Option[Int] = None) extends PartitionReaderFactory {
-  private def fileReader(f: String)
+    rowCap: Option[Int] = None,
+    dvFields: Seq[StructField] = Nil) extends PartitionReaderFactory {
+  private def dvReader(f: String, dvs: Seq[(String, String)])
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val inner = new ManifestParquetReader(f, required)
+    import org.apache.spark.sql.catalyst.InternalRow
+    val extra = dvs.map(_._2).distinct
+      .filterNot(required.fieldNames.contains)
+      .flatMap(c => dvFields.find(_.name == c))
+    val readSchema2 = StructType(required.fields ++ extra)
+    val inner = new ManifestParquetReader(f, readSchema2)
+    val checks: Seq[(InternalRow => Option[Long], Set[Long])] =
+      dvs.map { case (dvPath, c) =>
+        val i = readSchema2.fieldIndex(c)
+        val getter: InternalRow => Option[Long] =
+          readSchema2(i).dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              r => if (r.isNullAt(i)) None else Some(r.getLong(i))
+            case org.apache.spark.sql.types.IntegerType =>
+              r => if (r.isNullAt(i)) None else Some(r.getInt(i).toLong)
+            case _ => _ => None // non-integral key column: nothing doomed
+          }
+        (getter, DvKeyCache.doomed(dvPath, c))
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (!checks.exists { case (g, doomed) => g(r).exists(doomed) }) {
+            cur = r
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow =
+        if (extra.isEmpty) cur
+        else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array.tabulate[Any](required.length)(i =>
+            if (cur.isNullAt(i)) null else cur.get(i, required(i).dataType)))
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  private def fileReader(f: String,
+      dvs: Seq[(String, String)] = Nil)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner =
+      if (dvs.isEmpty) new ManifestParquetReader(f, required)
+      else dvReader(f, dvs)
     rowCap match {
       case None => inner
       case Some(cap) =>
@@ -2173,6 +2287,7 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     partition match {
       case ManifestFilePartition(f) => fileReader(f)
+      case DvFilePartition(f, dvs) => fileReader(f, dvs)
       case BucketFilesPartition(fs, _) =>
         new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
           private val it = fs.iterator

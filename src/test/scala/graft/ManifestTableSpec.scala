@@ -1148,15 +1148,17 @@ class ManifestTableSpec extends AnyFunSuite {
     // listTables sees it; DROP destroys it
     assert(spark.sql("SHOW TABLES IN gtest.default").collect()
       .map(_.getString(1)).contains("ev"))
-    // a DV-bearing table refuses the raw catalog scan (compact first)
+    // a DV-bearing table serves LIVE rows through the scan (round 12:
+    // merge-on-read replaced the compact-first refusal), identically
+    // before and after compaction
     ManifestTable.deleteKeysMOR(spark, tbl, "event_id", Seq(2L))
-    val e = intercept[Exception] {
-      spark.sql("SELECT count(*) FROM gtest.default.ev").collect()
-    }
-    assert(e.getMessage != null)
+    val wantLive = ev.count() - ev.filter(col("event_id") === 2L).count()
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.ev")
+      .head().getLong(0) == wantLive,
+      "the MOR scan must drop the doomed key without compaction")
     ManifestTable.compact(spark, tbl, numFiles = 1)
     assert(spark.sql("SELECT count(*) AS n FROM gtest.default.ev")
-      .head().getLong(0) == ev.count() - ev.filter(col("event_id") === 2L).count())
+      .head().getLong(0) == wantLive)
     spark.sql("DROP TABLE gtest.default.ev")
     assert(ManifestTable.currentVersion(tbl) < 0)
   }

@@ -470,6 +470,60 @@ class Round12Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("merge-on-read SQL scan: DV tables serve live rows without compaction") {
+    val root = freshDir("mor")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g12mo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12mo.root", root)
+    spark.sql("""CREATE TABLE g12mo.default.t
+      (k BIGINT, v DOUBLE, tag STRING)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    Tables.orders(spark, sf).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("v"),
+        col("o_orderstatus").as("tag"))
+      .repartition(4, col("k"))
+      .createOrReplaceTempView("r12_mor_spec_src")
+    spark.sql("INSERT INTO g12mo.default.t SELECT * FROM r12_mor_spec_src")
+    val doomed = spark.sql("SELECT k FROM r12_mor_spec_src ORDER BY k LIMIT 5")
+      .collect().map(_.getLong(0))
+    spark.sql(s"""DELETE FROM g12mo.default.t
+      WHERE k IN (${doomed.mkString(", ")})""")
+    assert(ManifestTable.dvLines(dir, ManifestTable.currentVersion(dir))
+      .nonEmpty, "the MOR delete must publish a #dv marker, not rewrite")
+    // the scan itself serves live rows (pre-fix: refused until compaction)
+    val q = spark.sql("SELECT k, v FROM g12mo.default.t")
+    assert(q.queryExecution.executedPlan.toString.contains("merge-on-read"),
+      "the plan must show the MOR scan:\n" + q.queryExecution.executedPlan)
+    val want = spark.sql(s"""SELECT k, v FROM r12_mor_spec_src
+      WHERE k NOT IN (${doomed.mkString(", ")})""")
+      .collect().map(_.toSeq).toSet
+    assert(q.collect().map(_.toSeq).toSet == want,
+      "the MOR scan must drop exactly the doomed keys")
+    // a projection WITHOUT the key column still filters (the reader
+    // decodes the DV column internally and projects back)
+    val s2 = spark.sql("SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) " +
+      "FROM g12mo.default.t").head().getDouble(0)
+    val w2 = spark.sql(s"""SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+      FROM r12_mor_spec_src WHERE k NOT IN (${doomed.mkString(", ")})""")
+      .head().getDouble(0)
+    assert(s2 == w2, s"unprojected-key MOR sum: $s2 vs $w2")
+    // metadata aggregates DECLINE under DVs (counts would overcount) but
+    // stay exact through the scan
+    val cnt = spark.sql("SELECT count(*) AS n FROM g12mo.default.t")
+    assert(!cnt.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(cnt.head().getLong(0) == want.size)
+    // LIMIT still works (the file-prefix shortcut declines; per-file caps
+    // count LIVE rows)
+    assert(spark.sql("SELECT k FROM g12mo.default.t LIMIT 7").count() == 7)
+    // compaction materializes the deletes; the scan drops the MOR shape
+    spark.sql("CALL g12mo.system.optimize(table => 't', num_files => 2)")
+    val q3 = spark.sql("SELECT k, v FROM g12mo.default.t")
+    assert(!q3.queryExecution.executedPlan.toString.contains("merge-on-read"))
+    assert(q3.collect().map(_.toSeq).toSet == want)
+    ManifestTable.destroy(root)
+  }
+
   test("ProcessingTime streams advance past versions committed after start") {
     val root = freshDir("ptt")
     spark.conf.set("spark.sql.catalog.g12pt",
