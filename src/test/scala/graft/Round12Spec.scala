@@ -470,6 +470,47 @@ class Round12Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("hidden month partitioning on a DATE column prunes raw-date predicates") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = freshDir("tpd")
+    spark.conf.set("spark.sql.catalog.g12td",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12td.root", root)
+    spark.sql("""CREATE TABLE g12td.default.ord
+      (k BIGINT, d DATE, v DOUBLE) PARTITIONED BY (months(d))""")
+    Tables.orders(spark, sf).select(col("o_orderkey").as("k"),
+        col("o_orderdate").as("d"), col("o_totalprice").as("v"))
+      .createOrReplaceTempView("r12_tpd_src")
+    // ~7 years of order dates → ~84 months; widen the write so most files
+    // are month-pure
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try spark.sql("INSERT INTO g12td.default.ord SELECT * FROM r12_tpd_src")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    def scansOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case b: BatchScanExec => b.scan }
+        .collect { case m: sources.ManifestFilesScan => m }
+    }
+    // a predicate on the RAW DATE column prunes (INT32 epoch-day stats vs
+    // the converted Date/LocalDate bound)
+    val q = spark.sql("""SELECT * FROM g12td.default.ord
+      WHERE d >= DATE'1994-03-01' AND d < DATE'1994-06-01'""")
+    val s1 = scansOf(q)
+    assert(s1.nonEmpty && s1.head.keptFiles < s1.head.totalFiles,
+      s"a raw-date window must prune month-clustered files " +
+        s"(${s1.map(s => s"${s.keptFiles}/${s.totalFiles}").mkString(",")})")
+    assert(q.count() == spark.sql("""SELECT count(*) FROM r12_tpd_src
+      WHERE d >= DATE'1994-03-01' AND d < DATE'1994-06-01'""")
+      .head().getLong(0))
+    ManifestTable.destroy(root)
+  }
+
   test("merge-on-read SQL scan: DV tables serve live rows without compaction") {
     val root = freshDir("mor")
     val dir = s"$root/t"
