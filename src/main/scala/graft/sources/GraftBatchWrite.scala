@@ -350,17 +350,26 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
         genExprs.foreach { case (idx, e) => arr(idx) = e.eval(row) }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
       }
+    // the hash must be EXACTLY Spark's Murmur3Hash dispatch for the
+    // column's type (what the insert path's repartition clustered by);
+    // a type this mapping can't reproduce writes an UNSTAMPED file —
+    // the scan then degrades to shuffling, never mis-groups
     val bucket = bucketSpec match {
       case Some((n, idx)) =>
-        val h =
-          if (out.isNullAt(idx)) 42 // Murmur3Hash leaves the seed on null
-          else schema(idx).dataType match {
-            case LongType => org.apache.spark.unsafe.hash.Murmur3_x86_32
-              .hashLong(out.getLong(idx), 42)
-            case _ => org.apache.spark.unsafe.hash.Murmur3_x86_32
-              .hashInt(out.getInt(idx), 42)
+        val h: Option[Int] =
+          if (out.isNullAt(idx)) Some(42) // Murmur3Hash leaves the seed
+          else {
+            import org.apache.spark.unsafe.hash.Murmur3_x86_32._
+            schema(idx).dataType match {
+              case LongType | TimestampType | TimestampNTZType =>
+                Some(hashLong(out.getLong(idx), 42))
+              case IntegerType | DateType => Some(hashInt(out.getInt(idx), 42))
+              case ShortType => Some(hashInt(out.getShort(idx).toInt, 42))
+              case ByteType => Some(hashInt(out.getByte(idx).toInt, 42))
+              case _ => None
+            }
           }
-        ((h % n) + n) % n
+        h.map(x => ((x % n) + n) % n).getOrElse(-1)
       case None => -1
     }
     insertWriters.getOrElseUpdate(bucket,
@@ -575,6 +584,18 @@ private[sources] object GraftDeltaCommitter {
         refuse("deletion-vector/rename markers landed concurrently")
       if (ManifestTable.policyLines(dir, cur).nonEmpty)
         refuse("a governance policy landed concurrently")
+      // a concurrent SCHEMA or CONSTRAINT change invalidates the
+      // statement's validation context: its rows were analyzed and (for
+      // constraints) checked against the PINNED declarations, so a rebase
+      // would publish rows the new DDL never saw — refuse, never absorb
+      if (ManifestTable.declaredSchema(dir, baseVersion) !=
+          ManifestTable.declaredSchema(dir, cur))
+        refuse("a schema change landed concurrently")
+      def constraints(v: Int): Map[String, String] =
+        ManifestTable.tableProperties(dir, v)
+          .filter(_._1.startsWith(GraftCatalog.ConstraintProp))
+      if (constraints(baseVersion) != constraints(cur))
+        refuse("a constraint change landed concurrently")
       attempt += 1
       if (attempt >= 10) refuse(s"lost $attempt commit races")
       onto = cur // rebase: replay the delta onto the winner's snapshot

@@ -70,6 +70,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
+  /** Reject table names that collide with the reserved addressing
+    * syntax: '@' addresses branches (`t@branch`) and '$' metadata tables
+    * (`t$files`) — a table created under either name would be
+    * unreachable the moment it exists. */
+  private def requirePlainName(ident: Identifier): Unit =
+    require(!ident.name().contains("@") && !ident.name().contains("$"),
+      s"table name '${ident.name()}' is reserved: '@' addresses branches " +
+        "and '$' metadata tables")
+
   private def dirOf(ident: Identifier): String = {
     val ns = ident.namespace().toSeq.filterNot(_ == "default")
     (Seq(root) ++ ns :+ ident.name()).mkString("/")
@@ -340,6 +349,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    requirePlainName(ident)
     val dir = dirOf(ident)
     require(ManifestTable.currentVersion(dir) < 0,
       s"table $ident already exists")
@@ -358,6 +368,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    requirePlainName(ident)
     import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
     import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
     val fields = columns.map { c =>
@@ -445,6 +456,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case dc: TableChange.DeleteColumn =>
         require(dc.fieldNames().length == 1,
           "DROP COLUMN supports top-level columns only")
+        // a live deletion vector KEYS on its column: dropping it would
+        // leave the MOR scan (and compaction's anti-join) without the
+        // column that reconstructs the deletes — brick, not a drop
+        require(ManifestTable.dvEntries(dir, ManifestTable.currentVersion(dir))
+            .forall(_.col != dc.fieldNames().head),
+          s"DROP COLUMN '${dc.fieldNames().head}' refused: a live " +
+            "deletion vector keys on it — compact first")
         Seq(ManifestTable.AlterOp.DropCol(dc.fieldNames().head),
           ManifestTable.AlterOp.SetProp(
             GraftCatalog.DroppedProp + dc.fieldNames().head, "true"))
@@ -507,6 +525,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * data by absolute path, so renaming their source would dangle all of
     * them — refused, the same horizon vacuum honors. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requirePlainName(newIdent)
     val src = dirOf(oldIdent)
     // Spark hands the rename TARGET through as the raw multipart name —
     // `RENAME TO cat.ns.t` arrives with the catalog still leading the
@@ -544,6 +563,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : StagedTable = {
+    requirePlainName(ident)
     val dir = dirOf(ident)
     require(ManifestTable.currentVersion(dir) < 0,
       s"table $ident already exists")
@@ -563,6 +583,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : StagedTable = {
+    requirePlainName(ident)
     val dir = dirOf(ident)
     val v = ManifestTable.currentVersion(dir)
     stageInto(ident, dir, schema, partitions, properties,
@@ -925,20 +946,26 @@ private[sources] object GraftCatalog {
   }
 
   /** Render the period of a recorded temporal stat value — INT64 micros
-    * (timestamps) or epoch days (dates), told apart by magnitude (day
-    * counts stay below ~3e6; any real timestamp is ≥ 8.6e10 micros). */
+    * (timestamps) or epoch days (dates), told apart by magnitude: DATE
+    * day counts stay within ±2.94e6 (years 1..9999), so any |v| above
+    * 4e6 is micros. The residual ambiguity is timestamps inside the
+    * first/last 4 SECONDS around the 1970 epoch, which render as a
+    * (wrong) day key — a '*'-style cosmetic miss in the inventory, never
+    * a data error (pruning reads the raw stats, not this rendering). */
   private def periodOf(unit: String, x: BigDecimal): String = {
     val v = x.toBigInt.toLong
-    val isMicros = math.abs(v) > 100000000L
+    val isMicros = math.abs(v) > 4000000L
     val epochDay = if (isMicros) Math.floorDiv(v, 86400000000L) else v
     val ld = java.time.LocalDate.ofEpochDay(epochDay)
     unit match {
       case "years" => f"${ld.getYear}%04d"
       case "months" => f"${ld.getYear}%04d-${ld.getMonthValue}%02d"
       case "days" => ld.toString
-      case _ => // hours
+      case _ => // hours — floorMod keeps pre-1970 instants in 0..23
         val micros = if (isMicros) v else v * 86400000000L
-        val hour = Math.floorDiv(Math.floorDiv(micros, 1000000L), 3600L) % 24
+        val hour =
+          Math.floorMod(Math.floorDiv(Math.floorDiv(micros, 1000000L), 3600L),
+            24L)
         f"$ld-$hour%02d"
     }
   }
@@ -1583,6 +1610,19 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // pruning stays sound (stats are supersets of live rows); aggregate/
     // exact-filter/limit pushdowns already decline under DVs.
     val dvs = ManifestTable.dvEntries(dir, v)
+    // the in-flight filter reconstructs keys as longs, so every DV key
+    // column must be integral in the declared schema — anything else
+    // keeps the old compact-first refusal instead of silently serving
+    // deleted rows
+    dvs.map(_.col).distinct.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = full.fields.find(_.name == c).map(_.dataType).exists {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      require(ok, s"catalog scan of $dir refused: deletion vector keyed " +
+        s"on non-integral column '$c' — compact first")
+    }
     val dvByName: Map[String, Seq[(String, String)]] =
       if (dvs.isEmpty) Map.empty
       else ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
@@ -2187,28 +2227,50 @@ private[sources] case class DvFilePartition(file: String,
 
 /** JVM-wide cache of deletion-vector key sets: the doomed-key parquet is
   * immutable (staged once, referenced by name), so every task sharing an
-  * executor loads it exactly once. Bounded by the DV write path itself —
-  * write cost ∝ deleted keys, and compaction retires the vectors. */
+  * executor loads it exactly once. Size-capped (the cache clears past the
+  * cap) so a long-lived session that keeps MOR-deleting and compacting —
+  * each delete stages a fresh key file, compaction retires the marker but
+  * not the entry — can never grow executor heap monotonically. */
 private[sources] object DvKeyCache {
+  private val MaxEntries = 256
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[Long]]()
-  def doomed(path: String, col: String): Set[Long] =
+  def doomed(path: String, col: String): Set[Long] = {
+    if (cache.size > MaxEntries) cache.clear()
     cache.computeIfAbsent(path, _ => {
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       val r = ParquetReader.builder(new GroupReadSupport(),
         new org.apache.hadoop.fs.Path(path))
         .withConf(new org.apache.hadoop.conf.Configuration()).build()
+      // the key file's own physical type drives decoding: INT64 and INT32
+      // (the integral key encodings) are served; anything else refuses
+      // loudly — never a silently-unfiltered scan
+      val mt = ManifestStreamSource.footerSchema(path)
+      val idx = (0 until mt.getFieldCount)
+        .find(i => mt.getFieldName(i) == col && mt.getType(i).isPrimitive)
+        .getOrElse(throw new IllegalStateException(
+          s"deletion-vector file $path has no primitive column '$col'"))
+      val read: org.apache.parquet.example.data.Group => Long =
+        mt.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+          case INT64 => g => g.getLong(idx, 0)
+          case INT32 => g => g.getInteger(idx, 0).toLong
+          case other => throw new IllegalStateException(
+            s"deletion-vector file $path keys column '$col' as $other — " +
+              "only integral keys are readable; compact first")
+        }
       val b = Set.newBuilder[Long]
       try {
         var g = r.read()
         while (g != null) {
-          if (g.getFieldRepetitionCount(col) > 0) b += g.getLong(col, 0)
+          if (g.getFieldRepetitionCount(idx) > 0) b += read(g)
           g = r.read()
         }
       } finally r.close()
       b.result()
     })
+  }
 }
 
 /** Reader factory for the catalog scan: per-file partitions read with the
@@ -2239,7 +2301,13 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
               r => if (r.isNullAt(i)) None else Some(r.getLong(i))
             case org.apache.spark.sql.types.IntegerType =>
               r => if (r.isNullAt(i)) None else Some(r.getInt(i).toLong)
-            case _ => _ => None // non-integral key column: nothing doomed
+            case org.apache.spark.sql.types.ShortType =>
+              r => if (r.isNullAt(i)) None else Some(r.getShort(i).toLong)
+            case org.apache.spark.sql.types.ByteType =>
+              r => if (r.isNullAt(i)) None else Some(r.getByte(i).toLong)
+            // unreachable: the builder refuses non-integral DV key columns
+            case other => throw new IllegalStateException(
+              s"deletion vector keyed on non-integral $other column")
           }
         (getter, DvKeyCache.doomed(dvPath, c))
       }
@@ -2842,11 +2910,19 @@ private[sources] class GraftDeltaOperation(dir: String,
     // layout): insert rows bucket-route in the writer so their files stay
     // stamped — the same `recordBucket` gate the INSERT path applies
     val bucketBy: Option[(Int, String)] = {
+      import org.apache.spark.sql.types._
       val v = ManifestTable.currentVersion(dir)
       ManifestTable.tableProperties(dir, v).get("graft.partitioning")
         .map(GraftCatalog.partitionCols).collect {
           case (ids, Seq((n, c))) if ids.isEmpty &&
-              writeSchema.fieldNames.contains(c) => (n, c)
+              // only types whose Murmur3 dispatch the writer reproduces
+              // exactly — anything else writes unstamped files (degrade)
+              // rather than wrongly-stamped ones
+              writeSchema.fields.find(_.name == c).map(_.dataType).exists {
+                case LongType | IntegerType | ShortType | ByteType |
+                     DateType | TimestampType | TimestampNTZType => true
+                case _ => false
+              } => (n, c)
         }
     }
     val bucketSpec: Option[(Int, Int)] =

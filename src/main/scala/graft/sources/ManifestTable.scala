@@ -457,15 +457,15 @@ object ManifestTable {
     // always stage timestamps as INT64 micros: INT96 (Spark's legacy
     // parquet default) records NO column statistics, which would silently
     // disable range pruning and metadata extrema on every ts column —
-    // the Iceberg/Delta spec mandates INT64 for the same reason
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = s.conf.getOption(tsKey)
-    s.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.mode("overwrite").parquet(tmp)
-    finally prevTs match {
-      case Some(v) => s.conf.set(tsKey, v)
-      case None => s.conf.unset(tsKey)
-    }
+    // the Iceberg/Delta spec mandates INT64 for the same reason. Set
+    // WITHOUT restore: parquet's write support reads this from the
+    // session conf only (a per-write option cannot override it), so a
+    // set/restore pair would race concurrent writes in one session —
+    // one writer's restore could flip another's in-flight plan back to
+    // stat-less INT96. The idempotent set is the engine's standing
+    // encoding choice; INT96 has no stats and no upside.
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    df.write.mode("overwrite").parquet(tmp)
     Files.createDirectories(Paths.get(dir, "data"))
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val parts = listDir(Paths.get(tmp))

@@ -565,6 +565,48 @@ class Round12Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("review hardening: reserved names, DV-aware DDL/DML guards") {
+    val root = freshDir("hard")
+    spark.conf.set("spark.sql.catalog.g12hd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12hd.root", root)
+    // '@' and '$' are addressing syntax — a table created under either
+    // name would be unreachable the moment it exists
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE g12hd.default.`a@b` (k BIGINT)")
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE g12hd.default.`a$b` (k BIGINT)")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    // row-level DML on a live-DV table refuses (the delta commit cannot
+    // carry the markers); DROP COLUMN of the DV key column refuses (it
+    // reconstructs the deletes); compaction lifts both
+    spark.sql("""CREATE TABLE g12hd.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g12hd.default.t VALUES
+      (CAST(1 AS BIGINT), 1.0), (CAST(2 AS BIGINT), 2.0),
+      (CAST(3 AS BIGINT), 3.0)""")
+    spark.sql("DELETE FROM g12hd.default.t WHERE k IN (2)")
+    assert(ManifestTable.dvLines(s"$root/t",
+      ManifestTable.currentVersion(s"$root/t")).nonEmpty)
+    val e3 = intercept[Exception] {
+      spark.sql("UPDATE g12hd.default.t SET v = 0.0 WHERE k = 1")
+    }
+    assert(e3.getMessage.contains("compact first"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE g12hd.default.t DROP COLUMN k")
+    }
+    assert(e4.getMessage.contains("deletion vector"), e4.getMessage)
+    spark.sql("CALL g12hd.system.optimize(table => 't', num_files => 1)")
+    spark.sql("UPDATE g12hd.default.t SET v = 0.0 WHERE k = 1")
+    assert(spark.sql("SELECT k, v FROM g12hd.default.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 0.0), (3L, 3.0)))
+    ManifestTable.destroy(root)
+  }
+
   test("ProcessingTime streams advance past versions committed after start") {
     val root = freshDir("ptt")
     spark.conf.set("spark.sql.catalog.g12pt",
