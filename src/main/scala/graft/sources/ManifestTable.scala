@@ -447,6 +447,11 @@ object ManifestTable {
 
   private val PartIdxRe = """part-(\d+)""".r
 
+  /** Serializes the session-conf set/restore around staged writes (see
+    * [[stageIndexed]]): the timestamp-encoding override must never leak
+    * into, or be clobbered by, a concurrent write. */
+  private val stageTsLock = new Object
+
   /** [[stage]] keeping each staged file's ORIGINAL writer-partition index
     * (parsed from Spark's `part-NNNNN-…` output name): for a
     * hash-repartitioned write this index IS the bucket id, the fact the
@@ -457,15 +462,24 @@ object ManifestTable {
     // always stage timestamps as INT64 micros: INT96 (Spark's legacy
     // parquet default) records NO column statistics, which would silently
     // disable range pruning and metadata extrema on every ts column —
-    // the Iceberg/Delta spec mandates INT64 for the same reason. Set
-    // WITHOUT restore: parquet's write support reads this from the
-    // session conf only (a per-write option cannot override it), so a
-    // set/restore pair would race concurrent writes in one session —
-    // one writer's restore could flip another's in-flight plan back to
-    // stat-less INT96. The idempotent set is the engine's standing
-    // encoding choice; INT96 has no stats and no upside.
-    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    df.write.mode("overwrite").parquet(tmp)
+    // the Iceberg/Delta spec mandates INT64 for the same reason. Parquet's
+    // write support reads this from the SESSION conf only (a per-write
+    // option cannot override it), so the set/restore pair runs under a
+    // JVM lock: concurrent staging calls serialize here instead of one
+    // writer's restore flipping another's in-flight plan back to
+    // stat-less INT96 — and the session's own default is untouched for
+    // every non-staging write (result dumps must keep the user's
+    // encoding).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    stageTsLock.synchronized {
+      val prevTs = s.conf.getOption(tsKey)
+      s.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try df.write.mode("overwrite").parquet(tmp)
+      finally prevTs match {
+        case Some(x) => s.conf.set(tsKey, x)
+        case None => s.conf.unset(tsKey)
+      }
+    }
     Files.createDirectories(Paths.get(dir, "data"))
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val parts = listDir(Paths.get(tmp))
