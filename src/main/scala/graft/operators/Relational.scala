@@ -538,6 +538,13 @@ object Relational {
       s.sql("""DELETE FROM graft_mr.default.ord WHERE o_orderkey IN
         (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
          67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""")
+      // round 13: row-level DML runs ON the DV table, no compact-first —
+      // the UPDATE's scan merges the deletion vectors (doomed rows
+      // produce no delta), its rewrites drop position- and dv-doomed
+      // rows together, and the commit strikes rewritten files from the
+      // markers' target sets. A doomed key can never resurrect.
+      s.sql("""UPDATE graft_mr.default.ord
+        SET o_totalprice = o_totalprice + 10.0 WHERE o_custkey % 5 = 2""")
       s.sql("""SELECT count(*) AS n,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         min(o_orderkey) AS mn
@@ -551,8 +558,9 @@ object Relational {
     // same expressions over the base table — governance must be exactly
     // the declared transformation, nothing more or less.
     "q_governed_read" -> ((s, d) => {
-      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_governed_" +
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_governed_" +
         java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/ev"
       graft.sources.ManifestTable.destroy(tbl) // fresh table per run
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -561,10 +569,18 @@ object Relational {
         masks = Map("user_id" -> "pmod(user_id, 100)",
           "value" -> "round(value, 0)"),
         rowFilter = Some("event_type <> 'error'"))
-      graft.sources.ManifestTable.readGoverned(s, tbl)
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      // round 13: governance COMPOSES with merge-on-read — a right-to-be-
+      // forgotten MOR delete (one doomed-key parquet + a #dv marker,
+      // nothing rewritten) on the governed table, then the SQL catalog
+      // scan drops dv-doomed rows BEFORE the policy filter/masks run.
+      graft.sources.ManifestTable.deleteKeysMOR(s, tbl, "event_id",
+        keys = (1L to 40L))
+      s.conf.set("spark.sql.catalog.graft_gv",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_gv.root", root)
+      s.sql("""SELECT event_type, user_id, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM graft_gv.default.ev GROUP BY event_type, user_id""")
     }),
     // Manifest tables as FIRST-CLASS SQL OBJECTS (sources.GraftCatalog, a
     // DSv2 TableCatalog): half the table loads via the library API, the
@@ -2196,11 +2212,13 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 GROUP BY 1""".stripMargin,
-    // governance = exactly the declared transformation, nothing else
+    // governance = exactly the declared transformation over the LIVE
+    // (dv-filtered) rows, nothing else
     "q_governed_read" ->
       """SELECT event_type, user_id % 100 AS user_id, count(*) AS n,
         |       CAST(sum(CAST(round(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type <> 'error'
+        |  AND event_id NOT BETWEEN 1 AND 40
         |GROUP BY 1, 2""".stripMargin,
     // the catalog scan + SQL insert must together hold exactly the table
     "q_sql_catalog" ->
@@ -2426,10 +2444,15 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey NOT IN (101, 777, 1402) GROUP BY 1""".stripMargin,
-    // the SQL-served merge-on-read scan must drop exactly the doomed keys
+    // the SQL-served merge-on-read scan must drop exactly the doomed
+    // keys, and the UPDATE running ON the DV table (round 13, no
+    // compaction) must touch exactly the live matching rows
     "q_sql_mor_read" ->
       """SELECT count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(sum(CAST(CASE WHEN o_custkey % 5 = 2
+        |                          THEN o_totalprice + 10.0
+        |                          ELSE o_totalprice END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       min(o_orderkey) AS mn
         |FROM orders WHERE o_orderkey NOT IN
         |  (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,

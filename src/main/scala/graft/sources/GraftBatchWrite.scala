@@ -251,12 +251,13 @@ private[sources] class GraftDeltaWriterFactory(dir: String,
     genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
       Seq.empty,
     bucketSpec: Option[(Int, Int)] = None,
-    sumCols: Seq[String] = Nil)
+    sumCols: Seq[String] = Nil,
+    dvByPath: Map[String, Seq[(String, String)]] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId,
-      genExprs, bucketSpec, sumCols)
+      genExprs, bucketSpec, sumCols, dvByPath)
 }
 
 private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
@@ -269,7 +270,12 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     // staged file is bucket-pure and can carry its id in the manifest,
     // keeping storage-partitioned joins armed THROUGH a MERGE/UPDATE
     bucketSpec: Option[(Int, Int)] = None,
-    sumCols: Seq[String] = Nil)
+    sumCols: Seq[String] = Nil,
+    // merge-on-read markers at the statement's snapshot: file path → its
+    // deletion vectors (doomed-key parquet path, key column); a rewrite
+    // of a targeted file drops dv-doomed survivors alongside the
+    // position-doomed ones
+    dvByPath: Map[String, Seq[(String, String)]] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   // bucket id (-1 = unbucketed) → its insert file; LinkedHashMap keeps
@@ -387,7 +393,8 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     }
     val repl = doomed.toSeq.map { case (path, bits) =>
       val (newName, rows, sums) = GraftDeltaWriter.rewriteDropping(
-        dir, path, bits, partitionId, taskId, sumCols)
+        dir, path, bits, partitionId, taskId, sumCols,
+        dvByPath.getOrElse(path, Nil))
       newName.filter(_ => sums.nonEmpty)
         .foreach(n => fileSums(n) = sums)
       (path, newName, rows)
@@ -412,13 +419,40 @@ private[sources] object GraftDeltaWriter {
     * `sumCols` accumulate over the survivors (integral and decimal
     * physical encodings only — anything else simply yields no sum for
     * that column, an honest per-column decline), so the metadata-served
-    * SUM tier survives the rewrite. Returns (None, 0, empty) when no row
-    * survives. */
+    * SUM tier survives the rewrite. When the file is targeted by
+    * deletion vectors (`dvs`: doomed-key parquet path + key column), the
+    * copy drops dv-doomed rows too — the replacement file materializes
+    * the DV, so the committer strikes it from the markers' target sets.
+    * Returns (None, 0, empty) when no row survives. */
   def rewriteDropping(dir: String, path: String, doomedBits: java.util.BitSet,
-      partitionId: Int, taskId: Long, sumCols: Seq[String] = Nil)
+      partitionId: Int, taskId: Long, sumCols: Seq[String] = Nil,
+      dvs: Seq[(String, String)] = Nil)
       : (Option[String], Long, Map[String, BigDecimal]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val mt = ManifestStreamSource.footerSchema(path)
+    // dv-doomed key checks against this file's OWN physical encoding —
+    // integral only (the scan builder refused anything else long before
+    // a write was planned); an all-null key cell is never doomed
+    val dvChecks: Seq[(Group => Option[Long], Array[Long])] =
+      dvs.map { case (dvPath, col) =>
+        val i = (0 until mt.getFieldCount)
+          .find(j => mt.getFieldName(j) == col && mt.getType(j).isPrimitive)
+          .getOrElse(throw new IllegalStateException(
+            s"rewrite of $path: deletion-vector key column '$col' absent"))
+        val get: Group => Option[Long] =
+          mt.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+            case INT64 => g =>
+              if (g.getFieldRepetitionCount(i) == 0) None
+              else Some(g.getLong(i, 0))
+            case INT32 => g =>
+              if (g.getFieldRepetitionCount(i) == 0) None
+              else Some(g.getInteger(i, 0).toLong)
+            case other => throw new IllegalStateException(
+              s"rewrite of $path: deletion-vector key column '$col' has " +
+                s"non-integral physical type $other — compact first")
+          }
+        (get, DvKeyCache.doomed(dvPath, col))
+      }
     val name = "d-" + java.util.UUID.randomUUID().toString.take(8) +
       s"-p$partitionId-t$taskId.parquet"
     val wconf = new Configuration()
@@ -465,7 +499,8 @@ private[sources] object GraftDeltaWriter {
     try {
       var g = reader.read()
       while (g != null) {
-        if (!doomedBits.get(pos)) {
+        if (!doomedBits.get(pos) && !dvChecks.exists { case (get, keys) =>
+            get(g).exists(DvKeyCache.contains(keys, _)) }) {
           if (writer == null)
             writer = ExampleParquetWriter.builder(new Path(s"$dir/data/$name"))
               .withConf(wconf).build()
@@ -559,8 +594,15 @@ private[sources] object GraftDeltaCommitter {
         // carry none
         withSums(ManifestTable.statLineFor(dir, n, r, statsCols, bucket = b))
       }
+      // deletion-vector markers carry with REWRITTEN files struck from
+      // their target sets (the rewrite materialized the DV into the
+      // replacement file); a marker left targeting nothing drops — the
+      // delete→merge→select lifecycle never demands a compaction
+      val surviving = lines.map(_.split('\t').head).toSet
+      val dvCarried = ManifestTable.carriedDvLines(dir, onto, surviving)
       if (ManifestTable.commitMutate(dir,
-          lines ++ ManifestTable.carriedMeta(dir, onto), onto)) return
+          lines ++ dvCarried ++ ManifestTable.carriedMeta(dir, onto), onto))
+        return
       // CAS lost — decide rebase vs refuse against the NEW head
       val cur = ManifestTable.currentVersion(dir)
       val curNames = ManifestTable.listLines(dir, cur)
@@ -577,11 +619,17 @@ private[sources] object GraftDeltaCommitter {
       if (overlap.nonEmpty) refuse(
         s"the winning commit removed file(s) this statement read or " +
           s"rewrote (${overlap.take(3).mkString(", ")})")
-      // marker/governance state appearing mid-flight invalidates the
-      // rebase's carry-verbatim reasoning — refuse rather than guess
-      if (ManifestTable.dvLines(dir, cur).nonEmpty ||
-          ManifestTable.renameLines(dir, cur).nonEmpty)
-        refuse("deletion-vector/rename markers landed concurrently")
+      // marker/governance state CHANGING mid-flight invalidates the
+      // rebase's carry-verbatim reasoning — refuse rather than guess.
+      // A stable dv-marker set is fine (the statement's rewrites
+      // materialized exactly those markers' keys); a NEW or retired
+      // marker means a concurrent MOR delete or compaction this
+      // statement's rewrites never saw.
+      if (ManifestTable.dvLines(dir, cur).sorted !=
+          ManifestTable.dvLines(dir, baseVersion).sorted)
+        refuse("deletion-vector markers changed concurrently")
+      if (ManifestTable.renameLines(dir, cur).nonEmpty)
+        refuse("rename markers landed concurrently")
       if (ManifestTable.policyLines(dir, cur).nonEmpty)
         refuse("a governance policy landed concurrently")
       // a concurrent SCHEMA or CONSTRAINT change invalidates the

@@ -603,13 +603,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   // the table's catalog — without it the KeyGroupedPartitioning report is
   // discarded and the join falls back to shuffling both sides.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array(Identifier.of(namespace, "bucket"),
+      Identifier.of(namespace, "spread"))
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
+    else if (ident.name() == "spread") GraftSpreadFunction
     else throw new IllegalArgumentException(
-      s"function $ident not found (supported: bucket)")
+      s"function $ident not found (supported: bucket, spread)")
 
   // MAINTENANCE PROCEDURES as SQL: `CALL graft.system.rebucket(table =>
   // 'ord')` runs the table-format maintenance ops (rebucket / optimize /
@@ -832,6 +834,74 @@ private[sources] class GraftBoundBucket(
       }
     val m = h % n
     if (m < 0) m + n else m
+  }
+}
+
+/** The row-level-DML write-distribution function `spread(w, _file, c)`:
+  * DELETE rows (non-null `_file`) hash by the FILE PATH ALONE — every
+  * delete of one file lands in one cluster regardless of `c`, preserving
+  * the one-task-rewrites-one-file invariant — while MERGE/UPDATE insert
+  * rows (null `_file`) hash a data column into `w` clusters, so a bulk
+  * MERGE's inserts spread across up to `w` write tasks instead of
+  * collapsing into the single NULL-`_file` cluster (the Iceberg
+  * unpartitioned position-delta bottleneck). Shuffle key only — the
+  * writer never reproduces this hash, so any skew or collision costs
+  * balance, never correctness. */
+private[sources] object GraftSpreadFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "spread"
+  override def description(): String =
+    "spread(w, _file, col) — row-level-DML write clustering: " +
+      "hash(_file) when present, else pmod(hash(col), w)"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 3,
+      s"spread takes (w, _file, col), got ${inputType.catalogString}")
+    require(inputType.fields(1).dataType == StringType,
+      s"spread's second argument must be the _file string, got " +
+        inputType.fields(1).dataType.catalogString)
+    new GraftBoundSpread(inputType.fields(2).dataType)
+  }
+}
+
+private[sources] class GraftBoundSpread(
+    colType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32._
+  override def inputTypes(): Array[DataType] =
+    Array(IntegerType, StringType, colType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "spread"
+  override def canonicalName(): String =
+    s"graft.spread(${colType.catalogString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(
+      input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    if (!input.isNullAt(1)) {
+      // a delete row: cluster by file identity only
+      val f = input.getUTF8String(1)
+      hashUnsafeBytes(f.getBaseObject, f.getBaseOffset, f.numBytes(), 42)
+    } else {
+      val w = input.getInt(0)
+      val h =
+        if (input.isNullAt(2)) 42
+        else colType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            hashLong(input.getLong(2), 42)
+          case IntegerType | DateType => hashInt(input.getInt(2), 42)
+          case ShortType => hashInt(input.getShort(2).toInt, 42)
+          case ByteType => hashInt(input.getByte(2).toInt, 42)
+          case StringType =>
+            val s = input.getUTF8String(2)
+            hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+          case DoubleType => hashLong(
+            java.lang.Double.doubleToLongBits(input.getDouble(2)), 42)
+          case _ => 42
+        }
+      ((h % w) + w) % w
+    }
   }
 }
 
@@ -1634,17 +1704,17 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     val dvFields: Seq[StructField] =
       dvs.map(_.col).distinct.flatMap(c => full.fields.find(_.name == c))
     val pols = ManifestTable.policyLines(dir, v).map(_.split('\t'))
-    require(pols.isEmpty || dvs.isEmpty,
-      s"catalog scan of governed $dir refused under deletion vectors — " +
-        "compact first")
     if (pols.nonEmpty)
       // governed table: serve a policy-ENFORCING scan (filter-then-mask,
       // the readGoverned semantics) instead of refusing — SQL consumers
       // are exactly who governance is for. File pruning declines here:
       // pushed predicates reference post-mask OUTPUT values, which the
-      // raw file stats do not describe.
+      // raw file stats do not describe. Deletion vectors compose: the
+      // reader drops dv-doomed rows BEFORE the policy filter/masks run
+      // (a deleted row must not exist for governance to observe).
       return governedScan(
-        ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry), pols)
+        ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry), pols,
+        dvByName, dvFields)
     // SEGMENTED snapshots resolve through the manifest list: pushed
     // predicates admit segments by their summary stats first (sound —
     // summaries are supersets), so the driver parses only admitted
@@ -1700,7 +1770,9 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     * the query did not select are decoded for evaluation but never
     * surfaced. */
   private def governedScan(entries: Seq[ManifestTable.FileEntry],
-      pols: Seq[Array[String]]): Scan = {
+      pols: Seq[Array[String]],
+      dvByName: Map[String, Seq[(String, String)]] = Map.empty,
+      dvFields: Seq[StructField] = Nil): Scan = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, And,
       AttributeSeq, BindReferences, BoundReference, Cast, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.Project
@@ -1748,19 +1820,27 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           BoundReference(i, f.dataType, readAttrs(i).nullable)
       }
     }
-    val files = entries.map(e => ManifestTable.dataPath(dir, e.name))
+    val parts: Array[InputPartition] = entries.map { e =>
+      val f = ManifestTable.dataPath(dir, e.name)
+      dvByName.get(e.name) match {
+        case Some(ds) if ds.nonEmpty => DvFilePartition(f, ds): InputPartition
+        case _ => ManifestFilePartition(f): InputPartition
+      }
+    }.toArray
     val requiredNow = required
+    val hasDvs = dvByName.nonEmpty
     new Scan {
       override def readSchema(): StructType = requiredNow
       override def toBatch: Batch = new Batch {
-        override def planInputPartitions(): Array[InputPartition] =
-          files.map(f => ManifestFilePartition(f): InputPartition).toArray
+        override def planInputPartitions(): Array[InputPartition] = parts
         override def createReaderFactory(): PartitionReaderFactory =
-          new GovernedReaderFactory(decodeSchema, boundFilter, outProjs)
+          new GovernedReaderFactory(decodeSchema, boundFilter, outProjs,
+            dvFields)
       }
       override def description(): String =
         s"graft GOVERNED scan $dir (${filterStrs.size} filters, " +
-          s"${maskPairs.size} masks)"
+          s"${maskPairs.size} masks" +
+          (if (hasDvs) ", merge-on-read" else "") + ")"
     }
   }
 }
@@ -1769,16 +1849,47 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   * needed columns; each row passes the bound row-filter predicate first,
   * then projects through the bound masks. Bound Catalyst expressions are
   * serializable case classes; predicate and projection compile lazily
-  * per partition (codegen with interpreted fallback). */
+  * per partition (codegen with interpreted fallback).
+  *
+  * Merge-on-read partitions drop deletion-vector-doomed rows BEFORE the
+  * policy predicate runs: the dv key columns append AFTER the decode
+  * schema, so every bound policy ordinal (which indexes the decode-schema
+  * prefix) stays valid, and the output projection never surfaces them. */
 private[sources] class GovernedReaderFactory(readSchema: StructType,
     filter: Option[org.apache.spark.sql.catalyst.expressions.Expression],
-    projs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    projs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    dvFields: Seq[StructField] = Nil)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val base = new ManifestParquetReader(
-      partition.asInstanceOf[ManifestFilePartition].file, readSchema)
+    val (file, dvs) = partition match {
+      case ManifestFilePartition(f) => (f, Nil)
+      case DvFilePartition(f, ds) => (f, ds)
+    }
+    val extra = dvs.map(_._2).distinct
+      .filterNot(readSchema.fieldNames.contains)
+      .flatMap(c => dvFields.find(_.name == c))
+    val decodeSchema2 = StructType(readSchema.fields ++ extra)
+    val base = new ManifestParquetReader(file, decodeSchema2)
+    val dvChecks: Seq[(InternalRow => Option[Long], Array[Long])] =
+      dvs.map { case (dvPath, c) =>
+        val i = decodeSchema2.fieldIndex(c)
+        val getter: InternalRow => Option[Long] =
+          decodeSchema2(i).dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              r => if (r.isNullAt(i)) None else Some(r.getLong(i))
+            case org.apache.spark.sql.types.IntegerType =>
+              r => if (r.isNullAt(i)) None else Some(r.getInt(i).toLong)
+            case org.apache.spark.sql.types.ShortType =>
+              r => if (r.isNullAt(i)) None else Some(r.getShort(i).toLong)
+            case org.apache.spark.sql.types.ByteType =>
+              r => if (r.isNullAt(i)) None else Some(r.getByte(i).toLong)
+            case other => throw new IllegalStateException(
+              s"deletion vector keyed on non-integral $other column")
+          }
+        (getter, DvKeyCache.doomed(dvPath, c))
+      }
     new PartitionReader[InternalRow] {
       private lazy val pred = filter.map(
         org.apache.spark.sql.catalyst.expressions.Predicate.create(_))
@@ -1788,7 +1899,9 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
       override def next(): Boolean = {
         while (base.next()) {
           val r = base.get()
-          if (pred.forall(_.eval(r))) { cur = r; return true }
+          if (!dvChecks.exists { case (g, doomed) =>
+              g(r).exists(DvKeyCache.contains(doomed, _)) } &&
+              pred.forall(_.eval(r))) { cur = r; return true }
         }
         false
       }
@@ -2227,17 +2340,34 @@ private[sources] case class DvFilePartition(file: String,
 
 /** JVM-wide cache of deletion-vector key sets: the doomed-key parquet is
   * immutable (staged once, referenced by name), so every task sharing an
-  * executor loads it exactly once. Size-capped (the cache clears past the
-  * cap) so a long-lived session that keeps MOR-deleting and compacting —
-  * each delete stages a fresh key file, compaction retires the marker but
-  * not the entry — can never grow executor heap monotonically. */
+  * executor loads it exactly once. Keyed by (path, column) — the same key
+  * file referenced under two different key columns (impossible with
+  * today's one-column staging, but a latent trap) decodes independently.
+  *
+  * Memory is BOUNDED two ways: each entry is a sorted primitive long
+  * array (8 bytes/key — membership by binary search; no boxing, no hash
+  * table overhead), and a loader that would exceed the configurable key
+  * budget (`graft.dv.maxKeys`, default 16M keys = 128 MB/entry) refuses
+  * LOUDLY — compact the table instead of silently ballooning executor
+  * heap with a 10⁸-key vector. The entry-count cap additionally clears a
+  * long-lived session that keeps MOR-deleting and compacting — each
+  * delete stages a fresh key file, compaction retires the marker but not
+  * the entry — so heap can never grow monotonically. */
 private[sources] object DvKeyCache {
   private val MaxEntries = 256
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[Long]]()
-  def doomed(path: String, col: String): Set[Long] = {
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Long]]()
+  def maxKeys: Long =
+    sys.props.get("graft.dv.maxKeys").map(_.toLong).getOrElse {
+      val env = org.apache.spark.SparkEnv.get
+      if (env != null) env.conf.getLong("spark.graft.dv.maxKeys", 16777216L)
+      else 16777216L
+    }
+  /** Sorted doomed keys of `path` decoded from `col`; test membership
+    * with [[contains]]. */
+  def doomed(path: String, col: String): Array[Long] = {
     if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent(path, _ => {
+    cache.computeIfAbsent((path, col), _ => {
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -2260,17 +2390,34 @@ private[sources] object DvKeyCache {
             s"deletion-vector file $path keys column '$col' as $other — " +
               "only integral keys are readable; compact first")
         }
-      val b = Set.newBuilder[Long]
+      val budget = maxKeys
+      var arr = new Array[Long](1024)
+      var n = 0
       try {
         var g = r.read()
         while (g != null) {
-          if (g.getFieldRepetitionCount(idx) > 0) b += read(g)
+          if (g.getFieldRepetitionCount(idx) > 0) {
+            if (n >= budget) throw new IllegalStateException(
+              s"deletion-vector file $path holds more than $budget keys " +
+                "(graft.dv.maxKeys) — executor heap would be unbounded; " +
+                "compact the table to materialize its deletes")
+            if (n == arr.length)
+              arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+            arr(n) = read(g)
+            n += 1
+          }
           g = r.read()
         }
       } finally r.close()
-      b.result()
+      val out = java.util.Arrays.copyOf(arr, n)
+      java.util.Arrays.sort(out)
+      out
     })
   }
+  /** Membership in a [[doomed]] array (sorted, may hold duplicates —
+    * binary search is indifferent). */
+  def contains(keys: Array[Long], x: Long): Boolean =
+    java.util.Arrays.binarySearch(keys, x) >= 0
 }
 
 /** Reader factory for the catalog scan: per-file partitions read with the
@@ -2292,7 +2439,7 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
       .flatMap(c => dvFields.find(_.name == c))
     val readSchema2 = StructType(required.fields ++ extra)
     val inner = new ManifestParquetReader(f, readSchema2)
-    val checks: Seq[(InternalRow => Option[Long], Set[Long])] =
+    val checks: Seq[(InternalRow => Option[Long], Array[Long])] =
       dvs.map { case (dvPath, c) =>
         val i = readSchema2.fieldIndex(c)
         val getter: InternalRow => Option[Long] =
@@ -2316,7 +2463,8 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
       override def next(): Boolean = {
         while (inner.next()) {
           val r = inner.get()
-          if (!checks.exists { case (g, doomed) => g(r).exists(doomed) }) {
+          if (!checks.exists { case (g, doomed) =>
+              g(r).exists(DvKeyCache.contains(doomed, _)) }) {
             cur = r
             return true
           }
@@ -2811,9 +2959,17 @@ private[sources] case class GraftMetaColumn(colName: String,
   * still co-locate (a bucket-pure file's rows share one tuple) while a
   * bulk MERGE's inserts spread across the bucket space and land as
   * bucket-pure stamped files, keeping storage-partitioned joins armed
-  * through the statement. UNPARTITIONED tables keep the Iceberg
-  * position-delta caveat: NULL-`_file` inserts cluster into one write
-  * task; files-to-rewrite still spread across the cluster. */
+  * through the statement. UNPARTITIONED tables cluster by
+  * `spread(w, _file, c)` — the file hash for delete rows, a w-way data
+  * hash for NULL-`_file` insert rows — so bulk-MERGE inserts spread
+  * across up to `w` write tasks (`graft.write.spread`, default 32)
+  * instead of one, closing the Iceberg position-delta caveat.
+  *
+  * MERGE-ON-READ tables (`#dv` markers) mutate WITHOUT compaction: the
+  * statement's scan serves dv-merged rows (physical `_pos` preserved),
+  * each rewrite drops position-doomed and dv-doomed rows together, and
+  * the commit carries the markers with rewritten files struck from
+  * their target sets. */
 private[sources] class GraftDeltaOperation(dir: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType)
@@ -2838,10 +2994,15 @@ private[sources] class GraftDeltaOperation(dir: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = ManifestTable.currentVersion(dir)
     require(v >= 0, s"no committed snapshot to mutate in $dir")
-    require(ManifestTable.dvLines(dir, v).isEmpty &&
-        ManifestTable.renameLines(dir, v).isEmpty,
-      s"row-level DML on $dir refused: deletion-vector/rename markers " +
-        "present — compact first")
+    // DELETION VECTORS are fine: the statement's scan serves DV-merged
+    // rows (doomed rows produce no delta), `_pos` stays the PHYSICAL
+    // ordinal, and the write side's rewrites drop position-doomed AND
+    // dv-doomed rows together — so repeated DELETE→MERGE cycles never
+    // demand a compaction. Renames still refuse (the rewrite copies raw
+    // footer schemas and cannot reconcile name generations).
+    require(ManifestTable.renameLines(dir, v).isEmpty,
+      s"row-level DML on $dir refused: rename markers present — " +
+        "compact first")
     require(ManifestTable.policyLines(dir, v).isEmpty,
       s"row-level SQL DML on governed $dir refused: the rewrite must see " +
         "raw rows (a masked rewrite would PERSIST masked values); use the " +
@@ -2955,6 +3116,49 @@ private[sources] class GraftDeltaOperation(dir: String,
           .map(ManifestTable.parseEntry)
         entries.nonEmpty && entries.forall(_.bucket.isDefined)
       }
+    // UNBUCKETED tables get the same insert spread through the `spread`
+    // function: cluster by spread(w, _file, c) — a single expression that
+    // is the file hash for delete rows (one task still owns every delete
+    // of a file, whatever `c` holds) and a w-way data-column hash for
+    // NULL-`_file` insert rows. `c` is the first hashable write column;
+    // a schema with none keeps the documented one-task caveat.
+    val spreadWidth: Int = {
+      val v = ManifestTable.currentVersion(dir)
+      ManifestTable.tableProperties(dir, v).get("graft.write.spread")
+        .map(_.toInt).getOrElse(32)
+    }
+    val spreadCol: Option[String] = {
+      import org.apache.spark.sql.types._
+      if (distributeByBucket || cmd ==
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+        None
+      else writeSchema.fields.collectFirst {
+        case f if (f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | DateType |
+               TimestampType | TimestampNTZType | StringType | DoubleType =>
+            true
+          case _ => false
+        }) => f.name
+      }
+    }
+    // MERGE-ON-READ markers at the pinned snapshot: each rewrite must
+    // ALSO drop the dv-doomed survivors of its file — a position-only
+    // copy would RESURRECT logically-deleted rows into the replacement
+    // file (which the adjusted markers no longer target)
+    val dvByPath: Map[String, Seq[(String, String)]] = {
+      // the PINNED scan version: the rewrite must materialize exactly the
+      // markers the statement's scan merged — a concurrent MOR delete
+      // landing mid-statement is the committer's rebase-refusal case,
+      // not something to half-apply here
+      val v = if (baseVersion >= 0) baseVersion
+        else ManifestTable.currentVersion(dir)
+      val dvs = ManifestTable.dvEntries(dir, v)
+      if (dvs.isEmpty) Map.empty
+      else dvs.flatMap(d => d.targets.toSeq.map(t =>
+          ManifestTable.dataPath(dir, t) ->
+            ((ManifestTable.dataPath(dir, d.file), d.col))))
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+    }
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite
           with RequiresDistributionAndOrdering {
@@ -2966,7 +3170,12 @@ private[sources] class GraftDeltaOperation(dir: String,
                 Array(
                   Expressions.bucket(bucketBy.get._1, bucketBy.get._2),
                   Expressions.column("_file"))
-              else Array(Expressions.column("_file")))
+              else spreadCol match {
+                case Some(c) => Array(Expressions.apply("spread",
+                  Expressions.literal(spreadWidth),
+                  Expressions.column("_file"), Expressions.column(c)))
+                case None => Array(Expressions.column("_file"))
+              })
         override def requiredOrdering(): Array[
             org.apache.spark.sql.connector.expressions.SortOrder] = Array(
           Expressions.sort(Expressions.column("_file"),
@@ -2977,7 +3186,7 @@ private[sources] class GraftDeltaOperation(dir: String,
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
             new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx,
-              genExprs, bucketSpec, sumCols)
+              genExprs, bucketSpec, sumCols, dvByPath)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             GraftDeltaCommitter.commit(tableDir, pinnedV(), messages,
               () => Option(lastScan).flatMap(_.admittedFiles))

@@ -1537,7 +1537,7 @@ object ManifestTable {
   /** DV lines carried forward by a commit that keeps only `surviving` data
     * files: targets intersect with the survivors; a DV left targeting
     * nothing is dropped (its doomed rows were materialized away). */
-  private def carriedDvLines(dir: String, v: Int,
+  private[sources] def carriedDvLines(dir: String, v: Int,
       surviving: Set[String]): Seq[String] =
     dvEntries(dir, v)
       .map(e => e.copy(targets = e.targets.intersect(surviving)))

@@ -580,9 +580,10 @@ class Round12Spec extends AnyFunSuite {
       spark.sql("CREATE TABLE g12hd.default.`a$b` (k BIGINT)")
     }
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
-    // row-level DML on a live-DV table refuses (the delta commit cannot
-    // carry the markers); DROP COLUMN of the DV key column refuses (it
-    // reconstructs the deletes); compaction lifts both
+    // DROP COLUMN of the DV key column refuses (it reconstructs the
+    // deletes); row-level DML on a live-DV table runs merge-on-read
+    // since r13 — the UPDATE rewrites without compaction, never
+    // resurrects the doomed key, and strikes the marker's target
     spark.sql("""CREATE TABLE g12hd.default.t (k BIGINT, v DOUBLE)
       TBLPROPERTIES ('delete.mode' = 'mor')""")
     spark.sql("""INSERT INTO g12hd.default.t VALUES
@@ -591,19 +592,24 @@ class Round12Spec extends AnyFunSuite {
     spark.sql("DELETE FROM g12hd.default.t WHERE k IN (2)")
     assert(ManifestTable.dvLines(s"$root/t",
       ManifestTable.currentVersion(s"$root/t")).nonEmpty)
-    val e3 = intercept[Exception] {
-      spark.sql("UPDATE g12hd.default.t SET v = 0.0 WHERE k = 1")
-    }
-    assert(e3.getMessage.contains("compact first"), e3.getMessage)
     val e4 = intercept[Exception] {
       spark.sql("ALTER TABLE g12hd.default.t DROP COLUMN k")
     }
     assert(e4.getMessage.contains("deletion vector"), e4.getMessage)
-    spark.sql("CALL g12hd.system.optimize(table => 't', num_files => 1)")
     spark.sql("UPDATE g12hd.default.t SET v = 0.0 WHERE k = 1")
     assert(spark.sql("SELECT k, v FROM g12hd.default.t ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       Seq((1L, 0.0), (3L, 3.0)))
+    // rewritten files are struck from the marker's targets (files the
+    // statement never touched legitimately keep theirs), and every
+    // remaining target is a live file — no dangling references
+    val live = ManifestTable.listLines(s"$root/t",
+      ManifestTable.currentVersion(s"$root/t"))
+      .map(ManifestTable.parseEntry(_).name).toSet
+    assert(ManifestTable.dvEntries(s"$root/t",
+      ManifestTable.currentVersion(s"$root/t"))
+      .forall(_.targets.subsetOf(live)),
+      "carried dv markers must only target live files")
     ManifestTable.destroy(root)
   }
 
