@@ -243,7 +243,11 @@ private[sources] class GraftStreamingWriterFactory(dir: String,
 private[sources] case class GraftDeltaCommit(
     inserted: Seq[(String, Long, Option[Int])],
     replaced: Seq[(String, Option[String], Long)],
-    sums: Map[String, Map[String, BigDecimal]] = Map.empty)
+    sums: Map[String, Map[String, BigDecimal]] = Map.empty,
+    // per-file HLL register blobs of the declared `graft.write.ndv`
+    // columns (insert files registered row-by-row, rewrite files from
+    // their survivors) — the CBO NDV tier stays armed through DML
+    ndvs: Map[String, Map[String, Array[Byte]]] = Map.empty)
     extends WriterCommitMessage
 
 private[sources] class GraftDeltaWriterFactory(dir: String,
@@ -252,12 +256,13 @@ private[sources] class GraftDeltaWriterFactory(dir: String,
       Seq.empty,
     bucketSpec: Option[(Int, Int)] = None,
     sumCols: Seq[String] = Nil,
-    dvByPath: Map[String, Seq[(String, String)]] = Map.empty)
+    dvByPath: Map[String, Seq[(String, String)]] = Map.empty,
+    ndvCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId,
-      genExprs, bucketSpec, sumCols, dvByPath)
+      genExprs, bucketSpec, sumCols, dvByPath, ndvCols)
 }
 
 private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
@@ -275,7 +280,8 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     // deletion vectors (doomed-key parquet path, key column); a rewrite
     // of a targeted file drops dv-doomed survivors alongside the
     // position-doomed ones
-    dvByPath: Map[String, Seq[(String, String)]] = Map.empty)
+    dvByPath: Map[String, Seq[(String, String)]] = Map.empty,
+    ndvCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   // bucket id (-1 = unbucketed) → its insert file; LinkedHashMap keeps
@@ -299,6 +305,49 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
   }
   private val insertSums = scala.collection.mutable.LinkedHashMap[Int,
     scala.collection.mutable.Map[String, BigDecimal]]()
+
+  // the declared NDV columns' (name, ordinal, type) in this write schema,
+  // restricted to exactly the types Spark's hll_sketch_agg accepts — the
+  // register updates below MIRROR HllSketchAgg.update (ints widened to
+  // long, strings as raw UTF-8 bytes with empties skipped) so blobs built
+  // here UNION consistently with harvest-time blobs: the same value never
+  // double-counts across files
+  private val ndvSpec: Seq[(String, Int, DataType)] = ndvCols.flatMap { c =>
+    schema.fields.zipWithIndex.collectFirst {
+      case (f, i) if f.name == c && (f.dataType match {
+        case LongType | IntegerType | StringType | BinaryType => true
+        case _ => false
+      }) => (c, i, f.dataType)
+    }
+  }
+  private val insertNdvs = scala.collection.mutable.LinkedHashMap[Int,
+    scala.collection.mutable.Map[String, org.apache.datasketches.hll.HllSketch]]()
+
+  private def registerNdv(bucket: Int, row: InternalRow): Unit = {
+    if (ndvSpec.isEmpty) return
+    val acc = insertNdvs.getOrElseUpdate(bucket,
+      scala.collection.mutable.Map.empty)
+    ndvSpec.foreach { case (c, i, dt) =>
+      // the sketch exists from the file's first row even if every value
+      // is null (an EMPTY sketch unions as nothing) — a missing blob
+      // would decline the whole snapshot's NDV at read time
+      val sk = acc.getOrElseUpdate(c,
+        new org.apache.datasketches.hll.HllSketch())
+      if (!row.isNullAt(i)) {
+        dt match {
+          case LongType => sk.update(row.getLong(i))
+          case IntegerType => sk.update(row.getInt(i).toLong)
+          case StringType =>
+            val s = row.getUTF8String(i)
+            if (s.numBytes() > 0) sk.update(s.getBytes)
+          case BinaryType =>
+            val b = row.getBinary(i)
+            if (b.length > 0) sk.update(b)
+          case _ =>
+        }
+      }
+    }
+  }
 
   private def accumulate(bucket: Int, row: InternalRow): Unit = {
     if (sumSpec.isEmpty) return
@@ -381,25 +430,33 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     insertWriters.getOrElseUpdate(bucket,
       new GraftParquetDataWriter(dir, schema, partitionId, taskId)).write(out)
     accumulate(bucket, out)
+    registerNdv(bucket, out)
   }
 
   override def commit(): WriterCommitMessage = {
     val fileSums = scala.collection.mutable.Map[String, Map[String, BigDecimal]]()
+    val fileNdvs =
+      scala.collection.mutable.Map[String, Map[String, Array[Byte]]]()
     val ins = insertWriters.toSeq.map { case (b, w) =>
       val m = w.commit().asInstanceOf[GraftFileCommit]
       insertSums.get(b).filter(_.nonEmpty)
         .foreach(sm => fileSums(m.name) = sm.toMap)
+      insertNdvs.get(b).filter(_.nonEmpty).foreach(nm =>
+        fileNdvs(m.name) = nm.map { case (c, sk) =>
+          c -> sk.toUpdatableByteArray }.toMap)
       (m.name, m.rows, if (b >= 0) Some(b) else None)
     }
     val repl = doomed.toSeq.map { case (path, bits) =>
-      val (newName, rows, sums) = GraftDeltaWriter.rewriteDropping(
+      val (newName, rows, sums, ndvs) = GraftDeltaWriter.rewriteDropping(
         dir, path, bits, partitionId, taskId, sumCols,
-        dvByPath.getOrElse(path, Nil))
+        dvByPath.getOrElse(path, Nil), ndvCols)
       newName.filter(_ => sums.nonEmpty)
         .foreach(n => fileSums(n) = sums)
+      newName.filter(_ => ndvs.nonEmpty)
+        .foreach(n => fileNdvs(n) = ndvs)
       (path, newName, rows)
     }
-    GraftDeltaCommit(ins, repl, fileSums.toMap)
+    GraftDeltaCommit(ins, repl, fileSums.toMap, fileNdvs.toMap)
   }
 
   override def abort(): Unit = insertWriters.values.foreach(_.abort())
@@ -423,11 +480,15 @@ private[sources] object GraftDeltaWriter {
     * deletion vectors (`dvs`: doomed-key parquet path + key column), the
     * copy drops dv-doomed rows too — the replacement file materializes
     * the DV, so the committer strikes it from the markers' target sets.
-    * Returns (None, 0, empty) when no row survives. */
+    * Declared NDV columns re-register from the survivors into fresh HLL
+    * blobs the same way (a rewrite only DROPS rows, so re-registering is
+    * exact — the old blob may overcount retired values and cannot be
+    * reused). Returns (None, 0, empty, empty) when no row survives. */
   def rewriteDropping(dir: String, path: String, doomedBits: java.util.BitSet,
       partitionId: Int, taskId: Long, sumCols: Seq[String] = Nil,
-      dvs: Seq[(String, String)] = Nil)
-      : (Option[String], Long, Map[String, BigDecimal]) = {
+      dvs: Seq[(String, String)] = Nil, ndvCols: Seq[String] = Nil)
+      : (Option[String], Long, Map[String, BigDecimal],
+         Map[String, Array[Byte]]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val mt = ManifestStreamSource.footerSchema(path)
     // dv-doomed key checks against this file's OWN physical encoding —
@@ -487,6 +548,40 @@ private[sources] object GraftDeltaWriter {
           }
         }
       }
+    // NDV re-registration over survivors, mirroring HllSketchAgg.update's
+    // type dispatch against this file's OWN physical encoding (ints
+    // widen to long; UTF8/raw binary as bytes, empties skipped); decimal
+    // or other annotated encodings yield no updater — honest decline
+    val ndvUpdaters: Seq[(String,
+        org.apache.datasketches.hll.HllSketch, Group => Unit)] =
+      ndvCols.flatMap { c =>
+        val idx = (0 until mt.getFieldCount)
+          .find(i => mt.getFieldName(i) == c && mt.getType(i).isPrimitive)
+        idx.flatMap { i =>
+          val pt = mt.getType(i).asPrimitiveType()
+          val sk = new org.apache.datasketches.hll.HllSketch()
+          val isDecimal = pt.getLogicalTypeAnnotation match {
+            case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => true
+            case _ => false
+          }
+          (pt.getPrimitiveTypeName, isDecimal) match {
+            case (PrimitiveTypeName.INT64, false) =>
+              Some((c, sk, (g: Group) =>
+                if (g.getFieldRepetitionCount(i) > 0) sk.update(g.getLong(i, 0))))
+            case (PrimitiveTypeName.INT32, false) =>
+              Some((c, sk, (g: Group) =>
+                if (g.getFieldRepetitionCount(i) > 0)
+                  sk.update(g.getInteger(i, 0).toLong)))
+            case (PrimitiveTypeName.BINARY, false) =>
+              Some((c, sk, (g: Group) =>
+                if (g.getFieldRepetitionCount(i) > 0) {
+                  val b = g.getBinary(i, 0).getBytes
+                  if (b.length > 0) sk.update(b)
+                }))
+            case _ => None
+          }
+        }
+      }
     // same all-null rule as the insert side: a column with zero non-null
     // survivor values records no sum
     val sums = scala.collection.mutable.Map.empty[String, BigDecimal]
@@ -510,6 +605,7 @@ private[sources] object GraftDeltaWriter {
             if (g.getFieldRepetitionCount(i) > 0)
               sums(c) = sums.getOrElse(c, BigDecimal(0)) + f(g)
           }
+          ndvUpdaters.foreach(_._3(g))
         }
         pos += 1
         g = reader.read()
@@ -518,8 +614,10 @@ private[sources] object GraftDeltaWriter {
       reader.close()
       if (writer != null) writer.close()
     }
-    if (writer == null) (None, 0L, Map.empty)
-    else (Some(name), rows, sums.toMap)
+    if (writer == null) (None, 0L, Map.empty, Map.empty)
+    else (Some(name), rows, sums.toMap,
+      ndvUpdaters.map { case (c, sk, _) =>
+        c -> sk.toUpdatableByteArray }.toMap)
   }
 }
 
@@ -559,13 +657,24 @@ private[sources] object GraftDeltaCommitter {
     // metadata-served SUM through the statement
     val fileSums: Map[String, Map[String, BigDecimal]] =
       staged.flatMap(_.sums).toMap
+    // HLL register blobs the tasks built (insert files row-by-row,
+    // rewrites from survivors), attached as `c=H:` legs so CBO column
+    // NDV stays servable from metadata straight through DML
+    val fileNdvs: Map[String, Map[String, Array[Byte]]] =
+      staged.flatMap(_.ndvs).toMap
     def withSums(line: String): String = {
       val nm = line.split('\t').head
-      fileSums.get(nm).filter(_.nonEmpty).map { sm =>
-        line + "\t" + sm.toSeq.sortBy(_._1)
+      val zLeg = fileSums.get(nm).filter(_.nonEmpty).map { sm =>
+        "\t" + sm.toSeq.sortBy(_._1)
           .map { case (c, x) => s"$c=Z:${x.bigDecimal.toPlainString}" }
           .mkString(";")
-      }.getOrElse(line)
+      }.getOrElse("")
+      val hLeg = fileNdvs.get(nm).filter(_.nonEmpty).map { nm2 =>
+        "\t" + nm2.toSeq.sortBy(_._1)
+          .map { case (c, b) => s"$c=H:${ManifestTable.hexEncode(b)}" }
+          .mkString(";")
+      }.getOrElse("")
+      line + zLeg + hLeg
     }
     var attempt = 0
     var onto = baseVersion

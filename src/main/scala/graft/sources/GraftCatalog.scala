@@ -3100,6 +3100,14 @@ private[sources] class GraftDeltaOperation(dir: String,
       ManifestTable.tableProperties(dir, v).get("graft.write.sum").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     }
+    // declared `graft.write.ndv` columns: tasks register insert rows and
+    // rewrite survivors into per-file HLL blobs, keeping CBO column NDV
+    // metadata-served through row-level DML (same contract as the sums)
+    val ndvCols: Seq[String] = {
+      val v = ManifestTable.currentVersion(dir)
+      ManifestTable.tableProperties(dir, v).get("graft.write.ndv").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    }
     // deletes MUST stay file-clustered (one task owns every delete of a
     // file — two tasks rewriting the same file would race), so the bucket
     // leg can join the clustering only when every file in the snapshot is
@@ -3186,7 +3194,7 @@ private[sources] class GraftDeltaOperation(dir: String,
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
             new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx,
-              genExprs, bucketSpec, sumCols, dvByPath)
+              genExprs, bucketSpec, sumCols, dvByPath, ndvCols)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             GraftDeltaCommitter.commit(tableDir, pinnedV(), messages,
               () => Option(lastScan).flatMap(_.admittedFiles))

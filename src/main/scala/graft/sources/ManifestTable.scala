@@ -1040,7 +1040,7 @@ object ManifestTable {
     (e.name, e.ranges)
   }
 
-  private def hexEncode(b: Array[Byte]): String =
+  private[sources] def hexEncode(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString
 
   private def hexDecode(s: String): Array[Byte] =

@@ -169,6 +169,62 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("CBO NDV stays metadata-served through row-level DML, no optimize") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val root = freshDir("ndv")
+    spark.conf.set("spark.sql.catalog.g13nd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13nd.root", root)
+    spark.sql("""CREATE TABLE g13nd.default.t (k BIGINT, tag STRING, v DOUBLE)
+      TBLPROPERTIES ('graft.write.ndv' = 'k,tag')""")
+    spark.sql("""INSERT INTO g13nd.default.t
+      SELECT id AS k, concat('t', CAST(id % 97 AS STRING)) AS tag,
+             1.0 AS v
+      FROM range(0, 2000)""")
+    def servedNdv(col: String): Option[Long] = {
+      val scan = spark.table("g13nd.default.t").select(col, "v")
+        .queryExecution.optimizedPlan.collect {
+          case r: DataSourceV2ScanRelation => r.scan
+        }.head.asInstanceOf[graft.sources.ManifestFilesScan]
+      val it = scan.estimateStatistics().columnStats().entrySet().iterator()
+      var out: Option[Long] = None
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.fieldNames.head == col &&
+            e.getValue.distinctCount().isPresent)
+          out = Some(e.getValue.distinctCount().getAsLong)
+      }
+      out
+    }
+    def near(got: Option[Long], want: Long, what: String): Unit = {
+      assert(got.isDefined, s"$what: NDV must stay metadata-served")
+      assert(math.abs(got.get - want) <= math.max(2L, want / 20),
+        s"$what: HLL NDV ${got.get} should approximate $want within 5%")
+    }
+    near(servedNdv("k"), 2000, "after insert")
+    // the UPDATE rewrites hit files (survivor re-registration) and adds
+    // insert files (row-by-row registration) — pre-r13 the rewritten
+    // files LOST their H blobs and the whole snapshot's NDV declined
+    spark.sql("UPDATE g13nd.default.t SET v = 0.0 WHERE k % 10 = 3")
+    near(servedNdv("k"), 2000, "after UPDATE")
+    near(servedNdv("tag"), 97, "string column after UPDATE")
+    // MERGE inserting 500 genuinely new keys moves the estimate
+    spark.range(2000, 2500)
+      .selectExpr("id AS k", "concat('x', CAST(id AS STRING)) AS tag",
+        "2.0 AS v")
+      .createOrReplaceTempView("r13_ndv_batch")
+    spark.sql("""MERGE INTO g13nd.default.t t USING r13_ndv_batch s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    near(servedNdv("k"), 2500, "after MERGE")
+    near(servedNdv("tag"), 97 + 500, "string column after MERGE")
+    // DELETE keeps the leg armed too (rewrites re-register survivors)
+    spark.sql("DELETE FROM g13nd.default.t WHERE k >= 2250")
+    near(servedNdv("k"), 2250, "after DELETE")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
