@@ -47,7 +47,9 @@ object Explain {
     "q_sql_namespaces", "q_metadata_group_agg", "q_sql_partitions",
     "q_sql_tag", "q_sql_generated", "q_sql_cluster",
     "q_metadata_filtered_agg", "q_metadata_sum", "q_time_partition",
-    "q_sql_branch", "q_sql_mor_read")
+    "q_sql_branch", "q_sql_mor_read",
+    // round 13: the LSH-fed clustering runs its fixpoint at construction
+    "q_dedup_clusters_lsh")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

@@ -300,6 +300,19 @@ object CurationOps {
     labelPropagationWithRounds(s, pairs)._1
   }
 
+  /** The SCALE route made oracle-visible (round 13): the same min-label
+    * fixpoint over the MinHash-LSH pair graph — banded candidates +
+    * verified Jaccard, never all-pairs — so the pipeline that actually
+    * runs at 100 TB (LSH pairs → components → keep-one) is hash-checked
+    * end to end, not just measured. `q_dedup_clusters` keeps the exact
+    * all-pairs baseline as the semantics oracle; this is the plan you
+    * deploy. */
+  def dedupClustersLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.minhashLsh(s, dir).select($"doc_a", $"doc_b")
+    labelPropagationWithRounds(s, pairs)._1
+  }
+
   /** The min-label-propagation core over an arbitrary undirected pair
     * table (columns = two long ids), returning the labeling AND the round
     * count it converged in — shared by the fixture query and the
@@ -365,6 +378,22 @@ object CurationOps {
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM r GROUP BY src""".stripMargin
   }
+
+  /** Oracle for the LSH-fed clustering: DuckDB connected components
+    * (recursive CTE, min reachable id) over EXACTLY the restated MinHash
+    * pair list `q_minhash_pairs` is hash-checked against — so the scale
+    * route's labeling is verified over the same verified edge set. */
+  private val dedupClustersLshSql =
+    s"""WITH RECURSIVE ${DedupOps.minhashPairsCte.stripPrefix("WITH ")},
+       |p AS (SELECT doc_a, doc_b FROM j WHERE jacc > 0.3),
+       |eg AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |       UNION SELECT doc_b, doc_a FROM p),
+       |r(src, dst) AS (
+       |  SELECT src, dst FROM eg
+       |  UNION
+       |  SELECT r.src, eg.dst FROM r JOIN eg ON r.dst = eg.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM r GROUP BY src""".stripMargin
 
   /** The dedup DECISION: for each near-dup cluster keep the highest-quality
     * member (quality-score argmax, doc_id-desc tiebreak) — composing
@@ -1332,6 +1361,7 @@ object CurationOps {
     "q_bm25_index" -> ((s, d) => bm25IndexSearch(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
+    "q_dedup_clusters_lsh" -> ((s, d) => dedupClustersLsh(s, d)),
     "q_dedup_keep_best" -> ((s, d) => dedupKeepBest(s, d)),
     "q_cluster_cap" -> ((s, d) => clusterCap(s, d)),
     "q_curriculum" -> ((s, d) => curriculumOrder(s, d)),
@@ -1364,6 +1394,9 @@ object CurationOps {
     "q_dedup_clusters" -> dedupClustersSql,
     // one algorithm validates the other: same labeling, same oracle
     "q_dedup_clusters_star" -> dedupClustersSql,
+    // connected components over the RESTATED LSH pair list — the scale
+    // route's own oracle, independent of the exact all-pairs baseline
+    "q_dedup_clusters_lsh" -> dedupClustersLshSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_cluster_cap" -> clusterCapSql,
     "q_curriculum" -> curriculumSql,

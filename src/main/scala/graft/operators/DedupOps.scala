@@ -444,7 +444,7 @@ object DedupOps {
   /** The DuckDB restatement of `minhashLsh` up to the verified pair table
     * `j` (doc_a, doc_b, jacc) — shared by `q_minhash_pairs` and the
     * split-leakage audit so the two oracles cannot drift apart. */
-  private val minhashPairsCte: String =
+  private[graft] val minhashPairsCte: String =
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |sh AS (
