@@ -2719,9 +2719,28 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                   var acc = 0L
                   val prefix: Map[Long, Long] = perTask.map { case (t, n) =>
                     val p = (t, acc); acc += n; p }.toMap
+                  // the count job and the write are TWO evaluations of the
+                  // same plan; a nondeterministic upstream (round-robin
+                  // repartition, sample, shuffle retry) can shift rows
+                  // between tasks in between, silently overlapping the
+                  // prefix ranges. Guard: every write-side row's in-task
+                  // ordinal must stay below the COUNTED task size — any
+                  // cross-task shift that could collide ids necessarily
+                  // over-fills some task, which raises loudly; a task
+                  // merely under-filling keeps all ranges disjoint (gaps
+                  // are allowed by the identity contract).
+                  val counts: Map[Long, Long] = perTask.toMap
+                  val rowInTask = mid.bitwiseAND(lit((1L << 33) - 1))
                   if (prefix.isEmpty) mid
-                  else element_at(typedLit(prefix), shiftright(mid, 33)) +
-                    mid.bitwiseAND(lit((1L << 33) - 1))
+                  else when(rowInTask <
+                      element_at(typedLit(counts), shiftright(mid, 33)),
+                    element_at(typedLit(prefix), shiftright(mid, 33)) +
+                      rowInTask)
+                    .otherwise(raise_error(lit(
+                      s"identity column '${f.name}': row-to-task layout " +
+                        "shifted between the count job and the write " +
+                        "(nondeterministic upstream) — dense ordinals " +
+                        "would collide; materialize the input and retry")))
                 }
               val genL = lit(hw0 + step) + ordinal * lit(step)
               val gen =

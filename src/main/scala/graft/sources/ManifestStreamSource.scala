@@ -170,11 +170,14 @@ private[sources] class ManifestMicroBatchStream(dir: String,
 
   // set ONLY under AvailableNow (freezes the drain target at query
   // start); ProcessingTime triggers re-read the live head each cycle so
-  // the stream advances past versions committed after it started
-  @volatile private var availableNowEnd: Int = -1
+  // the stream advances past versions committed after it started.
+  // Option, not a -1 sentinel: an AvailableNow query starting on a
+  // directory with NO committed snapshot must still terminate (freeze at
+  // -1 = empty drain), not silently degrade to live-head tailing.
+  @volatile private var availableNowEnd: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = ManifestTable.currentVersion(dir)
+    availableNowEnd = Some(ManifestTable.currentVersion(dir))
 
   override def initialOffset(): Offset = VersionOffset(-1)
 
@@ -189,8 +192,7 @@ private[sources] class ManifestMicroBatchStream(dir: String,
       case _ => Int.MaxValue
     }
     val head =
-      if (availableNowEnd >= 0) availableNowEnd
-      else ManifestTable.currentVersion(dir)
+      availableNowEnd.getOrElse(ManifestTable.currentVersion(dir))
     val end = math.min(head.toLong, from.toLong + cap).toInt
     VersionOffset(math.max(end, from))
   }
@@ -254,11 +256,12 @@ private[sources] class ChangesMicroBatchStream(dir: String,
   // up to the version frozen at start; a ProcessingTime trigger re-reads
   // the live manifest head each cycle so the feed really does tail a
   // table that keeps committing (a frozen head would park the stream at
-  // the query-start version forever).
-  @volatile private var availableNowEnd: Int = -1
+  // the query-start version forever). Option, not a -1 sentinel — see
+  // ManifestMicroBatchStream.
+  @volatile private var availableNowEnd: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = ManifestTable.currentVersion(dir)
+    availableNowEnd = Some(ManifestTable.currentVersion(dir))
 
   override def initialOffset(): Offset = VersionOffset(startVersion - 1)
 
@@ -273,8 +276,7 @@ private[sources] class ChangesMicroBatchStream(dir: String,
       case _ => Int.MaxValue
     }
     val head =
-      if (availableNowEnd >= 0) availableNowEnd
-      else ManifestTable.currentVersion(dir)
+      availableNowEnd.getOrElse(ManifestTable.currentVersion(dir))
     val end = math.min(head.toLong, from.toLong + cap).toInt
     VersionOffset(math.max(end, from))
   }

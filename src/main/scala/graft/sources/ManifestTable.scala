@@ -447,11 +447,6 @@ object ManifestTable {
 
   private val PartIdxRe = """part-(\d+)""".r
 
-  /** Serializes the session-conf set/restore around staged writes (see
-    * [[stageIndexed]]): the timestamp-encoding override must never leak
-    * into, or be clobbered by, a concurrent write. */
-  private val stageTsLock = new Object
-
   /** [[stage]] keeping each staged file's ORIGINAL writer-partition index
     * (parsed from Spark's `part-NNNNN-…` output name): for a
     * hash-repartitioned write this index IS the bucket id, the fact the
@@ -464,22 +459,25 @@ object ManifestTable {
     // disable range pruning and metadata extrema on every ts column —
     // the Iceberg/Delta spec mandates INT64 for the same reason. Parquet's
     // write support reads this from the SESSION conf only (a per-write
-    // option cannot override it), so the set/restore pair runs under a
-    // JVM lock: concurrent staging calls serialize here instead of one
-    // writer's restore flipping another's in-flight plan back to
-    // stat-less INT96 — and the session's own default is untouched for
-    // every non-staging write (result dumps must keep the user's
-    // encoding).
+    // option cannot override it), so the staged plan runs through a
+    // CLONED session carrying the override: the user's session conf is
+    // never touched, concurrent staged writes to unrelated tables run
+    // fully in parallel (the former JVM-wide set/restore lock serialized
+    // them), and no concurrent non-staging write can ever observe the
+    // override. The plan transplants via a uniquely-named temp view —
+    // cloneSession copies the view registry, so the clone re-resolves the
+    // exact same plan under its own conf.
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    stageTsLock.synchronized {
-      val prevTs = s.conf.getOption(tsKey)
-      s.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try df.write.mode("overwrite").parquet(tmp)
-      finally prevTs match {
-        case Some(x) => s.conf.set(tsKey, x)
-        case None => s.conf.unset(tsKey)
-      }
-    }
+    val owner = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val viewName = s"__graft_stage_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    df.createOrReplaceTempView(viewName)
+    try {
+      val writer = org.apache.spark.sql.graft.SessionClone(owner)
+      writer.conf.set(tsKey, "TIMESTAMP_MICROS")
+      writer.table(viewName).write.mode("overwrite").parquet(tmp)
+    } finally owner.catalog.dropTempView(viewName)
     Files.createDirectories(Paths.get(dir, "data"))
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val parts = listDir(Paths.get(tmp))
@@ -663,9 +661,16 @@ object ManifestTable {
       s"fast-forward of '$name' refused: deletion-vector/rename markers " +
         "on the branch — compact it first")
     val mainData = Paths.get(dir, "data").toAbsolutePath.toString
-    val moved = scala.collection.mutable.Buffer[(Path, Path)]()
-    def moveBack(): Unit = moved.reverse.foreach { case (src, dst) =>
-      try Files.move(dst, src, StandardCopyOption.ATOMIC_MOVE)
+    // branch-local files LINK (copy on filesystems without hard links)
+    // into main — the branch keeps its own reference until dropBranch, so
+    // a crash anywhere in the publish window leaves BOTH sides intact:
+    // pre-CAS main-side links are vacuumable orphans and the branch stays
+    // readable/re-publishable; the old move-based publish stranded the
+    // branch (its manifest referenced files no longer in its data dir)
+    // with no repair path.
+    val linked = scala.collection.mutable.Buffer[Path]()
+    def unlink(): Unit = linked.reverse.foreach { p =>
+      try Files.deleteIfExists(p)
       catch { case _: Exception => () } // best effort; files stay orphans
     }
     try {
@@ -679,13 +684,18 @@ object ManifestTable {
             (n.stripPrefix(mainData + "/") +: parts.tail).mkString("\t")
           else l
         } else {
-          // branch-local file (staged by branch commits): move it into
-          // main's data dir under its unique name — rename, never copy
+          // branch-local file (staged by branch commits): link it into
+          // main's data dir under its unique name
           val src = Paths.get(bd, "data", n)
           val dst = Paths.get(dir, "data", n)
           Files.createDirectories(dst.getParent)
-          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-          moved += ((src, dst))
+          if (!Files.exists(dst)) {
+            try Files.createLink(dst, src)
+            catch { case _: UnsupportedOperationException =>
+              Files.copy(src, dst)
+            }
+            linked += dst
+          }
           l
         }
       }
@@ -707,20 +717,20 @@ object ManifestTable {
             Files.exists(manifestPath(dir, v)) && isRewrite(dir, v))
           if (!onlyRewrites ||
               dvLines(dir, head).nonEmpty || renameLines(dir, head).nonEmpty) {
-            moveBack(); refuseDiverged()
+            unlink(); refuseDiverged()
           }
         }
         if (commitMutate(dir, lines ++ meta, head)) committed = head + 1
         else {
           attempt += 1
-          if (attempt >= 10) { moveBack(); refuseDiverged() }
+          if (attempt >= 10) { unlink(); refuseDiverged() }
         }
       }
       dropBranch(dir, name)
       committed
     } catch {
       case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
-        moveBack(); throw e
+        unlink(); throw e
     }
   }
 
