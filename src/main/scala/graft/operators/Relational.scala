@@ -987,6 +987,44 @@ object Relational {
         FROM graft_ch.default.`ord$changes`
         GROUP BY _change_type, _commit_version, yr""")
     }),
+    // The change feed CROSSING merge-on-read deletes (round 13): a MOR
+    // DELETE commit rewrites nothing — it publishes one doomed-key
+    // parquet + a #dv marker — yet the feed emits exactly the newly-
+    // doomed live rows as `delete` rows (cost ∝ targeted files, zero
+    // table rewrite), and a later whole-table overwrite emits only the
+    // rows LIVE at its predecessor (prior deletion vectors applied — a
+    // doomed row must never re-emit as a delete). Pre-r13 any #dv in the
+    // version range refused the feed and forced a compaction.
+    "q_changes_mor" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_chmor_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_cm",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cm.root", root)
+      s.sql("""CREATE TABLE graft_cm.default.ord
+        (o_orderkey BIGINT, yr INT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('delete.mode' = 'mor')""")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+        .createOrReplaceTempView("r13_chm_src")
+      s.sql("""INSERT INTO graft_cm.default.ord
+        SELECT * FROM r13_chm_src WHERE o_orderkey % 2 = 0""")
+      s.sql("""INSERT INTO graft_cm.default.ord
+        SELECT * FROM r13_chm_src WHERE o_orderkey % 2 = 1""")
+      // v3: the MOR delete — one #dv commit, no file rewritten
+      s.sql("""DELETE FROM graft_cm.default.ord WHERE o_orderkey IN
+        (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
+         67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""")
+      // v4: whole-table overwrite — its `delete` rows are the LIVE rows
+      // of v3 (deletion vectors applied in flight by the feed's readers)
+      s.sql("""INSERT OVERWRITE graft_cm.default.ord
+        SELECT * FROM r13_chm_src WHERE yr <> 1997""")
+      s.sql("""SELECT _change_type, _commit_version, yr, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_cm.default.`ord$changes`
+        GROUP BY _change_type, _commit_version, yr""")
+    }),
     // Atomic CTAS + RTAS through the staging catalog
     // (`StagingTableCatalog`): `CREATE TABLE … AS SELECT` materializes
     // the query into a hidden staging directory and publishes with ONE
@@ -2309,6 +2347,34 @@ object Relational {
         |FROM src GROUP BY yr
         |UNION ALL
         |SELECT 'insert', 3, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src WHERE yr <> 1997 GROUP BY yr""".stripMargin,
+    // the feed crossing a MOR delete: v3 emits exactly the keyed live
+    // rows; v4's whole-table overwrite emits the rows live AT v3 (doomed
+    // keys never re-emit) plus the reloaded selection
+    "q_changes_mor" ->
+      """WITH src AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |                    o_totalprice FROM orders),
+        |     doomed AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35,
+        |                  36, 37, 38, 39, 64, 65, 66, 67, 68, 69, 70, 96,
+        |                  97, 98, 99, 100, 101, 102, 103]) AS k)
+        |SELECT 'insert' AS _change_type, 1 AS _commit_version, yr, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM src WHERE o_orderkey % 2 = 0 GROUP BY yr
+        |UNION ALL
+        |SELECT 'insert', 2, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src WHERE o_orderkey % 2 = 1 GROUP BY yr
+        |UNION ALL
+        |SELECT 'delete', 3, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src WHERE o_orderkey IN (SELECT k FROM doomed) GROUP BY yr
+        |UNION ALL
+        |SELECT 'delete', 4, yr, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM src WHERE o_orderkey NOT IN (SELECT k FROM doomed) GROUP BY yr
+        |UNION ALL
+        |SELECT 'insert', 4, yr, count(*),
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM src WHERE yr <> 1997 GROUP BY yr""".stripMargin,
     // the RTAS result is the replaced summary, exactly

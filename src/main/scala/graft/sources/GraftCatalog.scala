@@ -2903,11 +2903,14 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                 // non-matching rows (`cond IS NOT TRUE` — null-matching
                 // rows survive a non-null-valued condition, the SQL
                 // contract); the new data lands beside them, all in ONE
-                // mutate CAS
-                require(ManifestTable.dvLines(dir, v).isEmpty &&
-                    ManifestTable.renameLines(dir, v).isEmpty,
-                  s"filtered INSERT OVERWRITE on $dir refused: deletion-" +
-                    "vector/rename markers present — compact first")
+                // mutate CAS. DELETION VECTORS compose (round 13): hit
+                // files rewrite their DV-MERGED rows (a doomed row can
+                // never resurrect into a survivor file), and untouched
+                // files keep their markers carried with rewritten
+                // targets struck.
+                require(ManifestTable.renameLines(dir, v).isEmpty,
+                  s"filtered INSERT OVERWRITE on $dir refused: rename " +
+                    "markers present — compact first")
                 require(ManifestTable.policyLines(dir, v).isEmpty,
                   s"filtered INSERT OVERWRITE on governed $dir refused: " +
                     "row deletion under a row-filter policy — use the " +
@@ -2927,13 +2930,17 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                     val statsCols = hit.map(ManifestTable.parseEntry)
                       .flatMap(e => e.ranges.keys ++ e.strRanges.keys)
                       .distinct
-                    val sv = s.read.parquet(hit.map(l =>
-                        ManifestTable.dataPath(dir, l.split('\t').head)): _*)
+                    val sv = ManifestTable.readWithDvs(s, dir, v,
+                        hit.map(_.split('\t').head))
                       .filter(not(coalesce(cond, lit(false))))
                     ManifestTable.stageWithStats(s, dir, sv, statsCols)
                   }
+                val survivingNames =
+                  (untouched ++ survivors ++ staged).map(_.split('\t').head)
                 ManifestTable.commitMutate(dir,
-                  untouched ++ survivors ++ staged ++ meta, v)
+                  untouched ++ survivors ++ staged ++
+                    ManifestTable.carriedDvLines(dir, v,
+                      survivingNames.toSet) ++ meta, v)
               case (None, true) => // whole-table overwrite (TRUNCATE shape)
                 ManifestTable.commitMutate(dir, staged ++ meta, v)
               case (None, false) => ManifestTable.commit(dir,
@@ -3422,31 +3429,15 @@ private[sources] class ChangesScanBuilder(dir: String, full: StructType,
         require(Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")),
           s"version $v of $dir is vacuumed — the changes range must start " +
             "at a retained version")
-        require(ManifestTable.dvLines(dir, v).isEmpty &&
-            ManifestTable.renameLines(dir, v).isEmpty,
-          s"$$changes refused: deletion-vector/rename markers at version " +
-            s"$v — compact first")
+        // deletion vectors CROSS the feed since round 13 (a MOR delete
+        // commit emits exactly its newly-doomed live rows); renames
+        // still refuse — the diff cannot reconcile name generations
+        require(ManifestTable.renameLines(dir, v).isEmpty,
+          s"$$changes refused: rename markers at version $v — compact first")
       }
       require(ManifestTable.policyLines(dir, end).isEmpty,
         s"$$changes refused on governed tables: the feed exposes raw rows")
-      val parts = (start to end).flatMap { v =>
-        if (v > 0 && ManifestTable.isRewrite(dir, v)) Seq.empty
-        else {
-          val prev: Set[String] =
-            if (v == 0) Set.empty
-            else ManifestTable.listLines(dir, v - 1)
-              .map(ManifestTable.parseEntry(_).name).toSet
-          val now = ManifestTable.listLines(dir, v)
-            .map(ManifestTable.parseEntry(_).name)
-          val inserts = now.filterNot(prev)
-            .map(n => ChangesFilePartition(
-              ManifestTable.dataPath(dir, n), "insert", v))
-          val deletes = (prev -- now.toSet).toSeq.sorted
-            .map(n => ChangesFilePartition(
-              ManifestTable.dataPath(dir, n), "delete", v))
-          inserts ++ deletes
-        }
-      }
+      val parts = (start to end).flatMap(v => ChangesDiff.forVersion(dir, v))
       val reqNow = required
       new Batch {
         override def planInputPartitions(): Array[InputPartition] =
@@ -3471,7 +3462,63 @@ private[sources] class ChangesScanBuilder(dir: String, full: StructType,
 }
 
 private[sources] case class ChangesFilePartition(file: String,
-    changeType: String, version: Int) extends InputPartition
+    changeType: String, version: Int,
+    // deletion-vector composition (round 13): `dvDrop` = markers that
+    // already doomed rows of this file at the PREDECESSOR version (those
+    // rows were never live, so they must not appear in this diff);
+    // `dvOnly` = markers NEW at this version (emit exactly the rows they
+    // doom — the row-level diff of a MOR delete commit, whose file list
+    // is unchanged)
+    dvDrop: Seq[(String, String)] = Nil,
+    dvOnly: Seq[(String, String)] = Nil) extends InputPartition
+
+/** One commit's row-level diff vs its predecessor, shared by the batch
+  * `t$changes` scan and the streaming feed: file adds (inserts), file
+  * removes (deletes of the rows LIVE at the predecessor — prior deletion
+  * vectors applied), and NEW deletion-vector markers (deletes of exactly
+  * the newly-doomed live rows of each still-present target file). A
+  * marker is identified by its immutable (key-file, column) pair; a
+  * marker whose target set merely shrank (a DML rewrite struck the
+  * rewritten file) contributes nothing — the removed file's diff already
+  * covers those rows. Cost ∝ changed files + targeted files, never table
+  * size. */
+private[sources] object ChangesDiff {
+  def forVersion(dir: String, v: Int): Seq[ChangesFilePartition] = {
+    if (v > 0 && ManifestTable.isRewrite(dir, v)) return Seq.empty
+    val prevDvs =
+      if (v == 0) Seq.empty else ManifestTable.dvEntries(dir, v - 1)
+    val newAt = ManifestTable.dvEntries(dir, v)
+      .filterNot(d => prevDvs.exists(p => p.file == d.file && p.col == d.col))
+    def dropsOn(n: String): Seq[(String, String)] =
+      prevDvs.filter(_.targets.contains(n))
+        .map(d => (ManifestTable.dataPath(dir, d.file), d.col))
+    val prev: Set[String] =
+      if (v == 0) Set.empty
+      else ManifestTable.listLines(dir, v - 1)
+        .map(ManifestTable.parseEntry(_).name).toSet
+    val now = ManifestTable.listLines(dir, v)
+      .map(ManifestTable.parseEntry(_).name)
+    val nowSet = now.toSet
+    val inserts = now.filterNot(prev)
+      .map(n => ChangesFilePartition(
+        ManifestTable.dataPath(dir, n), "insert", v))
+    val deletes = (prev -- nowSet).toSeq.sorted
+      .map(n => ChangesFilePartition(
+        ManifestTable.dataPath(dir, n), "delete", v, dvDrop = dropsOn(n)))
+    // one partition per newly-targeted file, all its new markers folded
+    // into one emit-if-doomed-by-ANY predicate — a row doomed twice in
+    // one commit (impossible today, cheap to be exact about) emits once
+    val dvDeletes = newAt.flatMap(m => m.targets.toSeq.map(t => t -> m))
+      .groupBy(_._1).toSeq.collect {
+        case (n, ms) if nowSet.contains(n) =>
+          ChangesFilePartition(ManifestTable.dataPath(dir, n), "delete", v,
+            dvDrop = dropsOn(n),
+            dvOnly = ms.map(_._2).map(m =>
+              (ManifestTable.dataPath(dir, m.file), m.col)))
+      }.sortBy(_.file)
+    inserts ++ deletes ++ dvDeletes
+  }
+}
 
 /** Wraps the ordinary executor parquet reader: the REQUIRED data columns
   * from the file (pruned columns never decode), the required change
@@ -3486,11 +3533,76 @@ private[sources] class ChangesReaderFactory(required: StructType)
 
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
     val p = partition.asInstanceOf[ChangesFilePartition]
     val dataReq = StructType(required.fields.filterNot(f => isChangeCol(f.name)))
     require(required.fields.take(dataReq.length).forall(f => !isChangeCol(f.name)),
       s"change columns must be a suffix of the pruned schema, got $required")
-    val inner = new ManifestParquetReader(p.file, dataReq)
+    // deletion-vector composition: decode each referenced key column
+    // (typed from the FILE'S OWN footer — self-contained, no table
+    // schema needed), appended after the pruned data columns so their
+    // ordinals are untouched. `dvOnly` emits exactly the newly-doomed
+    // rows; `dvDrop` suppresses rows a prior marker already doomed.
+    val dvCols = (p.dvDrop ++ p.dvOnly).map(_._2).distinct
+      .filterNot(dataReq.fieldNames.contains)
+    val footer = ManifestStreamSource.footerSchema(p.file)
+    val extra: Seq[StructField] = dvCols.map { c =>
+      val i = (0 until footer.getFieldCount)
+        .find(j => footer.getFieldName(j) == c && footer.getType(j).isPrimitive)
+        .getOrElse(throw new IllegalStateException(
+          s"$$changes: deletion-vector key column '$c' absent from ${p.file}"))
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      footer.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+        case INT64 => StructField(c, LongType)
+        case INT32 => StructField(c, IntegerType)
+        case other => throw new IllegalStateException(
+          s"$$changes: deletion-vector key column '$c' has non-integral " +
+            s"physical type $other in ${p.file} — compact first")
+      }
+    }
+    val readSchema2 = StructType(dataReq.fields ++ extra)
+    def getterOf(c: String): InternalRow => Option[Long] = {
+      val i = readSchema2.fieldIndex(c)
+      readSchema2(i).dataType match {
+        case LongType => r => if (r.isNullAt(i)) None else Some(r.getLong(i))
+        case IntegerType =>
+          r => if (r.isNullAt(i)) None else Some(r.getInt(i).toLong)
+        case ShortType =>
+          r => if (r.isNullAt(i)) None else Some(r.getShort(i).toLong)
+        case ByteType =>
+          r => if (r.isNullAt(i)) None else Some(r.getByte(i).toLong)
+        case other => throw new IllegalStateException(
+          s"deletion vector keyed on non-integral $other column")
+      }
+    }
+    val drops = p.dvDrop.map { case (path, c) =>
+      (getterOf(c), DvKeyCache.doomed(path, c)) }
+    val onlys = p.dvOnly.map { case (path, c) =>
+      (getterOf(c), DvKeyCache.doomed(path, c)) }
+    val rawInner = new ManifestParquetReader(p.file, readSchema2)
+    val inner: PartitionReader[InternalRow] =
+      if (drops.isEmpty && onlys.isEmpty) rawInner
+      else new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (rawInner.next()) {
+            val r = rawInner.get()
+            val doomedBefore = drops.exists { case (g, ks) =>
+              g(r).exists(DvKeyCache.contains(ks, _)) }
+            val hitNow = onlys.isEmpty || onlys.exists { case (g, ks) =>
+              g(r).exists(DvKeyCache.contains(ks, _)) }
+            if (!doomedBefore && hitNow) { cur = r; return true }
+          }
+          false
+        }
+        override def get(): InternalRow =
+          if (extra.isEmpty) cur
+          else new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array.tabulate[Any](dataReq.length)(i =>
+              if (cur.isNullAt(i)) null else cur.get(i, dataReq(i).dataType)))
+        override def close(): Unit = rawInner.close()
+      }
     val changeVals: Array[Any] = required.fields.drop(dataReq.length).map { f =>
       if (f.name == "_change_type")
         org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType)

@@ -302,29 +302,15 @@ private[sources] class ChangesMicroBatchStream(dir: String,
           java.nio.file.Paths.get(dir, f"manifest-v$v%08d.json")),
         s"version $v of $dir is vacuumed — restart the feed from a " +
           "retained version")
-      require(ManifestTable.dvLines(dir, v).isEmpty &&
-          ManifestTable.renameLines(dir, v).isEmpty,
-        s"streaming $$changes refused: deletion-vector/rename markers at " +
+      // deletion vectors CROSS the feed since round 13 (ChangesDiff emits
+      // a MOR delete commit's newly-doomed live rows); renames refuse
+      require(ManifestTable.renameLines(dir, v).isEmpty,
+        s"streaming $$changes refused: rename markers at " +
           s"version $v of $dir — compact first")
     }
-    (math.max(0, from + 1) to to).flatMap { v =>
-      if (v > 0 && ManifestTable.isRewrite(dir, v)) Seq.empty
-      else {
-        val prev: Set[String] =
-          if (v == 0) Set.empty
-          else ManifestTable.listLines(dir, v - 1)
-            .map(ManifestTable.parseEntry(_).name).toSet
-        val now = ManifestTable.listLines(dir, v)
-          .map(ManifestTable.parseEntry(_).name)
-        val inserts = now.filterNot(prev)
-          .map(n => ChangesFilePartition(
-            ManifestTable.dataPath(dir, n), "insert", v): InputPartition)
-        val deletes = (prev -- now.toSet).toSeq.sorted
-          .map(n => ChangesFilePartition(
-            ManifestTable.dataPath(dir, n), "delete", v): InputPartition)
-        inserts ++ deletes
-      }
-    }.toArray
+    (math.max(0, from + 1) to to)
+      .flatMap(v => ChangesDiff.forVersion(dir, v): Seq[InputPartition])
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

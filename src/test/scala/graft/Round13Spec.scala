@@ -225,6 +225,100 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("filtered INSERT OVERWRITE composes with deletion vectors") {
+    val root = freshDir("fow")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13fo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13fo.root", root)
+    spark.sql("""CREATE TABLE g13fo.default.t (k BIGINT, yr INT, v DOUBLE)
+      PARTITIONED BY (yr) TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g13fo.default.t
+      SELECT id AS k, CASE WHEN id < 100 THEN 1997 ELSE 1998 END AS yr,
+             CAST(id AS DOUBLE) AS v
+      FROM range(0, 200)""")
+    // doom keys in BOTH partitions: 10-12 (1997), 150-151 (1998)
+    spark.sql("DELETE FROM g13fo.default.t WHERE k IN (10, 11, 12, 150, 151)")
+    val dvV = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvEntries(dir, dvV).nonEmpty,
+      "the keyed DELETE must publish a #dv marker")
+    // pre-r13 this refused ('compact first'); now: hit files rewrite
+    // their DV-MERGED survivors, untouched files carry markers with
+    // rewritten targets struck
+    spark.sql("""INSERT OVERWRITE g13fo.default.t PARTITION (yr = 1997)
+      SELECT id AS k, -1.0 AS v FROM range(0, 50)""")
+    val vAfter = ManifestTable.currentVersion(dir)
+    val liveNames = ManifestTable.listLines(dir, vAfter)
+      .map(ManifestTable.parseEntry(_).name).toSet
+    val after = ManifestTable.dvEntries(dir, vAfter)
+    assert(after.forall(_.targets.subsetOf(liveNames)),
+      "carried dv markers must only target live files")
+    assert(after.flatMap(_.targets).nonEmpty,
+      "the 1998 files keep their marker — the doomed 1998 keys are " +
+        "still served by merge-on-read, not materialized")
+    val got = spark.sql("SELECT k, yr, v FROM g13fo.default.t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val want =
+      (0L until 50L).map(k => (k, 1997, -1.0)).toSet ++          // reload
+      (100L until 200L).filterNot(k => k == 150L || k == 151L)
+        .map(k => (k, 1998, k.toDouble)).toSet                    // bystanders
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    ManifestTable.destroy(root)
+  }
+
+  test("the change feed crosses MOR deletes, batch and streaming") {
+    val root = freshDir("cfm")
+    spark.conf.set("spark.sql.catalog.g13cf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13cf.root", root)
+    spark.sql("""CREATE TABLE g13cf.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")                    // v0
+    spark.sql("""INSERT INTO g13cf.default.t
+      SELECT id AS k, 1.0 AS v FROM range(0, 10)""")               // v1
+    spark.sql("DELETE FROM g13cf.default.t WHERE k IN (3, 4)")     // v2: #dv
+    spark.sql("""INSERT INTO g13cf.default.t
+      SELECT id AS k, 2.0 AS v FROM range(10, 15)""")              // v3
+    spark.sql("""INSERT OVERWRITE g13cf.default.t
+      SELECT id AS k, 3.0 AS v FROM range(20, 22)""")              // v4
+    // expected row-level feed:
+    //   v2 'delete' = exactly the newly-doomed live rows (3, 4)
+    //   v4 'delete' = the rows LIVE at v3 — prior deletion vectors
+    //                 applied, so 3 and 4 must NOT re-emit
+    val want =
+      (0L until 10L).map(k => ("insert", 1, k)).toSet ++
+      Set(("delete", 2, 3L), ("delete", 2, 4L)) ++
+      (10L until 15L).map(k => ("insert", 3, k)).toSet ++
+      ((0L until 10L).toSet -- Set(3L, 4L) ++ (10L until 15L))
+        .map(k => ("delete", 4, k)).toSet ++
+      Set(("insert", 4, 20L), ("insert", 4, 21L))
+    val got = spark.sql(
+      "SELECT _change_type, _commit_version, k FROM g13cf.default.`t$changes`")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"batch feed: missing=${(want -- got).take(8)} " +
+        s"extra=${(got -- want).take(8)}")
+    // the STREAMING feed crosses the same history (pre-r13: refused)
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, Int, Long)]()
+    val q = spark.readStream.table("g13cf.default.`t$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("_change_type", "_commit_version", "k").collect()
+          .foreach(r => seen.add((r.getString(0), r.getInt(1), r.getLong(2))))
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == want,
+      s"streaming feed: missing=${(want -- seen.asScala).take(8)} " +
+        s"extra=${(seen.asScala.toSet -- want).take(8)}")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
