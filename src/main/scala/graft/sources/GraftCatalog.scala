@@ -3473,24 +3473,36 @@ private[sources] case class ChangesFilePartition(file: String,
     dvOnly: Seq[(String, String)] = Nil) extends InputPartition
 
 /** One commit's row-level diff vs its predecessor, shared by the batch
-  * `t$changes` scan and the streaming feed: file adds (inserts), file
-  * removes (deletes of the rows LIVE at the predecessor — prior deletion
-  * vectors applied), and NEW deletion-vector markers (deletes of exactly
-  * the newly-doomed live rows of each still-present target file). A
-  * marker is identified by its immutable (key-file, column) pair; a
-  * marker whose target set merely shrank (a DML rewrite struck the
-  * rewritten file) contributes nothing — the removed file's diff already
-  * covers those rows. Cost ∝ changed files + targeted files, never table
-  * size. */
+  * `t$changes` scan and the streaming feed. A file's contribution is
+  * exactly live(v) Δ live(v−1), where live = physical rows minus rows
+  * doomed by the version's deletion-vector markers:
+  *
+  *  - file ADDED: its live-at-v rows emit as inserts (a `restore` can
+  *    re-add a file together with a marker targeting it — those
+  *    dead-on-arrival rows were never live and must not emit);
+  *  - file REMOVED: its live-at-v−1 rows emit as deletes;
+  *  - file in BOTH: a marker present at v but not v−1 dooms live rows →
+  *    deletes; a marker present at v−1 but not v (restore to a
+  *    pre-delete snapshot) resurrects rows → inserts, suppressing any
+  *    still doomed at v.
+  *
+  * A marker is identified by its immutable (key-file, column) pair; its
+  * target set only ever shrinks, and only when the struck file leaves
+  * the list — so for a file present at both versions, a marker present
+  * at both dooms identical rows and contributes nothing. Cost ∝ changed
+  * files + targeted files, never table size. */
 private[sources] object ChangesDiff {
   def forVersion(dir: String, v: Int): Seq[ChangesFilePartition] = {
     if (v > 0 && ManifestTable.isRewrite(dir, v)) return Seq.empty
     val prevDvs =
       if (v == 0) Seq.empty else ManifestTable.dvEntries(dir, v - 1)
-    val newAt = ManifestTable.dvEntries(dir, v)
-      .filterNot(d => prevDvs.exists(p => p.file == d.file && p.col == d.col))
-    def dropsOn(n: String): Seq[(String, String)] =
-      prevDvs.filter(_.targets.contains(n))
+    val nowDvs = ManifestTable.dvEntries(dir, v)
+    def key(d: ManifestTable.DvEntry): (String, String) = (d.file, d.col)
+    val newAt = nowDvs.filterNot(d => prevDvs.exists(p => key(p) == key(d)))
+    val goneAt = prevDvs.filterNot(d => nowDvs.exists(p => key(p) == key(d)))
+    def markersOn(dvs: Seq[ManifestTable.DvEntry], n: String)
+        : Seq[(String, String)] =
+      dvs.filter(_.targets.contains(n))
         .map(d => (ManifestTable.dataPath(dir, d.file), d.col))
     val prev: Set[String] =
       if (v == 0) Set.empty
@@ -3501,22 +3513,36 @@ private[sources] object ChangesDiff {
     val nowSet = now.toSet
     val inserts = now.filterNot(prev)
       .map(n => ChangesFilePartition(
-        ManifestTable.dataPath(dir, n), "insert", v))
+        ManifestTable.dataPath(dir, n), "insert", v,
+        dvDrop = markersOn(nowDvs, n)))
     val deletes = (prev -- nowSet).toSeq.sorted
       .map(n => ChangesFilePartition(
-        ManifestTable.dataPath(dir, n), "delete", v, dvDrop = dropsOn(n)))
-    // one partition per newly-targeted file, all its new markers folded
-    // into one emit-if-doomed-by-ANY predicate — a row doomed twice in
-    // one commit (impossible today, cheap to be exact about) emits once
+        ManifestTable.dataPath(dir, n), "delete", v,
+        dvDrop = markersOn(prevDvs, n)))
+    // one partition per newly-targeted file present at BOTH versions
+    // (a file also added at v already suppressed these rows in its
+    // insert), all its new markers folded into one emit-if-doomed-by-ANY
+    // predicate — a row doomed twice in one commit emits once
     val dvDeletes = newAt.flatMap(m => m.targets.toSeq.map(t => t -> m))
       .groupBy(_._1).toSeq.collect {
-        case (n, ms) if nowSet.contains(n) =>
+        case (n, ms) if nowSet.contains(n) && prev.contains(n) =>
           ChangesFilePartition(ManifestTable.dataPath(dir, n), "delete", v,
-            dvDrop = dropsOn(n),
+            dvDrop = markersOn(prevDvs, n),
             dvOnly = ms.map(_._2).map(m =>
               (ManifestTable.dataPath(dir, m.file), m.col)))
       }.sortBy(_.file)
-    inserts ++ deletes ++ dvDeletes
+    // marker removed while its target stays (restore to a pre-delete
+    // snapshot): the rows it doomed are live again → inserts, minus any
+    // row a marker still present at v keeps doomed
+    val dvResurrects = goneAt.flatMap(m => m.targets.toSeq.map(t => t -> m))
+      .groupBy(_._1).toSeq.collect {
+        case (n, ms) if nowSet.contains(n) && prev.contains(n) =>
+          ChangesFilePartition(ManifestTable.dataPath(dir, n), "insert", v,
+            dvDrop = markersOn(nowDvs, n),
+            dvOnly = ms.map(_._2).map(m =>
+              (ManifestTable.dataPath(dir, m.file), m.col)))
+      }.sortBy(_.file)
+    inserts ++ deletes ++ dvDeletes ++ dvResurrects
   }
 }
 

@@ -319,6 +319,55 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("the change feed stays row-consistent across restore on DV tables") {
+    val root = freshDir("cfr")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13cr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13cr.root", root)
+    spark.sql("""CREATE TABLE g13cr.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")                    // v0
+    spark.sql("""INSERT INTO g13cr.default.t
+      SELECT id AS k, 1.0 AS v FROM range(0, 10)""")               // v1
+    spark.sql("DELETE FROM g13cr.default.t WHERE k IN (3, 4)")     // v2: #dv
+    ManifestTable.restore(dir, 1)                                  // v3
+    spark.sql("DELETE FROM g13cr.default.t WHERE k IN (5)")        // v4: #dv
+    spark.sql("""INSERT OVERWRITE g13cr.default.t
+      SELECT id AS k, 3.0 AS v FROM range(20, 22)""")              // v5
+    ManifestTable.restore(dir, 4)                                  // v6
+    val want =
+      (0L until 10L).map(k => ("insert", 1, k)).toSet ++
+      Set(("delete", 2, 3L), ("delete", 2, 4L)) ++
+      // v3 restore(1): markers gone, files unchanged → 3 and 4 RESURRECT
+      Set(("insert", 3, 3L), ("insert", 3, 4L)) ++
+      Set(("delete", 4, 5L)) ++
+      // v5 overwrite: deletes the rows live at v4, inserts the reload
+      ((0L until 10L).toSet - 5L).map(k => ("delete", 5, k)).toSet ++
+      Set(("insert", 5, 20L), ("insert", 5, 21L)) ++
+      // v6 restore(4): re-adds the original file WITH its marker — k=5
+      // is dead on arrival (no insert, and NO spurious delete), the rest
+      // come back; the overwrite's rows leave
+      Set(("delete", 6, 20L), ("delete", 6, 21L)) ++
+      ((0L until 10L).toSet - 5L).map(k => ("insert", 6, k)).toSet
+    val got = spark.sql(
+      "SELECT _change_type, _commit_version, k FROM g13cr.default.`t$changes`")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).toSeq.sorted.take(10)} " +
+        s"extra=${(got -- want).toSeq.sorted.take(10)}")
+    // the running sum of the feed reconstructs the final live set exactly
+    val live = got.toSeq.groupBy(_._3).collect {
+      case (k, evs) if evs.count(_._1 == "insert") >
+        evs.count(_._1 == "delete") => k
+    }.toSet
+    val table = spark.sql("SELECT k FROM g13cr.default.t")
+      .collect().map(_.getLong(0)).toSet
+    assert(live == table,
+      s"feed-reconstructed live set must equal the table: " +
+        s"feedOnly=${(live -- table).take(5)} tableOnly=${(table -- live).take(5)}")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
