@@ -11,7 +11,7 @@ object Explain {
   /** Queries whose construction EXECUTES work (streams, eager checkpoints,
     * sink round-trips, iterative fixpoints) — explaining them runs the job,
     * so the ALL sweep skips them; their plans are audited via their specs. */
-  private[graft] val eager = Set("q_changes_mor",
+  private[graft] val eager = Set("q_changes_mor", "q_rewrite_dvs",
     "q_decontaminate", "q_dedup_clusters",
     "q_dedup_clusters_star", "q_doc_knn",
     "q_orc_roundtrip", "q_csv_roundtrip", "q_jsonl_roundtrip",

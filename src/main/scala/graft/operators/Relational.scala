@@ -550,6 +550,41 @@ object Relational {
         min(o_orderkey) AS mn
         FROM graft_mr.default.ord""")
     }),
+    // DELETION-VECTOR MAINTENANCE (round 13): a hot MOR table accumulates
+    // one #dv marker per DELETE, and every scan of a targeted file checks
+    // one key set per historical delete. `CALL system.rewrite_dvs`
+    // consolidates — each file ends up referenced by at most one marker
+    // per key column (union key parquets staged; data files untouched, so
+    // cost ∝ deleted keys) — and the scan must answer IDENTICALLY before
+    // and after. Grouping is by exact marker signature: keys re-inserted
+    // after their delete stay live.
+    "q_rewrite_dvs" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_rdv_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_rd",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rd.root", root)
+      s.sql("""CREATE TABLE graft_rd.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('delete.mode' = 'mor')""")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r13_rdv_src")
+      s.sql("INSERT INTO graft_rd.default.ord SELECT * FROM r13_rdv_src")
+      // three MOR deletes = three markers over overlapping file sets
+      s.sql("""DELETE FROM graft_rd.default.ord
+        WHERE o_orderkey IN (1, 2, 3, 32, 33)""")
+      s.sql("""DELETE FROM graft_rd.default.ord
+        WHERE o_orderkey IN (4, 5, 64, 65)""")
+      s.sql("""DELETE FROM graft_rd.default.ord
+        WHERE o_orderkey IN (6, 7, 96, 97)""")
+      s.sql("CALL graft_rd.system.rewrite_dvs(table => 'ord')")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(o_orderkey) AS mn
+        FROM graft_rd.default.ord""")
+    }),
     // Governance policies IN the table metadata: a row filter (drop
     // 'error' events) and column masks (user_id generalized to a 100-way
     // cohort — the k-anonymity move; value coarsened to whole units)
@@ -2523,6 +2558,14 @@ object Relational {
         |FROM orders WHERE o_orderkey NOT IN
         |  (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
         |   67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""".stripMargin,
+    // consolidation must never change the answer: exactly the three
+    // deletes' keys are gone, nothing else
+    "q_rewrite_dvs" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(o_orderkey) AS mn
+        |FROM orders WHERE o_orderkey NOT IN
+        |  (1, 2, 3, 32, 33, 4, 5, 64, 65, 6, 7, 96, 97)""".stripMargin,
     // the delete must remove exactly the doomed keys, nothing else
     "q_manifest_delete" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -638,7 +638,7 @@ private[sources] object GraftProcedures {
 
   val names: Array[String] =
     Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire",
-      "branch", "fastforward", "drop_branch")
+      "branch", "fastforward", "drop_branch", "rewrite_dvs")
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, root)) else None
@@ -679,11 +679,13 @@ private[sources] object GraftProcedures {
       case "fastforward" => "publish a branch: fast-forward main to the " +
         "branch head (refuses if main advanced past the fork point)"
       case "drop_branch" => "abandon a branch and its local files"
+      case "rewrite_dvs" => "consolidate accumulated deletion-vector " +
+        "markers (one key set per file per column) without rewriting data"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = procName match {
-      case "rebucket" => Array(
+      case "rebucket" | "rewrite_dvs" => Array(
         ProcedureParameter.in("table", StringType).build())
       case "optimize" => Array(
         ProcedureParameter.in("table", StringType).build(),
@@ -719,6 +721,7 @@ private[sources] object GraftProcedures {
       val s = org.apache.spark.sql.SparkSession.active
       val v = procName match {
         case "rebucket" => ManifestTable.rebucket(s, dir)
+        case "rewrite_dvs" => ManifestTable.consolidateDvs(s, dir)
         case "optimize" =>
           val prev = ManifestTable.currentVersion(dir)
           val entries = ManifestTable.listLines(dir, prev)

@@ -1617,6 +1617,56 @@ object ManifestTable {
     throw new IllegalStateException(s"MOR delete lost $maxRetries races in $dir")
   }
 
+  /** DV MAINTENANCE — consolidate accumulated `#dv` markers without
+    * touching any data file: afterwards every target file is referenced
+    * by at most ONE marker per key column, so a scan of a hot MOR table
+    * checks one sorted key array per file instead of one per historical
+    * DELETE. Target files are grouped by (key column, EXACT set of
+    * markers targeting them) and each multi-marker group gets one staged
+    * union key parquet — merging across different signatures would doom
+    * keys in files a marker never targeted (a row re-inserted AFTER a
+    * delete must stay live even though its key is doomed in older
+    * files). Publishes as a `#rewrite` commit: live rows are unchanged,
+    * so incremental consumers skip it, exactly like compaction. Cost ∝
+    * deleted keys, never table size. Returns the new version (the
+    * current one when no file is multi-targeted). */
+  def consolidateDvs(s: SparkSession, dir: String, maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to consolidate in $dir")
+      val dvs = dvEntries(dir, v)
+      val groups: Seq[(String, Seq[String], Seq[String])] =
+        dvs.flatMap(m => m.targets.toSeq.map(t => (m.col, t, m.file)))
+          .groupBy { case (c, t, _) => (c, t) }
+          .toSeq
+          .map { case ((c, t), ms) => (c, t, ms.map(_._3).sorted) }
+          .groupBy { case (c, _, fs) => (c, fs) }
+          .map { case ((c, fs), ts) => (c, fs, ts.map(_._2).sorted) }
+          .toSeq
+      if (groups.forall(_._2.size <= 1)) return v
+      val newLines = groups.sortBy(g => (g._1, g._2.mkString(",")))
+          .map { case (c, keyFiles, targets) =>
+        if (keyFiles.size == 1) // already minimal for these targets: the
+          // original key file carries, restricted to exactly this group
+          encodeDv(DvEntry(keyFiles.head, c, targets.toSet))
+        else {
+          val union = s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
+            .select(org.apache.spark.sql.functions.col(c))
+            .distinct().coalesce(1)
+          val staged = stage(s, dir, union)
+          require(staged.size == 1)
+          encodeDv(DvEntry(staged.head, c, targets.toSet))
+        }
+      }
+      val body = listLines(dir, v) ++ newLines ++ carriedMeta(dir, v)
+      if (commitRewrite(dir, body, v)) return v + 1
+      attempt += 1 // lost the race; staged unions stay harmless orphans
+    }
+    throw new IllegalStateException(
+      s"consolidateDvs lost $maxRetries commit races in $dir")
+  }
+
   // ---------------------------------------------------------------------
   // Schema evolution: RENAME COLUMN as carried metadata (the column-
   // mapping idea Delta/Iceberg use, reduced to name→name lines). Data
@@ -2513,16 +2563,23 @@ object ManifestTable {
       require(ids.isEmpty && bks.size == 1,
         s"rebucket($dir): exactly one bucket transform required, got $spec")
       val (n, colName) = bks.head
-      require(dvLines(dir, v).isEmpty && renameLines(dir, v).isEmpty,
-        s"rebucket($dir) refused: deletion-vector/rename markers present " +
-          "— compact first")
+      require(renameLines(dir, v).isEmpty,
+        s"rebucket($dir) refused: rename markers present — compact first")
       val lines = listLines(dir, v)
       if (lines.isEmpty) return v
       val entries = lines.map(parseEntry)
       val statsCols = entries
         .flatMap(e => e.ranges.keys ++ e.strRanges.keys).distinct
-      val df = s.read.option("mergeSchema", "true")
-        .parquet(entries.map(e => dataPath(dir, e.name)): _*)
+      // a full rewrite MATERIALIZES deletion vectors (exactly like
+      // optimize): the DV-merged read drops doomed rows, the new files
+      // hold only live rows, and no marker carries — a MOR fact table
+      // re-arms its storage-partitioned joins in ONE pass instead of
+      // compact-then-rebucket
+      val df =
+        if (dvLines(dir, v).nonEmpty)
+          readWithDvs(s, dir, v, entries.map(_.name))
+        else s.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => dataPath(dir, e.name)): _*)
       val clustered = df.repartition(n, c(colName))
       val sortCols = tableProperties(dir, v).get("graft.write.sort").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)

@@ -368,6 +368,91 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("rewrite_dvs consolidates markers; signatures keep re-inserts live") {
+    val root = freshDir("cdv")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13cd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13cd.root", root)
+    spark.sql("""CREATE TABLE g13cd.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g13cd.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, 1.0 AS v
+      FROM range(0, 10)""")                                 // file A: 0-9
+    spark.sql("""INSERT INTO g13cd.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, 1.0 AS v
+      FROM range(10, 20)""")                                // file C: 10-19
+    spark.sql("DELETE FROM g13cd.default.t WHERE k IN (3, 12)") // m1 → A,C
+    spark.sql("DELETE FROM g13cd.default.t WHERE k IN (5)")     // m2 → A
+    // k=3 RE-INSERTED after its delete: file B's row must survive the
+    // consolidation (a naive all-markers union targeting all files would
+    // doom it)
+    spark.sql("INSERT INTO g13cd.default.t VALUES (CAST(3 AS BIGINT), 9.0)")
+    spark.sql("DELETE FROM g13cd.default.t WHERE k IN (7)")     // m3 → A
+    val vBefore = ManifestTable.currentVersion(dir)
+    val before = ManifestTable.dvEntries(dir, vBefore)
+    assert(before.size == 3, s"fixture: 3 markers, got ${before.size}")
+    val expect = ((0L until 20L).toSet -- Set(3L, 5L, 7L, 12L)) + 3L
+    def liveKeys(): Set[Long] = spark.sql("SELECT k FROM g13cd.default.t")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveKeys() == expect)
+    val newV = spark.sql("CALL g13cd.system.rewrite_dvs(table => 't')")
+      .collect().head.getInt(0)
+    assert(newV == vBefore + 1, "consolidation = one rewrite commit")
+    val after = ManifestTable.dvEntries(dir, newV)
+    // every file now referenced by at most one marker (per column)
+    val perFile = after.flatMap(m => m.targets.toSeq.map(t => (t, m.col)))
+      .groupBy(identity).values.map(_.size)
+    assert(perFile.forall(_ == 1),
+      s"a file must be referenced by at most one marker per column: $after")
+    assert(after.size < before.size,
+      s"consolidation must shrink the marker count: ${before.size} → " +
+        s"${after.size}")
+    // answers unchanged — including the re-inserted k=3 staying live
+    assert(liveKeys() == expect, "consolidation must never change answers")
+    // time travel to the pre-consolidation version still merges the OLD
+    // markers (their key files are vacuum-protected while retained)
+    assert(ManifestTable.readVersion(spark, dir, vBefore)
+      .select("k").collect().map(_.getLong(0)).toSet == expect)
+    // idempotent: a second call is a no-op
+    assert(spark.sql("CALL g13cd.system.rewrite_dvs(table => 't')")
+      .collect().head.getInt(0) == newV)
+    // the change feed SKIPS the rewrite commit (live rows unchanged)
+    val feedVs = spark.sql(
+      "SELECT DISTINCT _commit_version FROM g13cd.default.`t$changes`")
+      .collect().map(_.getInt(0)).toSet
+    assert(!feedVs.contains(newV),
+      s"the feed must skip the consolidation rewrite: $feedVs")
+    ManifestTable.destroy(root)
+  }
+
+  test("rebucket materializes deletion vectors in its single rewrite pass") {
+    val root = freshDir("rbd")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13rb",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13rb.root", root)
+    spark.sql("""CREATE TABLE g13rb.default.t (k BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(4, k))
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g13rb.default.t
+      SELECT id AS k, 1.0 AS v FROM range(0, 100)""")
+    spark.sql("DELETE FROM g13rb.default.t WHERE k IN (11, 22, 33)")
+    assert(ManifestTable.dvEntries(dir,
+      ManifestTable.currentVersion(dir)).nonEmpty)
+    // pre-r13: refused ('compact first' + rebucket = TWO full rewrites)
+    spark.sql("CALL g13rb.system.rebucket(table => 't')")
+    val v = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvEntries(dir, v).isEmpty,
+      "rebucket must materialize the deletes — no marker survives")
+    val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
+    assert(entries.forall(_.bucket.isDefined),
+      "every rebucketed file must carry its bucket stamp")
+    assert(spark.sql("SELECT k FROM g13rb.default.t").collect()
+      .map(_.getLong(0)).toSet == (0L until 100L).toSet -- Set(11L, 22L, 33L))
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
