@@ -550,6 +550,32 @@ object Relational {
         min(o_orderkey) AS mn
         FROM graft_mr.default.ord""")
     }),
+    // STRING-KEYED merge-on-read delete (round 13) — the GDPR shape:
+    // `DELETE WHERE source IN (…)` on a string column publishes one
+    // BINARY doomed-key parquet + a #dv marker (candidate files pruned on
+    // truncated UTF-8 byte envelopes; nothing rewritten), and the catalog
+    // scan drops doomed rows by binary-searching sorted raw byte arrays —
+    // the right-to-be-forgotten delete on a 100 TB corpus costs one tiny
+    // write, not a table rewrite. Pre-r13 string keys refused outright.
+    "q_gdpr_delete" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_gdpr_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/docs")
+      s.conf.set("spark.sql.catalog.graft_gd",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_gd.root", root)
+      s.sql("""CREATE TABLE graft_gd.default.docs
+        (doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT)
+        TBLPROPERTIES ('delete.mode' = 'mor')""")
+      Tables.documents(s, d)
+        .select("doc_id", "source", "lang", "n_chars")
+        .createOrReplaceTempView("r13_gdpr_src")
+      s.sql("INSERT INTO graft_gd.default.docs SELECT * FROM r13_gdpr_src")
+      s.sql("""DELETE FROM graft_gd.default.docs
+        WHERE source IN ('src3', 'src7', 'src12')""")
+      s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+        min(doc_id) AS mn FROM graft_gd.default.docs GROUP BY lang""")
+    }),
     // DELETION-VECTOR MAINTENANCE (round 13): a hot MOR table accumulates
     // one #dv marker per DELETE, and every scan of a targeted file checks
     // one key set per historical delete. `CALL system.rewrite_dvs`
@@ -2558,6 +2584,12 @@ object Relational {
         |FROM orders WHERE o_orderkey NOT IN
         |  (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
         |   67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""".stripMargin,
+    // the string-keyed MOR delete removes exactly the named sources
+    "q_gdpr_delete" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS mn
+        |FROM documents WHERE source NOT IN ('src3', 'src7', 'src12')
+        |GROUP BY lang""".stripMargin,
     // consolidation must never change the answer: exactly the three
     // deletes' keys are gone, nothing else
     "q_rewrite_dvs" ->

@@ -492,27 +492,32 @@ private[sources] object GraftDeltaWriter {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val mt = ManifestStreamSource.footerSchema(path)
     // dv-doomed key checks against this file's OWN physical encoding —
-    // integral only (the scan builder refused anything else long before
-    // a write was planned); an all-null key cell is never doomed
-    val dvChecks: Seq[(Group => Option[Long], Array[Long])] =
+    // integral or string (the scan builder refused anything else long
+    // before a write was planned); an all-null key cell is never doomed
+    val dvChecks: Seq[Group => Boolean] =
       dvs.map { case (dvPath, col) =>
         val i = (0 until mt.getFieldCount)
           .find(j => mt.getFieldName(j) == col && mt.getType(j).isPrimitive)
           .getOrElse(throw new IllegalStateException(
             s"rewrite of $path: deletion-vector key column '$col' absent"))
-        val get: Group => Option[Long] =
-          mt.getType(i).asPrimitiveType().getPrimitiveTypeName match {
-            case INT64 => g =>
-              if (g.getFieldRepetitionCount(i) == 0) None
-              else Some(g.getLong(i, 0))
-            case INT32 => g =>
-              if (g.getFieldRepetitionCount(i) == 0) None
-              else Some(g.getInteger(i, 0).toLong)
-            case other => throw new IllegalStateException(
-              s"rewrite of $path: deletion-vector key column '$col' has " +
-                s"non-integral physical type $other — compact first")
-          }
-        (get, DvKeyCache.doomed(dvPath, col))
+        mt.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case INT64 =>
+            val ks = DvKeyCache.doomed(dvPath, col)
+            g => g.getFieldRepetitionCount(i) > 0 &&
+              DvKeyCache.contains(ks, g.getLong(i, 0))
+          case INT32 =>
+            val ks = DvKeyCache.doomed(dvPath, col)
+            g => g.getFieldRepetitionCount(i) > 0 &&
+              DvKeyCache.contains(ks, g.getInteger(i, 0).toLong)
+          case BINARY =>
+            val ks = DvKeyCache.doomedBytes(dvPath, col)
+            g => g.getFieldRepetitionCount(i) > 0 &&
+              DvKeyCache.containsBytes(ks, g.getBinary(i, 0).getBytes)
+          case other => throw new IllegalStateException(
+            s"rewrite of $path: deletion-vector key column '$col' has " +
+              s"physical type $other (expected integral or string) — " +
+              "compact first")
+        }
       }
     val name = "d-" + java.util.UUID.randomUUID().toString.take(8) +
       s"-p$partitionId-t$taskId.parquet"
@@ -594,8 +599,7 @@ private[sources] object GraftDeltaWriter {
     try {
       var g = reader.read()
       while (g != null) {
-        if (!doomedBits.get(pos) && !dvChecks.exists { case (get, keys) =>
-            get(g).exists(DvKeyCache.contains(keys, _)) }) {
+        if (!doomedBits.get(pos) && !dvChecks.exists(_(g))) {
           if (writer == null)
             writer = ExampleParquetWriter.builder(new Path(s"$dir/data/$name"))
               .withConf(wconf).build()

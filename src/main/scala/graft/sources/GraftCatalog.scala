@@ -1229,9 +1229,9 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
     filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])
 
   /** The one executable conditional shape: a single IN/= membership
-    * filter on one integral column (plus Spark's implicit IsNotNull on
-    * the same column). */
-  private def parseDelete(filters: Array[Filter]): Option[(String, Seq[Long])] = {
+    * filter on one column (plus Spark's implicit IsNotNull on the same
+    * column). */
+  private def membOf(filters: Array[Filter]): Option[(String, Seq[Any])] = {
     val memb = filters.collect {
       case In(c, vs) => (c, vs.toSeq)
       case EqualTo(c, v) => (c, Seq(v))
@@ -1244,9 +1244,35 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
     val (c, vs) = memb.head
     if (filters.exists { case IsNotNull(cc) => cc != c; case _ => false })
       return None
-    val keys = vs.map(longOf)
-    if (vs.nonEmpty && keys.forall(_.isDefined)) Some((c, keys.flatten))
-    else None
+    if (vs.nonEmpty) Some((c, vs)) else None
+  }
+
+  private def parseDelete(filters: Array[Filter]): Option[(String, Seq[Long])] =
+    membOf(filters).flatMap { case (c, vs) =>
+      val keys = vs.map(longOf)
+      if (keys.forall(_.isDefined)) Some((c, keys.flatten)) else None
+    }
+
+  /** STRING-keyed membership (round 13) — the GDPR shape, `DELETE WHERE
+    * user_id IN ('…')`. Executable only in merge-on-read mode, where the
+    * delete is one doomed-key parquet + a #dv marker; copy-on-write
+    * string deletes decline here and run through the row-level delta
+    * path instead. */
+  private def parseDeleteStr(filters: Array[Filter])
+      : Option[(String, Seq[String])] =
+    membOf(filters).flatMap { case (c, vs) =>
+      val keys = vs.map {
+        case s: String => Some(s)
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case _ => None
+      }
+      if (keys.forall(_.isDefined)) Some((c, keys.flatten)) else None
+    }
+
+  private def morMode: Boolean = {
+    val v = ManifestTable.currentVersion(dir)
+    v >= 0 && ManifestTable.tableProperties(dir, v)
+      .get("delete.mode").contains("mor")
   }
 
   /** Governed tables refuse ALL SQL DML, on BOTH paths: a row-filter
@@ -1264,7 +1290,8 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pinned.isEmpty && !governed &&
-      (isTruncate(filters) || parseDelete(filters).isDefined)
+      (isTruncate(filters) || parseDelete(filters).isDefined ||
+        (parseDeleteStr(filters).isDefined && morMode))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinned.isEmpty, "cannot DELETE from a time-travel snapshot")
@@ -1281,16 +1308,18 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
         attempt += 1
       }
       throw new IllegalStateException(s"DELETE lost 10 commit races in $dir")
-    } else {
-      val (col, keys) = parseDelete(filters).getOrElse(
-        throw new UnsupportedOperationException(
-          "DELETE supports `col IN (…)` / `col = k` on one integral key " +
-            "column, or no WHERE clause; use the ManifestTable API for more"))
-      val v = ManifestTable.currentVersion(dir)
-      val mor = ManifestTable.tableProperties(dir, v)
-        .get("delete.mode").contains("mor")
-      if (mor) ManifestTable.deleteKeysMOR(s, dir, col, keys)
-      else ManifestTable.deleteKeys(s, dir, col, keys)
+    } else parseDelete(filters) match {
+      case Some((col, keys)) =>
+        if (morMode) ManifestTable.deleteKeysMOR(s, dir, col, keys)
+        else ManifestTable.deleteKeys(s, dir, col, keys)
+      case None =>
+        val (col, keys) = parseDeleteStr(filters).getOrElse(
+          throw new UnsupportedOperationException(
+            "DELETE supports `col IN (…)` / `col = k` on one integral or " +
+              "string (mor-mode) key column, or no WHERE clause; use the " +
+              "ManifestTable API for more"))
+        require(morMode, "string-keyed DELETE needs delete.mode = mor")
+        ManifestTable.deleteStrKeysMOR(s, dir, col, keys)
     }
   }
 
@@ -1683,18 +1712,18 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // pruning stays sound (stats are supersets of live rows); aggregate/
     // exact-filter/limit pushdowns already decline under DVs.
     val dvs = ManifestTable.dvEntries(dir, v)
-    // the in-flight filter reconstructs keys as longs, so every DV key
-    // column must be integral in the declared schema — anything else
-    // keeps the old compact-first refusal instead of silently serving
-    // deleted rows
+    // the in-flight filter reconstructs keys as sorted longs or raw
+    // UTF-8 byte arrays, so every DV key column must be integral or
+    // string in the declared schema — anything else keeps the old
+    // compact-first refusal instead of silently serving deleted rows
     dvs.map(_.col).distinct.foreach { c =>
       import org.apache.spark.sql.types._
       val ok = full.fields.find(_.name == c).map(_.dataType).exists {
-        case LongType | IntegerType | ShortType | ByteType => true
+        case LongType | IntegerType | ShortType | ByteType | StringType => true
         case _ => false
       }
       require(ok, s"catalog scan of $dir refused: deletion vector keyed " +
-        s"on non-integral column '$c' — compact first")
+        s"on non-integral, non-string column '$c' — compact first")
     }
     val dvByName: Map[String, Seq[(String, String)]] =
       if (dvs.isEmpty) Map.empty
@@ -1875,24 +1904,9 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
       .flatMap(c => dvFields.find(_.name == c))
     val decodeSchema2 = StructType(readSchema.fields ++ extra)
     val base = new ManifestParquetReader(file, decodeSchema2)
-    val dvChecks: Seq[(InternalRow => Option[Long], Array[Long])] =
+    val dvChecks: Seq[InternalRow => Boolean] =
       dvs.map { case (dvPath, c) =>
-        val i = decodeSchema2.fieldIndex(c)
-        val getter: InternalRow => Option[Long] =
-          decodeSchema2(i).dataType match {
-            case org.apache.spark.sql.types.LongType =>
-              r => if (r.isNullAt(i)) None else Some(r.getLong(i))
-            case org.apache.spark.sql.types.IntegerType =>
-              r => if (r.isNullAt(i)) None else Some(r.getInt(i).toLong)
-            case org.apache.spark.sql.types.ShortType =>
-              r => if (r.isNullAt(i)) None else Some(r.getShort(i).toLong)
-            case org.apache.spark.sql.types.ByteType =>
-              r => if (r.isNullAt(i)) None else Some(r.getByte(i).toLong)
-            case other => throw new IllegalStateException(
-              s"deletion vector keyed on non-integral $other column")
-          }
-        (getter, DvKeyCache.doomed(dvPath, c))
-      }
+        DvKeyCache.checkFor(dvPath, decodeSchema2, c) }
     new PartitionReader[InternalRow] {
       private lazy val pred = filter.map(
         org.apache.spark.sql.catalyst.expressions.Predicate.create(_))
@@ -1902,8 +1916,7 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
       override def next(): Boolean = {
         while (base.next()) {
           val r = base.get()
-          if (!dvChecks.exists { case (g, doomed) =>
-              g(r).exists(DvKeyCache.contains(doomed, _)) } &&
+          if (!dvChecks.exists(_(r)) &&
               pred.forall(_.eval(r))) { cur = r; return true }
         }
         false
@@ -2421,6 +2434,91 @@ private[sources] object DvKeyCache {
     * binary search is indifferent). */
   def contains(keys: Array[Long], x: Long): Boolean =
     java.util.Arrays.binarySearch(keys, x) >= 0
+
+  // ---- STRING-keyed deletion vectors (round 13): the GDPR delete is
+  // `DELETE WHERE user_id IN (…)` on a string id — served the same way
+  // as integral keys: sorted raw UTF-8 byte arrays, binary-searched with
+  // the unsigned comparator every other string compare in this engine
+  // uses. Same key-count budget, same entry-capped cache. ----
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      Array[Array[Byte]]]()
+  private val byteCmp: java.util.Comparator[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+
+  /** Sorted doomed UTF-8 keys of `path` decoded from BINARY column
+    * `col`; test membership with [[containsBytes]]. */
+  def doomedBytes(path: String, col: String): Array[Array[Byte]] = {
+    if (bytesCache.size > MaxEntries) bytesCache.clear()
+    bytesCache.computeIfAbsent((path, col), _ => {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val mt = ManifestStreamSource.footerSchema(path)
+      val idx = (0 until mt.getFieldCount)
+        .find(i => mt.getFieldName(i) == col && mt.getType(i).isPrimitive)
+        .getOrElse(throw new IllegalStateException(
+          s"deletion-vector file $path has no primitive column '$col'"))
+      require(mt.getType(idx).asPrimitiveType().getPrimitiveTypeName == BINARY,
+        s"deletion-vector file $path keys column '$col' as " +
+          s"${mt.getType(idx).asPrimitiveType().getPrimitiveTypeName} — " +
+          "expected BINARY for a string key")
+      val r = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+        .withConf(new org.apache.hadoop.conf.Configuration()).build()
+      val budget = maxKeys
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount(idx) > 0) {
+            if (buf.length >= budget) throw new IllegalStateException(
+              s"deletion-vector file $path holds more than $budget keys " +
+                "(graft.dv.maxKeys) — executor heap would be unbounded; " +
+                "compact the table to materialize its deletes")
+            buf += g.getBinary(idx, 0).getBytes
+          }
+          g = r.read()
+        }
+      } finally r.close()
+      val out = buf.toArray
+      java.util.Arrays.sort(out, byteCmp)
+      out
+    })
+  }
+
+  def containsBytes(keys: Array[Array[Byte]], x: Array[Byte]): Boolean =
+    java.util.Arrays.binarySearch(keys, x, byteCmp) >= 0
+
+  /** A compiled doomed-row test for key column `col` at its ordinal in
+    * `schema`, backed by the cached key set of `path` — the one dispatch
+    * point every DV-merging reader (catalog scan, delta rewrite scan,
+    * change feed, governed scan) shares. An all-null key cell is never
+    * doomed. */
+  def checkFor(path: String, schema: org.apache.spark.sql.types.StructType,
+      col: String): org.apache.spark.sql.catalyst.InternalRow => Boolean = {
+    import org.apache.spark.sql.types._
+    val i = schema.fieldIndex(col)
+    schema(i).dataType match {
+      case LongType =>
+        val ks = doomed(path, col)
+        r => !r.isNullAt(i) && contains(ks, r.getLong(i))
+      case IntegerType =>
+        val ks = doomed(path, col)
+        r => !r.isNullAt(i) && contains(ks, r.getInt(i).toLong)
+      case ShortType =>
+        val ks = doomed(path, col)
+        r => !r.isNullAt(i) && contains(ks, r.getShort(i).toLong)
+      case ByteType =>
+        val ks = doomed(path, col)
+        r => !r.isNullAt(i) && contains(ks, r.getByte(i).toLong)
+      case StringType =>
+        val ks = doomedBytes(path, col)
+        r => !r.isNullAt(i) && containsBytes(ks, r.getUTF8String(i).getBytes)
+      case other => throw new IllegalStateException(
+        s"deletion vector keyed on unsupported $other column")
+    }
+  }
 }
 
 /** Reader factory for the catalog scan: per-file partitions read with the
@@ -2442,32 +2540,14 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
       .flatMap(c => dvFields.find(_.name == c))
     val readSchema2 = StructType(required.fields ++ extra)
     val inner = new ManifestParquetReader(f, readSchema2)
-    val checks: Seq[(InternalRow => Option[Long], Array[Long])] =
-      dvs.map { case (dvPath, c) =>
-        val i = readSchema2.fieldIndex(c)
-        val getter: InternalRow => Option[Long] =
-          readSchema2(i).dataType match {
-            case org.apache.spark.sql.types.LongType =>
-              r => if (r.isNullAt(i)) None else Some(r.getLong(i))
-            case org.apache.spark.sql.types.IntegerType =>
-              r => if (r.isNullAt(i)) None else Some(r.getInt(i).toLong)
-            case org.apache.spark.sql.types.ShortType =>
-              r => if (r.isNullAt(i)) None else Some(r.getShort(i).toLong)
-            case org.apache.spark.sql.types.ByteType =>
-              r => if (r.isNullAt(i)) None else Some(r.getByte(i).toLong)
-            // unreachable: the builder refuses non-integral DV key columns
-            case other => throw new IllegalStateException(
-              s"deletion vector keyed on non-integral $other column")
-          }
-        (getter, DvKeyCache.doomed(dvPath, c))
-      }
+    val checks: Seq[InternalRow => Boolean] =
+      dvs.map { case (dvPath, c) => DvKeyCache.checkFor(dvPath, readSchema2, c) }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = {
         while (inner.next()) {
           val r = inner.get()
-          if (!checks.exists { case (g, doomed) =>
-              g(r).exists(DvKeyCache.contains(doomed, _)) }) {
+          if (!checks.exists(_(r))) {
             cur = r
             return true
           }
@@ -3585,30 +3665,18 @@ private[sources] class ChangesReaderFactory(required: StructType)
       footer.getType(i).asPrimitiveType().getPrimitiveTypeName match {
         case INT64 => StructField(c, LongType)
         case INT32 => StructField(c, IntegerType)
+        case BINARY => StructField(c, StringType)
         case other => throw new IllegalStateException(
-          s"$$changes: deletion-vector key column '$c' has non-integral " +
-            s"physical type $other in ${p.file} — compact first")
+          s"$$changes: deletion-vector key column '$c' has physical type " +
+            s"$other in ${p.file} (expected integral or string) — " +
+            "compact first")
       }
     }
     val readSchema2 = StructType(dataReq.fields ++ extra)
-    def getterOf(c: String): InternalRow => Option[Long] = {
-      val i = readSchema2.fieldIndex(c)
-      readSchema2(i).dataType match {
-        case LongType => r => if (r.isNullAt(i)) None else Some(r.getLong(i))
-        case IntegerType =>
-          r => if (r.isNullAt(i)) None else Some(r.getInt(i).toLong)
-        case ShortType =>
-          r => if (r.isNullAt(i)) None else Some(r.getShort(i).toLong)
-        case ByteType =>
-          r => if (r.isNullAt(i)) None else Some(r.getByte(i).toLong)
-        case other => throw new IllegalStateException(
-          s"deletion vector keyed on non-integral $other column")
-      }
-    }
     val drops = p.dvDrop.map { case (path, c) =>
-      (getterOf(c), DvKeyCache.doomed(path, c)) }
+      DvKeyCache.checkFor(path, readSchema2, c) }
     val onlys = p.dvOnly.map { case (path, c) =>
-      (getterOf(c), DvKeyCache.doomed(path, c)) }
+      DvKeyCache.checkFor(path, readSchema2, c) }
     val rawInner = new ManifestParquetReader(p.file, readSchema2)
     val inner: PartitionReader[InternalRow] =
       if (drops.isEmpty && onlys.isEmpty) rawInner
@@ -3617,10 +3685,8 @@ private[sources] class ChangesReaderFactory(required: StructType)
         override def next(): Boolean = {
           while (rawInner.next()) {
             val r = rawInner.get()
-            val doomedBefore = drops.exists { case (g, ks) =>
-              g(r).exists(DvKeyCache.contains(ks, _)) }
-            val hitNow = onlys.isEmpty || onlys.exists { case (g, ks) =>
-              g(r).exists(DvKeyCache.contains(ks, _)) }
+            val doomedBefore = drops.exists(_(r))
+            val hitNow = onlys.isEmpty || onlys.exists(_(r))
             if (!doomedBefore && hitNow) { cur = r; return true }
           }
           false

@@ -1617,6 +1617,43 @@ object ManifestTable {
     throw new IllegalStateException(s"MOR delete lost $maxRetries races in $dir")
   }
 
+  /** [[deleteKeysMOR]] for a STRING key column — the GDPR delete
+    * (`user_id IN ('…')`): candidate files prune on the truncated UTF-8
+    * byte envelopes string stats record (`strRanges` — a prefix-truncated
+    * lower bound and a last-byte-bumped upper bound, so full-key
+    * containment tests stay sound), the doomed keys stage as one BINARY
+    * parquet, and readers binary-search sorted raw byte arrays exactly
+    * like integral keys. Stats-less files are conservatively targeted. */
+  def deleteStrKeysMOR(s: SparkSession, dir: String, col: String,
+      keys: Seq[String], maxRetries: Int = 10): Int = {
+    import s.implicits._
+    val keyBytes = keys.map(_.getBytes("UTF-8"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to delete from in $dir")
+      require(renameLines(dir, v).isEmpty,
+        "MOR delete under a pending rename is refused — compact first")
+      val entries = listLines(dir, v).map(parseEntry)
+      val affected = entries.filter { e =>
+        e.strRanges.get(col).forall { case (lo, hi) =>
+          keyBytes.exists(x =>
+            java.util.Arrays.compareUnsigned(lo, x) <= 0 &&
+              java.util.Arrays.compareUnsigned(x, hi) <= 0)
+        }
+      }
+      if (affected.isEmpty) return v // nothing can hold the keys: no-op
+      val dvFile = stage(s, dir, keys.toDF(col).coalesce(1))
+      require(dvFile.size == 1)
+      val dv = encodeDv(DvEntry(dvFile.head, col, affected.map(_.name).toSet))
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++
+        carriedMeta(dir, v) :+ dv
+      if (commitMutate(dir, body, v)) return v + 1
+      attempt += 1 // lost the race; the staged DV stays a harmless orphan
+    }
+    throw new IllegalStateException(s"MOR delete lost $maxRetries races in $dir")
+  }
+
   /** DV MAINTENANCE — consolidate accumulated `#dv` markers without
     * touching any data file: afterwards every target file is referenced
     * by at most ONE marker per key column, so a scan of a hot MOR table

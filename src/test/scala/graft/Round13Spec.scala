@@ -453,6 +453,57 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("string-keyed MOR deletes: scan, DML rewrite, feed, consolidation") {
+    val root = freshDir("sdv")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13sd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13sd.root", root)
+    spark.sql("""CREATE TABLE g13sd.default.t (user_id STRING, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")                    // v0
+    spark.sql("""INSERT INTO g13sd.default.t
+      SELECT /*+ REPARTITION(1) */
+        concat('u', lpad(CAST(id AS STRING), 3, '0')) AS user_id,
+        CAST(id AS DOUBLE) AS v
+      FROM range(0, 100)""")                                       // v1
+    // the GDPR delete: one BINARY key parquet + a #dv marker
+    spark.sql("DELETE FROM g13sd.default.t WHERE user_id IN ('u005', 'u017')")
+    val dvV = ManifestTable.currentVersion(dir)                    // v2
+    assert(ManifestTable.dvEntries(dir, dvV).nonEmpty,
+      "a string-keyed DELETE in mor mode must publish a #dv marker")
+    def ids(): Set[String] = spark.sql("SELECT user_id FROM g13sd.default.t")
+      .collect().map(_.getString(0)).toSet
+    def all(except: Set[Int]): Set[String] =
+      (0 until 100).filterNot(except).map(i => f"u$i%03d").toSet
+    assert(ids() == all(Set(5, 17)), "the scan must drop string-doomed rows")
+    // a projection NOT including the key column still filters (the
+    // reader decodes the BINARY key internally)
+    assert(spark.sql("SELECT count(*) AS n FROM g13sd.default.t")
+      .head().getLong(0) == 98)
+    // the change feed emits exactly the doomed live rows at the dv commit
+    val feed = spark.sql("""SELECT _change_type, _commit_version, user_id
+        FROM g13sd.default.`t$changes` WHERE _commit_version = 2""")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(feed == Set(("delete", "u005"), ("delete", "u017")),
+      s"string-dv feed: $feed")
+    // row-level DML ON the string-DV table: the delta rewrite must drop
+    // string-doomed rows (BINARY decode in the parquet-mr copy)
+    spark.sql("UPDATE g13sd.default.t SET v = -1.0 WHERE user_id = 'u006'")
+    assert(ids() == all(Set(5, 17)), "DML must not resurrect doomed keys")
+    assert(spark.sql(
+      "SELECT v FROM g13sd.default.t WHERE user_id = 'u006'")
+      .head().getDouble(0) == -1.0)
+    // second delete + consolidation: answers unchanged, markers merged
+    spark.sql("DELETE FROM g13sd.default.t WHERE user_id IN ('u023')")
+    val before = ManifestTable.dvEntries(dir, ManifestTable.currentVersion(dir))
+    ManifestTable.consolidateDvs(spark, dir)
+    val after = ManifestTable.dvEntries(dir, ManifestTable.currentVersion(dir))
+    assert(ids() == all(Set(5, 17, 23)),
+      "consolidation must never change answers")
+    assert(after.size <= before.size)
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
