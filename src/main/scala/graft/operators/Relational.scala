@@ -550,6 +550,38 @@ object Relational {
         min(o_orderkey) AS mn
         FROM graft_mr.default.ord""")
     }),
+    // GOVERNED CHANGE FEED (round 13): `t$changes` on a policy-bearing
+    // table serves the GOVERNED view's diff instead of refusing — every
+    // emitted row (insert or delete, any commit in range) passes the END
+    // version's row filter and masks, so an incremental consumer syncs
+    // exactly what a governed SELECT would show it: a row the filter
+    // hides never inserts, so its delete never emits; masked columns
+    // arrive masked in both directions. Composes with merge-on-read —
+    // the MOR delete's emitted rows are governed too.
+    "q_governed_changes" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_gch_" +
+        java.lang.ProcessHandle.current().pid()
+      val tbl = s"$root/ev"
+      graft.sources.ManifestTable.destroy(tbl)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      graft.sources.ManifestTable.merge(s, tbl, ev, Seq("event_id"))  // v0
+      graft.sources.ManifestTable.setPolicy(tbl,                      // v1
+        masks = Map("user_id" -> "pmod(user_id, 100)",
+          "value" -> "round(value, 0)"),
+        rowFilter = Some("event_type <> 'error'"))
+      graft.sources.ManifestTable.deleteKeysMOR(s, tbl, "event_id",   // v2
+        keys = (1L to 40L))
+      s.conf.set("spark.sql.catalog.graft_gc",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_gc.root", root)
+      s.sql("""SELECT _change_type, _commit_version, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        sum(user_id) AS sum_uid
+        FROM graft_gc.default.`ev$changes`
+        GROUP BY _change_type, _commit_version, event_type""")
+    }),
     // STRING-KEYED merge-on-read delete (round 13) — the GDPR shape:
     // `DELETE WHERE source IN (…)` on a string column publishes one
     // BINARY doomed-key parquet + a #dv marker (candidate files pruned on
@@ -2584,6 +2616,23 @@ object Relational {
         |FROM orders WHERE o_orderkey NOT IN
         |  (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
         |   67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""".stripMargin,
+    // the governed feed is the governed view's diff, exactly: v0 inserts
+    // the policy-visible rows masked, v2's MOR delete emits its doomed
+    // policy-visible rows masked, the policy commit itself emits nothing
+    "q_governed_changes" ->
+      """WITH src AS (SELECT event_id, user_id % 100 AS user_id, event_type,
+        |                    round(value, 0) AS value
+        |             FROM events WHERE event_type <> 'error')
+        |SELECT 'insert' AS _change_type, 0 AS _commit_version, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM src GROUP BY event_type
+        |UNION ALL
+        |SELECT 'delete', 2, event_type, count(*),
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |       CAST(sum(user_id) AS BIGINT)
+        |FROM src WHERE event_id BETWEEN 1 AND 40 GROUP BY event_type""".stripMargin,
     // the string-keyed MOR delete removes exactly the named sources
     "q_gdpr_delete" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

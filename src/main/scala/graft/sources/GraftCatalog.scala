@@ -1805,53 +1805,11 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       pols: Seq[Array[String]],
       dvByName: Map[String, Seq[(String, String)]] = Map.empty,
       dvFields: Seq[StructField] = Nil): Scan = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, And,
-      AttributeSeq, BindReferences, BoundReference, Cast, Expression}
-    import org.apache.spark.sql.catalyst.plans.logical.Project
-    val s = org.apache.spark.sql.SparkSession.active
     val filterStrs = pols.collect { case Array(_, "filter", e) => e }.toSeq
-    // masks of columns the query never selected need no evaluation (and
-    // their reference columns need no decoding)
-    val selected = required.fieldNames.toSet
     val maskPairs = pols.collect { case Array(_, "mask", c, e) => (c, e) }
-      .toSeq.filter(p => selected(p._1))
-    // one dummy plan resolves every policy expression against the raw
-    // schema with one consistent set of attribute ids
-    val dummy = s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), full)
-    val allStrs = filterStrs ++ maskPairs.map(_._2)
-    val analyzed = dummy.select(allStrs.zipWithIndex.map { case (e, i) =>
-      org.apache.spark.sql.functions.expr(e).alias(s"__p$i") }: _*)
-      .queryExecution.analyzed
-    val proj = analyzed.collectFirst { case p: Project => p }.getOrElse(
-      throw new IllegalStateException("policy expressions did not analyze " +
-        "to a projection — refuse rather than guess"))
-    val resolved = proj.projectList.map { case a: Alias => a.child }
-    val relOutput = proj.child.output
-    val (resolvedFilters, resolvedMasks) = resolved.splitAt(filterStrs.size)
-    // decode exactly: selected columns + columns any policy reads
-    val requiredNames = required.fieldNames.toSet
-    val refNames = resolved.flatMap(_.references.toSeq.map(_.name)).toSet
-    val readNames = full.fieldNames.filter(n =>
-      requiredNames(n) || refNames(n))
-    val decodeSchema = StructType(readNames.map(n =>
-      full.fields(full.fieldIndex(n))))
-    val readAttrs = relOutput.filter(a => readNames.contains(a.name))
-    val attrSeq = AttributeSeq(readAttrs)
-    val boundFilter = resolvedFilters
-      .map(BindReferences.bindReference(_, attrSeq)).reduceOption(And.apply)
-    val maskOf = maskPairs.map(_._1).zip(resolvedMasks).toMap
-    val outProjs: Seq[Expression] = required.fields.toSeq.map { f =>
-      maskOf.get(f.name) match {
-        case Some(me) =>
-          val bound = BindReferences.bindReference(me, attrSeq)
-          if (bound.dataType == f.dataType) bound
-          else Cast(bound, f.dataType)
-        case None =>
-          val i = readAttrs.indexWhere(_.name == f.name)
-          BoundReference(i, f.dataType, readAttrs(i).nullable)
-      }
-    }
+      .toSeq.filter(p => required.fieldNames.toSet(p._1))
+    val (decodeSchema, boundFilter, outProjs) =
+      GovernedExprs.bind(full, required, pols)
     val parts: Array[InputPartition] = entries.map { e =>
       val f = ManifestTable.dataPath(dir, e.name)
       dvByName.get(e.name) match {
@@ -1874,6 +1832,68 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           s"${maskPairs.size} masks" +
           (if (hasDvs) ", merge-on-read" else "") + ")"
     }
+  }
+}
+
+/** Driver-side policy binding, shared by the governed catalog scan and
+  * the governed change feed: parse + analyze the policy expressions
+  * against the raw data schema (one dummy plan supplies consistently-
+  * bound attribute ids), bind them to the exact column subset the reader
+  * will decode, and return (decode schema, bound row filter, bound
+  * output projections matching `required`) — row filter evaluated BEFORE
+  * masks (a mask must not leak through the filter predicate's view),
+  * each mask cast to its column's declared type so the schema never
+  * lies. Masks of columns the caller never selected need no evaluation
+  * (and their reference columns no decoding). */
+private[sources] object GovernedExprs {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  def bind(full: StructType, required: StructType, pols: Seq[Array[String]])
+      : (StructType, Option[Expression], Seq[Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And,
+      AttributeSeq, BindReferences, BoundReference, Cast}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val s = org.apache.spark.sql.SparkSession.active
+    val filterStrs = pols.collect { case Array(_, "filter", e) => e }.toSeq
+    val selected = required.fieldNames.toSet
+    val maskPairs = pols.collect { case Array(_, "mask", c, e) => (c, e) }
+      .toSeq.filter(p => selected(p._1))
+    // one dummy plan resolves every policy expression against the raw
+    // schema with one consistent set of attribute ids
+    val dummy = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), full)
+    val allStrs = filterStrs ++ maskPairs.map(_._2)
+    val analyzed = dummy.select(allStrs.zipWithIndex.map { case (e, i) =>
+      org.apache.spark.sql.functions.expr(e).alias(s"__p$i") }: _*)
+      .queryExecution.analyzed
+    val proj = analyzed.collectFirst { case p: Project => p }.getOrElse(
+      throw new IllegalStateException("policy expressions did not analyze " +
+        "to a projection — refuse rather than guess"))
+    val resolved = proj.projectList.map { case a: Alias => a.child }
+    val relOutput = proj.child.output
+    val (resolvedFilters, resolvedMasks) = resolved.splitAt(filterStrs.size)
+    // decode exactly: selected columns + columns any policy reads
+    val refNames = resolved.flatMap(_.references.toSeq.map(_.name)).toSet
+    val readNames = full.fieldNames.filter(n => selected(n) || refNames(n))
+    val decodeSchema = StructType(readNames.map(n =>
+      full.fields(full.fieldIndex(n))))
+    val readAttrs = relOutput.filter(a => readNames.contains(a.name))
+    val attrSeq = AttributeSeq(readAttrs)
+    val boundFilter = resolvedFilters
+      .map(BindReferences.bindReference(_, attrSeq)).reduceOption(And.apply)
+    val maskOf = maskPairs.map(_._1).zip(resolvedMasks).toMap
+    val outProjs: Seq[Expression] = required.fields.toSeq.map { f =>
+      maskOf.get(f.name) match {
+        case Some(me) =>
+          val bound = BindReferences.bindReference(me, attrSeq)
+          if (bound.dataType == f.dataType) bound
+          else Cast(bound, f.dataType)
+        case None =>
+          val i = readAttrs.indexWhere(_.name == f.name)
+          BoundReference(i, f.dataType, readAttrs(i).nullable)
+      }
+    }
+    (decodeSchema, boundFilter, outProjs)
   }
 }
 
@@ -3518,15 +3538,22 @@ private[sources] class ChangesScanBuilder(dir: String, full: StructType,
         require(ManifestTable.renameLines(dir, v).isEmpty,
           s"$$changes refused: rename markers at version $v — compact first")
       }
-      require(ManifestTable.policyLines(dir, end).isEmpty,
-        s"$$changes refused on governed tables: the feed exposes raw rows")
+      // GOVERNED tables serve a policy-ENFORCED feed (round 13): every
+      // emitted row — insert or delete, any commit in range — passes the
+      // row filter and masks of the END version's policy, so the feed is
+      // exactly the governed view's diff (a row the filter hides never
+      // inserted, so its delete must not emit either). One policy
+      // version governs the whole range: the sync contract is "today's
+      // governance over the history", never a leak of rows an older,
+      // looser policy once allowed.
+      val governed = ChangesReaderFactory.bindPolicies(dir, end, full, required)
       val parts = (start to end).flatMap(v => ChangesDiff.forVersion(dir, v))
       val reqNow = required
       new Batch {
         override def planInputPartitions(): Array[InputPartition] =
           parts.toArray
         override def createReaderFactory(): PartitionReaderFactory =
-          new ChangesReaderFactory(reqNow)
+          new ChangesReaderFactory(reqNow, governed)
       }
     }
 
@@ -3537,7 +3564,7 @@ private[sources] class ChangesScanBuilder(dir: String, full: StructType,
       require(perBatch > 0, s"versionsPerBatch must be positive, got $perBatch")
       val startV = Option(options.get("startVersion")).map(_.toInt).getOrElse(0)
       require(startV >= 0, s"startVersion must be non-negative, got $startV")
-      new ChangesMicroBatchStream(dir, required, perBatch, startV)
+      new ChangesMicroBatchStream(dir, full, required, perBatch, startV)
     }
 
     override def description(): String = s"graft changes feed $dir"
@@ -3629,13 +3656,41 @@ private[sources] object ChangesDiff {
   }
 }
 
+private[sources] object ChangesReaderFactory {
+  /** The END-version policy bundle for a GOVERNED change feed: decode
+    * schema + bound row filter + bound mask projections over the pruned
+    * DATA columns (the change columns are per-partition constants a
+    * policy cannot reference). None on ungoverned tables. */
+  def bindPolicies(dir: String, v: Int, full: StructType,
+      required: StructType): Option[(StructType,
+        Option[org.apache.spark.sql.catalyst.expressions.Expression],
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = {
+    val pols = ManifestTable.policyLines(dir, v).map(_.split('\t'))
+    if (pols.isEmpty) None
+    else {
+      def isChangeCol(n: String): Boolean =
+        n == "_change_type" || n == "_commit_version"
+      val fullData = StructType(full.fields.filterNot(f => isChangeCol(f.name)))
+      val reqData =
+        StructType(required.fields.filterNot(f => isChangeCol(f.name)))
+      Some(GovernedExprs.bind(fullData, reqData, pols))
+    }
+  }
+}
+
 /** Wraps the ordinary executor parquet reader: the REQUIRED data columns
   * from the file (pruned columns never decode), the required change
   * columns appended as per-partition constants. Spark's column pruning
   * preserves table-schema field order, so the change columns — last in
   * the declared schema — are always a suffix of `required`; asserted,
-  * not assumed. */
-private[sources] class ChangesReaderFactory(required: StructType)
+  * not assumed. A governed bundle enforces the row filter and masks on
+  * every emission (filter first, then masks — the catalog-scan order);
+  * deletion-vector suppression runs BEFORE governance, a deleted row
+  * must not exist for the policy to observe. */
+private[sources] class ChangesReaderFactory(required: StructType,
+    governed: Option[(StructType,
+      Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = None)
     extends PartitionReaderFactory {
   private def isChangeCol(name: String): Boolean =
     name == "_change_type" || name == "_commit_version"
@@ -3648,13 +3703,16 @@ private[sources] class ChangesReaderFactory(required: StructType)
     val dataReq = StructType(required.fields.filterNot(f => isChangeCol(f.name)))
     require(required.fields.take(dataReq.length).forall(f => !isChangeCol(f.name)),
       s"change columns must be a suffix of the pruned schema, got $required")
+    // governed feeds decode the policy's columns too; the bound output
+    // projections land exactly the dataReq columns back
+    val decodeBase = governed.map(_._1).getOrElse(dataReq)
     // deletion-vector composition: decode each referenced key column
     // (typed from the FILE'S OWN footer — self-contained, no table
-    // schema needed), appended after the pruned data columns so their
+    // schema needed), appended after the decoded data columns so their
     // ordinals are untouched. `dvOnly` emits exactly the newly-doomed
     // rows; `dvDrop` suppresses rows a prior marker already doomed.
     val dvCols = (p.dvDrop ++ p.dvOnly).map(_._2).distinct
-      .filterNot(dataReq.fieldNames.contains)
+      .filterNot(decodeBase.fieldNames.contains)
     val footer = ManifestStreamSource.footerSchema(p.file)
     val extra: Seq[StructField] = dvCols.map { c =>
       val i = (0 until footer.getFieldCount)
@@ -3672,30 +3730,41 @@ private[sources] class ChangesReaderFactory(required: StructType)
             "compact first")
       }
     }
-    val readSchema2 = StructType(dataReq.fields ++ extra)
+    val readSchema2 = StructType(decodeBase.fields ++ extra)
     val drops = p.dvDrop.map { case (path, c) =>
       DvKeyCache.checkFor(path, readSchema2, c) }
     val onlys = p.dvOnly.map { case (path, c) =>
       DvKeyCache.checkFor(path, readSchema2, c) }
     val rawInner = new ManifestParquetReader(p.file, readSchema2)
     val inner: PartitionReader[InternalRow] =
-      if (drops.isEmpty && onlys.isEmpty) rawInner
+      if (drops.isEmpty && onlys.isEmpty && governed.isEmpty) rawInner
       else new PartitionReader[InternalRow] {
+        // bound policy pieces compile lazily per partition (codegen with
+        // interpreted fallback), same as GovernedReaderFactory
+        private lazy val pred = governed.flatMap(_._2).map(
+          org.apache.spark.sql.catalyst.expressions.Predicate.create(_))
+        private lazy val proj = governed.map(g =>
+          org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(g._3))
         private var cur: InternalRow = _
         override def next(): Boolean = {
           while (rawInner.next()) {
             val r = rawInner.get()
             val doomedBefore = drops.exists(_(r))
             val hitNow = onlys.isEmpty || onlys.exists(_(r))
-            if (!doomedBefore && hitNow) { cur = r; return true }
+            if (!doomedBefore && hitNow && pred.forall(_.eval(r))) {
+              cur = r; return true
+            }
           }
           false
         }
-        override def get(): InternalRow =
-          if (extra.isEmpty) cur
-          else new org.apache.spark.sql.catalyst.expressions
+        override def get(): InternalRow = proj match {
+          case Some(pr) => pr(cur) // masks + projection back to dataReq
+          case None if extra.isEmpty => cur
+          case None => new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(Array.tabulate[Any](dataReq.length)(i =>
               if (cur.isNullAt(i)) null else cur.get(i, dataReq(i).dataType)))
+        }
         override def close(): Unit = rawInner.close()
       }
     val changeVals: Array[Any] = required.fields.drop(dataReq.length).map { f =>

@@ -247,10 +247,21 @@ private[sources] class ManifestMicroBatchStream(dir: String,
   * stream `startVersion = v+1`); `versionsPerBatch` is the admission
   * cap, so a backlog drains in bounded micro-batches and
   * `Trigger.AvailableNow` replays the log through MULTIPLE batches. */
-private[sources] class ChangesMicroBatchStream(dir: String,
+private[sources] class ChangesMicroBatchStream(dir: String, full: StructType,
     required: StructType, perBatch: Int, startVersion: Int)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  // GOVERNED feeds (round 13): the policy pins at STREAM CONSTRUCTION —
+  // every emission in every micro-batch passes the pinned row filter and
+  // masks, the same end-version contract as the batch feed. A policy
+  // change mid-stream refuses loudly (per-batch check below) instead of
+  // silently serving stale governance.
+  private val pinnedPolicy =
+    ManifestTable.policyLines(dir, ManifestTable.currentVersion(dir))
+  private val governed =
+    ChangesReaderFactory.bindPolicies(dir,
+      ManifestTable.currentVersion(dir), full, required)
 
   // set ONLY by prepareForTriggerAvailableNow: an AvailableNow run drains
   // up to the version frozen at start; a ProcessingTime trigger re-reads
@@ -292,9 +303,14 @@ private[sources] class ChangesMicroBatchStream(dir: String,
     val from = start.asInstanceOf[VersionOffset].v
     val to = end.asInstanceOf[VersionOffset].v
     if (to <= from) return Array.empty
-    require(ManifestTable.policyLines(dir, to).isEmpty,
-      s"streaming $$changes refused on governed table $dir: the feed " +
-        "exposes raw rows")
+    // compare at the LIVE head, not `to`: a replay of pre-policy
+    // versions is fine (the pinned policy governs those emissions, the
+    // same end-version contract as the batch feed); only governance
+    // CHANGING under the running stream refuses
+    require(ManifestTable.policyLines(dir,
+        ManifestTable.currentVersion(dir)) == pinnedPolicy,
+      s"streaming $$changes on $dir: the governance policy changed since " +
+        "the stream started — restart the feed to pick up the new policy")
     // the batch needs every manifest in [from, to] (from is the diff
     // base); a vacuumed version cannot be diffed — re-bootstrap instead
     (math.max(0, from) to to).foreach { v =>
@@ -314,7 +330,7 @@ private[sources] class ChangesMicroBatchStream(dir: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangesReaderFactory(required)
+    new ChangesReaderFactory(required, governed)
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
 

@@ -504,6 +504,63 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("the change feed enforces governance, batch and streaming") {
+    val root = freshDir("gcf")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13gc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13gc.root", root)
+    spark.range(0, 60).selectExpr("id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'hide' ELSE 'show' END AS grp",
+        "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("r13_gcf_src")
+    ManifestTable.merge(spark, dir,
+      spark.table("r13_gcf_src"), Seq("k"))                       // v0
+    ManifestTable.setPolicy(dir,
+      masks = Map("v" -> "v * 0 + 1"),
+      rowFilter = Some("grp <> 'hide'"))                          // v1
+    ManifestTable.deleteKeysMOR(spark, dir, "k", keys = Seq(4L, 6L)) // v2
+    // the governed feed: 'hide' rows never emit (k=6 is doomed AND
+    // hidden — its delete must not emit either); v is masked to 1 in
+    // both directions; the policy commit itself emits nothing
+    val want =
+      (0L until 60L).filter(_ % 3 != 0).map(k => ("insert", 0, k, 1.0)).toSet ++
+      Set(("delete", 2, 4L, 1.0))
+    val got = spark.sql("""SELECT _change_type, _commit_version, k, v
+        FROM g13gc.default.`t$changes`""")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"governed batch feed: missing=${(want -- got).take(6)} " +
+        s"extra=${(got -- want).take(6)}")
+    // a pruned projection that drops the masked column still governs
+    val ks = spark.sql(
+      "SELECT k FROM g13gc.default.`t$changes` WHERE _change_type = 'insert'")
+      .collect().map(_.getLong(0)).toSet
+    assert(ks == (0L until 60L).filter(_ % 3 != 0).toSet)
+    // the STREAMING governed feed pins the policy at start and agrees
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, Int, Long, Double)]()
+    val q = spark.readStream.table("g13gc.default.`t$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("_change_type", "_commit_version", "k", "v").collect()
+          .foreach(r => seen.add(
+            (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == want,
+      s"governed streaming feed: missing=${(want -- seen.asScala).take(6)} " +
+        s"extra=${(seen.asScala.toSet -- want).take(6)}")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
