@@ -550,6 +550,37 @@ object Relational {
         min(o_orderkey) AS mn
         FROM graft_mr.default.ord""")
     }),
+    // RENAME-RECONCILED SQL SCANS (round 13): `ALTER TABLE … RENAME
+    // COLUMN` used to make the table unreadable through SQL until a
+    // compaction materialized the new name. The catalog scan now
+    // reconciles generations in the executor reader — files written
+    // before the rename decode their old physical column under the
+    // evolved name, zero rewrites — while stats-driven pushdowns degrade
+    // soundly (a proof needing a stat under the evolved name fails to
+    // admit on old files and declines).
+    "q_sql_rename_read" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_rnr_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_rn",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rn.root", root)
+      s.sql("""CREATE TABLE graft_rn.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("r13_rnr_src")
+      s.sql("""INSERT INTO graft_rn.default.ord
+        SELECT * FROM r13_rnr_src WHERE o_orderkey % 2 = 0""")
+      s.sql("ALTER TABLE graft_rn.default.ord RENAME COLUMN o_totalprice TO price")
+      s.sql("""INSERT INTO graft_rn.default.ord
+        SELECT o_orderkey, o_totalprice AS price
+        FROM r13_rnr_src WHERE o_orderkey % 2 = 1""")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(o_orderkey) AS mn
+        FROM graft_rn.default.ord
+        WHERE o_orderkey BETWEEN 100 AND 5000""")
+    }),
     // GOVERNED CHANGE FEED (round 13): `t$changes` on a policy-bearing
     // table serves the GOVERNED view's diff instead of refusing — every
     // emitted row (insert or delete, any commit in range) passes the END
@@ -2616,6 +2647,13 @@ object Relational {
         |FROM orders WHERE o_orderkey NOT IN
         |  (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
         |   67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""".stripMargin,
+    // the rename-reconciled scan answers as if every file always carried
+    // the evolved name
+    "q_sql_rename_read" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(o_orderkey) AS mn
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 5000""".stripMargin,
     // the governed feed is the governed view's diff, exactly: v0 inserts
     // the policy-visible rows masked, v2's MOR delete emits its doomed
     // policy-visible rows masked, the policy commit itself emits nothing

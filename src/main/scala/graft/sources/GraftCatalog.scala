@@ -1703,9 +1703,37 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // version): the whole query — pruning, exactness proofs, the scan —
     // reads one version, whatever commits land while it runs
     val v = snapV
-    require(ManifestTable.renameLines(dir, v).isEmpty,
-      s"catalog scan of $dir refused: rename markers present " +
-        "— compact first, or read via ManifestTable.read")
+    // RENAME COLUMN reconciliation (round 13): evolved name → prior
+    // names (most recent first, chains collapsed); executor readers
+    // decode whichever generation each file carries. Requires a declared
+    // schema (the evolved names' authority — always present for
+    // catalog-created tables); DV × rename mixing is refused at write
+    // time, and governed + renames stays refused below (policies bind
+    // evolved names that old files cannot satisfy through the governed
+    // reader).
+    val rns = ManifestTable.renames(dir, v)
+    val aliases: Map[String, Seq[String]] =
+      if (rns.isEmpty) Map.empty
+      else {
+        require(ManifestTable.declaredSchema(dir, v).isDefined,
+          s"catalog scan of $dir refused: rename markers on a table with " +
+            "no declared schema — compact first, or read via " +
+            "ManifestTable.read")
+        val anc = scala.collection.mutable.LinkedHashMap[String, List[String]]()
+        rns.foreach { case (from, to) =>
+          anc(to) = from :: anc.remove(from).getOrElse(Nil)
+        }
+        // a rename-source name re-added as a NEW column would alias two
+        // different logical columns onto one physical name (old files'
+        // stats and bytes would serve the wrong one) — refuse loudly
+        val collisions = anc.values.flatten.toSet
+          .intersect(full.fieldNames.toSet)
+        require(collisions.isEmpty,
+          s"catalog scan of $dir refused: column(s) " +
+            s"${collisions.mkString(", ")} reuse a renamed-away name — " +
+            "compact first")
+        anc.toMap
+      }
     // MERGE-ON-READ: `#dv` markers serve through the scan itself —
     // readers drop doomed rows in flight (key sets cached per executor),
     // so a MOR-deleted table answers exact SQL without compaction. File
@@ -1744,9 +1772,15 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       // raw file stats do not describe. Deletion vectors compose: the
       // reader drops dv-doomed rows BEFORE the policy filter/masks run
       // (a deleted row must not exist for governance to observe).
-      return governedScan(
-        ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry), pols,
-        dvByName, dvFields)
+      {
+        require(aliases.isEmpty,
+          s"governed scan of $dir refused: rename markers present — the " +
+            "policy binds evolved names old files cannot satisfy; " +
+            "compact first")
+        return governedScan(
+          ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry), pols,
+          dvByName, dvFields)
+      }
     // SEGMENTED snapshots resolve through the manifest list: pushed
     // predicates admit segments by their summary stats first (sound —
     // summaries are supersets), so the driver parses only admitted
@@ -1779,7 +1813,8 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         admittedFiles = Some(entries.map(_.name).toSet)
         new ManifestFilesScan(shaped(entries),
           totalFiles.toInt, required, dir, pinned, versionsPerBatch,
-          rowCap = limit, dvByName = dvByName, dvFields = dvFields)
+          rowCap = limit, dvByName = dvByName, dvFields = dvFields,
+          aliases = aliases)
       case None =>
         val entries = ManifestTable.listLines(dir, v)
           .map(ManifestTable.parseEntry)
@@ -1788,7 +1823,8 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         admittedFiles = Some(admitted.map(_.name).toSet)
         new ManifestFilesScan(shaped(admitted),
           entries.size, required, dir, pinned, versionsPerBatch,
-          rowCap = limit, dvByName = dvByName, dvFields = dvFields)
+          rowCap = limit, dvByName = dvByName, dvFields = dvFields,
+          aliases = aliases)
     }
   }
 
@@ -1960,7 +1996,13 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     // in flight, so a `#dv`-marked table serves exact SQL answers
     // without compaction
     dvByName: Map[String, Seq[(String, String)]] = Map.empty,
-    dvFields: Seq[StructField] = Nil) extends Scan
+    dvFields: Seq[StructField] = Nil,
+    // RENAME COLUMN reconciliation (round 13): evolved name → prior
+    // names, most recent first; executor readers decode old files under
+    // the evolved name. Stats-driven pushdowns degrade soundly — old
+    // files record stats under old names, so a proof that needs a stat
+    // under the evolved name simply fails to admit and declines.
+    aliases: Map[String, Seq[String]] = Map.empty) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -2100,8 +2142,11 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   }
 
   private lazy val bucketGroups: Option[(Int, String, Seq[Int])] =
+    // aliases gate: the declared bucket column keeps its pre-rename name
+    // in `graft.partitioning`, so a key-grouped report under renames
+    // would name a column the pruned output no longer carries
     if (!spjEnabled || entries.isEmpty || dvByName.nonEmpty ||
-        !entries.forall(_.bucket.isDefined))
+        aliases.nonEmpty || !entries.forall(_.bucket.isDefined))
       None
     else bucketSpec.map { case (n, col) =>
       (n, col, entries.map(_.bucket.get).distinct.sorted)
@@ -2334,7 +2379,7 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
           }.toArray
       }
     override def createReaderFactory(): PartitionReaderFactory =
-      new ManifestScanReaderFactory(requiredNow, rowCap, dvFields)
+      new ManifestScanReaderFactory(requiredNow, rowCap, dvFields, aliases)
   }
   // the same named table streams: spark.readStream.table("graft...")
   // rides the version-offset micro-batch source (exactly-once by
@@ -2347,7 +2392,8 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   override def description(): String =
     s"graft manifest scan $dir (files $keptFiles/$totalFiles" +
       rowCap.map(n => s", limit $n").getOrElse("") +
-      (if (dvByName.nonEmpty) ", merge-on-read" else "") + ")"
+      (if (dvByName.nonEmpty) ", merge-on-read" else "") +
+      (if (aliases.nonEmpty) ", rename-reconciled" else "") + ")"
 }
 
 private[graft] object ManifestFilesScan {
@@ -2551,7 +2597,9 @@ private[sources] object DvKeyCache {
   * the cap then counts LIVE rows only. */
 private[sources] class ManifestScanReaderFactory(required: StructType,
     rowCap: Option[Int] = None,
-    dvFields: Seq[StructField] = Nil) extends PartitionReaderFactory {
+    dvFields: Seq[StructField] = Nil,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReaderFactory {
   private def dvReader(f: String, dvs: Seq[(String, String)])
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -2559,7 +2607,7 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
       .filterNot(required.fieldNames.contains)
       .flatMap(c => dvFields.find(_.name == c))
     val readSchema2 = StructType(required.fields ++ extra)
-    val inner = new ManifestParquetReader(f, readSchema2)
+    val inner = new ManifestParquetReader(f, readSchema2, aliases)
     val checks: Seq[InternalRow => Boolean] =
       dvs.map { case (dvPath, c) => DvKeyCache.checkFor(dvPath, readSchema2, c) }
     new PartitionReader[InternalRow] {
@@ -2587,7 +2635,7 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
       dvs: Seq[(String, String)] = Nil)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val inner =
-      if (dvs.isEmpty) new ManifestParquetReader(f, required)
+      if (dvs.isEmpty) new ManifestParquetReader(f, required, aliases)
       else dvReader(f, dvs)
     rowCap match {
       case None => inner

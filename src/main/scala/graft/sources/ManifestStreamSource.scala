@@ -357,11 +357,25 @@ private[sources] class ManifestParquetReaderFactory(required: StructType)
   * ordinal in the file) are served WITHOUT touching parquet — they are the
   * row identity `SupportsDelta` row-level writes key their deletes on. A
   * physical column with either name (if a table really had one) wins: the
-  * names are treated as metadata only when absent from the footer. */
-private[sources] class ManifestParquetReader(file: String, required: StructType)
+  * names are treated as metadata only when absent from the footer.
+  *
+  * `aliases` reconciles RENAME COLUMN generations (round 13): a required
+  * name absent from this file's footer decodes from the first prior name
+  * (most recent rename first) the footer does carry — old files serve
+  * their rows under the evolved name with zero rewrites. */
+private[sources] class ManifestParquetReader(file: String, required: StructType,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val footer: MessageType = ManifestStreamSource.footerSchema(file)
+
+  /** Physical footer name serving each required field: the field's own
+    * name, or its most recent rename ancestor present in this file. */
+  private val srcNames: Array[String] = required.fields.map { f =>
+    if (footer.containsField(f.name)) f.name
+    else aliases.getOrElse(f.name, Nil).find(footer.containsField)
+      .getOrElse(f.name)
+  }
 
   /** Required fields served from parquet (metadata names excluded). */
   private val isMeta: Array[Boolean] = required.fields.map(f =>
@@ -373,7 +387,7 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
     * merge-schema contract, extended with Spark's own column-default
     * semantics. Immutable files never rewrite either way. */
   private val isAbsent: Array[Boolean] = required.fields.zipWithIndex.map {
-    case (f, i) => !isMeta(i) && !footer.containsField(f.name)
+    case (_, i) => !isMeta(i) && !footer.containsField(srcNames(i))
   }
 
   /** Internal-format existence default per absent field (null when none
@@ -389,7 +403,7 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
     val dataNames = required.fields.zipWithIndex
-      .collect { case (f, i) if !isMeta(i) && !isAbsent(i) => f.name }
+      .collect { case (_, i) if !isMeta(i) && !isAbsent(i) => srcNames(i) }
     if (required.nonEmpty) {
       val byName = footer.getFields.asScala.map(f => f.getName -> f).toMap
       // a projection with no physical columns (metadata-only, or every
@@ -441,7 +455,7 @@ private[sources] class ManifestParquetReader(file: String, required: StructType)
         values(i) = absentValue(i)
         i += 1
       } else {
-      val name = required(i).name
+      val name = srcNames(i)
       val idx = g.getType.getFieldIndex(name)
       values(i) =
         if (g.getFieldRepetitionCount(idx) == 0) null

@@ -561,6 +561,63 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("SQL scans reconcile renamed columns across file generations") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = freshDir("rnr")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13rn",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13rn.root", root)
+    spark.sql("CREATE TABLE g13rn.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g13rn.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(0, 50)""")                             // gen-1 file: k, v
+    spark.sql("ALTER TABLE g13rn.default.t RENAME COLUMN v TO amount")
+    spark.sql("""INSERT INTO g13rn.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS amount
+      FROM range(50, 100)""")                           // gen-2 file: k, amount
+    // pre-r13: 'catalog scan refused: rename markers present'
+    val q = spark.sql("SELECT k, amount FROM g13rn.default.t")
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect { case b: BatchScanExec => b.scan }
+      .collectFirst { case m: sources.ManifestFilesScan => m }
+    assert(scan.isDefined &&
+      scan.get.description().contains("rename-reconciled"),
+      s"the plan must show the reconciling scan: ${plan.toString.take(400)}")
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == (0L until 100L).map(k => (k, k.toDouble)).toSet,
+      "both generations must serve under the evolved name")
+    // a CHAINED rename: gen-1 files still carry `v`, gen-2 `amount`
+    spark.sql("ALTER TABLE g13rn.default.t RENAME COLUMN amount TO amt")
+    assert(spark.sql(
+      "SELECT CAST(sum(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+        "FROM g13rn.default.t").head().getDouble(0)
+      == (0 until 100).map(_.toDouble).sum)
+    // pruning on the UNRENAMED key column stays armed across generations
+    val q2 = spark.sql("SELECT k, amt FROM g13rn.default.t WHERE k >= 60")
+    val s2 = (q2.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect { case b: BatchScanExec => b.scan }
+      .collectFirst { case m: sources.ManifestFilesScan => m }.get
+    assert(s2.keptFiles < s2.totalFiles,
+      s"k-pruning must survive renames (${s2.keptFiles}/${s2.totalFiles})")
+    assert(q2.collect().length == 40)
+    // re-ADDing a renamed-away name would alias two logical columns onto
+    // one physical name — the scan refuses loudly
+    spark.sql("ALTER TABLE g13rn.default.t ADD COLUMN v DOUBLE")
+    val e = intercept[Throwable] {
+      spark.sql("SELECT k FROM g13rn.default.t").collect()
+    }
+    assert(messages(e).contains("renamed-away"),
+      s"expected the name-reuse refusal, got: ${messages(e)}")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
