@@ -1369,7 +1369,8 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestSqlScanBuilder(dir, schema(), pinned,
       Option(options.get("versionsPerBatch")).map(_.toInt)
-        .getOrElse(Int.MaxValue))
+        .getOrElse(Int.MaxValue),
+      Option(options.get("startVersion")).map(_.toInt).getOrElse(0))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, "cannot write to a time-travel snapshot")
@@ -1378,7 +1379,8 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
 }
 
 private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
-    pinned: Option[Int] = None, versionsPerBatch: Int = Int.MaxValue)
+    pinned: Option[Int] = None, versionsPerBatch: Int = Int.MaxValue,
+    streamStart: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -1814,7 +1816,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         new ManifestFilesScan(shaped(entries),
           totalFiles.toInt, required, dir, pinned, versionsPerBatch,
           rowCap = limit, dvByName = dvByName, dvFields = dvFields,
-          aliases = aliases)
+          aliases = aliases, streamStart = streamStart)
       case None =>
         val entries = ManifestTable.listLines(dir, v)
           .map(ManifestTable.parseEntry)
@@ -1824,7 +1826,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         new ManifestFilesScan(shaped(admitted),
           entries.size, required, dir, pinned, versionsPerBatch,
           rowCap = limit, dvByName = dvByName, dvFields = dvFields,
-          aliases = aliases)
+          aliases = aliases, streamStart = streamStart)
     }
   }
 
@@ -2002,7 +2004,8 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
     // the evolved name. Stats-driven pushdowns degrade soundly — old
     // files record stats under old names, so a proof that needs a stat
     // under the evolved name simply fails to admit and declines.
-    aliases: Map[String, Seq[String]] = Map.empty) extends Scan
+    aliases: Map[String, Seq[String]] = Map.empty,
+    streamStart: Int = 0) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -2383,11 +2386,15 @@ private[graft] class ManifestFilesScan(entries: Seq[ManifestTable.FileEntry],
   }
   // the same named table streams: spark.readStream.table("graft...")
   // rides the version-offset micro-batch source (exactly-once by
-  // layout; admission-controlled via the versionsPerBatch read option)
+  // layout; admission-controlled via the versionsPerBatch read option,
+  // bootstrapped past historical row-level DML via startVersion — the
+  // handoff is "batch-read the snapshot at v, stream startVersion=v+1",
+  // the same contract as the t$changes feed)
   override def toMicroBatchStream(loc: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pinned.isEmpty, "cannot stream a time-travel snapshot")
-    new ManifestMicroBatchStream(dir, requiredNow, versionsPerBatch)
+    new ManifestMicroBatchStream(dir, requiredNow, versionsPerBatch,
+      streamStart)
   }
   override def description(): String =
     s"graft manifest scan $dir (files $keptFiles/$totalFiles" +

@@ -164,7 +164,7 @@ private[sources] case class VersionOffset(v: Int) extends Offset {
 }
 
 private[sources] class ManifestMicroBatchStream(dir: String,
-    required: StructType, perBatch: Int)
+    required: StructType, perBatch: Int, startVersion: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -179,7 +179,12 @@ private[sources] class ManifestMicroBatchStream(dir: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(ManifestTable.currentVersion(dir))
 
-  override def initialOffset(): Offset = VersionOffset(-1)
+  // `startVersion` is the bootstrap handoff past historical row-level
+  // DML: batch-read the snapshot at v, then stream startVersion = v+1 —
+  // the first batch covers (startVersion-1, head], so a table whose
+  // history holds mutation commits can still feed a FRESH stream.
+  // Only consulted when no checkpoint exists (Spark's contract).
+  override def initialOffset(): Offset = VersionOffset(startVersion - 1)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -618,6 +618,47 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("plain table streams bootstrap past historical DML via startVersion") {
+    val root = freshDir("sbv")
+    spark.conf.set("spark.sql.catalog.g13sb",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13sb.root", root)
+    spark.sql("CREATE TABLE g13sb.default.t (k BIGINT)")            // v0
+    spark.sql("INSERT INTO g13sb.default.t SELECT id AS k FROM range(0, 5)") // v1
+    spark.sql("DELETE FROM g13sb.default.t WHERE k IN (2)")         // v2: mutate
+    spark.sql("INSERT INTO g13sb.default.t SELECT id AS k FROM range(10, 13)") // v3
+    def drain(reader: org.apache.spark.sql.DataFrame, ckpt: String): Set[Long] = {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = reader.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    // a fresh stream from the log origin crosses the v2 mutation — the
+    // append-only honesty contract refuses and demands a re-bootstrap
+    val e = intercept[Throwable] {
+      drain(spark.readStream.table("g13sb.default.t"), s"$root/ck0")
+    }
+    assert(messages(e).contains("re-bootstrap"),
+      s"expected the mutation-crossing refusal, got: ${messages(e)}")
+    // the handoff: batch-read the v2 snapshot, stream startVersion = 3
+    val snapshot = spark.read.option("versionAsOf", "2")
+      .table("g13sb.default.t").collect().map(_.getLong(0)).toSet
+    assert(snapshot == Set(0L, 1L, 3L, 4L))
+    val tail = drain(spark.readStream.option("startVersion", "3")
+      .table("g13sb.default.t"), s"$root/ck1")
+    assert(tail == Set(10L, 11L, 12L),
+      s"the bootstrapped stream must serve exactly the post-handoff " +
+        s"commits, got $tail")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
