@@ -713,8 +713,12 @@ private[sources] object GraftDeltaCommitter {
       // delete→merge→select lifecycle never demands a compaction
       val surviving = lines.map(_.split('\t').head).toSet
       val dvCarried = ManifestTable.carriedDvLines(dir, onto, surviving)
+      // rename markers carry VERBATIM: they are table-wide name
+      // mappings, and both rewritten files (old physical names inside)
+      // and insert files (evolved names) keep reconciling through them
       if (ManifestTable.commitMutate(dir,
-          lines ++ dvCarried ++ ManifestTable.carriedMeta(dir, onto), onto))
+          lines ++ dvCarried ++ ManifestTable.renameLines(dir, onto) ++
+            ManifestTable.carriedMeta(dir, onto), onto))
         return
       // CAS lost — decide rebase vs refuse against the NEW head
       val cur = ManifestTable.currentVersion(dir)
@@ -741,8 +745,11 @@ private[sources] object GraftDeltaCommitter {
       if (ManifestTable.dvLines(dir, cur).sorted !=
           ManifestTable.dvLines(dir, baseVersion).sorted)
         refuse("deletion-vector markers changed concurrently")
-      if (ManifestTable.renameLines(dir, cur).nonEmpty)
-        refuse("rename markers landed concurrently")
+      // a STABLE rename set is fine (the statement's scan reconciled
+      // exactly those generations); a new rename mid-flight is not
+      if (ManifestTable.renameLines(dir, cur) !=
+          ManifestTable.renameLines(dir, baseVersion))
+        refuse("rename markers changed concurrently")
       if (ManifestTable.policyLines(dir, cur).nonEmpty)
         refuse("a governance policy landed concurrently")
       // a concurrent SCHEMA or CONSTRAINT change invalidates the

@@ -1288,10 +1288,17 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
     v >= 0 && ManifestTable.policyLines(dir, v).nonEmpty
   }
 
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    // keyed fast-path deletes decline under renames (the CoW rewrite and
+    // the MOR stats-prune both key on physical names) — Spark falls back
+    // to the row-level delta plan, which reconciles generations
+    def renamed: Boolean = ManifestTable.renameLines(dir,
+      ManifestTable.currentVersion(dir)).nonEmpty
     pinned.isEmpty && !governed &&
-      (isTruncate(filters) || parseDelete(filters).isDefined ||
-        (parseDeleteStr(filters).isDefined && morMode))
+      (isTruncate(filters) ||
+        (!renamed && (parseDelete(filters).isDefined ||
+          (parseDeleteStr(filters).isDefined && morMode))))
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinned.isEmpty, "cannot DELETE from a time-travel snapshot")
@@ -3182,11 +3189,16 @@ private[sources] class GraftDeltaOperation(dir: String,
     // rows (doomed rows produce no delta), `_pos` stays the PHYSICAL
     // ordinal, and the write side's rewrites drop position-doomed AND
     // dv-doomed rows together — so repeated DELETE→MERGE cycles never
-    // demand a compaction. Renames still refuse (the rewrite copies raw
-    // footer schemas and cannot reconcile name generations).
-    require(ManifestTable.renameLines(dir, v).isEmpty,
-      s"row-level DML on $dir refused: rename markers present — " +
-        "compact first")
+    // demand a compaction. RENAMES are fine too (round 13): the scan
+    // reconciles generations, rewrites copy each file's OWN footer
+    // schema verbatim (old-generation survivors stay under old physical
+    // names, still reconciled at read), insert files land under the
+    // evolved names, and the committer carries the markers — dependent
+    // declarations migrated at RENAME time, so distributions and
+    // identity frontiers resolve against the statement's rows. Sum/NDV
+    // legs skip old-generation rewrites (extractors find no column
+    // under the evolved name), so metadata-served SUM/NDV honestly
+    // declines on mixed tables until optimize re-harvests.
     require(ManifestTable.policyLines(dir, v).isEmpty,
       s"row-level SQL DML on governed $dir refused: the rewrite must see " +
         "raw rows (a masked rewrite would PERSIST masked values); use the " +

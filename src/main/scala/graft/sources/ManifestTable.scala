@@ -1734,6 +1734,56 @@ object ManifestTable {
       val p = l.split('\t'); (p(1), p(2))
     }
 
+  /** Rename side-effects on carried metadata (round 13): dependent
+    * property VALUES migrate with the column — the `graft.write.sort/
+    * ndv/sum` name lists, the `graft.partitioning` spec's column token,
+    * and the identity frontier key `graft.identity.<col>` (whose loss
+    * would silently RESTART identity assignment and collide ids) —
+    * while expression-bearing declarations that reference the old name
+    * (CHECK constraints, generation expressions) REFUSE the rename,
+    * the same conservative word-boundary rule the policy guard uses. */
+  private def migrateRenameProps(props: Seq[String],
+      declaredJson: Option[String], from: String, to: String): Seq[String] = {
+    val nameRe = ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+    declaredJson.foreach { j =>
+      val st = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      st.fields.foreach { f =>
+        if (f.metadata.contains("GENERATION_EXPRESSION")) {
+          val e = f.metadata.getString("GENERATION_EXPRESSION")
+          require(nameRe.findFirstIn(e).isEmpty,
+            s"rename of '$from' refused: generated column '${f.name}' " +
+              "derives from it — re-declare the table first")
+        }
+      }
+    }
+    props.map { line =>
+      val p = line.split('\t')
+      val k = p(1)
+      val value = if (p.length > 2) p(2) else ""
+      def listMigrated: String = value.split(',').map(_.trim)
+        .map(n => if (n == from) to else n).mkString(",")
+      k match {
+        case "graft.write.sort" | "graft.write.ndv" | "graft.write.sum" =>
+          s"$PropPrefix$k\t$listMigrated"
+        case "graft.partitioning" =>
+          s"$PropPrefix$k\t" + nameRe.replaceAllIn(value,
+            java.util.regex.Matcher.quoteReplacement(to))
+        case _ if k == s"graft.identity.$from" =>
+          s"${PropPrefix}graft.identity.$to\t$value"
+        case _ if k.startsWith("graft.constraint.") =>
+          // the predicate SQL is URL-encoded in the property value
+          val pred = java.net.URLDecoder.decode(value, "UTF-8")
+          require(nameRe.findFirstIn(pred).isEmpty,
+            s"rename of '$from' refused: CHECK constraint " +
+              s"'${k.stripPrefix("graft.constraint.")}' references it — " +
+              "drop the constraint first")
+          line
+        case _ => line
+      }
+    }
+  }
+
   /** Publish a column rename as a metadata-only `#mutate` commit (schema
     * changes are inexpressible in an append-only feed — consumers
     * re-bootstrap, the delete/update honesty contract). */
@@ -1762,7 +1812,10 @@ object ManifestTable {
         s"$SchemaPrefix${renamed.json}"
       }.toSeq
       val body = listLines(dir, v) ++ renameLines(dir, v) ++
-        policyLines(dir, v) ++ propLines(dir, v) ++ evolvedSchema ++
+        policyLines(dir, v) ++
+        migrateRenameProps(propLines(dir, v), declaredSchema(dir, v),
+          from, to) ++
+        evolvedSchema ++
         epochLines(dir, v) :+ s"#rename\t$from\t$to"
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1
@@ -1992,6 +2045,12 @@ object ManifestTable {
             s"#prop\t$k\t$value"
         case AlterOp.RemoveProp(k) =>
           props = props.filterNot(_.startsWith(s"$PropPrefix$k\t"))
+        case AlterOp.Rename(from, to) =>
+          // dependent declarations follow the rename (or refuse) — the
+          // identity frontier, write-shape name lists, the partitioning
+          // spec; CHECK constraints and generation expressions that
+          // reference the old name refuse the statement
+          props = migrateRenameProps(props, declaredSchema(dir, v), from, to)
         case _ => () // schema ops handled below
       }
       // the schema authority to evolve: the declared #schema, else (for

@@ -659,6 +659,95 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("rename migrates dependent declarations; expression refs refuse") {
+    val root = freshDir("rmg")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13rm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13rm.root", root)
+    spark.sql("""CREATE TABLE g13rm.default.t
+      (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 10),
+       v DOUBLE)
+      TBLPROPERTIES ('graft.write.sum' = 'v', 'graft.write.ndv' = 'id')""")
+    spark.sql("INSERT INTO g13rm.default.t (v) VALUES (1.0), (2.0), (3.0)")
+    // the identity frontier key and the sum/ndv name lists must FOLLOW
+    // the renames — a lost frontier silently restarts id assignment
+    spark.sql("ALTER TABLE g13rm.default.t RENAME COLUMN id TO uid")
+    spark.sql("ALTER TABLE g13rm.default.t RENAME COLUMN v TO amount")
+    val props = ManifestTable.tableProperties(dir,
+      ManifestTable.currentVersion(dir))
+    assert(props.get("graft.write.sum").contains("amount"), s"$props")
+    assert(props.get("graft.write.ndv").contains("uid"), s"$props")
+    assert(props.contains("graft.identity.uid") &&
+      !props.contains("graft.identity.id"),
+      s"the identity frontier must follow its column: $props")
+    spark.sql("INSERT INTO g13rm.default.t (amount) VALUES (4.0), (5.0)")
+    val ids = spark.sql("SELECT uid FROM g13rm.default.t").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.size == 5 && ids.distinct.size == 5,
+      s"renamed identity column must keep assigning unique ids: $ids")
+    assert(ids.forall(i => i >= 100 && (i - 100) % 10 == 0), s"$ids")
+    // CHECK constraints / generated columns referencing the old name
+    // refuse the rename instead of silently breaking
+    spark.sql("""CREATE TABLE g13rm.default.c (k BIGINT, q DOUBLE)""")
+    spark.sql("ALTER TABLE g13rm.default.c ADD CONSTRAINT qpos CHECK (q > 0)")
+    val e1 = intercept[Throwable] {
+      spark.sql("ALTER TABLE g13rm.default.c RENAME COLUMN q TO quantity")
+    }
+    assert(messages(e1).contains("constraint"),
+      s"expected the constraint refusal, got: ${messages(e1)}")
+    spark.sql("""CREATE TABLE g13rm.default.g
+      (d DATE, yr INT GENERATED ALWAYS AS (CAST(year(d) AS INT)))""")
+    val e2 = intercept[Throwable] {
+      spark.sql("ALTER TABLE g13rm.default.g RENAME COLUMN d TO dt")
+    }
+    assert(messages(e2).contains("generated column"),
+      s"expected the generated-column refusal, got: ${messages(e2)}")
+    ManifestTable.destroy(root)
+  }
+
+  test("row-level DML runs on renamed tables without compaction") {
+    val root = freshDir("rdm")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13dm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13dm.root", root)
+    spark.sql("CREATE TABLE g13dm.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g13dm.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(0, 50)""")                            // gen-1 file: k, v
+    spark.sql("ALTER TABLE g13dm.default.t RENAME COLUMN v TO amount")
+    spark.sql("""INSERT INTO g13dm.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS amount
+      FROM range(50, 100)""")                          // gen-2 file: k, amount
+    // pre-r13: 'row-level DML refused: rename markers present'. The
+    // UPDATE touches BOTH generations; the old file's rewrite keeps its
+    // old physical name inside and stays rename-reconciled.
+    spark.sql("""UPDATE g13dm.default.t SET amount = -1.0
+      WHERE k IN (5, 60)""")
+    spark.sql("DELETE FROM g13dm.default.t WHERE k = 7")
+    spark.sql("""SELECT CAST(200 AS BIGINT) AS k, -2.0 AS amount
+      UNION ALL SELECT CAST(6 AS BIGINT), -3.0""")
+      .createOrReplaceTempView("r13_rdm_batch")
+    spark.sql("""MERGE INTO g13dm.default.t t USING r13_rdm_batch s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET amount = s.amount
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT k, amount FROM g13dm.default.t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = ((0L until 100L).toSet - 7L)
+      .map(k => k -> k.toDouble).toMap ++
+      Map(5L -> -1.0, 60L -> -1.0, 6L -> -3.0, 200L -> -2.0)
+    assert(got == want,
+      s"missing=${(want.toSet -- got.toSet).take(5)} " +
+        s"extra=${(got.toSet -- want.toSet).take(5)}")
+    // no compaction happened: the markers are still present
+    assert(ManifestTable.renameLines(dir,
+      ManifestTable.currentVersion(dir)).nonEmpty,
+      "DML must carry the rename markers, not materialize them")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
