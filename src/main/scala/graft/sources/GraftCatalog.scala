@@ -1781,15 +1781,13 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       // raw file stats do not describe. Deletion vectors compose: the
       // reader drops dv-doomed rows BEFORE the policy filter/masks run
       // (a deleted row must not exist for governance to observe).
-      {
-        require(aliases.isEmpty,
-          s"governed scan of $dir refused: rename markers present — the " +
-            "policy binds evolved names old files cannot satisfy; " +
-            "compact first")
-        return governedScan(
-          ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry), pols,
-          dvByName, dvFields)
-      }
+      // renames compose: the rename guard refuses policies that
+      // REFERENCE a renamed column, so every bound policy expression
+      // names stable columns; the governed reader's alias-aware decode
+      // serves renamed ones the query selected
+      return governedScan(
+        ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry), pols,
+        dvByName, dvFields, aliases)
     // SEGMENTED snapshots resolve through the manifest list: pushed
     // predicates admit segments by their summary stats first (sound —
     // summaries are supersets), so the driver parses only admitted
@@ -1849,7 +1847,8 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   private def governedScan(entries: Seq[ManifestTable.FileEntry],
       pols: Seq[Array[String]],
       dvByName: Map[String, Seq[(String, String)]] = Map.empty,
-      dvFields: Seq[StructField] = Nil): Scan = {
+      dvFields: Seq[StructField] = Nil,
+      aliases: Map[String, Seq[String]] = Map.empty): Scan = {
     val filterStrs = pols.collect { case Array(_, "filter", e) => e }.toSeq
     val maskPairs = pols.collect { case Array(_, "mask", c, e) => (c, e) }
       .toSeq.filter(p => required.fieldNames.toSet(p._1))
@@ -1870,7 +1869,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         override def planInputPartitions(): Array[InputPartition] = parts
         override def createReaderFactory(): PartitionReaderFactory =
           new GovernedReaderFactory(decodeSchema, boundFilter, outProjs,
-            dvFields)
+            dvFields, aliases)
       }
       override def description(): String =
         s"graft GOVERNED scan $dir (${filterStrs.size} filters, " +
@@ -1955,7 +1954,8 @@ private[sources] object GovernedExprs {
 private[sources] class GovernedReaderFactory(readSchema: StructType,
     filter: Option[org.apache.spark.sql.catalyst.expressions.Expression],
     projs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    dvFields: Seq[StructField] = Nil)
+    dvFields: Seq[StructField] = Nil,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   override def createReader(partition: InputPartition)
@@ -1968,7 +1968,7 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
       .filterNot(readSchema.fieldNames.contains)
       .flatMap(c => dvFields.find(_.name == c))
     val decodeSchema2 = StructType(readSchema.fields ++ extra)
-    val base = new ManifestParquetReader(file, decodeSchema2)
+    val base = new ManifestParquetReader(file, decodeSchema2, aliases)
     val dvChecks: Seq[InternalRow => Boolean] =
       dvs.map { case (dvPath, c) =>
         DvKeyCache.checkFor(dvPath, decodeSchema2, c) }

@@ -748,6 +748,39 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("governed scans reconcile renamed columns") {
+    val root = freshDir("grn")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13gr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13gr.root", root)
+    spark.sql("CREATE TABLE g13gr.default.t (k BIGINT, grp STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO g13gr.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k,
+        CASE WHEN id % 2 = 0 THEN 'hide' ELSE 'show' END AS grp,
+        CAST(id AS DOUBLE) AS v
+      FROM range(0, 20)""")                              // gen-1: k, grp, v
+    spark.sql("ALTER TABLE g13gr.default.t RENAME COLUMN v TO amount")
+    spark.sql("""INSERT INTO g13gr.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k,
+        CASE WHEN id % 2 = 0 THEN 'hide' ELSE 'show' END AS grp,
+        CAST(id AS DOUBLE) AS amount
+      FROM range(20, 40)""")                             // gen-2: k, grp, amount
+    // the policy names only STABLE columns (the rename guard refuses
+    // policies referencing a renamed one); the governed reader's
+    // alias-aware decode serves the renamed column the query selects
+    ManifestTable.setPolicy(dir,
+      masks = Map("k" -> "pmod(k, 10)"),
+      rowFilter = Some("grp <> 'hide'"))
+    val got = spark.sql("SELECT k, amount FROM g13gr.default.t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = (0L until 40L).filter(_ % 2 == 1)
+      .map(k => (k % 10, k.toDouble)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
