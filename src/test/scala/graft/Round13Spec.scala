@@ -687,6 +687,21 @@ class Round13Spec extends AnyFunSuite {
     assert(ids.size == 5 && ids.distinct.size == 5,
       s"renamed identity column must keep assigning unique ids: $ids")
     assert(ids.forall(i => i >= 100 && (i - 100) % 10 == 0), s"$ids")
+    // the partitioning spec's column token migrates too: inserts after
+    // the rename still cluster and stamp buckets
+    spark.sql("""CREATE TABLE g13rm.default.b (k BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("""INSERT INTO g13rm.default.b
+      SELECT id AS k, 1.0 AS v FROM range(0, 40)""")
+    spark.sql("ALTER TABLE g13rm.default.b RENAME COLUMN k TO kk")
+    assert(ManifestTable.tableProperties(s"$root/b",
+        ManifestTable.currentVersion(s"$root/b"))
+      .get("graft.partitioning").exists(_.contains("kk")),
+      "the bucket transform must follow the rename")
+    spark.sql("""INSERT INTO g13rm.default.b
+      SELECT id AS kk, 2.0 AS v FROM range(40, 80)""")
+    assert(spark.sql("SELECT count(*) FROM g13rm.default.b")
+      .head().getLong(0) == 80)
     // CHECK constraints / generated columns referencing the old name
     // refuse the rename instead of silently breaking
     spark.sql("""CREATE TABLE g13rm.default.c (k BIGINT, q DOUBLE)""")
