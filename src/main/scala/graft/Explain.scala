@@ -13,6 +13,7 @@ object Explain {
     * so the ALL sweep skips them; their plans are audited via their specs. */
   private[graft] val eager = Set("q_changes_mor", "q_rewrite_dvs",
     "q_gdpr_delete", "q_governed_changes", "q_sql_rename_read",
+    "q_changes_rename",
     "q_decontaminate", "q_dedup_clusters",
     "q_dedup_clusters_star", "q_doc_knn",
     "q_orc_roundtrip", "q_csv_roundtrip", "q_jsonl_roundtrip",

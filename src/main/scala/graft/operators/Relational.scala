@@ -550,6 +550,34 @@ object Relational {
         min(o_orderkey) AS mn
         FROM graft_mr.default.ord""")
     }),
+    // THE CHANGE FEED ACROSS RENAMES (round 13): a rename is a
+    // metadata-only commit (no rows changed → no emissions), and the
+    // feed's readers reconcile every generation in range through the END
+    // version's rename chain — pre-rename commits emit their rows under
+    // the evolved names. An incremental consumer follows a table through
+    // column evolution without re-bootstrapping.
+    "q_changes_rename" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_chrn_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_cr",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cr.root", root)
+      s.sql("""CREATE TABLE graft_cr.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("r13_chrn_src")
+      s.sql("""INSERT INTO graft_cr.default.ord
+        SELECT * FROM r13_chrn_src WHERE o_orderkey % 2 = 0""")
+      s.sql("ALTER TABLE graft_cr.default.ord RENAME COLUMN o_totalprice TO price")
+      s.sql("""INSERT INTO graft_cr.default.ord
+        SELECT o_orderkey, o_totalprice AS price
+        FROM r13_chrn_src WHERE o_orderkey % 2 = 1""")
+      s.sql("""SELECT _change_type, _commit_version, count(*) AS n,
+        CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_cr.default.`ord$changes`
+        GROUP BY _change_type, _commit_version""")
+    }),
     // RENAME-RECONCILED SQL SCANS (round 13): `ALTER TABLE … RENAME
     // COLUMN` used to make the table unreadable through SQL until a
     // compaction materialized the new name. The catalog scan now
@@ -2647,6 +2675,16 @@ object Relational {
         |FROM orders WHERE o_orderkey NOT IN
         |  (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
         |   67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""".stripMargin,
+    // the rename is a no-emission commit; both generations' inserts
+    // arrive under the evolved name
+    "q_changes_rename" ->
+      """SELECT 'insert' AS _change_type, 1 AS _commit_version, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'insert', 3, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     // the rename-reconciled scan answers as if every file always carried
     // the evolved name
     "q_sql_rename_read" ->

@@ -1720,29 +1720,14 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // time, and governed + renames stays refused below (policies bind
     // evolved names that old files cannot satisfy through the governed
     // reader).
-    val rns = ManifestTable.renames(dir, v)
-    val aliases: Map[String, Seq[String]] =
-      if (rns.isEmpty) Map.empty
-      else {
+    val aliases: Map[String, Seq[String]] = {
+      if (ManifestTable.renames(dir, v).nonEmpty)
         require(ManifestTable.declaredSchema(dir, v).isDefined,
           s"catalog scan of $dir refused: rename markers on a table with " +
             "no declared schema — compact first, or read via " +
             "ManifestTable.read")
-        val anc = scala.collection.mutable.LinkedHashMap[String, List[String]]()
-        rns.foreach { case (from, to) =>
-          anc(to) = from :: anc.remove(from).getOrElse(Nil)
-        }
-        // a rename-source name re-added as a NEW column would alias two
-        // different logical columns onto one physical name (old files'
-        // stats and bytes would serve the wrong one) — refuse loudly
-        val collisions = anc.values.flatten.toSet
-          .intersect(full.fieldNames.toSet)
-        require(collisions.isEmpty,
-          s"catalog scan of $dir refused: column(s) " +
-            s"${collisions.mkString(", ")} reuse a renamed-away name — " +
-            "compact first")
-        anc.toMap
-      }
+      RenameAliases.of(dir, v, full.fieldNames)
+    }
     // MERGE-ON-READ: `#dv` markers serve through the scan itself —
     // readers drop doomed rows in flight (key sets cached per executor),
     // so a MOR-deleted table answers exact SQL without compaction. File
@@ -1876,6 +1861,29 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           s"${maskPairs.size} masks" +
           (if (hasDvs) ", merge-on-read" else "") + ")"
     }
+  }
+}
+
+/** RENAME reconciliation aliases, shared by every generation-aware
+  * reader path (catalog scan, governed scan, change feed): evolved name
+  * → prior names, most recent first, chains collapsed. Refuses loudly
+  * when a rename-source name was re-added as a NEW column — old files'
+  * stats and bytes would alias two different logical columns onto one
+  * physical name. */
+private[sources] object RenameAliases {
+  def of(dir: String, v: Int, currentFields: Seq[String])
+      : Map[String, Seq[String]] = {
+    val rns = ManifestTable.renames(dir, v)
+    if (rns.isEmpty) return Map.empty
+    val anc = scala.collection.mutable.LinkedHashMap[String, List[String]]()
+    rns.foreach { case (from, to) =>
+      anc(to) = from :: anc.remove(from).getOrElse(Nil)
+    }
+    val collisions = anc.values.flatten.toSet.intersect(currentFields.toSet)
+    require(collisions.isEmpty,
+      s"scan of $dir refused: column(s) ${collisions.mkString(", ")} " +
+        "reuse a renamed-away name — compact first")
+    anc.toMap
   }
 }
 
@@ -3599,12 +3607,12 @@ private[sources] class ChangesScanBuilder(dir: String, full: StructType,
         require(Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")),
           s"version $v of $dir is vacuumed — the changes range must start " +
             "at a retained version")
-        // deletion vectors CROSS the feed since round 13 (a MOR delete
-        // commit emits exactly its newly-doomed live rows); renames
-        // still refuse — the diff cannot reconcile name generations
-        require(ManifestTable.renameLines(dir, v).isEmpty,
-          s"$$changes refused: rename markers at version $v — compact first")
       }
+      // deletion vectors AND renames cross the feed (round 13): a MOR
+      // delete commit emits exactly its newly-doomed live rows, and the
+      // END version's rename chain reconciles every generation in range
+      // — old files decode their old physical columns under the evolved
+      // names (values identical by definition of a rename)
       // GOVERNED tables serve a policy-ENFORCED feed (round 13): every
       // emitted row — insert or delete, any commit in range — passes the
       // row filter and masks of the END version's policy, so the feed is
@@ -3614,13 +3622,14 @@ private[sources] class ChangesScanBuilder(dir: String, full: StructType,
       // governance over the history", never a leak of rows an older,
       // looser policy once allowed.
       val governed = ChangesReaderFactory.bindPolicies(dir, end, full, required)
+      val aliases = RenameAliases.of(dir, end, full.fieldNames)
       val parts = (start to end).flatMap(v => ChangesDiff.forVersion(dir, v))
       val reqNow = required
       new Batch {
         override def planInputPartitions(): Array[InputPartition] =
           parts.toArray
         override def createReaderFactory(): PartitionReaderFactory =
-          new ChangesReaderFactory(reqNow, governed)
+          new ChangesReaderFactory(reqNow, governed, aliases)
       }
     }
 
@@ -3757,7 +3766,8 @@ private[sources] object ChangesReaderFactory {
 private[sources] class ChangesReaderFactory(required: StructType,
     governed: Option[(StructType,
       Option[org.apache.spark.sql.catalyst.expressions.Expression],
-      Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = None)
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = None,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   private def isChangeCol(name: String): Boolean =
     name == "_change_type" || name == "_commit_version"
@@ -3802,7 +3812,7 @@ private[sources] class ChangesReaderFactory(required: StructType,
       DvKeyCache.checkFor(path, readSchema2, c) }
     val onlys = p.dvOnly.map { case (path, c) =>
       DvKeyCache.checkFor(path, readSchema2, c) }
-    val rawInner = new ManifestParquetReader(p.file, readSchema2)
+    val rawInner = new ManifestParquetReader(p.file, readSchema2, aliases)
     val inner: PartitionReader[InternalRow] =
       if (drops.isEmpty && onlys.isEmpty && governed.isEmpty) rawInner
       else new PartitionReader[InternalRow] {

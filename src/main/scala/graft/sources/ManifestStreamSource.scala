@@ -267,6 +267,14 @@ private[sources] class ChangesMicroBatchStream(dir: String, full: StructType,
   private val governed =
     ChangesReaderFactory.bindPolicies(dir,
       ManifestTable.currentVersion(dir), full, required)
+  // RENAMES cross the feed too (round 13): the chain pinned at stream
+  // start reconciles every generation; a rename landing mid-stream
+  // refuses per batch (below) — the consumer restarts to pick up the
+  // evolved output schema
+  private val pinnedRenames =
+    ManifestTable.renameLines(dir, ManifestTable.currentVersion(dir))
+  private val aliases =
+    RenameAliases.of(dir, ManifestTable.currentVersion(dir), full.fieldNames)
 
   // set ONLY by prepareForTriggerAvailableNow: an AvailableNow run drains
   // up to the version frozen at start; a ProcessingTime trigger re-reads
@@ -316,6 +324,10 @@ private[sources] class ChangesMicroBatchStream(dir: String, full: StructType,
         ManifestTable.currentVersion(dir)) == pinnedPolicy,
       s"streaming $$changes on $dir: the governance policy changed since " +
         "the stream started — restart the feed to pick up the new policy")
+    require(ManifestTable.renameLines(dir,
+        ManifestTable.currentVersion(dir)) == pinnedRenames,
+      s"streaming $$changes on $dir: a column rename landed since the " +
+        "stream started — restart the feed to pick up the evolved schema")
     // the batch needs every manifest in [from, to] (from is the diff
     // base); a vacuumed version cannot be diffed — re-bootstrap instead
     (math.max(0, from) to to).foreach { v =>
@@ -323,11 +335,9 @@ private[sources] class ChangesMicroBatchStream(dir: String, full: StructType,
           java.nio.file.Paths.get(dir, f"manifest-v$v%08d.json")),
         s"version $v of $dir is vacuumed — restart the feed from a " +
           "retained version")
-      // deletion vectors CROSS the feed since round 13 (ChangesDiff emits
-      // a MOR delete commit's newly-doomed live rows); renames refuse
-      require(ManifestTable.renameLines(dir, v).isEmpty,
-        s"streaming $$changes refused: rename markers at " +
-          s"version $v of $dir — compact first")
+      // deletion vectors and renames both CROSS the feed since round 13
+      // (ChangesDiff emits a MOR delete commit's newly-doomed live rows;
+      // the pinned rename chain reconciles every generation in range)
     }
     (math.max(0, from + 1) to to)
       .flatMap(v => ChangesDiff.forVersion(dir, v): Seq[InputPartition])
@@ -335,7 +345,7 @@ private[sources] class ChangesMicroBatchStream(dir: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangesReaderFactory(required, governed)
+    new ChangesReaderFactory(required, governed, aliases)
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
 

@@ -796,6 +796,58 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("the change feed reconciles renamed columns, batch and streaming") {
+    val root = freshDir("cnr")
+    spark.conf.set("spark.sql.catalog.g13cn",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13cn.root", root)
+    spark.sql("CREATE TABLE g13cn.default.t (k BIGINT, v DOUBLE)")  // v0
+    spark.sql("""INSERT INTO g13cn.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(0, 10)""")                                         // v1
+    spark.sql("ALTER TABLE g13cn.default.t RENAME COLUMN v TO amount") // v2
+    spark.sql("""INSERT INTO g13cn.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS amount
+      FROM range(10, 15)""")                                        // v3
+    // a keyed DELETE declines the fast path under renames and runs as a
+    // row-level delta: the gen-1 file rewrites (old physical names
+    // inside), emitting its rows as delete + survivor re-inserts
+    spark.sql("DELETE FROM g13cn.default.t WHERE k = 5")            // v4
+    val want =
+      (0L until 10L).map(k => ("insert", 1, k, k.toDouble)).toSet ++
+      (10L until 15L).map(k => ("insert", 3, k, k.toDouble)).toSet ++
+      (0L until 10L).map(k => ("delete", 4, k, k.toDouble)).toSet ++
+      ((0L until 10L).toSet - 5L).map(k => ("insert", 4, k, k.toDouble)).toSet
+    val got = spark.sql("""SELECT _change_type, _commit_version, k, amount
+        FROM g13cn.default.`t$changes`""").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"rename-crossing batch feed: missing=${(want -- got).take(6)} " +
+        s"extra=${(got -- want).take(6)}")
+    // streaming: the chain pinned at start serves the same rows
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, Int, Long, Double)]()
+    val q = spark.readStream.table("g13cn.default.`t$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("_change_type", "_commit_version", "k", "amount").collect()
+          .foreach(r => seen.add(
+            (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == want,
+      s"rename-crossing streaming feed: " +
+        s"missing=${(want -- seen.asScala).take(6)} " +
+        s"extra=${(seen.asScala.toSet -- want).take(6)}")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
