@@ -3080,10 +3080,12 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                 // files rewrite their DV-MERGED rows (a doomed row can
                 // never resurrect into a survivor file), and untouched
                 // files keep their markers carried with rewritten
-                // targets struck.
-                require(ManifestTable.renameLines(dir, v).isEmpty,
-                  s"filtered INSERT OVERWRITE on $dir refused: rename " +
-                    "markers present — compact first")
+                // targets struck. RENAMES compose too: survivors re-read
+                // through the reconciling view (old-generation hits
+                // restage MODERNIZED under evolved names), untouched old
+                // files keep reconciling through the carried markers,
+                // and a condition on an evolved name conservatively hits
+                // files with no stat under it — sound, never wrong.
                 require(ManifestTable.policyLines(dir, v).isEmpty,
                   s"filtered INSERT OVERWRITE on governed $dir refused: " +
                     "row deletion under a row-filter policy — use the " +
@@ -3100,10 +3102,12 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                     val cond = conjs.map(conj =>
                       conj.map(StatsFilters.toColumn).reduce(_ && _))
                       .reduce(_ || _)
+                    val fin = ManifestTable.finalNames(dir, v)
                     val statsCols = hit.map(ManifestTable.parseEntry)
                       .flatMap(e => e.ranges.keys ++ e.strRanges.keys)
-                      .distinct
-                    val sv = ManifestTable.readWithDvs(s, dir, v,
+                      .map(c => fin.getOrElse(c, c)) // survivors carry
+                      .distinct                      // evolved names
+                    val sv = ManifestTable.readFilesReconciled(s, dir, v,
                         hit.map(_.split('\t').head))
                       .filter(not(coalesce(cond, lit(false))))
                     ManifestTable.stageWithStats(s, dir, sv, statsCols)
@@ -3113,7 +3117,8 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                 ManifestTable.commitMutate(dir,
                   untouched ++ survivors ++ staged ++
                     ManifestTable.carriedDvLines(dir, v,
-                      survivingNames.toSet) ++ meta, v)
+                      survivingNames.toSet) ++
+                    ManifestTable.renameLines(dir, v) ++ meta, v)
               case (None, true) => // whole-table overwrite (TRUNCATE shape)
                 ManifestTable.commitMutate(dir, staged ++ meta, v)
               case (None, false) => ManifestTable.commit(dir,

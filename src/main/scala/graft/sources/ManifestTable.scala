@@ -1562,6 +1562,31 @@ object ManifestTable {
       names: Seq[String]): DataFrame =
     applyDvs(s, dir, names, dvEntries(dir, v))
 
+  /** Read data files `names` of version `v` with the snapshot's row- and
+    * name-generation state applied: rename markers reconcile old-name
+    * columns into the evolved view, deletion vectors drop doomed rows
+    * (the two never coexist — commit-time invariant). The engine-side
+    * read for partial rewrites (filtered overwrite survivors). */
+  def readFilesReconciled(s: SparkSession, dir: String, v: Int,
+      names: Seq[String]): DataFrame = {
+    val rns = renames(dir, v)
+    if (rns.nonEmpty)
+      applyRenames(s.read.option("mergeSchema", "true")
+        .parquet(names.map(dataPath(dir, _)): _*), rns)
+    else if (dvLines(dir, v).nonEmpty) readWithDvs(s, dir, v, names)
+    else s.read.parquet(names.map(dataPath(dir, _)): _*)
+  }
+
+  /** Each column's FINAL name under version `v`'s rename chain (identity
+    * when unrenamed) — what a rewrite that modernizes old-generation
+    * rows should harvest stats under. */
+  def finalNames(dir: String, v: Int): Map[String, String] =
+    renames(dir, v).foldLeft(Map.empty[String, String]) {
+      case (m, (from, to)) =>
+        m.map { case (k, cur) => (k, if (cur == from) to else cur) } +
+          (from -> to)
+    }
+
   private def applyDvs(s: SparkSession, dir: String, names: Seq[String],
       dvs: Seq[DvEntry]): DataFrame = {
     val groups = names.groupBy(n => dvs.filter(_.targets.contains(n)))

@@ -848,6 +848,37 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("filtered INSERT OVERWRITE composes with renames") {
+    val root = freshDir("fdr")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13fr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13fr.root", root)
+    spark.sql("""CREATE TABLE g13fr.default.t (k BIGINT, yr INT, v DOUBLE)
+      PARTITIONED BY (yr)""")
+    spark.sql("""INSERT INTO g13fr.default.t
+      SELECT id AS k, CASE WHEN id < 50 THEN 1997 ELSE 1998 END AS yr,
+             CAST(id AS DOUBLE) AS v
+      FROM range(0, 100)""")                          // gen-1: k, yr, v
+    spark.sql("ALTER TABLE g13fr.default.t RENAME COLUMN v TO amount")
+    // pre-r13: refused. The 1997 reload rewrites hit files through the
+    // reconciling view; 1998 bystanders keep their old-name files and
+    // the carried markers keep reconciling them.
+    spark.sql("""INSERT OVERWRITE g13fr.default.t PARTITION (yr = 1997)
+      SELECT id AS k, -1.0 AS amount FROM range(0, 30)""")
+    val got = spark.sql("SELECT k, yr, amount FROM g13fr.default.t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val want =
+      (0L until 30L).map(k => (k, 1997, -1.0)).toSet ++
+      (50L until 100L).map(k => (k, 1998, k.toDouble)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(ManifestTable.renameLines(dir,
+      ManifestTable.currentVersion(dir)).nonEmpty,
+      "the overwrite must carry the markers for untouched old-name files")
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
