@@ -879,6 +879,48 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("renames, governance, and the feed compose three ways") {
+    val root = freshDir("mx3")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g13mx",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g13mx.root", root)
+    spark.sql("CREATE TABLE g13mx.default.t (k BIGINT, grp STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO g13mx.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k,
+        CASE WHEN id % 2 = 0 THEN 'hide' ELSE 'show' END AS grp,
+        CAST(id AS DOUBLE) AS v
+      FROM range(0, 20)""")                                        // v1
+    spark.sql("ALTER TABLE g13mx.default.t RENAME COLUMN v TO amount") // v2
+    spark.sql("""INSERT INTO g13mx.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k,
+        CASE WHEN id % 2 = 0 THEN 'hide' ELSE 'show' END AS grp,
+        CAST(id AS DOUBLE) AS amount
+      FROM range(20, 30)""")                                       // v3
+    ManifestTable.setPolicy(dir,
+      masks = Map("amount" -> "amount * 0 + 1"),
+      rowFilter = Some("grp <> 'hide'"))                           // v4
+    // governed + rename-reconciled + the feed, all at once: both
+    // generations emit under the evolved name, masked, filter-hidden
+    // rows absent, the rename and policy commits emit nothing
+    val want =
+      (0L until 20L).filter(_ % 2 == 1).map(k => ("insert", 1, k, 1.0)).toSet ++
+      (20L until 30L).filter(_ % 2 == 1).map(k => ("insert", 3, k, 1.0)).toSet
+    val got = spark.sql("""SELECT _change_type, _commit_version, k, amount
+        FROM g13mx.default.`t$changes`""").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"3-way feed: missing=${(want -- got).take(6)} " +
+        s"extra=${(got -- want).take(6)}")
+    // and the governed SCAN agrees on the final state
+    val scan = spark.sql("SELECT k, amount FROM g13mx.default.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(scan == (0L until 30L).filter(_ % 2 == 1)
+      .map(k => (k, 1.0)).toSet)
+    ManifestTable.destroy(root)
+  }
+
   test("governance composes with merge-on-read: dv filter before policy") {
     val root = freshDir("gmr")
     val dir = s"$root/t"
