@@ -1767,6 +1767,15 @@ object ManifestTable {
     * while expression-bearing declarations that reference the old name
     * (CHECK constraints, generation expressions) REFUSE the rename,
     * the same conservative word-boundary rule the policy guard uses. */
+  /** Refuse renaming TO a name the chain already renamed AWAY: old
+    * files' physical column of that name would mean a DIFFERENT logical
+    * column than new files', an ambiguity no reader can reconcile (the
+    * scan would refuse the table forever) — fail the rename instead. */
+  private def guardRenameTarget(dir: String, v: Int, to: String): Unit =
+    require(!renames(dir, v).exists(_._1 == to),
+      s"rename to '$to' refused: the name was already renamed away and " +
+        "old files still carry it physically — compact first")
+
   private def migrateRenameProps(props: Seq[String],
       declaredJson: Option[String], from: String, to: String): Seq[String] = {
     val nameRe = ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
@@ -1828,6 +1837,7 @@ object ManifestTable {
       require(!policyLines(dir, v).exists(l => nameRe.findFirstIn(l).isDefined),
         s"rename of '$from' refused: a governance policy references it — " +
           "re-declare the policy against the new name first")
+      guardRenameTarget(dir, v, to)
       // the declared schema (empty-table authority) follows the rename
       val evolvedSchema = declaredSchema(dir, v).map { j =>
         val st = org.apache.spark.sql.types.DataType.fromJson(j)
@@ -2061,6 +2071,7 @@ object ManifestTable {
             s"rename of '${r.from}' refused: a governance policy " +
               "references it — re-declare the policy against the new name " +
               "first")
+          guardRenameTarget(dir, v, r.to)
         }
       }
       var props = propLines(dir, v)

@@ -718,6 +718,16 @@ class Round13Spec extends AnyFunSuite {
     }
     assert(messages(e2).contains("generated column"),
       s"expected the generated-column refusal, got: ${messages(e2)}")
+    // renaming TO a renamed-away name would make one physical name mean
+    // two logical columns — refused at rename time, not trap-at-scan
+    spark.sql("CREATE TABLE g13rm.default.w (a BIGINT, c BIGINT)")
+    spark.sql("INSERT INTO g13rm.default.w VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT))")
+    spark.sql("ALTER TABLE g13rm.default.w RENAME COLUMN a TO b")
+    val e3 = intercept[Throwable] {
+      spark.sql("ALTER TABLE g13rm.default.w RENAME COLUMN c TO a")
+    }
+    assert(messages(e3).contains("renamed away"),
+      s"expected the name-reuse refusal, got: ${messages(e3)}")
     ManifestTable.destroy(root)
   }
 
