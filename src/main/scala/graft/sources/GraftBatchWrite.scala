@@ -257,12 +257,13 @@ private[sources] class GraftDeltaWriterFactory(dir: String,
     bucketSpec: Option[(Int, Int)] = None,
     sumCols: Seq[String] = Nil,
     dvByPath: Map[String, Seq[(String, String)]] = Map.empty,
-    ndvCols: Seq[String] = Nil)
+    ndvCols: Seq[String] = Nil,
+    dvAliases: Map[String, Seq[String]] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId,
-      genExprs, bucketSpec, sumCols, dvByPath, ndvCols)
+      genExprs, bucketSpec, sumCols, dvByPath, ndvCols, dvAliases)
 }
 
 private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
@@ -281,7 +282,10 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     // of a targeted file drops dv-doomed survivors alongside the
     // position-doomed ones
     dvByPath: Map[String, Seq[(String, String)]] = Map.empty,
-    ndvCols: Seq[String] = Nil)
+    ndvCols: Seq[String] = Nil,
+    // rename composition: marker key column → its alias family (the
+    // names a rewritten file's footer may physically key under)
+    dvAliases: Map[String, Seq[String]] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   // bucket id (-1 = unbucketed) → its insert file; LinkedHashMap keeps
@@ -449,7 +453,7 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     val repl = doomed.toSeq.map { case (path, bits) =>
       val (newName, rows, sums, ndvs) = GraftDeltaWriter.rewriteDropping(
         dir, path, bits, partitionId, taskId, sumCols,
-        dvByPath.getOrElse(path, Nil), ndvCols)
+        dvByPath.getOrElse(path, Nil), ndvCols, dvAliases)
       newName.filter(_ => sums.nonEmpty)
         .foreach(n => fileSums(n) = sums)
       newName.filter(_ => ndvs.nonEmpty)
@@ -486,18 +490,23 @@ private[sources] object GraftDeltaWriter {
     * reused). Returns (None, 0, empty, empty) when no row survives. */
   def rewriteDropping(dir: String, path: String, doomedBits: java.util.BitSet,
       partitionId: Int, taskId: Long, sumCols: Seq[String] = Nil,
-      dvs: Seq[(String, String)] = Nil, ndvCols: Seq[String] = Nil)
+      dvs: Seq[(String, String)] = Nil, ndvCols: Seq[String] = Nil,
+      dvAliases: Map[String, Seq[String]] = Map.empty)
       : (Option[String], Long, Map[String, BigDecimal],
          Map[String, Array[Byte]]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val mt = ManifestStreamSource.footerSchema(path)
     // dv-doomed key checks against this file's OWN physical encoding —
     // integral or string (the scan builder refused anything else long
-    // before a write was planned); an all-null key cell is never doomed
+    // before a write was planned); an all-null key cell is never doomed.
+    // Under a rename chain the file may key the column under any of its
+    // generation names — resolve through the marker's alias family.
     val dvChecks: Seq[Group => Boolean] =
       dvs.map { case (dvPath, col) =>
+        val fam = dvAliases.getOrElse(col, Seq(col))
         val i = (0 until mt.getFieldCount)
-          .find(j => mt.getFieldName(j) == col && mt.getType(j).isPrimitive)
+          .find(j => fam.contains(mt.getFieldName(j)) &&
+            mt.getType(j).isPrimitive)
           .getOrElse(throw new IllegalStateException(
             s"rewrite of $path: deletion-vector key column '$col' absent"))
         mt.getType(i).asPrimitiveType().getPrimitiveTypeName match {

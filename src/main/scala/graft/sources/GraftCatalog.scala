@@ -458,10 +458,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           "DROP COLUMN supports top-level columns only")
         // a live deletion vector KEYS on its column: dropping it would
         // leave the MOR scan (and compaction's anti-join) without the
-        // column that reconstructs the deletes — brick, not a drop
-        require(ManifestTable.dvEntries(dir, ManifestTable.currentVersion(dir))
-            .forall(_.col != dc.fieldNames().head),
-          s"DROP COLUMN '${dc.fieldNames().head}' refused: a live " +
+        // column that reconstructs the deletes — brick, not a drop.
+        // Markers key under their DELETE-TIME name; compare under the
+        // evolved name, which is what a DROP statement can reference.
+        require({
+          val vNow = ManifestTable.currentVersion(dir)
+          ManifestTable.dvEntries(dir, vNow).forall(d =>
+            ManifestTable.aliasFamily(dir, vNow, d.col).head !=
+              dc.fieldNames().head)
+        }, s"DROP COLUMN '${dc.fieldNames().head}' refused: a live " +
             "deletion vector keys on it — compact first")
         Seq(ManifestTable.AlterOp.DropCol(dc.fieldNames().head),
           ManifestTable.AlterOp.SetProp(
@@ -1289,15 +1294,18 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
-    // keyed fast-path deletes decline under renames (the CoW rewrite and
-    // the MOR stats-prune both key on physical names) — Spark falls back
-    // to the row-level delta plan, which reconciles generations
+    // the COPY-ON-WRITE keyed fast path declines under renames (its
+    // rewrite keys on a single generation's physical names) — Spark
+    // falls back to the row-level delta plan, which reconciles
+    // generations. The MOR paths COMPOSE with renames (round 14): the
+    // stats prune walks the key column's alias family and the marker
+    // stages under the evolved name.
     def renamed: Boolean = ManifestTable.renameLines(dir,
       ManifestTable.currentVersion(dir)).nonEmpty
     pinned.isEmpty && !governed &&
       (isTruncate(filters) ||
-        (!renamed && (parseDelete(filters).isDefined ||
-          (parseDeleteStr(filters).isDefined && morMode))))
+        (parseDelete(filters).isDefined && (morMode || !renamed)) ||
+        (parseDeleteStr(filters).isDefined && morMode))
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -1716,10 +1724,11 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // names (most recent first, chains collapsed); executor readers
     // decode whichever generation each file carries. Requires a declared
     // schema (the evolved names' authority — always present for
-    // catalog-created tables); DV × rename mixing is refused at write
-    // time, and governed + renames stays refused below (policies bind
-    // evolved names that old files cannot satisfy through the governed
-    // reader).
+    // catalog-created tables). Deletion vectors COMPOSE (round 14): a
+    // marker records its key column under its delete-time name, which
+    // always matches the staged key parquet; readers resolve it to the
+    // evolved name for typing/ordinals and decode each data file's own
+    // generation through the alias chain.
     val aliases: Map[String, Seq[String]] = {
       if (ManifestTable.renames(dir, v).nonEmpty)
         require(ManifestTable.declaredSchema(dir, v).isDefined,
@@ -1737,10 +1746,13 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // the in-flight filter reconstructs keys as sorted longs or raw
     // UTF-8 byte arrays, so every DV key column must be integral or
     // string in the declared schema — anything else keeps the old
-    // compact-first refusal instead of silently serving deleted rows
+    // compact-first refusal instead of silently serving deleted rows.
+    // A marker created before a rename keys under the OLD name: resolve
+    // to the evolved name for the type check and the decode fields.
     dvs.map(_.col).distinct.foreach { c =>
       import org.apache.spark.sql.types._
-      val ok = full.fields.find(_.name == c).map(_.dataType).exists {
+      val ec = RenameAliases.evolvedOf(aliases, c)
+      val ok = full.fields.find(_.name == ec).map(_.dataType).exists {
         case LongType | IntegerType | ShortType | ByteType | StringType => true
         case _ => false
       }
@@ -1756,7 +1768,9 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           if (app.isEmpty) None else Some(e.name -> app)
         }.toMap
     val dvFields: Seq[StructField] =
-      dvs.map(_.col).distinct.flatMap(c => full.fields.find(_.name == c))
+      dvs.map(_.col).distinct
+        .map(RenameAliases.evolvedOf(aliases, _)).distinct
+        .flatMap(c => full.fields.find(_.name == c))
     val pols = ManifestTable.policyLines(dir, v).map(_.split('\t'))
     if (pols.nonEmpty)
       // governed table: serve a policy-ENFORCING scan (filter-then-mask,
@@ -1871,6 +1885,22 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   * stats and bytes would alias two different logical columns onto one
   * physical name. */
 private[sources] object RenameAliases {
+  /** The EVOLVED name of a column recorded under any generation's name
+    * `name` — identity when unrenamed. The reverse lookup of [[of]]'s
+    * map; unambiguous because reusing a renamed-away name refuses. */
+  def evolvedOf(aliases: Map[String, Seq[String]], name: String): String =
+    aliases.collectFirst {
+      case (to, priors) if priors.contains(name) => to
+    }.getOrElse(name)
+
+  /** Every name the logical column `name` has carried, evolved name
+    * first — the candidate set for resolving it against any single
+    * file generation's physical schema. */
+  def family(aliases: Map[String, Seq[String]], name: String): Seq[String] = {
+    val e = evolvedOf(aliases, name)
+    e +: aliases.getOrElse(e, Nil)
+  }
+
   def of(dir: String, v: Int, currentFields: Seq[String])
       : Map[String, Seq[String]] = {
     val rns = ManifestTable.renames(dir, v)
@@ -1972,14 +2002,15 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
       case ManifestFilePartition(f) => (f, Nil)
       case DvFilePartition(f, ds) => (f, ds)
     }
-    val extra = dvs.map(_._2).distinct
+    val extra = dvs.map(d => RenameAliases.evolvedOf(aliases, d._2)).distinct
       .filterNot(readSchema.fieldNames.contains)
       .flatMap(c => dvFields.find(_.name == c))
     val decodeSchema2 = StructType(readSchema.fields ++ extra)
     val base = new ManifestParquetReader(file, decodeSchema2, aliases)
     val dvChecks: Seq[InternalRow => Boolean] =
       dvs.map { case (dvPath, c) =>
-        DvKeyCache.checkFor(dvPath, decodeSchema2, c) }
+        DvKeyCache.checkFor(dvPath, decodeSchema2,
+          RenameAliases.evolvedOf(aliases, c), c) }
     new PartitionReader[InternalRow] {
       private lazy val pred = filter.map(
         org.apache.spark.sql.catalyst.expressions.Predicate.create(_))
@@ -2582,26 +2613,31 @@ private[sources] object DvKeyCache {
     * `schema`, backed by the cached key set of `path` — the one dispatch
     * point every DV-merging reader (catalog scan, delta rewrite scan,
     * change feed, governed scan) shares. An all-null key cell is never
-    * doomed. */
+    * doomed. `fileCol` is the column's name INSIDE the key parquet —
+    * the marker's delete-time name; it differs from `col` when the key
+    * column was renamed after the delete (`col` is then the evolved
+    * name the decode schema carries). */
   def checkFor(path: String, schema: org.apache.spark.sql.types.StructType,
-      col: String): org.apache.spark.sql.catalyst.InternalRow => Boolean = {
+      col: String, fileCol: String = null)
+      : org.apache.spark.sql.catalyst.InternalRow => Boolean = {
     import org.apache.spark.sql.types._
+    val kc = if (fileCol == null) col else fileCol
     val i = schema.fieldIndex(col)
     schema(i).dataType match {
       case LongType =>
-        val ks = doomed(path, col)
+        val ks = doomed(path, kc)
         r => !r.isNullAt(i) && contains(ks, r.getLong(i))
       case IntegerType =>
-        val ks = doomed(path, col)
+        val ks = doomed(path, kc)
         r => !r.isNullAt(i) && contains(ks, r.getInt(i).toLong)
       case ShortType =>
-        val ks = doomed(path, col)
+        val ks = doomed(path, kc)
         r => !r.isNullAt(i) && contains(ks, r.getShort(i).toLong)
       case ByteType =>
-        val ks = doomed(path, col)
+        val ks = doomed(path, kc)
         r => !r.isNullAt(i) && contains(ks, r.getByte(i).toLong)
       case StringType =>
-        val ks = doomedBytes(path, col)
+        val ks = doomedBytes(path, kc)
         r => !r.isNullAt(i) && containsBytes(ks, r.getUTF8String(i).getBytes)
       case other => throw new IllegalStateException(
         s"deletion vector keyed on unsupported $other column")
@@ -2625,13 +2661,17 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
   private def dvReader(f: String, dvs: Seq[(String, String)])
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.catalyst.InternalRow
-    val extra = dvs.map(_._2).distinct
+    // marker key columns resolve to their EVOLVED names (a marker
+    // created before a rename keys under the old one); the alias-aware
+    // decode serves them from whichever generation this file carries
+    val extra = dvs.map(d => RenameAliases.evolvedOf(aliases, d._2)).distinct
       .filterNot(required.fieldNames.contains)
       .flatMap(c => dvFields.find(_.name == c))
     val readSchema2 = StructType(required.fields ++ extra)
     val inner = new ManifestParquetReader(f, readSchema2, aliases)
     val checks: Seq[InternalRow => Boolean] =
-      dvs.map { case (dvPath, c) => DvKeyCache.checkFor(dvPath, readSchema2, c) }
+      dvs.map { case (dvPath, c) => DvKeyCache.checkFor(dvPath, readSchema2,
+        RenameAliases.evolvedOf(aliases, c), c) }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = {
@@ -3362,20 +3402,28 @@ private[sources] class GraftDeltaOperation(dir: String,
     // ALSO drop the dv-doomed survivors of its file — a position-only
     // copy would RESURRECT logically-deleted rows into the replacement
     // file (which the adjusted markers no longer target)
-    val dvByPath: Map[String, Seq[(String, String)]] = {
-      // the PINNED scan version: the rewrite must materialize exactly the
-      // markers the statement's scan merged — a concurrent MOR delete
-      // landing mid-statement is the committer's rebase-refusal case,
-      // not something to half-apply here
-      val v = if (baseVersion >= 0) baseVersion
-        else ManifestTable.currentVersion(dir)
-      val dvs = ManifestTable.dvEntries(dir, v)
-      if (dvs.isEmpty) Map.empty
-      else dvs.flatMap(d => d.targets.toSeq.map(t =>
+    // the PINNED scan version: the rewrite must materialize exactly the
+    // markers the statement's scan merged — a concurrent MOR delete
+    // landing mid-statement is the committer's rebase-refusal case,
+    // not something to half-apply here
+    val pinV = if (baseVersion >= 0) baseVersion
+      else ManifestTable.currentVersion(dir)
+    val pinDvs = ManifestTable.dvEntries(dir, pinV)
+    val dvByPath: Map[String, Seq[(String, String)]] =
+      if (pinDvs.isEmpty) Map.empty
+      else pinDvs.flatMap(d => d.targets.toSeq.map(t =>
           ManifestTable.dataPath(dir, t) ->
             ((ManifestTable.dataPath(dir, d.file), d.col))))
         .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
-    }
+    // rename composition: each marker key column's full alias family —
+    // the candidate names under which a rewritten file's own footer may
+    // physically carry the key (older or newer generation than the
+    // marker's delete-time name)
+    val dvAliases: Map[String, Seq[String]] =
+      if (pinDvs.isEmpty || ManifestTable.renames(dir, pinV).isEmpty)
+        Map.empty
+      else pinDvs.map(_.col).distinct
+        .map(c => c -> ManifestTable.aliasFamily(dir, pinV, c)).toMap
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite
           with RequiresDistributionAndOrdering {
@@ -3403,7 +3451,7 @@ private[sources] class GraftDeltaOperation(dir: String,
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
             new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx,
-              genExprs, bucketSpec, sumCols, dvByPath, ndvCols)
+              genExprs, bucketSpec, sumCols, dvByPath, ndvCols, dvAliases)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             GraftDeltaCommitter.commit(tableDir, pinnedV(), messages,
               () => Option(lastScan).flatMap(_.admittedFiles))
@@ -3793,12 +3841,19 @@ private[sources] class ChangesReaderFactory(required: StructType,
     // schema needed), appended after the decoded data columns so their
     // ordinals are untouched. `dvOnly` emits exactly the newly-doomed
     // rows; `dvDrop` suppresses rows a prior marker already doomed.
-    val dvCols = (p.dvDrop ++ p.dvOnly).map(_._2).distinct
+    // a marker created before a rename keys under the OLD name: decode
+    // under the EVOLVED name (the alias-aware reader resolves each data
+    // file's own generation), typed from whichever family member this
+    // file's footer physically carries
+    val dvCols = (p.dvDrop ++ p.dvOnly).map(_._2)
+      .map(RenameAliases.evolvedOf(aliases, _)).distinct
       .filterNot(decodeBase.fieldNames.contains)
     val footer = ManifestStreamSource.footerSchema(p.file)
     val extra: Seq[StructField] = dvCols.map { c =>
+      val fam = RenameAliases.family(aliases, c)
       val i = (0 until footer.getFieldCount)
-        .find(j => footer.getFieldName(j) == c && footer.getType(j).isPrimitive)
+        .find(j => fam.contains(footer.getFieldName(j)) &&
+          footer.getType(j).isPrimitive)
         .getOrElse(throw new IllegalStateException(
           s"$$changes: deletion-vector key column '$c' absent from ${p.file}"))
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -3814,9 +3869,11 @@ private[sources] class ChangesReaderFactory(required: StructType,
     }
     val readSchema2 = StructType(decodeBase.fields ++ extra)
     val drops = p.dvDrop.map { case (path, c) =>
-      DvKeyCache.checkFor(path, readSchema2, c) }
+      DvKeyCache.checkFor(path, readSchema2,
+        RenameAliases.evolvedOf(aliases, c), c) }
     val onlys = p.dvOnly.map { case (path, c) =>
-      DvKeyCache.checkFor(path, readSchema2, c) }
+      DvKeyCache.checkFor(path, readSchema2,
+        RenameAliases.evolvedOf(aliases, c), c) }
     val rawInner = new ManifestParquetReader(p.file, readSchema2, aliases)
     val inner: PartitionReader[InternalRow] =
       if (drops.isEmpty && onlys.isEmpty && governed.isEmpty) rawInner

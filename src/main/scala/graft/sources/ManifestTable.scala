@@ -372,12 +372,7 @@ object ManifestTable {
           org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType]))
         .getOrElse(s.emptyDataFrame)
-    val rns = renames(dir, v)
-    if (rns.nonEmpty) // rename markers ⟹ no DVs (commit-time invariant)
-      applyRenames(s.read.option("mergeSchema", "true")
-        .parquet(listFiles(dir, v).map(dataPath(dir, _)): _*), rns)
-    else if (dvLines(dir, v).nonEmpty) readWithDvs(s, dir, v, listFiles(dir, v))
-    else s.read.parquet(listFiles(dir, v).map(dataPath(dir, _)): _*)
+    readFilesReconciled(s, dir, v, listFiles(dir, v))
   }
 
   /** Atomically publish version `expected + 1` = `files`. True on success,
@@ -1557,23 +1552,26 @@ object ManifestTable {
   /** Read data files `names` of version `v` with every applicable deletion
     * vector applied. Files are grouped by the exact DV set targeting them;
     * untargeted files scan clean, targeted groups anti-join against the
-    * (broadcast, O(deleted keys)) DV key sets. */
+    * (broadcast, O(deleted keys)) DV key sets. Rename markers compose
+    * (round 14): each group reconciles into the evolved view FIRST, then
+    * anti-joins on the key column's evolved name — key values are
+    * rename-invariant, so dooming on the evolved view is exact. */
   def readWithDvs(s: SparkSession, dir: String, v: Int,
       names: Seq[String]): DataFrame =
-    applyDvs(s, dir, names, dvEntries(dir, v))
+    applyDvs(s, dir, names, dvEntries(dir, v), renames(dir, v))
 
   /** Read data files `names` of version `v` with the snapshot's row- and
     * name-generation state applied: rename markers reconcile old-name
-    * columns into the evolved view, deletion vectors drop doomed rows
-    * (the two never coexist — commit-time invariant). The engine-side
-    * read for partial rewrites (filtered overwrite survivors). */
+    * columns into the evolved view, deletion vectors drop doomed rows —
+    * composing freely since round 14. The engine-side read for partial
+    * rewrites (filtered overwrite survivors). */
   def readFilesReconciled(s: SparkSession, dir: String, v: Int,
       names: Seq[String]): DataFrame = {
     val rns = renames(dir, v)
-    if (rns.nonEmpty)
+    if (dvLines(dir, v).nonEmpty) readWithDvs(s, dir, v, names)
+    else if (rns.nonEmpty)
       applyRenames(s.read.option("mergeSchema", "true")
         .parquet(names.map(dataPath(dir, _)): _*), rns)
-    else if (dvLines(dir, v).nonEmpty) readWithDvs(s, dir, v, names)
     else s.read.parquet(names.map(dataPath(dir, _)): _*)
   }
 
@@ -1588,16 +1586,31 @@ object ManifestTable {
     }
 
   private def applyDvs(s: SparkSession, dir: String, names: Seq[String],
-      dvs: Seq[DvEntry]): DataFrame = {
+      dvs: Seq[DvEntry], rns: Seq[(String, String)] = Nil): DataFrame = {
+    // a marker's key column is recorded under its name AT DELETE TIME
+    // (it always matches the staged key parquet's physical column);
+    // under a subsequent rename the anti-join runs on the EVOLVED name —
+    // sound because the marker keyed a then-live column, so only renames
+    // AFTER the delete can touch its name and the full chain resolves it
+    val fin = rns.foldLeft(Map.empty[String, String]) {
+      case (m, (from, to)) =>
+        m.map { case (k, cur) => (k, if (cur == from) to else cur) } +
+          (from -> to)
+    }
     val groups = names.groupBy(n => dvs.filter(_.targets.contains(n)))
     groups.map { case (applicable, files) =>
-      val base = s.read.parquet(files.map(dataPath(dir, _)): _*)
+      val raw =
+        if (rns.isEmpty) s.read.parquet(files.map(dataPath(dir, _)): _*)
+        else s.read.option("mergeSchema", "true")
+          .parquet(files.map(dataPath(dir, _)): _*)
+      val base = applyRenames(raw, rns)
       applicable.foldLeft(base) { (df, dv) =>
+        val evolved = fin.getOrElse(dv.col, dv.col)
         val keys = s.read.parquet(dataPath(dir, dv.file))
-          .select(org.apache.spark.sql.functions.col(dv.col))
-        df.join(broadcast(keys), Seq(dv.col), "left_anti")
+          .select(org.apache.spark.sql.functions.col(dv.col).as(evolved))
+        df.join(broadcast(keys), Seq(evolved), "left_anti")
       }
-    }.reduce(_ unionAll _)
+    }.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   private def parseDvLine(l: String): DvEntry = {
@@ -1614,6 +1627,19 @@ object ManifestTable {
     * snapshot isolation, and vacuum semantics are unchanged, and
     * [[compact]] later materializes the delete physically. Returns the new
     * version (current if no file can hold any key). */
+  /** The names a logical column has carried across version `v`'s rename
+    * chain, evolved name first: stats of pre-rename files live under the
+    * OLD names, so alias-aware pruning looks the column up under every
+    * generation's name (each file records at most one of them). `col`
+    * may be given under any generation; it normalizes to the evolved
+    * name first. */
+  private[sources] def aliasFamily(dir: String, v: Int,
+      col: String): Seq[String] = {
+    val fin = finalNames(dir, v)
+    val evolved = fin.getOrElse(col, col)
+    evolved +: fin.collect { case (from, to) if to == evolved => from }.toSeq
+  }
+
   def deleteKeysMOR(s: SparkSession, dir: String, col: String,
       keys: Seq[Long], maxRetries: Int = 10): Int = {
     import s.implicits._
@@ -1621,21 +1647,26 @@ object ManifestTable {
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to delete from in $dir")
-      require(renameLines(dir, v).isEmpty,
-        "MOR delete under a pending rename is refused — compact first")
+      // rename markers compose (round 14): pre-rename files record their
+      // stats under OLD names, so pruning consults the whole alias
+      // family; the key parquet stages under the EVOLVED name, which is
+      // what the marker records and readers resolve per file generation
+      val family = aliasFamily(dir, v, col)
+      val evolved = family.head
       val entries = listLines(dir, v).map(parseEntry)
       val affected = entries.filter { e =>
-        e.ranges.get(col).forall(r =>
+        family.flatMap(e.ranges.get).headOption.forall(r =>
           keys.exists(x => BigDecimal(x) >= r.min && BigDecimal(x) <= r.max)) &&
-        e.blooms.get(col).forall(bf =>
+        family.flatMap(e.blooms.get).headOption.forall(bf =>
           keys.exists(x => graft.functions.BloomSketch.contains(bf, x)))
       }
       if (affected.isEmpty) return v // nothing can hold the keys: no-op
-      val dvFile = stage(s, dir, keys.toDF(col).coalesce(1))
+      val dvFile = stage(s, dir, keys.toDF(evolved).coalesce(1))
       require(dvFile.size == 1)
-      val dv = encodeDv(DvEntry(dvFile.head, col, affected.map(_.name).toSet))
+      val dv = encodeDv(DvEntry(dvFile.head, evolved,
+        affected.map(_.name).toSet))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        carriedMeta(dir, v) :+ dv
+        renameLines(dir, v) ++ carriedMeta(dir, v) :+ dv
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1 // lost the race; the staged DV stays a harmless orphan
     }
@@ -1657,22 +1688,23 @@ object ManifestTable {
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to delete from in $dir")
-      require(renameLines(dir, v).isEmpty,
-        "MOR delete under a pending rename is refused — compact first")
+      val family = aliasFamily(dir, v, col)
+      val evolved = family.head
       val entries = listLines(dir, v).map(parseEntry)
       val affected = entries.filter { e =>
-        e.strRanges.get(col).forall { case (lo, hi) =>
+        family.flatMap(e.strRanges.get).headOption.forall { case (lo, hi) =>
           keyBytes.exists(x =>
             java.util.Arrays.compareUnsigned(lo, x) <= 0 &&
               java.util.Arrays.compareUnsigned(x, hi) <= 0)
         }
       }
       if (affected.isEmpty) return v // nothing can hold the keys: no-op
-      val dvFile = stage(s, dir, keys.toDF(col).coalesce(1))
+      val dvFile = stage(s, dir, keys.toDF(evolved).coalesce(1))
       require(dvFile.size == 1)
-      val dv = encodeDv(DvEntry(dvFile.head, col, affected.map(_.name).toSet))
+      val dv = encodeDv(DvEntry(dvFile.head, evolved,
+        affected.map(_.name).toSet))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        carriedMeta(dir, v) :+ dv
+        renameLines(dir, v) ++ carriedMeta(dir, v) :+ dv
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1 // lost the race; the staged DV stays a harmless orphan
     }
@@ -1721,7 +1753,8 @@ object ManifestTable {
           encodeDv(DvEntry(staged.head, c, targets.toSet))
         }
       }
-      val body = listLines(dir, v) ++ newLines ++ carriedMeta(dir, v)
+      val body = listLines(dir, v) ++ newLines ++
+        renameLines(dir, v) ++ carriedMeta(dir, v)
       if (commitRewrite(dir, body, v)) return v + 1
       attempt += 1 // lost the race; staged unions stay harmless orphans
     }
@@ -1827,8 +1860,6 @@ object ManifestTable {
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to rename in $dir")
-      require(dvLines(dir, v).isEmpty,
-        "rename under deletion vectors is refused — compact first")
       // a policy referencing the renamed column would silently stop
       // matching the evolved view — refuse rather than mis-govern
       // (word-boundary match is conservative: false refusals possible,
@@ -1846,7 +1877,12 @@ object ManifestTable {
           if (f.name == from) f.copy(name = to) else f))
         s"$SchemaPrefix${renamed.json}"
       }.toSeq
-      val body = listLines(dir, v) ++ renameLines(dir, v) ++
+      // live deletion vectors carry VERBATIM (round 14): a marker's key
+      // column keeps its name AT DELETE TIME — that name always matches
+      // the staged key parquet's physical column, and readers resolve it
+      // to the evolved name through the rename chain per file generation
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++
+        renameLines(dir, v) ++
         policyLines(dir, v) ++
         migrateRenameProps(propLines(dir, v), declaredSchema(dir, v),
           from, to) ++
@@ -2061,8 +2097,6 @@ object ManifestTable {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to alter in $dir")
       if (renameOps.nonEmpty) {
-        require(dvLines(dir, v).isEmpty,
-          "rename under deletion vectors is refused — compact first")
         renameOps.foreach { r =>
           val nameRe =
             ("\\b" + java.util.regex.Pattern.quote(r.from) + "\\b").r
@@ -2164,10 +2198,10 @@ object ManifestTable {
       }.filter(_ => declaredSchema(dir, v).isDefined || addOps.nonEmpty ||
           dropOps.nonEmpty || widenOps.nonEmpty)
         .toSeq
-      // DVs carry through property-only alters; with renames they are
-      // required empty above (the DV×rename refusal, both directions)
-      val dvs = if (renameOps.nonEmpty) Seq.empty else dvLines(dir, v)
-      val body = listLines(dir, v) ++ dvs ++ renameLines(dir, v) ++
+      // DVs carry VERBATIM through every alter, renames included (round
+      // 14): a marker's key column keeps its delete-time name — readers
+      // resolve it to the evolved name through the rename chain
+      val body = listLines(dir, v) ++ dvLines(dir, v) ++ renameLines(dir, v) ++
         renameOps.map(r => s"#rename\t${r.from}\t${r.to}") ++
         policyLines(dir, v) ++ props ++ evolvedSchema ++ epochLines(dir, v)
       val ok =
@@ -2226,8 +2260,14 @@ object ManifestTable {
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to upsert into in $dir")
-      require(renameLines(dir, v).isEmpty,
-        "MOR upsert under a pending rename is refused — compact first")
+      // rename markers compose (round 14): the batch arrives under the
+      // EVOLVED names (it must — it inserts as the new generation), and
+      // pre-rename files' stats are consulted under the key column's
+      // whole alias family
+      val keyFamily = aliasFamily(dir, v, col)
+      require(keyFamily.head == col,
+        s"upsertMOR key column '$col' was renamed to '${keyFamily.head}' — " +
+          "upsert under the evolved name")
       // target = files whose recorded range intersects the batch key span
       // (1-row bound collect; no key list reaches the driver)
       val span = batch.agg(fmin(c(col)), fmax(c(col))).head()
@@ -2248,7 +2288,8 @@ object ManifestTable {
       }
       val (lo, hi) = (num(span.get(0)), num(span.get(1)))
       val affected = listLines(dir, v).map(parseEntry)
-        .filter(_.ranges.get(col).forall(r => r.max >= lo && r.min <= hi))
+        .filter(e => keyFamily.flatMap(e.ranges.get).headOption
+          .forall(r => r.max >= lo && r.min <= hi))
         .map(_.name).toSet
       val dvFiles = stage(s, dir, batch.select(c(col)).distinct())
       val dataFiles = stageWithStats(s, dir, batch, Seq(col))
@@ -2256,7 +2297,7 @@ object ManifestTable {
         if (affected.isEmpty) Seq.empty // pure insert: nothing to doom
         else dvFiles.map(f => encodeDv(DvEntry(f, col, affected)))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        carriedMeta(dir, v) ++ dataFiles ++ markers
+        renameLines(dir, v) ++ carriedMeta(dir, v) ++ dataFiles ++ markers
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }
@@ -2632,15 +2673,10 @@ object ManifestTable {
       if (small.isEmpty) return v
       // DV-aware read MATERIALIZES deletes into the rewritten files; the
       // untouched big files keep their (intersected) markers below. Under
-      // a rename chain (no DVs then, by invariant) the rewrite reads the
-      // EVOLVED view, so rewritten files carry the new names while the
-      // carried markers keep reconciling the untouched old ones.
-      val rns = renames(dir, v)
-      val df =
-        if (rns.nonEmpty)
-          applyRenames(s.read.option("mergeSchema", "true").parquet(
-            small.map(l => dataPath(dir, l.split('\t').head)): _*), rns)
-        else readWithDvs(s, dir, v, small.map(_.split('\t').head))
+      // a rename chain the rewrite reads the EVOLVED view, so rewritten
+      // files carry the new names while the carried markers keep
+      // reconciling the untouched old ones — DVs and renames compose.
+      val df = readFilesReconciled(s, dir, v, small.map(_.split('\t').head))
       val laid = zorderBy match {
         case Seq(a, b) =>
           df.withColumn("__zkey",

@@ -1090,10 +1090,19 @@ class ManifestTableSpec extends AnyFunSuite {
     // chained rename still reconciles all three generations of labels
     ManifestTable.renameColumn(dir, "price", "list_price")
     assert(ManifestTable.read(spark, dir).columns.contains("list_price"))
-    // targeted DML refuses under a pending rename (the honest matrix)
-    intercept[IllegalArgumentException] {
-      ManifestTable.deleteKeysMOR(spark, dir, "p_partkey", Seq(2L))
-    }
+    // MOR delete COMPOSES with the pending rename chain (round 14): the
+    // marker stages under the evolved name, pre-rename files prune via
+    // the alias family, and the read drops the doomed row across all
+    // generations without compaction
+    val vMor = ManifestTable.deleteKeysMOR(spark, dir, "p_partkey", Seq(2L))
+    assert(ManifestTable.dvLines(dir, vMor).nonEmpty &&
+      ManifestTable.renameLines(dir, vMor).nonEmpty)
+    assert(ManifestTable.read(spark, dir)
+      .filter(col("p_partkey") === 2L).count() == 0)
+    // undo via restore so the totals below stay the original ones
+    ManifestTable.restore(dir, vMor - 1)
+    // copy-on-write targeted delete keeps the honest refusal (its rewrite
+    // is keyed single-generation; the delta SQL path composes instead)
     intercept[IllegalArgumentException] {
       ManifestTable.deleteKeys(spark, dir, "p_partkey", Seq(2L))
     }

@@ -97,7 +97,8 @@ class Round11Spec extends AnyFunSuite {
     val dir = s"$root/t"
     val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
     ManifestTable.merge(spark, dir, ev, Seq("event_id"))
-    // a deletion vector makes any RENAME COLUMN refuse
+    // a deletion vector makes DROP COLUMN of its key refuse (renames now
+    // compose with DVs — round 14 — so the atomicity probe uses the drop)
     ManifestTable.deleteKeysMOR(spark, dir, "event_id", Seq(1L))
     val cat = new graft.sources.GraftCatalog
     cat.initialize("g11alt",
@@ -107,7 +108,7 @@ class Round11Spec extends AnyFunSuite {
     intercept[Exception] {
       cat.alterTable(ident,
         TableChange.setProperty("a", "1"),
-        TableChange.renameColumn(Array("user_id"), "uid")) // refused: DVs
+        TableChange.deleteColumn(Array("event_id"), false)) // refused: DV key
     }
     assert(ManifestTable.currentVersion(dir) == vBefore,
       "a refused change must not leave an earlier change committed")

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 surfaces: deletion vectors COMPOSING with column renames in
+  * both directions (the last separated halves of the DML story), with
+  * the change feed, governance, and maintenance crossing the composed
+  * state without compaction. */
+class Round14Spec extends AnyFunSuite {
+  import TestSpark._
+  import sources.ManifestTable
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_r14_${tag}_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(d)
+    d
+  }
+
+  test("MOR delete → rename → MERGE → change feed, no compaction") {
+    val root = freshDir("life")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g14lf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14lf.root", root)
+    spark.sql("""CREATE TABLE g14lf.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g14lf.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(0, 10)""")                                 // v1: file A
+    spark.sql("""INSERT INTO g14lf.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(10, 20)""")                                // v2: file B
+    // MOR delete first: #dv marker keyed on the PRE-RENAME name "k"
+    spark.sql("DELETE FROM g14lf.default.t WHERE k IN (3, 12)") // v3
+    assert(ManifestTable.dvEntries(dir, 3).nonEmpty, "fixture: a #dv")
+    // then rename the DV KEY COLUMN (the reference's rename projection
+    // feeding its MERGE loop: etl_spark_historical.py:182-190,302-333)
+    spark.sql("ALTER TABLE g14lf.default.t RENAME COLUMN k TO id")  // v4
+    assert(ManifestTable.dvEntries(dir, 4).exists(_.col == "k"),
+      "the marker keeps its delete-time name")
+    // scans serve the composed state: doomed rows gone, evolved names
+    assert(spark.sql("SELECT id FROM g14lf.default.t")
+      .collect().map(_.getLong(0)).toSet ==
+      ((0L until 20L).toSet -- Set(3L, 12L)))
+    // MERGE straight onto the DV+rename table: update a live key,
+    // re-insert a doomed one, insert a new one — no compaction
+    spark.sql("""SELECT * FROM VALUES
+        (CAST(1 AS BIGINT), -1.0), (CAST(3 AS BIGINT), -3.0),
+        (CAST(1000 AS BIGINT), -10.0)
+      AS s(id, v)""").createOrReplaceTempView("r14_life_batch")
+    spark.sql("""MERGE INTO g14lf.default.t t USING r14_life_batch s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")                    // v5
+    val vM = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.renameLines(dir, vM).nonEmpty,
+      "the rename chain survives the MERGE")
+    val after = spark.sql("SELECT id, v FROM g14lf.default.t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(after.size == 20, s"18 survivors + re-inserted 3 + new 1000")
+    assert(after(1L) == -1.0 && after(3L) == -3.0 && after(1000L) == -10.0)
+    assert(!after.contains(12L), "the un-touched doomed key stays dead")
+    assert(after(5L) == 5.0, "untouched rows keep their values")
+    // the change feed crosses the whole composed history under the
+    // EVOLVED name, and its running sum reconstructs the live set
+    val feed = spark.sql(
+      """SELECT _change_type, _commit_version, id
+         FROM g14lf.default.`t$changes`""")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(feed.filter(_._2 == 3).map(e => (e._1, e._3)).toSet ==
+      Set(("delete", 3L), ("delete", 12L)).map(p => (p._1, p._2)),
+      "the MOR delete emits exactly its doomed live rows")
+    assert(!feed.exists(_._2 == 4), "the rename is metadata-only: no rows")
+    val live = feed.groupBy(_._3).collect {
+      case (k, evs) if evs.count(_._1 == "insert") >
+        evs.count(_._1 == "delete") => k
+    }.toSet
+    assert(live == after.keySet,
+      s"feed-reconstructed live set must equal the table: " +
+        s"feedOnly=${(live -- after.keySet).take(5)} " +
+        s"tableOnly=${(after.keySet -- live).take(5)}")
+    ManifestTable.destroy(root)
+  }
+
+  test("rename → MOR delete (int SQL, string GDPR) → governed read") {
+    val root = freshDir("rgd")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g14rg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14rg.root", root)
+    spark.sql("""CREATE TABLE g14rg.default.t
+      (user_id STRING, k BIGINT, balance DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g14rg.default.t
+      SELECT /*+ REPARTITION(1) */ concat('u', id) AS user_id, id AS k,
+             CAST(id AS DOUBLE) AS balance
+      FROM range(0, 10)""")                                 // gen-1 file
+    spark.sql("ALTER TABLE g14rg.default.t RENAME COLUMN user_id TO uid")
+    spark.sql("""INSERT INTO g14rg.default.t
+      SELECT /*+ REPARTITION(1) */ concat('u', id) AS uid, id AS k,
+             CAST(id AS DOUBLE) AS balance
+      FROM range(10, 20)""")                                // gen-2 file
+    // SQL keyed MOR deletes AFTER the rename, on the evolved string name
+    // (targets BOTH generations) and on an un-renamed integral column
+    spark.sql("DELETE FROM g14rg.default.t WHERE uid IN ('u3', 'u15')")
+    spark.sql("DELETE FROM g14rg.default.t WHERE k IN (7)")
+    val v = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvEntries(dir, v).map(_.col).toSet ==
+      Set("uid", "k"), "markers stage under the evolved names")
+    assert(ManifestTable.renameLines(dir, v).nonEmpty, "no compaction")
+    assert(spark.sql("SELECT uid FROM g14rg.default.t")
+      .collect().map(_.getString(0)).toSet ==
+      ((0 until 20).map(i => s"u$i").toSet -- Set("u3", "u15", "u7")))
+    // governance composes on top: policy on STABLE columns, DV-doomed
+    // rows invisible to it, renamed column still served
+    ManifestTable.setPolicy(dir, masks = Map("balance" -> "-1.0"),
+      rowFilter = Some("k < 100"))
+    val gov = spark.sql("SELECT uid, balance FROM g14rg.default.t")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(gov.length == 17 && gov.forall(_._2 == -1.0),
+      s"governed scan must mask all 17 live rows, got ${gov.take(3).toSeq}")
+    ManifestTable.destroy(root)
+  }
+
+  test("engine API: upsertMOR under renames; optimize materializes both") {
+    val dir = freshDir("eng")
+    val base = spark.range(0, 40)
+      .select(col("id").as("event_id"), (col("id") * 2.0).as("value"))
+      .repartition(2, col("event_id"))
+    ManifestTable.merge(spark, dir, base, Seq("event_id"))
+    ManifestTable.deleteKeysMOR(spark, dir, "event_id", Seq(5L))
+    ManifestTable.renameColumn(dir, "value", "amount")
+    // upsert under the composed state: replaces 1, inserts 100
+    val batch = spark.range(0, 2)
+      .select((col("id") * 99 + 1).as("event_id"),
+        lit(-7.0).as("amount"))
+    ManifestTable.upsertMOR(spark, dir, batch, "event_id")
+    val got = ManifestTable.read(spark, dir)
+      .select("event_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == 40, "40 - doomed 5 + replaced 1 + new 100")
+    assert(got(1L) == -7.0 && got(100L) == -7.0 && !got.contains(5L))
+    assert(got(2L) == 4.0)
+    // the key column renames AFTER markers exist on it (reverse order)
+    ManifestTable.renameColumn(dir, "event_id", "eid")
+    assert(ManifestTable.read(spark, dir)
+      .filter(col("eid") === 5L).count() == 0)
+    // optimize: small-file rewrite MATERIALIZES the DVs it touches and
+    // modernizes names, while the manifest keeps reconciling leftovers
+    val vO = ManifestTable.optimize(spark, dir, numFiles = 1)
+    val flat = ManifestTable.read(spark, dir)
+    assert(flat.columns.contains("eid") && flat.count() == 40)
+    assert(ManifestTable.dvEntries(dir, vO).isEmpty,
+      "a full small-file pass leaves no marker targeting a live file")
+    ManifestTable.destroy(dir)
+  }
+}
