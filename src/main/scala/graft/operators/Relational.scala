@@ -538,6 +538,13 @@ object Relational {
       s.sql("""DELETE FROM graft_mr.default.ord WHERE o_orderkey IN
         (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
          67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""")
+      // round 14: the DV KEY COLUMN renames while its markers are live
+      // (rename-after-DV), a SECOND MOR delete lands under the evolved
+      // name (DV-after-rename), and row-level DML still runs — no
+      // compaction anywhere. The marker keeps its delete-time name and
+      // readers resolve it per file generation through the alias chain.
+      s.sql("ALTER TABLE graft_mr.default.ord RENAME COLUMN o_orderkey TO okey")
+      s.sql("DELETE FROM graft_mr.default.ord WHERE okey IN (128, 129)")
       // round 13: row-level DML runs ON the DV table, no compact-first —
       // the UPDATE's scan merges the deletion vectors (doomed rows
       // produce no delta), its rewrites drop position- and dv-doomed
@@ -547,7 +554,7 @@ object Relational {
         SET o_totalprice = o_totalprice + 10.0 WHERE o_custkey % 5 = 2""")
       s.sql("""SELECT count(*) AS n,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        min(o_orderkey) AS mn
+        min(okey) AS mn
         FROM graft_mr.default.ord""")
     }),
     // THE CHANGE FEED ACROSS RENAMES (round 13): a rename is a
@@ -564,17 +571,28 @@ object Relational {
         classOf[graft.sources.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_cr.root", root)
       s.sql("""CREATE TABLE graft_cr.default.ord
-        (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('delete.mode' = 'mor')""")
       Tables.orders(s, d).select("o_orderkey", "o_totalprice")
         .createOrReplaceTempView("r13_chrn_src")
       s.sql("""INSERT INTO graft_cr.default.ord
-        SELECT * FROM r13_chrn_src WHERE o_orderkey % 2 = 0""")
-      s.sql("ALTER TABLE graft_cr.default.ord RENAME COLUMN o_totalprice TO price")
+        SELECT * FROM r13_chrn_src WHERE o_orderkey % 2 = 0""")          // v1
+      // round 14: a MOR delete precedes the renames — including a rename
+      // of its own KEY column — and the feed still emits every commit's
+      // exact diff under the END version's evolved names, resolving the
+      // marker through the alias chain per file generation
+      s.sql("DELETE FROM graft_cr.default.ord " +
+        "WHERE o_orderkey IN (2, 4, 6)")                                 // v2
+      s.sql("ALTER TABLE graft_cr.default.ord " +
+        "RENAME COLUMN o_totalprice TO price")                           // v3
       s.sql("""INSERT INTO graft_cr.default.ord
         SELECT o_orderkey, o_totalprice AS price
-        FROM r13_chrn_src WHERE o_orderkey % 2 = 1""")
+        FROM r13_chrn_src WHERE o_orderkey % 2 = 1""")                   // v4
+      s.sql("ALTER TABLE graft_cr.default.ord " +
+        "RENAME COLUMN o_orderkey TO okey")                              // v5
       s.sql("""SELECT _change_type, _commit_version, count(*) AS n,
-        CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(okey) AS mn
         FROM graft_cr.default.`ord$changes`
         GROUP BY _change_type, _commit_version""")
     }),
@@ -2674,16 +2692,24 @@ object Relational {
         |       min(o_orderkey) AS mn
         |FROM orders WHERE o_orderkey NOT IN
         |  (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35, 36, 37, 38, 39, 64, 65, 66,
-        |   67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103)""".stripMargin,
-    // the rename is a no-emission commit; both generations' inserts
-    // arrive under the evolved name
+        |   67, 68, 69, 70, 96, 97, 98, 99, 100, 101, 102, 103, 128, 129)""".stripMargin,
+    // renames are no-emission commits; every generation's rows arrive
+    // under the END version's evolved names, the MOR delete's doomed
+    // rows included (its key column renames AFTER the delete)
     "q_changes_rename" ->
       """SELECT 'insert' AS _change_type, 1 AS _commit_version, count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(o_orderkey) AS mn
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
-        |SELECT 'insert', 3, count(*),
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |SELECT 'delete', 2, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |       min(o_orderkey)
+        |FROM orders WHERE o_orderkey IN (2, 4, 6)
+        |UNION ALL
+        |SELECT 'insert', 4, count(*),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |       min(o_orderkey)
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     // the rename-reconciled scan answers as if every file always carried
     // the evolved name
