@@ -2484,25 +2484,83 @@ private[sources] case class DvFilePartition(file: String,
   * table overhead), and a loader that would exceed the configurable key
   * budget (`graft.dv.maxKeys`, default 16M keys = 128 MB/entry) refuses
   * LOUDLY — compact the table instead of silently ballooning executor
-  * heap with a 10⁸-key vector. The entry-count cap additionally clears a
-  * long-lived session that keeps MOR-deleting and compacting — each
-  * delete stages a fresh key file, compaction retires the marker but not
-  * the entry — so heap can never grow monotonically. */
+  * heap with a 10⁸-key vector. The AGGREGATE is bounded by a
+  * byte-budgeted LRU (`graft.dv.cacheBytes`, default 512 MB across both
+  * the long and string pools, round 14): inserting past the budget
+  * evicts least-recently-USED entries until it fits, so a long-lived
+  * session that keeps MOR-deleting and compacting — each delete stages
+  * a fresh key file, compaction retires the marker but not the entry —
+  * tops out at the budget instead of clearing everything or growing
+  * monotonically. An evicted entry is a reload, never a wrong answer:
+  * the key parquet is immutable. A single entry larger than the whole
+  * budget still caches (the per-file key budget is the loud bound). */
 private[sources] object DvKeyCache {
-  private val MaxEntries = 256
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Long]]()
+  // access-ordered: get() refreshes recency; eldest = least recently used
+  private val lru =
+    new java.util.LinkedHashMap[(String, String, Char), AnyRef](64, 0.75f, true)
+  private var lruBytes: Long = 0L
+
+  private def entryBytes(v: AnyRef): Long = v match {
+    case a: Array[Long] => 16L + 8L * a.length
+    case a: Array[Array[Byte]] =>
+      16L + a.foldLeft(0L)((acc, k) => acc + 40L + k.length)
+    case _ => 64L
+  }
+
+  /** LRU get-or-load: hits refresh recency under the lock; misses load
+    * OUTSIDE it (a racing duplicate load is wasted I/O, never a wrong
+    * answer — first insert wins) and evict eldest entries past the byte
+    * budget on insert. */
+  private def cached[T <: AnyRef](key: (String, String, Char))
+      (load: => T): T = {
+    lru.synchronized {
+      val hit = lru.get(key)
+      if (hit != null) return hit.asInstanceOf[T]
+    }
+    val v = load
+    lru.synchronized {
+      val race = lru.get(key)
+      if (race != null) return race.asInstanceOf[T]
+      lru.put(key, v)
+      lruBytes += entryBytes(v)
+      val budget = cacheBytes
+      val it = lru.entrySet().iterator()
+      // never evict the entry just inserted (size 1 stays cached even
+      // when it alone exceeds the budget)
+      while (lruBytes > budget && lru.size() > 1 && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          lruBytes -= entryBytes(e.getValue)
+          it.remove()
+        }
+      }
+    }
+    v
+  }
+
+  /** Test/ops visibility: (entries, approximate bytes) now cached. */
+  private[sources] def stats: (Int, Long) =
+    lru.synchronized((lru.size(), lruBytes))
+  private[sources] def clearForTest(): Unit =
+    lru.synchronized { lru.clear(); lruBytes = 0L }
+
   def maxKeys: Long =
     sys.props.get("graft.dv.maxKeys").map(_.toLong).getOrElse {
       val env = org.apache.spark.SparkEnv.get
       if (env != null) env.conf.getLong("spark.graft.dv.maxKeys", 16777216L)
       else 16777216L
     }
+  def cacheBytes: Long =
+    sys.props.get("graft.dv.cacheBytes").map(_.toLong).getOrElse {
+      val env = org.apache.spark.SparkEnv.get
+      if (env != null)
+        env.conf.getLong("spark.graft.dv.cacheBytes", 512L << 20)
+      else 512L << 20
+    }
   /** Sorted doomed keys of `path` decoded from `col`; test membership
     * with [[contains]]. */
   def doomed(path: String, col: String): Array[Long] = {
-    if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent((path, col), _ => {
+    cached((path, col, 'L')) {
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -2547,7 +2605,7 @@ private[sources] object DvKeyCache {
       val out = java.util.Arrays.copyOf(arr, n)
       java.util.Arrays.sort(out)
       out
-    })
+    }
   }
   /** Membership in a [[doomed]] array (sorted, may hold duplicates —
     * binary search is indifferent). */
@@ -2558,18 +2616,14 @@ private[sources] object DvKeyCache {
   // `DELETE WHERE user_id IN (…)` on a string id — served the same way
   // as integral keys: sorted raw UTF-8 byte arrays, binary-searched with
   // the unsigned comparator every other string compare in this engine
-  // uses. Same key-count budget, same entry-capped cache. ----
-  private val bytesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String),
-      Array[Array[Byte]]]()
+  // uses. Same key-count budget, same byte-budgeted LRU pool. ----
   private val byteCmp: java.util.Comparator[Array[Byte]] =
     (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
   /** Sorted doomed UTF-8 keys of `path` decoded from BINARY column
     * `col`; test membership with [[containsBytes]]. */
   def doomedBytes(path: String, col: String): Array[Array[Byte]] = {
-    if (bytesCache.size > MaxEntries) bytesCache.clear()
-    bytesCache.computeIfAbsent((path, col), _ => {
+    cached((path, col, 'B')) {
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -2603,7 +2657,7 @@ private[sources] object DvKeyCache {
       val out = buf.toArray
       java.util.Arrays.sort(out, byteCmp)
       out
-    })
+    }
   }
 
   def containsBytes(keys: Array[Array[Byte]], x: Array[Byte]): Boolean =
