@@ -1268,6 +1268,15 @@ object Relational {
       // UPDATE (a stale yr would leave the 1995 counts untouched)
       s.sql("""UPDATE graft_gn.default.ord SET d = date_add(d, 400)
         WHERE year(d) = 1995""")
+      // round 14: renaming the generation SOURCE column rewrites the
+      // expression (yr = year(d) → year(odate)) instead of refusing, and
+      // recompute keeps working — the inserted 1992 duplicate slice only
+      // lands in the right yr partition if the rewritten expression
+      // derives from the renamed column
+      s.sql("ALTER TABLE graft_gn.default.ord RENAME COLUMN d TO odate")
+      s.sql("""INSERT INTO graft_gn.default.ord
+        SELECT d AS odate, v * 2 AS v, CAST(null AS INT) AS yr
+        FROM r11_gen_q_src WHERE year(d) = 1992""")
       s.sql("""SELECT yr, count(*) AS n,
         CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         FROM graft_gn.default.ord GROUP BY yr""")
@@ -2559,14 +2568,20 @@ object Relational {
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     // the generated column is exactly its defining expression — INCLUDING
     // after the UPDATE shifted 1995 dates by 400 days (stale yr would
-    // diverge here)
+    // diverge here) and after the source column renamed (the rewritten
+    // expression must keep deriving on the post-rename insert)
     "q_sql_generated" ->
       """SELECT CAST(year(d2) AS INT) AS yr, count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |       CAST(sum(p) AS DOUBLE) AS sum_v
         |FROM (SELECT CASE WHEN year(o_orderdate) = 1995
         |                  THEN o_orderdate + INTERVAL 400 DAY
-        |                  ELSE o_orderdate END AS d2, o_totalprice
-        |      FROM orders) GROUP BY 1""".stripMargin,
+        |                  ELSE o_orderdate END AS d2,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |      FROM orders
+        |      UNION ALL
+        |      SELECT o_orderdate,
+        |             CAST(o_totalprice * 2 AS DECIMAL(18,2))
+        |      FROM orders WHERE year(o_orderdate) = 1992) GROUP BY 1""".stripMargin,
     // the named snapshot is exactly the pre-second-insert state
     "q_sql_tag" ->
       """SELECT count(*) AS n,

@@ -1809,21 +1809,62 @@ object ManifestTable {
       s"rename to '$to' refused: the name was already renamed away and " +
         "old files still carry it physically — compact first")
 
+  /** Rewrite every reference to column `from` into `to` inside an
+    * expression's SQL text — by PARSING and RESOLVING it against the
+    * pre-rename schema, renaming the attribute nodes, and regenerating
+    * SQL, never textual substitution (a string literal or a quoted
+    * identifier containing the name must survive untouched). Round 14:
+    * this is what lets a rename CARRY its dependent CHECK constraints
+    * and generation expressions instead of refusing. */
+  private[sources] def renameInExprSql(exprSql: String,
+      preSchema: org.apache.spark.sql.types.StructType,
+      from: String, to: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation,
+      Project}
+    val s = org.apache.spark.sql.SparkSession.active
+    val attrs = preSchema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val parsed = s.sessionState.sqlParser.parseExpression(exprSql)
+    val analyzed = s.sessionState.analyzer.executeAndCheck(
+      Project(Seq(Alias(parsed, "e")()), LocalRelation(attrs)),
+      new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+    val resolved = analyzed
+      .asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+    val renamed = resolved.transform {
+      case a: AttributeReference if a.name == from =>
+        AttributeReference(to, a.dataType, a.nullable)(a.exprId, a.qualifier)
+    }
+    renamed.sql
+  }
+
+  /** The declared schema with every GENERATION_EXPRESSION that
+    * references `from` rewritten to reference `to` — field names stay
+    * untouched (the caller renames them after). */
+  private def rewriteGenExprs(
+      st: org.apache.spark.sql.types.StructType, from: String, to: String)
+      : org.apache.spark.sql.types.StructType = {
+    val nameRe = ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      if (f.metadata.contains("GENERATION_EXPRESSION") &&
+          nameRe.findFirstIn(
+            f.metadata.getString("GENERATION_EXPRESSION")).isDefined) {
+        val ne = renameInExprSql(
+          f.metadata.getString("GENERATION_EXPRESSION"), st, from, to)
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("GENERATION_EXPRESSION", ne).build())
+      } else f
+    })
+  }
+
   private def migrateRenameProps(props: Seq[String],
       declaredJson: Option[String], from: String, to: String): Seq[String] = {
     val nameRe = ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
-    declaredJson.foreach { j =>
-      val st = org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      st.fields.foreach { f =>
-        if (f.metadata.contains("GENERATION_EXPRESSION")) {
-          val e = f.metadata.getString("GENERATION_EXPRESSION")
-          require(nameRe.findFirstIn(e).isEmpty,
-            s"rename of '$from' refused: generated column '${f.name}' " +
-              "derives from it — re-declare the table first")
-        }
-      }
-    }
+    val preSchema = declaredJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     props.map { line =>
       val p = line.split('\t')
       val k = p(1)
@@ -1838,14 +1879,22 @@ object ManifestTable {
             java.util.regex.Matcher.quoteReplacement(to))
         case _ if k == s"graft.identity.$from" =>
           s"${PropPrefix}graft.identity.$to\t$value"
-        case _ if k.startsWith("graft.constraint.") =>
-          // the predicate SQL is URL-encoded in the property value
+        case _ if k.startsWith("graft.constraint.") &&
+            nameRe.findFirstIn(
+              java.net.URLDecoder.decode(value, "UTF-8")).isDefined =>
+          // the predicate SQL is URL-encoded in the property value.
+          // Round 14: REWRITE the reference instead of refusing — parse,
+          // resolve against the pre-rename schema, rename, regenerate
+          // (a declared schema is required to resolve soundly; without
+          // one the old honest refusal stands)
           val pred = java.net.URLDecoder.decode(value, "UTF-8")
-          require(nameRe.findFirstIn(pred).isEmpty,
+          val pre = preSchema.getOrElse(throw new IllegalArgumentException(
             s"rename of '$from' refused: CHECK constraint " +
-              s"'${k.stripPrefix("graft.constraint.")}' references it — " +
-              "drop the constraint first")
-          line
+              s"'${k.stripPrefix("graft.constraint.")}' references it and " +
+              "the table has no declared schema to re-resolve it against"))
+          val rewritten = renameInExprSql(pred, pre, from, to)
+          s"$PropPrefix$k\t" +
+            java.net.URLEncoder.encode(rewritten, "UTF-8")
         case _ => line
       }
     }
@@ -1869,12 +1918,15 @@ object ManifestTable {
         s"rename of '$from' refused: a governance policy references it — " +
           "re-declare the policy against the new name first")
       guardRenameTarget(dir, v, to)
-      // the declared schema (empty-table authority) follows the rename
+      // the declared schema (empty-table authority) follows the rename;
+      // generation expressions referencing the old name REWRITE to the
+      // new one (round 14) before the field itself renames
       val evolvedSchema = declaredSchema(dir, v).map { j =>
         val st = org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val renamed = org.apache.spark.sql.types.StructType(st.fields.map(f =>
-          if (f.name == from) f.copy(name = to) else f))
+        val renamed = org.apache.spark.sql.types.StructType(
+          rewriteGenExprs(st, from, to).fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
         s"$SchemaPrefix${renamed.json}"
       }.toSeq
       // live deletion vectors carry VERBATIM (round 14): a marker's key
@@ -2154,8 +2206,11 @@ object ManifestTable {
         // add of the freed name, etc.)
         val st = ops.foldLeft(st0) {
           case (st, AlterOp.Rename(from, to)) =>
-            org.apache.spark.sql.types.StructType(st.fields.map(f =>
-              if (f.name == from) f.copy(name = to) else f))
+            // generation expressions referencing the old name rewrite to
+            // the new one (round 14) before the field itself renames
+            org.apache.spark.sql.types.StructType(
+              rewriteGenExprs(st, from, to).fields.map(f =>
+                if (f.name == from) f.copy(name = to) else f))
           case (st, AlterOp.AddCol(n, dt, dflt)) =>
             require(!st.fieldNames.contains(n),
               s"ADD COLUMN '$n' refused: the column already exists")

@@ -659,7 +659,7 @@ class Round13Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
-  test("rename migrates dependent declarations; expression refs refuse") {
+  test("rename migrates dependent declarations and rewrites expression refs") {
     val root = freshDir("rmg")
     val dir = s"$root/t"
     spark.conf.set("spark.sql.catalog.g13rm",
@@ -703,21 +703,31 @@ class Round13Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM g13rm.default.b")
       .head().getLong(0) == 80)
     // CHECK constraints / generated columns referencing the old name
-    // refuse the rename instead of silently breaking
+    // REWRITE through the rename (round 14): the predicate/expression
+    // re-resolves against the pre-rename schema, the reference renames,
+    // and enforcement/recompute keep working under the new name
     spark.sql("""CREATE TABLE g13rm.default.c (k BIGINT, q DOUBLE)""")
     spark.sql("ALTER TABLE g13rm.default.c ADD CONSTRAINT qpos CHECK (q > 0)")
-    val e1 = intercept[Throwable] {
-      spark.sql("ALTER TABLE g13rm.default.c RENAME COLUMN q TO quantity")
+    spark.sql("ALTER TABLE g13rm.default.c RENAME COLUMN q TO quantity")
+    spark.sql(
+      "INSERT INTO g13rm.default.c VALUES (CAST(1 AS BIGINT), 2.5)")
+    val eIns = intercept[Throwable] {
+      spark.sql(
+        "INSERT INTO g13rm.default.c VALUES (CAST(2 AS BIGINT), -1.0)")
     }
-    assert(messages(e1).contains("constraint"),
-      s"expected the constraint refusal, got: ${messages(e1)}")
+    assert(messages(eIns).toLowerCase.contains("qpos") ||
+      messages(eIns).toLowerCase.contains("check"),
+      s"the rewritten constraint must still enforce: ${messages(eIns)}")
+    assert(spark.sql("SELECT quantity FROM g13rm.default.c")
+      .collect().map(_.getDouble(0)).toSeq == Seq(2.5))
     spark.sql("""CREATE TABLE g13rm.default.g
       (d DATE, yr INT GENERATED ALWAYS AS (CAST(year(d) AS INT)))""")
-    val e2 = intercept[Throwable] {
-      spark.sql("ALTER TABLE g13rm.default.g RENAME COLUMN d TO dt")
-    }
-    assert(messages(e2).contains("generated column"),
-      s"expected the generated-column refusal, got: ${messages(e2)}")
+    spark.sql("ALTER TABLE g13rm.default.g RENAME COLUMN d TO dt")
+    spark.sql(
+      "INSERT INTO g13rm.default.g(dt) VALUES (DATE'2031-07-04')")
+    assert(spark.sql("SELECT yr FROM g13rm.default.g")
+      .collect().map(_.getInt(0)).toSeq == Seq(2031),
+      "the rewritten generation expression must recompute from dt")
     // renaming TO a renamed-away name would make one physical name mean
     // two logical columns — refused at rename time, not trap-at-scan
     spark.sql("CREATE TABLE g13rm.default.w (a BIGINT, c BIGINT)")
