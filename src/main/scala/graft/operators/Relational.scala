@@ -601,9 +601,10 @@ object Relational {
     // compaction materialized the new name. The catalog scan now
     // reconciles generations in the executor reader — files written
     // before the rename decode their old physical column under the
-    // evolved name, zero rewrites — while stats-driven pushdowns degrade
-    // soundly (a proof needing a stat under the evolved name fails to
-    // admit on old files and declines).
+    // evolved name, zero rewrites. Round 14: stats-driven pushdowns stay
+    // ARMED too — pre-rename files' stat legs are looked up through the
+    // rename chain, so file pruning, exactness proofs, and metadata
+    // aggregation serve the evolved names (see q_rename_pushdown).
     "q_sql_rename_read" -> ((s, d) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_rnr_" +
         java.lang.ProcessHandle.current().pid()
@@ -626,6 +627,34 @@ object Relational {
         min(o_orderkey) AS mn
         FROM graft_rn.default.ord
         WHERE o_orderkey BETWEEN 100 AND 5000""")
+    }),
+    // ALIAS-AWARE STAT PUSHDOWN (round 14): pre-rename files record their
+    // stats under the OLD column name; the scan builder normalizes every
+    // file's stat legs through the rename chain, so COUNT/MIN/MAX/SUM on
+    // a renamed column stay METADATA-SERVED (zero data I/O) across mixed
+    // generations with zero post-rename rewrites — where round 13
+    // honestly declined to a full scan until an optimize re-harvested.
+    "q_rename_pushdown" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_rnp_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_rp",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rp.root", root)
+      s.sql("""CREATE TABLE graft_rp.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT)
+        TBLPROPERTIES ('graft.write.sum' = 'o_orderkey')""")
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .createOrReplaceTempView("r14_rnp_src")
+      s.sql("""INSERT INTO graft_rp.default.ord
+        SELECT * FROM r14_rnp_src WHERE o_orderkey % 2 = 0""")
+      s.sql("ALTER TABLE graft_rp.default.ord RENAME COLUMN o_orderkey TO okey")
+      s.sql("""INSERT INTO graft_rp.default.ord
+        SELECT o_orderkey AS okey, o_custkey
+        FROM r14_rnp_src WHERE o_orderkey % 2 = 1""")
+      s.sql("""SELECT count(*) AS n, min(okey) AS mn, max(okey) AS mx,
+        sum(okey) AS s
+        FROM graft_rp.default.ord""")
     }),
     // GOVERNED CHANGE FEED (round 13): `t$changes` on a policy-bearing
     // table serves the GOVERNED view's diff instead of refusing — every
@@ -2733,6 +2762,12 @@ object Relational {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       min(o_orderkey) AS mn
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 5000""".stripMargin,
+    // the alias-normalized stat legs must answer exactly what a full
+    // scan of every generation would
+    "q_rename_pushdown" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS s
+        |FROM orders""".stripMargin,
     // the governed feed is the governed view's diff, exactly: v0 inserts
     // the policy-visible rows masked, v2's MOR delete emits its doomed
     // policy-visible rows masked, the policy commit itself emits nothing

@@ -1479,6 +1479,30 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   import org.apache.spark.sql.sources._
   private var pushed: Array[Filter] = Array.empty
 
+  /** RENAME-AWARE STATS (round 14): files written before a RENAME COLUMN
+    * record their stats under the OLD name, so a predicate or aggregate
+    * on the evolved name would see them as stats-less (sound, but no
+    * pruning and no metadata serving until a rewrite). Normalizing every
+    * entry's stat keys through the rename chain keeps filter pruning,
+    * exactness proofs, and metadata aggregation armed with ZERO
+    * post-rename rewrites — sound because a rename never changes the
+    * column's VALUES, only its name, and one file carries at most one
+    * generation's name (reusing a renamed-away name refuses at commit).
+    * Resolution failures decline to identity; build() raises them. */
+  private lazy val statRenames: Map[String, String] =
+    scala.util.Try(ManifestTable.finalNames(dir, snapV))
+      .getOrElse(Map.empty)
+  private def evolve(e: ManifestTable.FileEntry): ManifestTable.FileEntry =
+    if (statRenames.isEmpty) e
+    else e.copy(
+      ranges = e.ranges.map { case (k, x) => statRenames.getOrElse(k, k) -> x },
+      blooms = e.blooms.map { case (k, x) => statRenames.getOrElse(k, k) -> x },
+      hlls = e.hlls.map { case (k, x) => statRenames.getOrElse(k, k) -> x },
+      strRanges = e.strRanges.map { case (k, x) =>
+        statRenames.getOrElse(k, k) -> x },
+      nulls = e.nulls.map { case (k, x) => statRenames.getOrElse(k, k) -> x },
+      sums = e.sums.map { case (k, x) => statRenames.getOrElse(k, k) -> x })
+
   private def prunable(f: Filter): Boolean = StatsFilters.prunable(f)
   private def admits(f: Filter, e: ManifestTable.FileEntry): Boolean =
     StatsFilters.admits(f, e)
@@ -1499,11 +1523,12 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // residual — stats admission is a SUPERSET there and the
     // re-evaluation keeps answers exact.
     val entries = ManifestTable.listLines(dir, snapV)
-      .map(ManifestTable.parseEntry)
+      .map(ManifestTable.parseEntry).map(evolve)
+    // renames do NOT make exactness unprovable (round 14): normalized
+    // stats describe the same values under the evolved names
     val unprovable = entries.isEmpty ||
       ManifestTable.policyLines(dir, snapV).nonEmpty ||
-      ManifestTable.dvLines(dir, snapV).nonEmpty ||
-      ManifestTable.renameLines(dir, snapV).nonEmpty
+      ManifestTable.dvLines(dir, snapV).nonEmpty
     val survivors = entries.filter(e => pushed.forall(admits(_, e)))
     def whollySatisfied(f: Filter): Boolean = f match {
       case _ if unprovable => false
@@ -1556,7 +1581,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // rows ALL match); any partially-applied filter declines
     if (pushed.nonEmpty && !allPushedExact) return false
     val entries = ManifestTable.listLines(dir, v).map(ManifestTable.parseEntry)
-      .filter(e => pushed.forall(admits(_, e)))
+      .map(evolve).filter(e => pushed.forall(admits(_, e)))
     if (entries.isEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -1793,7 +1818,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // segments' file lines: O(|segments| + |admitted files|) metadata
     // cost through SQL, same as the API path
     val fileAdmit: ManifestTable.FileEntry => Boolean =
-      e => pushed.forall(admits(_, e))
+      e => { val n = evolve(e); pushed.forall(admits(_, n)) }
     // a pushed bare LIMIT plans only a file PREFIX whose recorded row
     // counts reach n (requires exact counts on every kept file; top-n
     // keeps all files — each may hold candidates)
@@ -1813,11 +1838,15 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         b.result()
       case _ => entries
     }
+    // the scan receives EVOLVED entries (stat keys normalized through
+    // the rename chain) so runtime file pruning, CBO column stats, NDV,
+    // and histograms stay armed on renamed tables — names/buckets/row
+    // counts are untouched, so partition planning is identical
     ManifestTable.segmentedEntries(dir, v,
         if (pushed.isEmpty) _ => true else fileAdmit) match {
       case Some((entries, _, _, totalFiles)) =>
         admittedFiles = Some(entries.map(_.name).toSet)
-        new ManifestFilesScan(shaped(entries),
+        new ManifestFilesScan(shaped(entries).map(evolve),
           totalFiles.toInt, required, dir, pinned, versionsPerBatch,
           rowCap = limit, dvByName = dvByName, dvFields = dvFields,
           aliases = aliases, streamStart = streamStart)
@@ -1827,7 +1856,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         val admitted =
           if (pushed.isEmpty) entries else entries.filter(fileAdmit)
         admittedFiles = Some(admitted.map(_.name).toSet)
-        new ManifestFilesScan(shaped(admitted),
+        new ManifestFilesScan(shaped(admitted).map(evolve),
           entries.size, required, dir, pinned, versionsPerBatch,
           rowCap = limit, dvByName = dvByName, dvFields = dvFields,
           aliases = aliases, streamStart = streamStart)
@@ -3436,7 +3465,27 @@ private[sources] class GraftDeltaOperation(dir: String,
     val spreadWidth: Int = {
       val v = ManifestTable.currentVersion(dir)
       ManifestTable.tableProperties(dir, v).get("graft.write.spread")
-        .map(_.toInt).getOrElse(32)
+        .map(_.toInt).getOrElse {
+          // adaptive default (round 14): as wide as the session's shuffle
+          // parallelism — on a 2000-partition cluster a bulk MERGE's
+          // inserts fan across 2000 write tasks instead of a fixed 32,
+          // while the advisory-size coalescing below keeps a tiny insert
+          // set from shattering into `width` shards. The property stays
+          // an explicit override for either direction.
+          math.max(32, org.apache.spark.sql.SparkSession.active
+            .sessionState.conf.numShufflePartitions)
+        }
+    }
+    // AQE-style adaptivity at the SMALL end: the delta shuffle advertises
+    // a target partition byte size, so adaptive execution COALESCES the
+    // spread/bucket clustering for small row sets (a 3-row MERGE writes
+    // one file, not `width` shards). Coalescing only ever MERGES whole
+    // shuffle partitions — never splits one — so the one-task-owns-every-
+    // delete-of-a-file invariant the clustering exists for is preserved.
+    val advisoryBytes: Long = {
+      val v = ManifestTable.currentVersion(dir)
+      ManifestTable.tableProperties(dir, v).get("graft.write.targetFileBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
     }
     val spreadCol: Option[String] = {
       import org.apache.spark.sql.types._
@@ -3495,6 +3544,7 @@ private[sources] class GraftDeltaOperation(dir: String,
                   Expressions.column("_file"), Expressions.column(c)))
                 case None => Array(Expressions.column("_file"))
               })
+        override def advisoryPartitionSizeInBytes(): Long = advisoryBytes
         override def requiredOrdering(): Array[
             org.apache.spark.sql.connector.expressions.SortOrder] = Array(
           Expressions.sort(Expressions.column("_file"),

@@ -1232,14 +1232,28 @@ object ManifestTable {
     * footer says the column is) plus its exact row count, ready for
     * [[commit]]. */
   def stageWithStats(s: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String], recordBucket: Boolean = false): Seq[String] =
-    stageIndexed(s, dir, df).map { case (name, orig) =>
+      statsCols: Seq[String], recordBucket: Boolean = false): Seq[String] = {
+    val staged = stageIndexed(s, dir, df).map { case (name, orig) =>
+      (name, orig, footerRowCount(Paths.get(dir, "data", name)))
+    }
+    // Spark's file writer emits a schema-only parquet file for every
+    // EMPTY task partition; publishing those would pollute the manifest
+    // with zero-row files forever (each costs a footer open per scan
+    // plan, and small appends inflate the file count). Drop them at
+    // staging — unless EVERY file is empty, where one survives as the
+    // snapshot's schema anchor (tables created by a first empty append
+    // have no declared schema to read it from).
+    val (live, empty) = staged.partition(_._3 > 0)
+    val kept = if (live.nonEmpty) live else staged.take(1)
+    (staged diff kept).foreach { case (n, _, _) =>
+      Files.deleteIfExists(Paths.get(dir, "data", n)) }
+    kept.map { case (name, orig, rowCount) =>
       val p = Paths.get(dir, "data", name)
       val st = footerStats(p, statsCols)
       val ss = footerStatsStr(p, statsCols.filterNot(st.contains))
       val nn = footerNulls(p, statsCols)
       val bucketKv = if (recordBucket) s";__bucket=$orig" else ""
-      val rows = s"__rows=${footerRowCount(p)};__bytes=${Files.size(p)}$bucketKv"
+      val rows = s"__rows=$rowCount;__bytes=${Files.size(p)}$bucketKv"
       val statKv = Seq(
         if (st.isEmpty) "" else encodeStats(st),
         if (ss.isEmpty) "" else encodeStrStats(ss),
@@ -1247,6 +1261,7 @@ object ManifestTable {
       ).filter(_.nonEmpty).mkString(";")
       if (statKv.isEmpty) s"$name\t$rows" else s"$name\t$statKv\t$rows"
     }
+  }
 
   /** Encode string envelopes as the `c=S:<hexmin>:<hexmax>` stats suffix. */
   private def encodeStrStats(ss: Map[String, (Array[Byte], Array[Byte])]): String =

@@ -156,4 +156,167 @@ class Round14Spec extends AnyFunSuite {
       "a full small-file pass leaves no marker targeting a live file")
     ManifestTable.destroy(dir)
   }
+
+  test("alias-aware stat pushdown: pruning + metadata agg on renamed cols") {
+    val root = freshDir("asp")
+    spark.conf.set("spark.sql.catalog.g14as",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14as.root", root)
+    spark.sql("""CREATE TABLE g14as.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.write.sum' = 'k')""")
+    // two files with DISJOINT k-ranges, both written BEFORE the rename —
+    // their stats live under the OLD name "k"
+    spark.sql("""INSERT INTO g14as.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(0, 100)""")
+    spark.sql("""INSERT INTO g14as.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(1000, 1100)""")
+    spark.sql("ALTER TABLE g14as.default.t RENAME COLUMN k TO key")
+    // FILE PRUNING on the evolved name with ZERO post-rename rewrites:
+    // the predicate admits only the low-range file
+    val pr = spark.sql("SELECT key FROM g14as.default.t WHERE key < 50")
+    assert(pr.queryExecution.executedPlan.toString.contains("files 1/2"),
+      "pre-rename stats must prune under the evolved name:\n" +
+        pr.queryExecution.executedPlan)
+    assert(pr.collect().map(_.getLong(0)).toSet == (0L until 50L).toSet)
+    // METADATA-SERVED aggregation on the evolved name: count/min/max/sum
+    // all answered from pre-rename stat legs, zero data I/O
+    val agg = spark.sql(
+      """SELECT count(*) AS n, min(key) AS lo, max(key) AS hi,
+                sum(key) AS s
+         FROM g14as.default.t""")
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "pre-rename stats must serve the aggregate under the evolved " +
+        s"name:\n${agg.queryExecution.executedPlan}")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (200L, 0L, 1099L, (0L until 100L).sum + (1000L until 1100L).sum))
+    // a post-rename file MIXES generations (stats under "key"): both
+    // tiers stay armed across the generation boundary
+    spark.sql("""INSERT INTO g14as.default.t
+      SELECT /*+ REPARTITION(1) */ id AS key, CAST(id AS DOUBLE) AS v
+      FROM range(5000, 5100)""")
+    val pr2 = spark.sql("SELECT key FROM g14as.default.t WHERE key >= 5000")
+    assert(pr2.queryExecution.executedPlan.toString.contains("files 1/3"),
+      s"mixed generations must still prune:\n${pr2.queryExecution.executedPlan}")
+    assert(pr2.count() == 100)
+    val agg2 = spark.sql(
+      "SELECT min(key) AS lo, max(key) AS hi FROM g14as.default.t")
+    assert(agg2.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(agg2.collect().head.getLong(1) == 5099L)
+    ManifestTable.destroy(root)
+  }
+
+  test("crash-orphan publish links: vacuum sweeps, branch republishes") {
+    import java.nio.file.{Files, Paths}
+    val root = freshDir("vac")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g14vc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14vc.root", root)
+    spark.sql("CREATE TABLE g14vc.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g14vc.default.t
+      SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 10)""")
+    spark.sql("CALL g14vc.system.branch(table => 't', name => 'wap')")
+    spark.sql("""INSERT INTO g14vc.default.`t@wap`
+      SELECT id AS k, -1.0 AS v FROM range(100, 110)""")
+    val bd = ManifestTable.branchDir(dir, "wap")
+    val bv = ManifestTable.currentVersion(bd)
+    // branch-LOCAL data files (bare names; clone references into main's
+    // data dir are absolute paths and stay untouched by a publish crash)
+    val branchLocal = ManifestTable.listFiles(bd, bv)
+      .filterNot(_.startsWith("/"))
+    assert(branchLocal.nonEmpty, "fixture: the branch staged its own file")
+    // simulate a publish CRASH between the link step and the CAS: the
+    // branch files are linked into main's data dir but no main manifest
+    // references them — exactly fastForward's pre-CAS state
+    branchLocal.foreach { n =>
+      val dst = Paths.get(dir, "data", n)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, Paths.get(bd, "data", n))
+      catch { case _: UnsupportedOperationException =>
+        Files.copy(Paths.get(bd, "data", n), dst) }
+    }
+    assert(branchLocal.forall(n => Files.exists(Paths.get(dir, "data", n))))
+    val mainRows = spark.sql("SELECT count(*) FROM g14vc.default.t")
+      .head().getLong(0)
+    // vacuum sweeps the orphans (referenced by NO retained main manifest
+    // and by no clone's absolute-path reference) without touching
+    // anything a manifest serves
+    spark.sql("CALL g14vc.system.vacuum(table => 't', keep_versions => 1)")
+    assert(branchLocal.forall(n => !Files.exists(Paths.get(dir, "data", n))),
+      "vacuum must sweep the crash-orphan links")
+    assert(spark.sql("SELECT count(*) FROM g14vc.default.t")
+      .head().getLong(0) == mainRows, "main is untouched")
+    // the branch kept its own reference: still readable, still
+    // publishable — the re-publish re-links the swept files
+    assert(spark.sql("SELECT count(*) FROM g14vc.default.`t@wap`")
+      .head().getLong(0) == 20)
+    spark.sql("CALL g14vc.system.fastforward(table => 't', name => 'wap')")
+    assert(spark.sql("SELECT count(*) FROM g14vc.default.t")
+      .head().getLong(0) == 20,
+      "the re-publish after a crash+vacuum must serve the branch content")
+    ManifestTable.destroy(root)
+  }
+
+  test("adaptive spread: tiny MERGE writes one file, tiny target fans out") {
+    val root = freshDir("spw")
+    spark.conf.set("spark.sql.catalog.g14sp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14sp.root", root)
+    def newFiles(dir: String, body: => Unit): Int = {
+      val v0 = ManifestTable.currentVersion(dir)
+      val before = ManifestTable.listFiles(dir, v0).toSet
+      body
+      val v1 = ManifestTable.currentVersion(dir)
+      val added = ManifestTable.listFiles(dir, v1).toSet -- before
+      info(s"v$v0->v$v1 added: ${added.toSeq.sorted.mkString(", ")}")
+      added.size
+    }
+    // SMALL end: the default 128 MB advisory size lets AQE coalesce the
+    // spread clustering — a 3-row MERGE insert writes ONE file, not one
+    // shard per shuffle partition
+    spark.sql("CREATE TABLE g14sp.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g14sp.default.t
+      SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 100)""")
+    // the MATCHED clause forces the row-level (WriteDelta) plan — an
+    // insert-only MERGE optimizes to a plain append and never exercises
+    // the spread clustering this test gates
+    val tiny = newFiles(s"$root/t", {
+      spark.sql("""MERGE INTO g14sp.default.t t USING (
+          SELECT id AS k, -1.0 AS v FROM range(1000, 1003)) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+    })
+    assert(tiny == 1, s"a 3-row insert set must coalesce to 1 file, got $tiny")
+    assert(spark.sql("SELECT count(*) FROM g14sp.default.t")
+      .head().getLong(0) == 103)
+    // LARGE end: a tiny declared target file size disables the
+    // coalescing, so the same insert path fans out across the spread
+    // clustering (bounded here by the session's 4 shuffle partitions)
+    spark.sql("""CREATE TABLE g14sp.default.w (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.write.targetFileBytes' = '1')""")
+    spark.sql("""INSERT INTO g14sp.default.w
+      SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 10)""")
+    // AQE's floor (coalescePartitions.minPartitionSize, 1 MB) would
+    // still merge these tiny test partitions — drop it so the declared
+    // per-table target is what decides
+    val minSzKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevMinSz = spark.conf.get(minSzKey, "1MB")
+    spark.conf.set(minSzKey, "1")
+    val wide = try newFiles(s"$root/w", {
+      spark.sql("""MERGE INTO g14sp.default.w t USING (
+          SELECT id AS k, -1.0 AS v FROM range(1000, 3000)) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+    }) finally spark.conf.set(minSzKey, prevMinSz)
+    assert(wide >= 3, s"a bulk insert set must spread across write tasks, " +
+      s"got $wide files")
+    assert(spark.sql("SELECT count(*) FROM g14sp.default.w")
+      .head().getLong(0) == 2010)
+    ManifestTable.destroy(root)
+  }
 }
