@@ -714,6 +714,37 @@ object Relational {
       s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
         min(doc_id) AS mn FROM graft_gd.default.docs GROUP BY lang""")
     }),
+    // POSITIONAL DELETION VECTORS (round 14): `graft.dml.mode =
+    // positional` makes arbitrary-predicate DELETE/UPDATE publish
+    // `#dv … _pos …` markers — one tiny (file, row-ordinal) parquet per
+    // statement, ZERO data files rewritten (the Iceberg position-delete
+    // shape). At 100 TB a `DELETE WHERE quality < x` over a corpus costs
+    // O(matched rows), not a rewrite of every file holding a match.
+    // The scan drops doomed ordinals in flight; round-trips exactly.
+    "q_positional_dv" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pdv_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_pv",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_pv.root", root)
+      s.sql("""CREATE TABLE graft_pv.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("r14_pdv_src")
+      s.sql("INSERT INTO graft_pv.default.ord SELECT * FROM r14_pdv_src")
+      // arbitrary predicates — NOT key-membership shapes; both publish
+      // positional markers, no rewrite
+      s.sql("DELETE FROM graft_pv.default.ord WHERE o_totalprice < 50000.0")
+      s.sql("""UPDATE graft_pv.default.ord SET o_totalprice = 0.0
+        WHERE o_orderkey % 100 = 7""")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(o_orderkey) AS mn
+        FROM graft_pv.default.ord""")
+    }),
     // DELETION-VECTOR MAINTENANCE (round 13): a hot MOR table accumulates
     // one #dv marker per DELETE, and every scan of a targeted file checks
     // one key set per historical delete. `CALL system.rewrite_dvs`
@@ -2791,6 +2822,18 @@ object Relational {
         |       min(doc_id) AS mn
         |FROM documents WHERE source NOT IN ('src3', 'src7', 'src12')
         |GROUP BY lang""".stripMargin,
+    // positional markers must serve exactly the copy-on-write answer:
+    // the low-price rows gone, the surviving %100=7 rows zeroed
+    "q_positional_dv" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 100 = 7 THEN 0.0
+        |              ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_totalprice >= 50000.0)
+        |SELECT count(*) AS n,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(o_orderkey) AS mn
+        |FROM kept""".stripMargin,
     // consolidation must never change the answer: exactly the three
     // deletes' keys are gone, nothing else
     "q_rewrite_dvs" ->

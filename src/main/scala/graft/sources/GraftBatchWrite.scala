@@ -247,7 +247,12 @@ private[sources] case class GraftDeltaCommit(
     // per-file HLL register blobs of the declared `graft.write.ndv`
     // columns (insert files registered row-by-row, rewrite files from
     // their survivors) — the CBO NDV tier stays armed through DML
-    ndvs: Map[String, Map[String, Array[Byte]]] = Map.empty)
+    ndvs: Map[String, Map[String, Array[Byte]]] = Map.empty,
+    // POSITIONAL deletion vectors (round 14): staged positions-parquet
+    // name → the data files whose rows it dooms by ordinal. Non-empty
+    // only under `graft.dml.mode = positional`, where the statement's
+    // deletes publish as `#dv … _pos …` markers instead of rewrites.
+    posDvs: Seq[(String, Set[String])] = Nil)
     extends WriterCommitMessage
 
 private[sources] class GraftDeltaWriterFactory(dir: String,
@@ -258,12 +263,13 @@ private[sources] class GraftDeltaWriterFactory(dir: String,
     sumCols: Seq[String] = Nil,
     dvByPath: Map[String, Seq[(String, String)]] = Map.empty,
     ndvCols: Seq[String] = Nil,
-    dvAliases: Map[String, Seq[String]] = Map.empty)
+    dvAliases: Map[String, Seq[String]] = Map.empty,
+    positional: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, fileIdx, posIdx, partitionId, taskId,
-      genExprs, bucketSpec, sumCols, dvByPath, ndvCols, dvAliases)
+      genExprs, bucketSpec, sumCols, dvByPath, ndvCols, dvAliases, positional)
 }
 
 private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
@@ -285,7 +291,12 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     ndvCols: Seq[String] = Nil,
     // rename composition: marker key column → its alias family (the
     // names a rewritten file's footer may physically key under)
-    dvAliases: Map[String, Seq[String]] = Map.empty)
+    dvAliases: Map[String, Seq[String]] = Map.empty,
+    // POSITIONAL mode (`graft.dml.mode = positional`, round 14): the
+    // statement's deletes stage as ONE positions parquet per task and
+    // publish as `#dv … _pos …` markers — no data file is rewritten, so
+    // arbitrary-predicate DELETE/UPDATE/MERGE cost O(matched rows)
+    positional: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   // bucket id (-1 = unbucketed) → its insert file; LinkedHashMap keeps
@@ -450,6 +461,17 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
           c -> sk.toUpdatableByteArray }.toMap)
       (m.name, m.rows, if (b >= 0) Some(b) else None)
     }
+    if (positional && doomed.nonEmpty) {
+      // stage this task's doomed (file, ordinal) pairs as ONE positions
+      // parquet — no data file is read or rewritten; the committer
+      // publishes it as a `#dv … _pos …` marker targeting exactly the
+      // files this task doomed rows of
+      val (name, targets) = GraftDeltaWriter.stagePositions(
+        dir, doomed, partitionId, taskId)
+      posStaged = name
+      return GraftDeltaCommit(ins, Nil, fileSums.toMap, fileNdvs.toMap,
+        posDvs = Seq((name, targets)))
+    }
     val repl = doomed.toSeq.map { case (path, bits) =>
       val (newName, rows, sums, ndvs) = GraftDeltaWriter.rewriteDropping(
         dir, path, bits, partitionId, taskId, sumCols,
@@ -463,7 +485,14 @@ private[sources] class GraftDeltaWriter(dir: String, schema: StructType,
     GraftDeltaCommit(ins, repl, fileSums.toMap, fileNdvs.toMap)
   }
 
-  override def abort(): Unit = insertWriters.values.foreach(_.abort())
+  private var posStaged: String = null
+
+  override def abort(): Unit = {
+    insertWriters.values.foreach(_.abort())
+    if (posStaged != null)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "data", posStaged))
+  }
 
   override def close(): Unit = ()
 }
@@ -472,6 +501,54 @@ private[sources] object GraftDeltaWriter {
   import org.apache.hadoop.fs.Path
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  /** Stage one POSITIONS parquet under `data/` (round 14): rows
+    * (`_file` = data-file NAME, `_pos` = doomed physical ordinal),
+    * grouped per file in ascending ordinal order. Returns (staged name,
+    * target names). A failure deletes the partial file and rethrows —
+    * the statement aborts, nothing published. */
+  def stagePositions(dir: String,
+      doomed: scala.collection.Map[String, java.util.BitSet],
+      partitionId: Int, taskId: Long): (String, Set[String]) = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val mt = Types.buildMessage()
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("_file")
+      .optional(INT64).named("_pos")
+      .named("graft_positions")
+    val name = "pd-" + java.util.UUID.randomUUID().toString.take(8) +
+      s"-p$partitionId-t$taskId.parquet"
+    val wconf = new Configuration()
+    GroupWriteSupport.setSchema(mt, wconf)
+    val w = ExampleParquetWriter.builder(new Path(s"$dir/data/$name"))
+      .withConf(wconf).build()
+    val factory = new SimpleGroupFactory(mt)
+    val dataPrefix = s"$dir/data/"
+    val targets = Set.newBuilder[String]
+    try {
+      doomed.foreach { case (path, bits) =>
+        val nm =
+          if (path.startsWith(dataPrefix)) path.stripPrefix(dataPrefix)
+          else path.substring(path.lastIndexOf('/') + 1)
+        targets += nm
+        var i = bits.nextSetBit(0)
+        while (i >= 0) {
+          val g = factory.newGroup()
+          g.add("_file", nm)
+          g.add("_pos", i.toLong)
+          w.write(g)
+          i = bits.nextSetBit(i + 1)
+        }
+      }
+      w.close()
+    } catch { case e: Throwable =>
+      try w.close() catch { case _: Throwable => () }
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "data", name))
+      throw e
+    }
+    (name, targets.result())
+  }
 
   /** Copy `path` minus the `doomedBits` ordinals into a freshly-named
     * orphan under this table's `data/` — a sequential parquet-mr Group
@@ -501,8 +578,16 @@ private[sources] object GraftDeltaWriter {
     // before a write was planned); an all-null key cell is never doomed.
     // Under a rename chain the file may key the column under any of its
     // generation names — resolve through the marker's alias family.
+    // POSITIONAL markers (key column `_pos`, round 14) doom this file's
+    // rows by ordinal — checked against the copy loop's own position
+    // counter, no column decode at all
+    val targetName = path.substring(path.lastIndexOf('/') + 1)
+    val posSets: Seq[Array[Long]] = dvs.collect {
+      case (dvPath, DvKeyCache.PosCol) =>
+        DvKeyCache.doomedPositions(dvPath, targetName)
+    }
     val dvChecks: Seq[Group => Boolean] =
-      dvs.map { case (dvPath, col) =>
+      dvs.filterNot(_._2 == DvKeyCache.PosCol).map { case (dvPath, col) =>
         val fam = dvAliases.getOrElse(col, Seq(col))
         val i = (0 until mt.getFieldCount)
           .find(j => fam.contains(mt.getFieldName(j)) &&
@@ -608,7 +693,8 @@ private[sources] object GraftDeltaWriter {
     try {
       var g = reader.read()
       while (g != null) {
-        if (!doomedBits.get(pos) && !dvChecks.exists(_(g))) {
+        if (!doomedBits.get(pos) && !dvChecks.exists(_(g)) &&
+            !posSets.exists(DvKeyCache.contains(_, pos.toLong))) {
           if (writer == null)
             writer = ExampleParquetWriter.builder(new Path(s"$dir/data/$name"))
               .withConf(wconf).build()
@@ -662,7 +748,15 @@ private[sources] object GraftDeltaCommitter {
       if (p.startsWith(dataPrefix)) p.stripPrefix(dataPrefix) else p
     val replacedByName = staged.flatMap(_.replaced)
       .map { case (p, n, r) => nameOf(p) -> ((n, r)) }.toMap
-    if (inserted.isEmpty && replacedByName.isEmpty) return // no-op statement
+    // POSITIONAL mode (round 14): the tasks' deletes arrive as staged
+    // positions parquets; each publishes as a `#dv … _pos …` marker and
+    // every data-file line carries VERBATIM — arbitrary-predicate DML
+    // with zero rewrites
+    val posDvLines: Seq[String] = staged.flatMap(_.posDvs)
+      .map { case (f, ts) =>
+        ManifestTable.encodeDv(ManifestTable.DvEntry(f, "_pos", ts)) }
+    if (inserted.isEmpty && replacedByName.isEmpty && posDvLines.isEmpty)
+      return // no-op statement
     val baseNames = ManifestTable.listLines(dir, baseVersion)
       .map(ManifestTable.parseEntry(_).name).toSet
     // exact sums the tasks accumulated (insert files + rewrite survivors),
@@ -726,7 +820,8 @@ private[sources] object GraftDeltaCommitter {
       // mappings, and both rewritten files (old physical names inside)
       // and insert files (evolved names) keep reconciling through them
       if (ManifestTable.commitMutate(dir,
-          lines ++ dvCarried ++ ManifestTable.renameLines(dir, onto) ++
+          lines ++ dvCarried ++ posDvLines ++
+            ManifestTable.renameLines(dir, onto) ++
             ManifestTable.carriedMeta(dir, onto), onto))
         return
       // CAS lost — decide rebase vs refuse against the NEW head
@@ -781,7 +876,8 @@ private[sources] object GraftDeltaCommitter {
 
   def abort(dir: String, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftDeltaCommit =>
-      (m.inserted.map(_._1) ++ m.replaced.flatMap(_._2)).foreach { n =>
+      (m.inserted.map(_._1) ++ m.replaced.flatMap(_._2) ++
+        m.posDvs.map(_._1)).foreach { n =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "data", n))
       }
     }

@@ -1774,7 +1774,9 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // compact-first refusal instead of silently serving deleted rows.
     // A marker created before a rename keys under the OLD name: resolve
     // to the evolved name for the type check and the decode fields.
-    dvs.map(_.col).distinct.foreach { c =>
+    // positional markers (key column `_pos`, round 14) reference row
+    // ordinals, not a data column — nothing to type-check
+    dvs.map(_.col).distinct.filterNot(_ == DvKeyCache.PosCol).foreach { c =>
       import org.apache.spark.sql.types._
       val ec = RenameAliases.evolvedOf(aliases, c)
       val ok = full.fields.find(_.name == ec).map(_.dataType).exists {
@@ -2031,15 +2033,24 @@ private[sources] class GovernedReaderFactory(readSchema: StructType,
       case ManifestFilePartition(f) => (f, Nil)
       case DvFilePartition(f, ds) => (f, ds)
     }
-    val extra = dvs.map(d => RenameAliases.evolvedOf(aliases, d._2)).distinct
+    val (posDvs, keyDvs) = dvs.partition(_._2 == DvKeyCache.PosCol)
+    val extra = keyDvs.map(d => RenameAliases.evolvedOf(aliases, d._2))
+      .distinct
       .filterNot(readSchema.fieldNames.contains)
-      .flatMap(c => dvFields.find(_.name == c))
+      .flatMap(c => dvFields.find(_.name == c)) ++
+      (if (posDvs.nonEmpty &&
+          !readSchema.fieldNames.contains(DvKeyCache.PosCol))
+        Seq(StructField(DvKeyCache.PosCol,
+          org.apache.spark.sql.types.LongType)) else Nil)
     val decodeSchema2 = StructType(readSchema.fields ++ extra)
     val base = new ManifestParquetReader(file, decodeSchema2, aliases)
+    val fileName = file.substring(file.lastIndexOf('/') + 1)
     val dvChecks: Seq[InternalRow => Boolean] =
-      dvs.map { case (dvPath, c) =>
+      keyDvs.map { case (dvPath, c) =>
         DvKeyCache.checkFor(dvPath, decodeSchema2,
-          RenameAliases.evolvedOf(aliases, c), c) }
+          RenameAliases.evolvedOf(aliases, c), c) } ++
+      posDvs.map { case (dvPath, _) =>
+        DvKeyCache.posCheckFor(dvPath, decodeSchema2, fileName) }
     new PartitionReader[InternalRow] {
       private lazy val pred = filter.map(
         org.apache.spark.sql.catalyst.expressions.Predicate.create(_))
@@ -2692,6 +2703,81 @@ private[sources] object DvKeyCache {
   def containsBytes(keys: Array[Array[Byte]], x: Array[Byte]): Boolean =
     java.util.Arrays.binarySearch(keys, x, byteCmp) >= 0
 
+  // ---- POSITIONAL deletion vectors (round 14): a `#dv` marker whose key
+  // column is the reserved `_pos` dooms rows by their PHYSICAL ORDINAL
+  // instead of a key value — the Iceberg-style position delete. One
+  // staged positions parquet (columns `_file` = target data-file NAME,
+  // `_pos` = row ordinal) covers every file one DML statement touched;
+  // arbitrary-predicate DELETE/UPDATE/MERGE then cost O(matched rows),
+  // never a data-file rewrite. Positions are rename-INVARIANT (no key
+  // column to chase through the alias chain) and type-independent. Each
+  // target's slice caches as its own sorted long array under the same
+  // per-load key budget and byte-budgeted LRU as the key pools. ----
+
+  /** The reserved key-column name marking a positional `#dv` entry. */
+  val PosCol = "_pos"
+
+  /** Sorted doomed row ordinals of data file `target` recorded in
+    * positions parquet `path`. */
+  def doomedPositions(path: String, target: String): Array[Long] = {
+    cached((path, target, 'P')) {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val mt = ManifestStreamSource.footerSchema(path)
+      def fieldOf(n: String): Int = (0 until mt.getFieldCount)
+        .find(i => mt.getFieldName(i) == n && mt.getType(i).isPrimitive)
+        .getOrElse(throw new IllegalStateException(
+          s"positional deletion-vector file $path has no column '$n'"))
+      val fIdx = fieldOf("_file")
+      val pIdx = fieldOf(PosCol)
+      require(mt.getType(fIdx).asPrimitiveType().getPrimitiveTypeName == BINARY
+          && mt.getType(pIdx).asPrimitiveType().getPrimitiveTypeName == INT64,
+        s"positional deletion-vector file $path must carry (_file BINARY, " +
+          "_pos INT64)")
+      val targetBytes = target.getBytes("UTF-8")
+      val r = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+        .withConf(new org.apache.hadoop.conf.Configuration()).build()
+      val budget = maxKeys
+      var arr = new Array[Long](64)
+      var n = 0
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount(fIdx) > 0 &&
+              g.getFieldRepetitionCount(pIdx) > 0 &&
+              java.util.Arrays.equals(
+                g.getBinary(fIdx, 0).getBytes, targetBytes)) {
+            if (n >= budget) throw new IllegalStateException(
+              s"positional deletion-vector file $path dooms more than " +
+                s"$budget rows of $target (graft.dv.maxKeys) — compact " +
+                "the table to materialize its deletes")
+            if (n == arr.length)
+              arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+            arr(n) = g.getLong(pIdx, 0)
+            n += 1
+          }
+          g = r.read()
+        }
+      } finally r.close()
+      val out = java.util.Arrays.copyOf(arr, n)
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
+  /** A compiled doomed-row test for a POSITIONAL marker against data file
+    * `targetName`: `schema` must carry the `_pos` metadata field (the
+    * manifest parquet reader serves it without touching page data). */
+  def posCheckFor(path: String, schema: org.apache.spark.sql.types.StructType,
+      targetName: String)
+      : org.apache.spark.sql.catalyst.InternalRow => Boolean = {
+    val i = schema.fieldIndex(PosCol)
+    val ps = doomedPositions(path, targetName)
+    r => contains(ps, r.getLong(i))
+  }
+
   /** A compiled doomed-row test for key column `col` at its ordinal in
     * `schema`, backed by the cached key set of `path` — the one dispatch
     * point every DV-merging reader (catalog scan, delta rewrite scan,
@@ -2744,17 +2830,28 @@ private[sources] class ManifestScanReaderFactory(required: StructType,
   private def dvReader(f: String, dvs: Seq[(String, String)])
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.catalyst.InternalRow
-    // marker key columns resolve to their EVOLVED names (a marker
-    // created before a rename keys under the old one); the alias-aware
-    // decode serves them from whichever generation this file carries
-    val extra = dvs.map(d => RenameAliases.evolvedOf(aliases, d._2)).distinct
+    // positional markers (key column `_pos`, round 14) doom by row
+    // ordinal — decoded from the `_pos` metadata field, no key column
+    // and no alias chase; keyed markers resolve their key columns to
+    // the EVOLVED names (a marker created before a rename keys under
+    // the old one) and decode whichever generation this file carries
+    val (posDvs, keyDvs) = dvs.partition(_._2 == DvKeyCache.PosCol)
+    val extra = keyDvs.map(d => RenameAliases.evolvedOf(aliases, d._2))
+      .distinct
       .filterNot(required.fieldNames.contains)
-      .flatMap(c => dvFields.find(_.name == c))
+      .flatMap(c => dvFields.find(_.name == c)) ++
+      (if (posDvs.nonEmpty &&
+          !required.fieldNames.contains(DvKeyCache.PosCol))
+        Seq(StructField(DvKeyCache.PosCol,
+          org.apache.spark.sql.types.LongType)) else Nil)
     val readSchema2 = StructType(required.fields ++ extra)
     val inner = new ManifestParquetReader(f, readSchema2, aliases)
+    val fileName = f.substring(f.lastIndexOf('/') + 1)
     val checks: Seq[InternalRow => Boolean] =
-      dvs.map { case (dvPath, c) => DvKeyCache.checkFor(dvPath, readSchema2,
-        RenameAliases.evolvedOf(aliases, c), c) }
+      keyDvs.map { case (dvPath, c) => DvKeyCache.checkFor(dvPath, readSchema2,
+        RenameAliases.evolvedOf(aliases, c), c) } ++
+      posDvs.map { case (dvPath, _) =>
+        DvKeyCache.posCheckFor(dvPath, readSchema2, fileName) }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = {
@@ -3526,7 +3623,24 @@ private[sources] class GraftDeltaOperation(dir: String,
       if (pinDvs.isEmpty || ManifestTable.renames(dir, pinV).isEmpty)
         Map.empty
       else pinDvs.map(_.col).distinct
+        .filterNot(_ == DvKeyCache.PosCol)
         .map(c => c -> ManifestTable.aliasFamily(dir, pinV, c)).toMap
+    // POSITIONAL DML (round 14, `graft.dml.mode = positional`): the
+    // statement's deletes publish as `#dv … _pos …` markers over the
+    // untouched data files instead of rewriting them — an arbitrary-
+    // predicate DELETE/UPDATE/MERGE costs O(matched rows) + inserts,
+    // the Iceberg position-delete shape. Requires the row-identity
+    // names to really be metadata (a physical `_file`/`_pos` column
+    // would collide with the ordinal bookkeeping).
+    val positionalDml: Boolean = {
+      val v = ManifestTable.currentVersion(dir)
+      ManifestTable.tableProperties(dir, v).get("graft.dml.mode")
+        .contains("positional")
+    }
+    if (positionalDml)
+      require(!tableSchema.fieldNames.exists(n => n == "_file" || n == "_pos"),
+        s"positional DML on $dir refused: the table declares a physical " +
+          "_file/_pos column, which collides with the row identity")
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite
           with RequiresDistributionAndOrdering {
@@ -3555,7 +3669,8 @@ private[sources] class GraftDeltaOperation(dir: String,
           override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
               : DeltaWriterFactory =
             new GraftDeltaWriterFactory(tableDir, writeSchema, fileIdx, posIdx,
-              genExprs, bucketSpec, sumCols, dvByPath, ndvCols, dvAliases)
+              genExprs, bucketSpec, sumCols, dvByPath, ndvCols, dvAliases,
+              positionalDml)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             GraftDeltaCommitter.commit(tableDir, pinnedV(), messages,
               () => Option(lastScan).flatMap(_.admittedFiles))
@@ -3949,7 +4064,11 @@ private[sources] class ChangesReaderFactory(required: StructType,
     // under the EVOLVED name (the alias-aware reader resolves each data
     // file's own generation), typed from whichever family member this
     // file's footer physically carries
+    // positional markers (key column `_pos`) decode the `_pos` metadata
+    // field instead of a key column — no footer lookup, no alias chase
+    val hasPos = (p.dvDrop ++ p.dvOnly).exists(_._2 == DvKeyCache.PosCol)
     val dvCols = (p.dvDrop ++ p.dvOnly).map(_._2)
+      .filterNot(_ == DvKeyCache.PosCol)
       .map(RenameAliases.evolvedOf(aliases, _)).distinct
       .filterNot(decodeBase.fieldNames.contains)
     val footer = ManifestStreamSource.footerSchema(p.file)
@@ -3970,14 +4089,20 @@ private[sources] class ChangesReaderFactory(required: StructType,
             s"$other in ${p.file} (expected integral or string) — " +
             "compact first")
       }
-    }
+    } ++ (if (hasPos && !decodeBase.fieldNames.contains(DvKeyCache.PosCol))
+      Seq(StructField(DvKeyCache.PosCol, LongType)) else Nil)
     val readSchema2 = StructType(decodeBase.fields ++ extra)
-    val drops = p.dvDrop.map { case (path, c) =>
-      DvKeyCache.checkFor(path, readSchema2,
-        RenameAliases.evolvedOf(aliases, c), c) }
-    val onlys = p.dvOnly.map { case (path, c) =>
-      DvKeyCache.checkFor(path, readSchema2,
-        RenameAliases.evolvedOf(aliases, c), c) }
+    val targetName = p.file.substring(p.file.lastIndexOf('/') + 1)
+    def checksOf(ms: Seq[(String, String)])
+        : Seq[InternalRow => Boolean] = ms.map {
+      case (path, c) if c == DvKeyCache.PosCol =>
+        DvKeyCache.posCheckFor(path, readSchema2, targetName)
+      case (path, c) =>
+        DvKeyCache.checkFor(path, readSchema2,
+          RenameAliases.evolvedOf(aliases, c), c)
+    }
+    val drops = checksOf(p.dvDrop)
+    val onlys = checksOf(p.dvOnly)
     val rawInner = new ManifestParquetReader(p.file, readSchema2, aliases)
     val inner: PartitionReader[InternalRow] =
       if (drops.isEmpty && onlys.isEmpty && governed.isEmpty) rawInner

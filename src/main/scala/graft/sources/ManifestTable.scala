@@ -1540,7 +1540,7 @@ object ManifestTable {
 
   private val DvPrefix = "#dv\t"
 
-  private def encodeDv(e: DvEntry): String =
+  private[sources] def encodeDv(e: DvEntry): String =
     s"#dv\t${e.file}\t${e.col}\t${e.targets.toSeq.sorted.mkString(",")}"
 
   /** Raw `#dv` marker lines of version `v` (carried verbatim by successor
@@ -1612,19 +1612,38 @@ object ManifestTable {
         m.map { case (k, cur) => (k, if (cur == from) to else cur) } +
           (from -> to)
     }
+    import org.apache.spark.sql.functions.{col, element_at, split}
     val groups = names.groupBy(n => dvs.filter(_.targets.contains(n)))
     groups.map { case (applicable, files) =>
-      val raw =
+      val raw0 =
         if (rns.isEmpty) s.read.parquet(files.map(dataPath(dir, _)): _*)
         else s.read.option("mergeSchema", "true")
           .parquet(files.map(dataPath(dir, _)): _*)
+      // POSITIONAL markers (key column `_pos`, round 14) doom by row
+      // ordinal: the hidden file-source metadata struct supplies each
+      // row's (file name, row index) identity, anti-joined against the
+      // staged positions — distributed, O(doomed rows) broadcast
+      val hasPos = applicable.exists(_.col == "_pos")
+      val raw = if (!hasPos) raw0 else raw0
+        .withColumn("__graft_dv_name",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
       val base = applyRenames(raw, rns)
       applicable.foldLeft(base) { (df, dv) =>
-        val evolved = fin.getOrElse(dv.col, dv.col)
-        val keys = s.read.parquet(dataPath(dir, dv.file))
-          .select(org.apache.spark.sql.functions.col(dv.col).as(evolved))
-        df.join(broadcast(keys), Seq(evolved), "left_anti")
-      }
+        if (dv.col == "_pos") {
+          val posDf = s.read.parquet(dataPath(dir, dv.file))
+            .select(col("_file").as("__graft_dv_name"),
+              col("_pos").as("__graft_dv_pos"))
+            .where(col("__graft_dv_name").isin(files: _*))
+          df.join(broadcast(posDf),
+            Seq("__graft_dv_name", "__graft_dv_pos"), "left_anti")
+        } else {
+          val evolved = fin.getOrElse(dv.col, dv.col)
+          val keys = s.read.parquet(dataPath(dir, dv.file))
+            .select(col(dv.col).as(evolved))
+          df.join(broadcast(keys), Seq(evolved), "left_anti")
+        }
+      }.drop("__graft_dv_name", "__graft_dv_pos")
     }.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
@@ -1760,9 +1779,19 @@ object ManifestTable {
           // original key file carries, restricted to exactly this group
           encodeDv(DvEntry(keyFiles.head, c, targets.toSet))
         else {
-          val union = s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
-            .select(org.apache.spark.sql.functions.col(c))
-            .distinct().coalesce(1)
+          import org.apache.spark.sql.functions.{col => fcol}
+          // positional markers union their (_file, _pos) pairs,
+          // restricted to this group's targets; keyed markers union
+          // their single key column
+          val union =
+            if (c == "_pos")
+              s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
+                .select(fcol("_file"), fcol("_pos"))
+                .where(fcol("_file").isin(targets: _*))
+                .distinct().coalesce(1)
+            else s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
+              .select(fcol(c))
+              .distinct().coalesce(1)
           val staged = stage(s, dir, union)
           require(staged.size == 1)
           encodeDv(DvEntry(staged.head, c, targets.toSet))

@@ -319,4 +319,143 @@ class Round14Spec extends AnyFunSuite {
       .head().getLong(0) == 2010)
     ManifestTable.destroy(root)
   }
+
+  test("positional DVs: arbitrary-predicate DML with zero rewrites") {
+    val root = freshDir("pdv")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g14pd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14pd.root", root)
+    spark.sql("""CREATE TABLE g14pd.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g14pd.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(0, 10)""")                                 // v1: file A
+    spark.sql("""INSERT INTO g14pd.default.t
+      SELECT /*+ REPARTITION(1) */ id AS k, CAST(id AS DOUBLE) AS v
+      FROM range(10, 20)""")                                // v2: file B
+    val dataFiles = ManifestTable.listFiles(dir, 2).toSet
+    assert(dataFiles.size == 2)
+    def expect(want: Map[Long, Double]): Unit = {
+      val got = spark.sql("SELECT k, v FROM g14pd.default.t")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got == want,
+        s"extra=${(got.toSet -- want.toSet).take(4)} " +
+          s"missing=${(want.toSet -- got.toSet).take(4)}")
+    }
+    // arbitrary-predicate DELETE — not expressible as key membership,
+    // previously a copy-on-write rewrite; now one positions parquet +
+    // one `#dv … _pos …` marker, every data file untouched
+    spark.sql("DELETE FROM g14pd.default.t WHERE v < 3.0 OR k = 15")  // v3
+    val v3 = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.listFiles(dir, v3).toSet == dataFiles,
+      "a positional DELETE must not rewrite or add any data file")
+    assert(ManifestTable.dvEntries(dir, v3).exists(_.col == "_pos"),
+      "the delete publishes a positional marker")
+    val base = (0L until 20L).map(i => i -> i.toDouble).toMap
+    expect(base -- Seq(0L, 1L, 2L, 15L))
+    // arbitrary-predicate UPDATE: positional delete + ordinary insert —
+    // the two original files STILL never rewrite
+    spark.sql("UPDATE g14pd.default.t SET v = -1.0 " +
+      "WHERE k BETWEEN 5 AND 7")                            // v4
+    val v4 = ManifestTable.currentVersion(dir)
+    assert(dataFiles.subsetOf(ManifestTable.listFiles(dir, v4).toSet),
+      "the originals survive an UPDATE untouched")
+    expect(base -- Seq(0L, 1L, 2L, 15L) ++
+      Seq(5L -> -1.0, 6L -> -1.0, 7L -> -1.0))
+    // MERGE: matched rows doom positionally (even ones living in the
+    // UPDATE's insert file), inserts append
+    spark.sql("""MERGE INTO g14pd.default.t t USING (
+        SELECT CAST(6 AS BIGINT) AS k, -6.0 AS v
+        UNION ALL SELECT CAST(100 AS BIGINT), -100.0) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")                    // v5
+    val v5 = ManifestTable.currentVersion(dir)
+    assert(dataFiles.subsetOf(ManifestTable.listFiles(dir, v5).toSet))
+    val want5 = base -- Seq(0L, 1L, 2L, 15L) ++
+      Seq(5L -> -1.0, 6L -> -6.0, 7L -> -1.0, 100L -> -100.0)
+    expect(want5)
+    // metadata tiers stay honest: COUNT declines metadata serving under
+    // markers but answers exactly
+    val cnt = spark.sql("SELECT count(*) FROM g14pd.default.t")
+    assert(!cnt.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(cnt.head().getLong(0) == want5.size.toLong)
+    // the change feed crosses positional markers: the v3 delete commit
+    // emits exactly its doomed live rows
+    val feed = spark.sql(
+      """SELECT _change_type, _commit_version, k
+         FROM g14pd.default.`t$changes`""")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(feed.filter(_._2 == 3).map(e => (e._1, e._3)).toSet ==
+      Set(0L, 1L, 2L, 15L).map(k => ("delete", k)),
+      s"v3 diff must be its doomed rows: ${feed.filter(_._2 == 3).toSeq}")
+    val live = feed.groupBy(_._3).collect {
+      case (k, evs) if evs.count(_._1 == "insert") >
+        evs.count(_._1 == "delete") => k
+    }.toSet
+    assert(live == want5.keySet, "feed-reconstructed live set")
+    // governance composes: doomed rows are invisible to the policy
+    ManifestTable.setPolicy(dir, masks = Map("v" -> "-9.0"),
+      rowFilter = Some("k < 1000"))
+    val gov = spark.sql("SELECT k, v FROM g14pd.default.t").collect()
+    assert(gov.length == want5.size && gov.forall(_.getDouble(1) == -9.0))
+    ManifestTable.setPolicy(dir, masks = Map.empty) // clear
+    // optimize MATERIALIZES the positional markers (the small-file pass
+    // reads the DV-merged view): rows preserved, markers gone
+    val vO = ManifestTable.optimize(spark, dir, numFiles = 1)
+    assert(ManifestTable.dvEntries(dir, vO).isEmpty,
+      "a full rewrite pass leaves no marker")
+    expect(want5)
+    ManifestTable.destroy(root)
+  }
+
+  test("positional DVs compose with keyed markers, renames, and restore") {
+    val root = freshDir("pdc")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g14pc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14pc.root", root)
+    spark.sql("""CREATE TABLE g14pc.default.t (uid STRING, k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional',
+                     'delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g14pc.default.t
+      SELECT /*+ REPARTITION(1) */ concat('u', id), id, CAST(id AS DOUBLE)
+      FROM range(0, 10)""")                                 // v1: gen-1 file
+    // positional marker (arbitrary predicate) + keyed string marker (the
+    // mor fast path) TARGETING THE SAME FILE — both kinds apply per row
+    spark.sql("DELETE FROM g14pc.default.t WHERE v < 2.0")  // v2: _pos dv
+    spark.sql("DELETE FROM g14pc.default.t " +
+      "WHERE uid IN ('u5')")                                // v3: keyed dv
+    val v3 = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvEntries(dir, v3).map(_.col).toSet ==
+      Set("_pos", "uid"), "both marker kinds live on the file")
+    // rename AFTER the markers: positions are rename-invariant, the
+    // keyed marker resolves through the alias chain
+    spark.sql("ALTER TABLE g14pc.default.t RENAME COLUMN v TO value") // v4
+    spark.sql("""INSERT INTO g14pc.default.t
+      SELECT /*+ REPARTITION(1) */ concat('u', id) AS uid, id AS k,
+             CAST(id AS DOUBLE) AS value
+      FROM range(10, 20)""")                                // v5: gen-2 file
+    // positional UPDATE under the composed state, hitting BOTH
+    // generations in one statement
+    spark.sql("UPDATE g14pc.default.t SET value = -1.0 " +
+      "WHERE k IN (3, 12)")                                 // v6
+    val got = spark.sql("SELECT uid, k, value FROM g14pc.default.t")
+      .collect().map(r => (r.getLong(1), (r.getString(0), r.getDouble(2))))
+      .toMap
+    assert(got.size == 17, s"20 - doomed {0,1,5} = 17, got ${got.size}")
+    assert(!got.contains(0L) && !got.contains(1L) && !got.contains(5L))
+    assert(got(3L) == ("u3", -1.0) && got(12L) == ("u12", -1.0))
+    assert(got(7L) == ("u7", 7.0) && got(15L) == ("u15", 15.0))
+    // restore to v2: only the positional marker exists there — rows
+    // {2..9} live, pre-rename names serve
+    ManifestTable.restore(dir, 2)
+    val back = spark.sql("SELECT k FROM g14pc.default.t")
+      .collect().map(_.getLong(0)).toSet
+    assert(back == (2L until 10L).toSet,
+      s"restore must resurrect the keyed-deleted row and drop the " +
+        s"post-restore inserts: $back")
+    ManifestTable.destroy(root)
+  }
 }
