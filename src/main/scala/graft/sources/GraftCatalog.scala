@@ -1573,8 +1573,44 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       Max, Min, Sum}
     import org.apache.spark.sql.types._
     val v = snapV
-    if (ManifestTable.dvLines(dir, v).nonEmpty) return false
     if (ManifestTable.policyLines(dir, v).nonEmpty) return false // filtered answers differ
+    val dvsAtV = ManifestTable.dvEntries(dir, v)
+    if (dvsAtV.nonEmpty) {
+      // PURE-POSITIONAL markers keep COUNT(*) metadata-served (round
+      // 14): a `_pos` marker records EXACT doomed ordinals, so live =
+      // recorded rows − distinct doomed positions still targeting a
+      // listed file — computed from the tiny staged positions parquets
+      // (driver-cached, O(doomed rows), zero data-file I/O). Keyed
+      // markers, filters, grouping, and every other aggregate decline:
+      // a key set hits an unknown number of rows, and a doomed row may
+      // hold the extremum or part of the sum.
+      if (dvsAtV.exists(_.col != DvKeyCache.PosCol)) return false
+      if (pushed.nonEmpty) return false
+      if (aggregation.groupByExpressions.nonEmpty) return false
+      if (!aggregation.aggregateExpressions.toSeq.forall(
+          _.isInstanceOf[CountStar])) return false
+      val pentries = ManifestTable.listLines(dir, v)
+        .map(ManifestTable.parseEntry)
+      if (pentries.isEmpty || pentries.exists(_.rows.isEmpty)) return false
+      val names = pentries.map(_.name).toSet
+      // distinct ordinals per target, merged across markers (statements
+      // only doom live rows, so the sets are disjoint by construction —
+      // dedup anyway: a duplicate would otherwise undercount)
+      val doomedCount: Long = dvsAtV
+        .flatMap(m => m.targets.toSeq.filter(names).map(t => (t, m.file)))
+        .groupBy(_._1)
+        .map { case (t, ms) =>
+          ms.map { case (_, f) =>
+            DvKeyCache.doomedPositions(ManifestTable.dataPath(dir, f), t) }
+            .flatten.distinct.length.toLong
+        }.sum
+      val live = pentries.flatMap(_.rows).sum - doomedCount
+      val aggs = aggregation.aggregateExpressions.toSeq
+      pushedRows = Some(Seq(aggs.map(_ => live: Any)))
+      required = StructType(aggs.zipWithIndex.map { case (_, i) =>
+        StructField(s"agg_$i", LongType, nullable = false) })
+      return true
+    }
     // a FILTERED aggregate folds only the admitted files — sound ONLY
     // under exact pushdown (Spark pushes aggregates exclusively when no
     // residual filter remains, and exactness means every admitted file's

@@ -376,11 +376,18 @@ class Round14Spec extends AnyFunSuite {
     val want5 = base -- Seq(0L, 1L, 2L, 15L) ++
       Seq(5L -> -1.0, 6L -> -6.0, 7L -> -1.0, 100L -> -100.0)
     expect(want5)
-    // metadata tiers stay honest: COUNT declines metadata serving under
-    // markers but answers exactly
+    // COUNT(*) stays METADATA-SERVED under pure-positional markers:
+    // positions are exact ordinals, so live = rows − doomed, computed
+    // from the tiny staged positions parquets with zero data-file I/O
     val cnt = spark.sql("SELECT count(*) FROM g14pd.default.t")
-    assert(!cnt.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadata agg"),
+      s"pure-positional COUNT(*) must serve from metadata:\n" +
+        cnt.queryExecution.executedPlan)
     assert(cnt.head().getLong(0) == want5.size.toLong)
+    // …but anything a doomed row could still influence declines honestly
+    val mx = spark.sql("SELECT max(v) FROM g14pd.default.t")
+    assert(!mx.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(mx.head().getDouble(0) == 19.0)
     // the change feed crosses positional markers: the v3 delete commit
     // emits exactly its doomed live rows
     val feed = spark.sql(
@@ -456,6 +463,41 @@ class Round14Spec extends AnyFunSuite {
     assert(back == (2L until 10L).toSet,
       s"restore must resurrect the keyed-deleted row and drop the " +
         s"post-restore inserts: $back")
+    ManifestTable.destroy(root)
+  }
+
+  test("streaming changes feed crosses positional markers") {
+    val root = freshDir("pst")
+    spark.conf.set("spark.sql.catalog.g14ps",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14ps.root", root)
+    spark.sql("""CREATE TABLE g14ps.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")           // v0
+    spark.sql("""INSERT INTO g14ps.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 8)""")                                          // v1
+    spark.sql("DELETE FROM g14ps.default.t WHERE v >= 6.0")         // v2
+    spark.sql("UPDATE g14ps.default.t SET v = -1.0 WHERE k = 2")    // v3
+    val want = (0L until 8L).map(k => ("insert", 1, k)).toSet ++
+      Set(("delete", 2, 6L), ("delete", 2, 7L),
+        ("delete", 3, 2L), ("insert", 3, 2L))
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, Int, Long)]()
+    val q = spark.readStream.table("g14ps.default.`t$changes`")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("_change_type", "_commit_version", "k").collect()
+          .foreach(r => seen.add((r.getString(0), r.getInt(1), r.getLong(2))))
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == want,
+      s"missing=${(want -- seen.asScala).take(8)} " +
+        s"extra=${(seen.asScala.toSet -- want).take(8)}")
     ManifestTable.destroy(root)
   }
 }
