@@ -745,6 +745,34 @@ object Relational {
         min(o_orderkey) AS mn
         FROM graft_pv.default.ord""")
     }),
+    // CHANGE FEED ACROSS POSITIONAL MARKERS (round 14): a positional
+    // DELETE commit's diff is exactly its doomed live rows (read at
+    // their recorded ordinals from the targeted files — zero extra
+    // bookkeeping), and an UPDATE emits delete(old values) +
+    // insert(new values). The CDC consumer of a positional-mode table
+    // syncs rewrite-free DML without re-bootstrapping.
+    "q_changes_positional" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_chp_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_cp",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cp.root", root)
+      s.sql("""CREATE TABLE graft_cp.default.ord (k BIGINT, p DOUBLE)
+        TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+      Tables.orders(s, d)
+        .selectExpr("o_orderkey AS k", "o_totalprice AS p")
+        .filter("k % 3 = 0")
+        .createOrReplaceTempView("r14_chp_src")
+      s.sql("INSERT INTO graft_cp.default.ord SELECT * FROM r14_chp_src") // v1
+      s.sql("DELETE FROM graft_cp.default.ord WHERE p < 30000.0")         // v2
+      s.sql("UPDATE graft_cp.default.ord SET p = 1.0 WHERE k % 10 = 1")   // v3
+      s.sql("""SELECT _change_type, _commit_version, count(*) AS n,
+        CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        min(k) AS mn
+        FROM graft_cp.default.`ord$changes`
+        GROUP BY _change_type, _commit_version""")
+    }),
     // DELETION-VECTOR MAINTENANCE (round 13): a hot MOR table accumulates
     // one #dv marker per DELETE, and every scan of a targeted file checks
     // one key set per historical delete. `CALL system.rewrite_dvs`
@@ -2834,6 +2862,30 @@ object Relational {
         |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       min(o_orderkey) AS mn
         |FROM kept""".stripMargin,
+    // the positional feed is the row-level diff exactly: v1 inserts the
+    // staged subset, v2's delete emits the doomed live rows, v3's
+    // update emits old-value deletes + new-value inserts
+    "q_changes_positional" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 3 = 0)
+        |SELECT 'insert' AS _change_type, 1 AS _commit_version,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       min(k) AS mn
+        |FROM base
+        |UNION ALL
+        |SELECT 'delete', 2, count(*),
+        |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), min(k)
+        |FROM base WHERE p < 30000.0
+        |UNION ALL
+        |SELECT 'delete', 3, count(*),
+        |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), min(k)
+        |FROM base WHERE p >= 30000.0 AND k % 10 = 1
+        |UNION ALL
+        |SELECT 'insert', 3, count(*),
+        |       CAST(sum(CAST(1.0 AS DECIMAL(18,2))) AS DOUBLE), min(k)
+        |FROM base WHERE p >= 30000.0 AND k % 10 = 1""".stripMargin,
     // consolidation must never change the answer: exactly the three
     // deletes' keys are gone, nothing else
     "q_rewrite_dvs" ->

@@ -1280,6 +1280,16 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
       .get("delete.mode").contains("mor")
   }
 
+  /** Positional-DML tables (round 14) promise ZERO data-file rewrites
+    * for deletes: without `delete.mode = mor` the keyed fast path would
+    * copy-on-write, so it declines and the statement falls to the
+    * row-level delta plan, which publishes positional markers. */
+  private def positionalMode: Boolean = {
+    val v = ManifestTable.currentVersion(dir)
+    v >= 0 && ManifestTable.tableProperties(dir, v)
+      .get("graft.dml.mode").contains("positional")
+  }
+
   /** Governed tables refuse ALL SQL DML, on BOTH paths: a row-filter
     * policy hides rows from every SQL consumer, and a DELETE that could
     * still remove them would let the statement's author act on rows the
@@ -1304,7 +1314,8 @@ private[sources] class ManifestSqlTable(ident: String, dir: String,
       ManifestTable.currentVersion(dir)).nonEmpty
     pinned.isEmpty && !governed &&
       (isTruncate(filters) ||
-        (parseDelete(filters).isDefined && (morMode || !renamed)) ||
+        (parseDelete(filters).isDefined &&
+          (morMode || (!renamed && !positionalMode))) ||
         (parseDeleteStr(filters).isDefined && morMode))
   }
 
@@ -1492,6 +1503,17 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   private lazy val statRenames: Map[String, String] =
     scala.util.Try(ManifestTable.finalNames(dir, snapV))
       .getOrElse(Map.empty)
+  /** Stats are UNUSABLE when a renamed-away name was re-added as a new
+    * column (`RENAME a TO b` then `ADD COLUMN a`): a file's 'a' stat leg
+    * is then ambiguous — logical b in old files, the new a in new ones —
+    * and evolve() would collide the two. Every pushdown declines and the
+    * scan's own collision refusal raises at build(); without this gate a
+    * metadata-served aggregate would ANSWER (wrongly) before build()
+    * ever runs the refusal. */
+  private lazy val statsUsable: Boolean = {
+    val current = full.fieldNames.toSet
+    statRenames.keysIterator.forall(from => !current.contains(from))
+  }
   private def evolve(e: ManifestTable.FileEntry): ManifestTable.FileEntry =
     if (statRenames.isEmpty) e
     else e.copy(
@@ -1512,6 +1534,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
   private var allPushedExact = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!statsUsable) { pushed = Array.empty; return filters }
     pushed = filters.filter(prunable)
     // EXACT pushdown: a filter needs no post-scan re-evaluation when
     // every file SURVIVING the whole pushed set provably satisfies it on
@@ -1573,6 +1596,7 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
       Max, Min, Sum}
     import org.apache.spark.sql.types._
     val v = snapV
+    if (!statsUsable) return false // re-added freed name: build() refuses
     if (ManifestTable.policyLines(dir, v).nonEmpty) return false // filtered answers differ
     val dvsAtV = ManifestTable.dvEntries(dir, v)
     if (dvsAtV.nonEmpty) {
@@ -1890,11 +1914,12 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
           aliases = aliases, streamStart = streamStart)
       case None =>
         val entries = ManifestTable.listLines(dir, v)
-          .map(ManifestTable.parseEntry)
+          .map(ManifestTable.parseEntry).map(evolve) // once, not per check
         val admitted =
-          if (pushed.isEmpty) entries else entries.filter(fileAdmit)
+          if (pushed.isEmpty) entries
+          else entries.filter(e => pushed.forall(admits(_, e)))
         admittedFiles = Some(admitted.map(_.name).toSet)
-        new ManifestFilesScan(shaped(admitted).map(evolve),
+        new ManifestFilesScan(shaped(admitted),
           entries.size, required, dir, pinned, versionsPerBatch,
           rowCap = limit, dvByName = dvByName, dvFields = dvFields,
           aliases = aliases, streamStart = streamStart)
@@ -2580,6 +2605,12 @@ private[sources] object DvKeyCache {
     case a: Array[Long] => 16L + 8L * a.length
     case a: Array[Array[Byte]] =>
       16L + a.foldLeft(0L)((acc, k) => acc + 40L + k.length)
+    case m: Map[_, _] => // grouped positions: Map[String, Array[Long]]
+      48L + m.foldLeft(0L) {
+        case (acc, (k: String, a: Array[Long])) =>
+          acc + 56L + 2L * k.length + 8L * a.length
+        case (acc, _) => acc + 64L
+      }
     case _ => 64L
   }
 
@@ -2753,10 +2784,12 @@ private[sources] object DvKeyCache {
   /** The reserved key-column name marking a positional `#dv` entry. */
   val PosCol = "_pos"
 
-  /** Sorted doomed row ordinals of data file `target` recorded in
-    * positions parquet `path`. */
-  def doomedPositions(path: String, target: String): Array[Long] = {
-    cached((path, target, 'P')) {
+  /** Every target's sorted doomed ordinals of positions parquet `path`,
+    * loaded in ONE pass (a wide positional DELETE dooms rows across many
+    * files — per-target re-reads would cost O(targets × rows)) and
+    * cached as one LRU entry. */
+  private def positionsOf(path: String): Map[String, Array[Long]] = {
+    cached((path, "", 'M')) {
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -2771,37 +2804,44 @@ private[sources] object DvKeyCache {
           && mt.getType(pIdx).asPrimitiveType().getPrimitiveTypeName == INT64,
         s"positional deletion-vector file $path must carry (_file BINARY, " +
           "_pos INT64)")
-      val targetBytes = target.getBytes("UTF-8")
       val r = ParquetReader.builder(new GroupReadSupport(),
         new org.apache.hadoop.fs.Path(path))
         .withConf(new org.apache.hadoop.conf.Configuration()).build()
       val budget = maxKeys
-      var arr = new Array[Long](64)
-      var n = 0
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      var total = 0L
       try {
         var g = r.read()
         while (g != null) {
           if (g.getFieldRepetitionCount(fIdx) > 0 &&
-              g.getFieldRepetitionCount(pIdx) > 0 &&
-              java.util.Arrays.equals(
-                g.getBinary(fIdx, 0).getBytes, targetBytes)) {
-            if (n >= budget) throw new IllegalStateException(
+              g.getFieldRepetitionCount(pIdx) > 0) {
+            if (total >= budget) throw new IllegalStateException(
               s"positional deletion-vector file $path dooms more than " +
-                s"$budget rows of $target (graft.dv.maxKeys) — compact " +
-                "the table to materialize its deletes")
-            if (n == arr.length)
-              arr = java.util.Arrays.copyOf(arr, arr.length * 2)
-            arr(n) = g.getLong(pIdx, 0)
-            n += 1
+                s"$budget rows (graft.dv.maxKeys) — compact the table " +
+                "to materialize its deletes")
+            acc.getOrElseUpdate(g.getBinary(fIdx, 0).toStringUsingUTF8,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+              g.getLong(pIdx, 0)
+            total += 1
           }
           g = r.read()
         }
       } finally r.close()
-      val out = java.util.Arrays.copyOf(arr, n)
-      java.util.Arrays.sort(out)
-      out
+      acc.iterator.map { case (t, buf) =>
+        val out = buf.toArray
+        java.util.Arrays.sort(out)
+        t -> out
+      }.toMap
     }
   }
+
+  private val noPositions = Array.empty[Long]
+
+  /** Sorted doomed row ordinals of data file `target` recorded in
+    * positions parquet `path`. */
+  def doomedPositions(path: String, target: String): Array[Long] =
+    positionsOf(path).getOrElse(target, noPositions)
 
   /** A compiled doomed-row test for a POSITIONAL marker against data file
     * `targetName`: `schema` must carry the `_pos` metadata field (the

@@ -507,14 +507,29 @@ object ManifestTable {
         if (isRewrite(dir, v)) "rewrite"
         else if (isMutate(dir, v)) "mutate"
         else "data"
-      // a deletion vector makes the row count unknowable from metadata
-      // (the doomed-key parquet could be counted, but how many of its keys
-      // actually hit is a data question) — report unknown, never a guess
+      // a KEYED deletion vector makes the row count unknowable from
+      // metadata (how many keys actually hit is a data question) —
+      // report unknown, never a guess. PURE-POSITIONAL markers (round
+      // 14) record exact doomed ordinals, so live = rows − distinct
+      // positions still targeting listed files (the same arithmetic the
+      // COUNT(*) pushdown serves), read from the tiny positions
+      // parquets on the driver.
+      val dvs = dvEntries(dir, v)
       val rows =
-        if (entries.nonEmpty && entries.forall(_.rows.isDefined) &&
-            dvLines(dir, v).isEmpty)
-          Some(entries.flatMap(_.rows).sum)
-        else None
+        if (entries.isEmpty || entries.exists(_.rows.isEmpty)) None
+        else if (dvs.isEmpty) Some(entries.flatMap(_.rows).sum)
+        else if (dvs.forall(_.col == "_pos")) {
+          val names = entries.map(_.name).toSet
+          val doomed = dvs
+            .flatMap(m => m.targets.toSeq.filter(names).map(t => (t, m.file)))
+            .groupBy(_._1)
+            .map { case (t, ms) =>
+              ms.map { case (_, f) =>
+                graft.sources.DvKeyCache.doomedPositions(dataPath(dir, f), t) }
+                .flatten.distinct.length.toLong
+            }.sum
+          Some(entries.flatMap(_.rows).sum - doomed)
+        } else None
       (v, kind, entries.size.toLong, rows)
     }.toDF("version", "kind", "n_files", "n_rows")
   }
@@ -1240,11 +1255,19 @@ object ManifestTable {
     // EMPTY task partition; publishing those would pollute the manifest
     // with zero-row files forever (each costs a footer open per scan
     // plan, and small appends inflate the file count). Drop them at
-    // staging — unless EVERY file is empty, where one survives as the
-    // snapshot's schema anchor (tables created by a first empty append
-    // have no declared schema to read it from).
-    val (live, empty) = staged.partition(_._3 > 0)
-    val kept = if (live.nonEmpty) live else staged.take(1)
+    // staging. When EVERY file is empty, one survives as the snapshot's
+    // schema anchor ONLY if the table has no declared schema to read it
+    // from (an API table's first-ever append); a catalog table's
+    // `INSERT … WHERE false` publishes nothing at all.
+    val live = staged.filter(_._3 > 0)
+    val declared = {
+      val v = currentVersion(dir)
+      v >= 0 && declaredSchema(dir, v).isDefined
+    }
+    val kept =
+      if (live.nonEmpty) live
+      else if (declared) Seq.empty
+      else staged.take(1)
     (staged diff kept).foreach { case (n, _, _) =>
       Files.deleteIfExists(Paths.get(dir, "data", n)) }
     kept.map { case (name, orig, rowCount) =>
@@ -1594,7 +1617,14 @@ object ManifestTable {
     * when unrenamed) — what a rewrite that modernizes old-generation
     * rows should harvest stats under. */
   def finalNames(dir: String, v: Int): Map[String, String] =
-    renames(dir, v).foldLeft(Map.empty[String, String]) {
+    collapseRenames(renames(dir, v))
+
+  /** Collapse a rename chain into from → final-name (every historical
+    * name of a column maps to its evolved name). One definition, shared
+    * by the stat path and the DV read path. */
+  private def collapseRenames(rns: Seq[(String, String)])
+      : Map[String, String] =
+    rns.foldLeft(Map.empty[String, String]) {
       case (m, (from, to)) =>
         m.map { case (k, cur) => (k, if (cur == from) to else cur) } +
           (from -> to)
@@ -1607,11 +1637,7 @@ object ManifestTable {
     // under a subsequent rename the anti-join runs on the EVOLVED name —
     // sound because the marker keyed a then-live column, so only renames
     // AFTER the delete can touch its name and the full chain resolves it
-    val fin = rns.foldLeft(Map.empty[String, String]) {
-      case (m, (from, to)) =>
-        m.map { case (k, cur) => (k, if (cur == from) to else cur) } +
-          (from -> to)
-    }
+    val fin = collapseRenames(rns)
     import org.apache.spark.sql.functions.{col, element_at, split}
     val groups = names.groupBy(n => dvs.filter(_.targets.contains(n)))
     groups.map { case (applicable, files) =>

@@ -388,6 +388,13 @@ class Round14Spec extends AnyFunSuite {
     val mx = spark.sql("SELECT max(v) FROM g14pd.default.t")
     assert(!mx.queryExecution.executedPlan.toString.contains("metadata agg"))
     assert(mx.head().getDouble(0) == 19.0)
+    // table history serves exact live counts under pure-positional
+    // markers too (rows − doomed ordinals, same arithmetic)
+    val hist = ManifestTable.history(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(hist(3) == 16L && hist(5) == 17L,
+      s"history live counts: v3=${hist(3)} v5=${hist(5)}")
     // the change feed crosses positional markers: the v3 delete commit
     // emits exactly its doomed live rows
     val feed = spark.sql(
@@ -463,6 +470,62 @@ class Round14Spec extends AnyFunSuite {
     assert(back == (2L until 10L).toSet,
       s"restore must resurrect the keyed-deleted row and drop the " +
         s"post-restore inserts: $back")
+    ManifestTable.destroy(root)
+  }
+
+  test("re-added freed name: pushdowns refuse with the scan, never answer") {
+    val root = freshDir("raf")
+    spark.conf.set("spark.sql.catalog.g14rf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14rf.root", root)
+    spark.sql("CREATE TABLE g14rf.default.t (a BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g14rf.default.t
+      SELECT id, CAST(id AS DOUBLE) FROM range(0, 10)""")
+    spark.sql("ALTER TABLE g14rf.default.t RENAME COLUMN a TO b")
+    // re-adding the renamed-away name is allowed at DDL time; the SCAN
+    // is what refuses (old files' physical 'a' means logical b, new
+    // files' 'a' means the new column — unreconcilable)
+    spark.sql("ALTER TABLE g14rf.default.t ADD COLUMN a BIGINT")
+    spark.sql("""INSERT INTO g14rf.default.t
+      SELECT id AS b, CAST(id AS DOUBLE) AS v, id + 5000 AS a
+      FROM range(0, 5)""")
+    // a metadata-servable aggregate must hit the SAME refusal as a full
+    // scan — it must never fold the new a-column's stats into max(b)
+    // and silently answer 5004
+    Seq("SELECT max(b) AS mx FROM g14rf.default.t",
+        "SELECT count(*) AS n FROM g14rf.default.t",
+        "SELECT b FROM g14rf.default.t WHERE b > 3").foreach { sql =>
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("renamed-away")),
+        s"$sql must refuse like the scan does, got: ${e.getMessage}")
+    }
+    ManifestTable.destroy(root)
+  }
+
+  test("keyed DELETE on a positional table stays rewrite-free") {
+    val root = freshDir("pkd")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g14pk",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14pk.root", root)
+    spark.sql("""CREATE TABLE g14pk.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g14pk.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 10)""")
+    val files = ManifestTable.listFiles(dir, 1).toSet
+    // the key-membership shape would take the copy-on-write fast path
+    // and REWRITE the file — positional mode declines it to the delta
+    // plan, which publishes a positional marker instead
+    spark.sql("DELETE FROM g14pk.default.t WHERE k IN (1, 2)")
+    val v = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.listFiles(dir, v).toSet == files,
+      "a keyed delete in positional mode must not rewrite any file")
+    assert(ManifestTable.dvEntries(dir, v).exists(_.col == "_pos"))
+    assert(spark.sql("SELECT k FROM g14pk.default.t")
+      .collect().map(_.getLong(0)).toSet == ((0L until 10L).toSet -- Set(1L, 2L)))
     ManifestTable.destroy(root)
   }
 
