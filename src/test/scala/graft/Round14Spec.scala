@@ -529,6 +529,48 @@ class Round14Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("positional markers consolidate and survive a mode-flip rewrite") {
+    val root = freshDir("pcm")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g14pm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14pm.root", root)
+    spark.sql("""CREATE TABLE g14pm.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g14pm.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 20)""")
+    // two positional deletes → two markers targeting the SAME file
+    spark.sql("DELETE FROM g14pm.default.t WHERE v < 2.0")
+    spark.sql("DELETE FROM g14pm.default.t WHERE k IN (10, 11)")
+    val v0 = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvEntries(dir, v0).count(_.col == "_pos") == 2)
+    // consolidation unions the (file, ordinal) pairs into ONE marker
+    // without touching any data file; answers identical
+    spark.sql("CALL g14pm.system.rewrite_dvs(table => 't')")
+    val v1 = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvEntries(dir, v1).count(_.col == "_pos") == 1,
+      s"got ${ManifestTable.dvEntries(dir, v1)}")
+    val live = (0L until 20L).toSet -- Set(0L, 1L, 10L, 11L)
+    assert(spark.sql("SELECT k FROM g14pm.default.t")
+      .collect().map(_.getLong(0)).toSet == live)
+    // MODE FLIP: with positional DML off, an UPDATE goes back to
+    // copy-on-write rewrites — the rewrite must drop positional-doomed
+    // survivors (a resurrected row would be silent corruption) and
+    // strike the rewritten file from the marker
+    spark.sql("ALTER TABLE g14pm.default.t " +
+      "UNSET TBLPROPERTIES ('graft.dml.mode')")
+    spark.sql("UPDATE g14pm.default.t SET v = -1.0 WHERE k = 5")
+    val got = spark.sql("SELECT k, v FROM g14pm.default.t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == live, s"resurrected=${got.keySet -- live}")
+    assert(got(5L) == -1.0 && got(12L) == 12.0)
+    assert(ManifestTable.dvEntries(dir,
+        ManifestTable.currentVersion(dir)).isEmpty,
+      "the rewrite materialized the marker (its only target was rewritten)")
+    ManifestTable.destroy(root)
+  }
+
   test("streaming changes feed crosses positional markers") {
     val root = freshDir("pst")
     spark.conf.set("spark.sql.catalog.g14ps",
