@@ -32,6 +32,90 @@ object CurationOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** DSIR-STYLE IMPORTANCE-WEIGHTED DATA SELECTION (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how target-domain-like its hashed
+    * unigram features are, and keep the positively-scored ones. Features
+    * are 256 md5-prefix buckets (the portable engine-agnostic hash this
+    * repo already splits with); the per-feature direction is the SIGN of
+    * the Laplace-smoothed log-likelihood ratio, decided by exact integer
+    * cross-multiplication — (c_t+1)(T_r+256) > (c_r+1)(T_t+256) ⟺
+    * p_target(f) > p_raw(f) — so a document's score (the sum of its
+    * tokens' votes) is an INTEGER and the selection boundary is
+    * float-free on both engines (full real-valued LLR weights would rank
+    * identically in expectation but make the oracle hash hostage to
+    * summation order). Target stand-in: doc_id % 7 = 0 (in production,
+    * the in-domain sample).
+    *
+    * Scale posture: one explode pass builds the cached (doc, feature)
+    * projection; the feature statistics are ≤256 rows (broadcast), the
+    * totals one row, and the per-doc score is a map-side join + hash
+    * aggregate — nothing shuffles the text, nothing is all-pairs, and
+    * the expensive tokenize runs once. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"lang",
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .where($"tok" =!= "")
+      .select($"doc_id", $"lang", substring(md5($"tok"), 1, 2).as("f"))
+      .persist()
+    try {
+      val stat = feats.groupBy($"f").agg(
+        count(lit(1)).as("cr"),
+        count(when($"doc_id" % 7 === 0, 1)).as("ct"))
+      val tot = feats.agg(
+        count(lit(1)).as("tr"),
+        count(when($"doc_id" % 7 === 0, 1)).as("tt"))
+      val dirn = stat.crossJoin(broadcast(tot))
+        .select($"f",
+          when(($"ct" + 1) * ($"tr" + 256L) > ($"cr" + 1) * ($"tt" + 256L),
+            lit(1L)).otherwise(lit(-1L)).as("vote"))
+      val scores = feats.join(broadcast(dirn), Seq("f"))
+        .groupBy($"doc_id", $"lang").agg(sum($"vote").as("score"))
+      // report the full per-language score distribution (selected =
+      // positive LLR votes): on this synthetic fixture the stand-in
+      // target's unigram distribution matches raw, so n_selected is
+      // honestly ~0 — the oracle still bites on every doc's exact
+      // integer score through the sums and extrema
+      scores.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"score" > 0, 1)).as("n_selected"),
+          sum($"score").as("sum_score"),
+          min($"score").as("min_score"),
+          max($"score").as("max_score"))
+    } finally feats.unpersist(blocking = false)
+  }
+
+  private val dsirSelectSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, substr(md5(tok), 1, 2) AS f
+      |  FROM toks WHERE tok <> ''),
+      |tot AS (
+      |  SELECT count(*) AS tr,
+      |         count(*) FILTER (WHERE doc_id % 7 = 0) AS tt FROM feats),
+      |stat AS (
+      |  SELECT f, count(*) AS cr,
+      |         count(*) FILTER (WHERE doc_id % 7 = 0) AS ct
+      |  FROM feats GROUP BY f),
+      |dirn AS (
+      |  SELECT f, CASE WHEN (ct + 1) * (tr + 256) > (cr + 1) * (tt + 256)
+      |                 THEN 1 ELSE -1 END AS vote
+      |  FROM stat, tot),
+      |scores AS (
+      |  SELECT doc_id, lang, CAST(sum(vote) AS BIGINT) AS score
+      |  FROM feats JOIN dirn USING (f)
+      |  GROUP BY doc_id, lang)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE score > 0) AS BIGINT) AS n_selected,
+      |       CAST(sum(score) AS BIGINT) AS sum_score,
+      |       min(score) AS min_score, max(score) AS max_score
+      |FROM scores GROUP BY lang""".stripMargin
+
   /** Deterministic hash-based train/test split: a doc lands in `train` iff
     * the first two hex chars of md5(doc_id) sort below "cd" (205/256 ≈ 80%).
     * Hash-splitting (vs random) is reproducible across runs, engines, and
@@ -1354,6 +1438,7 @@ object CurationOps {
     "q_dup_ngram_frac" -> ((s, d) => dupNgramFraction(s, d)),
     "q_pack_windows" -> ((s, d) => packWindows(s, d)),
     "q_split_traintest" -> ((s, d) => trainTestSplit(s, d)),
+    "q_dsir_select" -> ((s, d) => dsirSelect(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
     "q_stream_decontaminate" -> ((s, d) => streamingDecontaminate(s, d)),
@@ -1383,6 +1468,7 @@ object CurationOps {
     "q_stream_ingest_report" -> ingestReportSql(sourceFilterSql, DedupOps.incrementalDedupSql),
     "q_dup_ngram_frac" -> dupNgramFractionSql,
     "q_split_traintest" -> trainTestSplitSql,
+    "q_dsir_select" -> dsirSelectSql,
     "q_pack_windows" -> packWindowsSql,
     "q_decontaminate" -> decontaminateSql,
     // same SQL: the bloom prefilter must not change the answer
