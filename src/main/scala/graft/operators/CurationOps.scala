@@ -64,9 +64,10 @@ object CurationOps {
       val stat = feats.groupBy($"f").agg(
         count(lit(1)).as("cr"),
         count(when($"doc_id" % 7 === 0, 1)).as("ct"))
-      val tot = feats.agg(
-        count(lit(1)).as("tr"),
-        count(when($"doc_id" % 7 === 0, 1)).as("tt"))
+      // corpus totals fold from the ≤256 feature rows on the driver —
+      // no second pass over the exploded tokens
+      val tot = stat.agg(
+        sum($"cr").as("tr"), sum($"ct").as("tt"))
       val dirn = stat.crossJoin(broadcast(tot))
         .select($"f",
           when(($"ct" + 1) * ($"tr" + 256L) > ($"cr" + 1) * ($"tt" + 256L),
