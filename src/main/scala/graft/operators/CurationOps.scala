@@ -55,37 +55,45 @@ object CurationOps {
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feats = Tables.documentsSpread(s, dir)
-      .select($"doc_id", $"lang",
-        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"doc_id", $"lang", explode(toks($"text")).as("tok"))
       .where($"tok" =!= "")
       .select($"doc_id", $"lang", substring(md5($"tok"), 1, 2).as("f"))
       .persist()
-    try {
-      val stat = feats.groupBy($"f").agg(
-        count(lit(1)).as("cr"),
-        count(when($"doc_id" % 7 === 0, 1)).as("ct"))
-      // corpus totals fold from the ≤256 feature rows on the driver —
-      // no second pass over the exploded tokens
-      val tot = stat.agg(
-        sum($"cr").as("tr"), sum($"ct").as("tt"))
-      val dirn = stat.crossJoin(broadcast(tot))
-        .select($"f",
-          when(($"ct" + 1) * ($"tr" + 256L) > ($"cr" + 1) * ($"tt" + 256L),
-            lit(1L)).otherwise(lit(-1L)).as("vote"))
-      val scores = feats.join(broadcast(dirn), Seq("f"))
-        .groupBy($"doc_id", $"lang").agg(sum($"vote").as("score"))
-      // report the full per-language score distribution (selected =
-      // positive LLR votes): on this synthetic fixture the stand-in
-      // target's unigram distribution matches raw, so n_selected is
-      // honestly ~0 — the oracle still bites on every doc's exact
-      // integer score through the sums and extrema
-      scores.groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-          count(when($"score" > 0, 1)).as("n_selected"),
-          sum($"score").as("sum_score"),
-          min($"score").as("min_score"),
-          max($"score").as("max_score"))
-    } finally feats.unpersist(blocking = false)
+    val stat = feats.groupBy($"f").agg(
+      count(lit(1)).as("cr"),
+      count(when($"doc_id" % 7 === 0, 1)).as("ct"))
+    // corpus totals fold from the ≤256 feature rows — no second pass
+    // over the exploded tokens
+    val tot = stat.agg(
+      sum($"cr").as("tr"), sum($"ct").as("tt"))
+    // the cross-multiplication runs in DECIMAL(38,0): both factors are
+    // < 2^63, so the product (< 8.5e37) stays EXACT where a Long would
+    // silently wrap past ~3e9 tokens (the oracle widens to HUGEINT for
+    // the same reason — both engines stay exact at corpus scale)
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val dirn = stat.crossJoin(broadcast(tot))
+      .select($"f",
+        when(d($"ct" + 1) * d($"tr" + 256L) > d($"cr" + 1) * d($"tt" + 256L),
+          lit(1L)).otherwise(lit(-1L)).as("vote"))
+    val scores = feats.join(broadcast(dirn), Seq("f"))
+      .groupBy($"doc_id", $"lang").agg(sum($"vote").as("score"))
+    // report the full per-language score distribution (selected =
+    // positive LLR votes): on this synthetic fixture the stand-in
+    // target's unigram distribution matches raw, so n_selected is
+    // honestly ~0 — the oracle still bites on every doc's exact
+    // integer score through the sums and extrema. The eager
+    // localCheckpoint EXECUTES the plan while the token cache is live
+    // (the sibling ops' pattern); a finally-unpersist would evict it
+    // before the caller ever ran the lazy plan.
+    val out = scores.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"score" > 0, 1)).as("n_selected"),
+        sum($"score").as("sum_score"),
+        min($"score").as("min_score"),
+        max($"score").as("max_score"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
   }
 
   private val dsirSelectSql =
@@ -104,7 +112,8 @@ object CurationOps {
       |         count(*) FILTER (WHERE doc_id % 7 = 0) AS ct
       |  FROM feats GROUP BY f),
       |dirn AS (
-      |  SELECT f, CASE WHEN (ct + 1) * (tr + 256) > (cr + 1) * (tt + 256)
+      |  SELECT f, CASE WHEN CAST(ct + 1 AS HUGEINT) * CAST(tr + 256 AS HUGEINT)
+      |                    > CAST(cr + 1 AS HUGEINT) * CAST(tt + 256 AS HUGEINT)
       |                 THEN 1 ELSE -1 END AS vote
       |  FROM stat, tot),
       |scores AS (
