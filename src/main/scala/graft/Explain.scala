@@ -52,7 +52,12 @@ object Explain {
     "q_metadata_filtered_agg", "q_metadata_sum", "q_time_partition",
     "q_sql_branch", "q_sql_mor_read",
     // round 13: the LSH-fed clustering runs its fixpoint at construction
-    "q_dedup_clusters_lsh")
+    "q_dedup_clusters_lsh",
+    // round 14: the positional-DV and rename-pushdown queries build +
+    // mutate manifest tables at construction; the DSIR select executes
+    // its eager localCheckpoint
+    "q_positional_dv", "q_changes_positional", "q_rename_pushdown",
+    "q_dsir_select")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

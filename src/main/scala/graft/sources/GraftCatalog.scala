@@ -1884,18 +1884,29 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // a pushed bare LIMIT plans only a file PREFIX whose recorded row
     // counts reach n (requires exact counts on every kept file; top-n
     // keeps all files — each may hold candidates)
+    // recorded row counts OVERCOUNT under KEYED deletion vectors (how
+    // many keys hit is a data question), so the prefix shortcut
+    // declines there and every file stays planned. PURE-POSITIONAL
+    // markers (round 14) record exact doomed ordinals, so each file's
+    // LIVE count is rows − its still-targeting positions — the LIMIT
+    // file-prefix stays armed through rewrite-free DML.
+    val liveRows: ManifestTable.FileEntry => Option[Long] =
+      if (dvs.isEmpty) e => e.rows
+      else if (dvs.forall(_.col == DvKeyCache.PosCol)) { e =>
+        e.rows.map(_ - dvs.filter(_.targets.contains(e.name))
+          .map(m => DvKeyCache.doomedPositions(
+            ManifestTable.dataPath(dir, m.file), e.name))
+          .flatten.distinct.length)
+      } else _ => None
     def shaped(entries: Seq[ManifestTable.FileEntry])
         : Seq[ManifestTable.FileEntry] = limit match {
-      // recorded row counts OVERCOUNT under deletion vectors, so a
-      // file-prefix whose counts reach n could hold fewer LIVE rows —
-      // the prefix shortcut declines and every file stays planned
-      case Some(n) if !topNPushed && pushed.isEmpty && dvs.isEmpty &&
-          entries.forall(_.rows.isDefined) =>
+      case Some(n) if !topNPushed && pushed.isEmpty &&
+          entries.forall(liveRows(_).isDefined) =>
         var acc = 0L
         val b = Seq.newBuilder[ManifestTable.FileEntry]
         val it = entries.iterator
         while (acc < n && it.hasNext) {
-          val e = it.next(); b += e; acc += e.rows.get
+          val e = it.next(); b += e; acc += liveRows(e).get
         }
         b.result()
       case _ => entries

@@ -395,6 +395,14 @@ class Round14Spec extends AnyFunSuite {
         (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
     assert(hist(3) == 16L && hist(5) == 17L,
       s"history live counts: v3=${hist(3)} v5=${hist(5)}")
+    // the LIMIT file-prefix shortcut stays armed too: per-file LIVE
+    // counts are exact under positional markers, so LIMIT 3 plans one
+    // file (file A holds 10 − 6 doomed = 4 live rows) out of four
+    val lim = spark.sql("SELECT k FROM g14pd.default.t LIMIT 3")
+    assert(lim.queryExecution.executedPlan.toString.contains("files 1/4"),
+      s"positional live counts must keep the prefix armed:\n" +
+        lim.queryExecution.executedPlan)
+    assert(lim.collect().length == 3)
     // the change feed crosses positional markers: the v3 delete commit
     // emits exactly its doomed live rows
     val feed = spark.sql(
