@@ -525,12 +525,23 @@ private[sources] object GraftDeltaWriter {
     val factory = new SimpleGroupFactory(mt)
     val dataPrefix = s"$dir/data/"
     val targets = Set.newBuilder[String]
+    // the readers' per-positions-file budget (graft.dv.maxKeys) counts
+    // the WHOLE file — refuse to stage past it (loud at write time,
+    // never a table whose every read throws): a statement dooming this
+    // much of the data should rewrite copy-on-write instead
+    val budget = DvKeyCache.maxKeys
+    var total = 0L
     try {
       doomed.foreach { case (path, bits) =>
         val nm =
           if (path.startsWith(dataPrefix)) path.stripPrefix(dataPrefix)
           else path.substring(path.lastIndexOf('/') + 1)
         targets += nm
+        total += bits.cardinality().toLong
+        if (total > budget) throw new IllegalStateException(
+          s"positional DML dooms more than $budget rows in one task " +
+            "(graft.dv.maxKeys) — run it copy-on-write (unset " +
+            "graft.dml.mode) or raise the budget")
         var i = bits.nextSetBit(0)
         while (i >= 0) {
           val g = factory.newGroup()

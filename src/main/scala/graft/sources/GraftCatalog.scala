@@ -1617,18 +1617,8 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
         .map(ManifestTable.parseEntry)
       if (pentries.isEmpty || pentries.exists(_.rows.isEmpty)) return false
       val names = pentries.map(_.name).toSet
-      // distinct ordinals per target, merged across markers (statements
-      // only doom live rows, so the sets are disjoint by construction —
-      // dedup anyway: a duplicate would otherwise undercount)
-      val doomedCount: Long = dvsAtV
-        .flatMap(m => m.targets.toSeq.filter(names).map(t => (t, m.file)))
-        .groupBy(_._1)
-        .map { case (t, ms) =>
-          ms.map { case (_, f) =>
-            DvKeyCache.doomedPositions(ManifestTable.dataPath(dir, f), t) }
-            .flatten.distinct.length.toLong
-        }.sum
-      val live = pentries.flatMap(_.rows).sum - doomedCount
+      val live = pentries.flatMap(_.rows).sum -
+        DvKeyCache.doomedPosTotal(dir, dvsAtV, names)
       val aggs = aggregation.aggregateExpressions.toSeq
       pushedRows = Some(Seq(aggs.map(_ => live: Any)))
       required = StructType(aggs.zipWithIndex.map { case (_, i) =>
@@ -1892,23 +1882,23 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // file-prefix stays armed through rewrite-free DML.
     val liveRows: ManifestTable.FileEntry => Option[Long] =
       if (dvs.isEmpty) e => e.rows
-      else if (dvs.forall(_.col == DvKeyCache.PosCol)) { e =>
-        e.rows.map(_ - dvs.filter(_.targets.contains(e.name))
-          .map(m => DvKeyCache.doomedPositions(
-            ManifestTable.dataPath(dir, m.file), e.name))
-          .flatten.distinct.length)
-      } else _ => None
+      else if (dvs.forall(_.col == DvKeyCache.PosCol))
+        e => e.rows.map(_ - DvKeyCache.doomedPosCount(dir, dvs, e.name))
+      else _ => None
     def shaped(entries: Seq[ManifestTable.FileEntry])
         : Seq[ManifestTable.FileEntry] = limit match {
-      case Some(n) if !topNPushed && pushed.isEmpty &&
-          entries.forall(liveRows(_).isDefined) =>
-        var acc = 0L
-        val b = Seq.newBuilder[ManifestTable.FileEntry]
-        val it = entries.iterator
-        while (acc < n && it.hasNext) {
-          val e = it.next(); b += e; acc += liveRows(e).get
+      case Some(n) if !topNPushed && pushed.isEmpty => // one liveRows
+        val live = entries.map(liveRows) // evaluation per entry
+        if (live.exists(_.isEmpty)) entries
+        else {
+          var acc = 0L
+          val b = Seq.newBuilder[ManifestTable.FileEntry]
+          val it = entries.iterator.zip(live.iterator)
+          while (acc < n && it.hasNext) {
+            val (e, l) = it.next(); b += e; acc += l.get
+          }
+          b.result()
         }
-        b.result()
       case _ => entries
     }
     // the scan receives EVOLVED entries (stat keys normalized through
@@ -2853,6 +2843,26 @@ private[sources] object DvKeyCache {
     * positions parquet `path`. */
   def doomedPositions(path: String, target: String): Array[Long] =
     positionsOf(path).getOrElse(target, noPositions)
+
+  /** Distinct doomed ordinals of `target` across every positional
+    * marker still targeting it — statements only doom live rows, so the
+    * per-marker sets are disjoint by construction; dedup anyway (a
+    * duplicate would undercount live rows). ONE definition, shared by
+    * the COUNT(*) pushdown, the LIMIT file-prefix, and table history. */
+  def doomedPosCount(dir: String, dvs: Seq[ManifestTable.DvEntry],
+      target: String): Long =
+    dvs.filter(m => m.col == PosCol && m.targets.contains(target))
+      .flatMap(m =>
+        doomedPositions(ManifestTable.dataPath(dir, m.file), target))
+      .distinct.length.toLong
+
+  /** Total distinct doomed ordinals across positional markers,
+    * restricted to targets still in `names`. */
+  def doomedPosTotal(dir: String, dvs: Seq[ManifestTable.DvEntry],
+      names: Set[String]): Long =
+    dvs.filter(_.col == PosCol).flatMap(_.targets).distinct
+      .filter(names)
+      .map(t => doomedPosCount(dir, dvs, t)).sum
 
   /** A compiled doomed-row test for a POSITIONAL marker against data file
     * `targetName`: `schema` must carry the `_pos` metadata field (the

@@ -518,18 +518,14 @@ object ManifestTable {
       val rows =
         if (entries.isEmpty || entries.exists(_.rows.isEmpty)) None
         else if (dvs.isEmpty) Some(entries.flatMap(_.rows).sum)
-        else if (dvs.forall(_.col == "_pos")) {
-          val names = entries.map(_.name).toSet
-          val doomed = dvs
-            .flatMap(m => m.targets.toSeq.filter(names).map(t => (t, m.file)))
-            .groupBy(_._1)
-            .map { case (t, ms) =>
-              ms.map { case (_, f) =>
-                graft.sources.DvKeyCache.doomedPositions(dataPath(dir, f), t) }
-                .flatten.distinct.length.toLong
-            }.sum
-          Some(entries.flatMap(_.rows).sum - doomed)
-        } else None
+        else if (dvs.forall(_.col == DvKeyCache.PosCol))
+          // a historical version's positions file may be over-budget or
+          // damaged: history reports UNKNOWN for that version, it never
+          // throws (the incident-writeup call must survive the incident)
+          scala.util.Try(entries.flatMap(_.rows).sum -
+            DvKeyCache.doomedPosTotal(dir, dvs, entries.map(_.name).toSet))
+            .toOption
+        else None
       (v, kind, entries.size.toLong, rows)
     }.toDF("version", "kind", "n_files", "n_rows")
   }
@@ -1800,10 +1796,10 @@ object ManifestTable {
           .toSeq
       if (groups.forall(_._2.size <= 1)) return v
       val newLines = groups.sortBy(g => (g._1, g._2.mkString(",")))
-          .map { case (c, keyFiles, targets) =>
+          .flatMap { case (c, keyFiles, targets) =>
         if (keyFiles.size == 1) // already minimal for these targets: the
           // original key file carries, restricted to exactly this group
-          encodeDv(DvEntry(keyFiles.head, c, targets.toSet))
+          Seq(encodeDv(DvEntry(keyFiles.head, c, targets.toSet)))
         else {
           import org.apache.spark.sql.functions.{col => fcol}
           // positional markers union their (_file, _pos) pairs,
@@ -1818,9 +1814,19 @@ object ManifestTable {
             else s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
               .select(fcol(c))
               .distinct().coalesce(1)
-          val staged = stage(s, dir, union)
-          require(staged.size == 1)
-          encodeDv(DvEntry(staged.head, c, targets.toSet))
+          // a merged positions file past the per-file read budget would
+          // make every subsequent scan REFUSE (the loader's loud
+          // maxKeys bound counts the WHOLE file) — decline merging this
+          // group and keep its original markers: reads stay exactly as
+          // fast as before, and the consolidation of other groups still
+          // lands
+          if (c == "_pos" && union.count() > DvKeyCache.maxKeys)
+            keyFiles.map(f => encodeDv(DvEntry(f, c, targets.toSet)))
+          else {
+            val staged = stage(s, dir, union)
+            require(staged.size == 1)
+            Seq(encodeDv(DvEntry(staged.head, c, targets.toSet)))
+          }
         }
       }
       val body = listLines(dir, v) ++ newLines ++
@@ -1988,6 +1994,16 @@ object ManifestTable {
         s"rename of '$from' refused: a governance policy references it — " +
           "re-declare the policy against the new name first")
       guardRenameTarget(dir, v, to)
+      // refuse renaming AWAY a name the chain already renamed away once
+      // (RENAME a→b; ADD COLUMN a; RENAME a→c): two chain entries with
+      // the same FROM would make a physical 'a' column AMBIGUOUS —
+      // logical b in pre-re-add files, logical c after — and the
+      // collapsed chain would silently serve old files' b bytes as c.
+      // Like the target guard, compacting first is always available.
+      require(!renames(dir, v).exists(_._1 == from),
+        s"rename of '$from' refused: the name was renamed away and " +
+          "re-added — old files' physical column means a different " +
+          "logical column; compact first")
       // the declared schema (empty-table authority) follows the rename;
       // generation expressions referencing the old name REWRITE to the
       // new one (round 14) before the field itself renames
@@ -2228,6 +2244,13 @@ object ManifestTable {
               "references it — re-declare the policy against the new name " +
               "first")
           guardRenameTarget(dir, v, r.to)
+          // two chain entries with the same FROM (rename a→b, re-add
+          // a, rename a→c) would make a physical 'a' ambiguous across
+          // generations — refuse, same contract as renameColumn
+          require(!renames(dir, v).exists(_._1 == r.from),
+            s"rename of '${r.from}' refused: the name was renamed away " +
+              "and re-added — old files' physical column means a " +
+              "different logical column; compact first")
         }
       }
       var props = propLines(dir, v)

@@ -509,6 +509,18 @@ class Round14Spec extends AnyFunSuite {
       assert(msgs(e).exists(_.contains("renamed-away")),
         s"$sql must refuse like the scan does, got: ${e.getMessage}")
     }
+    // renaming the re-added name AWAY would put two entries with the
+    // same FROM in the chain ((a,b) then (a,c)) — physical 'a' would
+    // mean logical b in old files and logical c in new ones, and the
+    // collapsed chain would silently serve old b bytes as c. Refused
+    // at commit instead.
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g14rf.default.t RENAME COLUMN a TO c")
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(e2).exists(_.contains("re-added")),
+      s"renaming a re-added freed name away must refuse: ${e2.getMessage}")
     ManifestTable.destroy(root)
   }
 
