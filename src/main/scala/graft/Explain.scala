@@ -57,7 +57,10 @@ object Explain {
     // mutate manifest tables at construction; the DSIR select executes
     // its eager localCheckpoint
     "q_positional_dv", "q_changes_positional", "q_rename_pushdown",
-    "q_dsir_select")
+    "q_dsir_select",
+    // round 15: the DSIR sampler executes its eager localCheckpoint;
+    // the view query builds + mutates a manifest table at construction
+    "q_dsir_sample", "q_sql_view")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL
@@ -105,6 +108,7 @@ object Explain {
     val width = if (finalMode) sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") else "4"
     val spark = SparkSession.builder()
       .master(s"local[$width]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.LevenshteinWithin].getName, "levenshtein_within"),
       (exprs: Seq[Expression]) => functions.LevenshteinWithin(exprs(0), exprs(1),
         functions.EditDistance.kOf(exprs(2)))))
+    // persistent-view substitution (inert unless the referenced catalog
+    // is a configured GraftCatalog storing a view under the name)
+    e.injectResolutionRule(s => new plans.GraftViewRule(s))
     // band-join rewrite (inert until spark.graft.bandJoin.width is set)
     e.injectOptimizerRule(_ => plans.BandJoinRule)
     // materialized-view auto-rewrite (inert until a view registers)

@@ -1520,6 +1520,38 @@ object Relational {
     // pipeline pattern: land a day's ingest on a branch, run quality
     // audits THERE, publish only when green; a 100 TB publish is pure
     // metadata + file renames, zero data copy.
+    // PERSISTENT SQL VIEWS (round 15): the saved-query tier — the
+    // reference keeps its analyst verification queries as readme text
+    // (/root/reference/readme.md:149-187); here they become named catalog
+    // objects. `CALL system.create_view` validates by analysis and
+    // persists one atomic JSON document; a fully-qualified SELECT then
+    // resolves THROUGH the view via the GraftExtensions analyzer rule
+    // (OSS Spark 4.1 has the v2 ViewCatalog SPI — implemented too — but
+    // no SQL routing to it, so reads go through the extension rule,
+    // Iceberg's shape). The view's column set pins at creation; dropping
+    // a base column makes it refuse, never silently change shape.
+    "q_sql_view" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_vwq_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_vw",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_vw.root", root)
+      s.sql("""CREATE TABLE graft_vw.default.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r15_vw_src")
+      s.sql("INSERT INTO graft_vw.default.ord SELECT * FROM r15_vw_src")
+      s.sql("""CALL graft_vw.system.create_view(name => 'big_orders',
+        sql => 'SELECT o_orderkey, o_custkey, o_totalprice
+                FROM graft_vw.default.ord WHERE o_totalprice > 150000.0',
+        replace => true)""")
+      s.sql("""SELECT count(*) AS n,
+        count(DISTINCT o_custkey) AS n_cust,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_vw.default.big_orders""")
+    }),
     "q_sql_branch" -> ((s, d) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_brq_" +
         java.lang.ProcessHandle.current().pid()
@@ -2690,6 +2722,12 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |       min(o_orderkey) AS mn, CAST(max(o_totalprice) AS DOUBLE) AS mx
         |FROM orders GROUP BY 1""".stripMargin,
+    // reading through the persisted view must equal its defining query
+    "q_sql_view" ->
+      """SELECT count(*) AS n,
+        |       count(DISTINCT o_custkey) AS n_cust,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
     // the published branch line must equal the full content
     "q_sql_branch" ->
       """SELECT count(*) AS n,
@@ -2864,28 +2902,34 @@ object Relational {
         |FROM kept""".stripMargin,
     // the positional feed is the row-level diff exactly: v1 inserts the
     // staged subset, v2's delete emits the doomed live rows, v3's
-    // update emits old-value deletes + new-value inserts
+    // update emits old-value deletes + new-value inserts. Each leg
+    // drops when it matches no rows (HAVING) — the engine emits no
+    // group for a version that touched nothing, so the pair must agree
+    // at ANY scale factor, not only when every leg is non-empty
     "q_changes_positional" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
-        |  WHERE o_orderkey % 3 = 0)
+        |  WHERE o_orderkey % 3 = 0),
+        |hd AS (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS h
+        |       FROM base WHERE p < 30000.0)
         |SELECT 'insert' AS _change_type, 1 AS _commit_version,
         |       count(*) AS n,
         |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
         |       min(k) AS mn
-        |FROM base
+        |FROM base HAVING count(*) > 0
         |UNION ALL
         |SELECT 'delete', 2, count(*),
         |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), min(k)
-        |FROM base WHERE p < 30000.0
+        |FROM base WHERE p < 30000.0 HAVING count(*) > 0
         |UNION ALL
-        |SELECT 'delete', 3, count(*),
+        |SELECT 'delete', 2 + (SELECT h FROM hd), count(*),
         |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE), min(k)
-        |FROM base WHERE p >= 30000.0 AND k % 10 = 1
+        |FROM base WHERE p >= 30000.0 AND k % 10 = 1 HAVING count(*) > 0
         |UNION ALL
-        |SELECT 'insert', 3, count(*),
+        |SELECT 'insert', 2 + (SELECT h FROM hd), count(*),
         |       CAST(sum(CAST(1.0 AS DECIMAL(18,2))) AS DOUBLE), min(k)
-        |FROM base WHERE p >= 30000.0 AND k % 10 = 1""".stripMargin,
+        |FROM base WHERE p >= 30000.0 AND k % 10 = 1
+        |HAVING count(*) > 0""".stripMargin,
     // consolidation must never change the answer: exactly the three
     // deletes' keys are gone, nothing else
     "q_rewrite_dvs" ->

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedRelation}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
+  SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** PERSISTENT-VIEW resolution (round 15): substitutes a reference to a
+  * stored graft view (`SELECT … FROM <catalog>.<ns>.<name>`) with its
+  * parsed defining SQL — the extension-views shape Iceberg ships, since
+  * OSS Spark 4.1 does not route view resolution to v2 catalogs. The rule
+  * runs inside the analyzer's resolution fixed-point: the substituted
+  * plan's own relations (including nested views) resolve on later
+  * iterations. The view's OUTPUT is pinned to its creation-time column
+  * set by a Project over the stored schema's names — a `SELECT *` view
+  * does not grow with its base table, and a later `DROP COLUMN` on the
+  * base makes the view REFUSE with an unresolved-column error instead of
+  * silently changing shape.
+  *
+  * Inert unless a referenced identifier's catalog is a configured
+  * `graft.sources.GraftCatalog` (conf lookup only — no catalog
+  * instantiation) AND that catalog stores a view document under the
+  * name; every other relation passes through untouched. Direct
+  * self-reference refuses explicitly; longer cycles stop at the
+  * analyzer's iteration limit. */
+class GraftViewRule(session: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def rootOf(catalog: String): Option[String] =
+    session.conf.getOption(s"spark.sql.catalog.$catalog")
+      .filter(_ == classOf[graft.sources.GraftCatalog].getName)
+      .flatMap(_ => session.conf.getOption(s"spark.sql.catalog.$catalog.root"))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 &&
+          u.multipartIdentifier.length <= 3 && !u.isStreaming =>
+        val parts = u.multipartIdentifier
+        val (ns, name) =
+          if (parts.length == 3) (Seq(parts(1)), parts(2))
+          else (Seq("default"), parts(1))
+        rootOf(parts.head)
+          .flatMap(root => graft.sources.GraftViews.load(root, ns, name))
+          .map { v =>
+            val parsed = CatalystSqlParser.parsePlan(v.sql)
+            val self = parsed.collectFirst {
+              case r: UnresolvedRelation
+                  if r.multipartIdentifier.map(_.toLowerCase) ==
+                    parts.map(_.toLowerCase) => r
+            }
+            if (self.isDefined) throw new org.apache.spark.sql
+              .AnalysisException(
+                errorClass = "RECURSIVE_VIEW",
+                messageParameters = Map(
+                  "viewIdent" -> parts.mkString("."),
+                  "newPath" -> parts.mkString(".")))
+            SubqueryAlias(name,
+              Project(v.schema.fieldNames.toSeq
+                .map(UnresolvedAttribute.quoted), parsed))
+          }
+          .getOrElse(u)
+    }
+}

@@ -502,54 +502,79 @@ private[sources] object GraftDeltaWriter {
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
 
-  /** Stage one POSITIONS parquet under `data/` (round 14): rows
-    * (`_file` = data-file NAME, `_pos` = doomed physical ordinal),
-    * grouped per file in ascending ordinal order. Returns (staged name,
-    * target names). A failure deletes the partial file and rethrows —
-    * the statement aborts, nothing published. */
+  /** Stage one POSITIONS parquet under `data/` (round 14;
+    * roaring-compressed round 15): one row per doomed data file —
+    * (`_file` = the file's BASENAME, `_bitmap` = its doomed physical
+    * ordinals as a run-optimized roaring bitmap, the Iceberg-v3 puffin
+    * DV shape at ~1-2 bits per doomed row dense). Returns (staged name,
+    * target names in the COMMITTER's manifest-name convention:
+    * table-relative for local files, the full path VERBATIM for
+    * branch/clone references — so the published marker's target set
+    * matches manifest line names on every table shape, and
+    * clone()'s absolute re-mapping composes). A failure deletes the
+    * partial file and rethrows — the statement aborts, nothing
+    * published. */
   def stagePositions(dir: String,
       doomed: scala.collection.Map[String, java.util.BitSet],
       partitionId: Int, taskId: Long): (String, Set[String]) = {
+    val dataPrefix = s"$dir/data/"
+    val targets = Set.newBuilder[String]
+    val entries = doomed.iterator.map { case (path, bits) =>
+      val nm =
+        if (path.startsWith(dataPrefix)) path.stripPrefix(dataPrefix)
+        else path
+      targets += nm
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      var i = bits.nextSetBit(0)
+      while (i >= 0) { rb.add(i); i = bits.nextSetBit(i + 1) }
+      rb.runOptimize()
+      DvKeyCache.baseName(nm) -> rb
+    }
+    val name =
+      writePositionsFile(dir, entries, s"p$partitionId-t$taskId")
+    (name, targets.result())
+  }
+
+  /** Low-level positions-parquet writer shared by the delta writer and
+    * DV consolidation: rows of (`_file` basename, `_bitmap` roaring
+    * blob). Refuses LOUDLY past `graft.dv.maxBytes` of serialized
+    * bitmap per file — the readers' per-file heap bound — instead of
+    * committing a table whose every read throws; a statement dooming
+    * that much data should rewrite copy-on-write. On any failure the
+    * partial file is deleted and the error rethrown. */
+  def writePositionsFile(dir: String,
+      entries: Iterator[(String, org.roaringbitmap.RoaringBitmap)],
+      tag: String): String = {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val mt = Types.buildMessage()
       .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("_file")
-      .optional(INT64).named("_pos")
+      .optional(BINARY).named("_bitmap")
       .named("graft_positions")
     val name = "pd-" + java.util.UUID.randomUUID().toString.take(8) +
-      s"-p$partitionId-t$taskId.parquet"
+      s"-$tag.parquet"
     val wconf = new Configuration()
     GroupWriteSupport.setSchema(mt, wconf)
     val w = ExampleParquetWriter.builder(new Path(s"$dir/data/$name"))
       .withConf(wconf).build()
     val factory = new SimpleGroupFactory(mt)
-    val dataPrefix = s"$dir/data/"
-    val targets = Set.newBuilder[String]
-    // the readers' per-positions-file budget (graft.dv.maxKeys) counts
-    // the WHOLE file — refuse to stage past it (loud at write time,
-    // never a table whose every read throws): a statement dooming this
-    // much of the data should rewrite copy-on-write instead
-    val budget = DvKeyCache.maxKeys
+    val budget = DvKeyCache.maxDvBytes
     var total = 0L
     try {
-      doomed.foreach { case (path, bits) =>
-        val nm =
-          if (path.startsWith(dataPrefix)) path.stripPrefix(dataPrefix)
-          else path.substring(path.lastIndexOf('/') + 1)
-        targets += nm
-        total += bits.cardinality().toLong
+      entries.foreach { case (base, rb) =>
+        val sz = rb.serializedSizeInBytes()
+        total += sz
         if (total > budget) throw new IllegalStateException(
-          s"positional DML dooms more than $budget rows in one task " +
-            "(graft.dv.maxKeys) — run it copy-on-write (unset " +
-            "graft.dml.mode) or raise the budget")
-        var i = bits.nextSetBit(0)
-        while (i >= 0) {
-          val g = factory.newGroup()
-          g.add("_file", nm)
-          g.add("_pos", i.toLong)
-          w.write(g)
-          i = bits.nextSetBit(i + 1)
-        }
+          s"positional DML dooms more than $budget serialized bitmap " +
+            "bytes in one positions file (graft.dv.maxBytes) — run it " +
+            "copy-on-write (unset graft.dml.mode) or raise the budget")
+        val buf = java.nio.ByteBuffer.allocate(sz)
+        rb.serialize(buf)
+        val g = factory.newGroup()
+        g.add("_file", base)
+        g.add("_bitmap", org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(buf.array()))
+        w.write(g)
       }
       w.close()
     } catch { case e: Throwable =>
@@ -558,7 +583,7 @@ private[sources] object GraftDeltaWriter {
         java.nio.file.Paths.get(dir, "data", name))
       throw e
     }
-    (name, targets.result())
+    name
   }
 
   /** Copy `path` minus the `doomedBits` ordinals into a freshly-named
@@ -593,7 +618,7 @@ private[sources] object GraftDeltaWriter {
     // rows by ordinal — checked against the copy loop's own position
     // counter, no column decode at all
     val targetName = path.substring(path.lastIndexOf('/') + 1)
-    val posSets: Seq[Array[Long]] = dvs.collect {
+    val posSets: Seq[org.roaringbitmap.RoaringBitmap] = dvs.collect {
       case (dvPath, DvKeyCache.PosCol) =>
         DvKeyCache.doomedPositions(dvPath, targetName)
     }
@@ -705,7 +730,7 @@ private[sources] object GraftDeltaWriter {
       var g = reader.read()
       while (g != null) {
         if (!doomedBits.get(pos) && !dvChecks.exists(_(g)) &&
-            !posSets.exists(DvKeyCache.contains(_, pos.toLong))) {
+            !posSets.exists(_.contains(pos))) {
           if (writer == null)
             writer = ExampleParquetWriter.builder(new Path(s"$dir/data/$name"))
               .withConf(wconf).build()

@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with StagingTableCatalog
     with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -82,6 +83,90 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   private def dirOf(ident: Identifier): String = {
     val ns = ident.namespace().toSeq.filterNot(_ == "default")
     (Seq(root) ++ ns :+ ident.name()).mkString("/")
+  }
+
+  // -------------------------------------------------------------------
+  // PERSISTENT SQL VIEWS (round 15) — the connector ViewCatalog SPI over
+  // GraftViews' atomic JSON documents. OSS Spark 4.1 does not yet route
+  // `CREATE VIEW` SQL to v2 catalogs, so DDL also ships as procedures
+  // (`CALL <cat>.system.create_view/drop_view`) and READS resolve
+  // transparently (`SELECT … FROM <cat>.ns.v`) through the
+  // GraftExtensions analyzer rule, which substitutes the stored SQL —
+  // exactly Iceberg's extension-views shape. Views and tables share one
+  // name space: creating either refuses when the other exists.
+  // -------------------------------------------------------------------
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list(root, namespace.toSeq)
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View =
+    GraftViews.load(root, ident.namespace().toSeq, ident.name())
+      .map(v => new GraftViews.GraftView(ident, v))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.load(root, ident.namespace().toSeq, ident.name()).isDefined
+
+  override def createView(info: org.apache.spark.sql.connector.catalog
+      .ViewInfo): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    requirePlainName(ident)
+    require(!tableExists(ident),
+      s"cannot create view $ident: a table with that name exists")
+    if (!namespaceExists(ident.namespace()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(ident.namespace())
+    val sv = GraftViews.StoredView(info.sql(), info.schema(),
+      info.currentCatalog(), info.currentNamespace().toSeq,
+      info.properties().asScala.toMap)
+    try GraftViews.write(root, ident.namespace().toSeq, ident.name(), sv,
+      replace = false)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    }
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val cur = GraftViews.load(root, ident.namespace().toSeq, ident.name())
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = changes.foldLeft(cur.properties) {
+      case (m, c: ViewChange.SetProperty) => m + (c.property() -> c.value())
+      case (m, c: ViewChange.RemoveProperty) => m - c.property()
+      case (_, c) => throw new IllegalArgumentException(
+        s"unsupported view change $c")
+    }
+    GraftViews.write(root, ident.namespace().toSeq, ident.name(),
+      cur.copy(properties = props), replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(root, ident.namespace().toSeq, ident.name())
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requirePlainName(newIdent)
+    val cur = GraftViews.load(root, oldIdent.namespace().toSeq,
+      oldIdent.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent))
+    require(!tableExists(newIdent),
+      s"cannot rename view to $newIdent: a table with that name exists")
+    try GraftViews.write(root, newIdent.namespace().toSeq, newIdent.name(),
+      cur, replace = false)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    }
+    GraftViews.drop(root, oldIdent.namespace().toSeq, oldIdent.name())
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -350,6 +435,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     requirePlainName(ident)
+    require(!viewExists(ident),
+      s"cannot create table $ident: a view with that name exists")
     val dir = dirOf(ident)
     require(ManifestTable.currentVersion(dir) < 0,
       s"table $ident already exists")
@@ -627,7 +714,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident.name(), root).getOrElse(
+    GraftProcedures.load(ident.name(), root, catalogName).getOrElse(
       throw new IllegalArgumentException(s"procedure $ident not found " +
         s"(supported: ${GraftProcedures.names.mkString(", ")})"))
 }
@@ -643,10 +730,14 @@ private[sources] object GraftProcedures {
 
   val names: Array[String] =
     Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire",
-      "branch", "fastforward", "drop_branch", "rewrite_dvs")
+      "branch", "fastforward", "drop_branch", "rewrite_dvs",
+      "create_view", "drop_view")
 
-  def load(name: String, root: String): Option[UnboundProcedure] =
-    if (names.contains(name)) Some(new GraftProcedure(name, root)) else None
+  def load(name: String, root: String,
+      catalogName: String = "graft"): Option[UnboundProcedure] =
+    if (names.contains(name))
+      Some(new GraftProcedure(name, root, catalogName))
+    else None
 
   private[sources] def dirFor(root: String, table: String): String = {
     val parts = table.split('.').toSeq.filterNot(_ == "default")
@@ -665,7 +756,8 @@ private[sources] object GraftProcedures {
       override def description(): String = s"procedure result v$version"
     }
 
-  private class GraftProcedure(procName: String, root: String)
+  private class GraftProcedure(procName: String, root: String,
+      catalogName: String = "graft")
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
     override def description(): String = procName match {
@@ -686,6 +778,10 @@ private[sources] object GraftProcedures {
       case "drop_branch" => "abandon a branch and its local files"
       case "rewrite_dvs" => "consolidate accumulated deletion-vector " +
         "markers (one key set per file per column) without rewriting data"
+      case "create_view" => "persist a named SQL view (validated by " +
+        "analysis now; read it as SELECT ... FROM <catalog>.<ns>.<name> " +
+        "under graft.GraftExtensions)"
+      case "drop_view" => "drop a persistent SQL view"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -718,6 +814,13 @@ private[sources] object GraftProcedures {
           .defaultValue("1").build())
       case "branch" | "fastforward" | "drop_branch" => Array(
         ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      case "create_view" => Array(
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("sql", StringType).build(),
+        ProcedureParameter.in("replace", org.apache.spark.sql.types
+          .BooleanType).defaultValue("false").build())
+      case "drop_view" => Array(
         ProcedureParameter.in("name", StringType).build())
     }
     override def call(input: org.apache.spark.sql.catalyst.InternalRow)
@@ -791,6 +894,35 @@ private[sources] object GraftProcedures {
         case "drop_branch" =>
           ManifestTable.dropBranch(dir, input.getUTF8String(1).toString)
           ManifestTable.currentVersion(dir)
+        case "create_view" =>
+          val full = input.getUTF8String(0).toString
+          val parts = full.split('.').toSeq
+          val (ns, nm) = (if (parts.length > 1) parts.init
+            else Seq("default"), parts.last)
+          val sql = input.getUTF8String(1).toString
+          // a view is a QUERY by definition — refuse commands/DML (a
+          // stored CALL or INSERT would side-effect on every read)
+          require(sql.trim.toLowerCase.matches("(?s)^(select|with|values)\\b.*"),
+            s"create_view('$full'): a view body must be a query " +
+              "(SELECT/WITH/VALUES)")
+          require(ManifestTable.currentVersion(dirFor(root, full)) < 0,
+            s"cannot create view $full: a table with that name exists")
+          // validate by ANALYZING in the calling session right now — a
+          // view that cannot resolve refuses at creation, never at some
+          // later read; the analysis-time schema pins the view's output
+          val schema = s.sql(sql).schema
+          GraftViews.write(root, ns, nm,
+            GraftViews.StoredView(sql, schema, catalogName, ns, Map.empty),
+            replace = input.getBoolean(2))
+          0
+        case "drop_view" =>
+          val full = input.getUTF8String(0).toString
+          val parts = full.split('.').toSeq
+          require(GraftViews.drop(root,
+              if (parts.length > 1) parts.init else Seq("default"),
+              parts.last),
+            s"drop_view('$full'): no such view")
+          0
       }
       java.util.Collections.singletonList(resultScan(v)).iterator()
     }
@@ -1882,8 +2014,12 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // file-prefix stays armed through rewrite-free DML.
     val liveRows: ManifestTable.FileEntry => Option[Long] =
       if (dvs.isEmpty) e => e.rows
-      else if (dvs.forall(_.col == DvKeyCache.PosCol))
-        e => e.rows.map(_ - DvKeyCache.doomedPosCount(dir, dvs, e.name))
+      else if (dvs.forall(_.col == DvKeyCache.PosCol)) {
+        // ONE pass over the loaded bitmaps, then O(1) per file entry —
+        // never a per-entry distinct-union (O(files × doomed rows))
+        val doomedByTarget = DvKeyCache.doomedPosCounts(dir, dvs)
+        e => e.rows.map(_ - doomedByTarget.getOrElse(e.name, 0L))
+      }
       else _ => None
     def shaped(entries: Seq[ManifestTable.FileEntry])
         : Seq[ManifestTable.FileEntry] = limit match {
@@ -2606,10 +2742,10 @@ private[sources] object DvKeyCache {
     case a: Array[Long] => 16L + 8L * a.length
     case a: Array[Array[Byte]] =>
       16L + a.foldLeft(0L)((acc, k) => acc + 40L + k.length)
-    case m: Map[_, _] => // grouped positions: Map[String, Array[Long]]
+    case m: Map[_, _] => // grouped positions: Map[String, RoaringBitmap]
       48L + m.foldLeft(0L) {
-        case (acc, (k: String, a: Array[Long])) =>
-          acc + 56L + 2L * k.length + 8L * a.length
+        case (acc, (k: String, rb: org.roaringbitmap.RoaringBitmap)) =>
+          acc + 56L + 2L * k.length + rb.getLongSizeInBytes
         case (acc, _) => acc + 64L
       }
     case _ => 64L
@@ -2664,6 +2800,18 @@ private[sources] object DvKeyCache {
       if (env != null)
         env.conf.getLong("spark.graft.dv.cacheBytes", 512L << 20)
       else 512L << 20
+    }
+  /** Per-positions-file bound on SERIALIZED roaring-bitmap bytes (round
+    * 15) — the same executor-heap rationale as `maxKeys` (128 MB/entry),
+    * but measured in what a bitmap actually occupies: ~30-60× more
+    * doomed ordinals fit under it than round 14's 8-bytes-per-ordinal
+    * rows allowed. */
+  def maxDvBytes: Long =
+    sys.props.get("graft.dv.maxBytes").map(_.toLong).getOrElse {
+      val env = org.apache.spark.SparkEnv.get
+      if (env != null)
+        env.conf.getLong("spark.graft.dv.maxBytes", 128L << 20)
+      else 128L << 20
     }
   /** Sorted doomed keys of `path` decoded from `col`; test membership
     * with [[contains]]. */
@@ -2771,98 +2919,170 @@ private[sources] object DvKeyCache {
   def containsBytes(keys: Array[Array[Byte]], x: Array[Byte]): Boolean =
     java.util.Arrays.binarySearch(keys, x, byteCmp) >= 0
 
-  // ---- POSITIONAL deletion vectors (round 14): a `#dv` marker whose key
-  // column is the reserved `_pos` dooms rows by their PHYSICAL ORDINAL
-  // instead of a key value — the Iceberg-style position delete. One
-  // staged positions parquet (columns `_file` = target data-file NAME,
-  // `_pos` = row ordinal) covers every file one DML statement touched;
-  // arbitrary-predicate DELETE/UPDATE/MERGE then cost O(matched rows),
-  // never a data-file rewrite. Positions are rename-INVARIANT (no key
-  // column to chase through the alias chain) and type-independent. Each
-  // target's slice caches as its own sorted long array under the same
-  // per-load key budget and byte-budgeted LRU as the key pools. ----
+  // ---- POSITIONAL deletion vectors (round 14; roaring-compressed round
+  // 15): a `#dv` marker whose key column is the reserved `_pos` dooms
+  // rows by their PHYSICAL ORDINAL instead of a key value — the
+  // Iceberg-style position delete. One staged positions parquet covers
+  // every file one DML statement touched; arbitrary-predicate
+  // DELETE/UPDATE/MERGE then cost O(matched rows), never a data-file
+  // rewrite. Positions are rename-INVARIANT (no key column to chase
+  // through the alias chain) and type-independent.
+  //
+  // REPRESENTATION (round 15): one row per target file — `_file` = the
+  // data file's BASENAME, `_bitmap` = its doomed ordinals as a
+  // run-optimized roaring bitmap (Iceberg v3's puffin DV shape, ~1-2
+  // BITS per doomed row dense vs round 14's 8 bytes per ordinal). The
+  // loud per-file bound is therefore BYTES of compressed bitmap
+  // ([[maxDvBytes]]) — ~30-60× more ordinals fit under the same heap —
+  // and membership is an O(1) bitmap probe instead of a binary search.
+  // Round-14 positions files (one `(_file, _pos INT64)` row per doomed
+  // ordinal) stay READABLE under their original maxKeys budget, so time
+  // travel and restore cross the format change.
+  //
+  // NAME FORM: `_file` values and every positions lookup normalize to
+  // the file's BASENAME — the one form that survives cloneTable()'s
+  // absolute-path mapping and a branch publish's relative re-folding.
+  // Marker TARGET sets, by contrast, carry the committer's
+  // manifest-name convention verbatim (table-relative for local files,
+  // absolute for branch/clone references) because they are compared
+  // against manifest line names. ----
 
   /** The reserved key-column name marking a positional `#dv` entry. */
   val PosCol = "_pos"
 
-  /** Every target's sorted doomed ordinals of positions parquet `path`,
-    * loaded in ONE pass (a wide positional DELETE dooms rows across many
-    * files — per-target re-reads would cost O(targets × rows)) and
-    * cached as one LRU entry. */
-  private def positionsOf(path: String): Map[String, Array[Long]] = {
+  /** The canonical form positions `_file` values and their lookups
+    * normalize to: a manifest name may be table-relative or absolute
+    * (clone/branch references); its basename is invariant across both. */
+  def baseName(n: String): String = n.substring(n.lastIndexOf('/') + 1)
+
+  /** Every target's doomed-ordinal bitmap of positions parquet `path`,
+    * loaded in ONE pass and cached as one LRU entry, keyed by the
+    * targets' basenames. Reads both the round-15 bitmap format and
+    * round-14 per-ordinal rows. Returned bitmaps are SHARED cache
+    * state — callers must never mutate them. */
+  private def positionsOf(path: String)
+      : Map[String, org.roaringbitmap.RoaringBitmap] = {
     cached((path, "", 'M')) {
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       val mt = ManifestStreamSource.footerSchema(path)
-      def fieldOf(n: String): Int = (0 until mt.getFieldCount)
+      def fieldOf(n: String): Option[Int] = (0 until mt.getFieldCount)
         .find(i => mt.getFieldName(i) == n && mt.getType(i).isPrimitive)
-        .getOrElse(throw new IllegalStateException(
-          s"positional deletion-vector file $path has no column '$n'"))
-      val fIdx = fieldOf("_file")
-      val pIdx = fieldOf(PosCol)
-      require(mt.getType(fIdx).asPrimitiveType().getPrimitiveTypeName == BINARY
-          && mt.getType(pIdx).asPrimitiveType().getPrimitiveTypeName == INT64,
-        s"positional deletion-vector file $path must carry (_file BINARY, " +
-          "_pos INT64)")
+      val fIdx = fieldOf("_file").getOrElse(
+        throw new IllegalStateException(
+          s"positional deletion-vector file $path has no column '_file'"))
+      require(mt.getType(fIdx).asPrimitiveType().getPrimitiveTypeName ==
+          BINARY,
+        s"positional deletion-vector file $path must carry _file BINARY")
+      val bIdx = fieldOf("_bitmap")
+      val pIdx = if (bIdx.isDefined) -1 else fieldOf(PosCol).getOrElse(
+        throw new IllegalStateException(
+          s"positional deletion-vector file $path has neither a " +
+            "'_bitmap' nor a '_pos' column"))
       val r = ParquetReader.builder(new GroupReadSupport(),
         new org.apache.hadoop.fs.Path(path))
         .withConf(new org.apache.hadoop.conf.Configuration()).build()
-      val budget = maxKeys
       val acc = scala.collection.mutable.LinkedHashMap
-        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-      var total = 0L
+        .empty[String, org.roaringbitmap.RoaringBitmap]
+      // bitmap rows bound by serialized BYTES; legacy per-ordinal rows
+      // keep their original maxKeys row budget (they were written under
+      // it) — either way the refusal is loud, never a silent OOM
+      val byteBudget = maxDvBytes
+      val rowBudget = maxKeys
+      var bytes = 0L
+      var rows = 0L
       try {
         var g = r.read()
         while (g != null) {
-          if (g.getFieldRepetitionCount(fIdx) > 0 &&
-              g.getFieldRepetitionCount(pIdx) > 0) {
-            if (total >= budget) throw new IllegalStateException(
-              s"positional deletion-vector file $path dooms more than " +
-                s"$budget rows (graft.dv.maxKeys) — compact the table " +
-                "to materialize its deletes")
-            acc.getOrElseUpdate(g.getBinary(fIdx, 0).toStringUsingUTF8,
-              scala.collection.mutable.ArrayBuffer.empty[Long]) +=
-              g.getLong(pIdx, 0)
-            total += 1
+          if (g.getFieldRepetitionCount(fIdx) > 0) bIdx match {
+            case Some(bi) if g.getFieldRepetitionCount(bi) > 0 =>
+              val blob = g.getBinary(bi, 0).getBytes
+              bytes += blob.length
+              if (bytes > byteBudget) throw new IllegalStateException(
+                s"positional deletion-vector file $path carries more " +
+                  s"than $byteBudget bytes of bitmaps (graft.dv." +
+                  "maxBytes) — compact the table to materialize its " +
+                  "deletes")
+              val rb = new org.roaringbitmap.RoaringBitmap()
+              rb.deserialize(java.nio.ByteBuffer.wrap(blob))
+              val key = baseName(g.getBinary(fIdx, 0).toStringUsingUTF8)
+              acc.get(key) match {
+                case Some(cur) => cur.or(rb) // cur is load-local: safe
+                case None => acc(key) = rb
+              }
+            case Some(_) => ()
+            case None if g.getFieldRepetitionCount(pIdx) > 0 =>
+              if (rows >= rowBudget) throw new IllegalStateException(
+                s"positional deletion-vector file $path dooms more than " +
+                  s"$rowBudget rows (graft.dv.maxKeys) — compact the " +
+                  "table to materialize its deletes")
+              val p = g.getLong(pIdx, 0)
+              require(p >= 0 && p <= Int.MaxValue,
+                s"positional deletion-vector file $path dooms ordinal " +
+                  s"$p outside [0, 2^31) — damaged file")
+              acc.getOrElseUpdate(
+                baseName(g.getBinary(fIdx, 0).toStringUsingUTF8),
+                new org.roaringbitmap.RoaringBitmap()).add(p.toInt)
+              rows += 1
+            case None => ()
           }
           g = r.read()
         }
       } finally r.close()
-      acc.iterator.map { case (t, buf) =>
-        val out = buf.toArray
-        java.util.Arrays.sort(out)
-        t -> out
-      }.toMap
+      acc.values.foreach(_.runOptimize())
+      acc.toMap
     }
   }
 
-  private val noPositions = Array.empty[Long]
+  private val noPositions = new org.roaringbitmap.RoaringBitmap()
 
-  /** Sorted doomed row ordinals of data file `target` recorded in
-    * positions parquet `path`. */
-  def doomedPositions(path: String, target: String): Array[Long] =
-    positionsOf(path).getOrElse(target, noPositions)
+  /** Doomed row ordinals of data file `target` (any name form) recorded
+    * in positions parquet `path`. READ-ONLY shared cache state. */
+  def doomedPositions(path: String,
+      target: String): org.roaringbitmap.RoaringBitmap =
+    positionsOf(path).getOrElse(baseName(target), noPositions)
+
+  /** Per-target doomed-ordinal counts across EVERY positional marker in
+    * one pass over the loaded bitmaps, keyed by the markers' target
+    * names (manifest-name convention, so manifest entries index in
+    * directly). Statements only doom live rows, so per-marker sets are
+    * disjoint by construction; the bitmap union dedups anyway (a
+    * duplicate would undercount live rows). ONE definition, shared by
+    * the COUNT(*) pushdown, the LIMIT file-prefix, and table history —
+    * callers precompute it once per plan instead of paying a
+    * distinct-union per file. */
+  def doomedPosCounts(dir: String, dvs: Seq[ManifestTable.DvEntry])
+      : Map[String, Long] = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.roaringbitmap.RoaringBitmap]
+    dvs.filter(_.col == PosCol).foreach { m =>
+      val path = ManifestTable.dataPath(dir, m.file)
+      m.targets.foreach { t =>
+        val rb = doomedPositions(path, t)
+        if (!rb.isEmpty) acc.get(t) match {
+          case Some(cur) => cur.or(rb) // cur is a local clone: safe
+          case None => acc(t) = rb.clone()
+        }
+      }
+    }
+    acc.iterator.map { case (t, rb) => t -> rb.getLongCardinality }.toMap
+  }
 
   /** Distinct doomed ordinals of `target` across every positional
-    * marker still targeting it — statements only doom live rows, so the
-    * per-marker sets are disjoint by construction; dedup anyway (a
-    * duplicate would undercount live rows). ONE definition, shared by
-    * the COUNT(*) pushdown, the LIMIT file-prefix, and table history. */
+    * marker still targeting it. */
   def doomedPosCount(dir: String, dvs: Seq[ManifestTable.DvEntry],
       target: String): Long =
-    dvs.filter(m => m.col == PosCol && m.targets.contains(target))
-      .flatMap(m =>
-        doomedPositions(ManifestTable.dataPath(dir, m.file), target))
-      .distinct.length.toLong
+    doomedPosCounts(dir,
+      dvs.filter(m => m.col == PosCol && m.targets.contains(target)))
+      .getOrElse(target, 0L)
 
   /** Total distinct doomed ordinals across positional markers,
     * restricted to targets still in `names`. */
   def doomedPosTotal(dir: String, dvs: Seq[ManifestTable.DvEntry],
       names: Set[String]): Long =
-    dvs.filter(_.col == PosCol).flatMap(_.targets).distinct
-      .filter(names)
-      .map(t => doomedPosCount(dir, dvs, t)).sum
+    doomedPosCounts(dir, dvs)
+      .iterator.collect { case (t, n) if names(t) => n }.sum
 
   /** A compiled doomed-row test for a POSITIONAL marker against data file
     * `targetName`: `schema` must carry the `_pos` metadata field (the
@@ -2872,7 +3092,8 @@ private[sources] object DvKeyCache {
       : org.apache.spark.sql.catalyst.InternalRow => Boolean = {
     val i = schema.fieldIndex(PosCol)
     val ps = doomedPositions(path, targetName)
-    r => contains(ps, r.getLong(i))
+    r => { val p = r.getLong(i)
+      p >= 0 && p <= Int.MaxValue && ps.contains(p.toInt) }
   }
 
   /** A compiled doomed-row test for key column `col` at its ordinal in

@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption,
+  StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.connector.catalog.{Identifier, View}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** PERSISTENT SQL VIEWS (round 15): file-backed storage for the catalog's
+  * `ViewCatalog` surface. A view is one JSON document under the
+  * namespace's `.views/` directory — `{sql, schema, currentCatalog,
+  * currentNamespace, queryColumnNames, properties}` — written atomically
+  * (CREATE_NEW for create, temp + ATOMIC_MOVE for replace), so creation
+  * races resolve to exactly one winner and readers never observe a torn
+  * document. The `.views` directory name cannot collide with a table:
+  * table identifiers refuse '.'-free reserved names via the catalog's
+  * name validation, and `listTables` only surfaces directories holding a
+  * committed manifest.
+  *
+  * The reference keeps its analyst verification queries as readme text
+  * (`/root/reference/readme.md:149-187`) — exactly the saved-query shape
+  * a warehouse stores as `CREATE VIEW`; this tier makes them first-class
+  * named objects that survive the session. */
+private[graft] object GraftViews {
+  /** One stored view: the defining SQL, the analysis-time schema (the
+    * view's pinned output — `SELECT *` views do NOT grow with their base
+    * table), and the creation context. */
+  case class StoredView(sql: String, schema: StructType,
+      currentCatalog: String, currentNamespace: Seq[String],
+      properties: Map[String, String])
+
+  private val mapper = new ObjectMapper()
+
+  private def nsDir(root: String, namespace: Seq[String]): Path =
+    Paths.get((root +: namespace.filterNot(_ == "default")).mkString("/"))
+
+  private[sources] def viewsDir(root: String, namespace: Seq[String]): Path =
+    nsDir(root, namespace).resolve(".views")
+
+  private[sources] def pathOf(root: String, namespace: Seq[String],
+      name: String): Path = viewsDir(root, namespace).resolve(s"$name.json")
+
+  private def render(v: StoredView): Array[Byte] = {
+    val n: ObjectNode = mapper.createObjectNode()
+    n.put("sql", v.sql)
+    n.put("schema", v.schema.json)
+    n.put("currentCatalog", v.currentCatalog)
+    val ns = n.putArray("currentNamespace")
+    v.currentNamespace.foreach(ns.add)
+    val props = n.putObject("properties")
+    v.properties.toSeq.sortBy(_._1).foreach { case (k, x) => props.put(k, x) }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n)
+  }
+
+  def load(root: String, namespace: Seq[String],
+      name: String): Option[StoredView] = {
+    val p = pathOf(root, namespace, name)
+    if (!Files.isRegularFile(p)) return None
+    val n = mapper.readTree(Files.readAllBytes(p))
+    Some(StoredView(
+      n.get("sql").asText(),
+      DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
+      n.get("currentCatalog").asText(),
+      n.get("currentNamespace").elements().asScala.map(_.asText()).toSeq,
+      Option(n.get("properties")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty)))
+  }
+
+  /** Create (CREATE_NEW — loses a race loudly) or replace (temp +
+    * atomic move — readers see old or new, never torn). */
+  def write(root: String, namespace: Seq[String], name: String,
+      v: StoredView, replace: Boolean): Unit = {
+    val dir = viewsDir(root, namespace)
+    Files.createDirectories(dir)
+    val body = render(v)
+    if (replace) {
+      val tmp = Files.createTempFile(dir, s".$name", ".tmp")
+      Files.write(tmp, body)
+      Files.move(tmp, pathOf(root, namespace, name),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else
+      Files.write(pathOf(root, namespace, name), body,
+        StandardOpenOption.CREATE_NEW)
+  }
+
+  def drop(root: String, namespace: Seq[String], name: String): Boolean =
+    Files.deleteIfExists(pathOf(root, namespace, name))
+
+  def list(root: String, namespace: Seq[String]): Seq[String] = {
+    val dir = viewsDir(root, namespace)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json"))
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** The connector-API View served by `loadView`. */
+  class GraftView(ident: Identifier, v: StoredView) extends View {
+    override def name(): String = ident.toString
+    override def query(): String = v.sql
+    override def currentCatalog(): String = v.currentCatalog
+    override def currentNamespace(): Array[String] =
+      v.currentNamespace.toArray
+    override def schema(): StructType = v.schema
+    override def queryColumnNames(): Array[String] =
+      v.schema.fieldNames
+    override def columnAliases(): Array[String] = Array.empty
+    override def columnComments(): Array[String] = Array.empty
+    override def properties(): java.util.Map[String, String] =
+      v.properties.asJava
+  }
+}

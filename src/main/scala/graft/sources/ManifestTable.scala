@@ -1653,12 +1653,27 @@ object ManifestTable {
       val base = applyRenames(raw, rns)
       applicable.foldLeft(base) { (df, dv) =>
         if (dv.col == "_pos") {
-          val posDf = s.read.parquet(dataPath(dir, dv.file))
-            .select(col("_file").as("__graft_dv_name"),
-              col("_pos").as("__graft_dv_pos"))
-            .where(col("__graft_dv_name").isin(files: _*))
-          df.join(broadcast(posDf),
-            Seq("__graft_dv_name", "__graft_dv_pos"), "left_anti")
+          // broadcast the (basename → roaring bitmap) doom map — tiny
+          // and bounded by graft.dv.maxBytes — and drop doomed rows
+          // with an O(1) membership probe per row: no doomed-ordinal
+          // materialization, no join, and the basename form matches
+          // whatever the manifest calls the file (relative locally,
+          // absolute on branch/clone references)
+          val posPath = dataPath(dir, dv.file)
+          val doomMap: Map[String, org.roaringbitmap.RoaringBitmap] =
+            files.map(DvKeyCache.baseName)
+              .map(b => b -> DvKeyCache.doomedPositions(posPath, b))
+              .filter(!_._2.isEmpty).toMap
+          if (doomMap.isEmpty) df
+          else {
+            val bc = s.sparkContext.broadcast(doomMap)
+            val doomed = org.apache.spark.sql.functions.udf(
+              (name: String, pos: Long) =>
+                pos >= 0 && pos <= Int.MaxValue &&
+                  bc.value.get(name).exists(_.contains(pos.toInt)))
+            df.filter(!doomed(col("__graft_dv_name"),
+              col("__graft_dv_pos")))
+          }
         } else {
           val evolved = fin.getOrElse(dv.col, dv.col)
           val keys = s.read.parquet(dataPath(dir, dv.file))
@@ -1800,33 +1815,42 @@ object ManifestTable {
         if (keyFiles.size == 1) // already minimal for these targets: the
           // original key file carries, restricted to exactly this group
           Seq(encodeDv(DvEntry(keyFiles.head, c, targets.toSet)))
-        else {
-          import org.apache.spark.sql.functions.{col => fcol}
-          // positional markers union their (_file, _pos) pairs,
-          // restricted to this group's targets; keyed markers union
-          // their single key column
-          val union =
-            if (c == "_pos")
-              s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
-                .select(fcol("_file"), fcol("_pos"))
-                .where(fcol("_file").isin(targets: _*))
-                .distinct().coalesce(1)
-            else s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
-              .select(fcol(c))
-              .distinct().coalesce(1)
-          // a merged positions file past the per-file read budget would
+        else if (c == "_pos") {
+          // positional markers OR their roaring bitmaps per target ON
+          // THE DRIVER — each positions file is compressed and bounded
+          // by graft.dv.maxBytes, so the merge is metadata-scale work
+          // (no Spark job); targets restrict naturally because lookups
+          // key by the target's basename
+          val merged = targets.map { t =>
+            val rb = new org.roaringbitmap.RoaringBitmap()
+            keyFiles.foreach(f =>
+              rb.or(DvKeyCache.doomedPositions(dataPath(dir, f), t)))
+            rb.runOptimize()
+            DvKeyCache.baseName(t) -> rb
+          }.filter(!_._2.isEmpty)
+          // a merged positions file past the per-file byte budget would
           // make every subsequent scan REFUSE (the loader's loud
-          // maxKeys bound counts the WHOLE file) — decline merging this
-          // group and keep its original markers: reads stay exactly as
-          // fast as before, and the consolidation of other groups still
-          // lands
-          if (c == "_pos" && union.count() > DvKeyCache.maxKeys)
+          // maxBytes bound counts the WHOLE file) — decline merging
+          // this group and keep its original markers: reads stay
+          // exactly as fast as before, and the consolidation of other
+          // groups still lands
+          if (merged.map(_._2.serializedSizeInBytes().toLong).sum >
+              DvKeyCache.maxDvBytes)
             keyFiles.map(f => encodeDv(DvEntry(f, c, targets.toSet)))
           else {
-            val staged = stage(s, dir, union)
-            require(staged.size == 1)
-            Seq(encodeDv(DvEntry(staged.head, c, targets.toSet)))
+            val staged = GraftDeltaWriter.writePositionsFile(
+              dir, merged.iterator, "merged")
+            Seq(encodeDv(DvEntry(staged, c, targets.toSet)))
           }
+        } else {
+          import org.apache.spark.sql.functions.{col => fcol}
+          // keyed markers union their single key column
+          val union = s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
+            .select(fcol(c))
+            .distinct().coalesce(1)
+          val staged = stage(s, dir, union)
+          require(staged.size == 1)
+          Seq(encodeDv(DvEntry(staged.head, c, targets.toSet)))
         }
       }
       val body = listLines(dir, v) ++ newLines ++

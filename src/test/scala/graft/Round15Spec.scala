@@ -1,0 +1,249 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestTable
+
+/** Round 15: roaring-bitmap positional deletion vectors + the
+  * branch/clone name-convention fix.
+  *
+  * The round-14 positions parquet recorded 8 bytes per doomed ordinal
+  * and keyed both the marker's target set and the `_file` values by
+  * BASENAME — but branch/clone manifests reference their source's data
+  * files by ABSOLUTE path, so a positional DELETE on a branch committed
+  * a marker matching no manifest name (silently resurrecting the rows)
+  * and a cloned positional table's metadata COUNT overcounted. Round 15
+  * stores run-optimized roaring bitmaps (one row per target file,
+  * ~1-2 bits per doomed row dense — the Iceberg-v3 puffin DV shape),
+  * records marker targets in the committer's manifest-name convention,
+  * and normalizes every positions lookup to the file's basename. */
+class Round15Spec extends AnyFunSuite {
+  import graft.TestSpark._
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_r15_${tag}_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(d)
+    d
+  }
+
+  test("positional DELETE on a branch dooms rows that STAY deleted") {
+    val root = freshDir("pbr")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g15pb",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15pb.root", root)
+    spark.sql("""CREATE TABLE g15pb.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g15pb.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 20)""")
+    spark.sql("CALL g15pb.system.branch(table => 't', name => 'wap')")
+    // the branch's manifest references the SOURCE's data file by
+    // absolute path; a positional DELETE on it must publish a marker
+    // whose target matches that absolute manifest name
+    spark.sql("DELETE FROM g15pb.default.`t@wap` WHERE k < 5")
+    val bd = ManifestTable.branchDir(dir, "wap")
+    val bv = ManifestTable.currentVersion(bd)
+    val bNames = ManifestTable.listFiles(bd, bv).toSet
+    assert(bNames.forall(_.startsWith("/")),
+      s"branch v0 references must be absolute, got $bNames")
+    val marks = ManifestTable.dvEntries(bd, bv)
+    assert(marks.exists(_.col == "_pos"),
+      "the branch DELETE must publish a positional marker, not rewrite")
+    assert(marks.flatMap(_.targets).toSet.subsetOf(bNames),
+      s"marker targets ${marks.flatMap(_.targets)} must match branch " +
+        s"manifest names $bNames")
+    // deleted rows stay deleted on the branch …
+    assert(spark.sql("SELECT k FROM g15pb.default.`t@wap`")
+      .collect().map(_.getLong(0)).toSet == (5L until 20L).toSet,
+      "branch rows under an absolute-named positional marker")
+    // … the metadata COUNT(*) tier serves the LIVE count (the abs-name
+    // lookup normalizes to the basename the positions file records) …
+    assert(spark.sql("SELECT count(*) FROM g15pb.default.`t@wap`")
+      .head().getLong(0) == 15L)
+    // … and main never sees the branch's delete
+    assert(spark.sql("SELECT count(*) FROM g15pb.default.t")
+      .head().getLong(0) == 20L)
+    ManifestTable.destroy(root)
+  }
+
+  test("clone of a positional table serves exact rows and counts") {
+    val root = freshDir("pcl")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g15pc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15pc.root", root)
+    spark.sql("""CREATE TABLE g15pc.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g15pc.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 20)""")
+    spark.sql("DELETE FROM g15pc.default.t WHERE k < 4")
+    // shallow-clone: the clone's marker targets re-point into the source
+    // absolutely; its positions lookups must still land (basenames)
+    ManifestTable.cloneTable(dir, s"$root/c")
+    assert(spark.sql("SELECT k FROM g15pc.default.c")
+      .collect().map(_.getLong(0)).toSet == (4L until 20L).toSet)
+    // scan-path count (predicate defeats the metadata tier)
+    assert(spark.sql("SELECT count(*) FROM g15pc.default.c WHERE v >= 0")
+      .head().getLong(0) == 16L)
+    // metadata-path count — round 14 OVERCOUNTED here (abs target vs
+    // basename-keyed positions)
+    assert(spark.sql("SELECT count(*) FROM g15pc.default.c")
+      .head().getLong(0) == 16L)
+    // history's live-row arithmetic crosses the clone the same way
+    val hist = ManifestTable.history(spark, s"$root/c")
+      .orderBy("version").collect()
+    assert(hist.last.getLong(3) == 16L,
+      s"clone history live rows: ${hist.mkString(", ")}")
+    ManifestTable.destroy(root)
+  }
+
+  test("bitmap DVs lift the ordinal budget; bytes are the loud bound") {
+    val root = freshDir("pbu")
+    spark.conf.set("spark.sql.catalog.g15bu",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15bu.root", root)
+    spark.sql("""CREATE TABLE g15bu.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g15bu.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 100)""")
+    // round 14 refused a positional statement dooming more ordinals
+    // than graft.dv.maxKeys; bitmaps decouple from the ordinal count —
+    // the same statement now succeeds (15 doomed rows ≫ a 10-"key"
+    // budget, but a few bytes of run-length bitmap)
+    sys.props("graft.dv.maxKeys") = "10"
+    try {
+      spark.sql("DELETE FROM g15bu.default.t WHERE k < 15")
+      assert(spark.sql("SELECT count(*) FROM g15bu.default.t")
+        .head().getLong(0) == 85L)
+    } finally sys.props -= "graft.dv.maxKeys"
+    // the byte budget refuses loudly at write time — the statement
+    // aborts, nothing publishes, the table still answers
+    sys.props("graft.dv.maxBytes") = "4"
+    try {
+      val e = intercept[Throwable] {
+        spark.sql("DELETE FROM g15bu.default.t WHERE k >= 90")
+      }
+      def messages(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+      assert(messages(e).contains("graft.dv.maxBytes"),
+        s"expected the byte-budget refusal, got: ${messages(e)}")
+    } finally sys.props -= "graft.dv.maxBytes"
+    assert(spark.sql("SELECT count(*) FROM g15bu.default.t")
+      .head().getLong(0) == 85L,
+      "the refused statement must not have published anything")
+    spark.sql("DELETE FROM g15bu.default.t WHERE k >= 90")
+    assert(spark.sql("SELECT count(*) FROM g15bu.default.t")
+      .head().getLong(0) == 75L)
+    ManifestTable.destroy(root)
+  }
+
+  test("persistent views: create, read through, survive a fresh catalog") {
+    val root = freshDir("vw")
+    spark.conf.set("spark.sql.catalog.g15vw",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15vw.root", root)
+    spark.sql("CREATE TABLE g15vw.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g15vw.default.t
+      SELECT id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("""CALL g15vw.system.create_view(name => 'big',
+      sql => 'SELECT k, v FROM g15vw.default.t WHERE v >= 10.0')""")
+    assert(spark.sql("SELECT count(*) FROM g15vw.default.big")
+      .head().getLong(0) == 10L)
+    // storage-backed, not session-cached: a SECOND catalog name over the
+    // same root (a fresh GraftCatalog instance — the restart shape)
+    // serves the same view
+    spark.conf.set("spark.sql.catalog.g15vw2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15vw2.root", root)
+    assert(spark.sql("SELECT sum(k) FROM g15vw2.default.big")
+      .head().getLong(0) == (10L until 20L).sum)
+    // a view outlives DML on its base
+    spark.sql("DELETE FROM g15vw.default.t WHERE k = 10")
+    assert(spark.sql("SELECT count(*) FROM g15vw.default.big")
+      .head().getLong(0) == 9L)
+    // name collision: CREATE TABLE under the view's name refuses
+    val e = intercept[Throwable] {
+      spark.sql("CREATE TABLE g15vw.default.big (x BIGINT)") }
+    assert(e.getMessage.contains("view"), e.getMessage)
+    // create_view over an existing table name refuses
+    val e2 = intercept[Throwable] {
+      spark.sql("""CALL g15vw.system.create_view(name => 't',
+        sql => 'SELECT 1 AS one')""") }
+    assert(e2.getMessage.contains("table"), e2.getMessage)
+    spark.sql("CALL g15vw.system.drop_view(name => 'big')")
+    val e3 = intercept[Throwable] {
+      spark.sql("SELECT count(*) FROM g15vw.default.big").collect() }
+    assert(e3 != null)
+    ManifestTable.destroy(root)
+  }
+
+  test("views refuse on dropped base columns and on self-reference") {
+    val root = freshDir("vwr")
+    spark.conf.set("spark.sql.catalog.g15vr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15vr.root", root)
+    spark.sql("CREATE TABLE g15vr.default.t (k BIGINT, v DOUBLE, w DOUBLE)")
+    spark.sql("""INSERT INTO g15vr.default.t
+      SELECT id, CAST(id AS DOUBLE), 1.0 FROM range(0, 5)""")
+    spark.sql("""CALL g15vr.system.create_view(name => 'vw',
+      sql => 'SELECT k, w FROM g15vr.default.t')""")
+    assert(spark.sql("SELECT sum(w) FROM g15vr.default.vw")
+      .head().getDouble(0) == 5.0)
+    // dropping a base column the view reads → the view REFUSES (the
+    // creation-time column set is pinned; never a silent shape change)
+    spark.sql("ALTER TABLE g15vr.default.t DROP COLUMN w")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM g15vr.default.vw").collect() }
+    assert(e.getMessage.toLowerCase.contains("w") ||
+      e.getMessage.toLowerCase.contains("resolve"), e.getMessage)
+    // a replaced definition referencing ITSELF refuses at read with the
+    // standard recursive-view error instead of looping the analyzer
+    spark.sql("""CALL g15vr.system.create_view(name => 'selfy',
+      sql => 'SELECT k FROM g15vr.default.t')""")
+    spark.sql("""CALL g15vr.system.create_view(name => 'selfy',
+      sql => 'SELECT k FROM g15vr.default.selfy', replace => true)""")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM g15vr.default.selfy").collect() }
+    assert(e2.getMessage.toUpperCase.contains("RECURSIVE"), e2.getMessage)
+    ManifestTable.destroy(root)
+  }
+
+  test("ViewCatalog SPI: create/load/list/alter/rename/drop round-trip") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange,
+      ViewInfo}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = freshDir("vws")
+    val cat = new graft.sources.GraftCatalog()
+    cat.initialize("g15spi",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("root", root)))
+    val id = Identifier.of(Array("default"), "v1")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val info = new ViewInfo(id, "SELECT 1 AS k", "g15spi",
+      Array("default"), schema, Array("k"), Array.empty, Array.empty,
+      java.util.Map.of("comment", "spi view"))
+    cat.createView(info)
+    assert(cat.viewExists(id))
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .ViewAlreadyExistsException] { cat.createView(info) }
+    val v = cat.loadView(id)
+    assert(v.query() == "SELECT 1 AS k" && v.schema() == schema &&
+      v.properties().get("comment") == "spi view")
+    assert(cat.listViews("default").map(_.name()).toSeq == Seq("v1"))
+    cat.alterView(id, ViewChange.setProperty("owner", "graft"),
+      ViewChange.removeProperty("comment"))
+    val v2 = cat.loadView(id)
+    assert(v2.properties().get("owner") == "graft" &&
+      !v2.properties().containsKey("comment"))
+    val id2 = Identifier.of(Array("default"), "v2")
+    cat.renameView(id, id2)
+    assert(!cat.viewExists(id) && cat.viewExists(id2))
+    assert(cat.dropView(id2) && !cat.dropView(id2))
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchViewException] {
+      cat.loadView(id2) }
+    ManifestTable.destroy(root)
+  }
+}
