@@ -59,8 +59,9 @@ object Explain {
     "q_positional_dv", "q_changes_positional", "q_rename_pushdown",
     "q_dsir_select",
     // round 15: the DSIR sampler executes its eager localCheckpoint;
-    // the view query builds + mutates a manifest table at construction
-    "q_dsir_sample", "q_sql_view")
+    // the view and MOR-count queries build + mutate manifest tables at
+    // construction
+    "q_dsir_sample", "q_sql_view", "q_metadata_mor_count")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

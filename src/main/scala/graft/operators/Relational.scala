@@ -521,6 +521,31 @@ object Relational {
     // readers drop doomed keys in flight, key sets cached per executor.
     // Pre-round-12 the scan refused DV tables until compaction; now the
     // Hudi/Iceberg MOR read path is a plain SELECT.
+    // METADATA COUNT under KEYED deletion vectors (round 15): each MOR
+    // delete prices its marker — one counted pass over just the
+    // candidate files records the exact doomed-LIVE hits per target —
+    // so a keyed-MOR table keeps the COUNT(*)/history/LIMIT metadata
+    // tiers positional markers already had. Two OVERLAPPING deletes
+    // prove additivity: the second marker's count is taken against the
+    // first's live view, so the shared key never double-counts.
+    // Round15Spec plan-asserts the final count is metadata-served.
+    "q_metadata_mor_count" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_morc_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_mc",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mc.root", root)
+      s.sql("""CREATE TABLE graft_mc.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('delete.mode' = 'mor')""")
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("r15_morc_src")
+      s.sql("INSERT INTO graft_mc.default.ord SELECT * FROM r15_morc_src")
+      s.sql("DELETE FROM graft_mc.default.ord WHERE o_orderkey IN (1, 2, 3, 32, 33)")
+      s.sql("DELETE FROM graft_mc.default.ord WHERE o_orderkey IN (33, 64, 65)")
+      s.sql("SELECT count(*) AS n FROM graft_mc.default.ord")
+    }),
     "q_sql_mor_read" -> ((s, d) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_morq_" +
         java.lang.ProcessHandle.current().pid()
@@ -2523,6 +2548,11 @@ object Relational {
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part WHERE p_size BETWEEN 10 AND 15""".stripMargin,
+    // the keyed-MOR metadata count must equal the scanned live count —
+    // overlapping deletes (33 doomed twice) must not double-subtract
+    "q_metadata_mor_count" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_orderkey NOT IN (1, 2, 3, 32, 33, 64, 65)""".stripMargin,
     // the metadata-served aggregate must equal the scanned one
     "q_metadata_agg" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1732,25 +1732,27 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     if (ManifestTable.policyLines(dir, v).nonEmpty) return false // filtered answers differ
     val dvsAtV = ManifestTable.dvEntries(dir, v)
     if (dvsAtV.nonEmpty) {
-      // PURE-POSITIONAL markers keep COUNT(*) metadata-served (round
-      // 14): a `_pos` marker records EXACT doomed ordinals, so live =
-      // recorded rows − distinct doomed positions still targeting a
-      // listed file — computed from the tiny staged positions parquets
-      // (driver-cached, O(doomed rows), zero data-file I/O). Keyed
-      // markers, filters, grouping, and every other aggregate decline:
-      // a key set hits an unknown number of rows, and a doomed row may
-      // hold the extremum or part of the sum.
-      if (dvsAtV.exists(_.col != DvKeyCache.PosCol)) return false
+      // POSITIONAL markers keep COUNT(*) metadata-served (round 14):
+      // a `_pos` marker records EXACT doomed ordinals. KEYED markers
+      // join them in round 15: each carries its delete-time doomed-LIVE
+      // count per target, priced by one counted pass at DML time — so
+      // live = recorded rows − doomed summed over still-listed targets,
+      // zero data-file I/O either way. A keyed marker PREDATING count
+      // recording declines (a key set hits an unknown number of rows),
+      // as do filters, grouping, and every other aggregate (a doomed
+      // row may hold the extremum or part of the sum).
       if (pushed.nonEmpty) return false
       if (aggregation.groupByExpressions.nonEmpty) return false
       if (!aggregation.aggregateExpressions.toSeq.forall(
           _.isInstanceOf[CountStar])) return false
+      val countsOpt = ManifestTable.doomedCountsByTarget(dir, dvsAtV)
+      if (countsOpt.isEmpty) return false
       val pentries = ManifestTable.listLines(dir, v)
         .map(ManifestTable.parseEntry)
       if (pentries.isEmpty || pentries.exists(_.rows.isEmpty)) return false
       val names = pentries.map(_.name).toSet
       val live = pentries.flatMap(_.rows).sum -
-        DvKeyCache.doomedPosTotal(dir, dvsAtV, names)
+        countsOpt.get.iterator.collect { case (t, n) if names(t) => n }.sum
       val aggs = aggregation.aggregateExpressions.toSeq
       pushedRows = Some(Seq(aggs.map(_ => live: Any)))
       required = StructType(aggs.zipWithIndex.map { case (_, i) =>
@@ -2006,21 +2008,22 @@ private[sources] class ManifestSqlScanBuilder(dir: String, full: StructType,
     // a pushed bare LIMIT plans only a file PREFIX whose recorded row
     // counts reach n (requires exact counts on every kept file; top-n
     // keeps all files — each may hold candidates)
-    // recorded row counts OVERCOUNT under KEYED deletion vectors (how
-    // many keys hit is a data question), so the prefix shortcut
-    // declines there and every file stays planned. PURE-POSITIONAL
-    // markers (round 14) record exact doomed ordinals, so each file's
-    // LIVE count is rows − its still-targeting positions — the LIMIT
-    // file-prefix stays armed through rewrite-free DML.
+    // POSITIONAL markers record exact doomed ordinals (round 14) and
+    // KEYED markers their delete-time doomed-live counts (round 15), so
+    // each file's LIVE count is rows − its recorded dooms and the LIMIT
+    // file-prefix stays armed through rewrite-free DML; a keyed marker
+    // PREDATING count recording declines (how many keys hit is a data
+    // question) and every file stays planned.
     val liveRows: ManifestTable.FileEntry => Option[Long] =
       if (dvs.isEmpty) e => e.rows
-      else if (dvs.forall(_.col == DvKeyCache.PosCol)) {
-        // ONE pass over the loaded bitmaps, then O(1) per file entry —
-        // never a per-entry distinct-union (O(files × doomed rows))
-        val doomedByTarget = DvKeyCache.doomedPosCounts(dir, dvs)
-        e => e.rows.map(_ - doomedByTarget.getOrElse(e.name, 0L))
+      else ManifestTable.doomedCountsByTarget(dir, dvs) match {
+        // ONE pass over the loaded bitmaps + recorded keyed counts,
+        // then O(1) per file entry — never a per-entry distinct-union
+        // (O(files × doomed rows)); an uncounted keyed marker declines
+        case Some(doomedByTarget) =>
+          e => e.rows.map(_ - doomedByTarget.getOrElse(e.name, 0L))
+        case None => _ => None
       }
-      else _ => None
     def shaped(entries: Seq[ManifestTable.FileEntry])
         : Seq[ManifestTable.FileEntry] = limit match {
       case Some(n) if !topNPushed && pushed.isEmpty => // one liveRows
@@ -3068,21 +3071,6 @@ private[sources] object DvKeyCache {
     }
     acc.iterator.map { case (t, rb) => t -> rb.getLongCardinality }.toMap
   }
-
-  /** Distinct doomed ordinals of `target` across every positional
-    * marker still targeting it. */
-  def doomedPosCount(dir: String, dvs: Seq[ManifestTable.DvEntry],
-      target: String): Long =
-    doomedPosCounts(dir,
-      dvs.filter(m => m.col == PosCol && m.targets.contains(target)))
-      .getOrElse(target, 0L)
-
-  /** Total distinct doomed ordinals across positional markers,
-    * restricted to targets still in `names`. */
-  def doomedPosTotal(dir: String, dvs: Seq[ManifestTable.DvEntry],
-      names: Set[String]): Long =
-    doomedPosCounts(dir, dvs)
-      .iterator.collect { case (t, n) if names(t) => n }.sum
 
   /** A compiled doomed-row test for a POSITIONAL marker against data file
     * `targetName`: `schema` must carry the `_pos` metadata field (the

@@ -507,25 +507,27 @@ object ManifestTable {
         if (isRewrite(dir, v)) "rewrite"
         else if (isMutate(dir, v)) "mutate"
         else "data"
-      // a KEYED deletion vector makes the row count unknowable from
+      // POSITIONAL markers record exact doomed ordinals (round 14) and
+      // KEYED markers their delete-time doomed-live counts (round 15),
+      // so live = rows − doomed summed over still-listed targets — the
+      // same arithmetic the COUNT(*) pushdown serves. A keyed marker
+      // predating count recording makes the row count unknowable from
       // metadata (how many keys actually hit is a data question) —
-      // report unknown, never a guess. PURE-POSITIONAL markers (round
-      // 14) record exact doomed ordinals, so live = rows − distinct
-      // positions still targeting listed files (the same arithmetic the
-      // COUNT(*) pushdown serves), read from the tiny positions
-      // parquets on the driver.
+      // report unknown, never a guess.
       val dvs = dvEntries(dir, v)
       val rows =
         if (entries.isEmpty || entries.exists(_.rows.isEmpty)) None
         else if (dvs.isEmpty) Some(entries.flatMap(_.rows).sum)
-        else if (dvs.forall(_.col == DvKeyCache.PosCol))
+        else {
           // a historical version's positions file may be over-budget or
           // damaged: history reports UNKNOWN for that version, it never
           // throws (the incident-writeup call must survive the incident)
-          scala.util.Try(entries.flatMap(_.rows).sum -
-            DvKeyCache.doomedPosTotal(dir, dvs, entries.map(_.name).toSet))
-            .toOption
-        else None
+          val names = entries.map(_.name).toSet
+          scala.util.Try(doomedCountsByTarget(dir, dvs).map(m =>
+            entries.flatMap(_.rows).sum -
+              m.iterator.collect { case (t, n) if names(t) => n }.sum))
+            .toOption.flatten
+        }
       (v, kind, entries.size.toLong, rows)
     }.toDF("version", "kind", "n_files", "n_rows")
   }
@@ -574,10 +576,12 @@ object ManifestTable {
       (abs +: parts.tail).mkString("\t")
     }
     def abs(n: String) = Paths.get(dataPath(srcDir, n)).toAbsolutePath.toString
-    // deletion vectors clone too: DV file and targets re-point into the
-    // source by absolute path, same as the data references
+    // deletion vectors clone too: DV file, targets, and recorded
+    // doomed-live counts re-point into the source by absolute path,
+    // same as the data references
     val dvs = dvEntries(srcDir, v).map(e =>
-      encodeDv(DvEntry(abs(e.file), e.col, e.targets.map(abs))))
+      encodeDv(DvEntry(abs(e.file), e.col, e.targets.map(abs),
+        e.counts.map { case (t, n) => abs(t) -> n })))
     require(commit(dstDir, lines ++ dvs ++ renameLines(srcDir, v) ++
         carriedMeta(srcDir, v), -1),
       s"clone target $dstDir is not empty")
@@ -1553,14 +1557,36 @@ object ManifestTable {
   // contract as copy-on-write deletes.
   // ---------------------------------------------------------------------
 
-  /** One deletion vector: the staged key file, the key column, and the
-    * data files whose rows it dooms. */
-  final case class DvEntry(file: String, col: String, targets: Set[String])
+  /** One deletion vector: the staged key file, the key column, the data
+    * files whose rows it dooms, and (round 15, KEYED markers) the exact
+    * per-target DOOMED-LIVE count priced at delete time — how many
+    * then-live rows of each target the key set actually hits. Counts are
+    * ADDITIVE across markers (each statement's counting pass applies the
+    * snapshot's existing markers first, so later markers never re-count
+    * a dead row), which is what lets COUNT(*), table history, and the
+    * LIMIT file-prefix stay metadata-served on keyed-MOR tables — the
+    * tiers positional markers already kept (their bitmaps are exact by
+    * construction, no recorded count needed). */
+  final case class DvEntry(file: String, col: String, targets: Set[String],
+      counts: Map[String, Long] = Map.empty) {
+    /** Whether the marker prices EVERY target (a partially-counted
+      * marker makes the whole table's live count unknowable). */
+    def fullyCounted: Boolean =
+      col == DvKeyCache.PosCol || targets.forall(counts.contains)
+  }
 
   private val DvPrefix = "#dv\t"
 
-  private[sources] def encodeDv(e: DvEntry): String =
-    s"#dv\t${e.file}\t${e.col}\t${e.targets.toSeq.sorted.mkString(",")}"
+  private[sources] def encodeDv(e: DvEntry): String = {
+    val base = s"#dv\t${e.file}\t${e.col}\t${e.targets.toSeq.sorted.mkString(",")}"
+    // the counts leg only encodes when it prices every target — a
+    // partial map is as useless as none, so never persist one
+    if (e.col != DvKeyCache.PosCol && e.counts.nonEmpty &&
+        e.targets.forall(e.counts.contains))
+      base + "\t" + e.targets.toSeq.sorted
+        .map(t => s"$t=${e.counts(t)}").mkString(",")
+    else base
+  }
 
   /** Raw `#dv` marker lines of version `v` (carried verbatim by successor
     * commits that keep the same data files). */
@@ -1573,13 +1599,35 @@ object ManifestTable {
   def dvEntries(dir: String, v: Int): Seq[DvEntry] =
     dvLines(dir, v).map(parseDvLine)
 
+  /** Exact per-target doomed-live counts across EVERY marker of a
+    * snapshot — positional bitmaps (exact by construction) plus keyed
+    * markers' recorded delete-time counts — or None when any keyed
+    * marker predates count recording: the metadata COUNT/history/LIMIT
+    * tiers then decline, never guess. ONE definition shared by all
+    * three. */
+  def doomedCountsByTarget(dir: String, dvs: Seq[DvEntry])
+      : Option[Map[String, Long]] = {
+    val keyed = dvs.filterNot(_.col == DvKeyCache.PosCol)
+    if (keyed.exists(m => !m.targets.forall(m.counts.contains))) None
+    else {
+      val pos = DvKeyCache.doomedPosCounts(dir, dvs)
+      val k = keyed.flatMap(_.counts.toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      Some((pos.keySet ++ k.keySet).iterator
+        .map(t => t -> (pos.getOrElse(t, 0L) + k.getOrElse(t, 0L))).toMap)
+    }
+  }
+
   /** DV lines carried forward by a commit that keeps only `surviving` data
     * files: targets intersect with the survivors; a DV left targeting
     * nothing is dropped (its doomed rows were materialized away). */
   private[sources] def carriedDvLines(dir: String, v: Int,
       surviving: Set[String]): Seq[String] =
     dvEntries(dir, v)
-      .map(e => e.copy(targets = e.targets.intersect(surviving)))
+      .map { e =>
+        val t = e.targets.intersect(surviving)
+        e.copy(targets = t, counts = e.counts.filter(kv => t(kv._1)))
+      }
       .filter(_.targets.nonEmpty)
       .map(encodeDv)
 
@@ -1627,7 +1675,8 @@ object ManifestTable {
     }
 
   private def applyDvs(s: SparkSession, dir: String, names: Seq[String],
-      dvs: Seq[DvEntry], rns: Seq[(String, String)] = Nil): DataFrame = {
+      dvs: Seq[DvEntry], rns: Seq[(String, String)] = Nil,
+      tagCol: Option[String] = None): DataFrame = {
     // a marker's key column is recorded under its name AT DELETE TIME
     // (it always matches the staged key parquet's physical column);
     // under a subsequent rename the anti-join runs on the EVOLVED name —
@@ -1646,7 +1695,11 @@ object ManifestTable {
       // row's (file name, row index) identity, anti-joined against the
       // staged positions — distributed, O(doomed rows) broadcast
       val hasPos = applicable.exists(_.col == "_pos")
-      val raw = if (!hasPos) raw0 else raw0
+      // optional caller-visible file identity (basename), e.g. for the
+      // doomed-live counting pass — survives the final column drop
+      val raw1 = tagCol.fold(raw0)(tc => raw0.withColumn(tc,
+        element_at(split(col("_metadata.file_path"), "/"), -1)))
+      val raw = if (!hasPos) raw1 else raw1
         .withColumn("__graft_dv_name",
           element_at(split(col("_metadata.file_path"), "/"), -1))
         .withColumn("__graft_dv_pos", col("_metadata.row_index"))
@@ -1687,7 +1740,13 @@ object ManifestTable {
   private def parseDvLine(l: String): DvEntry = {
     val p = l.split('\t')
     DvEntry(p(1), p(2),
-      if (p.length > 3) p(3).split(',').filter(_.nonEmpty).toSet else Set.empty)
+      if (p.length > 3) p(3).split(',').filter(_.nonEmpty).toSet else Set.empty,
+      if (p.length > 4)
+        p(4).split(',').filter(_.nonEmpty).map { kv =>
+          val i = kv.lastIndexOf('=')
+          kv.substring(0, i) -> kv.substring(i + 1).toLong
+        }.toMap
+      else Map.empty)
   }
 
   /** MERGE-ON-READ DELETE (`DELETE WHERE col IN keys`): stats pick the
@@ -1709,6 +1768,30 @@ object ManifestTable {
     val fin = finalNames(dir, v)
     val evolved = fin.getOrElse(col, col)
     evolved +: fin.collect { case (from, to) if to == evolved => from }.toSeq
+  }
+
+  /** Per-target DOOMED-LIVE counts for a NEW keyed marker: of `names`'
+    * rows still live under version `v`'s existing markers and renames,
+    * how many key cells land in `keyDf` (one column under the EVOLVED
+    * key name) — ONE distributed pass over exactly the candidate files,
+    * the price of keeping COUNT(*), table history, and the LIMIT
+    * file-prefix metadata-served through keyed MOR DML (round 15).
+    * Counting against the LIVE view makes counts additive across
+    * markers: a later delete never re-counts a row an earlier marker
+    * already doomed. O(candidate files) driver rows come back — the
+    * same bounded shape as the per-staged-file stats rows. */
+  private def doomedLiveCounts(s: SparkSession, dir: String, v: Int,
+      names: Seq[String], col: String,
+      keyDf: DataFrame): Map[String, Long] = {
+    val tag = "__graft_src_file"
+    val byBase = names.map(n => DvKeyCache.baseName(n) -> n).toMap
+    applyDvs(s, dir, names, dvEntries(dir, v), renames(dir, v),
+        tagCol = Some(tag))
+      .select(col, tag)
+      .join(broadcast(keyDf), Seq(col))
+      .groupBy(tag).count()
+      .collect()
+      .map(r => byBase(r.getString(0)) -> r.getLong(1)).toMap
   }
 
   def deleteKeysMOR(s: SparkSession, dir: String, col: String,
@@ -1734,8 +1817,13 @@ object ManifestTable {
       if (affected.isEmpty) return v // nothing can hold the keys: no-op
       val dvFile = stage(s, dir, keys.toDF(evolved).coalesce(1))
       require(dvFile.size == 1)
+      // price the marker: exact doomed-live hits per candidate file, so
+      // the metadata COUNT/history/LIMIT tiers stay armed (round 15)
+      val hits = doomedLiveCounts(s, dir, v, affected.map(_.name),
+        evolved, keys.distinct.toDF(evolved))
       val dv = encodeDv(DvEntry(dvFile.head, evolved,
-        affected.map(_.name).toSet))
+        affected.map(_.name).toSet,
+        affected.map(e => e.name -> hits.getOrElse(e.name, 0L)).toMap))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
         renameLines(dir, v) ++ carriedMeta(dir, v) :+ dv
       if (commitMutate(dir, body, v)) return v + 1
@@ -1772,8 +1860,11 @@ object ManifestTable {
       if (affected.isEmpty) return v // nothing can hold the keys: no-op
       val dvFile = stage(s, dir, keys.toDF(evolved).coalesce(1))
       require(dvFile.size == 1)
+      val hits = doomedLiveCounts(s, dir, v, affected.map(_.name),
+        evolved, keys.distinct.toDF(evolved))
       val dv = encodeDv(DvEntry(dvFile.head, evolved,
-        affected.map(_.name).toSet))
+        affected.map(_.name).toSet,
+        affected.map(e => e.name -> hits.getOrElse(e.name, 0L)).toMap))
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
         renameLines(dir, v) ++ carriedMeta(dir, v) :+ dv
       if (commitMutate(dir, body, v)) return v + 1
@@ -1810,11 +1901,25 @@ object ManifestTable {
           .map { case ((c, fs), ts) => (c, fs, ts.map(_._2).sorted) }
           .toSeq
       if (groups.forall(_._2.size <= 1)) return v
+      // recorded doomed-live counts survive consolidation: each
+      // (marker, target) lands in exactly one group, so restricting a
+      // carried marker's counts to its group targets — and SUMMING
+      // across a merged group's markers — keeps the per-target totals
+      // exact; a group with any uncounted marker merges uncounted
+      def countsFor(c: String, keyFiles: Seq[String],
+          targets: Seq[String]): Map[String, Long] = {
+        val ms = dvs.filter(m => m.col == c && keyFiles.contains(m.file))
+        if (ms.exists(m => !m.targets.forall(m.counts.contains)))
+          Map.empty
+        else targets.map(t => t ->
+          ms.filter(_.targets(t)).map(_.counts.getOrElse(t, 0L)).sum).toMap
+      }
       val newLines = groups.sortBy(g => (g._1, g._2.mkString(",")))
           .flatMap { case (c, keyFiles, targets) =>
         if (keyFiles.size == 1) // already minimal for these targets: the
           // original key file carries, restricted to exactly this group
-          Seq(encodeDv(DvEntry(keyFiles.head, c, targets.toSet)))
+          Seq(encodeDv(DvEntry(keyFiles.head, c, targets.toSet,
+            countsFor(c, keyFiles, targets))))
         else if (c == "_pos") {
           // positional markers OR their roaring bitmaps per target ON
           // THE DRIVER — each positions file is compressed and bounded
@@ -1850,7 +1955,8 @@ object ManifestTable {
             .distinct().coalesce(1)
           val staged = stage(s, dir, union)
           require(staged.size == 1)
-          Seq(encodeDv(DvEntry(staged.head, c, targets.toSet)))
+          Seq(encodeDv(DvEntry(staged.head, c, targets.toSet,
+            countsFor(c, keyFiles, targets))))
         }
       }
       val body = listLines(dir, v) ++ newLines ++
@@ -2467,7 +2573,23 @@ object ManifestTable {
       val dataFiles = stageWithStats(s, dir, batch, Seq(col))
       val markers =
         if (affected.isEmpty) Seq.empty // pure insert: nothing to doom
-        else dvFiles.map(f => encodeDv(DvEntry(f, col, affected)))
+        else {
+          // price the statement's doomed-live hits per candidate file so
+          // the metadata COUNT/history/LIMIT tiers survive the upsert.
+          // The batch's keys may stage as SEVERAL files (no coalesce
+          // bottleneck at scale) — every consumer SUMS counts across
+          // markers per target, so the statement's total rides on the
+          // first marker and the rest carry explicit zeros
+          val hits = doomedLiveCounts(s, dir, v, affected.toSeq, col,
+            batch.select(c(col)).distinct())
+          val zero = affected.map(n => n -> 0L).toMap
+          dvFiles.zipWithIndex.map { case (f, i) =>
+            encodeDv(DvEntry(f, col, affected,
+              if (i == 0) affected.map(n =>
+                n -> hits.getOrElse(n, 0L)).toMap
+              else zero))
+          }
+        }
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
         renameLines(dir, v) ++ carriedMeta(dir, v) ++ dataFiles ++ markers
       if (commitMutate(dir, body, v)) return v + 1

@@ -140,6 +140,58 @@ class Round15Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("keyed-MOR markers price their dooms: COUNT/history/LIMIT served") {
+    val root = freshDir("kmc")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g15km",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15km.root", root)
+    spark.sql("""CREATE TABLE g15km.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g15km.default.t
+      SELECT /*+ REPARTITION(4) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 100)""")
+    // two OVERLAPPING keyed MOR deletes: the second's count is priced
+    // against the first's live view, so key 3 never double-subtracts
+    spark.sql("DELETE FROM g15km.default.t WHERE k IN (1, 2, 3)")
+    spark.sql("DELETE FROM g15km.default.t WHERE k IN (3, 50)")
+    val marks = ManifestTable.dvEntries(dir, ManifestTable.currentVersion(dir))
+    assert(marks.size == 2 && marks.forall(_.fullyCounted),
+      s"both keyed markers must carry complete counts: $marks")
+    val cnt = spark.sql("SELECT count(*) FROM g15km.default.t")
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadata agg"),
+      s"counted keyed markers must keep COUNT(*) metadata-served:\n" +
+        cnt.queryExecution.executedPlan)
+    assert(cnt.head().getLong(0) == 96L)
+    // history's live-row arithmetic serves through keyed counts too
+    val hist = ManifestTable.history(spark, dir).orderBy("version").collect()
+    assert(!hist.last.isNullAt(3) && hist.last.getLong(3) == 96L,
+      s"keyed-MOR history live rows: ${hist.mkString(", ")}")
+    // the LIMIT file-prefix stays armed: per-file live counts are exact
+    val lim = spark.sql("SELECT k FROM g15km.default.t LIMIT 3")
+    assert(lim.queryExecution.executedPlan.toString.matches(
+        "(?s).*files [123]/4.*"),
+      s"counted keyed markers must keep the LIMIT prefix armed:\n" +
+        lim.queryExecution.executedPlan)
+    assert(lim.collect().length == 3)
+    // a MOR upsert prices its marker the same way (dooms 60, adds 2)
+    import spark.implicits._
+    ManifestTable.upsertMOR(spark, dir,
+      Seq((60L, -1.0), (200L, -2.0)).toDF("k", "v"), "k")
+    val cnt2 = spark.sql("SELECT count(*) FROM g15km.default.t")
+    assert(cnt2.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(cnt2.head().getLong(0) == 97L)
+    // consolidation merges counts per target (sums stay exact)
+    spark.sql("CALL g15km.system.rewrite_dvs(table => 't')")
+    val cnt3 = spark.sql("SELECT count(*) FROM g15km.default.t")
+    assert(cnt3.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "consolidated counted markers must stay metadata-served")
+    assert(cnt3.head().getLong(0) == 97L)
+    assert(spark.sql("SELECT count(*) FROM g15km.default.t WHERE v >= -2.0")
+      .head().getLong(0) == 97L, "the scan path agrees")
+    ManifestTable.destroy(root)
+  }
+
   test("persistent views: create, read through, survive a fresh catalog") {
     val root = freshDir("vw")
     spark.conf.set("spark.sql.catalog.g15vw",
