@@ -497,7 +497,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val dir = branchAwareDir(ident)
     if (ManifestTable.currentVersion(dir) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val ops = changes.toSeq.flatMap {
+    // PARTITION-SPEC EVOLUTION (round 15): `ALTER TABLE … SET
+    // TBLPROPERTIES ('graft.partitioning' = …)` is the validated
+    // re-declaration path — routed to its dedicated commit (spec parse +
+    // column-existence checks; stale __bucket ids struck when the bucket
+    // transform changes, so SPJ degrades to per-file planning instead of
+    // mis-grouping, until CALL system.rebucket re-arms it). Other
+    // changes in the same statement follow in a second atomic commit.
+    val (specChanges, rest) = changes.toSeq.partition {
+      case sp: TableChange.SetProperty =>
+        sp.property() == "graft.partitioning"
+      case _ => false
+    }
+    specChanges.collect { case sp: TableChange.SetProperty => sp }
+      .foreach(sp => ManifestTable.setPartitioning(dir, sp.value()))
+    val ops = rest.flatMap {
       case sp: TableChange.SetProperty =>
         Seq(ManifestTable.AlterOp.SetProp(sp.property(), sp.value()))
       case rp: TableChange.RemoveProperty =>

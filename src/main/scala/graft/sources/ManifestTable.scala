@@ -3012,6 +3012,75 @@ object ManifestTable {
     * pass over the table (like any re-clustering), so it amortizes the
     * way compaction does: run it when the bucket-less fraction justifies
     * giving the next N joins their shuffle-free plan back. */
+  /** PARTITION-SPEC EVOLUTION (round 15): re-declare the table's
+    * `graft.partitioning` on a LIVE table in ONE metadata-only commit —
+    * the Iceberg spec-evolution contract re-expressed for this format.
+    * Existing data files keep serving untouched: identity/time pruning
+    * is stats-driven and spec-independent, so their recorded envelopes
+    * stay exactly as useful as before and nothing rewrites. When the
+    * BUCKET transform changes (modulus or column), every manifest
+    * line's recorded `__bucket` id is STRUCK in the same commit — ids
+    * recorded under the old transform would MIS-GROUP a
+    * storage-partitioned join under the new one — so SPJ degrades to
+    * per-file planning (a slower plan, never a wrong grouping) until
+    * `CALL system.rebucket` re-clusters to the new spec and re-arms it.
+    * New inserts route/cluster by the new spec immediately. Every
+    * referenced column must exist in the table's evolved view — refused
+    * otherwise. Returns the new version. */
+  def setPartitioning(dir: String, spec: String, maxRetries: Int = 10): Int = {
+    val (ids, bks) = GraftCatalog.partitionCols(spec)
+    val times = GraftCatalog.timeCols(spec)
+    val clus = GraftCatalog.clusterCols(spec)
+    require(ids.nonEmpty || bks.nonEmpty || times.nonEmpty || clus.nonEmpty,
+      s"unparseable partitioning spec '$spec' — expected " +
+        "identity(c) / bucket(n, c) / years|months|days(c) / cluster(...)")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to alter in $dir")
+      // column authority: the declared schema if any, else the observed
+      // footer names of one file, both through the rename chain's final
+      // names — a spec naming an absent column refuses now, not at the
+      // first insert that cannot route
+      val fin = finalNames(dir, v)
+      val authority: Option[Set[String]] =
+        declaredSchema(dir, v)
+          .map(org.apache.spark.sql.types.DataType.fromJson(_)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSet)
+          .orElse(listFiles(dir, v).headOption.map { f =>
+            val mt = ManifestStreamSource.footerSchema(dataPath(dir, f))
+            (0 until mt.getFieldCount).map(i =>
+              fin.getOrElse(mt.getFieldName(i), mt.getFieldName(i))).toSet
+          })
+      val refd = ids ++ bks.map(_._2) ++ times.map(_._2) ++ clus
+      authority.foreach(cols => refd.foreach(c => require(cols(c),
+        s"SET partitioning '$spec' refused: column '$c' does not exist " +
+          s"on $dir")))
+      val oldBks = tableProperties(dir, v).get("graft.partitioning")
+        .map(GraftCatalog.partitionCols(_)._2).getOrElse(Seq.empty)
+      val bucketChanged = oldBks != bks
+      val lines =
+        if (!bucketChanged) listLines(dir, v)
+        else listLines(dir, v).map(_.replaceAll(";__bucket=\\d+", ""))
+      val props = propLines(dir, v)
+        .filterNot(_.startsWith("#prop\tgraft.partitioning\t")) :+
+        s"#prop\tgraft.partitioning\t$spec"
+      val body = lines ++ dvLines(dir, v) ++ renameLines(dir, v) ++
+        policyLines(dir, v) ++ props ++ schemaLines(dir, v) ++
+        epochLines(dir, v)
+      // striking bucket ids changes manifest lines but no live content —
+      // a content-preserving #rewrite, so incremental consumers skip it
+      val ok =
+        if (bucketChanged) commitRewrite(dir, body, v)
+        else commit(dir, body, v)
+      if (ok) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"setPartitioning lost $maxRetries commit races in $dir")
+  }
+
   def rebucket(s: SparkSession, dir: String, maxRetries: Int = 10): Int = {
     import org.apache.spark.sql.functions.{col => c}
     var attempt = 0

@@ -140,6 +140,108 @@ class Round15Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("partition-spec evolution: degrade SPJ honestly, rebucket re-arms") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(nodes) ++ (p match {
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Seq.empty
+      }))
+    def joinShuffles(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val joins = nodes(plan).filter(n => n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec])
+      (joins.size,
+        joins.flatMap(_.children.flatMap(nodes))
+          .count(_.isInstanceOf[ShuffleExchangeLike]))
+    }
+    val root = freshDir("pse")
+    val dir = s"$root/ord"
+    spark.conf.set("spark.sql.catalog.g15pe",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15pe.root", root)
+    val prevBucketing = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevPush = spark.conf
+      .get("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+    val prevBroadcast = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("""CREATE TABLE g15pe.default.ord (k BIGINT, p DOUBLE)
+        PARTITIONED BY (bucket(4, k))""")
+      spark.sql("""CREATE TABLE g15pe.default.cust (k BIGINT, b DOUBLE)
+        PARTITIONED BY (bucket(4, k))""")
+      spark.sql("""INSERT INTO g15pe.default.ord
+        SELECT id, CAST(id AS DOUBLE) FROM range(0, 200)""")
+      spark.sql("""INSERT INTO g15pe.default.cust
+        SELECT id, CAST(-id AS DOUBLE) FROM range(0, 200)""")
+      def theJoin = spark.sql("""SELECT o.k, o.p, c.b
+        FROM g15pe.default.ord o JOIN g15pe.default.cust c ON o.k = c.k""")
+      val want = (0L until 200L).map(k =>
+        Seq[Any](k, k.toDouble, -k.toDouble)).toSet
+      val (j0, s0) = joinShuffles(theJoin)
+      assert(j0 == 1 && s0 == 0,
+        s"co-bucketed baseline must be shuffle-free: $j0 joins $s0 shuffles")
+      // EVOLVE the spec (different modulus): the commit must strike the
+      // stale bucket ids — grouping 4-bucket files under an 8-bucket
+      // transform would MIS-GROUP the join
+      spark.sql("""ALTER TABLE g15pe.default.ord
+        SET TBLPROPERTIES ('graft.partitioning' = 'bucket(8,k)')""")
+      val v1 = ManifestTable.currentVersion(dir)
+      assert(ManifestTable.listLines(dir, v1).map(ManifestTable.parseEntry)
+        .forall(_.bucket.isEmpty),
+        "evolving the bucket transform must strike stale bucket ids")
+      val (j1, s1) = joinShuffles(theJoin)
+      assert(j1 == 1 && s1 > 0,
+        s"the degraded join must shuffle, never mis-group: $s1 shuffles")
+      assert(theJoin.collect().map(_.toSeq).toSet == want,
+        "answers are invariant across the evolution")
+      // evolve the other side + rebucket BOTH to the new spec → re-armed
+      spark.sql("""ALTER TABLE g15pe.default.cust
+        SET TBLPROPERTIES ('graft.partitioning' = 'bucket(8,k)')""")
+      spark.sql("CALL g15pe.system.rebucket(table => 'ord')")
+      spark.sql("CALL g15pe.system.rebucket(table => 'cust')")
+      val (j2, s2) = joinShuffles(theJoin)
+      assert(j2 == 1 && s2 == 0,
+        s"rebucket must re-arm the SPJ: $j2 joins $s2 shuffles")
+      assert(theJoin.collect().map(_.toSeq).toSet == want)
+      // identity evolution composes; a spec naming an absent column and
+      // an unparseable spec both refuse loudly
+      spark.sql("""ALTER TABLE g15pe.default.ord
+        SET TBLPROPERTIES ('graft.partitioning' = 'identity(p);bucket(8,k)')""")
+      assert(theJoin.collect().map(_.toSeq).toSet == want)
+      val e = intercept[Throwable] { spark.sql("""ALTER TABLE
+        g15pe.default.ord SET TBLPROPERTIES
+        ('graft.partitioning' = 'identity(nope)')""") }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+      assert(msgs(e).contains("does not exist"), msgs(e))
+      val e2 = intercept[Throwable] { spark.sql("""ALTER TABLE
+        g15pe.default.ord SET TBLPROPERTIES
+        ('graft.partitioning' = 'garbage')""") }
+      assert(msgs(e2).contains("unparseable"), msgs(e2))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        prevPush)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    ManifestTable.destroy(root)
+  }
+
   test("keyed-MOR markers price their dooms: COUNT/history/LIMIT served") {
     val root = freshDir("kmc")
     val dir = s"$root/t"
