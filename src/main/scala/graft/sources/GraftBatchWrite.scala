@@ -904,6 +904,15 @@ private[sources] object GraftDeltaCommitter {
           .filter(_._1.startsWith(GraftCatalog.ConstraintProp))
       if (constraints(baseVersion) != constraints(cur))
         refuse("a constraint change landed concurrently")
+      // a concurrent PARTITION-SPEC change (round 15) invalidates the
+      // statement's write shape: its insert files were bucket-stamped
+      // under the PINNED spec, so replaying them onto the evolved
+      // snapshot would publish stale ids the new transform mis-groups —
+      // refuse, never absorb
+      def partSpec(v: Int): Option[String] =
+        ManifestTable.tableProperties(dir, v).get("graft.partitioning")
+      if (partSpec(baseVersion) != partSpec(cur))
+        refuse("the partition spec changed concurrently")
       attempt += 1
       if (attempt >= 10) refuse(s"lost $attempt commit races")
       onto = cur // rebase: replay the delta onto the winner's snapshot

@@ -154,14 +154,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     requirePlainName(newIdent)
-    val cur = GraftViews.load(root, oldIdent.namespace().toSeq,
-      oldIdent.name()).getOrElse(
+    if (!viewExists(oldIdent))
       throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchViewException(oldIdent))
+        .NoSuchViewException(oldIdent)
     require(!tableExists(newIdent),
       s"cannot rename view to $newIdent: a table with that name exists")
-    try GraftViews.write(root, newIdent.namespace().toSeq, newIdent.name(),
-      cur, replace = false)
+    // link-then-unlink: the new name appears ATOMICALLY (link(2) refuses
+    // an existing target — a rename can never clobber another view); a
+    // crash between the two steps leaves the identical document briefly
+    // under both names, repairable with drop_view, never torn or lost
+    try GraftViews.link(root, oldIdent.namespace().toSeq, oldIdent.name(),
+      newIdent.namespace().toSeq, newIdent.name())
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(newIdent)
@@ -502,13 +505,19 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // re-declaration path — routed to its dedicated commit (spec parse +
     // column-existence checks; stale __bucket ids struck when the bucket
     // transform changes, so SPJ degrades to per-file planning instead of
-    // mis-grouping, until CALL system.rebucket re-arms it). Other
-    // changes in the same statement follow in a second atomic commit.
+    // mis-grouping, until CALL system.rebucket re-arms it). It must be
+    // the statement's ONLY change: splitting it from sibling changes
+    // would break the one-statement-one-commit atomicity contract, so a
+    // mixed statement refuses instead.
     val (specChanges, rest) = changes.toSeq.partition {
       case sp: TableChange.SetProperty =>
         sp.property() == "graft.partitioning"
       case _ => false
     }
+    require(specChanges.isEmpty || rest.isEmpty,
+      "SET 'graft.partitioning' must be its own ALTER statement (it " +
+        "commits a validated spec-evolution, atomically separate from " +
+        "other changes)")
     specChanges.collect { case sp: TableChange.SetProperty => sp }
       .foreach(sp => ManifestTable.setPartitioning(dir, sp.value()))
     val ops = rest.flatMap {
@@ -921,10 +930,24 @@ private[sources] object GraftProcedures {
               "(SELECT/WITH/VALUES)")
           require(ManifestTable.currentVersion(dirFor(root, full)) < 0,
             s"cannot create view $full: a table with that name exists")
-          // validate by ANALYZING in the calling session right now — a
-          // view that cannot resolve refuses at creation, never at some
-          // later read; the analysis-time schema pins the view's output
-          val schema = s.sql(sql).schema
+          // validate by ANALYZING THROUGH THE RESOLUTION RULE right now
+          // — a view that cannot resolve refuses at creation, never at
+          // some later read, and unqualified body relations get the
+          // view's own creation context (not the calling session's
+          // current catalog). The probe stores the document under a
+          // throwaway name first, so a failed REPLACE never clobbers
+          // the existing definition; the analysis-time schema then pins
+          // the view's output in the final document.
+          val probe = nm + "_vchk_" +
+            java.util.UUID.randomUUID().toString.take(6)
+          GraftViews.write(root, ns, probe,
+            GraftViews.StoredView(sql, new StructType(), catalogName, ns,
+              Map.empty), replace = false)
+          val schema =
+            try s.sql(("SELECT * FROM " +
+              (catalogName +: ns :+ probe).map(p => s"`$p`")
+                .mkString("."))).schema
+            finally GraftViews.drop(root, ns, probe)
           GraftViews.write(root, ns, nm,
             GraftViews.StoredView(sql, schema, catalogName, ns, Map.empty),
             replace = input.getBoolean(2))

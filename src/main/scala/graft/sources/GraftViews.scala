@@ -69,26 +69,45 @@ private[graft] object GraftViews {
         .getOrElse(Map.empty)))
   }
 
-  /** Create (CREATE_NEW — loses a race loudly) or replace (temp +
-    * atomic move — readers see old or new, never torn). */
+  /** Create or replace — the document always materializes fully in a
+    * temp file first, so a crash mid-write can never leave a torn
+    * document under the name. Replace publishes with an atomic rename;
+    * create publishes with a HARD LINK (link(2) fails atomically on an
+    * existing target — a POSIX rename would silently replace, losing a
+    * create-vs-create race without an error). */
   def write(root: String, namespace: Seq[String], name: String,
       v: StoredView, replace: Boolean): Unit = {
     val dir = viewsDir(root, namespace)
     Files.createDirectories(dir)
-    val body = render(v)
-    if (replace) {
-      val tmp = Files.createTempFile(dir, s".$name", ".tmp")
-      Files.write(tmp, body)
-      Files.move(tmp, pathOf(root, namespace, name),
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    } else
-      Files.write(pathOf(root, namespace, name), body,
-        StandardOpenOption.CREATE_NEW)
+    val tmp = Files.createTempFile(dir, s".$name", ".tmp")
+    try {
+      Files.write(tmp, render(v))
+      if (replace)
+        Files.move(tmp, pathOf(root, namespace, name),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      else {
+        Files.createLink(pathOf(root, namespace, name), tmp)
+        Files.deleteIfExists(tmp)
+      }
+    } catch { case e: Throwable =>
+      Files.deleteIfExists(tmp)
+      throw e
+    }
   }
 
   def drop(root: String, namespace: Seq[String], name: String): Boolean =
     Files.deleteIfExists(pathOf(root, namespace, name))
+
+  /** Hard-link an existing view document under a new name — atomic, and
+    * refuses (FileAlreadyExistsException) when the target exists. The
+    * rename primitive: link then unlink the old name. */
+  def link(root: String, fromNs: Seq[String], fromName: String,
+      toNs: Seq[String], toName: String): Unit = {
+    Files.createDirectories(viewsDir(root, toNs))
+    Files.createLink(pathOf(root, toNs, toName),
+      pathOf(root, fromNs, fromName))
+  }
 
   def list(root: String, namespace: Seq[String]): Seq[String] = {
     val dir = viewsDir(root, namespace)

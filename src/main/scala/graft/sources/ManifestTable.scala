@@ -1953,10 +1953,20 @@ object ManifestTable {
           val union = s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
             .select(fcol(c))
             .distinct().coalesce(1)
-          val staged = stage(s, dir, union)
-          require(staged.size == 1)
-          Seq(encodeDv(DvEntry(staged.head, c, targets.toSet,
-            countsFor(c, keyFiles, targets))))
+          // a merged key file past the reader's per-file budget would
+          // make every subsequent scan of the targeted files REFUSE
+          // (DvKeyCache.doomed's loud maxKeys bound) — decline merging
+          // this group and keep its original markers, same contract as
+          // the positional byte-budget decline
+          if (union.count() > DvKeyCache.maxKeys)
+            keyFiles.map(f => encodeDv(DvEntry(f, c, targets.toSet,
+              countsFor(c, Seq(f), targets))))
+          else {
+            val staged = stage(s, dir, union)
+            require(staged.size == 1)
+            Seq(encodeDv(DvEntry(staged.head, c, targets.toSet,
+              countsFor(c, keyFiles, targets))))
+          }
         }
       }
       val body = listLines(dir, v) ++ newLines ++

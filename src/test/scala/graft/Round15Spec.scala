@@ -327,6 +327,18 @@ class Round15Spec extends AnyFunSuite {
       spark.sql("""CALL g15vw.system.create_view(name => 't',
         sql => 'SELECT 1 AS one')""") }
     assert(e2.getMessage.contains("table"), e2.getMessage)
+    // UNQUALIFIED body relations resolve in the view's CREATION context
+    // (its stored catalog + namespace), never the reader's
+    spark.sql("""CALL g15vw.system.create_view(name => 'unq',
+      sql => 'SELECT k FROM t WHERE v < 5.0')""")
+    assert(spark.sql("SELECT count(*) FROM g15vw.default.unq")
+      .head().getLong(0) == 5L)
+    // a WITH-bodied view resolves too
+    spark.sql("""CALL g15vw.system.create_view(name => 'wv',
+      sql => 'WITH b AS (SELECT k FROM g15vw.default.t WHERE k >= 15)
+              SELECT count(*) AS n FROM b')""")
+    assert(spark.sql("SELECT n FROM g15vw.default.wv")
+      .head().getLong(0) == 5L)
     spark.sql("CALL g15vw.system.drop_view(name => 'big')")
     val e3 = intercept[Throwable] {
       spark.sql("SELECT count(*) FROM g15vw.default.big").collect() }
