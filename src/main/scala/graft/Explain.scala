@@ -58,10 +58,11 @@ object Explain {
     // its eager localCheckpoint
     "q_positional_dv", "q_changes_positional", "q_rename_pushdown",
     "q_dsir_select",
-    // round 15: the DSIR sampler executes its eager localCheckpoint;
-    // the view and MOR-count queries build + mutate manifest tables at
-    // construction
-    "q_dsir_sample", "q_sql_view", "q_metadata_mor_count")
+    // round 15: the DSIR sampler and substring-dedup execute their
+    // eager localCheckpoints; the view and MOR-count queries build +
+    // mutate manifest tables at construction
+    "q_dsir_sample", "q_sql_view", "q_metadata_mor_count",
+    "q_substring_dedup")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

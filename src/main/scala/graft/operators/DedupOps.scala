@@ -430,7 +430,116 @@ object DedupOps {
       .filter($"split_a" =!= $"split_b")
   }
 
+  /** SUBSTRING-LEVEL DUPLICATE COVERAGE (round 15) — the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" measure
+    * the doc-level family above cannot see: how many of each document's
+    * tokens sit inside a ≥k-token run that ALSO appears in another
+    * document. The paper removes those runs with a corpus suffix array;
+    * the distributed re-expression is k-gram resolution — every k-token
+    * shingle WITH ITS POSITION hashes once, shingles seen in >1 distinct
+    * document flag their positions, and per-document interval merging
+    * (classic gaps-and-islands, one window PARTITIONED BY doc) turns
+    * overlapping flagged shingles into maximal duplicated runs whose
+    * token coverage is exact. Output: per source — docs, flagged docs,
+    * duplicated tokens, total tokens (all integers, so the oracle
+    * boundary is float-free).
+    *
+    * Scale posture: the duplicated-shingle set is corpus-sized, so it is
+    * NEVER broadcast — one hash-shuffle groupBy prices it (the honest
+    * cost of substring dedup; the suffix array pays the same sort), the
+    * flag join shuffles on the same key, and the interval merge is
+    * per-document windows over only the FLAGGED positions. The md5
+    * shingle key is engine-portable; a collision flags identically on
+    * both sides, so comparisons stay exact. */
+  def substringDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", toks($"text").as("t"))
+    val tot = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"t")).cast("long").as("total_tokens"))
+    // positioned k-shingles: one row per (doc, start position)
+    val sh = docs.where(size($"t") >= k)
+      .select($"doc_id", $"source",
+        posexplode(transform(sequence(lit(0), size($"t") - k),
+          i => md5(concat_ws(" ", slice($"t", i + 1, lit(k)))))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+      .persist()
+    val dup = sh.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" > 1).select($"h")
+    val hits = sh.join(dup, "h").select($"doc_id", $"source", $"p")
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    val perDoc = hits
+      .withColumn("newi",
+        when(coalesce(lag($"p", 1).over(w), lit(Int.MinValue).cast("int"))
+          < $"p" - (k - 1), 1).otherwise(0))
+      .withColumn("gid", sum($"newi")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"source", $"gid")
+      .agg((max($"p") - min($"p") + k).cast("long").as("covered"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"covered").as("dup_tokens"))
+    val flagged = perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_flagged"), sum($"dup_tokens").as("dup_tokens"))
+    // eager: the plan must execute while the shingle cache is live (the
+    // dsirSelect pattern — a finally-unpersist would evict it first)
+    val out = tot.join(flagged, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_flagged", lit(0L)).as("n_flagged"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        $"total_tokens")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out
+  }
+
+  private val substringDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |tot AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(t)) AS BIGINT) AS total_tokens
+      |  FROM d GROUP BY source),
+      |sh AS (
+      |  SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS p,
+      |         md5(array_to_string(t[i:i+7], ' ')) AS h
+      |  FROM d, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |dup AS (
+      |  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      |hits AS (SELECT doc_id, source, p FROM sh JOIN dup USING (h)),
+      |isl AS (
+      |  SELECT doc_id, source, p,
+      |         CASE WHEN COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+      |                            -2147483648) < p - 7
+      |              THEN 1 ELSE 0 END AS newi
+      |  FROM hits),
+      |g AS (
+      |  SELECT doc_id, source, p,
+      |         sum(newi) OVER (PARTITION BY doc_id ORDER BY p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      |  FROM isl),
+      |cov AS (
+      |  SELECT doc_id, source, gid, max(p) - min(p) + 8 AS covered
+      |  FROM g GROUP BY doc_id, source, gid),
+      |perdoc AS (
+      |  SELECT doc_id, source, CAST(sum(covered) AS BIGINT) AS dup_tokens
+      |  FROM cov GROUP BY doc_id, source),
+      |flagged AS (
+      |  SELECT source, count(*) AS n_flagged,
+      |         CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens
+      |  FROM perdoc GROUP BY source)
+      |SELECT t.source, t.n_docs,
+      |       COALESCE(f.n_flagged, 0) AS n_flagged,
+      |       COALESCE(f.dup_tokens, 0) AS dup_tokens,
+      |       t.total_tokens
+      |FROM tot t LEFT JOIN flagged f USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_dedup" -> ((s, d) => substringDedup(s, d)),
     "q_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "q_dedup_exact" -> ((s, d) => exactDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
@@ -497,6 +606,9 @@ object DedupOps {
         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4""".stripMargin,
+    // same positioned md5 k-shingles, same cross-doc duplicate flag, same
+    // gaps-and-islands interval merge — integer outputs, float-free
+    "q_substring_dedup" -> substringDedupSql,
     // Exact restatement of minhashLsh: same md5-derived base hashes, same
     // affine permutation literals, same 16×2 banding, same verification —
     // a drift anywhere in the pipeline breaks the hash compare.

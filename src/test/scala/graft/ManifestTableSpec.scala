@@ -973,10 +973,14 @@ class ManifestTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ManifestTable.metadataAgg(dir, "l_orderkey")
     }
-    // history reports the DV version's row count as unknowable
+    // history PRICES the DV version exactly (round 15: keyed markers
+    // record their delete-time doomed-live counts, so live = rows −
+    // recorded dooms — no longer unknowable)
     val h = ManifestTable.history(spark, dir).collect()
-      .map(r => r.getInt(0) -> r.isNullAt(3)).toMap
-    assert(!h(0) && h(1), "DV version must report null rows, not a guess")
+      .map(r => r.getInt(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(h(0) == before && h(1) == before - doomedRows,
+      s"keyed-MOR history must report exact live counts, got $h")
     // the change feed refuses to cross the mutation
     intercept[IllegalStateException] {
       ManifestTable.readChanges(spark, dir, 0, 1)

@@ -549,11 +549,16 @@ class Round12Spec extends AnyFunSuite {
       FROM r12_mor_spec_src WHERE k NOT IN (${doomed.mkString(", ")})""")
       .head().getDouble(0)
     assert(s2 == w2, s"unprojected-key MOR sum: $s2 vs $w2")
-    // metadata aggregates DECLINE under DVs (counts would overcount) but
-    // stay exact through the scan
+    // COUNT(*) is metadata-SERVED under the counted keyed marker (round
+    // 15: the MOR delete priced its doomed-live hits); every other
+    // aggregate still declines (a doomed row may hold the extremum)
     val cnt = spark.sql("SELECT count(*) AS n FROM g12mo.default.t")
-    assert(!cnt.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadata agg"),
+      "counted keyed markers keep COUNT(*) metadata-served:\n" +
+        cnt.queryExecution.executedPlan)
     assert(cnt.head().getLong(0) == want.size)
+    val mx = spark.sql("SELECT max(v) FROM g12mo.default.t")
+    assert(!mx.queryExecution.executedPlan.toString.contains("metadata agg"))
     // LIMIT still works (the file-prefix shortcut declines; per-file caps
     // count LIVE rows)
     assert(spark.sql("SELECT k FROM g12mo.default.t LIMIT 7").count() == 7)
