@@ -45,44 +45,18 @@ class GraftViewRule(session: org.apache.spark.sql.SparkSession)
           .flatMap(root => graft.sources.GraftViews.load(root, ns, name))
           .map { v =>
             val parsed = CatalystSqlParser.parsePlan(v.sql)
-            // unqualified relations resolve in the view's CREATION
-            // context (its stored catalog + namespace), never the
-            // reader's — except names the body defines itself (CTEs)
-            val cteNames: Set[String] = parsed.collect {
-              case w: org.apache.spark.sql.catalyst.plans.logical
-                  .UnresolvedWith =>
-                w.cteRelations.map(_._1.toLowerCase)
-            }.flatten.toSet
-            val ctx = v.currentCatalog +: v.currentNamespace
-            val qualified = parsed.transformUpWithSubqueries {
-              case r: UnresolvedRelation
-                  if r.multipartIdentifier.length == 1 &&
-                    !cteNames(r.multipartIdentifier.head.toLowerCase) =>
-                r.copy(multipartIdentifier = ctx ++ r.multipartIdentifier)
-              case r: UnresolvedRelation
-                  if r.multipartIdentifier.length == 2 =>
-                r.copy(multipartIdentifier =
-                  v.currentCatalog +: r.multipartIdentifier)
-            }
-            // WITH-bodied views: CTE substitution lives in the
-            // analyzer's Substitution batch, which already ran before
-            // this spliced subtree existed — apply it to the subtree
-            // here so its CTE references resolve (ResolveWithCTE in the
-            // Resolution batch then handles the substituted refs)
-            val substituted =
-              org.apache.spark.sql.catalyst.analysis
-                .CTESubstitution.apply(qualified)
-            val selfId = (Seq(parts.head) ++
-              (if (parts.length == 3) Seq(parts(1)) else Seq("default")) :+
-              parts.last).map(_.toLowerCase)
-            val self = substituted.collectFirst {
-              case r: UnresolvedRelation
-                  if r.multipartIdentifier.map(_.toLowerCase) == selfId ||
-                    r.multipartIdentifier.map(_.toLowerCase) ==
-                      parts.map(_.toLowerCase) => r
-            }
-            if (self.isDefined) throw new org.apache.spark.sql
-              .AnalysisException(
+            // CREATION-context qualification + WITH-body substitution
+            // (CTE substitution lives in the analyzer's Substitution
+            // batch, which already ran before this spliced subtree
+            // existed) — ONE definition shared with create_view's
+            // validation, so what validates is what resolves
+            val substituted = graft.sources.GraftViews.qualify(
+              parsed, v.currentCatalog, v.currentNamespace,
+              n => n == "spark_catalog" ||
+                session.conf.getOption(s"spark.sql.catalog.$n").isDefined)
+            if (graft.sources.GraftViews.referencesSelf(substituted,
+                v.currentCatalog, v.currentNamespace, name))
+              throw new org.apache.spark.sql.AnalysisException(
                 errorClass = "RECURSIVE_VIEW",
                 messageParameters = Map(
                   "viewIdent" -> parts.mkString("."),

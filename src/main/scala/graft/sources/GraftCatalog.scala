@@ -165,9 +165,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // under both names, repairable with drop_view, never torn or lost
     try GraftViews.link(root, oldIdent.namespace().toSeq, oldIdent.name(),
       newIdent.namespace().toSeq, newIdent.name())
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new org.apache.spark.sql.catalyst.analysis
-        .ViewAlreadyExistsException(newIdent)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(newIdent)
+      case _: java.nio.file.NoSuchFileException =>
+        // TOCTOU: a concurrent drop removed the source after the
+        // existence check — report the catalog's own error shape
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchViewException(oldIdent)
     }
     GraftViews.drop(root, oldIdent.namespace().toSeq, oldIdent.name())
   }
@@ -930,15 +936,32 @@ private[sources] object GraftProcedures {
               "(SELECT/WITH/VALUES)")
           require(ManifestTable.currentVersion(dirFor(root, full)) < 0,
             s"cannot create view $full: a table with that name exists")
+          // a body referencing the view's OWN final name refuses NOW —
+          // under REPLACE the validation probe would resolve it against
+          // the OLD definition, publish, and brick every later read
+          // with the recursive-view error. One qualification definition
+          // shared with the resolution rule, so what is checked here is
+          // exactly what resolves there.
+          val qualified = GraftViews.qualify(
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parsePlan(sql),
+            catalogName, ns,
+            n => n == "spark_catalog" ||
+              s.conf.getOption(s"spark.sql.catalog.$n").isDefined)
+          require(!GraftViews.referencesSelf(qualified, catalogName, ns, nm),
+            s"create_view('$full'): the body references the view itself")
           // validate by ANALYZING THROUGH THE RESOLUTION RULE right now
           // — a view that cannot resolve refuses at creation, never at
           // some later read, and unqualified body relations get the
           // view's own creation context (not the calling session's
           // current catalog). The probe stores the document under a
-          // throwaway name first, so a failed REPLACE never clobbers
-          // the existing definition; the analysis-time schema then pins
-          // the view's output in the final document.
-          val probe = nm + "_vchk_" +
+          // throwaway DOT-PREFIXED name (hidden from listViews even if
+          // a crash leaks it) so a failed REPLACE never clobbers the
+          // existing definition; the analysis-time schema then pins the
+          // view's output in the final document. Stale probes from
+          // crashed creates of this name sweep first.
+          GraftViews.sweepProbes(root, ns, nm)
+          val probe = s".vchk-$nm-" +
             java.util.UUID.randomUUID().toString.take(6)
           GraftViews.write(root, ns, probe,
             GraftViews.StoredView(sql, new StructType(), catalogName, ns,

@@ -99,6 +99,18 @@ private[graft] object GraftViews {
   def drop(root: String, namespace: Seq[String], name: String): Boolean =
     Files.deleteIfExists(pathOf(root, namespace, name))
 
+  /** Delete leftover validation probes for `name` (crash residue —
+    * dot-prefixed, so never listed, but no reason to keep the bytes). */
+  def sweepProbes(root: String, namespace: Seq[String], name: String): Unit = {
+    val dir = viewsDir(root, namespace)
+    if (!Files.isDirectory(dir)) return
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s".vchk-$name-"))
+      .foreach(p => Files.deleteIfExists(p))
+    finally s.close()
+  }
+
   /** Hard-link an existing view document under a new name — atomic, and
     * refuses (FileAlreadyExistsException) when the target exists. The
     * rename primitive: link then unlink the old name. */
@@ -115,10 +127,52 @@ private[graft] object GraftViews {
     val s = Files.list(dir)
     try s.iterator().asScala
       .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
+      // dot-prefixed documents are internal (creation-time validation
+      // probes) — never listed, even if a crash leaks one
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
       .map(_.stripSuffix(".json"))
       .toSeq.sorted
     finally s.close()
+  }
+
+  /** Qualify a parsed view body into its CREATION context. CTE
+    * references substitute away FIRST (so any remaining 1-part relation
+    * is a real table — a nested CTE sharing a table's name can never
+    * shield it from qualification), then 1-part names gain
+    * (catalog, namespace) and 2-part names gain the catalog UNLESS
+    * their head is itself a catalog — Spark resolves 2-part names
+    * catalog-first, so a cross-catalog reference stays verbatim. */
+  def qualify(parsed: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan,
+      catalog: String, namespace: Seq[String],
+      isCatalog: String => Boolean)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val substituted =
+      org.apache.spark.sql.catalyst.analysis.CTESubstitution.apply(parsed)
+    substituted.transformUpWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        r.copy(multipartIdentifier =
+          (catalog +: namespace) ++ r.multipartIdentifier)
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
+          !isCatalog(r.multipartIdentifier.head) =>
+        r.copy(multipartIdentifier = catalog +: r.multipartIdentifier)
+    }
+  }
+
+  /** Whether the qualified body references `catalog.ns.name` itself —
+    * checked at CREATE (a self-referential REPLACE must refuse there,
+    * not brick every later read) and again at resolution (defense for
+    * hand-written documents). */
+  def referencesSelf(qualified: org.apache.spark.sql.catalyst.plans
+        .logical.LogicalPlan,
+      catalog: String, namespace: Seq[String], name: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val selfId = (catalog +: namespace :+ name).map(_.toLowerCase)
+    qualified.collectFirst {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.map(_.toLowerCase) == selfId => r
+    }.isDefined
   }
 
   /** The connector-API View served by `loadView`. */

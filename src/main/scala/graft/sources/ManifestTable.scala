@@ -1877,7 +1877,11 @@ object ManifestTable {
     * touching any data file: afterwards every target file is referenced
     * by at most ONE marker per key column, so a scan of a hot MOR table
     * checks one sorted key array per file instead of one per historical
-    * DELETE. Target files are grouped by (key column, EXACT set of
+    * DELETE — EXCEPT groups whose merged file would exceed the readers'
+    * per-file budgets (`graft.dv.maxKeys` keyed, `graft.dv.maxBytes`
+    * positional): those keep their original markers, because a
+    * maintenance op must never publish a table whose every scan
+    * refuses. Target files are grouped by (key column, EXACT set of
     * markers targeting them) and each multi-marker group gets one staged
     * union key parquet — merging across different signatures would doom
     * keys in files a marker never targeted (a row re-inserted AFTER a
@@ -1953,20 +1957,23 @@ object ManifestTable {
           val union = s.read.parquet(keyFiles.map(dataPath(dir, _)): _*)
             .select(fcol(c))
             .distinct().coalesce(1)
-          // a merged key file past the reader's per-file budget would
-          // make every subsequent scan of the targeted files REFUSE
-          // (DvKeyCache.doomed's loud maxKeys bound) — decline merging
-          // this group and keep its original markers, same contract as
-          // the positional byte-budget decline
-          if (union.count() > DvKeyCache.maxKeys)
-            keyFiles.map(f => encodeDv(DvEntry(f, c, targets.toSet,
-              countsFor(c, Seq(f), targets))))
-          else {
-            val staged = stage(s, dir, union)
-            require(staged.size == 1)
-            Seq(encodeDv(DvEntry(staged.head, c, targets.toSet,
-              countsFor(c, keyFiles, targets))))
-          }
+            .persist() // counted once for the budget, staged once — not
+          try {        // two full read+distinct passes
+            // a merged key file past the reader's per-file budget would
+            // make every subsequent scan of the targeted files REFUSE
+            // (DvKeyCache.doomed's loud maxKeys bound) — decline merging
+            // this group and keep its original markers, same contract
+            // as the positional byte-budget decline
+            if (union.count() > DvKeyCache.maxKeys)
+              keyFiles.map(f => encodeDv(DvEntry(f, c, targets.toSet,
+                countsFor(c, Seq(f), targets))))
+            else {
+              val staged = stage(s, dir, union)
+              require(staged.size == 1)
+              Seq(encodeDv(DvEntry(staged.head, c, targets.toSet,
+                countsFor(c, keyFiles, targets))))
+            }
+          } finally union.unpersist(false)
         }
       }
       val body = listLines(dir, v) ++ newLines ++

@@ -333,12 +333,23 @@ class Round15Spec extends AnyFunSuite {
       sql => 'SELECT k FROM t WHERE v < 5.0')""")
     assert(spark.sql("SELECT count(*) FROM g15vw.default.unq")
       .head().getLong(0) == 5L)
-    // a WITH-bodied view resolves too
+    // a WITH-bodied view resolves, with an UNQUALIFIED base inside the
+    // CTE (qualification runs after CTE substitution, so the CTE name
+    // never shields a real table from the creation context)
     spark.sql("""CALL g15vw.system.create_view(name => 'wv',
-      sql => 'WITH b AS (SELECT k FROM g15vw.default.t WHERE k >= 15)
+      sql => 'WITH b AS (SELECT k FROM t WHERE k >= 15)
               SELECT count(*) AS n FROM b')""")
     assert(spark.sql("SELECT n FROM g15vw.default.wv")
       .head().getLong(0) == 5L)
+    // a CROSS-CATALOG 2-part body reference stays verbatim (2-part
+    // names resolve catalog-first; qualification must not hijack them
+    // into the view's own catalog)
+    assert(spark.sql("SELECT count(*) FROM g15vw2.default.t")
+      .head().getLong(0) >= 1L) // the alias catalog serves the table
+    spark.sql("""CALL g15vw.system.create_view(name => 'xcat',
+      sql => 'SELECT k FROM g15vw2.t WHERE k < 3')""")
+    assert(spark.sql("SELECT count(*) FROM g15vw.default.xcat")
+      .head().getLong(0) == 3L)
     spark.sql("CALL g15vw.system.drop_view(name => 'big')")
     val e3 = intercept[Throwable] {
       spark.sql("SELECT count(*) FROM g15vw.default.big").collect() }
@@ -365,15 +376,25 @@ class Round15Spec extends AnyFunSuite {
       spark.sql("SELECT * FROM g15vr.default.vw").collect() }
     assert(e.getMessage.toLowerCase.contains("w") ||
       e.getMessage.toLowerCase.contains("resolve"), e.getMessage)
-    // a replaced definition referencing ITSELF refuses at read with the
-    // standard recursive-view error instead of looping the analyzer
+    // a REPLACE whose body references the view ITSELF refuses at
+    // CREATE (the probe would resolve it against the OLD definition
+    // and publish a view that bricks every later read) — and the old
+    // definition keeps serving
     spark.sql("""CALL g15vr.system.create_view(name => 'selfy',
       sql => 'SELECT k FROM g15vr.default.t')""")
-    spark.sql("""CALL g15vr.system.create_view(name => 'selfy',
-      sql => 'SELECT k FROM g15vr.default.selfy', replace => true)""")
-    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("SELECT * FROM g15vr.default.selfy").collect() }
-    assert(e2.getMessage.toUpperCase.contains("RECURSIVE"), e2.getMessage)
+    val e2 = intercept[Throwable] {
+      spark.sql("""CALL g15vr.system.create_view(name => 'selfy',
+        sql => 'SELECT k FROM g15vr.default.selfy', replace => true)""") }
+    def m2(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + m2(t.getCause)
+    assert(m2(e2).contains("references the view itself"), m2(e2))
+    assert(spark.sql("SELECT count(*) FROM g15vr.default.selfy")
+      .head().getLong(0) == 5L, "the old definition survives")
+    // the unqualified self-reference form refuses identically
+    val e3 = intercept[Throwable] {
+      spark.sql("""CALL g15vr.system.create_view(name => 'selfy',
+        sql => 'SELECT k FROM selfy', replace => true)""") }
+    assert(m2(e3).contains("references the view itself"), m2(e3))
     ManifestTable.destroy(root)
   }
 
