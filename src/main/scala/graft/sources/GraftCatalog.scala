@@ -760,7 +760,7 @@ private[sources] object GraftProcedures {
   val names: Array[String] =
     Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire",
       "branch", "fastforward", "drop_branch", "rewrite_dvs",
-      "create_view", "drop_view")
+      "price_dvs", "create_view", "drop_view")
 
   def load(name: String, root: String,
       catalogName: String = "graft"): Option[UnboundProcedure] =
@@ -807,6 +807,8 @@ private[sources] object GraftProcedures {
       case "drop_branch" => "abandon a branch and its local files"
       case "rewrite_dvs" => "consolidate accumulated deletion-vector " +
         "markers (one key set per file per column) without rewriting data"
+      case "price_dvs" => "retro-price uncounted keyed deletion-vector " +
+        "markers so COUNT(*)/history/LIMIT serve from metadata again"
       case "create_view" => "persist a named SQL view (validated by " +
         "analysis now; read it as SELECT ... FROM <catalog>.<ns>.<name> " +
         "under graft.GraftExtensions)"
@@ -815,7 +817,7 @@ private[sources] object GraftProcedures {
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = procName match {
-      case "rebucket" | "rewrite_dvs" => Array(
+      case "rebucket" | "rewrite_dvs" | "price_dvs" => Array(
         ProcedureParameter.in("table", StringType).build())
       case "optimize" => Array(
         ProcedureParameter.in("table", StringType).build(),
@@ -859,6 +861,7 @@ private[sources] object GraftProcedures {
       val v = procName match {
         case "rebucket" => ManifestTable.rebucket(s, dir)
         case "rewrite_dvs" => ManifestTable.consolidateDvs(s, dir)
+        case "price_dvs" => ManifestTable.priceDvs(s, dir)
         case "optimize" =>
           val prev = ManifestTable.currentVersion(dir)
           val entries = ManifestTable.listLines(dir, prev)

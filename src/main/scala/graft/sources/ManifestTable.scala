@@ -1873,6 +1873,78 @@ object ManifestTable {
     throw new IllegalStateException(s"MOR delete lost $maxRetries races in $dir")
   }
 
+  /** RETRO-PRICE uncounted keyed markers (round 15): tables whose `#dv`
+    * markers predate delete-time count recording decline the metadata
+    * COUNT(*)/history/LIMIT tiers forever — this maintenance op buys
+    * them back without compaction. One pass over the targeted files
+    * (all markers applied) measures each target's CURRENT live count;
+    * the per-target doom remainder (recorded rows − live − already-
+    * counted dooms) rides on the FIRST uncounted marker targeting it
+    * and the rest carry explicit zeros — consumers only ever SUM counts
+    * across markers, so the attribution is free and the totals exact.
+    * Publishes as a content-preserving `#rewrite`. Refuses when a
+    * targeted file lacks a recorded row count (partial pricing would
+    * leave the tiers declined anyway) or the arithmetic goes negative
+    * (a damaged marker — refuse, never guess). Returns the new version
+    * (current when every marker is already counted). */
+  def priceDvs(s: SparkSession, dir: String, maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = currentVersion(dir)
+      require(v >= 0, s"no committed snapshot to price in $dir")
+      val dvs = dvEntries(dir, v)
+      val uncounted = dvs.filterNot(_.fullyCounted)
+      if (uncounted.isEmpty) return v // nothing to price: no-op
+      val entries = listLines(dir, v).map(parseEntry)
+      val rowsOf = entries.flatMap(e => e.rows.map(e.name -> _)).toMap
+      val targets = uncounted.flatMap(_.targets).distinct
+        .filter(t => entries.exists(_.name == t))
+      targets.foreach(t => require(rowsOf.contains(t),
+        s"price_dvs: $t lacks a recorded row count — cannot price"))
+      // one tagged pass, ALL markers applied → current live per target
+      val tag = "__graft_src_file"
+      val byBase = targets.map(t => DvKeyCache.baseName(t) -> t).toMap
+      val live = applyDvs(s, dir, targets, dvs, renames(dir, v),
+          tagCol = Some(tag))
+        .groupBy(col(tag)).count().collect()
+        .map(r => byBase(r.getString(0)) -> r.getLong(1)).toMap
+      val counted = doomedCountsOfCounted(dir, dvs)
+      val remainder = targets.map { t =>
+        val r = rowsOf(t) - live.getOrElse(t, 0L) - counted.getOrElse(t, 0L)
+        require(r >= 0, s"price_dvs: negative doom remainder for $t " +
+          s"(rows=${rowsOf(t)} live=${live.getOrElse(t, 0L)} " +
+          s"counted=${counted.getOrElse(t, 0L)}) — damaged marker state")
+        t -> r
+      }.toMap
+      val firstFor = targets.map(t =>
+        t -> uncounted.find(_.targets(t)).get).toMap
+      val newDvLines = dvs.map { m =>
+        if (m.fullyCounted) encodeDv(m)
+        else encodeDv(m.copy(counts = m.targets.map(t =>
+          t -> (if (entries.exists(_.name == t) &&
+              (firstFor.get(t) contains m)) remainder(t) else 0L)).toMap))
+      }
+      val body = listLines(dir, v) ++ newDvLines ++ renameLines(dir, v) ++
+        carriedMeta(dir, v)
+      if (commitRewrite(dir, body, v)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"price_dvs lost $maxRetries commit races in $dir")
+  }
+
+  /** Per-target doomed counts from COUNTED markers only (keyed counts +
+    * positional bitmaps) — the already-priced part of the arithmetic
+    * [[priceDvs]] subtracts. */
+  private def doomedCountsOfCounted(dir: String,
+      dvs: Seq[DvEntry]): Map[String, Long] = {
+    val pos = DvKeyCache.doomedPosCounts(dir, dvs)
+    val k = dvs.filter(m => m.col != DvKeyCache.PosCol && m.fullyCounted)
+      .flatMap(_.counts.toSeq).groupMapReduce(_._1)(_._2)(_ + _)
+    (pos.keySet ++ k.keySet).iterator
+      .map(t => t -> (pos.getOrElse(t, 0L) + k.getOrElse(t, 0L))).toMap
+  }
+
   /** DV MAINTENANCE — consolidate accumulated `#dv` markers without
     * touching any data file: afterwards every target file is referenced
     * by at most ONE marker per key column, so a scan of a hot MOR table

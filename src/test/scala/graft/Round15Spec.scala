@@ -294,6 +294,53 @@ class Round15Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("price_dvs retro-prices pre-round-15 uncounted keyed markers") {
+    val root = freshDir("prc")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g15pr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15pr.root", root)
+    spark.sql("""CREATE TABLE g15pr.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g15pr.default.t
+      SELECT /*+ REPARTITION(2) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 100)""")
+    spark.sql("DELETE FROM g15pr.default.t WHERE k IN (1, 2, 3)")
+    spark.sql("DELETE FROM g15pr.default.t WHERE k IN (3, 50)")
+    // simulate a pre-round-15 table: strip the counts leg from the
+    // committed #dv lines (exactly the old wire format)
+    val v = ManifestTable.currentVersion(dir)
+    val mf = java.nio.file.Paths.get(dir, f"manifest-v$v%08d.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .split('\n').map { l =>
+        if (l.startsWith("#dv\t")) l.split('\t').take(4).mkString("\t")
+        else l
+      }.mkString("\n")
+    java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
+    assert(ManifestTable.dvEntries(dir, v).exists(!_.fullyCounted))
+    // uncounted markers decline the metadata COUNT honestly …
+    val cnt0 = spark.sql("SELECT count(*) FROM g15pr.default.t")
+    assert(!cnt0.queryExecution.executedPlan.toString.contains("metadata agg"))
+    assert(cnt0.head().getLong(0) == 96L)
+    // … price_dvs measures the doom remainders in one pass …
+    spark.sql("CALL g15pr.system.price_dvs(table => 't')")
+    assert(ManifestTable.dvEntries(dir, ManifestTable.currentVersion(dir))
+      .forall(_.fullyCounted), "every marker must be priced")
+    // … and the metadata tiers are re-armed, exactly
+    val cnt1 = spark.sql("SELECT count(*) FROM g15pr.default.t")
+    assert(cnt1.queryExecution.executedPlan.toString.contains("metadata agg"),
+      s"priced markers must re-arm the COUNT pushdown:\n" +
+        cnt1.queryExecution.executedPlan)
+    assert(cnt1.head().getLong(0) == 96L)
+    val hist = ManifestTable.history(spark, dir).orderBy("version").collect()
+    assert(!hist.last.isNullAt(3) && hist.last.getLong(3) == 96L)
+    // idempotent: a second call is a no-op commit
+    val vAfter = ManifestTable.currentVersion(dir)
+    spark.sql("CALL g15pr.system.price_dvs(table => 't')")
+    assert(ManifestTable.currentVersion(dir) == vAfter)
+    ManifestTable.destroy(root)
+  }
+
   test("persistent views: create, read through, survive a fresh catalog") {
     val root = freshDir("vw")
     spark.conf.set("spark.sql.catalog.g15vw",
