@@ -638,10 +638,14 @@ object ManifestTable {
     * CAS'd commit, then retire the branch. Refuses when main advanced
     * past the fork point with DATA or MUTATE commits (diverged);
     * content-preserving REWRITE commits (compaction) on main do not
-    * block — the branch was audited against the same content. Also
-    * refuses when the branch carries deletion-vector/rename markers
-    * (compact the branch first — the markers' absolute paths don't
-    * survive the move). Returns the new main version. */
+    * block — the branch was audited against the same content.
+    * Deletion-vector and rename markers PUBLISH with the branch (round
+    * 15 — write-audit-publish composes with row-level DML): marker
+    * key/positions files link into main like any branch-local data
+    * file, targets and recorded counts fold with the same rule as the
+    * data lines, positions `_file` basenames are move-invariant, and
+    * rename markers carry name pairs (no paths) verbatim. Returns the
+    * new main version. */
   def fastForward(dir: String, name: String): Int = {
     val bd = branchDir(dir, name)
     val bv = currentVersion(bd)
@@ -667,9 +671,6 @@ object ManifestTable {
         s"fast-forward of '$name' refused: markers appeared on $dir " +
           "since the fork — compact first")
     }
-    require(dvLines(bd, bv).isEmpty && renameLines(bd, bv).isEmpty,
-      s"fast-forward of '$name' refused: deletion-vector/rename markers " +
-        "on the branch — compact it first")
     val mainData = Paths.get(dir, "data").toAbsolutePath.toString
     // branch-local files LINK (copy on filesystems without hard links)
     // into main — the branch keeps its own reference until dropBranch, so
@@ -684,30 +685,44 @@ object ManifestTable {
       catch { case _: Exception => () } // best effort; files stay orphans
     }
     try {
+      // one fold for every name the publish carries: a reference back
+      // into main's own data dir becomes the relative name, a
+      // branch-LOCAL file links into main's data dir under its unique
+      // name, anything else stays an absolute reference
+      def fold(n: String): String =
+        if (n.startsWith(mainData + "/")) n.stripPrefix(mainData + "/")
+        else n
+      def linkLocal(n: String): Unit = if (!n.startsWith("/")) {
+        val src = Paths.get(bd, "data", n)
+        val dst = Paths.get(dir, "data", n)
+        Files.createDirectories(dst.getParent)
+        if (!Files.exists(dst)) {
+          try Files.createLink(dst, src)
+          catch { case _: UnsupportedOperationException =>
+            Files.copy(src, dst)
+          }
+          linked += dst
+        }
+      }
       val lines = listLines(bd, bv).map { l =>
         val parts = l.split('\t')
         val n = parts.head
-        if (n.startsWith("/")) {
-          // a clone reference back into main's own data dir folds to the
-          // relative name; anything else stays an absolute reference
-          if (n.startsWith(mainData + "/"))
-            (n.stripPrefix(mainData + "/") +: parts.tail).mkString("\t")
-          else l
-        } else {
-          // branch-local file (staged by branch commits): link it into
-          // main's data dir under its unique name
-          val src = Paths.get(bd, "data", n)
-          val dst = Paths.get(dir, "data", n)
-          Files.createDirectories(dst.getParent)
-          if (!Files.exists(dst)) {
-            try Files.createLink(dst, src)
-            catch { case _: UnsupportedOperationException =>
-              Files.copy(src, dst)
-            }
-            linked += dst
-          }
-          l
-        }
+        linkLocal(n)
+        (fold(n) +: parts.tail).mkString("\t")
+      }
+      // DELETION-VECTOR markers publish with the branch (round 15 —
+      // WAP composes with row-level DML): the staged key/positions
+      // parquet links like any branch-local file, and the marker's
+      // targets + recorded counts fold exactly as the data lines do, so
+      // they keep matching manifest names on main. Positions `_file`
+      // values are basenames (invariant under the move) and keyed
+      // parquets hold values, never paths — nothing inside a marker
+      // file needs rewriting. RENAME markers carry name pairs, no
+      // paths: verbatim.
+      val dvFolded = dvEntries(bd, bv).map { e =>
+        linkLocal(e.file)
+        encodeDv(DvEntry(fold(e.file), e.col, e.targets.map(fold),
+          e.counts.map { case (t, c) => fold(t) -> c }))
       }
       // the branch's evolved metadata (schema changes, properties, tags)
       // publishes with it — minus its private fork-point marker
@@ -730,7 +745,8 @@ object ManifestTable {
             unlink(); refuseDiverged()
           }
         }
-        if (commitMutate(dir, lines ++ meta, head)) committed = head + 1
+        if (commitMutate(dir, lines ++ dvFolded ++
+            renameLines(bd, bv) ++ meta, head)) committed = head + 1
         else {
           attempt += 1
           if (attempt >= 10) { unlink(); refuseDiverged() }

@@ -294,6 +294,54 @@ class Round15Spec extends AnyFunSuite {
     ManifestTable.destroy(root)
   }
 
+  test("branch publish carries DV and rename markers: WAP with DML") {
+    val root = freshDir("wap")
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.catalog.g15wp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15wp.root", root)
+    spark.sql("""CREATE TABLE g15wp.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g15wp.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE)
+      FROM range(0, 20)""")
+    spark.sql("CALL g15wp.system.branch(table => 't', name => 'wap')")
+    // the audited changes: a positional DELETE (zero rewrites — the
+    // shape a GDPR erasure audit actually stages), an UPDATE, an
+    // append, and a column rename — all on the branch
+    spark.sql("DELETE FROM g15wp.default.`t@wap` WHERE k < 3")
+    spark.sql("UPDATE g15wp.default.`t@wap` SET v = -1.0 WHERE k = 10")
+    spark.sql("""INSERT INTO g15wp.default.`t@wap`
+      SELECT id, CAST(id AS DOUBLE) FROM range(100, 103)""")
+    spark.sql("ALTER TABLE g15wp.default.`t@wap` RENAME COLUMN v TO price")
+    val want = ((3L until 20L).map(k =>
+      k -> (if (k == 10) -1.0 else k.toDouble)) ++
+      (100L until 103L).map(k => k -> k.toDouble)).toMap
+    assert(spark.sql("SELECT k, price FROM g15wp.default.`t@wap`")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap == want)
+    // main is untouched until the audit passes …
+    assert(spark.sql("SELECT count(*) FROM g15wp.default.t")
+      .head().getLong(0) == 20L)
+    // … then the publish carries the markers — no compaction required
+    spark.sql("CALL g15wp.system.fastforward(table => 't', name => 'wap')")
+    val v = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.dvEntries(dir, v).nonEmpty,
+      "the published snapshot carries the branch's DV markers")
+    assert(ManifestTable.dvEntries(dir, v).flatMap(_.targets)
+      .forall(t => ManifestTable.listFiles(dir, v).contains(t)),
+      "published marker targets fold to main's manifest names")
+    assert(spark.sql("SELECT k, price FROM g15wp.default.t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap == want,
+      "main serves exactly the audited content")
+    // the metadata COUNT tier survives the publish (exact ordinals)
+    val cnt = spark.sql("SELECT count(*) FROM g15wp.default.t")
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadata agg"),
+      s"published positional markers keep COUNT(*) metadata-served:\n" +
+        cnt.queryExecution.executedPlan)
+    assert(cnt.head().getLong(0) == want.size.toLong)
+    ManifestTable.destroy(root)
+  }
+
   test("price_dvs retro-prices pre-round-15 uncounted keyed markers") {
     val root = freshDir("prc")
     val dir = s"$root/t"
