@@ -1625,13 +1625,20 @@ object ManifestTable {
       : Option[Map[String, Long]] = {
     val keyed = dvs.filterNot(_.col == DvKeyCache.PosCol)
     if (keyed.exists(m => !m.targets.forall(m.counts.contains))) None
-    else {
-      val pos = DvKeyCache.doomedPosCounts(dir, dvs)
-      val k = keyed.flatMap(_.counts.toSeq)
-        .groupMapReduce(_._1)(_._2)(_ + _)
-      Some((pos.keySet ++ k.keySet).iterator
-        .map(t => t -> (pos.getOrElse(t, 0L) + k.getOrElse(t, 0L))).toMap)
-    }
+    else Some(doomedCountsOfCounted(dir, dvs))
+  }
+
+  /** Per-target doomed counts from COUNTED markers only (keyed recorded
+    * counts + positional bitmaps) — the one merge definition
+    * [[doomedCountsByTarget]] gates behind its all-counted check and
+    * [[priceDvs]] subtracts as the already-priced part. */
+  private def doomedCountsOfCounted(dir: String,
+      dvs: Seq[DvEntry]): Map[String, Long] = {
+    val pos = DvKeyCache.doomedPosCounts(dir, dvs)
+    val k = dvs.filter(m => m.col != DvKeyCache.PosCol && m.fullyCounted)
+      .flatMap(_.counts.toSeq).groupMapReduce(_._1)(_._2)(_ + _)
+    (pos.keySet ++ k.keySet).iterator
+      .map(t => t -> (pos.getOrElse(t, 0L) + k.getOrElse(t, 0L))).toMap
   }
 
   /** DV lines carried forward by a commit that keeps only `surviving` data
@@ -1912,18 +1919,22 @@ object ManifestTable {
       val uncounted = dvs.filterNot(_.fullyCounted)
       if (uncounted.isEmpty) return v // nothing to price: no-op
       val entries = listLines(dir, v).map(parseEntry)
+      val listed = entries.iterator.map(_.name).toSet
       val rowsOf = entries.flatMap(e => e.rows.map(e.name -> _)).toMap
-      val targets = uncounted.flatMap(_.targets).distinct
-        .filter(t => entries.exists(_.name == t))
+      val targets = uncounted.flatMap(_.targets).distinct.filter(listed)
       targets.foreach(t => require(rowsOf.contains(t),
         s"price_dvs: $t lacks a recorded row count — cannot price"))
       // one tagged pass, ALL markers applied → current live per target
+      // (every still-listed target gone stale from the manifest would
+      // leave nothing to measure — all markers then price to zeros)
       val tag = "__graft_src_file"
       val byBase = targets.map(t => DvKeyCache.baseName(t) -> t).toMap
-      val live = applyDvs(s, dir, targets, dvs, renames(dir, v),
-          tagCol = Some(tag))
-        .groupBy(col(tag)).count().collect()
-        .map(r => byBase(r.getString(0)) -> r.getLong(1)).toMap
+      val live =
+        if (targets.isEmpty) Map.empty[String, Long]
+        else applyDvs(s, dir, targets, dvs, renames(dir, v),
+            tagCol = Some(tag))
+          .groupBy(col(tag)).count().collect()
+          .map(r => byBase(r.getString(0)) -> r.getLong(1)).toMap
       val counted = doomedCountsOfCounted(dir, dvs)
       val remainder = targets.map { t =>
         val r = rowsOf(t) - live.getOrElse(t, 0L) - counted.getOrElse(t, 0L)
@@ -1932,13 +1943,15 @@ object ManifestTable {
           s"counted=${counted.getOrElse(t, 0L)}) — damaged marker state")
         t -> r
       }.toMap
+      // firstFor only holds LISTED targets, so stale targets fall
+      // through to the zero branch below with no extra existence check
       val firstFor = targets.map(t =>
         t -> uncounted.find(_.targets(t)).get).toMap
       val newDvLines = dvs.map { m =>
         if (m.fullyCounted) encodeDv(m)
         else encodeDv(m.copy(counts = m.targets.map(t =>
-          t -> (if (entries.exists(_.name == t) &&
-              (firstFor.get(t) contains m)) remainder(t) else 0L)).toMap))
+          t -> (if (firstFor.get(t) contains m) remainder(t)
+                else 0L)).toMap))
       }
       val body = listLines(dir, v) ++ newDvLines ++ renameLines(dir, v) ++
         carriedMeta(dir, v)
@@ -1947,18 +1960,6 @@ object ManifestTable {
     }
     throw new IllegalStateException(
       s"price_dvs lost $maxRetries commit races in $dir")
-  }
-
-  /** Per-target doomed counts from COUNTED markers only (keyed counts +
-    * positional bitmaps) — the already-priced part of the arithmetic
-    * [[priceDvs]] subtracts. */
-  private def doomedCountsOfCounted(dir: String,
-      dvs: Seq[DvEntry]): Map[String, Long] = {
-    val pos = DvKeyCache.doomedPosCounts(dir, dvs)
-    val k = dvs.filter(m => m.col != DvKeyCache.PosCol && m.fullyCounted)
-      .flatMap(_.counts.toSeq).groupMapReduce(_._1)(_._2)(_ + _)
-    (pos.keySet ++ k.keySet).iterator
-      .map(t => t -> (pos.getOrElse(t, 0L) + k.getOrElse(t, 0L))).toMap
   }
 
   /** DV MAINTENANCE — consolidate accumulated `#dv` markers without
