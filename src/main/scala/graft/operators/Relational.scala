@@ -1577,6 +1577,44 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM graft_vw.default.big_orders""")
     }),
+    // WRITE-AUDIT-PUBLISH with ROW-LEVEL DML (round 15): a GDPR-style
+    // erasure stages on a branch as a positional DELETE (zero data-file
+    // rewrites), the audit runs on the branch, and the publish CARRIES
+    // the deletion-vector marker into main — no compaction anywhere.
+    // Possible because marker targets follow the manifest-name
+    // convention and positions key by move-invariant basenames, so the
+    // publish folds them exactly like data lines.
+    "q_wap_dml" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wapd_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_wd",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_wd.root", root)
+      s.sql("""CREATE TABLE graft_wd.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r15_wapd_src")
+      s.sql("INSERT INTO graft_wd.default.ord SELECT * FROM r15_wapd_src")
+      s.sql("CALL graft_wd.system.branch(table => 'ord', name => 'audit')")
+      s.sql("""DELETE FROM graft_wd.default.`ord@audit`
+        WHERE o_totalprice < 50000.0""")
+      s.sql("""INSERT INTO graft_wd.default.`ord@audit`
+        SELECT o_orderkey + 10000000, o_totalprice FROM r15_wapd_src
+        WHERE o_orderkey % 500 = 0""")
+      // main still serves the pre-audit content …
+      require(s.sql("SELECT count(*) FROM graft_wd.default.ord")
+        .head().getLong(0) ==
+        s.sql("SELECT count(*) FROM r15_wapd_src").head().getLong(0),
+        "branch DML must stay invisible to main until the publish")
+      // … until the audited snapshot publishes, marker and all
+      s.sql("CALL graft_wd.system.fastforward(table => 'ord', name => 'audit')")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        FROM graft_wd.default.ord""")
+    }),
     "q_sql_branch" -> ((s, d) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_brq_" +
         java.lang.ProcessHandle.current().pid()
@@ -2758,6 +2796,19 @@ object Relational {
         |       count(DISTINCT o_custkey) AS n_cust,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
+    // the published snapshot must equal the audited branch content:
+    // survivors of the erasure plus the branch's appended rows
+    "q_wap_dml" ->
+      """WITH pub AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_totalprice >= 50000.0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice FROM orders
+        |  WHERE o_orderkey % 500 = 0)
+        |SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM pub""".stripMargin,
     // the published branch line must equal the full content
     "q_sql_branch" ->
       """SELECT count(*) AS n,
