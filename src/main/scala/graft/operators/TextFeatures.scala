@@ -189,17 +189,119 @@ object TextFeatures {
     out
   }
 
+  /** Round-16 driver-gate graduation of q_doc_embed: re-emit the embedding
+    * stats as exact columns DuckDB recomputes for real (vec_id + the
+    * distinct-kept-term count straight from the tokenization the other
+    * TextFeatures oracles already restate) plus TRUE invariant flags —
+    * unit-L2-norm-or-empty and nnz bounded by the hashable vocabulary —
+    * replacing the two stats (nnz, comp_sum) whose exact values depend on
+    * murmur3 bucketing DuckDB cannot restate. A Normalizer/IDF/HashingTF
+    * regression (wrong norm, wrong dimensionality, phantom buckets) flips a
+    * flag FALSE and breaks the hash. */
+  def docEmbedGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = keptTokens(s, dir)
+      .select($"doc_id".as("vec_id"),
+        size(array_distinct($"kept")).cast("long").as("n_kept_terms"))
+    docEmbedStats(s, dir).join(kept, Seq("vec_id"))
+      .select($"vec_id", $"dim", $"n_kept_terms",
+        (($"nnz" === 0 && $"l2_norm" === 0.0) ||
+          abs($"l2_norm" - 1.0) <= 1e-5).as("norm_ok"),
+        ($"nnz" <= least(lit(64), $"n_kept_terms")).as("nnz_ok"))
+  }
+
+  /** Exact sparse TF-IDF cosine top-k (no hashing): tf·ln((m+1)/(df+1))
+    * weights over the literal terms, cosine via a term-equality join — the
+    * fully SQL-expressible twin of [[docKnn]]'s hashed 64-dim ranking. Used
+    * by [[docKnnGate]] as the recall reference (Spark-internal: the float
+    * sums are not cross-engine bit-stable, so the flag — not the scores —
+    * is what the oracle hashes). */
+  private[graft] def tfidfExactKnn(s: SparkSession, dir: String, k: Int,
+      nQueries: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val tf = keptTokens(s, dir)
+      .select($"doc_id", explode($"kept").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val m = Tables.documents(s, dir).agg(count(lit(1)).as("m"))
+    val w = tf.join(df, "term").crossJoin(broadcast(m))
+      .select($"doc_id", $"term",
+        ($"tf" * log(($"m" + 1).cast("double") / ($"df" + 1).cast("double")))
+          .as("wt"))
+      .persist()
+    val nrm = w.groupBy($"doc_id").agg(sum($"wt" * $"wt").as("nrm"))
+    val qw = w.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"term", $"wt".as("qwt"))
+    val win = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"cand_id")
+    val out = w.join(broadcast(qw), Seq("term"))
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id".as("cand_id"))
+      .agg(sum($"qwt" * $"wt").as("dot"))
+      .join(nrm.select($"doc_id".as("query_id"), $"nrm".as("qn")), Seq("query_id"))
+      .join(nrm.select($"doc_id".as("cand_id"), $"nrm".as("cn")), Seq("cand_id"))
+      .select($"query_id", $"cand_id",
+        round($"dot" / sqrt($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(win))
+      .filter($"rank" <= k)
+      .localCheckpoint(true)
+    w.unpersist(false)
+    out
+  }
+
+  /** Round-16 driver-gate graduation of q_doc_knn — the bound-invariant
+    * pattern: exact anchors DuckDB recomputes (query-slice size and its
+    * total kept-token count, straight from the shared tokenization) plus a
+    * TRUE flag asserting the hashed-64-dim ANN ranking recalls the exact
+    * sparse TF-IDF top-k above the floor. The hashed ranking's only
+    * approximation is murmur3 bucket collisions; a pipeline regression
+    * (broken hashing, wrong IDF, dropped normalization) collapses the
+    * overlap and flips the flag. */
+  def docKnnGate(s: SparkSession, dir: String, k: Int = 3, nQueries: Int = 5,
+      floor: Double = 0.2): DataFrame = {
+    import s.implicits._
+    val ann = docKnn(s, dir, k, nQueries).select($"query_id", $"cand_id")
+    val exact = tfidfExactKnn(s, dir, k, nQueries)
+      .select($"query_id", $"cand_id")
+    val hits = ann.join(exact, Seq("query_id", "cand_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nex = exact.agg(count(lit(1)).as("n_exact"))
+    keptTokens(s, dir).filter($"doc_id" < nQueries)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(size($"kept")).cast("long").as("q_kept_tokens"))
+      .crossJoin(hits).crossJoin(nex)
+      .select($"n_queries", $"q_kept_tokens",
+        ($"n_hit".cast("double") / $"n_exact" >= floor).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ngram_counts" -> ((s, d) => ngramCounts(s, d)),
     "q_doc_freq" -> ((s, d) => docFreq(s, d)),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
-    "q_doc_embed" -> ((s, d) => docEmbedStats(s, d)),
-    "q_doc_knn" -> ((s, d) => docKnn(s, d)),
+    "q_doc_embed" -> ((s, d) => docEmbedGate(s, d)),
+    "q_doc_knn" -> ((s, d) => docKnnGate(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "q_ngram_counts" -> ngramCountsSql,
     "q_doc_freq" -> docFreqSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
+    "q_doc_embed" ->
+      s"""WITH f AS (SELECT doc_id,
+         |                  list_distinct(list_filter($keptSql,
+         |                                            t -> len(t) >= 1)) AS kd
+         |           FROM documents)
+         |SELECT doc_id AS vec_id, CAST(64 AS INTEGER) AS dim,
+         |       CAST(len(kd) AS BIGINT) AS n_kept_terms,
+         |       TRUE AS norm_ok, TRUE AS nnz_ok
+         |FROM f""".stripMargin,
+    "q_doc_knn" ->
+      s"""WITH f AS (SELECT doc_id,
+         |                  list_filter($keptSql, t -> len(t) >= 1) AS k
+         |           FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(len(k)) AS BIGINT) AS q_kept_tokens,
+         |       TRUE AS recall_ok
+         |FROM f WHERE doc_id < 5""".stripMargin,
   )
 }

@@ -79,7 +79,54 @@ object TokenizerOps {
     * round-1-equals-`bpePairs`-top-1 invariant. */
   def bpeTrain(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
     import s.implicits._
-    trainMergesImpl(s, dir, rounds).toDF("round", "left", "right", "n_occ")
+    val rules = trainMergesImpl(s, dir, rounds)
+    lastTrainedRules = Some(rules)
+    rules.toDF("round", "left", "right", "n_occ")
+  }
+
+  /** The rule table learned by the most recent [[bpeTrain]] run — feeds the
+    * dynamically generated [[bpeTrainOracleSql]] (same pattern as
+    * [[lastTrainedMerges]]: `oracle` is a def read AFTER Verify runs the
+    * queries). */
+  @volatile private var lastTrainedRules: Option[Seq[(Int, String, String, Long)]] = None
+
+  /** FULL DuckDB restatement of the greedy trainer (round-16 graduation of
+    * the last rows-only tokenizer query): for each round i, DuckDB rewrites
+    * every word with the PREFIX rules 1..i-1 — the separator-framed replace
+    * cascade [[perTokenCountSql]] proved equivalent to the trainer's
+    * left-to-right fold — splits the frame back into symbols, recounts
+    * adjacent pairs weighted by word frequency, and takes the argmax by
+    * (count desc, left, right). The learned rules enter only as REWRITE
+    * literals; each round's argmax is recomputed independently, so a trainer
+    * that picked any wrong pair (or miscounted) at any round diverges from
+    * the oracle and fails the hash. */
+  private def bpeTrainOracleSql(rules: Seq[(Int, String, String, Long)]): String = {
+    val sep = "chr(1)"
+    def framedFor(prefix: Seq[(String, String)]): String = {
+      val base = s"concat($sep, $sep, regexp_replace(w, '(.)', '\\1' || $sep || $sep, 'g'))"
+      prefix.foldLeft(base) { case (acc, (l, r)) =>
+        s"replace($acc, $sep || '${duckEsc(l)}' || $sep || $sep || '${duckEsc(r)}' || $sep, " +
+          s"$sep || '${duckEsc(l)}${duckEsc(r)}' || $sep)"
+      }
+    }
+    val blocks = rules.map { case (round, _, _, _) =>
+      val prefix = rules.filter(_._1 < round).map(t => (t._2, t._3))
+      s"""(SELECT CAST($round AS INTEGER) AS round, p.l AS "left", p.r AS "right",
+         |        CAST(sum(n) AS BIGINT) AS n_occ
+         | FROM (SELECT unnest([struct_pack(l := syms[j], r := syms[j + 1])
+         |                      for j in range(1, len(syms))]) AS p, n
+         |       FROM (SELECT list_filter(string_split(${framedFor(prefix)},
+         |                                             $sep || $sep),
+         |                                x -> len(x) > 0) AS syms, n
+         |             FROM wf) s)
+         | GROUP BY p.l, p.r ORDER BY sum(n) DESC, "left", "right" LIMIT 1)""".stripMargin
+    }
+    s"""WITH wf AS (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY w)
+       |${blocks.mkString("\n UNION ALL\n")}""".stripMargin
   }
 
   /** The trainer's core, returning the learned rules as a driver-side Seq
@@ -299,5 +346,6 @@ object TokenizerOps {
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_tokenizer_fertility" -> fertilitySql,
-  ) ++ lastTrainedMerges.map(m => "q_bpe_train_encode" -> encodeSqlFor(m))
+  ) ++ lastTrainedMerges.map(m => "q_bpe_train_encode" -> encodeSqlFor(m)) ++
+    lastTrainedRules.map(r => "q_bpe_train" -> bpeTrainOracleSql(r))
 }
