@@ -176,11 +176,21 @@ object CurationOps {
       .agg(sum($"vote").as("score"), count(lit(1)).as("n_tokens"))
     val u = (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5d) / 4294967296.0d
-    val pri = log(u) *
-      exp(-($"score".cast("double") / $"n_tokens".cast("double")))
+    // the Efraimidis–Spirakis priority is transcendental (ln·exp), so it is
+    // QUANTIZED to a 2^-20 grid before ANY ordering: every downstream
+    // comparison — bucket assignment, within-bucket order, the oracle's
+    // global cumsum order — then compares exact integers, and a 1-ulp libm
+    // difference between engines can only matter in the measure-zero case
+    // where the double lands within an ulp of a grid line (vs: any pair of
+    // near-equal priorities or any bucket boundary before). |pri| ≤ ~61
+    // (|ln u| ≤ 22.2, weight ≤ e), so pri·2^20 < 2^27 — floor and the /2^20
+    // bucket division below are exact double arithmetic in both engines.
+    val pri = floor(log(u) *
+      exp(-($"score".cast("double") / $"n_tokens".cast("double"))) *
+      1048576.0).cast("long")
     val budget = lit(400L) + substring($"source", 4, 9).cast("long") * 30L
     val ranked = scores.withColumn("pri", pri)
-      .withColumn("bkt", floor(-$"pri").cast("int"))
+      .withColumn("bkt", floor((-$"pri").cast("double") / 1048576.0).cast("int"))
     val bucketW = Window.partitionBy($"source").orderBy($"bkt")
     val cum = ranked.groupBy($"source", $"bkt")
       .agg(sum($"n_tokens").as("btok"))
@@ -234,9 +244,10 @@ object CurationOps {
       |  WHERE doc_id % 97 <> 0 GROUP BY doc_id, source),
       |pri AS (
       |  SELECT source, score, n_tokens,
-      |         ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
-      |            / 4294967296.0)
-      |           * exp(-(CAST(score AS DOUBLE) / n_tokens)) AS pri,
+      |         CAST(floor(ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+      |                       / 4294967296.0)
+      |                    * exp(-(CAST(score AS DOUBLE) / n_tokens))
+      |                    * 1048576.0) AS BIGINT) AS pri,
       |         doc_id
       |  FROM scores),
       |sel AS (

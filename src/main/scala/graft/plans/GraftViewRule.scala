@@ -50,10 +50,17 @@ class GraftViewRule(session: org.apache.spark.sql.SparkSession)
             // batch, which already ran before this spliced subtree
             // existed) — ONE definition shared with create_view's
             // validation, so what validates is what resolves
+            // the catalog decisions were made (and persisted) at CREATE
+            // time; replaying them verbatim keeps a cross-catalog
+            // reference cross-catalog even when the reading session lacks
+            // that catalog's config (it then fails loudly instead of
+            // silently re-qualifying into the view's own catalog). The
+            // reader-conf probe only serves hand-written documents.
             val substituted = graft.sources.GraftViews.qualify(
               parsed, v.currentCatalog, v.currentNamespace,
-              n => n == "spark_catalog" ||
-                session.conf.getOption(s"spark.sql.catalog.$n").isDefined)
+              graft.sources.GraftViews.isCatalogFor(v.properties,
+                n => n == "spark_catalog" ||
+                  session.conf.getOption(s"spark.sql.catalog.$n").isDefined))
             if (graft.sources.GraftViews.referencesSelf(substituted,
                 v.currentCatalog, v.currentNamespace, name))
               throw new org.apache.spark.sql.AnalysisException(

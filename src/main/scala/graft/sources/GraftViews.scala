@@ -87,8 +87,18 @@ private[graft] object GraftViews {
           StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
       else {
-        Files.createLink(pathOf(root, namespace, name), tmp)
-        Files.deleteIfExists(tmp)
+        try {
+          Files.createLink(pathOf(root, namespace, name), tmp)
+          Files.deleteIfExists(tmp)
+        } catch { case _: UnsupportedOperationException =>
+          // no hard links on this filesystem (fastForward handles the same
+          // case with a copy): fall back to an existence-checked move —
+          // Files.move without REPLACE_EXISTING throws
+          // FileAlreadyExistsException on a taken name. Weaker atomicity
+          // (check+rename, not link(2)): a create-vs-create race can in
+          // principle lose one error, never a document.
+          Files.move(tmp, pathOf(root, namespace, name))
+        }
       }
     } catch { case e: Throwable =>
       Files.deleteIfExists(tmp)
@@ -100,25 +110,44 @@ private[graft] object GraftViews {
     Files.deleteIfExists(pathOf(root, namespace, name))
 
   /** Delete leftover validation probes for `name` (crash residue —
-    * dot-prefixed, so never listed, but no reason to keep the bytes). */
-  def sweepProbes(root: String, namespace: Seq[String], name: String): Unit = {
+    * dot-prefixed, so never listed, but no reason to keep the bytes).
+    * Only probes older than `staleMs` are swept: a CONCURRENT session's
+    * in-flight probe for the same view name is seconds old and must
+    * survive, or its CREATE OR REPLACE fails spuriously with a
+    * missing-probe resolution error — crash residue, the actual target,
+    * is arbitrarily old. */
+  def sweepProbes(root: String, namespace: Seq[String], name: String,
+      staleMs: Long = 10 * 60 * 1000L): Unit = {
     val dir = viewsDir(root, namespace)
     if (!Files.isDirectory(dir)) return
+    val cutoff = System.currentTimeMillis() - staleMs
     val s = Files.list(dir)
     try s.iterator().asScala
       .filter(_.getFileName.toString.startsWith(s".vchk-$name-"))
+      .filter { p =>
+        try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: java.io.IOException => false } // already gone
+      }
       .foreach(p => Files.deleteIfExists(p))
     finally s.close()
   }
 
   /** Hard-link an existing view document under a new name — atomic, and
     * refuses (FileAlreadyExistsException) when the target exists. The
-    * rename primitive: link then unlink the old name. */
+    * rename primitive: link then unlink the old name. On filesystems
+    * without hard-link support, falls back to an existence-checked COPY
+    * (CREATE_NEW write — still refuses a taken name; weaker atomicity:
+    * a concurrent create can race the check). */
   def link(root: String, fromNs: Seq[String], fromName: String,
       toNs: Seq[String], toName: String): Unit = {
     Files.createDirectories(viewsDir(root, toNs))
-    Files.createLink(pathOf(root, toNs, toName),
+    try Files.createLink(pathOf(root, toNs, toName),
       pathOf(root, fromNs, fromName))
+    catch { case _: UnsupportedOperationException =>
+      Files.write(pathOf(root, toNs, toName),
+        Files.readAllBytes(pathOf(root, fromNs, fromName)),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    }
   }
 
   def list(root: String, namespace: Seq[String]): Seq[String] = {
@@ -134,6 +163,46 @@ private[graft] object GraftViews {
       .toSeq.sorted
     finally s.close()
   }
+
+  /** Property key recording which 2-part relation heads in the body
+    * resolved as CATALOGS under the creating session's conf. Resolution
+    * replays these stored decisions verbatim instead of re-probing the
+    * READER's conf — under a reader that lacks the creator's catalog
+    * config, re-probing would silently rewrite a cross-catalog reference
+    * `other_cat.t` into `<cat>.other_cat.t` and, if such a table exists,
+    * serve wrong data instead of a catalog-not-found error. Key presence
+    * (even with an empty value) marks the decision set authoritative;
+    * only hand-written documents lack it and fall back to the reader
+    * conf. */
+  val CrossCatalogHeadsProp = "graft.cross.catalog.heads"
+
+  /** The distinct 2-part relation heads (post-CTE-substitution, so CTE
+    * names never shadow) that `isCatalog` accepts — the creation-time
+    * qualification decisions [[CrossCatalogHeadsProp]] persists. */
+  def crossCatalogHeads(parsed: org.apache.spark.sql.catalyst.plans
+        .logical.LogicalPlan,
+      isCatalog: String => Boolean): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val substituted =
+      org.apache.spark.sql.catalyst.analysis.CTESubstitution.apply(parsed)
+    substituted.collectWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
+          isCatalog(r.multipartIdentifier.head) =>
+        r.multipartIdentifier.head
+    }.distinct.sorted
+  }
+
+  /** The `isCatalog` predicate a stored view resolves under: the
+    * CREATION-time decisions when the document carries them, else the
+    * reader-conf probe (legacy/hand-written documents only). */
+  def isCatalogFor(props: Map[String, String],
+      readerConf: String => Boolean): String => Boolean =
+    props.get(CrossCatalogHeadsProp) match {
+      case Some(hs) =>
+        val set = hs.split(",").filter(_.nonEmpty).toSet
+        n => set.contains(n)
+      case None => readerConf
+    }
 
   /** Qualify a parsed view body into its CREATION context. CTE
     * references substitute away FIRST (so any remaining 1-part relation
