@@ -1615,6 +1615,46 @@ object Relational {
         min(o_orderkey) AS mn, max(o_orderkey) AS mx
         FROM graft_wd.default.ord""")
     }),
+    // THREE-WAY BRANCH MERGE (round 16) — past fastforward's
+    // diverged-main refusal: main advances with fresh ingest WHILE the
+    // branch runs a GDPR-style positional erasure plus corrections, then
+    // `CALL system.merge_branch` replays the branch's file-level delta
+    // onto main's head in one CAS'd mutate commit. Safe exactly because
+    // the two sides touched disjoint files: main only ADDED, the
+    // branch's deletion vectors target only fork files — main's new rows
+    // keep even their sub-threshold prices (the erasure was audited
+    // against the fork snapshot, not against data it never saw). A
+    // genuine overlap refuses with the conflict list (spec-pinned).
+    "q_branch_merge" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_bmrg_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_bm",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_bm.root", root)
+      s.sql("""CREATE TABLE graft_bm.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r16_bmrg_src")
+      s.sql("INSERT INTO graft_bm.default.ord SELECT * FROM r16_bmrg_src")
+      s.sql("CALL graft_bm.system.branch(table => 'ord', name => 'fix')")
+      // main ADVANCES past the fork point (fresh ingest) …
+      s.sql("""INSERT INTO graft_bm.default.ord
+        SELECT o_orderkey + 20000000, o_totalprice FROM r16_bmrg_src
+        WHERE o_orderkey % 700 = 0""")
+      // … while the branch erases and corrects against the fork snapshot
+      s.sql("""DELETE FROM graft_bm.default.`ord@fix`
+        WHERE o_totalprice < 50000.0""")
+      s.sql("""INSERT INTO graft_bm.default.`ord@fix`
+        SELECT o_orderkey + 10000000, o_totalprice FROM r16_bmrg_src
+        WHERE o_orderkey % 500 = 0""")
+      s.sql("CALL graft_bm.system.merge_branch(table => 'ord', name => 'fix')")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        FROM graft_bm.default.ord""")
+    }),
     "q_sql_branch" -> ((s, d) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_brq_" +
         java.lang.ProcessHandle.current().pid()
@@ -2809,6 +2849,24 @@ object Relational {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       min(o_orderkey) AS mn, max(o_orderkey) AS mx
         |FROM pub""".stripMargin,
+    // the merged snapshot = fork survivors of the branch erasure, plus
+    // the branch's corrections, plus main's post-fork ingest (whose rows
+    // keep sub-threshold prices — the branch's DVs target only fork
+    // files)
+    "q_branch_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_totalprice >= 50000.0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice FROM orders
+        |  WHERE o_orderkey % 500 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_totalprice FROM orders
+        |  WHERE o_orderkey % 700 = 0)
+        |SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM merged""".stripMargin,
     // the published branch line must equal the full content
     "q_sql_branch" ->
       """SELECT count(*) AS n,

@@ -119,9 +119,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (!namespaceExists(ident.namespace()))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(ident.namespace())
+    // persist the CREATION-time catalog decisions for 2-part heads
+    // (resolution replays them verbatim — see CrossCatalogHeadsProp)
+    val heads = try {
+      val sess = org.apache.spark.sql.SparkSession.active
+      GraftViews.crossCatalogHeads(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parsePlan(info.sql()),
+        n => n == "spark_catalog" ||
+          sess.conf.getOption(s"spark.sql.catalog.$n").isDefined)
+    } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+      Seq.empty[String]
+    }
     val sv = GraftViews.StoredView(info.sql(), info.schema(),
       info.currentCatalog(), info.currentNamespace().toSeq,
-      info.properties().asScala.toMap)
+      info.properties().asScala.toMap +
+        (GraftViews.CrossCatalogHeadsProp -> heads.mkString(",")))
     try GraftViews.write(root, ident.namespace().toSeq, ident.name(), sv,
       replace = false)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -759,7 +772,7 @@ private[sources] object GraftProcedures {
 
   val names: Array[String] =
     Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire",
-      "branch", "fastforward", "drop_branch", "rewrite_dvs",
+      "branch", "fastforward", "merge_branch", "drop_branch", "rewrite_dvs",
       "price_dvs", "create_view", "drop_view")
 
   def load(name: String, root: String,
@@ -804,6 +817,9 @@ private[sources] object GraftProcedures {
         "address it as `t@<name>`, publish with fastforward"
       case "fastforward" => "publish a branch: fast-forward main to the " +
         "branch head (refuses if main advanced past the fork point)"
+      case "merge_branch" => "three-way merge a DIVERGED branch into " +
+        "main: replays the branch's file-level delta onto main's head; " +
+        "refuses with the conflict list when both sides touched a file"
       case "drop_branch" => "abandon a branch and its local files"
       case "rewrite_dvs" => "consolidate accumulated deletion-vector " +
         "markers (one key set per file per column) without rewriting data"
@@ -843,7 +859,7 @@ private[sources] object GraftProcedures {
           org.apache.spark.sql.types.LongType).build(),
         ProcedureParameter.in("keep_last", IntegerType)
           .defaultValue("1").build())
-      case "branch" | "fastforward" | "drop_branch" => Array(
+      case "branch" | "fastforward" | "merge_branch" | "drop_branch" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("name", StringType).build())
       case "create_view" => Array(
@@ -923,6 +939,8 @@ private[sources] object GraftProcedures {
           ManifestTable.createBranch(dir, input.getUTF8String(1).toString)
         case "fastforward" =>
           ManifestTable.fastForward(dir, input.getUTF8String(1).toString)
+        case "merge_branch" =>
+          ManifestTable.mergeBranch(dir, input.getUTF8String(1).toString)
         case "drop_branch" =>
           ManifestTable.dropBranch(dir, input.getUTF8String(1).toString)
           ManifestTable.currentVersion(dir)
@@ -945,14 +963,18 @@ private[sources] object GraftProcedures {
           // with the recursive-view error. One qualification definition
           // shared with the resolution rule, so what is checked here is
           // exactly what resolves there.
-          val qualified = GraftViews.qualify(
-            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-              .parsePlan(sql),
-            catalogName, ns,
+          val isCat: String => Boolean =
             n => n == "spark_catalog" ||
-              s.conf.getOption(s"spark.sql.catalog.$n").isDefined)
+              s.conf.getOption(s"spark.sql.catalog.$n").isDefined
+          val parsedBody = org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parsePlan(sql)
+          val qualified = GraftViews.qualify(parsedBody, catalogName, ns, isCat)
           require(!GraftViews.referencesSelf(qualified, catalogName, ns, nm),
             s"create_view('$full'): the body references the view itself")
+          // creation-time catalog decisions ride the document (probe AND
+          // final) so resolution never re-probes a reader's conf
+          val viewProps = Map(GraftViews.CrossCatalogHeadsProp ->
+            GraftViews.crossCatalogHeads(parsedBody, isCat).mkString(","))
           // validate by ANALYZING THROUGH THE RESOLUTION RULE right now
           // — a view that cannot resolve refuses at creation, never at
           // some later read, and unqualified body relations get the
@@ -968,15 +990,23 @@ private[sources] object GraftProcedures {
             java.util.UUID.randomUUID().toString.take(6)
           GraftViews.write(root, ns, probe,
             GraftViews.StoredView(sql, new StructType(), catalogName, ns,
-              Map.empty), replace = false)
+              viewProps), replace = false)
           val schema =
             try s.sql(("SELECT * FROM " +
               (catalogName +: ns :+ probe).map(p => s"`$p`")
                 .mkString("."))).schema
             finally GraftViews.drop(root, ns, probe)
-          GraftViews.write(root, ns, nm,
-            GraftViews.StoredView(sql, schema, catalogName, ns, Map.empty),
+          // same error shape as the SPI createView for a taken name —
+          // the raw FileAlreadyExistsException (a filesystem path) is
+          // neither consistent nor actionable
+          try GraftViews.write(root, ns, nm,
+            GraftViews.StoredView(sql, schema, catalogName, ns, viewProps),
             replace = input.getBoolean(2))
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            throw new org.apache.spark.sql.catalyst.analysis
+              .ViewAlreadyExistsException(
+                Identifier.of(ns.toArray, nm))
+          }
           0
         case "drop_view" =>
           val full = input.getUTF8String(0).toString

@@ -760,6 +760,166 @@ object ManifestTable {
     }
   }
 
+  /** THREE-WAY BRANCH MERGE (round 16) — the step past [[fastForward]]'s
+    * diverged-main refusal: fold a branch into a main that ADVANCED past
+    * the fork point, provided the two sides touched DISJOINT files. The
+    * merged snapshot is main's head with the branch's file-level delta
+    * replayed onto it:
+    *
+    *   merged = mainHead − branchRemoved + branchAdded (+ branch's new
+    *            deletion-vector markers)
+    *
+    * Conflict rule (file-level, the delta committer's rebase reasoning
+    * applied across whole branches): the branch's TOUCHED fork files —
+    * removed/rewritten by DML or compaction, or newly DV-targeted — must
+    * be disjoint from main's touched fork files since the fork. Additions
+    * can never conflict (names are unique). Anything else refuses with
+    * the sorted conflict list, never guesses: a file both sides touched
+    * means both recomputed rows from the same base and one side's work
+    * would be silently discarded.
+    *
+    * Metadata merges one-sided only: if the branch changed carried
+    * metadata (schema/properties/policies) or rename markers since the
+    * fork, main must not have; whichever side changed wins. Inherited DV
+    * markers must survive on the branch verbatim (a branch-side
+    * consolidation would double-apply against main's copies — publish
+    * those via [[fastForward]] or re-cut instead).
+    *
+    * 100 TB shape: pure metadata + hard links of branch-local files, no
+    * data copy, no scan — cost ∝ branch delta, not table size. Publishes
+    * as one CAS'd MUTATE commit (re-validating conflicts under the CAS
+    * loop); the branch retires only after the commit lands, so a crash
+    * anywhere leaves both sides intact. Returns the new main version. */
+  def mergeBranch(dir: String, name: String): Int = {
+    val bd = branchDir(dir, name)
+    val bv = currentVersion(bd)
+    require(bv >= 0, s"no branch '$name' on $dir")
+    val base = tableProperties(bd, bv).get(BranchBaseProp)
+      .flatMap(_.toIntOption).getOrElse(throw new IllegalStateException(
+        s"$bd carries no fork-point property — not a branch"))
+    require(Files.exists(manifestPath(dir, base)),
+      s"merge of branch '$name' refused: fork snapshot v$base of $dir " +
+        "was expired — re-cut the branch")
+    val mainData = Paths.get(dir, "data").toAbsolutePath.toString
+    def fold(n: String): String =
+      if (n.startsWith(mainData + "/")) n.stripPrefix(mainData + "/") else n
+    def nameOf(l: String): String = l.split('\t').head
+
+    // the branch's file-level delta vs the fork snapshot, names folded
+    // back to main-relative
+    val baseNames = listLines(dir, base).map(nameOf).toSet
+    val bLines = listLines(bd, bv).map { l =>
+      val p = l.split('\t'); (fold(p.head) +: p.tail).mkString("\t")
+    }
+    val bNames = bLines.map(nameOf).toSet
+    val branchAdded = bLines.filterNot(l => baseNames.contains(nameOf(l)))
+    val branchRemoved = baseNames -- bNames
+    val baseDvs = dvEntries(dir, base)
+    val baseDvEnc = baseDvs.map(encodeDv).toSet
+    val bDvFolded = dvEntries(bd, bv).map(e => DvEntry(fold(e.file), e.col,
+      e.targets.map(fold), e.counts.map { case (t, c) => fold(t) -> c }))
+    val bDvEnc = bDvFolded.map(encodeDv).toSet
+    // an inherited marker may only vanish WITH its targets (a branch COW
+    // rewrite materialized the doomed rows away — the removal then goes
+    // through the file-conflict rule); a marker rewrite that leaves its
+    // targets in place (consolidation) would double-apply against main's
+    // surviving copies after the merge, so it refuses
+    require(baseDvs.forall(e => bDvEnc.contains(encodeDv(e)) ||
+        !e.targets.exists(bNames.contains)),
+      s"merge of branch '$name' refused: the branch rewrote inherited " +
+        "deletion-vector markers (consolidation?) — merging would " +
+        "double-apply them against main's copies; fastforward or re-cut")
+    val branchNewDvs = bDvFolded.filterNot(e => baseDvEnc.contains(encodeDv(e)))
+    val branchTouched = branchRemoved ++
+      branchNewDvs.flatMap(_.targets).filter(baseNames.contains)
+    val baseMeta = carriedMeta(dir, base).toSet
+    val bMeta = carriedMeta(bd, bv).filterNot(_.contains(BranchBaseProp))
+    val branchMetaChanged = bMeta.toSet != baseMeta
+    val baseRen = renameLines(dir, base).toSet
+    val bRen = renameLines(bd, bv)
+    val branchRenChanged = bRen.toSet != baseRen
+
+    // branch-local files link into main (copy without hard-link support);
+    // pre-CAS links are vacuumable orphans on any failure path
+    val linked = scala.collection.mutable.Buffer[Path]()
+    def unlink(): Unit = linked.reverse.foreach { p =>
+      try Files.deleteIfExists(p) catch { case _: Exception => () }
+    }
+    def linkLocal(n: String): Unit = if (!n.startsWith("/")) {
+      val src = Paths.get(bd, "data", n)
+      val dst = Paths.get(dir, "data", n)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst)) {
+        try Files.createLink(dst, src)
+        catch { case _: UnsupportedOperationException => Files.copy(src, dst) }
+        linked += dst
+      }
+    }
+    try {
+      branchAdded.map(nameOf).foreach(linkLocal)
+      branchNewDvs.map(_.file).foreach(linkLocal)
+      var attempt = 0
+      var committed = -1
+      while (committed < 0) {
+        val head = currentVersion(dir)
+        // main's delta since the fork, re-read under the CAS loop
+        val mainLines = listLines(dir, head)
+        val mainNames = mainLines.map(nameOf).toSet
+        val mainDvs = dvEntries(dir, head)
+        val mainTouched = (baseNames -- mainNames) ++
+          mainDvs.filterNot(e => baseDvEnc.contains(encodeDv(e)))
+            .flatMap(_.targets).filter(baseNames.contains)
+        val conflicts = branchTouched intersect mainTouched
+        if (conflicts.nonEmpty) {
+          unlink()
+          throw new IllegalStateException(
+            s"merge of branch '$name' refused: both sides touched " +
+              s"${conflicts.toSeq.sorted.mkString("[", ", ", "]")} since " +
+              s"fork v$base — one side's rows would be silently discarded; " +
+              "re-cut the branch and replay")
+        }
+        val mainMetaChanged = carriedMeta(dir, head).toSet != baseMeta
+        val mainRen = renameLines(dir, head)
+        if ((branchMetaChanged || branchRenChanged) &&
+            (mainMetaChanged || mainRen.toSet != baseRen)) {
+          unlink()
+          throw new IllegalStateException(
+            s"merge of branch '$name' refused: both sides changed table " +
+              s"metadata since fork v$base — re-cut the branch")
+        }
+        val mergedMeta = if (branchMetaChanged) bMeta
+          else carriedMeta(dir, head)
+        val mergedRen = if (branchRenChanged) bRen else mainRen
+        val mergedLines = mainLines.filterNot(l =>
+          branchRemoved.contains(nameOf(l))) ++ branchAdded
+        val mergedNames = mergedLines.map(nameOf).toSet
+        // markers whose targets left the snapshot are moot — prune them
+        // (their doomed rows were materialized away by whichever side
+        // removed the target)
+        val mergedDvs = (mainDvs ++ branchNewDvs)
+          .map(e => e.copy(targets = e.targets.filter(mergedNames.contains),
+            counts = e.counts.filter { case (t, _) => mergedNames.contains(t) }))
+          .filter(_.targets.nonEmpty)
+        if (commitMutate(dir, mergedLines ++ mergedDvs.map(encodeDv) ++
+            mergedRen ++ mergedMeta, head)) committed = head + 1
+        else {
+          attempt += 1
+          if (attempt >= 10) {
+            unlink()
+            throw new IllegalStateException(
+              s"merge of branch '$name' on $dir lost the CAS 10 times — " +
+                "retry under less contention")
+          }
+        }
+      }
+      dropBranch(dir, name)
+      committed
+    } catch {
+      case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
+        unlink(); throw e
+    }
+  }
+
   /** Abandon (or retire after publish) branch `name`: remove its
     * directory and its clone registration at the source. */
   def dropBranch(dir: String, name: String): Unit = {
@@ -2638,12 +2798,22 @@ object ManifestTable {
     * (the upsert contract — two same-key batch rows would both insert).
     * Returns the new version. */
   def upsertMOR(s: SparkSession, dir: String, batch: DataFrame,
-      col: String, maxRetries: Int = 10): Int = {
+      col: String, maxRetries: Int = 10,
+      epoch: Option[(String, Long)] = None): Int = {
     import org.apache.spark.sql.functions.{col => c, min => fmin, max => fmax}
     var attempt = 0
     while (attempt < maxRetries) {
       val v = currentVersion(dir)
       require(v >= 0, s"no committed snapshot to upsert into in $dir")
+      // exactly-once streaming leg (round 16): when the batch carries an
+      // epoch, a replayed epoch ≤ the committed high-water no-ops BEFORE
+      // staging a byte, and the new high-water marker rides the SAME
+      // #mutate CAS as the upsert itself — sink state and data cannot
+      // diverge (the #epoch contract of the V2 streaming sink, extended
+      // to in-place MOR corrections)
+      epoch.foreach { case (qid, eid) =>
+        if (committedEpoch(dir, v, qid).exists(_ >= eid)) return v
+      }
       // rename markers compose (round 14): the batch arrives under the
       // EVOLVED names (it must — it inserts as the new generation), and
       // pre-rename files' stats are consulted under the key column's
@@ -2696,8 +2866,14 @@ object ManifestTable {
               else zero))
           }
         }
+      val meta = epoch match {
+        case Some((qid, eid)) =>
+          carriedMeta(dir, v).filterNot(_.startsWith(s"$EpochPrefix$qid\t")) :+
+            s"$EpochPrefix$qid\t$eid"
+        case None => carriedMeta(dir, v)
+      }
       val body = listLines(dir, v) ++ dvLines(dir, v) ++
-        renameLines(dir, v) ++ carriedMeta(dir, v) ++ dataFiles ++ markers
+        renameLines(dir, v) ++ meta ++ dataFiles ++ markers
       if (commitMutate(dir, body, v)) return v + 1
       attempt += 1 // lost the race; staged files stay harmless orphans
     }

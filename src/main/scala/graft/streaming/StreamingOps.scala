@@ -565,7 +565,57 @@ object StreamingOps {
       "changes_feed")
   }
 
+  /** STREAMING MERGE-ON-READ UPSERT (round 16): late-arriving CORRECTIONS
+    * update the table IN PLACE — the step past [[streamManifestSink]]'s
+    * anti-join-append, which can only ignore redelivered keys, never amend
+    * them. Each micro-batch flows through `ManifestTable.upsertMOR`
+    * (delete+insert in ONE `#mutate` CAS: deletion vectors doom the old key
+    * versions, the batch inserts as new files — nothing existing is
+    * rewritten) with the batch's epoch riding the SAME commit as an
+    * `#epoch` high-water marker, so a replayed epoch no-ops BEFORE staging
+    * a byte: sink state and data share one atomic commit and cannot
+    * diverge. The stream then REPLAYS from a fresh checkpoint and every
+    * commit must no-op — the oracle is the batch restatement of
+    * "seed, then corrected clicks replace their seed versions".
+    *
+    * 100 TB shape: per batch, cost ∝ batch size (stats-pruned DV targets,
+    * no table rewrite); the replay guard is one metadata lookup. */
+  def streamMorUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = "/dev/shm/graft_stream/mor_upsert_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    graft.sources.ManifestTable.destroy(tbl)
+    // seed generation: every event as ingested (bootstraps the table)
+    graft.sources.ManifestTable.merge(s, tbl,
+      graft.Tables.events(s, dir).drop("props"), Seq("event_id"))
+    // the correction stream: click rows arrive again with amended values
+    // and must REPLACE their seed versions by key
+    val corrections = eventsStream(s, dir).drop("props")
+      .filter($"event_type" === "click")
+      .withColumn("value", $"value" + 1000.0)
+    val sink: (DataFrame, Long) => Unit = (batch, epochId) => {
+      graft.sources.ManifestTable.upsertMOR(
+        batch.sparkSession, tbl, batch, "event_id",
+        epoch = Some(("q_stream_mor_upsert", epochId)))
+      ()
+    }
+    def run(tag: String): Unit = {
+      val q = corrections.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"$tbl-ckpt-$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run("first")
+    run("second") // full redelivery under a fresh checkpoint: epochs no-op
+    graft.sources.ManifestTable.read(s, tbl)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(D2)).cast("double").as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_mor_upsert" -> ((s, d) => streamMorUpsert(s, d)),
     "q_stream_changes" -> ((s, d) => streamChangesFeed(s, d)),
     "q_stream_psi" -> ((s, d) => streamPsiDrift(s, d)),
     "q_stream_approx_distinct" -> ((s, d) => streamApproxDistinct(s, d)),
@@ -628,6 +678,15 @@ object StreamingOps {
     "q_stream_merge" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // in-place corrections: clicks carry their amended value exactly once
+    // (upsert replaced the seed versions; the fresh-checkpoint replay
+    // no-opped against the #epoch high-water), everything else is the seed
+    "q_stream_mor_upsert" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(CASE WHEN event_type = 'click'
+        |                          THEN value + 1000.0 ELSE value END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     // the transactional sink must not change the answer either: full replay
     // into the manifest table lands exactly one copy of every event

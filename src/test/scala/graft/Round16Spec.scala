@@ -1,0 +1,215 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestTable
+
+/** Round 16: three-way branch merge past fastForward's diverged-main
+  * refusal, the exactly-once streaming MOR upsert, and the driver-gate
+  * graduation of the last rows-only queries (ANN recall gates, ML metric
+  * gates, the BPE-train and LSH full oracles). */
+class Round16Spec extends AnyFunSuite {
+  import graft.TestSpark._
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_r16_${tag}_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(d)
+    d
+  }
+
+  test("merge_branch folds a diverged branch when file sets are disjoint") {
+    val root = freshDir("mrg")
+    ManifestTable.destroy(s"$root/t")
+    spark.conf.set("spark.sql.catalog.g16m",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16m.root", root)
+    spark.sql("""CREATE TABLE g16m.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g16m.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("CALL g16m.system.branch(table => 't', name => 'fix')")
+    // main ADVANCES past the fork (append only — touches no fork file) …
+    spark.sql("""INSERT INTO g16m.default.t
+      SELECT id, CAST(id AS DOUBLE) FROM range(200, 205)""")
+    // … while the branch erases and corrects against the fork snapshot
+    spark.sql("DELETE FROM g16m.default.`t@fix` WHERE k < 5")
+    spark.sql("""INSERT INTO g16m.default.`t@fix`
+      SELECT id, CAST(id AS DOUBLE) FROM range(100, 105)""")
+    // the diverged main refuses a plain publish …
+    val ff = intercept[Exception] {
+      spark.sql("CALL g16m.system.fastforward(table => 't', name => 'fix')")
+    }
+    assert(ff.getMessage.contains("advanced past its fork point"),
+      s"fastforward must refuse the diverged main, got: ${ff.getMessage}")
+    // … but the three-way merge replays the branch delta onto main's head
+    spark.sql("CALL g16m.system.merge_branch(table => 't', name => 'fix')")
+    val got = spark.sql("SELECT k FROM g16m.default.t")
+      .collect().map(_.getLong(0)).toSet
+    val want = (5L until 20L).toSet ++ (100L until 105L) ++ (200L until 205L)
+    assert(got == want, s"merged content: got ${got.toSeq.sorted}")
+    // the branch retired with the publish
+    assert(ManifestTable.currentVersion(
+      ManifestTable.branchDir(s"$root/t", "fix")) < 0,
+      "branch must retire after a successful merge")
+  }
+
+  test("merge_branch refuses with the conflict list when both sides touch a file") {
+    val root = freshDir("cfl")
+    ManifestTable.destroy(s"$root/t")
+    spark.conf.set("spark.sql.catalog.g16c",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16c.root", root)
+    spark.sql("""CREATE TABLE g16c.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g16c.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("CALL g16c.system.branch(table => 't', name => 'fix')")
+    // both sides DV-target the SAME (single) fork file
+    spark.sql("DELETE FROM g16c.default.t WHERE k >= 15")
+    spark.sql("DELETE FROM g16c.default.`t@fix` WHERE k < 5")
+    val e = intercept[Exception] {
+      spark.sql("CALL g16c.system.merge_branch(table => 't', name => 'fix')")
+    }
+    assert(e.getMessage.contains("both sides touched"),
+      s"conflict must refuse with the touched-file list, got: ${e.getMessage}")
+    // refusal leaves BOTH sides intact: main serves its own delete,
+    // the branch stays addressable and re-mergeable after a re-cut
+    assert(spark.sql("SELECT count(*) FROM g16c.default.t")
+      .head().getLong(0) == 15L)
+    assert(spark.sql("SELECT count(*) FROM g16c.default.`t@fix`")
+      .head().getLong(0) == 15L)
+  }
+
+  test("merge_branch refuses when both sides changed table metadata") {
+    val root = freshDir("meta")
+    ManifestTable.destroy(s"$root/t")
+    spark.conf.set("spark.sql.catalog.g16t",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16t.root", root)
+    spark.sql("CREATE TABLE g16t.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g16t.default.t
+      SELECT id, CAST(id AS DOUBLE) FROM range(0, 10)""")
+    spark.sql("CALL g16t.system.branch(table => 't', name => 'fix')")
+    spark.sql("ALTER TABLE g16t.default.t SET TBLPROPERTIES ('who' = 'main')")
+    ManifestTable.alterAtomic(ManifestTable.branchDir(s"$root/t", "fix"),
+      Seq(ManifestTable.AlterOp.SetProp("who", "branch")))
+    val e = intercept[Exception] {
+      spark.sql("CALL g16t.system.merge_branch(table => 't', name => 'fix')")
+    }
+    assert(e.getMessage.contains("changed table metadata"),
+      s"metadata conflict must refuse, got: ${e.getMessage}")
+  }
+
+  test("merge_branch on an unmoved main behaves like a publish") {
+    val root = freshDir("ffeq")
+    ManifestTable.destroy(s"$root/t")
+    spark.conf.set("spark.sql.catalog.g16f",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16f.root", root)
+    spark.sql("CREATE TABLE g16f.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g16f.default.t
+      SELECT id, CAST(id AS DOUBLE) FROM range(0, 10)""")
+    spark.sql("CALL g16f.system.branch(table => 't', name => 'wap')")
+    spark.sql("""INSERT INTO g16f.default.`t@wap`
+      SELECT id, CAST(id AS DOUBLE) FROM range(10, 15)""")
+    spark.sql("CALL g16f.system.merge_branch(table => 't', name => 'wap')")
+    assert(spark.sql("SELECT count(*) FROM g16f.default.t")
+      .head().getLong(0) == 15L)
+  }
+
+  test("upsertMOR epoch guard: a replayed epoch no-ops before staging") {
+    import spark.implicits._
+    val tbl = freshDir("epoch")
+    ManifestTable.merge(spark, tbl,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), Seq("k"))
+    val v0 = ManifestTable.currentVersion(tbl)
+    val batch = Seq((1L, 10.0)).toDF("k", "v")
+    val v1 = ManifestTable.upsertMOR(spark, tbl, batch, "k",
+      epoch = Some(("q16", 3L)))
+    assert(v1 == v0 + 1)
+    // same epoch again (redelivery): must return without committing
+    val v2 = ManifestTable.upsertMOR(spark, tbl, batch, "k",
+      epoch = Some(("q16", 3L)))
+    assert(v2 == v1 && ManifestTable.currentVersion(tbl) == v1,
+      "a replayed epoch must be a metadata-only no-op")
+    // an EARLIER epoch too (out-of-order redelivery)
+    val v3 = ManifestTable.upsertMOR(spark, tbl, batch, "k",
+      epoch = Some(("q16", 1L)))
+    assert(v3 == v1 && ManifestTable.currentVersion(tbl) == v1)
+    // the next epoch commits, and the upsert landed exactly once
+    val v4 = ManifestTable.upsertMOR(spark, tbl,
+      Seq((2L, 20.0)).toDF("k", "v"), "k", epoch = Some(("q16", 4L)))
+    assert(v4 == v1 + 1)
+    val got = ManifestTable.read(spark, tbl).as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0), s"got $got")
+  }
+
+  test("streaming MOR upsert equals the batch restatement (replay no-ops)") {
+    import org.apache.spark.sql.functions._
+    val got = streaming.StreamingOps.streamMorUpsert(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val want = Tables.events(spark, sf)
+      .withColumn("value", when(col("event_type") === "click",
+        col("value") + 1000.0).otherwise(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("ANN recall gates: TRUE flags over real anchors at the spec fixture") {
+    import org.apache.spark.sql.functions.{round, sum}
+    import spark.implicits._
+    for (q <- Seq("q_knn_ivf", "q_knn_pq", "q_knn_ivfpq")) {
+      val row = SparkEntry.queries(q)(spark, sf).head()
+      assert(row.getAs[Long]("n_queries") == 10L, s"$q n_queries")
+      assert(row.getAs[Boolean]("recall_ok"), s"$q recall below its floor")
+      // the anchor is real: recompute the exact top-k micros sum
+      val micros = operators.SimilarityOps.knnBruteForce(spark, sf)
+        .select(round($"cos_sim" * 1e6, 0).cast("long").as("m"))
+        .agg(sum($"m")).head().getLong(0)
+      assert(row.getAs[Long]("exact_sim_sum_micros") == micros, s"$q anchor")
+    }
+  }
+
+  test("ML gates: metric flags hold and anchors match the corpus") {
+    val lr = SparkEntry.queries("q_ml_fare_lr")(spark, sf).head()
+    assert(lr.getAs[Long]("n_total") == Tables.lineitem(spark, sf).count())
+    assert(lr.getAs[Boolean]("split_ok") && lr.getAs[Boolean]("r2_ok") &&
+      lr.getAs[Boolean]("rmse_ok"))
+    val cv = SparkEntry.queries("q_ml_cv")(spark, sf).head()
+    assert(cv.getAs[Boolean]("reg_in_grid") && cv.getAs[Boolean]("en_in_grid")
+      && cv.getAs[Boolean]("cv_rmse_ok"))
+  }
+
+  test("bpe train oracle registers dynamically with the learned rules inline") {
+    val rules = SparkEntry.queries("q_bpe_train")(spark, sf).collect()
+    assert(rules.length == 5)
+    val o = SparkEntry.oracleSql
+    assert(o.contains("q_bpe_train"), "q_bpe_train oracle must register")
+    // each round recounts under exactly the PREFIX rules, so rules 1..4
+    // appear as rewrite literals (the final rule is only ever an OUTPUT —
+    // nothing rewrites with it)
+    rules.filter(_.getInt(0) < rules.length).foreach { r =>
+      assert(o("q_bpe_train").contains(s"'${r.getString(1)}'") &&
+        o("q_bpe_train").contains(s"'${r.getString(2)}'"),
+        s"prefix rule ${r.getString(1)}+${r.getString(2)} missing from oracle")
+    }
+    assert(o("q_bpe_train").contains("UNION ALL"))
+  }
+
+  test("doc gates: unit-norm flags and the tfidf recall floor hold") {
+    val emb = SparkEntry.queries("q_doc_embed")(spark, sf)
+    val bad = emb.filter("NOT norm_ok OR NOT nnz_ok").count()
+    assert(bad == 0, s"$bad docs violate the embedding invariants")
+    val knn = SparkEntry.queries("q_doc_knn")(spark, sf).head()
+    assert(knn.getAs[Long]("n_queries") == 5L)
+    assert(knn.getAs[Boolean]("recall_ok"),
+      "hashed ANN must recall the exact sparse tfidf top-k above the floor")
+  }
+}
