@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // persistent-view substitution (inert unless the referenced catalog
     // is a configured GraftCatalog storing a view under the name)
     e.injectResolutionRule(s => new plans.GraftViewRule(s))
+    // CREATE/DROP/SHOW VIEWS statement routing for graft catalogs —
+    // intercepted at parse time because ResolveSessionCatalog throws
+    // MISSING_CATALOG_ABILITY for v2 view DDL before any injected
+    // resolution rule can run (inert for non-graft statements)
+    e.injectParser((s, delegate) => new plans.GraftSqlParser(s, delegate))
     // band-join rewrite (inert until spark.graft.bandJoin.width is set)
     e.injectOptimizerRule(_ => plans.BandJoinRule)
     // materialized-view auto-rewrite (inert until a view registers)

@@ -1577,6 +1577,41 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM graft_vw.default.big_orders""")
     }),
+    // SQL VIEW DDL ROUTING (round 16): plain `CREATE [OR REPLACE] VIEW` /
+    // `SHOW VIEWS` / `DROP VIEW` statements against the graft catalog —
+    // the surface OSS Spark 4.1 refuses (ResolveSessionCatalog throws
+    // MISSING_CATALOG_ABILITY for v2 view DDL even against a ViewCatalog
+    // implementation) — intercepted at parse time by GraftSqlParser and
+    // routed to the same validated create path as CALL create_view. The
+    // lifecycle here: CREATE, verify SHOW VIEWS lists it, REPLACE with a
+    // narrower predicate, read through the analyzer substitution rule.
+    "q_sql_view_ddl" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_vddl_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_vdl",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_vdl.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_vdl.default.ord")
+      s.sql("""CREATE TABLE graft_vdl.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r16_vddl_src")
+      s.sql("INSERT INTO graft_vdl.default.ord SELECT * FROM r16_vddl_src")
+      s.sql("DROP VIEW IF EXISTS graft_vdl.default.cheap_orders")
+      s.sql("""CREATE VIEW graft_vdl.default.cheap_orders AS
+        SELECT o_orderkey, o_totalprice FROM graft_vdl.default.ord
+        WHERE o_totalprice < 100000.0""")
+      require(s.sql("SHOW VIEWS IN graft_vdl.default").collect()
+        .exists(_.getString(1) == "cheap_orders"),
+        "SHOW VIEWS must list the view CREATE VIEW just persisted")
+      s.sql("""CREATE OR REPLACE VIEW graft_vdl.default.cheap_orders AS
+        SELECT o_orderkey, o_totalprice FROM graft_vdl.default.ord
+        WHERE o_totalprice < 50000.0""")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_vdl.default.cheap_orders""")
+    }),
     // WRITE-AUDIT-PUBLISH with ROW-LEVEL DML (round 15): a GDPR-style
     // erasure stages on a branch as a positional DELETE (zero data-file
     // rewrites), the audit runs on the branch, and the publish CARRIES
@@ -2836,6 +2871,11 @@ object Relational {
         |       count(DISTINCT o_custkey) AS n_cust,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
+    // the REPLACEd view must serve the narrowed predicate
+    "q_sql_view_ddl" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice < 50000.0""".stripMargin,
     // the published snapshot must equal the audited branch content:
     // survivors of the erasure plus the branch's appended rows
     "q_wap_dml" ->

@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier,
+  UnresolvedNamespace}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext,
+  ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView,
+  LogicalPlan, ShowViews}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+/** SQL ROUTING for persistent views (round 16) — the statement surface OSS
+  * Spark 4.1 does not ship: the parser produces v2 `CreateView` /
+  * `DropView` / `ShowViews` nodes, but `ResolveSessionCatalog` throws
+  * MISSING_CATALOG_ABILITY.VIEWS for any non-session catalog EVEN WHEN the
+  * catalog implements the `ViewCatalog` SPI, and it runs before every
+  * injected resolution rule — so an analyzer rule can never intercept.
+  * This delegating parser rewrites those three nodes at PARSE time, before
+  * the analyzer sees them, into runnable commands over the same
+  * [[graft.sources.GraftViewDdl]] / [[graft.sources.GraftViews]] logic the
+  * `CALL system.create_view` procedure uses — plain
+  * `CREATE [OR REPLACE] VIEW g.default.v AS …`, `DROP VIEW [IF EXISTS]`,
+  * and `SHOW VIEWS IN g.default` now just work.
+  *
+  * Inert for everything else: the rewrite fires only when the statement's
+  * head identifier names a configured `GraftCatalog` (conf lookup only);
+  * session-catalog and temp-view statements pass through verbatim. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private def rootOf(catalog: String): Option[String] =
+    session.conf.getOption(s"spark.sql.catalog.$catalog")
+      .filter(_ == classOf[graft.sources.GraftCatalog].getName)
+      .flatMap(_ =>
+        session.conf.getOption(s"spark.sql.catalog.$catalog.root"))
+
+  private def nsOf(parts: Seq[String]): Seq[String] =
+    if (parts.length >= 3) parts.slice(1, parts.length - 1)
+    else Seq("default")
+
+  private def route(plan: LogicalPlan): LogicalPlan = plan match {
+    case cv: CreateView => cv.child match {
+      case UnresolvedIdentifier(parts, _) if parts.length >= 2 &&
+          parts.length <= 3 && rootOf(parts.head).isDefined =>
+        require(cv.userSpecifiedColumns.isEmpty,
+          "CREATE VIEW with a column list is not supported for graft " +
+            "views — alias the columns in the body query instead")
+        val body = cv.originalText.getOrElse(throw new IllegalArgumentException(
+          "CREATE VIEW without body text cannot persist"))
+        GraftCreateViewCommand(parts.head, rootOf(parts.head).get,
+          nsOf(parts), parts.last, body, cv.replace, cv.allowExisting,
+          cv.properties ++ cv.comment.map("comment" -> _))
+      case _ => cv
+    }
+    case dv: DropView => dv.child match {
+      case UnresolvedIdentifier(parts, _) if parts.length >= 2 &&
+          parts.length <= 3 && rootOf(parts.head).isDefined =>
+        GraftDropViewCommand(rootOf(parts.head).get, nsOf(parts),
+          parts.last, dv.ifExists)
+      case _ => dv
+    }
+    case sv: ShowViews => sv.child match {
+      case UnresolvedNamespace(parts, _) if parts.nonEmpty &&
+          rootOf(parts.head).isDefined =>
+        GraftShowViewsCommand(rootOf(parts.head).get,
+          if (parts.length >= 2) parts.tail else Seq("default"),
+          sv.pattern, sv.output)
+      case _ => sv
+    }
+    case p => p
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    route(delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    route(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String):
+      org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `CREATE [OR REPLACE] VIEW <graft-catalog>.<ns>.<name> AS <query>`. */
+case class GraftCreateViewCommand(catalogName: String, root: String,
+    ns: Seq[String], name: String, sql: String, replace: Boolean,
+    allowExisting: Boolean, props: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (allowExisting &&
+        graft.sources.GraftViews.load(root, ns, name).isDefined)
+      return Seq.empty // IF NOT EXISTS on an existing view: no-op
+    graft.sources.GraftViewDdl.create(session, catalogName, root, ns, name,
+      sql, replace, props)
+    Seq.empty
+  }
+}
+
+/** `DROP VIEW [IF EXISTS] <graft-catalog>.<ns>.<name>`. */
+case class GraftDropViewCommand(root: String, ns: Seq[String], name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val dropped = graft.sources.GraftViews.drop(root, ns, name)
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          ns.toArray, name))
+    Seq.empty
+  }
+}
+
+/** `SHOW VIEWS IN <graft-catalog>[.<ns>] [LIKE 'pattern']` — serves the
+  * standard (namespace, viewName, isTemporary) shape from the stored
+  * documents; persistent graft views are never temporary. */
+case class GraftShowViewsCommand(root: String, ns: Seq[String],
+    pattern: Option[String], override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val names = graft.sources.GraftViews.list(root, ns)
+    pattern.fold(names)(p =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(names, p))
+      .map(n => Row(ns.mkString("."), n, false))
+  }
+}

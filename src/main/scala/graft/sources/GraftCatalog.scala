@@ -949,64 +949,8 @@ private[sources] object GraftProcedures {
           val parts = full.split('.').toSeq
           val (ns, nm) = (if (parts.length > 1) parts.init
             else Seq("default"), parts.last)
-          val sql = input.getUTF8String(1).toString
-          // a view is a QUERY by definition — refuse commands/DML (a
-          // stored CALL or INSERT would side-effect on every read)
-          require(sql.trim.toLowerCase.matches("(?s)^(select|with|values)\\b.*"),
-            s"create_view('$full'): a view body must be a query " +
-              "(SELECT/WITH/VALUES)")
-          require(ManifestTable.currentVersion(dirFor(root, full)) < 0,
-            s"cannot create view $full: a table with that name exists")
-          // a body referencing the view's OWN final name refuses NOW —
-          // under REPLACE the validation probe would resolve it against
-          // the OLD definition, publish, and brick every later read
-          // with the recursive-view error. One qualification definition
-          // shared with the resolution rule, so what is checked here is
-          // exactly what resolves there.
-          val isCat: String => Boolean =
-            n => n == "spark_catalog" ||
-              s.conf.getOption(s"spark.sql.catalog.$n").isDefined
-          val parsedBody = org.apache.spark.sql.catalyst.parser
-            .CatalystSqlParser.parsePlan(sql)
-          val qualified = GraftViews.qualify(parsedBody, catalogName, ns, isCat)
-          require(!GraftViews.referencesSelf(qualified, catalogName, ns, nm),
-            s"create_view('$full'): the body references the view itself")
-          // creation-time catalog decisions ride the document (probe AND
-          // final) so resolution never re-probes a reader's conf
-          val viewProps = Map(GraftViews.CrossCatalogHeadsProp ->
-            GraftViews.crossCatalogHeads(parsedBody, isCat).mkString(","))
-          // validate by ANALYZING THROUGH THE RESOLUTION RULE right now
-          // — a view that cannot resolve refuses at creation, never at
-          // some later read, and unqualified body relations get the
-          // view's own creation context (not the calling session's
-          // current catalog). The probe stores the document under a
-          // throwaway DOT-PREFIXED name (hidden from listViews even if
-          // a crash leaks it) so a failed REPLACE never clobbers the
-          // existing definition; the analysis-time schema then pins the
-          // view's output in the final document. Stale probes from
-          // crashed creates of this name sweep first.
-          GraftViews.sweepProbes(root, ns, nm)
-          val probe = s".vchk-$nm-" +
-            java.util.UUID.randomUUID().toString.take(6)
-          GraftViews.write(root, ns, probe,
-            GraftViews.StoredView(sql, new StructType(), catalogName, ns,
-              viewProps), replace = false)
-          val schema =
-            try s.sql(("SELECT * FROM " +
-              (catalogName +: ns :+ probe).map(p => s"`$p`")
-                .mkString("."))).schema
-            finally GraftViews.drop(root, ns, probe)
-          // same error shape as the SPI createView for a taken name —
-          // the raw FileAlreadyExistsException (a filesystem path) is
-          // neither consistent nor actionable
-          try GraftViews.write(root, ns, nm,
-            GraftViews.StoredView(sql, schema, catalogName, ns, viewProps),
-            replace = input.getBoolean(2))
-          catch { case _: java.nio.file.FileAlreadyExistsException =>
-            throw new org.apache.spark.sql.catalyst.analysis
-              .ViewAlreadyExistsException(
-                Identifier.of(ns.toArray, nm))
-          }
+          GraftViewDdl.create(s, catalogName, root, ns, nm,
+            input.getUTF8String(1).toString, replace = input.getBoolean(2))
           0
         case "drop_view" =>
           val full = input.getUTF8String(0).toString
@@ -1018,6 +962,81 @@ private[sources] object GraftProcedures {
           0
       }
       java.util.Collections.singletonList(resultScan(v)).iterator()
+    }
+  }
+}
+
+/** ONE implementation of CREATE [OR REPLACE] VIEW shared by the
+  * `CALL system.create_view` procedure and the SQL-routed
+  * `CREATE VIEW <cat>.<ns>.<name>` command (round 16 — the parser-level
+  * routing OSS Spark 4.1 lacks: `ResolveSessionCatalog` throws
+  * MISSING_CATALOG_ABILITY before any injected resolution rule runs, so
+  * the statement is intercepted at parse time instead). Validates the
+  * body is a query, refuses table-name collisions and self-reference,
+  * persists the creation-time catalog decisions, analyzes through a
+  * dot-prefixed validation probe (a failed REPLACE never clobbers the
+  * existing definition), and publishes the schema-pinned document with
+  * the SPI error shape on a taken name. */
+private[graft] object GraftViewDdl {
+  def create(s: org.apache.spark.sql.SparkSession, catalogName: String,
+      root: String, ns: Seq[String], nm: String, sql: String,
+      replace: Boolean, extraProps: Map[String, String] = Map.empty): Unit = {
+    val full = (ns :+ nm).mkString(".")
+    // a view is a QUERY by definition — refuse commands/DML (a
+    // stored CALL or INSERT would side-effect on every read)
+    require(sql.trim.toLowerCase.matches("(?s)^(select|with|values)\\b.*"),
+      s"create_view('$full'): a view body must be a query " +
+        "(SELECT/WITH/VALUES)")
+    require(ManifestTable.currentVersion(
+        GraftProcedures.dirFor(root, full)) < 0,
+      s"cannot create view $full: a table with that name exists")
+    // a body referencing the view's OWN final name refuses NOW — under
+    // REPLACE the validation probe would resolve it against the OLD
+    // definition, publish, and brick every later read with the
+    // recursive-view error. One qualification definition shared with
+    // the resolution rule, so what is checked here is exactly what
+    // resolves there.
+    val isCat: String => Boolean =
+      n => n == "spark_catalog" ||
+        s.conf.getOption(s"spark.sql.catalog.$n").isDefined
+    val parsedBody = org.apache.spark.sql.catalyst.parser
+      .CatalystSqlParser.parsePlan(sql)
+    val qualified = GraftViews.qualify(parsedBody, catalogName, ns, isCat)
+    require(!GraftViews.referencesSelf(qualified, catalogName, ns, nm),
+      s"create_view('$full'): the body references the view itself")
+    // creation-time catalog decisions ride the document (probe AND
+    // final) so resolution never re-probes a reader's conf
+    val viewProps = extraProps ++ Map(GraftViews.CrossCatalogHeadsProp ->
+      GraftViews.crossCatalogHeads(parsedBody, isCat).mkString(","))
+    // validate by ANALYZING THROUGH THE RESOLUTION RULE right now — a
+    // view that cannot resolve refuses at creation, never at some later
+    // read, and unqualified body relations get the view's own creation
+    // context (not the calling session's current catalog). The probe
+    // stores the document under a throwaway DOT-PREFIXED name (hidden
+    // from listViews even if a crash leaks it) so a failed REPLACE
+    // never clobbers the existing definition; the analysis-time schema
+    // then pins the view's output in the final document. Stale probes
+    // from crashed creates of this name sweep first.
+    GraftViews.sweepProbes(root, ns, nm)
+    val probe = s".vchk-$nm-" +
+      java.util.UUID.randomUUID().toString.take(6)
+    GraftViews.write(root, ns, probe,
+      GraftViews.StoredView(sql, new StructType(), catalogName, ns,
+        viewProps), replace = false)
+    val schema =
+      try s.sql(("SELECT * FROM " +
+        (catalogName +: ns :+ probe).map(p => s"`$p`")
+          .mkString("."))).schema
+      finally GraftViews.drop(root, ns, probe)
+    // same error shape as the SPI createView for a taken name — the raw
+    // FileAlreadyExistsException (a filesystem path) is neither
+    // consistent nor actionable
+    try GraftViews.write(root, ns, nm,
+      GraftViews.StoredView(sql, schema, catalogName, ns, viewProps),
+      replace = replace)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(Identifier.of(ns.toArray, nm))
     }
   }
 }

@@ -203,6 +203,41 @@ class Round16Spec extends AnyFunSuite {
     assert(o("q_bpe_train").contains("UNION ALL"))
   }
 
+  test("SQL view DDL routes to the graft catalog; session statements pass through") {
+    val root = freshDir("vddl")
+    ManifestTable.destroy(s"$root/t")
+    spark.conf.set("spark.sql.catalog.g16v",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16v.root", root)
+    spark.sql("CREATE TABLE g16v.default.t (k BIGINT)")
+    spark.sql("INSERT INTO g16v.default.t VALUES (1), (2), (3)")
+    spark.sql("CREATE VIEW g16v.default.big AS " +
+      "SELECT k FROM g16v.default.t WHERE k >= 2")
+    assert(spark.sql("SELECT sum(k) FROM g16v.default.big")
+      .head().getLong(0) == 5L)
+    // SHOW VIEWS lists it with the standard 3-column shape
+    val shown = spark.sql("SHOW VIEWS IN g16v.default").collect()
+    assert(shown.exists(r => r.getString(1) == "big" && !r.getBoolean(2)))
+    // LIKE pattern filters
+    assert(spark.sql("SHOW VIEWS IN g16v.default LIKE 'nope*'")
+      .collect().isEmpty)
+    // plain CREATE VIEW refuses a taken name; IF NOT EXISTS no-ops
+    intercept[Exception] {
+      spark.sql("CREATE VIEW g16v.default.big AS SELECT 1 AS x")
+    }
+    spark.sql("CREATE VIEW IF NOT EXISTS g16v.default.big AS SELECT 1 AS x")
+    assert(spark.sql("SELECT sum(k) FROM g16v.default.big")
+      .head().getLong(0) == 5L, "IF NOT EXISTS must keep the original body")
+    // DROP VIEW removes it; a second DROP refuses unless IF EXISTS
+    spark.sql("DROP VIEW g16v.default.big")
+    intercept[Exception] { spark.sql("DROP VIEW g16v.default.big") }
+    spark.sql("DROP VIEW IF EXISTS g16v.default.big")
+    assert(spark.sql("SHOW VIEWS IN g16v.default").collect().isEmpty)
+    // session-catalog view statements are untouched by the router
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW r16_tmpv AS SELECT 7 AS x")
+    assert(spark.sql("SELECT x FROM r16_tmpv").head().getInt(0) == 7)
+  }
+
   test("doc gates: unit-norm flags and the tfidf recall floor hold") {
     val emb = SparkEntry.queries("q_doc_embed")(spark, sf)
     val bad = emb.filter("NOT norm_ok OR NOT nnz_ok").count()
