@@ -211,7 +211,12 @@ object Forecast {
     import s.implicits._
     demandForecast(s, dir).select(
       ($"n_train" + $"n_test").as("n_hours"),
-      (abs($"n_train".cast("double") / ($"n_train" + $"n_test") - 0.8) <= 0.03)
+      // ±0.06, not fareGate's ±0.02: the hourly aggregate is only a few
+      // hundred to a few thousand groups, so the realized seed-42 split
+      // fraction carries binomial spread ~sqrt(0.16/n) — the wide band
+      // keeps the flag SF-stable while still catching a mis-weighted
+      // splitter (which lands whole tenths away)
+      (abs($"n_train".cast("double") / ($"n_train" + $"n_test") - 0.8) <= 0.06)
         .as("split_ok"),
       ($"rmse" > 0.0 && $"rmse" < 10.0).as("rmse_ok"),
       // MAE ≤ RMSE is a mathematical invariant of the two metrics over the

@@ -32,10 +32,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private def rootOf(catalog: String): Option[String] =
-    session.conf.getOption(s"spark.sql.catalog.$catalog")
-      .filter(_ == classOf[graft.sources.GraftCatalog].getName)
-      .flatMap(_ =>
-        session.conf.getOption(s"spark.sql.catalog.$catalog.root"))
+    graft.sources.GraftViews.rootOf(session, catalog)
 
   private def nsOf(parts: Seq[String]): Seq[String] =
     if (parts.length >= 3) parts.slice(1, parts.length - 1)
@@ -106,8 +103,14 @@ case class GraftCreateViewCommand(catalogName: String, root: String,
     if (allowExisting &&
         graft.sources.GraftViews.load(root, ns, name).isDefined)
       return Seq.empty // IF NOT EXISTS on an existing view: no-op
-    graft.sources.GraftViewDdl.create(session, catalogName, root, ns, name,
-      sql, replace, props)
+    try graft.sources.GraftViewDdl.create(session, catalogName, root, ns,
+      name, sql, replace, props)
+    catch {
+      // a concurrent create can win between the load() check and the
+      // publish — IF NOT EXISTS must still succeed silently
+      case _: org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException if allowExisting => ()
+    }
     Seq.empty
   }
 }

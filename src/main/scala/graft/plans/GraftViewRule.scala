@@ -29,9 +29,7 @@ class GraftViewRule(session: org.apache.spark.sql.SparkSession)
     extends Rule[LogicalPlan] {
 
   private def rootOf(catalog: String): Option[String] =
-    session.conf.getOption(s"spark.sql.catalog.$catalog")
-      .filter(_ == classOf[graft.sources.GraftCatalog].getName)
-      .flatMap(_ => session.conf.getOption(s"spark.sql.catalog.$catalog.root"))
+    graft.sources.GraftViews.rootOf(session, catalog)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {

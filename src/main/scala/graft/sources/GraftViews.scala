@@ -164,6 +164,18 @@ private[graft] object GraftViews {
     finally s.close()
   }
 
+  /** The storage root of `catalog` iff the session configures it as a
+    * GraftCatalog — THE definition of "is this name a graft catalog",
+    * shared by the view-resolution rule and the SQL DDL router so the
+    * two surfaces can never disagree. Conf lookup only; no catalog
+    * instantiation. */
+  def rootOf(session: org.apache.spark.sql.SparkSession,
+      catalog: String): Option[String] =
+    session.conf.getOption(s"spark.sql.catalog.$catalog")
+      .filter(_ == classOf[GraftCatalog].getName)
+      .flatMap(_ =>
+        session.conf.getOption(s"spark.sql.catalog.$catalog.root"))
+
   /** Property key recording which 2-part relation heads in the body
     * resolved as CATALOGS under the creating session's conf. Resolution
     * replays these stored decisions verbatim instead of re-probing the

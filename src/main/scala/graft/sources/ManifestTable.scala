@@ -634,6 +634,37 @@ object ManifestTable {
     base
   }
 
+  /** The publish-window file machinery [[fastForward]] and [[mergeBranch]]
+    * share: FOLD main-absolute references back to relative names, LINK
+    * branch-local files into main's data dir (copy on filesystems without
+    * hard links), and guarantee the failure-path unlink becomes a no-op
+    * the instant the publish CAS lands — main's manifest then references
+    * the linked files, and deleting them would corrupt a committed
+    * snapshot. Pre-CAS links are vacuumable orphans; the branch keeps its
+    * own references until the best-effort retire, so a crash anywhere in
+    * the window leaves both sides intact. */
+  private final class BranchPublish(dir: String, bd: String) {
+    private val mainData = Paths.get(dir, "data").toAbsolutePath.toString
+    private val linked = scala.collection.mutable.Buffer[Path]()
+    @volatile var published = false
+    def fold(n: String): String =
+      if (n.startsWith(mainData + "/")) n.stripPrefix(mainData + "/") else n
+    def linkLocal(n: String): Unit = if (!n.startsWith("/")) {
+      val src = Paths.get(bd, "data", n)
+      val dst = Paths.get(dir, "data", n)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst)) {
+        try Files.createLink(dst, src)
+        catch { case _: UnsupportedOperationException => Files.copy(src, dst) }
+        linked += dst
+      }
+    }
+    def unlink(): Unit = if (!published) linked.reverse.foreach { p =>
+      try Files.deleteIfExists(p)
+      catch { case _: Exception => () } // best effort; files stay orphans
+    }
+  }
+
   /** Publish branch `name`: fast-forward main to the branch head in one
     * CAS'd commit, then retire the branch. Refuses when main advanced
     * past the fork point with DATA or MUTATE commits (diverged);
@@ -671,39 +702,18 @@ object ManifestTable {
         s"fast-forward of '$name' refused: markers appeared on $dir " +
           "since the fork — compact first")
     }
-    val mainData = Paths.get(dir, "data").toAbsolutePath.toString
     // branch-local files LINK (copy on filesystems without hard links)
     // into main — the branch keeps its own reference until dropBranch, so
-    // a crash anywhere in the publish window leaves BOTH sides intact:
-    // pre-CAS main-side links are vacuumable orphans and the branch stays
-    // readable/re-publishable; the old move-based publish stranded the
-    // branch (its manifest referenced files no longer in its data dir)
-    // with no repair path.
-    val linked = scala.collection.mutable.Buffer[Path]()
-    def unlink(): Unit = linked.reverse.foreach { p =>
-      try Files.deleteIfExists(p)
-      catch { case _: Exception => () } // best effort; files stay orphans
-    }
+    // a crash anywhere in the publish window leaves BOTH sides intact;
+    // the old move-based publish stranded the branch (its manifest
+    // referenced files no longer in its data dir) with no repair path.
+    // One fold for every name the publish carries: a reference back into
+    // main's own data dir becomes the relative name, a branch-LOCAL file
+    // links into main's data dir under its unique name, anything else
+    // stays an absolute reference (see [[BranchPublish]]).
+    val pub = new BranchPublish(dir, bd)
+    import pub.{fold, linkLocal, unlink}
     try {
-      // one fold for every name the publish carries: a reference back
-      // into main's own data dir becomes the relative name, a
-      // branch-LOCAL file links into main's data dir under its unique
-      // name, anything else stays an absolute reference
-      def fold(n: String): String =
-        if (n.startsWith(mainData + "/")) n.stripPrefix(mainData + "/")
-        else n
-      def linkLocal(n: String): Unit = if (!n.startsWith("/")) {
-        val src = Paths.get(bd, "data", n)
-        val dst = Paths.get(dir, "data", n)
-        Files.createDirectories(dst.getParent)
-        if (!Files.exists(dst)) {
-          try Files.createLink(dst, src)
-          catch { case _: UnsupportedOperationException =>
-            Files.copy(src, dst)
-          }
-          linked += dst
-        }
-      }
       val lines = listLines(bd, bv).map { l =>
         val parts = l.split('\t')
         val n = parts.head
@@ -746,13 +756,19 @@ object ManifestTable {
           }
         }
         if (commitMutate(dir, lines ++ dvFolded ++
-            renameLines(bd, bv) ++ meta, head)) committed = head + 1
+            renameLines(bd, bv) ++ meta, head)) {
+          committed = head + 1; pub.published = true
+        }
         else {
           attempt += 1
           if (attempt >= 10) { unlink(); refuseDiverged() }
         }
       }
-      dropBranch(dir, name)
+      // past this point the publish is COMMITTED: main's manifest now
+      // references the linked files, so no failure (including a
+      // dropBranch I/O error — the retire step is best-effort; a
+      // leftover branch is benign, re-droppable) may ever unlink them
+      try dropBranch(dir, name) catch { case _: Exception => () }
       committed
     } catch {
       case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
@@ -800,9 +816,8 @@ object ManifestTable {
     require(Files.exists(manifestPath(dir, base)),
       s"merge of branch '$name' refused: fork snapshot v$base of $dir " +
         "was expired — re-cut the branch")
-    val mainData = Paths.get(dir, "data").toAbsolutePath.toString
-    def fold(n: String): String =
-      if (n.startsWith(mainData + "/")) n.stripPrefix(mainData + "/") else n
+    val pub = new BranchPublish(dir, bd)
+    import pub.{fold, linkLocal, unlink}
     def nameOf(l: String): String = l.split('\t').head
 
     // the branch's file-level delta vs the fork snapshot, names folded
@@ -839,22 +854,6 @@ object ManifestTable {
     val bRen = renameLines(bd, bv)
     val branchRenChanged = bRen.toSet != baseRen
 
-    // branch-local files link into main (copy without hard-link support);
-    // pre-CAS links are vacuumable orphans on any failure path
-    val linked = scala.collection.mutable.Buffer[Path]()
-    def unlink(): Unit = linked.reverse.foreach { p =>
-      try Files.deleteIfExists(p) catch { case _: Exception => () }
-    }
-    def linkLocal(n: String): Unit = if (!n.startsWith("/")) {
-      val src = Paths.get(bd, "data", n)
-      val dst = Paths.get(dir, "data", n)
-      Files.createDirectories(dst.getParent)
-      if (!Files.exists(dst)) {
-        try Files.createLink(dst, src)
-        catch { case _: UnsupportedOperationException => Files.copy(src, dst) }
-        linked += dst
-      }
-    }
     try {
       branchAdded.map(nameOf).foreach(linkLocal)
       branchNewDvs.map(_.file).foreach(linkLocal)
@@ -901,7 +900,9 @@ object ManifestTable {
             counts = e.counts.filter { case (t, _) => mergedNames.contains(t) }))
           .filter(_.targets.nonEmpty)
         if (commitMutate(dir, mergedLines ++ mergedDvs.map(encodeDv) ++
-            mergedRen ++ mergedMeta, head)) committed = head + 1
+            mergedRen ++ mergedMeta, head)) {
+          committed = head + 1; pub.published = true
+        }
         else {
           attempt += 1
           if (attempt >= 10) {
@@ -912,7 +913,9 @@ object ManifestTable {
           }
         }
       }
-      dropBranch(dir, name)
+      // the retire step is best-effort: the publish is committed, a
+      // leftover branch is benign and re-droppable
+      try dropBranch(dir, name) catch { case _: Exception => () }
       committed
     } catch {
       case e: Throwable if !e.isInstanceOf[IllegalStateException] =>

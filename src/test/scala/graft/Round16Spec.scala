@@ -185,6 +185,14 @@ class Round16Spec extends AnyFunSuite {
     val cv = SparkEntry.queries("q_ml_cv")(spark, sf).head()
     assert(cv.getAs[Boolean]("reg_in_grid") && cv.getAs[Boolean]("en_in_grid")
       && cv.getAs[Boolean]("cv_rmse_ok"))
+    val gbt = SparkEntry.queries("q_ml_demand_gbt")(spark, sf).head()
+    val hours = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")),
+        org.apache.spark.sql.functions.col("event_type")).count().count()
+    assert(gbt.getAs[Long]("n_hours") == hours, "demand anchor")
+    assert(gbt.getAs[Boolean]("split_ok") && gbt.getAs[Boolean]("rmse_ok") &&
+      gbt.getAs[Boolean]("mae_le_rmse"))
   }
 
   test("bpe train oracle registers dynamically with the learned rules inline") {
