@@ -203,7 +203,9 @@ object Forecast {
       ($"n_train" + $"n_test").as("n_total"),
       (abs($"n_train".cast("double") / ($"n_train" + $"n_test") - 0.8) <= 0.02)
         .as("split_ok"),
-      ($"r2" >= 0.999).as("r2_ok"),
+      // NaN guard is load-bearing: Spark orders NaN GREATER than any
+      // double, so a degenerate fit's NaN R² would pass >= 0.999 alone
+      ($"r2" >= 0.999 && !isnan($"r2")).as("r2_ok"),
       ($"rmse" >= 0.0 && !isnan($"rmse")).as("rmse_ok"))
   }
 

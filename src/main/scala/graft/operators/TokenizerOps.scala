@@ -101,6 +101,13 @@ object TokenizerOps {
     * that picked any wrong pair (or miscounted) at any round diverges from
     * the oracle and fails the hash. */
   private def bpeTrainOracleSql(rules: Seq[(Int, String, String, Long)]): String = {
+    // precondition: corpus words must not contain U+0001 (the frame
+    // separator). The trainer treats such a char as an ordinary symbol,
+    // but the framed-replace restatement cannot represent it — unlike
+    // bpeEncode, which strips it on BOTH engines, the trainer's semantics
+    // cannot strip without changing its output. Holds for the fixtures
+    // (and any real text corpus); a violating corpus would fail the hash
+    // loudly, never silently pass.
     val sep = "chr(1)"
     def framedFor(prefix: Seq[(String, String)]): String = {
       val base = s"concat($sep, $sep, regexp_replace(w, '(.)', '\\1' || $sep || $sep, 'g'))"

@@ -34,29 +34,54 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def rootOf(catalog: String): Option[String] =
     graft.sources.GraftViews.rootOf(session, catalog)
 
-  private def nsOf(parts: Seq[String]): Seq[String] =
-    if (parts.length >= 3) parts.slice(1, parts.length - 1)
-    else Seq("default")
+  /** (catalog, namespace, root) for an identifier, resolving 1-part names
+    * against the session's CURRENT catalog/namespace — `USE graft_cat;
+    * CREATE VIEW v …` must route exactly like the fully-qualified form.
+    * None when the owning catalog is not a configured GraftCatalog. */
+  private def resolveIdent(parts: Seq[String])
+      : Option[(String, Seq[String], String)] = parts.length match {
+    case 1 =>
+      val cm = session.sessionState.catalogManager
+      val cat = cm.currentCatalog.name()
+      rootOf(cat).map { r =>
+        val ns = cm.currentNamespace.toSeq
+        (cat, if (ns.isEmpty) Seq("default") else ns, r)
+      }
+    case 2 | 3 =>
+      rootOf(parts.head).map(r =>
+        (parts.head,
+          if (parts.length == 3) Seq(parts(1)) else Seq("default"), r))
+    case _ => None
+  }
+
+  private def currentNs: Option[(Seq[String], String)] = {
+    val cm = session.sessionState.catalogManager
+    rootOf(cm.currentCatalog.name()).map { r =>
+      val ns = cm.currentNamespace.toSeq
+      (if (ns.isEmpty) Seq("default") else ns, r)
+    }
+  }
 
   private def route(plan: LogicalPlan): LogicalPlan = plan match {
     case cv: CreateView => cv.child match {
-      case UnresolvedIdentifier(parts, _) if parts.length >= 2 &&
-          parts.length <= 3 && rootOf(parts.head).isDefined =>
+      case UnresolvedIdentifier(parts, _) if parts.length <= 3 &&
+          resolveIdent(parts).isDefined =>
+        val (cat, ns, root) = resolveIdent(parts).get
         require(cv.userSpecifiedColumns.isEmpty,
           "CREATE VIEW with a column list is not supported for graft " +
             "views — alias the columns in the body query instead")
         val body = cv.originalText.getOrElse(throw new IllegalArgumentException(
           "CREATE VIEW without body text cannot persist"))
-        GraftCreateViewCommand(parts.head, rootOf(parts.head).get,
-          nsOf(parts), parts.last, body, cv.replace, cv.allowExisting,
+        GraftCreateViewCommand(cat, root, ns, parts.last, body,
+          cv.replace, cv.allowExisting,
           cv.properties ++ cv.comment.map("comment" -> _))
       case _ => cv
     }
     case dv: DropView => dv.child match {
-      case UnresolvedIdentifier(parts, _) if parts.length >= 2 &&
-          parts.length <= 3 && rootOf(parts.head).isDefined =>
-        GraftDropViewCommand(rootOf(parts.head).get, nsOf(parts),
-          parts.last, dv.ifExists)
+      case UnresolvedIdentifier(parts, _) if parts.length <= 3 &&
+          resolveIdent(parts).isDefined =>
+        val (_, ns, root) = resolveIdent(parts).get
+        GraftDropViewCommand(root, ns, parts.last, dv.ifExists)
       case _ => dv
     }
     case sv: ShowViews => sv.child match {
@@ -65,6 +90,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftShowViewsCommand(rootOf(parts.head).get,
           if (parts.length >= 2) parts.tail else Seq("default"),
           sv.pattern, sv.output)
+      // bare `SHOW VIEWS` under `USE <graft-catalog>`
+      case org.apache.spark.sql.catalyst.analysis.CurrentNamespace
+          if currentNs.isDefined =>
+        val (ns, root) = currentNs.get
+        GraftShowViewsCommand(root, ns, sv.pattern, sv.output)
       case _ => sv
     }
     case p => p

@@ -889,13 +889,20 @@ object ManifestTable {
         val mergedMeta = if (branchMetaChanged) bMeta
           else carriedMeta(dir, head)
         val mergedRen = if (branchRenChanged) bRen else mainRen
+        // idempotence: a re-run after a crashed/failed retire sees its
+        // own prior publish on main — lines and markers the head already
+        // carries must not append twice (names are unique, so presence
+        // means already-published, never a collision)
         val mergedLines = mainLines.filterNot(l =>
-          branchRemoved.contains(nameOf(l))) ++ branchAdded
+          branchRemoved.contains(nameOf(l))) ++
+          branchAdded.filterNot(l => mainNames.contains(nameOf(l)))
         val mergedNames = mergedLines.map(nameOf).toSet
         // markers whose targets left the snapshot are moot — prune them
         // (their doomed rows were materialized away by whichever side
         // removed the target)
-        val mergedDvs = (mainDvs ++ branchNewDvs)
+        val mainDvEnc = mainDvs.map(encodeDv).toSet
+        val mergedDvs = (mainDvs ++
+            branchNewDvs.filterNot(e => mainDvEnc.contains(encodeDv(e))))
           .map(e => e.copy(targets = e.targets.filter(mergedNames.contains),
             counts = e.counts.filter { case (t, _) => mergedNames.contains(t) }))
           .filter(_.targets.nonEmpty)

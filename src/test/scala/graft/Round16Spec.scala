@@ -244,6 +244,16 @@ class Round16Spec extends AnyFunSuite {
     // session-catalog view statements are untouched by the router
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW r16_tmpv AS SELECT 7 AS x")
     assert(spark.sql("SELECT x FROM r16_tmpv").head().getInt(0) == 7)
+    // 1-part names and bare SHOW VIEWS route against the CURRENT catalog
+    try {
+      spark.sql("USE g16v.default")
+      spark.sql("CREATE VIEW small AS SELECT k FROM g16v.default.t WHERE k = 1")
+      assert(spark.sql("SHOW VIEWS").collect()
+        .exists(_.getString(1) == "small"))
+      assert(spark.sql("SELECT k FROM g16v.default.small")
+        .head().getLong(0) == 1L)
+      spark.sql("DROP VIEW small")
+    } finally spark.sql("USE spark_catalog.default")
   }
 
   test("doc gates: unit-norm flags and the tfidf recall floor hold") {
