@@ -62,26 +62,39 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
   }
 
+  /** Whether a 1-part name resolves to a session temp view — Spark's
+    * DROP VIEW gives temp views PRECEDENCE over catalog objects, so a
+    * 1-part drop with a matching temp view must pass through to the
+    * delegate untouched (routing it would delete the wrong object). */
+  private def isTempView(name: String): Boolean =
+    session.sessionState.catalog.getRawTempView(name).isDefined
+
   private def route(plan: LogicalPlan): LogicalPlan = plan match {
     case cv: CreateView => cv.child match {
-      case UnresolvedIdentifier(parts, _) if parts.length <= 3 &&
-          resolveIdent(parts).isDefined =>
-        val (cat, ns, root) = resolveIdent(parts).get
-        require(cv.userSpecifiedColumns.isEmpty,
-          "CREATE VIEW with a column list is not supported for graft " +
-            "views — alias the columns in the body query instead")
-        val body = cv.originalText.getOrElse(throw new IllegalArgumentException(
-          "CREATE VIEW without body text cannot persist"))
-        GraftCreateViewCommand(cat, root, ns, parts.last, body,
-          cv.replace, cv.allowExisting,
-          cv.properties ++ cv.comment.map("comment" -> _))
+      case UnresolvedIdentifier(parts, _) if parts.length <= 3 =>
+        resolveIdent(parts) match {
+          case Some((cat, ns, root)) =>
+            require(cv.userSpecifiedColumns.isEmpty,
+              "CREATE VIEW with a column list is not supported for graft " +
+                "views — alias the columns in the body query instead")
+            val body = cv.originalText.getOrElse(
+              throw new IllegalArgumentException(
+                "CREATE VIEW without body text cannot persist"))
+            GraftCreateViewCommand(cat, root, ns, parts.last, body,
+              cv.replace, cv.allowExisting,
+              cv.properties ++ cv.comment.map("comment" -> _))
+          case None => cv
+        }
       case _ => cv
     }
     case dv: DropView => dv.child match {
       case UnresolvedIdentifier(parts, _) if parts.length <= 3 &&
-          resolveIdent(parts).isDefined =>
-        val (_, ns, root) = resolveIdent(parts).get
-        GraftDropViewCommand(root, ns, parts.last, dv.ifExists)
+          !(parts.length == 1 && isTempView(parts.head)) =>
+        resolveIdent(parts) match {
+          case Some((_, ns, root)) =>
+            GraftDropViewCommand(root, ns, parts.last, dv.ifExists)
+          case None => dv
+        }
       case _ => dv
     }
     case sv: ShowViews => sv.child match {
@@ -158,17 +171,22 @@ case class GraftDropViewCommand(root: String, ns: Seq[String], name: String,
   }
 }
 
-/** `SHOW VIEWS IN <graft-catalog>[.<ns>] [LIKE 'pattern']` — serves the
-  * standard (namespace, viewName, isTemporary) shape from the stored
-  * documents; persistent graft views are never temporary. */
+/** `SHOW VIEWS IN <graft-catalog>[.<ns>] [LIKE 'pattern']` — the standard
+  * (namespace, viewName, isTemporary) shape: stored documents first
+  * (never temporary), then the session's LOCAL temp views, which Spark's
+  * SHOW VIEWS contract always includes regardless of the namespace
+  * argument. */
 case class GraftShowViewsCommand(root: String, ns: Seq[String],
     pattern: Option[String], override val output: Seq[Attribute])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    val names = graft.sources.GraftViews.list(root, ns)
-    pattern.fold(names)(p =>
+    def filt(names: Seq[String]): Seq[String] =
+      pattern.fold(names)(p =>
         org.apache.spark.sql.catalyst.util.StringUtils
           .filterPattern(names, p))
-      .map(n => Row(ns.mkString("."), n, false))
+    filt(graft.sources.GraftViews.list(root, ns))
+      .map(n => Row(ns.mkString("."), n, false)) ++
+      filt(session.sessionState.catalog.getTempViewNames().sorted)
+        .map(n => Row("", n, true))
   }
 }

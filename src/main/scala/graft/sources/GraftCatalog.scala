@@ -120,21 +120,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(ident.namespace())
     // persist the CREATION-time catalog decisions for 2-part heads
-    // (resolution replays them verbatim — see CrossCatalogHeadsProp)
-    val heads = try {
+    // (resolution replays them verbatim — see CrossCatalogHeadsProp). A
+    // body the plain parser cannot parse gets NO property (key presence
+    // marks the set authoritative — an empty set stored on a parse
+    // failure would silently re-qualify genuine cross-catalog heads);
+    // resolution then falls back to the reader-conf probe.
+    val heads: Option[String] = try {
       val sess = org.apache.spark.sql.SparkSession.active
-      GraftViews.crossCatalogHeads(
+      Some(GraftViews.crossCatalogHeads(
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parsePlan(info.sql()),
         n => n == "spark_catalog" ||
           sess.conf.getOption(s"spark.sql.catalog.$n").isDefined)
+        .mkString(","))
     } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-      Seq.empty[String]
+      None
     }
     val sv = GraftViews.StoredView(info.sql(), info.schema(),
       info.currentCatalog(), info.currentNamespace().toSeq,
-      info.properties().asScala.toMap +
-        (GraftViews.CrossCatalogHeadsProp -> heads.mkString(",")))
+      info.properties().asScala.toMap ++
+        heads.map(GraftViews.CrossCatalogHeadsProp -> _))
     try GraftViews.write(root, ident.namespace().toSeq, ident.name(), sv,
       replace = false)
     catch { case _: java.nio.file.FileAlreadyExistsException =>

@@ -847,8 +847,22 @@ object ManifestTable {
     val branchNewDvs = bDvFolded.filterNot(e => baseDvEnc.contains(encodeDv(e)))
     val branchTouched = branchRemoved ++
       branchNewDvs.flatMap(_.targets).filter(baseNames.contains)
-    val baseMeta = carriedMeta(dir, base).toSet
-    val bMeta = carriedMeta(bd, bv).filterNot(_.contains(BranchBaseProp))
+    // metadata compares EXCLUDE streaming #epoch high-waters: an epoch
+    // watermark landing on either side is a sink progress marker, not a
+    // metadata edit (counting it would spuriously block every merge into
+    // a streaming-fed table); epochs merge per-queryId by MAX instead.
+    def nonEpoch(lines: Seq[String]): Seq[String] =
+      lines.filterNot(_.startsWith(EpochPrefix))
+    def epochMap(lines: Seq[String]): Map[String, Long] =
+      lines.filter(_.startsWith(EpochPrefix)).flatMap { l =>
+        l.split('\t') match {
+          case Array(_, qid, eid) => eid.toLongOption.map(qid -> _)
+          case _ => None
+        }
+      }.toMap
+    val baseMeta = nonEpoch(carriedMeta(dir, base)).toSet
+    val bMetaAll = carriedMeta(bd, bv).filterNot(_.contains(BranchBaseProp))
+    val bMeta = nonEpoch(bMetaAll)
     val branchMetaChanged = bMeta.toSet != baseMeta
     val baseRen = renameLines(dir, base).toSet
     val bRen = renameLines(bd, bv)
@@ -865,6 +879,24 @@ object ManifestTable {
         val mainLines = listLines(dir, head)
         val mainNames = mainLines.map(nameOf).toSet
         val mainDvs = dvEntries(dir, head)
+        val mainDvEnc = mainDvs.map(encodeDv).toSet
+        val mainMetaAll = carriedMeta(dir, head)
+        val mainMeta = nonEpoch(mainMetaAll)
+        val mainRen = renameLines(dir, head)
+        // IDEMPOTENT RE-RUN: after a crashed/failed retire the branch is
+        // still listed but its whole delta already sits on main (our own
+        // prior publish) — retire and return the head instead of refusing
+        // on a "conflict" with our own commit or appending lines twice
+        val alreadyApplied =
+          branchAdded.forall(l => mainNames.contains(nameOf(l))) &&
+          branchRemoved.forall(n => !mainNames.contains(n)) &&
+          branchNewDvs.forall(e => mainDvEnc.contains(encodeDv(e))) &&
+          (!branchMetaChanged || mainMeta.toSet == bMeta.toSet) &&
+          (!branchRenChanged || mainRen.toSet == bRen.toSet)
+        if (alreadyApplied) {
+          pub.published = true // any linked files belong to main already
+          committed = head
+        } else {
         val mainTouched = (baseNames -- mainNames) ++
           mainDvs.filterNot(e => baseDvEnc.contains(encodeDv(e)))
             .flatMap(_.targets).filter(baseNames.contains)
@@ -877,8 +909,7 @@ object ManifestTable {
               s"fork v$base — one side's rows would be silently discarded; " +
               "re-cut the branch and replay")
         }
-        val mainMetaChanged = carriedMeta(dir, head).toSet != baseMeta
-        val mainRen = renameLines(dir, head)
+        val mainMetaChanged = mainMeta.toSet != baseMeta
         if ((branchMetaChanged || branchRenChanged) &&
             (mainMetaChanged || mainRen.toSet != baseRen)) {
           unlink()
@@ -886,23 +917,22 @@ object ManifestTable {
             s"merge of branch '$name' refused: both sides changed table " +
               s"metadata since fork v$base — re-cut the branch")
         }
-        val mergedMeta = if (branchMetaChanged) bMeta
-          else carriedMeta(dir, head)
+        // sink high-waters merge by per-queryId MAX (monotone — a replayed
+        // epoch below either side's marker still no-ops after the merge)
+        val mergedEpochs = (epochMap(mainMetaAll).toSeq ++
+            epochMap(bMetaAll).toSeq)
+          .groupMapReduce(_._1)(_._2)(math.max)
+          .toSeq.sortBy(_._1).map { case (q, e) => s"$EpochPrefix$q\t$e" }
+        val mergedMeta =
+          (if (branchMetaChanged) bMeta else mainMeta) ++ mergedEpochs
         val mergedRen = if (branchRenChanged) bRen else mainRen
-        // idempotence: a re-run after a crashed/failed retire sees its
-        // own prior publish on main — lines and markers the head already
-        // carries must not append twice (names are unique, so presence
-        // means already-published, never a collision)
         val mergedLines = mainLines.filterNot(l =>
-          branchRemoved.contains(nameOf(l))) ++
-          branchAdded.filterNot(l => mainNames.contains(nameOf(l)))
+          branchRemoved.contains(nameOf(l))) ++ branchAdded
         val mergedNames = mergedLines.map(nameOf).toSet
         // markers whose targets left the snapshot are moot — prune them
         // (their doomed rows were materialized away by whichever side
         // removed the target)
-        val mainDvEnc = mainDvs.map(encodeDv).toSet
-        val mergedDvs = (mainDvs ++
-            branchNewDvs.filterNot(e => mainDvEnc.contains(encodeDv(e))))
+        val mergedDvs = (mainDvs ++ branchNewDvs)
           .map(e => e.copy(targets = e.targets.filter(mergedNames.contains),
             counts = e.counts.filter { case (t, _) => mergedNames.contains(t) }))
           .filter(_.targets.nonEmpty)
@@ -919,6 +949,7 @@ object ManifestTable {
                 "retry under less contention")
           }
         }
+        } // end !alreadyApplied
       }
       // the retire step is best-effort: the publish is committed, a
       // leftover branch is benign and re-droppable

@@ -53,6 +53,52 @@ class Round16Spec extends AnyFunSuite {
       "branch must retire after a successful merge")
   }
 
+  test("merge_branch re-run after a crashed retire is a no-op, not a refusal") {
+    import java.nio.file.{Files, Path, Paths}
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+      }
+    }
+    val root = freshDir("rerun")
+    val dir = s"$root/t"
+    ManifestTable.destroy(dir)
+    spark.conf.set("spark.sql.catalog.g16r",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16r.root", root)
+    spark.sql("""CREATE TABLE g16r.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g16r.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("CALL g16r.system.branch(table => 't', name => 'fix')")
+    spark.sql("""INSERT INTO g16r.default.t
+      SELECT id, CAST(id AS DOUBLE) FROM range(200, 205)""")
+    // a DML branch: removals AND new deletion vectors in the delta
+    spark.sql("DELETE FROM g16r.default.`t@fix` WHERE k < 5")
+    spark.sql("""INSERT INTO g16r.default.`t@fix`
+      SELECT id, CAST(id AS DOUBLE) FROM range(100, 105)""")
+    val bd = Paths.get(ManifestTable.branchDir(dir, "fix"))
+    val saved = Paths.get(s"$root/.saved_branch")
+    copyTree(bd, saved)
+    spark.sql("CALL g16r.system.merge_branch(table => 't', name => 'fix')")
+    val v1 = ManifestTable.currentVersion(dir)
+    val want = spark.sql("SELECT k FROM g16r.default.t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // simulate a crash BETWEEN the publish CAS and the retire: the branch
+    // directory is still on disk while main already carries the delta
+    copyTree(saved, bd)
+    spark.sql("CALL g16r.system.merge_branch(table => 't', name => 'fix')")
+    assert(ManifestTable.currentVersion(dir) == v1,
+      "re-running a fully-applied merge must not commit")
+    val got = spark.sql("SELECT k FROM g16r.default.t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "re-run must not duplicate or drop rows")
+    assert(ManifestTable.currentVersion(bd.toString) < 0,
+      "the re-run must retire the stranded branch")
+  }
+
   test("merge_branch refuses with the conflict list when both sides touch a file") {
     val root = freshDir("cfl")
     ManifestTable.destroy(s"$root/t")
