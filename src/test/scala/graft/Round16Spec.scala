@@ -286,7 +286,11 @@ class Round16Spec extends AnyFunSuite {
     spark.sql("DROP VIEW g16v.default.big")
     intercept[Exception] { spark.sql("DROP VIEW g16v.default.big") }
     spark.sql("DROP VIEW IF EXISTS g16v.default.big")
-    assert(spark.sql("SHOW VIEWS IN g16v.default").collect().isEmpty)
+    // only the PERSISTENT rows are gone — SHOW VIEWS still lists the
+    // session's temp views (the SQL contract), which the shared test
+    // session accumulates from other suites
+    assert(spark.sql("SHOW VIEWS IN g16v.default").collect()
+      .filterNot(_.getBoolean(2)).isEmpty)
     // session-catalog view statements are untouched by the router
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW r16_tmpv AS SELECT 7 AS x")
     assert(spark.sql("SELECT x FROM r16_tmpv").head().getInt(0) == 7)
