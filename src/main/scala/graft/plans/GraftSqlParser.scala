@@ -34,32 +34,41 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def rootOf(catalog: String): Option[String] =
     graft.sources.GraftViews.rootOf(session, catalog)
 
-  /** (catalog, namespace, root) for an identifier, resolving 1-part names
-    * against the session's CURRENT catalog/namespace — `USE graft_cat;
-    * CREATE VIEW v …` must route exactly like the fully-qualified form.
-    * None when the owning catalog is not a configured GraftCatalog. */
-  private def resolveIdent(parts: Seq[String])
-      : Option[(String, Seq[String], String)] = parts.length match {
-    case 1 =>
-      val cm = session.sessionState.catalogManager
-      val cat = cm.currentCatalog.name()
-      rootOf(cat).map { r =>
-        val ns = cm.currentNamespace.toSeq
-        (cat, if (ns.isEmpty) Seq("default") else ns, r)
-      }
-    case 2 | 3 =>
-      rootOf(parts.head).map(r =>
-        (parts.head,
-          if (parts.length == 3) Seq(parts(1)) else Seq("default"), r))
-    case _ => None
+  /** Whether `n` names ANY configured catalog — Spark resolves multipart
+    * names catalog-FIRST, so a head that is some other catalog must never
+    * fall back to namespace-in-current-catalog routing. */
+  private def isAnyCatalog(n: String): Boolean =
+    n == "spark_catalog" ||
+      session.conf.getOption(s"spark.sql.catalog.$n").isDefined
+
+  /** The session's current (catalog, namespace, root) iff the current
+    * catalog is a configured GraftCatalog. */
+  private def currentGraft: Option[(String, Seq[String], String)] = {
+    val cm = session.sessionState.catalogManager
+    val cat = cm.currentCatalog.name()
+    rootOf(cat).map { r =>
+      val ns = cm.currentNamespace.toSeq
+      (cat, if (ns.isEmpty) Seq("default") else ns, r)
+    }
   }
 
-  private def currentNs: Option[(Seq[String], String)] = {
-    val cm = session.sessionState.catalogManager
-    rootOf(cm.currentCatalog.name()).map { r =>
-      val ns = cm.currentNamespace.toSeq
-      (if (ns.isEmpty) Seq("default") else ns, r)
-    }
+  /** (catalog, namespace, root) for an identifier, with Spark's
+    * catalog-first multipart semantics: a graft-catalog head routes
+    * verbatim; a head that is no catalog at all resolves against the
+    * session's CURRENT catalog (1-part = current namespace, 2-part =
+    * the head as a namespace) — `USE graft_cat; CREATE VIEW [ns.]v …`
+    * must route exactly like the fully-qualified form. None when the
+    * owning catalog is not a configured GraftCatalog. */
+  private def resolveIdent(parts: Seq[String])
+      : Option[(String, Seq[String], String)] = parts.length match {
+    case 1 => currentGraft
+    case 2 =>
+      rootOf(parts.head).map(r => (parts.head, Seq("default"), r))
+        .orElse(if (isAnyCatalog(parts.head)) None
+          else currentGraft.map { case (cat, _, r) =>
+            (cat, Seq(parts.head), r) })
+    case 3 => rootOf(parts.head).map(r => (parts.head, Seq(parts(1)), r))
+    case _ => None
   }
 
   /** Whether a 1-part name resolves to a session temp view — Spark's
@@ -98,15 +107,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ => dv
     }
     case sv: ShowViews => sv.child match {
-      case UnresolvedNamespace(parts, _) if parts.nonEmpty &&
-          rootOf(parts.head).isDefined =>
-        GraftShowViewsCommand(rootOf(parts.head).get,
-          if (parts.length >= 2) parts.tail else Seq("default"),
-          sv.pattern, sv.output)
+      case UnresolvedNamespace(parts, _) if parts.nonEmpty =>
+        rootOf(parts.head)
+          .map(r => (r, if (parts.length >= 2) parts.tail
+            else Seq("default")))
+          // `SHOW VIEWS IN <ns>` where <ns> is no catalog: the namespace
+          // resolves against the CURRENT catalog (catalog-first rule)
+          .orElse(if (isAnyCatalog(parts.head)) None
+            else currentGraft.map { case (_, _, r) => (r, parts) })
+          .map { case (root, ns) =>
+            GraftShowViewsCommand(root, ns, sv.pattern, sv.output) }
+          .getOrElse(sv)
       // bare `SHOW VIEWS` under `USE <graft-catalog>`
       case org.apache.spark.sql.catalyst.analysis.CurrentNamespace
-          if currentNs.isDefined =>
-        val (ns, root) = currentNs.get
+          if currentGraft.isDefined =>
+        val (_, ns, root) = currentGraft.get
         GraftShowViewsCommand(root, ns, sv.pattern, sv.output)
       case _ => sv
     }

@@ -695,6 +695,29 @@ object ManifestTable {
     // work is discarded, never its data). Any data/mutate commit refuses.
     val headNow = currentVersion(dir)
     if (headNow != base) {
+      // CRASHED-RETIRE RE-RUN: the publish replaced main's file list
+      // wholesale, so if main's head IS the branch head (positive
+      // signal: the branch's unique LOCAL names are on main) the prior
+      // run already published — retire and return instead of refusing
+      // against our own commit
+      val bLocal = listLines(bd, bv).map(_.split('\t').head)
+        .filterNot(_.startsWith("/")).toSet
+      val mainDataAbs = Paths.get(dir, "data").toAbsolutePath.toString
+      def foldN(n: String): String =
+        if (n.startsWith(mainDataAbs + "/")) n.stripPrefix(mainDataAbs + "/")
+        else n
+      val mainNamesNow = listLines(dir, headNow).map(_.split('\t').head).toSet
+      val appliedAlready = bLocal.nonEmpty &&
+        listLines(bd, bv).map(l => foldN(l.split('\t').head)).toSet ==
+          mainNamesNow &&
+        dvEntries(dir, headNow).map(encodeDv).toSet ==
+          dvEntries(bd, bv).map(e => encodeDv(DvEntry(foldN(e.file), e.col,
+            e.targets.map(foldN),
+            e.counts.map { case (t, c) => foldN(t) -> c }))).toSet
+      if (appliedAlready) {
+        try dropBranch(dir, name) catch { case _: Exception => () }
+        return headNow
+      }
       val onlyRewrites = (base + 1 to headNow).forall(v =>
         Files.exists(manifestPath(dir, v)) && isRewrite(dir, v))
       if (!onlyRewrites) refuseDiverged()
@@ -886,11 +909,20 @@ object ManifestTable {
         // IDEMPOTENT RE-RUN: after a crashed/failed retire the branch is
         // still listed but its whole delta already sits on main (our own
         // prior publish) — retire and return the head instead of refusing
-        // on a "conflict" with our own commit or appending lines twice
-        val alreadyApplied =
+        // on a "conflict" with our own commit or appending lines twice.
+        // The POSITIVE signal is required: branch-added files / markers
+        // carry unique names, so their presence on main proves OUR
+        // atomic publish landed (and with it the whole delta). Negative
+        // conditions alone (removals absent) are ambiguous — main may
+        // have removed the same files INDEPENDENTLY (compaction, its own
+        // DML), and a removal-only delta must keep falling through to
+        // the conflict refusal, never silently retire.
+        val positiveSignal =
+          (branchAdded.nonEmpty || branchNewDvs.nonEmpty) &&
           branchAdded.forall(l => mainNames.contains(nameOf(l))) &&
+          branchNewDvs.forall(e => mainDvEnc.contains(encodeDv(e)))
+        val alreadyApplied = positiveSignal &&
           branchRemoved.forall(n => !mainNames.contains(n)) &&
-          branchNewDvs.forall(e => mainDvEnc.contains(encodeDv(e))) &&
           (!branchMetaChanged || mainMeta.toSet == bMeta.toSet) &&
           (!branchRenChanged || mainRen.toSet == bRen.toSet)
         if (alreadyApplied) {

@@ -99,6 +99,65 @@ class Round16Spec extends AnyFunSuite {
       "the re-run must retire the stranded branch")
   }
 
+  test("a removal-only branch delta never passes for already-applied") {
+    // the ambiguity the positive-signal rule exists for: main removed the
+    // same fork file INDEPENDENTLY (its own COW delete), so the branch's
+    // delete-everything delta looks "applied" by negative space — the
+    // merge must refuse with the conflict, never silently retire
+    val root = freshDir("negsp")
+    ManifestTable.destroy(s"$root/t")
+    spark.conf.set("spark.sql.catalog.g16n",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16n.root", root)
+    spark.sql("CREATE TABLE g16n.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO g16n.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("CALL g16n.system.branch(table => 't', name => 'wipe')")
+    spark.sql("DELETE FROM g16n.default.t WHERE k < 5") // COW: rewrites the file
+    spark.sql("DELETE FROM g16n.default.`t@wipe` WHERE k >= 0") // removal-only delta
+    val e = intercept[Exception] {
+      spark.sql("CALL g16n.system.merge_branch(table => 't', name => 'wipe')")
+    }
+    assert(e.getMessage.contains("both sides touched"),
+      s"removal-only delta must refuse, got: ${e.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM g16n.default.t")
+      .head().getLong(0) == 15L, "main must keep its own survivors")
+  }
+
+  test("fastforward re-run after a crashed retire returns the head and retires") {
+    import java.nio.file.{Files, Path, Paths}
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+      }
+    }
+    val root = freshDir("ffrr")
+    val dir = s"$root/t"
+    ManifestTable.destroy(dir)
+    spark.conf.set("spark.sql.catalog.g16w",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16w.root", root)
+    spark.sql("CREATE TABLE g16w.default.t (k BIGINT)")
+    spark.sql("INSERT INTO g16w.default.t SELECT id FROM range(0, 10)")
+    spark.sql("CALL g16w.system.branch(table => 't', name => 'wap')")
+    spark.sql("INSERT INTO g16w.default.`t@wap` SELECT id FROM range(10, 15)")
+    val bd = Paths.get(ManifestTable.branchDir(dir, "wap"))
+    val saved = Paths.get(s"$root/.saved_ff")
+    copyTree(bd, saved)
+    spark.sql("CALL g16w.system.fastforward(table => 't', name => 'wap')")
+    val v1 = ManifestTable.currentVersion(dir)
+    copyTree(saved, bd) // crash window: published but never retired
+    spark.sql("CALL g16w.system.fastforward(table => 't', name => 'wap')")
+    assert(ManifestTable.currentVersion(dir) == v1,
+      "re-running a landed publish must not commit")
+    assert(spark.sql("SELECT count(*) FROM g16w.default.t")
+      .head().getLong(0) == 15L)
+    assert(ManifestTable.currentVersion(bd.toString) < 0,
+      "the re-run must retire the stranded branch")
+  }
+
   test("merge_branch refuses with the conflict list when both sides touch a file") {
     val root = freshDir("cfl")
     ManifestTable.destroy(s"$root/t")
@@ -294,7 +353,8 @@ class Round16Spec extends AnyFunSuite {
     // session-catalog view statements are untouched by the router
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW r16_tmpv AS SELECT 7 AS x")
     assert(spark.sql("SELECT x FROM r16_tmpv").head().getInt(0) == 7)
-    // 1-part names and bare SHOW VIEWS route against the CURRENT catalog
+    // 1-part, 2-part (<ns>.<view>) and bare SHOW VIEWS all route against
+    // the CURRENT catalog (Spark's catalog-first multipart rule)
     try {
       spark.sql("USE g16v.default")
       spark.sql("CREATE VIEW small AS SELECT k FROM g16v.default.t WHERE k = 1")
@@ -303,6 +363,13 @@ class Round16Spec extends AnyFunSuite {
       assert(spark.sql("SELECT k FROM g16v.default.small")
         .head().getLong(0) == 1L)
       spark.sql("DROP VIEW small")
+      spark.sql("CREATE VIEW default.small2 AS " +
+        "SELECT k FROM g16v.default.t WHERE k = 2")
+      assert(spark.sql("SELECT k FROM g16v.default.small2")
+        .head().getLong(0) == 2L)
+      assert(spark.sql("SHOW VIEWS IN default").collect()
+        .exists(_.getString(1) == "small2"))
+      spark.sql("DROP VIEW default.small2")
     } finally spark.sql("USE spark_catalog.default")
   }
 
