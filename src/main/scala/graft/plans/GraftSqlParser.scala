@@ -34,11 +34,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def rootOf(catalog: String): Option[String] =
     graft.sources.GraftViews.rootOf(session, catalog)
 
-  /** Whether `n` names ANY configured catalog — Spark resolves multipart
-    * names catalog-FIRST, so a head that is some other catalog must never
-    * fall back to namespace-in-current-catalog routing. */
+  /** Whether `n` is RESERVED in Spark's multipart resolution order —
+    * any configured catalog (catalog-first rule) or the global-temp
+    * database (which resolves BEFORE catalogs): such a head must never
+    * fall back to namespace-in-current-catalog routing, or
+    * `global_temp.v` / `other_cat.ns.t` statements would be hijacked. */
   private def isAnyCatalog(n: String): Boolean =
     n == "spark_catalog" ||
+      n.equalsIgnoreCase(session.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.StaticSQLConf.GLOBAL_TEMP_DATABASE)) ||
       session.conf.getOption(s"spark.sql.catalog.$n").isDefined
 
   /** The session's current (catalog, namespace, root) iff the current
@@ -78,6 +82,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def isTempView(name: String): Boolean =
     session.sessionState.catalog.getRawTempView(name).isDefined
 
+  /** The owning catalog name for a ShowViews routing decision: the
+    * explicit head when it is a graft catalog, else the current one. */
+  private def catFor(parts: Seq[String], ns: Seq[String]): String =
+    if (rootOf(parts.head).isDefined) parts.head
+    else session.sessionState.catalogManager.currentCatalog.name()
+
   private def route(plan: LogicalPlan): LogicalPlan = plan match {
     case cv: CreateView => cv.child match {
       case UnresolvedIdentifier(parts, _) if parts.length <= 3 =>
@@ -116,13 +126,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           .orElse(if (isAnyCatalog(parts.head)) None
             else currentGraft.map { case (_, _, r) => (r, parts) })
           .map { case (root, ns) =>
-            GraftShowViewsCommand(root, ns, sv.pattern, sv.output) }
+            GraftShowViewsCommand(catFor(parts, ns), root, ns,
+              sv.pattern, sv.output) }
           .getOrElse(sv)
       // bare `SHOW VIEWS` under `USE <graft-catalog>`
       case org.apache.spark.sql.catalyst.analysis.CurrentNamespace
           if currentGraft.isDefined =>
-        val (_, ns, root) = currentGraft.get
-        GraftShowViewsCommand(root, ns, sv.pattern, sv.output)
+        val (cat, ns, root) = currentGraft.get
+        GraftShowViewsCommand(cat, root, ns, sv.pattern, sv.output)
       case _ => sv
     }
     case p => p
@@ -191,10 +202,13 @@ case class GraftDropViewCommand(root: String, ns: Seq[String], name: String,
   * (never temporary), then the session's LOCAL temp views, which Spark's
   * SHOW VIEWS contract always includes regardless of the namespace
   * argument. */
-case class GraftShowViewsCommand(root: String, ns: Seq[String],
-    pattern: Option[String], override val output: Seq[Attribute])
+case class GraftShowViewsCommand(catalogName: String, root: String,
+    ns: Seq[String], pattern: Option[String],
+    override val output: Seq[Attribute])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    // a typo'd namespace must raise SCHEMA_NOT_FOUND, not read as empty
+    graft.sources.GraftViews.namespaceCheck(session, catalogName, ns)
     def filt(names: Seq[String]): Seq[String] =
       pattern.fold(names)(p =>
         org.apache.spark.sql.catalyst.util.StringUtils

@@ -987,6 +987,11 @@ private[graft] object GraftViewDdl {
       root: String, ns: Seq[String], nm: String, sql: String,
       replace: Boolean, extraProps: Map[String, String] = Map.empty): Unit = {
     val full = (ns :+ nm).mkString(".")
+    // the target namespace must exist (the SPI createView checks this;
+    // the procedure/SQL surfaces must not silently mint one) — resolved
+    // through the catalog's own namespaceExists, not a raw directory
+    // probe (a table directory is not a namespace)
+    GraftViews.namespaceCheck(s, catalogName, ns)
     // a view is a QUERY by definition — refuse commands/DML (a
     // stored CALL or INSERT would side-effect on every read)
     require(sql.trim.toLowerCase.matches("(?s)^(select|with|values)\\b.*"),

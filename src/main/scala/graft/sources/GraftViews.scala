@@ -176,6 +176,21 @@ private[graft] object GraftViews {
       .flatMap(_ =>
         session.conf.getOption(s"spark.sql.catalog.$catalog.root"))
 
+  /** Throw NoSuchNamespaceException unless `ns` exists in the named
+    * catalog — resolved through the live catalog instance's own
+    * `namespaceExists` (marker-aware; a table directory is not a
+    * namespace). Shared by the view DDL surfaces so none can silently
+    * mint a namespace the SPI would refuse. */
+  def namespaceCheck(s: org.apache.spark.sql.SparkSession,
+      catalogName: String, ns: Seq[String]): Unit =
+    s.sessionState.catalogManager.catalog(catalogName) match {
+      case sn: org.apache.spark.sql.connector.catalog.SupportsNamespaces
+          if !sn.namespaceExists(ns.toArray) =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchNamespaceException(ns.toArray)
+      case _ => ()
+    }
+
   /** Property key recording which 2-part relation heads in the body
     * resolved as CATALOGS under the creating session's conf. Resolution
     * replays these stored decisions verbatim instead of re-probing the

@@ -694,26 +694,25 @@ object ManifestTable {
     // publish replaces the file list wholesale anyway (main's compaction
     // work is discarded, never its data). Any data/mutate commit refuses.
     val headNow = currentVersion(dir)
+    val pub = new BranchPublish(dir, bd)
+    val bLines = listLines(bd, bv)
+    val bDvRaw = dvEntries(bd, bv)
+    def foldDv(e: DvEntry): DvEntry = DvEntry(pub.fold(e.file), e.col,
+      e.targets.map(pub.fold),
+      e.counts.map { case (t, c) => pub.fold(t) -> c })
     if (headNow != base) {
       // CRASHED-RETIRE RE-RUN: the publish replaced main's file list
       // wholesale, so if main's head IS the branch head (positive
       // signal: the branch's unique LOCAL names are on main) the prior
       // run already published — retire and return instead of refusing
       // against our own commit
-      val bLocal = listLines(bd, bv).map(_.split('\t').head)
+      val bLocal = bLines.map(_.split('\t').head)
         .filterNot(_.startsWith("/")).toSet
-      val mainDataAbs = Paths.get(dir, "data").toAbsolutePath.toString
-      def foldN(n: String): String =
-        if (n.startsWith(mainDataAbs + "/")) n.stripPrefix(mainDataAbs + "/")
-        else n
       val mainNamesNow = listLines(dir, headNow).map(_.split('\t').head).toSet
       val appliedAlready = bLocal.nonEmpty &&
-        listLines(bd, bv).map(l => foldN(l.split('\t').head)).toSet ==
-          mainNamesNow &&
+        bLines.map(l => pub.fold(l.split('\t').head)).toSet == mainNamesNow &&
         dvEntries(dir, headNow).map(encodeDv).toSet ==
-          dvEntries(bd, bv).map(e => encodeDv(DvEntry(foldN(e.file), e.col,
-            e.targets.map(foldN),
-            e.counts.map { case (t, c) => foldN(t) -> c }))).toSet
+          bDvRaw.map(e => encodeDv(foldDv(e))).toSet
       if (appliedAlready) {
         try dropBranch(dir, name) catch { case _: Exception => () }
         return headNow
@@ -734,10 +733,9 @@ object ManifestTable {
     // main's own data dir becomes the relative name, a branch-LOCAL file
     // links into main's data dir under its unique name, anything else
     // stays an absolute reference (see [[BranchPublish]]).
-    val pub = new BranchPublish(dir, bd)
     import pub.{fold, linkLocal, unlink}
     try {
-      val lines = listLines(bd, bv).map { l =>
+      val lines = bLines.map { l =>
         val parts = l.split('\t')
         val n = parts.head
         linkLocal(n)
@@ -752,10 +750,9 @@ object ManifestTable {
       // parquets hold values, never paths — nothing inside a marker
       // file needs rewriting. RENAME markers carry name pairs, no
       // paths: verbatim.
-      val dvFolded = dvEntries(bd, bv).map { e =>
+      val dvFolded = bDvRaw.map { e =>
         linkLocal(e.file)
-        encodeDv(DvEntry(fold(e.file), e.col, e.targets.map(fold),
-          e.counts.map { case (t, c) => fold(t) -> c }))
+        encodeDv(foldDv(e))
       }
       // the branch's evolved metadata (schema changes, properties, tags)
       // publishes with it — minus its private fork-point marker
@@ -921,10 +918,20 @@ object ManifestTable {
           (branchAdded.nonEmpty || branchNewDvs.nonEmpty) &&
           branchAdded.forall(l => mainNames.contains(nameOf(l))) &&
           branchNewDvs.forall(e => mainDvEnc.contains(encodeDv(e)))
-        val alreadyApplied = positiveSignal &&
-          branchRemoved.forall(n => !mainNames.contains(n)) &&
+        // metadata/rename-ONLY deltas have no removal ambiguity (nothing
+        // to confuse with main's independent removals), and an identical
+        // end state on main makes the retire harmless even if main set
+        // the same values independently — so they count as applied too
+        val metaOnlyApplied =
+          branchAdded.isEmpty && branchNewDvs.isEmpty &&
+          branchRemoved.isEmpty &&
+          (branchMetaChanged || branchRenChanged) &&
           (!branchMetaChanged || mainMeta.toSet == bMeta.toSet) &&
           (!branchRenChanged || mainRen.toSet == bRen.toSet)
+        val alreadyApplied = metaOnlyApplied || (positiveSignal &&
+          branchRemoved.forall(n => !mainNames.contains(n)) &&
+          (!branchMetaChanged || mainMeta.toSet == bMeta.toSet) &&
+          (!branchRenChanged || mainRen.toSet == bRen.toSet))
         if (alreadyApplied) {
           pub.published = true // any linked files belong to main already
           committed = head
