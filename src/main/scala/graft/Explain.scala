@@ -62,7 +62,9 @@ object Explain {
     // eager localCheckpoints; the view and MOR-count queries build +
     // mutate manifest tables at construction
     "q_dsir_sample", "q_sql_view", "q_metadata_mor_count",
-    "q_substring_dedup", "q_wap_dml", "q_branch_merge", "q_sql_view_ddl")
+    "q_substring_dedup", "q_wap_dml", "q_branch_merge", "q_sql_view_ddl",
+    // round 17: DML + merge + transaction lifecycles run at construction
+    "q_branch_merge_rows", "q_sql_txn")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

@@ -1599,6 +1599,8 @@ object Relational {
         .createOrReplaceTempView("r16_vddl_src")
       s.sql("INSERT INTO graft_vdl.default.ord SELECT * FROM r16_vddl_src")
       s.sql("DROP VIEW IF EXISTS graft_vdl.default.cheap_orders")
+      s.sql("DROP VIEW IF EXISTS graft_vdl.default.bargain_orders")
+      s.sql("DROP VIEW IF EXISTS graft_vdl.default.named_cols")
       s.sql("""CREATE VIEW graft_vdl.default.cheap_orders AS
         SELECT o_orderkey, o_totalprice FROM graft_vdl.default.ord
         WHERE o_totalprice < 100000.0""")
@@ -1608,9 +1610,41 @@ object Relational {
       s.sql("""CREATE OR REPLACE VIEW graft_vdl.default.cheap_orders AS
         SELECT o_orderkey, o_totalprice FROM graft_vdl.default.ord
         WHERE o_totalprice < 50000.0""")
-      s.sql("""SELECT count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        FROM graft_vdl.default.cheap_orders""")
+      // ROUND 17 — the rest of the lifecycle, all plain SQL statements:
+      // property DDL round-trips through SHOW CREATE TABLE …
+      s.sql("""ALTER VIEW graft_vdl.default.cheap_orders
+        SET TBLPROPERTIES ('team' = 'analytics')""")
+      val ddl = s.sql("SHOW CREATE TABLE graft_vdl.default.cheap_orders")
+        .head().getString(0)
+      require(ddl.contains("CREATE VIEW") && ddl.contains("team") &&
+        ddl.contains("o_totalprice < 50000.0"),
+        s"SHOW CREATE TABLE must reconstruct the view DDL, got: $ddl")
+      s.sql("""ALTER VIEW graft_vdl.default.cheap_orders
+        UNSET TBLPROPERTIES ('team')""")
+      // … DESCRIBE serves the pinned analysis-time columns …
+      val desc = s.sql("DESCRIBE graft_vdl.default.cheap_orders").collect()
+      require(desc.map(_.getString(0)).toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        s"DESCRIBE must list the pinned view columns, got: ${desc.toSeq}")
+      // … RENAME keeps the definition addressable under the new name …
+      s.sql("""ALTER VIEW graft_vdl.default.cheap_orders
+        RENAME TO bargain_orders""")
+      // … a column list aliases positionally into the stored body …
+      s.sql("""CREATE VIEW graft_vdl.default.named_cols (ok, price) AS
+        SELECT o_orderkey, o_totalprice FROM graft_vdl.default.ord
+        WHERE o_totalprice < 25000.0""")
+      // … and ALTER VIEW AS redefines the body in place (same predicate
+      // re-stated, so the oracle stays the REPLACE'd definition)
+      s.sql("""ALTER VIEW graft_vdl.default.bargain_orders AS
+        SELECT o_orderkey, o_totalprice FROM graft_vdl.default.ord
+        WHERE o_totalprice < 50000.0""")
+      s.sql("""SELECT
+        (SELECT count(*) FROM graft_vdl.default.bargain_orders) AS n,
+        CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FROM graft_vdl.default.bargain_orders) AS DOUBLE) AS sum_price,
+        (SELECT count(*) FROM graft_vdl.default.named_cols) AS n2,
+        CAST((SELECT sum(CAST(price AS DECIMAL(18,2)))
+          FROM graft_vdl.default.named_cols) AS DOUBLE) AS sum_price2""")
     }),
     // WRITE-AUDIT-PUBLISH with ROW-LEVEL DML (round 15): a GDPR-style
     // erasure stages on a branch as a positional DELETE (zero data-file
@@ -1689,6 +1723,41 @@ object Relational {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         min(o_orderkey) AS mn, max(o_orderkey) AS mx
         FROM graft_bm.default.ord""")
+    }),
+    // ROW-LEVEL BRANCH-MERGE RECONCILIATION (round 17): both sides run
+    // MOR DML against the SAME fork files — main erases high-price rows
+    // while the branch erases low-price rows, each as positional
+    // deletion-vector markers over the unchanged fork copies. The
+    // file-level conflict rule alone would refuse (both sides targeted
+    // every fork file); the row-level exception proves the two sides'
+    // doomed bitmaps disjoint and publishes both markers together —
+    // counts stay additive, so COUNT(*) stays metadata-served. A true
+    // row overlap still refuses with the conflict list (Round17Spec).
+    "q_branch_merge_rows" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_bmr_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(s"$root/ord")
+      s.conf.set("spark.sql.catalog.graft_bmr",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_bmr.root", root)
+      s.sql("""CREATE TABLE graft_bmr.default.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("r17_bmr_src")
+      s.sql("INSERT INTO graft_bmr.default.ord SELECT * FROM r17_bmr_src")
+      s.sql("CALL graft_bmr.system.branch(table => 'ord', name => 'erase')")
+      // main dooms rows of the fork files AFTER the fork point …
+      s.sql("DELETE FROM graft_bmr.default.ord WHERE o_totalprice > 200000.0")
+      // … while the branch erases a DISJOINT row set of the SAME files
+      s.sql("""DELETE FROM graft_bmr.default.`ord@erase`
+        WHERE o_totalprice < 30000.0""")
+      s.sql(
+        "CALL graft_bmr.system.merge_branch(table => 'ord', name => 'erase')")
+      s.sql("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        FROM graft_bmr.default.ord""")
     }),
     "q_sql_branch" -> ((s, d) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_brq_" +
@@ -2305,6 +2374,52 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    // MULTI-TABLE TRANSACTIONS FROM SQL (round 17): q_catalog_txn's twin
+    // with zero API calls — CALL system.txn_begin stages, ordinary
+    // INSERTs land table versions invisible to catalog-pinned readers,
+    // CALL system.txn_commit flips both pins in ONE catalog CAS, and the
+    // reader joins both tables VERSION AS OF 'catalog:<v>' (the same <v>
+    // from CALL system.txn_version), so the cross-table join can never
+    // observe one table moved without the other. Torn-state invisibility
+    // and the concurrent-commit refusal are spec-pinned (Round17Spec).
+    "q_sql_txn" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqltxn_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(root) // fresh catalog per run
+      s.conf.set("spark.sql.catalog.graft_tx",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tx.root", root)
+      s.sql("""CREATE TABLE graft_tx.default.ord
+        (o_orderkey BIGINT, o_orderpriority STRING)""")
+      s.sql("""CREATE TABLE graft_tx.default.li
+        (l_orderkey BIGINT, l_quantity DOUBLE)""")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("r17_tx_ord")
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .createOrReplaceTempView("r17_tx_li")
+      // txn 0: the even half of BOTH tables publishes atomically
+      s.sql("CALL graft_tx.system.txn_begin()")
+      s.sql("""INSERT INTO graft_tx.default.ord
+        SELECT * FROM r17_tx_ord WHERE o_orderkey % 2 = 0""")
+      s.sql("""INSERT INTO graft_tx.default.li
+        SELECT * FROM r17_tx_li WHERE l_orderkey % 2 = 0""")
+      s.sql("CALL graft_tx.system.txn_commit(tables => 'ord,li')")
+      // txn 1: the odd half lands in BOTH tables, atomically
+      s.sql("CALL graft_tx.system.txn_begin()")
+      s.sql("""INSERT INTO graft_tx.default.ord
+        SELECT * FROM r17_tx_ord WHERE o_orderkey % 2 = 1""")
+      s.sql("""INSERT INTO graft_tx.default.li
+        SELECT * FROM r17_tx_li WHERE l_orderkey % 2 = 1""")
+      s.sql("CALL graft_tx.system.txn_commit(tables => 'ord,li')")
+      // ONE catalog resolution → consistent cross-table join
+      val v = s.sql("CALL graft_tx.system.txn_version()").head().getInt(0)
+      s.sql(s"""SELECT o.o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_tx.default.li VERSION AS OF 'catalog:$v' l
+        JOIN graft_tx.default.ord VERSION AS OF 'catalog:$v' o
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority""")
+    }),
     // SHALLOW CLONE: the clone's v0 references the source's files by
     // absolute path (zero data copied — spec asserts the clone has no
     // local data at clone time), then evolves independently — here the
@@ -2623,6 +2738,12 @@ object Relational {
         |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+    // the SQL twin must land on the same consistent pair
+    "q_sql_txn" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     // the published state = init + the one batch whose audit passed
     "q_write_audit_publish" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem
@@ -2871,11 +2992,17 @@ object Relational {
         |       count(DISTINCT o_custkey) AS n_cust,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
-    // the REPLACEd view must serve the narrowed predicate
+    // the full lifecycle must land on: the renamed + ALTER-AS'd view
+    // serving the narrowed predicate, and the column-list view serving
+    // its aliased projection
     "q_sql_view_ddl" ->
-      """SELECT count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders WHERE o_totalprice < 50000.0""".stripMargin,
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_totalprice < 50000.0) AS n,
+        |  CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FROM orders WHERE o_totalprice < 50000.0) AS DOUBLE) AS sum_price,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice < 25000.0) AS n2,
+        |  CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FROM orders WHERE o_totalprice < 25000.0) AS DOUBLE) AS sum_price2""".stripMargin,
     // the published snapshot must equal the audited branch content:
     // survivors of the erasure plus the branch's appended rows
     "q_wap_dml" ->
@@ -2907,6 +3034,14 @@ object Relational {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       min(o_orderkey) AS mn, max(o_orderkey) AS mx
         |FROM merged""".stripMargin,
+    // row-level reconciled merge = fork rows surviving BOTH sides'
+    // disjoint erasures (main kept <= 200000, the branch kept >= 30000)
+    "q_branch_merge_rows" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders
+        |WHERE o_totalprice <= 200000.0 AND o_totalprice >= 30000.0""".stripMargin,
     // the published branch line must equal the full content
     "q_sql_branch" ->
       """SELECT count(*) AS n,

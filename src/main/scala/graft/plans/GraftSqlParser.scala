@@ -1,14 +1,17 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier,
-  UnresolvedNamespace}
+  UnresolvedNamespace, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext,
   ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView,
-  LogicalPlan, ShowViews}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView,
+  DescribeRelation, DropView, LogicalPlan, RenameTable, SetViewProperties,
+  ShowCreateTable, ShowViews, UnsetViewProperties}
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog,
+  ViewCatalog}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.StructType
 
@@ -84,28 +87,95 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   /** The owning catalog name for a ShowViews routing decision: the
     * explicit head when it is a graft catalog, else the current one. */
-  private def catFor(parts: Seq[String], ns: Seq[String]): String =
+  private def catFor(parts: Seq[String]): String =
     if (rootOf(parts.head).isDefined) parts.head
     else session.sessionState.catalogManager.currentCatalog.name()
+
+  /** Whether a multipart name is a candidate for graft routing at all:
+    * short enough, and not a 1-part name shadowed by a session temp view
+    * (Spark gives temp views precedence for every view statement —
+    * routing one would address the wrong object). */
+  private def routable(parts: Seq[String]): Boolean =
+    parts.length <= 3 && !(parts.length == 1 && isTempView(parts.head))
+
+  /** The stored-view document for `parts` iff it resolves into a graft
+    * catalog AND the view exists right now — the routing test for
+    * statements views SHARE with tables (DESCRIBE, SHOW CREATE TABLE):
+    * graft tables must keep their native DSv2 path. */
+  private def existingView(parts: Seq[String])
+      : Option[(String, Seq[String], String)] =
+    resolveIdent(parts).filter { case (_, ns, root) =>
+      graft.sources.GraftViews.load(root, ns, parts.last).isDefined
+    }
 
   private def route(plan: LogicalPlan): LogicalPlan = plan match {
     case cv: CreateView => cv.child match {
       case UnresolvedIdentifier(parts, _) if parts.length <= 3 =>
         resolveIdent(parts) match {
           case Some((cat, ns, root)) =>
-            require(cv.userSpecifiedColumns.isEmpty,
-              "CREATE VIEW with a column list is not supported for graft " +
-                "views — alias the columns in the body query instead")
-            val body = cv.originalText.getOrElse(
-              throw new IllegalArgumentException(
-                "CREATE VIEW without body text cannot persist"))
-            GraftCreateViewCommand(cat, root, ns, parts.last, body,
+            // validation (body text present, column-list arity) happens
+            // in run(), with Spark's error shapes — a parse-only context
+            // (EXPLAIN) must never throw here
+            GraftCreateViewCommand(cat, root, ns, parts.last,
+              cv.originalText, cv.userSpecifiedColumns,
               cv.replace, cv.allowExisting,
               cv.properties ++ cv.comment.map("comment" -> _))
           case None => cv
         }
       case _ => cv
     }
+    // ALTER VIEW … SET TBLPROPERTIES
+    case sp @ SetViewProperties(UnresolvedView(parts, _, _, _), props)
+        if routable(parts) =>
+      resolveIdent(parts) match {
+        case Some((cat, ns, _)) =>
+          GraftAlterViewPropsCommand(cat, ns, parts.last, props, Nil)
+        case None => sp
+      }
+    // ALTER VIEW … UNSET TBLPROPERTIES [IF EXISTS] — idempotent either
+    // way, the v2 semantics: a missing key is simply not removed
+    case up @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys, _)
+        if routable(parts) =>
+      resolveIdent(parts) match {
+        case Some((cat, ns, _)) =>
+          GraftAlterViewPropsCommand(cat, ns, parts.last, Map.empty, keys)
+        case None => up
+      }
+    // ALTER VIEW … RENAME TO (RenameTable with isView = true)
+    case rt @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
+        if routable(parts) =>
+      resolveIdent(parts) match {
+        case Some((cat, ns, _)) =>
+          GraftRenameViewCommand(cat, ns, parts.last, newName)
+        case None => rt
+      }
+    // SHOW CREATE TABLE on a graft VIEW (Spark's statement for view DDL
+    // text); graft TABLES keep the native path, as does AS SERDE
+    case sct @ ShowCreateTable(UnresolvedTableOrView(parts, _, _), false, _)
+        if routable(parts) =>
+      existingView(parts) match {
+        case Some((cat, ns, root)) =>
+          GraftShowCreateViewCommand(cat, root, ns, parts.last, sct.output)
+        case None => sct
+      }
+    // DESCRIBE a graft VIEW; tables (and PARTITION specs) stay native
+    case dr @ DescribeRelation(UnresolvedTableOrView(parts, _, _), spec,
+        isExtended, _) if spec.isEmpty && routable(parts) =>
+      existingView(parts) match {
+        case Some((cat, ns, root)) =>
+          GraftDescribeViewCommand(cat, root, ns, parts.last, isExtended,
+            dr.output)
+        case None => dr
+      }
+    // ALTER VIEW … AS <query> — redefine the body, keep the properties
+    case av @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText, _)
+        if routable(parts) =>
+      resolveIdent(parts) match {
+        case Some((cat, ns, root)) =>
+          GraftAlterViewAsCommand(cat, root, ns, parts.last,
+            Option(originalText))
+        case None => av
+      }
     case dv: DropView => dv.child match {
       case UnresolvedIdentifier(parts, _) if parts.length <= 3 &&
           !(parts.length == 1 && isTempView(parts.head)) =>
@@ -126,7 +196,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           .orElse(if (isAnyCatalog(parts.head)) None
             else currentGraft.map { case (_, _, r) => (r, parts) })
           .map { case (root, ns) =>
-            GraftShowViewsCommand(catFor(parts, ns), root, ns,
+            GraftShowViewsCommand(catFor(parts), root, ns,
               sv.pattern, sv.output) }
           .getOrElse(sv)
       // bare `SHOW VIEWS` under `USE <graft-catalog>`
@@ -163,23 +233,207 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     delegate.parseRoutineParam(sqlText)
 }
 
-/** `CREATE [OR REPLACE] VIEW <graft-catalog>.<ns>.<name> AS <query>`. */
+/** Shared plumbing for the routed view commands. */
+private[plans] object GraftViewCmds {
+  def viewCatalog(s: SparkSession, cat: String): ViewCatalog =
+    s.sessionState.catalogManager.catalog(cat).asInstanceOf[ViewCatalog]
+  def isTable(s: SparkSession, cat: String, ns: Seq[String],
+      name: String): Boolean =
+    s.sessionState.catalogManager.catalog(cat) match {
+      case tc: TableCatalog => tc.tableExists(Identifier.of(ns.toArray, name))
+      case _ => false
+    }
+  /** The ALTER VIEW statements addressed to a graft TABLE get Spark's
+    * own error shape, not a confusing view-not-found. */
+  def requireView(s: SparkSession, cat: String, ns: Seq[String],
+      name: String, operation: String): Unit = {
+    if (graft.sources.GraftViews.rootOf(s, cat)
+        .flatMap(r => graft.sources.GraftViews.load(r, ns, name)).isEmpty) {
+      if (isTable(s, cat, ns, name))
+        throw new AnalysisException(
+          errorClass = "EXPECT_VIEW_NOT_TABLE.USE_ALTER_TABLE",
+          messageParameters = Map(
+            "tableName" -> (cat +: ns :+ name).mkString("."),
+            "operation" -> operation))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        Identifier.of(ns.toArray, name))
+    }
+  }
+  def quoted(parts: Seq[String]): String =
+    parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+}
+
+/** `CREATE [OR REPLACE] VIEW <graft-catalog>.<ns>.<name>
+  * [(col [COMMENT …], …)] AS <query>`. Validation is deferred to run()
+  * so parse-only contexts (EXPLAIN) never throw, and errors surface with
+  * Spark's shapes. A user column list persists as a positional aliasing
+  * wrapper around the body (arity-checked by the creation-time analysis
+  * probe); column comments ride the view properties. */
 case class GraftCreateViewCommand(catalogName: String, root: String,
-    ns: Seq[String], name: String, sql: String, replace: Boolean,
+    ns: Seq[String], name: String, sql: Option[String],
+    userCols: Seq[(String, Option[String])], replace: Boolean,
     allowExisting: Boolean, props: Map[String, String])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    val body0 = sql.getOrElse(throw new AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" ->
+        (s"CREATE VIEW ${(ns :+ name).mkString(".")} carried no body " +
+          "text to persist"))))
+    val body =
+      if (userCols.isEmpty) body0
+      else s"SELECT * FROM (\n$body0\n) AS __graft_view_cols(" +
+        userCols.map(c => s"`${c._1.replace("`", "``")}`")
+          .mkString(", ") + ")"
+    val colComments = userCols.collect {
+      case (n, Some(c)) => s"graft.col.comment.$n" -> c
+    }
     if (allowExisting &&
         graft.sources.GraftViews.load(root, ns, name).isDefined)
       return Seq.empty // IF NOT EXISTS on an existing view: no-op
     try graft.sources.GraftViewDdl.create(session, catalogName, root, ns,
-      name, sql, replace, props)
+      name, body, replace, props ++ colComments)
     catch {
       // a concurrent create can win between the load() check and the
       // publish — IF NOT EXISTS must still succeed silently
       case _: org.apache.spark.sql.catalyst.analysis
           .ViewAlreadyExistsException if allowExisting => ()
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER VIEW … SET TBLPROPERTIES (…)` / `UNSET TBLPROPERTIES (…)` —
+  * both route through the catalog's own alterView SPI (one definition of
+  * a property edit). UNSET is idempotent, the v2 semantics: a missing
+  * key is simply not removed. The internal cross-catalog-heads property
+  * is reserved — user edits would corrupt stored resolution decisions. */
+case class GraftAlterViewPropsCommand(catalogName: String, ns: Seq[String],
+    name: String, set: Map[String, String], unset: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val reserved = graft.sources.GraftViews.CrossCatalogHeadsProp
+    if (set.contains(reserved) || unset.contains(reserved))
+      throw new AnalysisException(
+        errorClass = "CANNOT_REMOVE_RESERVED_PROPERTY",
+        messageParameters = Map("property" -> reserved))
+    GraftViewCmds.requireView(session, catalogName, ns, name,
+      "ALTER VIEW … TBLPROPERTIES")
+    val changes: Seq[ViewChange] =
+      set.toSeq.sortBy(_._1).map { case (k, v) =>
+        ViewChange.setProperty(k, v) } ++
+        unset.map(ViewChange.removeProperty)
+    GraftViewCmds.viewCatalog(session, catalogName)
+      .alterView(Identifier.of(ns.toArray, name), changes: _*)
+    Seq.empty
+  }
+}
+
+/** `ALTER VIEW <graft-catalog>.<ns>.<name> RENAME TO <new>` — the new
+  * name resolves WITHIN the same catalog (1-part keeps the namespace;
+  * an explicit namespace must exist); cross-catalog renames refuse. The
+  * catalog's renameView publishes atomically (link-then-unlink). */
+case class GraftRenameViewCommand(catalogName: String, ns: Seq[String],
+    name: String, newName: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    def otherCatalog(h: String): Boolean = h != catalogName &&
+      (h == "spark_catalog" ||
+        session.conf.getOption(s"spark.sql.catalog.$h").isDefined)
+    val (toNs, toName) = newName match {
+      case Seq(n) => (ns, n)
+      case Seq(c, n) if c == catalogName => (Seq("default"), n)
+      case Seq(a, n) if !otherCatalog(a) => (Seq(a), n)
+      case Seq(c, a, n) if c == catalogName => (Seq(a), n)
+      case other => throw new IllegalArgumentException(
+        s"ALTER VIEW … RENAME TO ${other.mkString(".")}: the new name " +
+          s"must stay inside catalog $catalogName")
+    }
+    GraftViewCmds.requireView(session, catalogName, ns, name,
+      "ALTER VIEW … RENAME TO")
+    graft.sources.GraftViews.namespaceCheck(session, catalogName, toNs)
+    GraftViewCmds.viewCatalog(session, catalogName).renameView(
+      Identifier.of(ns.toArray, name), Identifier.of(toNs.toArray, toName))
+    Seq.empty
+  }
+}
+
+/** `SHOW CREATE TABLE` on a stored graft view: reconstruct the runnable
+  * CREATE VIEW statement — name, comment, user properties (internal
+  * bookkeeping props stay hidden), and the stored body verbatim. */
+case class GraftShowCreateViewCommand(catalogName: String, root: String,
+    ns: Seq[String], name: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = graft.sources.GraftViews.load(root, ns, name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        Identifier.of(ns.toArray, name)))
+    val internal = Set(graft.sources.GraftViews.CrossCatalogHeadsProp)
+    val sb = new StringBuilder(
+      s"CREATE VIEW ${GraftViewCmds.quoted(catalogName +: ns :+ name)}")
+    v.properties.get("comment").foreach(c =>
+      sb.append(s"\nCOMMENT '${c.replace("'", "''")}'"))
+    val user = (v.properties -- internal - "comment").toSeq.sortBy(_._1)
+    if (user.nonEmpty)
+      sb.append(user.map { case (k, x) =>
+        s"'${k.replace("'", "''")}' = '${x.replace("'", "''")}'"
+      }.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")"))
+    sb.append(s" AS\n${v.sql}")
+    Seq(Row(sb.toString))
+  }
+}
+
+/** `DESCRIBE [EXTENDED] <graft-catalog>.<ns>.<view>` — the pinned
+  * analysis-time columns, then (extended) the view text and context. */
+case class GraftDescribeViewCommand(catalogName: String, root: String,
+    ns: Seq[String], name: String, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = graft.sources.GraftViews.load(root, ns, name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        Identifier.of(ns.toArray, name)))
+    val cols = v.schema.fields.toSeq.map { f =>
+      Row(f.name, f.dataType.simpleString,
+        v.properties.get(s"graft.col.comment.${f.name}").orNull)
+    }
+    if (!isExtended) cols
+    else {
+      val internal = Set(graft.sources.GraftViews.CrossCatalogHeadsProp)
+      val user = (v.properties -- internal).toSeq.sortBy(_._1)
+        .map { case (k, x) => s"$k=$x" }.mkString("[", ", ", "]")
+      cols ++ Seq(
+        Row("", "", ""),
+        Row("# Detailed View Information", "", ""),
+        Row("Catalog", catalogName, ""),
+        Row("Namespace", ns.mkString("."), ""),
+        Row("View Name", name, ""),
+        Row("View Text", v.sql, ""),
+        Row("View Properties", user, ""))
+    }
+  }
+}
+
+/** `ALTER VIEW <graft-catalog>.<ns>.<name> AS <query>` — redefine the
+  * body through the same validated create path (REPLACE), preserving the
+  * view's user properties; the cross-catalog-heads decisions recompute
+  * for the NEW body. Refuses when the view does not exist (ALTER, not
+  * CREATE). */
+case class GraftAlterViewAsCommand(catalogName: String, root: String,
+    ns: Seq[String], name: String, sql: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val body = sql.getOrElse(throw new AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" ->
+        (s"ALTER VIEW ${(ns :+ name).mkString(".")} AS carried no body " +
+          "text to persist"))))
+    GraftViewCmds.requireView(session, catalogName, ns, name,
+      "ALTER VIEW … AS")
+    val keep = graft.sources.GraftViews.load(root, ns, name)
+      .map(_.properties - graft.sources.GraftViews.CrossCatalogHeadsProp)
+      .getOrElse(Map.empty)
+    graft.sources.GraftViewDdl.create(session, catalogName, root, ns, name,
+      body, replace = true, keep)
     Seq.empty
   }
 }

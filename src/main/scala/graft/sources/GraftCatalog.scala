@@ -133,8 +133,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         n => n == "spark_catalog" ||
           sess.conf.getOption(s"spark.sql.catalog.$n").isDefined)
         .mkString(","))
-    } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-      None
+    } catch {
+      // an unparseable body, NO active session on this thread
+      // (SparkSession.active throws IllegalStateException), or any other
+      // probe failure falls back to storing no decision set — resolution
+      // then probes the reader's conf, the hand-written-document path
+      case scala.util.control.NonFatal(_) => None
     }
     val sv = GraftViews.StoredView(info.sql(), info.schema(),
       info.currentCatalog(), info.currentNamespace().toSeq,
@@ -360,6 +364,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * reproducible handle a training run records instead of a raw
     * version number. Throws if the resolved manifest is vacuumed. */
   private def resolveVersion(dir: String, version: String): Int = {
+    // CATALOG-PINNED reads (round 17): `VERSION AS OF 'catalog:<v>'`
+    // resolves this table's pin inside catalog version <v> — pass the
+    // SAME <v> (from CALL system.txn_version) to every table of a
+    // cross-table query and the read is transactionally consistent,
+    // exactly Catalog.readTableAt's contract, from plain SQL
+    if (version.startsWith("catalog:")) {
+      val cv = version.stripPrefix("catalog:").toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"VERSION AS OF '$version': expected catalog:<number>"))
+      val pinned = Catalog.snapshot(GraftProcedures.txnRoot(root), cv)
+        .values.collectFirst { case (d, v) if d == dir => v }
+        .getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF '$version': $dir is not pinned by catalog " +
+            s"version $cv — txn_commit it first"))
+      require(Files.exists(Paths.get(dir, f"manifest-v$pinned%08d.json")),
+        s"version $pinned of $dir does not exist or is vacuumed")
+      return pinned
+    }
     val cur = ManifestTable.currentVersion(dir)
     val v = try version.toInt catch {
       case _: NumberFormatException =>
@@ -367,8 +389,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           .get(GraftCatalog.TagProp + version)
           .flatMap(_.toIntOption)
           .getOrElse(throw new IllegalArgumentException(
-            s"VERSION AS OF takes a version number or a tag name — " +
-              s"no tag '$version' on $dir"))
+            s"VERSION AS OF takes a version number, a tag name, or " +
+              s"catalog:<v> — no tag '$version' on $dir"))
     }
     require(Files.exists(Paths.get(dir, f"manifest-v$v%08d.json")),
       s"version $v of $dir does not exist or is vacuumed")
@@ -778,7 +800,19 @@ private[sources] object GraftProcedures {
   val names: Array[String] =
     Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire",
       "branch", "fastforward", "merge_branch", "drop_branch", "rewrite_dvs",
-      "price_dvs", "create_view", "drop_view")
+      "price_dvs", "create_view", "drop_view",
+      "txn_begin", "txn_commit", "txn_version")
+
+  /** Where the catalog tier's version files live for a graft catalog
+    * root — a dot-directory, so it can never collide with a table or
+    * namespace name (both refuse dot-prefixed identifiers). */
+  private[sources] def txnRoot(root: String): String = s"$root/.graft-catalog"
+
+  /** The session conf key txn_begin records its expected catalog version
+    * under — the whole transaction state (everything else is already
+    * durable: staged table versions and the catalog CAS). */
+  private[sources] def txnKey(catalogName: String): String =
+    s"spark.graft.txn.$catalogName"
 
   def load(name: String, root: String,
       catalogName: String = "graft"): Option[UnboundProcedure] =
@@ -824,7 +858,8 @@ private[sources] object GraftProcedures {
         "branch head (refuses if main advanced past the fork point)"
       case "merge_branch" => "three-way merge a DIVERGED branch into " +
         "main: replays the branch's file-level delta onto main's head; " +
-        "refuses with the conflict list when both sides touched a file"
+        "a file both sides DV-targeted merges when the doomed rows are " +
+        "provably disjoint, anything else refuses with the conflict list"
       case "drop_branch" => "abandon a branch and its local files"
       case "rewrite_dvs" => "consolidate accumulated deletion-vector " +
         "markers (one key set per file per column) without rewriting data"
@@ -834,6 +869,17 @@ private[sources] object GraftProcedures {
         "analysis now; read it as SELECT ... FROM <catalog>.<ns>.<name> " +
         "under graft.GraftExtensions)"
       case "drop_view" => "drop a persistent SQL view"
+      case "txn_begin" => "begin a multi-table transaction: records the " +
+        "catalog version the commit must land on (optimistic); writes " +
+        "between begin and commit stage as ordinary table versions, " +
+        "invisible to catalog-pinned readers until txn_commit"
+      case "txn_commit" => "atomically publish one catalog version " +
+        "pinning the named tables (comma-separated) at their CURRENT " +
+        "versions; unnamed tables keep their existing pins. Refuses if " +
+        "another transaction committed since txn_begin. Read the " +
+        "consistent snapshot with VERSION AS OF 'catalog:<v>'"
+      case "txn_version" => "current catalog version (the <v> for " +
+        "VERSION AS OF 'catalog:<v>' consistent cross-table reads)"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -874,10 +920,14 @@ private[sources] object GraftProcedures {
           .BooleanType).defaultValue("false").build())
       case "drop_view" => Array(
         ProcedureParameter.in("name", StringType).build())
+      case "txn_begin" | "txn_version" => Array.empty
+      case "txn_commit" => Array(
+        ProcedureParameter.in("tables", StringType).build())
     }
     override def call(input: org.apache.spark.sql.catalyst.InternalRow)
         : java.util.Iterator[Scan] = {
-      val dir = dirFor(root, input.getUTF8String(0).toString)
+      // zero-arg procedures (txn_begin/txn_version) carry no table arg
+      lazy val dir = dirFor(root, input.getUTF8String(0).toString)
       val s = org.apache.spark.sql.SparkSession.active
       val v = procName match {
         case "rebucket" => ManifestTable.rebucket(s, dir)
@@ -965,6 +1015,67 @@ private[sources] object GraftProcedures {
               parts.last),
             s"drop_view('$full'): no such view")
           0
+        // MULTI-TABLE TRANSACTIONS from SQL (round 17) — the catalog tier
+        // (sources/Catalog.scala) reachable without the API: begin records
+        // the expected catalog version in the session conf (the only
+        // session state; everything else is durable), writes stage as
+        // ordinary table versions invisible to catalog-pinned readers,
+        // and commit flips every named pin in ONE catalog CAS. Readers
+        // get the consistent snapshot with VERSION AS OF 'catalog:<v>'.
+        case "txn_begin" =>
+          val cur = Catalog.currentVersion(txnRoot(root))
+          s.conf.set(txnKey(catalogName), cur.toString)
+          cur
+        case "txn_version" =>
+          Catalog.currentVersion(txnRoot(root))
+        case "txn_commit" =>
+          val tables = input.getUTF8String(0).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          require(tables.nonEmpty,
+            "txn_commit takes a comma-separated list of table names")
+          val croot = txnRoot(root)
+          val key = txnKey(catalogName)
+          val began = s.conf.getOption(key).flatMap(_.toIntOption)
+          def pinsNow(): Map[String, (String, Int)] = tables.map { t =>
+            val td = dirFor(root, t)
+            val tv = ManifestTable.currentVersion(td)
+            require(tv >= 0,
+              s"txn_commit: table '$t' has no committed snapshot")
+            t -> ((td, tv))
+          }.toMap
+          var committed = -1
+          var attempt = 0
+          while (committed < 0) {
+            val cur = Catalog.currentVersion(croot)
+            // under an explicit begin the commit is OPTIMISTIC: a catalog
+            // that moved past the recorded version means another
+            // transaction committed mid-flight — refuse, never silently
+            // rebase onto pins this transaction was not validated against
+            began.foreach(b => if (cur != b) {
+              s.conf.unset(key)
+              throw new IllegalStateException(
+                s"txn_commit refused: catalog advanced v$b -> v$cur " +
+                  "since txn_begin (a concurrent transaction committed) " +
+                  "— begin again and re-validate")
+            })
+            val carried =
+              if (cur < 0) Map.empty[String, (String, Int)]
+              else Catalog.snapshot(croot, cur)
+            if (Catalog.commit(croot, carried ++ pinsNow(), cur))
+              committed = cur + 1
+            else if (began.isDefined) {
+              s.conf.unset(key)
+              throw new IllegalStateException(
+                "txn_commit refused: lost the catalog CAS to a " +
+                  "concurrent transaction — begin again and re-validate")
+            } else {
+              attempt += 1
+              require(attempt < 10,
+                s"txn_commit lost the catalog CAS 10 times in $croot")
+            }
+          }
+          s.conf.unset(key)
+          committed
       }
       java.util.Collections.singletonList(resultScan(v)).iterator()
     }

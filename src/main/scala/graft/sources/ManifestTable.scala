@@ -805,14 +805,18 @@ object ManifestTable {
     *   merged = mainHead − branchRemoved + branchAdded (+ branch's new
     *            deletion-vector markers)
     *
-    * Conflict rule (file-level, the delta committer's rebase reasoning
-    * applied across whole branches): the branch's TOUCHED fork files —
+    * Conflict rule (the delta committer's rebase reasoning applied
+    * across whole branches): the branch's TOUCHED fork files —
     * removed/rewritten by DML or compaction, or newly DV-targeted — must
     * be disjoint from main's touched fork files since the fork. Additions
-    * can never conflict (names are unique). Anything else refuses with
-    * the sorted conflict list, never guesses: a file both sides touched
-    * means both recomputed rows from the same base and one side's work
-    * would be silently discarded.
+    * can never conflict (names are unique). ROW-LEVEL EXCEPTION (round
+    * 17): a fork file both sides touched ONLY via new deletion-vector
+    * markers (neither removed nor rewrote it) merges anyway when the two
+    * marker sets doom provably disjoint rows — [[dvRowsDisjointOn]] —
+    * both sides' markers then publish together and recorded counts stay
+    * additive. Anything else refuses with the sorted conflict list,
+    * never guesses: overlapping or unprovable row edits mean one side's
+    * work would be silently discarded.
     *
     * Metadata merges one-sided only: if the branch changed carried
     * metadata (schema/properties/policies) or rename markers since the
@@ -826,6 +830,69 @@ object ManifestTable {
     * as one CAS'd MUTATE commit (re-validating conflicts under the CAS
     * loop); the branch retires only after the commit lands, so a crash
     * anywhere leaves both sides intact. Returns the new main version. */
+  /** ROW-LEVEL MERGE RECONCILIATION (round 17) — whether the two sides'
+    * NEW deletion-vector markers on fork file `f` doom PROVABLY DISJOINT
+    * row sets. Sound because `f` is the same immutable base copy on both
+    * sides (the caller verified neither side removed or rewrote it):
+    * positional markers index identical physical ordinals, so disjoint
+    * roaring bitmaps mean disjoint rows; keyed markers on ONE shared key
+    * column cannot doom a common row when their key sets are disjoint (a
+    * row carries one key value). Mixed marker kinds, different key
+    * columns, or different physical key encodings are incomparable
+    * without scanning `f` itself — those stay irreconcilable and the
+    * caller keeps the honest refusal. Cost ∝ marker sizes (bounded by
+    * `graft.dv.maxKeys`/`maxBytes` and LRU-cached), never ∝ table size. */
+  private def dvRowsDisjointOn(dir: String, f: String,
+      bNew: Seq[DvEntry], mNew: Seq[DvEntry]): Boolean = {
+    if (bNew.isEmpty || mNew.isEmpty) return true
+    val all = bNew ++ mNew
+    if (all.forall(_.col == DvKeyCache.PosCol)) {
+      val base = DvKeyCache.baseName(f)
+      def bits(ms: Seq[DvEntry]): org.roaringbitmap.RoaringBitmap = {
+        val acc = new org.roaringbitmap.RoaringBitmap()
+        // or() copies — the cached bitmaps are shared state, never mutated
+        ms.foreach(m => acc.or(
+          DvKeyCache.doomedPositions(dataPath(dir, m.file), base)))
+        acc
+      }
+      !org.roaringbitmap.RoaringBitmap.intersects(bits(bNew), bits(mNew))
+    } else {
+      val cols = all.map(_.col).distinct
+      if (cols.sizeIs != 1 || cols.head == DvKeyCache.PosCol) return false
+      val col = cols.head
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val types = all.map { m =>
+        val mt = ManifestStreamSource.footerSchema(dataPath(dir, m.file))
+        (0 until mt.getFieldCount)
+          .find(i => mt.getFieldName(i) == col && mt.getType(i).isPrimitive)
+          .map(i => mt.getType(i).asPrimitiveType().getPrimitiveTypeName)
+      }
+      if (types.exists(_.isEmpty)) return false
+      val tset = types.flatten.distinct
+      if (tset.forall(t => t == INT64 || t == INT32)) {
+        val bArrs = bNew.map(m => DvKeyCache.doomed(dataPath(dir, m.file), col))
+        val mArrs = mNew.map(m => DvKeyCache.doomed(dataPath(dir, m.file), col))
+        val (small, large) =
+          if (bArrs.iterator.map(_.length).sum <=
+              mArrs.iterator.map(_.length).sum) (bArrs, mArrs)
+          else (mArrs, bArrs)
+        !small.exists(_.exists(k =>
+          large.exists(a => DvKeyCache.contains(a, k))))
+      } else if (tset == Seq(BINARY)) {
+        val bArrs =
+          bNew.map(m => DvKeyCache.doomedBytes(dataPath(dir, m.file), col))
+        val mArrs =
+          mNew.map(m => DvKeyCache.doomedBytes(dataPath(dir, m.file), col))
+        val (small, large) =
+          if (bArrs.iterator.map(_.length).sum <=
+              mArrs.iterator.map(_.length).sum) (bArrs, mArrs)
+          else (mArrs, bArrs)
+        !small.exists(_.exists(k =>
+          large.exists(a => DvKeyCache.containsBytes(a, k))))
+      } else false // mixed physical key encodings — incomparable
+    }
+  }
+
   def mergeBranch(dir: String, name: String): Int = {
     val bd = branchDir(dir, name)
     val bv = currentVersion(bd)
@@ -936,16 +1003,35 @@ object ManifestTable {
           pub.published = true // any linked files belong to main already
           committed = head
         } else {
-        val mainTouched = (baseNames -- mainNames) ++
+        val mainNewDvs =
           mainDvs.filterNot(e => baseDvEnc.contains(encodeDv(e)))
-            .flatMap(_.targets).filter(baseNames.contains)
+        val mainTouched = (baseNames -- mainNames) ++
+          mainNewDvs.flatMap(_.targets).filter(baseNames.contains)
         val conflicts = branchTouched intersect mainTouched
-        if (conflicts.nonEmpty) {
+        // ROW-LEVEL RECONCILIATION (round 17): a fork file BOTH sides
+        // touched is still mergeable when neither side removed or rewrote
+        // it (each side's touch is marker-only — concurrent MOR DML on
+        // overlapping files) and the two sides' new markers doom provably
+        // DISJOINT rows of the same immutable copy ([[dvRowsDisjointOn]]).
+        // Both markers then publish together: the read path already
+        // applies every marker of a file's group, and recorded doomed-live
+        // counts stay additive exactly because no row is doomed twice. A
+        // true row overlap — or anything unprovable (a marker read
+        // failure, mixed kinds) — keeps the refusal, never guesses.
+        val irreconcilable = conflicts.filterNot { f =>
+          bNames.contains(f) && mainNames.contains(f) &&
+            (try dvRowsDisjointOn(dir, f,
+                branchNewDvs.filter(_.targets.contains(f)),
+                mainNewDvs.filter(_.targets.contains(f)))
+             catch { case scala.util.control.NonFatal(_) => false })
+        }
+        if (irreconcilable.nonEmpty) {
           unlink()
           throw new IllegalStateException(
             s"merge of branch '$name' refused: both sides touched " +
-              s"${conflicts.toSeq.sorted.mkString("[", ", ", "]")} since " +
-              s"fork v$base — one side's rows would be silently discarded; " +
+              s"${irreconcilable.toSeq.sorted.mkString("[", ", ", "]")} " +
+              s"since fork v$base and the row edits cannot be proven " +
+              "disjoint — one side's rows would be silently discarded; " +
               "re-cut the branch and replay")
         }
         val mainMetaChanged = mainMeta.toSet != baseMeta

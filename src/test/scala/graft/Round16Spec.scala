@@ -169,9 +169,12 @@ class Round16Spec extends AnyFunSuite {
     spark.sql("""INSERT INTO g16c.default.t
       SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
     spark.sql("CALL g16c.system.branch(table => 't', name => 'fix')")
-    // both sides DV-target the SAME (single) fork file
-    spark.sql("DELETE FROM g16c.default.t WHERE k >= 15")
-    spark.sql("DELETE FROM g16c.default.`t@fix` WHERE k < 5")
+    // both sides DV-target the SAME (single) fork file with OVERLAPPING
+    // rows (k=3,4 doomed by both) — since round 17 disjoint-row marker
+    // pairs reconcile (Round17Spec), so the refusal contract pins on a
+    // genuine row overlap
+    spark.sql("DELETE FROM g16c.default.t WHERE k < 5")
+    spark.sql("DELETE FROM g16c.default.`t@fix` WHERE k >= 3 AND k < 8")
     val e = intercept[Exception] {
       spark.sql("CALL g16c.system.merge_branch(table => 't', name => 'fix')")
     }

@@ -1,0 +1,293 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestTable
+
+/** Round 17: row-level branch-merge reconciliation — a fork file BOTH
+  * sides touched merges anyway when each side's touch is marker-only and
+  * the two sides' new deletion-vector markers doom provably disjoint
+  * rows; anything unprovable (overlap, mixed marker kinds, different key
+  * columns) keeps the honest refusal. */
+class Round17Spec extends AnyFunSuite {
+  import graft.TestSpark._
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_r17_${tag}_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(d)
+    d
+  }
+
+  private def catSetup(cat: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+  }
+
+  test("merge_branch reconciles disjoint positional row edits on one fork file") {
+    val root = freshDir("posok")
+    ManifestTable.destroy(s"$root/t")
+    catSetup("g17p", root)
+    spark.sql("""CREATE TABLE g17p.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g17p.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("CALL g17p.system.branch(table => 't', name => 'erase')")
+    // both sides DV-target the SAME (single) fork file, DISJOINT rows
+    spark.sql("DELETE FROM g17p.default.t WHERE k >= 15")
+    spark.sql("DELETE FROM g17p.default.`t@erase` WHERE k < 5")
+    spark.sql("CALL g17p.system.merge_branch(table => 't', name => 'erase')")
+    val got = spark.sql("SELECT k FROM g17p.default.t")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (5L until 15L).toSet,
+      s"both erasures must apply, got ${got.toSeq.sorted}")
+    // doomed counts stayed additive: the metadata COUNT path agrees
+    assert(spark.sql("SELECT count(*) FROM g17p.default.t")
+      .head().getLong(0) == 10L)
+    assert(ManifestTable.currentVersion(
+      ManifestTable.branchDir(s"$root/t", "erase")) < 0,
+      "branch must retire after a successful reconciled merge")
+  }
+
+  test("merge_branch reconciles disjoint keyed row edits on one fork file") {
+    val root = freshDir("keyok")
+    ManifestTable.destroy(s"$root/t")
+    catSetup("g17k", root)
+    spark.sql("""CREATE TABLE g17k.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g17k.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("CALL g17k.system.branch(table => 't', name => 'gdpr')")
+    spark.sql("DELETE FROM g17k.default.t WHERE k IN (15, 16, 17)")
+    spark.sql("DELETE FROM g17k.default.`t@gdpr` WHERE k IN (1, 2, 3)")
+    spark.sql("CALL g17k.system.merge_branch(table => 't', name => 'gdpr')")
+    val got = spark.sql("SELECT k FROM g17k.default.t")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 20L).toSet -- Set(1L, 2L, 3L, 15L, 16L, 17L),
+      s"both keyed erasures must apply, got ${got.toSeq.sorted}")
+    // recorded doomed-live counts stay additive across the merged markers
+    assert(spark.sql("SELECT count(*) FROM g17k.default.t")
+      .head().getLong(0) == 14L)
+  }
+
+  test("merge_branch reconciles disjoint STRING-keyed row edits") {
+    val root = freshDir("strok")
+    ManifestTable.destroy(s"$root/t")
+    catSetup("g17s", root)
+    spark.sql("""CREATE TABLE g17s.default.t (uid STRING, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g17s.default.t
+      SELECT /*+ REPARTITION(1) */ concat('u', id), CAST(id AS DOUBLE)
+      FROM range(0, 20)""")
+    spark.sql("CALL g17s.system.branch(table => 't', name => 'gdpr')")
+    spark.sql("DELETE FROM g17s.default.t WHERE uid IN ('u15', 'u16')")
+    spark.sql("DELETE FROM g17s.default.`t@gdpr` WHERE uid IN ('u1', 'u2')")
+    spark.sql("CALL g17s.system.merge_branch(table => 't', name => 'gdpr')")
+    val got = spark.sql("SELECT uid FROM g17s.default.t")
+      .collect().map(_.getString(0)).toSet
+    assert(got == (0 until 20).map(i => s"u$i").toSet --
+      Set("u15", "u16", "u1", "u2"),
+      s"both string-keyed erasures must apply, got ${got.toSeq.sorted}")
+  }
+
+  test("merge_branch refuses overlapping keyed row edits") {
+    val root = freshDir("keybad")
+    ManifestTable.destroy(s"$root/t")
+    catSetup("g17o", root)
+    spark.sql("""CREATE TABLE g17o.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g17o.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("CALL g17o.system.branch(table => 't', name => 'gdpr')")
+    spark.sql("DELETE FROM g17o.default.t WHERE k IN (3, 4)")
+    spark.sql("DELETE FROM g17o.default.`t@gdpr` WHERE k IN (4, 5)")
+    val e = intercept[Exception] {
+      spark.sql("CALL g17o.system.merge_branch(table => 't', name => 'gdpr')")
+    }
+    assert(e.getMessage.contains("both sides touched"),
+      s"overlapping keys must refuse, got: ${e.getMessage}")
+    // the refusal left both sides intact
+    assert(spark.sql("SELECT count(*) FROM g17o.default.t")
+      .head().getLong(0) == 18L)
+    assert(spark.sql("SELECT count(*) FROM g17o.default.`t@gdpr`")
+      .head().getLong(0) == 18L)
+  }
+
+  test("merge_branch refuses mixed-kind markers even on disjoint rows") {
+    val root = freshDir("mixed")
+    ManifestTable.destroy(s"$root/t")
+    catSetup("g17m", root)
+    // BOTH modes: `k IN (…)` deletes go keyed-MOR, predicate deletes go
+    // positional — so the two sides stage markers of different kinds on
+    // the same fork file, which the disjointness proof cannot compare
+    spark.sql("""CREATE TABLE g17m.default.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor',
+                     'graft.dml.mode' = 'positional')""")
+    spark.sql("""INSERT INTO g17m.default.t
+      SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) FROM range(0, 20)""")
+    spark.sql("CALL g17m.system.branch(table => 't', name => 'fix')")
+    spark.sql("DELETE FROM g17m.default.t WHERE k IN (15, 16)") // keyed
+    spark.sql("DELETE FROM g17m.default.`t@fix` WHERE k < 5")   // positional
+    val e = intercept[Exception] {
+      spark.sql("CALL g17m.system.merge_branch(table => 't', name => 'fix')")
+    }
+    assert(e.getMessage.contains("both sides touched"),
+      s"mixed marker kinds must stay irreconcilable, got: ${e.getMessage}")
+  }
+
+  test("view DDL error shapes, table pass-through, and parse-only safety") {
+    val root = freshDir("vddl")
+    ManifestTable.destroy(s"$root/ord")
+    catSetup("g17v", root)
+    spark.sql("DROP TABLE IF EXISTS g17v.default.ord")
+    spark.sql("CREATE TABLE g17v.default.ord (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO g17v.default.ord VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("DROP VIEW IF EXISTS g17v.default.v1")
+    spark.sql("DROP VIEW IF EXISTS g17v.default.v2")
+    spark.sql(
+      "CREATE VIEW g17v.default.v1 AS SELECT k FROM g17v.default.ord")
+    // ALTER VIEW addressed to a TABLE gets Spark's own error shape
+    val et = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("ALTER VIEW g17v.default.ord SET TBLPROPERTIES ('a'='b')")
+    }
+    assert(et.getCondition == "EXPECT_VIEW_NOT_TABLE.USE_ALTER_TABLE",
+      s"got ${et.getCondition}: ${et.getMessage}")
+    // the internal resolution-decision property is reserved
+    val er = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("ALTER VIEW g17v.default.v1 UNSET TBLPROPERTIES " +
+        s"('${graft.sources.GraftViews.CrossCatalogHeadsProp}')")
+    }
+    assert(er.getCondition == "CANNOT_REMOVE_RESERVED_PROPERTY")
+    // RENAME onto a taken name refuses with the view-exists shape
+    spark.sql(
+      "CREATE VIEW g17v.default.v2 AS SELECT k FROM g17v.default.ord")
+    intercept[org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException] {
+      spark.sql("ALTER VIEW g17v.default.v1 RENAME TO v2")
+    }
+    // EXPLAIN of a routed CREATE VIEW is parse-only: never creates
+    spark.sql("EXPLAIN CREATE VIEW g17v.default.ghost AS " +
+      "SELECT k FROM g17v.default.ord").collect()
+    assert(!spark.sql("SHOW VIEWS IN g17v.default").collect()
+      .exists(_.getString(1) == "ghost"),
+      "EXPLAIN must not execute the CREATE")
+    // DESCRIBE of a graft TABLE keeps its native DSv2 path
+    val dt = spark.sql("DESCRIBE g17v.default.ord").collect()
+    assert(dt.map(_.getString(0)).toSet.intersect(Set("k", "v")) ==
+      Set("k", "v"), s"table describe stays native, got ${dt.toSeq}")
+    // UNSET of a missing key is idempotent (v2 semantics)
+    spark.sql("ALTER VIEW g17v.default.v1 UNSET TBLPROPERTIES ('nope')")
+    // ALTER VIEW AS on a missing view refuses (ALTER, not CREATE)
+    intercept[Exception] {
+      spark.sql("ALTER VIEW g17v.default.missing AS SELECT 1 AS one")
+    }
+  }
+
+  test("SQL txn: a torn state is never visible through catalog-pinned reads") {
+    val root = freshDir("txn")
+    catSetup("g17t", root)
+    spark.sql("DROP TABLE IF EXISTS g17t.default.a")
+    spark.sql("DROP TABLE IF EXISTS g17t.default.b")
+    spark.sql("CREATE TABLE g17t.default.a (k BIGINT)")
+    spark.sql("CREATE TABLE g17t.default.b (k BIGINT)")
+    spark.sql("CALL g17t.system.txn_begin()")
+    spark.sql("INSERT INTO g17t.default.a SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO g17t.default.b SELECT id FROM range(0, 10)")
+    spark.sql("CALL g17t.system.txn_commit(tables => 'a,b')")
+    val v0 = spark.sql("CALL g17t.system.txn_version()").head().getInt(0)
+    // a second transaction writes table a ONLY and never commits —
+    // the catalog-pinned read must keep serving the consistent pair
+    spark.sql("CALL g17t.system.txn_begin()")
+    spark.sql("INSERT INTO g17t.default.a SELECT id FROM range(100, 110)")
+    assert(spark.sql(
+      s"SELECT count(*) FROM g17t.default.a VERSION AS OF 'catalog:$v0'")
+      .head().getLong(0) == 10L,
+      "uncommitted writes must stay invisible to catalog-pinned readers")
+    // … while the raw table read (outside the transaction tier) sees it
+    assert(spark.sql("SELECT count(*) FROM g17t.default.a")
+      .head().getLong(0) == 20L)
+    // commit flips the pin; the new catalog version serves both writes
+    spark.sql("CALL g17t.system.txn_commit(tables => 'a,b')")
+    val v1 = spark.sql("CALL g17t.system.txn_version()").head().getInt(0)
+    assert(v1 == v0 + 1)
+    assert(spark.sql(
+      s"SELECT count(*) FROM g17t.default.a VERSION AS OF 'catalog:$v1'")
+      .head().getLong(0) == 20L)
+    // pins carry forward: b kept its pin in v1 even though unchanged
+    assert(spark.sql(
+      s"SELECT count(*) FROM g17t.default.b VERSION AS OF 'catalog:$v1'")
+      .head().getLong(0) == 10L)
+  }
+
+  test("SQL txn: commit refuses when the catalog advanced since begin") {
+    val root = freshDir("txnrace")
+    catSetup("g17r", root)
+    spark.sql("DROP TABLE IF EXISTS g17r.default.a")
+    spark.sql("CREATE TABLE g17r.default.a (k BIGINT)")
+    spark.sql("INSERT INTO g17r.default.a SELECT id FROM range(0, 5)")
+    spark.sql("CALL g17r.system.txn_commit(tables => 'a')")
+    spark.sql("CALL g17r.system.txn_begin()")
+    spark.sql("INSERT INTO g17r.default.a SELECT id FROM range(5, 10)")
+    // a CONCURRENT transaction (another session — simulated through the
+    // catalog API) commits first
+    val croot = s"$root/.graft-catalog"
+    val cur = graft.sources.Catalog.currentVersion(croot)
+    require(graft.sources.Catalog.commit(croot,
+      graft.sources.Catalog.snapshot(croot, cur), cur))
+    val e = intercept[Exception] {
+      spark.sql("CALL g17r.system.txn_commit(tables => 'a')")
+    }
+    assert(e.getMessage.contains("concurrent transaction"),
+      s"must refuse the stale begin, got: ${e.getMessage}")
+    // a fresh begin → commit then succeeds
+    spark.sql("CALL g17r.system.txn_begin()")
+    spark.sql("CALL g17r.system.txn_commit(tables => 'a')")
+    val v = spark.sql("CALL g17r.system.txn_version()").head().getInt(0)
+    assert(spark.sql(
+      s"SELECT count(*) FROM g17r.default.a VERSION AS OF 'catalog:$v'")
+      .head().getLong(0) == 10L)
+  }
+
+  test("mixed-case catalog head matches Spark's case-sensitive routing") {
+    val root = freshDir("case")
+    catSetup("g17case", root)
+    val cm = spark.sessionState.catalogManager
+    val before = cm.currentCatalog.name()
+    try {
+      spark.sql("USE spark_catalog")
+      // conf keys are case-sensitive, exactly like Spark's own catalog
+      // resolution: the upper-cased head must NOT route into g17case —
+      // it fails like any unknown catalog/schema, never silently creates
+      intercept[Exception] {
+        spark.sql("CREATE VIEW G17CASE.default.v AS SELECT 1 AS one")
+      }
+      assert(graft.sources.GraftViews.load(root, Seq("default"), "v").isEmpty,
+        "a mixed-case head must not silently route into the catalog")
+      // the exact-case head routes
+      spark.sql("DROP VIEW IF EXISTS g17case.default.v")
+      spark.sql("CREATE VIEW g17case.default.v AS SELECT 1 AS one")
+      assert(graft.sources.GraftViews.load(root, Seq("default"),
+        "v").isDefined)
+    } finally spark.sql(s"USE $before")
+  }
+
+  test("merge_branch refuses keyed edits on different key columns") {
+    val root = freshDir("cols")
+    ManifestTable.destroy(s"$root/t")
+    catSetup("g17c", root)
+    spark.sql("""CREATE TABLE g17c.default.t (k BIGINT, j BIGINT, v DOUBLE)
+      TBLPROPERTIES ('delete.mode' = 'mor')""")
+    spark.sql("""INSERT INTO g17c.default.t
+      SELECT /*+ REPARTITION(1) */ id, id + 100, CAST(id AS DOUBLE)
+      FROM range(0, 20)""")
+    spark.sql("CALL g17c.system.branch(table => 't', name => 'fix')")
+    spark.sql("DELETE FROM g17c.default.t WHERE k IN (15, 16)")
+    spark.sql("DELETE FROM g17c.default.`t@fix` WHERE j IN (101, 102)")
+    val e = intercept[Exception] {
+      spark.sql("CALL g17c.system.merge_branch(table => 't', name => 'fix')")
+    }
+    assert(e.getMessage.contains("both sides touched"),
+      "different key columns doom by values the proof cannot compare — " +
+        s"must refuse, got: ${e.getMessage}")
+  }
+}
