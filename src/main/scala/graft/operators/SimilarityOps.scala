@@ -276,6 +276,97 @@ object SimilarityOps {
         ($"pos" + 1).cast("int").as("rank"))
   }
 
+  /** VECTOR INDEX × ROW-LEVEL DML (round 17) — the persisted IVF index's
+    * assignments live as a MANIFEST TABLE instead of bare parquet, so the
+    * index composes with the lakehouse DML tier with NO rebuild:
+    *
+    *  - GDPR erasure = a keyed MOR delete (`#dv` marker, zero rewrites);
+    *    the index scan reads through [[graft.sources.ManifestTable.read]],
+    *    which applies the marker — deleted vectors can never surface in a
+    *    search result, even before any compaction.
+    *  - re-embeddings (corrections) + fresh arrivals = ONE distributed
+    *    MOR upsert batch; every batch row re-assigns to its nearest
+    *    centroid (broadcast of ≤nCells rows), so partial probing stays
+    *    meaningful after the correction.
+    *
+    * Query side is [[vectorIndexQuery]]'s plumbing verbatim, candidates
+    * served by the DV-aware read. Runs TOTAL probing, so the result
+    * equals brute force over the post-DML corpus — which the DuckDB
+    * oracle restates exactly (erased ids absent, negated corrections,
+    * appended copies). Partial probing + the deleted-never-found
+    * invariant are spec-pinned. At 100 TB the DML costs are the marker
+    * commits (∝ batch, never corpus) and the scan-side marker apply is a
+    * broadcast anti-join / bitmap probe — the same shape every MOR read
+    * in this engine pays. */
+  def vectorIndexSearchDml(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, nCells: Int = 16,
+      nProbe: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    import graft.sources.ManifestTable
+    VectorOps.register(s)
+    graft.functions.TopKAgg.register(s)
+    val cells = s"${System.getProperty("java.io.tmpdir")}/graft_vecidxdml_" +
+      java.lang.ProcessHandle.current().pid()
+    ManifestTable.destroy(cells)
+    // BUILD: one clustering pass; assignments commit clustered by cell so
+    // per-file cell ranges stay tight (the stats-pruned probe path)
+    val ev = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val fit = ev.withColumn("fv", array_to_vector($"embedding"))
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fit)
+    val assigned = model.transform(fit)
+      .select($"vec_id", $"embedding", $"cell")
+    val staged = ManifestTable.stageWithStats(s, cells,
+      assigned.repartition(nCells, $"cell"),
+      statsCols = Seq("vec_id", "cell"))
+    require(ManifestTable.commit(cells, staged, -1))
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    // DML LEG 1 — erasure: ids 3,13,…,93 leave by MOR marker (bounded
+    // literal key list; no data file is touched)
+    ManifestTable.deleteKeysMOR(s, cells, "vec_id", (3L to 93L by 10).toSeq)
+    // DML LEG 2 — one upsert batch: the %10=5 vectors re-embed (negated —
+    // an arithmetic the oracle can restate bit-exactly) and the %10=7
+    // vectors re-arrive as NEW ids (+1_000_000); each row re-assigns to
+    // its nearest centroid
+    val fresh = ev.filter($"vec_id" % 10 === 5)
+      .select($"vec_id", transform($"embedding", x => -x).as("embedding"))
+      .unionByName(ev.filter($"vec_id" % 10 === 7)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val wa = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+    val freshAssigned = fresh.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cell",
+        VectorOps.cosineSim($"embedding", $"centroid").as("csim"))
+      .withColumn("pr", row_number().over(wa)).filter($"pr" === 1)
+      .select($"vec_id", $"embedding", $"cell")
+    ManifestTable.upsertMOR(s, cells, freshAssigned, "vec_id")
+    // SEARCH — the index plumbing over the DV-aware live view
+    val live = ManifestTable.read(s, cells)
+    val q = live.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val wp = Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell")
+    val probes = q.crossJoin(broadcast(cents))
+      .select($"query_id", $"qv", $"cell",
+        VectorOps.cosineSim($"qv", $"centroid").as("csim"))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"qv", $"cell")
+    probes
+      .join(live.select($"cell", $"vec_id".as("cand_id"),
+        $"embedding".as("cv")), "cell")
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id",
+        round(VectorOps.cosineSim($"qv", $"cv"), 6).as("cos_sim"), $"cand_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topKBy($"cos_sim", $"cand_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("cand_id"), $"col.score".as("cos_sim"),
+        ($"pos" + 1).cast("int").as("rank"))
+  }
+
   /** Driver-side Lloyd k-means over a BOUNDED sample — the PQ codebook
     * trainer (codebooks need thousands of points, not the corpus; at this
     * size a plain Scala loop beats per-subspace MLlib fits whose job
@@ -948,17 +1039,20 @@ object SimilarityOps {
     * restated (the q_knn_topk recipe), aggregated to the gate's one row.
     * DuckDB recomputes `n_queries` and the integer-micros similarity sum for
     * real; `recall_ok` is the bound-invariant TRUE flag. */
-  private val annGateSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // generated from the SAME (k, nQueries) parameters annRecallGate
+  // defaults to (the lshOracleSql pattern) — changing either default can
+  // no longer silently desynchronize the Spark gate from the oracle
+  private def annGateSql(k: Int = 5, nQueries: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
       |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
-      |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |  FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
       |ranked AS (
       |  SELECT query_id, cand_id, cos_sim,
       |         ROW_NUMBER() OVER (PARTITION BY query_id
       |                            ORDER BY cos_sim DESC, cand_id) AS rank
-      |  FROM scored QUALIFY rank <= 5)
+      |  FROM scored QUALIFY rank <= $k)
       |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
       |       CAST(sum(CAST(round(cos_sim * 1000000) AS BIGINT)) AS BIGINT) AS exact_sim_sum_micros,
       |       TRUE AS recall_ok
@@ -1003,6 +1097,7 @@ object SimilarityOps {
     "q_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "q_knn_topk" -> ((s, d) => knnBruteForce(s, d)),
     "q_vector_index" -> ((s, d) => vectorIndexSearch(s, d)),
+    "q_vector_index_dml" -> ((s, d) => vectorIndexSearchDml(s, d)),
     "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q_positive_pairs" -> ((s, d) => positivePairs(s, d)),
     "q_label_noise" -> ((s, d) => labelNoise(s, d)),
@@ -1208,6 +1303,29 @@ object SimilarityOps {
     "q_knn_topk" -> knnTopkSql,
     // total probe ⟹ the persisted index must reproduce brute force exactly
     "q_vector_index" -> knnTopkSql,
+    // post-DML total probe = brute force over the corpus AFTER the
+    // erasure (ids 3..93 gone), the negated corrections (%10=5 — float
+    // negation is exact, so the widened cosines agree bit-for-bit), and
+    // the appended copies (%10=7 under +1e6 ids)
+    "q_vector_index_dml" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |live AS (
+        |  SELECT vec_id, v FROM e0
+        |  WHERE vec_id NOT IN (3,13,23,33,43,53,63,73,83,93)
+        |    AND vec_id % 10 <> 5
+        |  UNION ALL
+        |  SELECT vec_id, list_transform(v, x -> -x) FROM e0
+        |  WHERE vec_id % 10 = 5
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 10 = 7),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM live q JOIN live c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, cand_id, cos_sim,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
     "q_embed_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,
         |       round(avg(embedding[i]), 6) AS avg_val
@@ -1226,8 +1344,8 @@ object SimilarityOps {
         |       round(mx / 127.0, 6) AS scale
         |FROM m, range(0, 64) t(i)""".stripMargin,
     "q_knn_lsh" -> lshOracleSql(),
-    "q_knn_ivf" -> annGateSql,
-    "q_knn_pq" -> annGateSql,
-    "q_knn_ivfpq" -> annGateSql,
+    "q_knn_ivf" -> annGateSql(),
+    "q_knn_pq" -> annGateSql(),
+    "q_knn_ivfpq" -> annGateSql(),
   )
 }

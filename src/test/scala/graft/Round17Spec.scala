@@ -183,6 +183,24 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("vector index DML: partial probe never serves erased vectors") {
+    val res = graft.operators.SimilarityOps
+      .vectorIndexSearchDml(spark, sf, nProbe = 8).collect()
+    val erased = (3L to 93L by 10).toSet
+    assert(res.nonEmpty)
+    assert(res.forall(r => !erased.contains(r.getLong(1))),
+      "erased ids must never surface in search results — the index scan " +
+        "applies the deletion-vector marker")
+    assert(!res.exists(_.getLong(0) == 3L),
+      "an erased query id must be gone from the query set too")
+    // query 7's appended copy is its exact duplicate: cosine 1.0, and its
+    // re-assignment lands in the query's own top probe cell, so it ranks
+    // first even under partial probing
+    val top7 = res.filter(r => r.getLong(0) == 7L && r.getInt(3) == 1)
+    assert(top7.length == 1 && top7.head.getLong(1) == 1000007L,
+      s"the appended exact duplicate must rank first, got ${top7.toSeq}")
+  }
+
   test("SQL txn: a torn state is never visible through catalog-pinned reads") {
     val root = freshDir("txn")
     catSetup("g17t", root)
