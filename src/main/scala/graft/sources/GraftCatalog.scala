@@ -3509,6 +3509,41 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
           new GraftStreamingWriterFactory(tableDir, writeSchema)
         override def commit(epochId: Long,
             messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+          // DECLARATIVE MOR UPSERT (round 17): a table declaring
+          // `graft.write.mode = upsert` + `graft.write.key = <col>` turns
+          // `writeStream.toTable` epochs into in-place corrections — the
+          // epoch's staged rows flow through upsertMOR, whose `#epoch`
+          // high-water rides the SAME mutate CAS as the correction
+          // itself, so a replayed epoch no-ops BEFORE staging a byte
+          // (the foreachBatch path's exactly-once, now on the
+          // declarative sink). `graft.write.id` optionally pins the
+          // sink's LOGICAL identity so even a fresh-checkpoint replay of
+          // the same feed no-ops; without it the guard is per streaming
+          // queryId (same-checkpoint restarts).
+          val vNow = ManifestTable.currentVersion(dir)
+          val propsNow =
+            if (vNow < 0) Map.empty[String, String]
+            else ManifestTable.tableProperties(dir, vNow)
+          if (propsNow.get("graft.write.mode").contains("upsert")) {
+            val key = propsNow.getOrElse("graft.write.key",
+              throw new IllegalStateException(
+                s"$dir declares graft.write.mode=upsert without " +
+                  "graft.write.key"))
+            val sinkId = propsNow.getOrElse("graft.write.id", queryId)
+            val names = messages.collect { case GraftFileCommit(n, _) => n }
+            if (names.nonEmpty) {
+              val s = org.apache.spark.sql.SparkSession.active
+              try {
+                val batch = s.read.parquet(names.map(n =>
+                  ManifestTable.dataPath(dir, n)).toIndexedSeq: _*)
+                ManifestTable.upsertMOR(s, dir, batch, key,
+                  epoch = Some((sinkId, epochId)))
+              } finally names.foreach(n =>
+                java.nio.file.Files.deleteIfExists(
+                  java.nio.file.Paths.get(dir, "data", n)))
+            }
+            return
+          }
           val staged = messages.collect { case GraftFileCommit(n, r) =>
             s"$n\t__rows=$r;__bytes=${java.nio.file.Files.size(
               java.nio.file.Paths.get(dir, "data", n))}" }

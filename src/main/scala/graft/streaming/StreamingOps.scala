@@ -614,8 +614,64 @@ object StreamingOps {
         sum($"value".cast(D2)).cast("double").as("sum_value"))
   }
 
+  /** DECLARATIVE STREAMING MOR UPSERT (round 17): [[streamMorUpsert]]'s
+    * exactly-once in-place corrections with ZERO sink code — the table
+    * declares `graft.write.mode = upsert` + `graft.write.key` (and here
+    * `graft.write.id`, pinning the feed's logical identity across
+    * checkpoints), and a plain `writeStream.toTable` does the rest: each
+    * epoch flows through upsertMOR with its `#epoch` high-water riding
+    * the same mutate CAS. The query replays the whole feed from a FRESH
+    * checkpoint and then REQUIRES the table version unmoved — every
+    * replayed epoch no-opped before staging a byte (the hash alone could
+    * not prove that: re-applying these corrections is value-idempotent).
+    * Oracle = the q_stream_mor_upsert batch restatement. */
+  def streamTableUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    // stable root per process: catalog instances cache their root by
+    // NAME (see streamTableSink's note)
+    val root = "/dev/shm/graft_stream/table_upsert_" +
+      java.lang.ProcessHandle.current().pid()
+    val tbl = s"$root/sink"
+    ManifestTable.destroy(tbl)
+    ManifestTable.destroy(s"$root-ckpt-first")
+    ManifestTable.destroy(s"$root-ckpt-second")
+    s.conf.set("spark.sql.catalog.graft_stu",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_stu.root", root)
+    // seed generation + the upsert declaration — the table properties
+    // ARE the wiring; the stream below is an ordinary toTable
+    ManifestTable.merge(s, tbl,
+      graft.Tables.events(s, dir).drop("props"), Seq("event_id"))
+    ManifestTable.alterAtomic(tbl, Seq(
+      ManifestTable.AlterOp.SetProp("graft.write.mode", "upsert"),
+      ManifestTable.AlterOp.SetProp("graft.write.key", "event_id"),
+      ManifestTable.AlterOp.SetProp("graft.write.id", "corrections-feed")))
+    val corrections = eventsStream(s, dir).drop("props")
+      .filter($"event_type" === "click")
+      .withColumn("value", $"value" + 1000.0)
+    def run(tag: String): Unit = {
+      val q = corrections.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root-ckpt-$tag")
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_stu.default.sink")
+      q.awaitTermination()
+    }
+    run("first")
+    val vFirst = ManifestTable.currentVersion(tbl)
+    run("second") // FRESH checkpoint: every epoch must no-op on #epoch
+    require(ManifestTable.currentVersion(tbl) == vFirst,
+      "fresh-checkpoint replay must no-op against the pinned sink id — " +
+        "the table version moved")
+    ManifestTable.read(s, tbl)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(D2)).cast("double").as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_mor_upsert" -> ((s, d) => streamMorUpsert(s, d)),
+    "q_stream_table_upsert" -> ((s, d) => streamTableUpsert(s, d)),
     "q_stream_changes" -> ((s, d) => streamChangesFeed(s, d)),
     "q_stream_psi" -> ((s, d) => streamPsiDrift(s, d)),
     "q_stream_approx_distinct" -> ((s, d) => streamApproxDistinct(s, d)),
@@ -683,6 +739,15 @@ object StreamingOps {
     // (upsert replaced the seed versions; the fresh-checkpoint replay
     // no-opped against the #epoch high-water), everything else is the seed
     "q_stream_mor_upsert" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(CASE WHEN event_type = 'click'
+        |                          THEN value + 1000.0 ELSE value END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // the declarative sink lands the same exactly-once corrections; the
+    // fresh-checkpoint no-op is require()d inside the query (the hash
+    // alone is value-idempotent to a re-application)
+    "q_stream_table_upsert" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(CASE WHEN event_type = 'click'
         |                          THEN value + 1000.0 ELSE value END

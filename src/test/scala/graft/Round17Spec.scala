@@ -201,6 +201,34 @@ class Round17Spec extends AnyFunSuite {
       s"the appended exact duplicate must rank first, got ${top7.toSeq}")
   }
 
+  test("declarative upsert sink refuses a mode without a key, loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val root = freshDir("stuerr")
+    val tbl = s"$root/sink"
+    ManifestTable.destroy(tbl)
+    catSetup("g17su", root)
+    ManifestTable.merge(spark,
+      tbl, Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    ManifestTable.alterAtomic(tbl, Seq(
+      ManifestTable.AlterOp.SetProp("graft.write.mode", "upsert")))
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("rate").option("rowsPerSecond", "5")
+        .load().select($"value".as("k"), lit(2.0).as("v"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root-ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable("g17su.default.sink")
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .map(x => Option(x.getMessage).getOrElse(""))
+    assert(chain(e).exists(_.contains("graft.write.key")),
+      s"must name the missing key property, got: ${e.getMessage}")
+  }
+
   test("SQL txn: a torn state is never visible through catalog-pinned reads") {
     val root = freshDir("txn")
     catSetup("g17t", root)
