@@ -92,11 +92,15 @@ private[graft] object GraftViews {
           Files.deleteIfExists(tmp)
         } catch { case _: UnsupportedOperationException =>
           // no hard links on this filesystem (fastForward handles the same
-          // case with a copy): fall back to an existence-checked move —
-          // Files.move without REPLACE_EXISTING throws
-          // FileAlreadyExistsException on a taken name. Weaker atomicity
-          // (check+rename, not link(2)): a create-vs-create race can in
-          // principle lose one error, never a document.
+          // case with a copy): fall back to a no-REPLACE move. Weaker
+          // atomicity than link(2) — the JDK implements the taken-name
+          // refusal as CHECK-then-rename (POSIX rename(2) itself silently
+          // replaces), so a create-vs-create race inside that window can
+          // let both writers "succeed"; each still publishes a COMPLETE
+          // document (full temp-file content), so the loss is one missing
+          // already-exists error, never a torn or lost document. The
+          // affected filesystems and the accepted trade are recorded in
+          // BASELINE.md (round 17).
           Files.move(tmp, pathOf(root, namespace, name))
         }
       }

@@ -616,6 +616,12 @@ object ManifestTable {
 
   private[sources] val BranchBaseProp = "graft.branch.base"
 
+  /** Exact-KEY match for the branch's private fork-point property line —
+    * a whole-line `contains` would also drop any property whose VALUE
+    * happens to contain the key text (ADVICE r16). */
+  private def isBranchBaseLine(l: String): Boolean =
+    l.startsWith(s"$PropPrefix$BranchBaseProp\t")
+
   private def validRefName(name: String): Boolean =
     name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_' ||
       ch == '-')
@@ -756,8 +762,7 @@ object ManifestTable {
       }
       // the branch's evolved metadata (schema changes, properties, tags)
       // publishes with it — minus its private fork-point marker
-      val meta = carriedMeta(bd, bv)
-        .filterNot(_.contains(BranchBaseProp))
+      val meta = carriedMeta(bd, bv).filterNot(isBranchBaseLine)
       // publish as a MUTATE commit: relative to main's head the branch
       // may remove or rewrite rows, which an append-only feed cannot
       // express — incremental consumers re-bootstrap, the honest default
@@ -948,7 +953,7 @@ object ManifestTable {
         }
       }.toMap
     val baseMeta = nonEpoch(carriedMeta(dir, base)).toSet
-    val bMetaAll = carriedMeta(bd, bv).filterNot(_.contains(BranchBaseProp))
+    val bMetaAll = carriedMeta(bd, bv).filterNot(isBranchBaseLine)
     val bMeta = nonEpoch(bMetaAll)
     val branchMetaChanged = bMeta.toSet != baseMeta
     val baseRen = renameLines(dir, base).toSet

@@ -201,6 +201,27 @@ class Round17Spec extends AnyFunSuite {
       s"the appended exact duplicate must rank first, got ${top7.toSeq}")
   }
 
+  test("a property VALUE containing the fork-point key text survives publish") {
+    import spark.implicits._
+    val root = freshDir("propval")
+    val tbl = s"$root/t"
+    ManifestTable.destroy(tbl)
+    ManifestTable.merge(spark, tbl, Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    ManifestTable.createBranch(tbl, "fix")
+    val bd = ManifestTable.branchDir(tbl, "fix")
+    // the key-text-in-VALUE trap: an exact-KEY filter keeps this line;
+    // the old whole-line contains() silently dropped it from the publish
+    ManifestTable.alterAtomic(bd, Seq(ManifestTable.AlterOp.SetProp(
+      "note", "see graft.branch.base semantics")))
+    ManifestTable.fastForward(tbl, "fix")
+    val props = ManifestTable.tableProperties(tbl,
+      ManifestTable.currentVersion(tbl))
+    assert(props.get("note").contains("see graft.branch.base semantics"),
+      s"the publish must carry the property, got $props")
+    assert(!props.contains("graft.branch.base"),
+      "the branch's private fork-point marker itself must not publish")
+  }
+
   test("declarative upsert sink refuses a mode without a key, loudly") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions.lit
