@@ -63,8 +63,9 @@ object Explain {
     // mutate manifest tables at construction
     "q_dsir_sample", "q_sql_view", "q_metadata_mor_count",
     "q_substring_dedup", "q_wap_dml", "q_branch_merge", "q_sql_view_ddl",
-    // round 17: DML + merge + transaction lifecycles run at construction
-    "q_branch_merge_rows", "q_sql_txn")
+    // round 17: DML + merge + transaction + index-DML lifecycles run at
+    // construction
+    "q_branch_merge_rows", "q_sql_txn", "q_vector_index_dml")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

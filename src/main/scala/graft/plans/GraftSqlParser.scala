@@ -331,9 +331,16 @@ case class GraftAlterViewPropsCommand(catalogName: String, ns: Seq[String],
 }
 
 /** `ALTER VIEW <graft-catalog>.<ns>.<name> RENAME TO <new>` — the new
-  * name resolves WITHIN the same catalog (1-part keeps the namespace;
-  * an explicit namespace must exist); cross-catalog renames refuse. The
-  * catalog's renameView publishes atomically (link-then-unlink). */
+  * name resolves WITHIN the same catalog: 1-part is RELATIVE (keeps the
+  * source namespace); 2-/3-part are ABSOLUTE, read with the same
+  * catalog-first rule as table identifiers — a head naming the catalog
+  * means the rest is the full path (`g.v2` = g.default.v2, matching how
+  * `resolveIdent` reads `g.v2` everywhere else), any other head is a
+  * namespace (which must exist). A namespace that shares the catalog's
+  * name is therefore only addressable through the 3-part form — the
+  * standing Spark ambiguity, resolved catalog-first here as there.
+  * Cross-catalog renames refuse. The catalog's renameView publishes
+  * atomically (link-then-unlink). */
 case class GraftRenameViewCommand(catalogName: String, ns: Seq[String],
     name: String, newName: Seq[String]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
@@ -373,7 +380,10 @@ case class GraftShowCreateViewCommand(catalogName: String, root: String,
       s"CREATE VIEW ${GraftViewCmds.quoted(catalogName +: ns :+ name)}")
     v.properties.get("comment").foreach(c =>
       sb.append(s"\nCOMMENT '${c.replace("'", "''")}'"))
-    val user = (v.properties -- internal - "comment").toSeq.sortBy(_._1)
+    // per-column comments are bookkeeping for DESCRIBE, not user
+    // TBLPROPERTIES (the aliasing wrapper already sits in the body)
+    val user = (v.properties -- internal - "comment")
+      .filterNot(_._1.startsWith("graft.col.comment.")).toSeq.sortBy(_._1)
     if (user.nonEmpty)
       sb.append(user.map { case (k, x) =>
         s"'${k.replace("'", "''")}' = '${x.replace("'", "''")}'"
@@ -399,7 +409,8 @@ case class GraftDescribeViewCommand(catalogName: String, root: String,
     if (!isExtended) cols
     else {
       val internal = Set(graft.sources.GraftViews.CrossCatalogHeadsProp)
-      val user = (v.properties -- internal).toSeq.sortBy(_._1)
+      val user = (v.properties -- internal)
+        .filterNot(_._1.startsWith("graft.col.comment.")).toSeq.sortBy(_._1)
         .map { case (k, x) => s"$k=$x" }.mkString("[", ", ", "]")
       cols ++ Seq(
         Row("", "", ""),
@@ -429,8 +440,14 @@ case class GraftAlterViewAsCommand(catalogName: String, root: String,
           "text to persist"))))
     GraftViewCmds.requireView(session, catalogName, ns, name,
       "ALTER VIEW … AS")
+    // properties survive the redefinition EXCEPT per-column comments —
+    // they described the OLD body's column list (the new body has none;
+    // stale entries would surface in DESCRIBE/SHOW CREATE against
+    // columns they never described) — and the cross-catalog-heads
+    // decisions, which recompute for the new body
     val keep = graft.sources.GraftViews.load(root, ns, name)
       .map(_.properties - graft.sources.GraftViews.CrossCatalogHeadsProp)
+      .map(_.filterNot(_._1.startsWith("graft.col.comment.")))
       .getOrElse(Map.empty)
     graft.sources.GraftViewDdl.create(session, catalogName, root, ns, name,
       body, replace = true, keep)

@@ -801,7 +801,7 @@ private[sources] object GraftProcedures {
     Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire",
       "branch", "fastforward", "merge_branch", "drop_branch", "rewrite_dvs",
       "price_dvs", "create_view", "drop_view",
-      "txn_begin", "txn_commit", "txn_version")
+      "txn_begin", "txn_commit", "txn_abort", "txn_version")
 
   /** Where the catalog tier's version files live for a graft catalog
     * root — a dot-directory, so it can never collide with a table or
@@ -878,6 +878,10 @@ private[sources] object GraftProcedures {
         "versions; unnamed tables keep their existing pins. Refuses if " +
         "another transaction committed since txn_begin. Read the " +
         "consistent snapshot with VERSION AS OF 'catalog:<v>'"
+      case "txn_abort" => "abandon an open txn_begin: clears the " +
+        "recorded expected version so a later txn_commit is not " +
+        "spuriously refused against a stale begin (staged table " +
+        "versions stay behind — harmless, time-travelable, vacuumable)"
       case "txn_version" => "current catalog version (the <v> for " +
         "VERSION AS OF 'catalog:<v>' consistent cross-table reads)"
     }
@@ -920,7 +924,7 @@ private[sources] object GraftProcedures {
           .BooleanType).defaultValue("false").build())
       case "drop_view" => Array(
         ProcedureParameter.in("name", StringType).build())
-      case "txn_begin" | "txn_version" => Array.empty
+      case "txn_begin" | "txn_abort" | "txn_version" => Array.empty
       case "txn_commit" => Array(
         ProcedureParameter.in("tables", StringType).build())
     }
@@ -1026,6 +1030,9 @@ private[sources] object GraftProcedures {
           val cur = Catalog.currentVersion(txnRoot(root))
           s.conf.set(txnKey(catalogName), cur.toString)
           cur
+        case "txn_abort" =>
+          s.conf.unset(txnKey(catalogName))
+          Catalog.currentVersion(txnRoot(root))
         case "txn_version" =>
           Catalog.currentVersion(txnRoot(root))
         case "txn_commit" =>
@@ -3519,29 +3526,40 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
           // declarative sink). `graft.write.id` optionally pins the
           // sink's LOGICAL identity so even a fresh-checkpoint replay of
           // the same feed no-ops; without it the guard is per streaming
-          // queryId (same-checkpoint restarts).
+          // queryId (same-checkpoint restarts). The id is a CONTRACT,
+          // exactly Delta's txnAppId/txnVersion: by setting it the
+          // operator asserts epoch N under this id always carries the
+          // same rows — a fresh checkpoint renumbers epochs from 0, so
+          // restarting a feed that gained NEW data under the SAME id
+          // would silently declare those epochs duplicates. New data
+          // needs a new id (or no id: queryId scoping).
           val vNow = ManifestTable.currentVersion(dir)
           val propsNow =
             if (vNow < 0) Map.empty[String, String]
             else ManifestTable.tableProperties(dir, vNow)
           if (propsNow.get("graft.write.mode").contains("upsert")) {
-            val key = propsNow.getOrElse("graft.write.key",
-              throw new IllegalStateException(
-                s"$dir declares graft.write.mode=upsert without " +
-                  "graft.write.key"))
-            val sinkId = propsNow.getOrElse("graft.write.id", queryId)
             val names = messages.collect { case GraftFileCommit(n, _) => n }
-            if (names.nonEmpty) {
-              val s = org.apache.spark.sql.SparkSession.active
-              try {
+            // the raw staged files are dropped on EVERY exit of this
+            // branch — including the missing-key refusal below, which
+            // Spark surfaces as a commit failure without calling abort()
+            // (an uncovered error path would orphan one file set per
+            // restart of the misconfigured query)
+            try {
+              val key = propsNow.getOrElse("graft.write.key",
+                throw new IllegalStateException(
+                  s"$dir declares graft.write.mode=upsert without " +
+                    "graft.write.key"))
+              val sinkId = propsNow.getOrElse("graft.write.id", queryId)
+              if (names.nonEmpty) {
+                val s = org.apache.spark.sql.SparkSession.active
                 val batch = s.read.parquet(names.map(n =>
                   ManifestTable.dataPath(dir, n)).toIndexedSeq: _*)
                 ManifestTable.upsertMOR(s, dir, batch, key,
                   epoch = Some((sinkId, epochId)))
-              } finally names.foreach(n =>
-                java.nio.file.Files.deleteIfExists(
-                  java.nio.file.Paths.get(dir, "data", n)))
-            }
+              }
+            } finally names.foreach(n =>
+              java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(dir, "data", n)))
             return
           }
           val staged = messages.collect { case GraftFileCommit(n, r) =>
