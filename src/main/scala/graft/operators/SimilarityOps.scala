@@ -1015,9 +1015,15 @@ object SimilarityOps {
     *     regression flips it FALSE and breaks the driver's hash compare.
     * Specs keep auditing the full per-row rankings via the underlying
     * functions; the registered query IS the gate. */
+  /** ONE definition of the gate geometry, shared by [[annRecallGate]]
+    * and [[annGateSql]] — the single place a retune edits, so the Spark
+    * gate and its DuckDB oracle cannot desynchronize. */
+  private val GateK = 5
+  private val GateNQueries = 10
+
   private def annRecallGate(s: SparkSession, dir: String,
-      approx: DataFrame, floor: Double, k: Int = 5,
-      nQueries: Int = 10): DataFrame = {
+      approx: DataFrame, floor: Double, k: Int = GateK,
+      nQueries: Int = GateNQueries): DataFrame = {
     import s.implicits._
     val exact = knnBruteForce(s, dir, k, nQueries)
       .select($"query_id", $"cand_id", $"cos_sim")
@@ -1039,10 +1045,11 @@ object SimilarityOps {
     * restated (the q_knn_topk recipe), aggregated to the gate's one row.
     * DuckDB recomputes `n_queries` and the integer-micros similarity sum for
     * real; `recall_ok` is the bound-invariant TRUE flag. */
-  // generated from the SAME (k, nQueries) parameters annRecallGate
-  // defaults to (the lshOracleSql pattern) — changing either default can
-  // no longer silently desynchronize the Spark gate from the oracle
-  private def annGateSql(k: Int = 5, nQueries: Int = 10): String =
+  // generated from the SAME GateK/GateNQueries constants annRecallGate
+  // defaults to (the lshOracleSql pattern) — one shared definition, so a
+  // retune cannot silently desynchronize the gate from its oracle
+  private def annGateSql(k: Int = GateK, nQueries: Int = GateNQueries)
+      : String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -261,6 +261,13 @@ private[plans] object GraftViewCmds {
   }
   def quoted(parts: Seq[String]): String =
     parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+  /** ONE definition of "internal bookkeeping property" for every surface
+    * that renders or carries view properties (SHOW CREATE, DESCRIBE,
+    * ALTER AS) — a property added to one rendering but not the others
+    * would otherwise leak or survive inconsistently. */
+  def isInternal(key: String): Boolean =
+    key == graft.sources.GraftViews.CrossCatalogHeadsProp ||
+      key.startsWith("graft.col.comment.")
 }
 
 /** `CREATE [OR REPLACE] VIEW <graft-catalog>.<ns>.<name>
@@ -313,13 +320,21 @@ case class GraftAlterViewPropsCommand(catalogName: String, ns: Seq[String],
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.connector.catalog.ViewChange
+    // target-shape errors first (table / missing view), THEN the
+    // reserved-property refusal — each statement shape with its own
+    // Spark error class
+    GraftViewCmds.requireView(session, catalogName, ns, name,
+      "ALTER VIEW … TBLPROPERTIES")
     val reserved = graft.sources.GraftViews.CrossCatalogHeadsProp
-    if (set.contains(reserved) || unset.contains(reserved))
+    if (set.contains(reserved))
+      throw new AnalysisException(
+        errorClass = "UNSUPPORTED_FEATURE.SET_TABLE_PROPERTY",
+        messageParameters = Map("property" -> reserved,
+          "msg" -> "it records the view's creation-time catalog decisions"))
+    if (unset.contains(reserved))
       throw new AnalysisException(
         errorClass = "CANNOT_REMOVE_RESERVED_PROPERTY",
         messageParameters = Map("property" -> reserved))
-    GraftViewCmds.requireView(session, catalogName, ns, name,
-      "ALTER VIEW … TBLPROPERTIES")
     val changes: Seq[ViewChange] =
       set.toSeq.sortBy(_._1).map { case (k, v) =>
         ViewChange.setProperty(k, v) } ++
@@ -375,15 +390,12 @@ case class GraftShowCreateViewCommand(catalogName: String, root: String,
     val v = graft.sources.GraftViews.load(root, ns, name).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
         Identifier.of(ns.toArray, name)))
-    val internal = Set(graft.sources.GraftViews.CrossCatalogHeadsProp)
     val sb = new StringBuilder(
       s"CREATE VIEW ${GraftViewCmds.quoted(catalogName +: ns :+ name)}")
     v.properties.get("comment").foreach(c =>
       sb.append(s"\nCOMMENT '${c.replace("'", "''")}'"))
-    // per-column comments are bookkeeping for DESCRIBE, not user
-    // TBLPROPERTIES (the aliasing wrapper already sits in the body)
-    val user = (v.properties -- internal - "comment")
-      .filterNot(_._1.startsWith("graft.col.comment.")).toSeq.sortBy(_._1)
+    val user = (v.properties - "comment")
+      .filterNot(p => GraftViewCmds.isInternal(p._1)).toSeq.sortBy(_._1)
     if (user.nonEmpty)
       sb.append(user.map { case (k, x) =>
         s"'${k.replace("'", "''")}' = '${x.replace("'", "''")}'"
@@ -408,9 +420,8 @@ case class GraftDescribeViewCommand(catalogName: String, root: String,
     }
     if (!isExtended) cols
     else {
-      val internal = Set(graft.sources.GraftViews.CrossCatalogHeadsProp)
-      val user = (v.properties -- internal)
-        .filterNot(_._1.startsWith("graft.col.comment.")).toSeq.sortBy(_._1)
+      val user = v.properties
+        .filterNot(p => GraftViewCmds.isInternal(p._1)).toSeq.sortBy(_._1)
         .map { case (k, x) => s"$k=$x" }.mkString("[", ", ", "]")
       cols ++ Seq(
         Row("", "", ""),
@@ -440,14 +451,13 @@ case class GraftAlterViewAsCommand(catalogName: String, root: String,
           "text to persist"))))
     GraftViewCmds.requireView(session, catalogName, ns, name,
       "ALTER VIEW … AS")
-    // properties survive the redefinition EXCEPT per-column comments —
-    // they described the OLD body's column list (the new body has none;
-    // stale entries would surface in DESCRIBE/SHOW CREATE against
-    // columns they never described) — and the cross-catalog-heads
-    // decisions, which recompute for the new body
+    // USER properties survive the redefinition; internal bookkeeping
+    // does not — per-column comments described the OLD body's column
+    // list (stale entries would surface in DESCRIBE against columns
+    // they never described) and the cross-catalog-heads decisions
+    // recompute for the new body
     val keep = graft.sources.GraftViews.load(root, ns, name)
-      .map(_.properties - graft.sources.GraftViews.CrossCatalogHeadsProp)
-      .map(_.filterNot(_._1.startsWith("graft.col.comment.")))
+      .map(_.properties.filterNot(p => GraftViewCmds.isInternal(p._1)))
       .getOrElse(Map.empty)
     graft.sources.GraftViewDdl.create(session, catalogName, root, ns, name,
       body, replace = true, keep)

@@ -3521,9 +3521,12 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
           // `writeStream.toTable` epochs into in-place corrections — the
           // epoch's staged rows flow through upsertMOR, whose `#epoch`
           // high-water rides the SAME mutate CAS as the correction
-          // itself, so a replayed epoch no-ops BEFORE staging a byte
-          // (the foreachBatch path's exactly-once, now on the
-          // declarative sink). `graft.write.id` optionally pins the
+          // itself, so a replayed epoch never re-APPLIES — upsertMOR
+          // returns before MOR-staging anything. (Unlike the
+          // foreachBatch path, the replayed epoch's RAW task files were
+          // already written by the executors before this commit runs;
+          // they are read once and dropped below, so replay I/O is
+          // ∝ batch volume, never a double apply.) `graft.write.id` optionally pins the
           // sink's LOGICAL identity so even a fresh-checkpoint replay of
           // the same feed no-ops; without it the guard is per streaming
           // queryId (same-checkpoint restarts). The id is a CONTRACT,

@@ -621,9 +621,12 @@ object StreamingOps {
     * checkpoints), and a plain `writeStream.toTable` does the rest: each
     * epoch flows through upsertMOR with its `#epoch` high-water riding
     * the same mutate CAS. The query replays the whole feed from a FRESH
-    * checkpoint and then REQUIRES the table version unmoved — every
-    * replayed epoch no-opped before staging a byte (the hash alone could
-    * not prove that: re-applying these corrections is value-idempotent).
+    * checkpoint and then REQUIRES the table version unmoved — no
+    * replayed epoch re-applied (the hash alone could not prove that:
+    * re-applying these corrections is value-idempotent). Replay still
+    * pays the raw task-file write per epoch — the declarative sink's
+    * executors stage before the driver commit can consult the
+    * high-water — but never a commit, a marker, or a double apply.
     * Oracle = the q_stream_mor_upsert batch restatement. */
   def streamTableUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
