@@ -203,7 +203,14 @@ object Bench {
     // Merge this run's times into the historical-minimum file. min() keeps
     // the floor: a regression never raises its own baseline, so it stays
     // tainted (and visibly re-measured) every round until adjudicated.
-    try {
+    // CANONICAL-FIXTURE GUARD (round 17): floors are sf0.1 semantics —
+    // a quick sf0.001 debug run pointed at the default history file
+    // would silently CUT every floor it touches (min-merge cannot
+    // self-correct downward mistakes). Merge only when this run used the
+    // canonical bench fixture, or when the caller explicitly redirected
+    // the history file (a deliberate experiment).
+    if (sfDir.endsWith("sf0.1") ||
+        sys.env.contains("SPARK_GRAFT_BENCH_HISTORY")) try {
       val merged = (hist.keySet ++ results.map(_._1)).map { k =>
         k -> math.min(hist.getOrElse(k, Double.MaxValue),
           results.toMap.getOrElse(k, Double.MaxValue))
