@@ -209,8 +209,11 @@ object Bench {
     // self-correct downward mistakes). Merge only when this run used the
     // canonical bench fixture, or when the caller explicitly redirected
     // the history file (a deliberate experiment).
-    if (sfDir.endsWith("sf0.1") ||
-        sys.env.contains("SPARK_GRAFT_BENCH_HISTORY")) try {
+    val canonicalSf =
+      try Paths.get(sfDir).toAbsolutePath.normalize
+        .getFileName.toString == "sf0.1" // trailing-slash / ./-tolerant
+      catch { case _: Exception => false }
+    if (canonicalSf || sys.env.contains("SPARK_GRAFT_BENCH_HISTORY")) try {
       val merged = (hist.keySet ++ results.map(_._1)).map { k =>
         k -> math.min(hist.getOrElse(k, Double.MaxValue),
           results.toMap.getOrElse(k, Double.MaxValue))

@@ -392,6 +392,17 @@ case class GraftShowCreateViewCommand(catalogName: String, root: String,
         Identifier.of(ns.toArray, name)))
     val sb = new StringBuilder(
       s"CREATE VIEW ${GraftViewCmds.quoted(catalogName +: ns :+ name)}")
+    // column comments render as a COLUMN LIST, not TBLPROPERTIES — the
+    // one form whose re-execution recreates the view with its comments
+    // intact (the body's alias wrapper is positional, so the outer list
+    // re-aliasing the same names is idempotent)
+    if (v.properties.keys.exists(_.startsWith("graft.col.comment."))) {
+      sb.append(v.schema.fieldNames.map { f =>
+        val q = s"`${f.replace("`", "``")}`"
+        v.properties.get(s"graft.col.comment.$f")
+          .fold(q)(c => s"$q COMMENT '${c.replace("'", "''")}'")
+      }.mkString(" (", ", ", ")"))
+    }
     v.properties.get("comment").foreach(c =>
       sb.append(s"\nCOMMENT '${c.replace("'", "''")}'"))
     val user = (v.properties - "comment")
@@ -452,10 +463,11 @@ case class GraftAlterViewAsCommand(catalogName: String, root: String,
     GraftViewCmds.requireView(session, catalogName, ns, name,
       "ALTER VIEW … AS")
     // USER properties survive the redefinition; internal bookkeeping
-    // does not — per-column comments described the OLD body's column
-    // list (stale entries would surface in DESCRIBE against columns
-    // they never described) and the cross-catalog-heads decisions
-    // recompute for the new body
+    // does not — per-column comments belong to the replaced definition
+    // (matching Spark's own ALTER VIEW … AS, which re-derives the schema
+    // from the new body without comments; keeping them would also leave
+    // stale entries against columns the new body never had) and the
+    // cross-catalog-heads decisions recompute for the new body
     val keep = graft.sources.GraftViews.load(root, ns, name)
       .map(_.properties.filterNot(p => GraftViewCmds.isInternal(p._1)))
       .getOrElse(Map.empty)

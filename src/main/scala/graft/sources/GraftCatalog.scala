@@ -3509,6 +3509,15 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
       val writeSchema = info.schema()
       val tableDir = dir // local copy: the writer-factory lambda must not
       // capture the builder (whose LogicalWriteInfo is not serializable)
+      // the write MODE is resolved ONCE at stream build — per-epoch
+      // re-reads would tax every plain append commit with a manifest
+      // parse, and a mid-stream property flip changing semantics between
+      // epochs of one run is not a contract anyone wants (it applies
+      // from the next stream start)
+      val buildV = ManifestTable.currentVersion(dir)
+      val buildProps =
+        if (buildV < 0) Map.empty[String, String]
+        else ManifestTable.tableProperties(dir, buildV)
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         override def createStreamingWriterFactory(
             pInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -3536,27 +3545,35 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
           // restarting a feed that gained NEW data under the SAME id
           // would silently declare those epochs duplicates. New data
           // needs a new id (or no id: queryId scoping).
-          val vNow = ManifestTable.currentVersion(dir)
-          val propsNow =
-            if (vNow < 0) Map.empty[String, String]
-            else ManifestTable.tableProperties(dir, vNow)
-          if (propsNow.get("graft.write.mode").contains("upsert")) {
+          if (buildProps.get("graft.write.mode").contains("upsert")) {
             val names = messages.collect { case GraftFileCommit(n, _) => n }
             // the raw staged files are dropped on EVERY exit of this
-            // branch — including the missing-key refusal below, which
-            // Spark surfaces as a commit failure without calling abort()
-            // (an uncovered error path would orphan one file set per
+            // branch — including the refusals below, which Spark
+            // surfaces as commit failures without calling abort() (an
+            // uncovered error path would orphan one file set per
             // restart of the misconfigured query)
             try {
-              val key = propsNow.getOrElse("graft.write.key",
+              val key = buildProps.getOrElse("graft.write.key",
                 throw new IllegalStateException(
                   s"$dir declares graft.write.mode=upsert without " +
                     "graft.write.key"))
-              val sinkId = propsNow.getOrElse("graft.write.id", queryId)
+              val sinkId = buildProps.getOrElse("graft.write.id", queryId)
               if (names.nonEmpty) {
                 val s = org.apache.spark.sql.SparkSession.active
                 val batch = s.read.parquet(names.map(n =>
                   ManifestTable.dataPath(dir, n)).toIndexedSeq: _*)
+                // an upsert key is a row identity: a NULL-keyed row is a
+                // malformed correction, and silently passing it through
+                // would either vanish (all-null batch: upsertMOR's span
+                // is null → no-op, the raw files already deleted) or
+                // land un-amendable rows no later correction can target.
+                // Refuse loudly — the one behavior an operator can act on.
+                require(batch.filter(
+                    org.apache.spark.sql.functions.col(key).isNull)
+                    .isEmpty,
+                  s"upsert sink for $dir: epoch $epochId carries NULL " +
+                    s"'$key' keys — an upsert key is a row identity; " +
+                    "fix the feed or use a plain append table")
                 ManifestTable.upsertMOR(s, dir, batch, key,
                   epoch = Some((sinkId, epochId)))
               }

@@ -201,6 +201,33 @@ class Round17Spec extends AnyFunSuite {
       s"the appended exact duplicate must rank first, got ${top7.toSeq}")
   }
 
+  test("SHOW CREATE round-trips a column-list view with its comments") {
+    val root = freshDir("sct")
+    ManifestTable.destroy(s"$root/t")
+    catSetup("g17sc", root)
+    spark.sql("DROP TABLE IF EXISTS g17sc.default.t")
+    spark.sql("CREATE TABLE g17sc.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO g17sc.default.t VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("DROP VIEW IF EXISTS g17sc.default.cv")
+    spark.sql("DROP VIEW IF EXISTS g17sc.default.cv2")
+    spark.sql("""CREATE VIEW g17sc.default.cv
+      (id COMMENT 'row identity', amount) AS
+      SELECT k, v FROM g17sc.default.t""")
+    val ddl = spark.sql("SHOW CREATE TABLE g17sc.default.cv")
+      .head().getString(0)
+    assert(ddl.contains("COMMENT 'row identity'") && ddl.contains("`id`"),
+      s"the reconstructed DDL must carry the column list, got: $ddl")
+    // EXECUTING the reconstructed DDL recreates an equivalent view —
+    // same pinned columns, same comment, same rows
+    spark.sql(ddl.replace("`cv`", "`cv2`")) // the DDL quotes identifiers
+    val d2 = spark.sql("DESCRIBE g17sc.default.cv2").collect()
+    assert(d2.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("id", "row identity"), ("amount", null)),
+      s"round-tripped view must keep columns + comments, got ${d2.toSeq}")
+    assert(spark.sql("SELECT sum(amount) FROM g17sc.default.cv2")
+      .head().getDouble(0) == 4.0)
+  }
+
   test("a property VALUE containing the fork-point key text survives publish") {
     import spark.implicits._
     val root = freshDir("propval")
