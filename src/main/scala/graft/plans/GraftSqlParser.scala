@@ -268,6 +268,12 @@ private[plans] object GraftViewCmds {
   def isInternal(key: String): Boolean =
     key == graft.sources.GraftViews.CrossCatalogHeadsProp ||
       key.startsWith("graft.col.comment.")
+  /** A SQL single-quoted string literal that re-parses to exactly `s` —
+    * backslashes double FIRST (Spark's parser treats them as escapes:
+    * '\t' is a tab), then quotes: a trailing backslash would otherwise
+    * swallow the closing delimiter. */
+  def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 }
 
 /** `CREATE [OR REPLACE] VIEW <graft-catalog>.<ns>.<name>
@@ -400,16 +406,16 @@ case class GraftShowCreateViewCommand(catalogName: String, root: String,
       sb.append(v.schema.fieldNames.map { f =>
         val q = s"`${f.replace("`", "``")}`"
         v.properties.get(s"graft.col.comment.$f")
-          .fold(q)(c => s"$q COMMENT '${c.replace("'", "''")}'")
+          .fold(q)(c => s"$q COMMENT ${GraftViewCmds.sqlStr(c)}")
       }.mkString(" (", ", ", ")"))
     }
     v.properties.get("comment").foreach(c =>
-      sb.append(s"\nCOMMENT '${c.replace("'", "''")}'"))
+      sb.append(s"\nCOMMENT ${GraftViewCmds.sqlStr(c)}"))
     val user = (v.properties - "comment")
       .filterNot(p => GraftViewCmds.isInternal(p._1)).toSeq.sortBy(_._1)
     if (user.nonEmpty)
       sb.append(user.map { case (k, x) =>
-        s"'${k.replace("'", "''")}' = '${x.replace("'", "''")}'"
+        s"${GraftViewCmds.sqlStr(k)} = ${GraftViewCmds.sqlStr(x)}"
       }.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")"))
     sb.append(s" AS\n${v.sql}")
     Seq(Row(sb.toString))

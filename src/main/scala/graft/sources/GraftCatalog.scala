@@ -3562,18 +3562,9 @@ private[sources] class ManifestSqlWriteBuilder(dir: String,
                 val s = org.apache.spark.sql.SparkSession.active
                 val batch = s.read.parquet(names.map(n =>
                   ManifestTable.dataPath(dir, n)).toIndexedSeq: _*)
-                // an upsert key is a row identity: a NULL-keyed row is a
-                // malformed correction, and silently passing it through
-                // would either vanish (all-null batch: upsertMOR's span
-                // is null → no-op, the raw files already deleted) or
-                // land un-amendable rows no later correction can target.
-                // Refuse loudly — the one behavior an operator can act on.
-                require(batch.filter(
-                    org.apache.spark.sql.functions.col(key).isNull)
-                    .isEmpty,
-                  s"upsert sink for $dir: epoch $epochId carries NULL " +
-                    s"'$key' keys — an upsert key is a row identity; " +
-                    "fix the feed or use a plain append table")
+                // NULL-keyed rows refuse loudly inside upsertMOR's span
+                // pass (the row-identity contract, enforced for every
+                // upsert entry point at zero extra scans)
                 ManifestTable.upsertMOR(s, dir, batch, key,
                   epoch = Some((sinkId, epochId)))
               }

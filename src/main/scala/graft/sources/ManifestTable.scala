@@ -2994,9 +2994,22 @@ object ManifestTable {
         s"upsertMOR key column '$col' was renamed to '${keyFamily.head}' — " +
           "upsert under the evolved name")
       // target = files whose recorded range intersects the batch key span
-      // (1-row bound collect; no key list reaches the driver)
-      val span = batch.agg(fmin(c(col)), fmax(c(col))).head()
-      if (span.isNullAt(0)) return v // empty batch: idempotent no-op
+      // (1-row bound collect; no key list reaches the driver). The same
+      // pass enforces the ROW-IDENTITY contract for every upsert entry
+      // point (round 17): a NULL key is a malformed correction — passing
+      // it through would either vanish the batch (all-null span used to
+      // read as "empty batch" and no-op after the source was consumed)
+      // or land un-amendable rows no later correction can target.
+      val span = batch.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.count(c(col)),
+        fmin(c(col)), fmax(c(col))).head()
+      if (span.getLong(0) == 0L) return v // empty batch: idempotent no-op
+      require(span.getLong(1) == span.getLong(0),
+        s"upsertMOR into $dir: ${span.getLong(0) - span.getLong(1)} of " +
+          s"${span.getLong(0)} rows carry a NULL '$col' key — an upsert " +
+          "key is a row identity; fix the feed or append instead")
       // numeric-tolerant extraction: the key column may be any integral /
       // decimal / floating type, not just BIGINT (the stats machinery is
       // BigDecimal-typed for the same reason)
@@ -3011,7 +3024,7 @@ object ManifestTable {
         case x => throw new IllegalArgumentException(
           s"upsertMOR key column '$col' has non-numeric type ${x.getClass}")
       }
-      val (lo, hi) = (num(span.get(0)), num(span.get(1)))
+      val (lo, hi) = (num(span.get(2)), num(span.get(3)))
       val affected = listLines(dir, v).map(parseEntry)
         .filter(e => keyFamily.flatMap(e.ranges.get).headOption
           .forall(r => r.max >= lo && r.min <= hi))

@@ -210,9 +210,13 @@ class Round17Spec extends AnyFunSuite {
     spark.sql("INSERT INTO g17sc.default.t VALUES (1, 1.5), (2, 2.5)")
     spark.sql("DROP VIEW IF EXISTS g17sc.default.cv")
     spark.sql("DROP VIEW IF EXISTS g17sc.default.cv2")
+    // the comment carries a backslash — the round-trip must escape it
+    // (Spark treats \t in a literal as a TAB)
     spark.sql("""CREATE VIEW g17sc.default.cv
       (id COMMENT 'row identity', amount) AS
       SELECT k, v FROM g17sc.default.t""")
+    spark.sql("""ALTER VIEW g17sc.default.cv
+      SET TBLPROPERTIES ('note' = 'path C:\\temp')""")
     val ddl = spark.sql("SHOW CREATE TABLE g17sc.default.cv")
       .head().getString(0)
     assert(ddl.contains("COMMENT 'row identity'") && ddl.contains("`id`"),
@@ -220,12 +224,31 @@ class Round17Spec extends AnyFunSuite {
     // EXECUTING the reconstructed DDL recreates an equivalent view —
     // same pinned columns, same comment, same rows
     spark.sql(ddl.replace("`cv`", "`cv2`")) // the DDL quotes identifiers
+    assert(graft.sources.GraftViews.load(root, Seq("default"), "cv2")
+      .get.properties.get("note").contains("path C:\\temp"),
+      "a backslash-carrying property must round-trip byte-exact")
     val d2 = spark.sql("DESCRIBE g17sc.default.cv2").collect()
     assert(d2.map(r => (r.getString(0), r.getString(2))).toSeq ==
       Seq(("id", "row identity"), ("amount", null)),
       s"round-tripped view must keep columns + comments, got ${d2.toSeq}")
     assert(spark.sql("SELECT sum(amount) FROM g17sc.default.cv2")
       .head().getDouble(0) == 4.0)
+  }
+
+  test("upsertMOR refuses NULL-keyed rows — an upsert key is a row identity") {
+    import spark.implicits._
+    val tbl = s"${freshDir("nullkey")}/t"
+    ManifestTable.destroy(tbl)
+    ManifestTable.merge(spark, tbl, Seq((1L, 1.0)).toDF("k", "v"), Seq("k"))
+    val bad = Seq[(java.lang.Long, Double)]((null, 9.0), (2L, 2.0))
+      .toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.upsertMOR(spark, tbl, bad, "k")
+    }
+    assert(e.getMessage.contains("NULL 'k' key"),
+      s"must name the null-key contract, got: ${e.getMessage}")
+    // the refusal left the table untouched
+    assert(ManifestTable.read(spark, tbl).count() == 1L)
   }
 
   test("a property VALUE containing the fork-point key text survives publish") {
