@@ -271,7 +271,10 @@ private[plans] object GraftViewCmds {
   /** A SQL single-quoted string literal that re-parses to exactly `s` —
     * backslashes double FIRST (Spark's parser treats them as escapes:
     * '\t' is a tab), then quotes: a trailing backslash would otherwise
-    * swallow the closing delimiter. */
+    * swallow the closing delimiter. Assumes the DEFAULT parser config;
+    * under the legacy `spark.sql.parser.escapedStringLiterals=true`
+    * (Hive compat — backslashes literal) a re-execution would double
+    * backslashes, the same caveat every Spark-emitted DDL carries. */
   def sqlStr(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 }

@@ -3018,6 +3018,21 @@ object ManifestTable {
         case i: java.lang.Integer => BigDecimal(i.intValue)
         case s: java.lang.Short => BigDecimal(s.intValue)
         case b: java.lang.Byte => BigDecimal(b.intValue)
+        // a NaN key is as un-amendable an identity as NULL (NaN never
+        // equals itself in a join), and Spark orders NaN GREATEST, so
+        // any NaN key surfaces here as the span max — refuse with the
+        // same named row-identity contract, not a bare
+        // NumberFormatException from BigDecimal
+        case d: java.lang.Double if d.isNaN || d.isInfinite =>
+          throw new IllegalArgumentException(
+            s"upsertMOR into $dir: the '$col' key span contains $d — " +
+              "an upsert key is a row identity; NaN/Infinite keys " +
+              "cannot be targeted by later corrections")
+        case f: java.lang.Float if f.isNaN || f.isInfinite =>
+          throw new IllegalArgumentException(
+            s"upsertMOR into $dir: the '$col' key span contains $f — " +
+              "an upsert key is a row identity; NaN/Infinite keys " +
+              "cannot be targeted by later corrections")
         case d: java.lang.Double => BigDecimal(d.doubleValue)
         case f: java.lang.Float => BigDecimal(f.doubleValue)
         case bd: java.math.BigDecimal => BigDecimal(bd)

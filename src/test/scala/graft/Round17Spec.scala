@@ -249,6 +249,19 @@ class Round17Spec extends AnyFunSuite {
       s"must name the null-key contract, got: ${e.getMessage}")
     // the refusal left the table untouched
     assert(ManifestTable.read(spark, tbl).count() == 1L)
+    // NaN keys refuse with the same named contract (NaN never equals
+    // itself — un-amendable; Spark orders it greatest, so it surfaces
+    // as the span max instead of a bare BigDecimal NumberFormatException)
+    val tbl2 = s"${freshDir("nankey")}/t"
+    ManifestTable.destroy(tbl2)
+    ManifestTable.merge(spark, tbl2,
+      Seq((1.0, 1.0)).toDF("k", "v"), Seq("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.upsertMOR(spark, tbl2,
+        Seq((Double.NaN, 9.0), (2.0, 2.0)).toDF("k", "v"), "k")
+    }
+    assert(e2.getMessage.contains("row identity"),
+      s"NaN key must hit the named contract, got: ${e2.getMessage}")
   }
 
   test("a property VALUE containing the fork-point key text survives publish") {
