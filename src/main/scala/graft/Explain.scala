@@ -65,7 +65,8 @@ object Explain {
     "q_substring_dedup", "q_wap_dml", "q_branch_merge", "q_sql_view_ddl",
     // round 17: DML + merge + transaction + index-DML lifecycles run at
     // construction
-    "q_branch_merge_rows", "q_sql_txn", "q_vector_index_dml")
+    "q_branch_merge_rows", "q_sql_txn", "q_sql_txn_history",
+    "q_vector_index_dml")
 
   /** `Explain <sfDir> FINAL q...` — EXECUTE each query (noop sink) and
     * print one line per query summarizing the join operators of the FINAL

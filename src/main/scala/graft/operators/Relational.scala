@@ -2420,6 +2420,37 @@ object Relational {
           ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority""")
     }),
+    // TXN AUDIT TRAIL (round 17): `CALL system.txn_history()` — one row
+    // per (catalog version, table) pin, the cross-table state an
+    // operator reads before rolling back to an earlier catalog version.
+    // The lifecycle is deterministic (CREATE/INSERT commit arithmetic),
+    // so the full pin matrix oracle-checks as literals — including the
+    // PARTIAL second transaction, whose untouched table must CARRY its
+    // pin forward rather than vanish from the new catalog version.
+    "q_sql_txn_history" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_txh_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.sources.ManifestTable.destroy(root)
+      s.conf.set("spark.sql.catalog.graft_txh",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_txh.root", root)
+      s.sql("CREATE TABLE graft_txh.default.a (o_orderkey BIGINT)")
+      s.sql("CREATE TABLE graft_txh.default.b (o_orderkey BIGINT)")
+      Tables.orders(s, d).select(col("o_orderkey"))
+        .createOrReplaceTempView("r17_txh_src")
+      s.sql("CALL graft_txh.system.txn_begin()")
+      s.sql("""INSERT INTO graft_txh.default.a
+        SELECT * FROM r17_txh_src WHERE o_orderkey % 2 = 0""")
+      s.sql("""INSERT INTO graft_txh.default.b
+        SELECT * FROM r17_txh_src WHERE o_orderkey % 2 = 0""")
+      s.sql("CALL graft_txh.system.txn_commit(tables => 'a,b')")
+      // a PARTIAL transaction: only `a` moves; `b` keeps its pin
+      s.sql("CALL graft_txh.system.txn_begin()")
+      s.sql("""INSERT INTO graft_txh.default.a
+        SELECT * FROM r17_txh_src WHERE o_orderkey % 2 = 1""")
+      s.sql("CALL graft_txh.system.txn_commit(tables => 'a')")
+      s.sql("CALL graft_txh.system.txn_history()")
+    }),
     // SHALLOW CLONE: the clone's v0 references the source's files by
     // absolute path (zero data copied — spec asserts the clone has no
     // local data at clone time), then evolves independently — here the
@@ -2744,6 +2775,15 @@ object Relational {
         |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+    // the deterministic lifecycle's full pin matrix: CREATE commits v0,
+    // each INSERT advances one version; the partial second transaction
+    // moves only `a` while `b` CARRIES its v1 pin into catalog v1
+    "q_sql_txn_history" ->
+      """SELECT CAST(catalog_version AS INTEGER) AS catalog_version,
+        |       table_name,
+        |       CAST(pinned_version AS INTEGER) AS pinned_version
+        |FROM (VALUES (0, 'a', 1), (0, 'b', 1), (1, 'a', 2), (1, 'b', 1))
+        |  t(catalog_version, table_name, pinned_version)""".stripMargin,
     // the published state = init + the one batch whose audit passed
     "q_write_audit_publish" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem

@@ -801,7 +801,8 @@ private[sources] object GraftProcedures {
     Array("rebucket", "optimize", "vacuum", "restore", "tag", "expire",
       "branch", "fastforward", "merge_branch", "drop_branch", "rewrite_dvs",
       "price_dvs", "create_view", "drop_view",
-      "txn_begin", "txn_commit", "txn_abort", "txn_version")
+      "txn_begin", "txn_commit", "txn_abort", "txn_version",
+      "txn_history")
 
   /** Where the catalog tier's version files live for a graft catalog
     * root — a dot-directory, so it can never collide with a table or
@@ -824,6 +825,25 @@ private[sources] object GraftProcedures {
     val parts = table.split('.').toSeq.filterNot(_ == "default")
     ((root +: parts)).mkString("/")
   }
+
+  /** Multi-row procedure result: the txn-history pin rows. */
+  private[sources] def pinsScan(pins: Seq[(Int, String, Int)]): Scan =
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("catalog_version", IntegerType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("pinned_version", IntegerType, nullable = false)))
+      override def rows()
+          : Array[org.apache.spark.sql.catalyst.InternalRow] =
+        pins.map { case (cv, t, tv) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](cv,
+              org.apache.spark.unsafe.types.UTF8String.fromString(t), tv))
+            : org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+      override def description(): String =
+        s"txn history (${pins.size} pins)"
+    }
 
   private[sources] def resultScan(version: Int): Scan =
     new org.apache.spark.sql.connector.read.LocalScan {
@@ -884,6 +904,10 @@ private[sources] object GraftProcedures {
         "versions stay behind — harmless, time-travelable, vacuumable)"
       case "txn_version" => "current catalog version (the <v> for " +
         "VERSION AS OF 'catalog:<v>' consistent cross-table reads)"
+      case "txn_history" => "the catalog tier's audit trail: one row " +
+        "per (catalog version, table) pin — what every transaction " +
+        "published, the view an operator reads before rolling a " +
+        "cross-table state back to an earlier catalog version"
     }
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -924,7 +948,8 @@ private[sources] object GraftProcedures {
           .BooleanType).defaultValue("false").build())
       case "drop_view" => Array(
         ProcedureParameter.in("name", StringType).build())
-      case "txn_begin" | "txn_abort" | "txn_version" => Array.empty
+      case "txn_begin" | "txn_abort" | "txn_version" | "txn_history" =>
+        Array.empty
       case "txn_commit" => Array(
         ProcedureParameter.in("tables", StringType).build())
     }
@@ -933,6 +958,19 @@ private[sources] object GraftProcedures {
       // zero-arg procedures (txn_begin/txn_version) carry no table arg
       lazy val dir = dirFor(root, input.getUTF8String(0).toString)
       val s = org.apache.spark.sql.SparkSession.active
+      // the one MULTI-ROW result: every committed catalog version's pin
+      // set, the cross-table audit trail (rows ∝ versions × tables —
+      // metadata, never data)
+      if (procName == "txn_history") {
+        val croot = txnRoot(root)
+        val cur = Catalog.currentVersion(croot)
+        val pins = (0 to cur).flatMap { cv =>
+          Catalog.snapshot(croot, cv).toSeq.sortBy(_._1)
+            .map { case (t, (_, tv)) => (cv, t, tv) }
+        }
+        return java.util.Collections.singletonList(pinsScan(pins))
+          .iterator()
+      }
       val v = procName match {
         case "rebucket" => ManifestTable.rebucket(s, dir)
         case "rewrite_dvs" => ManifestTable.consolidateDvs(s, dir)
