@@ -1086,7 +1086,12 @@ private[sources] object GraftProcedures {
             val tv = ManifestTable.currentVersion(td)
             require(tv >= 0,
               s"txn_commit: table '$t' has no committed snapshot")
-            t -> ((td, tv))
+            // pin key NORMALIZED exactly like dirFor normalizes the
+            // directory — 'default.a' and 'a' are one table, and raw
+            // tokens as keys would let two aliases carry contradictory
+            // pins for the same physical directory
+            t.split('.').filterNot(_ == "default").mkString(".") ->
+              ((td, tv))
           }.toMap
           var committed = -1
           var attempt = 0

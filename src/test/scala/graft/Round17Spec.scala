@@ -378,6 +378,35 @@ class Round17Spec extends AnyFunSuite {
       .head().getLong(0) == 10L)
   }
 
+  test("txn_history: pin matrix, carry-forward, alias normalization, empty case") {
+    val root = freshDir("txnh")
+    catSetup("g17h", root)
+    // empty catalog: zero rows, not an error
+    assert(spark.sql("CALL g17h.system.txn_history()").collect().isEmpty)
+    spark.sql("DROP TABLE IF EXISTS g17h.default.a")
+    spark.sql("DROP TABLE IF EXISTS g17h.default.b")
+    spark.sql("CREATE TABLE g17h.default.a (k BIGINT)")
+    spark.sql("CREATE TABLE g17h.default.b (k BIGINT)")
+    spark.sql("INSERT INTO g17h.default.a SELECT id FROM range(0, 5)")
+    spark.sql("INSERT INTO g17h.default.b SELECT id FROM range(0, 5)")
+    // the SAME physical table committed under an unnormalized alias and
+    // the plain name must land ONE pin key, never two contradictory ones
+    spark.sql("CALL g17h.system.txn_commit(tables => 'default.a,b')")
+    spark.sql("INSERT INTO g17h.default.a SELECT id FROM range(5, 9)")
+    spark.sql("CALL g17h.system.txn_commit(tables => 'a')")
+    val hist = spark.sql("CALL g17h.system.txn_history()").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(hist == Set((0, "a", 1), (0, "b", 1), (1, "a", 2), (1, "b", 1)),
+      s"pin matrix with carry-forward and one normalized key, got $hist")
+    // the pinned read resolves the carried pin, not the moved table
+    assert(spark.sql(
+      "SELECT count(*) FROM g17h.default.a VERSION AS OF 'catalog:0'")
+      .head().getLong(0) == 5L)
+    assert(spark.sql(
+      "SELECT count(*) FROM g17h.default.a VERSION AS OF 'catalog:1'")
+      .head().getLong(0) == 9L)
+  }
+
   test("mixed-case catalog head matches Spark's case-sensitive routing") {
     val root = freshDir("case")
     catSetup("g17case", root)
