@@ -463,16 +463,34 @@ object ManifestTable {
     // cloneSession copies the view registry, so the clone re-resolves the
     // exact same plan under its own conf.
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val owner = df.sparkSession
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val viewName = s"__graft_stage_${java.util.UUID.randomUUID()
-      .toString.replace("-", "")}"
-    df.createOrReplaceTempView(viewName)
-    try {
-      val writer = org.apache.spark.sql.graft.SessionClone(owner)
-      writer.conf.set(tsKey, "TIMESTAMP_MICROS")
-      writer.table(viewName).write.mode("overwrite").parquet(tmp)
-    } finally owner.catalog.dropTempView(viewName)
+    // The override only affects how TIMESTAMP columns are physically
+    // encoded; a schema with no timestamp anywhere writes byte-identical
+    // parquet under either conf value, so the clone + temp-view transplant
+    // (session copy, view registration, re-analysis — all driver-side,
+    // paid per staged commit) is skipped for it (guide §1.2: don't pay for
+    // work whose output you provably don't need).
+    def hasTs(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _: org.apache.spark.sql.types.TimestampNTZType => true
+      case st: org.apache.spark.sql.types.StructType => st.fields.exists(f => hasTs(f.dataType))
+      case at: org.apache.spark.sql.types.ArrayType => hasTs(at.elementType)
+      case mt: org.apache.spark.sql.types.MapType => hasTs(mt.keyType) || hasTs(mt.valueType)
+      case _ => false
+    }
+    if (!df.schema.fields.exists(f => hasTs(f.dataType))) {
+      df.write.mode("overwrite").parquet(tmp)
+    } else {
+      val owner = df.sparkSession
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val viewName = s"__graft_stage_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      df.createOrReplaceTempView(viewName)
+      try {
+        val writer = org.apache.spark.sql.graft.SessionClone(owner)
+        writer.conf.set(tsKey, "TIMESTAMP_MICROS")
+        writer.table(viewName).write.mode("overwrite").parquet(tmp)
+      } finally owner.catalog.dropTempView(viewName)
+    }
     Files.createDirectories(Paths.get(dir, "data"))
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val parts = listDir(Paths.get(tmp))
@@ -1418,16 +1436,14 @@ object ManifestTable {
     * then unprunable for this file — the safe degradation). Runs on the
     * committing writer, O(footer) per NEW file only — the same moment Delta
     * writes stats into its log. */
-  def footerStats(file: Path, cols: Seq[String]): Map[String, ColRange] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
+  def footerStats(file: Path, cols: Seq[String]): Map[String, ColRange] =
+    withFooterBlocks(file)(statsFromBlocks(_, cols))
+
+  private def statsFromBlocks(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      cols: Seq[String]): Map[String, ColRange] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toString),
-      new org.apache.hadoop.conf.Configuration())
-    val r = ParquetFileReader.open(in)
-    try {
-      val blocks = r.getFooter.getBlocks.asScala
+    {
       cols.flatMap { c =>
         // one (min,max) per row group; the file range is their envelope —
         // every row group must carry usable stats or the column is skipped
@@ -1480,7 +1496,7 @@ object ManifestTable {
           Some(c -> ColRange(rs.head.tag, rs.map(_.min).min, rs.map(_.max).max))
         }
       }.toMap
-    } finally r.close()
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -1520,16 +1536,14 @@ object ManifestTable {
     * staged parquet file (columns whose statistics are absent, non-string,
     * or unbumpable are simply missing — unprunable, the safe default). */
   def footerStatsStr(file: Path,
+      cols: Seq[String]): Map[String, (Array[Byte], Array[Byte])] =
+    withFooterBlocks(file)(strStatsFromBlocks(_, cols))
+
+  private def strStatsFromBlocks(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
       cols: Seq[String]): Map[String, (Array[Byte], Array[Byte])] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toString),
-      new org.apache.hadoop.conf.Configuration())
-    val r = ParquetFileReader.open(in)
-    try {
-      val blocks = r.getFooter.getBlocks.asScala
+    {
       cols.flatMap { c =>
         val perBlock = blocks.map { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
@@ -1554,7 +1568,7 @@ object ManifestTable {
           truncMaxBytes(hi).map(h => c -> (truncMinBytes(lo), h))
         }
       }.toMap
-    } finally r.close()
+    }
   }
 
   /** Unsigned-lexicographic byte ordering — the order parquet's UTF8
@@ -1577,16 +1591,25 @@ object ManifestTable {
     (kept, entries.size)
   }
 
-  /** Exact row count of one parquet file, from its footer alone. */
-  def footerRowCount(file: Path): Long = {
+  /** Open `file`'s parquet footer ONCE and hand its row-group metadata to
+    * `f` — the shared footer read every harvest leg below goes through.
+    * The stats/string-stats/null-counts/row-count legs used to each open
+    * the footer themselves (3-4 opens + parses per staged file per
+    * commit); one open serves them all (guide §1.2 driver-side waste). */
+  private def withFooterBlocks[T](file: Path)(
+      f: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData] => T): T = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toString),
       new org.apache.hadoop.conf.Configuration())
     val r = ParquetFileReader.open(in)
-    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+    try f(r.getFooter.getBlocks.asScala.toSeq) finally r.close()
   }
+
+  /** Exact row count of one parquet file, from its footer alone. */
+  def footerRowCount(file: Path): Long =
+    withFooterBlocks(file)(_.map(_.getRowCount).sum)
 
   /** [[stage]] + footer-stats harvest: returns manifest LINES carrying each
     * new file's min/max for `statsCols` (numeric ranges for numeric/decimal
@@ -1596,7 +1619,7 @@ object ManifestTable {
   def stageWithStats(s: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], recordBucket: Boolean = false): Seq[String] = {
     val staged = stageIndexed(s, dir, df).map { case (name, orig) =>
-      (name, orig, footerRowCount(Paths.get(dir, "data", name)))
+      (name, orig, footerHarvest(Paths.get(dir, "data", name), statsCols))
     }
     // Spark's file writer emits a schema-only parquet file for every
     // EMPTY task partition; publishing those would pollute the manifest
@@ -1606,7 +1629,7 @@ object ManifestTable {
     // schema anchor ONLY if the table has no declared schema to read it
     // from (an API table's first-ever append); a catalog table's
     // `INSERT … WHERE false` publishes nothing at all.
-    val live = staged.filter(_._3 > 0)
+    val live = staged.filter(_._3._1 > 0)
     val declared = {
       val v = currentVersion(dir)
       v >= 0 && declaredSchema(dir, v).isDefined
@@ -1617,11 +1640,8 @@ object ManifestTable {
       else staged.take(1)
     (staged diff kept).foreach { case (n, _, _) =>
       Files.deleteIfExists(Paths.get(dir, "data", n)) }
-    kept.map { case (name, orig, rowCount) =>
+    kept.map { case (name, orig, (rowCount, st, ss, nn)) =>
       val p = Paths.get(dir, "data", name)
-      val st = footerStats(p, statsCols)
-      val ss = footerStatsStr(p, statsCols.filterNot(st.contains))
-      val nn = footerNulls(p, statsCols)
       val bucketKv = if (recordBucket) s";__bucket=$orig" else ""
       val rows = s"__rows=$rowCount;__bytes=${Files.size(p)}$bucketKv"
       val statKv = Seq(
@@ -1648,27 +1668,40 @@ object ManifestTable {
     * any row group does not record it — the safe degradation (COUNT(col)
     * stays scan-served, the CBO null estimate stays absent). With them,
     * `SELECT count(col)` is exact from metadata: rows − nulls. */
-  def footerNulls(file: Path, cols: Seq[String]): Map[String, Long] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toString),
-      new org.apache.hadoop.conf.Configuration())
-    val r = ParquetFileReader.open(in)
-    try {
-      val blocks = r.getFooter.getBlocks.asScala
-      cols.flatMap { c =>
-        val per = blocks.map(_.getColumns.asScala
-          .find(_.getPath.toDotString == c).flatMap { cc =>
-            val st = cc.getStatistics
-            if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
-              Some(st.getNumNulls)
-            else None
-          })
-        if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
-      }.toMap
-    } finally r.close()
-  }
+  def footerNulls(file: Path, cols: Seq[String]): Map[String, Long] =
+    withFooterBlocks(file)(nullsFromBlocks(_, cols))
+
+  private def nullsFromBlocks(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      cols: Seq[String]): Map[String, Long] =
+    cols.flatMap { c =>
+      val per = blocks.map(_.getColumns.asScala
+        .find(_.getPath.toDotString == c).flatMap { cc =>
+          val st = cc.getStatistics
+          if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+            Some(st.getNumNulls)
+          else None
+        })
+      if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
+    }.toMap
+
+  /** Every footer-derived harvest of one staged file — row count, numeric
+    * ranges, string envelopes (for stats columns the numeric leg declined),
+    * null counts — from ONE footer open instead of four. */
+  private def footerHarvest(file: Path, statsCols: Seq[String])
+      : (Long, Map[String, ColRange],
+         Map[String, (Array[Byte], Array[Byte])], Map[String, Long]) =
+    withFooterBlocks(file) { blocks =>
+      val rows = blocks.map(_.getRowCount).sum
+      if (statsCols.isEmpty)
+        (rows, Map.empty, Map.empty, Map.empty)
+      else {
+        val st = statsFromBlocks(blocks, statsCols)
+        (rows, st,
+          strStatsFromBlocks(blocks, statsCols.filterNot(st.contains)),
+          nullsFromBlocks(blocks, statsCols))
+      }
+    }
 
   /** One ready-to-commit manifest line for an already-staged file: harvest
     * numeric + string footer stats for `statsCols` and carry the known row
@@ -1677,13 +1710,7 @@ object ManifestTable {
   def statLineFor(dir: String, name: String, rows: Long,
       statsCols: Seq[String], bucket: Option[Int] = None): String = {
     val p = Paths.get(dir, "data", name)
-    val st = if (statsCols.isEmpty) Map.empty[String, ColRange]
-      else footerStats(p, statsCols)
-    val ss = if (statsCols.isEmpty)
-      Map.empty[String, (Array[Byte], Array[Byte])]
-      else footerStatsStr(p, statsCols.filterNot(st.contains))
-    val nn = if (statsCols.isEmpty) Map.empty[String, Long]
-      else footerNulls(p, statsCols)
+    val (_, st, ss, nn) = footerHarvest(p, statsCols)
     val statKv = Seq(
       if (st.isEmpty) "" else encodeStats(st),
       if (ss.isEmpty) "" else encodeStrStats(ss),
@@ -3641,10 +3668,22 @@ object ManifestTable {
             .join(curKeys, Seq("k1", "k2"), "left_anti")
             .drop("k1", "k2")
         }
-      val staged =
-        if (skipEmptyDelta && fresh.isEmpty) Seq.empty[String]
-        else stage(s, dir, fresh)
-      if (staged.isEmpty && skipEmptyDelta) return v // idempotent no-op
+      // Stage FIRST, then decide emptiness from the staged files' parquet
+      // footers: the former `fresh.isEmpty` pre-check executed the whole
+      // anti-join a second time (isEmpty shuffles both sides before it can
+      // yield its first row, then `stage` re-ran the plan to write) — the
+      // guide's "don't compute things you throw away" (§1.2). Footer row
+      // counts cost one metadata read per staged file; the staged file SET
+      // for a non-empty delta is byte-identical to before (empty part
+      // files still publish), so every manifest-derived answer is
+      // unchanged. An all-empty delta deletes its schema-only orphans and
+      // returns the current version exactly like the old pre-check path.
+      val staged = stage(s, dir, fresh)
+      if (skipEmptyDelta &&
+          staged.forall(n => footerRowCount(Paths.get(dir, "data", n)) == 0L)) {
+        staged.foreach(n => Files.deleteIfExists(Paths.get(dir, "data", n)))
+        return v // idempotent no-op
+      }
       // DV and rename markers ride along: the kept data files are
       // unchanged, so every DV still targets exactly what it did, and the
       // rename chain keeps reconciling the older generations

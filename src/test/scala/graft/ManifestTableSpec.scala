@@ -67,6 +67,31 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(n1 == li.count())
   }
 
+  test("merge replay deletes its empty staged delta (no orphan growth)") {
+    // round-17 optimization: merge stages FIRST and decides emptiness from
+    // the staged footers (one anti-join execution instead of two). The
+    // replay path must then clean up its schema-only staged files — data/
+    // must hold exactly the published file set after a no-op replay.
+    val dir = freshDir("stage_once")
+    val li = Tables.lineitem(spark, sf)
+    ManifestTable.merge(spark, dir, li, keys)
+    val published = ManifestTable
+      .listFiles(dir, ManifestTable.currentVersion(dir)).toSet
+    def onDisk: Set[String] = {
+      val d = java.nio.file.Paths.get(dir, "data")
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally s.close()
+    }
+    assert(onDisk == published)
+    val v2 = ManifestTable.merge(spark, dir, li, keys) // replay: empty delta
+    assert(v2 == ManifestTable.currentVersion(dir))
+    assert(onDisk == published,
+      "a no-op replay must not leave staged orphans behind")
+  }
+
   test("time travel: every historical version stays exactly reconstructible") {
     val dir = freshDir("tt")
     val li = Tables.lineitem(spark, sf)
