@@ -1486,7 +1486,14 @@ object CurationOps {
     def hsh(c: Column): Column =
       array_sort(array_distinct(transform(shingles(c, 3), x => xxhash64(x))))
     val corpus = Tables.documents(s, dir).filter($"doc_id" < cut)
+    // spread the corpus shingle/hash/sort work across the session's
+    // shuffle width BEFORE it is computed and persisted — the fixture is a
+    // single parquet split, so uncached-spread the whole corpus-side
+    // pipeline ran in ONE task (guide §2.5 input skew; same recipe as
+    // Tables.documentsSpread)
+    val sp = s.sessionState.conf.numShufflePartitions
     val corpusSh = corpus.filter(size(toks($"text")) >= 3)
+      .repartition(sp)
       .select($"lang", hsh($"text").as("sh_b"),
         pmod(xxhash64($"doc_id"), lit(G)).as("gb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1494,7 +1501,8 @@ object CurationOps {
     val stream = s.readStream.schema(docSchema)
       .parquet(s"$dir/[d]ocuments.parquet")
       .filter($"doc_id" >= cut && size(toks($"text")) >= 3)
-      .repartition(8) // single-split fixture: spread the shingle work
+      .repartition(sp) // single-split fixture: spread the shingle work
+                       // across the session's width (was a fixed 8)
       .select($"doc_id", $"lang", hsh($"text").as("sh_a"))
       .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
       .join(corpusSh, Seq("lang", "gb"))
